@@ -1,0 +1,29 @@
+"""elasticsearch_assets_ray — a Ray-Data-native full-text indexing and
+search engine with the capability surface of terascope/elasticsearch-assets.
+
+The reference (``/root/reference``, v1.6.1) is a Teraslice operator bundle
+that adaptively slices an Elasticsearch keyspace, transforms record arrays
+into bulk requests, and writes them back — delegating the actual inverted
+index build and BM25 scoring to Elasticsearch itself.  This package
+implements BOTH halves from scratch on Ray Data:
+
+* the engine ES provided: inverted index build (code-aware tokenization,
+  delta+varint compressed posting lists, block-max metadata, shard merge via
+  a ``groupby`` shuffle with doc-range salting for skewed terms) and BM25
+  top-k serving (block-max WAND in stateful scorer actors) — see
+  :mod:`~elasticsearch_assets_ray.index` and
+  :mod:`~elasticsearch_assets_ray.search`;
+* the reference's operator surface: adaptive date-range / id-prefix
+  partition planning (``planner``), index routing + action modes (``ops``),
+  bulk sink semantics, cached state storage, deterministic data generation
+  (``corpus``);
+* the large-scale training-data ops a 100 TB pipeline needs: dedup
+  (exact / MinHash-LSH / SimHash), similarity search, text analysis
+  (``functions``).
+
+Everything is expressed Ray-Data-first: ``ray.data.Dataset`` pipelines over
+zero-copy Arrow batches, actor pools for stateful stages, explicit
+partitioning for the wide steps.  No module calls ``ray.init()``.
+"""
+
+__version__ = "0.1.0"

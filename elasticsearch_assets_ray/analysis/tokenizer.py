@@ -1,0 +1,96 @@
+"""Code-aware tokenization and the per-language analyzer registry.
+
+The reference has NO tokenizer — Elasticsearch analyzers fill that role
+(SURVEY.md §2.9).  This module is our replacement.  The extension surface
+mirrors the reference's operator-plugin registry (ops discovered by ``_op``
+name, ``/root/reference/asset/elasticsearch_reader/index.js:297-303``):
+analyzers are registered by name and selected per ``lang``.
+
+Analyzers are pure functions compiled once; stages hold them in actor
+``__init__``.  The same code is used by the distributed engine AND the
+pure-Python oracle so tokenization is never the source of divergence
+(the oracle independently reimplements the index/scoring math only).
+
+Tokenization spec (``code`` analyzer), deliberately simple and exactly
+reproducible:
+
+* runs of ``[A-Za-z0-9_]`` are candidate identifiers; everything else
+  (operators, punctuation, whitespace) separates tokens;
+* identifiers split on underscores and camelCase boundaries: an uppercase
+  run followed by a lowercase letter splits before its last capital
+  (``HTTPServer`` → ``http``, ``server``), a lower→upper transition splits
+  (``fooBar`` → ``foo``, ``bar``); digits stick to the preceding run
+  (``sha256`` is one token) but a leading digit run stands alone;
+* subtokens are lowercased; length clipped to [min_token_len, max_token_len].
+
+The ``simple`` analyzer is ``lower(text)`` split on ``[^a-z0-9]+`` — chosen
+because it is expressible verbatim in ANSI SQL
+(``regexp_split_to_array(lower(text), '[^a-z0-9]+')``), which the DuckDB
+oracle of the driver correctness gate relies on.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Iterable
+
+Analyzer = Callable[[str], list[str]]
+
+# one pass over raw text: camel runs, lower runs (digits attached), digit runs
+_CODE_RE = re.compile(r"[A-Z]+(?![a-z])[0-9]*|[A-Z][a-z0-9]*|[a-z][a-z0-9]*|[0-9]+")
+_SIMPLE_RE = re.compile(r"[a-z0-9]+")
+
+# minimal English stopword list for the `text` analyzer (markdown/prose)
+_STOPWORDS = frozenset(
+    "a an and are as at be by for from has he in is it its of on that the to was were will with".split()
+)
+
+
+def code_tokens(text: str) -> list[str]:
+    """Code analyzer: camel/snake-aware subtokens, lowercased."""
+    return [t.lower() for t in _CODE_RE.findall(text)]
+
+
+def simple_tokens(text: str) -> list[str]:
+    """Simple analyzer: lowercase, split on non-alphanumeric (SQL-parity)."""
+    return _SIMPLE_RE.findall(text.lower())
+
+
+def text_tokens(text: str) -> list[str]:
+    """Prose analyzer: simple + English stopword removal."""
+    return [t for t in _SIMPLE_RE.findall(text.lower()) if t not in _STOPWORDS]
+
+
+_REGISTRY: dict[str, Analyzer] = {
+    "code": code_tokens,
+    "simple": simple_tokens,
+    "text": text_tokens,
+}
+
+# lang → analyzer name; unknown langs fall back to `code`
+_LANG_MAP: dict[str, str] = {
+    "markdown": "text",
+    "text": "text",
+}
+
+
+def register_analyzer(name: str, fn: Analyzer) -> None:
+    """User-extension hook (reference plugin-API analogue)."""
+    _REGISTRY[name] = fn
+
+
+def get_analyzer(name: str) -> Analyzer:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown analyzer {name!r}; registered: {sorted(_REGISTRY)}"
+        ) from None
+
+
+def analyzer_for_lang(lang: str) -> Analyzer:
+    return _REGISTRY[_LANG_MAP.get(lang, "code")]
+
+
+def clip_tokens(tokens: Iterable[str], min_len: int, max_len: int) -> list[str]:
+    return [t for t in tokens if min_len <= len(t) <= max_len]

@@ -1,0 +1,65 @@
+"""Validated configuration dataclasses.
+
+The reference validates operator configs with convict schemas plus
+``selfValidation`` / ``crossValidation`` hooks (e.g. "slicers must not
+exceed the id alphabet size", ``/root/reference/asset/id_reader/index.js:108-126``).
+We mirror that with eagerly-validated dataclasses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    """BM25 scoring parameters (k1=1.2, b=0.75 per the north rule)."""
+
+    k1: float = 1.2
+    b: float = 0.75
+
+    def __post_init__(self) -> None:
+        if self.k1 < 0:
+            raise ValueError(f"k1 must be >= 0, got {self.k1}")
+        if not (0.0 <= self.b <= 1.0):
+            raise ValueError(f"b must be in [0, 1], got {self.b}")
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Configuration for an inverted-index build.
+
+    Sizing defaults descend from the reference's operational constants
+    (reader slice 5k docs, ``asset/elasticsearch_reader/index.js:48-58``;
+    bulk batch 500, ``asset/elasticsearch_bulk/index.js:176-186``) scaled to
+    Arrow-batch processing.
+
+    Scale notes (100 TB / 10^12 docs): ``partition_target_docs`` bounds the
+    docs a single tokenize task holds; ``shard_target_docs`` bounds the doc
+    range a merged segment covers, which in turn bounds the posting list of
+    even a 100%-df term within one merge group — the shard id acts as the
+    doc-range salt for skewed terms (SURVEY.md §7.3).  Both are constants
+    per doc, so the plan scales linearly with corpus size.
+    """
+
+    analyzer: str = "code"
+    bm25: BM25Params = field(default_factory=BM25Params)
+    block_size: int = 128  # postings per block-max block
+    partition_target_docs: int = 5_000  # docs per tokenize partition
+    shard_target_docs: int = 40_000  # docs per index shard (merge salt range)
+    min_token_len: int = 1
+    max_token_len: int = 64
+
+    def __post_init__(self) -> None:
+        if self.block_size < 8:
+            raise ValueError(f"block_size must be >= 8, got {self.block_size}")
+        if self.partition_target_docs < 1:
+            raise ValueError("partition_target_docs must be >= 1")
+        if self.shard_target_docs < self.partition_target_docs:
+            # a shard is a contiguous range of whole partitions
+            raise ValueError(
+                "shard_target_docs must be >= partition_target_docs "
+                f"({self.shard_target_docs} < {self.partition_target_docs})"
+            )
+        if not (1 <= self.min_token_len <= self.max_token_len):
+            raise ValueError("need 1 <= min_token_len <= max_token_len")

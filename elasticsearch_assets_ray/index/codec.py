@@ -1,0 +1,266 @@
+"""Posting-list codec: delta-encoded doc-id gaps + vectorized varint,
+with per-block max-tf metadata and skip offsets (block-max structure).
+
+The reference delegates this entirely to Elasticsearch/Lucene; the format
+here is our own, designed for zero-copy Arrow transport: a posting part is
+a single ``bytes`` value (``large_binary`` column) that decodes with numpy
+only — no per-posting Python loops.
+
+Blob layout (little-endian)::
+
+    header: magic:u32  n_docs:u32  n_blocks:u32  block_size:u32
+            docid_bytes:u32  tf_bytes:u32
+    block_last_doc : u64[n_blocks]   last doc_id of each block
+    block_max_tf   : u32[n_blocks]   max term frequency within the block
+    block_doc_off  : u32[n_blocks]   index (in docs) of block start
+    block_did_off  : u32[n_blocks]   byte offset of block start in docid stream
+    block_tf_off   : u32[n_blocks]   byte offset of block start in tf stream
+    docid stream   : varint deltas; first delta of block i is relative to
+                     block_last_doc[i-1] (block 0: relative to -1), so any
+                     block decodes independently — the WAND skip path reads
+                     only the blocks it needs.
+    tf stream      : varint(tf - 1), block-aligned like the docid stream
+
+Doc ids are strictly increasing within a part; parts (one per doc-range)
+concatenate in range order, mirroring the reference's id-prefix sub-slices
+(``asset/id_reader/id_slicer.js:83-99``) where a hot key fans out into
+ordered sub-ranges.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+_MAGIC = 0x45415250  # "PRAE"
+_HEADER_DTYPE = np.dtype(
+    [
+        ("magic", "<u4"),
+        ("n_docs", "<u4"),
+        ("n_blocks", "<u4"),
+        ("block_size", "<u4"),
+        ("docid_bytes", "<u4"),
+        ("tf_bytes", "<u4"),
+    ]
+)
+
+
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    lengths = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 10):
+        lengths += v >= np.uint64(1) << np.uint64(7 * k)
+    return lengths
+
+
+def encode_varint(values: np.ndarray, lengths: np.ndarray | None = None) -> np.ndarray:
+    """Vectorized LEB128 varint encode of a uint64 array → uint8 array."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    if lengths is None:
+        lengths = varint_lengths(v)
+    out = np.empty((n, 10), dtype=np.uint8)
+    tmp = v.copy()
+    seven = np.uint64(7)
+    for i in range(10):
+        out[:, i] = (tmp & np.uint64(0x7F)).astype(np.uint8)
+        tmp >>= seven
+    cols = np.arange(10)[None, :]
+    out[cols < (lengths - 1)[:, None]] |= 0x80
+    return out[cols < lengths[:, None]]
+
+
+def decode_varint(buf: np.ndarray) -> np.ndarray:
+    """Vectorized varint decode of a uint8 array → uint64 array."""
+    b = np.ascontiguousarray(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.nonzero(b < 0x80)[0]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        m = lengths > j
+        vals[m] |= (b[starts[m] + j].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(
+            7 * j
+        )
+    return vals
+
+
+@dataclass(frozen=True)
+class PostingsMeta:
+    """Parsed header + block metadata of a postings blob (no payload decode)."""
+
+    n_docs: int
+    n_blocks: int
+    block_size: int
+    block_last_doc: np.ndarray  # u64[n_blocks]
+    block_max_tf: np.ndarray  # u32[n_blocks]
+    block_doc_off: np.ndarray  # u32[n_blocks]
+    block_did_off: np.ndarray  # u32[n_blocks]
+    block_tf_off: np.ndarray  # u32[n_blocks]
+    _docid_stream: np.ndarray  # u8
+    _tf_stream: np.ndarray  # u8
+
+
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = 128
+) -> bytes:
+    """Encode sorted unique ``doc_ids`` (+ per-doc ``tfs`` >= 1) into a blob."""
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    n = len(doc_ids)
+    if n != len(tfs):
+        raise ValueError("doc_ids and tfs length mismatch")
+    n_blocks = (n + block_size - 1) // block_size
+
+    # gap encoding; block i's first delta is relative to block i-1's last
+    # doc, which is simply the preceding doc — blocks decode independently
+    # (given block_last_doc[i-1]) yet the stream is one contiguous cumsum.
+    deltas = np.empty(n, dtype=np.uint64)
+    if n:
+        deltas[0] = doc_ids[0] + np.uint64(1)  # relative to -1
+        deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+
+    # encode each stream ONCE; block byte offsets fall out of per-value lengths
+    tf0 = tfs - np.uint64(1)
+    did_lens = varint_lengths(deltas)
+    tf_lens = varint_lengths(tf0)
+    did_stream = encode_varint(deltas, did_lens)
+    tf_stream = encode_varint(tf0, tf_lens)
+    if n:
+        block_starts = np.arange(n_blocks, dtype=np.int64) * block_size
+        block_ends = np.minimum(block_starts + block_size, n)
+        did_cum = np.concatenate([[0], np.cumsum(did_lens)])
+        tf_cum = np.concatenate([[0], np.cumsum(tf_lens)])
+        block_last = doc_ids[block_ends - 1]
+        block_max = np.maximum.reduceat(tfs, block_starts).astype(np.uint32)
+        block_doc_off = block_starts.astype(np.uint32)
+        block_did_off = did_cum[block_starts].astype(np.uint32)
+        block_tf_off = tf_cum[block_starts].astype(np.uint32)
+    else:
+        block_last = np.empty(0, dtype=np.uint64)
+        block_max = np.empty(0, dtype=np.uint32)
+        block_doc_off = block_did_off = block_tf_off = np.empty(0, dtype=np.uint32)
+
+    header = np.zeros(1, dtype=_HEADER_DTYPE)
+    header["magic"] = _MAGIC
+    header["n_docs"] = n
+    header["n_blocks"] = n_blocks
+    header["block_size"] = block_size
+    header["docid_bytes"] = len(did_stream)
+    header["tf_bytes"] = len(tf_stream)
+    parts = [
+        header.tobytes(),
+        block_last.astype("<u8").tobytes(),
+        block_max.astype("<u4").tobytes(),
+        block_doc_off.astype("<u4").tobytes(),
+        block_did_off.astype("<u4").tobytes(),
+        block_tf_off.astype("<u4").tobytes(),
+        did_stream.tobytes(),
+        tf_stream.tobytes(),
+    ]
+    return b"".join(parts)
+
+
+def read_meta(blob: bytes | memoryview) -> PostingsMeta:
+    """Parse header + block metadata; payload streams stay undecoded."""
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    header = raw[: _HEADER_DTYPE.itemsize].view(_HEADER_DTYPE)[0]
+    if int(header["magic"]) != _MAGIC:
+        raise ValueError("bad postings blob magic")
+    n_blocks = int(header["n_blocks"])
+    off = _HEADER_DTYPE.itemsize
+
+    def take(dtype: str, count: int) -> np.ndarray:
+        nonlocal off
+        width = np.dtype(dtype).itemsize
+        arr = raw[off : off + width * count].view(dtype)
+        off += width * count
+        return arr
+
+    block_last = take("<u8", n_blocks)
+    block_max = take("<u4", n_blocks)
+    block_doc_off = take("<u4", n_blocks)
+    block_did_off = take("<u4", n_blocks)
+    block_tf_off = take("<u4", n_blocks)
+    docid_stream = raw[off : off + int(header["docid_bytes"])]
+    off += int(header["docid_bytes"])
+    tf_stream = raw[off : off + int(header["tf_bytes"])]
+    return PostingsMeta(
+        n_docs=int(header["n_docs"]),
+        n_blocks=n_blocks,
+        block_size=int(header["block_size"]),
+        block_last_doc=block_last,
+        block_max_tf=block_max,
+        block_doc_off=block_doc_off,
+        block_did_off=block_did_off,
+        block_tf_off=block_tf_off,
+        _docid_stream=docid_stream,
+        _tf_stream=tf_stream,
+    )
+
+
+def decode_block(meta: PostingsMeta, i: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a single block → (doc_ids u64, tfs u64). Independent of others."""
+    did_lo = int(meta.block_did_off[i])
+    tf_lo = int(meta.block_tf_off[i])
+    did_hi = (
+        int(meta.block_did_off[i + 1])
+        if i + 1 < meta.n_blocks
+        else len(meta._docid_stream)
+    )
+    tf_hi = (
+        int(meta.block_tf_off[i + 1]) if i + 1 < meta.n_blocks else len(meta._tf_stream)
+    )
+    deltas = decode_varint(meta._docid_stream[did_lo:did_hi])
+    base = meta.block_last_doc[i - 1] if i > 0 else np.uint64(0)
+    doc_ids = np.cumsum(deltas, dtype=np.uint64) + base
+    if i == 0:
+        doc_ids -= np.uint64(1)  # block 0 deltas are relative to -1
+    tfs = decode_varint(meta._tf_stream[tf_lo:tf_hi]) + np.uint64(1)
+    return doc_ids, tfs
+
+
+def decode_postings(blob: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a full blob → (doc_ids u64, tfs u64)."""
+    meta = read_meta(blob)
+    if meta.n_docs == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    # the first delta of block i is relative to block i-1's last doc, which
+    # is exactly the preceding doc — so the stream is one contiguous gap
+    # sequence and a single cumsum decodes it (block independence costs 0).
+    deltas = decode_varint(meta._docid_stream)
+    doc_ids = np.cumsum(deltas, dtype=np.uint64) - np.uint64(1)
+    tfs = decode_varint(meta._tf_stream) + np.uint64(1)
+    return doc_ids, tfs
+
+
+def merge_encoded_parts(blobs: list[bytes], block_size: int = 128) -> bytes:
+    """Merge posting parts covering disjoint ascending doc-id ranges.
+
+    Used by the shard merge ``map_groups``: each input part came from one
+    tokenize partition; shard-contiguous partition order makes the
+    concatenation sorted.  Bounded by the shard's doc count (the doc-range
+    salt), never by a term's global df — that is the skew guarantee.
+    """
+    decoded = [decode_postings(b) for b in blobs]
+    decoded = [(d, t) for d, t in decoded if len(d)]
+    if not decoded:
+        return encode_postings(
+            np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64), block_size
+        )
+    doc_ids = np.concatenate([d for d, _ in decoded])
+    tfs = np.concatenate([t for _, t in decoded])
+    if not np.all(doc_ids[:-1] < doc_ids[1:]):
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, tfs = doc_ids[order], tfs[order]
+        if not np.all(doc_ids[:-1] < doc_ids[1:]):
+            raise ValueError("duplicate doc_ids across posting parts")
+    return encode_postings(doc_ids, tfs, block_size)

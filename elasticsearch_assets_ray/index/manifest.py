@@ -1,0 +1,224 @@
+"""Partition planning + checkpoint manifest for index builds.
+
+Planning mirrors the reference's slicer, with Parquet metadata replacing
+ES count-probes:
+
+* target-count partitions (``interval = range / ceil(count/size)``,
+  ``/root/reference/asset/elasticsearch_reader/elasticsearch_date_range/slicer.js:484-505``)
+  → here: split files at row-group boundaries so every partition holds
+  ≤ ``partition_target_docs`` rows, computed from ``pq.ParquetFile``
+  metadata without reading data;
+* resumable slicing with retry state
+  (``retryData.lastSlice`` replay, ``asset/id_reader/id_slicer.js:233-255``)
+  → here: a JSON manifest checkpoint listing every partition and shard
+  with lineage (input file, row-group span, doc-id range) and metrics
+  (doc/term/posting counts); a re-run diffs the manifest and skips
+  completed shards.
+
+Doc ids are global sequential row numbers under a stable ordering of input
+files (sorted path) — deterministic, replay-safe, and delta-friendly
+(SURVEY.md §7.3 "docID assignment").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+
+import pyarrow.parquet as pq
+
+MANIFEST_NAME = "manifest.json"
+STATS_NAME = "stats.json"
+
+
+@dataclass(frozen=True)
+class PartitionPlan:
+    """One tokenize unit: a contiguous row-group span of one input file."""
+
+    partition_id: int
+    path: str
+    row_group_start: int
+    row_group_end: int  # exclusive
+    num_rows: int
+    doc_base: int  # first global doc_id of this partition
+    shard_id: int
+
+
+@dataclass
+class ShardState:
+    shard_id: int
+    partition_ids: list[int]
+    doc_base: int
+    num_docs: int
+    status: str = "pending"  # pending | done
+    num_terms: int = 0
+    num_postings: int = 0
+    segment_path: str = ""
+
+
+@dataclass
+class BuildManifest:
+    corpus_paths: list[str]
+    analyzer: str
+    partition_target_docs: int
+    shard_target_docs: int
+    block_size: int
+    total_docs: int
+    partitions: list[PartitionPlan] = field(default_factory=list)
+    shards: dict[int, ShardState] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "corpus_paths": self.corpus_paths,
+                "analyzer": self.analyzer,
+                "partition_target_docs": self.partition_target_docs,
+                "shard_target_docs": self.shard_target_docs,
+                "block_size": self.block_size,
+                "total_docs": self.total_docs,
+                "partitions": [asdict(p) for p in self.partitions],
+                "shards": {str(k): asdict(v) for k, v in self.shards.items()},
+            },
+            indent=1,
+        )
+
+    @classmethod
+    def from_json(cls, text: str) -> "BuildManifest":
+        d = json.loads(text)
+        m = cls(
+            corpus_paths=d["corpus_paths"],
+            analyzer=d["analyzer"],
+            partition_target_docs=d["partition_target_docs"],
+            shard_target_docs=d["shard_target_docs"],
+            block_size=d["block_size"],
+            total_docs=d["total_docs"],
+        )
+        m.partitions = [PartitionPlan(**p) for p in d["partitions"]]
+        m.shards = {int(k): ShardState(**v) for k, v in d["shards"].items()}
+        return m
+
+    def save(self, index_dir: str | Path) -> None:
+        atomic_write_text(Path(index_dir) / MANIFEST_NAME, self.to_json())
+
+    @classmethod
+    def load(cls, index_dir: str | Path) -> "BuildManifest | None":
+        p = Path(index_dir) / MANIFEST_NAME
+        if not p.exists():
+            return None
+        return cls.from_json(p.read_text())
+
+    def plan_fingerprint(self) -> tuple:
+        return (
+            tuple(self.corpus_paths),
+            self.analyzer,
+            self.partition_target_docs,
+            self.shard_target_docs,
+            self.block_size,
+            self.total_docs,
+        )
+
+
+def atomic_write_text(path: Path, text: str) -> None:
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_text(text)
+    os.replace(tmp, path)
+
+
+def list_corpus_files(corpus: str | Path | list[str]) -> list[str]:
+    """Stable (sorted) list of parquet files — the doc_id ordering anchor."""
+    if isinstance(corpus, (str, Path)):
+        p = Path(corpus)
+        if p.is_dir():
+            return sorted(str(f) for f in p.glob("*.parquet"))
+        return [str(p)]
+    return sorted(str(f) for f in corpus)
+
+
+def plan_build(
+    corpus: str | Path | list[str],
+    analyzer: str,
+    partition_target_docs: int,
+    shard_target_docs: int,
+    block_size: int,
+) -> BuildManifest:
+    """Plan partitions + shards from Parquet footer metadata only.
+
+    Equivalent of the reference's slicer planning pass (count-probe per
+    candidate range) using row-group statistics instead of ES ``count``
+    queries — zero data reads, so the plan cost scales with file count,
+    not corpus bytes.
+    """
+    files = list_corpus_files(corpus)
+    if not files:
+        raise ValueError(f"no parquet files found in {corpus!r}")
+    partitions: list[PartitionPlan] = []
+    doc_base = 0
+    pid = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        rg_sizes = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        i = 0
+        while i < len(rg_sizes):
+            j = i
+            rows = 0
+            # greedy: pack whole row groups up to the target (a single
+            # oversized row group becomes its own partition — the recursive
+            # halving floor, slicer.js:212-214)
+            while j < len(rg_sizes) and (rows == 0 or rows + rg_sizes[j] <= partition_target_docs):
+                rows += rg_sizes[j]
+                j += 1
+            partitions.append(
+                PartitionPlan(
+                    partition_id=pid,
+                    path=f,
+                    row_group_start=i,
+                    row_group_end=j,
+                    num_rows=rows,
+                    doc_base=doc_base,
+                    shard_id=-1,
+                )
+            )
+            doc_base += rows
+            pid += 1
+            i = j
+    total_docs = doc_base
+
+    # shards = contiguous partition ranges (the doc-range salt for skewed
+    # terms: a term's postings within one merge group are bounded by the
+    # shard's doc count, never by global df — SURVEY.md §7.3)
+    shards: dict[int, ShardState] = {}
+    sid = 0
+    acc_docs = 0
+    acc_parts: list[int] = []
+    shard_base = 0
+    fixed = []
+    for p in partitions:
+        if acc_docs and acc_docs + p.num_rows > shard_target_docs:
+            shards[sid] = ShardState(sid, acc_parts, shard_base, acc_docs)
+            sid += 1
+            acc_docs = 0
+            acc_parts = []
+            shard_base = p.doc_base
+        fixed.append(
+            PartitionPlan(
+                p.partition_id, p.path, p.row_group_start, p.row_group_end,
+                p.num_rows, p.doc_base, sid,
+            )
+        )
+        acc_parts.append(p.partition_id)
+        acc_docs += p.num_rows
+    if acc_parts:
+        shards[sid] = ShardState(sid, acc_parts, shard_base, acc_docs)
+
+    return BuildManifest(
+        corpus_paths=files,
+        analyzer=analyzer,
+        partition_target_docs=partition_target_docs,
+        shard_target_docs=shard_target_docs,
+        block_size=block_size,
+        total_docs=total_docs,
+        partitions=fixed,
+        shards=shards,
+    )

@@ -1,0 +1,376 @@
+"""BM25 top-k query serving over built index shards.
+
+Two serving paths, both stateful-actor based (the reference's cached
+state-storage pattern: expensive load once per worker, reused per request —
+``/root/reference/asset/elasticsearch_state_storage/api.js:6-33``):
+
+* **Shard-actor path** (`QueryEngine`): one Ray actor per shard group,
+  each loads only its shards' segments + doc lengths once.  A query fans
+  out to every shard actor (document-partitioned index — each shard holds
+  a doc range, the build shuffle's salt key), local top-k per shard, then
+  a driver-side tree merge with deterministic tie-break (score desc,
+  doc_id asc).  This is the 10^12-doc layout: per-actor memory is bounded
+  by its shard subset, never by the corpus.
+* **Dataset bulk path** (`score_queries_dataset`): a query *Dataset* piped
+  through ``map_batches(BulkScorer, concurrency=N)`` actor pool, each actor
+  holding the whole (small) index — right for high-throughput offline
+  query batches at test scale, and the shape `bench.py` measures.
+
+Scoring is vectorized: per shard a dense float64 score array over the
+shard's doc range is accumulated term-by-term (sorted term order — pinned
+to match the oracle bit-for-bit), using the decoded postings.  A
+block-max WAND traversal (`wand_topk`) implements the skip path over the
+per-block max-tf metadata; it is rank-identical to dense scoring and wins
+when queries are selective and shards large.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from ..analysis.tokenizer import clip_tokens, get_analyzer
+from ..config import BM25Params
+from .. import index as _index_pkg  # noqa: F401  (package import side)
+from ..index.build import IndexInfo
+from ..index.codec import decode_block, decode_postings, read_meta
+
+
+class ShardData:
+    """One shard's in-memory state: term dictionary + postings blobs +
+    doc lengths for its doc range."""
+
+    def __init__(self, info: IndexInfo, shard_id: int):
+        self.shard_id = shard_id
+        st = info.manifest.shards[shard_id]
+        self.doc_base = st.doc_base
+        self.num_docs = st.num_docs
+        seg = pq.read_table(info.segment_path(shard_id))
+        self.terms: dict[str, int] = {
+            t: i for i, t in enumerate(seg.column("term").to_pylist())
+        }
+        self.df = seg.column("df").to_numpy()
+        self.max_tf = seg.column("max_tf").to_numpy()
+        self.blobs = seg.column("postings").to_pylist()
+        dls = []
+        for p in info.docmeta_paths(shard_id):
+            dls.append(pq.read_table(p, columns=["dl"]).column("dl").to_numpy())
+        self.dl = np.concatenate(dls).astype(np.float64) if dls else np.zeros(0)
+        if len(self.dl) != self.num_docs:
+            raise RuntimeError(
+                f"shard {shard_id}: docmeta rows {len(self.dl)} != {self.num_docs}"
+            )
+
+    def local_df(self, term: str) -> int:
+        i = self.terms.get(term)
+        return int(self.df[i]) if i is not None else 0
+
+    def dense_topk(
+        self,
+        terms: list[str],
+        idf: dict[str, float],
+        params: BM25Params,
+        avgdl: float,
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact local top-k via a dense score array over the shard's range.
+
+        Accumulation order = sorted unique terms, float64 — pinned to the
+        oracle's (SURVEY.md §7.4 rank-identity contract).
+        """
+        k1, b = params.k1, params.b
+        scores = np.zeros(self.num_docs, dtype=np.float64)
+        touched = np.zeros(self.num_docs, dtype=bool)
+        for t in terms:  # caller passes sorted unique terms
+            i = self.terms.get(t)
+            if i is None:
+                continue
+            doc_ids, tfs = decode_postings(self.blobs[i])
+            idx = (doc_ids - np.uint64(self.doc_base)).astype(np.int64)
+            tf = tfs.astype(np.float64)
+            dl = self.dl[idx]
+            norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            scores[idx] += idf[t] * norm
+            touched[idx] = True
+        cand = np.nonzero(touched)[0]
+        if len(cand) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        cs = scores[cand]
+        if len(cand) > k:
+            # keep every candidate >= the kth-largest score so equal-score
+            # ties survive into the deterministic lexsort below
+            kth = np.partition(cs, len(cs) - k)[len(cs) - k]
+            keep = cs >= kth
+            cand, cs = cand[keep], cs[keep]
+        order = np.lexsort((cand, -cs))[:k]
+        return (cand[order] + self.doc_base).astype(np.int64), cs[order]
+
+    def wand_topk(
+        self,
+        terms: list[str],
+        idf: dict[str, float],
+        params: BM25Params,
+        avgdl: float,
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Block-max exact top-k with skip: window-partitioned block-max OR.
+
+        Window boundaries are the union of every queried term's block
+        last-doc-ids, so each window intersects at most one block per term
+        and the windows PARTITION the doc-id space — a doc receives all of
+        its term contributions inside exactly one window.  Windows are
+        processed in descending upper-bound order (``ub(window) = Σ_t
+        block_ub``); once the running kth-best score meets the next
+        window's bound, every remaining window is skipped without decoding
+        its payload blocks.  Upper bound per block is the dl→0 limit
+        ``idf * (k1+1)*max_tf / (max_tf + k1*(1-b))`` — valid without doc
+        lengths at skip time.  Rank- and score-identical to `dense_topk`.
+        """
+        k1, b = params.k1, params.b
+        metas = []
+        for t in terms:
+            i = self.terms.get(t)
+            if i is None:
+                continue
+            m = read_meta(self.blobs[i])
+            mt = m.block_max_tf.astype(np.float64)
+            ub_blocks = idf[t] * (k1 + 1.0) * mt / (mt + k1 * (1.0 - b))
+            metas.append((t, m, ub_blocks))
+        if not metas:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+        bounds = np.unique(np.concatenate([m.block_last_doc for _, m, _ in metas]))
+        n_win = len(bounds)
+        # active block of term t in window w = first block with last >= bound
+        ub_win = np.zeros(n_win, dtype=np.float64)
+        win_blocks: list[list[tuple[int, int]]] = [[] for _ in range(n_win)]
+        for ti, (t, m, ubs) in enumerate(metas):
+            # windows covered by block j: those with bound in
+            # (block_last[j-1], block_last[j]]
+            hi = np.searchsorted(bounds, m.block_last_doc, side="left")
+            lo = np.concatenate([[0], hi[:-1] + 1])
+            for j in range(m.n_blocks):
+                for w in range(int(lo[j]), int(hi[j]) + 1):
+                    ub_win[w] += ubs[j]
+                    win_blocks[w].append((ti, j))
+
+        order = np.argsort(-ub_win, kind="stable")
+        top: list[tuple[float, int]] = []  # (score, doc_id), kept sorted small
+        kth = -math.inf
+        decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        for w in order.tolist():
+            if len(top) >= k and ub_win[w] < kth:
+                break  # every later window has a smaller bound — skip all
+            w_lo = int(bounds[w - 1]) if w > 0 else -1
+            w_hi = int(bounds[w])
+            acc: dict[int, float] = {}
+            for ti, j in win_blocks[w]:
+                t, m, _ = metas[ti]
+                key = (ti, j)
+                if key not in decoded:
+                    decoded[key] = decode_block(m, j)
+                doc_ids, tfs = decoded[key]
+                if w_lo >= 0:
+                    sel = (doc_ids > np.uint64(w_lo)) & (doc_ids <= np.uint64(w_hi))
+                else:
+                    sel = doc_ids <= np.uint64(w_hi)
+                d = doc_ids[sel]
+                tf = tfs[sel].astype(np.float64)
+                if len(d) == 0:
+                    continue
+                idx = (d - np.uint64(self.doc_base)).astype(np.int64)
+                dl = self.dl[idx]
+                norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                contrib = idf[t] * norm
+                for dd, cc in zip(d.tolist(), contrib.tolist()):
+                    acc[dd] = acc.get(dd, 0.0) + cc
+            if acc:
+                top.extend((s, d) for d, s in acc.items())
+                top.sort(key=lambda x: (-x[0], x[1]))
+                # keep the kth value plus ties
+                if len(top) > k:
+                    kth = top[k - 1][0]
+                    cut = k
+                    while cut < len(top) and top[cut][0] >= kth:
+                        cut += 1
+                    top = top[:cut]
+                elif len(top) == k:
+                    kth = top[k - 1][0]
+        top = top[:k]
+        ids = np.array([d for _, d in top], dtype=np.int64)
+        sc = np.array([s for s, _ in top], dtype=np.float64)
+        return ids, sc
+
+
+def merge_topk(
+    parts: list[tuple[np.ndarray, np.ndarray]], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge per-shard top-k lists: score desc, doc_id asc (deterministic)."""
+    ids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+    sc = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
+    order = np.lexsort((ids, -sc))[:k]
+    return ids[order], sc[order]
+
+
+class _ScorerCore:
+    """Shared scoring core: loads shard subsets, answers df + top-k."""
+
+    def __init__(self, index_dir: str, shard_ids: list[int], params: BM25Params):
+        info = IndexInfo(index_dir)
+        self.params = params
+        self.avgdl = info.stats.avgdl
+        self.num_docs = info.stats.num_docs
+        self.shards = [ShardData(info, sid) for sid in shard_ids]
+
+    def local_dfs(self, terms: list[str]) -> dict[str, int]:
+        return {t: sum(s.local_df(t) for s in self.shards) for t in terms}
+
+    def topk(
+        self, queries: list[tuple[int, list[str], int]], idf: dict[str, float]
+    ) -> list[tuple[int, np.ndarray, np.ndarray]]:
+        out = []
+        for qid, terms, k in queries:
+            parts = [
+                s.dense_topk(terms, idf, self.params, self.avgdl, k)
+                for s in self.shards
+            ]
+            ids, sc = merge_topk(parts, k)
+            out.append((qid, ids, sc))
+        return out
+
+
+@ray.remote
+class ShardScorer(_ScorerCore):
+    """Ray actor wrapper (state loaded once; the ST1 pattern)."""
+
+
+class QueryEngine:
+    """Distributed BM25 serving: shard actors + global df/idf + merge.
+
+    ``num_actors`` shard-groups are loaded once; queries fan out and merge
+    on the driver.  Global df is summed across actors per queried term
+    (no global term dictionary is ever materialized — at 10^12 docs that
+    dictionary itself would be a dataset).
+    """
+
+    def __init__(
+        self,
+        index_dir: str | Path,
+        num_actors: int = 4,
+        params: BM25Params | None = None,
+        analyzer: str | None = None,
+    ):
+        self.info = IndexInfo(index_dir)
+        self.params = params or BM25Params()
+        self.analyzer_name = analyzer or self.info.manifest.analyzer
+        shard_ids = self.info.shard_ids()
+        num_actors = max(1, min(num_actors, len(shard_ids)))
+        groups: list[list[int]] = [[] for _ in range(num_actors)]
+        for i, sid in enumerate(shard_ids):
+            groups[i % num_actors].append(sid)
+        self.actors = [
+            ShardScorer.remote(str(index_dir), g, self.params) for g in groups
+        ]
+
+    def _analyze(self, query: str) -> list[str]:
+        fn = get_analyzer(
+            "code" if self.analyzer_name == "per_lang" else self.analyzer_name
+        )
+        return sorted(set(clip_tokens(fn(query), 1, 64)))
+
+    def idfs(self, terms: list[str]) -> dict[str, float]:
+        df_parts = ray.get([a.local_dfs.remote(terms) for a in self.actors])
+        n = self.info.stats.num_docs
+        out = {}
+        for t in terms:
+            df = sum(p[t] for p in df_parts)
+            out[t] = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return out
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        return self.search_batch([(0, query, k)])[0]
+
+    def search_batch(
+        self, queries: list[tuple[int, str, int]]
+    ) -> list[list[tuple[int, float]]]:
+        """queries: [(query_id, text, k)] → per query [(doc_id, score)]."""
+        analyzed = [(qid, self._analyze(q), k) for qid, q, k in queries]
+        all_terms = sorted({t for _, terms, _ in analyzed for t in terms})
+        idf = self.idfs(all_terms) if all_terms else {}
+        per_actor = ray.get([a.topk.remote(analyzed, idf) for a in self.actors])
+        results = []
+        for qi, (qid, terms, k) in enumerate(analyzed):
+            parts = [(pa_res[qi][1], pa_res[qi][2]) for pa_res in per_actor]
+            ids, sc = merge_topk(parts, k)
+            results.append(list(zip(ids.tolist(), sc.tolist())))
+        return results
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
+class BulkScorer:
+    """Actor-pool callable for the Dataset bulk-query path: each actor loads
+    the full index once (test/bench scale), scores query batches.
+
+    Input batch: (query_id:int64, query:string, k:int32)
+    Output: (query_id:int64, rank:int32, doc_id:int64, score:float64)
+    """
+
+    def __init__(self, index_dir: str, params: BM25Params | None = None):
+        info = IndexInfo(index_dir)
+        self.core = _ScorerCore(index_dir, info.shard_ids(), params or BM25Params())
+        self.n = info.stats.num_docs
+        self.analyzer = get_analyzer(
+            "code" if info.manifest.analyzer == "per_lang" else info.manifest.analyzer
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("query_id").to_pylist()
+        texts = batch.column("query").to_pylist()
+        ks = batch.column("k").to_pylist() if "k" in batch.column_names else [10] * len(qids)
+        queries = [
+            (qid, sorted(set(clip_tokens(self.analyzer(q), 1, 64))), int(k))
+            for qid, q, k in zip(qids, texts, ks)
+        ]
+        all_terms = sorted({t for _, terms, _ in queries for t in terms})
+        dfs = self.core.local_dfs(all_terms)
+        idf = {
+            t: math.log(1.0 + (self.n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            for t in all_terms
+        }
+        o_qid, o_rank, o_doc, o_score = [], [], [], []
+        for qid, ids, sc in self.core.topk(queries, idf):
+            for r, (d, s) in enumerate(zip(ids.tolist(), sc.tolist())):
+                o_qid.append(qid)
+                o_rank.append(r + 1)
+                o_doc.append(d)
+                o_score.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(o_qid, pa.int64()),
+                "rank": pa.array(o_rank, pa.int32()),
+                "doc_id": pa.array(o_doc, pa.int64()),
+                "score": pa.array(o_score, pa.float64()),
+            }
+        )
+
+
+def score_queries_dataset(queries_ds, index_dir: str | Path, concurrency: int = 2):
+    """Bulk-score a Dataset of queries through a BulkScorer actor pool."""
+    return queries_ds.map_batches(
+        BulkScorer,
+        fn_constructor_args=(str(index_dir),),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,111 @@
+"""Trusted pure-Python BM25 oracle for conformance testing.
+
+Plays the role the reference's ``MockClient`` + live Elasticsearch played
+in its jest suite (``/root/reference/test/mock_client.js:3-65``): a tiny,
+obviously-correct implementation the distributed engine must match
+rank-identically (scores equal within 1e-6; ties broken by ascending
+doc_id — ES's behavior for equal ``_score``).
+
+Deliberately shares NOTHING with the engine except the tokenizer module
+(so tokenization is never the divergence) — dict-of-dicts index, plain
+``math.log``, no codec, no numpy scoring.
+
+Determinism contract (both sides pin the same accumulation order, SURVEY.md
+§7.4): per document, term contributions are summed in sorted-unique-term
+order, float64 throughout; idf uses the Lucene/ES formula
+``ln(1 + (N - df + 0.5) / (df + 0.5))`` with GLOBAL df (ES "dfs_query_then_fetch").
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from pathlib import Path
+
+from ..analysis.tokenizer import analyzer_for_lang, clip_tokens, get_analyzer
+from ..config import BM25Params
+
+
+class BM25Oracle:
+    def __init__(self, params: BM25Params | None = None):
+        self.params = params or BM25Params()
+        self.postings: dict[str, dict[int, int]] = {}  # term -> doc_id -> tf
+        self.dl: dict[int, int] = {}
+
+    @classmethod
+    def from_docs(
+        cls, docs: list[tuple[int, list[str]]], params: BM25Params | None = None
+    ) -> "BM25Oracle":
+        o = cls(params)
+        for doc_id, tokens in docs:
+            o.add(doc_id, tokens)
+        return o
+
+    @classmethod
+    def from_parquet(
+        cls,
+        corpus: str | Path | list[str],
+        analyzer: str = "code",
+        text_column: str = "content",
+        lang_column: str = "lang",
+        params: BM25Params | None = None,
+        min_token_len: int = 1,
+        max_token_len: int = 64,
+    ) -> "BM25Oracle":
+        """Read the corpus single-process (oracle scale only) with doc_id =
+        global row number under sorted-file order — the engine's scheme."""
+        import pyarrow.parquet as pq
+
+        from ..index.manifest import list_corpus_files
+
+        o = cls(params)
+        doc_id = 0
+        for f in list_corpus_files(corpus):
+            tbl = pq.read_table(
+                f,
+                columns=[text_column] + ([lang_column] if analyzer == "per_lang" else []),
+            )
+            texts = tbl.column(text_column).to_pylist()
+            langs = (
+                tbl.column(lang_column).to_pylist()
+                if analyzer == "per_lang"
+                else [None] * len(texts)
+            )
+            for text, lang in zip(texts, langs):
+                fn = analyzer_for_lang(lang) if analyzer == "per_lang" else get_analyzer(analyzer)
+                o.add(doc_id, clip_tokens(fn(text), min_token_len, max_token_len))
+                doc_id += 1
+        return o
+
+    def add(self, doc_id: int, tokens: list[str]) -> None:
+        self.dl[doc_id] = len(tokens)
+        for t, tf in Counter(tokens).items():
+            self.postings.setdefault(t, {})[doc_id] = tf
+
+    @property
+    def num_docs(self) -> int:
+        return len(self.dl)
+
+    @property
+    def avgdl(self) -> float:
+        return sum(self.dl.values()) / len(self.dl) if self.dl else 0.0
+
+    def idf(self, term: str) -> float:
+        df = len(self.postings.get(term, ()))
+        return math.log(1.0 + (self.num_docs - df + 0.5) / (df + 0.5))
+
+    def search(self, query_tokens: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), score desc then doc_id asc."""
+        k1, b = self.params.k1, self.params.b
+        avgdl = self.avgdl
+        scores: dict[int, float] = {}
+        for term in sorted(set(query_tokens)):
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            w = self.idf(term)
+            for doc_id, tf in plist.items():
+                norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * self.dl[doc_id] / avgdl))
+                scores[doc_id] = scores.get(doc_id, 0.0) + w * norm
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
