@@ -1,0 +1,100 @@
+"""End-to-end build + query conformance + resume (the oracle suite that
+replaces the role MockClient/ES played in the reference's jest specs)."""
+
+import math
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from elasticsearch_assets_ray.analysis.tokenizer import code_tokens
+from elasticsearch_assets_ray.config import BM25Params, IndexConfig
+from elasticsearch_assets_ray.corpus.synth import reference_queries
+from elasticsearch_assets_ray.index.build import IndexInfo, build_index, segment_dir
+from elasticsearch_assets_ray.search.engine import (
+    QueryEngine,
+    _ScorerCore,
+    score_queries_dataset,
+)
+
+
+def test_stats_match_oracle(small_index, small_oracle):
+    assert small_index.stats.num_docs == small_oracle.num_docs
+    assert abs(small_index.stats.avgdl - small_oracle.avgdl) < 1e-12
+
+
+def test_sha256_invariant(small_index, small_corpus):
+    """Per-row content sha256 equality end-to-end (BASELINE.json:15)."""
+    import hashlib
+    import pathlib
+
+    stored = (
+        pq.read_table(small_index.index_dir / "docmeta", columns=["doc_id", "content_sha256"])
+        .sort_by("doc_id")
+        .column("content_sha256")
+        .to_pylist()
+    )
+    i = 0
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        for text in pq.read_table(f, columns=["content"]).column("content").to_pylist():
+            assert stored[i] == hashlib.sha256(text.encode()).hexdigest()
+            i += 1
+    assert i == len(stored)
+
+
+def test_rank_and_score_identical(small_index, small_oracle):
+    eng = QueryEngine(small_index.index_dir, num_actors=2)
+    for row in reference_queries().to_pylist():
+        got = eng.search(row["query"], k=row["k"])
+        want = small_oracle.search(code_tokens(row["query"]), k=row["k"])
+        assert [d for d, _ in got] == [d for d, _ in want], row["query"]
+        for (_, s1), (_, s2) in zip(got, want):
+            assert abs(s1 - s2) < 1e-9
+    eng.shutdown()
+
+
+def test_wand_equals_dense(small_index):
+    info = small_index
+    core = _ScorerCore(str(info.index_dir), info.shard_ids(), BM25Params())
+    for q in [["import"], ["merge", "segment", "block"], ["data", "import", "return"]]:
+        dfs = core.local_dfs(q)
+        n = info.stats.num_docs
+        idf = {t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in q}
+        for s in core.shards:
+            d1 = s.dense_topk(sorted(q), idf, BM25Params(), core.avgdl, 10)
+            d2 = s.wand_topk(sorted(q), idf, BM25Params(), core.avgdl, 10)
+            assert np.array_equal(d1[0], d2[0])
+            assert np.allclose(d1[1], d2[1], atol=1e-12)
+
+
+def test_bulk_dataset_scoring(small_index, small_oracle):
+    qds = rd.from_arrow(reference_queries())
+    out = score_queries_dataset(qds, small_index.index_dir, concurrency=1).to_pandas()
+    for row in reference_queries().to_pylist():
+        want = small_oracle.search(code_tokens(row["query"]), k=row["k"])
+        got = out[out.query_id == row["query_id"]].sort_values("rank")
+        assert got.doc_id.tolist() == [d for d, _ in want]
+
+
+def test_resume_skips_done_shards_and_rebuilds_missing(small_corpus, tmp_path):
+    cfg = IndexConfig(partition_target_docs=50, shard_target_docs=100)
+    idx = tmp_path / "idx"
+    info = build_index(small_corpus, idx, cfg)
+    seg1 = pq.read_table(info.segment_path(1))
+
+    # simulate a mid-build crash: one shard's segment lost, manifest stale
+    shutil.rmtree(segment_dir(idx, 1))
+    info2 = build_index(small_corpus, idx, cfg)
+    seg2 = pq.read_table(info2.segment_path(1))
+    assert seg2.equals(seg1)  # deterministic replay → byte-identical segment
+    assert info2.stats == info.stats
+
+
+def test_empty_and_absent_queries(small_index):
+    eng = QueryEngine(small_index.index_dir, num_actors=1)
+    assert eng.search("zzzzqqqq", 10) == []
+    assert eng.search("", 10) == []
+    eng.shutdown()
