@@ -49,6 +49,16 @@ class IndexConfig:
     shard_target_docs: int = 40_000  # docs per index shard (merge salt range)
     min_token_len: int = 1
     max_token_len: int = 64
+    # corpus schema binding — the reference is schema-less (any JSON doc,
+    # ``asset/elasticsearch_reader/reader.js:14-28``); we bind columns by
+    # name instead: the indexed text column, an optional analyzer-selector
+    # column, an optional original-id column (the ES ``_key`` / preserve_id
+    # analogue, ``asset/elasticsearch_index_selector/index.js:45-56``), and
+    # passthrough metadata columns stored in the doc store.
+    text_col: str = "content"
+    lang_col: str | None = "lang"
+    id_col: str | None = None
+    meta_cols: tuple[str, ...] = ("repo", "path")
 
     def __post_init__(self) -> None:
         if self.block_size < 8:
@@ -63,3 +73,5 @@ class IndexConfig:
             )
         if not (1 <= self.min_token_len <= self.max_token_len):
             raise ValueError("need 1 <= min_token_len <= max_token_len")
+        if self.analyzer == "per_lang" and self.lang_col is None:
+            raise ValueError("analyzer='per_lang' requires lang_col")

@@ -95,14 +95,25 @@ class TokenizePartition:
     module-level compiled regexes, so tasks — not actors — are the right
     compute strategy, SURVEY.md §7.2)."""
 
-    def __init__(self, index_dir: str, analyzer: str, cfg_min: int, cfg_max: int,
-                 block_size: int, done_shards: frozenset[int]):
+    def __init__(self, index_dir: str, config: IndexConfig,
+                 done_shards: frozenset[int]):
         self.index_dir = index_dir
-        self.analyzer = analyzer
-        self.cfg_min = cfg_min
-        self.cfg_max = cfg_max
-        self.block_size = block_size
+        self.analyzer = config.analyzer
+        self.cfg_min = config.min_token_len
+        self.cfg_max = config.max_token_len
+        self.block_size = config.block_size
+        self.text_col = config.text_col
+        self.lang_col = config.lang_col
+        self.id_col = config.id_col
+        self.meta_cols = tuple(config.meta_cols)
         self.done_shards = done_shards
+
+    def _read_columns(self) -> list[str]:
+        cols: list[str] = [self.text_col]
+        for c in (self.lang_col, self.id_col, *self.meta_cols):
+            if c is not None and c not in cols:
+                cols.append(c)
+        return cols
 
     def __call__(self, descs: pa.Table) -> pa.Table:
         out_shard, out_term, out_pid, out_df, out_cf, out_blob = [], [], [], [], [], []
@@ -113,10 +124,15 @@ class TokenizePartition:
             pf = pq.ParquetFile(row["path"])
             tbl = pf.read_row_groups(
                 list(range(row["row_group_start"], row["row_group_end"])),
-                columns=["repo", "path", "lang", "content"],
+                columns=self._read_columns(),
             )
-            contents = tbl.column("content").to_pylist()
-            langs = tbl.column("lang").to_pylist()
+            if row.get("row_start", -1) >= 0:
+                tbl = tbl.slice(row["row_start"], row["row_end"] - row["row_start"])
+            contents = tbl.column(self.text_col).to_pylist()
+            if self.lang_col is not None:
+                langs = tbl.column(self.lang_col).to_pylist()
+            else:
+                langs = [""] * len(contents)
             doc_base = row["doc_base"]
             n = len(contents)
 
@@ -143,19 +159,22 @@ class TokenizePartition:
             dm = docmeta_path(self.index_dir, row["partition_id"])
             if not dm.exists():
                 dm.parent.mkdir(parents=True, exist_ok=True)
-                meta_tbl = pa.table(
-                    {
-                        "doc_id": pa.array(
-                            np.arange(doc_base, doc_base + n, dtype=np.int64)
-                        ),
-                        "repo": tbl.column("repo"),
-                        "path": tbl.column("path"),
-                        "lang": tbl.column("lang"),
-                        "dl": pa.array(dls),
-                        "n_bytes": pa.array(nbytes),
-                        "content_sha256": pa.array(shas, pa.string()),
-                    }
-                )
+                cols: dict[str, pa.Array | pa.ChunkedArray] = {
+                    "doc_id": pa.array(
+                        np.arange(doc_base, doc_base + n, dtype=np.int64)
+                    )
+                }
+                if self.id_col is not None:
+                    cols["orig_id"] = tbl.column(self.id_col)
+                for mc in self.meta_cols:
+                    if mc != self.text_col:
+                        cols[mc] = tbl.column(mc)
+                if self.lang_col is not None and self.lang_col not in cols:
+                    cols[self.lang_col] = tbl.column(self.lang_col)
+                cols["dl"] = pa.array(dls)
+                cols["n_bytes"] = pa.array(nbytes)
+                cols["content_sha256"] = pa.array(shas, pa.string())
+                meta_tbl = pa.table(cols)
                 tmp = dm.with_name(dm.name + f".tmp-{os.getpid()}")
                 pq.write_table(meta_tbl, tmp)
                 os.replace(tmp, dm)
@@ -311,6 +330,10 @@ def build_index(
         config.partition_target_docs,
         config.shard_target_docs,
         config.block_size,
+        text_col=config.text_col,
+        lang_col=config.lang_col,
+        id_col=config.id_col,
+        meta_cols=tuple(config.meta_cols),
     )
     existing = BuildManifest.load(index_dir) if resume else None
     if existing is not None and existing.plan_fingerprint() == plan.plan_fingerprint():
@@ -334,14 +357,7 @@ def build_index(
 
     if pending_parts:
         partials = rd.from_items(pending_parts).map_batches(
-            TokenizePartition(
-                str(index_dir),
-                config.analyzer,
-                config.min_token_len,
-                config.max_token_len,
-                config.block_size,
-                done,
-            ),
+            TokenizePartition(str(index_dir), config, done),
             batch_format="pyarrow",
             batch_size=1,
         )

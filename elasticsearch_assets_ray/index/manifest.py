@@ -35,7 +35,14 @@ STATS_NAME = "stats.json"
 
 @dataclass(frozen=True)
 class PartitionPlan:
-    """One tokenize unit: a contiguous row-group span of one input file."""
+    """One tokenize unit: a contiguous row-group span of one input file,
+    optionally narrowed to a row range within the span.
+
+    ``row_start``/``row_end`` (span-relative, ``row_end`` exclusive; -1 =
+    whole span) split a single oversized row group into parallel units —
+    the recursive-halving floor case where the reference fans a hot window
+    out by secondary key (``slicer.js:281-332``): when the storage-level
+    unit can't be subdivided any further, subdivide logically."""
 
     partition_id: int
     path: str
@@ -44,6 +51,8 @@ class PartitionPlan:
     num_rows: int
     doc_base: int  # first global doc_id of this partition
     shard_id: int
+    row_start: int = -1
+    row_end: int = -1
 
 
 @dataclass
@@ -66,6 +75,10 @@ class BuildManifest:
     shard_target_docs: int
     block_size: int
     total_docs: int
+    text_col: str = "content"
+    lang_col: str | None = "lang"
+    id_col: str | None = None
+    meta_cols: list[str] = field(default_factory=lambda: ["repo", "path"])
     partitions: list[PartitionPlan] = field(default_factory=list)
     shards: dict[int, ShardState] = field(default_factory=dict)
 
@@ -78,6 +91,10 @@ class BuildManifest:
                 "shard_target_docs": self.shard_target_docs,
                 "block_size": self.block_size,
                 "total_docs": self.total_docs,
+                "text_col": self.text_col,
+                "lang_col": self.lang_col,
+                "id_col": self.id_col,
+                "meta_cols": list(self.meta_cols),
                 "partitions": [asdict(p) for p in self.partitions],
                 "shards": {str(k): asdict(v) for k, v in self.shards.items()},
             },
@@ -94,6 +111,10 @@ class BuildManifest:
             shard_target_docs=d["shard_target_docs"],
             block_size=d["block_size"],
             total_docs=d["total_docs"],
+            text_col=d.get("text_col", "content"),
+            lang_col=d.get("lang_col", "lang"),
+            id_col=d.get("id_col"),
+            meta_cols=list(d.get("meta_cols", ["repo", "path"])),
         )
         m.partitions = [PartitionPlan(**p) for p in d["partitions"]]
         m.shards = {int(k): ShardState(**v) for k, v in d["shards"].items()}
@@ -117,6 +138,10 @@ class BuildManifest:
             self.shard_target_docs,
             self.block_size,
             self.total_docs,
+            self.text_col,
+            self.lang_col,
+            self.id_col,
+            tuple(self.meta_cols),
         )
 
 
@@ -142,6 +167,10 @@ def plan_build(
     partition_target_docs: int,
     shard_target_docs: int,
     block_size: int,
+    text_col: str = "content",
+    lang_col: str | None = "lang",
+    id_col: str | None = None,
+    meta_cols: tuple[str, ...] = ("repo", "path"),
 ) -> BuildManifest:
     """Plan partitions + shards from Parquet footer metadata only.
 
@@ -169,19 +198,39 @@ def plan_build(
             while j < len(rg_sizes) and (rows == 0 or rows + rg_sizes[j] <= partition_target_docs):
                 rows += rg_sizes[j]
                 j += 1
-            partitions.append(
-                PartitionPlan(
-                    partition_id=pid,
-                    path=f,
-                    row_group_start=i,
-                    row_group_end=j,
-                    num_rows=rows,
-                    doc_base=doc_base,
-                    shard_id=-1,
+            if rows > partition_target_docs:
+                # a single oversized row group: split it into near-even row
+                # ranges so parallelism never degrades to one task per file
+                n_chunks = -(-rows // partition_target_docs)
+                chunk = -(-rows // n_chunks)
+                lo = 0
+                while lo < rows:
+                    hi = min(lo + chunk, rows)
+                    partitions.append(
+                        PartitionPlan(
+                            partition_id=pid, path=f,
+                            row_group_start=i, row_group_end=j,
+                            num_rows=hi - lo, doc_base=doc_base, shard_id=-1,
+                            row_start=lo, row_end=hi,
+                        )
+                    )
+                    doc_base += hi - lo
+                    pid += 1
+                    lo = hi
+            else:
+                partitions.append(
+                    PartitionPlan(
+                        partition_id=pid,
+                        path=f,
+                        row_group_start=i,
+                        row_group_end=j,
+                        num_rows=rows,
+                        doc_base=doc_base,
+                        shard_id=-1,
+                    )
                 )
-            )
-            doc_base += rows
-            pid += 1
+                doc_base += rows
+                pid += 1
             i = j
     total_docs = doc_base
 
@@ -204,7 +253,7 @@ def plan_build(
         fixed.append(
             PartitionPlan(
                 p.partition_id, p.path, p.row_group_start, p.row_group_end,
-                p.num_rows, p.doc_base, sid,
+                p.num_rows, p.doc_base, sid, p.row_start, p.row_end,
             )
         )
         acc_parts.append(p.partition_id)
@@ -219,6 +268,10 @@ def plan_build(
         shard_target_docs=shard_target_docs,
         block_size=block_size,
         total_docs=total_docs,
+        text_col=text_col,
+        lang_col=lang_col,
+        id_col=id_col,
+        meta_cols=list(meta_cols),
         partitions=fixed,
         shards=shards,
     )

@@ -1,0 +1,134 @@
+"""Key→document state storage over the per-partition doc store.
+
+Ray-Data-native analogue of the reference's ``elasticsearch_state_storage``
+(``/root/reference/asset/elasticsearch_state_storage/api.js:6-33``): a
+per-worker cached key→record lookup, there backed by ES ``mget`` (chunk
+2500 / concurrency 10, ``schema.js:18-29``), here backed by the index's
+partition-sharded docmeta Parquet.  The cache unit is a *partition* (one
+docmeta file), not a row — random doc_id lookups at 10^12 scale touch a
+bounded set of hot partitions and each partition file is one sequential
+columnar read.
+
+``DocStoreHydrator`` is the map_batches actor-pool stage that joins top-k
+results back to document metadata (the reference's mget-style point join,
+SURVEY.md §2.5) — broadcast-free: each actor holds its own LRU of loaded
+partitions.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class DocStore:
+    """mget-style lookup: global doc_id → docmeta row, partition-LRU cached.
+
+    ``columns`` restricts what is read/returned (projection pushdown into
+    the docmeta parquet read).
+    """
+
+    def __init__(
+        self,
+        index_dir: str | Path,
+        columns: list[str] | None = None,
+        cache_partitions: int = 64,
+    ):
+        from ..index.build import IndexInfo, docmeta_path
+
+        info = IndexInfo(index_dir)
+        self._docmeta_path = lambda pid: docmeta_path(index_dir, pid)
+        parts = sorted(info.manifest.partitions, key=lambda p: p.doc_base)
+        self._bases = np.array([p.doc_base for p in parts], dtype=np.int64)
+        self._ends = np.array(
+            [p.doc_base + p.num_rows for p in parts], dtype=np.int64
+        )
+        self._pids = np.array([p.partition_id for p in parts], dtype=np.int64)
+        self.columns = columns
+        self.cache_partitions = cache_partitions
+        self._cache: OrderedDict[int, pa.Table] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def _partition_table(self, pid: int) -> pa.Table:
+        t = self._cache.get(pid)
+        if t is not None:
+            self.hits += 1
+            self._cache.move_to_end(pid)
+            return t
+        self.misses += 1
+        t = pq.read_table(self._docmeta_path(pid), columns=self.columns)
+        self._cache[pid] = t
+        while len(self._cache) > self.cache_partitions:
+            self._cache.popitem(last=False)
+        return t
+
+    def count(self) -> int:
+        """Cached-partition row count (the reference cache's ``count()``)."""
+        return sum(t.num_rows for t in self._cache.values())
+
+    def mget(self, doc_ids) -> pa.Table:
+        """Fetch docmeta rows for ``doc_ids``, returned in request order."""
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        if len(ids) == 0:
+            # empty table with the right schema
+            return self._partition_table(int(self._pids[0])).slice(0, 0)
+        slot = np.searchsorted(self._bases, ids, side="right") - 1
+        if (slot < 0).any() or (ids >= self._ends[slot]).any():
+            bad = ids[(slot < 0) | (ids >= self._ends[np.maximum(slot, 0)])]
+            raise KeyError(f"doc_ids out of range: {bad[:5].tolist()}")
+        order = np.argsort(slot, kind="stable")
+        pieces: list[pa.Table] = []
+        positions: list[np.ndarray] = []
+        i = 0
+        while i < len(order):
+            j = i
+            s = slot[order[i]]
+            while j < len(order) and slot[order[j]] == s:
+                j += 1
+            sel = order[i:j]
+            part = self._partition_table(int(self._pids[s]))
+            offsets = ids[sel] - self._bases[s]
+            pieces.append(part.take(pa.array(offsets)))
+            positions.append(sel)
+            i = j
+        combined = pa.concat_tables(pieces)
+        inv = np.empty(len(ids), dtype=np.int64)
+        inv[np.concatenate(positions)] = np.arange(len(ids))
+        return combined.take(pa.array(inv))
+
+    def get(self, doc_id: int) -> dict:
+        return self.mget([doc_id]).to_pylist()[0]
+
+
+class DocStoreHydrator:
+    """Actor-pool stage: join a results batch (``doc_id`` column) with doc
+    metadata columns.  Store loaded once per actor (``__init__``), reused
+    per batch — the ST1 expensive-init pattern."""
+
+    def __init__(self, index_dir: str, columns: list[str] | None = None):
+        want = columns if columns is None else list(dict.fromkeys(["doc_id"] + columns))
+        self.store = DocStore(index_dir, columns=want)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        meta = self.store.mget(batch.column("doc_id").to_numpy())
+        for name in meta.column_names:
+            if name != "doc_id" and name not in batch.column_names:
+                batch = batch.append_column(name, meta.column(name))
+        return batch
+
+
+def hydrate_dataset(results_ds, index_dir: str | Path, columns: list[str],
+                    concurrency: int = 2):
+    """Hydrate a Dataset of scored results with doc-store columns."""
+    return results_ds.map_batches(
+        DocStoreHydrator,
+        fn_constructor_args=(str(index_dir), columns),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
