@@ -59,6 +59,13 @@ class IndexConfig:
     lang_col: str | None = "lang"
     id_col: str | None = None
     meta_cols: tuple[str, ...] = ("repo", "path")
+    # "fused": tokenize+merge in one task per shard — the shard→partition
+    # routing is fixed at plan time, so the partials exchange is a planned
+    # no-op and the generic sort shuffle is skipped entirely (measured to
+    # dominate build wall time).  "groupby": explicit
+    # groupby(shard_id).map_groups exchange — the general mechanism, used
+    # when partials must actually move (and as the semantic reference).
+    merge_strategy: str = "fused"
 
     def __post_init__(self) -> None:
         if self.block_size < 8:
@@ -75,3 +82,5 @@ class IndexConfig:
             raise ValueError("need 1 <= min_token_len <= max_token_len")
         if self.analyzer == "per_lang" and self.lang_col is None:
             raise ValueError("analyzer='per_lang' requires lang_col")
+        if self.merge_strategy not in ("fused", "groupby"):
+            raise ValueError(f"unknown merge_strategy {self.merge_strategy!r}")

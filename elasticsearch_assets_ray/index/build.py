@@ -3,28 +3,37 @@ to Elasticsearch, as a Ray Data pipeline.
 
 Pipeline (SURVEY.md §3.4)::
 
-    plan partitions from Parquet footers          (driver; slicer analogue)
-      → ray.data.from_items(partition manifest)   (one row per partition)
-      → map_batches(tokenize_partition)           (stateless tasks: read row
-            groups, code-aware tokenize, sha256, per-partition postings
-            partials; docmeta side-written per partition, atomically)
-      → groupby("shard_id")                       (THE wide step: partials
-            shuffle keyed by doc-range shard — the skew salt; a term's
-            group size is bounded by the shard's doc count, so `import`
-            at 60% df cannot blow up a merge task)
-      → map_groups(write_shard_segment)           (merge partials per term,
-            block-max encode, atomic segment write + checkpoint)
-      → driver: manifest + global stats (N, avgdl)
+    plan partitions+shards from Parquet footers   (driver; slicer analogue)
+      → ray.data.from_items(shard manifest)       (one row per shard)
+      → map_batches(BuildShard)                   (DEFAULT "fused" strategy:
+            read the shard's partitions in doc order, code-aware tokenize,
+            sha256, accumulate postings bounded by shard_target_docs — the
+            doc-range salt that caps even a 100%-df term like `import` —
+            batch-encode, atomic segment write + per-partition docmeta)
+      → driver: manifest + global stats (N, avgdl) from shard summaries
+
+    "groupby" strategy (the same semantics as an explicit exchange):
+      from_items(partition manifest)
+      → map_batches(TokenizePartition)            (per-partition partials)
+      → groupby("shard_id")                       (all-to-all keyed by the
+            doc-range shard — the skew salt)
+      → map_groups(WriteShardSegment)             (merge partials per term)
+
+The shard→partition routing is fixed at plan time (shards are contiguous
+partition ranges), so the fused strategy turns the exchange into a no-op:
+measured on the 400k-doc bench corpus the generic sort shuffle alone cost
+more wall time than the entire fused build.  The groupby path remains as
+the general mechanism and is tested byte-identical to the fused path.
 
 Resume: shards whose segment is already checkpointed are skipped before
-the tokenize stage (their partitions short-circuit), mirroring the
-reference's replay-and-skip resume
+the tokenize stage, mirroring the reference's replay-and-skip resume
 (``/root/reference/asset/id_reader/id_slicer.js:178-199``).
 
-Scale notes: nothing here materializes the corpus — tokenize streams
-blocks, the shuffle moves encoded partials (≈4 B/posting), segments write
-shard-partitioned (resumable, never one giant file).  Only per-shard
-summary rows (one per shard) and the manifest touch the driver.
+Scale notes: nothing here materializes the corpus — shard tasks stream
+their own partition reads, per-shard state is bounded by
+``shard_target_docs``, segments write shard-partitioned (resumable, never
+one giant file).  Only per-shard summary rows and the manifest touch the
+driver.
 """
 
 from __future__ import annotations
@@ -44,7 +53,11 @@ import ray.data as rd
 
 from ..analysis.tokenizer import analyzer_for_lang, clip_tokens, get_analyzer
 from ..config import IndexConfig
-from .codec import encode_postings, merge_encoded_parts, read_meta
+from .codec import (
+    decode_postings_many,
+    encode_postings_many,
+    read_meta,
+)
 from .manifest import (
     STATS_NAME,
     BuildManifest,
@@ -115,80 +128,110 @@ class TokenizePartition:
                 cols.append(c)
         return cols
 
+    def read_partition(self, row: dict) -> pa.Table:
+        """Projected read of one partition (row-group span + row slice)."""
+        pf = pq.ParquetFile(row["path"])
+        tbl = pf.read_row_groups(
+            list(range(row["row_group_start"], row["row_group_end"])),
+            columns=self._read_columns(),
+        )
+        if row.get("row_start", -1) >= 0:
+            tbl = tbl.slice(row["row_start"], row["row_end"] - row["row_start"])
+        return tbl
+
+    def accumulate(self, contents, langs, doc_base, analyzer_of, postings):
+        """Tokenize docs into ``postings`` (term → id/tf lists) and return
+        (dls, shas, nbytes) for the doc store."""
+        n = len(contents)
+        dls = np.zeros(n, dtype=np.int32)
+        shas: list[str] = []
+        nbytes = np.zeros(n, dtype=np.int64)
+        for i, (text, lang) in enumerate(zip(contents, langs)):
+            raw = text.encode("utf-8")
+            shas.append(hashlib.sha256(raw).hexdigest())
+            nbytes[i] = len(raw)
+            toks = clip_tokens(analyzer_of(lang)(text), self.cfg_min, self.cfg_max)
+            dls[i] = len(toks)
+            doc_id = doc_base + i
+            for t, tf in Counter(toks).items():
+                slot = postings.get(t)
+                if slot is None:
+                    slot = postings[t] = ([], [])
+                slot[0].append(doc_id)
+                slot[1].append(tf)
+        return dls, shas, nbytes
+
+    def write_docmeta(self, row: dict, tbl: pa.Table, dls, shas, nbytes) -> None:
+        """Atomic, idempotent docmeta side-write — the doc store +
+        per-partition lineage checkpoint."""
+        dm = docmeta_path(self.index_dir, row["partition_id"])
+        if dm.exists():
+            return
+        doc_base = row["doc_base"]
+        n = tbl.num_rows
+        dm.parent.mkdir(parents=True, exist_ok=True)
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {
+            "doc_id": pa.array(np.arange(doc_base, doc_base + n, dtype=np.int64))
+        }
+        if self.id_col is not None:
+            cols["orig_id"] = tbl.column(self.id_col)
+        for mc in self.meta_cols:
+            if mc != self.text_col:
+                cols[mc] = tbl.column(mc)
+        if self.lang_col is not None and self.lang_col not in cols:
+            cols[self.lang_col] = tbl.column(self.lang_col)
+        cols["dl"] = pa.array(dls)
+        cols["n_bytes"] = pa.array(nbytes)
+        cols["content_sha256"] = pa.array(shas, pa.string())
+        meta_tbl = pa.table(cols)
+        tmp = dm.with_name(dm.name + f".tmp-{os.getpid()}")
+        pq.write_table(meta_tbl, tmp)
+        os.replace(tmp, dm)
+
     def __call__(self, descs: pa.Table) -> pa.Table:
         out_shard, out_term, out_pid, out_df, out_cf, out_blob = [], [], [], [], [], []
         analyzer_of = _analyzers(self.analyzer)
         for row in descs.to_pylist():
             if row["shard_id"] in self.done_shards:
                 continue
-            pf = pq.ParquetFile(row["path"])
-            tbl = pf.read_row_groups(
-                list(range(row["row_group_start"], row["row_group_end"])),
-                columns=self._read_columns(),
-            )
-            if row.get("row_start", -1) >= 0:
-                tbl = tbl.slice(row["row_start"], row["row_end"] - row["row_start"])
+            tbl = self.read_partition(row)
             contents = tbl.column(self.text_col).to_pylist()
             if self.lang_col is not None:
                 langs = tbl.column(self.lang_col).to_pylist()
             else:
                 langs = [""] * len(contents)
             doc_base = row["doc_base"]
-            n = len(contents)
 
             postings: dict[str, tuple[list[int], list[int]]] = {}
-            dls = np.zeros(n, dtype=np.int32)
-            shas: list[str] = []
-            nbytes = np.zeros(n, dtype=np.int64)
-            for i, (text, lang) in enumerate(zip(contents, langs)):
-                raw = text.encode("utf-8")
-                shas.append(hashlib.sha256(raw).hexdigest())
-                nbytes[i] = len(raw)
-                toks = clip_tokens(analyzer_of(lang)(text), self.cfg_min, self.cfg_max)
-                dls[i] = len(toks)
-                doc_id = doc_base + i
-                for t, tf in Counter(toks).items():
-                    slot = postings.get(t)
-                    if slot is None:
-                        slot = postings[t] = ([], [])
-                    slot[0].append(doc_id)
-                    slot[1].append(tf)
+            dls, shas, nbytes = self.accumulate(
+                contents, langs, doc_base, analyzer_of, postings
+            )
+            self.write_docmeta(row, tbl, dls, shas, nbytes)
 
-            # docmeta side-write (atomic, idempotent) — the doc store +
-            # per-partition lineage checkpoint
-            dm = docmeta_path(self.index_dir, row["partition_id"])
-            if not dm.exists():
-                dm.parent.mkdir(parents=True, exist_ok=True)
-                cols: dict[str, pa.Array | pa.ChunkedArray] = {
-                    "doc_id": pa.array(
-                        np.arange(doc_base, doc_base + n, dtype=np.int64)
-                    )
-                }
-                if self.id_col is not None:
-                    cols["orig_id"] = tbl.column(self.id_col)
-                for mc in self.meta_cols:
-                    if mc != self.text_col:
-                        cols[mc] = tbl.column(mc)
-                if self.lang_col is not None and self.lang_col not in cols:
-                    cols[self.lang_col] = tbl.column(self.lang_col)
-                cols["dl"] = pa.array(dls)
-                cols["n_bytes"] = pa.array(nbytes)
-                cols["content_sha256"] = pa.array(shas, pa.string())
-                meta_tbl = pa.table(cols)
-                tmp = dm.with_name(dm.name + f".tmp-{os.getpid()}")
-                pq.write_table(meta_tbl, tmp)
-                os.replace(tmp, dm)
-
-            for t in sorted(postings):
+            # one vectorized encode across all of this partition's terms
+            terms = sorted(postings)
+            flat_ids: list[int] = []
+            flat_tfs: list[int] = []
+            offs = np.zeros(len(terms) + 1, dtype=np.int64)
+            for ti, t in enumerate(terms):
                 ids, tfs = postings[t]
-                ids_a = np.asarray(ids, dtype=np.uint64)
-                tfs_a = np.asarray(tfs, dtype=np.uint64)
-                out_shard.append(row["shard_id"])
-                out_term.append(t)
-                out_pid.append(row["partition_id"])
-                out_df.append(len(ids_a))
-                out_cf.append(int(tfs_a.sum()))
-                out_blob.append(encode_postings(ids_a, tfs_a, self.block_size))
+                flat_ids.extend(ids)
+                flat_tfs.extend(tfs)
+                offs[ti + 1] = len(flat_ids)
+            ids_a = np.asarray(flat_ids, dtype=np.uint64)
+            tfs_a = np.asarray(flat_tfs, dtype=np.uint64)
+            blobs = encode_postings_many(ids_a, tfs_a, offs, self.block_size)
+            cfs = (
+                np.add.reduceat(tfs_a.astype(np.int64), offs[:-1])
+                if len(terms)
+                else np.empty(0, dtype=np.int64)
+            )
+            out_shard.extend([row["shard_id"]] * len(terms))
+            out_term.extend(terms)
+            out_pid.extend([row["partition_id"]] * len(terms))
+            out_df.extend(np.diff(offs).tolist())
+            out_cf.extend(cfs.tolist())
+            out_blob.extend(blobs)
 
         return pa.table(
             {
@@ -203,6 +246,20 @@ class TokenizePartition:
         )
 
 
+def write_segment_atomic(index_dir: str | Path, shard_id: int, seg: pa.Table) -> None:
+    """Atomic (tmp + rename) segment write; concurrent-retry safe."""
+    final = segment_dir(index_dir, shard_id)
+    tmp = final.with_name(final.name + f".tmp-{os.getpid()}")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    pq.write_table(seg, tmp / "segment.parquet", row_group_size=16_384)
+    if final.exists():
+        shutil.rmtree(tmp)  # lost the race to a concurrent retry — fine
+    else:
+        os.replace(tmp, final)
+
+
 class WriteShardSegment:
     """Per-shard merge + atomic segment write (``map_groups`` over the
     shard-keyed shuffle).  Returns one summary row per shard."""
@@ -215,38 +272,51 @@ class WriteShardSegment:
         if group.num_rows == 0:
             return pa.table({"shard_id": pa.array([], pa.int32()),
                              "num_terms": pa.array([], pa.int64()),
-                             "num_postings": pa.array([], pa.int64())})
+                             "num_postings": pa.array([], pa.int64()),
+                             "total_tokens": pa.array([], pa.int64())})
         shard_id = int(group.column("shard_id")[0].as_py())
         group = group.sort_by([("term", "ascending"), ("partition_id", "ascending")])
         terms = group.column("term").to_pylist()
         blobs = group.column("blob").to_pylist()
-        dfs = group.column("df").to_numpy()
-        cfs = group.column("cf").to_numpy()
 
-        out_terms: list[str] = []
-        out_df: list[int] = []
-        out_cf: list[int] = []
-        out_maxtf: list[int] = []
-        out_blob: list[bytes] = []
-        i = 0
+        # batch decode every part, then batch re-encode per distinct term:
+        # all heavy work is O(1) numpy kernels over the shard's flat streams
+        doc_flat, tf_flat, part_offs = decode_postings_many(blobs)
         n = len(terms)
-        n_postings = 0
-        while i < n:
-            j = i
-            while j < n and terms[j] == terms[i]:
-                j += 1
-            if j - i == 1:
-                merged = blobs[i]
-            else:
-                merged = merge_encoded_parts(blobs[i:j], self.block_size)
-            meta = read_meta(merged)
-            out_terms.append(terms[i])
-            out_df.append(int(dfs[i:j].sum()))
-            out_cf.append(int(cfs[i:j].sum()))
-            out_maxtf.append(int(meta.block_max_tf.max()) if meta.n_blocks else 0)
-            out_blob.append(merged)
-            n_postings += meta.n_docs
-            i = j
+        is_first = np.ones(n, dtype=bool)
+        is_first[1:] = np.array(terms[1:]) != np.array(terms[:-1])
+        group_rows = np.nonzero(is_first)[0]
+        term_offs = np.concatenate([part_offs[group_rows], part_offs[-1:]])
+        out_terms = [terms[i] for i in group_rows.tolist()]
+
+        # partition order makes each merged list ascending; verify, and fix
+        # the (never-expected) violation by a stable per-term sort
+        interior = np.ones(len(doc_flat), dtype=bool)
+        interior[term_offs[:-1]] = False
+        if len(doc_flat) > 1:
+            viol = interior & np.concatenate([[False], doc_flat[1:] <= doc_flat[:-1]])
+            if viol.any():
+                for g in np.unique(np.searchsorted(term_offs, np.nonzero(viol)[0], "right") - 1):
+                    lo, hi = int(term_offs[g]), int(term_offs[g + 1])
+                    order = np.argsort(doc_flat[lo:hi], kind="stable")
+                    doc_flat[lo:hi] = doc_flat[lo:hi][order]
+                    tf_flat[lo:hi] = tf_flat[lo:hi][order]
+                if not np.all(doc_flat[1:][interior[1:]] > doc_flat[:-1][interior[1:]]):
+                    raise ValueError("duplicate doc_ids across posting parts")
+
+        merged = encode_postings_many(doc_flat, tf_flat, term_offs, self.block_size)
+        out_df = np.diff(term_offs)
+        out_cf = (
+            np.add.reduceat(tf_flat.astype(np.int64), term_offs[:-1])
+            if len(out_terms)
+            else np.empty(0, dtype=np.int64)
+        )
+        out_maxtf = (
+            np.maximum.reduceat(tf_flat.astype(np.int64), term_offs[:-1])
+            if len(out_terms)
+            else np.empty(0, dtype=np.int64)
+        )
+        n_postings = int(part_offs[-1])
 
         seg = pa.table(
             {
@@ -254,25 +324,111 @@ class WriteShardSegment:
                 "df": pa.array(out_df, pa.int64()),
                 "cf": pa.array(out_cf, pa.int64()),
                 "max_tf": pa.array(out_maxtf, pa.int64()),
-                "postings": pa.array(out_blob, pa.large_binary()),
+                "postings": pa.array(merged, pa.large_binary()),
             },
             schema=SEGMENT_SCHEMA,
         )
-        final = segment_dir(self.index_dir, shard_id)
-        tmp = final.with_name(final.name + f".tmp-{os.getpid()}")
-        if tmp.exists():
-            shutil.rmtree(tmp)
-        tmp.mkdir(parents=True)
-        pq.write_table(seg, tmp / "segment.parquet", row_group_size=16_384)
-        if final.exists():
-            shutil.rmtree(tmp)  # lost the race to a concurrent retry — fine
-        else:
-            os.replace(tmp, final)
+        write_segment_atomic(self.index_dir, shard_id, seg)
         return pa.table(
             {
                 "shard_id": pa.array([shard_id], pa.int32()),
                 "num_terms": pa.array([len(out_terms)], pa.int64()),
                 "num_postings": pa.array([n_postings], pa.int64()),
+                "total_tokens": pa.array([int(out_cf.sum())], pa.int64()),
+            }
+        )
+
+
+class BuildShard:
+    """Fused tokenize+merge: one task builds one complete shard segment.
+
+    A shard is a *contiguous* partition range fixed at plan time, so the
+    partials→shard exchange the groupby strategy performs is a planned,
+    deterministic routing — executing it as a generic sort shuffle moves
+    every posting byte through an all-to-all for nothing.  This stage
+    reads the shard's partitions in order, accumulates postings in one
+    dict (bounded by ``shard_target_docs`` — the doc-range salt that caps
+    even a 100%-df term), then batch-encodes and atomically writes the
+    segment.  Zero shuffle; scales as #shards, which grows linearly with
+    the corpus.  (The ``groupby`` strategy remains for exchanges Ray must
+    schedule, and as the semantic spec of this fused form.)
+    """
+
+    def __init__(self, index_dir: str, config: IndexConfig, parts_ref):
+        self.index_dir = index_dir
+        self.config = config
+        self.parts_ref = parts_ref  # ray.put({shard_id: [partition dict]})
+        self._parts = None
+        self.tokenizer = TokenizePartition(index_dir, config, frozenset())
+
+    def _shard_parts(self) -> dict[int, list[dict]]:
+        if self._parts is None:
+            import ray
+
+            self._parts = ray.get(self.parts_ref)
+        return self._parts
+
+    def __call__(self, descs: pa.Table) -> pa.Table:
+        out_rows = []
+        cfg = self.config
+        analyzer_of = _analyzers(cfg.analyzer)
+        for shard_id in descs.column("shard_id").to_pylist():
+            postings: dict[str, tuple[list[int], list[int]]] = {}
+            n_docs = 0
+            for prow in self._shard_parts()[shard_id]:
+                tbl = self.tokenizer.read_partition(prow)
+                contents = tbl.column(cfg.text_col).to_pylist()
+                langs = (
+                    tbl.column(cfg.lang_col).to_pylist()
+                    if cfg.lang_col is not None
+                    else [""] * len(contents)
+                )
+                dls, shas, nbytes = self.tokenizer.accumulate(
+                    contents, langs, prow["doc_base"], analyzer_of, postings
+                )
+                self.tokenizer.write_docmeta(prow, tbl, dls, shas, nbytes)
+                n_docs += len(contents)
+
+            terms = sorted(postings)
+            flat_ids: list[int] = []
+            flat_tfs: list[int] = []
+            offs = np.zeros(len(terms) + 1, dtype=np.int64)
+            for ti, t in enumerate(terms):
+                ids, tfs = postings[t]
+                flat_ids.extend(ids)
+                flat_tfs.extend(tfs)
+                offs[ti + 1] = len(flat_ids)
+            ids_a = np.asarray(flat_ids, dtype=np.uint64)
+            tfs_a = np.asarray(flat_tfs, dtype=np.uint64)
+            blobs = encode_postings_many(ids_a, tfs_a, offs, cfg.block_size)
+            maxtf = (
+                np.maximum.reduceat(tfs_a.astype(np.int64), offs[:-1])
+                if terms
+                else np.empty(0, dtype=np.int64)
+            )
+            cfs = (
+                np.add.reduceat(tfs_a.astype(np.int64), offs[:-1])
+                if terms
+                else np.empty(0, dtype=np.int64)
+            )
+            seg = pa.table(
+                {
+                    "term": pa.array(terms, pa.string()),
+                    "df": pa.array(np.diff(offs), pa.int64()),
+                    "cf": pa.array(cfs, pa.int64()),
+                    "max_tf": pa.array(maxtf, pa.int64()),
+                    "postings": pa.array(blobs, pa.large_binary()),
+                },
+                schema=SEGMENT_SCHEMA,
+            )
+            write_segment_atomic(self.index_dir, shard_id, seg)
+            out_rows.append((shard_id, len(terms), int(offs[-1]), int(cfs.sum())))
+        return pa.table(
+            {
+                "shard_id": pa.array([r[0] for r in out_rows], pa.int32()),
+                "num_terms": pa.array([r[1] for r in out_rows], pa.int64()),
+                "num_postings": pa.array([r[2] for r in out_rows], pa.int64()),
+                "total_tokens": pa.array([r[3] for r in out_rows], pa.int64()),
             }
         )
 
@@ -356,26 +512,46 @@ def build_index(
     ]
 
     if pending_parts:
-        partials = rd.from_items(pending_parts).map_batches(
-            TokenizePartition(str(index_dir), config, done),
-            batch_format="pyarrow",
-            batch_size=1,
-        )
-        writer = WriteShardSegment(str(index_dir), config.block_size)
+        if config.merge_strategy == "fused":
+            import ray as _ray
 
-        def write_shard_segment(group: pa.Table) -> pa.Table:
-            return writer(group)
+            by_shard: dict[int, list[dict]] = {}
+            for p in pending_parts:
+                by_shard.setdefault(p["shard_id"], []).append(p)
+            for v in by_shard.values():
+                v.sort(key=lambda r: r["partition_id"])
+            parts_ref = _ray.put(by_shard)  # broadcast once, read per task
+            summaries = (
+                rd.from_items([{"shard_id": s} for s in sorted(by_shard)])
+                .map_batches(
+                    BuildShard(str(index_dir), config, parts_ref),
+                    batch_format="pyarrow",
+                    batch_size=1,
+                )
+                .take_all()  # one tiny row per shard
+            )
+        else:
+            partials = rd.from_items(pending_parts).map_batches(
+                TokenizePartition(str(index_dir), config, done),
+                batch_format="pyarrow",
+                batch_size=1,
+            )
+            writer = WriteShardSegment(str(index_dir), config.block_size)
 
-        summaries = (
-            partials.groupby("shard_id")
-            .map_groups(write_shard_segment, batch_format="pyarrow")
-            .take_all()  # one tiny row per shard
-        )
+            def write_shard_segment(group: pa.Table) -> pa.Table:
+                return writer(group)
+
+            summaries = (
+                partials.groupby("shard_id")
+                .map_groups(write_shard_segment, batch_format="pyarrow")
+                .take_all()  # one tiny row per shard
+            )
         for row in summaries:
             s = manifest.shards[int(row["shard_id"])]
             s.status = "done"
             s.num_terms = int(row["num_terms"])
             s.num_postings = int(row["num_postings"])
+            s.total_tokens = int(row["total_tokens"])
             s.segment_path = str(segment_dir(index_dir, s.shard_id))
         manifest.save(index_dir)
 
@@ -383,13 +559,13 @@ def build_index(
     if missing:
         raise RuntimeError(f"build incomplete: shards {[s.shard_id for s in missing]}")
 
-    # global stats (N, avgdl) — distributed column scan of docmeta;
-    # skipped entirely on a no-op resume (checkpointed in stats.json)
+    # global stats (N, avgdl) — summed from the per-shard summaries the
+    # build already returned (zero extra scans; checkpointed in the
+    # manifest so resume needs no recompute)
     stats_path = index_dir / STATS_NAME
     if not pending_parts and stats_path.exists():
         return IndexInfo(index_dir)
-    dm = rd.read_parquet(str(index_dir / "docmeta"), columns=["dl"])
-    total_tokens = int(dm.sum("dl") or 0)
+    total_tokens = sum(s.total_tokens for s in manifest.shards.values())
     stats = IndexStats(
         num_docs=manifest.total_docs,
         total_tokens=total_tokens,

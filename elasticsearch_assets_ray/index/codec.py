@@ -109,6 +109,127 @@ class PostingsMeta:
     _tf_stream: np.ndarray  # u8
 
 
+def encode_postings_many(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    offsets: np.ndarray,
+    block_size: int = 128,
+) -> list[bytes]:
+    """Encode T posting lists in one vectorized pass → T blobs.
+
+    ``doc_ids``/``tfs`` are the concatenation of all lists; ``offsets``
+    (int64, len T+1) delimits them.  Produces bytes identical to calling
+    :func:`encode_postings` per list, but with O(1) numpy kernel launches
+    instead of O(T) — the tokenize stage calls this once per partition
+    (thousands of terms), where per-term encoding was the CPU hot spot
+    under multi-worker memory contention.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    T = len(offsets) - 1
+    n = len(doc_ids)
+    if n != len(tfs):
+        raise ValueError("doc_ids and tfs length mismatch")
+    if T == 0:
+        return []
+    starts = offsets[:-1]
+    n_t = np.diff(offsets)
+    if (n_t <= 0).any():
+        raise ValueError("empty posting lists not supported in batch encode")
+
+    # per-list gap encoding, computed flat: interior deltas are plain diffs,
+    # each list's first delta is its first doc_id + 1 (relative to -1)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    deltas[starts] = doc_ids[starts] + np.uint64(1)
+
+    tf0 = tfs - np.uint64(1)
+    did_lens = varint_lengths(deltas)
+    tf_lens = varint_lengths(tf0)
+    did_stream = encode_varint(deltas, did_lens).tobytes()
+    tf_stream = encode_varint(tf0, tf_lens).tobytes()
+    did_cum = np.concatenate([[0], np.cumsum(did_lens)])
+    tf_cum = np.concatenate([[0], np.cumsum(tf_lens)])
+
+    # global block table: every list's blocks, in list order
+    nb_t = (n_t + block_size - 1) // block_size
+    total_blocks = int(nb_t.sum())
+    term_of_block = np.repeat(np.arange(T), nb_t)
+    nb_cum = np.concatenate([[0], np.cumsum(nb_t)])
+    block_ord = np.arange(total_blocks) - nb_cum[term_of_block]
+    block_starts = starts[term_of_block] + block_ord * block_size
+    block_ends = np.minimum(block_starts + block_size, offsets[term_of_block + 1])
+    block_last = doc_ids[block_ends - 1].astype("<u8")
+    block_max = np.maximum.reduceat(tfs, block_starts).astype("<u4")
+    block_doc_off = (block_starts - starts[term_of_block]).astype("<u4")
+    block_did_off = (did_cum[block_starts] - did_cum[starts[term_of_block]]).astype("<u4")
+    block_tf_off = (tf_cum[block_starts] - tf_cum[starts[term_of_block]]).astype("<u4")
+
+    headers = np.zeros(T, dtype=_HEADER_DTYPE)
+    headers["magic"] = _MAGIC
+    headers["n_docs"] = n_t
+    headers["n_blocks"] = nb_t
+    headers["block_size"] = block_size
+    did_t_lo = did_cum[starts]
+    did_t_hi = did_cum[offsets[1:]]
+    tf_t_lo = tf_cum[starts]
+    tf_t_hi = tf_cum[offsets[1:]]
+    headers["docid_bytes"] = did_t_hi - did_t_lo
+    headers["tf_bytes"] = tf_t_hi - tf_t_lo
+
+    bl_b = block_last.tobytes()
+    bm_b = block_max.tobytes()
+    bdo_b = block_doc_off.tobytes()
+    bdi_b = block_did_off.tobytes()
+    btf_b = block_tf_off.tobytes()
+    out: list[bytes] = []
+    for t in range(T):
+        b_lo, b_hi = int(nb_cum[t]), int(nb_cum[t + 1])
+        out.append(
+            headers[t].tobytes()
+            + bl_b[b_lo * 8 : b_hi * 8]
+            + bm_b[b_lo * 4 : b_hi * 4]
+            + bdo_b[b_lo * 4 : b_hi * 4]
+            + bdi_b[b_lo * 4 : b_hi * 4]
+            + btf_b[b_lo * 4 : b_hi * 4]
+            + did_stream[int(did_t_lo[t]) : int(did_t_hi[t])]
+            + tf_stream[int(tf_t_lo[t]) : int(tf_t_hi[t])]
+        )
+    return out
+
+
+def decode_postings_many(
+    blobs: list[bytes],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode many blobs in one vectorized pass →
+    (doc_ids flat u64, tfs flat u64, offsets int64[len(blobs)+1]).
+
+    Headers parse per blob (cheap); the payload varint streams decode as
+    ONE concatenated buffer with a segmented cumsum — no per-blob kernels.
+    """
+    metas = [read_meta(b) for b in blobs]
+    counts = np.array([m.n_docs for m in metas], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    if offsets[-1] == 0:
+        return (
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.uint64),
+            offsets,
+        )
+    did_cat = np.concatenate([m._docid_stream for m in metas if m.n_docs])
+    tf_cat = np.concatenate([m._tf_stream for m in metas if m.n_docs])
+    deltas = decode_varint(did_cat)
+    tfs = decode_varint(tf_cat) + np.uint64(1)
+    c = np.cumsum(deltas, dtype=np.uint64)
+    starts = offsets[:-1][counts > 0]
+    base = np.zeros(len(starts), dtype=np.uint64)
+    base[1:] = c[starts[1:] - 1]
+    seg_counts = counts[counts > 0]
+    doc_ids = c - np.repeat(base, seg_counts) - np.uint64(1)
+    return doc_ids, tfs, offsets
+
+
 def encode_postings(
     doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = 128
 ) -> bytes:

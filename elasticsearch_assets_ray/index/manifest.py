@@ -64,6 +64,7 @@ class ShardState:
     status: str = "pending"  # pending | done
     num_terms: int = 0
     num_postings: int = 0
+    total_tokens: int = 0
     segment_path: str = ""
 
 
