@@ -14,7 +14,10 @@ def to_arrow(ds) -> pa.Table:
     Zero-copy from the object store (``to_arrow_refs``); only for results
     that are driver-sized by construction — never the raw corpus.
     """
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    tables = list(ray.get(ds.to_arrow_refs()))
     if not tables:
-        return pa.Table.from_batches([], schema=ds.schema().base_schema)
-    return pa.concat_tables(tables).combine_chunks()
+        return pa.table({})
+    non_empty = [t for t in tables if t.num_rows > 0]
+    if not non_empty:
+        return tables[0]
+    return pa.concat_tables(non_empty).combine_chunks()

@@ -135,6 +135,23 @@ class _ShingleRows:
         )
 
 
+_PAIR_FIELDS = {
+    "doc_a": pa.int64(),
+    "doc_b": pa.int64(),
+    "common": pa.int64(),
+    "jacc": pa.float64(),
+    "hamming": pa.int64(),
+}
+
+
+def _canonical_pairs(out: pa.Table, cols: list[str]) -> pa.Table:
+    """An all-filtered pipeline yields empty blocks carrying upstream
+    schema; normalize to the declared output schema."""
+    if out.num_rows == 0 and out.column_names != cols:
+        return pa.table({c: pa.array([], _PAIR_FIELDS[c]) for c in cols})
+    return out
+
+
 def _pair_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (a.astype(np.int64) << np.int64(32)) | b.astype(np.int64)
 
@@ -199,6 +216,7 @@ def jaccard_pairs(
         )
 
     out = to_arrow(pair_counts.map_batches(finish, batch_format="pyarrow"))
+    out = _canonical_pairs(out, ["doc_a", "doc_b", "common", "jacc"])
     return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
@@ -318,6 +336,7 @@ def minhash_lsh_pairs(
         )
 
     out = to_arrow(candidates.map_batches(verify, batch_format="pyarrow"))
+    out = _canonical_pairs(out, ["doc_a", "doc_b", "jacc"])
     return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
@@ -401,13 +420,15 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby("pair")
         .min("hamming")
     )
-    a = pc.shift_right(pairs.column("pair"), 32)
-    b = pc.bit_wise_and(pairs.column("pair"), 0xFFFFFFFF)
+    if pairs.num_rows == 0 or "pair" not in pairs.column_names:
+        return _canonical_pairs(pa.table({}), ["doc_a", "doc_b", "hamming"])
+    a = pc.cast(pc.shift_right(pairs.column("pair"), 32), pa.int64())
+    b = pc.cast(pc.bit_wise_and(pairs.column("pair"), 0xFFFFFFFF), pa.int64())
     out = pa.table(
         {
             "doc_a": a,
             "doc_b": b,
-            "hamming": pairs.column("min(hamming)"),
+            "hamming": pc.cast(pairs.column("min(hamming)"), pa.int64()),
         }
     )
     return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])

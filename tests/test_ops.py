@@ -1,0 +1,267 @@
+"""Unit tests for the training-data ops (dedup, similarity, text stats),
+routing/index-selection operators and the doc-store state storage."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from elasticsearch_assets_ray.ops import to_arrow
+from elasticsearch_assets_ray.ops import dedup as dd
+from elasticsearch_assets_ray.ops import similarity as sim
+from elasticsearch_assets_ray.ops import textstats as ts
+from elasticsearch_assets_ray.ops.routing import (
+    IndexSelector,
+    IndexSelectorConfig,
+    parse_connection_map,
+    route_batch,
+    timeseries_index_name,
+)
+
+
+def _docs_ds(texts):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_exact_dedup_groups_and_survivors():
+    ds = _docs_ds(["alpha beta", "gamma", "alpha beta", "alpha beta", "delta"])
+    groups = to_arrow(dd.exact_dedup_groups(ds)).to_pylist()
+    by_keep = {g["keep_id"]: g["dup_count"] for g in groups}
+    assert by_keep == {0: 3, 1: 1, 4: 1}
+    survivors = to_arrow(dd.exact_dedup(ds))
+    assert sorted(survivors.column("doc_id").to_pylist()) == [0, 1, 4]
+
+
+def test_jaccard_pairs_exact_values():
+    # doc0/doc1 share exactly 3 of their shingles; doc2 is disjoint
+    a = "x1 x2 x3 x4 x5 x6"          # shingles: 4
+    b = "x1 x2 x3 x4 x5 zz"          # shingles: 4; shared with a: 3
+    c = "q1 q2 q3 q4 q5 q6"
+    out = dd.jaccard_pairs(_docs_ds([a, b, c]), threshold=0.1).to_pylist()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["doc_a"], row["doc_b"], row["common"]) == (0, 1, 3)
+    assert row["jacc"] == 3 / (4 + 4 - 3)
+
+
+def test_jaccard_shingle_df_cap_drops_hot_shingles():
+    texts = ["same same same same"] * 5
+    exact = dd.jaccard_pairs(_docs_ds(texts), threshold=0.5)
+    assert exact.num_rows == 10  # all pairs, jacc 1.0
+    capped = dd.jaccard_pairs(_docs_ds(texts), threshold=0.5, max_shingle_df=2)
+    assert capped.num_rows == 0  # hot shingle dropped, disclosed via arg
+
+
+def test_minhash_finds_near_dups():
+    near_a = " ".join(f"w{i}" for i in range(50))
+    near_b = " ".join(f"w{i}" for i in range(48)) + " zz yy"
+    other = " ".join(f"v{i}" for i in range(50))
+    out = dd.minhash_lsh_pairs(_docs_ds([near_a, near_b, other]), threshold=0.4)
+    rows = out.to_pylist()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(0, 1)]
+    # verified jaccard is exact, matching the direct computation
+    ha = dd.doc_shingle_hashes(near_a)
+    hb = dd.doc_shingle_hashes(near_b)
+    common = len(np.intersect1d(ha, hb))
+    assert rows[0]["jacc"] == common / (len(ha) + len(hb) - common)
+
+
+def test_simhash_identical_and_banded_near():
+    t = "foo bar baz qux quux corge grault"
+    out = dd.simhash_pairs(_docs_ds([t, t, "unrelated words entirely distinct"]),
+                           max_hamming=3)
+    rows = out.to_pylist()
+    assert {(r["doc_a"], r["doc_b"], r["hamming"]) for r in rows} == {(0, 1, 0)}
+
+
+# -------------------------------------------------------------- similarity
+
+
+def _emb_ds(mat):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(mat)), pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in mat],
+                                      pa.list_(pa.float32())),
+            }
+        )
+    )
+
+
+def test_knn_cosine_matches_numpy():
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((80, 16)).astype(np.float32)
+    ds = _emb_ds(mat)
+    out = sim.knn_cosine(ds, mat[:3].astype(np.float64), [0, 1, 2], k=5)
+    m64 = mat.astype(np.float64)
+    norm = m64 / np.linalg.norm(m64, axis=1)[:, None]
+    for qid in range(3):
+        sims = norm @ norm[qid]
+        want = np.lexsort((np.arange(80), -np.round(sims, 4)))[:5]
+        got = out.filter(
+            pa.compute.equal(out.column("query_id"), qid)
+        ).column("vec_id").to_pylist()
+        assert got == want.tolist()
+        assert out.filter(
+            pa.compute.equal(out.column("query_id"), qid)
+        ).column("rank").to_pylist() == [1, 2, 3, 4, 5]
+
+
+def test_knn_lsh_self_hit_and_subset():
+    rng = np.random.default_rng(6)
+    mat = rng.standard_normal((60, 16)).astype(np.float32)
+    ds = _emb_ds(mat)
+    out = sim.knn_cosine_lsh(ds, mat[:2].astype(np.float64), [0, 1], k=5)
+    for qid in (0, 1):
+        got = out.filter(pa.compute.equal(out.column("query_id"), qid))
+        ids = got.column("vec_id").to_pylist()
+        assert ids[0] == qid  # the vector itself is always in its own bucket
+        assert got.column("sim_r").to_pylist()[0] == 1.0
+
+
+# --------------------------------------------------------------- textstats
+
+
+def test_text_stats_values():
+    out = to_arrow(
+        _docs_ds(["The cat and the hat 42", ""]).map_batches(
+            ts.TextStats(), batch_format="pyarrow"
+        )
+    ).to_pylist()
+    r = out[0]
+    assert r["token_count"] == 6
+    assert out[1]["token_count"] == 0 and out[1]["distinct_tokens"] == 0
+    assert out[1]["quality"] == 0.3 + 0.5 * (0 / 100)  # empty doc floor
+
+
+def test_text_stats_distinct_and_quality():
+    out = to_arrow(
+        _docs_ds(["The cat and the hat 42"]).map_batches(
+            ts.TextStats(), batch_format="pyarrow"
+        )
+    ).to_pylist()[0]
+    assert out["distinct_tokens"] == 5
+    assert out["stopword_count"] == 3  # the, and, the
+    assert out["digit_tokens"] == 1
+    expect_q = 0.5 * min(6 / 100, 1.0) + 0.3 * (1 - 1 / 6) + 0.2 * min(3 * 3 / 6, 1.0)
+    assert abs(out["quality"] - expect_q) < 1e-12
+
+
+def test_lang_id():
+    lid = ts.LangID()
+    assert lid.predict("the cat is on the mat and it is happy") == "en"
+    assert lid.predict("der hund ist nicht zu haus und die katze") == "de"
+    assert lid.predict("le chat est dans la maison avec les souris") == "fr"
+    assert lid.predict("el perro es un animal y la casa es grande") == "es"
+    assert lid.predict("这是一个中文句子") == "zh"
+
+
+# ----------------------------------------------------------------- routing
+
+
+def test_timeseries_index_names():
+    ts_arr = pa.array(
+        [
+            np.datetime64("2015-08-20T14:33:09.356", "us"),
+            np.datetime64("2015-08-21T00:00:00", "us"),
+        ],
+        pa.timestamp("us"),
+    )
+    assert timeseries_index_name(ts_arr, "events", "daily").to_pylist() == [
+        "events-2015.08.20", "events-2015.08.21",
+    ]
+    assert timeseries_index_name(ts_arr, "events", "monthly").to_pylist() == [
+        "events-2015.08", "events-2015.08",
+    ]
+    assert timeseries_index_name(ts_arr, "events", "yearly").to_pylist() == [
+        "events-2015", "events-2015",
+    ]
+    # weekly = floor(epoch_ms / 604800000)  (index_selector/index.js:7-9)
+    ms = 1440081189356
+    assert timeseries_index_name(ts_arr, "events", "weekly").to_pylist()[0] == (
+        f"events-{ms // 604800000}"
+    )
+
+
+def test_index_selector_columns_and_validation():
+    cfg = IndexSelectorConfig(index="logs", action="index",
+                              date_field="ts", timeseries="daily", id_field="uid")
+    batch = pa.table(
+        {
+            "uid": pa.array([7, 8], pa.int64()),
+            "ts": pa.array([np.datetime64("2020-01-02T03:04:05", "us")] * 2, pa.timestamp("us")),
+        }
+    )
+    out = IndexSelector(cfg)(batch)
+    assert out.column("target_index").to_pylist() == ["logs-2020.01.02"] * 2
+    assert out.column("action").to_pylist() == ["index", "index"]
+    assert out.column("_id").to_pylist() == ["7", "8"]
+    with pytest.raises(ValueError):
+        IndexSelectorConfig(index="x", timeseries="daily")  # needs date_field
+    with pytest.raises(ValueError):
+        IndexSelectorConfig(index="x", action="nope")
+    with pytest.raises(ValueError):
+        IndexSelectorConfig(index="x", update_fields=("a",))  # needs update action
+
+
+def test_connection_map_and_multisend_routing():
+    cm = parse_connection_map({"a,b": "es1", "c": "es2", "*": "fallback"})
+    assert cm == {"a": "es1", "b": "es1", "c": "es2", "*": "fallback"}
+    with pytest.raises(ValueError):
+        parse_connection_map({"a": "x", "a,b": "y"})
+    batch = pa.table(
+        {
+            "_id": pa.array(["a1", "b2", "c3", "z9"], pa.string()),
+            "target_index": pa.array(["logs"] * 4, pa.string()),
+        }
+    )
+    out = route_batch(batch, {"a,b": "es1", "c": "es2", "*": "fb"}, index_append=True)
+    assert out.column("connection").to_pylist() == ["es1", "es1", "es2", "fb"]
+    assert out.column("target_index").to_pylist() == [
+        "logs-a", "logs-b", "logs-c", "logs-z",
+    ]
+    with pytest.raises(KeyError):
+        route_batch(batch, {"a,b,c": "es1"})  # 'z' unmapped, no '*'
+
+
+# ---------------------------------------------------------------- docstore
+
+
+def test_docstore_mget_order_cache_and_missing(small_index):
+    from elasticsearch_assets_ray.state.docstore import DocStore
+
+    store = DocStore(small_index.index_dir, columns=["doc_id", "repo", "dl"])
+    got = store.mget([250, 3, 250, 399])
+    assert got.column("doc_id").to_pylist() == [250, 3, 250, 399]
+    assert store.count() > 0  # partitions cached
+    h0 = store.hits
+    store.mget([3])
+    assert store.hits > h0  # LRU hit, no re-read
+    other = DocStore(small_index.index_dir)
+    assert other.count() == 0  # instances independent (reference api-spec)
+    with pytest.raises(KeyError):
+        store.mget([10_000_000])
+
+
+def test_hydrate_dataset(small_index):
+    from elasticsearch_assets_ray.state.docstore import hydrate_dataset
+
+    res = rd.from_arrow(
+        pa.table({"doc_id": pa.array([5, 100, 399], pa.int64()),
+                  "score": pa.array([3.0, 2.0, 1.0])})
+    )
+    out = to_arrow(hydrate_dataset(res, small_index.index_dir, ["repo", "lang"], concurrency=1))
+    assert set(out.column_names) >= {"doc_id", "score", "repo", "lang"}
+    assert out.num_rows == 3
