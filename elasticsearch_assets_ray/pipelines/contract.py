@@ -436,6 +436,55 @@ FROM r GROUP BY 1, 2
 """
 
 
+EVENTS_FILTER_START = "2024-01-10T00:00:00"
+EVENTS_FILTER_END = "2024-01-20T00:00:00"
+EVENTS_FILTER_QUERY = "event_type:click AND value:>=50"
+DOCS_FILTER_QUERY = "(lang:en OR lang:de) AND NOT source:src1* AND n_chars:[100 TO 300]"
+
+
+def q_filtered_events(sf_dir: str) -> pa.Table:
+    """Reference reader surface: date range + lucene query + fields
+    projection, all pushed into the parquet scan (S1/M3/M4)."""
+    from ..sources.reader import read_filtered
+
+    return to_arrow(
+        read_filtered(
+            f"{sf_dir}/events.parquet",
+            start=EVENTS_FILTER_START,
+            end=EVENTS_FILTER_END,
+            query=EVENTS_FILTER_QUERY,
+            fields=["event_id", "event_type", "value"],
+        )
+    )
+
+
+def sql_filtered_events() -> str:
+    return f"""
+SELECT event_id, event_type, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+  AND event_type = 'click' AND value >= 50
+"""
+
+
+def q_filtered_docs(sf_dir: str) -> pa.Table:
+    from ..sources.query import compile_query
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        filter=compile_query(DOCS_FILTER_QUERY),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+    return to_arrow(ds)
+
+
+def sql_filtered_docs() -> str:
+    return """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE (lang = 'en' OR lang = 'de') AND NOT starts_with(source, 'src1')
+  AND n_chars BETWEEN 100 AND 300
+"""
+
+
 # --------------------------------------------------- rows-only pipelines
 
 
@@ -490,6 +539,8 @@ def queries():
         "events_daily": q_events_daily,
         "events_weekly": q_events_weekly,
         "id_route_counts": q_id_route_counts,
+        "filtered_events": q_filtered_events,
+        "filtered_docs": q_filtered_docs,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -509,6 +560,8 @@ def oracle_sql():
         "events_daily": sql_events_daily(),
         "events_weekly": sql_events_weekly(),
         "id_route_counts": sql_id_route_counts(),
+        "filtered_events": sql_filtered_events(),
+        "filtered_docs": sql_filtered_docs(),
     }
 
 
