@@ -62,6 +62,7 @@ from .manifest import (
     STATS_NAME,
     BuildManifest,
     atomic_write_text,
+    plan_append,
     plan_build,
 )
 
@@ -494,9 +495,33 @@ def build_index(
     existing = BuildManifest.load(index_dir) if resume else None
     if existing is not None and existing.plan_fingerprint() == plan.plan_fingerprint():
         manifest = existing
+    elif existing is not None:
+        appended = plan_append(
+            existing,
+            corpus,
+            config.analyzer,
+            config.partition_target_docs,
+            config.shard_target_docs,
+            config.block_size,
+            text_col=config.text_col,
+            lang_col=config.lang_col,
+            id_col=config.id_col,
+            meta_cols=tuple(config.meta_cols),
+        )
+        if appended is not None:
+            # incremental append: old shards stay checkpointed, only new
+            # files get partitions/shards (streaming micro-batch analogue)
+            manifest = appended
+            if appended is not existing:
+                manifest.save(index_dir)
+        else:
+            # incompatible plan: clear derived state, full rebuild
+            for sub in ("segments", "docmeta"):
+                shutil.rmtree(index_dir / sub, ignore_errors=True)
+            manifest = plan
+            manifest.save(index_dir)
     else:
-        if existing is not None or not resume:
-            # stale plan: clear derived state, keep nothing
+        if not resume:
             for sub in ("segments", "docmeta"):
                 shutil.rmtree(index_dir / sub, ignore_errors=True)
         manifest = plan

@@ -146,6 +146,87 @@ class BuildManifest:
         )
 
 
+def plan_append(
+    existing: BuildManifest,
+    corpus: str | Path | list[str],
+    analyzer: str,
+    partition_target_docs: int,
+    shard_target_docs: int,
+    block_size: int,
+    text_col: str = "content",
+    lang_col: str | None = "lang",
+    id_col: str | None = None,
+    meta_cols: tuple[str, ...] = ("repo", "path"),
+) -> "BuildManifest | None":
+    """Incremental append: plan ONLY files not in ``existing``.
+
+    The reference's persistent-mode micro-batching re-runs the slicer over
+    the new time window and leaves old slices untouched
+    (``slicer.js:382-395``); here a grown corpus appends new partitions
+    and shards after the existing ones — doc ids of old files never move
+    (file order = manifest order + sorted new files), old segments stay
+    checkpointed.  Returns None when append does not apply (config
+    changed, files removed) — caller falls back to a full rebuild.
+    Assumes input files are immutable once written (data-lake contract).
+    """
+    params_same = (
+        existing.analyzer == analyzer
+        and existing.partition_target_docs == partition_target_docs
+        and existing.shard_target_docs == shard_target_docs
+        and existing.block_size == block_size
+        and existing.text_col == text_col
+        and existing.lang_col == lang_col
+        and existing.id_col == id_col
+        and list(existing.meta_cols) == list(meta_cols)
+    )
+    if not params_same:
+        return None
+    all_files = list_corpus_files(corpus)
+    old = set(existing.corpus_paths)
+    if not old.issubset(all_files):
+        return None  # files removed → not an append
+    new_files = [f for f in all_files if f not in old]
+    if not new_files:
+        return existing  # nothing to do
+    sub = plan_build(
+        new_files, analyzer, partition_target_docs, shard_target_docs,
+        block_size, text_col=text_col, lang_col=lang_col, id_col=id_col,
+        meta_cols=meta_cols,
+    )
+    pid0 = (max((p.partition_id for p in existing.partitions), default=-1)) + 1
+    sid0 = (max(existing.shards, default=-1)) + 1
+    base0 = existing.total_docs
+    merged = BuildManifest(
+        corpus_paths=list(existing.corpus_paths) + new_files,
+        analyzer=analyzer,
+        partition_target_docs=partition_target_docs,
+        shard_target_docs=shard_target_docs,
+        block_size=block_size,
+        total_docs=existing.total_docs + sub.total_docs,
+        text_col=text_col,
+        lang_col=lang_col,
+        id_col=id_col,
+        meta_cols=list(meta_cols),
+    )
+    merged.partitions = list(existing.partitions) + [
+        PartitionPlan(
+            p.partition_id + pid0, p.path, p.row_group_start, p.row_group_end,
+            p.num_rows, p.doc_base + base0, p.shard_id + sid0,
+            p.row_start, p.row_end,
+        )
+        for p in sub.partitions
+    ]
+    merged.shards = dict(existing.shards)
+    for sid, s in sub.shards.items():
+        merged.shards[sid + sid0] = ShardState(
+            sid + sid0,
+            [pid + pid0 for pid in s.partition_ids],
+            s.doc_base + base0,
+            s.num_docs,
+        )
+    return merged
+
+
 def atomic_write_text(path: Path, text: str) -> None:
     tmp = path.with_name(path.name + ".tmp")
     tmp.write_text(text)

@@ -98,3 +98,46 @@ def test_empty_and_absent_queries(small_index):
     assert eng.search("zzzzqqqq", 10) == []
     assert eng.search("", 10) == []
     eng.shutdown()
+
+
+def test_incremental_append(small_corpus, tmp_path):
+    """Corpus grows → new shards append; old segments stay byte-identical;
+    queries see the new docs (streaming micro-batch analogue, §2.10)."""
+    import pathlib
+    import shutil as sh
+
+    from elasticsearch_assets_ray.corpus.synth import make_corpus_batch
+    import numpy as np
+    import pyarrow.parquet as pq2
+
+    grow = tmp_path / "grow"
+    grow.mkdir()
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        sh.copy(f, grow / f.name)
+    cfg = IndexConfig(partition_target_docs=50, shard_target_docs=100)
+    idx = tmp_path / "idx"
+    info1 = build_index(grow, idx, cfg)
+    n1 = info1.stats.num_docs
+    seg0_before = pq.read_table(info1.segment_path(0))
+    old_shards = set(info1.shard_ids())
+
+    # append a new file (row ids continue after the existing corpus)
+    extra = make_corpus_batch(np.arange(n1, n1 + 120, dtype=np.int64))
+    pq2.write_table(extra, grow / "zz-extra.parquet", row_group_size=60)
+
+    info2 = build_index(grow, idx, cfg)
+    assert info2.stats.num_docs == n1 + 120
+    assert old_shards < set(info2.shard_ids())
+    assert pq.read_table(info2.segment_path(0)).equals(seg0_before)
+    # avgdl reflects both old and new shards
+    assert info2.stats.total_tokens > info1.stats.total_tokens
+
+    eng = QueryEngine(idx, num_actors=2)
+    got = eng.search("import", k=200)
+    assert any(d >= n1 for d, _ in got)  # new docs are searchable
+    eng.shutdown()
+
+    # removing a file is NOT an append → full rebuild still works
+    (grow / "zz-extra.parquet").unlink()
+    info3 = build_index(grow, idx, cfg)
+    assert info3.stats.num_docs == n1
