@@ -105,25 +105,47 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 # ------------------------------------------------------- shingles / jaccard
 
 
-def doc_shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Sorted distinct uint64 hashes of the doc's n-gram token shingles."""
+_SHINGLE_A = np.uint64(0x9E3779B97F4A7C15)  # odd mixing constants
+_SHINGLE_A2 = _SHINGLE_A * _SHINGLE_A
+
+
+def doc_shingle_hashes(
+    text: str, n: int = 3, _cache: dict | None = None
+) -> np.ndarray:
+    """Sorted distinct uint64 hashes of the doc's n-gram token shingles.
+
+    Vectorized: per-token md5 hashes (memoized in ``_cache`` — tokens
+    repeat heavily across a corpus) combined with a degree-(n-1)
+    polynomial in odd constants over uint64 wraparound; one numpy pass
+    per document instead of one md5 per shingle."""
     toks = clipped_tokens(text)
     if len(toks) < n:
         return np.empty(0, dtype=np.uint64)
-    sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-    return np.sort(np.fromiter((_stable_hash64(s) for s in sh), dtype=np.uint64, count=len(sh)))
+    cache = _cache if _cache is not None else {}
+    th = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = cache[t] = _stable_hash64(t)
+        th[i] = h
+    acc = th[: len(toks) - n + 1].copy()
+    for j in range(1, n):
+        acc *= _SHINGLE_A
+        acc += th[j : len(toks) - n + 1 + j]
+    return np.unique(acc)
 
 
 class _ShingleRows:
     def __init__(self, text_col: str, id_col: str, n: int):
         self.text_col, self.id_col, self.n = text_col, id_col, n
+        self._cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_doc: list[int] = []
         out_sh: list[np.ndarray] = []
         ids = batch.column(self.id_col).to_pylist()
         for i, text in enumerate(batch.column(self.text_col).to_pylist()):
-            h = doc_shingle_hashes(text, self.n)
+            h = doc_shingle_hashes(text, self.n, self._cache)
             out_doc.extend([ids[i]] * len(h))
             out_sh.append(h)
         sh = np.concatenate(out_sh) if out_sh else np.empty(0, dtype=np.uint64)
@@ -156,12 +178,106 @@ def _pair_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (a.astype(np.int64) << np.int64(32)) | b.astype(np.int64)
 
 
+N_PAIR_BUCKETS = 64
+
+
+def _add_bucket(batch: pa.Table) -> pa.Table:
+    pair = batch.column("pair").to_numpy()
+    return batch.append_column(
+        "bucket", pa.array((pair % N_PAIR_BUCKETS).astype(np.int32))
+    )
+
+
+def _bucketed_pair_counts(pairs_ds, finish_fn):
+    """Aggregate duplicate pair rows WITHOUT a per-key groupby: hash rows
+    into a fixed bucket count, groupby(bucket) (tiny key cardinality, one
+    all-to-all), then a vectorized ``np.unique(return_counts)`` inside
+    each bucket group — where a per-pair sort aggregate took 8.5 s on
+    1.3M rows, this takes well under a second.  ``finish_fn(pair, count)
+    → pa.Table`` runs inside the group so only survivors leave the
+    stage."""
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pair = g.column("pair").to_numpy()
+        uniq, counts = np.unique(pair, return_counts=True)
+        return finish_fn(uniq, counts.astype(np.int64))
+
+    return (
+        pairs_ds.map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+
+
 def _emit_pairs(g: pa.Table, max_group: int | None) -> pa.Table:
     ids = np.unique(g.column("doc_id").to_numpy())
     if len(ids) < 2 or (max_group is not None and len(ids) > max_group):
         return pa.table({"pair": pa.array([], pa.int64())})
     ai, bi = np.triu_indices(len(ids), k=1)
     return pa.table({"pair": pa.array(_pair_key(ids[ai], ids[bi]), pa.int64())})
+
+
+def _bucketed_emit_pairs(rows_ds, key_col: str, max_group: int | None):
+    """Co-occurrence pair emission without a per-key groupby: bucket the
+    key space (fixed small cardinality → cheap exchange), then inside
+    each bucket sort once and walk equal-key runs vectorized.  Equivalent
+    to ``groupby(key).map_groups(_emit_pairs)`` but with 64 groups
+    instead of one per distinct shingle/band."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy()
+        return b.append_column(
+            "bucket", pa.array((k % np.uint64(N_PAIR_BUCKETS)).astype(np.int32))
+        )
+
+    def emit(g: pa.Table) -> pa.Table:
+        key = g.column(key_col).to_numpy()
+        doc = g.column("doc_id").to_numpy()
+        order = np.lexsort((doc, key))
+        key, doc = key[order], doc[order]
+        starts = np.nonzero(np.concatenate([[True], key[1:] != key[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(key)]])
+        lens = ends - starts
+        keep = lens >= 2
+        if max_group is not None:
+            keep &= lens <= max_group
+        out: list[np.ndarray] = []
+        for lo, hi in zip(starts[keep].tolist(), ends[keep].tolist()):
+            ids = doc[lo:hi]
+            ids = ids[np.concatenate([[True], ids[1:] != ids[:-1]])]
+            if len(ids) < 2:
+                continue
+            ai, bi = np.triu_indices(len(ids), k=1)
+            out.append(_pair_key(ids[ai], ids[bi]))
+        pairs = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return pa.table({"pair": pa.array(pairs, pa.int64())})
+
+    return (
+        rows_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+
+
+def _shingle_set_sizes(shingles) -> np.ndarray:
+    """|A| per doc_id as a dense array — the broadcast small side.  Each
+    doc's (distinct) shingle rows are emitted by exactly one batch, so
+    per-batch counts are exact; no groupby needed."""
+
+    def counts(b: pa.Table) -> pa.Table:
+        d, c = np.unique(b.column("doc_id").to_numpy(), return_counts=True)
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "sz": pa.array(c.astype(np.int64))})
+
+    t = to_arrow(shingles.map_batches(counts, batch_format="pyarrow"))
+    if t.num_rows == 0:
+        return np.zeros(1, dtype=np.int64)
+    d = t.column("doc_id").to_numpy()
+    out = np.zeros(int(d.max()) + 1, dtype=np.int64)
+    # a doc could straddle two blocks only if the upstream re-batches;
+    # accumulate to stay correct regardless
+    np.add.at(out, d, t.column("sz").to_numpy())
+    return out
 
 
 def jaccard_pairs(
@@ -180,28 +296,11 @@ def jaccard_pairs(
     shingles = ds.map_batches(
         _ShingleRows(text_col, id_col, n), batch_format="pyarrow"
     )
-    # |A| per doc — small side (one int per doc), broadcast to the
-    # jaccard-compute stage via ray.put, never re-shipped per batch
-    sizes = (
-        shingles.groupby("doc_id")
-        .count()
-        .to_pandas()
-    )
-    size_of = np.zeros(int(sizes["doc_id"].max()) + 1 if len(sizes) else 1, dtype=np.int64)
-    size_of[sizes["doc_id"].to_numpy()] = sizes["count()"].to_numpy()
-    sizes_ref = ray.put(size_of)
+    sizes_ref = ray.put(_shingle_set_sizes(shingles))
+    pairs = _bucketed_emit_pairs(shingles, "shingle", max_shingle_df)
 
-    pair_counts = (
-        shingles.groupby("shingle")
-        .map_groups(lambda g: _emit_pairs(g, max_shingle_df), batch_format="pyarrow")
-        .groupby("pair")
-        .count()
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
+    def finish(pair: np.ndarray, common: np.ndarray) -> pa.Table:
         sz = ray.get(sizes_ref)
-        pair = batch.column("pair").to_numpy()
-        common = batch.column("count()").to_numpy().astype(np.int64)
         a = (pair >> np.int64(32)).astype(np.int64)
         b = (pair & np.int64(0xFFFFFFFF)).astype(np.int64)
         jacc = common / (sz[a] + sz[b] - common)
@@ -215,7 +314,7 @@ def jaccard_pairs(
             }
         )
 
-    out = to_arrow(pair_counts.map_batches(finish, batch_format="pyarrow"))
+    out = to_arrow(_bucketed_pair_counts(pairs, finish))
     out = _canonical_pairs(out, ["doc_a", "doc_b", "common", "jacc"])
     return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
@@ -286,11 +385,9 @@ def minhash_lsh_pairs(
         MinHashBands(text_col, id_col, n, num_perm, bands),
         batch_format="pyarrow",
     )
-    candidates = (
-        band_rows.groupby("band_key")
-        .map_groups(lambda g: _emit_pairs(g, None), batch_format="pyarrow")
-        .groupby("pair")
-        .count()
+    raw_pairs = _bucketed_emit_pairs(band_rows, "band_key", None)
+    candidates = _bucketed_pair_counts(
+        raw_pairs, lambda pair, _c: pa.table({"pair": pa.array(pair, pa.int64())})
     )
 
     def shingle_sets(batch: pa.Table) -> pa.Table:
@@ -413,22 +510,31 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             }
         )
 
+    def min_per_pair(g: pa.Table) -> pa.Table:
+        pair = g.column("pair").to_numpy()
+        ham = g.column("hamming").to_numpy()
+        order = np.argsort(pair, kind="stable")
+        pair, ham = pair[order], ham[order]
+        starts = np.nonzero(np.concatenate([[True], pair[1:] != pair[:-1]]))[0]
+        uniq = pair[starts]
+        mins = np.minimum.reduceat(ham, starts)
+        a = (uniq >> np.int64(32)).astype(np.int64)
+        b = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "hamming": pa.array(mins.astype(np.int64), pa.int64()),
+            }
+        )
+
     pairs = to_arrow(
         sigs.map_batches(band_rows, batch_format="pyarrow")
         .groupby("band_key")
         .map_groups(emit_verified, batch_format="pyarrow")
-        .groupby("pair")
-        .min("hamming")
+        .map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(min_per_pair, batch_format="pyarrow")
     )
-    if pairs.num_rows == 0 or "pair" not in pairs.column_names:
-        return _canonical_pairs(pa.table({}), ["doc_a", "doc_b", "hamming"])
-    a = pc.cast(pc.shift_right(pairs.column("pair"), 32), pa.int64())
-    b = pc.cast(pc.bit_wise_and(pairs.column("pair"), 0xFFFFFFFF), pa.int64())
-    out = pa.table(
-        {
-            "doc_a": a,
-            "doc_b": b,
-            "hamming": pc.cast(pairs.column("min(hamming)"), pa.int64()),
-        }
-    )
-    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    pairs = _canonical_pairs(pairs, ["doc_a", "doc_b", "hamming"])
+    return pairs.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
