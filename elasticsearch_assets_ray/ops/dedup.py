@@ -105,8 +105,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 # ------------------------------------------------------- shingles / jaccard
 
 
-_SHINGLE_A = np.uint64(0x9E3779B97F4A7C15)  # odd mixing constants
-_SHINGLE_A2 = _SHINGLE_A * _SHINGLE_A
+_SHINGLE_A = np.uint64(0x9E3779B97F4A7C15)  # odd mixing constant
 
 
 def doc_shingle_hashes(

@@ -219,3 +219,68 @@ def knn_cosine_lsh(
         batch_format="pyarrow",
     ))
     return _merge_partials(partials, k)
+
+
+# ------------------------------------------------------- near-dup pairs
+
+
+class _CosinePairs:
+    """All-pairs cosine ≥ threshold against a broadcast normalized matrix.
+
+    Exact quadratic baseline (the matrix is the broadcast small side at
+    test scale); the 10^12-row path buckets by ``knn_cosine_lsh``-style
+    sign bits first and verifies candidates with the same kernel.
+    Thresholding uses round(sim, 4) so the SQL oracle is bit-identical.
+    """
+
+    def __init__(self, mat_ref, ids_ref, threshold: float, col: str, id_col: str):
+        self.mat_ref = mat_ref
+        self.ids_ref = ids_ref
+        self.threshold = threshold
+        self.col = col
+        self.id_col = id_col
+        self._mat = None
+        self._ids = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._mat is None:
+            self._mat = ray.get(self.mat_ref)
+            self._ids = ray.get(self.ids_ref)
+        e = _embedding_matrix(batch, self.col)
+        bids = batch.column(self.id_col).to_numpy()
+        norms = np.linalg.norm(e, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((e / norms[:, None]) @ self._mat.T, 4)  # (b, N)
+        bi, aj = np.nonzero(sims >= self.threshold)
+        va, vb = bids[bi], self._ids[aj]
+        keep = va < vb  # each unordered pair once, no self-pairs
+        return pa.table(
+            {
+                "vec_a": pa.array(va[keep], pa.int64()),
+                "vec_b": pa.array(vb[keep], pa.int64()),
+                "sim_r": pa.array(sims[bi, aj][keep], pa.float64()),
+            }
+        )
+
+
+def cosine_dup_pairs(
+    ds,
+    threshold: float = 0.4,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Embedding near-duplicate pairs → pa.Table(vec_a, vec_b, sim_r)."""
+    tbl = to_arrow(ds)
+    mat = _embedding_matrix(tbl, col)
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    mat = mat / n[:, None]
+    mat_ref = ray.put(mat)
+    ids_ref = ray.put(tbl.column(id_col).to_numpy())
+    out = to_arrow(
+        ds.map_batches(
+            _CosinePairs(mat_ref, ids_ref, threshold, col, id_col),
+            batch_format="pyarrow",
+        )
+    )
+    return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])

@@ -485,6 +485,85 @@ WHERE (lang = 'en' OR lang = 'de') AND NOT starts_with(source, 'src1')
 """
 
 
+COSINE_DUP_THRESHOLD = 0.4
+
+
+def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup pairs (exact quadratic baseline)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.cosine_dup_pairs(ds, threshold=COSINE_DUP_THRESHOLD)
+
+
+def sql_embedding_dup_pairs() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+         FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 4) AS sim_r
+FROM dots JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b
+WHERE round(dot / (na.nrm * nb.nrm), 4) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+def q_index_term_stats(sf_dir: str) -> pa.Table:
+    """df/cf of EVERY term, read back from the built index segments and
+    summed across shards — an end-to-end audit of index content against
+    the raw corpus in SQL."""
+    idx = ensure_doc_index(sf_dir)
+    seg = rd.read_parquet(f"{idx}/segments", columns=["term", "df", "cf"])
+    agg = to_arrow(
+        seg.groupby("term").aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+    )
+    return pa.table(
+        {
+            "term": agg.column("term"),
+            "df": pc.cast(agg.column("df"), pa.int64()),
+            "cf": pc.cast(agg.column("cf"), pa.int64()),
+        }
+    )
+
+
+def sql_index_term_stats() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+tf AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2)
+SELECT t AS term, count(*)::BIGINT AS df, sum(c)::BIGINT AS cf
+FROM tf GROUP BY t
+"""
+
+
+def sql_lang_id() -> str:
+    """SQL restatement of the LangID heuristic: CJK → zh, else the first
+    language (in sorted order de,en,es,fr) attaining the max stopword-hit
+    count; all-zero → en."""
+    from ..ops.textstats import LANG_STOPWORDS
+
+    sets = {k: ", ".join(f"'{w}'" for w in sorted(v)) for k, v in LANG_STOPWORDS.items()}
+    return rf"""
+WITH tk AS (SELECT doc_id, lang, text,
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+') AS t
+            FROM documents),
+h AS (SELECT doc_id, lang,
+             regexp_matches(text, '[\x{{3400}}-\x{{4DBF}}\x{{4E00}}-\x{{9FFF}}]') AS cjk,
+             len(list_filter(t, x -> x IN ({sets["de"]}))) AS hde,
+             len(list_filter(t, x -> x IN ({sets["en"]}))) AS hen,
+             len(list_filter(t, x -> x IN ({sets["es"]}))) AS hes,
+             len(list_filter(t, x -> x IN ({sets["fr"]}))) AS hfr
+      FROM tk)
+SELECT doc_id, lang,
+       CASE WHEN cjk THEN 'zh'
+            WHEN hde = 0 AND hen = 0 AND hes = 0 AND hfr = 0 THEN 'en'
+            WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de'
+            WHEN hen >= hes AND hen >= hfr THEN 'en'
+            WHEN hes >= hfr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM h
+"""
+
+
 # --------------------------------------------------- rows-only pipelines
 
 
@@ -541,6 +620,8 @@ def queries():
         "id_route_counts": q_id_route_counts,
         "filtered_events": q_filtered_events,
         "filtered_docs": q_filtered_docs,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "index_term_stats": q_index_term_stats,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -562,6 +643,9 @@ def oracle_sql():
         "id_route_counts": sql_id_route_counts(),
         "filtered_events": sql_filtered_events(),
         "filtered_docs": sql_filtered_docs(),
+        "embedding_dup_pairs": sql_embedding_dup_pairs(),
+        "index_term_stats": sql_index_term_stats(),
+        "lang_id": sql_lang_id(),
     }
 
 

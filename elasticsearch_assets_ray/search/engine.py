@@ -218,28 +218,46 @@ def merge_topk(
     return ids[order], sc[order]
 
 
-class _ScorerCore:
-    """Shared scoring core: loads shard subsets, answers df + top-k."""
+WAND_AUTO_MIN_DOCS = 50_000  # auto: skip-capable traversal pays off past this
 
-    def __init__(self, index_dir: str, shard_ids: list[int], params: BM25Params):
+
+class _ScorerCore:
+    """Shared scoring core: loads shard subsets, answers df + top-k.
+
+    ``method``: ``"dense"`` always scores the full shard range;
+    ``"wand"`` always uses the block-max skip traversal; ``"auto"``
+    (default) picks WAND for shards past ``WAND_AUTO_MIN_DOCS`` — both
+    are rank- AND score-identical (tested), the choice is purely a
+    performance one (dense wins on small/dense shards, WAND on large
+    shards with selective queries)."""
+
+    def __init__(self, index_dir: str, shard_ids: list[int], params: BM25Params,
+                 method: str = "auto"):
+        if method not in ("auto", "dense", "wand"):
+            raise ValueError(f"unknown scoring method {method!r}")
         info = IndexInfo(index_dir)
         self.params = params
         self.avgdl = info.stats.avgdl
         self.num_docs = info.stats.num_docs
+        self.method = method
         self.shards = [ShardData(info, sid) for sid in shard_ids]
 
     def local_dfs(self, terms: list[str]) -> dict[str, int]:
         return {t: sum(s.local_df(t) for s in self.shards) for t in terms}
+
+    def _shard_topk(self, s: ShardData, terms, idf, k):
+        use_wand = self.method == "wand" or (
+            self.method == "auto" and s.num_docs >= WAND_AUTO_MIN_DOCS
+        )
+        fn = s.wand_topk if use_wand else s.dense_topk
+        return fn(terms, idf, self.params, self.avgdl, k)
 
     def topk(
         self, queries: list[tuple[int, list[str], int]], idf: dict[str, float]
     ) -> list[tuple[int, np.ndarray, np.ndarray]]:
         out = []
         for qid, terms, k in queries:
-            parts = [
-                s.dense_topk(terms, idf, self.params, self.avgdl, k)
-                for s in self.shards
-            ]
+            parts = [self._shard_topk(s, terms, idf, k) for s in self.shards]
             ids, sc = merge_topk(parts, k)
             out.append((qid, ids, sc))
         return out
@@ -265,6 +283,7 @@ class QueryEngine:
         num_actors: int = 4,
         params: BM25Params | None = None,
         analyzer: str | None = None,
+        method: str = "auto",
     ):
         self.info = IndexInfo(index_dir)
         self.params = params or BM25Params()
@@ -275,7 +294,8 @@ class QueryEngine:
         for i, sid in enumerate(shard_ids):
             groups[i % num_actors].append(sid)
         self.actors = [
-            ShardScorer.remote(str(index_dir), g, self.params) for g in groups
+            ShardScorer.remote(str(index_dir), g, self.params, method)
+            for g in groups
         ]
 
     def _analyze(self, query: str) -> list[str]:
@@ -325,9 +345,11 @@ class BulkScorer:
     Output: (query_id:int64, rank:int32, doc_id:int64, score:float64)
     """
 
-    def __init__(self, index_dir: str, params: BM25Params | None = None):
+    def __init__(self, index_dir: str, params: BM25Params | None = None,
+                 method: str = "auto"):
         info = IndexInfo(index_dir)
-        self.core = _ScorerCore(index_dir, info.shard_ids(), params or BM25Params())
+        self.core = _ScorerCore(index_dir, info.shard_ids(),
+                                params or BM25Params(), method)
         self.n = info.stats.num_docs
         self.analyzer = get_analyzer(
             "code" if info.manifest.analyzer == "per_lang" else info.manifest.analyzer

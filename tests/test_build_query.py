@@ -141,3 +141,17 @@ def test_incremental_append(small_corpus, tmp_path):
     (grow / "zz-extra.parquet").unlink()
     info3 = build_index(grow, idx, cfg)
     assert info3.stats.num_docs == n1
+
+
+def test_wand_method_end_to_end(small_index, small_oracle):
+    """method='wand' serving is rank+score identical to the oracle."""
+    eng = QueryEngine(small_index.index_dir, num_actors=2, method="wand")
+    for row in reference_queries().to_pylist()[:8]:
+        got = eng.search(row["query"], k=row["k"])
+        want = small_oracle.search(code_tokens(row["query"]), k=row["k"])
+        assert [d for d, _ in got] == [d for d, _ in want]
+        assert all(abs(s1 - s2) < 1e-9 for (_, s1), (_, s2) in zip(got, want))
+    eng.shutdown()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        _ScorerCore(str(small_index.index_dir), [0], BM25Params(), method="nope")
