@@ -80,6 +80,7 @@ def _build_synth_index(num_cpus: int) -> float:
 
 def cmd_build_worker(num_cpus: int) -> None:
     ray = _init_ray(num_cpus)
+    _build_synth_index(num_cpus)  # warmup: page cache + worker pool
     dps = _build_synth_index(num_cpus)
     print(json.dumps({"num_cpus": num_cpus, "docs_per_sec": round(dps, 1)}))
     ray.shutdown()
@@ -140,6 +141,7 @@ def cmd_bench(sf_dir: str, num_cpus: int) -> None:
         log(f"{name}: {times[name]}s")
 
     # flagship numbers: synth-corpus build throughput + serving latency p50
+    _build_synth_index(num_cpus)  # warmup (page cache + worker pool)
     build_dps = _build_synth_index(num_cpus)
     log(f"index build: {build_dps:.0f} docs/s")
 
