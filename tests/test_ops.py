@@ -265,3 +265,56 @@ def test_hydrate_dataset(small_index):
     out = to_arrow(hydrate_dataset(res, small_index.index_dir, ["repo", "lang"], concurrency=1))
     assert set(out.column_names) >= {"doc_id", "score", "repo", "lang"}
     assert out.num_rows == 3
+
+
+# --------------------------------------------------------------------- geo
+
+
+def test_geo_validation_and_parsing():
+    from elasticsearch_assets_ray.ops.geo import (
+        GeoQuery, parse_distance, parse_point,
+    )
+
+    assert parse_point("45.5,-122.6") == (45.5, -122.6)
+    for bad in ["91,0", "-91,0", "0,181", "0,-181", "1", "a,b"]:
+        with pytest.raises(ValueError):
+            parse_point(bad)
+    assert parse_distance("50km") == 50_000.0
+    assert parse_distance("1mi") == 1609.344
+    for bad in ["50", "50parsecs", "km"]:
+        with pytest.raises(ValueError):
+            parse_distance(bad)
+    with pytest.raises(ValueError):
+        GeoQuery(field="loc", box_top_left="1,1")  # missing corner
+    with pytest.raises(ValueError):
+        GeoQuery(field="loc", point="1,1")  # missing distance
+    with pytest.raises(ValueError):
+        GeoQuery(field="loc")  # neither
+    with pytest.raises(ValueError):
+        GeoQuery(field="loc", point="1,1", distance="1km", sort_unit="parsec")
+
+
+def test_geo_box_distance_and_sort(ray_session):
+    import ray.data as rd2
+    from elasticsearch_assets_ray.ops.geo import (
+        GeoQuery, geo_search, haversine_meters,
+    )
+
+    pts = ["10,10", "10.5,10.5", "12,12", "-10,10", "10,-10", "89,179"]
+    tbl = pa.table({"pid": pa.array(range(len(pts)), pa.int64()),
+                    "loc": pa.array(pts, pa.string())})
+    ds = rd2.from_arrow(tbl)
+    # box: top-left (11, 9) → bottom-right (9, 11) keeps the two ~10,10 pts
+    box = GeoQuery(field="loc", box_top_left="11,9", box_bottom_right="9,11")
+    got = to_arrow(geo_search(ds, box))
+    assert sorted(got.column("pid").to_pylist()) == [0, 1]
+    # distance 100km around 10,10 keeps only the exact point + 10.5 is ~78km
+    near = GeoQuery(field="loc", point="10,10", distance="100km")
+    got2 = to_arrow(geo_search(ds, near).materialize())
+    ids = got2.column("pid").to_pylist()
+    assert ids == [0, 1]  # sorted by distance asc (0 is distance 0)
+    assert got2.column("_distance").to_pylist()[0] == 0.0
+    # haversine sanity: 1 degree latitude ≈ 111.2 km
+    import numpy as np2
+    d = haversine_meters(np2.array([11.0]), np2.array([10.0]), 10.0, 10.0)[0]
+    assert abs(d - 111_195) < 500
