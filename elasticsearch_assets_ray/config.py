@@ -66,6 +66,11 @@ class IndexConfig:
     # groupby(shard_id).map_groups exchange — the general mechanism, used
     # when partials must actually move (and as the semantic reference).
     merge_strategy: str = "fused"
+    # posting-stream codec: "varint" (LEB128 gaps, batch-encoded fast
+    # path) or "for" (per-block frame-of-reference bit packing — the
+    # PForDelta family without exception patching; smaller streams,
+    # non-batched encode)
+    postings_codec: str = "varint"
 
     def __post_init__(self) -> None:
         if self.block_size < 8:
@@ -84,3 +89,5 @@ class IndexConfig:
             raise ValueError("analyzer='per_lang' requires lang_col")
         if self.merge_strategy not in ("fused", "groupby"):
             raise ValueError(f"unknown merge_strategy {self.merge_strategy!r}")
+        if self.postings_codec not in ("varint", "for"):
+            raise ValueError(f"unknown postings_codec {self.postings_codec!r}")

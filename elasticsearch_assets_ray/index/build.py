@@ -164,6 +164,7 @@ class TokenizePartition:
         self.lang_col = config.lang_col
         self.id_col = config.id_col
         self.meta_cols = tuple(config.meta_cols)
+        self.codec = config.postings_codec
         self.done_shards = done_shards
 
     def _read_columns(self) -> list[str]:
@@ -230,7 +231,8 @@ class TokenizePartition:
             )
             self.write_docmeta(row, tbl, dls, shas, nbytes)
             terms, ids_a, tfs_a, offs = invert_flat(flat, doc_rel, doc_base)
-            blobs = encode_postings_many(ids_a, tfs_a, offs, self.block_size)
+            blobs = encode_postings_many(ids_a, tfs_a, offs, self.block_size,
+                                         self.codec)
             cfs = (
                 np.add.reduceat(tfs_a.astype(np.int64), offs[:-1])
                 if len(terms)
@@ -274,9 +276,10 @@ class WriteShardSegment:
     """Per-shard merge + atomic segment write (``map_groups`` over the
     shard-keyed shuffle).  Returns one summary row per shard."""
 
-    def __init__(self, index_dir: str, block_size: int):
+    def __init__(self, index_dir: str, block_size: int, codec: str = "varint"):
         self.index_dir = index_dir
         self.block_size = block_size
+        self.codec = codec
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -314,7 +317,8 @@ class WriteShardSegment:
                 if not np.all(doc_flat[1:][interior[1:]] > doc_flat[:-1][interior[1:]]):
                     raise ValueError("duplicate doc_ids across posting parts")
 
-        merged = encode_postings_many(doc_flat, tf_flat, term_offs, self.block_size)
+        merged = encode_postings_many(doc_flat, tf_flat, term_offs,
+                                      self.block_size, self.codec)
         out_df = np.diff(term_offs)
         out_cf = (
             np.add.reduceat(tf_flat.astype(np.int64), term_offs[:-1])
@@ -408,7 +412,8 @@ class BuildShard:
                 np.concatenate(rel_chunks) if rel_chunks else np.empty(0, np.int64)
             )
             terms, ids_a, tfs_a, offs = invert_flat(all_flat, rel, shard_base)
-            blobs = encode_postings_many(ids_a, tfs_a, offs, cfg.block_size)
+            blobs = encode_postings_many(ids_a, tfs_a, offs, cfg.block_size,
+                                         cfg.postings_codec)
             maxtf = (
                 np.maximum.reduceat(tfs_a.astype(np.int64), offs[:-1])
                 if terms
@@ -498,6 +503,7 @@ def build_index(
         lang_col=config.lang_col,
         id_col=config.id_col,
         meta_cols=tuple(config.meta_cols),
+        postings_codec=config.postings_codec,
     )
     existing = BuildManifest.load(index_dir) if resume else None
     if existing is not None and existing.plan_fingerprint() == plan.plan_fingerprint():
@@ -514,6 +520,7 @@ def build_index(
             lang_col=config.lang_col,
             id_col=config.id_col,
             meta_cols=tuple(config.meta_cols),
+            postings_codec=config.postings_codec,
         )
         if appended is not None:
             # incremental append: old shards stay checkpointed, only new
@@ -568,7 +575,8 @@ def build_index(
                 batch_format="pyarrow",
                 batch_size=1,
             )
-            writer = WriteShardSegment(str(index_dir), config.block_size)
+            writer = WriteShardSegment(str(index_dir), config.block_size,
+                                       config.postings_codec)
 
             def write_shard_segment(group: pa.Table) -> pa.Table:
                 return writer(group)

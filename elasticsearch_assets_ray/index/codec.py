@@ -33,7 +33,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-_MAGIC = 0x45415250  # "PRAE"
+_MAGIC = 0x45415250  # "PRAE" — varint streams
+_MAGIC_FOR = 0x464F5250  # "PROF" — frame-of-reference bit-packed streams
 _HEADER_DTYPE = np.dtype(
     [
         ("magic", "<u4"),
@@ -93,6 +94,31 @@ def decode_varint(buf: np.ndarray) -> np.ndarray:
     return vals
 
 
+def _pack_for(values: np.ndarray) -> bytes:
+    """FOR-pack one block: [width:u8][ceil(n*width/8) bytes, LSB-first].
+
+    Width is the bit length of the block maximum (the PForDelta family
+    without exception patching — per-block frame of reference)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    width = max(1, int(v.max()).bit_length()) if len(v) else 1
+    bits = ((v[:, None] >> np.arange(width, dtype=np.uint64)[None, :]) & np.uint64(1)
+            ).astype(np.uint8).reshape(-1)
+    return bytes([width]) + np.packbits(bits, bitorder="little").tobytes()
+
+
+def _unpack_for(buf: np.ndarray, count: int) -> np.ndarray:
+    """Inverse of :func:`_pack_for`; ``buf`` starts at the width byte."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    width = int(buf[0])
+    bits = np.unpackbits(buf[1 : 1 + (count * width + 7) // 8],
+                         count=count * width, bitorder="little")
+    return (
+        bits.reshape(count, width).astype(np.uint64)
+        << np.arange(width, dtype=np.uint64)[None, :]
+    ).sum(axis=1, dtype=np.uint64)
+
+
 @dataclass(frozen=True)
 class PostingsMeta:
     """Parsed header + block metadata of a postings blob (no payload decode)."""
@@ -100,6 +126,7 @@ class PostingsMeta:
     n_docs: int
     n_blocks: int
     block_size: int
+    codec: str  # "varint" | "for"
     block_last_doc: np.ndarray  # u64[n_blocks]
     block_max_tf: np.ndarray  # u32[n_blocks]
     block_doc_off: np.ndarray  # u32[n_blocks]
@@ -114,6 +141,7 @@ def encode_postings_many(
     tfs: np.ndarray,
     offsets: np.ndarray,
     block_size: int = 128,
+    codec: str = "varint",
 ) -> list[bytes]:
     """Encode T posting lists in one vectorized pass → T blobs.
 
@@ -133,6 +161,16 @@ def encode_postings_many(
         raise ValueError("doc_ids and tfs length mismatch")
     if T == 0:
         return []
+    if codec == "for":
+        # optional codec: per-list loop (block loop inside); the varint
+        # default keeps the fully-batched fast path
+        return [
+            _encode_postings_for(doc_ids[offsets[t]:offsets[t + 1]],
+                                 tfs[offsets[t]:offsets[t + 1]], block_size)
+            for t in range(T)
+        ]
+    if codec != "varint":
+        raise ValueError(f"unknown postings codec {codec!r}")
     starts = offsets[:-1]
     n_t = np.diff(offsets)
     if (n_t <= 0).any():
@@ -211,6 +249,13 @@ def decode_postings_many(
     metas = [read_meta(b) for b in blobs]
     counts = np.array([m.n_docs for m in metas], dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(counts)])
+    if any(m.codec != "varint" for m in metas):
+        decoded = [decode_postings(b) for b in blobs]
+        return (
+            np.concatenate([d for d, _ in decoded]) if decoded else np.empty(0, np.uint64),
+            np.concatenate([t for _, t in decoded]) if decoded else np.empty(0, np.uint64),
+            offsets,
+        )
     if offsets[-1] == 0:
         return (
             np.empty(0, dtype=np.uint64),
@@ -231,9 +276,18 @@ def decode_postings_many(
 
 
 def encode_postings(
-    doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = 128
+    doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = 128,
+    codec: str = "varint",
 ) -> bytes:
-    """Encode sorted unique ``doc_ids`` (+ per-doc ``tfs`` >= 1) into a blob."""
+    """Encode sorted unique ``doc_ids`` (+ per-doc ``tfs`` >= 1) into a blob.
+
+    ``codec="varint"`` → LEB128 gap streams; ``codec="for"`` → per-block
+    frame-of-reference bit packing (the PForDelta family without
+    exception patching).  Decoders auto-detect via the magic."""
+    if codec == "for":
+        return _encode_postings_for(doc_ids, tfs, block_size)
+    if codec != "varint":
+        raise ValueError(f"unknown postings codec {codec!r}")
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
     n = len(doc_ids)
@@ -290,11 +344,74 @@ def encode_postings(
     return b"".join(parts)
 
 
+def _encode_postings_for(
+    doc_ids: np.ndarray, tfs: np.ndarray, block_size: int
+) -> bytes:
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    n = len(doc_ids)
+    if n != len(tfs):
+        raise ValueError("doc_ids and tfs length mismatch")
+    n_blocks = (n + block_size - 1) // block_size
+    deltas = np.empty(n, dtype=np.uint64)
+    if n:
+        deltas[0] = doc_ids[0] + np.uint64(1)
+        deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    tf0 = tfs - np.uint64(1)
+
+    did_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    block_last = np.empty(n_blocks, dtype=np.uint64)
+    block_max = np.empty(n_blocks, dtype=np.uint32)
+    block_doc_off = np.empty(n_blocks, dtype=np.uint32)
+    block_did_off = np.empty(n_blocks, dtype=np.uint32)
+    block_tf_off = np.empty(n_blocks, dtype=np.uint32)
+    d_off = t_off = 0
+    for b in range(n_blocks):
+        lo, hi = b * block_size, min((b + 1) * block_size, n)
+        dp = _pack_for(deltas[lo:hi])
+        tp = _pack_for(tf0[lo:hi])
+        block_last[b] = doc_ids[hi - 1]
+        block_max[b] = int(tfs[lo:hi].max())
+        block_doc_off[b] = lo
+        block_did_off[b] = d_off
+        block_tf_off[b] = t_off
+        did_parts.append(dp)
+        tf_parts.append(tp)
+        d_off += len(dp)
+        t_off += len(tp)
+
+    header = np.zeros(1, dtype=_HEADER_DTYPE)
+    header["magic"] = _MAGIC_FOR
+    header["n_docs"] = n
+    header["n_blocks"] = n_blocks
+    header["block_size"] = block_size
+    header["docid_bytes"] = d_off
+    header["tf_bytes"] = t_off
+    return b"".join(
+        [
+            header.tobytes(),
+            block_last.astype("<u8").tobytes(),
+            block_max.astype("<u4").tobytes(),
+            block_doc_off.astype("<u4").tobytes(),
+            block_did_off.astype("<u4").tobytes(),
+            block_tf_off.astype("<u4").tobytes(),
+            *did_parts,
+            *tf_parts,
+        ]
+    )
+
+
 def read_meta(blob: bytes | memoryview) -> PostingsMeta:
     """Parse header + block metadata; payload streams stay undecoded."""
     raw = np.frombuffer(blob, dtype=np.uint8)
     header = raw[: _HEADER_DTYPE.itemsize].view(_HEADER_DTYPE)[0]
-    if int(header["magic"]) != _MAGIC:
+    magic = int(header["magic"])
+    if magic == _MAGIC:
+        codec = "varint"
+    elif magic == _MAGIC_FOR:
+        codec = "for"
+    else:
         raise ValueError("bad postings blob magic")
     n_blocks = int(header["n_blocks"])
     off = _HEADER_DTYPE.itemsize
@@ -318,6 +435,7 @@ def read_meta(blob: bytes | memoryview) -> PostingsMeta:
         n_docs=int(header["n_docs"]),
         n_blocks=n_blocks,
         block_size=int(header["block_size"]),
+        codec=codec,
         block_last_doc=block_last,
         block_max_tf=block_max,
         block_doc_off=block_doc_off,
@@ -340,12 +458,20 @@ def decode_block(meta: PostingsMeta, i: int) -> tuple[np.ndarray, np.ndarray]:
     tf_hi = (
         int(meta.block_tf_off[i + 1]) if i + 1 < meta.n_blocks else len(meta._tf_stream)
     )
-    deltas = decode_varint(meta._docid_stream[did_lo:did_hi])
+    doc_hi = (
+        int(meta.block_doc_off[i + 1]) if i + 1 < meta.n_blocks else meta.n_docs
+    )
+    count = doc_hi - int(meta.block_doc_off[i])
+    if meta.codec == "for":
+        deltas = _unpack_for(meta._docid_stream[did_lo:did_hi], count)
+        tfs = _unpack_for(meta._tf_stream[tf_lo:tf_hi], count) + np.uint64(1)
+    else:
+        deltas = decode_varint(meta._docid_stream[did_lo:did_hi])
+        tfs = decode_varint(meta._tf_stream[tf_lo:tf_hi]) + np.uint64(1)
     base = meta.block_last_doc[i - 1] if i > 0 else np.uint64(0)
     doc_ids = np.cumsum(deltas, dtype=np.uint64) + base
     if i == 0:
         doc_ids -= np.uint64(1)  # block 0 deltas are relative to -1
-    tfs = decode_varint(meta._tf_stream[tf_lo:tf_hi]) + np.uint64(1)
     return doc_ids, tfs
 
 
@@ -354,6 +480,12 @@ def decode_postings(blob: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
     meta = read_meta(blob)
     if meta.n_docs == 0:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    if meta.codec == "for":
+        parts = [decode_block(meta, i) for i in range(meta.n_blocks)]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
     # the first delta of block i is relative to block i-1's last doc, which
     # is exactly the preceding doc — so the stream is one contiguous gap
     # sequence and a single cumsum decodes it (block independence costs 0).

@@ -80,6 +80,7 @@ class BuildManifest:
     lang_col: str | None = "lang"
     id_col: str | None = None
     meta_cols: list[str] = field(default_factory=lambda: ["repo", "path"])
+    postings_codec: str = "varint"
     partitions: list[PartitionPlan] = field(default_factory=list)
     shards: dict[int, ShardState] = field(default_factory=dict)
 
@@ -96,6 +97,7 @@ class BuildManifest:
                 "lang_col": self.lang_col,
                 "id_col": self.id_col,
                 "meta_cols": list(self.meta_cols),
+                "postings_codec": self.postings_codec,
                 "partitions": [asdict(p) for p in self.partitions],
                 "shards": {str(k): asdict(v) for k, v in self.shards.items()},
             },
@@ -116,6 +118,7 @@ class BuildManifest:
             lang_col=d.get("lang_col", "lang"),
             id_col=d.get("id_col"),
             meta_cols=list(d.get("meta_cols", ["repo", "path"])),
+            postings_codec=d.get("postings_codec", "varint"),
         )
         m.partitions = [PartitionPlan(**p) for p in d["partitions"]]
         m.shards = {int(k): ShardState(**v) for k, v in d["shards"].items()}
@@ -143,6 +146,7 @@ class BuildManifest:
             self.lang_col,
             self.id_col,
             tuple(self.meta_cols),
+            self.postings_codec,
         )
 
 
@@ -157,6 +161,7 @@ def plan_append(
     lang_col: str | None = "lang",
     id_col: str | None = None,
     meta_cols: tuple[str, ...] = ("repo", "path"),
+    postings_codec: str = "varint",
 ) -> "BuildManifest | None":
     """Incremental append: plan ONLY files not in ``existing``.
 
@@ -178,6 +183,7 @@ def plan_append(
         and existing.lang_col == lang_col
         and existing.id_col == id_col
         and list(existing.meta_cols) == list(meta_cols)
+        and existing.postings_codec == postings_codec
     )
     if not params_same:
         return None
@@ -191,7 +197,7 @@ def plan_append(
     sub = plan_build(
         new_files, analyzer, partition_target_docs, shard_target_docs,
         block_size, text_col=text_col, lang_col=lang_col, id_col=id_col,
-        meta_cols=meta_cols,
+        meta_cols=meta_cols, postings_codec=postings_codec,
     )
     pid0 = (max((p.partition_id for p in existing.partitions), default=-1)) + 1
     sid0 = (max(existing.shards, default=-1)) + 1
@@ -207,6 +213,7 @@ def plan_append(
         lang_col=lang_col,
         id_col=id_col,
         meta_cols=list(meta_cols),
+        postings_codec=postings_codec,
     )
     merged.partitions = list(existing.partitions) + [
         PartitionPlan(
@@ -253,6 +260,7 @@ def plan_build(
     lang_col: str | None = "lang",
     id_col: str | None = None,
     meta_cols: tuple[str, ...] = ("repo", "path"),
+    postings_codec: str = "varint",
 ) -> BuildManifest:
     """Plan partitions + shards from Parquet footer metadata only.
 
@@ -354,6 +362,7 @@ def plan_build(
         lang_col=lang_col,
         id_col=id_col,
         meta_cols=list(meta_cols),
+        postings_codec=postings_codec,
         partitions=fixed,
         shards=shards,
     )

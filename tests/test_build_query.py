@@ -155,3 +155,32 @@ def test_wand_method_end_to_end(small_index, small_oracle):
     import pytest as _pt
     with _pt.raises(ValueError):
         _ScorerCore(str(small_index.index_dir), [0], BM25Params(), method="nope")
+
+
+def test_for_codec_build_is_rank_identical(small_corpus, small_oracle, tmp_path):
+    """postings_codec='for' (frame-of-reference bit packing) builds an
+    index whose BM25 results are identical to varint's and the oracle's."""
+    cfg = IndexConfig(partition_target_docs=100, shard_target_docs=200,
+                      postings_codec="for")
+    info = build_index(small_corpus, tmp_path / "idx_for", cfg)
+    eng = QueryEngine(info.index_dir, num_actors=2)
+    for row in reference_queries().to_pylist()[:6]:
+        got = eng.search(row["query"], k=row["k"])
+        want = small_oracle.search(code_tokens(row["query"]), k=row["k"])
+        assert [d for d, _ in got] == [d for d, _ in want]
+        assert all(abs(s1 - s2) < 1e-9 for (_, s1), (_, s2) in zip(got, want))
+    eng.shutdown()
+
+
+def test_hot_term_salted_across_shards(small_index):
+    """`import` hits >60% of docs; the doc-range shard salt bounds every
+    merge unit's slice of it (north-rule skew requirement)."""
+    total_df = 0
+    for sid in small_index.shard_ids():
+        st = small_index.manifest.shards[sid]
+        seg = pq.read_table(small_index.segment_path(sid))
+        d = dict(zip(seg.column("term").to_pylist(), seg.column("df").to_pylist()))
+        assert "import" in d  # hot term present in every doc-range shard
+        assert d["import"] <= st.num_docs  # bounded by the salt range
+        total_df += d["import"]
+    assert total_df > 0.6 * small_index.stats.num_docs  # genuinely hot
