@@ -66,6 +66,13 @@ class ShardData:
             raise RuntimeError(
                 f"shard {shard_id}: docmeta rows {len(self.dl)} != {self.num_docs}"
             )
+        # tombstones (Lucene-style delete mask, loaded once per actor)
+        from ..index.deletes import load_deletes
+
+        deleted = load_deletes(info.index_dir, shard_id)
+        self.deleted_mask = np.zeros(self.num_docs, dtype=bool)
+        if len(deleted):
+            self.deleted_mask[deleted - self.doc_base] = True
 
     def local_df(self, term: str) -> int:
         i = self.terms.get(term)
@@ -98,6 +105,7 @@ class ShardData:
             norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
             scores[idx] += idf[t] * norm
             touched[idx] = True
+        touched &= ~self.deleted_mask
         cand = np.nonzero(touched)[0]
         if len(cand) == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -185,6 +193,10 @@ class ShardData:
                 if len(d) == 0:
                     continue
                 idx = (d - np.uint64(self.doc_base)).astype(np.int64)
+                live = ~self.deleted_mask[idx]
+                d, tf, idx = d[live], tf[live], idx[live]
+                if len(d) == 0:
+                    continue
                 dl = self.dl[idx]
                 norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
                 contrib = idf[t] * norm

@@ -184,3 +184,48 @@ def test_hot_term_salted_across_shards(small_index):
         assert d["import"] <= st.num_docs  # bounded by the salt range
         total_df += d["import"]
     assert total_df > 0.6 * small_index.stats.num_docs  # genuinely hot
+
+
+def test_delete_semantics(small_corpus, small_oracle, tmp_path):
+    """Bulk `delete` actions tombstone docs: they vanish from top-k while
+    surviving docs keep their exact scores (Lucene-style mask; stats stay
+    pre-delete until a rebuild, like ES before segment merge)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elasticsearch_assets_ray.index.deletes import (
+        apply_delete_actions, delete_docs, load_deletes,
+    )
+
+    cfg = IndexConfig(partition_target_docs=100, shard_target_docs=200)
+    info = build_index(small_corpus, tmp_path / "idx_del", cfg)
+    eng = QueryEngine(info.index_dir, num_actors=2)
+    before = eng.search("import", k=10)
+    eng.shutdown()
+    victims = [d for d, _ in before[:3]]
+
+    out = delete_docs(info.index_dir, victims)
+    assert sum(out.values()) == 3
+    assert sum(len(load_deletes(info.index_dir, s)) for s in info.shard_ids()) == 3
+    delete_docs(info.index_dir, victims)  # idempotent
+    assert sum(len(load_deletes(info.index_dir, s)) for s in info.shard_ids()) == 3
+
+    eng = QueryEngine(info.index_dir, num_actors=2)
+    for method_engine in (eng, QueryEngine(info.index_dir, num_actors=1, method="wand")):
+        after = method_engine.search("import", k=10)
+        got_ids = [d for d, _ in after]
+        assert not set(victims) & set(got_ids)
+        # survivors keep identical scores, in the same relative order
+        want = [(d, s) for d, s in small_oracle.search(["import"], k=13)
+                if d not in victims][:10]
+        assert got_ids == [d for d, _ in want]
+        assert all(abs(s1 - s2) < 1e-9 for (_, s1), (_, s2) in zip(after, want))
+        method_engine.shutdown()
+
+    # action-columns path (IndexSelector output shape)
+    actions = rd.from_arrow(pa.table({
+        "doc_id": pa.array([before[3][0], before[4][0]], pa.int64()),
+        "action": pa.array(["delete", "index"], pa.string()),
+    }))
+    out2 = apply_delete_actions(actions, info.index_dir)
+    assert sum(out2.values()) == 1  # only the delete row applies
