@@ -18,8 +18,10 @@ implements BOTH halves from scratch on Ray Data:
   bulk sink semantics, cached state storage, deterministic data generation
   (``corpus``);
 * the large-scale training-data ops a 100 TB pipeline needs: dedup
-  (exact / MinHash-LSH / SimHash), similarity search, text analysis
-  (``functions``).
+  (exact / Jaccard / MinHash-LSH / SimHash / embedding-cosine), similarity
+  search, text analysis, geo filters, multimodal plumbing (``ops``);
+* filtered/projected reads with a lucene-style query compiler
+  (``sources``) and the mget-style doc store (``state``).
 
 Everything is expressed Ray-Data-first: ``ray.data.Dataset`` pipelines over
 zero-copy Arrow batches, actor pools for stateful stages, explicit
@@ -27,3 +29,17 @@ partitioning for the wide steps.  No module calls ``ray.init()``.
 """
 
 __version__ = "0.1.0"
+
+from .config import BM25Params, IndexConfig  # noqa: E402
+from .index.build import IndexInfo, build_index  # noqa: E402
+from .search.engine import QueryEngine, score_queries_dataset  # noqa: E402
+
+__all__ = [
+    "BM25Params",
+    "IndexConfig",
+    "IndexInfo",
+    "build_index",
+    "QueryEngine",
+    "score_queries_dataset",
+    "__version__",
+]

@@ -230,7 +230,8 @@ def merge_topk(
     return ids[order], sc[order]
 
 
-WAND_AUTO_MIN_DOCS = 50_000  # auto: skip-capable traversal pays off past this
+WAND_AUTO_MIN_DOCS = 50_000  # auto: consider skipping only past this
+WAND_AUTO_MAX_DENSITY = 0.05  # ...and only when candidates are sparse
 
 
 class _ScorerCore:
@@ -238,10 +239,13 @@ class _ScorerCore:
 
     ``method``: ``"dense"`` always scores the full shard range;
     ``"wand"`` always uses the block-max skip traversal; ``"auto"``
-    (default) picks WAND for shards past ``WAND_AUTO_MIN_DOCS`` — both
-    are rank- AND score-identical (tested), the choice is purely a
-    performance one (dense wins on small/dense shards, WAND on large
-    shards with selective queries)."""
+    (default) picks WAND only when the shard is large (>
+    ``WAND_AUTO_MIN_DOCS``) AND the query's posting mass is sparse
+    (candidate density < ``WAND_AUTO_MAX_DENSITY``) — measured on the 1M
+    corpus, vectorized dense scoring beats the per-window traversal
+    whenever a hot term (e.g. ``import``) makes most docs candidates.
+    Both paths are rank- AND score-identical (tested); the choice is
+    purely a performance one."""
 
     def __init__(self, index_dir: str, shard_ids: list[int], params: BM25Params,
                  method: str = "auto"):
@@ -258,9 +262,13 @@ class _ScorerCore:
         return {t: sum(s.local_df(t) for s in self.shards) for t in terms}
 
     def _shard_topk(self, s: ShardData, terms, idf, k):
-        use_wand = self.method == "wand" or (
-            self.method == "auto" and s.num_docs >= WAND_AUTO_MIN_DOCS
-        )
+        if self.method == "wand":
+            use_wand = True
+        elif self.method == "auto" and s.num_docs >= WAND_AUTO_MIN_DOCS:
+            mass = sum(s.local_df(t) for t in terms)
+            use_wand = mass < WAND_AUTO_MAX_DENSITY * s.num_docs
+        else:
+            use_wand = False
         fn = s.wand_topk if use_wand else s.dense_topk
         return fn(terms, idf, self.params, self.avgdl, k)
 
