@@ -164,8 +164,8 @@ def cmd_bench(sf_dir: str, num_cpus: int) -> None:
     print(
         json.dumps(
             {
-                "metric": "total seconds for 14 contract pipelines (cold index "
-                "build + BM25 + dedup + kNN + stats + routing)",
+                "metric": f"total seconds for {len(times)} contract pipelines "
+                "(cold index build + BM25 + dedup + kNN + stats + routing)",
                 "value": total,
                 "unit": "sec",
                 "queries": times,

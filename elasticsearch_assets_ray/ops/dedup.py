@@ -58,26 +58,47 @@ def sha256_batch(batch: pa.Table, text_col: str = "text",
     )
 
 
+def _sha_bucket(shas: list[str]) -> pa.Array:
+    # first hex byte → 256 buckets; sha is uniform so buckets balance
+    return pa.array([int(h[:2], 16) for h in shas], pa.int32())
+
+
 def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
     """→ Dataset(content_sha256, keep_id, dup_count): one row per distinct
-    content; ``keep_id`` = smallest doc id (the deterministic survivor)."""
+    content; ``keep_id`` = smallest doc id (the deterministic survivor).
 
-    hashed = ds.map_batches(
-        lambda b: sha256_batch(b, text_col, id_col), batch_format="pyarrow"
-    )
+    Hash-bucketed reduction (one exchange over 256 keys, vectorized
+    pandas groupby inside each bucket) — same result as a per-sha groupby
+    without per-key task overhead."""
 
-    def per_group(g: pa.Table) -> pa.Table:
-        ids = g.column("doc_id").to_numpy()
+    def add(b: pa.Table) -> pa.Table:
+        t = sha256_batch(b, text_col, id_col)
+        return t.append_column("bucket", _sha_bucket(t.column("content_sha256").to_pylist()))
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "content_sha256": g.column("content_sha256").to_pylist(),
+                "doc_id": g.column("doc_id").to_numpy(),
+            }
+        )
+        out = df.groupby("content_sha256", sort=True).agg(
+            keep_id=("doc_id", "min"), dup_count=("doc_id", "size")
+        ).reset_index()
         return pa.table(
             {
-                "content_sha256": g.column("content_sha256").slice(0, 1),
-                "keep_id": pa.array([int(ids.min())], pa.int64()),
-                "dup_count": pa.array([len(ids)], pa.int64()),
+                "content_sha256": pa.array(out["content_sha256"], pa.string()),
+                "keep_id": pa.array(out["keep_id"].to_numpy(), pa.int64()),
+                "dup_count": pa.array(out["dup_count"].to_numpy(), pa.int64()),
             }
         )
 
-    return hashed.groupby("content_sha256").map_groups(
-        per_group, batch_format="pyarrow"
+    return (
+        ds.map_batches(add, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
     )
 
 
@@ -89,15 +110,21 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
             hashlib.sha256(t.encode()).hexdigest()
             for t in b.column(text_col).to_pylist()
         ]
-        return b.append_column("__sha", pa.array(shas, pa.string()))
+        b = b.append_column("__sha", pa.array(shas, pa.string()))
+        return b.append_column("bucket", _sha_bucket(shas))
 
     def keep_first(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
-        return g.take(order[:1]).drop_columns(["__sha"])
+        order = pc.sort_indices(
+            g, sort_keys=[("__sha", "ascending"), (id_col, "ascending")]
+        )
+        g = g.take(order)
+        shas = g.column("__sha").to_pylist()
+        first = [i == 0 or shas[i] != shas[i - 1] for i in range(len(shas))]
+        return g.filter(pa.array(first)).drop_columns(["__sha", "bucket"])
 
     return (
         ds.map_batches(add_sha, batch_format="pyarrow")
-        .groupby("__sha")
+        .groupby("bucket")
         .map_groups(keep_first, batch_format="pyarrow")
     )
 
