@@ -480,6 +480,27 @@ class IndexInfo:
             for pid in self.manifest.shards[shard_id].partition_ids
         ]
 
+    def metrics(self) -> pa.Table:
+        """Per-shard build metrics + lineage (the north rule's
+        "per-partition checkpoints with lineage and doc/term-count
+        metrics" made queryable)."""
+        shards = sorted(self.manifest.shards.values(), key=lambda s: s.shard_id)
+        return pa.table(
+            {
+                "shard_id": pa.array([s.shard_id for s in shards], pa.int32()),
+                "status": pa.array([s.status for s in shards], pa.string()),
+                "doc_base": pa.array([s.doc_base for s in shards], pa.int64()),
+                "num_docs": pa.array([s.num_docs for s in shards], pa.int64()),
+                "num_terms": pa.array([s.num_terms for s in shards], pa.int64()),
+                "num_postings": pa.array([s.num_postings for s in shards], pa.int64()),
+                "total_tokens": pa.array([s.total_tokens for s in shards], pa.int64()),
+                "num_partitions": pa.array(
+                    [len(s.partition_ids) for s in shards], pa.int64()
+                ),
+                "segment_path": pa.array([s.segment_path for s in shards], pa.string()),
+            }
+        )
+
 
 def build_index(
     corpus: str | Path | list[str],

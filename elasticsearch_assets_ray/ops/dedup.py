@@ -369,23 +369,45 @@ class MinHashBands:
         vals = (self.a[:, None] * h[None, :] + self.b[:, None]) & _MASK64
         return vals.min(axis=1)
 
+    def signatures_batch(self, texts: list[str], cache: dict) -> tuple[np.ndarray, np.ndarray]:
+        """All signatures in one kernel: concat every doc's shingle hashes,
+        one (num_perm × total) product, ``minimum.reduceat`` at doc
+        boundaries.  Returns (kept doc positions, (n_kept, num_perm))."""
+        hs = [doc_shingle_hashes(t, self.n, cache) for t in texts]
+        keep = np.array([len(h) > 0 for h in hs], dtype=bool)
+        kept = [h for h in hs if len(h)]
+        if not kept:
+            return np.nonzero(keep)[0], np.empty((0, self.num_perm), np.uint64)
+        flat = np.concatenate(kept)
+        starts = np.concatenate([[0], np.cumsum([len(h) for h in kept])[:-1]])
+        vals = (self.a[:, None] * flat[None, :] + self.b[:, None]) & _MASK64
+        sigs = np.minimum.reduceat(vals, starts, axis=1).T  # (n_kept, num_perm)
+        return np.nonzero(keep)[0], sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         r = self.num_perm // self.bands
-        out_key: list[np.uint64] = []
-        out_doc: list[int] = []
-        ids = batch.column(self.id_col).to_pylist()
-        for i, text in enumerate(batch.column(self.text_col).to_pylist()):
-            sig = self.signature(text)
-            if sig is None:
-                continue
+        ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
+        if not hasattr(self, "_cache"):
+            self._cache: dict = {}
+        pos, sigs = self.signatures_batch(
+            batch.column(self.text_col).to_pylist(), self._cache
+        )
+        out_key = np.empty(len(pos) * self.bands, dtype=np.uint64)
+        out_doc = np.repeat(ids[pos], self.bands)
+        # band keys: md5 of (band index ++ band slice) per doc — row-major
+        # so doc-major interleave matches out_doc's repeat layout
+        k = 0
+        for i in range(len(pos)):
+            row = sigs[i]
             for bnd in range(self.bands):
-                band = sig[bnd * r : (bnd + 1) * r]
-                key = hashlib.md5(bytes([bnd]) + band.tobytes()).digest()[:8]
-                out_key.append(np.uint64(int.from_bytes(key, "little")))
-                out_doc.append(ids[i])
+                digest = hashlib.md5(
+                    bytes([bnd]) + row[bnd * r : (bnd + 1) * r].tobytes()
+                ).digest()[:8]
+                out_key[k] = np.uint64(int.from_bytes(digest, "little"))
+                k += 1
         return pa.table(
             {
-                "band_key": pa.array(np.array(out_key, dtype=np.uint64), pa.uint64()),
+                "band_key": pa.array(out_key, pa.uint64()),
                 "doc_id": pa.array(out_doc, pa.int64()),
             }
         )

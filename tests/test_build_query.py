@@ -229,3 +229,11 @@ def test_delete_semantics(small_corpus, small_oracle, tmp_path):
     }))
     out2 = apply_delete_actions(actions, info.index_dir)
     assert sum(out2.values()) == 1  # only the delete row applies
+
+
+def test_index_metrics_surface(small_index):
+    m = small_index.metrics()
+    assert m.num_rows == len(small_index.shard_ids())
+    assert set(m.column("status").to_pylist()) == {"done"}
+    assert sum(m.column("num_docs").to_pylist()) == small_index.stats.num_docs
+    assert sum(m.column("total_tokens").to_pylist()) == small_index.stats.total_tokens

@@ -145,3 +145,10 @@ def test_frame_sampling():
     want = sum(len(np.arange(0, int(n), 10)) for n in nf)
     assert out.num_rows == want
     assert out.column("frame_idx").to_numpy().max() < nf.max()
+
+
+def test_bench_cli_help():
+    import subprocess, sys
+    out = subprocess.run([sys.executable, "bench.py", "--help"],
+                         capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0 and "--scaling" in out.stdout
