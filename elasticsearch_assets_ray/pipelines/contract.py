@@ -564,6 +564,79 @@ FROM h
 """
 
 
+PRICING_CUTOFF = "1998-09-02"
+
+
+def q_pricing_summary(sf_dir: str) -> pa.Table:
+    """Generic wide aggregation (TPC-H Q1 shape) over the 600k-row
+    lineitem table: the partial-aggregate combiner pattern — per-batch
+    pandas groupby partials, then a tiny global groupby — so the shuffle
+    moves a handful of rows, not the table."""
+    import datetime as dt
+
+    import pandas as pd
+
+    cutoff = dt.datetime.fromisoformat(PRICING_CUTOFF)
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"] <= cutoff]
+        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            n=("l_quantity", "size"),
+        ).reset_index()
+        g["key"] = g["l_returnflag"] + "\x01" + g["l_linestatus"]
+        return pa.Table.from_pandas(
+            g[["key", "sum_qty", "sum_base_price", "sum_disc_price", "n"]],
+            preserve_index=False,
+        )
+
+    agg = to_arrow(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("n", alias_name="count_order"),
+        )
+    )
+    keys = agg.column("key").to_pylist()
+    return pa.table(
+        {
+            "l_returnflag": pa.array([k.split("\x01")[0] for k in keys], pa.string()),
+            "l_linestatus": pa.array([k.split("\x01")[1] for k in keys], pa.string()),
+            "sum_qty_r": pa.array(np.round(agg.column("sum_qty").to_numpy(), 2)),
+            "sum_base_price_r": pa.array(np.round(agg.column("sum_base_price").to_numpy(), 2)),
+            "sum_disc_price_r": pa.array(np.round(agg.column("sum_disc_price").to_numpy(), 2)),
+            "count_order": pc.cast(agg.column("count_order"), pa.int64()),
+        }
+    )
+
+
+def sql_pricing_summary() -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty_r,
+       round(sum(l_extendedprice), 2) AS sum_base_price_r,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price_r,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF} 00:00:00'
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------- rows-only pipelines
 
 
@@ -622,6 +695,7 @@ def queries():
         "filtered_docs": q_filtered_docs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "index_term_stats": q_index_term_stats,
+        "pricing_summary": q_pricing_summary,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -646,6 +720,7 @@ def oracle_sql():
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "index_term_stats": sql_index_term_stats(),
         "lang_id": sql_lang_id(),
+        "pricing_summary": sql_pricing_summary(),
     }
 
 
