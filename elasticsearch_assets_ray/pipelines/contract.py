@@ -588,16 +588,24 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df = df[df["l_shipdate"] <= cutoff]
-        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        # money in integer cents: 2-dp decimals stored as doubles are
+        # exactly recoverable via round(x*100), and integer sums are
+        # bit-exact under ANY accumulation order — float sums land on
+        # rounding boundaries often enough to break value-hash compares
+        price_c = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        df["qty_i"] = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        df["base_c"] = price_c
+        df["disc_e4"] = price_c * (100 - disc_c)  # 1e-4 dollar units
         g = df.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            n=("l_quantity", "size"),
+            sum_qty=("qty_i", "sum"),
+            sum_base_price_cents=("base_c", "sum"),
+            sum_disc_price_e4=("disc_e4", "sum"),
+            n=("qty_i", "size"),
         ).reset_index()
         g["key"] = g["l_returnflag"] + "\x01" + g["l_linestatus"]
         return pa.Table.from_pandas(
-            g[["key", "sum_qty", "sum_base_price", "sum_disc_price", "n"]],
+            g[["key", "sum_qty", "sum_base_price_cents", "sum_disc_price_e4", "n"]],
             preserve_index=False,
         )
 
@@ -606,8 +614,8 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
         .groupby("key")
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+            Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
             Sum("n", alias_name="count_order"),
         )
     )
@@ -616,9 +624,9 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
         {
             "l_returnflag": pa.array([k.split("\x01")[0] for k in keys], pa.string()),
             "l_linestatus": pa.array([k.split("\x01")[1] for k in keys], pa.string()),
-            "sum_qty_r": pa.array(np.round(agg.column("sum_qty").to_numpy(), 2)),
-            "sum_base_price_r": pa.array(np.round(agg.column("sum_base_price").to_numpy(), 2)),
-            "sum_disc_price_r": pa.array(np.round(agg.column("sum_disc_price").to_numpy(), 2)),
+            "sum_qty": pc.cast(agg.column("sum_qty"), pa.int64()),
+            "sum_base_price_cents": pc.cast(agg.column("sum_base_price_cents"), pa.int64()),
+            "sum_disc_price_e4": pc.cast(agg.column("sum_disc_price_e4"), pa.int64()),
             "count_order": pc.cast(agg.column("count_order"), pa.int64()),
         }
     )
@@ -627,9 +635,10 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
 def sql_pricing_summary() -> str:
     return f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty_r,
-       round(sum(l_extendedprice), 2) AS sum_base_price_r,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price_r,
+       sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_price_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS sum_disc_price_e4,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF} 00:00:00'

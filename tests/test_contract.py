@@ -10,7 +10,8 @@ import pytest
 from elasticsearch_assets_ray.pipelines import contract
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = ["events", "documents", "embeddings"]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
 
 @pytest.fixture(scope="module")
