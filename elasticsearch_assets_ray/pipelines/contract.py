@@ -318,8 +318,13 @@ def _grouped_counts(ds, key_fn, value_sum: bool):
 
         df = pd.DataFrame({"key": keys})
         if value_sum:
-            df["value"] = batch.column("value").to_numpy()
-            g = df.groupby("key", sort=True).agg(n=("key", "size"), vsum=("value", "sum"))
+            # integer micro-units: `value` is decimal-gridded, so float
+            # sums land exactly on rounding boundaries — integer sums are
+            # order-independent and hash-safe (see pricing_summary note)
+            df["value_u"] = np.round(
+                batch.column("value").to_numpy() * 1_000_000
+            ).astype(np.int64)
+            g = df.groupby("key", sort=True).agg(n=("key", "size"), vsum=("value_u", "sum"))
         else:
             g = df.groupby("key", sort=True).agg(n=("key", "size"))
         g = g.reset_index()
@@ -328,7 +333,7 @@ def _grouped_counts(ds, key_fn, value_sum: bool):
             "n": pa.array(g["n"].to_numpy(), pa.int64()),
         }
         if value_sum:
-            cols["vsum"] = pa.array(g["vsum"].to_numpy(), pa.float64())
+            cols["vsum"] = pa.array(g["vsum"].to_numpy(), pa.int64())
         return pa.table(cols)
 
     aggs = [Sum("n", alias_name="n")]
@@ -358,9 +363,7 @@ def q_events_daily(sf_dir: str) -> pa.Table:
             "target_index": pa.array([k.split("\x01")[0] for k in keys], pa.string()),
             "event_type": pa.array([k.split("\x01")[1] for k in keys], pa.string()),
             "n_events": pc.cast(agg.column("n"), pa.int64()),
-            "value_sum_r": pa.array(
-                np.round(agg.column("vsum").to_numpy(), 3), pa.float64()
-            ),
+            "value_sum_u": pc.cast(agg.column("vsum"), pa.int64()),
         }
     )
 
@@ -368,7 +371,8 @@ def q_events_daily(sf_dir: str) -> pa.Table:
 def sql_events_daily() -> str:
     return """
 SELECT 'events-' || strftime(ts, '%Y.%m.%d') AS target_index, event_type,
-       count(*)::BIGINT AS n_events, round(sum(value), 3) AS value_sum_r
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT AS value_sum_u
 FROM events GROUP BY 1, 2
 """
 
