@@ -416,3 +416,73 @@ def score_queries_dataset(queries_ds, index_dir: str | Path, concurrency: int = 
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class DistributedBulkScorer:
+    """Dataset stage that fans each query batch out to the shard-actor
+    pool of an existing :class:`QueryEngine` — the bulk path whose memory
+    per actor is bounded by its shard subset (the 10^12-doc shape), unlike
+    :class:`BulkScorer` which loads the whole index per pool actor.
+
+    Construct with the engine's actor handles + stats (plain picklables),
+    so stage tasks talk straight to the long-lived scorer actors.
+    """
+
+    def __init__(self, actor_handles, num_docs: int, analyzer_name: str):
+        self.actors = actor_handles
+        self.n = num_docs
+        self.analyzer = get_analyzer(
+            "code" if analyzer_name == "per_lang" else analyzer_name
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("query_id").to_pylist()
+        texts = batch.column("query").to_pylist()
+        ks = (
+            batch.column("k").to_pylist()
+            if "k" in batch.column_names
+            else [10] * len(qids)
+        )
+        queries = [
+            (qid, sorted(set(clip_tokens(self.analyzer(q), 1, 64))), int(k))
+            for qid, q, k in zip(qids, texts, ks)
+        ]
+        all_terms = sorted({t for _, terms, _ in queries for t in terms})
+        if all_terms:
+            df_parts = ray.get([a.local_dfs.remote(all_terms) for a in self.actors])
+            idf = {}
+            for t in all_terms:
+                df = sum(p[t] for p in df_parts)
+                idf[t] = math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+        else:
+            idf = {}
+        per_actor = ray.get([a.topk.remote(queries, idf) for a in self.actors])
+        o_qid, o_rank, o_doc, o_score = [], [], [], []
+        for qi, (qid, terms, k) in enumerate(queries):
+            parts = [(res[qi][1], res[qi][2]) for res in per_actor]
+            ids, sc = merge_topk(parts, k)
+            for r, (d, s) in enumerate(zip(ids.tolist(), sc.tolist())):
+                o_qid.append(qid)
+                o_rank.append(r + 1)
+                o_doc.append(d)
+                o_score.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(o_qid, pa.int64()),
+                "rank": pa.array(o_rank, pa.int32()),
+                "doc_id": pa.array(o_doc, pa.int64()),
+                "score": pa.array(o_score, pa.float64()),
+            }
+        )
+
+
+def score_queries_dataset_distributed(queries_ds, engine: "QueryEngine",
+                                      batch_size: int = 256):
+    """Bulk-score a query Dataset against an engine's shard-actor pool."""
+    return queries_ds.map_batches(
+        DistributedBulkScorer(
+            engine.actors, engine.info.stats.num_docs, engine.analyzer_name
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

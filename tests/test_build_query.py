@@ -237,3 +237,42 @@ def test_index_metrics_surface(small_index):
     assert set(m.column("status").to_pylist()) == {"done"}
     assert sum(m.column("num_docs").to_pylist()) == small_index.stats.num_docs
     assert sum(m.column("total_tokens").to_pylist()) == small_index.stats.total_tokens
+
+
+def test_distributed_bulk_scoring(small_index, small_oracle):
+    """Dataset bulk path over the shard-actor pool (per-actor memory
+    bounded by shard subset) matches the oracle."""
+    from elasticsearch_assets_ray.search.engine import (
+        score_queries_dataset_distributed,
+    )
+
+    eng = QueryEngine(small_index.index_dir, num_actors=2)
+    qds = rd.from_arrow(reference_queries())
+    out = score_queries_dataset_distributed(qds, eng).to_pandas()
+    for row in reference_queries().to_pylist():
+        want = small_oracle.search(code_tokens(row["query"]), k=row["k"])
+        got = out[out.query_id == row["query_id"]].sort_values("rank")
+        assert got.doc_id.tolist() == [d for d, _ in want]
+        assert all(abs(a - b) < 1e-9
+                   for a, (_, b) in zip(got.score.tolist(), want))
+    eng.shutdown()
+
+
+def test_per_lang_analyzer_conformance(small_corpus, tmp_path):
+    """per-language analyzer routing (markdown → prose analyzer with
+    stopword removal) matches an oracle built the same way."""
+    from elasticsearch_assets_ray.search.oracle import BM25Oracle
+    from elasticsearch_assets_ray.analysis.tokenizer import get_analyzer
+
+    cfg = IndexConfig(analyzer="per_lang", partition_target_docs=100,
+                      shard_target_docs=200)
+    info = build_index(small_corpus, tmp_path / "idx_pl", cfg)
+    oracle = BM25Oracle.from_parquet(small_corpus, analyzer="per_lang")
+    assert abs(info.stats.avgdl - oracle.avgdl) < 1e-12  # stopwords removed in md docs
+    eng = QueryEngine(info.index_dir, num_actors=2)
+    code_an = get_analyzer("code")
+    for q in ["parse config value", "import", "data stream batch"]:
+        got = eng.search(q, k=10)
+        want = oracle.search(sorted(set(code_an(q))), k=10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+    eng.shutdown()
