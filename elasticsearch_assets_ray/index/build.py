@@ -56,7 +56,6 @@ from ..config import IndexConfig
 from .codec import (
     decode_postings_many,
     encode_postings_many,
-    read_meta,
 )
 from .manifest import (
     STATS_NAME,
