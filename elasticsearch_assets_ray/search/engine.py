@@ -177,7 +177,8 @@ class ShardData:
                 break  # every later window has a smaller bound — skip all
             w_lo = int(bounds[w - 1]) if w > 0 else -1
             w_hi = int(bounds[w])
-            acc: dict[int, float] = {}
+            d_parts: list[np.ndarray] = []
+            c_parts: list[np.ndarray] = []
             for ti, j in win_blocks[w]:
                 t, m, _ = metas[ti]
                 key = (ti, j)
@@ -199,11 +200,20 @@ class ShardData:
                     continue
                 dl = self.dl[idx]
                 norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-                contrib = idf[t] * norm
-                for dd, cc in zip(d.tolist(), contrib.tolist()):
-                    acc[dd] = acc.get(dd, 0.0) + cc
-            if acc:
-                top.extend((s, d) for d, s in acc.items())
+                d_parts.append(d.astype(np.int64))
+                c_parts.append(idf[t] * norm)
+            if d_parts:
+                # vectorized per-window accumulation: sort + segmented sum
+                d_all = np.concatenate(d_parts)
+                c_all = np.concatenate(c_parts)
+                order = np.argsort(d_all, kind="stable")
+                d_all, c_all = d_all[order], c_all[order]
+                starts = np.nonzero(
+                    np.concatenate([[True], d_all[1:] != d_all[:-1]])
+                )[0]
+                uniq = d_all[starts]
+                sums = np.add.reduceat(c_all, starts)
+                top.extend(zip(sums.tolist(), uniq.tolist()))
                 top.sort(key=lambda x: (-x[0], x[1]))
                 # keep the kth value plus ties
                 if len(top) > k:
