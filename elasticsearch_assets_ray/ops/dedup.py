@@ -321,7 +321,9 @@ def jaccard_pairs(
     """
     shingles = ds.map_batches(
         _ShingleRows(text_col, id_col, n), batch_format="pyarrow"
-    )
+    ).materialize()  # consumed twice (sizes + pairs); one tokenize pass.
+    # At 10^12-doc scale prefer a persisted intermediate (write_parquet)
+    # over object-store materialization; here the rows spill fine.
     sizes_ref = ray.put(_shingle_set_sizes(shingles))
     pairs = _bucketed_emit_pairs(shingles, "shingle", max_shingle_df)
 
