@@ -650,6 +650,82 @@ GROUP BY 1, 2
 """
 
 
+CURATION_MIN_QUALITY = 0.55
+CURATION_JACC = 0.4
+
+
+def q_curation(sf_dir: str) -> pa.Table:
+    """Composed training-data curation pipeline: quality gate → exact
+    dedup (keep min-id per sha) → near-dup drop (larger id of any
+    Jaccard≥0.4 pair) → survivor stats.  Every rule is deterministic, so
+    the whole composition has an exact SQL oracle."""
+    docs = _docs(sf_dir)
+    stats = to_arrow(docs.map_batches(ts_ops.TextStats(), batch_format="pyarrow"))
+    quality_ok = set(
+        stats.filter(
+            pc.greater_equal(stats.column("quality"), CURATION_MIN_QUALITY)
+        ).column("doc_id").to_pylist()
+    )
+    groups = to_arrow(dd.exact_dedup_groups(docs))
+    sha_keep = set(groups.column("keep_id").to_pylist())
+    pairs = dd.jaccard_pairs(docs, threshold=CURATION_JACC)
+    near_drop = set(pairs.column("doc_b").to_pylist())
+    import ray as _ray
+
+    keep_ref = _ray.put((quality_ok & sha_keep) - near_drop)
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        keep = _r.get(keep_ref)
+        mask = pa.array([d in keep for d in batch.column("doc_id").to_pylist()])
+        out = batch.filter(mask)
+        toks = [len(ts_ops.clipped_tokens(t)) for t in out.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "lang": out.column("lang"),
+                "token_count": pa.array(toks, pa.int64()),
+            }
+        )
+
+    kept = to_arrow(docs.map_batches(survivors, batch_format="pyarrow"))
+    return kept.sort_by("doc_id")
+
+
+def sql_curation() -> str:
+    sw = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
+    return f"""
+WITH tk AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                             x -> x <> '' AND len(x) <= 64) AS t,
+                   text FROM documents),
+st AS (SELECT doc_id, lang, len(t) AS token_count,
+              len(list_filter(t, x -> x IN ({sw}))) AS stopword_count,
+              len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$'))) AS digit_tokens
+       FROM tk),
+q AS (SELECT doc_id FROM st
+      WHERE 0.5 * least(token_count / 100.0, 1.0)
+            + 0.3 * (1.0 - digit_tokens / greatest(token_count, 1))
+            + 0.2 * least(stopword_count * 3.0 / greatest(token_count, 1), 1.0)
+            >= {CURATION_MIN_QUALITY}),
+sha_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       FROM tk, unnest(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+near_drop AS (SELECT DISTINCT b AS doc_id FROM pairs
+              JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+              WHERE c * 1.0 / (sa.sz + sb.sz - c) >= {CURATION_JACC})
+SELECT st.doc_id, st.lang, st.token_count
+FROM st
+WHERE st.doc_id IN (SELECT doc_id FROM q)
+  AND st.doc_id IN (SELECT doc_id FROM sha_keep)
+  AND st.doc_id NOT IN (SELECT doc_id FROM near_drop)
+"""
+
+
 # --------------------------------------------------- rows-only pipelines
 
 
@@ -709,6 +785,7 @@ def queries():
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "index_term_stats": q_index_term_stats,
         "pricing_summary": q_pricing_summary,
+        "curation": q_curation,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -734,6 +811,7 @@ def oracle_sql():
         "index_term_stats": sql_index_term_stats(),
         "lang_id": sql_lang_id(),
         "pricing_summary": sql_pricing_summary(),
+        "curation": sql_curation(),
     }
 
 
