@@ -276,3 +276,33 @@ def test_per_lang_analyzer_conformance(small_corpus, tmp_path):
         want = oracle.search(sorted(set(code_an(q))), k=10)
         assert [d for d, _ in got] == [d for d, _ in want]
     eng.shutdown()
+
+
+def test_global_term_merge_with_salting(small_index, small_oracle, tmp_path):
+    """The literal groupby-on-term merge: doc-range segments → term-
+    partitioned global index; hot terms split across salt sub-keys; the
+    un-salted postings equal the oracle's exactly."""
+    import pyarrow.dataset as pds
+
+    from elasticsearch_assets_ray.index.global_merge import (
+        merge_global_postings, read_term_postings,
+    )
+
+    out = tmp_path / "global_idx"
+    merge_global_postings(small_index.index_dir, out, n_salts=3, n_buckets=4)
+
+    full = pds.dataset(str(out)).to_table(columns=["term", "salt"])
+    by_term = {}
+    for t, s in zip(full.column("term").to_pylist(), full.column("salt").to_pylist()):
+        by_term.setdefault(t, []).append(s)
+    assert len(by_term["import"]) > 1  # hot term salted into multiple parts
+    assert all(s >= 0 for s in by_term["import"])
+    assert by_term["quorum"] == [-1]  # rare term unsalted
+
+    for term in ["import", "return", "data", "quorum", "merge"]:
+        ids, tfs = read_term_postings(out, term, n_buckets=4)
+        want = small_oracle.postings.get(term, {})
+        assert ids.tolist() == sorted(want)
+        assert [int(t) for t in tfs] == [want[d] for d in sorted(want)]
+    ids, _ = read_term_postings(out, "zzzzqqqq", n_buckets=4)
+    assert len(ids) == 0
