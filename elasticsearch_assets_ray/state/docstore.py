@@ -132,3 +132,62 @@ def hydrate_dataset(results_ds, index_dir: str | Path, columns: list[str],
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class CachedStateStorage:
+    """Read-through, write-overlay key→record cache — the reference's
+    ``ESCachedStateStorage`` surface (``api.js:6-33``: ``get/mget`` read
+    through the backing store into a per-worker cache, ``set/mset``
+    write the cache and optionally persist).
+
+    Backing store here is the :class:`DocStore`; ``mset`` writes a local
+    overlay (persist-to-index is not meaningful for derived docmeta — a
+    real sink would flush the overlay to its own parquet, which
+    ``flush_overlay`` does).  Named instances are independent
+    (``test/elasticsearch_state_storage-spec.js:96-149``).
+    """
+
+    def __init__(self, index_dir: str | Path, columns: list[str] | None = None,
+                 cache_partitions: int = 64):
+        self.store = DocStore(index_dir, columns=columns,
+                              cache_partitions=cache_partitions)
+        self.overlay: dict[int, dict] = {}
+
+    def count(self) -> int:
+        return len(self.overlay) + self.store.count()
+
+    def set(self, doc_id: int, record: dict) -> None:
+        self.overlay[int(doc_id)] = dict(record)
+
+    def mset(self, records: list[dict], key: str = "doc_id") -> None:
+        for r in records:
+            self.set(int(r[key]), {k: v for k, v in r.items() if k != key})
+
+    def get(self, doc_id: int) -> dict:
+        hit = self.overlay.get(int(doc_id))
+        if hit is not None:
+            return {"doc_id": int(doc_id), **hit}
+        return self.store.get(int(doc_id))
+
+    def mget(self, doc_ids) -> list[dict]:
+        out: list[dict | None] = []
+        missing: list[int] = []
+        for d in doc_ids:
+            hit = self.overlay.get(int(d))
+            out.append({"doc_id": int(d), **hit} if hit is not None else None)
+            if hit is None:
+                missing.append(int(d))
+        if missing:
+            fetched = iter(self.store.mget(missing).to_pylist())
+            out = [o if o is not None else next(fetched) for o in out]
+        return out
+
+    def flush_overlay(self, path: str | Path) -> int:
+        """Persist the overlay as parquet (the ``mset`` persist option)."""
+        import pyarrow.parquet as pq
+
+        if not self.overlay:
+            return 0
+        rows = [{"doc_id": k, **v} for k, v in sorted(self.overlay.items())]
+        pq.write_table(pa.Table.from_pylist(rows), path)
+        return len(rows)

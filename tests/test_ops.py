@@ -318,3 +318,24 @@ def test_geo_box_distance_and_sort(ray_session):
     import numpy as np2
     d = haversine_meters(np2.array([11.0]), np2.array([10.0]), 10.0, 10.0)[0]
     assert abs(d - 111_195) < 500
+
+
+def test_cached_state_storage(small_index, tmp_path):
+    """Reference state-storage semantics: read-through mget, mset overlay,
+    independent named instances, overlay flush."""
+    from elasticsearch_assets_ray.state.docstore import CachedStateStorage
+
+    a = CachedStateStorage(small_index.index_dir, columns=["doc_id", "repo", "dl"])
+    b = CachedStateStorage(small_index.index_dir, columns=["doc_id", "repo", "dl"])
+    rows = a.mget([3, 250])
+    assert [r["doc_id"] for r in rows] == [3, 250]
+    a.mset([{"doc_id": 3, "repo": "patched/repo", "dl": 1}])
+    assert a.get(3)["repo"] == "patched/repo"
+    assert b.get(3)["repo"] != "patched/repo"  # instances independent
+    mixed = a.mget([3, 250])
+    assert mixed[0]["repo"] == "patched/repo" and "dl" in mixed[1]
+    out = tmp_path / "overlay.parquet"
+    assert a.flush_overlay(out) == 1
+    import pyarrow.parquet as pq2
+    assert pq2.read_table(out).num_rows == 1
+    assert a.count() >= b.count()
