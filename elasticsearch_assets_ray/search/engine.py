@@ -37,7 +37,6 @@ import ray
 
 from ..analysis.tokenizer import clip_tokens, get_analyzer
 from ..config import BM25Params
-from .. import index as _index_pkg  # noqa: F401  (package import side)
 from ..index.build import IndexInfo
 from ..index.codec import decode_block, decode_postings, read_meta
 
