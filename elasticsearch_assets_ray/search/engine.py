@@ -326,6 +326,10 @@ class QueryEngine:
             ShardScorer.remote(str(index_dir), g, self.params, method)
             for g in groups
         ]
+        # per-term global df is immutable for a built index — cache it so
+        # repeated terms (query distributions are Zipfian) skip the df
+        # round-trip and a search needs ONE actor round instead of two
+        self._df_cache: dict[str, int] = {}
 
     def _analyze(self, query: str) -> list[str]:
         fn = get_analyzer(
@@ -334,13 +338,16 @@ class QueryEngine:
         return sorted(set(clip_tokens(fn(query), 1, 64)))
 
     def idfs(self, terms: list[str]) -> dict[str, float]:
-        df_parts = ray.get([a.local_dfs.remote(terms) for a in self.actors])
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            df_parts = ray.get([a.local_dfs.remote(missing) for a in self.actors])
+            for t in missing:
+                self._df_cache[t] = sum(p[t] for p in df_parts)
         n = self.info.stats.num_docs
-        out = {}
-        for t in terms:
-            df = sum(p[t] for p in df_parts)
-            out[t] = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-        return out
+        return {
+            t: math.log(1.0 + (n - self._df_cache[t] + 0.5) / (self._df_cache[t] + 0.5))
+            for t in terms
+        }
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         return self.search_batch([(0, query, k)])[0]
