@@ -306,3 +306,38 @@ def test_global_term_merge_with_salting(small_index, small_oracle, tmp_path):
         assert [int(t) for t in tfs] == [want[d] for d in sorted(want)]
     ids, _ = read_term_postings(out, "zzzzqqqq", n_buckets=4)
     assert len(ids) == 0
+
+
+def test_edge_corpus_empty_docs_and_unicode(tmp_path):
+    """Empty content, unicode, single-token docs: build + search + stats
+    stay consistent (no NaNs, no crashes, sha invariant holds)."""
+    import hashlib
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    rows = {
+        "repo": ["r"] * 5,
+        "path": [f"f{i}" for i in range(5)],
+        "commit": ["c"] * 5,
+        "lang": ["python", "markdown", "c", "go", "rust"],
+        "content": ["", "Héllo wörld Ünïcode", "x", "import import import", "日本語テキスト"],
+    }
+    src = tmp_path / "edge"
+    src.mkdir()
+    pq2.write_table(pa.table(rows), src / "part-00000.parquet")
+    cfg = IndexConfig(partition_target_docs=2, shard_target_docs=4)
+    info = build_index(src, tmp_path / "edge_idx", cfg)
+    assert info.stats.num_docs == 5
+    from elasticsearch_assets_ray.state.docstore import DocStore
+
+    metas = DocStore(info.index_dir).mget([0, 1, 2, 3, 4]).to_pylist()
+    for m, text in zip(metas, rows["content"]):
+        assert m["content_sha256"] == hashlib.sha256(text.encode()).hexdigest()
+    assert metas[0]["dl"] == 0  # empty doc
+    eng = QueryEngine(info.index_dir, num_actors=1)
+    got = eng.search("import", k=5)
+    assert [d for d, _ in got] == [3]
+    assert eng.search("", k=5) == []
+    # unicode word: code tokenizer keeps ascii alnum runs only
+    assert eng.search("x", k=5)[0][0] == 2
+    eng.shutdown()
