@@ -1,0 +1,137 @@
+"""Windowed aggregates and as-of joins — custom operators the Dataset
+API lacks, composed per the custom-operator recipe (SURVEY.md: map_batches
++ bucketed key exchange + vectorized per-group kernels).
+
+* ``sliding_window_counts`` — tumbling is ``floor(ts/W)``; sliding assigns
+  each event to ``W/S`` overlapping windows (flat_map-shaped repeat) and
+  then it IS a tumbling count on the window id.  The reference's
+  persistent-mode tumbling windows (``slicer.js:382-395``) are the
+  ``window == slide`` special case.
+* ``asof_join`` — for each left event, the latest right event of the same
+  key strictly before it.  Partitioning assumption (documented per the
+  custom-operator contract): the key column co-locates via the bucketed
+  exchange; per-key history must fit one task (bounded by per-key event
+  counts, the natural bound for user/session streams).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+N_BUCKETS = 64
+
+
+def sliding_window_counts(ds, ts_col: str = "ts", window_ms: int = 21_600_000,
+                          slide_ms: int = 10_800_000):
+    """→ Dataset(window_id, n_events): count per sliding window.
+
+    ``slide_ms`` must divide ``window_ms``; window k covers
+    ``[k*slide, k*slide + window)`` — each event lands in exactly
+    ``window/slide`` windows.  Counts pre-aggregate per batch (combiner)
+    before the tiny window-keyed exchange.
+    """
+    if window_ms % slide_ms:
+        raise ValueError("slide_ms must divide window_ms")
+    fanout = window_ms // slide_ms
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ms = batch.column(ts_col).cast(pa.int64()).to_numpy() // 1000
+        base = ms // slide_ms
+        wins = (base[:, None] - np.arange(fanout, dtype=np.int64)[None, :]).reshape(-1)
+        uniq, counts = np.unique(wins, return_counts=True)
+        return pa.table(
+            {
+                "window_id": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_id")
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+
+def asof_join(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    left_filter,
+    right_filter,
+    missing: int = -1,
+):
+    """For every left row: id of the latest right row with the same key and
+    strictly earlier ``ts_col`` → Dataset(left_id, right_id).
+
+    ``left_filter``/``right_filter``: ``batch → bool numpy mask`` (e.g.
+    event_type == 'purchase' / 'view').  Assumes ``(key, ts)`` has no
+    duplicates across the filtered rows (verified corpora; ties would
+    need an explicit tiebreak column).
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lm = left_filter(batch)
+        rm = right_filter(batch)
+        keep = lm | rm
+        keys = batch.column(key_col).to_numpy()[keep]
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "bucket": pa.array((keys % N_BUCKETS).astype(np.int32)),
+                "ts": pa.array(batch.column(ts_col).cast(pa.int64()).to_numpy()[keep]),
+                "id": pa.array(batch.column(id_col).to_numpy()[keep], pa.int64()),
+                "is_left": pa.array(lm[keep]),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy()
+        ts = g.column("ts").to_numpy()
+        ids = g.column("id").to_numpy()
+        is_left = g.column("is_left").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, key))
+        key, ts, ids, is_left = key[order], ts[order], ids[order], is_left[order]
+        out_l: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
+        starts = np.nonzero(np.concatenate([[True], key[1:] != key[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(key)]])
+        for lo, hi in zip(starts.tolist(), ends.tolist()):
+            l_mask = is_left[lo:hi]
+            lefts = np.nonzero(l_mask)[0]
+            if len(lefts) == 0:
+                continue
+            rights = np.nonzero(~l_mask)[0]
+            l_ts = ts[lo:hi][lefts]
+            if len(rights) == 0:
+                match = np.full(len(lefts), missing, dtype=np.int64)
+            else:
+                r_ts = ts[lo:hi][rights]
+                # strictly-before: last right with r_ts < l_ts
+                pos = np.searchsorted(r_ts, l_ts, side="left") - 1
+                match = np.where(
+                    pos >= 0, ids[lo:hi][rights][np.maximum(pos, 0)], missing
+                )
+            out_l.append(ids[lo:hi][lefts])
+            out_r.append(match)
+        if not out_l:
+            return pa.table(
+                {"left_id": pa.array([], pa.int64()),
+                 "right_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "left_id": pa.array(np.concatenate(out_l), pa.int64()),
+                "right_id": pa.array(np.concatenate(out_r), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -726,6 +726,70 @@ WHERE st.doc_id IN (SELECT doc_id FROM q)
 """
 
 
+SLIDE_MS = 10_800_000  # 3h
+WINDOW_MS = 21_600_000  # 6h
+
+
+def q_events_sliding(sf_dir: str) -> pa.Table:
+    """Sliding-window aggregate (6h window / 3h slide) over events."""
+    from ..ops.window import sliding_window_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    agg = to_arrow(sliding_window_counts(ds, "ts", WINDOW_MS, SLIDE_MS))
+    return pa.table(
+        {
+            "window_id": agg.column("window_id"),
+            "n_events": pc.cast(agg.column("n_events"), pa.int64()),
+        }
+    )
+
+
+def sql_events_sliding() -> str:
+    fanout = WINDOW_MS // SLIDE_MS
+    return f"""
+SELECT (epoch_ms(ts) // {SLIDE_MS}) - j AS window_id, count(*)::BIGINT AS n_events
+FROM events, unnest(range(0, {fanout})) u(j)
+GROUP BY 1
+"""
+
+
+def q_asof_purchase_view(sf_dir: str) -> pa.Table:
+    """As-of join: each purchase event matched to the same user's latest
+    strictly-earlier view event (classic event-attribution shape)."""
+    from ..ops.window import asof_join
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    out = to_arrow(
+        asof_join(
+            ds,
+            key_col="user_id",
+            ts_col="ts",
+            id_col="event_id",
+            left_filter=lambda b: pc.equal(b.column("event_type"), "purchase").to_numpy(zero_copy_only=False),
+            right_filter=lambda b: pc.equal(b.column("event_type"), "view").to_numpy(zero_copy_only=False),
+        )
+    )
+    return pa.table(
+        {
+            "purchase_id": out.column("left_id"),
+            "prior_view_id": out.column("right_id"),
+        }
+    )
+
+
+def sql_asof_purchase_view() -> str:
+    return """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT p.event_id AS purchase_id,
+       coalesce(arg_max(v.event_id, v.ts), -1) AS prior_view_id
+FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts < p.ts
+GROUP BY p.event_id
+"""
+
+
 # --------------------------------------------------- rows-only pipelines
 
 
@@ -786,6 +850,8 @@ def queries():
         "index_term_stats": q_index_term_stats,
         "pricing_summary": q_pricing_summary,
         "curation": q_curation,
+        "events_sliding": q_events_sliding,
+        "asof_purchase_view": q_asof_purchase_view,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -812,6 +878,8 @@ def oracle_sql():
         "lang_id": sql_lang_id(),
         "pricing_summary": sql_pricing_summary(),
         "curation": sql_curation(),
+        "events_sliding": sql_events_sliding(),
+        "asof_purchase_view": sql_asof_purchase_view(),
     }
 
 

@@ -339,3 +339,42 @@ def test_cached_state_storage(small_index, tmp_path):
     import pyarrow.parquet as pq2
     assert pq2.read_table(out).num_rows == 1
     assert a.count() >= b.count()
+
+
+# ---------------------------------------------------------------- windowing
+
+
+def test_sliding_window_and_asof(ray_session):
+    import datetime as dt
+
+    from elasticsearch_assets_ray.ops.window import asof_join, sliding_window_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # (event_id, user, minutes, type)
+        (1, 7, 0, "view"), (2, 7, 10, "view"), (3, 7, 20, "purchase"),
+        (4, 7, 20, "view"),      # same-instant view must NOT match (strict <)
+        (5, 8, 5, "purchase"),   # no prior view → -1
+        (6, 9, 1, "view"), (7, 9, 2, "purchase"), (8, 9, 3, "purchase"),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([base + dt.timedelta(minutes=r[2]) for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    ds = rd.from_arrow(tbl)
+    out = to_arrow(asof_join(
+        ds, "user_id", "ts", "event_id",
+        lambda b: pa.compute.equal(b.column("event_type"), "purchase").to_numpy(zero_copy_only=False),
+        lambda b: pa.compute.equal(b.column("event_type"), "view").to_numpy(zero_copy_only=False),
+    )).to_pylist()
+    got = {r["left_id"]: r["right_id"] for r in out}
+    assert got == {3: 2, 5: -1, 7: 6, 8: 6}
+
+    win = to_arrow(sliding_window_counts(ds, "ts", window_ms=1_200_000, slide_ms=600_000))
+    w = {r["window_id"]: r["n_events"] for r in win.to_pylist()}
+    # every event counted exactly window/slide = 2 times
+    assert sum(w.values()) == 2 * len(rows)
+    with pytest.raises(ValueError):
+        sliding_window_counts(ds, "ts", window_ms=1000, slide_ms=300)
