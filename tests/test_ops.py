@@ -378,3 +378,30 @@ def test_sliding_window_and_asof(ray_session):
     assert sum(w.values()) == 2 * len(rows)
     with pytest.raises(ValueError):
         sliding_window_counts(ds, "ts", window_ms=1000, slide_ms=300)
+
+
+# ------------------------------------------------------------------ sketch
+
+
+def test_hll_accuracy_merge_and_roundtrip(ray_session):
+    from elasticsearch_assets_ray.ops.sketch import HyperLogLog, approx_distinct
+
+    vals = [f"item-{i}" for i in range(100_000)]
+    h = HyperLogLog(14).add_many(vals)
+    assert abs(h.estimate() - 100_000) / 100_000 < 0.02
+    # merge of halves == whole (associative registers)
+    a = HyperLogLog(14).add_many(vals[:50_000])
+    b = HyperLogLog(14).add_many(vals[50_000:])
+    assert a.merge(b).estimate() == h.estimate()
+    rt = HyperLogLog.from_bytes(h.to_bytes())
+    assert rt.estimate() == h.estimate()
+    # small range → linear counting is near exact
+    small = HyperLogLog(14).add_many([str(i) for i in range(500)])
+    assert abs(small.estimate() - 500) < 10
+    with pytest.raises(ValueError):
+        HyperLogLog(2)
+
+    # distributed partials over a Dataset
+    tbl = pa.table({"user": pa.array([f"u{i % 1500}" for i in range(10_000)])})
+    est = approx_distinct(rd.from_arrow(tbl).repartition(8), "user")
+    assert abs(est - 1500) / 1500 < 0.03
