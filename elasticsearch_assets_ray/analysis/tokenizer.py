@@ -51,6 +51,33 @@ def code_tokens(text: str) -> list[str]:
     return [t.lower() for t in _CODE_RE.findall(text)]
 
 
+_IDENT_RE = re.compile(r"[A-Za-z0-9_]+")
+
+
+def make_cached_code_tokens(max_idents: int = 1 << 20) -> Analyzer:
+    """Memoizing variant of :func:`code_tokens` with IDENTICAL output.
+
+    Identifiers repeat Zipf-style across a corpus, so the camel/snake
+    sub-splitting (the 4-alternative regex) runs once per DISTINCT
+    identifier; the hot path is a single simple-pattern scan.  One cache
+    per build task (bounded; cleared past ``max_idents``).
+    """
+    cache: dict[str, list[str]] = {}
+
+    def fn(text: str) -> list[str]:
+        if len(cache) > max_idents:
+            cache.clear()
+        out: list[str] = []
+        for ident in _IDENT_RE.findall(text):
+            subs = cache.get(ident)
+            if subs is None:
+                subs = cache[ident] = [t.lower() for t in _CODE_RE.findall(ident)]
+            out.extend(subs)
+        return out
+
+    return fn
+
+
 def simple_tokens(text: str) -> list[str]:
     """Simple analyzer: lowercase, split on non-alphanumeric (SQL-parity)."""
     return _SIMPLE_RE.findall(text.lower())

@@ -132,9 +132,20 @@ def invert_flat(flat_tokens, doc_rel: np.ndarray, doc_base: int):
 
 
 def _analyzers(analyzer_name: str):
-    """Resolve the analyzer once per task; 'per_lang' keys off the lang column."""
+    """Resolve the analyzer once per task; 'per_lang' keys off the lang
+    column.  The code analyzer gets a per-task identifier-memoizing
+    variant (identical output, one camel-split per distinct identifier)."""
+    from ..analysis.tokenizer import make_cached_code_tokens
+
+    cached_code = make_cached_code_tokens()
     if analyzer_name == "per_lang":
-        return analyzer_for_lang
+        return lambda lang: (
+            cached_code
+            if analyzer_for_lang(lang) is get_analyzer("code")
+            else analyzer_for_lang(lang)
+        )
+    if analyzer_name == "code":
+        return lambda lang: cached_code
     fn = get_analyzer(analyzer_name)
     return lambda lang: fn
 
