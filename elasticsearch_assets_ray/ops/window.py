@@ -135,3 +135,75 @@ def asof_join(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def range_join_count(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    anchor_filter,
+    band_ms: int,
+    include_self: bool = False,
+):
+    """Banded range join (self): for each anchor row, count same-key rows
+    with ``ts`` in ``(anchor_ts, anchor_ts + band]`` (or ``[anchor_ts, …]``
+    when ``include_self``) → Dataset(anchor_id, n_in_band).
+
+    Same bucketed-key exchange as :func:`asof_join`; the in-band count is
+    two vectorized ``searchsorted`` calls per key run.
+    """
+    band_us = band_ms * 1000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        am = anchor_filter(batch)
+        keys = batch.column(key_col).to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "bucket": pa.array((keys % N_BUCKETS).astype(np.int32)),
+                "ts": pa.array(batch.column(ts_col).cast(pa.int64()).to_numpy()),
+                "id": pa.array(batch.column(id_col).to_numpy(), pa.int64()),
+                "is_anchor": pa.array(am),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy()
+        ts = g.column("ts").to_numpy()
+        ids = g.column("id").to_numpy()
+        is_a = g.column("is_anchor").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, key))
+        key, ts, ids, is_a = key[order], ts[order], ids[order], is_a[order]
+        starts = np.nonzero(np.concatenate([[True], key[1:] != key[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(key)]])
+        out_id: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        side = "left" if include_self else "right"
+        for lo, hi in zip(starts.tolist(), ends.tolist()):
+            a = np.nonzero(is_a[lo:hi])[0]
+            if len(a) == 0:
+                continue
+            t = ts[lo:hi]
+            a_ts = t[a]
+            lo_pos = np.searchsorted(t, a_ts, side=side)
+            hi_pos = np.searchsorted(t, a_ts + band_us, side="right")
+            out_id.append(ids[lo:hi][a])
+            out_n.append((hi_pos - lo_pos).astype(np.int64))
+        if not out_id:
+            return pa.table(
+                {"anchor_id": pa.array([], pa.int64()),
+                 "n_in_band": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "anchor_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "n_in_band": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -790,6 +790,44 @@ GROUP BY p.event_id
 """
 
 
+RANGE_BAND_MS = 3_600_000  # 1h
+
+
+def q_range_join(sf_dir: str) -> pa.Table:
+    """Banded range join: per signup event, same-user events within the
+    following hour (exclusive of the signup instant)."""
+    from ..ops.window import range_join_count
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    out = to_arrow(
+        range_join_count(
+            ds, "user_id", "ts", "event_id",
+            lambda b: pc.equal(b.column("event_type"), "signup").to_numpy(zero_copy_only=False),
+            band_ms=RANGE_BAND_MS,
+        )
+    )
+    return pa.table(
+        {
+            "signup_id": out.column("anchor_id"),
+            "n_followups": out.column("n_in_band"),
+        }
+    )
+
+
+def sql_range_join() -> str:
+    return f"""
+WITH a AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup')
+SELECT a.event_id AS signup_id,
+       (SELECT count(*) FROM events e
+        WHERE e.user_id = a.user_id
+          AND e.ts > a.ts AND e.ts <= a.ts + INTERVAL {RANGE_BAND_MS // 1000} SECONDS
+       )::BIGINT AS n_followups
+FROM a
+"""
+
+
 # --------------------------------------------------- rows-only pipelines
 
 
@@ -852,6 +890,7 @@ def queries():
         "curation": q_curation,
         "events_sliding": q_events_sliding,
         "asof_purchase_view": q_asof_purchase_view,
+        "range_join_followups": q_range_join,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -880,6 +919,7 @@ def oracle_sql():
         "curation": sql_curation(),
         "events_sliding": sql_events_sliding(),
         "asof_purchase_view": sql_asof_purchase_view(),
+        "range_join_followups": sql_range_join(),
     }
 
 
