@@ -341,3 +341,20 @@ def test_edge_corpus_empty_docs_and_unicode(tmp_path):
     # unicode word: code tokenizer keeps ascii alnum runs only
     assert eng.search("x", k=5)[0][0] == 2
     eng.shutdown()
+
+
+def test_groupby_strategy_resume_and_no_resume(small_corpus, tmp_path):
+    """Resume-after-crash under the groupby exchange strategy, and the
+    resume=False full-rebuild path."""
+    cfg = IndexConfig(partition_target_docs=50, shard_target_docs=100,
+                      merge_strategy="groupby")
+    idx = tmp_path / "idx_gb"
+    info = build_index(small_corpus, idx, cfg)
+    seg1 = pq.read_table(info.segment_path(1))
+    shutil.rmtree(segment_dir(idx, 1))
+    info2 = build_index(small_corpus, idx, cfg)
+    assert pq.read_table(info2.segment_path(1)).equals(seg1)
+
+    info3 = build_index(small_corpus, idx, cfg, resume=False)  # full rebuild
+    assert pq.read_table(info3.segment_path(1)).equals(seg1)
+    assert info3.stats == info.stats
