@@ -596,6 +596,7 @@ def build_index(
                 .map_batches(
                     BuildShard(str(index_dir), config, parts_ref),
                     batch_format="pyarrow",
+        zero_copy_batch=True,
                     batch_size=1,
                 )
                 .take_all()  # one tiny row per shard
@@ -604,6 +605,7 @@ def build_index(
             partials = rd.from_items(pending_parts).map_batches(
                 TokenizePartition(str(index_dir), config, done),
                 batch_format="pyarrow",
+        zero_copy_batch=True,
                 batch_size=1,
             )
             writer = WriteShardSegment(str(index_dir), config.block_size,
@@ -614,7 +616,7 @@ def build_index(
 
             summaries = (
                 partials.groupby("shard_id")
-                .map_groups(write_shard_segment, batch_format="pyarrow")
+                .map_groups(write_shard_segment, batch_format="pyarrow", zero_copy_batch=True)
                 .take_all()  # one tiny row per shard
             )
         for row in summaries:

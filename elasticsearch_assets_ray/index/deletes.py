@@ -83,6 +83,7 @@ def apply_delete_actions(actions_ds, index_dir: str | Path,
                 [doc_id_col]
             ),
             batch_format="pyarrow",
+            zero_copy_batch=True,
         )
     )
     if tbl.num_rows == 0:

@@ -119,9 +119,9 @@ def merge_global_postings(
         )
 
     merged = (
-        seg.map_batches(add_salt, batch_format="pyarrow")
+        seg.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("salted_term")  # the term-keyed aggregate-sort shuffle
-        .map_groups(merge_group, batch_format="pyarrow")
+        .map_groups(merge_group, batch_format="pyarrow", zero_copy_batch=True)
     )
     merged.write_parquet(str(out_dir), partition_cols=["bucket"])
     return out_dir

@@ -96,9 +96,9 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return (
-        ds.map_batches(add, batch_format="pyarrow")
+        ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .map_groups(reduce_bucket, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -123,9 +123,9 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         return g.filter(pa.array(first)).drop_columns(["__sha", "bucket"])
 
     return (
-        ds.map_batches(add_sha, batch_format="pyarrow")
+        ds.map_batches(add_sha, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(keep_first, batch_format="pyarrow")
+        .map_groups(keep_first, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -229,9 +229,9 @@ def _bucketed_pair_counts(pairs_ds, finish_fn):
         return finish_fn(uniq, counts.astype(np.int64))
 
     return (
-        pairs_ds.map_batches(_add_bucket, batch_format="pyarrow")
+        pairs_ds.map_batches(_add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .map_groups(reduce_bucket, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -279,9 +279,9 @@ def _bucketed_emit_pairs(rows_ds, key_col: str, max_group: int | None):
         return pa.table({"pair": pa.array(pairs, pa.int64())})
 
     return (
-        rows_ds.map_batches(add_bucket, batch_format="pyarrow")
+        rows_ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(emit, batch_format="pyarrow")
+        .map_groups(emit, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -295,7 +295,7 @@ def _shingle_set_sizes(shingles) -> np.ndarray:
         return pa.table({"doc_id": pa.array(d, pa.int64()),
                          "sz": pa.array(c.astype(np.int64))})
 
-    t = to_arrow(shingles.map_batches(counts, batch_format="pyarrow"))
+    t = to_arrow(shingles.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True))
     if t.num_rows == 0:
         return np.zeros(1, dtype=np.int64)
     d = t.column("doc_id").to_numpy()
@@ -434,6 +434,7 @@ def minhash_lsh_pairs(
     band_rows = ds.map_batches(
         MinHashBands(text_col, id_col, n, num_perm, bands),
         batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     raw_pairs = _bucketed_emit_pairs(band_rows, "band_key", None)
     candidates = _bucketed_pair_counts(
@@ -450,7 +451,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    sets_tbl = to_arrow(ds.map_batches(shingle_sets, batch_format="pyarrow"))
+    sets_tbl = to_arrow(ds.map_batches(shingle_sets, batch_format="pyarrow", zero_copy_batch=True))
     lookup = {
         int(d): np.asarray(h, dtype=np.uint64)
         for d, h in zip(
@@ -482,7 +483,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    out = to_arrow(candidates.map_batches(verify, batch_format="pyarrow"))
+    out = to_arrow(candidates.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True))
     out = _canonical_pairs(out, ["doc_a", "doc_b", "jacc"])
     return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
@@ -579,12 +580,12 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         )
 
     pairs = to_arrow(
-        sigs.map_batches(band_rows, batch_format="pyarrow")
+        sigs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("band_key")
-        .map_groups(emit_verified, batch_format="pyarrow")
-        .map_batches(_add_bucket, batch_format="pyarrow")
+        .map_groups(emit_verified, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(min_per_pair, batch_format="pyarrow")
+        .map_groups(min_per_pair, batch_format="pyarrow", zero_copy_batch=True)
     )
     pairs = _canonical_pairs(pairs, ["doc_a", "doc_b", "hamming"])
     return pairs.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])

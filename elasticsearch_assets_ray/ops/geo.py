@@ -145,7 +145,7 @@ def geo_search(ds, q: GeoQuery):
     The sort is a Ray Data range-partitioned sort on the appended
     ``_distance`` column — only the filtered survivors shuffle.
     """
-    out = ds.map_batches(lambda b: geo_filter_batch(b, q), batch_format="pyarrow")
+    out = ds.map_batches(lambda b: geo_filter_batch(b, q), batch_format="pyarrow", zero_copy_batch=True)
     if q.effective_sort_point() is not None:
         out = out.sort("_distance", descending=q.sort_order == "desc")
     return out

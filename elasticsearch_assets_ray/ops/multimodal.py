@@ -171,6 +171,7 @@ def decode_pipeline(ds, impl: str = "fake", concurrency: int = 2,
         DecodeStage,
         fn_constructor_kwargs={"impl": impl},
         batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=batch_size,  # small: rows are megabytes at real scale
         concurrency=concurrency,
         num_cpus=1,

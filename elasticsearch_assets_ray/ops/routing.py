@@ -163,6 +163,7 @@ def multisend_write(ds, out_dir: str, connection_map: dict[str, str],
     routed = ds.map_batches(
         lambda b: route_batch(b, connection_map, index_append=index_append),
         batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     routed.write_parquet(out_dir, partition_cols=["connection", "target_index"])
     return out_dir

@@ -117,6 +117,7 @@ def knn_cosine(
     partials = to_arrow(ds.map_batches(
         _BatchTopK(queries_ref, np.asarray(query_ids, dtype=np.int64), k, col, id_col),
         batch_format="pyarrow",
+        zero_copy_batch=True,
     ))
     return _merge_partials(partials, k)
 
@@ -217,6 +218,7 @@ def knn_cosine_lsh(
             ray.put(planes), probe_hamming,
         ),
         batch_format="pyarrow",
+        zero_copy_batch=True,
     ))
     return _merge_partials(partials, k)
 
@@ -281,6 +283,7 @@ def cosine_dup_pairs(
         ds.map_batches(
             _CosinePairs(mat_ref, ids_ref, threshold, col, id_col),
             batch_format="pyarrow",
+        zero_copy_batch=True,
         )
     )
     return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])

@@ -93,7 +93,7 @@ def approx_distinct(ds, col: str, p: int = 14) -> float:
         return pa.table({"sketch": pa.array([h.to_bytes()], pa.large_binary())})
 
     merged = HyperLogLog(p)
-    parts = ds.map_batches(partial, batch_format="pyarrow")
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     import ray
 
     for ref in parts.to_arrow_refs():

@@ -50,7 +50,7 @@ def sliding_window_counts(ds, ts_col: str = "ts", window_ms: int = 21_600_000,
     from ray.data.aggregate import Sum
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("window_id")
         .aggregate(Sum("n", alias_name="n_events"))
     )
@@ -131,9 +131,9 @@ def asof_join(
         )
 
     return (
-        ds.map_batches(tag, batch_format="pyarrow")
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
+        .map_groups(per_bucket, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -203,7 +203,7 @@ def range_join_count(
         )
 
     return (
-        ds.map_batches(tag, batch_format="pyarrow")
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
+        .map_groups(per_bucket, batch_format="pyarrow", zero_copy_batch=True)
     )

@@ -127,7 +127,7 @@ def q_term_stats(sf_dir: str) -> pa.Table:
 
     agg = to_arrow(
         _docs(sf_dir)
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
     )
@@ -257,7 +257,7 @@ WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.4
 
 def q_text_stats(sf_dir: str) -> pa.Table:
     return to_arrow(
-        _docs(sf_dir).map_batches(ts_ops.TextStats(), batch_format="pyarrow")
+        _docs(sf_dir).map_batches(ts_ops.TextStats(), batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -340,7 +340,7 @@ def _grouped_counts(ds, key_fn, value_sum: bool):
     if value_sum:
         aggs.append(Sum("vsum", alias_name="vsum"))
     return to_arrow(
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("key")
         .aggregate(*aggs)
     )
@@ -614,7 +614,7 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
         )
 
     agg = to_arrow(
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("key")
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
@@ -660,7 +660,7 @@ def q_curation(sf_dir: str) -> pa.Table:
     Jaccard≥0.4 pair) → survivor stats.  Every rule is deterministic, so
     the whole composition has an exact SQL oracle."""
     docs = _docs(sf_dir)
-    stats = to_arrow(docs.map_batches(ts_ops.TextStats(), batch_format="pyarrow"))
+    stats = to_arrow(docs.map_batches(ts_ops.TextStats(), batch_format="pyarrow", zero_copy_batch=True))
     quality_ok = set(
         stats.filter(
             pc.greater_equal(stats.column("quality"), CURATION_MIN_QUALITY)
@@ -689,7 +689,7 @@ def q_curation(sf_dir: str) -> pa.Table:
             }
         )
 
-    kept = to_arrow(docs.map_batches(survivors, batch_format="pyarrow"))
+    kept = to_arrow(docs.map_batches(survivors, batch_format="pyarrow", zero_copy_batch=True))
     return kept.sort_by("doc_id")
 
 
@@ -841,7 +841,7 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
 
 def q_lang_id(sf_dir: str) -> pa.Table:
     return to_arrow(
-        _docs(sf_dir).map_batches(ts_ops.LangID(), batch_format="pyarrow")
+        _docs(sf_dir).map_batches(ts_ops.LangID(), batch_format="pyarrow", zero_copy_batch=True)
     )
 
 

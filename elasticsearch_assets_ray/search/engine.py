@@ -428,6 +428,7 @@ def score_queries_dataset(queries_ds, index_dir: str | Path, concurrency: int = 
         BulkScorer,
         fn_constructor_args=(str(index_dir),),
         batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=256,
         concurrency=concurrency,
         num_cpus=1,
@@ -500,5 +501,6 @@ def score_queries_dataset_distributed(queries_ds, engine: "QueryEngine",
             engine.actors, engine.info.stats.num_docs, engine.analyzer_name
         ),
         batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=batch_size,
     )

@@ -82,7 +82,9 @@ def read_generated(
             out.append(tbl)
         return pa.concat_tables(out) if out else make_gen_docs(0, seed=seed)
 
-    return rd.from_items(plan).map_batches(gen, batch_format="pyarrow", batch_size=1)
+    return rd.from_items(plan).map_batches(
+        gen, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
+    )
 
 
 def _with_offsets(counts):

@@ -129,6 +129,7 @@ def hydrate_dataset(results_ds, index_dir: str | Path, columns: list[str],
         DocStoreHydrator,
         fn_constructor_args=(str(index_dir), columns),
         batch_format="pyarrow",
+        zero_copy_batch=True,
         concurrency=concurrency,
         num_cpus=1,
     )
