@@ -125,8 +125,14 @@ def knn_cosine(
 def queries_from_dataset(ds, vec_ids: list[int], col: str = "embedding",
                          id_col: str = "vec_id") -> np.ndarray:
     """Fetch query vectors by id from the embedding dataset (small read)."""
-    want = set(vec_ids)
-    tbl = to_arrow(ds.filter(lambda r: r[id_col] in want))
+    want = pa.array(sorted(set(vec_ids)), pa.int64())
+
+    def pick(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return b.filter(_pc.is_in(b.column(id_col), value_set=want))
+
+    tbl = to_arrow(ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True))
     by_id = {
         int(i): np.asarray(v, dtype=np.float64)
         for i, v in zip(tbl.column(id_col).to_pylist(), tbl.column(col).to_pylist())
