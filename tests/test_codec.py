@@ -25,14 +25,37 @@ def test_varint_roundtrip(values):
 
 @pytest.mark.parametrize("n", [0, 1, 127, 128, 129, 1000])
 @pytest.mark.parametrize("block_size", [16, 128])
-def test_postings_roundtrip(n, block_size):
+@pytest.mark.parametrize("codec", ["varint", "for"])
+def test_postings_roundtrip(n, block_size, codec):
     rng = np.random.default_rng(n + block_size)
     ids = np.sort(rng.choice(10**7, size=n, replace=False)).astype(np.uint64)
     tfs = rng.integers(1, 300, n).astype(np.uint64)
-    blob = encode_postings(ids, tfs, block_size)
+    blob = encode_postings(ids, tfs, block_size, codec=codec)
     d, t = decode_postings(blob)
     assert np.array_equal(d, ids)
     assert np.array_equal(t, tfs)
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=2**40), max_size=300),
+    st.sampled_from(["varint", "for"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_postings_roundtrip_property(id_set, codec):
+    ids = np.array(sorted(id_set), dtype=np.uint64)
+    tfs = (ids % np.uint64(97) + np.uint64(1)).astype(np.uint64)
+    if len(ids) == 0:
+        return
+    blob = encode_postings(ids, tfs, 32, codec=codec)
+    d, t = decode_postings(blob)
+    assert np.array_equal(d, ids) and np.array_equal(t, tfs)
+    meta = read_meta(blob)
+    assert meta.codec == codec
+    for i in range(meta.n_blocks):
+        bd, bt = decode_block(meta, i)
+        lo = int(meta.block_doc_off[i])
+        assert np.array_equal(bd, ids[lo : lo + len(bd)])
+        assert np.array_equal(bt, tfs[lo : lo + len(bt)])
 
 
 def test_block_decode_independent():
