@@ -79,8 +79,13 @@ def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
 
 
+# bump when index layout / analyzer / scoring semantics change, so a
+# /tmp cache surviving from an earlier code version can never be reused
+CONTRACT_INDEX_VERSION = "v3"
+
+
 def doc_index_dir(sf_dir: str) -> str:
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{CONTRACT_INDEX_VERSION}:{sf_dir}".encode()).hexdigest()[:10]
     return f"/tmp/esray_contract_idx_{tag}"
 
 
