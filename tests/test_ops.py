@@ -405,3 +405,40 @@ def test_hll_accuracy_merge_and_roundtrip(ray_session):
     tbl = pa.table({"user": pa.array([f"u{i % 1500}" for i in range(10_000)])})
     est = approx_distinct(rd.from_arrow(tbl).repartition(8), "user")
     assert abs(est - 1500) / 1500 < 0.03
+
+
+def test_multisend_write_partitioned_sink(ray_session, tmp_path):
+    """The bulk sink end-to-end: route by id prefix, write parquet
+    partitioned by (connection, target_index), rows round-trip."""
+    import pyarrow.dataset as pds
+
+    from elasticsearch_assets_ray.ops.routing import multisend_write
+
+    tbl = pa.table({
+        "_id": pa.array(["a1", "b2", "c3", "a9"], pa.string()),
+        "target_index": pa.array(["logs"] * 4, pa.string()),
+        "v": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    out = tmp_path / "sink"
+    multisend_write(rd.from_arrow(tbl), str(out),
+                    {"a,b": "es1", "*": "es2"}, index_append=True)
+    back = pds.dataset(str(out), partitioning="hive").to_table()
+    assert back.num_rows == 4
+    got = {(r["connection"], r["target_index"], r["v"]) for r in back.to_pylist()}
+    assert got == {("es1", "logs-a", 1), ("es1", "logs-b", 2),
+                   ("es2", "logs-c", 3), ("es1", "logs-a", 4)}
+
+
+def test_clear_deletes(small_corpus, tmp_path):
+    from elasticsearch_assets_ray.config import IndexConfig
+    from elasticsearch_assets_ray.index.build import build_index
+    from elasticsearch_assets_ray.index.deletes import (
+        clear_deletes, delete_docs, load_deletes,
+    )
+
+    info = build_index(small_corpus, tmp_path / "idx",
+                       IndexConfig(partition_target_docs=100, shard_target_docs=200))
+    delete_docs(info.index_dir, [1, 2, 3])
+    assert sum(len(load_deletes(info.index_dir, s)) for s in info.shard_ids()) == 3
+    clear_deletes(info.index_dir)
+    assert sum(len(load_deletes(info.index_dir, s)) for s in info.shard_ids()) == 0
