@@ -856,6 +856,37 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
     return sim.knn_cosine_lsh(ds, q, KNN_QUERY_IDS, k=TOPK)
 
 
+def q_global_term_merge(sf_dir: str) -> pa.Table:
+    """Term-partitioned global merge over the contract index: the
+    groupby-on-term shuffle with hot-term salting (north-rule mechanism);
+    returns the (term, salt, df, cf) layout rows."""
+    import pyarrow.dataset as pds
+
+    from ..index.global_merge import merge_global_postings
+
+    idx = ensure_doc_index(sf_dir)
+    out = f"{idx}_global"
+    import shutil as _sh
+
+    _sh.rmtree(out, ignore_errors=True)
+    merge_global_postings(idx, out, n_salts=2, n_buckets=4, hot_df_fraction=0.5)
+    tbl = pds.dataset(out, partitioning="hive").to_table(
+        columns=["term", "salt", "df", "cf"]
+    )
+    return tbl.sort_by([("term", "ascending"), ("salt", "ascending")])
+
+
+def q_approx_distinct_users(sf_dir: str) -> pa.Table:
+    """HLL sketch over events.user_id (constant-size mergeable partials);
+    rows-only check — the estimate is approximate by design (±~1%)."""
+    from ..ops.sketch import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=14)
+    return pa.table({"metric": pa.array(["approx_distinct_user_id"], pa.string()),
+                     "estimate": pa.array([int(round(est))], pa.int64())})
+
+
 def q_date_slices(sf_dir: str) -> pa.Table:
     ts = to_arrow(
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
@@ -901,6 +932,8 @@ def queries():
         "lang_id": q_lang_id,
         "knn_lsh": q_knn_lsh,
         "date_slices": q_date_slices,
+        "global_term_merge": q_global_term_merge,
+        "approx_distinct_users": q_approx_distinct_users,
     }
 
 
