@@ -162,23 +162,31 @@ def doc_shingle_hashes(
 
 
 class _ShingleRows:
+    """Doc → one row per distinct shingle hash, carrying ``sz`` = the
+    doc's distinct-shingle count on every row — |A| is known at emission
+    time, so no per-doc size lookup (driver array or join) is ever needed
+    downstream."""
+
     def __init__(self, text_col: str, id_col: str, n: int):
         self.text_col, self.id_col, self.n = text_col, id_col, n
         self._cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_doc: list[int] = []
+        out_sz: list[int] = []
         out_sh: list[np.ndarray] = []
         ids = batch.column(self.id_col).to_pylist()
         for i, text in enumerate(batch.column(self.text_col).to_pylist()):
             h = doc_shingle_hashes(text, self.n, self._cache)
             out_doc.extend([ids[i]] * len(h))
+            out_sz.extend([len(h)] * len(h))
             out_sh.append(h)
         sh = np.concatenate(out_sh) if out_sh else np.empty(0, dtype=np.uint64)
         return pa.table(
             {
                 "doc_id": pa.array(out_doc, pa.int64()),
                 "shingle": pa.array(sh, pa.uint64()),
+                "sz": pa.array(out_sz, pa.int64()),
             }
         )
 
@@ -214,17 +222,25 @@ def _add_bucket(batch: pa.Table) -> pa.Table:
     )
 
 
-def _bucketed_pair_counts(pairs_ds, finish_fn):
+def _bucketed_pair_counts(pairs_ds, finish_fn, carry_szsum: bool = False):
     """Aggregate duplicate pair rows WITHOUT a per-key groupby: hash rows
     into a fixed bucket count, groupby(bucket) (tiny key cardinality, one
     all-to-all), then a vectorized ``np.unique(return_counts)`` inside
     each bucket group — where a per-pair sort aggregate took 8.5 s on
     1.3M rows, this takes well under a second.  ``finish_fn(pair, count)
-    → pa.Table`` runs inside the group so only survivors leave the
-    stage."""
+    → pa.Table`` (or ``finish_fn(pair, count, szsum)`` with
+    ``carry_szsum``; every duplicate of a pair carries the same szsum, so
+    any representative works) runs inside the group so only survivors
+    leave the stage."""
 
     def reduce_bucket(g: pa.Table) -> pa.Table:
         pair = g.column("pair").to_numpy()
+        if carry_szsum:
+            uniq, first, counts = np.unique(
+                pair, return_index=True, return_counts=True
+            )
+            szsum = g.column("szsum").to_numpy()[first]
+            return finish_fn(uniq, counts.astype(np.int64), szsum)
         uniq, counts = np.unique(pair, return_counts=True)
         return finish_fn(uniq, counts.astype(np.int64))
 
@@ -243,12 +259,16 @@ def _emit_pairs(g: pa.Table, max_group: int | None) -> pa.Table:
     return pa.table({"pair": pa.array(_pair_key(ids[ai], ids[bi]), pa.int64())})
 
 
-def _bucketed_emit_pairs(rows_ds, key_col: str, max_group: int | None):
+def _bucketed_emit_pairs(rows_ds, key_col: str, max_group: int | None,
+                         carry_sz: bool = False):
     """Co-occurrence pair emission without a per-key groupby: bucket the
     key space (fixed small cardinality → cheap exchange), then inside
     each bucket sort once and walk equal-key runs vectorized.  Equivalent
     to ``groupby(key).map_groups(_emit_pairs)`` but with 64 groups
-    instead of one per distinct shingle/band."""
+    instead of one per distinct shingle/band.  With ``carry_sz`` the rows
+    carry a per-doc ``sz`` column and each emitted pair carries
+    ``szsum = sz_a + sz_b`` — sizes travel WITH the pairs, so the finish
+    stage never needs a per-doc lookup (no O(N) driver state)."""
 
     def add_bucket(b: pa.Table) -> pa.Table:
         k = b.column(key_col).to_numpy()
@@ -259,8 +279,11 @@ def _bucketed_emit_pairs(rows_ds, key_col: str, max_group: int | None):
     def emit(g: pa.Table) -> pa.Table:
         key = g.column(key_col).to_numpy()
         doc = g.column("doc_id").to_numpy()
+        sz = g.column("sz").to_numpy() if carry_sz else None
         order = np.lexsort((doc, key))
         key, doc = key[order], doc[order]
+        if carry_sz:
+            sz = sz[order]
         starts = np.nonzero(np.concatenate([[True], key[1:] != key[:-1]]))[0]
         ends = np.concatenate([starts[1:], [len(key)]])
         lens = ends - starts
@@ -268,15 +291,24 @@ def _bucketed_emit_pairs(rows_ds, key_col: str, max_group: int | None):
         if max_group is not None:
             keep &= lens <= max_group
         out: list[np.ndarray] = []
+        out_sz: list[np.ndarray] = []
         for lo, hi in zip(starts[keep].tolist(), ends[keep].tolist()):
             ids = doc[lo:hi]
-            ids = ids[np.concatenate([[True], ids[1:] != ids[:-1]])]
+            mask = np.concatenate([[True], ids[1:] != ids[:-1]])
+            ids = ids[mask]
             if len(ids) < 2:
                 continue
             ai, bi = np.triu_indices(len(ids), k=1)
             out.append(_pair_key(ids[ai], ids[bi]))
+            if carry_sz:
+                s = sz[lo:hi][mask]
+                out_sz.append(s[ai] + s[bi])
         pairs = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
-        return pa.table({"pair": pa.array(pairs, pa.int64())})
+        cols = {"pair": pa.array(pairs, pa.int64())}
+        if carry_sz:
+            szsum = np.concatenate(out_sz) if out_sz else np.empty(0, np.int64)
+            cols["szsum"] = pa.array(szsum, pa.int64())
+        return pa.table(cols)
 
     return (
         rows_ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
@@ -285,25 +317,41 @@ def _bucketed_emit_pairs(rows_ds, key_col: str, max_group: int | None):
     )
 
 
-def _shingle_set_sizes(shingles) -> np.ndarray:
-    """|A| per doc_id as a dense array — the broadcast small side.  Each
-    doc's (distinct) shingle rows are emitted by exactly one batch, so
-    per-batch counts are exact; no groupby needed."""
+def jaccard_pairs_ds(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_shingle_df: int | None = None,
+):
+    """Exact n-gram Jaccard similar pairs as a streaming Dataset
+    (doc_a, doc_b, common, jacc) — see :func:`jaccard_pairs`.
 
-    def counts(b: pa.Table) -> pa.Table:
-        d, c = np.unique(b.column("doc_id").to_numpy(), return_counts=True)
-        return pa.table({"doc_id": pa.array(d, pa.int64()),
-                         "sz": pa.array(c.astype(np.int64))})
+    Single pass, no driver state: shingle rows carry |A| (``sz``), pair
+    rows carry ``szsum = |A|+|B|``, so the finish stage computes
+    ``jacc = common / (szsum - common)`` entirely inside its bucket.
+    """
+    shingles = ds.map_batches(
+        _ShingleRows(text_col, id_col, n), batch_format="pyarrow"
+    )
+    pairs = _bucketed_emit_pairs(shingles, "shingle", max_shingle_df, carry_sz=True)
 
-    t = to_arrow(shingles.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True))
-    if t.num_rows == 0:
-        return np.zeros(1, dtype=np.int64)
-    d = t.column("doc_id").to_numpy()
-    out = np.zeros(int(d.max()) + 1, dtype=np.int64)
-    # a doc could straddle two blocks only if the upstream re-batches;
-    # accumulate to stay correct regardless
-    np.add.at(out, d, t.column("sz").to_numpy())
-    return out
+    def finish(pair: np.ndarray, common: np.ndarray, szsum: np.ndarray) -> pa.Table:
+        a = (pair >> np.int64(32)).astype(np.int64)
+        b = (pair & np.int64(0xFFFFFFFF)).astype(np.int64)
+        jacc = common / (szsum - common)
+        keep = jacc >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "common": pa.array(common[keep], pa.int64()),
+                "jacc": pa.array(jacc[keep], pa.float64()),
+            }
+        )
+
+    return _bucketed_pair_counts(pairs, finish, carry_szsum=True)
 
 
 def jaccard_pairs(
@@ -319,30 +367,9 @@ def jaccard_pairs(
     Requires doc ids < 2^31 (pair key packing).  ``max_shingle_df`` drops
     shingle groups larger than the cap (scale valve; None = exact).
     """
-    shingles = ds.map_batches(
-        _ShingleRows(text_col, id_col, n), batch_format="pyarrow"
-    ).materialize()  # consumed twice (sizes + pairs); one tokenize pass.
-    # At 10^12-doc scale prefer a persisted intermediate (write_parquet)
-    # over object-store materialization; here the rows spill fine.
-    sizes_ref = ray.put(_shingle_set_sizes(shingles))
-    pairs = _bucketed_emit_pairs(shingles, "shingle", max_shingle_df)
-
-    def finish(pair: np.ndarray, common: np.ndarray) -> pa.Table:
-        sz = ray.get(sizes_ref)
-        a = (pair >> np.int64(32)).astype(np.int64)
-        b = (pair & np.int64(0xFFFFFFFF)).astype(np.int64)
-        jacc = common / (sz[a] + sz[b] - common)
-        keep = jacc >= threshold
-        return pa.table(
-            {
-                "doc_a": pa.array(a[keep], pa.int64()),
-                "doc_b": pa.array(b[keep], pa.int64()),
-                "common": pa.array(common[keep], pa.int64()),
-                "jacc": pa.array(jacc[keep], pa.float64()),
-            }
-        )
-
-    out = to_arrow(_bucketed_pair_counts(pairs, finish))
+    out = to_arrow(
+        jaccard_pairs_ds(ds, text_col, id_col, n, threshold, max_shingle_df)
+    )
     out = _canonical_pairs(out, ["doc_a", "doc_b", "common", "jacc"])
     return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
@@ -415,6 +442,102 @@ class MinHashBands:
         )
 
 
+class _CandidateShingleRows:
+    """For each doc that participates in ≥1 candidate pair, re-emit its
+    distinct shingle hashes once PER PAIR it belongs to, keyed by the
+    pair.  The broadcast small side is the candidate doc→pairs map
+    (O(#candidate pairs)), never the corpus."""
+
+    def __init__(self, doc_pairs_ref, text_col: str, id_col: str, n: int):
+        self.doc_pairs_ref = doc_pairs_ref
+        self.text_col, self.id_col, self.n = text_col, id_col, n
+        self._map = None
+        self._cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._map is None:
+            self._map = ray.get(self.doc_pairs_ref)
+        out_pair: list[np.ndarray] = []
+        out_sh: list[np.ndarray] = []
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        for i, d in enumerate(ids):
+            pairs = self._map.get(int(d))
+            if pairs is None:
+                continue
+            h = doc_shingle_hashes(texts[i], self.n, self._cache)
+            if len(h) == 0:
+                continue
+            out_pair.append(np.repeat(pairs, len(h)))
+            out_sh.append(np.tile(h, len(pairs)))
+        pair = np.concatenate(out_pair) if out_pair else np.empty(0, np.int64)
+        sh = np.concatenate(out_sh) if out_sh else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "pair": pa.array(pair, pa.int64()),
+                "shingle": pa.array(sh, pa.uint64()),
+            }
+        )
+
+
+def verify_pairs_jaccard(ds, cand_pairs: np.ndarray, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 3,
+                         threshold: float = 0.4):
+    """Exact-Jaccard verification of candidate pairs WITHOUT whole-corpus
+    driver state → Dataset(doc_a, doc_b, jacc).
+
+    A pair's keyed rows are A's distinct shingles ++ B's distinct
+    shingles, so per pair ``total = |A| + |B|`` and shingle values seen
+    twice = ``|A ∩ B|``; ``jacc = common / (total - common)``.  One
+    pair-hash-bucketed exchange; per-bucket work is one lexsort +
+    run-length kernels.  The only broadcast is the candidate doc→pairs
+    map (the small side by construction — candidates are the output
+    scale, not the corpus scale).
+    """
+    a = (cand_pairs >> np.int64(32)).astype(np.int64)
+    b = (cand_pairs & np.int64(0xFFFFFFFF)).astype(np.int64)
+    doc_pairs: dict[int, list[int]] = {}
+    for i in range(len(cand_pairs)):
+        doc_pairs.setdefault(int(a[i]), []).append(int(cand_pairs[i]))
+        doc_pairs.setdefault(int(b[i]), []).append(int(cand_pairs[i]))
+    doc_pairs_np = {d: np.asarray(p, dtype=np.int64) for d, p in doc_pairs.items()}
+    doc_pairs_ref = ray.put(doc_pairs_np)
+
+    rows = ds.map_batches(
+        _CandidateShingleRows(doc_pairs_ref, text_col, id_col, n),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pair = g.column("pair").to_numpy()
+        sh = g.column("shingle").to_numpy()
+        order = np.lexsort((sh, pair))
+        p, s = pair[order], sh[order]
+        uniq, total = np.unique(p, return_counts=True)
+        # duplicate (pair, shingle) adjacency == shingle present in BOTH
+        # docs (each doc's shingles are distinct)
+        dup = (p[1:] == p[:-1]) & (s[1:] == s[:-1])
+        common = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(common, np.searchsorted(uniq, p[1:][dup]), 1)
+        jacc = common / (total - common)
+        keep = jacc >= threshold
+        up = uniq[keep]
+        return pa.table(
+            {
+                "doc_a": pa.array((up >> np.int64(32)).astype(np.int64), pa.int64()),
+                "doc_b": pa.array((up & np.int64(0xFFFFFFFF)).astype(np.int64), pa.int64()),
+                "jacc": pa.array(jacc[keep], pa.float64()),
+            }
+        )
+
+    return (
+        rows.map_batches(_add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 def minhash_lsh_pairs(
     ds,
     text_col: str = "text",
@@ -427,9 +550,9 @@ def minhash_lsh_pairs(
     """MinHash+LSH candidate pairs, exact-Jaccard verified →
     pa.Table(doc_a, doc_b, jacc).
 
-    Verification broadcasts the per-doc shingle-hash sets (test scale);
-    the 10^12-doc path verifies by joining shingle rows on the candidate
-    pairs instead — same math, one more shuffle.
+    Verification is a candidate-keyed shuffle join over re-emitted
+    shingle rows (:func:`verify_pairs_jaccard`) — no per-doc shingle-set
+    dict ever materializes on the driver.
     """
     band_rows = ds.map_batches(
         MinHashBands(text_col, id_col, n, num_perm, bands),
@@ -440,50 +563,14 @@ def minhash_lsh_pairs(
     candidates = _bucketed_pair_counts(
         raw_pairs, lambda pair, _c: pa.table({"pair": pa.array(pair, pa.int64())})
     )
-
-    def shingle_sets(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        hs = [doc_shingle_hashes(t, n) for t in batch.column(text_col).to_pylist()]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "hashes": pa.array([h.tolist() for h in hs], pa.list_(pa.uint64())),
-            }
+    cand = to_arrow(candidates)
+    if cand.num_rows == 0:
+        return _canonical_pairs(pa.table({}), ["doc_a", "doc_b", "jacc"])
+    out = to_arrow(
+        verify_pairs_jaccard(
+            ds, cand.column("pair").to_numpy(), text_col, id_col, n, threshold
         )
-
-    sets_tbl = to_arrow(ds.map_batches(shingle_sets, batch_format="pyarrow", zero_copy_batch=True))
-    lookup = {
-        int(d): np.asarray(h, dtype=np.uint64)
-        for d, h in zip(
-            sets_tbl.column("doc_id").to_pylist(), sets_tbl.column("hashes").to_pylist()
-        )
-    }
-    lookup_ref = ray.put(lookup)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        lk = ray.get(lookup_ref)
-        pair = batch.column("pair").to_numpy()
-        a = (pair >> np.int64(32)).astype(np.int64)
-        b = (pair & np.int64(0xFFFFFFFF)).astype(np.int64)
-        out_a, out_b, out_j = [], [], []
-        for x, y in zip(a.tolist(), b.tolist()):
-            ha, hb = lk[x], lk[y]
-            common = len(np.intersect1d(ha, hb, assume_unique=True))
-            denom = len(ha) + len(hb) - common
-            j = common / denom if denom else 0.0
-            if j >= threshold:
-                out_a.append(x)
-                out_b.append(y)
-                out_j.append(j)
-        return pa.table(
-            {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jacc": pa.array(out_j, pa.float64()),
-            }
-        )
-
-    out = to_arrow(candidates.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True))
+    )
     out = _canonical_pairs(out, ["doc_a", "doc_b", "jacc"])
     return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 

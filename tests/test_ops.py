@@ -131,6 +131,73 @@ def test_knn_lsh_self_hit_and_subset():
         assert got.column("sim_r").to_pylist()[0] == 1.0
 
 
+def test_cosine_dup_pairs_block_tiled_matches_bruteforce():
+    """The block-pair exact path (multiple blocks) equals the driver-side
+    brute force — every pair covered exactly once, no driver matrix."""
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((50, 8)).astype(np.float32)
+    mat[11] = mat[3] + 0.01 * rng.standard_normal(8).astype(np.float32)
+    mat[27] = mat[4]
+    ds = _emb_ds(mat)
+    out = sim.cosine_dup_pairs(ds, threshold=0.8, block_rows=16)  # 4 blocks
+    m64 = mat.astype(np.float64)
+    norm = m64 / np.linalg.norm(m64, axis=1)[:, None]
+    sims = np.round(norm @ norm.T, 4)
+    ii, jj = np.nonzero(np.triu(sims >= 0.8, k=1))
+    want = sorted(zip(ii.tolist(), jj.tolist()))
+    got = sorted(zip(out.column("vec_a").to_pylist(), out.column("vec_b").to_pylist()))
+    assert got == want
+    for r in out.to_pylist():
+        assert r["sim_r"] == sims[r["vec_a"], r["vec_b"]]
+
+
+def test_cosine_dup_pairs_lsh_subset_of_exact():
+    rng = np.random.default_rng(10)
+    mat = rng.standard_normal((40, 8)).astype(np.float32)
+    mat[7] = mat[2] + 0.001 * rng.standard_normal(8).astype(np.float32)
+    ds = _emb_ds(mat)
+    exact = sim.cosine_dup_pairs(ds, threshold=0.9, block_rows=1000)
+    approx = sim.cosine_dup_pairs_lsh(ds, threshold=0.9)
+    exact_pairs = set(zip(exact.column("vec_a").to_pylist(), exact.column("vec_b").to_pylist()))
+    approx_pairs = set(zip(approx.column("vec_a").to_pylist(), approx.column("vec_b").to_pylist()))
+    assert approx_pairs <= exact_pairs  # verification is exact → no false positives
+    assert (2, 7) in approx_pairs      # near-identical vectors share every bucket
+    # verified sims match the exact path's values
+    ex = {(r["vec_a"], r["vec_b"]): r["sim_r"] for r in exact.to_pylist()}
+    for r in approx.to_pylist():
+        assert r["sim_r"] == ex[(r["vec_a"], r["vec_b"])]
+
+
+def test_verify_pairs_jaccard_matches_driver_dict_verify():
+    """The distributed candidate verify equals the round-1 driver-dict
+    implementation (re-stated inline) on every candidate pair."""
+    texts = [
+        " ".join(f"w{i}" for i in range(30)),
+        " ".join(f"w{i}" for i in range(28)) + " aa bb",
+        " ".join(f"v{i}" for i in range(30)),
+        " ".join(f"v{i}" for i in range(25)) + " cc dd ee ff gg",
+        "tiny",
+    ]
+    ds = _docs_ds(texts)
+    cand = np.array(
+        [(0 << 32) | 1, (2 << 32) | 3, (0 << 32) | 2, (1 << 32) | 4],
+        dtype=np.int64,
+    )
+    out = to_arrow(dd.verify_pairs_jaccard(ds, cand, threshold=0.0)).to_pylist()
+    got = {(r["doc_a"], r["doc_b"]): r["jacc"] for r in out}
+    sets = {i: dd.doc_shingle_hashes(t) for i, t in enumerate(texts)}
+    for p in cand.tolist():
+        a, b = p >> 32, p & 0xFFFFFFFF
+        ha, hb = sets[a], sets[b]
+        common = len(np.intersect1d(ha, hb, assume_unique=True))
+        denom = len(ha) + len(hb) - common
+        if denom == 0 or len(ha) == 0 or len(hb) == 0:
+            # docs with no shingles are unverifiable → pair dropped (or
+            # scored with the present side only); never a false positive
+            continue
+        assert got[(a, b)] == common / denom
+
+
 # --------------------------------------------------------------- textstats
 
 
