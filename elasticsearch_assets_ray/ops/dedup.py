@@ -135,16 +135,15 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 _SHINGLE_A = np.uint64(0x9E3779B97F4A7C15)  # odd mixing constant
 
 
-def doc_shingle_hashes(
-    text: str, n: int = 3, _cache: dict | None = None
+def shingle_hashes_from_tokens(
+    toks: list[str], n: int = 3, _cache: dict | None = None
 ) -> np.ndarray:
-    """Sorted distinct uint64 hashes of the doc's n-gram token shingles.
+    """Sorted distinct uint64 hashes of the token list's n-gram shingles.
 
     Vectorized: per-token md5 hashes (memoized in ``_cache`` — tokens
     repeat heavily across a corpus) combined with a degree-(n-1)
     polynomial in odd constants over uint64 wraparound; one numpy pass
     per document instead of one md5 per shingle."""
-    toks = clipped_tokens(text)
     if len(toks) < n:
         return np.empty(0, dtype=np.uint64)
     cache = _cache if _cache is not None else {}
@@ -159,6 +158,14 @@ def doc_shingle_hashes(
         acc *= _SHINGLE_A
         acc += th[j : len(toks) - n + 1 + j]
     return np.unique(acc)
+
+
+def doc_shingle_hashes(
+    text: str, n: int = 3, _cache: dict | None = None
+) -> np.ndarray:
+    """Shingle hashes of the doc's contract tokenization (see
+    :func:`shingle_hashes_from_tokens`)."""
+    return shingle_hashes_from_tokens(clipped_tokens(text), n, _cache)
 
 
 class _ShingleRows:
@@ -284,25 +291,34 @@ def _bucketed_emit_pairs(rows_ds, key_col: str, max_group: int | None,
         key, doc = key[order], doc[order]
         if carry_sz:
             sz = sz[order]
+        # drop duplicate (key, doc) rows up front so every run has
+        # distinct docs — lets the pair kernel below batch runs by length
+        dup = (key[1:] == key[:-1]) & (doc[1:] == doc[:-1])
+        if dup.any():
+            keepm = np.concatenate([[True], ~dup])
+            key, doc = key[keepm], doc[keepm]
+            if carry_sz:
+                sz = sz[keepm]
         starts = np.nonzero(np.concatenate([[True], key[1:] != key[:-1]]))[0]
-        ends = np.concatenate([starts[1:], [len(key)]])
-        lens = ends - starts
+        lens = np.diff(np.concatenate([starts, [len(key)]]))
         keep = lens >= 2
         if max_group is not None:
             keep &= lens <= max_group
+        kept_starts, kept_lens = starts[keep], lens[keep]
         out: list[np.ndarray] = []
         out_sz: list[np.ndarray] = []
-        for lo, hi in zip(starts[keep].tolist(), ends[keep].tolist()):
-            ids = doc[lo:hi]
-            mask = np.concatenate([[True], ids[1:] != ids[:-1]])
-            ids = ids[mask]
-            if len(ids) < 2:
-                continue
-            ai, bi = np.triu_indices(len(ids), k=1)
-            out.append(_pair_key(ids[ai], ids[bi]))
+        # vectorized across runs: one triu kernel per DISTINCT run length
+        # (dozens of lengths, not 10^5 runs — the former per-run Python
+        # loop was the stage's hot spot)
+        for length in np.unique(kept_lens).tolist():
+            runs = kept_starts[kept_lens == length]
+            idx = runs[:, None] + np.arange(length)
+            dm = doc[idx]
+            ai, bi = np.triu_indices(length, k=1)
+            out.append(_pair_key(dm[:, ai].ravel(), dm[:, bi].ravel()))
             if carry_sz:
-                s = sz[lo:hi][mask]
-                out_sz.append(s[ai] + s[bi])
+                sm = sz[idx]
+                out_sz.append((sm[:, ai] + sm[:, bi]).ravel())
         pairs = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
         cols = {"pair": pa.array(pairs, pa.int64())}
         if carry_sz:

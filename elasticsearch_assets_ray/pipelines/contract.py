@@ -663,38 +663,28 @@ def q_curation(sf_dir: str) -> pa.Table:
     """Composed training-data curation pipeline: quality gate → exact
     dedup (keep min-id per sha) → near-dup drop (larger id of any
     Jaccard≥0.4 pair) → survivor stats.  Every rule is deterministic, so
-    the whole composition has an exact SQL oracle."""
-    docs = _docs(sf_dir)
-    stats = to_arrow(docs.map_batches(ts_ops.TextStats(), batch_format="pyarrow", zero_copy_batch=True))
-    quality_ok = set(
-        stats.filter(
-            pc.greater_equal(stats.column("quality"), CURATION_MIN_QUALITY)
-        ).column("doc_id").to_pylist()
-    )
-    groups = to_arrow(dd.exact_dedup_groups(docs))
-    sha_keep = set(groups.column("keep_id").to_pylist())
-    pairs = dd.jaccard_pairs(docs, threshold=CURATION_JACC)
-    near_drop = set(pairs.column("doc_b").to_pylist())
-    import ray as _ray
+    the whole composition has an exact SQL oracle.
 
-    keep_ref = _ray.put((quality_ok & sha_keep) - near_drop)
+    Fully Dataset-native (``pipelines.curation``): one shared tokenize
+    pass feeds all three gates; keep/drop decisions travel as columns
+    through bucketed exchanges — no driver-side keep-sets."""
+    import shutil
+    import tempfile
 
-    def survivors(batch: pa.Table) -> pa.Table:
-        import ray as _r
+    from .curation import curate
 
-        keep = _r.get(keep_ref)
-        mask = pa.array([d in keep for d in batch.column("doc_id").to_pylist()])
-        out = batch.filter(mask)
-        toks = [len(ts_ops.clipped_tokens(t)) for t in out.column("text").to_pylist()]
-        return pa.table(
-            {
-                "doc_id": out.column("doc_id"),
-                "lang": out.column("lang"),
-                "token_count": pa.array(toks, pa.int64()),
-            }
+    spill = tempfile.mkdtemp(prefix="esray_curation_")
+    try:
+        kept = to_arrow(
+            curate(
+                _docs(sf_dir),
+                spill,
+                min_quality=CURATION_MIN_QUALITY,
+                jacc_threshold=CURATION_JACC,
+            )
         )
-
-    kept = to_arrow(docs.map_batches(survivors, batch_format="pyarrow", zero_copy_batch=True))
+    finally:
+        shutil.rmtree(spill, ignore_errors=True)
     return kept.sort_by("doc_id")
 
 
