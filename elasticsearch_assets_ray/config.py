@@ -17,12 +17,20 @@ class BM25Params:
 
     k1: float = 1.2
     b: float = 0.75
+    # when set, top-k cuts preserve ties under round(score, round_decimals)
+    # — any doc whose ROUNDED score equals the rounded kth-best survives
+    # every per-shard / merge truncation, so a downstream re-rank on
+    # rounded scores (the oracle comparison policy) can never lose a tie
+    # member to an upstream cut
+    round_decimals: int | None = None
 
     def __post_init__(self) -> None:
         if self.k1 < 0:
             raise ValueError(f"k1 must be >= 0, got {self.k1}")
         if not (0.0 <= self.b <= 1.0):
             raise ValueError(f"b must be in [0, 1], got {self.b}")
+        if self.round_decimals is not None and self.round_decimals < 0:
+            raise ValueError("round_decimals must be None or >= 0")
 
 
 @dataclass(frozen=True)

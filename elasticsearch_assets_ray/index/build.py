@@ -535,6 +535,8 @@ def build_index(
         id_col=config.id_col,
         meta_cols=tuple(config.meta_cols),
         postings_codec=config.postings_codec,
+        min_token_len=config.min_token_len,
+        max_token_len=config.max_token_len,
     )
     existing = BuildManifest.load(index_dir) if resume else None
     if existing is not None and existing.plan_fingerprint() == plan.plan_fingerprint():
@@ -552,6 +554,8 @@ def build_index(
             id_col=config.id_col,
             meta_cols=tuple(config.meta_cols),
             postings_codec=config.postings_codec,
+            min_token_len=config.min_token_len,
+            max_token_len=config.max_token_len,
         )
         if appended is not None:
             # incremental append: old shards stay checkpointed, only new

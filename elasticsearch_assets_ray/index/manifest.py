@@ -81,6 +81,11 @@ class BuildManifest:
     id_col: str | None = None
     meta_cols: list[str] = field(default_factory=lambda: ["repo", "path"])
     postings_codec: str = "varint"
+    # tokenization-affecting config: MUST travel with the manifest so a
+    # resume/append under a changed clip can never silently reuse stale
+    # segments, and the query side clips exactly as the build did
+    min_token_len: int = 1
+    max_token_len: int = 64
     partitions: list[PartitionPlan] = field(default_factory=list)
     shards: dict[int, ShardState] = field(default_factory=dict)
 
@@ -98,6 +103,8 @@ class BuildManifest:
                 "id_col": self.id_col,
                 "meta_cols": list(self.meta_cols),
                 "postings_codec": self.postings_codec,
+                "min_token_len": self.min_token_len,
+                "max_token_len": self.max_token_len,
                 "partitions": [asdict(p) for p in self.partitions],
                 "shards": {str(k): asdict(v) for k, v in self.shards.items()},
             },
@@ -119,6 +126,8 @@ class BuildManifest:
             id_col=d.get("id_col"),
             meta_cols=list(d.get("meta_cols", ["repo", "path"])),
             postings_codec=d.get("postings_codec", "varint"),
+            min_token_len=d.get("min_token_len", 1),
+            max_token_len=d.get("max_token_len", 64),
         )
         m.partitions = [PartitionPlan(**p) for p in d["partitions"]]
         m.shards = {int(k): ShardState(**v) for k, v in d["shards"].items()}
@@ -147,6 +156,8 @@ class BuildManifest:
             self.id_col,
             tuple(self.meta_cols),
             self.postings_codec,
+            self.min_token_len,
+            self.max_token_len,
         )
 
 
@@ -162,6 +173,8 @@ def plan_append(
     id_col: str | None = None,
     meta_cols: tuple[str, ...] = ("repo", "path"),
     postings_codec: str = "varint",
+    min_token_len: int = 1,
+    max_token_len: int = 64,
 ) -> "BuildManifest | None":
     """Incremental append: plan ONLY files not in ``existing``.
 
@@ -184,6 +197,8 @@ def plan_append(
         and existing.id_col == id_col
         and list(existing.meta_cols) == list(meta_cols)
         and existing.postings_codec == postings_codec
+        and existing.min_token_len == min_token_len
+        and existing.max_token_len == max_token_len
     )
     if not params_same:
         return None
@@ -198,6 +213,7 @@ def plan_append(
         new_files, analyzer, partition_target_docs, shard_target_docs,
         block_size, text_col=text_col, lang_col=lang_col, id_col=id_col,
         meta_cols=meta_cols, postings_codec=postings_codec,
+        min_token_len=min_token_len, max_token_len=max_token_len,
     )
     pid0 = (max((p.partition_id for p in existing.partitions), default=-1)) + 1
     sid0 = (max(existing.shards, default=-1)) + 1
@@ -214,6 +230,8 @@ def plan_append(
         id_col=id_col,
         meta_cols=list(meta_cols),
         postings_codec=postings_codec,
+        min_token_len=min_token_len,
+        max_token_len=max_token_len,
     )
     merged.partitions = list(existing.partitions) + [
         PartitionPlan(
@@ -261,6 +279,8 @@ def plan_build(
     id_col: str | None = None,
     meta_cols: tuple[str, ...] = ("repo", "path"),
     postings_codec: str = "varint",
+    min_token_len: int = 1,
+    max_token_len: int = 64,
 ) -> BuildManifest:
     """Plan partitions + shards from Parquet footer metadata only.
 
@@ -363,6 +383,8 @@ def plan_build(
         id_col=id_col,
         meta_cols=list(meta_cols),
         postings_codec=postings_codec,
+        min_token_len=min_token_len,
+        max_token_len=max_token_len,
         partitions=fixed,
         shards=shards,
     )

@@ -37,8 +37,9 @@ def timeseries_index_name(ts: pa.Array | pa.ChunkedArray, prefix: str,
     if granularity not in GRANULARITIES:
         raise ValueError(f"granularity must be one of {GRANULARITIES}")
     if granularity == "weekly":
-        ms = pc.divide(pc.cast(ts, pa.int64()), 1000)  # us → ms
-        weeks = pc.cast(pc.floor(pc.divide(pc.cast(ms, pa.float64()), WEEK_MS)), pa.int64())
+        from . import epoch_ms
+
+        weeks = pa.array(epoch_ms(ts) // WEEK_MS, pa.int64())
         return pc.binary_join_element_wise(
             pa.scalar(prefix + "-"), pc.cast(weeks, pa.string()), ""
         )
@@ -50,7 +51,20 @@ def timeseries_index_name(ts: pa.Array | pa.ChunkedArray, prefix: str,
 class IndexSelectorConfig:
     """Mirror of the reference op's config surface
     (``asset/elasticsearch_index_selector/index.js:141-289``) for the
-    columnar equivalent; validated eagerly like its crossValidation."""
+    columnar equivalent; validated eagerly like its crossValidation.
+
+    Update/upsert body semantics (``index.js:92-128``):
+
+    * ``upsert`` action → ``upsert_doc`` = the whole record (inserted
+      when the key is absent);
+    * non-empty ``update_fields`` → ``update_doc`` = projection of those
+      fields (in the configured order);
+    * else a ``script`` / ``script_file`` → ``script`` body with
+      ``params`` = ``{key: record[field]}`` for each configured
+      ``(key, field)``, skipping falsy record values (the reference's
+      ``if (record[field])`` guard);
+    * else → ``update_doc`` = the whole record (full-document merge).
+    """
 
     index: str
     action: str = "index"  # index | create | update | upsert | delete
@@ -58,6 +72,10 @@ class IndexSelectorConfig:
     timeseries: str | None = None  # daily | monthly | yearly | weekly
     id_field: str | None = None
     update_fields: tuple[str, ...] = field(default_factory=tuple)
+    script: str | None = None
+    script_file: str | None = None
+    script_params: tuple[tuple[str, str], ...] = field(default_factory=tuple)
+    update_retry_on_conflict: int = 0
 
     def __post_init__(self) -> None:
         if self.action not in ("index", "create", "update", "upsert", "delete"):
@@ -70,14 +88,68 @@ class IndexSelectorConfig:
                 raise ValueError("timeseries requires date_field")
         if self.update_fields and self.action not in ("update", "upsert"):
             raise ValueError("update_fields requires update/upsert action")
+        if (self.script or self.script_file or self.script_params) and (
+            self.action not in ("update", "upsert")
+        ):
+            raise ValueError("script options require update/upsert action")
+        if self.script and self.script_file:
+            raise ValueError("script and script_file are mutually exclusive")
+
+
+def _json_compact(obj) -> str:
+    import json
+
+    return json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
 
 
 class IndexSelector:
     """map_batches stage appending ``target_index``, ``action`` and
-    (optionally) ``_id`` routing columns."""
+    (optionally) ``_id`` routing columns, plus — for update/upsert
+    actions — the JSON body columns ``update_doc`` / ``upsert_doc`` /
+    ``script`` (the columnar equivalent of the reference's interleaved
+    ``[{update: meta}, {doc|upsert|script}]`` bulk rows,
+    ``index.js:92-131``) and ``retry_on_conflict`` when configured."""
 
     def __init__(self, config: IndexSelectorConfig):
         self.cfg = config
+
+    def _bodies(self, batch: pa.Table) -> dict[str, pa.Array]:
+        cfg = self.cfg
+        records = batch.to_pylist()
+        out: dict[str, pa.Array] = {}
+        if cfg.action == "upsert":
+            out["upsert_doc"] = pa.array(
+                [_json_compact(r) for r in records], pa.string()
+            )
+        if cfg.update_fields:
+            out["update_doc"] = pa.array(
+                [
+                    _json_compact({f: r.get(f) for f in cfg.update_fields})
+                    for r in records
+                ],
+                pa.string(),
+            )
+        elif cfg.script or cfg.script_file:
+            key = "source" if cfg.script else "file"
+            src = cfg.script or cfg.script_file
+            scripts = []
+            for r in records:
+                params = {
+                    k: r[f]
+                    for k, f in cfg.script_params
+                    if r.get(f)  # reference skips falsy values
+                }
+                scripts.append(_json_compact({key: src, "params": params}))
+            out["script"] = pa.array(scripts, pa.string())
+        else:
+            out["update_doc"] = pa.array(
+                [_json_compact(r) for r in records], pa.string()
+            )
+        if cfg.update_retry_on_conflict > 0:
+            out["retry_on_conflict"] = pa.array(
+                [cfg.update_retry_on_conflict] * batch.num_rows, pa.int32()
+            )
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -87,6 +159,9 @@ class IndexSelector:
             )
         else:
             idx = pa.array([self.cfg.index] * n, pa.string())
+        bodies = (
+            self._bodies(batch) if self.cfg.action in ("update", "upsert") else {}
+        )
         batch = batch.append_column("target_index", idx)
         batch = batch.append_column(
             "action", pa.array([self.cfg.action] * n, pa.string())
@@ -95,6 +170,8 @@ class IndexSelector:
             batch = batch.append_column(
                 "_id", pc.cast(batch.column(self.cfg.id_field), pa.string())
             )
+        for name, arr in bodies.items():
+            batch = batch.append_column(name, arr)
         return batch
 
 

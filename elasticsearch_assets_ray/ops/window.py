@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from . import epoch_ms, epoch_us
+
 N_BUCKETS = 64
 
 
@@ -36,7 +38,7 @@ def sliding_window_counts(ds, ts_col: str = "ts", window_ms: int = 21_600_000,
     fanout = window_ms // slide_ms
 
     def partial(batch: pa.Table) -> pa.Table:
-        ms = batch.column(ts_col).cast(pa.int64()).to_numpy() // 1000
+        ms = epoch_ms(batch.column(ts_col))
         base = ms // slide_ms
         wins = (base[:, None] - np.arange(fanout, dtype=np.int64)[None, :]).reshape(-1)
         uniq, counts = np.unique(wins, return_counts=True)
@@ -83,7 +85,7 @@ def asof_join(
             {
                 "key": pa.array(keys, pa.int64()),
                 "bucket": pa.array((keys % N_BUCKETS).astype(np.int32)),
-                "ts": pa.array(batch.column(ts_col).cast(pa.int64()).to_numpy()[keep]),
+                "ts": pa.array(epoch_us(batch.column(ts_col))[keep]),
                 "id": pa.array(batch.column(id_col).to_numpy()[keep], pa.int64()),
                 "is_left": pa.array(lm[keep]),
             }
@@ -162,7 +164,7 @@ def range_join_count(
             {
                 "key": pa.array(keys, pa.int64()),
                 "bucket": pa.array((keys % N_BUCKETS).astype(np.int32)),
-                "ts": pa.array(batch.column(ts_col).cast(pa.int64()).to_numpy()),
+                "ts": pa.array(epoch_us(batch.column(ts_col))),
                 "id": pa.array(batch.column(id_col).to_numpy(), pa.int64()),
                 "is_anchor": pa.array(am),
             }

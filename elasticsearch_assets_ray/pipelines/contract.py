@@ -162,8 +162,17 @@ ORDER BY df DESC, cf DESC, term LIMIT 100
 
 
 def q_bm25_topk(sf_dir: str) -> pa.Table:
-    """Full engine path: inverted-index build (resumable) → actor-pool
-    BM25 scoring → doc-store hydration → rounded re-rank."""
+    """Full engine path: inverted-index build (resumable) → shard-actor
+    BM25 scoring (per-actor memory bounded by its shard subset — the
+    10^12-doc serving shape) → doc-store hydration → rounded re-rank.
+
+    Fetches K_FETCH with rounded-tie preservation (BM25Params
+    round_decimals), so the downstream (round(score,4) DESC, doc_id ASC)
+    re-rank can never disagree with the SQL oracle on a tie class that
+    straddles the fetch cut."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine, score_queries_dataset_distributed
+
     idx = ensure_doc_index(sf_dir)
     qtbl = pa.table(
         {
@@ -172,7 +181,13 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
             "k": pa.array([K_FETCH] * len(BM25_QUERIES), pa.int32()),
         }
     )
-    out = to_arrow(score_queries_dataset(rd.from_arrow(qtbl), idx, concurrency=2))
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        out = to_arrow(
+            score_queries_dataset_distributed(rd.from_arrow(qtbl), engine)
+        )
+    finally:
+        engine.shutdown()
     store = DocStore(idx, columns=["doc_id", "orig_id"])
     orig = store.mget(out.column("doc_id").to_numpy()).column("orig_id").to_numpy()
     qids = out.column("query_id").to_numpy()
@@ -721,6 +736,89 @@ WHERE st.doc_id IN (SELECT doc_id FROM q)
 """
 
 
+UPDATE_SCRIPT = "ctx._source.n_chars += params.x"
+
+
+def q_update_bodies(sf_dir: str) -> pa.Table:
+    """Reference index_selector update/upsert/script body construction
+    (``asset/elasticsearch_index_selector/index.js:92-128``): one
+    upsert-with-update_fields selector and one script selector over the
+    same input, bodies emitted as JSON columns (golden cases in
+    ``test/index_selector-spec.js:144-290``)."""
+    from ..ops.routing import IndexSelector, IndexSelectorConfig
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+    sel_fields = IndexSelector(
+        IndexSelectorConfig(
+            index="docs", action="upsert", id_field="doc_id",
+            update_fields=("lang", "source"), update_retry_on_conflict=3,
+        )
+    )
+    sel_script = IndexSelector(
+        IndexSelectorConfig(
+            index="docs", action="update", id_field="doc_id",
+            script=UPDATE_SCRIPT, script_params=(("x", "n_chars"),),
+        )
+    )
+
+    def fields_rows(b: pa.Table) -> pa.Table:
+        o = sel_fields(b)
+        n = o.num_rows
+        return pa.table(
+            {
+                "mode": pa.array(["fields"] * n, pa.string()),
+                "_id": o.column("_id"),
+                "target_index": o.column("target_index"),
+                "action": o.column("action"),
+                "update_doc": o.column("update_doc"),
+                "upsert_doc": o.column("upsert_doc"),
+                "script": pa.array([""] * n, pa.string()),
+                "retry_on_conflict": pc.cast(o.column("retry_on_conflict"), pa.int64()),
+            }
+        )
+
+    def script_rows(b: pa.Table) -> pa.Table:
+        o = sel_script(b)
+        n = o.num_rows
+        return pa.table(
+            {
+                "mode": pa.array(["script"] * n, pa.string()),
+                "_id": o.column("_id"),
+                "target_index": o.column("target_index"),
+                "action": o.column("action"),
+                "update_doc": pa.array([""] * n, pa.string()),
+                "upsert_doc": pa.array([""] * n, pa.string()),
+                "script": o.column("script"),
+                "retry_on_conflict": pa.array([0] * n, pa.int64()),
+            }
+        )
+
+    a = ds.map_batches(fields_rows, batch_format="pyarrow", zero_copy_batch=True)
+    b = ds.map_batches(script_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return to_arrow(a.union(b)).sort_by([("mode", "ascending"), ("_id", "ascending")])
+
+
+def sql_update_bodies() -> str:
+    return f"""
+SELECT 'fields' AS mode, CAST(doc_id AS VARCHAR) AS _id, 'docs' AS target_index,
+       'upsert' AS action,
+       to_json(struct_pack(lang := lang, source := source))::VARCHAR AS update_doc,
+       to_json(struct_pack(doc_id := doc_id, lang := lang, source := source,
+                           n_chars := n_chars))::VARCHAR AS upsert_doc,
+       '' AS script, 3::BIGINT AS retry_on_conflict
+FROM documents
+UNION ALL
+SELECT 'script', CAST(doc_id AS VARCHAR), 'docs', 'update', '', '',
+       to_json(struct_pack(source := '{UPDATE_SCRIPT}',
+                           params := struct_pack(x := n_chars)))::VARCHAR,
+       0::BIGINT
+FROM documents
+"""
+
+
 SLIDE_MS = 10_800_000  # 3h
 WINDOW_MS = 21_600_000  # 6h
 
@@ -878,11 +976,12 @@ def q_approx_distinct_users(sf_dir: str) -> pa.Table:
 
 
 def q_date_slices(sf_dir: str) -> pa.Table:
+    from ..ops import epoch_ms
+
     ts = to_arrow(
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
     ).column("ts")
-    ms = pc.divide(pc.cast(ts, pa.int64()), 1000).to_numpy()
-    cp = ExactCountProvider(ms)
+    cp = ExactCountProvider(epoch_ms(ts))
     slicer = DateSlicer(cp, *cp.bounds, size=1000)
     rows = list(slicer.slices())
     return pa.table(
@@ -914,6 +1013,7 @@ def queries():
         "index_term_stats": q_index_term_stats,
         "pricing_summary": q_pricing_summary,
         "curation": q_curation,
+        "update_bodies": q_update_bodies,
         "events_sliding": q_events_sliding,
         "asof_purchase_view": q_asof_purchase_view,
         "range_join_followups": q_range_join,
@@ -945,6 +1045,7 @@ def oracle_sql():
         "lang_id": sql_lang_id(),
         "pricing_summary": sql_pricing_summary(),
         "curation": sql_curation(),
+        "update_bodies": sql_update_bodies(),
         "events_sliding": sql_events_sliding(),
         "asof_purchase_view": sql_asof_purchase_view(),
         "range_join_followups": sql_range_join(),
@@ -962,7 +1063,10 @@ def entry():
             "k": pa.array([TOPK] * len(BM25_QUERIES), pa.int32()),
         }
     )
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine, score_queries_dataset_distributed
     from ..state.docstore import hydrate_dataset
 
-    scored = score_queries_dataset(rd.from_arrow(qtbl), idx, concurrency=2)
+    engine = QueryEngine(idx, num_actors=2, params=BM25Params(round_decimals=4))
+    scored = score_queries_dataset_distributed(rd.from_arrow(qtbl), engine)
     return hydrate_dataset(scored, idx, ["orig_id", "source", "lang"])

@@ -111,11 +111,27 @@ class ShardData:
         cs = scores[cand]
         if len(cand) > k:
             # keep every candidate >= the kth-largest score so equal-score
-            # ties survive into the deterministic lexsort below
+            # ties survive into the deterministic lexsort below; with
+            # round_decimals set, ROUNDED-equal scores count as ties too
             kth = np.partition(cs, len(cs) - k)[len(cs) - k]
-            keep = cs >= kth
+            r = params.round_decimals
+            if r is not None:
+                keep = np.round(cs, r) >= np.round(kth, r)
+            else:
+                keep = cs >= kth
             cand, cs = cand[keep], cs[keep]
-        order = np.lexsort((cand, -cs))[:k]
+        order = np.lexsort((cand, -cs))
+        if params.round_decimals is None:
+            order = order[:k]
+        else:
+            # truncate to k but extend through the rounded tie class
+            r = params.round_decimals
+            cut = min(k, len(order))
+            if cut and cut < len(order):
+                kth_r = np.round(cs[order[cut - 1]], r)
+                while cut < len(order) and np.round(cs[order[cut]], r) == kth_r:
+                    cut += 1
+            order = order[:cut]
         return (cand[order] + self.doc_base).astype(np.int64), cs[order]
 
     def wand_topk(
@@ -154,32 +170,40 @@ class ShardData:
 
         bounds = np.unique(np.concatenate([m.block_last_doc for _, m, _ in metas]))
         n_win = len(bounds)
-        # active block of term t in window w = first block with last >= bound
+        # active block of term t in window w = first block with last >=
+        # bound (vectorized: one searchsorted per term; windows past the
+        # term's last block get sentinel n_blocks = no contribution)
         ub_win = np.zeros(n_win, dtype=np.float64)
-        win_blocks: list[list[tuple[int, int]]] = [[] for _ in range(n_win)]
-        for ti, (t, m, ubs) in enumerate(metas):
-            # windows covered by block j: those with bound in
-            # (block_last[j-1], block_last[j]]
-            hi = np.searchsorted(bounds, m.block_last_doc, side="left")
-            lo = np.concatenate([[0], hi[:-1] + 1])
-            for j in range(m.n_blocks):
-                for w in range(int(lo[j]), int(hi[j]) + 1):
-                    ub_win[w] += ubs[j]
-                    win_blocks[w].append((ti, j))
+        block_of_win: list[np.ndarray] = []
+        for t, m, ubs in metas:
+            bw = np.searchsorted(m.block_last_doc, bounds, side="left")
+            block_of_win.append(bw)
+            valid = bw < m.n_blocks
+            ub_win[valid] += ubs[bw[valid]]
 
+        # rounded-tie guard: a doc whose ROUNDED score equals the kth's can
+        # sit up to tie_eps below the raw kth — never skip a window that
+        # could still produce one
+        tie_eps = (
+            10.0 ** (-params.round_decimals)
+            if params.round_decimals is not None
+            else 0.0
+        )
         order = np.argsort(-ub_win, kind="stable")
         top: list[tuple[float, int]] = []  # (score, doc_id), kept sorted small
         kth = -math.inf
         decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
         for w in order.tolist():
-            if len(top) >= k and ub_win[w] < kth:
+            if len(top) >= k and ub_win[w] < kth - tie_eps:
                 break  # every later window has a smaller bound — skip all
             w_lo = int(bounds[w - 1]) if w > 0 else -1
             w_hi = int(bounds[w])
             d_parts: list[np.ndarray] = []
             c_parts: list[np.ndarray] = []
-            for ti, j in win_blocks[w]:
-                t, m, _ = metas[ti]
+            for ti, (t, m, _) in enumerate(metas):
+                j = int(block_of_win[ti][w])
+                if j >= m.n_blocks:
+                    continue
                 key = (ti, j)
                 if key not in decoded:
                     decoded[key] = decode_block(m, j)
@@ -214,28 +238,49 @@ class ShardData:
                 sums = np.add.reduceat(c_all, starts)
                 top.extend(zip(sums.tolist(), uniq.tolist()))
                 top.sort(key=lambda x: (-x[0], x[1]))
-                # keep the kth value plus ties
+                # keep the kth value plus ties (within tie_eps when the
+                # rounded-tie policy is active)
                 if len(top) > k:
                     kth = top[k - 1][0]
                     cut = k
-                    while cut < len(top) and top[cut][0] >= kth:
+                    while cut < len(top) and top[cut][0] >= kth - tie_eps:
                         cut += 1
                     top = top[:cut]
                 elif len(top) == k:
                     kth = top[k - 1][0]
-        top = top[:k]
+        if params.round_decimals is None:
+            top = top[:k]
+        elif len(top) > k:
+            r = params.round_decimals
+            kth_r = round(top[k - 1][0], r)
+            cut = k
+            while cut < len(top) and round(top[cut][0], r) == kth_r:
+                cut += 1
+            top = top[:cut]
         ids = np.array([d for _, d in top], dtype=np.int64)
         sc = np.array([s for s, _ in top], dtype=np.float64)
         return ids, sc
 
 
 def merge_topk(
-    parts: list[tuple[np.ndarray, np.ndarray]], k: int
+    parts: list[tuple[np.ndarray, np.ndarray]], k: int,
+    round_decimals: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Merge per-shard top-k lists: score desc, doc_id asc (deterministic)."""
+    """Merge per-shard top-k lists: score desc, doc_id asc (deterministic).
+
+    With ``round_decimals``, the k-cut keeps every doc whose ROUNDED
+    score ties the kth-best (tie-aware fetch — see BM25Params)."""
     ids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
     sc = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
-    order = np.lexsort((ids, -sc))[:k]
+    order = np.lexsort((ids, -sc))
+    if round_decimals is None or len(order) <= k:
+        order = order[:k]
+    else:
+        kth_r = np.round(sc[order[k - 1]], round_decimals) if k else None
+        cut = k
+        while cut < len(order) and np.round(sc[order[cut]], round_decimals) == kth_r:
+            cut += 1
+        order = order[:cut]
     return ids[order], sc[order]
 
 
@@ -287,7 +332,7 @@ class _ScorerCore:
         out = []
         for qid, terms, k in queries:
             parts = [self._shard_topk(s, terms, idf, k) for s in self.shards]
-            ids, sc = merge_topk(parts, k)
+            ids, sc = merge_topk(parts, k, self.params.round_decimals)
             out.append((qid, ids, sc))
         return out
 
@@ -335,7 +380,8 @@ class QueryEngine:
         fn = get_analyzer(
             "code" if self.analyzer_name == "per_lang" else self.analyzer_name
         )
-        return sorted(set(clip_tokens(fn(query), 1, 64)))
+        m = self.info.manifest
+        return sorted(set(clip_tokens(fn(query), m.min_token_len, m.max_token_len)))
 
     def idfs(self, terms: list[str]) -> dict[str, float]:
         missing = [t for t in terms if t not in self._df_cache]
@@ -363,7 +409,7 @@ class QueryEngine:
         results = []
         for qi, (qid, terms, k) in enumerate(analyzed):
             parts = [(pa_res[qi][1], pa_res[qi][2]) for pa_res in per_actor]
-            ids, sc = merge_topk(parts, k)
+            ids, sc = merge_topk(parts, k, self.params.round_decimals)
             results.append(list(zip(ids.tolist(), sc.tolist())))
         return results
 
@@ -387,6 +433,7 @@ class BulkScorer:
         self.core = _ScorerCore(index_dir, info.shard_ids(),
                                 params or BM25Params(), method)
         self.n = info.stats.num_docs
+        self.clip = (info.manifest.min_token_len, info.manifest.max_token_len)
         self.analyzer = get_analyzer(
             "code" if info.manifest.analyzer == "per_lang" else info.manifest.analyzer
         )
@@ -396,7 +443,7 @@ class BulkScorer:
         texts = batch.column("query").to_pylist()
         ks = batch.column("k").to_pylist() if "k" in batch.column_names else [10] * len(qids)
         queries = [
-            (qid, sorted(set(clip_tokens(self.analyzer(q), 1, 64))), int(k))
+            (qid, sorted(set(clip_tokens(self.analyzer(q), *self.clip))), int(k))
             for qid, q, k in zip(qids, texts, ks)
         ]
         all_terms = sorted({t for _, terms, _ in queries for t in terms})
@@ -445,9 +492,13 @@ class DistributedBulkScorer:
     so stage tasks talk straight to the long-lived scorer actors.
     """
 
-    def __init__(self, actor_handles, num_docs: int, analyzer_name: str):
+    def __init__(self, actor_handles, num_docs: int, analyzer_name: str,
+                 round_decimals: int | None = None,
+                 clip: tuple[int, int] = (1, 64)):
         self.actors = actor_handles
         self.n = num_docs
+        self.round_decimals = round_decimals
+        self.clip = clip
         self.analyzer = get_analyzer(
             "code" if analyzer_name == "per_lang" else analyzer_name
         )
@@ -461,7 +512,7 @@ class DistributedBulkScorer:
             else [10] * len(qids)
         )
         queries = [
-            (qid, sorted(set(clip_tokens(self.analyzer(q), 1, 64))), int(k))
+            (qid, sorted(set(clip_tokens(self.analyzer(q), *self.clip))), int(k))
             for qid, q, k in zip(qids, texts, ks)
         ]
         all_terms = sorted({t for _, terms, _ in queries for t in terms})
@@ -477,7 +528,7 @@ class DistributedBulkScorer:
         o_qid, o_rank, o_doc, o_score = [], [], [], []
         for qi, (qid, terms, k) in enumerate(queries):
             parts = [(res[qi][1], res[qi][2]) for res in per_actor]
-            ids, sc = merge_topk(parts, k)
+            ids, sc = merge_topk(parts, k, self.round_decimals)
             for r, (d, s) in enumerate(zip(ids.tolist(), sc.tolist())):
                 o_qid.append(qid)
                 o_rank.append(r + 1)
@@ -498,7 +549,9 @@ def score_queries_dataset_distributed(queries_ds, engine: "QueryEngine",
     """Bulk-score a query Dataset against an engine's shard-actor pool."""
     return queries_ds.map_batches(
         DistributedBulkScorer(
-            engine.actors, engine.info.stats.num_docs, engine.analyzer_name
+            engine.actors, engine.info.stats.num_docs, engine.analyzer_name,
+            engine.params.round_decimals,
+            (engine.info.manifest.min_token_len, engine.info.manifest.max_token_len),
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,

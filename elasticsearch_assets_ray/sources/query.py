@@ -151,10 +151,12 @@ class _Parser:
                 raise QuerySyntaxError("range needs TO")
             hi = _coerce(self.take()[1])
             rk, rv = self.take("rbrack")
-            inclusive = v == "[" and rv == "]"
-            if inclusive:
-                return (f >= lo) & (f <= hi)
-            return (f > lo) & (f < hi)
+            # each bound's inclusivity follows its OWN bracket (Lucene
+            # mixed ranges like [a TO b} are legal): [ → >=, { → >,
+            # ] → <=, } → <
+            lo_expr = (f >= lo) if v == "[" else (f > lo)
+            hi_expr = (f <= hi) if rv == "]" else (f < hi)
+            return lo_expr & hi_expr
         if k == "cmp":
             lit = _coerce(self.take()[1])
             return {">=": f >= lit, "<=": f <= lit, ">": f > lit, "<": f < lit}[v]

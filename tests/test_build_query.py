@@ -70,6 +70,59 @@ def test_wand_equals_dense(small_index):
             assert np.allclose(d1[1], d2[1], atol=1e-12)
 
 
+def test_wand_equals_dense_with_round_decimals(small_index):
+    """Tie-aware fetch (round_decimals) keeps WAND and dense identical,
+    both returning every member of the kth rounded-score tie class."""
+    info = small_index
+    params = BM25Params(round_decimals=4)
+    core = _ScorerCore(str(info.index_dir), info.shard_ids(), params)
+    for q in [["import"], ["merge", "segment", "block"]]:
+        dfs = core.local_dfs(q)
+        n = info.stats.num_docs
+        idf = {t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in q}
+        for s in core.shards:
+            d1 = s.dense_topk(sorted(q), idf, params, core.avgdl, 5)
+            d2 = s.wand_topk(sorted(q), idf, params, core.avgdl, 5)
+            assert np.array_equal(d1[0], d2[0])
+            assert np.allclose(d1[1], d2[1], atol=1e-12)
+            assert len(d1[0]) >= min(5, len(d1[0]))
+
+
+def test_resume_rebuilds_on_token_clip_change(small_corpus, tmp_path):
+    """min/max_token_len are part of the plan fingerprint: a resume under
+    a different clip must NOT reuse segments built under the old one."""
+    from elasticsearch_assets_ray.index.manifest import BuildManifest
+
+    cfg = IndexConfig(partition_target_docs=100, shard_target_docs=200)
+    info1 = build_index(small_corpus, tmp_path / "idx", cfg)
+    m1 = BuildManifest.load(info1.index_dir)
+    assert (m1.min_token_len, m1.max_token_len) == (1, 64)
+    cfg2 = IndexConfig(partition_target_docs=100, shard_target_docs=200,
+                       min_token_len=2, max_token_len=32)
+    info2 = build_index(small_corpus, tmp_path / "idx", cfg2, resume=True)
+    m2 = BuildManifest.load(info2.index_dir)
+    assert (m2.min_token_len, m2.max_token_len) == (2, 32)
+    # the rebuilt index actually excludes 1-char tokens
+    core = _ScorerCore(str(info2.index_dir), info2.shard_ids(), BM25Params())
+    assert sum(s.local_df("a") for s in core.shards) == 0
+    # and the query engine clips queries with the manifest's bounds
+    eng = QueryEngine(info2.index_dir, num_actors=1)
+    assert eng._analyze("a xy foo") == sorted({"xy", "foo"})
+    eng.shutdown()
+
+
+def test_tie_aware_merge_keeps_rounded_tie_class():
+    from elasticsearch_assets_ray.search.engine import merge_topk
+
+    ids = np.array([1, 2, 3, 4, 5], dtype=np.int64)
+    sc = np.array([2.0, 1.00004, 1.00001, 0.99998, 0.5])  # 3 docs round to 1.0
+    got_ids, got_sc = merge_topk([(ids, sc)], k=2, round_decimals=4)
+    # doc 3 and 4 round-tie with the kth (doc 2): all survive the cut
+    assert got_ids.tolist() == [1, 2, 3, 4]
+    plain_ids, _ = merge_topk([(ids, sc)], k=2)
+    assert plain_ids.tolist() == [1, 2]
+
+
 def test_bulk_dataset_scoring(small_index, small_oracle):
     qds = rd.from_arrow(reference_queries())
     out = score_queries_dataset(qds, small_index.index_dir, concurrency=1).to_pandas()

@@ -262,6 +262,23 @@ def test_timeseries_index_names():
     )
 
 
+def test_epoch_helpers_unit_independent():
+    """timeseries naming / window ids must not change with the parquet
+    timestamp storage unit (s / ms / us / ns)."""
+    from elasticsearch_assets_ray.ops import epoch_ms, epoch_us
+
+    t = np.datetime64("2015-08-20T14:33:09.356", "us")
+    for unit in ("s", "ms", "us", "ns"):
+        arr = pa.array([t.astype(f"datetime64[{unit}]")], pa.timestamp(unit))
+        expect_ms = 1440081189356 if unit != "s" else 1440081189000
+        assert epoch_ms(arr)[0] == expect_ms
+        assert epoch_us(arr)[0] == expect_ms * 1000
+        got = timeseries_index_name(arr, "events", "weekly").to_pylist()[0]
+        assert got == f"events-{expect_ms // 604800000}"
+    with pytest.raises(TypeError):
+        epoch_ms(pa.array([1, 2], pa.int64()))
+
+
 def test_index_selector_columns_and_validation():
     cfg = IndexSelectorConfig(index="logs", action="index",
                               date_field="ts", timeseries="daily", id_field="uid")
@@ -281,6 +298,71 @@ def test_index_selector_columns_and_validation():
         IndexSelectorConfig(index="x", action="nope")
     with pytest.raises(ValueError):
         IndexSelectorConfig(index="x", update_fields=("a",))  # needs update action
+
+
+def test_index_selector_update_bodies_golden():
+    """Mirrors the reference's golden bulk-body cases
+    (/root/reference/test/index_selector-spec.js:144-290), restated
+    columnar: update_fields projection, whole-doc upsert, script+params
+    with falsy-value skip, delete with no body."""
+    batch = pa.table(
+        {
+            "some": pa.array(["data"], pa.string()),
+            "name": pa.array(["someName"], pa.string()),
+            "job": pa.array(["to be awesome!"], pa.string()),
+        }
+    )
+    # update with update_fields → doc projection only
+    out = IndexSelector(
+        IndexSelectorConfig(index="some_index", action="update", id_field="name",
+                            update_fields=("name",), update_retry_on_conflict=11)
+    )(batch)
+    assert out.column("update_doc").to_pylist() == ['{"name":"someName"}']
+    assert out.column("retry_on_conflict").to_pylist() == [11]
+    assert "upsert_doc" not in out.column_names
+    # upsert with update_fields → whole-record upsert + projection doc
+    out = IndexSelector(
+        IndexSelectorConfig(index="some_index", action="upsert",
+                            update_fields=("name", "job"))
+    )(batch)
+    assert out.column("upsert_doc").to_pylist() == [
+        '{"some":"data","name":"someName","job":"to be awesome!"}'
+    ]
+    assert out.column("update_doc").to_pylist() == [
+        '{"name":"someName","job":"to be awesome!"}'
+    ]
+    # script with params extracted from the record
+    nbatch = pa.table({"count": pa.array([1], pa.int64()),
+                       "add": pa.array([2], pa.int64())})
+    out = IndexSelector(
+        IndexSelectorConfig(index="hello", action="upsert",
+                            script="ctx._source.count += add",
+                            script_params=(("add", "add"),))
+    )(nbatch)
+    assert out.column("script").to_pylist() == [
+        '{"source":"ctx._source.count += add","params":{"add":2}}'
+    ]
+    assert out.column("upsert_doc").to_pylist() == ['{"count":1,"add":2}']
+    # script_file flavor + falsy record value skipped (index.js:119-121)
+    zbatch = pa.table({"count": pa.array([0], pa.int64())})
+    out = IndexSelector(
+        IndexSelectorConfig(index="x", action="update", script_file="someFile",
+                            script_params=(("aKey", "count"),))
+    )(zbatch)
+    assert out.column("script").to_pylist() == ['{"file":"someFile","params":{}}']
+    # update with neither fields nor script → whole-doc merge
+    out = IndexSelector(
+        IndexSelectorConfig(index="x", action="update")
+    )(nbatch)
+    assert out.column("update_doc").to_pylist() == ['{"count":1,"add":2}']
+    # delete emits no body columns
+    out = IndexSelector(IndexSelectorConfig(index="x", action="delete", id_field="name"))(batch)
+    assert "update_doc" not in out.column_names and "script" not in out.column_names
+    # validation
+    with pytest.raises(ValueError):
+        IndexSelectorConfig(index="x", script="s")  # script needs update/upsert
+    with pytest.raises(ValueError):
+        IndexSelectorConfig(index="x", action="update", script="s", script_file="f")
 
 
 def test_connection_map_and_multisend_routing():

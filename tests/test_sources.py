@@ -44,6 +44,9 @@ def test_compile_query_eval():
     assert rows("NOT lang:en") == [200, 300]
     assert rows("n:[10 TO 200]") == [10, 200]
     assert rows("n:{10 TO 300}") == [200]
+    # mixed brackets: each bound's inclusivity follows its own bracket
+    assert rows("n:[10 TO 300}") == [10, 200]
+    assert rows("n:{10 TO 200]") == [200]
     assert rows("n:>=200") == [200, 300]
     assert rows("src:src1*") == [10, 300]
     assert rows("src:src1* AND n:>100") == [300]
