@@ -113,20 +113,38 @@ def q_term_stats(sf_dir: str) -> pa.Table:
     dictionary the reference outsources to ES, SURVEY.md §2.6)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df: dict[str, int] = {}
-        cf: dict[str, int] = {}
-        for text in batch.column("text").to_pylist():
-            toks = ts_ops.clipped_tokens(text)
-            for t in set(toks):
-                df[t] = df.get(t, 0) + 1
-            for t in toks:
-                cf[t] = cf.get(t, 0) + 1
-        terms = sorted(df)
+        # factorize + bincount inversion (the index build's vectorized
+        # kernel, index/build.py) instead of per-token Python dicts
+        import pandas as pd
+
+        doc_lists = [
+            ts_ops.clipped_tokens(t) for t in batch.column("text").to_pylist()
+        ]
+        flat = [t for toks in doc_lists for t in toks]
+        if not flat:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "cf": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=True)
+        n_terms = len(uniques)
+        cf = np.bincount(codes, minlength=n_terms).astype(np.int64)
+        doc_idx = np.repeat(
+            np.arange(len(doc_lists), dtype=np.int64),
+            [len(t) for t in doc_lists],
+        )
+        uniq_pairs = np.unique(doc_idx * n_terms + codes)
+        df = np.bincount(
+            (uniq_pairs % n_terms).astype(np.int64), minlength=n_terms
+        ).astype(np.int64)
         return pa.table(
             {
-                "term": pa.array(terms, pa.string()),
-                "df": pa.array([df[t] for t in terms], pa.int64()),
-                "cf": pa.array([cf[t] for t in terms], pa.int64()),
+                "term": pa.array(uniques, pa.string()),
+                "df": pa.array(df),
+                "cf": pa.array(cf),
             }
         )
 
@@ -964,6 +982,42 @@ def q_global_term_merge(sf_dir: str) -> pa.Table:
     return tbl.sort_by([("term", "ascending"), ("salt", "ascending")])
 
 
+def sql_global_term_merge() -> str:
+    """SQL restatement of the term-partitioned merge output: df/cf from
+    tokenization; a term is hot when global df >= 0.5*N; a hot term's
+    postings split by ``shard_id % 2`` where the shard layout replays the
+    contract plan (partition_target_docs=128 → even row chunks of
+    ``ceil(n/ceil(n/128))``; shard_target_docs=512 → ``512 // chunk``
+    partitions per shard, greedy in row order — ``index/manifest.py``
+    ``plan_build``); cold terms carry salt -1."""
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH c AS (
+  SELECT n,
+         CASE WHEN n > 128 THEN CAST(ceil(n / ceil(n / 128.0)) AS BIGINT)
+              ELSE n END AS chunk
+  FROM (SELECT count(*) AS n FROM documents)
+),
+c2 AS (SELECT n, chunk, greatest(1, 512 // chunk) AS pps FROM c),
+ranked AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rid
+           FROM documents),
+docshard AS (SELECT doc_id, (rid // chunk) // pps AS sid FROM ranked, c2),
+toks AS ({toks}),
+tf AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+salted AS (
+  SELECT tf.t, tf.c,
+         CASE WHEN df.df >= 0.5 * (SELECT n FROM c2) THEN ds.sid % 2
+              ELSE -1 END AS salt
+  FROM tf JOIN docshard ds USING (doc_id) JOIN df ON df.t = tf.t
+)
+SELECT t AS term, salt::INTEGER AS salt, count(*)::BIGINT AS df,
+       sum(c)::BIGINT AS cf
+FROM salted GROUP BY 1, 2
+ORDER BY term, salt
+"""
+
+
 def q_approx_distinct_users(sf_dir: str) -> pa.Table:
     """HLL sketch over events.user_id (constant-size mergeable partials);
     rows-only check — the estimate is approximate by design (±~1%)."""
@@ -976,12 +1030,13 @@ def q_approx_distinct_users(sf_dir: str) -> pa.Table:
 
 
 def q_date_slices(sf_dir: str) -> pa.Table:
-    from ..ops import epoch_ms
+    """Date-slice planning on the SCALE path: bounds/total from parquet
+    footer stats, count probes as predicate-pushdown scans
+    (``ScanCountProvider``) — the driver never materializes a timestamp
+    column; plan cost scales with probed rows, not corpus size."""
+    from ..planner.date_slicer import ScanCountProvider
 
-    ts = to_arrow(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
-    ).column("ts")
-    cp = ExactCountProvider(epoch_ms(ts))
+    cp = ScanCountProvider([f"{sf_dir}/events.parquet"], "ts")
     slicer = DateSlicer(cp, *cp.bounds, size=1000)
     rows = list(slicer.slices())
     return pa.table(
@@ -1049,6 +1104,7 @@ def oracle_sql():
         "events_sliding": sql_events_sliding(),
         "asof_purchase_view": sql_asof_purchase_view(),
         "range_join_followups": sql_range_join(),
+        "global_term_merge": sql_global_term_merge(),
     }
 
 

@@ -224,8 +224,57 @@ class ParquetStatsCountProvider:
 
 
 def _to_int(v) -> int:
+    """Statistics value → planner epoch-ms (timestamp stats arrive as
+    datetimes regardless of the column's storage unit; plain ints pass
+    through untouched)."""
     import datetime as dt
 
     if isinstance(v, dt.datetime):
-        return int(v.timestamp() * 1_000_000)
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=dt.timezone.utc)
+        return int(v.timestamp() * 1_000)
     return int(v)
+
+
+class ScanCountProvider:
+    """EXACT counts via predicate-pushdown scans — the reference's ES
+    ``count`` probe made literal (``slicer.js:469-482``): each probe is a
+    ``pyarrow.dataset.count_rows`` with a range filter, so row-group
+    statistics prune non-overlapping groups and only boundary pages
+    decode.  Bounds and total come from footer metadata alone.  Nothing
+    corpus-sized ever reaches the driver — probe cost scales with the
+    rows under the probed range, not the corpus.
+
+    Ranges are epoch-ms for timestamp columns (unit-independent), raw
+    ints for integer columns.
+    """
+
+    def __init__(self, files: list[str], ts_column: str):
+        import pyarrow as pa
+        import pyarrow.dataset as pds
+
+        self._stats = ParquetStatsCountProvider(files, ts_column)
+        self._ds = pds.dataset(files)
+        self.ts_column = ts_column
+        t = self._ds.schema.field(ts_column).type
+        if pa.types.is_timestamp(t):
+            scale = {"s": 0.001, "ms": 1, "us": 1000, "ns": 1_000_000}[t.unit]
+            self._scalar = lambda ms: pa.scalar(int(ms * scale), type=t)
+        else:
+            self._scalar = lambda v: pa.scalar(int(v), type=t)
+
+    def __call__(self, start: int, end: int) -> int:
+        import pyarrow.compute as pc
+
+        f = (pc.field(self.ts_column) >= self._scalar(start)) & (
+            pc.field(self.ts_column) < self._scalar(end)
+        )
+        return self._ds.count_rows(filter=f)
+
+    @property
+    def total(self) -> int:
+        return self._stats.total
+
+    @property
+    def bounds(self) -> tuple[int, int]:
+        return self._stats.bounds

@@ -51,16 +51,24 @@ class BM25Oracle:
         params: BM25Params | None = None,
         min_token_len: int = 1,
         max_token_len: int = 64,
+        file_order: list[str] | None = None,
     ) -> "BM25Oracle":
         """Read the corpus single-process (oracle scale only) with doc_id =
-        global row number under sorted-file order — the engine's scheme."""
+        global row number under sorted-file order — the engine's scheme.
+
+        ``file_order``: explicit file sequence overriding the sorted-path
+        default.  Pass an appended index's ``manifest.corpus_paths`` —
+        appends keep existing files' doc ids frozen in MANIFEST order, so
+        an appended file that sorts before existing ones would otherwise
+        make oracle and engine doc ids diverge."""
         import pyarrow.parquet as pq
 
         from ..index.manifest import list_corpus_files
 
         o = cls(params)
         doc_id = 0
-        for f in list_corpus_files(corpus):
+        files = file_order if file_order is not None else list_corpus_files(corpus)
+        for f in files:
             tbl = pq.read_table(
                 f,
                 columns=[text_column] + ([lang_column] if analyzer == "per_lang" else []),

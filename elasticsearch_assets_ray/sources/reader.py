@@ -47,6 +47,9 @@ def read_filtered(
     date_field: str = "ts",
     query: str | None = None,
     fields: list[str] | None = None,
+    full_response: bool = False,
+    index_name: str | None = None,
+    id_field: str | None = None,
     **read_kwargs,
 ):
     """``read_parquet`` with the reference reader's filter surface.
@@ -54,6 +57,13 @@ def read_filtered(
     ``start`` is inclusive, ``end`` exclusive (``reader.js:9-13``:
     ``gte/lt``).  ``fields`` projects columns at the scan.  Returns a
     streaming :class:`ray.data.Dataset`.
+
+    ``full_response`` mirrors the reference's raw-envelope mode
+    (``reader.js:7,13-14``: the whole hit with ``_index``/``_type``/
+    ``_version``/``_id`` instead of bare ``_source``): the hit metadata
+    arrives as extra columns — ``_index`` (``index_name`` or the source
+    path), ``_type`` (``"_doc"``), ``_version`` (1), and ``_id`` from
+    ``id_field`` when given.
     """
     expr = None
     if start is not None:
@@ -69,4 +79,24 @@ def read_filtered(
         kwargs["filter"] = expr
     if fields is not None:
         kwargs["columns"] = list(fields)
-    return rd.read_parquet(path, **kwargs)
+        if full_response and id_field and id_field not in kwargs["columns"]:
+            kwargs["columns"] = kwargs["columns"] + [id_field]
+    ds = rd.read_parquet(path, **kwargs)
+    if not full_response:
+        return ds
+    idx = index_name or str(path)
+
+    def envelope(batch):
+        import pyarrow as pa
+
+        n = batch.num_rows
+        batch = batch.append_column("_index", pa.array([idx] * n, pa.string()))
+        batch = batch.append_column("_type", pa.array(["_doc"] * n, pa.string()))
+        batch = batch.append_column("_version", pa.array([1] * n, pa.int64()))
+        if id_field is not None:
+            batch = batch.append_column(
+                "_id", pc.cast(batch.column(id_field), pa.string())
+            )
+        return batch
+
+    return ds.map_batches(envelope, batch_format="pyarrow", zero_copy_batch=True)

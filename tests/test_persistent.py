@@ -1,0 +1,210 @@
+"""Persistent (micro-batch streaming) lifecycle + custom generator schema
+tests — mirrors the reference's persistent slicer semantics
+(slicer.js:382-431) with scripted time, and the data generator's
+json_schema surface (elasticsearch_data_generator/index.js:9-29)."""
+
+import pathlib
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_assets_ray.config import IndexConfig
+from elasticsearch_assets_ray.index.build import build_index
+from elasticsearch_assets_ray.index.persistent import PersistentIndexer
+
+
+class FakeClock:
+    def __init__(self, t0=1000.0):
+        self.t = t0
+        self.slept = 0.0
+
+    def __call__(self):
+        return self.t
+
+    def sleep(self, s):
+        self.slept += s
+        self.t += s
+
+
+def _copy(files, dest):
+    for f in files:
+        shutil.copy(f, dest / pathlib.Path(f).name)
+
+
+def test_two_ticks_equal_cold_build(small_corpus, tmp_path, ray_session):
+    """Two persistent ticks over a growing dir produce byte-identical
+    segments to one cold build over the full corpus (files arrive in
+    name order, the reference's 'linear dates' assumption)."""
+    src = sorted(pathlib.Path(small_corpus).glob("*.parquet"))
+    assert len(src) >= 3
+    live = tmp_path / "live"
+    live.mkdir()
+    import time
+
+    cfg = IndexConfig(partition_target_docs=50, shard_target_docs=100)
+    clock = FakeClock(t0=time.time() + 1e6)  # far past every file mtime
+    px = PersistentIndexer(live, tmp_path / "idx", cfg, interval_s=30,
+                           delay_s=0, clock=clock, sleep=clock.sleep)
+
+    _copy(src[:2], live)
+    px.enqueue_due_windows()
+    info1 = px.tick()
+    assert info1 is not None
+    n1 = info1.stats.num_docs
+
+    # second batch of files lands; next window picks them up
+    _copy(src[2:], live)
+    clock.t += 30
+    assert px.enqueue_due_windows() == 1
+    info2 = px.tick()
+    assert info2 is not None and info2.stats.num_docs > n1
+
+    cold = build_index(small_corpus, tmp_path / "cold", cfg)
+    assert cold.stats.num_docs == info2.stats.num_docs
+    assert sorted(cold.shard_ids()) == sorted(info2.shard_ids())
+    for sid in cold.shard_ids():
+        a = pq.read_table(cold.segment_path(sid))
+        b = pq.read_table(info2.segment_path(sid))
+        assert a.equals(b), f"shard {sid} differs from cold build"
+
+
+def test_watermark_holds_back_recent_files(small_corpus, tmp_path, ray_session):
+    """A file younger than ``delay`` is invisible to the current window
+    (slicer.js:384-387 static watermark)."""
+    import os
+    import time
+
+    src = sorted(pathlib.Path(small_corpus).glob("*.parquet"))
+    live = tmp_path / "live"
+    live.mkdir()
+    _copy(src[:1], live)
+    old = time.time() - 3600
+    os.utime(live / src[0].name, (old, old))
+    _copy(src[1:2], live)  # fresh mtime = now
+
+    clock = FakeClock(t0=time.time())
+    px = PersistentIndexer(live, tmp_path / "idx",
+                           IndexConfig(partition_target_docs=50, shard_target_docs=100),
+                           interval_s=30, delay_s=600, clock=clock,
+                           sleep=clock.sleep)
+    assert px.eligible_files() == [str(live / src[0].name)]
+    px.enqueue_due_windows()
+    info = px.tick()
+    assert info is not None
+    n1 = info.stats.num_docs
+    # once the watermark passes, a later window sees the young file
+    clock.t += 700
+    px.enqueue_due_windows()
+    info2 = None
+    while px.pending_windows and info2 is None:
+        info2 = px.tick()
+    assert info2 is not None and info2.stats.num_docs > n1
+
+
+def test_window_queueing_and_empty_ticks(tmp_path):
+    """Windows enqueue while processing lags (slicer.js:414-431); ticks
+    with no new files are no-ops."""
+    live = tmp_path / "live"
+    live.mkdir()
+    clock = FakeClock()
+    px = PersistentIndexer(live, tmp_path / "idx", IndexConfig(),
+                           interval_s=10, delay_s=0, clock=clock,
+                           sleep=clock.sleep)
+    px.enqueue_due_windows()
+    clock.t += 35  # three intervals elapse while "processing"
+    assert px.enqueue_due_windows() == 3
+    assert len(px.pending_windows) == 4
+    assert px.tick() is None  # empty dir → nothing to build
+    assert px.ticks == 1 and len(px.pending_windows) == 3
+    with pytest.raises(ValueError):
+        PersistentIndexer(live, tmp_path / "x", IndexConfig(), interval_s=0)
+
+
+# ------------------------------------------------------ custom gen schema
+
+
+def test_custom_schema_generator_and_json_file(tmp_path, ray_session):
+    import json
+
+    from elasticsearch_assets_ray.sources.generator import (
+        make_docs_from_schema, randexp_strings, read_generated,
+    )
+
+    schema = {
+        "id": {"type": "randexp", "pattern": "[0-9a-f]{8}"},
+        "name": {"type": "choice", "values": ["ada", "grace", "edsger"]},
+        "bytes": {"type": "integer", "min": 10, "max": 100},
+        "kind": {"type": "const", "value": "event"},
+        "created": {"type": "date_between", "start": "2020-01-01T00:00:00+00:00",
+                     "end": "2020-02-01T00:00:00+00:00"},
+        "ip": {"type": "ip"},
+    }
+    t = make_docs_from_schema(schema, 50, seed=7)
+    assert t.num_rows == 50
+    assert set(t.column_names) == set(schema)
+    assert all(len(s) == 8 for s in t.column("id").to_pylist())
+    assert set(t.column("name").to_pylist()) <= {"ada", "grace", "edsger"}
+    assert all(10 <= v < 100 for v in t.column("bytes").to_pylist())
+    assert all(v == "event" for v in t.column("kind").to_pylist())
+    assert all(v.startswith("2020-01") for v in t.column("created").to_pylist())
+    # deterministic
+    assert t.equals(make_docs_from_schema(schema, 50, seed=7))
+    # id_start_key forces the first char (default_schema.js:96-103)
+    t2 = make_docs_from_schema(schema, 20, seed=7, id_start_key="a")
+    assert all(s[0] == "a" and len(s) == 8 for s in t2.column("id").to_pylist())
+    with pytest.raises(ValueError):
+        make_docs_from_schema({"x": {"type": "const", "value": 1}}, 5, id_start_key="a")
+    with pytest.raises(ValueError):
+        make_docs_from_schema({"x": {"type": "nope"}}, 5)
+
+    # json_schema file path surface (index.js:9-29)
+    p = tmp_path / "schema.json"
+    p.write_text(json.dumps(schema))
+    ds = read_generated(25, chunk=10, schema=str(p))
+    tbl = ds.take_all()
+    assert len(tbl) == 25
+    assert set(tbl[0]) == set(schema)
+    with pytest.raises(FileNotFoundError):
+        read_generated(5, schema=str(tmp_path / "missing.json"))
+
+    # randexp subset: classes, ranges, repeats, \w, literals
+    rng = np.random.default_rng(0)
+    got = randexp_strings(r"x[A-C]{2}-\w", 10, rng)
+    assert all(len(s) == 5 and s[0] == "x" and s[3] == "-" for s in got)
+    assert all(c in "ABC" for s in got for c in s[1:3])
+
+
+def test_oracle_file_order_matches_appended_manifest(small_corpus, tmp_path, ray_session):
+    """Appended file sorting BEFORE existing files: engine doc ids follow
+    manifest order; the oracle must too via file_order."""
+    from elasticsearch_assets_ray.corpus.synth import make_corpus_batch
+    from elasticsearch_assets_ray.index.manifest import BuildManifest
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+    from elasticsearch_assets_ray.search.oracle import BM25Oracle
+    from elasticsearch_assets_ray.analysis.tokenizer import code_tokens
+
+    grow = tmp_path / "grow"
+    grow.mkdir()
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        shutil.copy(f, grow / f.name)
+    cfg = IndexConfig(partition_target_docs=50, shard_target_docs=100)
+    idx = tmp_path / "idx"
+    info1 = build_index(grow, idx, cfg)
+    n1 = info1.stats.num_docs
+    # name sorts FIRST ("aa-...") but appends AFTER in the manifest
+    extra = make_corpus_batch(np.arange(n1, n1 + 100, dtype=np.int64))
+    pq.write_table(extra, grow / "aa-early.parquet", row_group_size=50)
+    info2 = build_index(grow, idx, cfg)
+    m = BuildManifest.load(idx)
+    assert m.corpus_paths[-1].endswith("aa-early.parquet")
+
+    oracle = BM25Oracle.from_parquet(grow, analyzer="code",
+                                     file_order=m.corpus_paths)
+    eng = QueryEngine(idx, num_actors=2)
+    for q in ["import", "merge segment block"]:
+        got = eng.search(q, k=20)
+        want = oracle.search(code_tokens(q), k=20)
+        assert [d for d, _ in got] == [d for d, _ in want]
+    eng.shutdown()

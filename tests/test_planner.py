@@ -156,3 +156,30 @@ def test_parquet_stats_provider(tmp_path):
     assert abs(cp(0, 5000) - 5000) <= 10  # uniform density estimate
     s = DateSlicer(cp, *cp.bounds, size=1000)
     assert all(sl.count <= 1100 for sl in s.slices())
+
+
+def test_scan_count_provider_matches_exact(tmp_path):
+    """ScanCountProvider (pushdown count probes) slices identically to
+    the in-memory exact provider, for int and timestamp[us] columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_assets_ray.planner.date_slicer import ScanCountProvider
+
+    rng = np.random.default_rng(3)
+    ms = np.sort(rng.integers(1_700_000_000_000, 1_700_000_900_000, 5000))
+    pq.write_table(
+        pa.table({"ts": pa.array(ms * 1000, pa.timestamp("us"))}),
+        tmp_path / "tsus.parquet", row_group_size=500,
+    )
+    scan = ScanCountProvider([str(tmp_path / "tsus.parquet")], "ts")
+    exact = ExactCountProvider(ms)
+    assert scan.total == exact.total
+    assert scan.bounds == exact.bounds
+    for a, b in [(ms[0], ms[-1]), (ms[100], ms[900]), (0, ms[0])]:
+        assert scan(int(a), int(b)) == exact(int(a), int(b))
+    s1 = list(DateSlicer(scan, *scan.bounds, size=400).slices())
+    s2 = list(DateSlicer(exact, *exact.bounds, size=400).slices())
+    assert [(r.start, r.end, r.count) for r in s1] == [
+        (r.start, r.end, r.count) for r in s2
+    ]

@@ -57,6 +57,33 @@ def test_compile_query_eval():
             compile_query(bad)
 
 
+def test_full_response_envelope(ray_session, tmp_path):
+    """full_response attaches the hit-envelope metadata columns
+    (reader.js:7,13-14: _index/_type/_version/_id)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_assets_ray.ops import to_arrow
+    from elasticsearch_assets_ray.sources.reader import read_filtered
+
+    pq.write_table(
+        pa.table({"uid": pa.array([7, 8], pa.int64()),
+                  "v": pa.array([1.0, 2.0])}),
+        tmp_path / "d.parquet",
+    )
+    out = to_arrow(read_filtered(
+        str(tmp_path / "d.parquet"), fields=["v"], full_response=True,
+        index_name="logs-v1", id_field="uid",
+    ))
+    assert out.column("_index").to_pylist() == ["logs-v1", "logs-v1"]
+    assert out.column("_type").to_pylist() == ["_doc", "_doc"]
+    assert out.column("_version").to_pylist() == [1, 1]
+    assert sorted(out.column("_id").to_pylist()) == ["7", "8"]
+    # without full_response: no metadata columns
+    plain = to_arrow(read_filtered(str(tmp_path / "d.parquet"), fields=["v"]))
+    assert plain.column_names == ["v"]
+
+
 def test_parse_date_forms():
     import datetime as dt
 
