@@ -285,7 +285,13 @@ def merge_topk(
 
 
 WAND_AUTO_MIN_DOCS = 50_000  # auto: consider skipping only past this
-WAND_AUTO_MAX_DENSITY = 0.05  # ...and only when candidates are sparse
+# ...and only when the query's posting mass is a tiny fraction of the
+# shard: measured on a single 1M-doc shard, WAND's per-window traversal
+# costs ~0.1 ms/window (windows ≈ posting mass / block_size) while the
+# dense kernel's floor is ~1 ms per 1M docs — WAND wins only below
+# ~0.1% candidate density (0.57 vs 1.0 ms at df 50-500; it LOSES 5.1 vs
+# 1.4 ms at df 500-3000)
+WAND_AUTO_MAX_DENSITY = 0.001
 
 
 class _ScorerCore:

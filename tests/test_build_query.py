@@ -111,6 +111,41 @@ def test_resume_rebuilds_on_token_clip_change(small_corpus, tmp_path):
     eng.shutdown()
 
 
+def test_arrow_tokenize_parity_with_python_path():
+    """The Arrow-kernel tokenize+invert fast path produces identical
+    (terms, postings, dls) to the per-doc Python path, for both uniform
+    analyzers, including unicode, clip bounds, and empty docs."""
+    from elasticsearch_assets_ray.index.build import (
+        _analyzers, invert_codes, invert_flat, tokenize_codes_arrow,
+        tokenize_flat,
+    )
+    import pyarrow as pa2
+
+    texts = [
+        "def fooBar(x): return HTTPServer2 + sha256_hash  # comment!",
+        "",
+        "import numpy as np\nclass MyClass_Impl: pass",
+        "UPPER lower 12345 mixedCase99 __dunder__",
+        "ünïcode tëst 中文 naïve",
+        "x " * 500,
+    ]
+    langs = [""] * len(texts)
+    for analyzer in ("code", "simple"):
+        for lo, hi in [(1, 64), (2, 8)]:
+            az = _analyzers(analyzer)
+            flat, doc_rel, dls, _, _ = tokenize_flat(texts, langs, az, lo, hi)
+            t1, ids1, tfs1, offs1 = invert_flat(flat, doc_rel, 100)
+            t2, codes, rel2, dls2 = tokenize_codes_arrow(
+                pa2.array(texts, pa2.large_string()), analyzer, lo, hi, {}
+            )
+            ids2, tfs2, offs2 = invert_codes(codes, rel2, len(t2), 100)
+            assert list(t1) == list(t2)
+            assert np.array_equal(ids1, ids2)
+            assert np.array_equal(tfs1, tfs2)
+            assert np.array_equal(offs1, offs2)
+            assert np.array_equal(np.asarray(dls, np.int64), np.asarray(dls2, np.int64))
+
+
 def test_tie_aware_merge_keeps_rounded_tie_class():
     from elasticsearch_assets_ray.search.engine import merge_topk
 
