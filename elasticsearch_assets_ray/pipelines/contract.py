@@ -962,6 +962,15 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
     return sim.knn_cosine_lsh(ds, q, KNN_QUERY_IDS, k=TOPK)
 
 
+def q_embedding_dup_lsh(sf_dir: str) -> pa.Table:
+    """Approximate embedding near-dup pairs: sign-bit LSH buckets →
+    exact verification of candidates (the 10^12-row scale path; recall
+    < 1 by design → rows-only, but every emitted sim is exact and the
+    pair set is a subset of the exact pipeline's — tested)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.cosine_dup_pairs_lsh(ds, threshold=COSINE_DUP_THRESHOLD)
+
+
 def q_global_term_merge(sf_dir: str) -> pa.Table:
     """Term-partitioned global merge over the contract index: the
     groupby-on-term shuffle with hot-term salting (north-rule mechanism);
@@ -1076,6 +1085,7 @@ def queries():
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
         "knn_lsh": q_knn_lsh,
+        "embedding_dup_lsh": q_embedding_dup_lsh,
         "date_slices": q_date_slices,
         "global_term_merge": q_global_term_merge,
         "approx_distinct_users": q_approx_distinct_users,

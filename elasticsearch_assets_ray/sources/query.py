@@ -141,15 +141,40 @@ class _Parser:
         self.take("colon")
         return self.value(field)
 
+    def _range_literal(self, stop_at_to: bool) -> str:
+        """Inside ``[a TO b]`` brackets, Lucene range endpoints may contain
+        colons (ISO timestamps like ``2017-09-23T18:07:14.332Z`` — the
+        exact form the simple_api_reader emits, ``index.js:137-150``);
+        re-join the colon-split pieces until TO / the closing bracket."""
+        pieces: list[str] = []
+        while True:
+            k, v = self.peek()
+            if k is None:
+                raise QuerySyntaxError("unterminated range")
+            if k == "rbrack" or (stop_at_to and (k, v) == ("word", "TO")):
+                break
+            if k in ("word", "cmp"):
+                pieces.append(v)
+            elif k == "colon":
+                pieces.append(":")
+            elif k == "quoted":
+                pieces.append(v[1:-1])
+            else:
+                raise QuerySyntaxError(f"bad range literal token {k}:{v!r}")
+            self.take()
+        if not pieces:
+            raise QuerySyntaxError("empty range bound")
+        return "".join(pieces)
+
     def value(self, field: str) -> pds.Expression:
         f = pc.field(field)
         k, v = self.take()
         if k == "lbrack":
-            lo = _coerce(self.take()[1])
+            lo = _coerce(self._range_literal(stop_at_to=True))
             to = self.take()
             if to != ("word", "TO"):
                 raise QuerySyntaxError("range needs TO")
-            hi = _coerce(self.take()[1])
+            hi = _coerce(self._range_literal(stop_at_to=False))
             rk, rv = self.take("rbrack")
             # each bound's inclusivity follows its OWN bracket (Lucene
             # mixed ranges like [a TO b} are legal): [ → >=, { → >,
