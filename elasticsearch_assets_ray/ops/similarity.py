@@ -297,6 +297,52 @@ class _BlockPairScorer:
         )
 
 
+BROADCAST_PAIRS_MAX_ROWS = 100_000  # ≲50 MB matrix at d=64 — a true small side
+
+
+def _cosine_dup_pairs_broadcast(ds, threshold: float, col: str, id_col: str) -> pa.Table:
+    """Small-side path: the normalized matrix IS broadcastable — ship it
+    once via ``ray.put`` and let every batch matmul against it (the
+    standard broadcast-small-side join shape).  Only called under
+    ``BROADCAST_PAIRS_MAX_ROWS``; the block-tiled path handles the rest."""
+    tbl = to_arrow(ds)
+    mat = _embedding_matrix(tbl, col)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    ids_all = tbl.column(id_col).to_numpy()
+    mat_ref, ids_ref = ray.put(mat), ray.put(ids_all)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m, ids = ray.get(mat_ref), ray.get(ids_ref)
+        e = _embedding_matrix(batch, col)
+        bids = batch.column(id_col).to_numpy()
+        nn = np.linalg.norm(e, axis=1)
+        nn[nn == 0] = 1.0
+        sims = np.round((e / nn[:, None]) @ m.T, 4)
+        bi, aj = np.nonzero(sims >= threshold)
+        va, vb = bids[bi], ids[aj]
+        keep = va < vb
+        return pa.table(
+            {
+                "vec_a": pa.array(va[keep], pa.int64()),
+                "vec_b": pa.array(vb[keep], pa.int64()),
+                "sim_r": pa.array(sims[bi, aj][keep], pa.float64()),
+            }
+        )
+
+    out = to_arrow(ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True))
+    if out.num_rows == 0 or "vec_a" not in out.column_names:
+        out = pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "sim_r": pa.array([], pa.float64()),
+            }
+        )
+    return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
 def cosine_dup_pairs(
     ds,
     threshold: float = 0.4,
@@ -305,16 +351,22 @@ def cosine_dup_pairs(
     block_rows: int = 4096,
     concurrency: int = 4,
     work_dir: str | None = None,
+    broadcast_max_rows: int = BROADCAST_PAIRS_MAX_ROWS,
 ) -> pa.Table:
     """EXACT embedding near-duplicate pairs → pa.Table(vec_a, vec_b, sim_r).
 
-    Block-tiled all-pairs: normalized vectors are spilled to hash-blocked
-    parquet (one exchange, ``block = vec_id % n_blocks``), then every
-    block pair ``(i <= j)`` is scored by an actor-pool stage holding at
-    most two blocks in memory.  No full-matrix broadcast, no O(N) driver
-    state; the O(N²/blocks²) tile count is the inherent cost of an exact
-    all-pairs answer (the approximate scale path is
-    :func:`cosine_dup_pairs_lsh`).
+    Two physical plans, same result (identical rounding/kernels, tested):
+
+    * ≤ ``broadcast_max_rows``: the normalized matrix is a TRUE small
+      side → one ``ray.put`` broadcast, per-batch matmul (fast path; no
+      spill, no extra exchange);
+    * above it: block-tiled all-pairs — normalized vectors spill to
+      hash-blocked parquet (one exchange, ``block = vec_id % n_blocks``),
+      then every block pair ``(i <= j)`` is scored by an actor-pool
+      stage holding at most two blocks in memory.  No full-matrix
+      broadcast, no O(N) driver state; the O(N²/blocks²) tile count is
+      the inherent cost of an exact all-pairs answer (the approximate
+      scale path is :func:`cosine_dup_pairs_lsh`).
     """
     import shutil
     import tempfile
@@ -330,6 +382,8 @@ def cosine_dup_pairs(
                 "sim_r": pa.array([], pa.float64()),
             }
         )
+    if n <= broadcast_max_rows:
+        return _cosine_dup_pairs_broadcast(ds, threshold, col, id_col)
     n_blocks = max(1, -(-n // block_rows))
     tmp = work_dir or tempfile.mkdtemp(prefix="esray_cosblocks_")
     try:

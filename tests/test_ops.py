@@ -139,7 +139,11 @@ def test_cosine_dup_pairs_block_tiled_matches_bruteforce():
     mat[11] = mat[3] + 0.01 * rng.standard_normal(8).astype(np.float32)
     mat[27] = mat[4]
     ds = _emb_ds(mat)
-    out = sim.cosine_dup_pairs(ds, threshold=0.8, block_rows=16)  # 4 blocks
+    # broadcast_max_rows=0 forces the block-tiled plan (4 blocks)
+    out = sim.cosine_dup_pairs(ds, threshold=0.8, block_rows=16,
+                               broadcast_max_rows=0)
+    # both physical plans produce the identical table
+    assert out.equals(sim.cosine_dup_pairs(ds, threshold=0.8))
     m64 = mat.astype(np.float64)
     norm = m64 / np.linalg.norm(m64, axis=1)[:, None]
     sims = np.round(norm @ norm.T, 4)
