@@ -168,6 +168,60 @@ def doc_shingle_hashes(
     return shingle_hashes_from_tokens(clipped_tokens(text), n, _cache)
 
 
+def batch_shingle_hashes(
+    text: "pa.Array | pa.ChunkedArray", n: int, hash_cache: dict
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Every doc's DISTINCT shingle hashes in one vectorized pass →
+    (doc_rel, hashes, n_docs), sorted by (doc, hash).
+
+    Tokenization runs through the index build's Arrow kernel
+    (``tokenize_codes_arrow``); per-token md5 hashes are computed once
+    per DISTINCT term (memoized across batches); the n-gram polynomial
+    and the per-doc dedupe are flat numpy over the whole batch.  Values
+    are identical to :func:`doc_shingle_hashes` per doc (tested)."""
+    from ..index.build import tokenize_codes_arrow
+
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_docs = len(text)
+    terms, codes, doc_rel, _ = tokenize_codes_arrow(text, "simple", 1, 64, {})
+    d, h = shingles_from_codes(terms, codes, doc_rel, n, hash_cache)
+    return d, h, n_docs
+
+
+def shingles_from_codes(
+    terms: list[str], codes: np.ndarray, doc_rel: np.ndarray, n: int,
+    hash_cache: dict,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Core of :func:`batch_shingle_hashes` over pre-tokenized codes —
+    lets a stage that already tokenized (e.g. curation stats) reuse the
+    pass."""
+    m = len(codes) - n + 1
+    if m <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    th_vocab = np.empty(len(terms), dtype=np.uint64)
+    for i, t in enumerate(terms):
+        hh = hash_cache.get(t)
+        if hh is None:
+            hh = hash_cache[t] = _stable_hash64(t)
+        th_vocab[i] = hh
+    th = th_vocab[codes]
+    with np.errstate(over="ignore"):
+        acc = th[:m].copy()
+        for j in range(1, n):
+            acc *= _SHINGLE_A
+            acc += th[j : m + j]
+    valid = doc_rel[:m] == doc_rel[n - 1 :]
+    h = acc[valid]
+    d = doc_rel[:m][valid]
+    order = np.lexsort((h, d))
+    d, h = d[order], h[order]
+    if len(d):
+        dup = np.concatenate([[False], (d[1:] == d[:-1]) & (h[1:] == h[:-1])])
+        d, h = d[~dup], h[~dup]
+    return d, h
+
+
 class _ShingleRows:
     """Doc → one row per distinct shingle hash, carrying ``sz`` = the
     doc's distinct-shingle count on every row — |A| is known at emission
@@ -179,21 +233,17 @@ class _ShingleRows:
         self._cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_doc: list[int] = []
-        out_sz: list[int] = []
-        out_sh: list[np.ndarray] = []
-        ids = batch.column(self.id_col).to_pylist()
-        for i, text in enumerate(batch.column(self.text_col).to_pylist()):
-            h = doc_shingle_hashes(text, self.n, self._cache)
-            out_doc.extend([ids[i]] * len(h))
-            out_sz.extend([len(h)] * len(h))
-            out_sh.append(h)
-        sh = np.concatenate(out_sh) if out_sh else np.empty(0, dtype=np.uint64)
+        d, h, n_docs = batch_shingle_hashes(
+            batch.column(self.text_col), self.n, self._cache
+        )
+        ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
+        assert n_docs == len(ids)
+        counts = np.bincount(d, minlength=n_docs).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "shingle": pa.array(sh, pa.uint64()),
-                "sz": pa.array(out_sz, pa.int64()),
+                "doc_id": pa.array(ids[d], pa.int64()),
+                "shingle": pa.array(h, pa.uint64()),
+                "sz": pa.array(counts[d], pa.int64()),
             }
         )
 
@@ -414,20 +464,22 @@ class MinHashBands:
         vals = (self.a[:, None] * h[None, :] + self.b[:, None]) & _MASK64
         return vals.min(axis=1)
 
-    def signatures_batch(self, texts: list[str], cache: dict) -> tuple[np.ndarray, np.ndarray]:
-        """All signatures in one kernel: concat every doc's shingle hashes,
-        one (num_perm × total) product, ``minimum.reduceat`` at doc
-        boundaries.  Returns (kept doc positions, (n_kept, num_perm))."""
-        hs = [doc_shingle_hashes(t, self.n, cache) for t in texts]
-        keep = np.array([len(h) > 0 for h in hs], dtype=bool)
-        kept = [h for h in hs if len(h)]
-        if not kept:
-            return np.nonzero(keep)[0], np.empty((0, self.num_perm), np.uint64)
-        flat = np.concatenate(kept)
-        starts = np.concatenate([[0], np.cumsum([len(h) for h in kept])[:-1]])
+    def signatures_batch(self, texts, cache: dict) -> tuple[np.ndarray, np.ndarray]:
+        """All signatures in one kernel: every doc's shingle hashes from
+        the vectorized batch pass, one (num_perm × total) product,
+        ``minimum.reduceat`` at doc boundaries.  Returns (kept doc
+        positions, (n_kept, num_perm))."""
+        if isinstance(texts, list):
+            texts = pa.array(texts, pa.string())
+        d, flat, n_docs = batch_shingle_hashes(texts, self.n, cache)
+        counts = np.bincount(d, minlength=n_docs)
+        pos = np.nonzero(counts > 0)[0]
+        if len(flat) == 0:
+            return pos, np.empty((0, self.num_perm), np.uint64)
+        starts = np.concatenate([[0], np.cumsum(counts[pos])[:-1]])
         vals = (self.a[:, None] * flat[None, :] + self.b[:, None]) & _MASK64
         sigs = np.minimum.reduceat(vals, starts, axis=1).T  # (n_kept, num_perm)
-        return np.nonzero(keep)[0], sigs
+        return pos, sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         r = self.num_perm // self.bands
@@ -435,25 +487,30 @@ class MinHashBands:
         if not hasattr(self, "_cache"):
             self._cache: dict = {}
         pos, sigs = self.signatures_batch(
-            batch.column(self.text_col).to_pylist(), self._cache
+            batch.column(self.text_col), self._cache
         )
-        out_key = np.empty(len(pos) * self.bands, dtype=np.uint64)
-        out_doc = np.repeat(ids[pos], self.bands)
-        # band keys: md5 of (band index ++ band slice) per doc — row-major
-        # so doc-major interleave matches out_doc's repeat layout
-        k = 0
-        for i in range(len(pos)):
-            row = sigs[i]
-            for bnd in range(self.bands):
-                digest = hashlib.md5(
-                    bytes([bnd]) + row[bnd * r : (bnd + 1) * r].tobytes()
-                ).digest()[:8]
-                out_key[k] = np.uint64(int.from_bytes(digest, "little"))
-                k += 1
+        # band keys: vectorized polynomial mix over each band's r values,
+        # salted by band index.  ANY deterministic function of the band
+        # slice works: equal band vectors always collide (recall is
+        # unaffected), unequal ones that spuriously collide only add
+        # candidates that exact verification removes.  This replaces one
+        # md5 call per (doc, band) — the stage's former hot spot.
+        bv = sigs.reshape(len(pos), self.bands, r)
+        with np.errstate(over="ignore"):
+            acc = np.full((len(pos), self.bands), np.uint64(0x9E3779B97F4A7C15))
+            for j in range(r):
+                acc = acc * _SHINGLE_A + bv[:, :, j]
+            acc ^= np.arange(1, self.bands + 1, dtype=np.uint64)[None, :] * np.uint64(
+                0xFF51AFD7ED558CCD
+            )
+            # avalanche so low bits (the bucket key) mix the whole value
+            acc ^= acc >> np.uint64(33)
+            acc = acc * np.uint64(0xC4CEB9FE1A85EC53)
+            acc ^= acc >> np.uint64(29)
         return pa.table(
             {
-                "band_key": pa.array(out_key, pa.uint64()),
-                "doc_id": pa.array(out_doc, pa.int64()),
+                "band_key": pa.array(acc.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids[pos], self.bands), pa.int64()),
             }
         )
 

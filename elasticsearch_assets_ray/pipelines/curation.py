@@ -26,7 +26,6 @@ is the final (survivor-sized) result.
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
@@ -44,39 +43,55 @@ N_JOIN_BUCKETS = 64
 
 
 class CurationStats:
-    """map_batches stage: the shared tokenize pass (step 1 above)."""
+    """map_batches stage: the shared tokenize pass (step 1 above).
+
+    Fully vectorized: ONE Arrow-kernel tokenize per batch feeds token /
+    stopword / digit counts (per-distinct-term flags + bincounts), the
+    shingle polynomial (``ops.dedup.shingles_from_codes``), and the
+    quality score; sha256 runs over zero-copy Arrow buffer slices."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  keep_cols: tuple[str, ...] = ("lang",), shingle_n: int = 3):
         self.text_col, self.id_col = text_col, id_col
         self.keep_cols = keep_cols
         self.shingle_n = shingle_n
-        self._cache: dict = {}
+        self._hash_cache: dict = {}
+        self._flag_cache: dict = {}
+
+    def _term_flags(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        sw = np.empty(len(terms), dtype=bool)
+        dg = np.empty(len(terms), dtype=bool)
+        cache = self._flag_cache
+        for i, t in enumerate(terms):
+            f = cache.get(t)
+            if f is None:
+                f = cache[t] = (t in _STOPWORDS, bool(_DIGITS_RE.match(t)))
+            sw[i], dg[i] = f
+        return sw, dg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        n = len(texts)
-        tc = np.zeros(n, dtype=np.int64)
-        sw = np.zeros(n, dtype=np.int64)
-        dg = np.zeros(n, dtype=np.int64)
-        shas: list[str] = []
-        sh_parts: list[np.ndarray] = []
-        offsets = np.zeros(n + 1, dtype=np.int64)
-        for i, text in enumerate(texts):
-            toks = ts_ops.clipped_tokens(text)
-            tc[i] = len(toks)
-            sw[i] = sum(1 for t in toks if t in _STOPWORDS)
-            dg[i] = sum(1 for t in toks if _DIGITS_RE.match(t))
-            shas.append(hashlib.sha256(text.encode()).hexdigest())
-            h = dd.shingle_hashes_from_tokens(toks, self.shingle_n, self._cache)
-            sh_parts.append(h)
-            offsets[i + 1] = offsets[i] + len(h)
+        from ..index.build import sha_nbytes_arrow, tokenize_codes_arrow
+
+        text = batch.column(self.text_col)
+        n = batch.num_rows
+        terms, codes, doc_rel, dls = tokenize_codes_arrow(text, "simple", 1, 64, {})
+        tc = np.asarray(dls, dtype=np.int64)
+        sw_mask, dg_mask = self._term_flags(terms)
+        if len(codes):
+            sw = np.bincount(doc_rel[sw_mask[codes]], minlength=n).astype(np.int64)
+            dg = np.bincount(doc_rel[dg_mask[codes]], minlength=n).astype(np.int64)
+        else:
+            sw = np.zeros(n, dtype=np.int64)
+            dg = np.zeros(n, dtype=np.int64)
         quality = ts_ops.quality_score(tc, dg, sw)
-        values = (
-            np.concatenate(sh_parts) if sh_parts else np.empty(0, np.uint64)
+        shas, _ = sha_nbytes_arrow(text)
+        d, h = dd.shingles_from_codes(
+            terms, codes, doc_rel, self.shingle_n, self._hash_cache
         )
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(d, minlength=n), out=offsets[1:])
         shingles = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), pa.array(values, pa.uint64())
+            pa.array(offsets, pa.int32()), pa.array(h, pa.uint64())
         )
         cols = {"doc_id": batch.column(self.id_col)}
         for c in self.keep_cols:
