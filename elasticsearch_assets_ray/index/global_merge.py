@@ -53,13 +53,27 @@ def merge_global_postings(
     n_buckets: int = 16,
     hot_df_fraction: float = HOT_DF_FRACTION,
     block_size: int = 128,
+    store_norms: bool = False,
+    params=None,
 ):
     """Doc-range segments → term-partitioned global index.
 
     Returns the output Dataset's row count (one row per (term, salt)).
     Output layout: ``out_dir/bucket=<hash(term) % n_buckets>/*.parquet``
     with rows (term, salt, df, cf, postings) — never one giant file.
-    """
+
+    ``store_norms=True`` additionally materializes each posting's BM25
+    tf-norm ``tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`` (float64, the exact
+    expression the doc-partitioned dense scorer evaluates) as a parallel
+    ``norms`` binary column, with k1/b/avgdl baked at merge time and
+    recorded in ``_globalmeta.json`` — the precomputed-impact layout that
+    lets a TERM-partitioned serving tier score without doc lengths
+    (:class:`search.term_engine.TermPartitionedEngine`)."""
+    import json as _json
+
+    from ..config import BM25Params
+
+    params = params or BM25Params()
     info = IndexInfo(index_dir)
     out_dir = Path(out_dir)
 
@@ -67,6 +81,61 @@ def merge_global_postings(
         str(Path(index_dir) / "segments"),
         columns=["term", "df", "cf", "postings", "shard"],
     )
+
+    if store_norms:
+        import pyarrow.parquet as _pq
+
+        avgdl = info.stats.avgdl
+        k1, b = params.k1, params.b
+        shard_bases = {
+            s.shard_id: s.doc_base for s in info.manifest.shards.values()
+        }
+        dm_paths = {
+            sid: [str(p) for p in info.docmeta_paths(sid)]
+            for sid in info.shard_ids()
+        }
+        index_dir_s = str(index_dir)
+
+        def add_norms(batch: pa.Table) -> pa.Table:
+            from .codec import decode_postings_many
+
+            cache = add_norms.__dict__.setdefault("_dls", {})
+
+            def dls_of(sid: int) -> np.ndarray:
+                a = cache.get(sid)
+                if a is None:
+                    parts = [
+                        _pq.read_table(p, columns=["dl"]).column("dl").to_numpy()
+                        for p in dm_paths[sid]
+                    ]
+                    a = cache[sid] = (
+                        np.concatenate(parts).astype(np.float64)
+                        if parts else np.zeros(0)
+                    )
+                return a
+
+            shards = batch.column("shard").to_numpy()
+            blobs = batch.column("postings").to_pylist()
+            doc_flat, tf_flat, offs = decode_postings_many(blobs)
+            counts = np.diff(offs)
+            dl_flat = np.empty(len(doc_flat), dtype=np.float64)
+            for sid in np.unique(shards):
+                sel = np.repeat(shards == sid, counts)
+                dl = dls_of(int(sid))
+                dl_flat[sel] = dl[
+                    (doc_flat[sel] - np.uint64(shard_bases[int(sid)])).astype(np.int64)
+                ]
+            tf = tf_flat.astype(np.float64)
+            norm_flat = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl_flat / avgdl))
+            norm_blobs = [
+                norm_flat[offs[i]:offs[i + 1]].astype("<f8").tobytes()
+                for i in range(len(blobs))
+            ]
+            return batch.append_column(
+                "norms", pa.array(norm_blobs, pa.large_binary())
+            )
+
+        seg = seg.map_batches(add_norms, batch_format="pyarrow", zero_copy_batch=True)
 
     # df pre-pass: global df per term (small aggregate), hot set broadcast
     from ray.data.aggregate import Sum
@@ -107,16 +176,19 @@ def merge_global_postings(
             doc_flat, tf_flat, np.array([0, len(doc_flat)], dtype=np.int64),
             block_size,
         )[0]
-        return pa.table(
-            {
-                "term": pa.array([term], pa.string()),
-                "salt": pa.array([salt], pa.int32()),
-                "df": pa.array([int(sum(g.column("df").to_pylist()))], pa.int64()),
-                "cf": pa.array([int(sum(g.column("cf").to_pylist()))], pa.int64()),
-                "bucket": pa.array([_term_bucket(term, n_buckets)], pa.int32()),
-                "postings": pa.array([blob], pa.large_binary()),
-            }
-        )
+        cols = {
+            "term": pa.array([term], pa.string()),
+            "salt": pa.array([salt], pa.int32()),
+            "df": pa.array([int(sum(g.column("df").to_pylist()))], pa.int64()),
+            "cf": pa.array([int(sum(g.column("cf").to_pylist()))], pa.int64()),
+            "bucket": pa.array([_term_bucket(term, n_buckets)], pa.int32()),
+            "postings": pa.array([blob], pa.large_binary()),
+        }
+        if "norms" in g.column_names:
+            cols["norms"] = pa.array(
+                [b"".join(g.column("norms").to_pylist())], pa.large_binary()
+            )
+        return pa.table(cols)
 
     merged = (
         seg.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
@@ -124,6 +196,21 @@ def merge_global_postings(
         .map_groups(merge_group, batch_format="pyarrow", zero_copy_batch=True)
     )
     merged.write_parquet(str(out_dir), partition_cols=["bucket"])
+    meta = {
+        "n_salts": n_salts,
+        "n_buckets": n_buckets,
+        "hot_df_fraction": hot_df_fraction,
+        "block_size": block_size,
+        "store_norms": store_norms,
+        "num_docs": info.stats.num_docs,
+        "avgdl": info.stats.avgdl,
+        "k1": params.k1,
+        "b": params.b,
+        "analyzer": info.manifest.analyzer,
+        "min_token_len": info.manifest.min_token_len,
+        "max_token_len": info.manifest.max_token_len,
+    }
+    (out_dir / "_globalmeta.json").write_text(_json.dumps(meta, indent=1))
     return out_dir
 
 

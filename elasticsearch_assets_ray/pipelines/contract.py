@@ -260,6 +260,64 @@ QUALIFY rank <= {TOPK}
 """
 
 
+def _bm25_rerank(pairs_per_query: dict[int, list[tuple[int, float]]],
+                 idx: str) -> pa.Table:
+    """Shared (round(score,4) DESC, orig_id ASC) top-10 re-rank +
+    doc-store hydration for the BM25 contract pipelines."""
+    all_ids = np.array(
+        [d for hits in pairs_per_query.values() for d, _ in hits], dtype=np.int64
+    )
+    store = DocStore(idx, columns=["doc_id", "orig_id"])
+    orig_map = store.mget(all_ids)
+    orig_flat = orig_map.column("orig_id").to_numpy()
+    pos = 0
+    o_q, o_r, o_d, o_s = [], [], [], []
+    for qid in sorted(pairs_per_query):
+        hits = pairs_per_query[qid]
+        orig = orig_flat[pos:pos + len(hits)].astype(np.int64)
+        pos += len(hits)
+        score_r = np.round(np.array([s for _, s in hits]), 4)
+        top = np.lexsort((orig, -score_r))[:TOPK]
+        o_q.append(np.full(len(top), qid, dtype=np.int64))
+        o_r.append(np.arange(1, len(top) + 1, dtype=np.int64))
+        o_d.append(orig[top])
+        o_s.append(score_r[top])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(o_q)),
+            "rank": pa.array(np.concatenate(o_r)),
+            "doc_id": pa.array(np.concatenate(o_d)),
+            "score_r": pa.array(np.concatenate(o_s), pa.float64()),
+        }
+    )
+
+
+def q_bm25_topk_global(sf_dir: str) -> pa.Table:
+    """BM25 top-k served from the TERM-partitioned global layout
+    (groupby-on-term merge with precomputed-impact norms → bucket-actor
+    gather + weighted merge, ``search.term_engine``) — the same SQL
+    oracle as the doc-partitioned path; the two engines must agree with
+    it AND each other."""
+    import os
+
+    from ..index.global_merge import merge_global_postings
+    from ..search.term_engine import TermPartitionedEngine
+
+    idx = ensure_doc_index(sf_dir)
+    gdir = f"{idx}_globalnorms"
+    if not os.path.exists(f"{gdir}/_globalmeta.json"):
+        merge_global_postings(idx, gdir, n_salts=2, n_buckets=8,
+                              hot_df_fraction=0.5, store_norms=True)
+    eng = TermPartitionedEngine(gdir, num_actors=2, round_decimals=4)
+    try:
+        per_q = {
+            qid: eng.search(q, k=K_FETCH) for qid, q in BM25_QUERIES
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
 def q_exact_dedup(sf_dir: str) -> pa.Table:
     return to_arrow(dd.exact_dedup_groups(_docs(sf_dir)))
 
@@ -1064,6 +1122,7 @@ def queries():
     return {
         "term_stats": q_term_stats,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_global": q_bm25_topk_global,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
@@ -1096,6 +1155,7 @@ def oracle_sql():
     return {
         "term_stats": sql_term_stats(),
         "bm25_topk": sql_bm25_topk(),
+        "bm25_topk_global": sql_bm25_topk(),
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "text_stats": sql_text_stats(),

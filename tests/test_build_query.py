@@ -396,6 +396,34 @@ def test_global_term_merge_with_salting(small_index, small_oracle, tmp_path):
     assert len(ids) == 0
 
 
+def test_term_partitioned_engine_rank_score_identical(small_index, small_oracle, tmp_path):
+    """Serving from the TERM-partitioned layout (precomputed-impact
+    norms, bucket actors, gather + weighted merge) is rank AND score
+    identical to the oracle — the same conformance bar the
+    doc-partitioned engine meets."""
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    out = tmp_path / "global_norms"
+    merge_global_postings(small_index.index_dir, out, n_salts=3, n_buckets=4,
+                          store_norms=True)
+    eng = TermPartitionedEngine(out, num_actors=2)
+    for row in reference_queries().to_pylist():
+        got = eng.search(row["query"], k=row["k"])
+        want = small_oracle.search(code_tokens(row["query"]), k=row["k"])
+        assert [d for d, _ in got] == [d for d, _ in want], row["query"]
+        for (_, s1), (_, s2) in zip(got, want):
+            assert abs(s1 - s2) < 1e-9
+    assert eng.search("zzzzqqqq") == []
+    eng.shutdown()
+
+    # a layout merged WITHOUT norms refuses term-partitioned serving
+    out2 = tmp_path / "global_nonorms"
+    merge_global_postings(small_index.index_dir, out2, n_salts=3, n_buckets=4)
+    with pytest.raises(ValueError):
+        TermPartitionedEngine(out2)
+
+
 def test_edge_corpus_empty_docs_and_unicode(tmp_path):
     """Empty content, unicode, single-token docs: build + search + stats
     stay consistent (no NaNs, no crashes, sha invariant holds)."""
