@@ -44,6 +44,15 @@ def main() -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only for standalone runs; ignored under ray job submit")
+    ap.add_argument("--persistent", action="store_true",
+                    help="micro-batch streaming over a growing corpus dir "
+                         "(tumbling windows + mtime watermark)")
+    ap.add_argument("--interval", type=float, default=30.0,
+                    help="persistent mode: window interval seconds")
+    ap.add_argument("--delay", type=float, default=30.0,
+                    help="persistent mode: watermark delay seconds")
+    ap.add_argument("--max-ticks", type=int, default=0,
+                    help="persistent mode: stop after N windows (0 = forever)")
     args = ap.parse_args()
 
     import ray
@@ -75,9 +84,28 @@ def main() -> int:
         shard_target_docs=args.shard_docs,
         merge_strategy=args.merge_strategy,
     )
-    t0 = time.perf_counter()
-    info = build_index(args.corpus, args.index, cfg, resume=not args.no_resume)
-    dt = time.perf_counter() - t0
+    if args.persistent:
+        import itertools
+
+        from elasticsearch_assets_ray.index.persistent import PersistentIndexer
+
+        px = PersistentIndexer(args.corpus, args.index, cfg,
+                               interval_s=args.interval, delay_s=args.delay)
+        ticks = args.max_ticks or None
+        t0 = time.perf_counter()
+        info = None
+        for _ in itertools.count() if ticks is None else range(ticks):
+            got = px.run(max_ticks=1)
+            info = got or info
+        dt = time.perf_counter() - t0
+        if info is None:
+            print(json.dumps({"index": args.index, "windows": px.ticks,
+                              "num_docs": 0, "seconds": round(dt, 2)}))
+            return 0
+    else:
+        t0 = time.perf_counter()
+        info = build_index(args.corpus, args.index, cfg, resume=not args.no_resume)
+        dt = time.perf_counter() - t0
     print(
         json.dumps(
             {
