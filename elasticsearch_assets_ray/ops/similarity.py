@@ -440,18 +440,27 @@ def cosine_dup_pairs_lsh(
     threshold: float = 0.4,
     col: str = "embedding",
     id_col: str = "vec_id",
-    nbits: int = 8,
+    nbits: int | None = None,
     seed: int = 11,
 ) -> pa.Table:
     """Approximate near-dup pairs: sign-bit LSH bucket candidates →
     exact cosine verification of candidates only (the 10^12-row path;
     recall < 1 by design — same-bucket collisions only).
 
+    ``nbits=None`` sizes the bucket count to the corpus
+    (``2^nbits ≈ n/64`` → mean occupancy ~64, min 8 bits): candidate-pair
+    volume, and with it verify-exchange traffic, stays roughly LINEAR in
+    n instead of quadratic-in-occupancy.  More bits = fewer candidates
+    but lower recall (each bit halves the chance a true pair shares a
+    bucket) — tighten only for high-similarity dedup thresholds.
+
     Candidate emission reuses the dedup machinery's bucketed pair
     exchange; verification joins candidate pairs back to their two
     vectors via a pair-keyed exchange — the only broadcast is the
     candidate doc→pairs map (output-scale, not corpus-scale).
     """
+    import math as _math
+
     from .dedup import _bucketed_emit_pairs, _canonical_pairs, to_arrow as _ta  # noqa: F401
 
     # dimension probe from one batch (cheap: first block only)
@@ -465,6 +474,9 @@ def cosine_dup_pairs_lsh(
             }
         )
     dim = len(probe[0][col])
+    if nbits is None:
+        n = ds.count()
+        nbits = max(8, min(48, _math.ceil(_math.log2(max(n, 64) / 64))))
     planes = np.random.default_rng(seed).standard_normal((nbits, dim))
     planes_ref = ray.put(planes)
 
