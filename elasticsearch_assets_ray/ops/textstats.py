@@ -133,6 +133,49 @@ class LangID:
         return pa.table(cols)
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs with
+# IDENTICAL semantics in Python re and RE2 (no lookahead, explicit ASCII
+# classes) so the DuckDB oracle counts the exact same tokens:
+# contractions | space?+letters | space?+digits | space?+punct-run |
+# bare apostrophe | whitespace-run
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|'|\s+"
+)
+_WS_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
+
+
+class BPETokenCount:
+    """Token counting for budget estimation: whitespace tokens + a
+    BPE-ish pre-tokenizer segment count (the standard first stage of
+    byte-pair encoders — actual BPE merges are model-specific and priced
+    roughly proportional to these segments).
+
+    Output: doc_id, ws_tokens, bpe_tokens."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self._bpe = re.compile(BPE_ISH_PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ws = np.fromiter(
+            (len(_WS_TOKEN_RE.findall(t)) for t in texts),
+            dtype=np.int64, count=len(texts),
+        )
+        bpe = np.fromiter(
+            (len(self._bpe.findall(t)) for t in texts),
+            dtype=np.int64, count=len(texts),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "ws_tokens": pa.array(ws),
+                "bpe_tokens": pa.array(bpe),
+            }
+        )
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Cheap whitespace+regex token counting, appended as a column."""
     counts = np.fromiter(

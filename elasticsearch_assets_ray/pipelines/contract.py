@@ -378,6 +378,31 @@ FROM st
 """
 
 
+def q_token_counts(sf_dir: str) -> pa.Table:
+    """Token counting (whitespace + BPE-ish pre-tokenizer regex) — the
+    budget-estimation op of a training-data pipeline; the pattern is
+    restricted to Python-re/RE2-identical constructs so DuckDB counts
+    the exact same segments."""
+    return to_arrow(
+        _docs(sf_dir).map_batches(
+            ts_ops.BPETokenCount(), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
+def sql_token_counts() -> str:
+    from ..ops.textstats import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f\v]+'),
+                       x -> x <> ''))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '{pat}'))::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+
 def q_knn_cosine(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     q = sim.queries_from_dataset(ds, KNN_QUERY_IDS)
@@ -1126,6 +1151,7 @@ def queries():
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
         "knn_cosine": q_knn_cosine,
         "events_daily": q_events_daily,
         "events_weekly": q_events_weekly,
@@ -1159,6 +1185,7 @@ def oracle_sql():
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "text_stats": sql_text_stats(),
+        "token_counts": sql_token_counts(),
         "knn_cosine": sql_knn_cosine(),
         "events_daily": sql_events_daily(),
         "events_weekly": sql_events_weekly(),

@@ -230,6 +230,19 @@ def test_text_stats_distinct_and_quality():
     assert abs(out["quality"] - expect_q) < 1e-12
 
 
+def test_bpe_ish_token_counts():
+    out = to_arrow(
+        _docs_ds(["Hello world, it's a test!", "", "a+b=c 42"]).map_batches(
+            ts.BPETokenCount(), batch_format="pyarrow"
+        )
+    ).to_pylist()
+    # "Hello|" world|,| it|'s| a| test|!" → 8 bpe segments, 5 ws tokens
+    assert out[0]["ws_tokens"] == 5 and out[0]["bpe_tokens"] == 8
+    assert out[1]["ws_tokens"] == 0 and out[1]["bpe_tokens"] == 0
+    # "a|+|b|=|c| |42"? → 'a','+','b','=','c',' 42' = 6
+    assert out[2]["ws_tokens"] == 2 and out[2]["bpe_tokens"] == 6
+
+
 def test_lang_id():
     lid = ts.LangID()
     assert lid.predict("the cat is on the mat and it is happy") == "en"
