@@ -49,10 +49,9 @@ def _stable_hash64(s: str) -> np.uint64:
 
 def sha256_batch(batch: pa.Table, text_col: str = "text",
                  id_col: str = "doc_id") -> pa.Table:
-    shas = [
-        hashlib.sha256(t.encode()).hexdigest()
-        for t in batch.column(text_col).to_pylist()
-    ]
+    from ..index.build import sha_nbytes_arrow
+
+    shas, _ = sha_nbytes_arrow(batch.column(text_col))
     return pa.table(
         {"doc_id": batch.column(id_col), "content_sha256": pa.array(shas, pa.string())}
     )
@@ -106,10 +105,9 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """→ Dataset of surviving full rows (first-by-id per content hash)."""
 
     def add_sha(b: pa.Table) -> pa.Table:
-        shas = [
-            hashlib.sha256(t.encode()).hexdigest()
-            for t in b.column(text_col).to_pylist()
-        ]
+        from ..index.build import sha_nbytes_arrow
+
+        shas, _ = sha_nbytes_arrow(b.column(text_col))
         b = b.append_column("__sha", pa.array(shas, pa.string()))
         return b.append_column("bucket", _sha_bucket(shas))
 

@@ -225,11 +225,12 @@ def sha_route_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Derive the routing id from content: first hex char of sha256(text)
     (deterministic id generation for corpora without natural keys; the
     generator's ``id_start_key`` analogue)."""
-    chars = [
-        hashlib.sha256(t.encode()).hexdigest()[0]
-        for t in batch.column(text_col).to_pylist()
-    ]
-    return batch.append_column("_id", pa.array(chars, pa.string()))
+    from ..index.build import sha_nbytes_arrow
+
+    shas, _ = sha_nbytes_arrow(batch.column(text_col))
+    return batch.append_column(
+        "_id", pa.array([h[0] for h in shas], pa.string())
+    )
 
 
 def multisend_write(ds, out_dir: str, connection_map: dict[str, str],
