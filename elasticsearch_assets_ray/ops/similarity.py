@@ -229,6 +229,175 @@ def knn_cosine_lsh(
     return _merge_partials(partials, k)
 
 
+# ----------------------------------------------------------- IVF variant
+
+
+def kmeans_fit(sample: np.ndarray, k: int, iters: int = 10,
+               seed: int = 13) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd's, fixed iterations, seeded
+    init) over unit-normalized vectors → (k, d) unit centroids.  The
+    coarse quantizer of an IVF index; sample-sized, runs on the driver."""
+    x = np.asarray(sample, dtype=np.float64)
+    n = np.linalg.norm(x, axis=1)
+    n[n == 0] = 1.0
+    x = x / n[:, None]
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+def build_ivf(
+    ds,
+    out_dir: str,
+    n_clusters: int = 64,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 10_000,
+    seed: int = 13,
+):
+    """Partition the embedding table by coarse-quantizer cluster →
+    hive-partitioned parquet (``out_dir/cluster=<c>/``) + ``centroids.npy``.
+
+    The scan side of IVF: a query reading only its ``nprobe`` closest
+    clusters touches ``~nprobe/n_clusters`` of the corpus via literal
+    parquet partition pruning — no full scan.  Assignment is one
+    broadcast-centroids ``map_batches`` pass.
+    """
+    from pathlib import Path
+
+    sample_tbl = to_arrow(ds.limit(sample_size))
+    sample = _embedding_matrix(sample_tbl, col)
+    cent = kmeans_fit(sample, n_clusters, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        e = _embedding_matrix(batch, col)
+        nn = np.linalg.norm(e, axis=1)
+        nn[nn == 0] = 1.0
+        cl = np.argmax((e / nn[:, None]) @ c.T, axis=1)
+        return batch.append_column("cluster", pa.array(cl.astype(np.int32)))
+
+    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir, partition_cols=["cluster"]
+    )
+    np.save(str(Path(out_dir) / "_centroids.npy"), cent)
+    return out_dir
+
+
+def knn_cosine_ivf(
+    ivf_dir: str,
+    queries: np.ndarray,
+    query_ids: list[int] | np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate cosine top-k over an IVF layout: probe each query's
+    ``nprobe`` nearest clusters only (parquet partition pruning), exact
+    scoring within the probed subset → pa.Table(query_id, rank, vec_id,
+    sim_r).  Self-queries always hit (a vector's own cluster is its
+    nearest centroid by construction)."""
+    from pathlib import Path
+
+    import pyarrow.dataset as pds_mod
+
+    import ray.data as rd
+
+    cent = np.load(str(Path(ivf_dir) / "_centroids.npy"))
+    q = np.asarray(queries, dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    qnorm = q / qn[:, None]
+    probes = np.argsort(-(qnorm @ cent.T), axis=1)[:, :nprobe]
+    clusters = sorted({int(c) for row in probes for c in row})
+    # literal pruning: only the probed clusters' partition dirs are read
+    # (Ray re-attaches the hive partition column, as a string)
+    parts = []
+    for c in clusters:
+        d = Path(ivf_dir) / f"cluster={c}"
+        if d.exists():
+            parts.append(rd.read_parquet(str(d)))
+    if not parts:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim_r": pa.array([], pa.float64()),
+            }
+        )
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    # per-query candidate restriction: a vector only scores against the
+    # queries probing its cluster
+    probe_sets = [set(int(c) for c in row) for row in probes]
+    qids = np.asarray(query_ids, dtype=np.int64)
+    q_ref = ray.put((qnorm, qids, probe_sets))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qn_, qi_, ps_ = ray.get(q_ref)
+        e = _embedding_matrix(batch, col)
+        ids = batch.column(id_col).to_numpy()
+        cl = np.asarray(
+            [int(c) for c in batch.column("cluster").to_pylist()], dtype=np.int64
+        )
+        nn = np.linalg.norm(e, axis=1)
+        nn[nn == 0] = 1.0
+        en = e / nn[:, None]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qn_)):
+            m = np.isin(cl, list(ps_[qi]))
+            if not m.any():
+                continue
+            sims = en[m] @ qn_[qi]
+            top = _rank_key_order(sims, ids[m], k)
+            out_q.append(np.full(len(top), qi_[qi], dtype=np.int64))
+            out_v.append(ids[m][top])
+            out_s.append(sims[top])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partials = to_arrow(
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if partials.num_rows == 0 or "query_id" not in partials.column_names:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim_r": pa.array([], pa.float64()),
+            }
+        )
+    return _merge_partials(partials, k)
+
+
 # ------------------------------------------------------- near-dup pairs
 
 

@@ -1045,6 +1045,26 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
     return sim.knn_cosine_lsh(ds, q, KNN_QUERY_IDS, k=TOPK)
 
 
+def q_knn_ivf(sf_dir: str) -> pa.Table:
+    """IVF approximate kNN: coarse-quantizer clustering of the embedding
+    table (hive-partitioned layout), query probes its nprobe nearest
+    clusters only — touched vectors scale with nprobe/n_clusters, not
+    corpus size.  Rows-only (approximate by design; recall and self-hit
+    properties unit-tested)."""
+    import hashlib as _hl
+    import os
+
+    from ..ops.similarity import build_ivf, knn_cosine_ivf, queries_from_dataset
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    tag = _hl.md5(f"ivf1:{sf_dir}".encode()).hexdigest()[:10]
+    ivf_dir = f"/tmp/esray_ivf_{tag}"
+    if not os.path.exists(f"{ivf_dir}/_centroids.npy"):
+        build_ivf(ds, ivf_dir, n_clusters=32)
+    q = queries_from_dataset(ds, KNN_QUERY_IDS)
+    return knn_cosine_ivf(ivf_dir, q, KNN_QUERY_IDS, k=TOPK, nprobe=4)
+
+
 def q_embedding_dup_lsh(sf_dir: str) -> pa.Table:
     """Approximate embedding near-dup pairs: sign-bit LSH buckets →
     exact verification of candidates (the 10^12-row scale path; recall
@@ -1170,6 +1190,7 @@ def queries():
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "embedding_dup_lsh": q_embedding_dup_lsh,
         "date_slices": q_date_slices,
         "global_term_merge": q_global_term_merge,

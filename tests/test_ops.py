@@ -202,6 +202,27 @@ def test_verify_pairs_jaccard_matches_driver_dict_verify():
         assert got[(a, b)] == common / denom
 
 
+def test_knn_ivf_self_hits_and_high_recall(tmp_path):
+    rng = np.random.default_rng(12)
+    mat = rng.standard_normal((400, 16)).astype(np.float32)
+    ds = _emb_ds(mat)
+    ivf = str(tmp_path / "ivf")
+    sim.build_ivf(ds, ivf, n_clusters=16, sample_size=400)
+    q = mat[:5].astype(np.float64)
+    out = sim.knn_cosine_ivf(ivf, q, [0, 1, 2, 3, 4], k=5, nprobe=4)
+    exact = sim.knn_cosine(ds, q, [0, 1, 2, 3, 4], k=5)
+    for qid in range(5):
+        got = out.filter(pa.compute.equal(out.column("query_id"), qid))
+        ids = got.column("vec_id").to_pylist()
+        assert ids[0] == qid  # own cluster is always probed first
+        assert got.column("sim_r").to_pylist()[0] == 1.0
+        want = exact.filter(
+            pa.compute.equal(exact.column("query_id"), qid)
+        ).column("vec_id").to_pylist()
+        # nprobe=4/16 probes ≥ a quarter of the space → decent overlap
+        assert len(set(ids) & set(want)) >= 2
+
+
 # --------------------------------------------------------------- textstats
 
 
