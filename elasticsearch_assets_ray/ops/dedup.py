@@ -629,6 +629,7 @@ def minhash_lsh_pairs(
         MinHashBands(text_col, id_col, n, num_perm, bands),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=512,  # amortizes the per-batch vocab/signature setup
     )
     raw_pairs = _bucketed_emit_pairs(band_rows, "band_key", None)
     candidates = _bucketed_pair_counts(
