@@ -288,9 +288,11 @@ def build_ivf(
         cl = np.argmax((e / nn[:, None]) @ c.T, axis=1)
         return batch.append_column("cluster", pa.array(cl.astype(np.int32)))
 
-    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-        out_dir, partition_cols=["cluster"]
-    )
+    # few upstream blocks → few files per cluster dir (a 64-block input
+    # would write 64 tiny files into EVERY cluster partition)
+    ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(8).write_parquet(out_dir, partition_cols=["cluster"])
     np.save(str(Path(out_dir) / "_centroids.npy"), cent)
     return out_dir
 
@@ -322,14 +324,14 @@ def knn_cosine_ivf(
     qnorm = q / qn[:, None]
     probes = np.argsort(-(qnorm @ cent.T), axis=1)[:, :nprobe]
     clusters = sorted({int(c) for row in probes for c in row})
-    # literal pruning: only the probed clusters' partition dirs are read
-    # (Ray re-attaches the hive partition column, as a string)
-    parts = []
+    # literal pruning: ONE read over only the probed clusters' files
+    # (pyarrow infers the hive `cluster` partition column, as a string)
+    files: list[str] = []
     for c in clusters:
         d = Path(ivf_dir) / f"cluster={c}"
         if d.exists():
-            parts.append(rd.read_parquet(str(d)))
-    if not parts:
+            files.extend(sorted(str(f) for f in d.glob("*.parquet")))
+    if not files:
         return pa.table(
             {
                 "query_id": pa.array([], pa.int64()),
@@ -338,9 +340,7 @@ def knn_cosine_ivf(
                 "sim_r": pa.array([], pa.float64()),
             }
         )
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
+    ds = rd.read_parquet(files)
     # per-query candidate restriction: a vector only scores against the
     # queries probing its cluster
     probe_sets = [set(int(c) for c in row) for row in probes]
