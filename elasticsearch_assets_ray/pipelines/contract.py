@@ -1057,7 +1057,7 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
     from ..ops.similarity import build_ivf, knn_cosine_ivf, queries_from_dataset
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    tag = _hl.md5(f"ivf1:{sf_dir}".encode()).hexdigest()[:10]
+    tag = _hl.md5(f"ivf:{CONTRACT_INDEX_VERSION}:{sf_dir}".encode()).hexdigest()[:10]
     ivf_dir = f"/tmp/esray_ivf_{tag}"
     if not os.path.exists(f"{ivf_dir}/_centroids.npy"):
         build_ivf(ds, ivf_dir, n_clusters=32)
