@@ -193,3 +193,56 @@ class TermPartitionedEngine:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+class TermBulkScorer:
+    """Dataset stage over an existing :class:`TermPartitionedEngine`'s
+    bucket actors — the term-partitioned mirror of
+    ``engine.DistributedBulkScorer``: each query batch gathers postings
+    from ONLY the buckets its terms hash to and merges on the task.
+
+    Input batch: (query_id:int64, query:string[, k:int32]).
+    Output: (query_id:int64, rank:int32, doc_id:int64, score:float64).
+    """
+
+    def __init__(self, engine: "TermPartitionedEngine"):
+        # plain picklables + actor handles; tasks talk straight to the
+        # long-lived bucket actors
+        self.eng = engine
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        qids = batch.column("query_id").to_pylist()
+        texts = batch.column("query").to_pylist()
+        ks = (
+            batch.column("k").to_pylist()
+            if "k" in batch.column_names
+            else [10] * len(qids)
+        )
+        o_qid, o_rank, o_doc, o_score = [], [], [], []
+        for qid, q, k in zip(qids, texts, ks):
+            for r, (d, s) in enumerate(self.eng.search(q, k=int(k))):
+                o_qid.append(qid)
+                o_rank.append(r + 1)
+                o_doc.append(d)
+                o_score.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(o_qid, pa.int64()),
+                "rank": pa.array(o_rank, pa.int32()),
+                "doc_id": pa.array(o_doc, pa.int64()),
+                "score": pa.array(o_score, pa.float64()),
+            }
+        )
+
+
+def score_queries_dataset_term(queries_ds, engine: "TermPartitionedEngine",
+                               batch_size: int = 256):
+    """Bulk-score a query Dataset against the term-partitioned engine."""
+    return queries_ds.map_batches(
+        TermBulkScorer(engine),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )

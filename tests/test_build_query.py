@@ -417,6 +417,21 @@ def test_term_partitioned_engine_rank_score_identical(small_index, small_oracle,
     assert eng.search("zzzzqqqq") == []
     eng.shutdown()
 
+    # the Dataset bulk path over the same engine matches the oracle too
+    from elasticsearch_assets_ray.search.term_engine import (
+        score_queries_dataset_term,
+    )
+
+    eng2 = TermPartitionedEngine(out, num_actors=2)
+    out_df = score_queries_dataset_term(
+        rd.from_arrow(reference_queries()), eng2
+    ).to_pandas()
+    for row in reference_queries().to_pylist():
+        want = small_oracle.search(code_tokens(row["query"]), k=row["k"])
+        got = out_df[out_df.query_id == row["query_id"]].sort_values("rank")
+        assert got.doc_id.tolist() == [d for d, _ in want]
+    eng2.shutdown()
+
     # a layout merged WITHOUT norms refuses term-partitioned serving
     out2 = tmp_path / "global_nonorms"
     merge_global_postings(small_index.index_dir, out2, n_salts=3, n_buckets=4)
