@@ -86,6 +86,11 @@ class BuildManifest:
     # segments, and the query side clips exactly as the build did
     min_token_len: int = 1
     max_token_len: int = 64
+    # byte size per corpus file (parallel to corpus_paths): the
+    # immutability guard — input files are data-lake-immutable by
+    # contract, and this catches the contract being broken (a file
+    # modified in place would otherwise silently reuse stale segments)
+    corpus_sizes: list[int] = field(default_factory=list)
     partitions: list[PartitionPlan] = field(default_factory=list)
     shards: dict[int, ShardState] = field(default_factory=dict)
 
@@ -105,6 +110,7 @@ class BuildManifest:
                 "postings_codec": self.postings_codec,
                 "min_token_len": self.min_token_len,
                 "max_token_len": self.max_token_len,
+                "corpus_sizes": self.corpus_sizes,
                 "partitions": [asdict(p) for p in self.partitions],
                 "shards": {str(k): asdict(v) for k, v in self.shards.items()},
             },
@@ -128,6 +134,7 @@ class BuildManifest:
             postings_codec=d.get("postings_codec", "varint"),
             min_token_len=d.get("min_token_len", 1),
             max_token_len=d.get("max_token_len", 64),
+            corpus_sizes=d.get("corpus_sizes", []),
         )
         m.partitions = [PartitionPlan(**p) for p in d["partitions"]]
         m.shards = {int(k): ShardState(**v) for k, v in d["shards"].items()}
@@ -158,6 +165,7 @@ class BuildManifest:
             self.postings_codec,
             self.min_token_len,
             self.max_token_len,
+            tuple(self.corpus_sizes),
         )
 
 
@@ -206,6 +214,15 @@ def plan_append(
     old = set(existing.corpus_paths)
     if not old.issubset(all_files):
         return None  # files removed → not an append
+    # immutability guard: an old file whose byte size changed was
+    # modified in place — its checkpointed segments are stale, so this
+    # is NOT an append (caller falls back to a full rebuild).  Manifests
+    # from before this field existed skip the check.
+    if existing.corpus_sizes:
+        old_size = dict(zip(existing.corpus_paths, existing.corpus_sizes))
+        for f in existing.corpus_paths:
+            if os.path.getsize(f) != old_size[f]:
+                return None
     new_files = [f for f in all_files if f not in old]
     if not new_files:
         return existing  # nothing to do
@@ -232,6 +249,11 @@ def plan_append(
         postings_codec=postings_codec,
         min_token_len=min_token_len,
         max_token_len=max_token_len,
+        corpus_sizes=(
+            list(existing.corpus_sizes) + [os.path.getsize(f) for f in new_files]
+            if existing.corpus_sizes
+            else []
+        ),
     )
     merged.partitions = list(existing.partitions) + [
         PartitionPlan(
@@ -292,6 +314,7 @@ def plan_build(
     files = list_corpus_files(corpus)
     if not files:
         raise ValueError(f"no parquet files found in {corpus!r}")
+    sizes = [os.path.getsize(f) for f in files]
     partitions: list[PartitionPlan] = []
     doc_base = 0
     pid = 0
@@ -385,6 +408,7 @@ def plan_build(
         postings_codec=postings_codec,
         min_token_len=min_token_len,
         max_token_len=max_token_len,
+        corpus_sizes=sizes,
         partitions=fixed,
         shards=shards,
     )

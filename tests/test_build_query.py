@@ -231,6 +231,47 @@ def test_incremental_append(small_corpus, tmp_path):
     assert info3.stats.num_docs == n1
 
 
+def test_modified_file_triggers_full_rebuild(small_corpus, tmp_path):
+    """A corpus file modified IN PLACE (same path) must never reuse its
+    stale checkpointed segments — the size guard downgrades the append
+    to a full rebuild."""
+    import pathlib
+
+    import pyarrow.parquet as pq2
+    import shutil as sh
+
+    from elasticsearch_assets_ray.corpus.synth import make_corpus_batch
+
+    grow = tmp_path / "grow"
+    grow.mkdir()
+    files = sorted(pathlib.Path(small_corpus).glob("*.parquet"))
+    for f in files:
+        sh.copy(f, grow / f.name)
+    cfg = IndexConfig(partition_target_docs=50, shard_target_docs=100)
+    idx = tmp_path / "idx"
+    info1 = build_index(grow, idx, cfg)
+    n1 = info1.stats.num_docs
+
+    # overwrite the FIRST file with different content (same row count)
+    first = grow / files[0].name
+    rows = pq2.read_table(first).num_rows
+    replacement = make_corpus_batch(np.arange(500_000, 500_000 + rows, dtype=np.int64))
+    pq2.write_table(replacement, first, row_group_size=50)
+
+    info2 = build_index(grow, idx, cfg, resume=True)
+    assert info2.stats.num_docs == n1
+    # the rebuilt index reflects the NEW content: sha of doc 0 changed
+    import hashlib as _h
+
+    dm = pq2.read_table(info2.docmeta_paths(0)[0],
+                        columns=["doc_id", "content_sha256"])
+    got_sha = dm.column("content_sha256")[0].as_py()
+    want_sha = _h.sha256(
+        replacement.column("content")[0].as_py().encode()
+    ).hexdigest()
+    assert got_sha == want_sha
+
+
 def test_wand_method_end_to_end(small_index, small_oracle):
     """method='wand' serving is rank+score identical to the oracle."""
     eng = QueryEngine(small_index.index_dir, num_actors=2, method="wand")
