@@ -651,25 +651,43 @@ def minhash_lsh_pairs(
 
 
 def simhash64_batch(batch: pa.Table, text_col: str = "text",
-                    id_col: str = "doc_id") -> pa.Table:
-    """64-bit SimHash per doc (tf-weighted token-hash bit votes)."""
+                    id_col: str = "doc_id",
+                    _hash_cache: dict | None = None) -> pa.Table:
+    """64-bit SimHash per doc (tf-weighted token-hash bit votes).
+
+    Vectorized over the whole batch: one Arrow tokenize, per-(doc, term)
+    tfs from a composite-key ``np.unique``, md5 once per DISTINCT term,
+    and a single scatter-add of ±tf bit votes — values identical to the
+    per-doc formulation (integer votes commute)."""
+    from ..index.build import tokenize_codes_arrow
+
+    n = batch.num_rows
     ids = batch.column(id_col)
-    sigs = np.zeros(batch.num_rows, dtype=np.uint64)
-    bit_idx = np.arange(64, dtype=np.uint64)
-    for i, text in enumerate(batch.column(text_col).to_pylist()):
-        toks = clipped_tokens(text)
-        if not toks:
-            continue
-        uniq: dict[str, int] = {}
-        for t in toks:
-            uniq[t] = uniq.get(t, 0) + 1
-        hs = np.fromiter((_stable_hash64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
-        tf = np.fromiter(uniq.values(), dtype=np.int64, count=len(uniq))
-        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-        votes = ((bits * 2 - 1) * tf[:, None]).sum(axis=0)
-        sigs[i] = np.bitwise_or.reduce(
-            (votes > 0).astype(np.uint64) << bit_idx
-        )
+    terms, codes, doc_rel, _ = tokenize_codes_arrow(
+        batch.column(text_col), "simple", 1, 64, {}
+    )
+    sigs = np.zeros(n, dtype=np.uint64)
+    if len(codes):
+        nv = len(terms)
+        cache = _hash_cache if _hash_cache is not None else {}
+        th = np.empty(nv, dtype=np.uint64)
+        for i, t in enumerate(terms):
+            h = cache.get(t)
+            if h is None:
+                h = cache[t] = _stable_hash64(t)
+            th[i] = h
+        key = doc_rel * np.int64(nv) + codes
+        uk, tf = np.unique(key, return_counts=True)
+        d = (uk // nv).astype(np.int64)
+        t_idx = (uk % nv).astype(np.int64)
+        bit_idx = np.arange(64, dtype=np.uint64)
+        bits = ((th[t_idx][:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        contrib = (bits * 2 - 1) * tf[:, None].astype(np.int64)
+        votes = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(votes, d, contrib)
+        sigs = (
+            ((votes > 0).astype(np.uint64) << bit_idx[None, :]).sum(axis=1)
+        ).astype(np.uint64)
     return pa.table({"doc_id": ids, "simhash": pa.array(sigs, pa.uint64())})
 
 

@@ -77,6 +77,31 @@ def test_minhash_finds_near_dups():
     assert rows[0]["jacc"] == common / (len(ha) + len(hb) - common)
 
 
+def test_simhash_batch_matches_per_doc_formula():
+    """The batch-vectorized SimHash equals the naive per-doc formulation."""
+    texts = ["foo bar baz foo", "", "one two two three three three", "单 word"]
+    got = dd.simhash64_batch(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    ).column("simhash").to_pylist()
+    from elasticsearch_assets_ray.ops.textstats import clipped_tokens
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, text in enumerate(texts):
+        toks = clipped_tokens(text)
+        if not toks:
+            assert got[i] == 0
+            continue
+        uniq = {}
+        for t in toks:
+            uniq[t] = uniq.get(t, 0) + 1
+        hs = np.array([dd._stable_hash64(t) for t in uniq], dtype=np.uint64)
+        tf = np.array(list(uniq.values()), dtype=np.int64)
+        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = ((bits * 2 - 1) * tf[:, None]).sum(axis=0)
+        want = int(np.bitwise_or.reduce((votes > 0).astype(np.uint64) << bit_idx))
+        assert got[i] == want
+
+
 def test_simhash_identical_and_banded_near():
     t = "foo bar baz qux quux corge grault"
     out = dd.simhash_pairs(_docs_ds([t, t, "unrelated words entirely distinct"]),
