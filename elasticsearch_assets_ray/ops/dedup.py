@@ -617,6 +617,7 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     bands: int = 32,
     threshold: float = 0.4,
+    max_band_group: int | None = None,
 ):
     """MinHash+LSH candidate pairs, exact-Jaccard verified →
     pa.Table(doc_a, doc_b, jacc).
@@ -624,14 +625,20 @@ def minhash_lsh_pairs(
     Verification is a candidate-keyed shuffle join over re-emitted
     shingle rows (:func:`verify_pairs_jaccard`) — no per-doc shingle-set
     dict ever materializes on the driver.
-    """
+
+    ``max_band_group`` is the scale valve (the jaccard ``max_shingle_df``
+    analogue): a band bucket of B docs emits B·(B−1)/2 candidate pairs,
+    so template-heavy corpora (boilerplate-identical bands) go quadratic
+    without a cap.  Groups above the cap are DROPPED — their members are
+    typically exact/near-exact duplicates that ``exact_dedup`` already
+    catches; capping is disclosed, not silent."""
     band_rows = ds.map_batches(
         MinHashBands(text_col, id_col, n, num_perm, bands),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=512,  # amortizes the per-batch vocab/signature setup
     )
-    raw_pairs = _bucketed_emit_pairs(band_rows, "band_key", None)
+    raw_pairs = _bucketed_emit_pairs(band_rows, "band_key", max_band_group)
     candidates = _bucketed_pair_counts(
         raw_pairs, lambda pair, _c: pa.table({"pair": pa.array(pair, pa.int64())})
     )
