@@ -1,0 +1,187 @@
+"""Segment compaction — physically removing tombstoned docs.
+
+The tombstone layer (``deletes.py``) is the Lucene model: segments stay
+immutable, deletions mask at query time.  Compaction is the matching
+merge step: every shard with tombstones rewrites its segment WITHOUT the
+deleted postings (df/cf/max_tf recomputed, empty terms dropped), then
+clears its tombstones.  One Ray task per dirty shard; clean shards are
+untouched byte-for-byte.
+
+Stats semantics follow Elasticsearch: after a merge, df AND the corpus
+stats (N, avgdl, total_tokens) reflect live documents only, so a
+compacted index scores exactly like an index of the surviving docs
+(rank+score identical to an oracle over the live corpus with original
+doc ids — tested).  Mask-at-query-time serving keeps pre-delete df/N,
+so scores legitimately drift at compaction, like an ES segment merge.
+Docmeta rows for deleted docs are retained (archive; the doc store can
+still hydrate them) — only postings and stats change.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .build import IndexInfo, segment_dir, write_segment_atomic
+from .codec import decode_postings_many, encode_postings_many
+from .deletes import clear_deletes_shard, load_deletes
+
+
+def compact_shard(index_dir: str | Path, shard_id: int,
+                  block_size: int, codec: str) -> dict:
+    """Rewrite one shard's segment without its tombstoned docs.
+    Returns a summary row; no-op when the shard has no tombstones."""
+    index_dir = Path(index_dir)
+    deleted = load_deletes(index_dir, shard_id)
+    if len(deleted) == 0:
+        return {"shard_id": shard_id, "dropped_postings": 0,
+                "dropped_terms": 0, "dropped_docs": 0, "dropped_tokens": 0}
+    # dl mass of the deleted docs (for the stats refresh)
+    from .build import docmeta_path
+
+    info = IndexInfo(index_dir)
+    deleted_tokens = 0
+    for pid in info.manifest.shards[shard_id].partition_ids:
+        dm = pq.read_table(docmeta_path(index_dir, pid), columns=["doc_id", "dl"])
+        m = np.isin(dm.column("doc_id").to_numpy(), deleted)
+        deleted_tokens += int(dm.column("dl").to_numpy()[m].sum())
+    seg_path = segment_dir(index_dir, shard_id) / "segment.parquet"
+    seg = pq.read_table(seg_path)
+    blobs = seg.column("postings").to_pylist()
+    doc_flat, tf_flat, offs = decode_postings_many(blobs)
+    live = ~np.isin(doc_flat.astype(np.int64), deleted)
+    # per-term new offsets after the mask
+    counts = np.diff(offs)
+    term_idx = np.repeat(np.arange(len(blobs), dtype=np.int64), counts)
+    new_counts = np.bincount(term_idx[live], minlength=len(blobs))
+    keep_terms = new_counts > 0
+    doc_new = doc_flat[live]
+    tf_new = tf_flat[live]
+    new_offs_all = np.zeros(len(blobs) + 1, dtype=np.int64)
+    np.cumsum(new_counts, out=new_offs_all[1:])
+    # drop empty terms: compact the offset table
+    kept_rows = np.nonzero(keep_terms)[0]
+    offs_kept = np.zeros(len(kept_rows) + 1, dtype=np.int64)
+    np.cumsum(new_counts[kept_rows], out=offs_kept[1:])
+    # reorder flat streams so kept terms are contiguous (they already
+    # are — masking preserves order and empty terms contribute nothing)
+    new_blobs = encode_postings_many(doc_new, tf_new, offs_kept, block_size, codec)
+    tf64 = tf_new.astype(np.int64)
+    dfs = np.diff(offs_kept)
+    cfs = (
+        np.add.reduceat(tf64, offs_kept[:-1])
+        if len(kept_rows) else np.empty(0, np.int64)
+    )
+    maxtf = (
+        np.maximum.reduceat(tf64, offs_kept[:-1])
+        if len(kept_rows) else np.empty(0, np.int64)
+    )
+    take_idx = pa.array(kept_rows, pa.int64())
+    cols = {
+        "term": seg.column("term").take(take_idx),
+        "df": pa.array(dfs, pa.int64()),
+        "cf": pa.array(cfs, pa.int64()),
+        "max_tf": pa.array(maxtf, pa.int64()),
+        "postings": pa.array(new_blobs, pa.large_binary()),
+    }
+    # extra columns (e.g. a `shard` partition echo) are preserved
+    for name in seg.column_names:
+        if name not in cols:
+            cols[name] = seg.column(name).take(take_idx)
+    out = pa.table(cols)
+    import shutil
+
+    # replace the old segment (tiny non-atomic window: a crash between
+    # rmtree and write leaves the shard segment missing, which the build
+    # resume path treats as "not done" and rebuilds from the corpus)
+    final = segment_dir(index_dir, shard_id)
+    shutil.rmtree(final, ignore_errors=True)
+    write_segment_atomic(index_dir, shard_id, out)
+    clear_deletes_shard(index_dir, shard_id)
+    return {
+        "shard_id": shard_id,
+        "dropped_postings": int((~live).sum()),
+        "dropped_terms": int((~keep_terms).sum()),
+        "dropped_docs": int(len(deleted)),
+        "dropped_tokens": deleted_tokens,
+    }
+
+
+def compact_index(index_dir: str | Path, block_size: int | None = None,
+                  codec: str | None = None) -> pa.Table:
+    """Compact every shard that has tombstones (one Ray task per dirty
+    shard) → summary table (shard_id, dropped_postings, dropped_terms).
+
+    Stats (N, avgdl) intentionally keep their original values so
+    compacted serving is rank+score identical to masked serving."""
+    info = IndexInfo(index_dir)
+    block_size = block_size or info.manifest.block_size
+    codec = codec or info.manifest.postings_codec
+    dirty = [
+        sid for sid in info.shard_ids()
+        if len(load_deletes(index_dir, sid))
+    ]
+    if not dirty:
+        return pa.table(
+            {
+                "shard_id": pa.array([], pa.int32()),
+                "dropped_postings": pa.array([], pa.int64()),
+                "dropped_terms": pa.array([], pa.int64()),
+                "dropped_docs": pa.array([], pa.int64()),
+                "dropped_tokens": pa.array([], pa.int64()),
+            }
+        )
+    idx = str(index_dir)
+
+    def work(batch: pa.Table) -> pa.Table:
+        rows = [
+            compact_shard(idx, int(s), block_size, codec)
+            for s in batch.column("shard_id").to_pylist()
+        ]
+        return pa.table(
+            {
+                "shard_id": pa.array([r["shard_id"] for r in rows], pa.int32()),
+                "dropped_postings": pa.array(
+                    [r["dropped_postings"] for r in rows], pa.int64()
+                ),
+                "dropped_terms": pa.array(
+                    [r["dropped_terms"] for r in rows], pa.int64()
+                ),
+                "dropped_docs": pa.array(
+                    [r["dropped_docs"] for r in rows], pa.int64()
+                ),
+                "dropped_tokens": pa.array(
+                    [r["dropped_tokens"] for r in rows], pa.int64()
+                ),
+            }
+        )
+
+    from ..ops import to_arrow
+
+    out = to_arrow(
+        rd.from_items([{"shard_id": s} for s in dirty])
+        .map_batches(work, batch_format="pyarrow", batch_size=1)
+    ).sort_by("shard_id")
+
+    # stats refresh (ES semantics: live docs only)
+    import json
+
+    from .manifest import STATS_NAME, atomic_write_text
+
+    n_docs = info.stats.num_docs - int(sum(out.column("dropped_docs").to_pylist()))
+    total_tokens = info.stats.total_tokens - int(
+        sum(out.column("dropped_tokens").to_pylist())
+    )
+    stats = {
+        "num_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "num_shards": info.stats.num_shards,
+    }
+    atomic_write_text(Path(index_dir) / STATS_NAME, json.dumps(stats, indent=1))
+    return out

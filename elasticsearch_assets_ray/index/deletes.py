@@ -91,6 +91,13 @@ def apply_delete_actions(actions_ds, index_dir: str | Path,
     return delete_docs(index_dir, tbl.column(doc_id_col).to_numpy())
 
 
+def clear_deletes_shard(index_dir, shard_id: int) -> None:
+    """Remove one shard's tombstone file (post-compaction)."""
+    p = deletes_path(index_dir, shard_id)
+    if p.exists():
+        os.remove(p)
+
+
 def clear_deletes(index_dir: str | Path) -> None:
     import shutil
 

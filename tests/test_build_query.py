@@ -231,6 +231,64 @@ def test_incremental_append(small_corpus, tmp_path):
     assert info3.stats.num_docs == n1
 
 
+def test_compaction_equals_masked_serving(small_corpus, tmp_path):
+    """Compaction physically removes tombstoned docs: identical ranks and
+    scores to mask-at-query-time serving, tombstones cleared, deleted ids
+    gone from every posting list."""
+    from elasticsearch_assets_ray.index.compact import compact_index
+    from elasticsearch_assets_ray.index.deletes import delete_docs, load_deletes
+    from elasticsearch_assets_ray.index.codec import decode_postings
+    import pyarrow.parquet as pq2
+
+    cfg = IndexConfig(partition_target_docs=50, shard_target_docs=100)
+    idx = tmp_path / "idx"
+    info = build_index(small_corpus, idx, cfg)
+    victims = [3, 57, 120, 250, 399]
+    delete_docs(idx, victims)
+
+    eng = QueryEngine(idx, num_actors=2)
+    masked_ranks = {q: [d for d, _ in eng.search(q, k=20)]
+                    for q in ["import", "merge segment block", "data return"]}
+    eng.shutdown()
+
+    summary = compact_index(idx)
+    assert summary.num_rows >= 1
+    assert int(sum(summary.column("dropped_postings").to_pylist())) > 0
+    assert int(sum(summary.column("dropped_docs").to_pylist())) == len(victims)
+    for sid in info.shard_ids():
+        assert len(load_deletes(idx, sid)) == 0
+        seg = pq2.read_table(info.segment_path(sid))
+        for blob in seg.column("postings").to_pylist():
+            ids, _ = decode_postings(blob)
+            assert not np.isin(ids.astype(np.int64), victims).any()
+        assert (np.asarray(seg.column("df").to_pylist()) > 0).all()
+
+    # ES merge semantics: the compacted index scores EXACTLY like an
+    # index of the surviving docs (original doc ids preserved)
+    import pathlib as _pl
+
+    from elasticsearch_assets_ray.search.oracle import BM25Oracle
+    from elasticsearch_assets_ray.analysis.tokenizer import clip_tokens
+
+    oracle = BM25Oracle()
+    doc_id = 0
+    for f in sorted(_pl.Path(small_corpus).glob("*.parquet")):
+        for text in pq2.read_table(f, columns=["content"]).column("content").to_pylist():
+            if doc_id not in victims:
+                oracle.add(doc_id, clip_tokens(code_tokens(text), 1, 64))
+            doc_id += 1
+    eng2 = QueryEngine(idx, num_actors=2)
+    for q in masked_ranks:
+        got = eng2.search(q, k=20)
+        want = oracle.search(code_tokens(q), k=20)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        assert all(abs(s1 - s2) < 1e-9 for (_, s1), (_, s2) in zip(got, want))
+        assert not set(d for d, _ in got) & set(victims)
+    eng2.shutdown()
+    # idempotent: nothing left to compact
+    assert compact_index(idx).num_rows == 0
+
+
 def test_modified_file_triggers_full_rebuild(small_corpus, tmp_path):
     """A corpus file modified IN PLACE (same path) must never reuse its
     stale checkpointed segments — the size guard downgrades the append
