@@ -650,6 +650,68 @@ def q_index_term_stats(sf_dir: str) -> pa.Table:
     )
 
 
+DELETE_MOD = 10
+DELETE_REMAINDER = 3
+
+
+def q_compacted_term_stats(sf_dir: str) -> pa.Table:
+    """Delete + compaction end-to-end: tombstone every doc with
+    ``doc_id % 10 == 3`` (the bulk `delete` action), physically compact
+    (ES merge semantics), then read df/cf back from the rewritten
+    segments — the oracle recomputes them over the surviving docs in
+    SQL."""
+    import os
+    import shutil as _sh
+
+    from ..index.compact import compact_index
+    from ..index.deletes import delete_docs
+
+    src = ensure_doc_index(sf_dir)
+    idx = f"{src}_compacted"
+    marker = f"{idx}/_COMPACTED"
+    if not os.path.exists(marker):
+        _sh.rmtree(idx, ignore_errors=True)
+        _sh.copytree(src, idx)
+        # victims by ORIGINAL doc_id (the table's key, what the SQL sees)
+        import pyarrow.parquet as _pq
+        import glob as _glob
+
+        metas = [
+            _pq.read_table(f, columns=["doc_id", "orig_id"])
+            for f in sorted(_glob.glob(f"{idx}/docmeta/*.parquet"))
+        ]
+        dm = pa.concat_tables(metas)
+        orig = dm.column("orig_id").to_numpy()
+        internal = dm.column("doc_id").to_numpy()
+        victims = internal[orig % DELETE_MOD == DELETE_REMAINDER]
+        delete_docs(idx, victims)
+        compact_index(idx)
+        open(marker, "w").close()
+    seg = rd.read_parquet(f"{idx}/segments", columns=["term", "df", "cf"])
+    agg = to_arrow(
+        seg.groupby("term").aggregate(Sum("df", alias_name="df"),
+                                      Sum("cf", alias_name="cf"))
+    )
+    return pa.table(
+        {
+            "term": agg.column("term"),
+            "df": pc.cast(agg.column("df"), pa.int64()),
+            "cf": pc.cast(agg.column("cf"), pa.int64()),
+        }
+    )
+
+
+def sql_compacted_term_stats() -> str:
+    toks = _TOKS.format(id="doc_id", text="text",
+                        src="(SELECT * FROM documents WHERE doc_id % 10 <> 3)")
+    return f"""
+WITH toks AS ({toks}),
+tf AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2)
+SELECT t AS term, count(*)::BIGINT AS df, sum(c)::BIGINT AS cf
+FROM tf GROUP BY t
+"""
+
+
 def sql_index_term_stats() -> str:
     toks = _TOKS.format(id="doc_id", text="text", src="documents")
     return f"""
@@ -1180,6 +1242,7 @@ def queries():
         "filtered_docs": q_filtered_docs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "index_term_stats": q_index_term_stats,
+        "compacted_term_stats": q_compacted_term_stats,
         "pricing_summary": q_pricing_summary,
         "curation": q_curation,
         "update_bodies": q_update_bodies,
@@ -1215,6 +1278,7 @@ def oracle_sql():
         "filtered_docs": sql_filtered_docs(),
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "index_term_stats": sql_index_term_stats(),
+        "compacted_term_stats": sql_compacted_term_stats(),
         "lang_id": sql_lang_id(),
         "pricing_summary": sql_pricing_summary(),
         "curation": sql_curation(),
