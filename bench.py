@@ -125,6 +125,7 @@ def cmd_scaling() -> None:
 
 
 def cmd_bench(sf_dir: str, num_cpus: int) -> None:
+    load_start = os.getloadavg()[0]
     ray = _init_ray(num_cpus)
     from elasticsearch_assets_ray.pipelines import contract
     from elasticsearch_assets_ray.search.engine import QueryEngine
@@ -175,6 +176,11 @@ def cmd_bench(sf_dir: str, num_cpus: int) -> None:
                 "num_cpus": num_cpus,
                 "index_build_docs_per_sec": round(build_dps, 1),
                 "bm25_top10_p50_ms": round(p50_ms, 2),
+                # external-load context: this box shows ±30-40% wall-time
+                # variance under competing load (see BASELINE.md); loadavg
+                # >> num_cpus-used means the numbers are contention-bound
+                "loadavg_start": round(load_start, 1),
+                "loadavg_end": round(os.getloadavg()[0], 1),
             }
         )
     )
