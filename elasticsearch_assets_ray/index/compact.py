@@ -32,13 +32,38 @@ from .codec import decode_postings_many, encode_postings_many
 from .deletes import clear_deletes_shard, load_deletes
 
 
+def _dropped_path(index_dir: str | Path, shard_id: int) -> Path:
+    return Path(index_dir) / "deletes" / f"shard-{shard_id:05d}.dropped.npy"
+
+
+def _load_dropped(index_dir: str | Path, shard_id: int) -> np.ndarray:
+    p = _dropped_path(index_dir, shard_id)
+    return np.load(p) if p.exists() else np.empty(0, dtype=np.int64)
+
+
+def _save_dropped(index_dir: str | Path, shard_id: int, ids: np.ndarray) -> None:
+    import os
+
+    p = _dropped_path(index_dir, shard_id)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_name(p.name + f".tmp-{os.getpid()}.npy")
+    np.save(tmp, ids.astype(np.int64))
+    os.replace(tmp, p)
+
+
 def compact_shard(index_dir: str | Path, shard_id: int,
                   block_size: int, codec: str) -> dict:
     """Rewrite one shard's segment without its tombstoned docs.
     Returns a summary row; no-op when the shard has no tombstones."""
     index_dir = Path(index_dir)
     deleted = load_deletes(index_dir, shard_id)
+    # ids dropped by an EARLIER compaction: tombstoning them again is a
+    # valid (idempotent) delete call, but they must not be double-counted
+    # against the stats — their docmeta rows are retained as an archive
+    already = _load_dropped(index_dir, shard_id)
+    deleted = np.setdiff1d(deleted, already)
     if len(deleted) == 0:
+        clear_deletes_shard(index_dir, shard_id)
         return {"shard_id": shard_id, "dropped_postings": 0,
                 "dropped_terms": 0, "dropped_docs": 0, "dropped_tokens": 0}
     # dl mass of the deleted docs (for the stats refresh)
@@ -102,6 +127,7 @@ def compact_shard(index_dir: str | Path, shard_id: int,
     final = segment_dir(index_dir, shard_id)
     shutil.rmtree(final, ignore_errors=True)
     write_segment_atomic(index_dir, shard_id, out)
+    _save_dropped(index_dir, shard_id, np.union1d(already, deleted))
     clear_deletes_shard(index_dir, shard_id)
     return {
         "shard_id": shard_id,
@@ -115,10 +141,13 @@ def compact_shard(index_dir: str | Path, shard_id: int,
 def compact_index(index_dir: str | Path, block_size: int | None = None,
                   codec: str | None = None) -> pa.Table:
     """Compact every shard that has tombstones (one Ray task per dirty
-    shard) → summary table (shard_id, dropped_postings, dropped_terms).
+    shard) → summary table (shard_id, dropped_postings, dropped_terms,
+    dropped_docs, dropped_tokens).
 
-    Stats (N, avgdl) intentionally keep their original values so
-    compacted serving is rank+score identical to masked serving."""
+    Stats (N, avgdl, total_tokens) are refreshed to live documents (ES
+    merge semantics — see the module docstring); already-compacted doc
+    ids are tracked in a per-shard archive so re-deleting a gone doc can
+    never subtract it from the stats twice."""
     info = IndexInfo(index_dir)
     block_size = block_size or info.manifest.block_size
     codec = codec or info.manifest.postings_codec

@@ -99,6 +99,12 @@ def clear_deletes_shard(index_dir, shard_id: int) -> None:
 
 
 def clear_deletes(index_dir: str | Path) -> None:
-    import shutil
-
-    shutil.rmtree(Path(index_dir) / "deletes", ignore_errors=True)
+    """Drop every PENDING tombstone (un-delete).  Compaction archives
+    (``*.dropped.npy`` — the already-physically-removed ids that guard
+    the stats against double subtraction) are preserved."""
+    d = Path(index_dir) / "deletes"
+    if not d.exists():
+        return
+    for p in d.glob("shard-*.npy"):
+        if not p.name.endswith(".dropped.npy"):
+            os.remove(p)

@@ -513,6 +513,26 @@ class MinHashBands:
         )
 
 
+def doc_pairs_map(cand_pairs: np.ndarray) -> dict[int, np.ndarray]:
+    """doc → array of packed pairs it participates in, vectorized: sort
+    the doubled (doc, pair) rows once and slice per-doc runs (a per-pair
+    Python setdefault loop took ~40 s at millions of candidates)."""
+    a = (cand_pairs >> np.int64(32)).astype(np.int64)
+    b = (cand_pairs & np.int64(0xFFFFFFFF)).astype(np.int64)
+    docs2 = np.concatenate([a, b])
+    pairs2 = np.concatenate([cand_pairs, cand_pairs])
+    order = np.argsort(docs2, kind="stable")
+    docs2, pairs2 = docs2[order], pairs2[order]
+    if len(docs2) == 0:
+        return {}
+    starts = np.nonzero(np.concatenate([[True], docs2[1:] != docs2[:-1]]))[0]
+    ends = np.concatenate([starts[1:], [len(docs2)]])
+    return {
+        int(docs2[lo]): pairs2[lo:hi]
+        for lo, hi in zip(starts.tolist(), ends.tolist())
+    }
+
+
 class _CandidateShingleRows:
     """For each doc that participates in ≥1 candidate pair, re-emit its
     distinct shingle hashes once PER PAIR it belongs to, keyed by the
@@ -565,22 +585,7 @@ def verify_pairs_jaccard(ds, cand_pairs: np.ndarray, text_col: str = "text",
     map (the small side by construction — candidates are the output
     scale, not the corpus scale).
     """
-    a = (cand_pairs >> np.int64(32)).astype(np.int64)
-    b = (cand_pairs & np.int64(0xFFFFFFFF)).astype(np.int64)
-    # doc → pairs map, vectorized: sort the doubled (doc, pair) rows once
-    # and slice per-doc runs (a per-pair Python setdefault loop took ~40 s
-    # at millions of candidates)
-    docs2 = np.concatenate([a, b])
-    pairs2 = np.concatenate([cand_pairs, cand_pairs])
-    order = np.argsort(docs2, kind="stable")
-    docs2, pairs2 = docs2[order], pairs2[order]
-    starts = np.nonzero(np.concatenate([[True], docs2[1:] != docs2[:-1]]))[0]
-    ends = np.concatenate([starts[1:], [len(docs2)]])
-    doc_pairs_np = {
-        int(docs2[lo]): pairs2[lo:hi]
-        for lo, hi in zip(starts.tolist(), ends.tolist())
-    }
-    doc_pairs_ref = ray.put(doc_pairs_np)
+    doc_pairs_ref = ray.put(doc_pairs_map(cand_pairs))
 
     rows = ds.map_batches(
         _CandidateShingleRows(doc_pairs_ref, text_col, id_col, n),

@@ -343,12 +343,11 @@ def knn_cosine_ivf(
     ds = rd.read_parquet(files)
     # per-query candidate restriction: a vector only scores against the
     # queries probing its cluster
-    probe_sets = [set(int(c) for c in row) for row in probes]
     qids = np.asarray(query_ids, dtype=np.int64)
-    q_ref = ray.put((qnorm, qids, probe_sets))
+    q_ref = ray.put((qnorm, qids, probes.astype(np.int64)))
 
     def score(batch: pa.Table) -> pa.Table:
-        qn_, qi_, ps_ = ray.get(q_ref)
+        qn_, qi_, probes_arr = ray.get(q_ref)
         e = _embedding_matrix(batch, col)
         ids = batch.column(id_col).to_numpy()
         cl = np.asarray(
@@ -357,9 +356,12 @@ def knn_cosine_ivf(
         nn = np.linalg.norm(e, axis=1)
         nn[nn == 0] = 1.0
         en = e / nn[:, None]
+        # (nq, B) membership in one vectorized comparison against the
+        # (nq, nprobe) probe matrix — no per-query set/list conversions
+        member = (cl[None, :, None] == probes_arr[:, None, :]).any(axis=2)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qn_)):
-            m = np.isin(cl, list(ps_[qi]))
+            m = member[qi]
             if not m.any():
                 continue
             sims = en[m] @ qn_[qi]
@@ -411,20 +413,35 @@ class _BlockPairScorer:
     EXACT all-pairs is tiled across the cluster instead of broadcast.
     """
 
+    CACHE_BLOCKS = 4  # bounds per-actor memory to a handful of blocks
+
     def __init__(self, block_dir: str, threshold: float):
         self.block_dir = block_dir
         self.threshold = threshold
+        # small FIFO cache: row-major pair order revisits the same bi for
+        # consecutive pairs, so a few entries capture the reuse without
+        # letting a long-lived actor accumulate the whole corpus
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def _load(self, b: int) -> tuple[np.ndarray, np.ndarray]:
         if b not in self._cache:
+            import os
+
             import pyarrow.parquet as pq
 
-            t = pq.read_table(f"{self.block_dir}/block={b}")
-            ids = t.column("vec_id").to_numpy()
-            mat = _embedding_matrix(t, "embedding")
-            order = np.argsort(ids, kind="stable")
-            self._cache[b] = (ids[order], mat[order])
+            d = f"{self.block_dir}/block={b}"
+            if not os.path.exists(d):
+                # a residue class with no vec_ids writes no partition dir
+                entry = (np.empty(0, np.int64), np.empty((0, 0)))
+            else:
+                t = pq.read_table(d)
+                ids = t.column("vec_id").to_numpy()
+                mat = _embedding_matrix(t, "embedding")
+                order = np.argsort(ids, kind="stable")
+                entry = (ids[order], mat[order])
+            while len(self._cache) >= self.CACHE_BLOCKS:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[b] = entry
         return self._cache[b]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -676,13 +693,9 @@ def cosine_dup_pairs_lsh(
         )
     pairs_np = np.unique(cand.column("pair").to_numpy())
 
-    doc_pairs: dict[int, list[int]] = {}
-    a = (pairs_np >> np.int64(32)).astype(np.int64)
-    b = (pairs_np & np.int64(0xFFFFFFFF)).astype(np.int64)
-    for i in range(len(pairs_np)):
-        doc_pairs.setdefault(int(a[i]), []).append(int(pairs_np[i]))
-        doc_pairs.setdefault(int(b[i]), []).append(int(pairs_np[i]))
-    map_ref = ray.put({d: np.asarray(p, np.int64) for d, p in doc_pairs.items()})
+    from .dedup import doc_pairs_map
+
+    map_ref = ray.put(doc_pairs_map(pairs_np))
 
     def emit_vecs(batch: pa.Table) -> pa.Table:
         m = ray.get(map_ref)

@@ -975,8 +975,11 @@ SELECT 'fields' AS mode, CAST(doc_id AS VARCHAR) AS _id, 'docs' AS target_index,
 FROM documents
 UNION ALL
 SELECT 'script', CAST(doc_id AS VARCHAR), 'docs', 'update', '', '',
-       to_json(struct_pack(source := '{UPDATE_SCRIPT}',
-                           params := struct_pack(x := n_chars)))::VARCHAR,
+       CASE WHEN n_chars IS NULL OR n_chars = 0
+            THEN '{{"source":"{UPDATE_SCRIPT}","params":{{}}}}'
+            ELSE to_json(struct_pack(source := '{UPDATE_SCRIPT}',
+                                     params := struct_pack(x := n_chars)))::VARCHAR
+       END,
        0::BIGINT
 FROM documents
 """

@@ -257,17 +257,24 @@ class ScanCountProvider:
         self._ds = pds.dataset(files)
         self.ts_column = ts_column
         t = self._ds.schema.field(ts_column).type
+        # compare in a domain where ms bounds are EXACT: cast the column
+        # up to us (lossless for s/ms/us; ns floors to us, matching the
+        # exact provider's epoch_ms floor).  Scaling the ms bound DOWN
+        # into a coarser column unit (e.g. int(ms*0.001) for seconds)
+        # floor-shifts the boundary by up to 999 ms — measured to
+        # misattribute boundary rows between adjacent slices.
+        import pyarrow.compute as pc
+
         if pa.types.is_timestamp(t):
-            scale = {"s": 0.001, "ms": 1, "us": 1000, "ns": 1_000_000}[t.unit]
-            self._scalar = lambda ms: pa.scalar(int(ms * scale), type=t)
+            self._field = pc.field(ts_column).cast(pa.timestamp("us"))
+            self._scalar = lambda ms: pa.scalar(int(ms) * 1000, type=pa.timestamp("us"))
         else:
+            self._field = pc.field(ts_column)
             self._scalar = lambda v: pa.scalar(int(v), type=t)
 
     def __call__(self, start: int, end: int) -> int:
-        import pyarrow.compute as pc
-
-        f = (pc.field(self.ts_column) >= self._scalar(start)) & (
-            pc.field(self.ts_column) < self._scalar(end)
+        f = (self._field >= self._scalar(start)) & (
+            self._field < self._scalar(end)
         )
         return self._ds.count_rows(filter=f)
 

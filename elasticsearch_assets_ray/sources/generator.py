@@ -140,8 +140,16 @@ def make_docs_from_schema(
         elif t == "date_between":
             import datetime as dt
 
-            lo = dt.datetime.fromisoformat(spec["start"]).timestamp() * 1000
-            hi = dt.datetime.fromisoformat(spec["end"]).timestamp() * 1000
+            def _utc_ms(v: str) -> float:
+                d = dt.datetime.fromisoformat(v)
+                if d.tzinfo is None:
+                    # naive ISO = UTC, NOT process-local time — keeps
+                    # generation deterministic across machines/TZ settings
+                    d = d.replace(tzinfo=dt.timezone.utc)
+                return d.timestamp() * 1000
+
+            lo = _utc_ms(spec["start"])
+            hi = _utc_ms(spec["end"])
             ms = rng.integers(int(lo), int(hi), n_rows)
             cols[fname] = pa.array(
                 [

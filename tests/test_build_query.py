@@ -287,6 +287,16 @@ def test_compaction_equals_masked_serving(small_corpus, tmp_path):
     eng2.shutdown()
     # idempotent: nothing left to compact
     assert compact_index(idx).num_rows == 0
+    # re-deleting an ALREADY-compacted doc must not subtract it from the
+    # stats twice (regression: stats.json double-subtraction)
+    import json as _json
+
+    stats_before = _json.loads((idx / "stats.json").read_text())
+    delete_docs(idx, victims[:2])
+    summary2 = compact_index(idx)
+    assert int(sum(summary2.column("dropped_docs").to_pylist())) == 0
+    stats_after = _json.loads((idx / "stats.json").read_text())
+    assert stats_after == stats_before
 
 
 def test_modified_file_triggers_full_rebuild(small_corpus, tmp_path):

@@ -183,3 +183,14 @@ def test_scan_count_provider_matches_exact(tmp_path):
     assert [(r.start, r.end, r.count) for r in s1] == [
         (r.start, r.end, r.count) for r in s2
     ]
+    # SECONDS-unit storage: ms bounds must not floor-shift into the
+    # coarser unit (regression: int(ms*0.001) dropped boundary rows)
+    secs = np.array([1000, 1001, 1002], dtype=np.int64)
+    pq.write_table(
+        pa.table({"ts": pa.array(secs * 1_000_000, pa.timestamp("us")).cast(pa.timestamp("s"))}),
+        tmp_path / "tss.parquet",
+    )
+    scan_s = ScanCountProvider([str(tmp_path / "tss.parquet")], "ts")
+    assert scan_s(1_000_000, 1_000_500) == 1   # row at exactly 1000s
+    assert scan_s(1_000_500, 1_001_500) == 1   # only the 1001s row
+    assert scan_s(1_000_001, 1_001_000) == 0   # between rows
