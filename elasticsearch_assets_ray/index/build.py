@@ -740,14 +740,16 @@ def build_index(
             if appended is not existing:
                 manifest.save(index_dir)
         else:
-            # incompatible plan: clear derived state, full rebuild
-            for sub in ("segments", "docmeta"):
+            # incompatible plan: clear derived state, full rebuild —
+            # including tombstones AND compaction archives (the rebuild
+            # re-indexes every corpus doc, so nothing stays "dropped")
+            for sub in ("segments", "docmeta", "deletes"):
                 shutil.rmtree(index_dir / sub, ignore_errors=True)
             manifest = plan
             manifest.save(index_dir)
     else:
         if not resume:
-            for sub in ("segments", "docmeta"):
+            for sub in ("segments", "docmeta", "deletes"):
                 shutil.rmtree(index_dir / sub, ignore_errors=True)
         manifest = plan
         manifest.save(index_dir)
@@ -819,10 +821,28 @@ def build_index(
     if not pending_parts and stats_path.exists():
         return IndexInfo(index_dir)
     total_tokens = sum(s.total_tokens for s in manifest.shards.values())
+    num_docs = manifest.total_docs
+    # docs physically removed by compaction stay subtracted across
+    # appends/rebuild-resumes: the per-shard dropped archives are the
+    # durable record (their dl mass comes from the retained docmeta rows)
+    from .deletes import load_dropped_archive
+
+    for sid, sh in manifest.shards.items():
+        arch = load_dropped_archive(index_dir, sid)
+        if len(arch) == 0:
+            continue
+        num_docs -= len(arch)
+        for pid in sh.partition_ids:
+            dmp = docmeta_path(index_dir, pid)
+            if not dmp.exists():
+                continue
+            dm = pq.read_table(dmp, columns=["doc_id", "dl"])
+            m = np.isin(dm.column("doc_id").to_numpy(), arch)
+            total_tokens -= int(dm.column("dl").to_numpy()[m].sum())
     stats = IndexStats(
-        num_docs=manifest.total_docs,
+        num_docs=num_docs,
         total_tokens=total_tokens,
-        avgdl=total_tokens / manifest.total_docs if manifest.total_docs else 0.0,
+        avgdl=total_tokens / num_docs if num_docs else 0.0,
         num_shards=len(manifest.shards),
     )
     import json

@@ -29,26 +29,12 @@ import ray.data as rd
 
 from .build import IndexInfo, segment_dir, write_segment_atomic
 from .codec import decode_postings_many, encode_postings_many
-from .deletes import clear_deletes_shard, load_deletes
-
-
-def _dropped_path(index_dir: str | Path, shard_id: int) -> Path:
-    return Path(index_dir) / "deletes" / f"shard-{shard_id:05d}.dropped.npy"
-
-
-def _load_dropped(index_dir: str | Path, shard_id: int) -> np.ndarray:
-    p = _dropped_path(index_dir, shard_id)
-    return np.load(p) if p.exists() else np.empty(0, dtype=np.int64)
-
-
-def _save_dropped(index_dir: str | Path, shard_id: int, ids: np.ndarray) -> None:
-    import os
-
-    p = _dropped_path(index_dir, shard_id)
-    p.parent.mkdir(parents=True, exist_ok=True)
-    tmp = p.with_name(p.name + f".tmp-{os.getpid()}.npy")
-    np.save(tmp, ids.astype(np.int64))
-    os.replace(tmp, p)
+from .deletes import (
+    clear_deletes_shard,
+    load_deletes,
+    load_dropped_archive,
+    save_dropped_archive,
+)
 
 
 def compact_shard(index_dir: str | Path, shard_id: int,
@@ -60,7 +46,7 @@ def compact_shard(index_dir: str | Path, shard_id: int,
     # ids dropped by an EARLIER compaction: tombstoning them again is a
     # valid (idempotent) delete call, but they must not be double-counted
     # against the stats — their docmeta rows are retained as an archive
-    already = _load_dropped(index_dir, shard_id)
+    already = load_dropped_archive(index_dir, shard_id)
     deleted = np.setdiff1d(deleted, already)
     if len(deleted) == 0:
         clear_deletes_shard(index_dir, shard_id)
@@ -127,7 +113,7 @@ def compact_shard(index_dir: str | Path, shard_id: int,
     final = segment_dir(index_dir, shard_id)
     shutil.rmtree(final, ignore_errors=True)
     write_segment_atomic(index_dir, shard_id, out)
-    _save_dropped(index_dir, shard_id, np.union1d(already, deleted))
+    save_dropped_archive(index_dir, shard_id, np.union1d(already, deleted))
     clear_deletes_shard(index_dir, shard_id)
     return {
         "shard_id": shard_id,

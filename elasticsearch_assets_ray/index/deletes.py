@@ -91,6 +91,26 @@ def apply_delete_actions(actions_ds, index_dir: str | Path,
     return delete_docs(index_dir, tbl.column(doc_id_col).to_numpy())
 
 
+def dropped_archive_path(index_dir: str | Path, shard_id: int) -> Path:
+    return Path(index_dir) / "deletes" / f"shard-{shard_id:05d}.dropped.npy"
+
+
+def load_dropped_archive(index_dir: str | Path, shard_id: int) -> np.ndarray:
+    """Doc ids already PHYSICALLY removed by compaction (guards stats
+    against double subtraction; survives clear_deletes)."""
+    p = dropped_archive_path(index_dir, shard_id)
+    return np.load(p) if p.exists() else np.empty(0, dtype=np.int64)
+
+
+def save_dropped_archive(index_dir: str | Path, shard_id: int,
+                         ids: np.ndarray) -> None:
+    p = dropped_archive_path(index_dir, shard_id)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_name(p.name + f".tmp-{os.getpid()}.npy")
+    np.save(tmp, np.asarray(ids, dtype=np.int64))
+    os.replace(tmp, p)
+
+
 def clear_deletes_shard(index_dir, shard_id: int) -> None:
     """Remove one shard's tombstone file (post-compaction)."""
     p = deletes_path(index_dir, shard_id)

@@ -52,9 +52,14 @@ class PersistentIndexer:
         delay_s: float = 30.0,
         clock=time.time,
         sleep=time.sleep,
+        compact_tombstone_fraction: float | None = None,
     ):
         if interval_s <= 0 or delay_s < 0:
             raise ValueError("need interval_s > 0 and delay_s >= 0")
+        if compact_tombstone_fraction is not None and not (
+            0.0 < compact_tombstone_fraction <= 1.0
+        ):
+            raise ValueError("compact_tombstone_fraction must be in (0, 1]")
         self.corpus_dir = Path(corpus_dir)
         self.index_dir = Path(index_dir)
         self.config = config or IndexConfig()
@@ -62,6 +67,11 @@ class PersistentIndexer:
         self.delay_s = delay_s
         self.clock = clock
         self.sleep = sleep
+        # Lucene-style merge policy: when the tombstoned fraction of the
+        # index exceeds this, a tick runs segment compaction after the
+        # incremental build (None = never auto-compact)
+        self.compact_tombstone_fraction = compact_tombstone_fraction
+        self.compactions = 0
         self.ticks = 0
         self.indexed_files: list[str] = []
         # window queue: the enqueue loop appends window end-stamps; the
@@ -94,19 +104,41 @@ class PersistentIndexer:
             n += 1
         return n
 
+    def _maybe_compact(self) -> None:
+        if self.compact_tombstone_fraction is None:
+            return
+        from .compact import compact_index
+        from .deletes import load_deletes
+
+        try:
+            info = IndexInfo(self.index_dir)
+        except FileNotFoundError:
+            return
+        if info.stats.num_docs == 0:
+            return
+        tombstoned = sum(
+            len(load_deletes(self.index_dir, sid)) for sid in info.shard_ids()
+        )
+        if tombstoned / info.stats.num_docs >= self.compact_tombstone_fraction:
+            compact_index(self.index_dir)
+            self.compactions += 1
+
     def tick(self) -> "IndexInfo | None":
         """Drain one pending window: incremental build over the files
-        eligible at that window's timestamp.  Returns the IndexInfo when
-        new work ran, None when the window had nothing new."""
+        eligible at that window's timestamp (then the merge policy, when
+        configured).  Returns the IndexInfo when new work ran, None when
+        the window had nothing new."""
         if not self.pending_windows:
             return None
         window_end = self.pending_windows.pop(0)
         files = self.eligible_files(window_end)
         self.ticks += 1
         if not files or files == self.indexed_files:
+            self._maybe_compact()
             return None
         info = build_index(files, self.index_dir, self.config, resume=True)
         self.indexed_files = files
+        self._maybe_compact()
         return info
 
     def run(self, max_ticks: int) -> "IndexInfo | None":

@@ -240,9 +240,17 @@ def test_compaction_equals_masked_serving(small_corpus, tmp_path):
     from elasticsearch_assets_ray.index.codec import decode_postings
     import pyarrow.parquet as pq2
 
+    import pathlib as _pl0
+    import shutil as _sh0
+
+    # work on a private copy of the corpus so the append step can grow it
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for f in sorted(_pl0.Path(small_corpus).glob("*.parquet")):
+        _sh0.copy(f, corpus / f.name)
     cfg = IndexConfig(partition_target_docs=50, shard_target_docs=100)
     idx = tmp_path / "idx"
-    info = build_index(small_corpus, idx, cfg)
+    info = build_index(corpus, idx, cfg)
     victims = [3, 57, 120, 250, 399]
     delete_docs(idx, victims)
 
@@ -297,6 +305,28 @@ def test_compaction_equals_masked_serving(small_corpus, tmp_path):
     assert int(sum(summary2.column("dropped_docs").to_pylist())) == 0
     stats_after = _json.loads((idx / "stats.json").read_text())
     assert stats_after == stats_before
+
+    # a TRUE APPEND after compaction must not resurrect the dropped docs
+    # in the stats (build's stats write subtracts the per-shard archives)
+    from elasticsearch_assets_ray.corpus.synth import make_corpus_batch
+
+    n_total = stats_before["num_docs"] + len(victims)  # pre-delete corpus size
+    extra = make_corpus_batch(np.arange(n_total, n_total + 60, dtype=np.int64))
+    pq2.write_table(extra, corpus / "zz-extra.parquet", row_group_size=30)
+    info3 = build_index(corpus, idx, cfg)
+    assert info3.stats.num_docs == stats_before["num_docs"] + 60
+    # old segments untouched by the append → victims stay physically gone
+    seg0 = pq2.read_table(info3.segment_path(0))
+    for blob in seg0.column("postings").to_pylist():
+        ids2, _ = decode_postings(blob)
+        assert not np.isin(ids2.astype(np.int64), victims).any()
+
+    # a FULL REBUILD (changed config) re-indexes everything: archives
+    # cleared, victims back, stats reflect the whole corpus
+    info4 = build_index(corpus, idx,
+                        IndexConfig(partition_target_docs=50,
+                                    shard_target_docs=200))
+    assert info4.stats.num_docs == n_total + 60
 
 
 def test_modified_file_triggers_full_rebuild(small_corpus, tmp_path):

@@ -122,6 +122,51 @@ def test_window_queueing_and_empty_ticks(tmp_path):
         PersistentIndexer(live, tmp_path / "x", IndexConfig(), interval_s=0)
 
 
+def test_auto_compaction_merge_policy(small_corpus, tmp_path, ray_session):
+    """compact_tombstone_fraction: a tick compacts once the tombstoned
+    share of the index crosses the threshold (Lucene-style merge policy
+    inside the persistent loop)."""
+    import time
+
+    from elasticsearch_assets_ray.index.deletes import delete_docs, load_deletes
+    from elasticsearch_assets_ray.index.build import IndexInfo
+
+    src = sorted(pathlib.Path(small_corpus).glob("*.parquet"))
+    live = tmp_path / "live"
+    live.mkdir()
+    _copy(src[:2], live)
+    clock = FakeClock(t0=time.time() + 1e6)
+    px = PersistentIndexer(live, tmp_path / "idx",
+                           IndexConfig(partition_target_docs=50, shard_target_docs=100),
+                           interval_s=30, delay_s=0, clock=clock,
+                           sleep=clock.sleep, compact_tombstone_fraction=0.05)
+    px.enqueue_due_windows()
+    info = px.tick()
+    assert info is not None and px.compactions == 0
+    # few tombstones: below the 5% threshold → next tick does NOT compact
+    delete_docs(tmp_path / "idx", [0])
+    clock.t += 30
+    px.enqueue_due_windows()
+    px.tick()
+    assert px.compactions == 0
+    # cross the threshold → the next tick compacts and clears tombstones
+    n = info.stats.num_docs
+    delete_docs(tmp_path / "idx", list(range(0, int(n * 0.06))))
+    clock.t += 30
+    px.enqueue_due_windows()
+    px.tick()
+    assert px.compactions == 1
+    idx_info = IndexInfo(tmp_path / "idx")
+    assert all(
+        len(load_deletes(tmp_path / "idx", sid)) == 0
+        for sid in idx_info.shard_ids()
+    )
+    assert idx_info.stats.num_docs == n - int(n * 0.06)
+    with pytest.raises(ValueError):
+        PersistentIndexer(live, tmp_path / "x", IndexConfig(),
+                          compact_tombstone_fraction=1.5)
+
+
 # ------------------------------------------------------ custom gen schema
 
 
