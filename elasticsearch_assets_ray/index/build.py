@@ -759,6 +759,27 @@ def build_index(
         for sid, s in manifest.shards.items()
         if s.status == "done" and (segment_dir(index_dir, sid) / "segment.parquet").exists()
     )
+    # a shard being REBUILT from the corpus (e.g. its segment was lost in
+    # a compaction crash window) re-indexes its compacted-away docs; turn
+    # the archive back into tombstones so those docs stay masked and the
+    # stats subtraction stays truthful
+    from .deletes import clear_dropped_archive, load_dropped_archive as _lda
+
+    for sid in manifest.shards:
+        if sid in done:
+            continue
+        arch = _lda(index_dir, sid)
+        if len(arch):
+            from .deletes import deletes_path, load_deletes
+
+            merged = np.union1d(load_deletes(index_dir, sid), arch)
+            dp = deletes_path(index_dir, sid)
+            dp.parent.mkdir(parents=True, exist_ok=True)
+            tmp = dp.with_name(f".tmp-{os.getpid()}-{dp.name}")
+            with open(tmp, "wb") as fh:
+                np.save(fh, merged)
+            os.replace(tmp, dp)
+            clear_dropped_archive(index_dir, sid)
     pending_parts = [
         asdict(p) for p in manifest.partitions if p.shard_id not in done
     ]
@@ -823,22 +844,16 @@ def build_index(
     total_tokens = sum(s.total_tokens for s in manifest.shards.values())
     num_docs = manifest.total_docs
     # docs physically removed by compaction stay subtracted across
-    # appends/rebuild-resumes: the per-shard dropped archives are the
-    # durable record (their dl mass comes from the retained docmeta rows)
-    from .deletes import load_dropped_archive
+    # appends/resume: the per-shard dropped archives (ids + cumulative dl
+    # mass, written at compaction time) are the durable O(1) record
+    from .deletes import load_dropped_archive, load_dropped_tokens
 
-    for sid, sh in manifest.shards.items():
+    for sid in manifest.shards:
         arch = load_dropped_archive(index_dir, sid)
         if len(arch) == 0:
             continue
         num_docs -= len(arch)
-        for pid in sh.partition_ids:
-            dmp = docmeta_path(index_dir, pid)
-            if not dmp.exists():
-                continue
-            dm = pq.read_table(dmp, columns=["doc_id", "dl"])
-            m = np.isin(dm.column("doc_id").to_numpy(), arch)
-            total_tokens -= int(dm.column("dl").to_numpy()[m].sum())
+        total_tokens -= load_dropped_tokens(index_dir, sid)
     stats = IndexStats(
         num_docs=num_docs,
         total_tokens=total_tokens,

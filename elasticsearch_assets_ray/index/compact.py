@@ -33,6 +33,7 @@ from .deletes import (
     clear_deletes_shard,
     load_deletes,
     load_dropped_archive,
+    load_dropped_tokens,
     save_dropped_archive,
 )
 
@@ -113,7 +114,10 @@ def compact_shard(index_dir: str | Path, shard_id: int,
     final = segment_dir(index_dir, shard_id)
     shutil.rmtree(final, ignore_errors=True)
     write_segment_atomic(index_dir, shard_id, out)
-    save_dropped_archive(index_dir, shard_id, np.union1d(already, deleted))
+    save_dropped_archive(
+        index_dir, shard_id, np.union1d(already, deleted),
+        load_dropped_tokens(index_dir, shard_id) + deleted_tokens,
+    )
     clear_deletes_shard(index_dir, shard_id)
     return {
         "shard_id": shard_id,

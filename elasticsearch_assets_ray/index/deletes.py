@@ -92,23 +92,43 @@ def apply_delete_actions(actions_ds, index_dir: str | Path,
 
 
 def dropped_archive_path(index_dir: str | Path, shard_id: int) -> Path:
-    return Path(index_dir) / "deletes" / f"shard-{shard_id:05d}.dropped.npy"
+    return Path(index_dir) / "deletes" / f"shard-{shard_id:05d}.dropped.npz"
 
 
 def load_dropped_archive(index_dir: str | Path, shard_id: int) -> np.ndarray:
     """Doc ids already PHYSICALLY removed by compaction (guards stats
     against double subtraction; survives clear_deletes)."""
     p = dropped_archive_path(index_dir, shard_id)
-    return np.load(p) if p.exists() else np.empty(0, dtype=np.int64)
+    if not p.exists():
+        return np.empty(0, dtype=np.int64)
+    with np.load(p) as z:
+        return z["ids"]
+
+
+def load_dropped_tokens(index_dir: str | Path, shard_id: int) -> int:
+    """Cumulative dl mass of the shard's compacted-away docs (stored with
+    the archive so the build's stats write is O(1), no docmeta rescan)."""
+    p = dropped_archive_path(index_dir, shard_id)
+    if not p.exists():
+        return 0
+    with np.load(p) as z:
+        return int(z["tokens"][0])
 
 
 def save_dropped_archive(index_dir: str | Path, shard_id: int,
-                         ids: np.ndarray) -> None:
+                         ids: np.ndarray, dropped_tokens: int) -> None:
     p = dropped_archive_path(index_dir, shard_id)
     p.parent.mkdir(parents=True, exist_ok=True)
-    tmp = p.with_name(p.name + f".tmp-{os.getpid()}.npy")
-    np.save(tmp, np.asarray(ids, dtype=np.int64))
+    tmp = p.with_name(p.name + f".tmp-{os.getpid()}.npz")
+    np.savez(tmp, ids=np.asarray(ids, dtype=np.int64),
+             tokens=np.array([int(dropped_tokens)], dtype=np.int64))
     os.replace(tmp, p)
+
+
+def clear_dropped_archive(index_dir: str | Path, shard_id: int) -> None:
+    p = dropped_archive_path(index_dir, shard_id)
+    if p.exists():
+        os.remove(p)
 
 
 def clear_deletes_shard(index_dir, shard_id: int) -> None:
@@ -126,5 +146,5 @@ def clear_deletes(index_dir: str | Path) -> None:
     if not d.exists():
         return
     for p in d.glob("shard-*.npy"):
-        if not p.name.endswith(".dropped.npy"):
+        if ".dropped" not in p.name:
             os.remove(p)

@@ -104,24 +104,32 @@ class PersistentIndexer:
             n += 1
         return n
 
-    def _maybe_compact(self) -> None:
+    def _maybe_compact(self) -> bool:
         if self.compact_tombstone_fraction is None:
-            return
+            return False
+        import numpy as np
+
         from .compact import compact_index
-        from .deletes import load_deletes
+        from .deletes import load_deletes, load_dropped_archive
 
         try:
             info = IndexInfo(self.index_dir)
         except FileNotFoundError:
-            return
+            return False
         if info.stats.num_docs == 0:
-            return
+            return False
+        # only tombstones for LIVE docs count — replayed deletes of
+        # already-compacted ids are no-ops and must not trigger merges
         tombstoned = sum(
-            len(load_deletes(self.index_dir, sid)) for sid in info.shard_ids()
+            len(np.setdiff1d(load_deletes(self.index_dir, sid),
+                             load_dropped_archive(self.index_dir, sid)))
+            for sid in info.shard_ids()
         )
         if tombstoned / info.stats.num_docs >= self.compact_tombstone_fraction:
             compact_index(self.index_dir)
             self.compactions += 1
+            return True
+        return False
 
     def tick(self) -> "IndexInfo | None":
         """Drain one pending window: incremental build over the files
@@ -138,7 +146,8 @@ class PersistentIndexer:
             return None
         info = build_index(files, self.index_dir, self.config, resume=True)
         self.indexed_files = files
-        self._maybe_compact()
+        if self._maybe_compact():
+            info = IndexInfo(self.index_dir)  # stats changed on disk
         return info
 
     def run(self, max_ticks: int) -> "IndexInfo | None":

@@ -53,6 +53,9 @@ def main() -> int:
                     help="persistent mode: watermark delay seconds")
     ap.add_argument("--max-ticks", type=int, default=0,
                     help="persistent mode: stop after N windows (0 = forever)")
+    ap.add_argument("--compact-fraction", type=float, default=None,
+                    help="persistent mode: auto-compact when the tombstoned "
+                         "share of the index exceeds this fraction")
     args = ap.parse_args()
 
     import ray
@@ -90,7 +93,8 @@ def main() -> int:
         from elasticsearch_assets_ray.index.persistent import PersistentIndexer
 
         px = PersistentIndexer(args.corpus, args.index, cfg,
-                               interval_s=args.interval, delay_s=args.delay)
+                               interval_s=args.interval, delay_s=args.delay,
+                               compact_tombstone_fraction=args.compact_fraction)
         ticks = args.max_ticks or None
         t0 = time.perf_counter()
         info = None

@@ -321,6 +321,31 @@ def test_compaction_equals_masked_serving(small_corpus, tmp_path):
         ids2, _ = decode_postings(blob)
         assert not np.isin(ids2.astype(np.int64), victims).any()
 
+    # crash-recovery rebuild of ONE shard: its segment vanishes (the
+    # compaction crash window); the rebuild re-indexes the shard's docs
+    # and must convert the archive back to tombstones so the compacted
+    # docs stay masked and the stats stay truthful
+    from elasticsearch_assets_ray.index.deletes import (
+        load_dropped_archive,
+    )
+
+    dirty_sid = next(
+        sid for sid in info3.shard_ids()
+        if len(load_dropped_archive(idx, sid))
+    )
+    n_reconverted = len(load_dropped_archive(idx, dirty_sid))
+    shutil.rmtree(segment_dir(idx, dirty_sid))
+    info5 = build_index(corpus, idx, cfg, resume=True)
+    # the rebuilt shard's docs are physically back and TOMBSTONED, so they
+    # count in N again (mask semantics) while staying invisible to search
+    assert info5.stats.num_docs == stats_before["num_docs"] + 60 + n_reconverted
+    assert len(load_dropped_archive(idx, dirty_sid)) == 0  # archive → tombstones
+    assert len(load_deletes(idx, dirty_sid)) == n_reconverted
+    eng3 = QueryEngine(idx, num_actors=1)
+    got3 = eng3.search("import", k=50)
+    assert not set(d for d, _ in got3) & set(victims)  # still masked
+    eng3.shutdown()
+
     # a FULL REBUILD (changed config) re-indexes everything: archives
     # cleared, victims back, stats reflect the whole corpus
     info4 = build_index(corpus, idx,
