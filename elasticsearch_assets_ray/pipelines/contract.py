@@ -81,7 +81,7 @@ def _docs(sf_dir: str):
 
 # bump when index layout / analyzer / scoring semantics change, so a
 # /tmp cache surviving from an earlier code version can never be reused
-CONTRACT_INDEX_VERSION = "v3"
+CONTRACT_INDEX_VERSION = "v4"
 
 
 def doc_index_dir(sf_dir: str) -> str:
