@@ -161,6 +161,13 @@ def encode_postings_many(
         raise ValueError("doc_ids and tfs length mismatch")
     if T == 0:
         return []
+    # shared validation for BOTH codecs: no empty/negative lists, and the
+    # u32 header fields must not wrap (a >4 GiB stream or >2^32-doc list
+    # would silently encode a corrupt blob)
+    if (np.diff(offsets) <= 0).any():
+        raise ValueError("empty posting lists not supported in batch encode")
+    if np.diff(offsets).max() >= 1 << 32:
+        raise ValueError("posting list exceeds 2^32 docs (u32 header field)")
     if codec == "for":
         # optional codec: per-list loop (block loop inside); the varint
         # default keeps the fully-batched fast path
@@ -173,8 +180,6 @@ def encode_postings_many(
         raise ValueError(f"unknown postings codec {codec!r}")
     starts = offsets[:-1]
     n_t = np.diff(offsets)
-    if (n_t <= 0).any():
-        raise ValueError("empty posting lists not supported in batch encode")
 
     # per-list gap encoding, computed flat: interior deltas are plain diffs,
     # each list's first delta is its first doc_id + 1 (relative to -1)
@@ -213,6 +218,13 @@ def encode_postings_many(
     did_t_hi = did_cum[offsets[1:]]
     tf_t_lo = tf_cum[starts]
     tf_t_hi = tf_cum[offsets[1:]]
+    if int((did_t_hi - did_t_lo).max()) >= 1 << 32 or int(
+        (tf_t_hi - tf_t_lo).max()
+    ) >= 1 << 32:
+        raise ValueError(
+            "posting stream exceeds 4 GiB (u32 header field) — lower "
+            "shard_target_docs or salt the term"
+        )
     headers["docid_bytes"] = did_t_hi - did_t_lo
     headers["tf_bytes"] = tf_t_hi - tf_t_lo
 
@@ -490,12 +502,20 @@ def decode_postings(blob: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
     # is exactly the preceding doc — so the stream is one contiguous gap
     # sequence and a single cumsum decodes it (block independence costs 0).
     deltas = decode_varint(meta._docid_stream)
-    doc_ids = np.cumsum(deltas, dtype=np.uint64) - np.uint64(1)
     tfs = decode_varint(meta._tf_stream) + np.uint64(1)
+    if len(deltas) != meta.n_docs or len(tfs) != meta.n_docs:
+        # truncated / torn stream: fail loudly rather than silently
+        # returning fewer postings than the header promises
+        raise ValueError(
+            f"corrupt posting blob: decoded {len(deltas)} doc ids / "
+            f"{len(tfs)} tfs, header says {meta.n_docs}"
+        )
+    doc_ids = np.cumsum(deltas, dtype=np.uint64) - np.uint64(1)
     return doc_ids, tfs
 
 
-def merge_encoded_parts(blobs: list[bytes], block_size: int = 128) -> bytes:
+def merge_encoded_parts(blobs: list[bytes], block_size: int = 128,
+                        codec: str = "varint") -> bytes:
     """Merge posting parts covering disjoint ascending doc-id ranges.
 
     Used by the shard merge ``map_groups``: each input part came from one
@@ -507,7 +527,8 @@ def merge_encoded_parts(blobs: list[bytes], block_size: int = 128) -> bytes:
     decoded = [(d, t) for d, t in decoded if len(d)]
     if not decoded:
         return encode_postings(
-            np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64), block_size
+            np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64),
+            block_size, codec,
         )
     doc_ids = np.concatenate([d for d, _ in decoded])
     tfs = np.concatenate([t for _, t in decoded])
@@ -516,4 +537,4 @@ def merge_encoded_parts(blobs: list[bytes], block_size: int = 128) -> bytes:
         doc_ids, tfs = doc_ids[order], tfs[order]
         if not np.all(doc_ids[:-1] < doc_ids[1:]):
             raise ValueError("duplicate doc_ids across posting parts")
-    return encode_postings(doc_ids, tfs, block_size)
+    return encode_postings(doc_ids, tfs, block_size, codec)

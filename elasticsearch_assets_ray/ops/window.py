@@ -79,15 +79,25 @@ def asof_join(
     def tag(batch: pa.Table) -> pa.Table:
         lm = left_filter(batch)
         rm = right_filter(batch)
-        keep = lm | rm
-        keys = batch.column(key_col).to_numpy()[keep]
+        keys = batch.column(key_col).to_numpy()
+        ts = epoch_us(batch.column(ts_col))
+        ids = batch.column(id_col).to_numpy()
+        # a row matching BOTH filters plays both roles — emit it twice
+        # (once per role) so overlapping filters never lose candidates
+        k2 = np.concatenate([keys[lm], keys[rm]])
         return pa.table(
             {
-                "key": pa.array(keys, pa.int64()),
-                "bucket": pa.array((keys % N_BUCKETS).astype(np.int32)),
-                "ts": pa.array(epoch_us(batch.column(ts_col))[keep]),
-                "id": pa.array(batch.column(id_col).to_numpy()[keep], pa.int64()),
-                "is_left": pa.array(lm[keep]),
+                "key": pa.array(k2, pa.int64()),
+                "bucket": pa.array((k2 % N_BUCKETS).astype(np.int32)),
+                "ts": pa.array(np.concatenate([ts[lm], ts[rm]])),
+                "id": pa.array(
+                    np.concatenate([ids[lm], ids[rm]]).astype(np.int64), pa.int64()
+                ),
+                "is_left": pa.array(
+                    np.concatenate(
+                        [np.ones(int(lm.sum()), bool), np.zeros(int(rm.sum()), bool)]
+                    )
+                ),
             }
         )
 
@@ -96,39 +106,26 @@ def asof_join(
         ts = g.column("ts").to_numpy()
         ids = g.column("id").to_numpy()
         is_left = g.column("is_left").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ts, key))
+        n = len(key)
+        # one lexsort, then a forward-fill of "last right seen so far"
+        # with a per-key-run reset — NO per-key Python loop.  At equal
+        # (key, ts), lefts sort BEFORE rights so strictly-before holds.
+        order = np.lexsort((~is_left, ts, key))
         key, ts, ids, is_left = key[order], ts[order], ids[order], is_left[order]
-        out_l: list[np.ndarray] = []
-        out_r: list[np.ndarray] = []
-        starts = np.nonzero(np.concatenate([[True], key[1:] != key[:-1]]))[0]
-        ends = np.concatenate([starts[1:], [len(key)]])
-        for lo, hi in zip(starts.tolist(), ends.tolist()):
-            l_mask = is_left[lo:hi]
-            lefts = np.nonzero(l_mask)[0]
-            if len(lefts) == 0:
-                continue
-            rights = np.nonzero(~l_mask)[0]
-            l_ts = ts[lo:hi][lefts]
-            if len(rights) == 0:
-                match = np.full(len(lefts), missing, dtype=np.int64)
-            else:
-                r_ts = ts[lo:hi][rights]
-                # strictly-before: last right with r_ts < l_ts
-                pos = np.searchsorted(r_ts, l_ts, side="left") - 1
-                match = np.where(
-                    pos >= 0, ids[lo:hi][rights][np.maximum(pos, 0)], missing
-                )
-            out_l.append(ids[lo:hi][lefts])
-            out_r.append(match)
-        if not out_l:
-            return pa.table(
-                {"left_id": pa.array([], pa.int64()),
-                 "right_id": pa.array([], pa.int64())}
-            )
+        run_id = np.cumsum(np.concatenate([[0], (key[1:] != key[:-1]).astype(np.int64)]))
+        pos = np.arange(n, dtype=np.int64)
+        # encode (run, position) of every right row; maximum.accumulate
+        # forward-fills; a value from an earlier run is detected and
+        # treated as missing
+        tagged = np.where(~is_left, run_id * n + pos, np.int64(-1))
+        acc = np.maximum.accumulate(tagged)
+        valid = (acc >= 0) & (acc // n == run_id)
+        last_right = np.where(valid, ids[np.maximum(acc % n, 0)], missing)
+        lm = is_left
         return pa.table(
             {
-                "left_id": pa.array(np.concatenate(out_l), pa.int64()),
-                "right_id": pa.array(np.concatenate(out_r), pa.int64()),
+                "left_id": pa.array(ids[lm], pa.int64()),
+                "right_id": pa.array(last_right[lm], pa.int64()),
             }
         )
 
@@ -175,13 +172,39 @@ def range_join_count(
         ts = g.column("ts").to_numpy()
         ids = g.column("id").to_numpy()
         is_a = g.column("is_anchor").to_numpy(zero_copy_only=False)
+        n = len(key)
         order = np.lexsort((ts, key))
         key, ts, ids, is_a = key[order], ts[order], ids[order], is_a[order]
+        side = "left" if include_self else "right"
         starts = np.nonzero(np.concatenate([[True], key[1:] != key[:-1]]))[0]
-        ends = np.concatenate([starts[1:], [len(key)]])
+        run_id = np.cumsum(
+            np.concatenate([[0], (key[1:] != key[:-1]).astype(np.int64)])
+        )
+        # fast path: fold (run, ts) into ONE sortable int64 so a single
+        # global searchsorted answers every per-key band query — the
+        # per-key Python loop only remains as the overflow fallback
+        t0 = int(ts.min()) if n else 0
+        span = (int(ts.max()) - t0 + band_us + 2) if n else 1
+        n_runs = int(run_id[-1]) + 1 if n else 0
+        if n and n_runs * span < (1 << 62):
+            comp = run_id * np.int64(span) + (ts - t0)
+            a = np.nonzero(is_a)[0]
+            if len(a) == 0:
+                return pa.table(
+                    {"anchor_id": pa.array([], pa.int64()),
+                     "n_in_band": pa.array([], pa.int64())}
+                )
+            lo_pos = np.searchsorted(comp, comp[a], side=side)
+            hi_pos = np.searchsorted(comp, comp[a] + band_us, side="right")
+            return pa.table(
+                {
+                    "anchor_id": pa.array(ids[a], pa.int64()),
+                    "n_in_band": pa.array((hi_pos - lo_pos).astype(np.int64)),
+                }
+            )
+        ends = np.concatenate([starts[1:], [n]])
         out_id: list[np.ndarray] = []
         out_n: list[np.ndarray] = []
-        side = "left" if include_self else "right"
         for lo, hi in zip(starts.tolist(), ends.tolist()):
             a = np.nonzero(is_a[lo:hi])[0]
             if len(a) == 0:

@@ -38,10 +38,10 @@ class DocStore:
         columns: list[str] | None = None,
         cache_partitions: int = 64,
     ):
-        from ..index.build import IndexInfo, docmeta_path
+        from ..index.build import IndexInfo
 
         info = IndexInfo(index_dir)
-        self._docmeta_path = lambda pid: docmeta_path(index_dir, pid)
+        self._index_dir = index_dir  # path only: instances stay picklable
         parts = sorted(info.manifest.partitions, key=lambda p: p.doc_base)
         self._bases = np.array([p.doc_base for p in parts], dtype=np.int64)
         self._ends = np.array(
@@ -60,8 +60,10 @@ class DocStore:
             self.hits += 1
             self._cache.move_to_end(pid)
             return t
+        from ..index.build import docmeta_path
+
         self.misses += 1
-        t = pq.read_table(self._docmeta_path(pid), columns=self.columns)
+        t = pq.read_table(docmeta_path(self._index_dir, pid), columns=self.columns)
         self._cache[pid] = t
         while len(self._cache) > self.cache_partitions:
             self._cache.popitem(last=False)
@@ -75,8 +77,16 @@ class DocStore:
         """Fetch docmeta rows for ``doc_ids``, returned in request order."""
         ids = np.asarray(doc_ids, dtype=np.int64)
         if len(ids) == 0:
-            # empty table with the right schema
-            return self._partition_table(int(self._pids[0])).slice(0, 0)
+            # empty table with the right schema — footer-only read, never
+            # a full partition load (and no crash on a zero-partition index)
+            if len(self._pids) == 0:
+                return pa.table({})
+            from ..index.build import docmeta_path
+
+            schema = pq.read_schema(docmeta_path(self._index_dir, int(self._pids[0])))
+            if self.columns is not None:
+                schema = pa.schema([schema.field(c) for c in self.columns])
+            return schema.empty_table()
         slot = np.searchsorted(self._bases, ids, side="right") - 1
         if (slot < 0).any() or (ids >= self._ends[slot]).any():
             bad = ids[(slot < 0) | (ids >= self._ends[np.maximum(slot, 0)])]
@@ -111,8 +121,9 @@ class DocStoreHydrator:
     per batch — the ST1 expensive-init pattern."""
 
     def __init__(self, index_dir: str, columns: list[str] | None = None):
-        want = columns if columns is None else list(dict.fromkeys(["doc_id"] + columns))
-        self.store = DocStore(index_dir, columns=want)
+        # mget joins positionally — no need to force doc_id into the
+        # parquet projection just to drop it again
+        self.store = DocStore(index_dir, columns=columns)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         meta = self.store.mget(batch.column("doc_id").to_numpy())
@@ -155,7 +166,19 @@ class CachedStateStorage:
         self.overlay: dict[int, dict] = {}
 
     def count(self) -> int:
-        return len(self.overlay) + self.store.count()
+        # overlay entries whose doc also sits in a cached partition are
+        # ONE record, not two
+        cached = self.store.count()
+        if not self.overlay or cached == 0:
+            return len(self.overlay) + cached
+        overlap = 0
+        ids = np.asarray(sorted(self.overlay), dtype=np.int64)
+        slot = np.searchsorted(self.store._bases, ids, side="right") - 1
+        ok = (slot >= 0) & (ids < self.store._ends[np.maximum(slot, 0)])
+        for i in np.nonzero(ok)[0]:
+            if int(self.store._pids[slot[i]]) in self.store._cache:
+                overlap += 1
+        return len(self.overlay) + cached - overlap
 
     def set(self, doc_id: int, record: dict) -> None:
         self.overlay[int(doc_id)] = dict(record)

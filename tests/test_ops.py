@@ -584,6 +584,20 @@ def test_sliding_window_and_asof(ray_session):
     got = {r["left_id"]: r["right_id"] for r in out}
     assert got == {3: 2, 5: -1, 7: 6, 8: 6}
 
+    # overlapping roles: a row matching BOTH filters must serve as a
+    # right-side candidate too ("attribute to any prior event")
+    both = to_arrow(asof_join(
+        ds, "user_id", "ts", "event_id",
+        lambda b: pa.compute.equal(b.column("event_type"), "purchase").to_numpy(zero_copy_only=False),
+        lambda b: pa.compute.is_in(
+            b.column("event_type"), value_set=pa.array(["view", "purchase"])
+        ).to_numpy(zero_copy_only=False),
+    )).to_pylist()
+    got_both = {r["left_id"]: r["right_id"] for r in both}
+    # user 9: purchase#8 (t=3) must match purchase#7 (t=2), not view#6;
+    # same-instant rows stay excluded (strictly-before)
+    assert got_both == {3: 2, 5: -1, 7: 6, 8: 7}
+
     win = to_arrow(sliding_window_counts(ds, "ts", window_ms=1_200_000, slide_ms=600_000))
     w = {r["window_id"]: r["n_events"] for r in win.to_pylist()}
     # every event counted exactly window/slide = 2 times
