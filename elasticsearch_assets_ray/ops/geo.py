@@ -54,13 +54,21 @@ def parse_distance(s: str) -> float:
 
 
 def _split_points(col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """Parse "lat,lon" strings → float arrays; null/malformed values get
+    NaN (ES semantics: a doc missing/garbling the geo field is a
+    non-match, never a query error)."""
     pts = col.to_pylist()
-    lat = np.empty(len(pts), dtype=np.float64)
-    lon = np.empty(len(pts), dtype=np.float64)
+    lat = np.full(len(pts), np.nan, dtype=np.float64)
+    lon = np.full(len(pts), np.nan, dtype=np.float64)
     for i, p in enumerate(pts):
-        a, b = p.split(",", 1)
-        lat[i] = float(a)
-        lon[i] = float(b)
+        if p is None:
+            continue
+        try:
+            a, b = p.split(",", 1)
+            lat[i] = float(a)
+            lon[i] = float(b)
+        except (ValueError, AttributeError):
+            continue
     return lat, lon
 
 
@@ -119,23 +127,36 @@ class GeoQuery:
 
 def geo_filter_batch(batch: pa.Table, q: GeoQuery) -> pa.Table:
     """Filter one batch; appends ``_distance`` (in ``sort_unit``) when a
-    sort point applies."""
+    sort point applies.  The haversine kernel and the point parse run
+    ONCE per batch (distances for survivors are sliced from the filter
+    pass, not recomputed).  NaN coordinates (null/malformed field) never
+    match."""
     lat, lon = _split_points(batch.column(q.field))
-    mask = np.ones(len(lat), dtype=bool)
+    mask = ~np.isnan(lat)
     if q.box_top_left is not None:
         tl = parse_point(q.box_top_left)
         br = parse_point(q.box_bottom_right)
-        mask &= (lat <= tl[0]) & (lat >= br[0]) & (lon >= tl[1]) & (lon <= br[1])
+        mask &= (lat <= tl[0]) & (lat >= br[0])
+        if tl[1] <= br[1]:
+            mask &= (lon >= tl[1]) & (lon <= br[1])
+        else:
+            # box crosses the antimeridian (ES geo_bounding_box wraps)
+            mask &= (lon >= tl[1]) | (lon <= br[1])
+    sp = q.effective_sort_point()
+    dist_m = None
     if q.point is not None:
         plat, plon = parse_point(q.point)
-        dist = haversine_meters(lat, lon, plat, plon)
-        mask &= dist <= parse_distance(q.distance)
+        dist_m = haversine_meters(lat, lon, plat, plon)
+        mask &= dist_m <= parse_distance(q.distance)
     out = batch.filter(pa.array(mask))
-    sp = q.effective_sort_point()
     if sp is not None:
-        lat2, lon2 = _split_points(out.column(q.field))
-        d = haversine_meters(lat2, lon2, sp[0], sp[1]) / UNIT_METERS[q.sort_unit]
-        out = out.append_column("_distance", pa.array(d, pa.float64()))
+        if dist_m is not None and sp == parse_point(q.point):
+            d = dist_m[mask]
+        else:
+            d = haversine_meters(lat[mask], lon[mask], sp[0], sp[1])
+        out = out.append_column(
+            "_distance", pa.array(d / UNIT_METERS[q.sort_unit], pa.float64())
+        )
     return out
 
 

@@ -133,9 +133,13 @@ class ResizeStage:
         w = batch.column("decoded_width").to_numpy().astype(np.float64)
         h = batch.column("decoded_height").to_numpy().astype(np.float64)
         scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        # round, don't truncate: w*(max_side/w) lands at 223.999.. for
+        # many widths, and the max side must come out EXACTLY max_side
         return batch.append_column(
-            "target_width", pa.array((w * scale).astype(np.int32))
-        ).append_column("target_height", pa.array((h * scale).astype(np.int32)))
+            "target_width", pa.array(np.rint(w * scale).astype(np.int32))
+        ).append_column(
+            "target_height", pa.array(np.rint(h * scale).astype(np.int32))
+        )
 
 
 def frame_sample_offsets(n_frames: np.ndarray, every_k: int) -> list[np.ndarray]:

@@ -30,6 +30,9 @@ class HyperLogLog:
         self.registers = np.zeros(self.m, dtype=np.uint8)
 
     def _hash64(self, values) -> np.ndarray:
+        """Per-value 64-bit md5 (nulls excluded by add_many — COUNT
+        DISTINCT semantics; a length prefix keeps bytes b"None" and the
+        string "None" from colliding with an actual null)."""
         out = np.empty(len(values), dtype=np.uint64)
         for i, v in enumerate(values):
             b = v if isinstance(v, bytes) else str(v).encode()
@@ -37,6 +40,10 @@ class HyperLogLog:
         return out
 
     def add_many(self, values) -> "HyperLogLog":
+        # COUNT(DISTINCT) semantics: nulls contribute nothing (previously
+        # str(None) counted a phantom 'None' value and collided with the
+        # literal string)
+        values = [v for v in values if v is not None]
         if len(values) == 0:
             return self
         h = self._hash64(values)

@@ -30,9 +30,15 @@ HEXADECIMAL = "0123456789abcdef"
 HEXADECIMAL_UPPER = "0123456789ABCDEF"
 
 # planner-count caps per key type (id_reader/index.js:115-125)
-MAX_SLICERS = {"hexadecimal": 16, "base64url": 64, "base64": 64}
+MAX_SLICERS = {
+    "hexadecimal": 16,
+    "hexadecimal_upper": 16,
+    "base64url": 64,
+    "base64": 64,
+}
 ALPHABETS = {
     "hexadecimal": HEXADECIMAL,
+    "hexadecimal_upper": HEXADECIMAL_UPPER,
     "base64url": BASE64URL,
     "base64": BASE64,
 }
@@ -42,6 +48,10 @@ ALPHABETS = {
 class KeySlice:
     key: str  # prefix, e.g. "a3" — matches ids starting with it
     count: int
+    # True → the slice covers ids EXACTLY equal to ``key`` (the residual
+    # emitted when a subtree splits: children only cover LONGER ids, so
+    # an id equal to the split prefix would otherwise be lost)
+    exact: bool = False
 
 
 def divide_key_array(keys: list[str], n: int) -> list[list[str]]:
@@ -83,7 +93,7 @@ class IdSlicer:
     ):
         alphabet = ALPHABETS[key_type]
         if key_range is not None:
-            bad = [k for k in key_range if k[0] not in alphabet]
+            bad = [k for k in key_range if any(c not in alphabet for c in k)]
             if bad:
                 raise ValueError(
                     f"key_range entries {bad} outside the {key_type} alphabet"
@@ -95,8 +105,20 @@ class IdSlicer:
         self.starting_key_depth = starting_key_depth
         self.max_depth = max_depth
 
-    def _expand(self, prefix: str, depth: int) -> Iterator[KeySlice]:
-        count = self.count_fn(prefix)
+    def _expand(self, prefix: str, depth: int,
+                count: int | None = None,
+                skip_target: tuple | None = None,
+                order: dict | None = None) -> Iterator[KeySlice]:
+        if skip_target is not None:
+            # resume pruning: a subtree whose prefix sorts strictly before
+            # the checkpoint's same-length head can only yield completed
+            # leaves — skip it WITHOUT paying its count probes
+            tp = tuple(order[c] for c in prefix)
+            k = min(len(tp), len(skip_target))
+            if tp[:k] < skip_target[:k]:
+                return
+        if count is None:
+            count = self.count_fn(prefix)
         if count == 0:
             return  # prune subtree (closePath)
         if count <= self.size and depth >= self.starting_key_depth:
@@ -105,22 +127,43 @@ class IdSlicer:
         if depth >= self.max_depth:
             yield KeySlice(prefix, count)  # floor: emit oversized leaf
             return
-        for ch in self.alphabet:
-            yield from self._expand(prefix + ch, depth + 1)
+        # probe the children first: ids EXACTLY equal to ``prefix`` match
+        # no child, so the residual gets its own exact slice (otherwise a
+        # variable-length id space silently loses rows on every split)
+        child_counts = [(ch, self.count_fn(prefix + ch)) for ch in self.alphabet]
+        residual = count - sum(c for _, c in child_counts)
+        if residual > 0:
+            yield KeySlice(prefix, residual, exact=True)
+        for ch, c in child_counts:
+            yield from self._expand(prefix + ch, depth + 1, c, skip_target, order)
 
     def slices(self, resume_after: str | None = None) -> Iterator[KeySlice]:
         """Yield key slices; ``resume_after`` skips every prefix that sorts
         at-or-before the last completed one (generator fast-forward,
-        id_slicer.js:178-199)."""
-        it = (s for root in self.roots for s in self._expand(root, 1))
+        id_slicer.js:178-199) — completed subtrees are pruned without
+        re-paying their count probes."""
+        order = {c: i for i, c in enumerate(self.alphabet)}
         if resume_after is None:
-            yield from it
+            yield from (
+                s for root in self.roots for s in self._expand(root, 1)
+            )
             return
+        bad = [c for c in resume_after if c not in order]
+        if bad:
+            raise ValueError(
+                f"resume_after {resume_after!r} contains characters {bad} "
+                "outside the alphabet — was the checkpoint written by a "
+                "slicer with a different key_type?"
+            )
         # deterministic replay yields the identical leaf sequence, so resume
         # = drop every leaf at-or-before the checkpoint in alphabet-rank
         # order (tuple compare handles differing depths)
-        order = {c: i for i, c in enumerate(self.alphabet)}
         target = tuple(order[c] for c in resume_after)
+        it = (
+            s
+            for root in self.roots
+            for s in self._expand(root, 1, None, target, order)
+        )
         for s in it:
             if tuple(order[c] for c in s.key) <= target:
                 continue

@@ -506,6 +506,33 @@ def test_geo_validation_and_parsing():
         GeoQuery(field="loc", point="1,1", distance="1km", sort_unit="parsec")
 
 
+def test_geo_null_values_and_antimeridian(ray_session):
+    import ray.data as rd3
+    from elasticsearch_assets_ray.ops.geo import GeoQuery, geo_search
+
+    tbl = pa.table({
+        "pid": pa.array(range(5), pa.int64()),
+        "loc": pa.array(["10,10", None, "garbage", "5,175", "5,-175"], pa.string()),
+    })
+    # nulls/malformed rows are non-matches, never query errors
+    near = GeoQuery(field="loc", point="10,10", distance="100km")
+    got = to_arrow(geo_search(rd3.from_arrow(tbl), near))
+    assert got.column("pid").to_pylist() == [0]
+    # antimeridian-crossing box wraps (ES geo_bounding_box semantics)
+    box = GeoQuery(field="loc", box_top_left="10,170", box_bottom_right="0,-170")
+    got2 = to_arrow(geo_search(rd3.from_arrow(tbl), box))
+    assert sorted(got2.column("pid").to_pylist()) == [3, 4]
+
+
+def test_hll_null_semantics():
+    from elasticsearch_assets_ray.ops.sketch import HyperLogLog
+
+    # COUNT(DISTINCT) ignores nulls; the string "None" stays distinct
+    h = HyperLogLog(14).add_many([None, "None", "a", None])
+    assert round(h.estimate()) == 2
+    assert HyperLogLog(14).add_many([None, None]).estimate() == 0.0
+
+
 def test_geo_box_distance_and_sort(ray_session):
     import ray.data as rd2
     from elasticsearch_assets_ray.ops.geo import (

@@ -129,6 +129,50 @@ def test_starting_key_depth():
     assert [(k.key, k.count) for k in s.slices()] == [("a00", 1), ("a01", 2)]
 
 
+def test_id_split_covers_ids_equal_to_prefix():
+    """Ids exactly equal to a split prefix get a residual EXACT slice —
+    variable-length id spaces must not lose rows on descent."""
+    keys = ["b"] + [f"b{'0123'[i % 4]}x{i:03d}" for i in range(208)]
+    s = IdSlicer(prefix_count_fn_from_keys(keys), 200, "hexadecimal")
+    slices = list(s.slices())
+    assert sum(sl.count for sl in slices) == len(keys)
+    exact = [sl for sl in slices if sl.exact]
+    assert [(sl.key, sl.count) for sl in exact] == [("b", 1)]
+    # short ids below starting_key_depth are covered the same way
+    s2 = IdSlicer(prefix_count_fn_from_keys(["a", "a0x", "a0y", "a1z"]),
+                  50, "hexadecimal", key_range=["a"], starting_key_depth=2)
+    got = list(s2.slices())
+    assert sum(sl.count for sl in got) == 4
+    assert any(sl.exact and sl.key == "a" for sl in got)
+
+
+def test_id_resume_validates_alphabet_and_prunes_probes():
+    keys = [f"{c}{i:02d}" for c in "abcdef" for i in range(10)]
+    probes = []
+    base = prefix_count_fn_from_keys(keys)
+
+    def counting(prefix):
+        probes.append(prefix)
+        return base(prefix)
+
+    s = IdSlicer(counting, 50, "base64url")
+    list(s.slices())
+    full_probes = len(probes)
+    probes.clear()
+    resumed = [k.key for k in s.slices(resume_after="c")]
+    assert resumed == list("def")
+    # completed subtrees are pruned WITHOUT re-paying their count probes
+    assert len(probes) < full_probes
+    assert not any(p.startswith("a") or p.startswith("b") for p in probes)
+    # a checkpoint char outside the alphabet is a clear error, not KeyError
+    s3 = IdSlicer(base, 50, "hexadecimal")
+    with pytest.raises(ValueError):
+        list(s3.slices(resume_after="A1"))  # uppercase ∉ lowercase hex
+    # uppercase-hex key spaces are supported via their own key_type
+    s4 = IdSlicer(prefix_count_fn_from_keys(["A1", "B2"]), 50, "hexadecimal_upper")
+    assert sorted(k.key for k in s4.slices()) == ["A", "B"]
+
+
 def test_caps_and_key_range_validation():
     validate_slicer_count("hexadecimal", 16)
     with pytest.raises(ValueError):
