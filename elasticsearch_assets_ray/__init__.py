@@ -32,14 +32,29 @@ __version__ = "0.1.0"
 
 from .config import BM25Params, IndexConfig  # noqa: E402
 from .index.build import IndexInfo, build_index  # noqa: E402
-from .search.engine import QueryEngine, score_queries_dataset  # noqa: E402
+from .index.compact import compact_index  # noqa: E402
+from .index.deletes import delete_docs  # noqa: E402
+from .index.global_merge import merge_global_postings  # noqa: E402
+from .index.persistent import PersistentIndexer  # noqa: E402
+from .search.engine import (  # noqa: E402
+    QueryEngine,
+    score_queries_dataset,
+    score_queries_dataset_distributed,
+)
+from .search.term_engine import TermPartitionedEngine  # noqa: E402
 
 __all__ = [
     "BM25Params",
     "IndexConfig",
     "IndexInfo",
-    "build_index",
+    "PersistentIndexer",
     "QueryEngine",
+    "TermPartitionedEngine",
+    "build_index",
+    "compact_index",
+    "delete_docs",
+    "merge_global_postings",
     "score_queries_dataset",
+    "score_queries_dataset_distributed",
     "__version__",
 ]
