@@ -229,6 +229,14 @@ def sha_nbytes_arrow(arr: "pa.Array | pa.ChunkedArray") -> tuple[list[str], np.n
     ``sha256(text.encode())`` (tested)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        # a null offset slices to b"" — silently hashing nulls would dedupe
+        # null-text rows against genuinely-empty docs; fail loud like the
+        # per-row `text.encode()` path did
+        raise ValueError(
+            f"sha_nbytes_arrow: {arr.null_count} null value(s) in text column; "
+            "drop or fill nulls before hashing"
+        )
     odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
     offs = np.frombuffer(arr.buffers()[1], dtype=odt)[
         arr.offset : arr.offset + len(arr) + 1

@@ -187,15 +187,25 @@ def compact_index(index_dir: str | Path, block_size: int | None = None,
         .map_batches(work, batch_format="pyarrow", batch_size=1)
     ).sort_by("shard_id")
 
-    # stats refresh (ES semantics: live docs only)
+    # stats refresh (ES semantics: live docs only).  Recomputed from the
+    # manifest totals minus ALL per-shard dropped archives — the same
+    # formula build_index uses — rather than subtracting only this run's
+    # drops: a prior compact run that crashed after some shard tasks
+    # finished (archives written, tombstones cleared) but before this
+    # refresh leaves those shards invisible to `dirty`, and an
+    # incremental subtraction would never account for them.
     import json
 
     from .manifest import STATS_NAME, atomic_write_text
 
-    n_docs = info.stats.num_docs - int(sum(out.column("dropped_docs").to_pylist()))
-    total_tokens = info.stats.total_tokens - int(
-        sum(out.column("dropped_tokens").to_pylist())
-    )
+    n_docs = info.manifest.total_docs
+    total_tokens = sum(s.total_tokens for s in info.manifest.shards.values())
+    for sid in info.manifest.shards:
+        arch = load_dropped_archive(index_dir, sid)
+        if len(arch) == 0:
+            continue
+        n_docs -= len(arch)
+        total_tokens -= load_dropped_tokens(index_dir, sid)
     stats = {
         "num_docs": n_docs,
         "total_tokens": total_tokens,

@@ -9,15 +9,27 @@ term-partitioned index, with hot terms (df above a threshold — think
 group ever exceeds a bounded doc range:
 
     read doc-range segments          (term, shard_id, df, postings)
-      → df pre-pass                  (cheap aggregate → hot-term set,
-                                      broadcast via ray.put — the
-                                      reference's count-probe pattern,
+      → df pre-pass                  (per-batch partial df + bucketed
+                                      reduce → hot-term set, broadcast
+                                      via ray.put — the reference's
+                                      count-probe pattern,
                                       ``slicer.js:469-482``)
-      → salt map                     cold term → "term"; hot term →
-                                     "term#<shard_id % n_salts>"
-      → groupby(salted_term)         THE term-keyed aggregate-sort shuffle
-      → map_groups(merge parts)      ordered concat (shard order = doc
-                                     order), one blob per salt part
+      → salt map                     vectorized: cold term → salt −1;
+                                      hot term → salt shard_id % n_salts
+      → groupby(bucket)              ONE fixed-small-cardinality exchange
+                                      on ``md5(term) % n_buckets`` (the
+                                      output partition key) — never a
+                                      per-term groupby: term cardinality
+                                      is the corpus vocabulary, and
+                                      per-key groupbys at that
+                                      cardinality are pathological in
+                                      Ray Data (measured ~5-10× slower
+                                      than the bucketed-reduction
+                                      pattern used here)
+      → in-bucket run walk           sort (term, salt, shard) once, walk
+                                      equal-(term,salt) runs vectorized;
+                                      ordered concat (shard order = doc
+                                      order), one blob per salt part
       → write_parquet                hash(term)-bucketed directory layout
 
 Query-side un-salting: a term's postings are the ordered concatenation of
@@ -44,6 +56,21 @@ HOT_DF_FRACTION = 0.10  # df above this fraction of the corpus → salted
 
 def _term_bucket(term: str, n_buckets: int) -> int:
     return int.from_bytes(hashlib.md5(term.encode()).digest()[:4], "little") % n_buckets
+
+
+def _term_buckets_vec(term_col: "pa.Array | pa.ChunkedArray",
+                      n_buckets: int) -> np.ndarray:
+    """Vectorized ``_term_bucket`` over a string column: md5 once per
+    DISTINCT term (dictionary-encode + gather), never per row."""
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
+    enc = term_col.dictionary_encode()
+    dict_terms = enc.dictionary.to_pylist()
+    db = np.fromiter(
+        (_term_bucket(t, n_buckets) for t in dict_terms),
+        np.int32, len(dict_terms),
+    )
+    return db[enc.indices.to_numpy()]
 
 
 def merge_global_postings(
@@ -76,6 +103,23 @@ def merge_global_postings(
     params = params or BM25Params()
     info = IndexInfo(index_dir)
     out_dir = Path(out_dir)
+
+    # A term-partitioned layout merged from segments with un-compacted
+    # deletes would serve deleted docs and bake pre-delete df/num_docs
+    # into _globalmeta.json — silently disagreeing with the
+    # doc-partitioned engine, which masks tombstones at query time
+    # (engine.py).  Refuse rather than diverge.
+    from .deletes import load_deletes
+
+    dirty = [
+        sid for sid in info.shard_ids() if len(load_deletes(index_dir, sid))
+    ]
+    if dirty:
+        raise ValueError(
+            f"index has pending delete tombstones in shards {dirty}; run "
+            "compact_index(index_dir) before merge_global_postings so the "
+            "term-partitioned layout reflects live documents only"
+        )
 
     seg = rd.read_parquet(
         str(Path(index_dir) / "segments"),
@@ -137,63 +181,120 @@ def merge_global_postings(
 
         seg = seg.map_batches(add_norms, batch_format="pyarrow", zero_copy_batch=True)
 
-    # df pre-pass: global df per term (small aggregate), hot set broadcast
-    from ray.data.aggregate import Sum
+    # df pre-pass: global df per term via per-batch PARTIAL sums + one
+    # fixed-64-bucket exchange (NOT a per-term groupby — vocabulary
+    # cardinality).  Only the tiny hot set reaches the driver.
+    import pyarrow.compute as pc
 
     from ..ops import to_arrow
 
-    df_tbl = to_arrow(seg.groupby("term").aggregate(Sum("df", alias_name="df")))
     hot_cut = hot_df_fraction * info.stats.num_docs
-    hot_terms = frozenset(
-        t
-        for t, d in zip(
-            df_tbl.column("term").to_pylist(), df_tbl.column("df").to_pylist()
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        term = batch.column("term").combine_chunks()
+        enc = term.dictionary_encode()
+        codes = enc.indices.to_numpy()
+        nd = len(enc.dictionary)
+        df = np.bincount(
+            codes, weights=batch.column("df").to_numpy(), minlength=nd
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "term": enc.dictionary,
+                "df": pa.array(df),
+                "dfb": pa.array(_term_buckets_vec(enc.dictionary, 64), pa.int32()),
+            }
         )
-        if d >= hot_cut
+
+    def reduce_df(g: pa.Table) -> pa.Table:
+        term = g.column("term").combine_chunks()
+        enc = term.dictionary_encode()
+        codes = enc.indices.to_numpy()
+        df = np.bincount(
+            codes, weights=g.column("df").to_numpy(), minlength=len(enc.dictionary)
+        ).astype(np.int64)
+        hot = df >= hot_cut
+        return pa.table(
+            {"term": enc.dictionary.filter(pa.array(hot)),
+             "df": pa.array(df[hot])}
+        )
+
+    hot_tbl = to_arrow(
+        seg.map_batches(partial_df, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dfb")
+        .map_groups(reduce_df, batch_format="pyarrow", zero_copy_batch=True)
     )
-    hot_ref = ray.put(hot_terms)
+    hot_terms = hot_tbl.column("term").to_pylist() if hot_tbl.num_rows else []
+    hot_ref = ray.put(sorted(hot_terms))
 
-    def add_salt(batch: pa.Table) -> pa.Table:
+    def add_keys(batch: pa.Table) -> pa.Table:
+        """salt (−1 = unsalted cold term; shard % n_salts for hot terms)
+        and the output bucket key — all vectorized, no per-row Python."""
         hot = ray.get(hot_ref)
-        terms = batch.column("term").to_pylist()
-        shards = batch.column("shard").to_pylist()
-        keys = [
-            f"{t}#{int(s) % n_salts}" if t in hot else t
-            for t, s in zip(terms, shards)
-        ]
-        return batch.append_column("salted_term", pa.array(keys, pa.string()))
-
-    def merge_group(g: pa.Table) -> pa.Table:
-        # parts arrive from ascending shard ids ⇒ ascending doc ranges
-        g = g.sort_by([("shard", "ascending")])
-        term = g.column("term")[0].as_py()
-        key = g.column("salted_term")[0].as_py()
-        salt = int(key.rsplit("#", 1)[1]) if "#" in key and key != term else -1
-        doc_flat, tf_flat, offs = decode_postings_many(
-            g.column("postings").to_pylist()
+        term = batch.column("term")
+        # `shard` is a zero-padded hive partition string (e.g. "00003")
+        shards = (
+            batch.column("shard").combine_chunks().cast(pa.int64()).to_numpy()
         )
-        blob = encode_postings_many(
-            doc_flat, tf_flat, np.array([0, len(doc_flat)], dtype=np.int64),
-            block_size,
-        )[0]
+        if hot:
+            mask = pc.is_in(
+                term, value_set=pa.array(hot, pa.string())
+            ).to_numpy(zero_copy_only=False)
+        else:
+            mask = np.zeros(batch.num_rows, dtype=bool)
+        salt = np.where(mask, shards % n_salts, -1).astype(np.int32)
+        batch = batch.append_column("salt", pa.array(salt, pa.int32()))
+        return batch.append_column(
+            "bucket", pa.array(_term_buckets_vec(term, n_buckets), pa.int32())
+        )
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # one sort per bucket, then walk equal-(term, salt) runs
+        # vectorized; within a run parts arrive from ascending shard ids
+        # ⇒ ascending doc ranges, so concatenation preserves doc order
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("term", "ascending"), ("salt", "ascending"),
+                       ("shard", "ascending")],
+        )
+        g = g.take(order)
+        enc = g.column("term").combine_chunks().dictionary_encode()
+        tcodes = enc.indices.to_numpy()
+        salt = g.column("salt").to_numpy()
+        change = np.concatenate(
+            [[True], (tcodes[1:] != tcodes[:-1]) | (salt[1:] != salt[:-1])]
+        )
+        run_starts = np.nonzero(change)[0]
+        blobs = g.column("postings").to_pylist()
+        doc_flat, tf_flat, offs = decode_postings_many(blobs)
+        run_offs = np.concatenate([offs[run_starts], [offs[-1]]])
+        new_blobs = encode_postings_many(doc_flat, tf_flat, run_offs, block_size)
+        take = pa.array(run_starts, pa.int64())
         cols = {
-            "term": pa.array([term], pa.string()),
-            "salt": pa.array([salt], pa.int32()),
-            "df": pa.array([int(sum(g.column("df").to_pylist()))], pa.int64()),
-            "cf": pa.array([int(sum(g.column("cf").to_pylist()))], pa.int64()),
-            "bucket": pa.array([_term_bucket(term, n_buckets)], pa.int32()),
-            "postings": pa.array([blob], pa.large_binary()),
+            "term": g.column("term").take(take),
+            "salt": pa.array(salt[run_starts], pa.int32()),
+            "df": pa.array(
+                np.add.reduceat(g.column("df").to_numpy(), run_starts).astype(np.int64)
+            ),
+            "cf": pa.array(
+                np.add.reduceat(g.column("cf").to_numpy(), run_starts).astype(np.int64)
+            ),
+            "bucket": g.column("bucket").take(take),
+            "postings": pa.array(new_blobs, pa.large_binary()),
         }
         if "norms" in g.column_names:
+            nb = g.column("norms").to_pylist()
+            run_ends = np.concatenate([run_starts[1:], [len(nb)]])
             cols["norms"] = pa.array(
-                [b"".join(g.column("norms").to_pylist())], pa.large_binary()
+                [b"".join(nb[s:e]) for s, e in zip(run_starts, run_ends)],
+                pa.large_binary(),
             )
         return pa.table(cols)
 
     merged = (
-        seg.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("salted_term")  # the term-keyed aggregate-sort shuffle
-        .map_groups(merge_group, batch_format="pyarrow", zero_copy_batch=True)
+        seg.map_batches(add_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")  # fixed n_buckets-key exchange, not per-term
+        .map_groups(merge_bucket, batch_format="pyarrow", zero_copy_batch=True)
     )
     merged.write_parquet(str(out_dir), partition_cols=["bucket"])
     meta = {

@@ -264,8 +264,11 @@ def _bm25_rerank(pairs_per_query: dict[int, list[tuple[int, float]]],
                  idx: str) -> pa.Table:
     """Shared (round(score,4) DESC, orig_id ASC) top-10 re-rank +
     doc-store hydration for the BM25 contract pipelines."""
+    # iterate in the SAME sorted(qid) order the slicing loop below uses —
+    # dict insertion order happening to be ascending is not a contract
     all_ids = np.array(
-        [d for hits in pairs_per_query.values() for d, _ in hits], dtype=np.int64
+        [d for qid in sorted(pairs_per_query) for d, _ in pairs_per_query[qid]],
+        dtype=np.int64,
     )
     store = DocStore(idx, columns=["doc_id", "orig_id"])
     orig_map = store.mget(all_ids)

@@ -5,6 +5,7 @@ import math
 import shutil
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -43,6 +44,20 @@ def test_sha256_invariant(small_index, small_corpus):
             assert stored[i] == hashlib.sha256(text.encode()).hexdigest()
             i += 1
     assert i == len(stored)
+
+
+def test_sha_arrow_rejects_nulls():
+    """Null text rows must fail loud, not hash as empty bytes (which
+    would silently dedupe them against genuinely-empty docs)."""
+    from elasticsearch_assets_ray.index.build import sha_nbytes_arrow
+
+    with pytest.raises(ValueError, match="null"):
+        sha_nbytes_arrow(pa.array(["a", None, "b"], pa.string()))
+    shas, nb = sha_nbytes_arrow(pa.array(["", "x"], pa.string()))
+    import hashlib as _h
+
+    assert shas == [_h.sha256(b"").hexdigest(), _h.sha256(b"x").hexdigest()]
+    assert nb.tolist() == [0, 1]
 
 
 def test_rank_and_score_identical(small_index, small_oracle):
@@ -352,6 +367,55 @@ def test_compaction_equals_masked_serving(small_corpus, tmp_path):
                         IndexConfig(partition_target_docs=50,
                                     shard_target_docs=200))
     assert info4.stats.num_docs == n_total + 60
+
+
+def test_global_merge_refuses_pending_tombstones(small_corpus, tmp_path):
+    """merge_global_postings on an index with un-compacted deletes would
+    serve deleted docs from the term-partitioned layout while the
+    doc-partitioned engine masks them — it must refuse instead."""
+    from elasticsearch_assets_ray.index.compact import compact_index
+    from elasticsearch_assets_ray.index.deletes import delete_docs
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+
+    cfg = IndexConfig(partition_target_docs=50, shard_target_docs=100)
+    idx = tmp_path / "idx"
+    build_index(small_corpus, idx, cfg)
+    delete_docs(idx, [3, 57])
+    with pytest.raises(ValueError, match="compact_index"):
+        merge_global_postings(idx, tmp_path / "gidx", n_salts=2, n_buckets=4)
+    compact_index(idx)
+    merge_global_postings(idx, tmp_path / "gidx", n_salts=2, n_buckets=4)
+
+
+def test_compact_stats_recomputed_not_incremental(small_corpus, tmp_path):
+    """The stats refresh at the end of compact_index derives from the
+    manifest totals minus ALL per-shard dropped archives — so a stats
+    file left stale by a crashed earlier compaction (shard tasks done,
+    refresh never ran) heals on the next compact run."""
+    import json as _json
+
+    from elasticsearch_assets_ray.index.compact import compact_index
+    from elasticsearch_assets_ray.index.deletes import delete_docs
+
+    cfg = IndexConfig(partition_target_docs=50, shard_target_docs=100)
+    idx = tmp_path / "idx"
+    build_index(small_corpus, idx, cfg)
+    delete_docs(idx, [3, 57, 120])
+    compact_index(idx)
+    good = _json.loads((idx / "stats.json").read_text())
+    # simulate the crash window: archives/segments on disk are compacted
+    # but the stats refresh never happened (stats still pre-delete)
+    stale = dict(good)
+    stale["num_docs"] = good["num_docs"] + 3
+    stale["total_tokens"] = good["total_tokens"] + 999
+    (idx / "stats.json").write_text(_json.dumps(stale))
+    delete_docs(idx, [250])  # a fresh tombstone so the next run has work
+    compact_index(idx)
+    healed = _json.loads((idx / "stats.json").read_text())
+    assert healed["num_docs"] == good["num_docs"] - 1
+    # an incremental subtraction from the stale file would have left the
+    # phantom +3 docs / +999 tokens in place
+    assert healed["total_tokens"] < good["total_tokens"]
 
 
 def test_modified_file_triggers_full_rebuild(small_corpus, tmp_path):
