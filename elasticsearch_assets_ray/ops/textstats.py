@@ -18,6 +18,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..analysis.tokenizer import _STOPWORDS, simple_tokens
 
@@ -62,13 +63,81 @@ class TextStats:
     canonical "document fingerprint" for fuzzy-dedup bucketing), quality
     (composite score; op order pinned so the SQL oracle is bit-identical
     — small-rational inputs make ROUNDED comparison unsafe, exact safe).
-    """
+
+    Vectorized: ONE Arrow-kernel tokenize per batch
+    (``tokenize_codes_arrow`` — the index build's RE2 split +
+    dictionary-encode + integer-gather path); stopword/digit flags are
+    memoized once per DISTINCT term and counted with ``bincount``;
+    distinct tokens come from one composite-key ``np.unique``.  The only
+    remaining per-doc Python is the fingerprint md5 over each doc's
+    (already-sorted) distinct-term slice.  Values are identical to the
+    per-doc ``clipped_tokens`` formulation (``python_reference``,
+    parity-tested) — the DuckDB oracle pin is the external guarantee."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
+        self._flag_cache: dict[str, tuple[bool, bool]] = {}
+
+    def _term_flags(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        sw = np.empty(len(terms), dtype=bool)
+        dg = np.empty(len(terms), dtype=bool)
+        cache = self._flag_cache
+        for i, t in enumerate(terms):
+            f = cache.get(t)
+            if f is None:
+                f = cache[t] = (t in _STOPWORDS, bool(_DIGITS_RE.match(t)))
+            sw[i], dg[i] = f
+        return sw, dg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..index.build import tokenize_codes_arrow
+
+        n = batch.num_rows
+        terms, codes, doc_rel, dls = tokenize_codes_arrow(
+            batch.column(self.text_col), "simple", 1, 64, {}
+        )
+        tc = np.asarray(dls, dtype=np.int64)
+        nt = len(terms)
+        if len(codes):
+            sw_mask, dg_mask = self._term_flags(terms)
+            sw = np.bincount(doc_rel[sw_mask[codes]], minlength=n).astype(np.int64)
+            dg = np.bincount(doc_rel[dg_mask[codes]], minlength=n).astype(np.int64)
+            # distinct (doc, term) pairs; terms are lexicographically
+            # sorted, so within a doc the codes slice IS the sorted
+            # distinct-token set the fingerprint hashes
+            uniq = np.unique(doc_rel * np.int64(nt) + codes)
+            ud = (uniq // nt).astype(np.int64)
+            uc = (uniq % nt).astype(np.int64)
+            dt = np.bincount(ud, minlength=n).astype(np.int64)
+        else:
+            sw = np.zeros(n, dtype=np.int64)
+            dg = np.zeros(n, dtype=np.int64)
+            ud = np.empty(0, np.int64)
+            uc = np.empty(0, np.int64)
+            dt = np.zeros(n, dtype=np.int64)
+        term_arr = np.asarray(terms, dtype=object)
+        bounds = np.searchsorted(ud, np.arange(n + 1, dtype=np.int64))
+        fps = [
+            hashlib.md5(" ".join(term_arr[uc[lo:hi]]).encode()).hexdigest()
+            for lo, hi in zip(bounds[:-1].tolist(), bounds[1:].tolist())
+        ]
+        q = quality_score(tc, dg, sw)
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "token_count": pa.array(tc),
+                "distinct_tokens": pa.array(dt),
+                "stopword_count": pa.array(sw),
+                "digit_tokens": pa.array(dg),
+                "fingerprint": pa.array(fps, pa.string()),
+                "quality": pa.array(q),
+            }
+        )
+
+    def python_reference(self, batch: pa.Table) -> pa.Table:
+        """The original per-doc formulation — kept as the parity oracle
+        for the vectorized ``__call__`` (tested equal)."""
         texts = batch.column(self.text_col).to_pylist()
         n = len(texts)
         tc = np.zeros(n, dtype=np.int64)
@@ -111,8 +180,12 @@ class LangID:
         self.text_col = text_col
         self.id_col = id_col
         self.lang_col = lang_col
+        self._langs = sorted(LANG_STOPWORDS)
+        self._flag_cache: dict[str, np.ndarray] = {}
 
     def predict(self, text: str) -> str:
+        """Per-doc reference formulation (parity oracle for the
+        vectorized ``__call__``; tested equal)."""
         if _CJK_RE.search(text):
             return "zh"
         toks = simple_tokens(text)
@@ -123,13 +196,51 @@ class LangID:
                 best_lang, best_hits = lang, hits
         return best_lang
 
+    def _term_lang_flags(self, terms: list[str]) -> np.ndarray:
+        out = np.empty((len(terms), len(self._langs)), dtype=bool)
+        cache = self._flag_cache
+        for i, t in enumerate(terms):
+            f = cache.get(t)
+            if f is None:
+                f = cache[t] = np.fromiter(
+                    (t in LANG_STOPWORDS[lg] for lg in self._langs),
+                    dtype=bool, count=len(self._langs),
+                )
+            out[i] = f
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        preds = [self.predict(t) for t in texts]
+        """Vectorized: one Arrow tokenize per batch, per-DISTINCT-term
+        stopword-set membership flags (memoized), per-language occurrence
+        counts via ``bincount``, arg-max in sorted-language order (first
+        max wins = the reference's strict-``>`` scan).  Stopwords are all
+        shorter than the 64-char clip, so the clipped kernel counts the
+        same hits as unclipped ``simple_tokens``."""
+        from ..index.build import tokenize_codes_arrow
+
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = batch.num_rows
+        cjk = pc.match_substring_regex(text, _CJK_RE.pattern).to_numpy(
+            zero_copy_only=False
+        )
+        terms, codes, doc_rel, _ = tokenize_codes_arrow(text, "simple", 1, 64, {})
+        hits = np.zeros((n, len(self._langs)), dtype=np.int64)
+        if len(codes):
+            masks = self._term_lang_flags(terms)
+            for j in range(len(self._langs)):
+                sel = masks[codes, j]
+                if sel.any():
+                    hits[:, j] = np.bincount(doc_rel[sel], minlength=n)
+        best = np.argmax(hits, axis=1)
+        preds = np.asarray(self._langs, dtype=object)[best]
+        preds[hits.max(axis=1) == 0] = "en"
+        preds[cjk.astype(bool)] = "zh"
         cols = {"doc_id": batch.column(self.id_col)}
         if self.lang_col and self.lang_col in batch.column_names:
             cols["lang"] = batch.column(self.lang_col)
-        cols["pred_lang"] = pa.array(preds, pa.string())
+        cols["pred_lang"] = pa.array(preds.tolist(), pa.string())
         return pa.table(cols)
 
 
@@ -158,6 +269,24 @@ class BPETokenCount:
         self._bpe = re.compile(BPE_ISH_PATTERN)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # the pattern is RE2/re-identical by construction (see above), so
+        # Arrow's count_substring_regex counts the exact findall segments
+        # without materializing a Python str per doc (parity-tested)
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ws = pc.count_substring_regex(text, _WS_TOKEN_RE.pattern)
+        bpe = pc.count_substring_regex(text, BPE_ISH_PATTERN)
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "ws_tokens": pc.cast(ws, pa.int64()),
+                "bpe_tokens": pc.cast(bpe, pa.int64()),
+            }
+        )
+
+    def python_reference(self, batch: pa.Table) -> pa.Table:
+        """Per-doc ``re.findall`` formulation (parity oracle; tested)."""
         texts = batch.column(self.text_col).to_pylist()
         ws = np.fromiter(
             (len(_WS_TOKEN_RE.findall(t)) for t in texts),
@@ -177,10 +306,13 @@ class BPETokenCount:
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Cheap whitespace+regex token counting, appended as a column."""
-    counts = np.fromiter(
-        (len(clipped_tokens(t)) for t in batch.column(text_col).to_pylist()),
-        dtype=np.int64,
-        count=batch.num_rows,
+    """Contract-tokenization token count, appended as a column (one
+    Arrow-kernel tokenize; identical to ``len(clipped_tokens(t))``)."""
+    from ..index.build import tokenize_codes_arrow
+
+    _, _, _, dls = tokenize_codes_arrow(
+        batch.column(text_col), "simple", 1, 64, {}
     )
-    return batch.append_column("token_count", pa.array(counts))
+    return batch.append_column(
+        "token_count", pa.array(np.asarray(dls, dtype=np.int64))
+    )

@@ -112,47 +112,72 @@ def q_term_stats(sf_dir: str) -> pa.Table:
     """Distributed df/cf aggregation → top-100 terms (the global term
     dictionary the reference outsources to ES, SURVEY.md §2.6)."""
 
-    def partial(batch: pa.Table) -> pa.Table:
-        # factorize + bincount inversion (the index build's vectorized
-        # kernel, index/build.py) instead of per-token Python dicts
-        import pandas as pd
+    from ..index.global_merge import _term_buckets_vec
 
-        doc_lists = [
-            ts_ops.clipped_tokens(t) for t in batch.column("text").to_pylist()
-        ]
-        flat = [t for toks in doc_lists for t in toks]
-        if not flat:
+    def partial(batch: pa.Table) -> pa.Table:
+        # ONE Arrow-kernel tokenize per batch (the index build's RE2
+        # split + dictionary-encode + integer-gather path) — no per-doc
+        # Python tokenization; df from a composite-key np.unique
+        from ..index.build import tokenize_codes_arrow
+
+        terms, codes, doc_rel, _ = tokenize_codes_arrow(
+            batch.column("text"), "simple", 1, 64, {}
+        )
+        nt = len(terms)
+        if nt == 0:
             return pa.table(
                 {
                     "term": pa.array([], pa.string()),
                     "df": pa.array([], pa.int64()),
                     "cf": pa.array([], pa.int64()),
+                    "tb": pa.array([], pa.int32()),
                 }
             )
-        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=True)
-        n_terms = len(uniques)
-        cf = np.bincount(codes, minlength=n_terms).astype(np.int64)
-        doc_idx = np.repeat(
-            np.arange(len(doc_lists), dtype=np.int64),
-            [len(t) for t in doc_lists],
-        )
-        uniq_pairs = np.unique(doc_idx * n_terms + codes)
+        cf = np.bincount(codes, minlength=nt).astype(np.int64)
+        uniq_pairs = np.unique(doc_rel * np.int64(nt) + codes)
         df = np.bincount(
-            (uniq_pairs % n_terms).astype(np.int64), minlength=n_terms
+            (uniq_pairs % nt).astype(np.int64), minlength=nt
         ).astype(np.int64)
+        term_arr = pa.array(terms, pa.string())
         return pa.table(
             {
-                "term": pa.array(uniques, pa.string()),
+                "term": term_arr,
                 "df": pa.array(df),
                 "cf": pa.array(cf),
+                "tb": pa.array(_term_buckets_vec(term_arr, 64), pa.int32()),
             }
         )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        # sum partials per term inside one of 64 fixed hash buckets, then
+        # keep only the bucket's top-100 — exact (buckets partition the
+        # term space, so the global top-100 survives the per-bucket cut)
+        # without a vocabulary-cardinality groupby or a vocab-sized
+        # driver materialization
+        enc = g.column("term").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy()
+        nd = len(enc.dictionary)
+        df = np.bincount(
+            codes, weights=g.column("df").to_numpy(), minlength=nd
+        ).astype(np.int64)
+        cf = np.bincount(
+            codes, weights=g.column("cf").to_numpy(), minlength=nd
+        ).astype(np.int64)
+        t = pa.table(
+            {"term": enc.dictionary, "df": pa.array(df), "cf": pa.array(cf)}
+        )
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("df", "descending"), ("cf", "descending"),
+                       ("term", "ascending")],
+        )
+        return t.take(order[:100])
 
     agg = to_arrow(
         _docs(sf_dir)
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+        .groupby("tb")
+        .map_groups(reduce_bucket, batch_format="pyarrow", zero_copy_batch=True)
     )
     order = pc.sort_indices(
         agg,
@@ -162,8 +187,8 @@ def q_term_stats(sf_dir: str) -> pa.Table:
     return pa.table(
         {
             "term": out.column("term"),
-            "df": pc.cast(out.column("df"), pa.int64()),
-            "cf": pc.cast(out.column("cf"), pa.int64()),
+            "df": out.column("df"),
+            "cf": out.column("cf"),
         }
     )
 

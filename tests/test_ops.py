@@ -298,6 +298,59 @@ def test_lang_id():
     assert lid.predict("这是一个中文句子") == "zh"
 
 
+_PARITY_TEXTS = [
+    "The cat and the hat 42",
+    "",
+    "der hund ist nicht zu haus und die katze der der",
+    "le chat est dans la maison avec les souris",
+    "这是一个中文句子 with latin",
+    "no stopwords here zqx vvk 123 456 123",
+    "x" * 70 + " tiny doc " + "x" * 70,  # >64-char tokens clipped out
+    "Hello world, it's a TEST! Mixed_Case-and-dashes  \t\n spaced",
+    "a a a a b b c 1 2 3",
+]
+
+
+def test_text_stats_vectorized_matches_python_reference():
+    """The Arrow-kernel TextStats path is value-identical (fingerprint
+    md5 included) to the per-doc clipped_tokens formulation."""
+    st = ts.TextStats()
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(_PARITY_TEXTS)), pa.int64()),
+         "text": pa.array(_PARITY_TEXTS, pa.string())}
+    )
+    assert st(batch).equals(st.python_reference(batch))
+
+
+def test_lang_id_vectorized_matches_predict():
+    lid = ts.LangID(lang_col=None)
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(_PARITY_TEXTS)), pa.int64()),
+         "text": pa.array(_PARITY_TEXTS, pa.string())}
+    )
+    got = lid(batch).column("pred_lang").to_pylist()
+    assert got == [lid.predict(t) for t in _PARITY_TEXTS]
+
+
+def test_bpe_vectorized_matches_python_reference():
+    bt = ts.BPETokenCount()
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(_PARITY_TEXTS)), pa.int64()),
+         "text": pa.array(_PARITY_TEXTS, pa.string())}
+    )
+    assert bt(batch).equals(bt.python_reference(batch))
+
+
+def test_token_count_batch_matches_clipped_tokens():
+    from elasticsearch_assets_ray.ops.textstats import (
+        clipped_tokens, token_count_batch,
+    )
+
+    batch = pa.table({"text": pa.array(_PARITY_TEXTS, pa.string())})
+    got = token_count_batch(batch).column("token_count").to_pylist()
+    assert got == [len(clipped_tokens(t)) for t in _PARITY_TEXTS]
+
+
 # ----------------------------------------------------------------- routing
 
 
