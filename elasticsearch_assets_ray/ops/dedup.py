@@ -441,6 +441,25 @@ def jaccard_pairs(
 # ------------------------------------------------------------ minhash/LSH
 
 
+def _sigs_reduceat(a: np.ndarray, b: np.ndarray, flat: np.ndarray,
+                   starts: np.ndarray, chunk: int = 8) -> np.ndarray:
+    """Per-doc MinHash signatures: min over each doc's shingle segment of
+    the universal hashes ``a*h + b`` (uint64 wraparound) →
+    (n_docs, num_perm).
+
+    Computed ``chunk`` permutations at a time so the intermediate
+    (chunk × n_shingles) product stays cache-resident — the full
+    (num_perm × n_shingles) matrix round-trips DRAM and measures ~4×
+    slower at typical batch shapes."""
+    num_perm = len(a)
+    out = np.empty((len(starts), num_perm), np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(0, num_perm, chunk):
+            vals = a[i:i + chunk, None] * flat[None, :] + b[i:i + chunk, None]
+            out[:, i:i + chunk] = np.minimum.reduceat(vals, starts, axis=1).T
+    return out
+
+
 class MinHashBands:
     """Doc → (band_key, doc_id) rows.  Permutations are universal hashes
     ``a*h + b`` over uint64 wraparound, seeded deterministically."""
@@ -475,40 +494,99 @@ class MinHashBands:
         if len(flat) == 0:
             return pos, np.empty((0, self.num_perm), np.uint64)
         starts = np.concatenate([[0], np.cumsum(counts[pos])[:-1]])
-        vals = (self.a[:, None] * flat[None, :] + self.b[:, None]) & _MASK64
-        sigs = np.minimum.reduceat(vals, starts, axis=1).T  # (n_kept, num_perm)
+        sigs = _sigs_reduceat(self.a, self.b, flat, starts)  # (n_kept, num_perm)
         return pos, sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        r = self.num_perm // self.bands
         ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
         if not hasattr(self, "_cache"):
             self._cache: dict = {}
         pos, sigs = self.signatures_batch(
             batch.column(self.text_col), self._cache
         )
-        # band keys: vectorized polynomial mix over each band's r values,
-        # salted by band index.  ANY deterministic function of the band
-        # slice works: equal band vectors always collide (recall is
-        # unaffected), unequal ones that spuriously collide only add
-        # candidates that exact verification removes.  This replaces one
-        # md5 call per (doc, band) — the stage's former hot spot.
-        bv = sigs.reshape(len(pos), self.bands, r)
-        with np.errstate(over="ignore"):
-            acc = np.full((len(pos), self.bands), np.uint64(0x9E3779B97F4A7C15))
-            for j in range(r):
-                acc = acc * _SHINGLE_A + bv[:, :, j]
-            acc ^= np.arange(1, self.bands + 1, dtype=np.uint64)[None, :] * np.uint64(
-                0xFF51AFD7ED558CCD
-            )
-            # avalanche so low bits (the bucket key) mix the whole value
-            acc ^= acc >> np.uint64(33)
-            acc = acc * np.uint64(0xC4CEB9FE1A85EC53)
-            acc ^= acc >> np.uint64(29)
+        acc = _band_keys(sigs, self.bands)
         return pa.table(
             {
                 "band_key": pa.array(acc.reshape(-1), pa.uint64()),
                 "doc_id": pa.array(np.repeat(ids[pos], self.bands), pa.int64()),
+            }
+        )
+
+
+def _band_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, num_perm) signatures → (n_docs, bands) uint64 band keys:
+    a vectorized polynomial mix over each band's r values, salted by band
+    index.  ANY deterministic function of the band slice works: equal
+    band vectors always collide (recall is unaffected), unequal ones that
+    spuriously collide only add candidates that exact verification
+    removes.  This replaces one md5 call per (doc, band) — formerly the
+    signature stage's hot spot."""
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    bv = sigs.reshape(n, bands, r)
+    with np.errstate(over="ignore"):
+        acc = np.full((n, bands), np.uint64(0x9E3779B97F4A7C15))
+        for j in range(r):
+            acc = acc * _SHINGLE_A + bv[:, :, j]
+        acc ^= np.arange(1, bands + 1, dtype=np.uint64)[None, :] * np.uint64(
+            0xFF51AFD7ED558CCD
+        )
+        # avalanche so low bits (the bucket key) mix the whole value
+        acc ^= acc >> np.uint64(33)
+        acc = acc * np.uint64(0xC4CEB9FE1A85EC53)
+        acc ^= acc >> np.uint64(29)
+    return acc
+
+
+class MinHashSpill:
+    """The ONE tokenize pass of the spill-based MinHash pipeline: per doc
+    emit ``(doc_id, sig list<uint64>, shingles list<uint64>)``.
+
+    The output is written to partitioned parquet once and consumed three
+    times with column pruning — band keys + candidates from ``sig``,
+    signature pre-filter from ``sig``, exact verification from
+    ``shingles`` — so no stage ever re-tokenizes the corpus (the former
+    verify path re-tokenized every candidate doc; at 1M docs that made
+    verification ~2/3 of a 182 s run).  Docs with fewer than ``n`` tokens
+    emit empty lists and drop out of every downstream stage naturally."""
+
+    def __init__(self, mh: "MinHashBands"):
+        self.mh = mh
+        self._cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mh = self.mh
+        ids = np.asarray(
+            batch.column(mh.id_col).to_pylist(), dtype=np.int64
+        )
+        text = batch.column(mh.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        d, flat, n_docs = batch_shingle_hashes(text, mh.n, self._cache)
+        counts = np.bincount(d, minlength=n_docs).astype(np.int64)
+        sh_offs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=sh_offs[1:])
+        shingles = pa.ListArray.from_arrays(
+            pa.array(sh_offs, pa.int32()), pa.array(flat, pa.uint64())
+        )
+        pos = np.nonzero(counts > 0)[0]
+        if len(pos):
+            sigs = _sigs_reduceat(mh.a, mh.b, flat, sh_offs[pos])
+        else:
+            sigs = np.empty((0, mh.num_perm), np.uint64)
+        sig_counts = np.zeros(n_docs, dtype=np.int64)
+        sig_counts[pos] = mh.num_perm
+        sig_offs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(sig_counts, out=sig_offs[1:])
+        sig_arr = pa.ListArray.from_arrays(
+            pa.array(sig_offs, pa.int32()),
+            pa.array(sigs.reshape(-1), pa.uint64()),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sig": sig_arr,
+                "shingles": shingles,
             }
         )
 
@@ -622,6 +700,186 @@ def verify_pairs_jaccard(ds, cand_pairs: np.ndarray, text_col: str = "text",
     )
 
 
+def _jaccard_reduce_bucket(threshold: float):
+    """Shared in-bucket reducer for pair-keyed (pair, shingle) rows: one
+    lexsort; duplicate (pair, shingle) adjacency == shingle present in
+    BOTH docs (each doc's shingles are distinct)."""
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pair = g.column("pair").to_numpy()
+        sh = g.column("shingle").to_numpy()
+        order = np.lexsort((sh, pair))
+        p, s = pair[order], sh[order]
+        uniq, total = np.unique(p, return_counts=True)
+        dup = (p[1:] == p[:-1]) & (s[1:] == s[:-1])
+        common = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(common, np.searchsorted(uniq, p[1:][dup]), 1)
+        jacc = common / (total - common)
+        keep = jacc >= threshold
+        up = uniq[keep]
+        return pa.table(
+            {
+                "doc_a": pa.array((up >> np.int64(32)).astype(np.int64), pa.int64()),
+                "doc_b": pa.array((up & np.int64(0xFFFFFFFF)).astype(np.int64), pa.int64()),
+                "jacc": pa.array(jacc[keep], pa.float64()),
+            }
+        )
+
+    return reduce_bucket
+
+
+class _SpillPairRows:
+    """Candidate docs' spilled shingle lists → (pair, shingle) rows, all
+    vectorized: the per-(doc, pair) row blocks are built with grouped
+    repeat/gather index arithmetic — no per-doc Python emission loops,
+    and no tokenization (the shingles were spilled by the one shared
+    tokenize pass)."""
+
+    def __init__(self, doc_pairs_ref):
+        self.doc_pairs_ref = doc_pairs_ref
+        self._map = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._map is None:
+            self._map = ray.get(self.doc_pairs_ref)
+        mp = self._map
+        ids = batch.column("doc_id").to_numpy()
+        arr = batch.column("shingles").combine_chunks()
+        offs = arr.offsets.to_numpy().astype(np.int64)
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        sel = [i for i, d in enumerate(ids.tolist()) if int(d) in mp]
+        if not sel:
+            return pa.table(
+                {"pair": pa.array([], pa.int64()),
+                 "shingle": pa.array([], pa.uint64())}
+            )
+        sel = np.asarray(sel, dtype=np.int64)
+        pair_lists = [mp[int(ids[i])] for i in sel.tolist()]
+        n_pairs = np.fromiter((len(p) for p in pair_lists), np.int64, len(sel))
+        all_pairs = np.concatenate(pair_lists)
+        sz = offs[sel + 1] - offs[sel]
+        # block per (doc, pair): start = doc's shingle offset, len = sz
+        block_starts = np.repeat(offs[sel], n_pairs)
+        block_lens = np.repeat(sz, n_pairs)
+        total = int(block_lens.sum())
+        if total == 0:
+            return pa.table(
+                {"pair": pa.array([], pa.int64()),
+                 "shingle": pa.array([], pa.uint64())}
+            )
+        cum = np.cumsum(block_lens)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            cum - block_lens, block_lens
+        )
+        idx = np.repeat(block_starts, block_lens) + intra
+        out_pair = np.repeat(all_pairs, block_lens)
+        return pa.table(
+            {
+                "pair": pa.array(out_pair, pa.int64()),
+                "shingle": pa.array(vals[idx], pa.uint64()),
+            }
+        )
+
+
+def verify_pairs_jaccard_spill(spill_ds, cand_pairs: np.ndarray,
+                               threshold: float = 0.4):
+    """Exact-Jaccard verification of candidate pairs from SPILLED shingle
+    rows → Dataset(doc_a, doc_b, jacc).  Semantics identical to
+    :func:`verify_pairs_jaccard` (tested pair-identical) but reads the
+    one-pass spill instead of re-tokenizing candidate docs, and emits
+    pair rows with vectorized index arithmetic."""
+    doc_pairs_ref = ray.put(doc_pairs_map(cand_pairs))
+    rows = spill_ds.map_batches(
+        _SpillPairRows(doc_pairs_ref), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        rows.map_batches(_add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(
+            _jaccard_reduce_bucket(threshold),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+
+
+def prefilter_pairs_sig(spill_ds, cand_pairs: np.ndarray, num_perm: int,
+                        est_cut: float) -> np.ndarray:
+    """Signature-agreement pre-filter: estimated Jaccard of each
+    candidate pair = fraction of agreeing MinHash components — free
+    (signatures already exist in the spill) and unbiased with std
+    ``sqrt(J(1-J)/num_perm)``.  Pairs with estimate < ``est_cut`` are
+    dropped BEFORE the exact shingle exchange, cutting verification
+    volume; with the default 4σ margin below the threshold the survivor
+    set is (overwhelmingly) a superset of the true-positive set, and the
+    exact verify that follows keeps the output exact-thresholded."""
+    doc_pairs_ref = ray.put(doc_pairs_map(cand_pairs))
+
+    def emit_sig_rows(batch: pa.Table) -> pa.Table:
+        mp = ray.get(doc_pairs_ref)
+        ids = batch.column("doc_id").to_numpy()
+        arr = batch.column("sig").combine_chunks()
+        offs = arr.offsets.to_numpy().astype(np.int64)
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        sel = [i for i, d in enumerate(ids.tolist())
+               if int(d) in mp and offs[i + 1] > offs[i]]
+        if not sel:
+            return pa.table(
+                {"pair": pa.array([], pa.int64()),
+                 "slot": pa.array([], pa.int32()),
+                 "val": pa.array([], pa.uint64())}
+            )
+        sel = np.asarray(sel, dtype=np.int64)
+        pair_lists = [mp[int(ids[i])] for i in sel.tolist()]
+        n_pairs = np.fromiter((len(p) for p in pair_lists), np.int64, len(sel))
+        all_pairs = np.concatenate(pair_lists)
+        # per (doc, pair) block: the doc's full signature (num_perm rows)
+        out_pair = np.repeat(all_pairs, num_perm)
+        block_starts = np.repeat(offs[sel], n_pairs)
+        idx = (
+            np.repeat(block_starts, num_perm)
+            + np.tile(np.arange(num_perm, dtype=np.int64), len(all_pairs))
+        )
+        slots = np.tile(
+            np.arange(num_perm, dtype=np.int32), len(all_pairs)
+        )
+        return pa.table(
+            {
+                "pair": pa.array(out_pair, pa.int64()),
+                "slot": pa.array(slots, pa.int32()),
+                "val": pa.array(vals[idx], pa.uint64()),
+            }
+        )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pair = g.column("pair").to_numpy()
+        slot = g.column("slot").to_numpy()
+        val = g.column("val").to_numpy()
+        order = np.lexsort((val, slot, pair))
+        p, s, v = pair[order], slot[order], val[order]
+        uniq = np.unique(p)
+        # both docs of a pair emit every slot → each (pair, slot) run has
+        # exactly 2 rows; agreement = duplicate (pair, slot, val) adjacency
+        agree_adj = (p[1:] == p[:-1]) & (s[1:] == s[:-1]) & (v[1:] == v[:-1])
+        agree = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(agree, np.searchsorted(uniq, p[1:][agree_adj]), 1)
+        est = agree / float(num_perm)
+        keep = est >= est_cut
+        return pa.table({"pair": pa.array(uniq[keep], pa.int64())})
+
+    rows = spill_ds.map_batches(
+        emit_sig_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = to_arrow(
+        rows.map_batches(_add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if out.num_rows == 0 or "pair" not in out.column_names:
+        return np.empty(0, dtype=np.int64)
+    return out.column("pair").to_numpy()
+
+
 def minhash_lsh_pairs(
     ds,
     text_col: str = "text",
@@ -631,13 +889,24 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = 0.4,
     max_band_group: int | None = None,
+    spill_dir: str | None = None,
+    prefilter_sigma: float = 4.0,
 ):
     """MinHash+LSH candidate pairs, exact-Jaccard verified →
     pa.Table(doc_a, doc_b, jacc).
 
-    Verification is a candidate-keyed shuffle join over re-emitted
-    shingle rows (:func:`verify_pairs_jaccard`) — no per-doc shingle-set
-    dict ever materializes on the driver.
+    One shared tokenize pass spills ``(doc_id, sig, shingles)`` to
+    partitioned parquet (:class:`MinHashSpill`); band keys + candidates,
+    the signature pre-filter, and exact verification all read the spill
+    with column pruning — the corpus text is tokenized exactly once.
+    Candidates are pre-filtered by MinHash-estimated Jaccard
+    (:func:`prefilter_pairs_sig`) at ``threshold − prefilter_sigma·σ``
+    (σ = sqrt(t(1−t)/num_perm); ``prefilter_sigma=None`` disables) before
+    the exact shingle exchange.  No per-doc shingle-set dict ever
+    materializes on the driver.
+
+    ``spill_dir``: where the one-pass spill lands (a shared URI on a real
+    cluster); default a fresh /tmp directory, removed on return.
 
     ``max_band_group`` is the scale valve (the jaccard ``max_shingle_df``
     analogue): a band bucket of B docs emits B·(B−1)/2 candidate pairs,
@@ -645,26 +914,81 @@ def minhash_lsh_pairs(
     without a cap.  Groups above the cap are DROPPED — their members are
     typically exact/near-exact duplicates that ``exact_dedup`` already
     catches; capping is disclosed, not silent."""
-    band_rows = ds.map_batches(
-        MinHashBands(text_col, id_col, n, num_perm, bands),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=512,  # amortizes the per-batch vocab/signature setup
-    )
-    raw_pairs = _bucketed_emit_pairs(band_rows, "band_key", max_band_group)
-    candidates = _bucketed_pair_counts(
-        raw_pairs, lambda pair, _c: pa.table({"pair": pa.array(pair, pa.int64())})
-    )
-    cand = to_arrow(candidates)
-    if cand.num_rows == 0:
-        return _canonical_pairs(pa.table({}), ["doc_a", "doc_b", "jacc"])
-    out = to_arrow(
-        verify_pairs_jaccard(
-            ds, cand.column("pair").to_numpy(), text_col, id_col, n, threshold
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    mh = MinHashBands(text_col, id_col, n, num_perm, bands)
+    owned = spill_dir is None
+    if owned:
+        spill_dir = tempfile.mkdtemp(prefix="minhash_spill_")
+    try:
+        ds.map_batches(
+            MinHashSpill(mh),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=512,  # bounds the (num_perm × shingles) sig matrix
+        ).write_parquet(spill_dir)
+
+        def to_band_rows(batch: pa.Table) -> pa.Table:
+            arr = batch.column("sig").combine_chunks()
+            offs = arr.offsets.to_numpy().astype(np.int64)
+            counts = np.diff(offs)
+            keep = counts == num_perm
+            ids = batch.column("doc_id").to_numpy()[keep]
+            if not len(ids):
+                return pa.table(
+                    {"band_key": pa.array([], pa.uint64()),
+                     "doc_id": pa.array([], pa.int64())}
+                )
+            sigs = (
+                arr.values.to_numpy(zero_copy_only=False)[
+                    np.repeat(offs[:-1][keep], num_perm)
+                    + np.tile(np.arange(num_perm, dtype=np.int64), len(ids))
+                ]
+            ).reshape(len(ids), num_perm)
+            acc = _band_keys(sigs, bands)
+            return pa.table(
+                {
+                    "band_key": pa.array(acc.reshape(-1), pa.uint64()),
+                    "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+                }
+            )
+
+        sig_ds = rd.read_parquet(spill_dir, columns=["doc_id", "sig"])
+        band_rows = sig_ds.map_batches(
+            to_band_rows, batch_format="pyarrow", zero_copy_batch=True
         )
-    )
-    out = _canonical_pairs(out, ["doc_a", "doc_b", "jacc"])
-    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+        raw_pairs = _bucketed_emit_pairs(band_rows, "band_key", max_band_group)
+        candidates = _bucketed_pair_counts(
+            raw_pairs, lambda pair, _c: pa.table({"pair": pa.array(pair, pa.int64())})
+        )
+        cand = to_arrow(candidates)
+        if cand.num_rows == 0:
+            return _canonical_pairs(pa.table({}), ["doc_a", "doc_b", "jacc"])
+        cand_pairs = cand.column("pair").to_numpy()
+        if prefilter_sigma is not None:
+            sigma = float(np.sqrt(threshold * (1.0 - threshold) / num_perm))
+            est_cut = threshold - prefilter_sigma * sigma
+            if est_cut > 0:
+                cand_pairs = prefilter_pairs_sig(
+                    rd.read_parquet(spill_dir, columns=["doc_id", "sig"]),
+                    cand_pairs, num_perm, est_cut,
+                )
+        if len(cand_pairs) == 0:
+            return _canonical_pairs(pa.table({}), ["doc_a", "doc_b", "jacc"])
+        out = to_arrow(
+            verify_pairs_jaccard_spill(
+                rd.read_parquet(spill_dir, columns=["doc_id", "shingles"]),
+                cand_pairs, threshold,
+            )
+        )
+        out = _canonical_pairs(out, ["doc_a", "doc_b", "jacc"])
+        return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    finally:
+        if owned:
+            shutil.rmtree(spill_dir, ignore_errors=True)
 
 
 # --------------------------------------------------------------- simhash

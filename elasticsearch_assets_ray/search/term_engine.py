@@ -14,14 +14,28 @@ frozen at merge), so serving is a pure gather + weighted merge:
     query → analyze (manifest-recorded analyzer + clip)
           → terms grouped by bucket → ONLY those bucket actors fetch
             (term, df, doc_ids, norms) with salt parts un-salted
-          → coordinator: contributions emitted in sorted-term order,
-            stable sort by doc, segmented sum → exact BM25 scores
+          → coordinator: per-term scatter-accumulate into a doc-indexed
+            score buffer, sorted-term order → exact BM25 scores
           → top-k (score desc, doc_id asc; rounded-tie aware)
 
 Score identity: the per-posting norm is the exact float64 expression the
 dense doc-partitioned scorer evaluates, idf uses the same formula, and
-the per-doc accumulation order (sorted terms) matches — rank AND score
-identical to ``BM25Oracle`` (tested).
+the accumulation is the SAME sequential per-term ``scores[ids] += c`` (in
+sorted-term order) as the oracle and the doc engine's dense kernel — rank
+AND score bit-identical to ``BM25Oracle`` (tested).  (Only the
+sort+reduceat fallback for corpora beyond ``DENSE_SCATTER_MAX_DOCS``
+differs, by one ulp of summation associativity.)
+
+Skip path (``method="wand"``/``"auto"``): per-term per-block max-norms
+are computed once at actor LOAD time (``max.reduceat`` over the sorted
+norm arrays — no layout change, every merged index gets the skip) and
+shipped with the gather; the coordinator runs the same window-partitioned
+block-max OR as the doc engine's ``wand_topk``: window bounds are the
+union of the terms' block last-doc-ids, windows are processed in
+descending upper-bound order (``Σ_t idf_t · block_max_norm``), and once
+the running kth-best meets the next bound the rest are skipped.  Exact:
+rank+score identical to the dense gather (tested), including the
+rounded-tie guard.
 
 Partitioning assumption (custom-operator contract): a hot term's salt
 parts all live in ITS bucket — fetching a term is one actor call; the
@@ -41,7 +55,17 @@ import pyarrow.dataset as pds
 import ray
 
 from ..analysis.tokenizer import clip_tokens, get_analyzer
-from ..index.codec import decode_postings
+from ..index.codec import decode_postings_many
+
+# auto method heuristic — same calibration as the doc engine
+# (search/engine.py): the vectorized dense merge has a ~1 ms floor per 1M
+# gathered postings; window skipping only wins when the query's posting
+# mass is a tiny fraction of the corpus
+WAND_AUTO_MIN_DOCS = 50_000
+WAND_AUTO_MAX_DENSITY = 0.001
+
+
+_ABSENT = ("__absent__",)  # negative-cache sentinel for unknown terms
 
 
 def _load_meta(global_dir: str | Path) -> dict:
@@ -56,15 +80,27 @@ def _load_meta(global_dir: str | Path) -> dict:
 
 class _BucketCore:
     """Holds a set of term-hash buckets in memory: term → un-salted
-    (doc_ids, norms, df)."""
+    (doc_ids, norms, df, block_last_doc, block_max_norm).
+
+    Loading is vectorized: one (term, salt) sort per bucket table, one
+    batch postings decode, one bucket-wide ``lexsort`` that orders every
+    term's postings by doc id in a single pass, then per-term array
+    slices.  (The former per-row ``.as_py()`` loop was the actor-init hot
+    spot — a bucket at scale holds millions of term rows.)"""
+
+    BLOCK = 128  # norms-block granularity for the block-max skip path
 
     def __init__(self, global_dir: str, bucket_ids: list[int]):
-        self.terms: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+        self.terms: dict[str, tuple[np.ndarray, np.ndarray, int,
+                                    np.ndarray, np.ndarray]] = {}
         meta = _load_meta(global_dir)
         if not meta.get("store_norms"):
             raise ValueError(
                 "term-partitioned serving needs store_norms=True at merge time"
             )
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         for b in bucket_ids:
             d = Path(global_dir) / f"bucket={b}"
             if not d.exists():
@@ -72,32 +108,58 @@ class _BucketCore:
             tbl = pds.dataset(str(d)).to_table(
                 columns=["term", "salt", "postings", "norms", "df"]
             )
-            by_term: dict[str, list[tuple[int, bytes, bytes, int]]] = {}
-            for i in range(tbl.num_rows):
-                t = tbl.column("term")[i].as_py()
-                by_term.setdefault(t, []).append(
-                    (
-                        tbl.column("salt")[i].as_py(),
-                        tbl.column("postings")[i].as_py(),
-                        tbl.column("norms")[i].as_py(),
-                        tbl.column("df")[i].as_py(),
-                    )
+            if tbl.num_rows == 0:
+                continue
+            order = pc.sort_indices(
+                tbl, sort_keys=[("term", "ascending"), ("salt", "ascending")]
+            )
+            tbl = tbl.take(order)
+            enc = tbl.column("term").combine_chunks().dictionary_encode()
+            tcodes = enc.indices.to_numpy()
+            term_names = enc.dictionary.to_pylist()
+            doc_flat, _tf, offs = decode_postings_many(
+                tbl.column("postings").to_pylist()
+            )
+            doc_flat = doc_flat.astype(np.int64)
+            norm_flat = np.frombuffer(
+                b"".join(tbl.column("norms").to_pylist()), dtype="<f8"
+            )
+            dfs = tbl.column("df").to_numpy()
+            counts = np.diff(offs)
+            # row runs per term (rows sorted by term, salt)
+            change = np.concatenate([[True], tcodes[1:] != tcodes[:-1]])
+            run_starts = np.nonzero(change)[0]
+            run_ends = np.concatenate([run_starts[1:], [len(tcodes)]])
+            # ONE bucket-wide sort puts every term's postings in doc order:
+            # key = (term run, doc id)
+            term_of_posting = np.repeat(
+                np.arange(len(run_starts), dtype=np.int64),
+                np.add.reduceat(counts, run_starts),
+            )
+            o = np.lexsort((doc_flat, term_of_posting))
+            doc_flat, norm_flat = doc_flat[o], norm_flat[o]
+            post_offs = np.concatenate(
+                [offs[run_starts], [offs[-1]]]
+            ).astype(np.int64)
+            for ri in range(len(run_starts)):
+                lo, hi = post_offs[ri], post_offs[ri + 1]
+                ids = doc_flat[lo:hi]
+                norms = norm_flat[lo:hi]
+                df = int(dfs[run_starts[ri]:run_ends[ri]].sum())
+                nb = (len(ids) + self.BLOCK - 1) // self.BLOCK
+                bstarts = np.arange(nb, dtype=np.int64) * self.BLOCK
+                block_last = ids[np.minimum(bstarts + self.BLOCK - 1,
+                                            len(ids) - 1)]
+                block_max = np.maximum.reduceat(norms, bstarts) if nb else (
+                    np.empty(0, np.float64)
                 )
-            for t, parts in by_term.items():
-                parts.sort(key=lambda p: p[0])
-                ids_parts, norm_parts, df = [], [], 0
-                for _, blob, nblob, pdf in parts:
-                    d_ids, _tfs = decode_postings(blob)
-                    ids_parts.append(d_ids)
-                    norm_parts.append(np.frombuffer(nblob, dtype="<f8"))
-                    df += pdf
-                ids = np.concatenate(ids_parts)
-                norms = np.concatenate(norm_parts)
-                order = np.argsort(ids, kind="stable")
-                self.terms[t] = (ids[order].astype(np.int64), norms[order], df)
+                self.terms[term_names[tcodes[run_starts[ri]]]] = (
+                    ids, norms, df, block_last, block_max,
+                )
 
     def fetch(self, terms: list[str]):
-        """→ {term: (doc_ids, norms, df)} for the terms this core owns."""
+        """→ {term: (doc_ids, norms, df, block_last, block_max)} for the
+        terms this core owns."""
         return {t: self.terms[t] for t in terms if t in self.terms}
 
 
@@ -107,16 +169,23 @@ class TermBucketActor(_BucketCore):
 
 
 class TermPartitionedEngine:
-    """Distributed BM25 top-k over the term-partitioned layout."""
+    """Distributed BM25 top-k over the term-partitioned layout.
+
+    ``method``: ``"dense"`` always merges every gathered posting;
+    ``"wand"`` always runs the window-partitioned block-max skip;
+    ``"auto"`` (default) picks per query, like the doc engine."""
 
     def __init__(self, global_dir: str | Path, num_actors: int = 4,
-                 round_decimals: int | None = None):
+                 round_decimals: int | None = None, method: str = "auto"):
         self.global_dir = str(global_dir)
         self.meta = _load_meta(global_dir)
         if not self.meta.get("store_norms"):
             raise ValueError(
                 "term-partitioned serving needs store_norms=True at merge time"
             )
+        if method not in ("dense", "wand", "auto"):
+            raise ValueError(f"unknown method {method!r}")
+        self.method = method
         self.n = int(self.meta["num_docs"])
         self.round_decimals = round_decimals
         n_buckets = int(self.meta["n_buckets"])
@@ -140,43 +209,72 @@ class TermPartitionedEngine:
     def _analyze(self, query: str) -> list[str]:
         return sorted(set(clip_tokens(self._analyzer(query), *self._clip)))
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    # coordinator-side bounded term cache: hot terms repeat across
+    # queries, and their (ids, norms) arrays are the expensive part of the
+    # gather (a 740k-posting term ships ~12 MB per fetch).  FIFO-evicted
+    # by total cached postings.
+    CACHE_MAX_POSTINGS = 8_000_000
+
+    def fetch_terms(self, terms: list[str]) -> dict:
+        """Gather term postings with ONE call per owning actor (terms from
+        any number of queries can share the round trip); repeat terms hit
+        the coordinator cache instead of the wire."""
         from ..index.global_merge import _term_bucket
 
-        terms = self._analyze(query)
-        if not terms:
-            return []
-        by_actor: dict[int, list[str]] = {}
+        if not hasattr(self, "_term_cache"):
+            self._term_cache: dict[str, tuple] = {}
+            self._cache_postings = 0
+        fetched: dict[str, tuple] = {}
+        missing: list[str] = []
         for t in terms:
-            a = self._actor_of_bucket[_term_bucket(t, self._n_buckets)]
-            by_actor.setdefault(a, []).append(t)
-        futs = [
-            self.actors[a].fetch.remote(ts) for a, ts in by_actor.items()
-        ]
-        fetched: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
-        for part in ray.get(futs):
-            fetched.update(part)
-        # contributions in SORTED term order — the accumulation-order pin
-        # that keeps scores bit-identical to the dense scorer / oracle
-        d_parts: list[np.ndarray] = []
-        c_parts: list[np.ndarray] = []
-        for t in terms:
-            got = fetched.get(t)
-            if got is None:
-                continue
-            ids, norms, df = got
-            idf = math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
-            d_parts.append(ids)
-            c_parts.append(idf * norms)
-        if not d_parts:
-            return []
-        d_all = np.concatenate(d_parts)
-        c_all = np.concatenate(c_parts)
-        order = np.argsort(d_all, kind="stable")
-        d_all, c_all = d_all[order], c_all[order]
-        starts = np.nonzero(np.concatenate([[True], d_all[1:] != d_all[:-1]]))[0]
-        docs = d_all[starts]
-        scores = np.add.reduceat(c_all, starts)
+            got = self._term_cache.get(t)
+            if got is not None:
+                if got is not _ABSENT:
+                    fetched[t] = got
+            else:
+                missing.append(t)
+        if missing:
+            by_actor: dict[int, list[str]] = {}
+            for t in missing:
+                a = self._actor_of_bucket[_term_bucket(t, self._n_buckets)]
+                by_actor.setdefault(a, []).append(t)
+            futs = [
+                self.actors[a].fetch.remote(ts) for a, ts in by_actor.items()
+            ]
+            got_new: dict[str, tuple] = {}
+            for part in ray.get(futs):
+                got_new.update(part)
+            for t in missing:
+                v = got_new.get(t)
+                if v is None:
+                    self._term_cache[t] = _ABSENT  # negative-cache misses
+                    continue
+                fetched[t] = v
+                self._term_cache[t] = v
+                self._cache_postings += len(v[0])
+            while (self._cache_postings > self.CACHE_MAX_POSTINGS
+                   and self._term_cache):
+                old_t, old_v = next(iter(self._term_cache.items()))
+                del self._term_cache[old_t]
+                if old_v is not _ABSENT:
+                    self._cache_postings -= len(old_v[0])
+        return fetched
+
+    # ------------------------------------------------------------- scoring
+
+    def _tie_cut(self, docs: np.ndarray, scores: np.ndarray, k: int):
+        if len(docs) > max(k, 1) * 4:
+            # prune to the kth-score tie class BEFORE the deterministic
+            # lexsort (a hot query touches ~every doc; lexsorting 1M
+            # candidates costs ~150 ms, partition+small-sort ~10 ms) —
+            # same pattern as the doc engine's dense_topk
+            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+            r = self.round_decimals
+            if r is not None:
+                keep = np.round(scores, r) >= np.round(kth, r)
+            else:
+                keep = scores >= kth
+            docs, scores = docs[keep], scores[keep]
         cut = np.lexsort((docs, -scores))
         if self.round_decimals is None or len(cut) <= k:
             cut = cut[:k]
@@ -189,6 +287,152 @@ class TermPartitionedEngine:
             cut = cut[:c]
         return list(zip(docs[cut].tolist(), scores[cut].tolist()))
 
+    # above this corpus size the per-query scatter accumulator (8 bytes ×
+    # num_docs) stops being worth its memory; fall back to the sort-merge
+    DENSE_SCATTER_MAX_DOCS = 20_000_000
+
+    def _score_dense(self, terms: list[str], fetched: dict, k: int):
+        # contributions in SORTED term order — the accumulation-order pin
+        # that keeps scores bit-identical to the dense scorer / oracle
+        d_parts: list[np.ndarray] = []
+        c_parts: list[np.ndarray] = []
+        for t in terms:
+            got = fetched.get(t)
+            if got is None:
+                continue
+            ids, norms, df = got[0], got[1], got[2]
+            idf = math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+            d_parts.append(ids)
+            c_parts.append(idf * norms)
+        if not d_parts:
+            return []
+        if len(d_parts) == 1:
+            # single contributing term: ids are already unique — no merge
+            return self._tie_cut(d_parts[0], c_parts[0], k)
+        if self.n <= self.DENSE_SCATTER_MAX_DOCS:
+            # scatter-accumulate into a doc-id-indexed buffer (the doc
+            # engine's dense kernel): each term's ids are unique, so
+            # ``acc[ids] += c`` is a plain vectorized scatter; per-doc
+            # addition order is term order — identical floats to the
+            # sort-merge.  ~20× faster than the 2.8M-element argsort a
+            # hot 3-term query needs at 1M docs (measured 304 → ~15 ms).
+            acc = np.zeros(self.n, dtype=np.float64)
+            touched = np.zeros(self.n, dtype=bool)
+            for ids, c in zip(d_parts, c_parts):
+                acc[ids] += c
+                touched[ids] = True
+            docs = np.nonzero(touched)[0]
+            return self._tie_cut(docs, acc[docs], k)
+        d_all = np.concatenate(d_parts)
+        c_all = np.concatenate(c_parts)
+        order = np.argsort(d_all, kind="stable")
+        d_all, c_all = d_all[order], c_all[order]
+        starts = np.nonzero(np.concatenate([[True], d_all[1:] != d_all[:-1]]))[0]
+        docs = d_all[starts]
+        scores = np.add.reduceat(c_all, starts)
+        return self._tie_cut(docs, scores, k)
+
+    def _score_wand(self, terms: list[str], fetched: dict, k: int):
+        """Window-partitioned block-max skip over the gathered arrays.
+
+        Windows partition the doc-id space at the union of every term's
+        block last-doc-ids, so a doc receives ALL its contributions in
+        exactly one window; per-doc accumulation inside a window runs in
+        sorted-term order — scores stay bit-identical to the dense merge.
+        """
+        metas = []  # (term slot in sorted order, ids, contribs, block_last, block_ub)
+        for t in terms:
+            got = fetched.get(t)
+            if got is None:
+                continue
+            ids, norms, df, block_last, block_max = got
+            idf = math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+            metas.append((ids, idf * norms, block_last, idf * block_max))
+        if not metas:
+            return []
+        bounds = np.unique(np.concatenate([m[2] for m in metas]))
+        n_win = len(bounds)
+        ub_win = np.zeros(n_win, dtype=np.float64)
+        block_of_win: list[np.ndarray] = []
+        for ids, _c, block_last, block_ub in metas:
+            bw = np.searchsorted(block_last, bounds, side="left")
+            block_of_win.append(bw)
+            valid = bw < len(block_ub)
+            ub_win[valid] += block_ub[bw[valid]]
+        tie_eps = (
+            10.0 ** (-self.round_decimals)
+            if self.round_decimals is not None
+            else 0.0
+        )
+        order = np.argsort(-ub_win, kind="stable")
+        cand_docs: list[np.ndarray] = []
+        cand_scores: list[np.ndarray] = []
+        n_cand = 0
+        kth = -math.inf
+        for w in order.tolist():
+            if n_cand >= k and ub_win[w] < kth - tie_eps:
+                break  # every later window has a smaller bound
+            w_lo = int(bounds[w - 1]) if w > 0 else -1
+            w_hi = int(bounds[w])
+            # window-local scatter accumulator (width = the window's doc
+            # range): the SAME sequential per-term += the oracle and the
+            # doc engine's dense kernel use, so scores stay bit-identical
+            # to both (a sort+reduceat merge lands one ulp off and can
+            # flip raw-score tie order)
+            width = w_hi - w_lo
+            acc = np.zeros(width, dtype=np.float64)
+            touched = np.zeros(width, dtype=bool)
+            any_rows = False
+            for ids, contribs, _bl, _bu in metas:
+                lo = np.searchsorted(ids, w_lo, side="right")
+                hi = np.searchsorted(ids, w_hi, side="right")
+                if hi > lo:
+                    ix = ids[lo:hi] - (w_lo + 1)
+                    acc[ix] += contribs[lo:hi]
+                    touched[ix] = True
+                    any_rows = True
+            if not any_rows:
+                continue
+            local = np.nonzero(touched)[0]
+            docs = local + (w_lo + 1)
+            scores = acc[local]
+            cand_docs.append(docs)
+            cand_scores.append(scores)
+            n_cand += len(docs)
+            if n_cand >= k:
+                # refresh kth AND prune the pool to the still-viable tail
+                # (score ≥ kth − tie_eps) — without the prune the pool
+                # grows with every processed window and the per-window
+                # partition goes quadratic on dense queries
+                s_all = np.concatenate(cand_scores)
+                d_pool = np.concatenate(cand_docs)
+                kth = np.partition(s_all, len(s_all) - k)[len(s_all) - k]
+                keep = s_all >= kth - tie_eps
+                cand_scores = [s_all[keep]]
+                cand_docs = [d_pool[keep]]
+                n_cand = int(keep.sum())
+        if not cand_docs:
+            return []
+        docs = np.concatenate(cand_docs)
+        scores = np.concatenate(cand_scores)
+        return self._tie_cut(docs, scores, k)
+
+    def _score_from_fetch(self, terms: list[str], fetched: dict, k: int):
+        if self.method == "wand":
+            return self._score_wand(terms, fetched, k)
+        if self.method == "auto" and self.n >= WAND_AUTO_MIN_DOCS:
+            mass = sum(len(fetched[t][0]) for t in terms if t in fetched)
+            if mass < WAND_AUTO_MAX_DENSITY * self.n:
+                return self._score_wand(terms, fetched, k)
+        return self._score_dense(terms, fetched, k)
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        terms = self._analyze(query)
+        if not terms:
+            return []
+        fetched = self.fetch_terms(terms)
+        return self._score_from_fetch(terms, fetched, k)
+
     def shutdown(self) -> None:
         for a in self.actors:
             ray.kill(a)
@@ -198,8 +442,10 @@ class TermPartitionedEngine:
 class TermBulkScorer:
     """Dataset stage over an existing :class:`TermPartitionedEngine`'s
     bucket actors — the term-partitioned mirror of
-    ``engine.DistributedBulkScorer``: each query batch gathers postings
-    from ONLY the buckets its terms hash to and merges on the task.
+    ``engine.DistributedBulkScorer``: each query BATCH gathers all of its
+    queries' terms with one round trip per owning bucket actor, then
+    scores every query from the shared fetch (formerly one actor round
+    trip per query × bucket).
 
     Input batch: (query_id:int64, query:string[, k:int32]).
     Output: (query_id:int64, rank:int32, doc_id:int64, score:float64).
@@ -220,9 +466,17 @@ class TermBulkScorer:
             if "k" in batch.column_names
             else [10] * len(qids)
         )
+        eng = self.eng
+        per_q_terms = [eng._analyze(q) for q in texts]
+        all_terms = sorted({t for ts in per_q_terms for t in ts})
+        fetched = eng.fetch_terms(all_terms) if all_terms else {}
         o_qid, o_rank, o_doc, o_score = [], [], [], []
-        for qid, q, k in zip(qids, texts, ks):
-            for r, (d, s) in enumerate(self.eng.search(q, k=int(k))):
+        for qid, terms, k in zip(qids, per_q_terms, ks):
+            if not terms:
+                continue
+            for r, (d, s) in enumerate(
+                eng._score_from_fetch(terms, fetched, int(k))
+            ):
                 o_qid.append(qid)
                 o_rank.append(r + 1)
                 o_doc.append(d)
@@ -239,7 +493,17 @@ class TermBulkScorer:
 
 def score_queries_dataset_term(queries_ds, engine: "TermPartitionedEngine",
                                batch_size: int = 256):
-    """Bulk-score a query Dataset against the term-partitioned engine."""
+    """Bulk-score a query Dataset against the term-partitioned engine.
+
+    The query table usually arrives as ONE block (``from_arrow``, a small
+    parquet) — without a repartition every query would score inside a
+    single task regardless of ``batch_size``; splitting to one block per
+    batch lets the scoring fan out across the cluster while each task
+    still amortizes one term-fetch round per batch."""
+    n = queries_ds.count()
+    blocks = max(1, -(-n // batch_size))
+    if blocks > 1:
+        queries_ds = queries_ds.repartition(blocks)
     return queries_ds.map_batches(
         TermBulkScorer(engine),
         batch_format="pyarrow",

@@ -660,6 +660,20 @@ def test_term_partitioned_engine_rank_score_identical(small_index, small_oracle,
         assert got.doc_id.tolist() == [d for d, _ in want]
     eng2.shutdown()
 
+    # the window-partitioned block-max skip path is rank+score identical
+    # to the dense gather (the same conformance bar)
+    engw = TermPartitionedEngine(out, num_actors=2, method="wand")
+    engd = TermPartitionedEngine(out, num_actors=2, method="dense")
+    for row in reference_queries().to_pylist():
+        got_w = engw.search(row["query"], k=row["k"])
+        got_d = engd.search(row["query"], k=row["k"])
+        assert [d for d, _ in got_w] == [d for d, _ in got_d], row["query"]
+        for (_, s1), (_, s2) in zip(got_w, got_d):
+            assert s1 == s2  # bit-identical accumulation
+    assert engw.search("zzzzqqqq") == []
+    engw.shutdown()
+    engd.shutdown()
+
     # a layout merged WITHOUT norms refuses term-partitioned serving
     out2 = tmp_path / "global_nonorms"
     merge_global_postings(small_index.index_dir, out2, n_salts=3, n_buckets=4)

@@ -77,6 +77,68 @@ def test_minhash_finds_near_dups():
     assert rows[0]["jacc"] == common / (len(ha) + len(hb) - common)
 
 
+def test_minhash_spill_path_matches_legacy_verify(tmp_path):
+    """The spill-based pipeline (one tokenize pass → parquet spill →
+    sig-prefilter → spilled-shingle verify) is pair- and value-identical
+    to the legacy corpus-retokenizing verify path."""
+    texts = [
+        " ".join(f"w{i}" for i in range(50)),
+        " ".join(f"w{i}" for i in range(48)) + " zz yy",
+        " ".join(f"v{i}" for i in range(50)),
+        " ".join(f"v{i}" for i in range(46)) + " k1 k2 k3 k4",
+        "tiny",
+        "",
+    ]
+    ds = _docs_ds(texts)
+    new = dd.minhash_lsh_pairs(ds, threshold=0.4)
+
+    # legacy flow: band rows from the corpus, candidates, re-tokenizing
+    # candidate-keyed verify
+    band_rows = ds.map_batches(
+        dd.MinHashBands("text", "doc_id", 3, 128, 32),
+        batch_format="pyarrow", batch_size=512,
+    )
+    raw = dd._bucketed_emit_pairs(band_rows, "band_key", None)
+    cand = to_arrow(dd._bucketed_pair_counts(
+        raw, lambda p, _c: pa.table({"pair": pa.array(p, pa.int64())})
+    ))
+    legacy = to_arrow(dd.verify_pairs_jaccard(
+        _docs_ds(texts), cand.column("pair").to_numpy(), threshold=0.4
+    )).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    assert new.to_pylist() == legacy.to_pylist()
+    assert len(new) >= 2  # both near-dup pairs found
+
+
+def test_verify_spill_matches_corpus_verify(tmp_path):
+    texts = [
+        " ".join(f"w{i}" for i in range(30)),
+        " ".join(f"w{i}" for i in range(28)) + " aa bb",
+        " ".join(f"v{i}" for i in range(30)),
+        "tiny",
+    ]
+    mh = dd.MinHashBands("text", "doc_id", 3, 128, 32)
+    spill = str(tmp_path / "spill")
+    _docs_ds(texts).map_batches(
+        dd.MinHashSpill(mh), batch_format="pyarrow", batch_size=512
+    ).write_parquet(spill)
+    cand = np.array([(0 << 32) | 1, (0 << 32) | 2, (1 << 32) | 3], dtype=np.int64)
+    got = to_arrow(dd.verify_pairs_jaccard_spill(
+        rd.read_parquet(spill, columns=["doc_id", "shingles"]), cand, 0.0
+    )).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    want = to_arrow(dd.verify_pairs_jaccard(
+        _docs_ds(texts), cand, threshold=0.0
+    )).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    assert got.to_pylist() == want.to_pylist()
+
+    # the signature pre-filter keeps near-dup pairs and drops disjoint
+    # ones at a high cut
+    kept = dd.prefilter_pairs_sig(
+        rd.read_parquet(spill, columns=["doc_id", "sig"]), cand, 128, 0.5
+    )
+    assert (0 << 32) | 1 in kept.tolist()
+    assert (0 << 32) | 2 not in kept.tolist()
+
+
 def test_simhash_batch_matches_per_doc_formula():
     """The batch-vectorized SimHash equals the naive per-doc formulation."""
     texts = ["foo bar baz foo", "", "one two two three three three", "单 word"]
