@@ -150,33 +150,35 @@ class _LSHTopK(_BatchTopK):
     def __init__(self, queries_ref, query_ids, k, col, id_col,
                  planes_ref, probe_hamming: int):
         super().__init__(queries_ref, query_ids, k, col, id_col)
-        self.planes_ref = planes_ref
+        self.planes_ref = planes_ref  # (n_tables, nbits, dim)
         self.probe_hamming = probe_hamming
         self._planes = None
 
-    def _buckets(self, x: np.ndarray) -> np.ndarray:
+    def _bits(self, x: np.ndarray) -> np.ndarray:
+        """→ (n, n_tables, nbits) sign bits."""
         if self._planes is None:
             self._planes = ray.get(self.planes_ref)
-        bits = (x @ self._planes.T) > 0
-        return (bits << np.arange(bits.shape[1], dtype=np.uint64)).sum(
-            axis=1, dtype=np.uint64
+        L, b, dim = self._planes.shape
+        return (x @ self._planes.reshape(L * b, dim).T > 0).reshape(
+            len(x), L, b
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         e = _embedding_matrix(batch, self.col)
         ids = batch.column(self.id_col).to_numpy()
         q = self._queries()
-        eb = self._buckets(e)
-        qb = self._buckets(q)
+        eb = self._bits(e)  # (n, L, b)
+        qb = self._bits(q)  # (nq, L, b)
         norms = np.linalg.norm(e, axis=1)
         norms[norms == 0] = 1.0
         en = e / norms[:, None]
         out_q, out_v, out_s = [], [], []
         for qi in range(q.shape[0]):
-            ham = np.array(
-                [bin(int(x)).count("1") for x in (eb ^ qb[qi])], dtype=np.int64
-            )
-            m = ham <= self.probe_hamming
+            # candidate if ANY table's bucket is within probe_hamming —
+            # multi-table union recall, vectorized bit compare (no
+            # per-value popcount loop)
+            ham = (eb != qb[qi][None, :, :]).sum(axis=2)  # (n, L)
+            m = (ham <= self.probe_hamming).any(axis=1)
             if not m.any():
                 continue
             sims = en[m] @ q[qi]
@@ -209,15 +211,22 @@ def knn_cosine_lsh(
     col: str = "embedding",
     id_col: str = "vec_id",
     nbits: int = 8,
-    probe_hamming: int = 1,
+    probe_hamming: int = 2,
+    n_tables: int = 4,
     seed: int = 11,
 ) -> pa.Table:
-    """Approximate cosine top-k via random-hyperplane bucketing."""
+    """Approximate cosine top-k via random-hyperplane bucketing —
+    ``n_tables`` independent hash tables, candidate = within
+    ``probe_hamming`` bits of the query in ANY table (union recall
+    ``1-(1-r1)^L``; single-table recall at the mid-similarity neighbors
+    typical of raw web embeddings is low, measured in BASELINE.md)."""
     q = np.asarray(queries, dtype=np.float64)
     qn = np.linalg.norm(q, axis=1)
     qn[qn == 0] = 1.0
     q = q / qn[:, None]
-    planes = np.random.default_rng(seed).standard_normal((nbits, q.shape[1]))
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_tables, nbits, q.shape[1])
+    )
     partials = to_arrow(ds.map_batches(
         _LSHTopK(
             ray.put(q), np.asarray(query_ids, dtype=np.int64), k, col, id_col,
@@ -627,18 +636,26 @@ def cosine_dup_pairs_lsh(
     col: str = "embedding",
     id_col: str = "vec_id",
     nbits: int | None = None,
+    bands: int = 16,
     seed: int = 11,
 ) -> pa.Table:
-    """Approximate near-dup pairs: sign-bit LSH bucket candidates →
+    """Approximate near-dup pairs: multi-band sign-bit LSH candidates →
     exact cosine verification of candidates only (the 10^12-row path;
-    recall < 1 by design — same-bucket collisions only).
+    recall < 1 by design — a pair is a candidate iff it shares a bucket
+    in AT LEAST ONE of ``bands`` independent hyperplane bands, so recall
+    is ``1-(1-p^nbits)^bands`` with ``p = 1 - θ/π``).
 
-    ``nbits=None`` sizes the bucket count to the corpus
+    ``nbits=None`` sizes each band's bucket count to the corpus
     (``2^nbits ≈ n/64`` → mean occupancy ~64, min 8 bits): candidate-pair
-    volume, and with it verify-exchange traffic, stays roughly LINEAR in
-    n instead of quadratic-in-occupancy.  More bits = fewer candidates
-    but lower recall (each bit halves the chance a true pair shares a
-    bucket) — tighten only for high-similarity dedup thresholds.
+    volume per band, and with it verify-exchange traffic, stays roughly
+    LINEAR in n instead of quadratic-in-occupancy.  ``bands`` is the
+    recall knob (each band adds an independent chance to catch a pair at
+    a linear cost multiple).  Sign-LSH is intrinsically weak at LOW
+    similarity thresholds — the per-bit collision gap between a
+    τ≈0.4 pair (p≈0.63) and a random pair (p=0.5) is small — so recall
+    at mid thresholds stays modest at any affordable band count
+    (measured in BASELINE.md); it is strong in the τ≥0.8 regime real
+    dedup runs use.  Use the exact tiled path for mid-threshold jobs.
 
     Candidate emission reuses the dedup machinery's bucketed pair
     exchange; verification joins candidate pairs back to their two
@@ -663,21 +680,24 @@ def cosine_dup_pairs_lsh(
     if nbits is None:
         n = ds.count()
         nbits = max(8, min(48, _math.ceil(_math.log2(max(n, 64) / 64))))
-    planes = np.random.default_rng(seed).standard_normal((nbits, dim))
+    planes = np.random.default_rng(seed).standard_normal((bands, nbits, dim))
     planes_ref = ray.put(planes)
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
+        L, b, d = pl.shape
         e = _embedding_matrix(batch, col)
         ids = batch.column(id_col).to_numpy()
-        bits = (e @ pl.T) > 0
-        key = (bits << np.arange(bits.shape[1], dtype=np.uint64)).sum(
-            axis=1, dtype=np.uint64
+        bits = (e @ pl.reshape(L * b, d).T > 0).reshape(len(e), L, b)
+        key = (bits << np.arange(b, dtype=np.uint64)[None, None, :]).sum(
+            axis=2, dtype=np.uint64
         )
+        # salt the band index into the key so bands never cross-collide
+        key |= np.arange(L, dtype=np.uint64)[None, :] << np.uint64(48)
         return pa.table(
             {
-                "band_key": pa.array(key, pa.uint64()),
-                "doc_id": pa.array(ids, pa.int64()),
+                "band_key": pa.array(key.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, L), pa.int64()),
             }
         )
 

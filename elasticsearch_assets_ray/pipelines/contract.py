@@ -1155,7 +1155,7 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
     if not os.path.exists(f"{ivf_dir}/_centroids.npy"):
         build_ivf(ds, ivf_dir, n_clusters=32)
     q = queries_from_dataset(ds, KNN_QUERY_IDS)
-    return knn_cosine_ivf(ivf_dir, q, KNN_QUERY_IDS, k=TOPK, nprobe=4)
+    return knn_cosine_ivf(ivf_dir, q, KNN_QUERY_IDS, k=TOPK, nprobe=8)
 
 
 def q_embedding_dup_lsh(sf_dir: str) -> pa.Table:
@@ -1165,6 +1165,85 @@ def q_embedding_dup_lsh(sf_dir: str) -> pa.Table:
     pair set is a subset of the exact pipeline's — tested)."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     return sim.cosine_dup_pairs_lsh(ds, threshold=COSINE_DUP_THRESHOLD)
+
+
+def _pair_set(tbl: pa.Table, a: str = "doc_a", b: str = "doc_b") -> set[tuple[int, int]]:
+    return set(zip(tbl.column(a).to_pylist(), tbl.column(b).to_pylist()))
+
+
+def _topk_sets(tbl: pa.Table, id_col: str) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for q, v in zip(
+        tbl.column("query_id").to_pylist(), tbl.column(id_col).to_pylist()
+    ):
+        out.setdefault(q, set()).add(v)
+    return out
+
+
+def q_approx_recall(sf_dir: str) -> pa.Table:
+    """Recall of every approximate path against its EXACT in-repo twin —
+    the exact pipelines ARE the oracle, so the probabilistic operators
+    stop being 'rows-only means unmeasured':
+
+    * ``knn_lsh`` / ``knn_ivf`` vs ``knn_cosine`` → mean recall@k over
+      the query set
+    * ``minhash_pairs`` vs ``jaccard_pairs`` (same 0.4 threshold) and
+      ``simhash_pairs`` vs the same truth → pair recall
+    * ``embedding_dup_lsh`` vs ``embedding_dup_pairs`` → pair recall
+
+    Output: (op, recall, n_exact, n_approx), one row per approximate
+    path.  No SQL oracle (the comparison is against Ray pipelines), but
+    threshold asserts run in tests and the values are recorded in
+    BASELINE.md at sf0.1 and 1M docs."""
+    rows: list[tuple[str, float, int, int]] = []
+
+    exact_knn = _topk_sets(q_knn_cosine(sf_dir), "vec_id")
+    for op, fn in [("knn_lsh", q_knn_lsh), ("knn_ivf", q_knn_ivf)]:
+        approx = _topk_sets(fn(sf_dir), "vec_id")
+        per_q = [
+            len(exact_knn[q] & approx.get(q, set())) / len(exact_knn[q])
+            for q in exact_knn
+        ]
+        rows.append(
+            (op, float(np.mean(per_q)),
+             sum(len(v) for v in exact_knn.values()),
+             sum(len(v) for v in approx.values()))
+        )
+
+    truth = _pair_set(q_jaccard_pairs(sf_dir))
+    for op, fn in [("minhash_pairs", q_minhash_pairs),
+                   ("simhash_pairs", q_simhash_pairs)]:
+        got = _pair_set(fn(sf_dir))
+        rec = len(truth & got) / len(truth) if truth else 1.0
+        rows.append((op, float(rec), len(truth), len(got)))
+
+    etbl = q_embedding_dup_pairs(sf_dir)
+    etruth = _pair_set(etbl, "vec_a", "vec_b")
+    egot = _pair_set(q_embedding_dup_lsh(sf_dir), "vec_a", "vec_b")
+    rows.append(
+        ("embedding_dup_lsh",
+         float(len(etruth & egot) / len(etruth)) if etruth else 1.0,
+         len(etruth), len(egot))
+    )
+    # recall restricted to HIGH-similarity truth pairs (sim ≥ 0.6) — the
+    # regime real embedding dedup thresholds live in; sign-LSH recall at
+    # the contract's mid threshold is intrinsically modest (see
+    # ops/similarity.py docstring)
+    hi = etbl.filter(pc.greater_equal(etbl.column("sim_r"), 0.6))
+    hi_truth = _pair_set(hi, "vec_a", "vec_b")
+    rows.append(
+        ("embedding_dup_lsh_sim06",
+         float(len(hi_truth & egot) / len(hi_truth)) if hi_truth else 1.0,
+         len(hi_truth), len(egot))
+    )
+    return pa.table(
+        {
+            "op": pa.array([r[0] for r in rows], pa.string()),
+            "recall": pa.array([r[1] for r in rows], pa.float64()),
+            "n_exact": pa.array([r[2] for r in rows], pa.int64()),
+            "n_approx": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
 
 
 def q_global_term_merge(sf_dir: str) -> pa.Table:
@@ -1289,6 +1368,7 @@ def queries():
         "date_slices": q_date_slices,
         "global_term_merge": q_global_term_merge,
         "approx_distinct_users": q_approx_distinct_users,
+        "approx_recall": q_approx_recall,
     }
 
 
