@@ -743,9 +743,17 @@ def build_index(
         )
         if appended is not None:
             # incremental append: old shards stay checkpointed, only new
-            # files get partitions/shards (streaming micro-batch analogue)
+            # files get partitions/shards (streaming micro-batch
+            # analogue).  Partitions of files MODIFIED in place carry a
+            # dirty mark: their docmeta side-writes are idempotent by
+            # file presence, so the stale ones must go BEFORE the new
+            # manifest lands (a crash between the two re-plans and
+            # re-deletes on the next run — both orders are safe, this
+            # one can never serve stale docmeta)
             manifest = appended
             if appended is not existing:
+                for pid in getattr(appended, "dirty_partition_ids", []):
+                    docmeta_path(index_dir, pid).unlink(missing_ok=True)
                 manifest.save(index_dir)
         else:
             # incompatible plan: clear derived state, full rebuild —
@@ -767,6 +775,14 @@ def build_index(
         for sid, s in manifest.shards.items()
         if s.status == "done" and (segment_dir(index_dir, sid) / "segment.parquet").exists()
     )
+    # a PENDING shard with a segment on disk is stale (modified source
+    # file) or a crash remnant (segment written, status update lost —
+    # rebuilding reproduces it byte-identically); either way it must not
+    # survive, or write_segment_atomic's lost-the-race branch would keep
+    # it over the fresh rebuild
+    for sid in manifest.shards:
+        if sid not in done and segment_dir(index_dir, sid).exists():
+            shutil.rmtree(segment_dir(index_dir, sid), ignore_errors=True)
     # a shard being REBUILT from the corpus (e.g. its segment was lost in
     # a compaction crash window) re-indexes its compacted-away docs; turn
     # the archive back into tombstones so those docs stay masked and the

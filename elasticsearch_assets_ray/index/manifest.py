@@ -22,6 +22,7 @@ files (sorted path) — deterministic, replay-safe, and delta-friendly
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 from dataclasses import asdict, dataclass, field
@@ -91,6 +92,9 @@ class BuildManifest:
     # contract, and this catches the contract being broken (a file
     # modified in place would otherwise silently reuse stale segments)
     corpus_sizes: list[int] = field(default_factory=list)
+    # st_mtime_ns per corpus file (parallel to corpus_paths): with sizes,
+    # the content fingerprint that detects in-place modification
+    corpus_mtimes: list[int] = field(default_factory=list)
     partitions: list[PartitionPlan] = field(default_factory=list)
     shards: dict[int, ShardState] = field(default_factory=dict)
 
@@ -111,6 +115,7 @@ class BuildManifest:
                 "min_token_len": self.min_token_len,
                 "max_token_len": self.max_token_len,
                 "corpus_sizes": self.corpus_sizes,
+                "corpus_mtimes": self.corpus_mtimes,
                 "partitions": [asdict(p) for p in self.partitions],
                 "shards": {str(k): asdict(v) for k, v in self.shards.items()},
             },
@@ -135,6 +140,7 @@ class BuildManifest:
             min_token_len=d.get("min_token_len", 1),
             max_token_len=d.get("max_token_len", 64),
             corpus_sizes=d.get("corpus_sizes", []),
+            corpus_mtimes=d.get("corpus_mtimes", []),
         )
         m.partitions = [PartitionPlan(**p) for p in d["partitions"]]
         m.shards = {int(k): ShardState(**v) for k, v in d["shards"].items()}
@@ -166,6 +172,7 @@ class BuildManifest:
             self.min_token_len,
             self.max_token_len,
             tuple(self.corpus_sizes),
+            tuple(self.corpus_mtimes),
         )
 
 
@@ -184,16 +191,26 @@ def plan_append(
     min_token_len: int = 1,
     max_token_len: int = 64,
 ) -> "BuildManifest | None":
-    """Incremental append: plan ONLY files not in ``existing``.
+    """Incremental append: plan ONLY files not in ``existing``, plus an
+    in-place rebuild of the shards covering files MODIFIED in place.
 
     The reference's persistent-mode micro-batching re-runs the slicer over
     the new time window and leaves old slices untouched
     (``slicer.js:382-395``); here a grown corpus appends new partitions
     and shards after the existing ones — doc ids of old files never move
     (file order = manifest order + sorted new files), old segments stay
-    checkpointed.  Returns None when append does not apply (config
-    changed, files removed) — caller falls back to a full rebuild.
-    Assumes input files are immutable once written (data-lake contract).
+    checkpointed.
+
+    A file whose content fingerprint (byte size + mtime_ns) changed is
+    handled incrementally WHEN its row count is unchanged: its old
+    partitions are re-mapped onto the file's new row-group layout
+    (same partition_id / doc_base / shard_id — doc ids never move) and
+    every shard touching it is reset to ``pending``, so only those
+    shards re-tokenize; the result is identical to a cold rebuild of the
+    whole corpus (tested).  A modified file whose ROW COUNT changed
+    would shift every later file's doc ids — that returns None (caller
+    falls back to a full rebuild), as do config changes and removed
+    files.
     """
     params_same = (
         existing.analyzer == analyzer
@@ -214,18 +231,60 @@ def plan_append(
     old = set(existing.corpus_paths)
     if not old.issubset(all_files):
         return None  # files removed → not an append
-    # immutability guard: an old file whose byte size changed was
-    # modified in place — its checkpointed segments are stale, so this
-    # is NOT an append (caller falls back to a full rebuild).  Manifests
-    # from before this field existed skip the check.
+    # content fingerprints: manifests from before these fields existed
+    # skip the check (treated as unmodified)
+    modified: list[str] = []
     if existing.corpus_sizes:
         old_size = dict(zip(existing.corpus_paths, existing.corpus_sizes))
+        old_mtime = (
+            dict(zip(existing.corpus_paths, existing.corpus_mtimes))
+            if existing.corpus_mtimes else {}
+        )
         for f in existing.corpus_paths:
-            if os.path.getsize(f) != old_size[f]:
-                return None
+            if os.path.getsize(f) != old_size[f] or (
+                old_mtime and os.stat(f).st_mtime_ns != old_mtime[f]
+            ):
+                modified.append(f)
+    repl_parts: dict[str, list[PartitionPlan]] = {}
+    dirty_shards: set[int] = set()
+    for f in modified:
+        old_parts = sorted(
+            (p for p in existing.partitions if p.path == f),
+            key=lambda p: p.doc_base,
+        )
+        old_rows = sum(p.num_rows for p in old_parts)
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows != old_rows:
+            return None  # row count changed → later doc ids would move
+        rg_offs = [0]
+        for i in range(md.num_row_groups):
+            rg_offs.append(rg_offs[-1] + md.row_group(i).num_rows)
+        file_base = old_parts[0].doc_base
+        new_list: list[PartitionPlan] = []
+        for p in old_parts:
+            a = p.doc_base - file_base
+            b = a + p.num_rows
+            i = bisect.bisect_right(rg_offs, a) - 1
+            j = bisect.bisect_left(rg_offs, b)
+            new_list.append(
+                PartitionPlan(
+                    partition_id=p.partition_id, path=f,
+                    row_group_start=i, row_group_end=j,
+                    num_rows=p.num_rows, doc_base=p.doc_base,
+                    shard_id=p.shard_id,
+                    row_start=a - rg_offs[i], row_end=b - rg_offs[i],
+                )
+            )
+            dirty_shards.add(p.shard_id)
+        repl_parts[f] = new_list
     new_files = [f for f in all_files if f not in old]
-    if not new_files:
+    if not new_files and not modified:
         return existing  # nothing to do
+    if not new_files:
+        merged = _apply_modified(existing, repl_parts, dirty_shards)
+        return merged
+    if modified:
+        existing = _apply_modified(existing, repl_parts, dirty_shards)
     sub = plan_build(
         new_files, analyzer, partition_target_docs, shard_target_docs,
         block_size, text_col=text_col, lang_col=lang_col, id_col=id_col,
@@ -254,6 +313,12 @@ def plan_append(
             if existing.corpus_sizes
             else []
         ),
+        corpus_mtimes=(
+            list(existing.corpus_mtimes)
+            + [os.stat(f).st_mtime_ns for f in new_files]
+            if existing.corpus_mtimes
+            else []
+        ),
     )
     merged.partitions = list(existing.partitions) + [
         PartitionPlan(
@@ -271,7 +336,40 @@ def plan_append(
             s.doc_base + base0,
             s.num_docs,
         )
+    merged.dirty_partition_ids = list(getattr(existing, "dirty_partition_ids", []))
     return merged
+
+
+def _apply_modified(
+    existing: BuildManifest,
+    repl_parts: dict[str, list[PartitionPlan]],
+    dirty_shards: set[int],
+) -> BuildManifest:
+    """Copy ``existing`` with modified files' partitions re-mapped and
+    their shards reset to pending (same ids/doc ranges — only the
+    row-group addressing and the rebuild flag change), and the content
+    fingerprints refreshed."""
+    import copy
+
+    m = copy.deepcopy(existing)
+    by_pid = {
+        p.partition_id: p for parts in repl_parts.values() for p in parts
+    }
+    m.partitions = [by_pid.get(p.partition_id, p) for p in m.partitions]
+    for sid in dirty_shards:
+        s0 = m.shards[sid]
+        m.shards[sid] = ShardState(
+            sid, list(s0.partition_ids), s0.doc_base, s0.num_docs
+        )
+    if m.corpus_sizes:
+        m.corpus_sizes = [os.path.getsize(f) for f in m.corpus_paths]
+    if m.corpus_mtimes:
+        m.corpus_mtimes = [os.stat(f).st_mtime_ns for f in m.corpus_paths]
+    # session-only (not serialized): partitions whose SOURCE CONTENT
+    # changed — their idempotent docmeta side-writes must be invalidated
+    # by the caller even when the re-mapped plan happens to be identical
+    m.dirty_partition_ids = sorted(by_pid)
+    return m
 
 
 def atomic_write_text(path: Path, text: str) -> None:
@@ -315,6 +413,7 @@ def plan_build(
     if not files:
         raise ValueError(f"no parquet files found in {corpus!r}")
     sizes = [os.path.getsize(f) for f in files]
+    mtimes = [os.stat(f).st_mtime_ns for f in files]
     partitions: list[PartitionPlan] = []
     doc_base = 0
     pid = 0
@@ -409,6 +508,7 @@ def plan_build(
         min_token_len=min_token_len,
         max_token_len=max_token_len,
         corpus_sizes=sizes,
+        corpus_mtimes=mtimes,
         partitions=fixed,
         shards=shards,
     )

@@ -74,6 +74,11 @@ class PersistentIndexer:
         self.compactions = 0
         self.ticks = 0
         self.indexed_files: list[str] = []
+        # content fingerprints of the last indexed snapshot: a file
+        # MODIFIED in place (same path, new mtime/size) is new work even
+        # though the file SET is unchanged — build_index routes it
+        # through the incremental modified-shard rebuild (plan_append)
+        self.indexed_fps: dict[str, tuple[int, int]] = {}
         # window queue: the enqueue loop appends window end-stamps; the
         # drain loop (tick) pops — mirrors slicer.js:414-431
         self.pending_windows: list[float] = []
@@ -141,11 +146,17 @@ class PersistentIndexer:
         window_end = self.pending_windows.pop(0)
         files = self.eligible_files(window_end)
         self.ticks += 1
-        if not files or files == self.indexed_files:
+        import os as _os
+
+        fps = {
+            f: (_os.path.getsize(f), _os.stat(f).st_mtime_ns) for f in files
+        }
+        if not files or (files == self.indexed_files and fps == self.indexed_fps):
             self._maybe_compact()
             return None
         info = build_index(files, self.index_dir, self.config, resume=True)
         self.indexed_files = files
+        self.indexed_fps = fps
         if self._maybe_compact():
             info = IndexInfo(self.index_dir)  # stats changed on disk
         return info

@@ -887,6 +887,7 @@ def q_curation(sf_dir: str) -> pa.Table:
                 spill,
                 min_quality=CURATION_MIN_QUALITY,
                 jacc_threshold=CURATION_JACC,
+                input_path=f"{sf_dir}/documents.parquet",
             )
         )
     finally:

@@ -148,6 +148,94 @@ def _empty_tagged() -> pa.Table:
     return pa.table({c: pa.array([], t) for c, t in _OUT_TYPES.items()})
 
 
+SPILL_MANIFEST = "_SPILL_MANIFEST.json"
+
+
+def _spill_fingerprint(files: list[str], text_col: str, id_col: str,
+                       shingle_n: int, keep_cols: tuple[str, ...]) -> dict:
+    import os
+
+    return {
+        "text_col": text_col,
+        "id_col": id_col,
+        "shingle_n": shingle_n,
+        "keep_cols": list(keep_cols),
+        "files": {
+            os.path.basename(f): [os.path.getmtime(f), os.path.getsize(f)]
+            for f in files
+        },
+    }
+
+
+def spill_curation_stats(
+    input_path: str,
+    spill_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    keep_cols: tuple[str, ...] = ("lang",),
+    resume: bool = True,
+) -> str:
+    """The tokenize pass as a RESUMABLE checkpoint: one Ray task per
+    input parquet file writes ``spill_dir/stats-<file>`` atomically
+    (tmp + rename, presence = done — the index build's crash-resume
+    shape); a killed run re-does only the missing files.  A fingerprint
+    manifest (input file mtimes/sizes + tokenize params) guards against
+    resuming across a changed corpus or config — any mismatch clears the
+    spill and re-runs everything."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    files = (
+        sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+        if os.path.isdir(input_path) else [input_path]
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet under {input_path}")
+    fp = _spill_fingerprint(files, text_col, id_col, shingle_n, keep_cols)
+    man_path = os.path.join(spill_dir, SPILL_MANIFEST)
+    if os.path.exists(man_path) and resume:
+        old = json.loads(open(man_path).read())
+        if old != fp:
+            shutil.rmtree(spill_dir)
+    elif os.path.exists(spill_dir) and not resume:
+        shutil.rmtree(spill_dir)
+    os.makedirs(spill_dir, exist_ok=True)
+    if not os.path.exists(man_path):
+        # manifest first: outputs are only trusted under a matching
+        # fingerprint, so a half-written spill never masquerades as done
+        with open(man_path + ".tmp", "w") as f:
+            json.dump(fp, f)
+        os.replace(man_path + ".tmp", man_path)
+    pending = [
+        f for f in files
+        if not os.path.exists(
+            os.path.join(spill_dir, f"stats-{os.path.basename(f)}")
+        )
+    ]
+    if pending:
+        import ray as _ray
+
+        @_ray.remote
+        def one_file(src: str) -> str:
+            import pyarrow.parquet as pq
+
+            cols = [id_col, text_col, *[c for c in keep_cols]]
+            t = pq.read_table(src, columns=cols)
+            out = CurationStats(text_col, id_col, keep_cols, shingle_n)(t)
+            dst = os.path.join(
+                spill_dir, f"stats-{os.path.basename(src)}"
+            )
+            pq.write_table(out, dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+            return dst
+
+        _ray.get([one_file.remote(f) for f in pending])
+    return spill_dir
+
+
 def curate(
     ds,
     spill_dir: str,
@@ -156,16 +244,24 @@ def curate(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_df: int | None = None,
+    input_path: str | None = None,
 ):
     """→ Dataset(doc_id, lang, token_count): curated survivors.
 
     ``spill_dir``: directory for the shared-stats parquet spill (caller
     owns cleanup — at scale this intermediate doubles as a resumable
-    checkpoint of the tokenize pass).
-    """
-    ds.map_batches(
-        CurationStats(text_col, id_col), batch_format="pyarrow", zero_copy_batch=True
-    ).write_parquet(spill_dir)
+    checkpoint of the tokenize pass).  Pass ``input_path`` (the corpus
+    parquet file/dir ``ds`` was read from) to run the tokenize pass
+    through :func:`spill_curation_stats` — per-file tasks with
+    presence-based crash resume; without it the spill is a plain
+    one-shot Dataset write."""
+    if input_path is not None:
+        spill_curation_stats(input_path, spill_dir, text_col, id_col)
+    else:
+        ds.map_batches(
+            CurationStats(text_col, id_col), batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).write_parquet(spill_dir)
     # column-pruned reads per branch: the survivor branch must never pay
     # the shingle-list decode, the near-dup branch never the stats.  Few,
     # larger blocks: the per-doc rows are small and every downstream

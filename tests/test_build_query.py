@@ -418,10 +418,13 @@ def test_compact_stats_recomputed_not_incremental(small_corpus, tmp_path):
     assert healed["total_tokens"] < good["total_tokens"]
 
 
-def test_modified_file_triggers_full_rebuild(small_corpus, tmp_path):
-    """A corpus file modified IN PLACE (same path) must never reuse its
-    stale checkpointed segments — the size guard downgrades the append
-    to a full rebuild."""
+def test_modified_file_incremental_rebuild(small_corpus, tmp_path):
+    """A corpus file modified IN PLACE (same path, same row count) must
+    never reuse its stale checkpointed segments.  The content
+    fingerprint (size+mtime) routes it through the INCREMENTAL path:
+    only the shards covering the modified file re-tokenize (untouched
+    segments stay byte-identical on disk, unrewritten), and the result
+    equals a cold rebuild of the whole corpus exactly."""
     import pathlib
 
     import pyarrow.parquet as pq2
@@ -438,12 +441,15 @@ def test_modified_file_triggers_full_rebuild(small_corpus, tmp_path):
     idx = tmp_path / "idx"
     info1 = build_index(grow, idx, cfg)
     n1 = info1.stats.num_docs
+    last_sid = max(info1.shard_ids())
+    seg_last_before = (segment_dir(idx, last_sid) / "segment.parquet").stat().st_mtime_ns
 
-    # overwrite the FIRST file with different content (same row count)
+    # overwrite the FIRST file with different content (same row count,
+    # DIFFERENT row-group layout — the re-map must handle both)
     first = grow / files[0].name
     rows = pq2.read_table(first).num_rows
     replacement = make_corpus_batch(np.arange(500_000, 500_000 + rows, dtype=np.int64))
-    pq2.write_table(replacement, first, row_group_size=50)
+    pq2.write_table(replacement, first, row_group_size=35)
 
     info2 = build_index(grow, idx, cfg, resume=True)
     assert info2.stats.num_docs == n1
@@ -457,6 +463,27 @@ def test_modified_file_triggers_full_rebuild(small_corpus, tmp_path):
         replacement.column("content")[0].as_py().encode()
     ).hexdigest()
     assert got_sha == want_sha
+    # untouched shard: segment file NOT rewritten (true incremental)
+    assert (segment_dir(idx, last_sid) / "segment.parquet").stat().st_mtime_ns \
+        == seg_last_before
+
+    # equivalence: every segment byte-identical to a cold rebuild
+    cold = tmp_path / "cold"
+    info3 = build_index(grow, cold, cfg)
+    for sid in info3.shard_ids():
+        assert pq2.read_table(info2.segment_path(sid)).equals(
+            pq2.read_table(info3.segment_path(sid))
+        ), f"shard {sid} diverges from cold rebuild"
+    assert info2.stats == info3.stats
+
+    # a modified file whose ROW COUNT changed still falls back to a full
+    # rebuild (later files' doc ids move)
+    pq2.write_table(
+        make_corpus_batch(np.arange(600_000, 600_000 + rows + 7, dtype=np.int64)),
+        first, row_group_size=50,
+    )
+    info4 = build_index(grow, idx, cfg, resume=True)
+    assert info4.stats.num_docs == n1 + 7
 
 
 def test_wand_method_end_to_end(small_index, small_oracle):

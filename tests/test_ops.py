@@ -139,6 +139,71 @@ def test_verify_spill_matches_corpus_verify(tmp_path):
     assert (0 << 32) | 2 not in kept.tolist()
 
 
+def test_curation_spill_crash_resume(tmp_path):
+    """The curation tokenize spill is a real checkpoint: per-input-file
+    atomic outputs, presence-based resume (only missing files re-run),
+    fingerprint-guarded against corpus changes — mirroring the index
+    build's crash-resume contract."""
+    import os
+    import pyarrow.parquet as pq2
+
+    from elasticsearch_assets_ray.ops import to_arrow as _ta
+    from elasticsearch_assets_ray.pipelines.curation import (
+        curate, spill_curation_stats,
+    )
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+
+    def mk(i, text_prefix="doc"):
+        return pa.table(
+            {
+                "doc_id": pa.array(range(i * 10, (i + 1) * 10), pa.int64()),
+                "lang": pa.array(["en"] * 10, pa.string()),
+                "text": pa.array(
+                    [f"{text_prefix} {j} the common and shared words here run"
+                     for j in range(i * 10, (i + 1) * 10)],
+                    pa.string(),
+                ),
+            }
+        )
+
+    for i in range(3):
+        pq2.write_table(mk(i), corpus / f"p{i}.parquet")
+    spill = tmp_path / "spill"
+    spill_curation_stats(str(corpus), str(spill))
+    outs = sorted(spill.glob("stats-*.parquet"))
+    assert [o.name for o in outs] == [f"stats-p{i}.parquet" for i in range(3)]
+    ref = {o.name: pq2.read_table(o) for o in outs}
+
+    # crash window: one output missing → ONLY it is rebuilt
+    mt0 = (spill / "stats-p0.parquet").stat().st_mtime_ns
+    (spill / "stats-p1.parquet").unlink()
+    spill_curation_stats(str(corpus), str(spill))
+    assert (spill / "stats-p0.parquet").stat().st_mtime_ns == mt0
+    assert pq2.read_table(spill / "stats-p1.parquet").equals(
+        ref["stats-p1.parquet"]
+    )
+
+    # corpus change → fingerprint mismatch → full respill
+    pq2.write_table(mk(0, "changed"), corpus / "p0.parquet")
+    os.utime(corpus / "p0.parquet", (1, 1))  # force a visible mtime change
+    spill_curation_stats(str(corpus), str(spill))
+    assert not pq2.read_table(spill / "stats-p0.parquet").equals(
+        ref["stats-p0.parquet"]
+    )
+
+    # curate() through the checkpointed spill ≡ the one-shot spill
+    ds = rd.read_parquet(str(corpus))
+    a = _ta(
+        curate(ds, str(tmp_path / "s2"), min_quality=0.3,
+               input_path=str(corpus))
+    ).sort_by("doc_id")
+    b = _ta(curate(ds, str(tmp_path / "s3"), min_quality=0.3)).sort_by("doc_id")
+    assert a.equals(b)
+    assert a.num_rows > 0
+
+
 def test_simhash_batch_matches_per_doc_formula():
     """The batch-vectorized SimHash equals the naive per-doc formulation."""
     texts = ["foo bar baz foo", "", "one two two three three three", "单 word"]

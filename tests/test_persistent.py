@@ -33,6 +33,52 @@ def _copy(files, dest):
         shutil.copy(f, dest / pathlib.Path(f).name)
 
 
+def test_modified_file_tick_equals_cold_rebuild(small_corpus, tmp_path,
+                                                ray_session):
+    """Modify one corpus file in place (same row count), tick the
+    persistent indexer: the tick detects the changed content
+    fingerprint, rebuilds only the affected shards, and the index equals
+    a cold rebuild of the modified corpus byte-for-byte."""
+    import time
+
+    from elasticsearch_assets_ray.corpus.synth import make_corpus_batch
+
+    src = sorted(pathlib.Path(small_corpus).glob("*.parquet"))
+    live = tmp_path / "live"
+    live.mkdir()
+    _copy(src, live)
+    cfg = IndexConfig(partition_target_docs=50, shard_target_docs=100)
+    clock = FakeClock(t0=time.time() + 1e6)
+    px = PersistentIndexer(live, tmp_path / "idx", cfg, interval_s=30,
+                           delay_s=0, clock=clock, sleep=clock.sleep)
+    px.enqueue_due_windows()
+    assert px.tick() is not None
+
+    # a same-set tick with nothing changed is a no-op
+    clock.t += 30
+    px.enqueue_due_windows()
+    assert px.tick() is None
+
+    # modify the first file in place (same row count)
+    first = live / src[0].name
+    rows = pq.read_table(first).num_rows
+    pq.write_table(
+        make_corpus_batch(np.arange(700_000, 700_000 + rows, dtype=np.int64)),
+        first, row_group_size=40,
+    )
+    clock.t += 30
+    px.enqueue_due_windows()
+    info = px.tick()
+    assert info is not None  # the fingerprint change IS new work
+
+    cold = build_index(live, tmp_path / "cold", cfg)
+    assert info.stats == cold.stats
+    for sid in cold.shard_ids():
+        assert pq.read_table(info.segment_path(sid)).equals(
+            pq.read_table(cold.segment_path(sid))
+        ), f"shard {sid} diverges from cold rebuild"
+
+
 def test_two_ticks_equal_cold_build(small_corpus, tmp_path, ray_session):
     """Two persistent ticks over a growing dir produce byte-identical
     segments to one cold build over the full corpus (files arrive in
