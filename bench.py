@@ -182,8 +182,12 @@ def cmd_bench(sf_dir: str, num_cpus: int) -> None:
             # recall — timed separately so the headline total stays a sum
             # of distinct workloads; its VALUES are the payload
             t0 = time.perf_counter()
+            # record the truth-sample size beside every recall: at small
+            # sf some strata have single-digit truth pairs and a 0.0 from
+            # a sample of 1 is noise, not a measurement
             recall_rows = {
-                r["op"]: round(r["recall"], 4) for r in fn(sf_dir).to_pylist()
+                r["op"]: {"recall": round(r["recall"], 4), "n_exact": r["n_exact"]}
+                for r in fn(sf_dir).to_pylist()
             }
             recall_sec = round(time.perf_counter() - t0, 3)
             log(f"approx_recall: {recall_sec}s {recall_rows}")

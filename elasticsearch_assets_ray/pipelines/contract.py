@@ -346,6 +346,123 @@ def q_bm25_topk_global(sf_dir: str) -> pa.Table:
     return _bm25_rerank(per_q, idx)
 
 
+# ES bool-query contract set: (query_id, {clause: free text}) — clause
+# algebra per QueryEngine.search_bool (must=AND scored, filter=AND
+# unscored, must_not=NOT, should=optional scored, msm default 1 only for
+# pure-should queries)
+BOOL_QUERIES: list[tuple[int, dict[str, str]]] = [
+    (0, {"must": "hash join", "should": "merge", "must_not": "window"}),
+    (1, {"should": "stream window agg", "must_not": "customer"}),
+    (2, {"must": "query scan"}),
+    (3, {"must": "sort", "should": "filter column", "filter": "table"}),
+]
+
+
+def _simple_tokens(text: str) -> list[str]:
+    """Contract ('simple') analyzer restated for SQL-oracle generation."""
+    import re
+
+    return sorted({t for t in re.split(r"[^a-z0-9]+", text.lower())
+                   if t and len(t) <= 64})
+
+
+def q_bm25_bool(sf_dir: str) -> pa.Table:
+    """ES ``bool``-query serving over the shard-actor engine: clause
+    algebra (must/should/must_not/filter) gates the candidate set, BM25
+    scores the distinct must∪should terms, rounded re-rank hydrates
+    orig ids — same tie-aware-fetch discipline as ``bm25_topk``.
+
+    The reference delegates bool queries to Elasticsearch's query DSL
+    (its lucene translation layer feeds them through, e.g.
+    ``/root/reference/packages/elasticsearch-store/src/index-model.ts``
+    semantics); here the clause set is executed natively on our
+    postings."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_bool(k=K_FETCH, **clauses)
+            for qid, clauses in BOOL_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_bm25_bool() -> str:
+    rows = []
+    for qid, clauses in BOOL_QUERIES:
+        for tag, key in (("m", "must"), ("s", "should"),
+                         ("n", "must_not"), ("f", "filter")):
+            for t in _simple_tokens(clauses.get(key, "")):
+                rows.append(f"({qid}, '{tag}', '{t}')")
+    values = ", ".join(rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+qc(query_id, clause, t) AS (VALUES {values}),
+qm AS (SELECT DISTINCT query_id, t FROM qc WHERE clause = 'm'),
+qs AS (SELECT DISTINCT query_id, t FROM qc WHERE clause = 's'),
+qn AS (SELECT DISTINCT query_id, t FROM qc WHERE clause = 'n'),
+qf AS (SELECT DISTINCT query_id, t FROM qc WHERE clause = 'f'),
+qu AS (SELECT query_id, t FROM qm UNION SELECT query_id, t FROM qs),
+need AS (SELECT q.query_id,
+                (SELECT count(*) FROM qm WHERE qm.query_id = q.query_id) AS n_must,
+                (SELECT count(*) FROM qf WHERE qf.query_id = q.query_id) AS n_filt
+         FROM (SELECT DISTINCT query_id FROM qc) q),
+cd AS (SELECT DISTINCT query_id, doc_id FROM (
+         SELECT qu.query_id, tf.doc_id FROM qu JOIN tf ON tf.t = qu.t
+         UNION ALL
+         SELECT qf.query_id, tf.doc_id FROM qf JOIN tf ON tf.t = qf.t)),
+mh AS (SELECT qm.query_id, tf.doc_id, count(*) AS hits
+       FROM qm JOIN tf ON tf.t = qm.t GROUP BY 1, 2),
+fh AS (SELECT qf.query_id, tf.doc_id, count(*) AS hits
+       FROM qf JOIN tf ON tf.t = qf.t GROUP BY 1, 2),
+sh AS (SELECT qs.query_id, tf.doc_id, count(*) AS hits
+       FROM qs JOIN tf ON tf.t = qs.t GROUP BY 1, 2),
+nh AS (SELECT DISTINCT qn.query_id, tf.doc_id FROM qn JOIN tf ON tf.t = qn.t),
+elig AS (
+  SELECT cd.query_id, cd.doc_id
+  FROM cd
+  JOIN need ON need.query_id = cd.query_id
+  LEFT JOIN mh ON mh.query_id = cd.query_id AND mh.doc_id = cd.doc_id
+  LEFT JOIN fh ON fh.query_id = cd.query_id AND fh.doc_id = cd.doc_id
+  LEFT JOIN sh ON sh.query_id = cd.query_id AND sh.doc_id = cd.doc_id
+  LEFT JOIN nh ON nh.query_id = cd.query_id AND nh.doc_id = cd.doc_id
+  WHERE coalesce(mh.hits, 0) = need.n_must
+    AND coalesce(fh.hits, 0) = need.n_filt
+    AND nh.doc_id IS NULL
+    AND (need.n_must + need.n_filt > 0 OR coalesce(sh.hits, 0) >= 1)),
+contrib AS (
+  SELECT qu.query_id, tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS w
+  FROM qu
+  JOIN tf ON tf.t = qu.t
+  JOIN df ON df.t = qu.t
+  JOIN dl ON dl.doc_id = tf.doc_id, s),
+scored AS (
+  SELECT e.query_id, e.doc_id, coalesce(sum(c.w), 0) AS score
+  FROM elig e
+  LEFT JOIN contrib c ON c.query_id = e.query_id AND c.doc_id = e.doc_id
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
 def q_exact_dedup(sf_dir: str) -> pa.Table:
     return to_arrow(dd.exact_dedup_groups(_docs(sf_dir)))
 
@@ -1341,6 +1458,7 @@ def queries():
         "term_stats": q_term_stats,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_global": q_bm25_topk_global,
+        "bm25_bool": q_bm25_bool,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
@@ -1378,6 +1496,7 @@ def oracle_sql():
         "term_stats": sql_term_stats(),
         "bm25_topk": sql_bm25_topk(),
         "bm25_topk_global": sql_bm25_topk(),
+        "bm25_bool": sql_bm25_bool(),
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "text_stats": sql_text_stats(),

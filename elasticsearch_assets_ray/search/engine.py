@@ -41,6 +41,38 @@ from ..index.build import IndexInfo
 from ..index.codec import decode_block, decode_postings, read_meta
 
 
+def _select_topk(
+    cand: np.ndarray, scores: np.ndarray, k: int, params: BM25Params
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic local top-k over candidate rows of a dense score
+    array: (score desc, doc asc), keeping the whole kth tie class — with
+    ``round_decimals`` set, ROUNDED-equal scores count as ties (so a
+    downstream rounded re-rank can never disagree across the cut)."""
+    if len(cand) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    cs = scores[cand]
+    if len(cand) > k:
+        kth = np.partition(cs, len(cs) - k)[len(cs) - k]
+        r = params.round_decimals
+        if r is not None:
+            keep = np.round(cs, r) >= np.round(kth, r)
+        else:
+            keep = cs >= kth
+        cand, cs = cand[keep], cs[keep]
+    order = np.lexsort((cand, -cs))
+    if params.round_decimals is None:
+        order = order[:k]
+    else:
+        r = params.round_decimals
+        cut = min(k, len(order))
+        if cut and cut < len(order):
+            kth_r = np.round(cs[order[cut - 1]], r)
+            while cut < len(order) and np.round(cs[order[cut]], r) == kth_r:
+                cut += 1
+        order = order[:cut]
+    return cand[order], cs[order]
+
+
 class ShardData:
     """One shard's in-memory state: term dictionary + postings blobs +
     doc lengths for its doc range."""
@@ -106,33 +138,113 @@ class ShardData:
             touched[idx] = True
         touched &= ~self.deleted_mask
         cand = np.nonzero(touched)[0]
-        if len(cand) == 0:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        cs = scores[cand]
-        if len(cand) > k:
-            # keep every candidate >= the kth-largest score so equal-score
-            # ties survive into the deterministic lexsort below; with
-            # round_decimals set, ROUNDED-equal scores count as ties too
-            kth = np.partition(cs, len(cs) - k)[len(cs) - k]
-            r = params.round_decimals
-            if r is not None:
-                keep = np.round(cs, r) >= np.round(kth, r)
-            else:
-                keep = cs >= kth
-            cand, cs = cand[keep], cs[keep]
-        order = np.lexsort((cand, -cs))
-        if params.round_decimals is None:
-            order = order[:k]
-        else:
-            # truncate to k but extend through the rounded tie class
-            r = params.round_decimals
-            cut = min(k, len(order))
-            if cut and cut < len(order):
-                kth_r = np.round(cs[order[cut - 1]], r)
-                while cut < len(order) and np.round(cs[order[cut]], r) == kth_r:
-                    cut += 1
-            order = order[:cut]
-        return (cand[order] + self.doc_base).astype(np.int64), cs[order]
+        cand, cs = _select_topk(cand, scores, k, params)
+        return (cand + self.doc_base).astype(np.int64), cs
+
+    def bool_topk(
+        self,
+        must: list[str],
+        should: list[str],
+        must_not: list[str],
+        filters: list[str],
+        idf: dict[str, float],
+        params: BM25Params,
+        avgdl: float,
+        k: int,
+        minimum_should_match: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ES-style ``bool`` query over the shard (exact local top-k).
+
+        Clause semantics (``/root/reference`` delegates these to
+        Elasticsearch's bool query; restated here over our own postings):
+
+        * ``must``    — every term must occur in the doc; contributes score
+        * ``filter``  — every term must occur; contributes NO score
+        * ``must_not``— any term occurring excludes the doc
+        * ``should``  — optional, contributes score; when the query has no
+          must/filter clause at least ``minimum_should_match`` (default 1)
+          should-terms must match; an EXPLICIT minimum_should_match is
+          enforced even alongside must/filter (ES behavior)
+
+        Scoring terms = sorted unique (must ∪ should); a term present in
+        both clauses is scored once (single combined BM25 sum, matching
+        the SQL oracle).  Deleted docs are masked like dense_topk.
+        """
+        k1, b = params.k1, params.b
+        must_s, should_s = sorted(set(must)), sorted(set(should))
+        filt_s, not_s = sorted(set(filters)), sorted(set(must_not))
+        scoring = sorted(set(must_s) | set(should_s))
+
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def postings_idx(t: str) -> tuple[np.ndarray, np.ndarray] | None:
+            if t not in decoded:
+                i = self.terms.get(t)
+                if i is None:
+                    decoded[t] = None
+                else:
+                    doc_ids, tfs = decode_postings(self.blobs[i])
+                    idx = (doc_ids - np.uint64(self.doc_base)).astype(np.int64)
+                    decoded[t] = (idx, tfs)
+            return decoded[t]
+
+        n = self.num_docs
+        scores = np.zeros(n, dtype=np.float64)
+        for t in scoring:  # sorted order — pinned to the oracle
+            p = postings_idx(t)
+            if p is None:
+                continue
+            idx, tfs = p
+            tf = tfs.astype(np.float64)
+            dl = self.dl[idx]
+            norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            scores[idx] += idf[t] * norm
+
+        ok = ~self.deleted_mask
+        if must_s:
+            hits = np.zeros(n, dtype=np.int32)
+            for t in must_s:
+                p = postings_idx(t)
+                if p is None:  # term absent from this shard → no doc matches
+                    hits[:] = -1
+                    break
+                hits[p[0]] += 1
+            ok = ok & (hits == len(must_s))
+        if filt_s:
+            fhits = np.zeros(n, dtype=np.int32)
+            for t in filt_s:
+                p = postings_idx(t)
+                if p is None:
+                    fhits[:] = -1
+                    break
+                fhits[p[0]] += 1
+            ok = ok & (fhits == len(filt_s))
+        if not_s:
+            excl = np.zeros(n, dtype=bool)
+            for t in not_s:
+                p = postings_idx(t)
+                if p is not None:
+                    excl[p[0]] = True
+            ok = ok & ~excl
+        msm = minimum_should_match
+        if msm is None:
+            msm = 0 if (must_s or filt_s) else (1 if should_s else 0)
+        if msm > 0:
+            shits = np.zeros(n, dtype=np.int32)
+            for t in should_s:
+                p = postings_idx(t)
+                if p is not None:
+                    shits[p[0]] += 1
+            ok = ok & (shits >= msm)
+        elif not (must_s or filt_s):
+            # no clause constrains the doc set → nothing matches (ES: an
+            # empty bool query matches all docs, but an all-docs scan is
+            # never what a top-k caller wants; fail loud instead)
+            raise ValueError("bool query needs at least one positive clause")
+
+        cand = np.nonzero(ok)[0]
+        cand, cs = _select_topk(cand, scores, k, params)
+        return (cand + self.doc_base).astype(np.int64), cs
 
     def wand_topk(
         self,
@@ -342,6 +454,27 @@ class _ScorerCore:
             out.append((qid, ids, sc))
         return out
 
+    def bool_topk(
+        self,
+        queries: list[tuple[int, dict, int]],
+        idf: dict[str, float],
+    ) -> list[tuple[int, np.ndarray, np.ndarray]]:
+        """queries: [(qid, {must,should,must_not,filter,msm}, k)]."""
+        out = []
+        for qid, clauses, k in queries:
+            parts = [
+                s.bool_topk(
+                    clauses.get("must", []), clauses.get("should", []),
+                    clauses.get("must_not", []), clauses.get("filter", []),
+                    idf, self.params, self.avgdl, k,
+                    clauses.get("msm"),
+                )
+                for s in self.shards
+            ]
+            ids, sc = merge_topk(parts, k, self.params.round_decimals)
+            out.append((qid, ids, sc))
+        return out
+
 
 @ray.remote
 class ShardScorer(_ScorerCore):
@@ -403,6 +536,43 @@ class QueryEngine:
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         return self.search_batch([(0, query, k)])[0]
+
+    def search_bool(
+        self,
+        must: str | list[str] = "",
+        should: str | list[str] = "",
+        must_not: str | list[str] = "",
+        filter: str | list[str] = "",
+        k: int = 10,
+        minimum_should_match: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES ``bool`` query: each clause is free text (analyzed with the
+        index analyzer) or a pre-analyzed term list.  Score = BM25 over
+        the distinct (must ∪ should) terms; filter/must_not gate without
+        scoring.  Same deterministic merge + tie semantics as search()."""
+
+        def _clause(v) -> list[str]:
+            if isinstance(v, str):
+                return self._analyze(v) if v else []
+            return sorted(set(v))
+
+        clauses = {
+            "must": _clause(must),
+            "should": _clause(should),
+            "must_not": _clause(must_not),
+            "filter": _clause(filter),
+            "msm": minimum_should_match,
+        }
+        if not (clauses["must"] or clauses["should"] or clauses["filter"]):
+            raise ValueError("bool query needs at least one positive clause")
+        scoring = sorted(set(clauses["must"]) | set(clauses["should"]))
+        idf = self.idfs(scoring) if scoring else {}
+        per_actor = ray.get(
+            [a.bool_topk.remote([(0, clauses, k)], idf) for a in self.actors]
+        )
+        parts = [(res[0][1], res[0][2]) for res in per_actor]
+        ids, sc = merge_topk(parts, k, self.params.round_decimals)
+        return list(zip(ids.tolist(), sc.tolist()))
 
     def search_batch(
         self, queries: list[tuple[int, str, int]]

@@ -117,3 +117,56 @@ class BM25Oracle:
                 scores[doc_id] = scores.get(doc_id, 0.0) + w * norm
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
+
+    def search_bool(
+        self,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+        filter: list[str] | None = None,
+        k: int = 10,
+        minimum_should_match: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES bool-query oracle: set algebra over the dict index.
+
+        Same clause semantics as ``QueryEngine.search_bool`` (must=AND
+        scored, filter=AND unscored, must_not=NOT, should=optional scored
+        with minimum_should_match defaulting to 1 only when no
+        must/filter clause exists); scoring terms = distinct must∪should.
+        """
+        must = sorted(set(must or []))
+        should = sorted(set(should or []))
+        must_not = sorted(set(must_not or []))
+        filter = sorted(set(filter or []))
+        if not (must or should or filter):
+            raise ValueError("bool query needs at least one positive clause")
+
+        def docs_with(t: str) -> set[int]:
+            return set(self.postings.get(t, ()))
+
+        eligible = set(self.dl)
+        for t in must + filter:
+            eligible &= docs_with(t)
+        for t in must_not:
+            eligible -= docs_with(t)
+        msm = minimum_should_match
+        if msm is None:
+            msm = 0 if (must or filter) else 1
+        if msm > 0:
+            eligible = {
+                d for d in eligible
+                if sum(d in docs_with(t) for t in should) >= msm
+            }
+
+        k1, b = self.params.k1, self.params.b
+        avgdl = self.avgdl
+        scores: dict[int, float] = {d: 0.0 for d in eligible}
+        for term in sorted(set(must) | set(should)):
+            w = self.idf(term)
+            for doc_id, tf in self.postings.get(term, {}).items():
+                if doc_id not in scores:
+                    continue
+                norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * self.dl[doc_id] / avgdl))
+                scores[doc_id] += w * norm
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]

@@ -758,3 +758,42 @@ def test_groupby_strategy_resume_and_no_resume(small_corpus, tmp_path):
     info3 = build_index(small_corpus, idx, cfg, resume=False)  # full rebuild
     assert pq.read_table(info3.segment_path(1)).equals(seg1)
     assert info3.stats == info.stats
+
+
+def test_bool_query_matches_oracle(small_index, small_oracle):
+    """ES bool-query clause algebra (must/should/must_not/filter/msm) is
+    rank- AND score-identical between the shard-actor engine and the
+    dict-based oracle across clause combinations."""
+    eng = QueryEngine(small_index.index_dir, num_actors=2)
+    cases = [
+        dict(must="def return", should="", must_not="", filter=""),
+        dict(must="def", should="query batch merge", must_not="", filter=""),
+        dict(must="", should="sort merge join", must_not="", filter=""),
+        dict(must="", should="sort merge join", must_not="window", filter=""),
+        dict(must="def", should="", must_not="", filter="return"),
+        dict(must="", should="sort merge join scan", must_not="", filter="",
+             minimum_should_match=2),
+        dict(must="def", should="sort merge", must_not="", filter="",
+             minimum_should_match=1),  # explicit msm alongside must
+        dict(must="zzzznotaterm", should="sort", must_not="", filter=""),
+    ]
+    for case in cases:
+        got = eng.search_bool(k=15, **case)
+        kw = {k: code_tokens(v) if isinstance(v, str) else v
+              for k, v in case.items() if k != "minimum_should_match"}
+        want = small_oracle.search_bool(
+            k=15, minimum_should_match=case.get("minimum_should_match"), **kw
+        )
+        assert [d for d, _ in got] == [d for d, _ in want], case
+        for (_, s1), (_, s2) in zip(got, want):
+            assert abs(s1 - s2) < 1e-9
+    # filter-only query: matches, every score 0, ranked by doc_id
+    got = eng.search_bool(filter="def return", k=10)
+    want = small_oracle.search_bool(filter=code_tokens("def return"), k=10)
+    assert got and [d for d, _ in got] == [d for d, _ in want]
+    assert all(s == 0.0 for _, s in got)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        eng.search_bool(must_not="def", k=5)  # no positive clause
+    eng.shutdown()
