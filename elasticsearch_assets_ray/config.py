@@ -79,6 +79,12 @@ class IndexConfig:
     # PForDelta family without exception patching; smaller streams,
     # non-batched encode)
     postings_codec: str = "varint"
+    # store per-posting token positions (Lucene-style positional index):
+    # adds a `positions` blob column to every segment (varint in-doc
+    # position gaps, absolute restart per doc) and enables phrase
+    # queries (QueryEngine.search_phrase).  Off by default — positions
+    # roughly double segment size for prose corpora.
+    store_positions: bool = False
 
     def __post_init__(self) -> None:
         if self.block_size < 8:

@@ -61,6 +61,7 @@ from ..analysis.tokenizer import (
 from ..config import IndexConfig
 from .codec import (
     decode_postings_many,
+    encode_positions_many,
     encode_postings_many,
 )
 from .manifest import (
@@ -82,6 +83,10 @@ _PARTIAL_SCHEMA = pa.schema(
     ]
 )
 
+_PARTIAL_SCHEMA_POS = pa.schema(
+    list(_PARTIAL_SCHEMA) + [pa.field("posblob", pa.large_binary())]
+)
+
 SEGMENT_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
@@ -90,6 +95,10 @@ SEGMENT_SCHEMA = pa.schema(
         ("max_tf", pa.int64()),
         ("postings", pa.large_binary()),
     ]
+)
+
+SEGMENT_SCHEMA_POS = pa.schema(
+    list(SEGMENT_SCHEMA) + [pa.field("positions", pa.large_binary())]
 )
 
 
@@ -266,6 +275,66 @@ def invert_codes(
     return docs, tfs.astype(np.uint64), offsets
 
 
+def in_doc_positions(doc_rel: np.ndarray) -> np.ndarray:
+    """Per-token position within its document (0-based), given the
+    nondecreasing flat token→doc map both tokenize paths produce."""
+    n = len(doc_rel)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = doc_rel[1:] != doc_rel[:-1]
+    starts = np.nonzero(change)[0]
+    seg_len = np.diff(np.append(starts, n))
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, seg_len)
+
+
+def invert_codes_pos(
+    flat_codes: np.ndarray, doc_rel: np.ndarray, n_terms: int, doc_base: int,
+    tokpos: np.ndarray,
+):
+    """:func:`invert_codes` + flat per-posting positions.
+
+    Stable argsort on the same composite key np.unique sorts, so docs /
+    tfs / offsets are IDENTICAL to the positionless kernel (tested);
+    the stable order preserves original token order within each
+    (term, doc) group, i.e. positions come out ascending."""
+    if len(flat_codes) == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.uint64),
+                np.zeros(n_terms + 1, np.int64), np.empty(0, np.int64))
+    key = (flat_codes << np.int64(32)) | doc_rel
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    posf = tokpos[order]
+    boundary = np.empty(len(sk), dtype=bool)
+    boundary[0] = True
+    boundary[1:] = sk[1:] != sk[:-1]
+    entry_idx = np.nonzero(boundary)[0]
+    uk = sk[entry_idx]
+    tfs = np.diff(np.append(entry_idx, len(sk)))
+    tids = (uk >> np.int64(32)).astype(np.int64)
+    docs = (uk & np.int64(0xFFFFFFFF)).astype(np.uint64) + np.uint64(doc_base)
+    offsets = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(np.bincount(tids, minlength=n_terms), out=offsets[1:])
+    return docs, tfs.astype(np.uint64), offsets, posf
+
+
+def invert_flat_pos(flat_tokens, doc_rel: np.ndarray, doc_base: int):
+    """:func:`invert_flat` + flat per-posting positions (same term order
+    — pd.factorize(sort=True) — and identical docs/tfs/offsets)."""
+    import pandas as pd
+
+    if not flat_tokens:
+        return ([], np.empty(0, np.uint64), np.empty(0, np.uint64),
+                np.zeros(1, np.int64), np.empty(0, np.int64))
+    codes, uniques = pd.factorize(np.asarray(flat_tokens, dtype=object), sort=True)
+    tokpos = in_doc_positions(doc_rel)
+    docs, tfs, offsets, posf = invert_codes_pos(
+        codes.astype(np.int64), doc_rel, len(uniques), doc_base, tokpos
+    )
+    return list(uniques), docs, tfs, offsets, posf
+
+
 def invert_flat(flat_tokens, doc_rel: np.ndarray, doc_base: int):
     """One vectorized inversion: (terms sorted, flat doc_ids, flat tfs,
     offsets) ready for :func:`encode_postings_many`.
@@ -332,6 +401,7 @@ class TokenizePartition:
         self.id_col = config.id_col
         self.meta_cols = tuple(config.meta_cols)
         self.codec = config.postings_codec
+        self.store_positions = config.store_positions
         self.done_shards = done_shards
 
     def _read_columns(self) -> list[str]:
@@ -381,6 +451,7 @@ class TokenizePartition:
 
     def __call__(self, descs: pa.Table) -> pa.Table:
         out_shard, out_term, out_pid, out_df, out_cf, out_blob = [], [], [], [], [], []
+        out_pos: list[bytes] = []
         analyzer_of = _analyzers(self.analyzer)
         for row in descs.to_pylist():
             if row["shard_id"] in self.done_shards:
@@ -397,7 +468,13 @@ class TokenizePartition:
                 contents, langs, analyzer_of, self.cfg_min, self.cfg_max
             )
             self.write_docmeta(row, tbl, dls, shas, nbytes)
-            terms, ids_a, tfs_a, offs = invert_flat(flat, doc_rel, doc_base)
+            if self.store_positions:
+                terms, ids_a, tfs_a, offs, posf = invert_flat_pos(
+                    flat, doc_rel, doc_base
+                )
+                out_pos.extend(encode_positions_many(posf, tfs_a, offs))
+            else:
+                terms, ids_a, tfs_a, offs = invert_flat(flat, doc_rel, doc_base)
             blobs = encode_postings_many(ids_a, tfs_a, offs, self.block_size,
                                          self.codec)
             cfs = (
@@ -412,17 +489,18 @@ class TokenizePartition:
             out_cf.extend(cfs.tolist())
             out_blob.extend(blobs)
 
-        return pa.table(
-            {
-                "shard_id": pa.array(out_shard, pa.int32()),
-                "term": pa.array(out_term, pa.string()),
-                "partition_id": pa.array(out_pid, pa.int32()),
-                "df": pa.array(out_df, pa.int64()),
-                "cf": pa.array(out_cf, pa.int64()),
-                "blob": pa.array(out_blob, pa.large_binary()),
-            },
-            schema=_PARTIAL_SCHEMA,
-        )
+        cols = {
+            "shard_id": pa.array(out_shard, pa.int32()),
+            "term": pa.array(out_term, pa.string()),
+            "partition_id": pa.array(out_pid, pa.int32()),
+            "df": pa.array(out_df, pa.int64()),
+            "cf": pa.array(out_cf, pa.int64()),
+            "blob": pa.array(out_blob, pa.large_binary()),
+        }
+        if self.store_positions:
+            cols["posblob"] = pa.array(out_pos, pa.large_binary())
+            return pa.table(cols, schema=_PARTIAL_SCHEMA_POS)
+        return pa.table(cols, schema=_PARTIAL_SCHEMA)
 
 
 def write_segment_atomic(index_dir: str | Path, shard_id: int, seg: pa.Table) -> None:
@@ -458,6 +536,10 @@ class WriteShardSegment:
         group = group.sort_by([("term", "ascending"), ("partition_id", "ascending")])
         terms = group.column("term").to_pylist()
         blobs = group.column("blob").to_pylist()
+        posblobs = (
+            group.column("posblob").to_pylist()
+            if "posblob" in group.column_names else None
+        )
 
         # batch decode every part, then batch re-encode per distinct term:
         # all heavy work is O(1) numpy kernels over the shard's flat streams
@@ -475,6 +557,12 @@ class WriteShardSegment:
         interior[term_offs[:-1]] = False
         if len(doc_flat) > 1:
             viol = interior & np.concatenate([[False], doc_flat[1:] <= doc_flat[:-1]])
+            if viol.any() and posblobs is not None:
+                # a per-term re-sort would misalign the doc-ordered
+                # position spans; this branch is a never-expected repair
+                raise ValueError(
+                    "posting parts out of order with positions present"
+                )
             if viol.any():
                 for g in np.unique(np.searchsorted(term_offs, np.nonzero(viol)[0], "right") - 1):
                     lo, hi = int(term_offs[g]), int(term_offs[g + 1])
@@ -499,16 +587,28 @@ class WriteShardSegment:
         )
         n_postings = int(part_offs[-1])
 
-        seg = pa.table(
-            {
-                "term": pa.array(out_terms, pa.string()),
-                "df": pa.array(out_df, pa.int64()),
-                "cf": pa.array(out_cf, pa.int64()),
-                "max_tf": pa.array(out_maxtf, pa.int64()),
-                "postings": pa.array(merged, pa.large_binary()),
-            },
-            schema=SEGMENT_SCHEMA,
-        )
+        seg_cols = {
+            "term": pa.array(out_terms, pa.string()),
+            "df": pa.array(out_df, pa.int64()),
+            "cf": pa.array(out_cf, pa.int64()),
+            "max_tf": pa.array(out_maxtf, pa.int64()),
+            "postings": pa.array(merged, pa.large_binary()),
+        }
+        if posblobs is not None:
+            # per-doc-absolute varint restarts make position spans
+            # byte-concatenable in the same partition order the postings
+            # parts merged in (codec concat property, tested)
+            bounds = np.append(group_rows, n)
+            seg_cols["positions"] = pa.array(
+                [
+                    b"".join(posblobs[int(bounds[i]):int(bounds[i + 1])])
+                    for i in range(len(out_terms))
+                ],
+                pa.large_binary(),
+            )
+            seg = pa.table(seg_cols, schema=SEGMENT_SCHEMA_POS)
+        else:
+            seg = pa.table(seg_cols, schema=SEGMENT_SCHEMA)
         write_segment_atomic(self.index_dir, shard_id, seg)
         return pa.table(
             {
@@ -582,7 +682,12 @@ class BuildShard:
                     )
                     off += nrows
                     n_docs += nrows
-                ids_a, tfs_a, offs = invert_codes(codes, rel, len(terms), shard_base)
+                if cfg.store_positions:
+                    ids_a, tfs_a, offs, posf = invert_codes_pos(
+                        codes, rel, len(terms), shard_base, in_doc_positions(rel)
+                    )
+                else:
+                    ids_a, tfs_a, offs = invert_codes(codes, rel, len(terms), shard_base)
             else:
                 all_flat: list[str] = []
                 rel_chunks: list[np.ndarray] = []
@@ -605,7 +710,12 @@ class BuildShard:
                 rel = (
                     np.concatenate(rel_chunks) if rel_chunks else np.empty(0, np.int64)
                 )
-                terms, ids_a, tfs_a, offs = invert_flat(all_flat, rel, shard_base)
+                if cfg.store_positions:
+                    terms, ids_a, tfs_a, offs, posf = invert_flat_pos(
+                        all_flat, rel, shard_base
+                    )
+                else:
+                    terms, ids_a, tfs_a, offs = invert_flat(all_flat, rel, shard_base)
             blobs = encode_postings_many(ids_a, tfs_a, offs, cfg.block_size,
                                          cfg.postings_codec)
             maxtf = (
@@ -618,16 +728,20 @@ class BuildShard:
                 if terms
                 else np.empty(0, dtype=np.int64)
             )
-            seg = pa.table(
-                {
-                    "term": pa.array(terms, pa.string()),
-                    "df": pa.array(np.diff(offs), pa.int64()),
-                    "cf": pa.array(cfs, pa.int64()),
-                    "max_tf": pa.array(maxtf, pa.int64()),
-                    "postings": pa.array(blobs, pa.large_binary()),
-                },
-                schema=SEGMENT_SCHEMA,
-            )
+            seg_cols = {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array(np.diff(offs), pa.int64()),
+                "cf": pa.array(cfs, pa.int64()),
+                "max_tf": pa.array(maxtf, pa.int64()),
+                "postings": pa.array(blobs, pa.large_binary()),
+            }
+            if cfg.store_positions:
+                seg_cols["positions"] = pa.array(
+                    encode_positions_many(posf, tfs_a, offs), pa.large_binary()
+                )
+                seg = pa.table(seg_cols, schema=SEGMENT_SCHEMA_POS)
+            else:
+                seg = pa.table(seg_cols, schema=SEGMENT_SCHEMA)
             write_segment_atomic(self.index_dir, shard_id, seg)
             out_rows.append((shard_id, len(terms), int(offs[-1]), int(cfs.sum())))
         return pa.table(
@@ -721,6 +835,7 @@ def build_index(
         postings_codec=config.postings_codec,
         min_token_len=config.min_token_len,
         max_token_len=config.max_token_len,
+        store_positions=config.store_positions,
     )
     existing = BuildManifest.load(index_dir) if resume else None
     if existing is not None and existing.plan_fingerprint() == plan.plan_fingerprint():
@@ -740,6 +855,7 @@ def build_index(
             postings_codec=config.postings_codec,
             min_token_len=config.min_token_len,
             max_token_len=config.max_token_len,
+            store_positions=config.store_positions,
         )
         if appended is not None:
             # incremental append: old shards stay checkpointed, only new

@@ -538,3 +538,66 @@ def merge_encoded_parts(blobs: list[bytes], block_size: int = 128,
         if not np.all(doc_ids[:-1] < doc_ids[1:]):
             raise ValueError("duplicate doc_ids across posting parts")
     return encode_postings(doc_ids, tfs, block_size, codec)
+
+
+# ---------------------------------------------------------------- positions
+#
+# Positional sidecar (Lucene-style .prx analogue): per term one blob of
+# varint-encoded in-doc position gaps, doc-aligned with the postings
+# stream (doc i's span holds tf_i positions).  Each doc's first position
+# is encoded ABSOLUTE, so blobs covering disjoint ascending doc ranges
+# concatenate byte-wise with no re-encode — the same property the
+# postings parts merge relies on.
+
+
+def encode_positions_many(
+    positions: np.ndarray, tfs: np.ndarray, offsets: np.ndarray
+) -> list[bytes]:
+    """Encode T terms' position streams → T blobs (one vectorized pass).
+
+    ``positions``: flat in-doc token positions ordered (term, doc, pos
+    ascending); ``tfs``: per (term, doc) posting entry, flat; ``offsets``
+    (len T+1) delimits posting ENTRIES per term (the same offsets array
+    :func:`encode_postings_many` takes).
+    """
+    positions = np.ascontiguousarray(positions, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    T = len(offsets) - 1
+    if T == 0:
+        return []
+    if int(tfs.sum()) != len(positions):
+        raise ValueError("positions length != sum(tfs)")
+    tfcum = np.concatenate([[0], np.cumsum(tfs)])  # token offset per entry
+    entry_starts = tfcum[:-1]
+    gaps = np.empty(len(positions), dtype=np.uint64)
+    if len(positions):
+        gaps[1:] = positions[1:] - positions[:-1]
+        gaps[entry_starts] = positions[entry_starts]  # absolute per doc
+    lens = varint_lengths(gaps)
+    enc = encode_varint(gaps, lens).tobytes()
+    bytecum = np.concatenate([[0], np.cumsum(lens)])
+    out: list[bytes] = []
+    for t in range(T):
+        lo = int(bytecum[tfcum[offsets[t]]])
+        hi = int(bytecum[tfcum[offsets[t + 1]]])
+        out.append(enc[lo:hi])
+    return out
+
+
+def decode_positions(blob: bytes | memoryview, tfs: np.ndarray) -> np.ndarray:
+    """Decode one term's position blob → flat in-doc positions (uint64),
+    doc-aligned: the first ``tfs[0]`` values belong to the term's first
+    posting doc, and so on.  ``tfs`` is the term's decoded tf array."""
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    gaps = decode_varint(np.frombuffer(blob, dtype=np.uint8))
+    total = int(tfs.sum())
+    if len(gaps) != total:
+        raise ValueError(f"positions blob holds {len(gaps)} values, tfs sum {total}")
+    if total == 0:
+        return np.empty(0, dtype=np.uint64)
+    cs = np.cumsum(gaps, dtype=np.uint64)
+    tfcum = np.concatenate([[0], np.cumsum(tfs)])
+    starts = tfcum[:-1]
+    seg_base = np.where(starts > 0, cs[np.maximum(starts - 1, 0)], np.uint64(0))
+    return cs - np.repeat(seg_base, tfs)

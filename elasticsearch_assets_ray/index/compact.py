@@ -101,6 +101,30 @@ def compact_shard(index_dir: str | Path, shard_id: int,
         "max_tf": pa.array(maxtf, pa.int64()),
         "postings": pa.array(new_blobs, pa.large_binary()),
     }
+    if "positions" in seg.column_names:
+        # positional sidecar: drop deleted docs' position spans and
+        # re-encode (a row-level take would keep stale spans)
+        from .codec import decode_positions, encode_positions_many
+
+        kept_pos: list[np.ndarray] = []
+        kept_tfs: list[np.ndarray] = []
+        for t in range(len(blobs)):
+            lo, hi = int(offs[t]), int(offs[t + 1])
+            t_tfs = tf_flat[lo:hi].astype(np.int64)
+            pos = decode_positions(seg.column("positions")[t].as_py(), t_tfs)
+            tok_keep = np.repeat(live[lo:hi], t_tfs)
+            kept_pos.append(pos[tok_keep])
+            kept_tfs.append(t_tfs[live[lo:hi]])
+        pos_flat = (
+            np.concatenate(kept_pos) if kept_pos else np.empty(0, np.uint64)
+        )
+        tfs_flat_kept = (
+            np.concatenate(kept_tfs) if kept_tfs else np.empty(0, np.int64)
+        )
+        cols["positions"] = pa.array(
+            encode_positions_many(pos_flat, tfs_flat_kept, offs_kept),
+            pa.large_binary(),
+        )
     # extra columns (e.g. a `shard` partition echo) are preserved
     for name in seg.column_names:
         if name not in cols:

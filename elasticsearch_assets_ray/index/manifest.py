@@ -82,6 +82,9 @@ class BuildManifest:
     id_col: str | None = None
     meta_cols: list[str] = field(default_factory=lambda: ["repo", "path"])
     postings_codec: str = "varint"
+    # positional sidecar present in every segment (phrase-query support);
+    # layout-affecting, so it travels in the plan fingerprint
+    store_positions: bool = False
     # tokenization-affecting config: MUST travel with the manifest so a
     # resume/append under a changed clip can never silently reuse stale
     # segments, and the query side clips exactly as the build did
@@ -112,6 +115,7 @@ class BuildManifest:
                 "id_col": self.id_col,
                 "meta_cols": list(self.meta_cols),
                 "postings_codec": self.postings_codec,
+                "store_positions": self.store_positions,
                 "min_token_len": self.min_token_len,
                 "max_token_len": self.max_token_len,
                 "corpus_sizes": self.corpus_sizes,
@@ -137,6 +141,7 @@ class BuildManifest:
             id_col=d.get("id_col"),
             meta_cols=list(d.get("meta_cols", ["repo", "path"])),
             postings_codec=d.get("postings_codec", "varint"),
+            store_positions=d.get("store_positions", False),
             min_token_len=d.get("min_token_len", 1),
             max_token_len=d.get("max_token_len", 64),
             corpus_sizes=d.get("corpus_sizes", []),
@@ -169,6 +174,7 @@ class BuildManifest:
             self.id_col,
             tuple(self.meta_cols),
             self.postings_codec,
+            self.store_positions,
             self.min_token_len,
             self.max_token_len,
             tuple(self.corpus_sizes),
@@ -190,6 +196,7 @@ def plan_append(
     postings_codec: str = "varint",
     min_token_len: int = 1,
     max_token_len: int = 64,
+    store_positions: bool = False,
 ) -> "BuildManifest | None":
     """Incremental append: plan ONLY files not in ``existing``, plus an
     in-place rebuild of the shards covering files MODIFIED in place.
@@ -222,6 +229,7 @@ def plan_append(
         and existing.id_col == id_col
         and list(existing.meta_cols) == list(meta_cols)
         and existing.postings_codec == postings_codec
+        and existing.store_positions == store_positions
         and existing.min_token_len == min_token_len
         and existing.max_token_len == max_token_len
     )
@@ -290,6 +298,7 @@ def plan_append(
         block_size, text_col=text_col, lang_col=lang_col, id_col=id_col,
         meta_cols=meta_cols, postings_codec=postings_codec,
         min_token_len=min_token_len, max_token_len=max_token_len,
+        store_positions=store_positions,
     )
     pid0 = (max((p.partition_id for p in existing.partitions), default=-1)) + 1
     sid0 = (max(existing.shards, default=-1)) + 1
@@ -306,6 +315,7 @@ def plan_append(
         id_col=id_col,
         meta_cols=list(meta_cols),
         postings_codec=postings_codec,
+        store_positions=store_positions,
         min_token_len=min_token_len,
         max_token_len=max_token_len,
         corpus_sizes=(
@@ -401,6 +411,7 @@ def plan_build(
     postings_codec: str = "varint",
     min_token_len: int = 1,
     max_token_len: int = 64,
+    store_positions: bool = False,
 ) -> BuildManifest:
     """Plan partitions + shards from Parquet footer metadata only.
 
@@ -505,6 +516,7 @@ def plan_build(
         id_col=id_col,
         meta_cols=list(meta_cols),
         postings_codec=postings_codec,
+        store_positions=store_positions,
         min_token_len=min_token_len,
         max_token_len=max_token_len,
         corpus_sizes=sizes,

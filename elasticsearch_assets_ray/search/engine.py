@@ -89,6 +89,11 @@ class ShardData:
         self.df = seg.column("df").to_numpy()
         self.max_tf = seg.column("max_tf").to_numpy()
         self.blobs = seg.column("postings").to_pylist()
+        # positional sidecar (store_positions builds) — None otherwise
+        self.posblobs = (
+            seg.column("positions").to_pylist()
+            if "positions" in seg.column_names else None
+        )
         dls = []
         for p in info.docmeta_paths(shard_id):
             dls.append(pq.read_table(p, columns=["dl"]).column("dl").to_numpy())
@@ -245,6 +250,82 @@ class ShardData:
         cand = np.nonzero(ok)[0]
         cand, cs = _select_topk(cand, scores, k, params)
         return (cand + self.doc_base).astype(np.int64), cs
+
+    def phrase_topk(
+        self,
+        phrase: list[str],
+        idf_sum: float,
+        params: BM25Params,
+        avgdl: float,
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact phrase top-k over the positional sidecar (Lucene
+        PhraseQuery semantics, slop 0): a doc matches when the phrase's
+        terms occur at consecutive in-doc positions; its score is BM25
+        with tf = the PHRASE frequency (number of start positions, overlap
+        counted) and idf = the sum of the constituent terms' idfs
+        (repeats counted) — Lucene's PhraseWeight treats the phrase as
+        one pseudo-term."""
+        if self.posblobs is None:
+            raise RuntimeError(
+                "index was built without store_positions=True — phrase "
+                "queries need the positional sidecar"
+            )
+        if not phrase:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        from ..index.codec import decode_positions
+
+        decoded: dict[str, tuple] = {}
+        for t in set(phrase):
+            i = self.terms.get(t)
+            if i is None:  # any absent term → no phrase match in shard
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            doc_ids, tfs = decode_postings(self.blobs[i])
+            idx = (doc_ids - np.uint64(self.doc_base)).astype(np.int64)
+            pos = decode_positions(self.posblobs[i], tfs.astype(np.int64))
+            tfcum = np.concatenate([[0], np.cumsum(tfs.astype(np.int64))])
+            decoded[t] = (idx, pos, tfcum)
+
+        # candidate docs: every phrase term present (sorted intersect)
+        cand = decoded[phrase[0]][0]
+        for t in set(phrase[1:]):
+            cand = np.intersect1d(cand, decoded[t][0], assume_unique=True)
+        if len(cand) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+
+        def doc_positions(t: str, d: int) -> np.ndarray:
+            idx, pos, tfcum = decoded[t]
+            e = int(np.searchsorted(idx, d))
+            return pos[tfcum[e]:tfcum[e + 1]].astype(np.int64)
+
+        k1, b = params.k1, params.b
+        hit_docs: list[int] = []
+        pfreqs: list[int] = []
+        for d in cand.tolist():
+            if self.deleted_mask[d]:
+                continue
+            starts = doc_positions(phrase[0], d)
+            for seq, t in enumerate(phrase[1:], start=1):
+                if len(starts) == 0:
+                    break
+                starts = np.intersect1d(
+                    starts, doc_positions(t, d) - seq, assume_unique=True
+                )
+            if len(starts):
+                hit_docs.append(d)
+                pfreqs.append(len(starts))
+        if not hit_docs:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        hd = np.asarray(hit_docs, dtype=np.int64)
+        pf = np.asarray(pfreqs, dtype=np.float64)
+        dl = self.dl[hd]
+        scores_local = idf_sum * pf * (k1 + 1.0) / (
+            pf + k1 * (1.0 - b + b * dl / avgdl)
+        )
+        dense = np.zeros(self.num_docs, dtype=np.float64)
+        dense[hd] = scores_local
+        cand2, cs = _select_topk(hd, dense, k, params)
+        return (cand2 + self.doc_base).astype(np.int64), cs
 
     def wand_topk(
         self,
@@ -454,6 +535,20 @@ class _ScorerCore:
             out.append((qid, ids, sc))
         return out
 
+    def phrase_topk(
+        self, queries: list[tuple[int, list[str], float, int]]
+    ) -> list[tuple[int, np.ndarray, np.ndarray]]:
+        """queries: [(qid, phrase terms in order, idf_sum, k)]."""
+        out = []
+        for qid, phrase, idf_sum, k in queries:
+            parts = [
+                s.phrase_topk(phrase, idf_sum, self.params, self.avgdl, k)
+                for s in self.shards
+            ]
+            ids, sc = merge_topk(parts, k, self.params.round_decimals)
+            out.append((qid, ids, sc))
+        return out
+
     def bool_topk(
         self,
         queries: list[tuple[int, dict, int]],
@@ -536,6 +631,31 @@ class QueryEngine:
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         return self.search_batch([(0, query, k)])[0]
+
+    def search_phrase(self, phrase: str | list[str], k: int = 10) -> list[tuple[int, float]]:
+        """Exact phrase query (ES ``match_phrase``, slop 0) over an index
+        built with ``store_positions=True``.  ``phrase`` is free text
+        analyzed in ORDER (duplicates kept) or a pre-analyzed token list;
+        score = BM25 with tf = phrase frequency and idf = sum of the
+        constituent terms' idfs (Lucene PhraseQuery)."""
+        if isinstance(phrase, str):
+            fn = get_analyzer(
+                "code" if self.analyzer_name == "per_lang" else self.analyzer_name
+            )
+            m = self.info.manifest
+            terms = clip_tokens(fn(phrase), m.min_token_len, m.max_token_len)
+        else:
+            terms = list(phrase)
+        if not terms:
+            return []
+        idf = self.idfs(sorted(set(terms)))
+        idf_sum = float(sum(idf[t] for t in terms))
+        per_actor = ray.get(
+            [a.phrase_topk.remote([(0, terms, idf_sum, k)]) for a in self.actors]
+        )
+        parts = [(res[0][1], res[0][2]) for res in per_actor]
+        ids, sc = merge_topk(parts, k, self.params.round_decimals)
+        return list(zip(ids.tolist(), sc.tolist()))
 
     def search_bool(
         self,

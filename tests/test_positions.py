@@ -1,0 +1,316 @@
+"""Positional sidecar + phrase queries (ES ``match_phrase``, slop 0).
+
+The reference delegates phrase semantics to Elasticsearch's Lucene
+positional index (``match_phrase`` queries pass through
+``translate_query``); here the positions are a first-class segment
+column (`index/codec.py` positions encoder) and the phrase scorer is
+the Lucene PhraseQuery model: tf = phrase frequency, idf = sum of the
+constituent terms' idfs.
+"""
+
+import hashlib
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_assets_ray.analysis.tokenizer import clip_tokens, code_tokens
+from elasticsearch_assets_ray.config import BM25Params, IndexConfig
+from elasticsearch_assets_ray.index.build import build_index
+from elasticsearch_assets_ray.index.codec import (
+    decode_positions,
+    encode_positions_many,
+)
+from elasticsearch_assets_ray.search.engine import QueryEngine
+
+
+# ---------------------------------------------------------------- codec
+
+
+def test_positions_roundtrip_and_concat():
+    rng = np.random.default_rng(3)
+    # 5 terms, ragged postings, ragged positions per posting
+    tfs_per_term = [rng.integers(1, 6, size=int(rng.integers(1, 8))) for _ in range(5)]
+    offsets = np.concatenate([[0], np.cumsum([len(t) for t in tfs_per_term])])
+    tfs = np.concatenate(tfs_per_term).astype(np.int64)
+    pos_chunks = []
+    for tf in tfs:
+        p = np.sort(rng.choice(500, size=int(tf), replace=False)).astype(np.uint64)
+        pos_chunks.append(p)
+    pos = np.concatenate(pos_chunks)
+    blobs = encode_positions_many(pos, tfs, offsets.astype(np.int64))
+    assert len(blobs) == 5
+    # roundtrip per term
+    got = []
+    for t in range(5):
+        lo, hi = int(offsets[t]), int(offsets[t + 1])
+        got.append(decode_positions(blobs[t], tfs[lo:hi]))
+    assert (np.concatenate(got) == pos).all()
+
+    # concat property: one term split into two disjoint ascending doc
+    # ranges encodes to blobs whose byte concatenation decodes whole
+    t_tfs = tfs[offsets[0]:offsets[1]]
+    t_pos = pos[: int(t_tfs.sum())]
+    cut = len(t_tfs) // 2 or 1
+    tokcut = int(t_tfs[:cut].sum())
+    b1 = encode_positions_many(t_pos[:tokcut], t_tfs[:cut], np.array([0, cut]))
+    b2 = encode_positions_many(
+        t_pos[tokcut:], t_tfs[cut:], np.array([0, len(t_tfs) - cut])
+    )
+    whole = encode_positions_many(t_pos, t_tfs, np.array([0, len(t_tfs)]))
+    assert b1[0] + b2[0] == whole[0]
+
+
+def test_positions_length_mismatch_raises():
+    with pytest.raises(ValueError):
+        encode_positions_many(
+            np.array([1, 2], np.uint64), np.array([3], np.int64), np.array([0, 1])
+        )
+    blobs = encode_positions_many(
+        np.array([1, 2, 5], np.uint64), np.array([3], np.int64), np.array([0, 1])
+    )
+    with pytest.raises(ValueError):
+        decode_positions(blobs[0], np.array([2], np.int64))
+
+
+def test_invert_pos_parity_with_positionless_kernel():
+    """docs/tfs/offsets from the positional inversion must be IDENTICAL
+    to the positionless kernel's, and positions ascend within each
+    (term, doc) entry."""
+    from elasticsearch_assets_ray.index.build import (
+        in_doc_positions,
+        invert_codes,
+        invert_codes_pos,
+    )
+
+    rng = np.random.default_rng(11)
+    n_tok, n_terms, n_docs = 5000, 40, 90
+    codes = rng.integers(0, n_terms, n_tok).astype(np.int64)
+    doc_rel = np.sort(rng.integers(0, n_docs, n_tok)).astype(np.int64)
+    tokpos = in_doc_positions(doc_rel)
+    d0, t0, o0 = invert_codes(codes, doc_rel, n_terms, 7)
+    d1, t1, o1, posf = invert_codes_pos(codes, doc_rel, n_terms, 7, tokpos)
+    assert (d0 == d1).all() and (t0 == t1).all() and (o0 == o1).all()
+    assert len(posf) == n_tok
+    # positions ascend within each posting entry
+    tfcum = np.concatenate([[0], np.cumsum(t1.astype(np.int64))])
+    interior = np.ones(n_tok, dtype=bool)
+    interior[tfcum[:-1]] = False
+    assert (np.diff(posf)[interior[1:]] > 0).all()
+
+
+# ---------------------------------------------------------------- build
+
+
+@pytest.fixture(scope="module")
+def pos_index(small_corpus, tmp_path_factory):
+    idx = tmp_path_factory.mktemp("posidx") / "idx"
+    info = build_index(
+        small_corpus,
+        idx,
+        IndexConfig(
+            partition_target_docs=50, shard_target_docs=100, store_positions=True
+        ),
+    )
+    return info
+
+
+def _seg_bytes(info):
+    h = hashlib.sha256()
+    for sid in sorted(info.shard_ids()):
+        h.update(open(info.segment_path(sid), "rb").read())
+    return h.hexdigest()
+
+
+def test_positional_build_strategy_byte_identity(small_corpus, tmp_path):
+    infos = {}
+    for strat in ("fused", "groupby"):
+        infos[strat] = build_index(
+            small_corpus,
+            tmp_path / strat,
+            IndexConfig(
+                partition_target_docs=50,
+                shard_target_docs=100,
+                store_positions=True,
+                merge_strategy=strat,
+            ),
+        )
+    assert _seg_bytes(infos["fused"]) == _seg_bytes(infos["groupby"])
+
+
+def test_positions_decode_match_document_tokens(pos_index, small_corpus):
+    """Every posting's decoded positions are exactly the indices where
+    the term occurs in the analyzed document."""
+    import pathlib
+
+    m = pos_index.manifest
+    texts = []
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        texts.extend(pq.read_table(f, columns=["content"]).column("content").to_pylist())
+    toks = [clip_tokens(code_tokens(t), m.min_token_len, m.max_token_len) for t in texts]
+
+    from elasticsearch_assets_ray.index.codec import decode_postings
+
+    checked = 0
+    for sid in sorted(pos_index.shard_ids()):
+        seg = pq.read_table(pos_index.segment_path(sid))
+        assert "positions" in seg.column_names
+        terms = seg.column("term").to_pylist()
+        blobs = seg.column("postings").to_pylist()
+        pblobs = seg.column("positions").to_pylist()
+        for i in range(0, len(terms), 17):  # sample every 17th term
+            ids, tfs = decode_postings(blobs[i])
+            ptf = tfs.astype(np.int64)
+            pos = decode_positions(pblobs[i], ptf)
+            tfcum = np.concatenate([[0], np.cumsum(ptf)])
+            for e in range(len(ids)):
+                doc = int(ids[e])
+                expect = [j for j, tk in enumerate(toks[doc]) if tk == terms[i]]
+                got = pos[tfcum[e]:tfcum[e + 1]].tolist()
+                assert got == expect, (terms[i], doc)
+                checked += 1
+    assert checked > 100
+
+
+# ---------------------------------------------------------------- phrase
+
+
+def _phrase_oracle(texts, phrase_toks, m):
+    """Brute-force phrase frequency per doc over the analyzed corpus."""
+    L = len(phrase_toks)
+    freqs = {}
+    for d, text in enumerate(texts):
+        toks = clip_tokens(code_tokens(text), m.min_token_len, m.max_token_len)
+        f = sum(
+            1 for i in range(len(toks) - L + 1) if toks[i:i + L] == phrase_toks
+        )
+        if f:
+            freqs[d] = f
+    return freqs
+
+
+def test_phrase_matches_brute_force_and_bm25(pos_index, small_corpus):
+    import pathlib
+
+    texts = []
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        texts.extend(pq.read_table(f, columns=["content"]).column("content").to_pylist())
+    m = pos_index.manifest
+    dl = (
+        pq.read_table(pos_index.index_dir / "docmeta", columns=["doc_id", "dl"])
+        .sort_by("doc_id")
+        .column("dl")
+        .to_numpy()
+    )
+    eng = QueryEngine(pos_index.index_dir, num_actors=2)
+    params = BM25Params()
+    try:
+        for phrase in ["def merge", "return data", "import import", "the the"]:
+            ptoks = clip_tokens(code_tokens(phrase), m.min_token_len, m.max_token_len)
+            oracle = _phrase_oracle(texts, ptoks, m)
+            res = eng.search_phrase(phrase, k=1000)
+            got = dict(res)
+            assert set(got) == set(oracle), phrase
+            if not oracle:
+                continue
+            idf = eng.idfs(sorted(set(ptoks)))
+            idf_sum = sum(idf[t] for t in ptoks)
+            avgdl = pos_index.stats.avgdl
+            for d, pf in oracle.items():
+                expect = (
+                    idf_sum
+                    * pf
+                    * (params.k1 + 1.0)
+                    / (pf + params.k1 * (1.0 - params.b + params.b * dl[d] / avgdl))
+                )
+                assert abs(got[d] - expect) < 1e-9, (phrase, d)
+    finally:
+        eng.shutdown()
+
+
+def test_phrase_requires_positions(small_index):
+    eng = QueryEngine(small_index.index_dir, num_actors=1)
+    try:
+        import ray
+
+        with pytest.raises(ray.exceptions.RayTaskError, match="store_positions"):
+            eng.search_phrase("def merge", k=5)
+    finally:
+        eng.shutdown()
+
+
+def test_phrase_empty_and_absent(pos_index):
+    eng = QueryEngine(pos_index.index_dir, num_actors=1)
+    try:
+        assert eng.search_phrase("", k=5) == []
+        assert eng.search_phrase("zzqqxhjkwnotaterm other", k=5) == []
+    finally:
+        eng.shutdown()
+
+
+def test_compaction_rewrites_positions(small_corpus, tmp_path):
+    """Delete docs + compact: the compacted positional segments must be
+    byte-identical to a cold rebuild over the surviving docs (modulo the
+    doc-id gaps, which compaction preserves) — verified via phrase
+    results + per-term position decode equality."""
+    from elasticsearch_assets_ray.index.compact import compact_index
+    from elasticsearch_assets_ray.index.deletes import delete_docs
+    from elasticsearch_assets_ray.index.codec import decode_postings
+
+    cfg = IndexConfig(
+        partition_target_docs=50, shard_target_docs=100, store_positions=True
+    )
+    idx = tmp_path / "idx"
+    info = build_index(small_corpus, idx, cfg)
+    victims = [2, 61, 140, 260, 398]
+
+    # pre-delete decode of a few terms, restricted to survivors
+    seg0 = {sid: pq.read_table(info.segment_path(sid)) for sid in info.shard_ids()}
+
+    delete_docs(idx, victims)
+    compact_index(idx)
+
+    for sid in info.shard_ids():
+        seg1 = pq.read_table(info.segment_path(sid))
+        assert "positions" in seg1.column_names
+        terms0 = seg0[sid].column("term").to_pylist()
+        t0_of = {t: i for i, t in enumerate(terms0)}
+        blobs1 = seg1.column("postings").to_pylist()
+        pblobs1 = seg1.column("positions").to_pylist()
+        for i, t in enumerate(seg1.column("term").to_pylist()[::23]):
+            j1 = seg1.column("term").to_pylist().index(t)
+            ids1, tfs1 = decode_postings(blobs1[j1])
+            pos1 = decode_positions(pblobs1[j1], tfs1.astype(np.int64))
+            # original entry for the same (term, surviving doc) must match
+            j0 = t0_of[t]
+            ids0, tfs0 = decode_postings(seg0[sid].column("postings")[j0].as_py())
+            pos0 = decode_positions(
+                seg0[sid].column("positions")[j0].as_py(), tfs0.astype(np.int64)
+            )
+            keep = ~np.isin(ids0.astype(np.int64), victims)
+            assert (ids1 == ids0[keep]).all()
+            assert (tfs1 == tfs0[keep]).all()
+            tok_keep = np.repeat(keep, tfs0.astype(np.int64))
+            assert (pos1 == pos0[tok_keep]).all()
+
+    # phrase serving over the compacted index matches the oracle over
+    # the surviving docs
+    import pathlib
+
+    texts = []
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        texts.extend(pq.read_table(f, columns=["content"]).column("content").to_pylist())
+    m = info.manifest
+    eng = QueryEngine(idx, num_actors=2)
+    try:
+        for phrase in ["def merge", "return data"]:
+            ptoks = clip_tokens(code_tokens(phrase), m.min_token_len, m.max_token_len)
+            oracle = {
+                d: f
+                for d, f in _phrase_oracle(texts, ptoks, m).items()
+                if d not in victims
+            }
+            got = dict(eng.search_phrase(phrase, k=1000))
+            assert set(got) == set(oracle)
+    finally:
+        eng.shutdown()
