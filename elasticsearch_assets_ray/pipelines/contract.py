@@ -59,6 +59,16 @@ BM25_QUERIES: list[tuple[int, str]] = [
     (5, "filter column index"),
 ]
 
+# exact phrases (ES match_phrase, slop 0) over the documents corpus;
+# mixed lengths and a repeated-token phrase exercise the overlap path
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join"),
+    (1, "big table"),
+    (2, "slow query scan"),
+    (3, "table table"),
+    (4, "customer order value"),
+]
+
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 CONNECTION_MAP = {
@@ -81,7 +91,7 @@ def _docs(sf_dir: str):
 
 # bump when index layout / analyzer / scoring semantics change, so a
 # /tmp cache surviving from an earlier code version can never be reused
-CONTRACT_INDEX_VERSION = "v4"
+CONTRACT_INDEX_VERSION = "v5"  # v5: positional sidecar (phrase queries)
 
 
 def doc_index_dir(sf_dir: str) -> str:
@@ -99,6 +109,9 @@ def ensure_doc_index(sf_dir: str) -> str:
         meta_cols=("source", "lang"),
         partition_target_docs=128,
         shard_target_docs=512,
+        # Lucene indexes positions for text fields by default; the one
+        # shared contract index serves term, bool AND phrase queries
+        store_positions=True,
     )
     out = doc_index_dir(sf_dir)
     build_index(f"{sf_dir}/documents.parquet", out, cfg)
@@ -454,6 +467,88 @@ scored AS (
   FROM elig e
   LEFT JOIN contrib c ON c.query_id = e.query_id AND c.doc_id = e.doc_id
   GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
+def q_bm25_phrase(sf_dir: str) -> pa.Table:
+    """ES ``match_phrase`` (slop 0) over the positional sidecar: the
+    shard actors decode per-term positions, intersect consecutive
+    offsets, and score BM25 with tf = phrase frequency and
+    idf = Σ constituent-term idfs (Lucene PhraseQuery semantics; the
+    reference passes match_phrase through to ES untranslated).  Same
+    rounded-tie-aware fetch + orig-id re-rank as ``bm25_topk``."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_phrase(phrase, k=K_FETCH)
+            for qid, phrase in PHRASE_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+# contract tokenization WITH in-doc positions (clip before numbering,
+# exactly as the index build assigns positions over clipped tokens)
+_TOKSP = (
+    "SELECT {id} AS doc_id, unnest(a) AS t, generate_subscripts(a, 1) - 1 AS pos "
+    "FROM (SELECT {id}, list_filter(regexp_split_to_array(lower({text}), "
+    "'[^a-z0-9]+'), x -> x <> '' AND len(x) <= 64) AS a FROM {src})"
+)
+
+
+def sql_bm25_phrase() -> str:
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    # one self-join chain per phrase (phrases are short; the sf-scale
+    # oracle only needs to be correct, the engine is the scale path)
+    pf_parts = []
+    idf_rows = []
+    for qid, phrase in PHRASE_QUERIES:
+        toks = [t for t in phrase.lower().split() if t]
+        joins = "\n  ".join(
+            f"JOIN toksp p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.pos = p0.pos + {i} AND p{i}.t = '{t}'"
+            for i, t in enumerate(toks[1:], start=1)
+        )
+        pf_parts.append(
+            f"SELECT {qid} AS query_id, p0.doc_id, count(*)::DOUBLE AS pf\n"
+            f"  FROM toksp p0\n  {joins}\n  WHERE p0.t = '{toks[0]}'\n"
+            f"  GROUP BY 1, 2"
+        )
+        for t in toks:  # repeats kept: idf_sum counts duplicates
+            idf_rows.append(f"({qid}, '{t}')")
+    pf_union = "\nUNION ALL\n".join(pf_parts)
+    values = ", ".join(idf_rows)
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT t, count(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY t),
+qt(query_id, t) AS (VALUES {values}),
+idfs AS (SELECT qt.query_id,
+                sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+         FROM qt JOIN df ON df.t = qt.t, s GROUP BY 1),
+pf AS ({pf_union}),
+scored AS (
+  SELECT pf.query_id, pf.doc_id,
+         idfs.idf_sum * pf.pf * ({K1} + 1)
+           / (pf.pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+  FROM pf
+  JOIN idfs ON idfs.query_id = pf.query_id
+  JOIN dl ON dl.doc_id = pf.doc_id, s
+)
 SELECT query_id, doc_id,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY round(score, 4) DESC, doc_id) AS rank,
@@ -1459,6 +1554,7 @@ def queries():
         "bm25_topk": q_bm25_topk,
         "bm25_topk_global": q_bm25_topk_global,
         "bm25_bool": q_bm25_bool,
+        "bm25_phrase": q_bm25_phrase,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
@@ -1497,6 +1593,7 @@ def oracle_sql():
         "bm25_topk": sql_bm25_topk(),
         "bm25_topk_global": sql_bm25_topk(),
         "bm25_bool": sql_bm25_bool(),
+        "bm25_phrase": sql_bm25_phrase(),
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "text_stats": sql_text_stats(),
