@@ -248,6 +248,44 @@ def test_phrase_empty_and_absent(pos_index):
         eng.shutdown()
 
 
+def test_persistent_ticks_with_positions_equal_cold_build(small_corpus, tmp_path):
+    """Incremental appends via the persistent indexer must produce the
+    SAME positional segments as a cold build — positions concatenate
+    across append batches exactly like postings parts."""
+    import pathlib
+    import shutil
+    import time
+
+    from elasticsearch_assets_ray.index.persistent import PersistentIndexer
+    from tests.test_persistent import FakeClock
+
+    src = sorted(pathlib.Path(small_corpus).glob("*.parquet"))
+    live = tmp_path / "live"
+    live.mkdir()
+    cfg = IndexConfig(
+        partition_target_docs=50, shard_target_docs=100, store_positions=True
+    )
+    clock = FakeClock(t0=time.time() + 1e6)
+    px = PersistentIndexer(live, tmp_path / "idx", cfg, interval_s=30,
+                           delay_s=0, clock=clock, sleep=clock.sleep)
+    for f in src[:2]:
+        shutil.copy(f, live / f.name)
+    px.enqueue_due_windows()
+    assert px.tick() is not None
+    for f in src[2:]:
+        shutil.copy(f, live / f.name)
+    clock.t += 30
+    px.enqueue_due_windows()
+    info2 = px.tick()
+    cold = build_index(small_corpus, tmp_path / "cold", cfg)
+    assert sorted(cold.shard_ids()) == sorted(info2.shard_ids())
+    for sid in cold.shard_ids():
+        a = pq.read_table(cold.segment_path(sid))
+        b = pq.read_table(info2.segment_path(sid))
+        assert "positions" in b.column_names
+        assert a.equals(b), f"shard {sid} differs from cold build"
+
+
 def test_compaction_rewrites_positions(small_corpus, tmp_path):
     """Delete docs + compact: the compacted positional segments must be
     byte-identical to a cold rebuild over the surviving docs (modulo the
