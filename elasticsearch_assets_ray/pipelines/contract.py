@@ -69,6 +69,21 @@ PHRASE_QUERIES: list[tuple[int, str]] = [
     (4, "customer order value"),
 ]
 
+# ES prefix queries (constant_score rewrite) + match_phrase_prefix
+PREFIX_QUERIES: list[tuple[int, str]] = [
+    (0, "sc"),    # scan
+    (1, "s"),     # scan slow small sort spark stream ...
+    (2, "qu"),    # query
+    (3, "val"),   # value
+]
+PHRASE_PREFIX_QUERIES: list[tuple[int, str]] = [
+    (0, "hash jo"),
+    (1, "big ta"),
+    (2, "slow qu"),
+    (3, "customer or"),
+]
+MAX_EXPANSIONS = 50  # ES default for match_phrase_prefix
+
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 CONNECTION_MAP = {
@@ -540,6 +555,128 @@ qt(query_id, t) AS (VALUES {values}),
 idfs AS (SELECT qt.query_id,
                 sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
          FROM qt JOIN df ON df.t = qt.t, s GROUP BY 1),
+pf AS ({pf_union}),
+scored AS (
+  SELECT pf.query_id, pf.doc_id,
+         idfs.idf_sum * pf.pf * ({K1} + 1)
+           / (pf.pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+  FROM pf
+  JOIN idfs ON idfs.query_id = pf.query_id
+  JOIN dl ON dl.doc_id = pf.doc_id, s
+)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
+def q_prefix_search(sf_dir: str) -> pa.Table:
+    """ES ``prefix`` query under the default constant_score rewrite:
+    term-dictionary range scan per shard (the sorted segment term column
+    IS the dictionary — no global vocabulary materialized), matching
+    docs score 1.0, ties broken doc_id ascending."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_prefix(p, k=TOPK) for qid, p in PREFIX_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_prefix_search() -> str:
+    values = ", ".join(f"({i}, '{p}')" for i, p in PREFIX_QUERIES)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, p) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t LIKE q.p || '%')
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY doc_id) AS rank,
+       1.0 AS score_r
+FROM hit
+QUALIFY rank <= {TOPK}
+"""
+
+
+def q_phrase_prefix(sf_dir: str) -> pa.Table:
+    """ES ``match_phrase_prefix``: exact phrase with the last term
+    prefix-expanded to ≤ MAX_EXPANSIONS dictionary terms in term order
+    (Lucene MultiPhraseQuery; idf = Σ fixed-term idfs + Σ expansion
+    idfs, tf = multi-phrase frequency)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_phrase_prefix(p, k=K_FETCH,
+                                             max_expansions=MAX_EXPANSIONS)
+            for qid, p in PHRASE_PREFIX_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_phrase_prefix() -> str:
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    pf_parts = []
+    fixed_rows = []
+    pref_rows = []
+    for qid, phrase in PHRASE_PREFIX_QUERIES:
+        toks = [t for t in phrase.lower().split() if t]
+        fixed, pref = toks[:-1], toks[-1]
+        pref_rows.append(f"({qid}, '{pref}')")
+        joins = "\n  ".join(
+            f"JOIN toksp p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.pos = p0.pos + {i} AND p{i}.t = '{t}'"
+            for i, t in enumerate(fixed[1:], start=1)
+        )
+        last = len(fixed)
+        joins += (
+            f"\n  JOIN toksp p{last} ON p{last}.doc_id = p0.doc_id "
+            f"AND p{last}.pos = p0.pos + {last}\n"
+            f"  JOIN exp ON exp.query_id = {qid} AND exp.t = p{last}.t"
+        )
+        pf_parts.append(
+            f"SELECT {qid} AS query_id, p0.doc_id, count(*)::DOUBLE AS pf\n"
+            f"  FROM toksp p0\n  {joins}\n  WHERE p0.t = '{fixed[0]}'\n"
+            f"  GROUP BY 1, 2"
+        )
+        for t in fixed:
+            fixed_rows.append(f"({qid}, '{t}')")
+    pf_union = "\nUNION ALL\n".join(pf_parts)
+    fixed_values = ", ".join(fixed_rows)
+    pref_values = ", ".join(pref_rows)
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT t, count(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY t),
+qp(query_id, p) AS (VALUES {pref_values}),
+exp AS (SELECT query_id, t FROM (
+          SELECT qp.query_id, df.t,
+                 row_number() OVER (PARTITION BY qp.query_id ORDER BY df.t) AS rn
+          FROM qp JOIN df ON df.t LIKE qp.p || '%')
+        WHERE rn <= {MAX_EXPANSIONS}),
+qf(query_id, t) AS (VALUES {fixed_values}),
+qall AS (SELECT query_id, t FROM qf UNION ALL SELECT query_id, t FROM exp),
+idfs AS (SELECT qall.query_id,
+                sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+         FROM qall JOIN df ON df.t = qall.t, s GROUP BY 1),
 pf AS ({pf_union}),
 scored AS (
   SELECT pf.query_id, pf.doc_id,
@@ -1555,6 +1692,8 @@ def queries():
         "bm25_topk_global": q_bm25_topk_global,
         "bm25_bool": q_bm25_bool,
         "bm25_phrase": q_bm25_phrase,
+        "prefix_search": q_prefix_search,
+        "bm25_phrase_prefix": q_phrase_prefix,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
@@ -1594,6 +1733,8 @@ def oracle_sql():
         "bm25_topk_global": sql_bm25_topk(),
         "bm25_bool": sql_bm25_bool(),
         "bm25_phrase": sql_bm25_phrase(),
+        "prefix_search": sql_prefix_search(),
+        "bm25_phrase_prefix": sql_phrase_prefix(),
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "text_stats": sql_text_stats(),

@@ -83,9 +83,11 @@ class ShardData:
         self.doc_base = st.doc_base
         self.num_docs = st.num_docs
         seg = pq.read_table(info.segment_path(shard_id))
-        self.terms: dict[str, int] = {
-            t: i for i, t in enumerate(seg.column("term").to_pylist())
-        }
+        # segment term column is sorted ascending (both build strategies
+        # emit factorize(sort=True) order) — kept as a list so prefix
+        # queries can bisect a term range without a global dictionary
+        self.term_list: list[str] = seg.column("term").to_pylist()
+        self.terms: dict[str, int] = {t: i for i, t in enumerate(self.term_list)}
         self.df = seg.column("df").to_numpy()
         self.max_tf = seg.column("max_tf").to_numpy()
         self.blobs = seg.column("postings").to_pylist()
@@ -251,21 +253,52 @@ class ShardData:
         cand, cs = _select_topk(cand, scores, k, params)
         return (cand + self.doc_base).astype(np.int64), cs
 
+    def expand_prefix(self, prefix: str, cap: int | None = None) -> list[str]:
+        """Terms in this shard's (sorted) dictionary starting with
+        ``prefix``, in term order — the Lucene per-segment prefix
+        expansion.  ``cap`` bounds the walk (max_expansions)."""
+        import bisect
+
+        lo = bisect.bisect_left(self.term_list, prefix)
+        out: list[str] = []
+        for i in range(lo, len(self.term_list)):
+            if not self.term_list[i].startswith(prefix):
+                break
+            out.append(self.term_list[i])
+            if cap is not None and len(out) >= cap:
+                break
+        return out
+
+    def prefix_docs(self, prefix: str, k: int) -> np.ndarray:
+        """ES ``prefix`` query (constant_score rewrite): the k smallest
+        live GLOBAL doc ids containing any term with the prefix."""
+        hits: list[np.ndarray] = []
+        for t in self.expand_prefix(prefix):
+            doc_ids, _ = decode_postings(self.blobs[self.terms[t]])
+            hits.append(doc_ids.astype(np.int64))
+        if not hits:
+            return np.empty(0, dtype=np.int64)
+        docs = np.unique(np.concatenate(hits))
+        docs = docs[~self.deleted_mask[docs - self.doc_base]]
+        return docs[:k]
+
     def phrase_topk(
         self,
-        phrase: list[str],
+        phrase: list,
         idf_sum: float,
         params: BM25Params,
         avgdl: float,
         k: int,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Exact phrase top-k over the positional sidecar (Lucene
-        PhraseQuery semantics, slop 0): a doc matches when the phrase's
-        terms occur at consecutive in-doc positions; its score is BM25
-        with tf = the PHRASE frequency (number of start positions, overlap
-        counted) and idf = the sum of the constituent terms' idfs
-        (repeats counted) — Lucene's PhraseWeight treats the phrase as
-        one pseudo-term."""
+        """Exact (multi-)phrase top-k over the positional sidecar (Lucene
+        PhraseQuery / MultiPhraseQuery semantics, slop 0): each element of
+        ``phrase`` is a term OR a list of alternative terms for that slot
+        (the match_phrase_prefix expansion shape); a doc matches when some
+        alternative of every slot occurs at consecutive in-doc positions.
+        Score is BM25 with tf = the PHRASE frequency (number of start
+        positions, overlap counted) and idf = the caller-provided sum of
+        the constituent terms' idfs — Lucene's PhraseWeight treats the
+        phrase as one pseudo-term."""
         if self.posblobs is None:
             raise RuntimeError(
                 "index was built without store_positions=True — phrase "
@@ -275,28 +308,49 @@ class ShardData:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         from ..index.codec import decode_positions
 
+        slots: list[list[str]] = [
+            [s] if isinstance(s, str) else list(s) for s in phrase
+        ]
         decoded: dict[str, tuple] = {}
-        for t in set(phrase):
-            i = self.terms.get(t)
-            if i is None:  # any absent term → no phrase match in shard
+        slot_present: list[list[str]] = []
+        for alts in slots:
+            present = []
+            for t in alts:
+                i = self.terms.get(t)
+                if i is None:
+                    continue
+                if t not in decoded:
+                    doc_ids, tfs = decode_postings(self.blobs[i])
+                    idx = (doc_ids - np.uint64(self.doc_base)).astype(np.int64)
+                    pos = decode_positions(self.posblobs[i], tfs.astype(np.int64))
+                    tfcum = np.concatenate([[0], np.cumsum(tfs.astype(np.int64))])
+                    decoded[t] = (idx, pos, tfcum)
+                present.append(t)
+            if not present:  # a slot with no live term → no match in shard
                 return np.empty(0, np.int64), np.empty(0, np.float64)
-            doc_ids, tfs = decode_postings(self.blobs[i])
-            idx = (doc_ids - np.uint64(self.doc_base)).astype(np.int64)
-            pos = decode_positions(self.posblobs[i], tfs.astype(np.int64))
-            tfcum = np.concatenate([[0], np.cumsum(tfs.astype(np.int64))])
-            decoded[t] = (idx, pos, tfcum)
+            slot_present.append(present)
 
-        # candidate docs: every phrase term present (sorted intersect)
-        cand = decoded[phrase[0]][0]
-        for t in set(phrase[1:]):
-            cand = np.intersect1d(cand, decoded[t][0], assume_unique=True)
+        # candidate docs: some alternative of every slot present
+        def slot_docs(alts: list[str]) -> np.ndarray:
+            ds = [decoded[t][0] for t in alts]
+            return ds[0] if len(ds) == 1 else np.unique(np.concatenate(ds))
+
+        cand = slot_docs(slot_present[0])
+        for alts in slot_present[1:]:
+            cand = np.intersect1d(cand, slot_docs(alts), assume_unique=True)
         if len(cand) == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
 
-        def doc_positions(t: str, d: int) -> np.ndarray:
-            idx, pos, tfcum = decoded[t]
-            e = int(np.searchsorted(idx, d))
-            return pos[tfcum[e]:tfcum[e + 1]].astype(np.int64)
+        def doc_positions(alts: list[str], d: int) -> np.ndarray:
+            parts = []
+            for t in alts:
+                idx, pos, tfcum = decoded[t]
+                e = int(np.searchsorted(idx, d))
+                if e < len(idx) and idx[e] == d:
+                    parts.append(pos[tfcum[e]:tfcum[e + 1]].astype(np.int64))
+            if not parts:
+                return np.empty(0, dtype=np.int64)
+            return parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
 
         k1, b = params.k1, params.b
         hit_docs: list[int] = []
@@ -304,12 +358,12 @@ class ShardData:
         for d in cand.tolist():
             if self.deleted_mask[d]:
                 continue
-            starts = doc_positions(phrase[0], d)
-            for seq, t in enumerate(phrase[1:], start=1):
+            starts = doc_positions(slot_present[0], d)
+            for seq, alts in enumerate(slot_present[1:], start=1):
                 if len(starts) == 0:
                     break
                 starts = np.intersect1d(
-                    starts, doc_positions(t, d) - seq, assume_unique=True
+                    starts, doc_positions(alts, d) - seq, assume_unique=True
                 )
             if len(starts):
                 hit_docs.append(d)
@@ -549,6 +603,17 @@ class _ScorerCore:
             out.append((qid, ids, sc))
         return out
 
+    def expand_prefix(self, prefix: str, cap: int | None = None) -> list[str]:
+        out: set[str] = set()
+        for s in self.shards:
+            out.update(s.expand_prefix(prefix, cap))
+        return sorted(out)
+
+    def prefix_docs(self, prefix: str, k: int) -> np.ndarray:
+        parts = [s.prefix_docs(prefix, k) for s in self.shards]
+        docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        return np.sort(docs)[:k]
+
     def bool_topk(
         self,
         queries: list[tuple[int, dict, int]],
@@ -652,6 +717,61 @@ class QueryEngine:
         idf_sum = float(sum(idf[t] for t in terms))
         per_actor = ray.get(
             [a.phrase_topk.remote([(0, terms, idf_sum, k)]) for a in self.actors]
+        )
+        parts = [(res[0][1], res[0][2]) for res in per_actor]
+        ids, sc = merge_topk(parts, k, self.params.round_decimals)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
+        """Global prefix expansion: union of the shard dictionaries'
+        matching terms, first ``max_expansions`` in term order (computed
+        from the full index, not per segment, so scoring is deterministic
+        across shard layouts)."""
+        per_actor = ray.get(
+            # per-actor cap is sound: the global first-N in sorted order
+            # is a subset of the union of per-shard first-Ns
+            [a.expand_prefix.remote(prefix, max_expansions) for a in self.actors]
+        )
+        out = sorted(set().union(*map(set, per_actor)))
+        return out[:max_expansions]
+
+    def search_prefix(self, prefix: str, k: int = 10) -> list[tuple[int, float]]:
+        """ES ``prefix`` query under its default constant_score rewrite:
+        every live doc containing any term starting with ``prefix``
+        scores 1.0; top-k ties break on doc_id ascending (the engine's
+        merge order), so the result is the k smallest matching ids."""
+        if not prefix:
+            return []
+        per_actor = ray.get([a.prefix_docs.remote(prefix, k) for a in self.actors])
+        docs = np.sort(np.concatenate(per_actor))[:k]
+        return [(int(d), 1.0) for d in docs]
+
+    def search_phrase_prefix(
+        self, phrase: str | list[str], k: int = 10, max_expansions: int = 50
+    ) -> list[tuple[int, float]]:
+        """ES ``match_phrase_prefix``: an exact phrase whose LAST term is
+        a prefix, expanded to ``max_expansions`` dictionary terms in term
+        order (Lucene MultiPhraseQuery).  idf = Σ idfs of the fixed terms
+        plus Σ idfs of every expansion; tf = multi-phrase frequency."""
+        if isinstance(phrase, str):
+            fn = get_analyzer(
+                "code" if self.analyzer_name == "per_lang" else self.analyzer_name
+            )
+            m = self.info.manifest
+            terms = clip_tokens(fn(phrase), m.min_token_len, m.max_token_len)
+        else:
+            terms = list(phrase)
+        if not terms:
+            return []
+        expansions = self.expand_prefix(terms[-1], max_expansions)
+        if not expansions:
+            return []
+        fixed = terms[:-1]
+        idf = self.idfs(sorted(set(fixed) | set(expansions)))
+        idf_sum = float(sum(idf[t] for t in fixed) + sum(idf[t] for t in expansions))
+        slots: list = list(fixed) + [expansions]
+        per_actor = ray.get(
+            [a.phrase_topk.remote([(0, slots, idf_sum, k)]) for a in self.actors]
         )
         parts = [(res[0][1], res[0][2]) for res in per_actor]
         ids, sc = merge_topk(parts, k, self.params.round_decimals)

@@ -248,6 +248,76 @@ def test_phrase_empty_and_absent(pos_index):
         eng.shutdown()
 
 
+def test_prefix_and_phrase_prefix_vs_brute_force(pos_index, small_corpus):
+    """ES prefix (constant_score) and match_phrase_prefix vs a Python
+    brute force over the analyzed corpus, incl. delete masking."""
+    import pathlib
+
+    from elasticsearch_assets_ray.index.deletes import delete_docs
+
+    texts = []
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        texts.extend(pq.read_table(f, columns=["content"]).column("content").to_pylist())
+    m = pos_index.manifest
+    toks = [clip_tokens(code_tokens(t), m.min_token_len, m.max_token_len) for t in texts]
+
+    victims = [5, 9]
+    delete_docs(pos_index.index_dir, victims)
+    try:
+        eng = QueryEngine(pos_index.index_dir, num_actors=2)
+        try:
+            for pref in ["de", "im", "x", "zzznope"]:
+                got = eng.search_prefix(pref, k=12)
+                exp = sorted(
+                    d for d, tk in enumerate(toks)
+                    if d not in victims and any(t.startswith(pref) for t in tk)
+                )[:12]
+                assert [d for d, _ in got] == exp, pref
+                assert all(s == 1.0 for _, s in got)
+
+            # expansion cap: global first-N in term order
+            full = eng.expand_prefix("de", max_expansions=1000)
+            assert full == sorted(full)
+            if len(full) > 1:
+                assert eng.expand_prefix("de", max_expansions=1) == full[:1]
+
+            for phrase in ["def me", "return da"]:
+                fixed = clip_tokens(
+                    code_tokens(phrase), m.min_token_len, m.max_token_len
+                )
+                pref = fixed.pop()
+                exps = sorted(
+                    {t for tk in toks for t in tk if t.startswith(pref)}
+                )[:50]
+                got = dict(eng.search_phrase_prefix(phrase, k=1000))
+                exp_docs = {}
+                L = len(fixed) + 1
+                for d, tk in enumerate(toks):
+                    if d in victims:
+                        continue
+                    pf = sum(
+                        1
+                        for i in range(len(tk) - L + 1)
+                        if tk[i:i + len(fixed)] == fixed and tk[i + L - 1] in exps
+                    )
+                    if pf:
+                        exp_docs[d] = pf
+                assert set(got) == set(exp_docs), phrase
+        finally:
+            eng.shutdown()
+    finally:
+        # clear tombstones so the module-scoped index stays clean for
+        # other tests
+        import os
+
+        from elasticsearch_assets_ray.index.deletes import deletes_path
+
+        for sid in pos_index.shard_ids():
+            p = deletes_path(pos_index.index_dir, sid)
+            if p.exists():
+                os.unlink(p)
+
+
 def test_persistent_ticks_with_positions_equal_cold_build(small_corpus, tmp_path):
     """Incremental appends via the persistent indexer must produce the
     SAME positional segments as a cold build — positions concatenate
