@@ -57,20 +57,28 @@ def varint_lengths(values: np.ndarray) -> np.ndarray:
 
 
 def encode_varint(values: np.ndarray, lengths: np.ndarray | None = None) -> np.ndarray:
-    """Vectorized LEB128 varint encode of a uint64 array → uint8 array."""
+    """Vectorized LEB128 varint encode of a uint64 array → uint8 array.
+
+    The scratch matrix is (n, max encoded length) — NOT a fixed (n, 10):
+    gap streams (postings deltas, position deltas) are overwhelmingly 1-2
+    bytes per value, and trimming the matrix to the true max width cuts
+    the encode's memory traffic ~5× (measured: the 10-wide scratch made
+    position-sidecar encoding the dominant cost of a positional build).
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return np.empty(0, dtype=np.uint8)
     if lengths is None:
         lengths = varint_lengths(v)
-    out = np.empty((n, 10), dtype=np.uint8)
+    width = int(lengths.max())
+    out = np.empty((n, width), dtype=np.uint8)
     tmp = v.copy()
     seven = np.uint64(7)
-    for i in range(10):
+    for i in range(width):
         out[:, i] = (tmp & np.uint64(0x7F)).astype(np.uint8)
         tmp >>= seven
-    cols = np.arange(10)[None, :]
+    cols = np.arange(width)[None, :]
     out[cols < (lengths - 1)[:, None]] |= 0x80
     return out[cols < lengths[:, None]]
 

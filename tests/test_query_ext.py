@@ -1,0 +1,168 @@
+"""Extended ES query surface on the shard-actor engine: wildcard, fuzzy,
+keyword-metadata filters, and terms/stats aggregations — each checked
+against a brute-force oracle over the analyzed corpus.
+
+The reference delegates all of these to Elasticsearch's query DSL
+(``/root/reference/asset/elasticsearch_reader/reader.js`` passes the
+compiled query through untouched); here they execute natively on our
+postings + docmeta."""
+
+import pathlib
+import re
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_assets_ray.analysis.tokenizer import clip_tokens, code_tokens
+from elasticsearch_assets_ray.config import BM25Params
+from elasticsearch_assets_ray.search.engine import QueryEngine
+
+
+@pytest.fixture(scope="module")
+def corpus_docs(small_corpus, small_index):
+    m = small_index.manifest
+    texts, langs = [], []
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        t = pq.read_table(f, columns=["content", "lang"])
+        texts.extend(t.column("content").to_pylist())
+        langs.extend(t.column("lang").to_pylist())
+    toks = [clip_tokens(code_tokens(t), m.min_token_len, m.max_token_len)
+            for t in texts]
+    return toks, langs
+
+
+@pytest.fixture(scope="module")
+def engine(small_index):
+    eng = QueryEngine(small_index.index_dir, num_actors=2)
+    yield eng
+    eng.shutdown()
+
+
+def _wild_rx(pattern: str):
+    return re.compile(
+        "".join(".*" if c == "*" else "." if c == "?" else re.escape(c)
+                for c in pattern) + r"\Z"
+    )
+
+
+def test_wildcard_constant_score(engine, corpus_docs):
+    toks, _ = corpus_docs
+    for pattern in ["me*e", "d?ta", "*cursor", "imp*", "no*match*xx"]:
+        rx = _wild_rx(pattern)
+        expect = [d for d, ts in enumerate(toks) if any(rx.match(t) for t in ts)]
+        res = engine.search_wildcard(pattern, k=7)
+        assert [d for d, _ in res] == expect[:7], pattern
+        assert all(s == 1.0 for _, s in res)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a):
+        cur = [i + 1]
+        for j, cb in enumerate(b):
+            cur.append(min(prev[j] + (ca != cb), prev[j + 1] + 1, cur[j] + 1))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_expansion_matches_bruteforce(engine, corpus_docs):
+    toks, _ = corpus_docs
+    vocab = sorted({t for ts in toks for t in ts})
+    for term, d in [("merge", 1), ("dta", 1), ("cursor", 2)]:
+        expect = sorted(
+            (t, _lev(term, t)) for t in vocab if _lev(term, t) <= d
+        )
+        got = engine.expand_fuzzy(term, fuzziness=d, max_expansions=10_000)
+        assert got == sorted(expect, key=lambda kv: (kv[1], kv[0])), term
+
+
+def test_fuzzy_scoring_weighted_bm25(engine, corpus_docs, small_index):
+    toks, _ = corpus_docs
+    params = BM25Params()
+    avgdl = small_index.stats.avgdl
+    term, fz = "merge", 1
+    exps = engine.expand_fuzzy(term, fuzziness=fz, max_expansions=10_000)
+    idf = engine.idfs([t for t, _ in exps])
+    weights = {
+        t: idf[t] * (1.0 - dist / max(1, min(len(term), len(t))))
+        for t, dist in exps
+    }
+    dl = np.array([len(ts) for ts in toks], dtype=np.float64)
+    scores = np.zeros(len(toks))
+    for t in sorted(weights):
+        for d, ts in enumerate(toks):
+            tf = ts.count(t)
+            if tf:
+                scores[d] += weights[t] * tf * (params.k1 + 1) / (
+                    tf + params.k1 * (1 - params.b + params.b * dl[d] / avgdl)
+                )
+    order = np.lexsort((np.arange(len(toks)), -scores))
+    expect = [(int(d), scores[d]) for d in order[:5] if scores[d] > 0]
+    got = engine.search_fuzzy(term, fuzziness=fz, max_expansions=10_000, k=5)
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (d1, s1), (_, s2) in zip(got, expect):
+        assert abs(s1 - s2) < 1e-9
+
+
+def test_fuzzy_prefix_length_and_cap(engine):
+    # prefix_length pins the exact prefix: every expansion shares it
+    for t, dist in engine.expand_fuzzy("merge", fuzziness=2, prefix_length=3,
+                                       max_expansions=10_000):
+        assert t.startswith("mer"), t
+    # the cap keeps the (dist asc, term asc) head
+    full = engine.expand_fuzzy("merge", fuzziness=2, max_expansions=10_000)
+    capped = engine.expand_fuzzy("merge", fuzziness=2, max_expansions=3)
+    assert capped == sorted(full, key=lambda kv: (kv[1], kv[0]))[:3]
+
+
+def test_bool_meta_filter(engine, corpus_docs, small_index):
+    toks, langs = corpus_docs
+    params = BM25Params()
+    avgdl = small_index.stats.avgdl
+    term = "data"
+    allowed = ["python", "go"]
+    idf = engine.idfs([term])
+    dl = np.array([len(ts) for ts in toks], dtype=np.float64)
+    scores = np.zeros(len(toks))
+    for d, ts in enumerate(toks):
+        tf = ts.count(term)
+        if tf and langs[d] in allowed:
+            scores[d] = idf[term] * tf * (params.k1 + 1) / (
+                tf + params.k1 * (1 - params.b + params.b * dl[d] / avgdl)
+            )
+    order = np.lexsort((np.arange(len(toks)), -scores))
+    expect = [int(d) for d in order[:5] if scores[d] > 0]
+    got = engine.search_bool(must=term, filter_meta={"lang": allowed}, k=5)
+    assert [d for d, _ in got] == expect
+    # filter-only semantics: docs outside the lang set never appear
+    got_all = engine.search_bool(must=term, filter_meta={"lang": allowed}, k=1000)
+    assert all(langs[d] in allowed for d, _ in got_all)
+
+
+def test_aggregate_terms_and_stats(engine, corpus_docs):
+    toks, langs = corpus_docs
+    q = "merge data"
+    qterms = {"merge", "data"}
+    match = [d for d, ts in enumerate(toks) if qterms & set(ts)]
+    expect: dict = {}
+    for d in match:
+        g = langs[d]
+        c, s, mn, mx = expect.get(g, (0, 0.0, float("inf"), float("-inf")))
+        dl = float(len(toks[d]))
+        expect[g] = (c + 1, s + dl, min(mn, dl), max(mx, dl))
+    buckets = engine.aggregate(q, group_by="lang", stats_on="dl")
+    assert [b["key"] for b in buckets] == [
+        g for g, _ in sorted(expect.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    ]
+    for b in buckets:
+        c, s, mn, mx = expect[b["key"]]
+        assert b["doc_count"] == c
+        assert abs(b["sum"] - s) < 1e-9
+        assert b["min"] == mn and b["max"] == mx
+        assert abs(b["avg"] - s / c) < 1e-9
+    # count-only variant
+    counts = engine.aggregate(q, group_by="lang")
+    assert {b["key"]: b["doc_count"] for b in counts} == {
+        g: v[0] for g, v in expect.items()
+    }
