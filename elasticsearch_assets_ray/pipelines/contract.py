@@ -695,6 +695,271 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES wildcard patterns (* any run, ? one char) over the simple-analyzer
+# token space; a leading-wildcard pattern exercises the dictionary scan
+WILDCARD_QUERIES: list[tuple[int, str]] = [
+    (0, "sc*n"),
+    (1, "qu?ry"),
+    (2, "*able"),
+    (3, "v?l*"),
+]
+
+# (qid, term, fuzziness) — ES fuzzy queries, scoring_boolean rewrite
+FUZZY_QUERIES: list[tuple[int, str, int]] = [
+    (0, "quer", 1),
+    (1, "tble", 1),
+    (2, "customer", 2),
+    (3, "scann", 1),
+]
+FUZZY_MAX_EXPANSIONS = 50
+
+# (qid, must text, allowed langs) — bool query + keyword-metadata filter
+META_FILTER_QUERIES: list[tuple[int, str, list[str]]] = [
+    (0, "query scan", ["en"]),
+    (1, "customer order", ["zh", "es"]),
+    (2, "table", ["de", "fr", "en"]),
+    (3, "hash join", ["fr"]),
+]
+
+# terms aggregation (group by lang) + stats sub-agg on dl over matches
+AGG_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join"),
+    (1, "customer order value"),
+]
+
+
+def q_wildcard_search(sf_dir: str) -> pa.Table:
+    """ES ``wildcard`` query (constant_score rewrite): literal-prefix
+    bisect of the sorted per-shard dictionary + regex walk; matching
+    docs score 1.0, ties break doc_id ascending."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_wildcard(p, k=TOPK) for qid, p in WILDCARD_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_wildcard_search() -> str:
+    # tokens are [a-z0-9]+ so the LIKE metacharacters %/_ never occur in
+    # a term — the *->% / ?->_ translation needs no escaping
+    values = ", ".join(
+        "({}, '{}')".format(qid, p.replace("*", "%").replace("?", "_"))
+        for qid, p in WILDCARD_QUERIES
+    )
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, p) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t LIKE q.p)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY doc_id) AS rank,
+       1.0 AS score_r
+FROM hit
+QUALIFY rank <= {TOPK}
+"""
+
+
+def q_fuzzy_search(sf_dir: str) -> pa.Table:
+    """ES ``fuzzy`` query, scoring_boolean rewrite: the term expands to
+    dictionary terms within its edit distance (vectorized
+    one-DP-over-all-candidates Levenshtein per shard), each weighted by
+    the Lucene FuzzyTermsEnum boost ``1 − dist/min(len(q), len(t))``;
+    score = Σ boost·idf·BM25-norm over the expansion disjunction."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_fuzzy(
+                t, fuzziness=fz, max_expansions=FUZZY_MAX_EXPANSIONS, k=K_FETCH
+            )
+            for qid, t, fz in FUZZY_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_fuzzy_search() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}', {fz})" for qid, t, fz in FUZZY_QUERIES
+    )
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+q(query_id, qt, fz) AS (VALUES {values}),
+exp AS (SELECT query_id, t, dist FROM (
+          SELECT q.query_id, df.t, levenshtein(q.qt, df.t) AS dist,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY levenshtein(q.qt, df.t), df.t) AS rn
+          FROM q JOIN df ON levenshtein(q.qt, df.t) <= q.fz)
+        WHERE rn <= {FUZZY_MAX_EXPANSIONS}),
+w AS (SELECT exp.query_id, exp.t,
+             (1.0 - exp.dist::DOUBLE / least(len(q.qt), len(exp.t)))
+             * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS wt
+      FROM exp JOIN q ON q.query_id = exp.query_id
+      JOIN df ON df.t = exp.t, s),
+scored AS (
+  SELECT w.query_id, tf.doc_id,
+         sum(w.wt * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM w
+  JOIN tf ON tf.t = w.t
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
+def q_meta_filter_search(sf_dir: str) -> pa.Table:
+    """Bool query + ES keyword-field ``terms`` filter over a stored
+    docmeta column (``lang``): the filter gates without scoring, exactly
+    like a ``filter`` clause, via lazily-loaded per-shard doc values."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_bool(
+                must=text, filter_meta={"lang": langs}, k=K_FETCH
+            )
+            for qid, text, langs in META_FILTER_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_meta_filter_search() -> str:
+    term_rows, lang_rows = [], []
+    for qid, text, langs in META_FILTER_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+        for lg in langs:
+            lang_rows.append(f"({qid}, '{lg}')")
+    tvalues = ", ".join(term_rows)
+    lvalues = ", ".join(lang_rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+qm(query_id, t) AS (VALUES {tvalues}),
+ql(query_id, lang) AS (VALUES {lvalues}),
+need AS (SELECT query_id, count(*) AS n_must FROM qm GROUP BY 1),
+mh AS (SELECT qm.query_id, tf.doc_id, count(*) AS hits
+       FROM qm JOIN tf ON tf.t = qm.t GROUP BY 1, 2),
+elig AS (SELECT mh.query_id, mh.doc_id
+         FROM mh
+         JOIN need ON need.query_id = mh.query_id
+         JOIN documents d ON d.doc_id = mh.doc_id
+         JOIN ql ON ql.query_id = mh.query_id AND ql.lang = d.lang
+         WHERE mh.hits = need.n_must),
+scored AS (
+  SELECT e.query_id, e.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM elig e
+  JOIN qm ON qm.query_id = e.query_id
+  JOIN tf ON tf.doc_id = e.doc_id AND tf.t = qm.t
+  JOIN df ON df.t = qm.t
+  JOIN dl ON dl.doc_id = e.doc_id, s
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
+def q_match_agg(sf_dir: str) -> pa.Table:
+    """ES search + ``terms`` aggregation with a ``stats`` sub-agg: lang
+    buckets over ALL docs matching the query disjunction (not just the
+    top-k), stats on ``dl`` (analyzed token count).  Per-shard partials
+    (count/sum/min/max) merge associatively across the shard actors —
+    driver work is O(buckets)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    rows = []
+    try:
+        for qid, text in AGG_QUERIES:
+            for b in engine.aggregate(text, group_by="lang", stats_on="dl"):
+                rows.append(
+                    {
+                        "query_id": qid,
+                        "lang": b["key"],
+                        "doc_count": b["doc_count"],
+                        "sum_dl": b["sum"],
+                        "min_dl": b["min"],
+                        "max_dl": b["max"],
+                        "avg_dl": b["avg"],
+                    }
+                )
+    finally:
+        engine.shutdown()
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def sql_match_agg() -> str:
+    rows = []
+    for qid, text in AGG_QUERIES:
+        for t in _simple_tokens(text):
+            rows.append(f"({qid}, '{t}')")
+    values = ", ".join(rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t)
+SELECT hit.query_id, d.lang,
+       count(*)::BIGINT AS doc_count,
+       sum(dl.dl) AS sum_dl,
+       min(dl.dl) AS min_dl,
+       max(dl.dl) AS max_dl,
+       sum(dl.dl) / count(*) AS avg_dl
+FROM hit
+JOIN documents d ON d.doc_id = hit.doc_id
+JOIN dl ON dl.doc_id = hit.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_exact_dedup(sf_dir: str) -> pa.Table:
     return to_arrow(dd.exact_dedup_groups(_docs(sf_dir)))
 
@@ -1694,6 +1959,10 @@ def queries():
         "bm25_phrase": q_bm25_phrase,
         "prefix_search": q_prefix_search,
         "bm25_phrase_prefix": q_phrase_prefix,
+        "wildcard_search": q_wildcard_search,
+        "fuzzy_search": q_fuzzy_search,
+        "meta_filter_search": q_meta_filter_search,
+        "match_agg_lang": q_match_agg,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
@@ -1735,6 +2004,10 @@ def oracle_sql():
         "bm25_phrase": sql_bm25_phrase(),
         "prefix_search": sql_prefix_search(),
         "bm25_phrase_prefix": sql_phrase_prefix(),
+        "wildcard_search": sql_wildcard_search(),
+        "fuzzy_search": sql_fuzzy_search(),
+        "meta_filter_search": sql_meta_filter_search(),
+        "match_agg_lang": sql_match_agg(),
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "text_stats": sql_text_stats(),
