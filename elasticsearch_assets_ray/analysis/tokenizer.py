@@ -121,3 +121,42 @@ def analyzer_for_lang(lang: str) -> Analyzer:
 
 def clip_tokens(tokens: Iterable[str], min_len: int, max_len: int) -> list[str]:
     return [t for t in tokens if min_len <= len(t) <= max_len]
+
+
+def tokens_with_offsets(
+    text: str, analyzer_name: str, min_len: int = 1, max_len: int = 64
+) -> list[tuple[str, int, int]]:
+    """Analyzer tokens WITH their [start, end) character offsets in
+    ``text`` — the highlighting primitive (ES re-analyzes the stored
+    source to map matched terms back to character spans).
+
+    The token SEQUENCE (including the clip filter, applied before
+    numbering — the index's position semantics) is identical to
+    ``clip_tokens(get_analyzer(name)(text), min_len, max_len)``
+    (parity-tested), so index positions index directly into this list.
+    Supports the uniform ``code`` / ``simple`` / ``text`` analyzers;
+    custom registered analyzers have no offset mapping."""
+    out: list[tuple[str, int, int]] = []
+    if analyzer_name == "code":
+        for m in _IDENT_RE.finditer(text):
+            base = m.start()
+            for sm in _CODE_RE.finditer(m.group()):
+                tok = sm.group().lower()
+                if min_len <= len(tok) <= max_len:
+                    out.append((tok, base + sm.start(), base + sm.end()))
+        return out
+    if analyzer_name in ("simple", "text"):
+        low = text.lower()
+        if len(low) != len(text):  # pragma: no cover - non-1:1 lowercasing
+            text = low  # offsets refer to the lowered text (documented)
+        for m in _SIMPLE_RE.finditer(low):
+            tok = m.group()
+            if analyzer_name == "text" and tok in _STOPWORDS:
+                continue
+            if min_len <= len(tok) <= max_len:
+                out.append((tok, m.start(), m.end()))
+        return out
+    raise ValueError(
+        f"no offset mapping for analyzer {analyzer_name!r} (custom analyzers "
+        "return tokens only)"
+    )

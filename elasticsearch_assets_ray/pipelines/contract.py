@@ -960,6 +960,113 @@ GROUP BY 1, 2
 """
 
 
+HIGHLIGHT_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join"),
+    (1, "customer order value"),
+    (2, "slow query scan"),
+]
+
+
+def q_highlight_positions(sf_dir: str) -> pa.Table:
+    """ES ``highlight`` over the BM25 top-k: matched query-term POSITIONS
+    come from the positional sidecar (no document re-scan), the text
+    hydrates via partition lineage, and the char spans wrap in tags.
+    The oracle-checkable projection is the position summary per hit:
+    (n_matches, min_pos, max_pos) over the union of matched positions."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    per_q: dict[int, list[tuple[int, float]]] = {}
+    stats: dict[tuple[int, int], tuple[int, int, int]] = {}
+    try:
+        for qid, text in HIGHLIGHT_QUERIES:
+            hl = engine.search_highlight(text, k=K_FETCH)
+            per_q[qid] = [(h["doc_id"], h["score"]) for h in hl]
+            for h in hl:
+                pos = sorted({p for ps in h["positions"].values() for p in ps})
+                stats[(qid, h["doc_id"])] = (
+                    len(pos), pos[0] if pos else -1, pos[-1] if pos else -1
+                )
+    finally:
+        engine.shutdown()
+    ranked = _bm25_rerank(per_q, idx)
+    # ranked doc_id is the ORIG id; map back to globals to join stats
+    store = DocStore(idx, columns=["doc_id", "orig_id"])
+    glob_ids = np.concatenate(
+        [np.array([d for d, _ in per_q[qid]], dtype=np.int64)
+         for qid in sorted(per_q)]
+    )
+    orig_ids = store.mget(glob_ids).column("orig_id").to_numpy()
+    orig_to_glob: dict[tuple[int, int], int] = {}
+    pos = 0
+    for qid in sorted(per_q):
+        n = len(per_q[qid])
+        for g, o in zip(glob_ids[pos:pos + n], orig_ids[pos:pos + n]):
+            orig_to_glob[(qid, int(o))] = int(g)
+        pos += n
+    n_m, mn_p, mx_p = [], [], []
+    for qid, od in zip(
+        ranked.column("query_id").to_pylist(), ranked.column("doc_id").to_pylist()
+    ):
+        s = stats[(qid, orig_to_glob[(qid, od)])]
+        n_m.append(s[0]); mn_p.append(s[1]); mx_p.append(s[2])
+    return ranked.append_column(
+        "n_matches", pa.array(n_m, pa.int64())
+    ).append_column(
+        "min_pos", pa.array(mn_p, pa.int64())
+    ).append_column(
+        "max_pos", pa.array(mx_p, pa.int64())
+    )
+
+
+def sql_highlight_positions() -> str:
+    rows = []
+    for qid, text in HIGHLIGHT_QUERIES:
+        for t in _simple_tokens(text):
+            rows.append(f"({qid}, '{t}')")
+    values = ", ".join(rows)
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+q(query_id, t) AS (VALUES {values}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM q
+  JOIN tf ON tf.t = q.t
+  JOIN df ON df.t = q.t
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  GROUP BY 1, 2),
+topk AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rank,
+         round(score, 4) AS score_r
+  FROM scored
+  QUALIFY rank <= {TOPK}),
+hitpos AS (
+  SELECT q.query_id, tp.doc_id, tp.pos
+  FROM q JOIN toksp tp ON tp.t = q.t)
+SELECT topk.query_id, topk.doc_id, topk.rank, topk.score_r,
+       count(hitpos.pos)::BIGINT AS n_matches,
+       min(hitpos.pos)::BIGINT AS min_pos,
+       max(hitpos.pos)::BIGINT AS max_pos
+FROM topk
+JOIN hitpos ON hitpos.query_id = topk.query_id AND hitpos.doc_id = topk.doc_id
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_exact_dedup(sf_dir: str) -> pa.Table:
     return to_arrow(dd.exact_dedup_groups(_docs(sf_dir)))
 
@@ -1963,6 +2070,7 @@ def queries():
         "fuzzy_search": q_fuzzy_search,
         "meta_filter_search": q_meta_filter_search,
         "match_agg_lang": q_match_agg,
+        "highlight_positions": q_highlight_positions,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
@@ -2008,6 +2116,7 @@ def oracle_sql():
         "fuzzy_search": sql_fuzzy_search(),
         "meta_filter_search": sql_meta_filter_search(),
         "match_agg_lang": sql_match_agg(),
+        "highlight_positions": sql_highlight_positions(),
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "text_stats": sql_text_stats(),

@@ -467,6 +467,34 @@ class ShardData:
             out[g] = (int(counts[i]), float(sums[i]), float(mins[i]), float(maxs[i]))
         return out
 
+    def term_positions_for_doc(
+        self, doc_global: int, terms: list[str]
+    ) -> dict[str, list[int]]:
+        """Matched in-doc token positions per query term for ONE doc —
+        the highlight primitive (decode only the queried terms' postings
+        + position spans; cost is per-term, never per-corpus)."""
+        if self.posblobs is None:
+            raise RuntimeError(
+                "index was built without store_positions=True — highlight "
+                "needs the positional sidecar"
+            )
+        from ..index.codec import decode_positions
+
+        out: dict[str, list[int]] = {}
+        for t in sorted(set(terms)):
+            i = self.terms.get(t)
+            if i is None:
+                continue
+            doc_ids, tfs = decode_postings(self.blobs[i])
+            e = int(np.searchsorted(doc_ids, np.uint64(doc_global)))
+            if e >= len(doc_ids) or doc_ids[e] != np.uint64(doc_global):
+                continue
+            tfs_i = tfs.astype(np.int64)
+            pos = decode_positions(self.posblobs[i], tfs_i)
+            tfcum = np.concatenate([[0], np.cumsum(tfs_i)])
+            out[t] = pos[tfcum[e]:tfcum[e + 1]].astype(int).tolist()
+        return out
+
     def phrase_topk(
         self,
         phrase: list,
@@ -819,6 +847,21 @@ class _ScorerCore:
             out.update(s.expand_fuzzy(term, max_edits, prefix_length))
         return sorted(out.items())
 
+    def doc_term_positions(
+        self, pairs: list[tuple[int, list[str]]]
+    ) -> list[dict[str, list[int]] | None]:
+        """Per (global doc_id, terms) pair: matched positions, or None if
+        no shard of this group owns the doc."""
+        out: list[dict[str, list[int]] | None] = []
+        for doc, terms in pairs:
+            hit = None
+            for s in self.shards:
+                if s.doc_base <= doc < s.doc_base + s.num_docs:
+                    hit = s.term_positions_for_doc(doc, terms)
+                    break
+            out.append(hit)
+        return out
+
     def agg_match(
         self, terms: list[str], group_col: str, stats_col: str | None = None
     ) -> dict:
@@ -893,6 +936,8 @@ class QueryEngine:
             ShardScorer.remote(str(index_dir), g, self.params, method)
             for g in groups
         ]
+        self._shard_groups = groups
+        self._text_reader = None  # lazy CorpusTextReader (highlight only)
         # per-term global df is immutable for a built index — cache it so
         # repeated terms (query distributions are Zipfian) skip the df
         # round-trip and a search needs ONE actor round instead of two
@@ -1141,6 +1186,95 @@ class QueryEngine:
         parts = [(res[0][1], res[0][2]) for res in per_actor]
         ids, sc = merge_topk(parts, k, self.params.round_decimals)
         return list(zip(ids.tolist(), sc.tolist()))
+
+    def search_highlight(
+        self,
+        query: str,
+        k: int = 10,
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+    ) -> list[dict]:
+        """ES ``highlight``: BM25 top-k, then for each hit map the matched
+        terms' index POSITIONS (positional sidecar — no re-scan of the
+        doc) through the analyzer's character-offset map and wrap the
+        matched spans in tags.  Adjacent/overlapping matched spans merge,
+        ES-style.  Hydrates original text from the corpus parquet via
+        partition lineage (k point reads, never a corpus scan).
+
+        Returns per hit: {doc_id, score, highlighted, n_matches,
+        positions: {term: [token positions]}}."""
+        from ..analysis.tokenizer import tokens_with_offsets
+        from ..state.docstore import CorpusTextReader
+
+        terms = self._analyze(query)
+        hits = self.search(query, k=k)
+        if not hits:
+            return []
+        ids = [d for d, _ in hits]
+        # route each doc to its owning shard-group actor in one round
+        per_actor_pairs: dict[int, list[tuple[int, int]]] = {}
+        for qi, d in enumerate(ids):
+            ai = self._actor_index_for_doc(d)
+            per_actor_pairs.setdefault(ai, []).append((qi, d))
+        futs, order = [], []
+        for ai, pairs in per_actor_pairs.items():
+            futs.append(
+                self.actors[ai].doc_term_positions.remote(
+                    [(d, terms) for _, d in pairs]
+                )
+            )
+            order.extend(qi for qi, _ in pairs)
+        pos_flat: list[dict[str, list[int]] | None] = [None] * len(ids)
+        for res in ray.get(futs):
+            for r in res:
+                pos_flat[order.pop(0)] = r
+        if self._text_reader is None:
+            self._text_reader = CorpusTextReader(self.info.index_dir)
+        texts = self._text_reader.mget(ids)
+        m = self.info.manifest
+        analyzer = (
+            "code" if self.analyzer_name == "per_lang" else self.analyzer_name
+        )
+        out = []
+        for (doc, score), text, tpos in zip(hits, texts, pos_flat):
+            toks = tokens_with_offsets(
+                text, analyzer, m.min_token_len, m.max_token_len
+            )
+            matched = sorted(
+                {p for ps in (tpos or {}).values() for p in ps}
+            )
+            spans = [
+                (toks[p][1], toks[p][2]) for p in matched if p < len(toks)
+            ]
+            merged: list[list[int]] = []
+            for s, e in spans:
+                if merged and s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+            pieces, prev = [], 0
+            for s, e in merged:
+                pieces.extend((text[prev:s], pre_tag, text[s:e], post_tag))
+                prev = e
+            pieces.append(text[prev:])
+            out.append(
+                {
+                    "doc_id": doc,
+                    "score": score,
+                    "highlighted": "".join(pieces),
+                    "n_matches": len(matched),
+                    "positions": tpos or {},
+                }
+            )
+        return out
+
+    def _actor_index_for_doc(self, doc: int) -> int:
+        for ai, sids in enumerate(self._shard_groups):
+            for sid in sids:
+                st = self.info.manifest.shards[sid]
+                if st.doc_base <= doc < st.doc_base + st.num_docs:
+                    return ai
+        raise KeyError(f"doc {doc} not covered by any shard")
 
     def search_batch(
         self, queries: list[tuple[int, str, int]]

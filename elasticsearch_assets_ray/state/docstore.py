@@ -115,6 +115,63 @@ class DocStore:
         return self.mget([doc_id]).to_pylist()[0]
 
 
+class CorpusTextReader:
+    """Global doc_id → original document TEXT, read back from the corpus
+    parquet files via the manifest's partition lineage (path + row-group
+    span + row slice) — the ``_source`` fetch ES performs for highlight /
+    hydrate.  Partition-LRU cached like :class:`DocStore`; a top-k
+    hydration touches at most k partitions, each one projected columnar
+    read of the text column."""
+
+    def __init__(self, index_dir: str | Path, cache_partitions: int = 16):
+        from ..index.build import IndexInfo
+
+        info = IndexInfo(index_dir)
+        self.text_col = info.manifest.text_col
+        parts = sorted(info.manifest.partitions, key=lambda p: p.doc_base)
+        self._plans = {p.partition_id: p for p in parts}
+        self._bases = np.array([p.doc_base for p in parts], dtype=np.int64)
+        self._ends = np.array(
+            [p.doc_base + p.num_rows for p in parts], dtype=np.int64
+        )
+        self._pids = np.array([p.partition_id for p in parts], dtype=np.int64)
+        self.cache_partitions = cache_partitions
+        self._cache: OrderedDict[int, pa.Table] = OrderedDict()
+
+    def _partition_text(self, pid: int) -> pa.Table:
+        t = self._cache.get(pid)
+        if t is not None:
+            self._cache.move_to_end(pid)
+            return t
+        p = self._plans[pid]
+        pf = pq.ParquetFile(p.path)
+        t = pf.read_row_groups(
+            list(range(p.row_group_start, p.row_group_end)),
+            columns=[self.text_col],
+        )
+        if p.row_start >= 0:
+            t = t.slice(p.row_start, p.row_end - p.row_start)
+        self._cache[pid] = t
+        while len(self._cache) > self.cache_partitions:
+            self._cache.popitem(last=False)
+        return t
+
+    def mget(self, doc_ids) -> list[str]:
+        """Original text per global doc_id, in request order."""
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        if len(ids) == 0:
+            return []
+        slot = np.searchsorted(self._bases, ids, side="right") - 1
+        if (slot < 0).any() or (ids >= self._ends[np.maximum(slot, 0)]).any():
+            bad = ids[(slot < 0) | (ids >= self._ends[np.maximum(slot, 0)])]
+            raise KeyError(f"doc_ids out of range: {bad[:5].tolist()}")
+        out: list[str] = []
+        for i, d in enumerate(ids.tolist()):
+            part = self._partition_text(int(self._pids[slot[i]]))
+            out.append(part.column(self.text_col)[d - int(self._bases[slot[i]])].as_py())
+        return out
+
+
 class DocStoreHydrator:
     """Actor-pool stage: join a results batch (``doc_id`` column) with doc
     metadata columns.  Store loaded once per actor (``__init__``), reused

@@ -422,3 +422,65 @@ def test_compaction_rewrites_positions(small_corpus, tmp_path):
             assert set(got) == set(oracle)
     finally:
         eng.shutdown()
+
+
+# ------------------------------------------------------------- highlight
+
+
+def test_tokens_with_offsets_parity(small_corpus):
+    """Offset-mapped token sequence == analyzer tokens + clip filter."""
+    import pathlib
+
+    from elasticsearch_assets_ray.analysis.tokenizer import (
+        simple_tokens,
+        tokens_with_offsets,
+    )
+
+    texts = []
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        texts.extend(pq.read_table(f, columns=["content"]).column("content").to_pylist())
+    for text in texts[:100]:
+        for an, fn in [("code", code_tokens), ("simple", simple_tokens)]:
+            wo = tokens_with_offsets(text, an, 1, 64)
+            assert [t for t, _, _ in wo] == clip_tokens(fn(text), 1, 64), an
+            low = text.lower()
+            src = text if an == "code" else low
+            for t, s, e in wo:
+                assert src[s:e].lower() == t
+
+
+def test_search_highlight(pos_index, small_corpus):
+    """Highlight wraps exactly the analyzed occurrences of the query
+    terms, and the tag-stripped text round-trips to the original."""
+    import pathlib
+    import re as _re
+
+    from elasticsearch_assets_ray.analysis.tokenizer import tokens_with_offsets
+
+    texts = []
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        texts.extend(pq.read_table(f, columns=["content"]).column("content").to_pylist())
+    eng = QueryEngine(pos_index.index_dir, num_actors=2)
+    m = pos_index.manifest
+    try:
+        for q in ["merge data", "import", "return value"]:
+            hits = eng.search_highlight(q, k=5, pre_tag="[", post_tag="]")
+            base = dict(eng.search(q, k=5))
+            assert {h["doc_id"] for h in hits} == set(base)
+            qterms = set(eng._analyze(q))
+            for h in hits:
+                text = texts[h["doc_id"]]
+                assert h["highlighted"].replace("[", "").replace("]", "") == text
+                toks = tokens_with_offsets(text, "code", m.min_token_len,
+                                           m.max_token_len)
+                expect_pos = {t: [i for i, (tk, _, _) in enumerate(toks) if tk == t]
+                              for t in qterms}
+                expect_pos = {t: ps for t, ps in expect_pos.items() if ps}
+                assert h["positions"] == expect_pos, (q, h["doc_id"])
+                n_expected = len({p for ps in expect_pos.values() for p in ps})
+                assert h["n_matches"] == n_expected
+                # every bracketed span, lowered, contains a query term
+                for frag in _re.findall(r"\[([^\]]*)\]", h["highlighted"]):
+                    assert any(t in frag.lower() for t in qterms), frag
+    finally:
+        eng.shutdown()
