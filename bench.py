@@ -213,6 +213,13 @@ def cmd_bench(sf_dir: str, num_cpus: int) -> None:
         lat.append(time.perf_counter() - t0)
     lat.sort()
     p50_ms = 1000 * lat[len(lat) // 2]
+    plat = []
+    for q in [p for _, p in contract.PHRASE_QUERIES] * 20:
+        t0 = time.perf_counter()
+        eng.search_phrase(q, k=10)
+        plat.append(time.perf_counter() - t0)
+    plat.sort()
+    phrase_p50_ms = 1000 * plat[len(plat) // 2]
     eng.shutdown()
 
     total = round(sum(times.values()), 3)
@@ -232,6 +239,7 @@ def cmd_bench(sf_dir: str, num_cpus: int) -> None:
                 "num_cpus": num_cpus,
                 "index_build_docs_per_sec": round(build_dps, 1),
                 "bm25_top10_p50_ms": round(p50_ms, 2),
+                "phrase_top10_p50_ms": round(phrase_p50_ms, 2),
                 "approx_recall": recall_rows,
                 "approx_recall_sec": recall_sec,
                 # external-load context: this box shows ±30-40% wall-time

@@ -121,10 +121,20 @@ def merge_global_postings(
             "term-partitioned layout reflects live documents only"
         )
 
-    seg = rd.read_parquet(
-        str(Path(index_dir) / "segments"),
-        columns=["term", "df", "cf", "postings", "shard"],
-    )
+    # carry the positional sidecar when the source index has one: position
+    # spans restart ABSOLUTE at each doc boundary, so per-(term,salt) part
+    # blobs byte-concatenate in the same (shard asc ⇒ doc asc) order the
+    # postings merge uses — no re-encode (the property store_positions was
+    # designed for; serving re-sorts hot-term salt parts by doc at load)
+    import pyarrow.dataset as _pds
+
+    seg_schema = _pds.dataset(str(Path(index_dir) / "segments")).schema
+    store_positions = "positions" in seg_schema.names
+    cols = ["term", "df", "cf", "postings", "shard"]
+    if store_positions:
+        # tfs segment the position stream at serve time — ship them along
+        cols.append("positions")
+    seg = rd.read_parquet(str(Path(index_dir) / "segments"), columns=cols)
 
     if store_norms:
         import pyarrow.parquet as _pq
@@ -282,13 +292,14 @@ def merge_global_postings(
             "bucket": g.column("bucket").take(take),
             "postings": pa.array(new_blobs, pa.large_binary()),
         }
-        if "norms" in g.column_names:
-            nb = g.column("norms").to_pylist()
-            run_ends = np.concatenate([run_starts[1:], [len(nb)]])
-            cols["norms"] = pa.array(
-                [b"".join(nb[s:e]) for s, e in zip(run_starts, run_ends)],
-                pa.large_binary(),
-            )
+        for side in ("norms", "positions"):
+            if side in g.column_names:
+                nb = g.column(side).to_pylist()
+                run_ends = np.concatenate([run_starts[1:], [len(nb)]])
+                cols[side] = pa.array(
+                    [b"".join(nb[s:e]) for s, e in zip(run_starts, run_ends)],
+                    pa.large_binary(),
+                )
         return pa.table(cols)
 
     merged = (
@@ -303,6 +314,8 @@ def merge_global_postings(
         "hot_df_fraction": hot_df_fraction,
         "block_size": block_size,
         "store_norms": store_norms,
+        "store_positions": store_positions,
+        "source_index": str(index_dir),
         "num_docs": info.stats.num_docs,
         "avgdl": info.stats.avgdl,
         "k1": params.k1,

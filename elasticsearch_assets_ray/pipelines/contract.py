@@ -106,7 +106,7 @@ def _docs(sf_dir: str):
 
 # bump when index layout / analyzer / scoring semantics change, so a
 # /tmp cache surviving from an earlier code version can never be reused
-CONTRACT_INDEX_VERSION = "v5"  # v5: positional sidecar (phrase queries)
+CONTRACT_INDEX_VERSION = "v6"  # v6: positions carried into the global layout
 
 
 def doc_index_dir(sf_dir: str) -> str:
@@ -571,6 +571,35 @@ SELECT query_id, doc_id,
 FROM scored
 QUALIFY rank <= {TOPK}
 """
+
+
+def q_bm25_phrase_global(sf_dir: str) -> pa.Table:
+    """``match_phrase`` served from the TERM-partitioned layout: the
+    positional sidecar rides the global merge byte-concatenated (absolute
+    per-doc restarts), bucket actors ship (postings, tfs, positions) per
+    phrase term, the start-position intersection runs key-vectorized on
+    the coordinator, and doc lengths hydrate per MATCHED doc from source
+    docmeta — same SQL oracle as ``bm25_phrase``; the two engines must
+    agree with it AND each other."""
+    import os
+
+    from ..index.global_merge import merge_global_postings
+    from ..search.term_engine import TermPartitionedEngine
+
+    idx = ensure_doc_index(sf_dir)
+    gdir = f"{idx}_globalnorms"
+    if not os.path.exists(f"{gdir}/_globalmeta.json"):
+        merge_global_postings(idx, gdir, n_salts=2, n_buckets=8,
+                              hot_df_fraction=0.5, store_norms=True)
+    eng = TermPartitionedEngine(gdir, num_actors=2, round_decimals=4)
+    try:
+        per_q = {
+            qid: eng.search_phrase(phrase, k=K_FETCH)
+            for qid, phrase in PHRASE_QUERIES
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
 
 
 def q_prefix_search(sf_dir: str) -> pa.Table:
@@ -2064,6 +2093,7 @@ def queries():
         "bm25_topk_global": q_bm25_topk_global,
         "bm25_bool": q_bm25_bool,
         "bm25_phrase": q_bm25_phrase,
+        "bm25_phrase_global": q_bm25_phrase_global,
         "prefix_search": q_prefix_search,
         "bm25_phrase_prefix": q_phrase_prefix,
         "wildcard_search": q_wildcard_search,
@@ -2110,6 +2140,7 @@ def oracle_sql():
         "bm25_topk_global": sql_bm25_topk(),
         "bm25_bool": sql_bm25_bool(),
         "bm25_phrase": sql_bm25_phrase(),
+        "bm25_phrase_global": sql_bm25_phrase(),
         "prefix_search": sql_prefix_search(),
         "bm25_phrase_prefix": sql_phrase_prefix(),
         "wildcard_search": sql_wildcard_search(),

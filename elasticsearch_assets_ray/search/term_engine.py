@@ -93,6 +93,9 @@ class _BucketCore:
     def __init__(self, global_dir: str, bucket_ids: list[int]):
         self.terms: dict[str, tuple[np.ndarray, np.ndarray, int,
                                     np.ndarray, np.ndarray]] = {}
+        # positional sidecar (store_positions layouts): term →
+        # (tfs aligned to doc order, flat in-doc positions doc-aligned)
+        self.positions: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         meta = _load_meta(global_dir)
         if not meta.get("store_norms"):
             raise ValueError(
@@ -101,13 +104,17 @@ class _BucketCore:
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        from ..index.codec import decode_positions
+
+        has_pos = bool(meta.get("store_positions"))
         for b in bucket_ids:
             d = Path(global_dir) / f"bucket={b}"
             if not d.exists():
                 continue
-            tbl = pds.dataset(str(d)).to_table(
-                columns=["term", "salt", "postings", "norms", "df"]
-            )
+            cols = ["term", "salt", "postings", "norms", "df"]
+            if has_pos:
+                cols.append("positions")
+            tbl = pds.dataset(str(d)).to_table(columns=cols)
             if tbl.num_rows == 0:
                 continue
             order = pc.sort_indices(
@@ -117,10 +124,11 @@ class _BucketCore:
             enc = tbl.column("term").combine_chunks().dictionary_encode()
             tcodes = enc.indices.to_numpy()
             term_names = enc.dictionary.to_pylist()
-            doc_flat, _tf, offs = decode_postings_many(
+            doc_flat, tf_flat, offs = decode_postings_many(
                 tbl.column("postings").to_pylist()
             )
             doc_flat = doc_flat.astype(np.int64)
+            tf_flat = tf_flat.astype(np.int64)
             norm_flat = np.frombuffer(
                 b"".join(tbl.column("norms").to_pylist()), dtype="<f8"
             )
@@ -137,6 +145,24 @@ class _BucketCore:
                 np.add.reduceat(counts, run_starts),
             )
             o = np.lexsort((doc_flat, term_of_posting))
+            if has_pos:
+                # gather each entry's position segment through the same
+                # doc-order permutation: segment starts/lengths follow the
+                # entry permutation, expanded to one flat gather
+                pos_flat_pre = decode_positions(
+                    b"".join(tbl.column("positions").to_pylist()), tf_flat
+                ).astype(np.int64)
+                tfcum = np.concatenate([[0], np.cumsum(tf_flat)])
+                seg_starts = tfcum[:-1][o]
+                seg_lens = tf_flat[o]
+                total = int(seg_lens.sum())
+                cum = np.cumsum(seg_lens)
+                intra = np.arange(total, dtype=np.int64) - np.repeat(
+                    cum - seg_lens, seg_lens
+                )
+                pos_flat = pos_flat_pre[np.repeat(seg_starts, seg_lens) + intra]
+                tok_offs = np.concatenate([[0], cum])
+                tf_sorted = tf_flat[o]
             doc_flat, norm_flat = doc_flat[o], norm_flat[o]
             post_offs = np.concatenate(
                 [offs[run_starts], [offs[-1]]]
@@ -153,14 +179,32 @@ class _BucketCore:
                 block_max = np.maximum.reduceat(norms, bstarts) if nb else (
                     np.empty(0, np.float64)
                 )
-                self.terms[term_names[tcodes[run_starts[ri]]]] = (
-                    ids, norms, df, block_last, block_max,
-                )
+                name = term_names[tcodes[run_starts[ri]]]
+                self.terms[name] = (ids, norms, df, block_last, block_max)
+                if has_pos:
+                    self.positions[name] = (
+                        tf_sorted[lo:hi],
+                        pos_flat[tok_offs[lo]:tok_offs[hi]],
+                    )
 
-    def fetch(self, terms: list[str]):
+    def fetch(self, terms: list[str], positions: bool = False):
         """→ {term: (doc_ids, norms, df, block_last, block_max)} for the
-        terms this core owns."""
-        return {t: self.terms[t] for t in terms if t in self.terms}
+        terms this core owns; with ``positions=True`` each tuple gains
+        (tfs, flat in-doc positions) — phrase serving."""
+        if not positions:
+            return {t: self.terms[t] for t in terms if t in self.terms}
+        out = {}
+        for t in terms:
+            v = self.terms.get(t)
+            if v is None:
+                continue
+            if t not in self.positions:
+                raise RuntimeError(
+                    "global layout lacks the positional sidecar — rebuild "
+                    "merge_global_postings over a store_positions index"
+                )
+            out[t] = v + self.positions[t]
+        return out
 
 
 @ray.remote
@@ -215,19 +259,22 @@ class TermPartitionedEngine:
     # by total cached postings.
     CACHE_MAX_POSTINGS = 8_000_000
 
-    def fetch_terms(self, terms: list[str]) -> dict:
+    def fetch_terms(self, terms: list[str], positions: bool = False) -> dict:
         """Gather term postings with ONE call per owning actor (terms from
         any number of queries can share the round trip); repeat terms hit
-        the coordinator cache instead of the wire."""
+        the coordinator cache instead of the wire.  ``positions=True``
+        extends each tuple with (tfs, flat positions) — cached under a
+        separate key so term and phrase traffic don't evict each other's
+        shape."""
         from ..index.global_merge import _term_bucket
 
         if not hasattr(self, "_term_cache"):
-            self._term_cache: dict[str, tuple] = {}
+            self._term_cache: dict[tuple, tuple] = {}
             self._cache_postings = 0
         fetched: dict[str, tuple] = {}
         missing: list[str] = []
         for t in terms:
-            got = self._term_cache.get(t)
+            got = self._term_cache.get((t, positions))
             if got is not None:
                 if got is not _ABSENT:
                     fetched[t] = got
@@ -239,7 +286,8 @@ class TermPartitionedEngine:
                 a = self._actor_of_bucket[_term_bucket(t, self._n_buckets)]
                 by_actor.setdefault(a, []).append(t)
             futs = [
-                self.actors[a].fetch.remote(ts) for a, ts in by_actor.items()
+                self.actors[a].fetch.remote(ts, positions)
+                for a, ts in by_actor.items()
             ]
             got_new: dict[str, tuple] = {}
             for part in ray.get(futs):
@@ -247,15 +295,15 @@ class TermPartitionedEngine:
             for t in missing:
                 v = got_new.get(t)
                 if v is None:
-                    self._term_cache[t] = _ABSENT  # negative-cache misses
+                    self._term_cache[(t, positions)] = _ABSENT
                     continue
                 fetched[t] = v
-                self._term_cache[t] = v
+                self._term_cache[(t, positions)] = v
                 self._cache_postings += len(v[0])
             while (self._cache_postings > self.CACHE_MAX_POSTINGS
                    and self._term_cache):
-                old_t, old_v = next(iter(self._term_cache.items()))
-                del self._term_cache[old_t]
+                old_k, old_v = next(iter(self._term_cache.items()))
+                del self._term_cache[old_k]
                 if old_v is not _ABSENT:
                     self._cache_postings -= len(old_v[0])
         return fetched
@@ -432,6 +480,79 @@ class TermPartitionedEngine:
             return []
         fetched = self.fetch_terms(terms)
         return self._score_from_fetch(terms, fetched, k)
+
+    # in-doc positions must fit under the doc-id shift; 2^21 tokens/doc is
+    # far past any clip-tokenized document, and 2^42 doc ids covers 10^12
+    _POS_BITS = 21
+
+    def search_phrase(
+        self, phrase: str | list[str], k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Exact phrase (ES ``match_phrase``, slop 0) over the
+        term-partitioned layout: the phrase terms' postings + positional
+        sidecars gather from their owning bucket actors (per-query volume
+        = the terms' posting mass, exactly the doc-partitioned fan-out
+        cost shifted to the term axis), the start-position intersection
+        runs key-vectorized on the coordinator, and doc lengths hydrate
+        for MATCHED docs only via the source index's docmeta point reads
+        (the Lucene norms-file analogue).  Scores are rank- and
+        score-identical to ``QueryEngine.search_phrase`` (tested)."""
+        if isinstance(phrase, str):
+            toks = clip_tokens(self._analyzer(phrase), *self._clip)
+        else:
+            toks = list(phrase)
+        if not toks:
+            return []
+        fetched = self.fetch_terms(sorted(set(toks)), positions=True)
+        if any(t not in fetched for t in toks):
+            return []
+        idf_sum = 0.0
+        for t in toks:  # WITH repeats — Lucene PhraseWeight
+            df = fetched[t][2]
+            idf_sum += math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+
+        shift = np.int64(self._POS_BITS)
+
+        def slot_keys(t: str, seq: int) -> np.ndarray:
+            ids, _norms, _df, _bl, _bm, tfs, pos = fetched[t]
+            if len(pos) and int(pos.max()) >= (1 << self._POS_BITS):
+                raise ValueError("document exceeds 2^21 token positions")
+            docs_flat = np.repeat(ids, tfs)
+            p = pos.astype(np.int64)
+            if seq:
+                keep = p >= seq
+                if not keep.all():
+                    docs_flat, p = docs_flat[keep], p[keep]
+                p = p - seq
+            return (docs_flat << shift) | p
+
+        cur = slot_keys(toks[0], 0)
+        for seq, t in enumerate(toks[1:], start=1):
+            if len(cur) == 0:
+                break
+            cur = np.intersect1d(cur, slot_keys(t, seq), assume_unique=True)
+        if len(cur) == 0:
+            return []
+        hd, pf_c = np.unique(cur >> shift, return_counts=True)
+        pf = pf_c.astype(np.float64)
+
+        from ..state.docstore import DocStore
+
+        if not hasattr(self, "_dl_store"):
+            src = self.meta.get("source_index")
+            if not src:
+                raise RuntimeError(
+                    "global layout predates source_index metadata — rebuild "
+                    "merge_global_postings for phrase serving"
+                )
+            self._dl_store = DocStore(src, columns=["doc_id", "dl"])
+        dl = self._dl_store.mget(hd).column("dl").to_numpy().astype(np.float64)
+        k1, b = float(self.meta["k1"]), float(self.meta["b"])
+        avgdl = float(self.meta["avgdl"])
+        scores = idf_sum * pf * (k1 + 1.0) / (
+            pf + k1 * (1.0 - b + b * dl / avgdl)
+        )
+        return self._tie_cut(hd.astype(np.int64), scores, k)
 
     def shutdown(self) -> None:
         for a in self.actors:

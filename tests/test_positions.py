@@ -484,3 +484,52 @@ def test_search_highlight(pos_index, small_corpus):
                     assert any(t in frag.lower() for t in qterms), frag
     finally:
         eng.shutdown()
+
+
+def test_global_phrase_matches_doc_engine(pos_index, tmp_path):
+    """Phrase serving on the TERM-partitioned layout (positions carried
+    through the global merge, coordinator-side intersection, dl hydration
+    from source docmeta) is rank+score identical to the shard-actor
+    engine on the same positional index."""
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    out = tmp_path / "global_pos"
+    merge_global_postings(pos_index.index_dir, out, n_salts=3, n_buckets=4,
+                          store_norms=True)
+    geng = TermPartitionedEngine(out, num_actors=2)
+    deng = QueryEngine(pos_index.index_dir, num_actors=2)
+    try:
+        for phrase in ["def merge", "return data", "import import",
+                       "the the", "merge segment block", "zz qq"]:
+            got = geng.search_phrase(phrase, k=1000)
+            want = deng.search_phrase(phrase, k=1000)
+            assert [d for d, _ in got] == [d for d, _ in want], phrase
+            for (_, s1), (_, s2) in zip(got, want):
+                assert abs(s1 - s2) < 1e-12, phrase
+        # BM25 term queries still serve identically from the same layout
+        for q in ["merge data", "import"]:
+            assert geng.search(q, k=20) == [
+                (d, s) for d, s in deng.search(q, k=20)
+            ]
+    finally:
+        geng.shutdown()
+        deng.shutdown()
+
+
+def test_global_phrase_requires_positional_layout(small_index, tmp_path):
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    out = tmp_path / "global_nopos"
+    merge_global_postings(small_index.index_dir, out, n_salts=2, n_buckets=4,
+                          store_norms=True)
+    eng = TermPartitionedEngine(out, num_actors=1)
+    try:
+        import ray as _ray
+
+        with pytest.raises(_ray.exceptions.RayTaskError,
+                           match="positional sidecar"):
+            eng.search_phrase("def merge", k=5)
+    finally:
+        eng.shutdown()
