@@ -989,6 +989,98 @@ GROUP BY 1, 2
 """
 
 
+# (qid, source doc_id) — ES more_like_this with like = one indexed doc
+MLT_QUERIES: list[tuple[int, int]] = [(0, 7), (1, 123), (2, 321)]
+MLT_MAX_TERMS = 10
+MLT_MIN_TF = 2
+MLT_MIN_DF = 5
+MLT_MSM = 0.3
+
+
+def q_more_like_this(sf_dir: str) -> pa.Table:
+    """ES ``more_like_this``: re-analyze the source doc, keep terms with
+    tf ≥ min_term_freq and df ≥ min_doc_freq, pick the max_query_terms
+    best by tf·idf (term-asc ties), run them as a BM25 ``should``
+    disjunction with minimum_should_match = floor(30%), source doc
+    excluded (ES include:false default)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    import pyarrow.dataset as pds_
+
+    idx = ensure_doc_index(sf_dir)
+    # MLT_QUERIES name ORIG ids; the engine speaks global ids — map via
+    # a projected docmeta read (id pairs only)
+    dm = pds_.dataset(f"{idx}/docmeta").to_table(columns=["doc_id", "orig_id"])
+    orig2glob = dict(
+        zip(dm.column("orig_id").to_pylist(), dm.column("doc_id").to_pylist())
+    )
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.more_like_this(
+                orig2glob[src], k=K_FETCH, max_query_terms=MLT_MAX_TERMS,
+                min_term_freq=MLT_MIN_TF, min_doc_freq=MLT_MIN_DF,
+                minimum_should_match=MLT_MSM,
+            )
+            for qid, src in MLT_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_more_like_this() -> str:
+    values = ", ".join(f"({qid}, {src})" for qid, src in MLT_QUERIES)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+q(query_id, src) AS (VALUES {values}),
+cand AS (
+  SELECT q.query_id, q.src, tf.t, tf.tf, df.df,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS idf
+  FROM q
+  JOIN tf ON tf.doc_id = q.src AND tf.tf >= {MLT_MIN_TF}
+  JOIN df ON df.t = tf.t AND df.df >= {MLT_MIN_DF}, s),
+sel AS (
+  SELECT query_id, src, t, idf FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY tf * idf DESC, t) AS rn
+    FROM cand)
+  WHERE rn <= {MLT_MAX_TERMS}),
+need AS (SELECT query_id,
+                greatest(1, floor(count(*) * {MLT_MSM})::BIGINT) AS msm
+         FROM sel GROUP BY 1),
+hits AS (SELECT sel.query_id, tf.doc_id, count(*) AS n_hit
+         FROM sel JOIN tf ON tf.t = sel.t GROUP BY 1, 2),
+elig AS (SELECT h.query_id, h.doc_id
+         FROM hits h
+         JOIN need ON need.query_id = h.query_id
+         JOIN q ON q.query_id = h.query_id
+         WHERE h.n_hit >= need.msm AND h.doc_id <> q.src),
+scored AS (
+  SELECT e.query_id, e.doc_id,
+         sum(sel.idf * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM elig e
+  JOIN sel ON sel.query_id = e.query_id
+  JOIN tf ON tf.doc_id = e.doc_id AND tf.t = sel.t
+  JOIN dl ON dl.doc_id = e.doc_id, s
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
 HIGHLIGHT_QUERIES: list[tuple[int, str]] = [
     (0, "hash join"),
     (1, "customer order value"),
@@ -2101,6 +2193,7 @@ def queries():
         "meta_filter_search": q_meta_filter_search,
         "match_agg_lang": q_match_agg,
         "highlight_positions": q_highlight_positions,
+        "more_like_this": q_more_like_this,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
@@ -2148,6 +2241,7 @@ def oracle_sql():
         "meta_filter_search": sql_meta_filter_search(),
         "match_agg_lang": sql_match_agg(),
         "highlight_positions": sql_highlight_positions(),
+        "more_like_this": sql_more_like_this(),
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "text_stats": sql_text_stats(),

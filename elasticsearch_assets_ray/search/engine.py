@@ -1187,6 +1187,63 @@ class QueryEngine:
         ids, sc = merge_topk(parts, k, self.params.round_decimals)
         return list(zip(ids.tolist(), sc.tolist()))
 
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        minimum_should_match: float = 0.3,
+    ) -> list[tuple[int, float]]:
+        """ES ``more_like_this`` (like = one indexed doc): re-analyze the
+        source document, keep terms with tf ≥ ``min_term_freq`` and
+        df ≥ ``min_doc_freq``, select the ``max_query_terms`` best by
+        interestingness tf·idf (ties term asc — deterministic, unlike
+        Lucene's PQ order), then run the selected terms as a BM25
+        ``should`` disjunction with ``minimum_should_match`` given as a
+        fraction (ES "30%" semantics: floor, min 1).  The source doc is
+        excluded from the hits (ES ``include: false`` default).
+
+        The reference feeds MLT through to ES untranslated; semantics
+        restated here over our own postings + analyzers."""
+        from ..state.docstore import CorpusTextReader
+
+        if self._text_reader is None:
+            self._text_reader = CorpusTextReader(self.info.index_dir)
+        text = self._text_reader.mget([doc_id])[0]
+        m = self.info.manifest
+        fn = get_analyzer(
+            "code" if self.analyzer_name == "per_lang" else self.analyzer_name
+        )
+        toks = clip_tokens(fn(text), m.min_token_len, m.max_token_len)
+        if not toks:
+            return []
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        if not cand:
+            return []
+        idf = self.idfs(cand)
+        n = self.info.stats.num_docs
+        scored = []
+        for t in cand:
+            df = self._df_cache[t]
+            if df < min_doc_freq:
+                continue
+            scored.append((-(tf[t] * idf[t]), t))
+        if not scored:
+            return []
+        scored.sort()
+        selected = sorted(t for _, t in scored[:max_query_terms])
+        msm = max(1, int(len(selected) * minimum_should_match))
+        fetch_k = max(2 * k, k + 10)
+        hits = self.search_bool(
+            should=selected, minimum_should_match=msm, k=fetch_k
+        )
+        return [(d, s) for d, s in hits if d != doc_id][:k]
+
     def search_highlight(
         self,
         query: str,

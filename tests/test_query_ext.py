@@ -166,3 +166,48 @@ def test_aggregate_terms_and_stats(engine, corpus_docs):
     assert {b["key"]: b["doc_count"] for b in counts} == {
         g: v[0] for g, v in expect.items()
     }
+
+
+def test_more_like_this_bruteforce(engine, corpus_docs, small_index):
+    import math
+
+    toks, _ = corpus_docs
+    params = BM25Params()
+    avgdl = small_index.stats.avgdl
+    n = small_index.stats.num_docs
+    dfs: dict = {}
+    for ts in toks:
+        for t in set(ts):
+            dfs[t] = dfs.get(t, 0) + 1
+
+    def idf(t):
+        return math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+
+    for src in [3, 42, 250]:
+        tf = {}
+        for t in toks[src]:
+            tf[t] = tf.get(t, 0) + 1
+        cand = [(-(c * idf(t)), t) for t, c in tf.items()
+                if c >= 2 and dfs.get(t, 0) >= 5]
+        cand.sort()
+        sel = sorted(t for _, t in cand[:10])
+        msm = max(1, int(len(sel) * 0.3))
+        dl = np.array([len(ts) for ts in toks], dtype=np.float64)
+        scores = np.zeros(len(toks))
+        for d, ts in enumerate(toks):
+            hits = sum(1 for t in sel if t in ts)
+            if d == src or hits < msm:
+                continue
+            for t in sel:
+                f = ts.count(t)
+                if f:
+                    scores[d] += idf(t) * f * (params.k1 + 1) / (
+                        f + params.k1 * (1 - params.b + params.b * dl[d] / avgdl)
+                    )
+        order = np.lexsort((np.arange(len(toks)), -scores))
+        expect = [int(d) for d in order[:5] if scores[d] > 0]
+        got = engine.more_like_this(
+            src, k=5, max_query_terms=10, min_term_freq=2, min_doc_freq=5,
+            minimum_should_match=0.3,
+        )
+        assert [d for d, _ in got] == expect, src
