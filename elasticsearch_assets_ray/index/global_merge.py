@@ -82,6 +82,8 @@ def merge_global_postings(
     block_size: int = 128,
     store_norms: bool = False,
     params=None,
+    _append_only_shards: list[int] | None = None,
+    _append_hot_terms: list[str] | None = None,
 ):
     """Doc-range segments → term-partitioned global index.
 
@@ -89,13 +91,16 @@ def merge_global_postings(
     Output layout: ``out_dir/bucket=<hash(term) % n_buckets>/*.parquet``
     with rows (term, salt, df, cf, postings) — never one giant file.
 
-    ``store_norms=True`` additionally materializes each posting's BM25
-    tf-norm ``tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`` (float64, the exact
-    expression the doc-partitioned dense scorer evaluates) as a parallel
-    ``norms`` binary column, with k1/b/avgdl baked at merge time and
-    recorded in ``_globalmeta.json`` — the precomputed-impact layout that
-    lets a TERM-partitioned serving tier score without doc lengths
-    (:class:`search.term_engine.TermPartitionedEngine`)."""
+    ``store_norms=True`` additionally materializes each posting's doc
+    LENGTH as a parallel ``dls`` binary column (``<u4`` per posting) —
+    the serving tier computes the BM25 tf-norm
+    ``tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`` once at actor load from
+    (tf, dl) and the CURRENT avgdl in ``_globalmeta.json``
+    (:class:`search.term_engine.TermPartitionedEngine`).  Storing dl
+    instead of the baked norm (layout v2; v1 baked float64 norms) is
+    what makes :func:`append_global_postings` exact: an append shifts
+    avgdl, and norms derived at load follow it, where baked norms would
+    silently serve stale impacts."""
     import json as _json
 
     from ..config import BM25Params
@@ -134,7 +139,35 @@ def merge_global_postings(
     if store_positions:
         # tfs segment the position stream at serve time — ship them along
         cols.append("positions")
-    seg = rd.read_parquet(str(Path(index_dir) / "segments"), columns=cols)
+    if _append_only_shards is not None:
+        # append path: read ONLY the new shards' segment files (explicit
+        # paths — work proportional to the appended data); the hive
+        # `shard` key is rebuilt from each file's path
+        from .build import segment_dir as _segdir
+
+        paths = [
+            str(_segdir(index_dir, sid) / "segment.parquet")
+            for sid in _append_only_shards
+        ]
+        data_cols = [c for c in cols if c != "shard"]
+        seg = rd.read_parquet(paths, columns=data_cols, include_paths=True)
+
+        def path_to_shard(batch: pa.Table) -> pa.Table:
+            import re as _re
+
+            shards = [
+                _re.search(r"shard=(\d+)", p).group(1)
+                for p in batch.column("path").to_pylist()
+            ]
+            return batch.drop_columns(["path"]).append_column(
+                "shard", pa.array(shards, pa.string())
+            )
+
+        seg = seg.map_batches(
+            path_to_shard, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        seg = rd.read_parquet(str(Path(index_dir) / "segments"), columns=cols)
 
     if store_norms:
         import pyarrow.parquet as _pq
@@ -179,14 +212,12 @@ def merge_global_postings(
                 dl_flat[sel] = dl[
                     (doc_flat[sel] - np.uint64(shard_bases[int(sid)])).astype(np.int64)
                 ]
-            tf = tf_flat.astype(np.float64)
-            norm_flat = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl_flat / avgdl))
-            norm_blobs = [
-                norm_flat[offs[i]:offs[i + 1]].astype("<f8").tobytes()
+            dl_blobs = [
+                dl_flat[offs[i]:offs[i + 1]].astype("<u4").tobytes()
                 for i in range(len(blobs))
             ]
             return batch.append_column(
-                "norms", pa.array(norm_blobs, pa.large_binary())
+                "dls", pa.array(dl_blobs, pa.large_binary())
             )
 
         seg = seg.map_batches(add_norms, batch_format="pyarrow", zero_copy_batch=True)
@@ -229,12 +260,17 @@ def merge_global_postings(
              "df": pa.array(df[hot])}
         )
 
-    hot_tbl = to_arrow(
-        seg.map_batches(partial_df, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("dfb")
-        .map_groups(reduce_df, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    hot_terms = hot_tbl.column("term").to_pylist() if hot_tbl.num_rows else []
+    if _append_hot_terms is not None:
+        # appends reuse the layout's recorded hot set so new parts salt
+        # consistently with existing ones (placement property only)
+        hot_terms = list(_append_hot_terms)
+    else:
+        hot_tbl = to_arrow(
+            seg.map_batches(partial_df, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("dfb")
+            .map_groups(reduce_df, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        hot_terms = hot_tbl.column("term").to_pylist() if hot_tbl.num_rows else []
     hot_ref = ray.put(sorted(hot_terms))
 
     def add_keys(batch: pa.Table) -> pa.Table:
@@ -292,7 +328,7 @@ def merge_global_postings(
             "bucket": g.column("bucket").take(take),
             "postings": pa.array(new_blobs, pa.large_binary()),
         }
-        for side in ("norms", "positions"):
+        for side in ("norms", "dls", "positions"):
             if side in g.column_names:
                 nb = g.column(side).to_pylist()
                 run_ends = np.concatenate([run_starts[1:], [len(nb)]])
@@ -308,7 +344,12 @@ def merge_global_postings(
         .map_groups(merge_bucket, batch_format="pyarrow", zero_copy_batch=True)
     )
     merged.write_parquet(str(out_dir), partition_cols=["bucket"])
+    if _append_only_shards is not None:
+        # append mode: the caller (append_global_postings) owns the meta
+        # update — this run only added part files to the bucket dirs
+        return out_dir
     meta = {
+        "layout_version": 2,  # v2: per-posting dls, norms derived at load
         "n_salts": n_salts,
         "n_buckets": n_buckets,
         "hot_df_fraction": hot_df_fraction,
@@ -323,9 +364,145 @@ def merge_global_postings(
         "analyzer": info.manifest.analyzer,
         "min_token_len": info.manifest.min_token_len,
         "max_token_len": info.manifest.max_token_len,
+        # append lineage: which source shards this layout covers, and the
+        # hot set whose salting new appends must reuse (salting is a
+        # placement property — reusing a stale hot set never affects
+        # results, only part sizes)
+        "merged_shards": sorted(info.shard_ids()),
+        "hot_terms": sorted(hot_terms),
+        # per-shard segment fingerprints: an in-place shard REBUILD (the
+        # modified-corpus-file path) or compaction changes bytes without
+        # changing the shard id set — appends must detect it and force a
+        # full re-merge rather than serve half-stale parts
+        "shard_fps": _shard_fps(index_dir, info.shard_ids()),
     }
     (out_dir / "_globalmeta.json").write_text(_json.dumps(meta, indent=1))
     return out_dir
+
+
+def _shard_fps(index_dir: str | Path, shard_ids) -> dict:
+    import os as _os
+
+    out = {}
+    for sid in shard_ids:
+        p = Path(index_dir) / "segments" / f"shard={sid:05d}" / "segment.parquet"
+        st = _os.stat(p)
+        out[str(sid)] = [st.st_size, st.st_mtime_ns]
+    return out
+
+
+def append_global_postings(index_dir: str | Path, global_dir: str | Path):
+    """Incrementally extend a term-partitioned layout with the source
+    index's shards that were built AFTER the last merge (the persistent
+    indexer's append path) — NO re-merge of existing buckets.
+
+    Only the new shards' segments flow through the salt/bucket exchange;
+    their (term, salt) part rows land as additional parquet files in the
+    same ``bucket=<h>`` directories.  Serving already merges multi-row
+    runs per term at actor load (and re-sorts postings by doc id there),
+    so old and new parts coexist without rewrite; df per term is the sum
+    across part rows.  Because the layout stores per-posting doc LENGTHS
+    (v2) rather than baked norms, the post-append avgdl in
+    ``_globalmeta.json`` reaches the scorer at load time and served BM25
+    scores stay bit-exact vs a full re-merge (tested).
+
+    The work is proportional to the APPENDED data: at 10^12 docs a daily
+    increment re-shuffles only that day's segments, never the corpus.
+    Compaction (physical deletes) invalidates doc ids → full re-merge;
+    the pending-tombstone guard enforces it."""
+    import json as _json
+
+    meta = _load_globalmeta(global_dir)
+    if int(meta.get("layout_version", 1)) < 2:
+        raise ValueError(
+            "append requires a layout-v2 global index (per-posting dls); "
+            "rebuild with merge_global_postings(...)"
+        )
+    info = IndexInfo(index_dir)
+    from .deletes import load_deletes
+
+    dirty = [
+        sid for sid in info.shard_ids() if len(load_deletes(index_dir, sid))
+    ]
+    if dirty:
+        raise ValueError(
+            f"index has pending delete tombstones in shards {dirty}; "
+            "compact_index + full merge_global_postings instead of append"
+        )
+    done = set(meta["merged_shards"])
+    new_shards = sorted(set(info.shard_ids()) - done)
+    if not done <= set(info.shard_ids()):
+        raise ValueError(
+            "global layout references shards missing from the source index "
+            "(compacted or rebuilt?) — full merge_global_postings required"
+        )
+    old_fps = meta.get("shard_fps", {})
+    cur_fps = _shard_fps(index_dir, sorted(done))
+    stale = [sid for sid in sorted(done) if old_fps.get(str(sid)) != cur_fps[str(sid)]]
+    if stale:
+        raise ValueError(
+            f"shards {stale} were rewritten in place since the last merge "
+            "(modified-file rebuild or compaction) — full "
+            "merge_global_postings required"
+        )
+    out_dir = Path(global_dir)
+    if not new_shards:
+        return out_dir
+    merge_global_postings(
+        index_dir,
+        out_dir,
+        n_salts=int(meta["n_salts"]),
+        n_buckets=int(meta["n_buckets"]),
+        hot_df_fraction=float(meta["hot_df_fraction"]),
+        block_size=int(meta["block_size"]),
+        store_norms=bool(meta["store_norms"]),
+        _append_only_shards=new_shards,
+        _append_hot_terms=list(meta.get("hot_terms", [])),
+    )
+    meta["merged_shards"] = sorted(done | set(new_shards))
+    meta["num_docs"] = info.stats.num_docs
+    meta["avgdl"] = info.stats.avgdl
+    meta["shard_fps"] = {
+        **old_fps, **_shard_fps(index_dir, new_shards)
+    }
+    (out_dir / "_globalmeta.json").write_text(_json.dumps(meta, indent=1))
+    return out_dir
+
+
+def refresh_global_postings(
+    index_dir: str | Path, global_dir: str | Path, **merge_kwargs
+):
+    """Keep a term-partitioned layout current with its source index:
+    append when the delta is append-only; full re-merge into a temp dir
+    + atomic directory swap when appends can't represent it (pending
+    tombstones, compaction, in-place shard rewrites, or no layout yet).
+    The persistent indexer calls this per tick."""
+    import shutil as _sh
+
+    out = Path(global_dir)
+    if (out / "_globalmeta.json").exists():
+        try:
+            return append_global_postings(index_dir, out)
+        except ValueError:
+            pass  # not representable as an append — fall through
+    tmp = out.with_name(out.name + ".merge-tmp")
+    if tmp.exists():
+        _sh.rmtree(tmp)
+    merge_kwargs.setdefault("store_norms", True)
+    merge_global_postings(index_dir, tmp, **merge_kwargs)
+    if out.exists():
+        _sh.rmtree(out)
+    tmp.rename(out)
+    return out
+
+
+def _load_globalmeta(global_dir: str | Path) -> dict:
+    import json as _json
+
+    p = Path(global_dir) / "_globalmeta.json"
+    if not p.exists():
+        raise FileNotFoundError(f"no _globalmeta.json in {global_dir}")
+    return _json.loads(p.read_text())
 
 
 def read_term_postings(global_dir: str | Path, term: str,

@@ -53,6 +53,8 @@ class PersistentIndexer:
         clock=time.time,
         sleep=time.sleep,
         compact_tombstone_fraction: float | None = None,
+        global_dir: str | Path | None = None,
+        global_kwargs: dict | None = None,
     ):
         if interval_s <= 0 or delay_s < 0:
             raise ValueError("need interval_s > 0 and delay_s >= 0")
@@ -71,6 +73,11 @@ class PersistentIndexer:
         # index exceeds this, a tick runs segment compaction after the
         # incremental build (None = never auto-compact)
         self.compact_tombstone_fraction = compact_tombstone_fraction
+        # optional term-partitioned layout kept current per tick:
+        # append-only deltas append (work ∝ new data); compaction or
+        # in-place shard rewrites trigger a full re-merge + atomic swap
+        self.global_dir = Path(global_dir) if global_dir is not None else None
+        self.global_kwargs = dict(global_kwargs or {})
         self.compactions = 0
         self.ticks = 0
         self.indexed_files: list[str] = []
@@ -152,14 +159,25 @@ class PersistentIndexer:
             f: (_os.path.getsize(f), _os.stat(f).st_mtime_ns) for f in files
         }
         if not files or (files == self.indexed_files and fps == self.indexed_fps):
-            self._maybe_compact()
+            if self._maybe_compact():
+                self._refresh_global()
             return None
         info = build_index(files, self.index_dir, self.config, resume=True)
         self.indexed_files = files
         self.indexed_fps = fps
         if self._maybe_compact():
             info = IndexInfo(self.index_dir)  # stats changed on disk
+        self._refresh_global()
         return info
+
+    def _refresh_global(self) -> None:
+        if self.global_dir is None:
+            return
+        from .global_merge import refresh_global_postings
+
+        refresh_global_postings(
+            self.index_dir, self.global_dir, **self.global_kwargs
+        )
 
     def run(self, max_ticks: int) -> "IndexInfo | None":
         """Drive ``max_ticks`` windows (bounded for tests/CLI; the true

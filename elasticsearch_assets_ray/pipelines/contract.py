@@ -106,7 +106,7 @@ def _docs(sf_dir: str):
 
 # bump when index layout / analyzer / scoring semantics change, so a
 # /tmp cache surviving from an earlier code version can never be reused
-CONTRACT_INDEX_VERSION = "v6"  # v6: positions carried into the global layout
+CONTRACT_INDEX_VERSION = "v7"  # v7: layout-v2 global (per-posting dls)
 
 
 def doc_index_dir(sf_dir: str) -> str:

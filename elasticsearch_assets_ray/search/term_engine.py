@@ -107,11 +107,15 @@ class _BucketCore:
         from ..index.codec import decode_positions
 
         has_pos = bool(meta.get("store_positions"))
+        v2 = int(meta.get("layout_version", 1)) >= 2
+        k1, bm_b = float(meta.get("k1", 1.2)), float(meta.get("b", 0.75))
+        avgdl = float(meta.get("avgdl", 1.0))
         for b in bucket_ids:
             d = Path(global_dir) / f"bucket={b}"
             if not d.exists():
                 continue
-            cols = ["term", "salt", "postings", "norms", "df"]
+            cols = ["term", "salt", "postings", "df"]
+            cols.append("dls" if v2 else "norms")
             if has_pos:
                 cols.append("positions")
             tbl = pds.dataset(str(d)).to_table(columns=cols)
@@ -129,9 +133,22 @@ class _BucketCore:
             )
             doc_flat = doc_flat.astype(np.int64)
             tf_flat = tf_flat.astype(np.int64)
-            norm_flat = np.frombuffer(
-                b"".join(tbl.column("norms").to_pylist()), dtype="<f8"
-            )
+            if v2:
+                # layout v2 ships per-posting doc lengths; the BM25 norm
+                # derives HERE under the meta's CURRENT avgdl — this is
+                # what keeps served scores exact across incremental
+                # appends (an append moves avgdl; baked v1 norms can't)
+                dl_flat = np.frombuffer(
+                    b"".join(tbl.column("dls").to_pylist()), dtype="<u4"
+                ).astype(np.float64)
+                tf_f = tf_flat.astype(np.float64)
+                norm_flat = tf_f * (k1 + 1.0) / (
+                    tf_f + k1 * (1.0 - bm_b + bm_b * dl_flat / avgdl)
+                )
+            else:
+                norm_flat = np.frombuffer(
+                    b"".join(tbl.column("norms").to_pylist()), dtype="<f8"
+                )
             dfs = tbl.column("df").to_numpy()
             counts = np.diff(offs)
             # row runs per term (rows sorted by term, salt)

@@ -56,6 +56,10 @@ def main() -> int:
     ap.add_argument("--compact-fraction", type=float, default=None,
                     help="persistent mode: auto-compact when the tombstoned "
                          "share of the index exceeds this fraction")
+    ap.add_argument("--global-dir", default=None,
+                    help="persistent mode: keep a term-partitioned serving "
+                         "layout current per tick (append-only deltas "
+                         "append; compaction/rewrites re-merge + swap)")
     args = ap.parse_args()
 
     import ray
@@ -94,7 +98,8 @@ def main() -> int:
 
         px = PersistentIndexer(args.corpus, args.index, cfg,
                                interval_s=args.interval, delay_s=args.delay,
-                               compact_tombstone_fraction=args.compact_fraction)
+                               compact_tombstone_fraction=args.compact_fraction,
+                               global_dir=args.global_dir)
         ticks = args.max_ticks or None
         t0 = time.perf_counter()
         info = None

