@@ -989,6 +989,57 @@ GROUP BY 1, 2
 """
 
 
+def q_search_after(sf_dir: str) -> pa.Table:
+    """ES ``search_after`` pagination: page 2 of the BM25 ranking — the
+    cursor is page 1's 10th (score_r, doc_id); shards filter on the
+    cursor BEFORE local top-k selection so deep pages never lose docs a
+    shard's first page hid.  (documents.doc_id equals the global doc id
+    for this table — asserted — so the engine's global-id cursor and the
+    oracle's doc_id cursor coincide.)"""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        page1 = {
+            qid: engine.search(q, k=K_FETCH) for qid, q in BM25_QUERIES
+        }
+        ranked1 = _bm25_rerank(page1, idx)
+        cursors: dict[int, tuple[float, int]] = {}
+        for qid, rank, doc, s in zip(
+            ranked1.column("query_id").to_pylist(),
+            ranked1.column("rank").to_pylist(),
+            ranked1.column("doc_id").to_pylist(),
+            ranked1.column("score_r").to_pylist(),
+        ):
+            if rank == TOPK:
+                cursors[qid] = (s, doc)
+        per_q = {}
+        for qid, q in BM25_QUERIES:
+            cur = cursors.get(qid)
+            per_q[qid] = (
+                engine.search(q, k=K_FETCH, search_after=cur) if cur else []
+            )
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_search_after() -> str:
+    # page 2 = ranks TOPK+1 .. 2*TOPK of the full rounded ordering,
+    # re-numbered 1..TOPK (the engine returns page-relative ranks)
+    base = sql_bm25_topk().strip().rstrip()
+    assert base.endswith(f"QUALIFY rank <= {TOPK}")
+    page2 = base[: -len(f"QUALIFY rank <= {TOPK}")]
+    return f"""
+SELECT query_id, rank - {TOPK} AS rank, doc_id, score_r FROM (
+{page2}
+QUALIFY rank > {TOPK} AND rank <= {2 * TOPK}
+)
+"""
+
+
 # (qid, source doc_id) — ES more_like_this with like = one indexed doc
 MLT_QUERIES: list[tuple[int, int]] = [(0, 7), (1, 123), (2, 321)]
 MLT_MAX_TERMS = 10
@@ -2194,6 +2245,7 @@ def queries():
         "match_agg_lang": q_match_agg,
         "highlight_positions": q_highlight_positions,
         "more_like_this": q_more_like_this,
+        "search_after_page2": q_search_after,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
@@ -2242,6 +2294,7 @@ def oracle_sql():
         "match_agg_lang": sql_match_agg(),
         "highlight_positions": sql_highlight_positions(),
         "more_like_this": sql_more_like_this(),
+        "search_after_page2": sql_search_after(),
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "text_stats": sql_text_stats(),

@@ -125,12 +125,19 @@ class ShardData:
         params: BM25Params,
         avgdl: float,
         k: int,
+        after: tuple[float, int] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact local top-k via a dense score array over the shard's range.
 
         Accumulation order = sorted unique terms, float64 — pinned to the
         oracle's (SURVEY.md §7.4 rank-identity contract).
-        """
+
+        ``after`` = (score, global doc_id) is the ES ``search_after``
+        cursor: only docs strictly after it in (score desc, doc asc)
+        order are candidates — applied BEFORE local top-k selection, so
+        deep pagination never loses docs a shard's first page hid.
+        Scores compare ROUNDED when ``params.round_decimals`` is set (the
+        tie order the merge and the oracle use)."""
         k1, b = params.k1, params.b
         scores = np.zeros(self.num_docs, dtype=np.float64)
         touched = np.zeros(self.num_docs, dtype=bool)
@@ -147,6 +154,13 @@ class ShardData:
             touched[idx] = True
         touched &= ~self.deleted_mask
         cand = np.nonzero(touched)[0]
+        if after is not None:
+            cur_s, cur_d = after
+            r = params.round_decimals
+            cs_cmp = np.round(scores[cand], r) if r is not None else scores[cand]
+            gdocs = cand + self.doc_base
+            keep = (cs_cmp < cur_s) | ((cs_cmp == cur_s) & (gdocs > cur_d))
+            cand = cand[keep]
         cand, cs = _select_topk(cand, scores, k, params)
         return (cand + self.doc_base).astype(np.int64), cs
 
@@ -792,11 +806,21 @@ class _ScorerCore:
         return fn(terms, idf, self.params, self.avgdl, k)
 
     def topk(
-        self, queries: list[tuple[int, list[str], int]], idf: dict[str, float]
+        self, queries: list[tuple], idf: dict[str, float]
     ) -> list[tuple[int, np.ndarray, np.ndarray]]:
+        """queries: (qid, terms, k) or (qid, terms, k, after) — the
+        4-tuple form is the search_after cursor page (dense path)."""
         out = []
-        for qid, terms, k in queries:
-            parts = [self._shard_topk(s, terms, idf, k) for s in self.shards]
+        for q in queries:
+            qid, terms, k = q[0], q[1], q[2]
+            after = q[3] if len(q) > 3 else None
+            if after is not None:
+                parts = [
+                    s.dense_topk(terms, idf, self.params, self.avgdl, k, after)
+                    for s in self.shards
+                ]
+            else:
+                parts = [self._shard_topk(s, terms, idf, k) for s in self.shards]
             ids, sc = merge_topk(parts, k, self.params.round_decimals)
             out.append((qid, ids, sc))
         return out
@@ -962,8 +986,32 @@ class QueryEngine:
             for t in terms
         }
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        return self.search_batch([(0, query, k)])[0]
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        search_after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k; ``search_after`` = the (score, doc_id) of the last
+        hit of the previous page (ES search_after pagination) — returns
+        the next k hits strictly after it in (score desc, doc asc)
+        order.  With ``round_decimals`` set, pass the ROUNDED score the
+        engine returned (the sort key).  Cursor pages run the dense
+        scoring path (the cursor filter precedes local top-k selection,
+        which the WAND heap cut can't express)."""
+        if search_after is None:
+            return self.search_batch([(0, query, k)])[0]
+        terms = self._analyze(query)
+        if not terms:
+            return []
+        idf = self.idfs(terms)
+        per_actor = ray.get(
+            [a.topk.remote([(0, terms, k, tuple(search_after))], idf)
+             for a in self.actors]
+        )
+        parts = [(res[0][1], res[0][2]) for res in per_actor]
+        ids, sc = merge_topk(parts, k, self.params.round_decimals)
+        return list(zip(ids.tolist(), sc.tolist()))
 
     def search_phrase(self, phrase: str | list[str], k: int = 10) -> list[tuple[int, float]]:
         """Exact phrase query (ES ``match_phrase``, slop 0) over an index

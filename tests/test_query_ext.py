@@ -211,3 +211,20 @@ def test_more_like_this_bruteforce(engine, corpus_docs, small_index):
             minimum_should_match=0.3,
         )
         assert [d for d, _ in got] == expect, src
+
+
+def test_search_after_pagination(engine):
+    """Page 1 + search_after page 2 == the top-2k of one big search, for
+    every query; cursor filtering happens before shard-local top-k, so
+    pages never lose docs (the deep-pagination correctness property)."""
+    for q in ["merge data", "import", "parse config value"]:
+        full = engine.search(q, k=20)
+        if len(full) < 12:
+            continue
+        page1 = engine.search(q, k=10)
+        last_doc, last_score = page1[-1]
+        # cursor order = the sort keys (score, doc_id), as in ES
+        page2 = engine.search(q, k=10, search_after=(last_score, last_doc))
+        assert page1 + page2 == full[: len(page1) + len(page2)], q
+        # a cursor mid-tie-class resumes strictly after its doc id
+        assert all(d not in {x for x, _ in page1} for d, _ in page2)
