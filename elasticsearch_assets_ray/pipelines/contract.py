@@ -602,6 +602,72 @@ def q_bm25_phrase_global(sf_dir: str) -> pa.Table:
     return _bm25_rerank(per_q, idx)
 
 
+def _global_engine(sf_dir: str):
+    import os
+
+    from ..index.global_merge import merge_global_postings
+    from ..search.term_engine import TermPartitionedEngine
+
+    idx = ensure_doc_index(sf_dir)
+    gdir = f"{idx}_globalnorms"
+    if not os.path.exists(f"{gdir}/_globalmeta.json"):
+        merge_global_postings(idx, gdir, n_salts=2, n_buckets=8,
+                              hot_df_fraction=0.5, store_norms=True)
+    return idx, TermPartitionedEngine(gdir, num_actors=2, round_decimals=4)
+
+
+def q_prefix_search_global(sf_dir: str) -> pa.Table:
+    """``prefix`` (constant_score) served from the TERM-partitioned
+    layout: per-bucket sorted-dictionary walks + a k-smallest doc gather
+    per owning actor — same SQL oracle as ``prefix_search``."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        per_q = {
+            qid: eng.search_prefix(p, k=TOPK) for qid, p in PREFIX_QUERIES
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def q_wildcard_search_global(sf_dir: str) -> pa.Table:
+    """``wildcard`` (constant_score) from the TERM-partitioned layout —
+    same SQL oracle as ``wildcard_search``."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        per_q = {
+            qid: eng.search_wildcard(p, k=TOPK) for qid, p in WILDCARD_QUERIES
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def q_bm25_bool_global(sf_dir: str) -> pa.Table:
+    """``bool`` queries served from the TERM-partitioned layout
+    (coordinator-side clause algebra over bucket-actor gathers) — same
+    SQL oracle as ``bm25_bool``; both engines must agree with it."""
+    import os
+
+    from ..index.global_merge import merge_global_postings
+    from ..search.term_engine import TermPartitionedEngine
+
+    idx = ensure_doc_index(sf_dir)
+    gdir = f"{idx}_globalnorms"
+    if not os.path.exists(f"{gdir}/_globalmeta.json"):
+        merge_global_postings(idx, gdir, n_salts=2, n_buckets=8,
+                              hot_df_fraction=0.5, store_norms=True)
+    eng = TermPartitionedEngine(gdir, num_actors=2, round_decimals=4)
+    try:
+        per_q = {
+            qid: eng.search_bool(k=K_FETCH, **clauses)
+            for qid, clauses in BOOL_QUERIES
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
 def q_prefix_search(sf_dir: str) -> pa.Table:
     """ES ``prefix`` query under the default constant_score rewrite:
     term-dictionary range scan per shard (the sorted segment term column
@@ -2237,6 +2303,9 @@ def queries():
         "bm25_bool": q_bm25_bool,
         "bm25_phrase": q_bm25_phrase,
         "bm25_phrase_global": q_bm25_phrase_global,
+        "bm25_bool_global": q_bm25_bool_global,
+        "prefix_search_global": q_prefix_search_global,
+        "wildcard_search_global": q_wildcard_search_global,
         "prefix_search": q_prefix_search,
         "bm25_phrase_prefix": q_phrase_prefix,
         "wildcard_search": q_wildcard_search,
@@ -2286,6 +2355,9 @@ def oracle_sql():
         "bm25_bool": sql_bm25_bool(),
         "bm25_phrase": sql_bm25_phrase(),
         "bm25_phrase_global": sql_bm25_phrase(),
+        "bm25_bool_global": sql_bm25_bool(),
+        "prefix_search_global": sql_prefix_search(),
+        "wildcard_search_global": sql_wildcard_search(),
         "prefix_search": sql_prefix_search(),
         "bm25_phrase_prefix": sql_phrase_prefix(),
         "wildcard_search": sql_wildcard_search(),

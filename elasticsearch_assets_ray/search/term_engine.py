@@ -204,6 +204,69 @@ class _BucketCore:
                         pos_flat[tok_offs[lo]:tok_offs[hi]],
                     )
 
+    def expand_prefix(self, prefix: str, cap: int | None = None) -> list[str]:
+        """This core's dictionary terms with the prefix, in term order
+        (the union of per-bucket first-Ns contains the global first-N —
+        the same soundness argument as the shard engine's per-shard cap)."""
+        import bisect
+
+        tl = self._sorted_terms()
+        lo = bisect.bisect_left(tl, prefix)
+        out: list[str] = []
+        for j in range(lo, len(tl)):
+            if not tl[j].startswith(prefix):
+                break
+            out.append(tl[j])
+            if cap is not None and len(out) >= cap:
+                break
+        return out
+
+    def expand_wildcard(self, pattern: str, cap: int | None = None) -> list[str]:
+        """Wildcard (* / ?) dictionary matches in term order: literal-
+        prefix bisect + compiled-regex walk, as in the shard engine."""
+        import bisect
+        import re as _re
+
+        tl = self._sorted_terms()
+        wi = min(
+            (pattern.index(c) for c in "*?" if c in pattern), default=len(pattern)
+        )
+        lit = pattern[:wi]
+        rx = _re.compile(
+            "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in pattern
+            )
+            + r"\Z"
+        )
+        lo = bisect.bisect_left(tl, lit) if lit else 0
+        out: list[str] = []
+        for j in range(lo, len(tl)):
+            t = tl[j]
+            if lit and not t.startswith(lit):
+                break
+            if rx.match(t):
+                out.append(t)
+                if cap is not None and len(out) >= cap:
+                    break
+        return out
+
+    def _sorted_terms(self) -> list[str]:
+        tl = getattr(self, "_term_list", None)
+        if tl is None:
+            tl = self._term_list = sorted(self.terms)
+        return tl
+
+    def match_docs(self, terms: list[str], k: int) -> "np.ndarray":
+        """k smallest global doc ids containing any of ``terms`` (the
+        constant_score doc gather for prefix/wildcard queries)."""
+        parts = [
+            self.terms[t][0] for t in terms if t in self.terms
+        ]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))[:k]
+
     def fetch(self, terms: list[str], positions: bool = False):
         """→ {term: (doc_ids, norms, df, block_last, block_max)} for the
         terms this core owns; with ``positions=True`` each tuple gains
@@ -497,6 +560,142 @@ class TermPartitionedEngine:
             return []
         fetched = self.fetch_terms(terms)
         return self._score_from_fetch(terms, fetched, k)
+
+    def _constant_score_docs(self, expand_method: str, arg: str, k: int):
+        # 1) expand over every bucket actor (dictionary walk); 2) gather
+        # the k smallest matching doc ids, one round per OWNING actor
+        futs = [
+            getattr(a, expand_method).remote(arg) for a in self.actors
+        ]
+        from ..index.global_merge import _term_bucket
+
+        terms = sorted(set().union(*map(set, ray.get(futs))))
+        if not terms:
+            return []
+        by_actor: dict[int, list[str]] = {}
+        for t in terms:
+            ai = self._actor_of_bucket[_term_bucket(t, self._n_buckets)]
+            by_actor.setdefault(ai, []).append(t)
+        parts = ray.get(
+            [self.actors[a].match_docs.remote(ts, k)
+             for a, ts in by_actor.items()]
+        )
+        # np.unique, not sort: two actors (different buckets, different
+        # matching terms) can both report the same doc
+        docs = np.unique(np.concatenate(parts))[:k] if parts else []
+        return [(int(d), 1.0) for d in docs]
+
+    def search_prefix(self, prefix: str, k: int = 10) -> list[tuple[int, float]]:
+        """ES ``prefix`` query (constant_score rewrite) on the
+        term-partitioned layout — identical results to
+        ``QueryEngine.search_prefix`` (tested)."""
+        if not prefix:
+            return []
+        return self._constant_score_docs("expand_prefix", prefix, k)
+
+    def search_wildcard(self, pattern: str, k: int = 10) -> list[tuple[int, float]]:
+        """ES ``wildcard`` query (constant_score rewrite) on the
+        term-partitioned layout."""
+        if not pattern:
+            return []
+        return self._constant_score_docs("expand_wildcard", pattern, k)
+
+    def search_bool(
+        self,
+        must: str | list[str] = "",
+        should: str | list[str] = "",
+        must_not: str | list[str] = "",
+        filter: str | list[str] = "",
+        k: int = 10,
+        minimum_should_match: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES ``bool`` query on the term-partitioned layout: clause terms
+        gather from their bucket actors (one round), the clause algebra
+        runs as sorted-array set ops on the coordinator, and scoring sums
+        idf·norm over the distinct (must ∪ should) terms — the same
+        semantics (and SQL oracle) as ``QueryEngine.search_bool``.
+
+        Candidate work is bounded by the clause terms' posting mass —
+        the same cost shape as a term query; no doc-axis state needed."""
+
+        def _clause(v) -> list[str]:
+            if isinstance(v, str):
+                return self._analyze(v) if v else []
+            return sorted(set(v))
+
+        must_s, should_s = _clause(must), _clause(should)
+        not_s, filt_s = _clause(must_not), _clause(filter)
+        if not (must_s or should_s or filt_s):
+            raise ValueError("bool query needs at least one positive clause")
+        scoring = sorted(set(must_s) | set(should_s))
+        all_terms = sorted(set(scoring) | set(not_s) | set(filt_s))
+        fetched = self.fetch_terms(all_terms)
+
+        def docs_of(t: str) -> np.ndarray:
+            got = fetched.get(t)
+            return got[0] if got is not None else np.empty(0, np.int64)
+
+        def inter_all(ts: list[str]) -> np.ndarray | None:
+            cur: np.ndarray | None = None
+            for t in ts:
+                d = docs_of(t)
+                cur = d if cur is None else np.intersect1d(
+                    cur, d, assume_unique=True
+                )
+                if len(cur) == 0:
+                    break
+            return cur
+
+        # eligibility mask, built on the union of scoring/filter docs
+        ok: np.ndarray | None = None  # None = unconstrained yet
+        if must_s:
+            ok = inter_all(must_s)
+        if filt_s:
+            f = inter_all(filt_s)
+            ok = f if ok is None else np.intersect1d(ok, f, assume_unique=True)
+        msm = minimum_should_match
+        if msm is None:
+            msm = 0 if (must_s or filt_s) else (1 if should_s else 0)
+        if msm > 0 and should_s:
+            sd = np.concatenate([docs_of(t) for t in should_s])
+            ud, cnt = np.unique(sd, return_counts=True)
+            sm = ud[cnt >= msm]
+            ok = sm if ok is None else np.intersect1d(ok, sm, assume_unique=True)
+        elif msm > 0:
+            return []
+        if ok is None:
+            # nothing constrained the doc set (e.g. should-only with an
+            # explicit msm=0): ES would match ALL docs — fail loud like
+            # the doc-partitioned engine rather than scan the corpus
+            raise ValueError(
+                "bool query constrains no documents (all-docs scan refused)"
+            )
+        if len(ok) == 0:
+            return []
+        if not_s:
+            nd = np.unique(np.concatenate([docs_of(t) for t in not_s])) if (
+                any(len(docs_of(t)) for t in not_s)
+            ) else np.empty(0, np.int64)
+            ok = np.setdiff1d(ok, nd, assume_unique=True)
+        if len(ok) == 0:
+            return []
+
+        # score the eligible docs: per term, gather the norm of each
+        # eligible doc's entry (sorted-term accumulation order, pinned)
+        scores = np.zeros(len(ok), dtype=np.float64)
+        for t in scoring:
+            got = fetched.get(t)
+            if got is None:
+                continue
+            ids, norms, df = got[0], got[1], got[2]
+            idf = math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+            pos = np.searchsorted(ids, ok)
+            pos_c = np.minimum(pos, len(ids) - 1) if len(ids) else pos
+            hit = (len(ids) > 0) & (ids[pos_c] == ok) if len(ids) else (
+                np.zeros(len(ok), dtype=bool)
+            )
+            scores[hit] += idf * norms[pos_c[hit]]
+        return self._tie_cut(ok, scores, k)
 
     # in-doc positions must fit under the doc-id shift; 2^21 tokens/doc is
     # far past any clip-tokenized document, and 2^42 doc ids covers 10^12

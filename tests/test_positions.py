@@ -533,3 +533,54 @@ def test_global_phrase_requires_positional_layout(small_index, tmp_path):
             eng.search_phrase("def merge", k=5)
     finally:
         eng.shutdown()
+
+
+def test_global_bool_matches_doc_engine(pos_index, tmp_path):
+    """ES bool queries on the term-partitioned layout (coordinator-side
+    clause algebra over gathered postings) are rank+score identical to
+    the shard-actor engine's bool path."""
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    out = tmp_path / "global_bool"
+    merge_global_postings(pos_index.index_dir, out, n_salts=3, n_buckets=4,
+                          store_norms=True)
+    geng = TermPartitionedEngine(out, num_actors=2)
+    deng = QueryEngine(pos_index.index_dir, num_actors=2)
+    cases = [
+        dict(must="merge data", must_not="window"),
+        dict(should="stream window agg"),
+        dict(must="return", filter="data", should="merge"),
+        dict(should="merge data import", minimum_should_match=2),
+        dict(filter="import"),
+        dict(must="zzqq notaterm"),
+    ]
+    try:
+        for kw in cases:
+            got = geng.search_bool(k=50, **kw)
+            want = deng.search_bool(k=50, **kw)
+            assert [d for d, _ in got] == [d for d, _ in want], kw
+            for (_, s1), (_, s2) in zip(got, want):
+                assert abs(s1 - s2) < 1e-12, kw
+    finally:
+        geng.shutdown()
+        deng.shutdown()
+
+
+def test_global_prefix_wildcard_match_doc_engine(pos_index, tmp_path):
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    out = tmp_path / "global_pw"
+    merge_global_postings(pos_index.index_dir, out, n_salts=3, n_buckets=4,
+                          store_norms=True)
+    geng = TermPartitionedEngine(out, num_actors=2)
+    deng = QueryEngine(pos_index.index_dir, num_actors=2)
+    try:
+        for p in ["me", "imp", "zzz", "s"]:
+            assert geng.search_prefix(p, k=25) == deng.search_prefix(p, k=25), p
+        for w in ["me*e", "d?ta", "*cursor", "no*hit*zz"]:
+            assert geng.search_wildcard(w, k=25) == deng.search_wildcard(w, k=25), w
+    finally:
+        geng.shutdown()
+        deng.shutdown()
