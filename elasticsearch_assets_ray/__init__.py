@@ -34,26 +34,34 @@ from .config import BM25Params, IndexConfig  # noqa: E402
 from .index.build import IndexInfo, build_index  # noqa: E402
 from .index.compact import compact_index  # noqa: E402
 from .index.deletes import delete_docs  # noqa: E402
-from .index.global_merge import merge_global_postings  # noqa: E402
+from .index.global_merge import (  # noqa: E402
+    append_global_postings,
+    merge_global_postings,
+    refresh_global_postings,
+)
 from .index.persistent import PersistentIndexer  # noqa: E402
 from .search.engine import (  # noqa: E402
     QueryEngine,
     score_queries_dataset,
     score_queries_dataset_distributed,
 )
+from .search.multifield import MultiFieldEngine  # noqa: E402
 from .search.term_engine import TermPartitionedEngine  # noqa: E402
 
 __all__ = [
     "BM25Params",
     "IndexConfig",
     "IndexInfo",
+    "MultiFieldEngine",
     "PersistentIndexer",
     "QueryEngine",
     "TermPartitionedEngine",
+    "append_global_postings",
     "build_index",
     "compact_index",
     "delete_docs",
     "merge_global_postings",
+    "refresh_global_postings",
     "score_queries_dataset",
     "score_queries_dataset_distributed",
     "__version__",

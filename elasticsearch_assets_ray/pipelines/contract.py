@@ -1055,6 +1055,142 @@ GROUP BY 1, 2
 """
 
 
+def ensure_source_index(sf_dir: str) -> str:
+    """Second FIELD index over ``documents.source`` — same corpus, same
+    partition/shard plan as the text index, so shard s of both fields
+    covers the same doc range (the multi-field alignment contract)."""
+    cfg = IndexConfig(
+        analyzer="simple",
+        text_col="source",
+        lang_col=None,
+        id_col="doc_id",
+        meta_cols=(),
+        partition_target_docs=128,
+        shard_target_docs=512,
+    )
+    out = doc_index_dir(sf_dir) + "_srcfield"
+    build_index(f"{sf_dir}/documents.parquet", out, cfg)
+    return out
+
+
+# multi_match queries mixing text terms with source-field tokens
+MULTI_QUERIES: list[tuple[int, str]] = [
+    (0, "src3 customer order"),
+    (1, "src12 hash join"),
+    (2, "table scan src7"),
+]
+MULTI_BOOSTS = {"text": 1.0, "source": 2.0}
+MULTI_TIE = 0.3
+
+
+def _q_multi_match(sf_dir: str, mm_type: str, tie: float) -> pa.Table:
+    from ..config import BM25Params
+    from ..search.multifield import MultiFieldEngine
+
+    idx = ensure_doc_index(sf_dir)
+    sidx = ensure_source_index(sf_dir)
+    eng = MultiFieldEngine(
+        {"text": idx, "source": sidx},
+        num_actors=4,
+        params=BM25Params(round_decimals=4),
+    )
+    try:
+        per_q = {
+            qid: eng.multi_match(q, fields=MULTI_BOOSTS, type=mm_type,
+                                 tie_breaker=tie, k=K_FETCH)
+            for qid, q in MULTI_QUERIES
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def q_multi_match_best(sf_dir: str) -> pa.Table:
+    """ES ``multi_match`` best_fields (DisMax + tie_breaker) over two
+    FIELD indexes (text, source) sharing the partition plan: per-field
+    analyzers/df/avgdl, shard-side combination, top-k per shard."""
+    return _q_multi_match(sf_dir, "best_fields", MULTI_TIE)
+
+
+def q_multi_match_most(sf_dir: str) -> pa.Table:
+    """ES ``multi_match`` most_fields (per-field BM25 sum)."""
+    return _q_multi_match(sf_dir, "most_fields", 0.0)
+
+
+def _sql_multi_match(mm_type: str, tie: float) -> str:
+    rows = []
+    for qid, text in MULTI_QUERIES:
+        for t in _simple_tokens(text):
+            rows.append(f"({qid}, '{t}')")
+    values = ", ".join(rows)
+    toks_t = _TOKS.format(id="doc_id", text="text", src="documents")
+    toks_s = _TOKS.format(id="doc_id", text="source", src="documents")
+    bt, bs = MULTI_BOOSTS["text"], MULTI_BOOSTS["source"]
+    if mm_type == "best_fields":
+        comb = (
+            f"greatest(coalesce(st.score,0), coalesce(ss.score,0)) + {tie} * "
+            "(coalesce(st.score,0) + coalesce(ss.score,0) "
+            "- greatest(coalesce(st.score,0), coalesce(ss.score,0)))"
+        )
+    else:
+        comb = "coalesce(st.score,0) + coalesce(ss.score,0)"
+    return f"""
+WITH tt AS ({toks_t}),
+ts AS ({toks_s}),
+q(query_id, t) AS (VALUES {values}),
+dlt AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tt GROUP BY doc_id),
+dls AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ts GROUP BY doc_id),
+st_s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                (SELECT sum(dl) FROM dlt) / (SELECT count(*) FROM documents) AS avgdl_t,
+                (SELECT sum(dl) FROM dls) / (SELECT count(*) FROM documents) AS avgdl_s),
+tft AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tt GROUP BY doc_id, t),
+tfs AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM ts GROUP BY doc_id, t),
+dft AS (SELECT t, count(*)::DOUBLE AS df FROM tft GROUP BY t),
+dfs AS (SELECT t, count(*)::DOUBLE AS df FROM tfs GROUP BY t),
+sct AS (
+  SELECT q.query_id, tft.doc_id,
+         {bt} * sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tft.tf * ({K1} + 1)
+             / (tft.tf + {K1} * (1 - {B} + {B} * dlt.dl / s.avgdl_t))) AS score
+  FROM q
+  JOIN tft ON tft.t = q.t
+  JOIN dft ON dft.t = q.t
+  JOIN dlt ON dlt.doc_id = tft.doc_id, st_s s
+  GROUP BY 1, 2),
+scs AS (
+  SELECT q.query_id, tfs.doc_id,
+         {bs} * sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * tfs.tf * ({K1} + 1)
+             / (tfs.tf + {K1} * (1 - {B} + {B} * dls.dl / s.avgdl_s))) AS score
+  FROM q
+  JOIN tfs ON tfs.t = q.t
+  JOIN dfs ON dfs.t = q.t
+  JOIN dls ON dls.doc_id = tfs.doc_id, st_s s
+  GROUP BY 1, 2),
+keys AS (SELECT query_id, doc_id FROM sct
+         UNION SELECT query_id, doc_id FROM scs),
+combined AS (
+  SELECT k.query_id, k.doc_id, {comb} AS score
+  FROM keys k
+  LEFT JOIN sct st ON st.query_id = k.query_id AND st.doc_id = k.doc_id
+  LEFT JOIN scs ss ON ss.query_id = k.query_id AND ss.doc_id = k.doc_id)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM combined
+QUALIFY rank <= {TOPK}
+"""
+
+
+def sql_multi_match_best() -> str:
+    return _sql_multi_match("best_fields", MULTI_TIE)
+
+
+def sql_multi_match_most() -> str:
+    return _sql_multi_match("most_fields", 0.0)
+
+
 def q_search_after(sf_dir: str) -> pa.Table:
     """ES ``search_after`` pagination: page 2 of the BM25 ranking — the
     cursor is page 1's 10th (score_r, doc_id); shards filter on the
@@ -2315,6 +2451,8 @@ def queries():
         "highlight_positions": q_highlight_positions,
         "more_like_this": q_more_like_this,
         "search_after_page2": q_search_after,
+        "multi_match_best": q_multi_match_best,
+        "multi_match_most": q_multi_match_most,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
@@ -2367,6 +2505,8 @@ def oracle_sql():
         "highlight_positions": sql_highlight_positions(),
         "more_like_this": sql_more_like_this(),
         "search_after_page2": sql_search_after(),
+        "multi_match_best": sql_multi_match_best(),
+        "multi_match_most": sql_multi_match_most(),
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "text_stats": sql_text_stats(),

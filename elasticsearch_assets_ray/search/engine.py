@@ -138,6 +138,29 @@ class ShardData:
         deep pagination never loses docs a shard's first page hid.
         Scores compare ROUNDED when ``params.round_decimals`` is set (the
         tie order the merge and the oracle use)."""
+        scores, touched = self.dense_scores(terms, idf, params, avgdl)
+        touched &= ~self.deleted_mask
+        cand = np.nonzero(touched)[0]
+        if after is not None:
+            cur_s, cur_d = after
+            r = params.round_decimals
+            cs_cmp = np.round(scores[cand], r) if r is not None else scores[cand]
+            gdocs = cand + self.doc_base
+            keep = (cs_cmp < cur_s) | ((cs_cmp == cur_s) & (gdocs > cur_d))
+            cand = cand[keep]
+        cand, cs = _select_topk(cand, scores, k, params)
+        return (cand + self.doc_base).astype(np.int64), cs
+
+    def dense_scores(
+        self,
+        terms: list[str],
+        idf: dict[str, float],
+        params: BM25Params,
+        avgdl: float,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Full BM25 score + touched arrays over the shard's doc range
+        (sorted-term accumulation order, float64 — the rank-identity
+        pin).  Shared by dense_topk and the multi-field combiner."""
         k1, b = params.k1, params.b
         scores = np.zeros(self.num_docs, dtype=np.float64)
         touched = np.zeros(self.num_docs, dtype=bool)
@@ -152,17 +175,7 @@ class ShardData:
             norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
             scores[idx] += idf[t] * norm
             touched[idx] = True
-        touched &= ~self.deleted_mask
-        cand = np.nonzero(touched)[0]
-        if after is not None:
-            cur_s, cur_d = after
-            r = params.round_decimals
-            cs_cmp = np.round(scores[cand], r) if r is not None else scores[cand]
-            gdocs = cand + self.doc_base
-            keep = (cs_cmp < cur_s) | ((cs_cmp == cur_s) & (gdocs > cur_d))
-            cand = cand[keep]
-        cand, cs = _select_topk(cand, scores, k, params)
-        return (cand + self.doc_base).astype(np.int64), cs
+        return scores, touched
 
     def bool_topk(
         self,

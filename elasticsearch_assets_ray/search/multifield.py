@@ -1,0 +1,231 @@
+"""Multi-field search (ES ``multi_match``) over per-field indexes.
+
+ES indexes each mapped field as its own inverted index over the same
+documents; ``multi_match`` combines per-field BM25 scores per doc —
+``best_fields`` (DisMax: max, plus ``tie_breaker`` × the rest) or
+``most_fields`` (sum).  The reference passes multi_match through to ES
+untranslated (its reader forwards the query DSL verbatim,
+``/root/reference/asset/elasticsearch_reader/reader.js:6-31``); here each
+field is a separate index built from the SAME corpus with the SAME
+partition plan, so shard s of every field covers the same doc range and
+the combination runs SHARD-SIDE: one actor holds shard s of all fields,
+combines full per-field score arrays, and cuts top-k locally — network
+traffic stays top-k per shard, never per-candidate.
+
+Per-field df / avgdl / analyzer follow each field's own index (ES
+semantics — a short ``path`` field has its own length norm).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import numpy as np
+
+import ray
+
+from ..analysis.tokenizer import clip_tokens, get_analyzer
+from ..config import BM25Params
+from ..index.build import IndexInfo
+from .engine import ShardData, _select_topk, merge_topk
+
+
+def _check_aligned(infos: dict[str, IndexInfo]) -> None:
+    """Every field index must share the shard plan (same doc ranges)."""
+    base = None
+    for f, info in infos.items():
+        plan = [
+            (s.shard_id, s.doc_base, s.num_docs)
+            for s in sorted(info.manifest.shards.values(), key=lambda s: s.shard_id)
+        ]
+        if base is None:
+            base = (f, plan)
+        elif plan != base[1]:
+            raise ValueError(
+                f"field index {f!r} shard plan differs from {base[0]!r} — "
+                "multi-field search needs indexes built from the same corpus "
+                "with the same partition/shard config"
+            )
+
+
+class _MultiCore:
+    """One shard group, all fields: {field: [ShardData]}, aligned."""
+
+    def __init__(self, field_dirs: dict[str, str], shard_ids: list[int],
+                 params: BM25Params):
+        self.params = params
+        infos = {f: IndexInfo(d) for f, d in field_dirs.items()}
+        _check_aligned(infos)
+        self.avgdl = {f: i.stats.avgdl for f, i in infos.items()}
+        self.shards = {
+            f: [ShardData(info, sid) for sid in shard_ids]
+            for f, info in infos.items()
+        }
+
+    def local_dfs(self, per_field_terms: dict[str, list[str]]) -> dict:
+        return {
+            f: {t: sum(s.local_df(t) for s in self.shards[f]) for t in ts}
+            for f, ts in per_field_terms.items()
+        }
+
+    def multi_topk(
+        self,
+        queries: list[tuple],
+        idfs: dict[str, dict[str, float]],
+    ) -> list[tuple[int, np.ndarray, np.ndarray]]:
+        """queries: [(qid, {field: terms}, {field: boost}, mm_type,
+        tie_breaker, k)] → per query merged local top-k.
+
+        Combination per doc (ES dis_max / most_fields):
+        ``best_fields``: max_f(boost_f·score_f) + tie_breaker·Σ(rest);
+        ``most_fields``: Σ_f boost_f·score_f.  Field iteration is sorted
+        field order — deterministic accumulation."""
+        out = []
+        fields_all = sorted(self.shards)
+        n_shards = len(next(iter(self.shards.values())))
+        for qid, terms_of, boost_of, mm_type, tie, k in queries:
+            parts = []
+            for si in range(n_shards):
+                per_field = []
+                touched_any = None
+                for f in fields_all:
+                    if f not in terms_of or not terms_of[f]:
+                        continue
+                    s = self.shards[f][si]
+                    sc, touched = s.dense_scores(
+                        terms_of[f], idfs[f], self.params, self.avgdl[f]
+                    )
+                    sc = sc * boost_of.get(f, 1.0)
+                    touched &= ~s.deleted_mask
+                    per_field.append(sc)
+                    touched_any = (
+                        touched if touched_any is None else touched_any | touched
+                    )
+                if touched_any is None:
+                    parts.append(
+                        (np.empty(0, np.int64), np.empty(0, np.float64))
+                    )
+                    continue
+                M = np.stack(per_field)  # (n_fields, n_docs)
+                if mm_type == "most_fields":
+                    comb = M.sum(axis=0)
+                elif mm_type == "best_fields":
+                    best = M.max(axis=0)
+                    comb = best + tie * (M.sum(axis=0) - best)
+                else:
+                    raise ValueError(f"unknown multi_match type {mm_type!r}")
+                sd = self.shards[fields_all[0]][si]
+                cand = np.nonzero(touched_any)[0]
+                cand, cs = _select_topk(cand, comb, k, self.params)
+                parts.append(
+                    ((cand + sd.doc_base).astype(np.int64), cs)
+                )
+            ids, sc = merge_topk(parts, k, self.params.round_decimals)
+            out.append((qid, ids, sc))
+        return out
+
+
+@ray.remote
+class MultiShardScorer(_MultiCore):
+    """Ray actor wrapper (all fields' shard state loaded once)."""
+
+
+class MultiFieldEngine:
+    """ES ``multi_match`` serving over per-field indexes.
+
+    ``fields``: {field_name: index_dir}.  All indexes must share the
+    partition/shard plan (asserted at actor load)."""
+
+    def __init__(
+        self,
+        fields: dict[str, str | Path],
+        num_actors: int = 4,
+        params: BM25Params | None = None,
+    ):
+        if not fields:
+            raise ValueError("need at least one field index")
+        self.params = params or BM25Params()
+        self.infos = {f: IndexInfo(d) for f, d in fields.items()}
+        _check_aligned(self.infos)
+        first = next(iter(self.infos.values()))
+        self.num_docs = first.stats.num_docs
+        shard_ids = first.shard_ids()
+        num_actors = max(1, min(num_actors, len(shard_ids)))
+        groups: list[list[int]] = [[] for _ in range(num_actors)]
+        for i, sid in enumerate(shard_ids):
+            groups[i % num_actors].append(sid)
+        dirs = {f: str(d) for f, d in fields.items()}
+        self.actors = [
+            MultiShardScorer.remote(dirs, g, self.params) for g in groups
+        ]
+        self._analyzers = {
+            f: (
+                get_analyzer(
+                    "code" if info.manifest.analyzer == "per_lang"
+                    else info.manifest.analyzer
+                ),
+                info.manifest.min_token_len,
+                info.manifest.max_token_len,
+            )
+            for f, info in self.infos.items()
+        }
+
+    def _analyze(self, field: str, query: str) -> list[str]:
+        fn, mn, mx = self._analyzers[field]
+        return sorted(set(clip_tokens(fn(query), mn, mx)))
+
+    def multi_match(
+        self,
+        query: str,
+        fields: dict[str, float] | list[str] | None = None,
+        type: str = "best_fields",
+        tie_breaker: float = 0.0,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``multi_match``: the query analyzes PER FIELD (each field's
+        own analyzer), scores per field with that field's df/avgdl, and
+        combines per doc (``best_fields`` DisMax with ``tie_breaker``, or
+        ``most_fields`` sum).  ``fields`` maps field → boost (list form
+        = boost 1.0)."""
+        if fields is None:
+            boost_of = {f: 1.0 for f in self.infos}
+        elif isinstance(fields, dict):
+            boost_of = dict(fields)
+        else:
+            boost_of = {f: 1.0 for f in fields}
+        unknown = set(boost_of) - set(self.infos)
+        if unknown:
+            raise KeyError(f"unknown fields: {sorted(unknown)}")
+        terms_of = {
+            f: self._analyze(f, query) for f in sorted(boost_of)
+        }
+        if not any(terms_of.values()):
+            return []
+        # global idf per field (each field's own df + N)
+        df_parts = ray.get(
+            [a.local_dfs.remote(terms_of) for a in self.actors]
+        )
+        idfs: dict[str, dict[str, float]] = {}
+        for f, ts in terms_of.items():
+            n = self.infos[f].stats.num_docs
+            idfs[f] = {}
+            for t in ts:
+                df = sum(p[f][t] for p in df_parts)
+                idfs[f][t] = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        per_actor = ray.get(
+            [
+                a.multi_topk.remote(
+                    [(0, terms_of, boost_of, type, tie_breaker, k)], idfs
+                )
+                for a in self.actors
+            ]
+        )
+        parts = [(res[0][1], res[0][2]) for res in per_actor]
+        ids, sc = merge_topk(parts, k, self.params.round_decimals)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

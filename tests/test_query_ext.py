@@ -228,3 +228,80 @@ def test_search_after_pagination(engine):
         assert page1 + page2 == full[: len(page1) + len(page2)], q
         # a cursor mid-tie-class resumes strictly after its doc id
         assert all(d not in {x for x, _ in page1} for d, _ in page2)
+
+
+def test_multi_match_bruteforce(small_corpus, small_index, tmp_path_factory):
+    """multi_match over (content, path) field indexes vs a brute-force
+    per-field BM25 combine — best_fields (DisMax + tie_breaker) and
+    most_fields (sum), with boosts; per-field analyzers, df and avgdl."""
+    import math
+    import pathlib
+
+    from elasticsearch_assets_ray.config import IndexConfig
+    from elasticsearch_assets_ray.index.build import build_index
+    from elasticsearch_assets_ray.search.multifield import MultiFieldEngine
+
+    # second field index: same corpus, same partition plan, path column
+    pidx = build_index(
+        small_corpus,
+        tmp_path_factory.mktemp("pathidx") / "idx",
+        IndexConfig(partition_target_docs=50, shard_target_docs=100,
+                    text_col="path", lang_col=None, meta_cols=()),
+    )
+    texts, paths = [], []
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        t = pq.read_table(f, columns=["content", "path"])
+        texts.extend(t.column("content").to_pylist())
+        paths.extend(t.column("path").to_pylist())
+    field_toks = {
+        "content": [clip_tokens(code_tokens(t), 1, 64) for t in texts],
+        "path": [clip_tokens(code_tokens(p), 1, 64) for p in paths],
+    }
+    params = BM25Params()
+    n = len(texts)
+
+    def field_scores(field, qterms):
+        toks = field_toks[field]
+        dl = np.array([len(ts) for ts in toks], dtype=np.float64)
+        avgdl = dl.sum() / n
+        sc = np.zeros(n)
+        for t in sorted(set(qterms)):
+            df = sum(1 for ts in toks if t in ts)
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for d, ts in enumerate(toks):
+                tf = ts.count(t)
+                if tf:
+                    sc[d] += idf * tf * (params.k1 + 1) / (
+                        tf + params.k1 * (1 - params.b + params.b * dl[d] / avgdl)
+                    )
+        return sc
+
+    eng = MultiFieldEngine(
+        {"content": str(small_index.index_dir), "path": str(pidx.index_dir)},
+        num_actors=2,
+    )
+    try:
+        for q in ["merge data", "src module import"]:
+            qt = clip_tokens(code_tokens(q), 1, 64)
+            sc_c = field_scores("content", qt)
+            sc_p = field_scores("path", qt) * 2.0  # boost
+            for mm, tie, combine in [
+                ("best_fields", 0.0, lambda a, b: np.maximum(a, b)),
+                ("best_fields", 0.3,
+                 lambda a, b: np.maximum(a, b) + 0.3 * (a + b - np.maximum(a, b))),
+                ("most_fields", 0.0, lambda a, b: a + b),
+            ]:
+                comb = combine(sc_c, sc_p)
+                order = np.lexsort((np.arange(n), -comb))
+                expect = [(int(d), comb[d]) for d in order[:8] if comb[d] > 0]
+                got = eng.multi_match(
+                    q, fields={"content": 1.0, "path": 2.0}, type=mm,
+                    tie_breaker=tie, k=8,
+                )
+                assert [d for d, _ in got] == [d for d, _ in expect], (q, mm, tie)
+                for (_, s1), (_, s2) in zip(got, expect):
+                    assert abs(s1 - s2) < 1e-9, (q, mm, tie)
+    finally:
+        eng.shutdown()
