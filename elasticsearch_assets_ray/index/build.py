@@ -889,6 +889,50 @@ class IndexInfo:
         )
 
 
+    def cat(self) -> dict:
+        """ES ``_cat/indices``-style one-row summary: live/deleted doc
+        counts, term/posting/token totals, store bytes, shard count —
+        footer-and-stat reads only, never a data scan."""
+        import os
+
+        from .deletes import load_deletes, load_dropped_archive
+
+        shards = self.manifest.shards.values()
+        seg_bytes = sum(
+            os.path.getsize(self.segment_path(s.shard_id)) for s in shards
+        )
+        dm_bytes = sum(
+            os.path.getsize(p)
+            for s in shards
+            for p in self.docmeta_paths(s.shard_id)
+        )
+        deleted = sum(
+            len(
+                np.setdiff1d(
+                    load_deletes(self.index_dir, s.shard_id),
+                    load_dropped_archive(self.index_dir, s.shard_id),
+                )
+            )
+            for s in shards
+        )
+        return {
+            "docs_count": self.stats.num_docs - deleted,
+            "docs_deleted": int(deleted),  # pending tombstones
+            "shards": self.stats.num_shards,
+            "terms": sum(s.num_terms for s in shards),  # per-shard sum
+            "postings": sum(s.num_postings for s in shards),
+            "total_tokens": self.stats.total_tokens,
+            "avgdl": self.stats.avgdl,
+            "segments_bytes": seg_bytes,
+            "docmeta_bytes": dm_bytes,
+            "store_bytes": seg_bytes + dm_bytes,
+            "analyzer": self.manifest.analyzer,
+            "store_positions": bool(
+                getattr(self.manifest, "store_positions", False)
+            ),
+        }
+
+
 def build_index(
     corpus: str | Path | list[str],
     index_dir: str | Path,

@@ -1311,6 +1311,8 @@ class QueryEngine:
         k: int = 10,
         pre_tag: str = "<em>",
         post_tag: str = "</em>",
+        fragment_size: int = 100,
+        number_of_fragments: int = 5,
     ) -> list[dict]:
         """ES ``highlight``: BM25 top-k, then for each hit map the matched
         terms' index POSITIONS (positional sidecar — no re-scan of the
@@ -1375,11 +1377,39 @@ class QueryEngine:
                 pieces.extend((text[prev:s], pre_tag, text[s:e], post_tag))
                 prev = e
             pieces.append(text[prev:])
+
+            # ES-style fragments: a window of ~fragment_size chars around
+            # each matched span, overlapping windows merged, first
+            # number_of_fragments in document order (ES ranks fragments
+            # by score; document order is this engine's deterministic
+            # choice), matches inside each fragment tagged
+            frags: list[str] = []
+            if number_of_fragments and merged:
+                half = max(fragment_size // 2, 1)
+                wins: list[list[int]] = []
+                for s, e in merged:
+                    c = (s + e) // 2
+                    w = [max(0, c - half), min(len(text), c + half)]
+                    if wins and w[0] <= wins[-1][1]:
+                        wins[-1][1] = max(wins[-1][1], w[1])
+                    else:
+                        wins.append(w)
+                for ws, we in wins[:number_of_fragments]:
+                    fp, fprev = [], ws
+                    for s, e in merged:
+                        if e <= ws or s >= we:
+                            continue
+                        s2, e2 = max(s, ws), min(e, we)
+                        fp.extend((text[fprev:s2], pre_tag, text[s2:e2], post_tag))
+                        fprev = e2
+                    fp.append(text[fprev:we])
+                    frags.append("".join(fp))
             out.append(
                 {
                     "doc_id": doc,
                     "score": score,
                     "highlighted": "".join(pieces),
+                    "fragments": frags,
                     "n_matches": len(matched),
                     "positions": tpos or {},
                 }

@@ -872,3 +872,22 @@ def test_global_append_matches_full_merge(small_corpus, tmp_path):
     meta = json.loads((gdir / "_globalmeta.json").read_text())
     assert meta["merged_shards"] == sorted(info2.shard_ids())
     assert meta["num_docs"] == info2.stats.num_docs
+
+
+def test_index_cat_summary(small_index, small_corpus):
+    """_cat/indices-style summary: doc counts track deletes, byte sizes
+    are real file sizes, totals match the manifest."""
+    import os
+
+    from elasticsearch_assets_ray.index.deletes import delete_docs
+
+    c = small_index.cat()
+    assert c["docs_count"] == small_index.stats.num_docs
+    assert c["docs_deleted"] == 0
+    assert c["shards"] == small_index.stats.num_shards
+    assert c["segments_bytes"] == sum(
+        os.path.getsize(small_index.segment_path(s))
+        for s in small_index.shard_ids()
+    )
+    assert c["store_bytes"] == c["segments_bytes"] + c["docmeta_bytes"]
+    assert c["total_tokens"] == small_index.stats.total_tokens

@@ -584,3 +584,30 @@ def test_global_prefix_wildcard_match_doc_engine(pos_index, tmp_path):
     finally:
         geng.shutdown()
         deng.shutdown()
+
+
+def test_highlight_fragments(pos_index, small_corpus):
+    """Fragments are ~fragment_size windows around matches: every
+    fragment is a contiguous substring of the doc once tags strip, and
+    every fragment contains at least one tagged match."""
+    import pathlib
+
+    texts = []
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        texts.extend(pq.read_table(f, columns=["content"]).column("content").to_pylist())
+    eng = QueryEngine(pos_index.index_dir, num_actors=2)
+    try:
+        hits = eng.search_highlight("merge data", k=5, pre_tag="[",
+                                    post_tag="]", fragment_size=60,
+                                    number_of_fragments=3)
+        for h in hits:
+            assert h["fragments"], h["doc_id"]
+            assert len(h["fragments"]) <= 3
+            for frag in h["fragments"]:
+                assert "[" in frag and "]" in frag
+                stripped = frag.replace("[", "").replace("]", "")
+                assert stripped in texts[h["doc_id"]]
+                # a fragment chains at most one ~60-char window per match
+                assert len(stripped) <= 64 * (frag.count("[") + 1)
+    finally:
+        eng.shutdown()
