@@ -808,12 +808,13 @@ FUZZY_QUERIES: list[tuple[int, str, int]] = [
 ]
 FUZZY_MAX_EXPANSIONS = 50
 
-# (qid, must text, allowed langs) — bool query + keyword-metadata filter
-META_FILTER_QUERIES: list[tuple[int, str, list[str]]] = [
-    (0, "query scan", ["en"]),
-    (1, "customer order", ["zh", "es"]),
-    (2, "table", ["de", "fr", "en"]),
-    (3, "hash join", ["fr"]),
+# (qid, must text, allowed langs, dl range or None) — bool query +
+# keyword-metadata filter (+ numeric range filter on the analyzed length)
+META_FILTER_QUERIES: list[tuple[int, str, list[str], tuple | None]] = [
+    (0, "query scan", ["en"], None),
+    (1, "customer order", ["zh", "es"], None),
+    (2, "table", ["de", "fr", "en"], (20, 60)),
+    (3, "hash join", ["fr"], (None, 40)),
 ]
 
 # terms aggregation (group by lang) + stats sub-agg on dl over matches
@@ -939,9 +940,10 @@ def q_meta_filter_search(sf_dir: str) -> pa.Table:
     try:
         per_q = {
             qid: engine.search_bool(
-                must=text, filter_meta={"lang": langs}, k=K_FETCH
+                must=text, filter_meta={"lang": langs},
+                filter_range={"dl": rng} if rng else None, k=K_FETCH
             )
-            for qid, text, langs in META_FILTER_QUERIES
+            for qid, text, langs, rng in META_FILTER_QUERIES
         }
     finally:
         engine.shutdown()
@@ -949,14 +951,18 @@ def q_meta_filter_search(sf_dir: str) -> pa.Table:
 
 
 def sql_meta_filter_search() -> str:
-    term_rows, lang_rows = [], []
-    for qid, text, langs in META_FILTER_QUERIES:
+    term_rows, lang_rows, range_rows = [], [], []
+    for qid, text, langs, rng in META_FILTER_QUERIES:
         for t in _simple_tokens(text):
             term_rows.append(f"({qid}, '{t}')")
         for lg in langs:
             lang_rows.append(f"({qid}, '{lg}')")
+        lo = "NULL" if rng is None or rng[0] is None else rng[0]
+        hi = "NULL" if rng is None or rng[1] is None else rng[1]
+        range_rows.append(f"({qid}, {lo}, {hi})")
     tvalues = ", ".join(term_rows)
     lvalues = ", ".join(lang_rows)
+    rvalues = ", ".join(range_rows)
     toks = _TOKS.format(id="doc_id", text="text", src="documents")
     return f"""
 WITH toks AS ({toks}),
@@ -967,6 +973,7 @@ tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
 df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
 qm(query_id, t) AS (VALUES {tvalues}),
 ql(query_id, lang) AS (VALUES {lvalues}),
+qr(query_id, lo, hi) AS (VALUES {rvalues}),
 need AS (SELECT query_id, count(*) AS n_must FROM qm GROUP BY 1),
 mh AS (SELECT qm.query_id, tf.doc_id, count(*) AS hits
        FROM qm JOIN tf ON tf.t = qm.t GROUP BY 1, 2),
@@ -975,7 +982,11 @@ elig AS (SELECT mh.query_id, mh.doc_id
          JOIN need ON need.query_id = mh.query_id
          JOIN documents d ON d.doc_id = mh.doc_id
          JOIN ql ON ql.query_id = mh.query_id AND ql.lang = d.lang
-         WHERE mh.hits = need.n_must),
+         JOIN qr ON qr.query_id = mh.query_id
+         JOIN dl dr ON dr.doc_id = mh.doc_id
+         WHERE mh.hits = need.n_must
+           AND (qr.lo IS NULL OR dr.dl >= qr.lo)
+           AND (qr.hi IS NULL OR dr.dl <= qr.hi)),
 scored AS (
   SELECT e.query_id, e.doc_id,
          sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))

@@ -189,6 +189,7 @@ class ShardData:
         k: int,
         minimum_should_match: int | None = None,
         meta_filters: dict | None = None,
+        range_filters: dict | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """ES-style ``bool`` query over the shard (exact local top-k).
 
@@ -238,10 +239,10 @@ class ShardData:
             scores[idx] += idf[t] * norm
 
         ok = ~self.deleted_mask
-        if meta_filters:
-            # ES keyword-field term/terms filters (non-scoring, like the
-            # ``filter`` clause) over stored docmeta columns
-            ok = ok & self.meta_mask(meta_filters)
+        if meta_filters or range_filters:
+            # ES keyword-field term/terms + numeric range filters
+            # (non-scoring, like the ``filter`` clause) over docmeta
+            ok = ok & self.meta_mask(meta_filters or {}, range_filters)
         if must_s:
             hits = np.zeros(n, dtype=np.int32)
             for t in must_s:
@@ -335,10 +336,15 @@ class ShardData:
             self._meta_cache[name] = arr
         return arr
 
-    def meta_mask(self, meta_filters: dict) -> np.ndarray:
+    def meta_mask(
+        self, meta_filters: dict, range_filters: dict | None = None
+    ) -> np.ndarray:
         """Boolean doc mask for ES keyword ``term``/``terms`` filters over
         stored metadata columns: {col: value | [values]} — a doc passes
-        when EVERY column's value is in its allowed set."""
+        when EVERY column's value is in its allowed set.  ``range_filters``
+        adds ES ``range`` filters over numeric columns:
+        {col: (lo, hi)} with INCLUSIVE bounds (gte/lte); None on either
+        side leaves that bound open."""
         ok = np.ones(self.num_docs, dtype=bool)
         for col, allowed in sorted(meta_filters.items()):
             vals = (
@@ -347,6 +353,12 @@ class ShardData:
                 else [allowed]
             )
             ok &= np.isin(self.meta_col(col), vals)
+        for col, (lo, hi) in sorted((range_filters or {}).items()):
+            v = self.meta_col(col)
+            if lo is not None:
+                ok &= v >= lo
+            if hi is not None:
+                ok &= v <= hi
         return ok
 
     def expand_wildcard(self, pattern: str, cap: int | None = None) -> list[str]:
@@ -931,6 +943,7 @@ class _ScorerCore:
                     clauses.get("must_not", []), clauses.get("filter", []),
                     idf, self.params, self.avgdl, k,
                     clauses.get("msm"), clauses.get("meta_filters"),
+                    clauses.get("range_filters"),
                 )
                 for s in self.shards
             ]
@@ -1215,14 +1228,17 @@ class QueryEngine:
         k: int = 10,
         minimum_should_match: int | None = None,
         filter_meta: dict | None = None,
+        filter_range: dict | None = None,
     ) -> list[tuple[int, float]]:
         """ES ``bool`` query: each clause is free text (analyzed with the
         index analyzer) or a pre-analyzed term list.  Score = BM25 over
         the distinct (must ∪ should) terms; filter/must_not gate without
         scoring.  ``filter_meta`` adds keyword term/terms filters over
-        stored docmeta columns ({col: value | [values]}) — the ES
-        keyword-field filter clause, non-scoring like ``filter``.  Same
-        deterministic merge + tie semantics as search()."""
+        stored docmeta columns ({col: value | [values]});
+        ``filter_range`` adds numeric range filters ({col: (lo, hi)},
+        inclusive gte/lte, None = open bound) — both are the ES filter
+        clause, non-scoring.  Same deterministic merge + tie semantics
+        as search()."""
 
         def _clause(v) -> list[str]:
             if isinstance(v, str):
@@ -1236,6 +1252,7 @@ class QueryEngine:
             "filter": _clause(filter),
             "msm": minimum_should_match,
             "meta_filters": filter_meta,
+            "range_filters": filter_range,
         }
         if not (clauses["must"] or clauses["should"] or clauses["filter"]):
             raise ValueError("bool query needs at least one positive clause")

@@ -305,3 +305,20 @@ def test_multi_match_bruteforce(small_corpus, small_index, tmp_path_factory):
                     assert abs(s1 - s2) < 1e-9, (q, mm, tie)
     finally:
         eng.shutdown()
+
+
+def test_bool_range_filter(engine, corpus_docs):
+    """filter_range on a numeric docmeta column (dl): inclusive gte/lte
+    bounds gate without scoring, open bounds work."""
+    toks, _ = corpus_docs
+    term = "data"
+    lo, hi = 30, 80
+    got = engine.search_bool(must=term, filter_range={"dl": (lo, hi)}, k=1000)
+    expect = {d for d, ts in enumerate(toks)
+              if term in ts and lo <= len(ts) <= hi}
+    assert {d for d, _ in got} == expect
+    got_open = engine.search_bool(must=term, filter_range={"dl": (None, hi)},
+                                  k=1000)
+    assert {d for d, _ in got_open} == {
+        d for d, ts in enumerate(toks) if term in ts and len(ts) <= hi
+    }
