@@ -84,6 +84,7 @@ def merge_global_postings(
     params=None,
     _append_only_shards: list[int] | None = None,
     _append_hot_terms: list[str] | None = None,
+    _append_gen_dir: str | Path | None = None,
 ):
     """Doc-range segments → term-partitioned global index.
 
@@ -343,11 +344,15 @@ def merge_global_postings(
         .groupby("bucket")  # fixed n_buckets-key exchange, not per-term
         .map_groups(merge_bucket, batch_format="pyarrow", zero_copy_batch=True)
     )
-    merged.write_parquet(str(out_dir), partition_cols=["bucket"])
     if _append_only_shards is not None:
-        # append mode: the caller (append_global_postings) owns the meta
-        # update — this run only added part files to the bucket dirs
+        # append mode: parts land in a STAGING generation dir; the caller
+        # (append_global_postings) commits it into the meta afterwards —
+        # a crash between write and commit leaves an invisible dir, never
+        # duplicate postings (readers only see committed generations)
+        merged.write_parquet(str(Path(_append_gen_dir)),
+                             partition_cols=["bucket"])
         return out_dir
+    merged.write_parquet(str(out_dir), partition_cols=["bucket"])
     meta = {
         "layout_version": 2,  # v2: per-posting dls, norms derived at load
         "n_salts": n_salts,
@@ -448,6 +453,14 @@ def append_global_postings(index_dir: str | Path, global_dir: str | Path):
     out_dir = Path(global_dir)
     if not new_shards:
         return out_dir
+    # garbage-collect staging dirs a crashed append left uncommitted
+    import shutil as _sh
+
+    committed = set(meta.get("generations", []))
+    for p in out_dir.glob("_gen-*"):
+        if p.name not in committed:
+            _sh.rmtree(p)
+    gen_name = f"_gen-{new_shards[0]:05d}-{new_shards[-1]:05d}"
     merge_global_postings(
         index_dir,
         out_dir,
@@ -458,15 +471,47 @@ def append_global_postings(index_dir: str | Path, global_dir: str | Path):
         store_norms=bool(meta["store_norms"]),
         _append_only_shards=new_shards,
         _append_hot_terms=list(meta.get("hot_terms", [])),
+        _append_gen_dir=out_dir / gen_name,
     )
+    # commit: ONE atomic meta replace makes the generation visible
+    meta["generations"] = sorted(committed | {gen_name})
     meta["merged_shards"] = sorted(done | set(new_shards))
     meta["num_docs"] = info.stats.num_docs
     meta["avgdl"] = info.stats.avgdl
     meta["shard_fps"] = {
         **old_fps, **_shard_fps(index_dir, new_shards)
     }
-    (out_dir / "_globalmeta.json").write_text(_json.dumps(meta, indent=1))
+    _write_meta(out_dir, meta)
     return out_dir
+
+
+def _write_meta(out_dir: Path, meta: dict) -> None:
+    import json as _json
+    import os as _os
+
+    tmp = out_dir / "_globalmeta.json.tmp"
+    tmp.write_text(_json.dumps(meta, indent=1))
+    _os.replace(tmp, out_dir / "_globalmeta.json")
+
+
+def _bucket_paths(global_dir: str | Path, b: int, meta: dict | None = None
+                  ) -> list[str]:
+    """Data dirs holding bucket ``b``: the base layout plus every
+    COMMITTED append generation.  Uncommitted ``_gen-*`` staging dirs
+    (a crashed append) are invisible — the commit is the atomic meta
+    replace listing the generation."""
+    global_dir = Path(global_dir)
+    if meta is None:
+        meta = _load_globalmeta(global_dir)
+    out = []
+    base = global_dir / f"bucket={b}"
+    if base.exists():
+        out.append(str(base))
+    for g in meta.get("generations", []):
+        p = global_dir / g / f"bucket={b}"
+        if p.exists():
+            out.append(str(p))
+    return out
 
 
 def refresh_global_postings(
@@ -514,7 +559,13 @@ def read_term_postings(global_dir: str | Path, term: str,
     from .codec import decode_postings
 
     b = _term_bucket(term, n_buckets)
-    dset = pds.dataset(str(Path(global_dir) / f"bucket={b}"))
+    try:
+        paths = _bucket_paths(global_dir, b)
+    except FileNotFoundError:
+        # layouts without meta (norms-less merges in tests): base only
+        paths = [str(Path(global_dir) / f"bucket={b}")]
+    # a list of DIRS needs the union-of-datasets form
+    dset = pds.dataset([pds.dataset(p) for p in paths])
     tbl = dset.to_table(filter=pds.field("term") == term)
     if tbl.num_rows == 0:
         return np.empty(0, np.uint64), np.empty(0, np.uint64)

@@ -41,6 +41,59 @@ from ..index.build import IndexInfo
 from ..index.codec import decode_block, decode_postings, read_meta
 
 
+def fuzzy_expand_sorted(
+    term_list: list[str], term: str, max_edits: int = 1,
+    prefix_length: int = 0,
+) -> list[tuple[str, int]]:
+    """Terms of a SORTED dictionary within Levenshtein distance
+    ``max_edits`` of ``term`` → [(term, distance)] in term order.  One
+    vectorized DP over all length-eligible candidates (rows = candidates,
+    columns = target chars); ``prefix_length`` chars must match exactly
+    (bisect-bounded scan).  Shared by the shard and term-partitioned
+    engines."""
+    import bisect
+
+    if max_edits < 0:
+        raise ValueError("max_edits must be >= 0")
+    pre = term[:prefix_length]
+    if pre:
+        lo = bisect.bisect_left(term_list, pre)
+        hi = lo
+        while hi < len(term_list) and term_list[hi].startswith(pre):
+            hi += 1
+        cand_all = term_list[lo:hi]
+    else:
+        cand_all = term_list
+    qlen = len(term)
+    cand = [t for t in cand_all if abs(len(t) - qlen) <= max_edits]
+    if not cand:
+        return []
+    if max_edits == 0:
+        return [(term, 0)] if term in cand else []
+    L = max(len(t) for t in cand)
+    n = len(cand)
+    M = np.zeros((n, L), dtype=np.uint32)
+    lens = np.empty(n, dtype=np.int64)
+    for i, t in enumerate(cand):
+        b = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        M[i, : len(b)] = b
+        lens[i] = len(b)
+    q = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.broadcast_to(np.arange(L + 1, dtype=np.int64), (n, L + 1)).copy()
+    for i in range(len(q)):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i + 1
+        for j in range(L):
+            sub = prev[:, j] + (M[:, j] != q[i])
+            dele = prev[:, j + 1] + 1
+            ins = cur[:, j] + 1
+            cur[:, j + 1] = np.minimum(np.minimum(sub, dele), ins)
+        prev = cur
+    dist = prev[np.arange(n), lens]
+    keep = np.nonzero(dist <= max_edits)[0]
+    return [(cand[i], int(dist[i])) for i in keep.tolist()]
+
+
 def _select_topk(
     cand: np.ndarray, scores: np.ndarray, k: int, params: BM25Params
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -420,51 +473,9 @@ class ShardData:
         chars) — no per-term Python edit-distance calls; candidate count
         is bounded by the shard vocabulary, and the prefix bisect bounds
         it further when prefix_length > 0."""
-        import bisect
-
-        if max_edits < 0:
-            raise ValueError("max_edits must be >= 0")
-        pre = term[:prefix_length]
-        if pre:
-            lo = bisect.bisect_left(self.term_list, pre)
-            hi = lo
-            while hi < len(self.term_list) and self.term_list[hi].startswith(pre):
-                hi += 1
-            cand_all = self.term_list[lo:hi]
-        else:
-            cand_all = self.term_list
-        qlen = len(term)
-        cand = [
-            t for t in cand_all if abs(len(t) - qlen) <= max_edits
-        ]
-        if not cand:
-            return []
-        if max_edits == 0:
-            return [(term, 0)] if term in self.terms else []
-        L = max(len(t) for t in cand)
-        n = len(cand)
-        M = np.zeros((n, L), dtype=np.uint32)
-        lens = np.empty(n, dtype=np.int64)
-        for i, t in enumerate(cand):
-            b = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
-            M[i, : len(b)] = b
-            lens[i] = len(b)
-        q = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
-        prev = np.broadcast_to(
-            np.arange(L + 1, dtype=np.int64), (n, L + 1)
-        ).copy()
-        for i in range(len(q)):
-            cur = np.empty_like(prev)
-            cur[:, 0] = i + 1
-            for j in range(L):
-                sub = prev[:, j] + (M[:, j] != q[i])
-                dele = prev[:, j + 1] + 1
-                ins = cur[:, j] + 1
-                cur[:, j + 1] = np.minimum(np.minimum(sub, dele), ins)
-            prev = cur
-        dist = prev[np.arange(n), lens]
-        keep = np.nonzero(dist <= max_edits)[0]
-        return [(cand[i], int(dist[i])) for i in keep.tolist()]
+        return fuzzy_expand_sorted(
+            self.term_list, term, max_edits, prefix_length
+        )
 
     def agg_match(
         self,

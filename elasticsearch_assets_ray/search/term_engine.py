@@ -110,15 +110,19 @@ class _BucketCore:
         v2 = int(meta.get("layout_version", 1)) >= 2
         k1, bm_b = float(meta.get("k1", 1.2)), float(meta.get("b", 0.75))
         avgdl = float(meta.get("avgdl", 1.0))
+        from ..index.global_merge import _bucket_paths
+
         for b in bucket_ids:
-            d = Path(global_dir) / f"bucket={b}"
-            if not d.exists():
+            paths = _bucket_paths(global_dir, b, meta)
+            if not paths:
                 continue
             cols = ["term", "salt", "postings", "df"]
             cols.append("dls" if v2 else "norms")
             if has_pos:
                 cols.append("positions")
-            tbl = pds.dataset(str(d)).to_table(columns=cols)
+            tbl = pds.dataset([pds.dataset(p) for p in paths]).to_table(
+                columns=cols
+            )
             if tbl.num_rows == 0:
                 continue
             order = pc.sort_indices(
@@ -256,6 +260,17 @@ class _BucketCore:
         if tl is None:
             tl = self._term_list = sorted(self.terms)
         return tl
+
+    def expand_fuzzy(
+        self, term: str, max_edits: int = 1, prefix_length: int = 0
+    ) -> list[tuple[str, int]]:
+        """This core's dictionary terms within edit distance (the shard
+        engine's vectorized-DP expansion over the bucket dictionary)."""
+        from .engine import fuzzy_expand_sorted
+
+        return fuzzy_expand_sorted(
+            self._sorted_terms(), term, max_edits, prefix_length
+        )
 
     def match_docs(self, terms: list[str], k: int) -> "np.ndarray":
         """k smallest global doc ids containing any of ``terms`` (the
@@ -432,6 +447,12 @@ class TermPartitionedEngine:
             idf = math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
             d_parts.append(ids)
             c_parts.append(idf * norms)
+        return self._merge_contribs(d_parts, c_parts, k)
+
+    def _merge_contribs(self, d_parts, c_parts, k):
+        """Merge per-term (doc ids, contributions) into per-doc sums and
+        tie-cut top-k — the scatter/sort-merge tail shared by dense and
+        weighted-expansion (fuzzy) scoring."""
         if not d_parts:
             return []
         if len(d_parts) == 1:
@@ -599,6 +620,40 @@ class TermPartitionedEngine:
         if not pattern:
             return []
         return self._constant_score_docs("expand_wildcard", pattern, k)
+
+    def search_fuzzy(
+        self, term: str, fuzziness: int = 1, prefix_length: int = 0,
+        max_expansions: int = 50, k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``fuzzy`` (scoring_boolean rewrite) on the term-partitioned
+        layout: per-bucket dictionary DP expansion, deterministic
+        (dist, term) cap, then a weighted gather —
+        Σ_t boost(t)·idf(t)·norm(tf_t) with the FuzzyTermsEnum boost —
+        identical semantics (and results, tested) to
+        ``QueryEngine.search_fuzzy``."""
+        per_actor = ray.get(
+            [a.expand_fuzzy.remote(term, fuzziness, prefix_length)
+             for a in self.actors]
+        )
+        merged: dict[str, int] = {}
+        for part in per_actor:
+            merged.update(dict(part))
+        ranked = sorted(merged.items(), key=lambda kv: (kv[1], kv[0]))
+        ranked = ranked[:max_expansions]
+        if not ranked:
+            return []
+        fetched = self.fetch_terms(sorted(t for t, _ in ranked))
+        d_parts, c_parts = [], []
+        for t, dist in sorted(ranked):  # sorted-term accumulation order
+            got = fetched.get(t)
+            if got is None:
+                continue
+            ids, norms, df = got[0], got[1], got[2]
+            idf = math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+            w = idf * (1.0 - dist / max(1, min(len(term), len(t))))
+            d_parts.append(ids)
+            c_parts.append(w * norms)
+        return self._merge_contribs(d_parts, c_parts, k)
 
     def search_bool(
         self,

@@ -891,3 +891,76 @@ def test_index_cat_summary(small_index, small_corpus):
     )
     assert c["store_bytes"] == c["segments_bytes"] + c["docmeta_bytes"]
     assert c["total_tokens"] == small_index.stats.total_tokens
+
+
+def test_global_append_crash_idempotent(small_corpus, tmp_path):
+    """A crash between the append's part write and its meta commit must
+    not duplicate postings: parts land in a staging generation dir that
+    readers ignore until the atomic meta replace lists it; the retry
+    garbage-collects the leftover and commits exactly once."""
+    import json
+    import pathlib
+    import shutil as sh
+
+    import numpy as np
+    import pyarrow.parquet as pq2
+
+    from elasticsearch_assets_ray.corpus.synth import make_corpus_batch
+    from elasticsearch_assets_ray.index.global_merge import (
+        append_global_postings,
+        merge_global_postings,
+        read_term_postings,
+    )
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    grow = tmp_path / "grow"
+    grow.mkdir()
+    src = sorted(pathlib.Path(small_corpus).glob("*.parquet"))
+    for f in src:
+        sh.copy(f, grow / f.name)
+    cfg = IndexConfig(partition_target_docs=50, shard_target_docs=100)
+    idx = tmp_path / "idx"
+    info1 = build_index(grow, idx, cfg)
+    n1 = info1.stats.num_docs
+    gdir = tmp_path / "global"
+    merge_global_postings(idx, gdir, n_salts=2, n_buckets=4, store_norms=True)
+
+    extra = make_corpus_batch(np.arange(n1, n1 + 120, dtype=np.int64))
+    pq2.write_table(extra, grow / "zz-extra.parquet", row_group_size=60)
+    info2 = build_index(grow, idx, cfg)
+    new_shards = sorted(set(info2.shard_ids()) - set(info1.shard_ids()))
+
+    # simulate the crash: stage the append parts WITHOUT the meta commit
+    meta = json.loads((gdir / "_globalmeta.json").read_text())
+    merge_global_postings(
+        idx, gdir, n_salts=2, n_buckets=4, store_norms=True,
+        _append_only_shards=new_shards,
+        _append_hot_terms=meta.get("hot_terms", []),
+        _append_gen_dir=gdir / "_gen-crashed",
+    )
+    assert (gdir / "_gen-crashed").exists()
+    # readers do NOT see the staged parts (pre-append state intact)
+    ids, _ = read_term_postings(gdir, "import", n_buckets=4)
+    assert all(i < n1 for i in ids.tolist())
+
+    # retry: the real append GCs the leftover and commits exactly once
+    append_global_postings(idx, gdir)
+    assert not (gdir / "_gen-crashed").exists()
+    meta2 = json.loads((gdir / "_globalmeta.json").read_text())
+    assert len(meta2["generations"]) == 1
+
+    gref = tmp_path / "gref"
+    merge_global_postings(idx, gref, n_salts=2, n_buckets=4, store_norms=True)
+    ga = TermPartitionedEngine(gdir, num_actors=1)
+    gb = TermPartitionedEngine(gref, num_actors=1)
+    try:
+        for q in ["import", "merge data", "return value"]:
+            assert ga.search(q, k=100) == gb.search(q, k=100), q
+    finally:
+        ga.shutdown()
+        gb.shutdown()
+    # postings for a hot term carry no duplicates
+    ids2, _ = read_term_postings(gdir, "import", n_buckets=4)
+    assert len(ids2) == len(np.unique(ids2))
+    idsr, _ = read_term_postings(gref, "import", n_buckets=4)
+    assert np.array_equal(np.sort(ids2), np.sort(idsr))

@@ -611,3 +611,24 @@ def test_highlight_fragments(pos_index, small_corpus):
                 assert len(stripped) <= 64 * (frag.count("[") + 1)
     finally:
         eng.shutdown()
+
+
+def test_global_fuzzy_matches_doc_engine(pos_index, tmp_path):
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    out = tmp_path / "global_fz"
+    merge_global_postings(pos_index.index_dir, out, n_salts=3, n_buckets=4,
+                          store_norms=True)
+    geng = TermPartitionedEngine(out, num_actors=2)
+    deng = QueryEngine(pos_index.index_dir, num_actors=2)
+    try:
+        for t, fz in [("merge", 1), ("cursr", 1), ("dta", 2), ("zzzzqq", 1)]:
+            got = geng.search_fuzzy(t, fuzziness=fz, k=30)
+            want = deng.search_fuzzy(t, fuzziness=fz, k=30)
+            assert [d for d, _ in got] == [d for d, _ in want], (t, fz)
+            for (_, s1), (_, s2) in zip(got, want):
+                assert abs(s1 - s2) < 1e-12, (t, fz)
+    finally:
+        geng.shutdown()
+        deng.shutdown()
