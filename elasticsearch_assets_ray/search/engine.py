@@ -907,6 +907,33 @@ class _ScorerCore:
             out.update(s.expand_fuzzy(term, max_edits, prefix_length))
         return sorted(out.items())
 
+    def docs_deleted(self, doc_ids: list[int]) -> list[int]:
+        """Subset of ``doc_ids`` tombstoned in this group's shards."""
+        out = []
+        for d in doc_ids:
+            for s in self.shards:
+                if s.doc_base <= d < s.doc_base + s.num_docs:
+                    if s.deleted_mask[d - s.doc_base]:
+                        out.append(d)
+                    break
+        return out
+
+    def exists_docs(self, field: str, k: int) -> np.ndarray:
+        parts = []
+        for s in self.shards:
+            col = s.meta_col(field)
+            ok = ~s.deleted_mask
+            # numeric columns: NaN = missing; object columns: None
+            if col.dtype.kind == "f":
+                ok &= ~np.isnan(col)
+            else:
+                ok &= np.array([v is not None for v in col])
+            parts.append(np.nonzero(ok)[0][:k] + s.doc_base)
+        return (
+            np.sort(np.concatenate(parts))[:k]
+            if parts else np.empty(0, np.int64)
+        )
+
     def doc_term_positions(
         self, pairs: list[tuple[int, list[str]]]
     ) -> list[dict[str, list[int]] | None]:
@@ -999,6 +1026,7 @@ class QueryEngine:
         ]
         self._shard_groups = groups
         self._text_reader = None  # lazy CorpusTextReader (highlight only)
+        self._ids_store = None  # lazy DocStore (ids queries only)
         # per-term global df is immutable for a built index — cache it so
         # repeated terms (query distributions are Zipfian) skip the df
         # round-trip and a search needs ONE actor round instead of two
@@ -1275,6 +1303,46 @@ class QueryEngine:
         parts = [(res[0][1], res[0][2]) for res in per_actor]
         ids, sc = merge_topk(parts, k, self.params.round_decimals)
         return list(zip(ids.tolist(), sc.tolist()))
+
+    def search_ids(self, doc_ids: list[int], k: int | None = None
+                   ) -> list[tuple[int, float]]:
+        """ES ``ids`` query: the given docs, constant score 1.0, doc-id
+        ascending, deleted docs excluded — a filtered mget on the search
+        surface (point docmeta reads, no posting scan)."""
+        from ..state.docstore import DocStore
+
+        ids = sorted(set(int(d) for d in doc_ids))
+        if not ids:
+            return []
+        if self._ids_store is None:
+            self._ids_store = DocStore(
+                self.info.index_dir, columns=["doc_id"]
+            )
+        live = []
+        for d in ids:
+            try:
+                self._ids_store.get(d)
+            except KeyError:
+                continue
+            live.append(d)
+        # mask tombstoned docs like every other query path
+        del_mask = ray.get(
+            [a.docs_deleted.remote(live) for a in self.actors]
+        )
+        dead = set()
+        for part in del_mask:
+            dead.update(part)
+        out = [(d, 1.0) for d in live if d not in dead]
+        return out[:k] if k is not None else out
+
+    def search_exists(self, field: str, k: int = 10) -> list[tuple[int, float]]:
+        """ES ``exists`` query over a stored docmeta column: the k
+        smallest live docs whose value is non-null, constant score."""
+        per_actor = ray.get(
+            [a.exists_docs.remote(field, k) for a in self.actors]
+        )
+        docs = np.sort(np.concatenate(per_actor))[:k]
+        return [(int(d), 1.0) for d in docs]
 
     def more_like_this(
         self,

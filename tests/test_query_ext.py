@@ -322,3 +322,32 @@ def test_bool_range_filter(engine, corpus_docs):
     assert {d for d, _ in got_open} == {
         d for d, ts in enumerate(toks) if term in ts and len(ts) <= hi
     }
+
+
+def test_ids_and_exists_queries(engine, small_index):
+    # ids: constant score, sorted, out-of-range ids dropped
+    got = engine.search_ids([5, 2, 399, 2, 10**9])
+    assert got == [(2, 1.0), (5, 1.0), (399, 1.0)]
+    assert engine.search_ids([]) == []
+    assert engine.search_ids([7, 3, 1], k=2) == [(1, 1.0), (3, 1.0)]
+    # exists: every doc has a non-null lang in this corpus
+    got = engine.search_exists("lang", k=6)
+    assert got == [(d, 1.0) for d in range(6)]
+
+
+def test_ids_query_masks_tombstones(small_corpus, tmp_path):
+    from elasticsearch_assets_ray.config import IndexConfig
+    from elasticsearch_assets_ray.index.build import build_index
+    from elasticsearch_assets_ray.index.deletes import delete_docs
+
+    idx = tmp_path / "idx"
+    build_index(small_corpus, idx,
+                IndexConfig(partition_target_docs=50, shard_target_docs=100))
+    delete_docs(idx, [5, 7])
+    eng = QueryEngine(idx, num_actors=2)
+    try:
+        assert eng.search_ids([4, 5, 6, 7, 8]) == [
+            (4, 1.0), (6, 1.0), (8, 1.0)
+        ]
+    finally:
+        eng.shutdown()
