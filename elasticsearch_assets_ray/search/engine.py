@@ -517,6 +517,40 @@ class ShardData:
             out[g] = (int(counts[i]), float(sums[i]), float(mins[i]), float(maxs[i]))
         return out
 
+    # positions cache cap, in cached position VALUES per shard: hot query
+    # terms (Zipfian) re-decode their position streams every phrase query
+    # otherwise; ~4 MB/shard at the cap, bounded per actor by its shard
+    # count
+    POS_CACHE_MAX_VALUES = 512_000
+
+    def _decoded_positions(self, t: str) -> tuple:
+        """(local idx, flat positions, tfcum) for a term, LRU-cached."""
+        cache = getattr(self, "_pos_cache", None)
+        if cache is None:
+            from collections import OrderedDict
+
+            cache = self._pos_cache = OrderedDict()
+            self._pos_cache_values = 0
+        got = cache.get(t)
+        if got is not None:
+            cache.move_to_end(t)
+            return got
+        from ..index.codec import decode_positions
+
+        i = self.terms[t]
+        doc_ids, tfs = decode_postings(self.blobs[i])
+        idx = (doc_ids - np.uint64(self.doc_base)).astype(np.int64)
+        tfs_i = tfs.astype(np.int64)
+        pos = decode_positions(self.posblobs[i], tfs_i)
+        tfcum = np.concatenate([[0], np.cumsum(tfs_i)])
+        entry = (idx, pos, tfcum)
+        cache[t] = entry
+        self._pos_cache_values += len(pos)
+        while self._pos_cache_values > self.POS_CACHE_MAX_VALUES and len(cache) > 1:
+            _, old = cache.popitem(last=False)
+            self._pos_cache_values -= len(old[1])
+        return entry
+
     def term_positions_for_doc(
         self, doc_global: int, terms: list[str]
     ) -> dict[str, list[int]]:
@@ -569,7 +603,6 @@ class ShardData:
             )
         if not phrase:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        from ..index.codec import decode_positions
 
         slots: list[list[str]] = [
             [s] if isinstance(s, str) else list(s) for s in phrase
@@ -579,15 +612,10 @@ class ShardData:
         for alts in slots:
             present = []
             for t in alts:
-                i = self.terms.get(t)
-                if i is None:
+                if t not in self.terms:
                     continue
                 if t not in decoded:
-                    doc_ids, tfs = decode_postings(self.blobs[i])
-                    idx = (doc_ids - np.uint64(self.doc_base)).astype(np.int64)
-                    pos = decode_positions(self.posblobs[i], tfs.astype(np.int64))
-                    tfcum = np.concatenate([[0], np.cumsum(tfs.astype(np.int64))])
-                    decoded[t] = (idx, pos, tfcum)
+                    decoded[t] = self._decoded_positions(t)
                 present.append(t)
             if not present:  # a slot with no live term → no match in shard
                 return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -821,6 +849,7 @@ class _ScorerCore:
         if method not in ("auto", "dense", "wand"):
             raise ValueError(f"unknown scoring method {method!r}")
         info = IndexInfo(index_dir)
+        self.index_dir = index_dir
         self.params = params
         self.avgdl = info.stats.avgdl
         self.num_docs = info.stats.num_docs
@@ -829,6 +858,23 @@ class _ScorerCore:
 
     def local_dfs(self, terms: list[str]) -> dict[str, int]:
         return {t: sum(s.local_df(t) for s in self.shards) for t in terms}
+
+    def add_shards(self, shard_ids: list[int], avgdl: float,
+                   num_docs: int) -> int:
+        """Live refresh (append-only growth): load ONLY the new shards
+        into this running actor and adopt the post-append global stats —
+        existing shard state stays warm.  Returns the loaded count."""
+        info = IndexInfo(self.index_dir)
+        have = {s.shard_id for s in self.shards}
+        added = 0
+        for sid in shard_ids:
+            if sid in have:
+                continue
+            self.shards.append(ShardData(info, sid))
+            added += 1
+        self.avgdl = avgdl
+        self.num_docs = num_docs
+        return added
 
     def _shard_topk(self, s: ShardData, terms, idf, k):
         if self.method == "wand":
@@ -1534,6 +1580,40 @@ class QueryEngine:
             ids, sc = merge_topk(parts, k, self.params.round_decimals)
             results.append(list(zip(ids.tolist(), sc.tolist())))
         return results
+
+    def refresh(self) -> int:
+        """Pick up shards appended to the index since this engine loaded
+        — WITHOUT restarting actors (existing shard state stays warm;
+        only new shards' segments read).  Round-robins new shards over
+        the actor pool, adopts post-append N/avgdl, and drops the df
+        cache (every cached df is stale once N changes).  Covers
+        append-only growth; deletes/compaction rewrite existing shards →
+        construct a fresh engine.  Returns the number of shards added."""
+        self.info = IndexInfo(self.info.index_dir)
+        loaded = {sid for g in self._shard_groups for sid in g}
+        new = [sid for sid in self.info.shard_ids() if sid not in loaded]
+        if not new:
+            return 0
+        per_actor: list[list[int]] = [[] for _ in self.actors]
+        sizes = [len(g) for g in self._shard_groups]
+        for sid in new:
+            ai = int(np.argmin(sizes))
+            per_actor[ai].append(sid)
+            self._shard_groups[ai].append(sid)
+            sizes[ai] += 1
+        avgdl, n = self.info.stats.avgdl, self.info.stats.num_docs
+        ray.get(
+            [
+                a.add_shards.remote(sids, avgdl, n)
+                for a, sids in zip(self.actors, per_actor)
+                if sids
+            ]
+        )
+        # stale caches: every idf depends on N; dfs grew with new shards
+        self._df_cache.clear()
+        self._text_reader = None
+        self._ids_store = None
+        return len(new)
 
     def shutdown(self) -> None:
         for a in self.actors:

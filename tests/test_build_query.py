@@ -964,3 +964,52 @@ def test_global_append_crash_idempotent(small_corpus, tmp_path):
     assert len(ids2) == len(np.unique(ids2))
     idsr, _ = read_term_postings(gref, "import", n_buckets=4)
     assert np.array_equal(np.sort(ids2), np.sort(idsr))
+
+
+def test_engine_live_refresh_after_append(small_corpus, tmp_path):
+    """QueryEngine.refresh() picks up appended shards without an actor
+    restart: results equal a freshly constructed engine (N/avgdl/idf all
+    follow the post-append stats), old shard state stays loaded."""
+    import pathlib
+    import shutil as sh
+
+    import numpy as np
+    import pyarrow.parquet as pq2
+
+    from elasticsearch_assets_ray.corpus.synth import make_corpus_batch
+
+    grow = tmp_path / "grow"
+    grow.mkdir()
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        sh.copy(f, grow / f.name)
+    cfg = IndexConfig(partition_target_docs=50, shard_target_docs=100,
+                      store_positions=True)
+    idx = tmp_path / "idx"
+    info1 = build_index(grow, idx, cfg)
+    n1 = info1.stats.num_docs
+    eng = QueryEngine(idx, num_actors=2)
+    try:
+        assert eng.refresh() == 0  # nothing new → no-op
+        base = eng.search("import", k=5)
+        assert base
+
+        extra = make_corpus_batch(np.arange(n1, n1 + 120, dtype=np.int64))
+        pq2.write_table(extra, grow / "zz-extra.parquet", row_group_size=60)
+        info2 = build_index(grow, idx, cfg)
+        added = eng.refresh()
+        assert added == len(set(info2.shard_ids()) - set(info1.shard_ids()))
+
+        fresh = QueryEngine(idx, num_actors=2)
+        try:
+            for q in ["import", "merge data", "salted probe cursor"]:
+                assert eng.search(q, k=50) == fresh.search(q, k=50), q
+            for p in ["def merge", "return data"]:
+                assert eng.search_phrase(p, k=100) == fresh.search_phrase(
+                    p, k=100
+                ), p
+            got = eng.search("import", k=300)
+            assert any(d >= n1 for d, _ in got)  # appended docs served
+        finally:
+            fresh.shutdown()
+    finally:
+        eng.shutdown()
