@@ -377,3 +377,61 @@ def test_persistent_global_layout_maintenance(small_corpus, tmp_path,
     finally:
         ga2.shutdown()
         gb2.shutdown()
+
+
+def test_streaming_story_end_to_end(small_corpus, tmp_path, ray_session):
+    """The full streaming path in one flow: a persistent tick ingests new
+    corpus files, the doc index appends, the term-partitioned layout
+    appends (generation commit), a RUNNING query engine refreshes in
+    place — and every serving surface agrees with cold rebuilds."""
+    import time
+
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    src = sorted(pathlib.Path(small_corpus).glob("*.parquet"))
+    live = tmp_path / "live"
+    live.mkdir()
+    _copy(src[:2], live)
+    clock = FakeClock(t0=time.time() + 1e6)
+    cfg = IndexConfig(partition_target_docs=50, shard_target_docs=100,
+                      store_positions=True)
+    idx = tmp_path / "idx"
+    gdir = tmp_path / "glayout"
+    px = PersistentIndexer(live, idx, cfg, interval_s=30, delay_s=0,
+                           clock=clock, sleep=clock.sleep,
+                           global_dir=gdir,
+                           global_kwargs=dict(n_salts=2, n_buckets=4,
+                                              store_norms=True))
+    px.enqueue_due_windows()
+    assert px.tick() is not None
+
+    eng = QueryEngine(idx, num_actors=2)   # long-lived serving tier
+    base_hits = eng.search("import", k=500)
+
+    # stream in the rest of the corpus; one tick ingests it everywhere
+    _copy(src[2:], live)
+    clock.t += 30
+    px.enqueue_due_windows()
+    assert px.tick() is not None
+    assert eng.refresh() > 0               # serving follows, no restart
+
+    cold_idx = build_index(live, tmp_path / "cold", cfg)
+    cold = QueryEngine(cold_idx.index_dir, num_actors=2)
+    geng = TermPartitionedEngine(gdir, num_actors=2)
+    gcold_dir = tmp_path / "gcold"
+    merge_global_postings(cold_idx.index_dir, gcold_dir, n_salts=2,
+                          n_buckets=4, store_norms=True)
+    gcold = TermPartitionedEngine(gcold_dir, num_actors=2)
+    try:
+        for q in ["import", "merge data", "return value"]:
+            live_hits = eng.search(q, k=100)
+            assert live_hits == cold.search(q, k=100), q
+            assert geng.search(q, k=100) == gcold.search(q, k=100), q
+        for p in ["def merge", "return data"]:
+            assert eng.search_phrase(p, k=100) == cold.search_phrase(p, k=100)
+            assert geng.search_phrase(p, k=100) == gcold.search_phrase(p, k=100)
+        assert len(eng.search("import", k=500)) > len(base_hits)
+    finally:
+        eng.shutdown(); cold.shutdown(); geng.shutdown(); gcold.shutdown()
