@@ -148,7 +148,14 @@ def tokens_with_offsets(
     if analyzer_name in ("simple", "text"):
         low = text.lower()
         if len(low) != len(text):  # pragma: no cover - non-1:1 lowercasing
-            text = low  # offsets refer to the lowered text (documented)
+            # offsets computed on the lowered text cannot index the
+            # original (e.g. 'İ' → 'i̇' shifts every later span) — fail
+            # loud rather than tag the wrong characters
+            raise ValueError(
+                "text lowercases to a different length; character offsets "
+                "cannot map back to the original — highlight unavailable "
+                "for this document"
+            )
         for m in _SIMPLE_RE.finditer(low):
             tok = m.group()
             if analyzer_name == "text" and tok in _STOPWORDS:

@@ -519,13 +519,48 @@ def refresh_global_postings(
 ):
     """Keep a term-partitioned layout current with its source index:
     append when the delta is append-only; full re-merge into a temp dir
-    + atomic directory swap when appends can't represent it (pending
-    tombstones, compaction, in-place shard rewrites, or no layout yet).
-    The persistent indexer calls this per tick."""
+    + two-rename swap (with crash recovery, see below) when appends
+    can't represent it (compaction, in-place shard rewrites, or no
+    layout yet).  The persistent indexer calls this per tick.
+
+    Pending tombstones can be represented by NEITHER an append nor a
+    re-merge (the merge guard refuses them): the existing layout is kept
+    AS OF its last merge (stale until compaction, with a warning) rather
+    than crashing the persistent loop; with no existing layout the
+    error propagates.
+
+    The swap is rename(out → out.old) + rename(tmp → out) + rmtree(old)
+    — POSIX offers no atomic non-empty-directory exchange, so a crash
+    between the renames can leave ``out`` missing with ``out.old``
+    intact; the next call restores ``out.old`` before proceeding."""
     import shutil as _sh
+    import warnings as _warn
 
     out = Path(global_dir)
-    if (out / "_globalmeta.json").exists():
+    old = out.with_name(out.name + ".old")
+    if not out.exists() and old.exists():
+        # crash recovery: a previous swap died between its two renames
+        old.rename(out)
+    has_layout = (out / "_globalmeta.json").exists()
+
+    from .build import IndexInfo as _II
+    from .deletes import load_deletes as _ld
+
+    info = _II(index_dir)
+    if any(len(_ld(index_dir, sid)) for sid in info.shard_ids()):
+        if has_layout:
+            _warn.warn(
+                "source index has pending delete tombstones; the "
+                "term-partitioned layout stays as of its last merge "
+                "until compact_index runs",
+                stacklevel=2,
+            )
+            return out
+        raise ValueError(
+            "cannot build a term-partitioned layout over pending delete "
+            "tombstones; run compact_index first"
+        )
+    if has_layout:
         try:
             return append_global_postings(index_dir, out)
         except ValueError:
@@ -535,9 +570,13 @@ def refresh_global_postings(
         _sh.rmtree(tmp)
     merge_kwargs.setdefault("store_norms", True)
     merge_global_postings(index_dir, tmp, **merge_kwargs)
+    if old.exists():
+        _sh.rmtree(old)
     if out.exists():
-        _sh.rmtree(out)
+        out.rename(old)
     tmp.rename(out)
+    if old.exists():
+        _sh.rmtree(old)
     return out
 
 

@@ -354,17 +354,7 @@ def q_bm25_topk_global(sf_dir: str) -> pa.Table:
     gather + weighted merge, ``search.term_engine``) — the same SQL
     oracle as the doc-partitioned path; the two engines must agree with
     it AND each other."""
-    import os
-
-    from ..index.global_merge import merge_global_postings
-    from ..search.term_engine import TermPartitionedEngine
-
-    idx = ensure_doc_index(sf_dir)
-    gdir = f"{idx}_globalnorms"
-    if not os.path.exists(f"{gdir}/_globalmeta.json"):
-        merge_global_postings(idx, gdir, n_salts=2, n_buckets=8,
-                              hot_df_fraction=0.5, store_norms=True)
-    eng = TermPartitionedEngine(gdir, num_actors=2, round_decimals=4)
+    idx, eng = _global_engine(sf_dir)
     try:
         per_q = {
             qid: eng.search(q, k=K_FETCH) for qid, q in BM25_QUERIES
@@ -581,17 +571,7 @@ def q_bm25_phrase_global(sf_dir: str) -> pa.Table:
     the coordinator, and doc lengths hydrate per MATCHED doc from source
     docmeta — same SQL oracle as ``bm25_phrase``; the two engines must
     agree with it AND each other."""
-    import os
-
-    from ..index.global_merge import merge_global_postings
-    from ..search.term_engine import TermPartitionedEngine
-
-    idx = ensure_doc_index(sf_dir)
-    gdir = f"{idx}_globalnorms"
-    if not os.path.exists(f"{gdir}/_globalmeta.json"):
-        merge_global_postings(idx, gdir, n_salts=2, n_buckets=8,
-                              hot_df_fraction=0.5, store_norms=True)
-    eng = TermPartitionedEngine(gdir, num_actors=2, round_decimals=4)
+    idx, eng = _global_engine(sf_dir)
     try:
         per_q = {
             qid: eng.search_phrase(phrase, k=K_FETCH)
@@ -647,17 +627,7 @@ def q_bm25_bool_global(sf_dir: str) -> pa.Table:
     """``bool`` queries served from the TERM-partitioned layout
     (coordinator-side clause algebra over bucket-actor gathers) — same
     SQL oracle as ``bm25_bool``; both engines must agree with it."""
-    import os
-
-    from ..index.global_merge import merge_global_postings
-    from ..search.term_engine import TermPartitionedEngine
-
-    idx = ensure_doc_index(sf_dir)
-    gdir = f"{idx}_globalnorms"
-    if not os.path.exists(f"{gdir}/_globalmeta.json"):
-        merge_global_postings(idx, gdir, n_salts=2, n_buckets=8,
-                              hot_df_fraction=0.5, store_norms=True)
-    eng = TermPartitionedEngine(gdir, num_actors=2, round_decimals=4)
+    idx, eng = _global_engine(sf_dir)
     try:
         per_q = {
             qid: eng.search_bool(k=K_FETCH, **clauses)
@@ -1228,6 +1198,19 @@ def q_search_after(sf_dir: str) -> pa.Table:
         ):
             if rank == TOPK:
                 cursors[qid] = (s, doc)
+        # the engine cursor speaks GLOBAL ids; the oracle pages by the
+        # documents.doc_id (= orig) ordering — assert the identity the
+        # docstring relies on instead of trusting corpus row order
+        if cursors:
+            store = DocStore(idx, columns=["doc_id", "orig_id"])
+            cur_docs = sorted(d for _, d in cursors.values())
+            om = store.mget(cur_docs)
+            if om.column("doc_id").to_pylist() != om.column("orig_id").to_pylist():
+                raise AssertionError(
+                    "search_after contract requires orig_id == global doc_id "
+                    "for the cursor docs (documents.parquet rows out of "
+                    "doc_id order?)"
+                )
         per_q = {}
         for qid, q in BM25_QUERIES:
             cur = cursors.get(qid)

@@ -41,6 +41,76 @@ from ..index.build import IndexInfo
 from ..index.codec import decode_block, decode_postings, read_meta
 
 
+def merge_agg_partials(dst: dict, part: dict) -> dict:
+    """Fold one (count, sum, min, max) aggregation partial into ``dst``
+    in place — the associative bucket merge shared by the actor-level
+    and driver-level folds."""
+    for g, (c, sm, mn, mx) in part.items():
+        if g in dst:
+            c0, s0, m0, x0 = dst[g]
+            dst[g] = (
+                c0 + c,
+                None if sm is None else s0 + sm,
+                None if mn is None else min(m0, mn),
+                None if mx is None else max(x0, mx),
+            )
+        else:
+            dst[g] = (c, sm, mn, mx)
+    return dst
+
+
+def prefix_expand_sorted(
+    term_list: list[str], prefix: str, cap: int | None = None
+) -> list[str]:
+    """Terms of a SORTED dictionary starting with ``prefix``, in term
+    order (bisect + bounded walk).  Shared by both engines."""
+    import bisect
+
+    lo = bisect.bisect_left(term_list, prefix)
+    out: list[str] = []
+    for i in range(lo, len(term_list)):
+        if not term_list[i].startswith(prefix):
+            break
+        out.append(term_list[i])
+        if cap is not None and len(out) >= cap:
+            break
+    return out
+
+
+def wildcard_expand_sorted(
+    term_list: list[str], pattern: str, cap: int | None = None
+) -> list[str]:
+    """Terms of a SORTED dictionary matching an ES wildcard pattern
+    (``*`` any run, ``?`` one char), in term order: the literal prefix
+    before the first wildcard bisects the range, a compiled regex
+    filters within it.  Shared by both engines."""
+    import bisect
+    import re as _re
+
+    wi = min(
+        (pattern.index(c) for c in "*?" if c in pattern), default=len(pattern)
+    )
+    lit = pattern[:wi]
+    rx = _re.compile(
+        "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in pattern
+        )
+        + r"\Z"
+    )
+    lo = bisect.bisect_left(term_list, lit) if lit else 0
+    out: list[str] = []
+    for j in range(lo, len(term_list)):
+        t = term_list[j]
+        if lit and not t.startswith(lit):
+            break
+        if rx.match(t):
+            out.append(t)
+            if cap is not None and len(out) >= cap:
+                break
+    return out
+
+
 def fuzzy_expand_sorted(
     term_list: list[str], term: str, max_edits: int = 1,
     prefix_length: int = 0,
@@ -345,17 +415,7 @@ class ShardData:
         """Terms in this shard's (sorted) dictionary starting with
         ``prefix``, in term order — the Lucene per-segment prefix
         expansion.  ``cap`` bounds the walk (max_expansions)."""
-        import bisect
-
-        lo = bisect.bisect_left(self.term_list, prefix)
-        out: list[str] = []
-        for i in range(lo, len(self.term_list)):
-            if not self.term_list[i].startswith(prefix):
-                break
-            out.append(self.term_list[i])
-            if cap is not None and len(out) >= cap:
-                break
-        return out
+        return prefix_expand_sorted(self.term_list, prefix, cap)
 
     def prefix_docs(self, prefix: str, k: int) -> np.ndarray:
         """ES ``prefix`` query (constant_score rewrite): the k smallest
@@ -416,36 +476,10 @@ class ShardData:
 
     def expand_wildcard(self, pattern: str, cap: int | None = None) -> list[str]:
         """Terms matching an ES ``wildcard`` pattern (``*`` = any run,
-        ``?`` = one char), in term order.  The literal prefix before the
-        first wildcard bisects the sorted dictionary (the Lucene
-        PrefixTermsEnum trick); the remainder filters by compiled regex.
-        A leading-wildcard pattern scans the whole shard dictionary —
-        supported, as in ES, but inherently a dictionary scan."""
-        import bisect
-        import re as _re
-
-        wi = min(
-            (pattern.index(c) for c in "*?" if c in pattern), default=len(pattern)
-        )
-        lit = pattern[:wi]
-        rx = _re.compile(
-            "".join(
-                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
-                for c in pattern
-            )
-            + r"\Z"
-        )
-        lo = bisect.bisect_left(self.term_list, lit) if lit else 0
-        out: list[str] = []
-        for j in range(lo, len(self.term_list)):
-            t = self.term_list[j]
-            if lit and not t.startswith(lit):
-                break
-            if rx.match(t):
-                out.append(t)
-                if cap is not None and len(out) >= cap:
-                    break
-        return out
+        ``?`` = one char), in term order (literal-prefix bisect + regex
+        walk).  A leading-wildcard pattern scans the whole shard
+        dictionary — supported, as in ES, but inherently a scan."""
+        return wildcard_expand_sorted(self.term_list, pattern, cap)
 
     def wildcard_docs(self, pattern: str, k: int) -> np.ndarray:
         """ES ``wildcard`` query (constant_score rewrite): the k smallest
@@ -1000,17 +1034,7 @@ class _ScorerCore:
     ) -> dict:
         merged: dict = {}
         for s in self.shards:
-            for g, (c, sm, mn, mx) in s.agg_match(terms, group_col, stats_col).items():
-                if g in merged:
-                    c0, s0, m0, x0 = merged[g]
-                    merged[g] = (
-                        c0 + c,
-                        None if sm is None else s0 + sm,
-                        None if mn is None else min(m0, mn),
-                        None if mx is None else max(x0, mx),
-                    )
-                else:
-                    merged[g] = (c, sm, mn, mx)
+            merge_agg_partials(merged, s.agg_match(terms, group_col, stats_col))
         return merged
 
     def bool_topk(
@@ -1251,17 +1275,7 @@ class QueryEngine:
         )
         merged: dict = {}
         for part in per_actor:
-            for g, (c, sm, mn, mx) in part.items():
-                if g in merged:
-                    c0, s0, m0, x0 = merged[g]
-                    merged[g] = (
-                        c0 + c,
-                        None if sm is None else s0 + sm,
-                        None if mn is None else min(m0, mn),
-                        None if mx is None else max(x0, mx),
-                    )
-                else:
-                    merged[g] = (c, sm, mn, mx)
+            merge_agg_partials(merged, part)
         buckets = sorted(merged.items(), key=lambda kv: (-kv[1][0], kv[0]))
         out = []
         for g, (c, sm, mn, mx) in buckets:
@@ -1602,11 +1616,12 @@ class QueryEngine:
             self._shard_groups[ai].append(sid)
             sizes[ai] += 1
         avgdl, n = self.info.stats.avgdl, self.info.stats.num_docs
+        # EVERY actor adopts the post-append stats — an actor that gets
+        # no new shard still scores with the moved avgdl/N
         ray.get(
             [
                 a.add_shards.remote(sids, avgdl, n)
                 for a, sids in zip(self.actors, per_actor)
-                if sids
             ]
         )
         # stale caches: every idf depends on N; dfs grew with new shards

@@ -89,6 +89,13 @@ class _MultiCore:
             for si in range(n_shards):
                 per_field = []
                 touched_any = None
+                # a tombstone is DOC-level: a doc deleted in any field
+                # index is a deleted document — mask with the union of
+                # the fields' delete masks, not per-field
+                dead = None
+                for f in fields_all:
+                    dm = self.shards[f][si].deleted_mask
+                    dead = dm.copy() if dead is None else (dead | dm)
                 for f in fields_all:
                     if f not in terms_of or not terms_of[f]:
                         continue
@@ -97,7 +104,7 @@ class _MultiCore:
                         terms_of[f], idfs[f], self.params, self.avgdl[f]
                     )
                     sc = sc * boost_of.get(f, 1.0)
-                    touched &= ~s.deleted_mask
+                    touched &= ~dead
                     per_field.append(sc)
                     touched_any = (
                         touched if touched_any is None else touched_any | touched

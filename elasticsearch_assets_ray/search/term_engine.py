@@ -211,49 +211,18 @@ class _BucketCore:
     def expand_prefix(self, prefix: str, cap: int | None = None) -> list[str]:
         """This core's dictionary terms with the prefix, in term order
         (the union of per-bucket first-Ns contains the global first-N —
-        the same soundness argument as the shard engine's per-shard cap)."""
-        import bisect
+        the same soundness argument as the shard engine's per-shard
+        cap).  Shared walk: ``engine.prefix_expand_sorted``."""
+        from .engine import prefix_expand_sorted
 
-        tl = self._sorted_terms()
-        lo = bisect.bisect_left(tl, prefix)
-        out: list[str] = []
-        for j in range(lo, len(tl)):
-            if not tl[j].startswith(prefix):
-                break
-            out.append(tl[j])
-            if cap is not None and len(out) >= cap:
-                break
-        return out
+        return prefix_expand_sorted(self._sorted_terms(), prefix, cap)
 
     def expand_wildcard(self, pattern: str, cap: int | None = None) -> list[str]:
-        """Wildcard (* / ?) dictionary matches in term order: literal-
-        prefix bisect + compiled-regex walk, as in the shard engine."""
-        import bisect
-        import re as _re
+        """Wildcard (* / ?) dictionary matches in term order — the shard
+        engine's shared ``wildcard_expand_sorted`` walk."""
+        from .engine import wildcard_expand_sorted
 
-        tl = self._sorted_terms()
-        wi = min(
-            (pattern.index(c) for c in "*?" if c in pattern), default=len(pattern)
-        )
-        lit = pattern[:wi]
-        rx = _re.compile(
-            "".join(
-                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
-                for c in pattern
-            )
-            + r"\Z"
-        )
-        lo = bisect.bisect_left(tl, lit) if lit else 0
-        out: list[str] = []
-        for j in range(lo, len(tl)):
-            t = tl[j]
-            if lit and not t.startswith(lit):
-                break
-            if rx.match(t):
-                out.append(t)
-                if cap is not None and len(out) >= cap:
-                    break
-        return out
+        return wildcard_expand_sorted(self._sorted_terms(), pattern, cap)
 
     def _sorted_terms(self) -> list[str]:
         tl = getattr(self, "_term_list", None)
@@ -387,6 +356,12 @@ class TermPartitionedEngine:
             got_new: dict[str, tuple] = {}
             for part in ray.get(futs):
                 got_new.update(part)
+            def _cost(v: tuple) -> int:
+                # positional entries carry a flat positions array that can
+                # be 10-100× the posting count — charge it, or phrase
+                # traffic blows far past the documented cache bound
+                return len(v[0]) + (len(v[6]) if len(v) > 6 else 0)
+
             for t in missing:
                 v = got_new.get(t)
                 if v is None:
@@ -394,13 +369,13 @@ class TermPartitionedEngine:
                     continue
                 fetched[t] = v
                 self._term_cache[(t, positions)] = v
-                self._cache_postings += len(v[0])
+                self._cache_postings += _cost(v)
             while (self._cache_postings > self.CACHE_MAX_POSTINGS
                    and self._term_cache):
                 old_k, old_v = next(iter(self._term_cache.items()))
                 del self._term_cache[old_k]
                 if old_v is not _ABSENT:
-                    self._cache_postings -= len(old_v[0])
+                    self._cache_postings -= _cost(old_v)
         return fetched
 
     # ------------------------------------------------------------- scoring

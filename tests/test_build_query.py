@@ -1013,3 +1013,75 @@ def test_engine_live_refresh_after_append(small_corpus, tmp_path):
             fresh.shutdown()
     finally:
         eng.shutdown()
+
+
+def test_engine_refresh_updates_all_actors_stats(small_corpus, tmp_path):
+    """ONE appended shard, more actors than new shards: every actor must
+    adopt the post-append avgdl/N (an actor with no new shard scoring
+    under the stale avgdl would silently corrupt merged rankings)."""
+    import pathlib
+    import shutil as sh
+
+    import numpy as np
+    import pyarrow.parquet as pq2
+
+    from elasticsearch_assets_ray.corpus.synth import make_corpus_batch
+
+    grow = tmp_path / "grow"
+    grow.mkdir()
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        sh.copy(f, grow / f.name)
+    cfg = IndexConfig(partition_target_docs=50, shard_target_docs=100)
+    idx = tmp_path / "idx"
+    info1 = build_index(grow, idx, cfg)
+    n1 = info1.stats.num_docs
+    eng = QueryEngine(idx, num_actors=3)
+    try:
+        eng.search("import", k=5)
+        # one new 60-doc shard << 3 actors
+        extra = make_corpus_batch(np.arange(n1, n1 + 60, dtype=np.int64))
+        pq2.write_table(extra, grow / "zz-extra.parquet", row_group_size=60)
+        info2 = build_index(grow, idx, cfg)
+        added = eng.refresh()
+        assert 0 < added < 3
+        fresh = QueryEngine(idx, num_actors=3)
+        try:
+            for q in ["import", "merge data", "parse value"]:
+                got = eng.search(q, k=50)
+                want = fresh.search(q, k=50)
+                assert [d for d, _ in got] == [d for d, _ in want], q
+                for (_, s1), (_, s2) in zip(got, want):
+                    assert s1 == s2, q  # bit-identical: same avgdl everywhere
+        finally:
+            fresh.shutdown()
+    finally:
+        eng.shutdown()
+
+
+def test_refresh_global_tolerates_pending_tombstones(small_corpus, tmp_path):
+    """refresh_global_postings with pending tombstones: keeps an existing
+    layout as-of its last merge (warning, no crash — the persistent tick
+    must survive); with no layout it raises."""
+    import warnings
+
+    from elasticsearch_assets_ray.index.deletes import delete_docs
+    from elasticsearch_assets_ray.index.global_merge import (
+        refresh_global_postings,
+    )
+
+    idx = tmp_path / "idx"
+    build_index(small_corpus, idx,
+                IndexConfig(partition_target_docs=50, shard_target_docs=100))
+    gdir = tmp_path / "g"
+    refresh_global_postings(idx, gdir, n_salts=2, n_buckets=4)
+    delete_docs(idx, [0, 1])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = refresh_global_postings(idx, gdir, n_salts=2, n_buckets=4)
+    assert out == gdir
+    assert any("tombstones" in str(x.message) for x in w)
+    import shutil as sh
+
+    sh.rmtree(gdir)
+    with pytest.raises(ValueError, match="tombstones"):
+        refresh_global_postings(idx, gdir, n_salts=2, n_buckets=4)
