@@ -254,10 +254,114 @@ def cmd_bench(sf_dir: str, num_cpus: int) -> None:
     ray.shutdown()
 
 
+def cmd_soak(seconds: float, num_cpus: int) -> None:
+    """Real-time streaming soak: a writer appends corpus files every
+    second while the persistent indexer ticks (doc-index append +
+    term-layout generation append) and a LIVE QueryEngine serves and
+    refreshes — measuring ingest-to-searchable latency and query p50
+    UNDER ingest.  The wall-clock mirror of the scripted-time persistent
+    tests."""
+    import tempfile
+    import threading
+
+    ray = _init_ray(num_cpus)
+    from elasticsearch_assets_ray import (
+        IndexConfig,
+        PersistentIndexer,
+        QueryEngine,
+    )
+    from elasticsearch_assets_ray.corpus.synth import make_corpus_batch
+
+    import numpy as np
+    import pyarrow.parquet as pqt
+
+    root = tempfile.mkdtemp(prefix="esray_soak_")
+    live = os.path.join(root, "live")
+    os.makedirs(live)
+    batch_docs = 2_000
+    written = {"n": 0}
+    stop = threading.Event()
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            t = make_corpus_batch(
+                np.arange(written["n"], written["n"] + batch_docs,
+                          dtype=np.int64)
+            )
+            pqt.write_table(t, os.path.join(live, f"part-{i:05d}.parquet"))
+            written["n"] += batch_docs
+            i += 1
+            stop.wait(1.0)
+
+    wt = threading.Thread(target=writer, daemon=True)
+    wt.start()
+    time.sleep(1.2)  # first file lands
+
+    cfg = IndexConfig(partition_target_docs=2_000, shard_target_docs=8_000)
+    px = PersistentIndexer(
+        live, os.path.join(root, "idx"), cfg, interval_s=1.0, delay_s=0.0,
+        global_dir=os.path.join(root, "gidx"),
+        global_kwargs=dict(n_salts=2, n_buckets=8, store_norms=True),
+    )
+    px.enqueue_due_windows()
+    while px.tick() is None:
+        px.enqueue_due_windows()
+        time.sleep(0.3)
+    eng = QueryEngine(os.path.join(root, "idx"), num_actors=4)
+
+    t_end = time.time() + seconds
+    ticks = refreshes = 0
+    lat: list[float] = []
+    qs = ["parse config value", "import", "merge segment block"]
+    while time.time() < t_end:
+        px.enqueue_due_windows()
+        if px.tick() is not None:
+            ticks += 1
+            refreshes += eng.refresh() > 0
+        for q in qs:
+            t0 = time.perf_counter()
+            eng.search(q, k=10)
+            lat.append(time.perf_counter() - t0)
+        time.sleep(0.2)
+    stop.set()
+    wt.join()
+    from elasticsearch_assets_ray import IndexInfo
+
+    searchable = IndexInfo(os.path.join(root, "idx")).stats.num_docs
+    lat.sort()
+    eng.shutdown()
+    import shutil as sh
+
+    sh.rmtree(root, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "streaming soak: docs searchable after "
+                f"{seconds:.0f}s of 2k-docs/s ingest (persistent ticks + "
+                "live engine refresh)",
+                "value": searchable,
+                "unit": "docs",
+                "docs_written": written["n"],
+                "productive_ticks": ticks,
+                "engine_refreshes": int(refreshes),
+                "query_p50_ms_under_ingest": round(
+                    1000 * lat[len(lat) // 2], 2
+                ) if lat else None,
+                "num_cpus": num_cpus,
+            }
+        )
+    )
+    ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--build-worker", type=int, default=None)
+    ap.add_argument("--soak", type=float, default=None, metavar="SECONDS",
+                    help="real-time streaming soak: ingest + persistent "
+                         "ticks + live serving refresh")
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -265,6 +369,8 @@ def main() -> None:
         cmd_build_worker(args.build_worker)
     elif args.scaling:
         cmd_scaling()
+    elif args.soak is not None:
+        cmd_soak(args.soak, num_cpus)
     else:
         cmd_bench(args.sf_dir, num_cpus)
 
