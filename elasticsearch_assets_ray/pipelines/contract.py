@@ -638,6 +638,99 @@ def q_bm25_bool_global(sf_dir: str) -> pa.Table:
     return _bm25_rerank(per_q, idx)
 
 
+# (qid, phrase, slop) — ordered sloppy phrases (documented divergence
+# from Lucene: no reordering, unweighted match count; see
+# ShardData.phrase_topk)
+PHRASE_SLOP_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash join", 2),
+    (1, "customer order value", 3),
+    (2, "slow scan", 1),
+    (3, "big table", 0),
+]
+
+
+def q_bm25_phrase_slop(sf_dir: str) -> pa.Table:
+    """ES ``match_phrase`` with ``slop``: ordered sloppy matching — the
+    greedy minimal successor chain per start position (one vectorized
+    searchsorted per slot), match iff the chain spans ≤ len-1+slop;
+    tf = matching start count, idf = Σ constituent idfs."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_phrase(p, k=K_FETCH, slop=s)
+            for qid, p, s in PHRASE_SLOP_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_bm25_phrase_slop() -> str:
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    pf_parts = []
+    term_rows = []
+    for qid, phrase, slop in PHRASE_SLOP_QUERIES:
+        toks = [t for t in phrase.lower().split() if t]
+        L = len(toks)
+        for t in toks:
+            term_rows.append(f"({qid}, '{t}')")
+        # greedy chain: each step takes the MIN position strictly after
+        # the previous step — one nested derived table per step (DuckDB
+        # cannot reference a subquery alias inside the same SELECT)
+        inner = (
+            f"SELECT doc_id, pos AS p1 FROM toksp WHERE t = '{toks[0]}'"
+        )
+        prev_col = "p1"
+        for i, t in enumerate(toks[1:], start=2):
+            inner = (
+                f"SELECT c.*, (SELECT min(n.pos) FROM toksp n "
+                f"WHERE n.doc_id = c.doc_id AND n.t = '{t}' "
+                f"AND n.pos > c.{prev_col}) AS p{i} "
+                f"FROM ({inner}) c WHERE c.{prev_col} IS NOT NULL"
+            )
+            prev_col = f"p{i}"
+        last = f"p{L}" if L > 1 else "p1"
+        pf_parts.append(
+            f"SELECT {qid} AS query_id, doc_id, count(*)::DOUBLE AS pf\n"
+            f"  FROM ({inner})\n"
+            f"  WHERE {last} IS NOT NULL AND {last} - p1 <= {L - 1 + slop}\n"
+            f"  GROUP BY 1, 2"
+        )
+    pf_union = "\nUNION ALL\n".join(pf_parts)
+    values = ", ".join(term_rows)
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT t, count(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY t),
+q(query_id, t) AS (VALUES {values}),
+idfs AS (SELECT q.query_id,
+                sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+         FROM q JOIN df ON df.t = q.t, s GROUP BY 1),
+pf AS ({pf_union}),
+scored AS (
+  SELECT pf.query_id, pf.doc_id,
+         idfs.idf_sum * pf.pf * ({K1} + 1)
+           / (pf.pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+  FROM pf
+  JOIN idfs ON idfs.query_id = pf.query_id
+  JOIN dl ON dl.doc_id = pf.doc_id, s
+)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
 def q_prefix_search(sf_dir: str) -> pa.Table:
     """ES ``prefix`` query under the default constant_score rewrite:
     term-dictionary range scan per shard (the sorted segment term column
@@ -2433,6 +2526,7 @@ def queries():
         "bm25_bool": q_bm25_bool,
         "bm25_phrase": q_bm25_phrase,
         "bm25_phrase_global": q_bm25_phrase_global,
+        "bm25_phrase_slop": q_bm25_phrase_slop,
         "bm25_bool_global": q_bm25_bool_global,
         "prefix_search_global": q_prefix_search_global,
         "wildcard_search_global": q_wildcard_search_global,
@@ -2487,6 +2581,7 @@ def oracle_sql():
         "bm25_bool": sql_bm25_bool(),
         "bm25_phrase": sql_bm25_phrase(),
         "bm25_phrase_global": sql_bm25_phrase(),
+        "bm25_phrase_slop": sql_bm25_phrase_slop(),
         "bm25_bool_global": sql_bm25_bool(),
         "prefix_search_global": sql_prefix_search(),
         "wildcard_search_global": sql_wildcard_search(),

@@ -620,6 +620,7 @@ class ShardData:
         params: BM25Params,
         avgdl: float,
         k: int,
+        slop: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact (multi-)phrase top-k over the positional sidecar (Lucene
         PhraseQuery / MultiPhraseQuery semantics, slop 0): each element of
@@ -629,7 +630,18 @@ class ShardData:
         Score is BM25 with tf = the PHRASE frequency (number of start
         positions, overlap counted) and idf = the caller-provided sum of
         the constituent terms' idfs — Lucene's PhraseWeight treats the
-        phrase as one pseudo-term."""
+        phrase as one pseudo-term.
+
+        ``slop > 0`` runs ORDERED sloppy matching: a start position
+        matches when the greedy chain (each slot takes its smallest
+        position strictly after the previous slot's) spans
+        ``≤ len(phrase)-1+slop`` positions; tf = count of matching start
+        positions.  DOCUMENTED DIVERGENCE from Lucene's SloppyPhraseScorer:
+        Lucene also admits reordered terms within the slop budget and
+        weights each match 1/(slop_of_match+1); the ordered/greedy form
+        is deterministic and exactly SQL-reproducible.  At slop=0 the two
+        definitions coincide (asserted by test against the intersect
+        path)."""
         if self.posblobs is None:
             raise RuntimeError(
                 "index was built without store_positions=True — phrase "
@@ -680,6 +692,45 @@ class ShardData:
                 # entry docs ascend → single-term keys are sorted unique
                 return parts[0]
             return np.unique(np.concatenate(parts))
+
+        if slop > 0:
+            # ordered sloppy matching: greedy successor chain per start
+            # key via one searchsorted per slot; the chain's span check
+            # is p_L - p_1 ≤ L-1+slop (all vectorized, no per-doc loop)
+            shift = np.int64(32)
+            starts = slot_keys(slot_present[0], 0)  # seq=0: raw keys
+            cur = starts
+            ok = np.ones(len(starts), dtype=bool)
+            for alts in slot_present[1:]:
+                nxt_keys = slot_keys(alts, 0)
+                pos_in = np.searchsorted(nxt_keys, cur + 1)
+                valid = pos_in < len(nxt_keys)
+                cand_k = nxt_keys[np.minimum(pos_in, len(nxt_keys) - 1)]
+                valid &= (cand_k >> shift) == (cur >> shift)
+                ok &= valid
+                cur = np.where(valid, cand_k, cur)
+            span = (cur & np.int64((1 << 32) - 1)) - (
+                starts & np.int64((1 << 32) - 1)
+            )
+            ok &= span <= (len(slot_present) - 1 + slop)
+            cur = starts[ok]
+            if len(cur) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            k1, b = params.k1, params.b
+            hd, pf_c = np.unique(cur >> shift, return_counts=True)
+            live = ~self.deleted_mask[hd]
+            hd, pf_c = hd[live], pf_c[live]
+            if len(hd) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            pf = pf_c.astype(np.float64)
+            dl = self.dl[hd]
+            scores_local = idf_sum * pf * (k1 + 1.0) / (
+                pf + k1 * (1.0 - b + b * dl / avgdl)
+            )
+            dense = np.zeros(self.num_docs, dtype=np.float64)
+            dense[hd] = scores_local
+            cand2, cs = _select_topk(hd, dense, k, params)
+            return (cand2 + self.doc_base).astype(np.int64), cs
 
         cur = slot_keys(slot_present[0], 0)
         for seq, alts in enumerate(slot_present[1:], start=1):
@@ -942,13 +993,16 @@ class _ScorerCore:
         return out
 
     def phrase_topk(
-        self, queries: list[tuple[int, list[str], float, int]]
+        self, queries: list[tuple]
     ) -> list[tuple[int, np.ndarray, np.ndarray]]:
-        """queries: [(qid, phrase terms in order, idf_sum, k)]."""
+        """queries: [(qid, phrase terms in order, idf_sum, k[, slop])]."""
         out = []
-        for qid, phrase, idf_sum, k in queries:
+        for q in queries:
+            qid, phrase, idf_sum, k = q[0], q[1], q[2], q[3]
+            slop = q[4] if len(q) > 4 else 0
             parts = [
-                s.phrase_topk(phrase, idf_sum, self.params, self.avgdl, k)
+                s.phrase_topk(phrase, idf_sum, self.params, self.avgdl, k,
+                              slop)
                 for s in self.shards
             ]
             ids, sc = merge_topk(parts, k, self.params.round_decimals)
@@ -1148,12 +1202,17 @@ class QueryEngine:
         ids, sc = merge_topk(parts, k, self.params.round_decimals)
         return list(zip(ids.tolist(), sc.tolist()))
 
-    def search_phrase(self, phrase: str | list[str], k: int = 10) -> list[tuple[int, float]]:
-        """Exact phrase query (ES ``match_phrase``, slop 0) over an index
-        built with ``store_positions=True``.  ``phrase`` is free text
-        analyzed in ORDER (duplicates kept) or a pre-analyzed token list;
-        score = BM25 with tf = phrase frequency and idf = sum of the
-        constituent terms' idfs (Lucene PhraseQuery)."""
+    def search_phrase(
+        self, phrase: str | list[str], k: int = 10, slop: int = 0
+    ) -> list[tuple[int, float]]:
+        """Exact phrase query (ES ``match_phrase``) over an index built
+        with ``store_positions=True``.  ``phrase`` is free text analyzed
+        in ORDER (duplicates kept) or a pre-analyzed token list; score =
+        BM25 with tf = phrase frequency and idf = sum of the constituent
+        terms' idfs (Lucene PhraseQuery).  ``slop > 0`` matches ORDERED
+        sloppy occurrences (greedy minimal chain, span ≤ len-1+slop —
+        see ``ShardData.phrase_topk`` for the documented divergence from
+        Lucene's reordering/weighted sloppyFreq)."""
         if isinstance(phrase, str):
             fn = get_analyzer(
                 "code" if self.analyzer_name == "per_lang" else self.analyzer_name
@@ -1167,7 +1226,8 @@ class QueryEngine:
         idf = self.idfs(sorted(set(terms)))
         idf_sum = float(sum(idf[t] for t in terms))
         per_actor = ray.get(
-            [a.phrase_topk.remote([(0, terms, idf_sum, k)]) for a in self.actors]
+            [a.phrase_topk.remote([(0, terms, idf_sum, k, slop)])
+             for a in self.actors]
         )
         parts = [(res[0][1], res[0][2]) for res in per_actor]
         ids, sc = merge_topk(parts, k, self.params.round_decimals)

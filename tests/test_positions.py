@@ -632,3 +632,71 @@ def test_global_fuzzy_matches_doc_engine(pos_index, tmp_path):
     finally:
         geng.shutdown()
         deng.shutdown()
+
+
+def _sloppy_oracle(texts, ptoks, m, slop):
+    """Brute-force ordered-sloppy phrase freq: count start positions with
+    a greedy minimal chain spanning <= len-1+slop."""
+    freqs = {}
+    L = len(ptoks)
+    for d, text in enumerate(texts):
+        toks = clip_tokens(code_tokens(text), m.min_token_len, m.max_token_len)
+        posof = {}
+        for i, t in enumerate(toks):
+            posof.setdefault(t, []).append(i)
+        n = 0
+        for p1 in posof.get(ptoks[0], []):
+            cur = p1
+            ok = True
+            for t in ptoks[1:]:
+                nxt = [p for p in posof.get(t, []) if p > cur]
+                if not nxt:
+                    ok = False
+                    break
+                cur = nxt[0]
+            if ok and cur - p1 <= L - 1 + slop:
+                n += 1
+        if n:
+            freqs[d] = n
+    return freqs
+
+
+def test_sloppy_phrase_matches_bruteforce(pos_index, small_corpus):
+    import pathlib
+
+    texts = []
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        texts.extend(pq.read_table(f, columns=["content"]).column("content").to_pylist())
+    m = pos_index.manifest
+    dl = (
+        pq.read_table(pos_index.index_dir / "docmeta", columns=["doc_id", "dl"])
+        .sort_by("doc_id")
+        .column("dl")
+        .to_numpy()
+    )
+    eng = QueryEngine(pos_index.index_dir, num_actors=2)
+    params = BM25Params()
+    try:
+        for phrase, slop in [("def merge", 2), ("return data", 1),
+                             ("import data value", 3), ("merge data", 0)]:
+            ptoks = clip_tokens(code_tokens(phrase), m.min_token_len,
+                                m.max_token_len)
+            oracle = _sloppy_oracle(texts, ptoks, m, slop)
+            res = dict(eng.search_phrase(phrase, k=1000, slop=slop))
+            assert set(res) == set(oracle), (phrase, slop)
+            idf = eng.idfs(sorted(set(ptoks)))
+            idf_sum = sum(idf[t] for t in ptoks)
+            avgdl = pos_index.stats.avgdl
+            for d, pf in oracle.items():
+                expect = (
+                    idf_sum * pf * (params.k1 + 1.0)
+                    / (pf + params.k1 * (1.0 - params.b
+                                         + params.b * dl[d] / avgdl))
+                )
+                assert abs(res[d] - expect) < 1e-9, (phrase, slop, d)
+        # slop=0 coincides with the strict intersect path
+        for phrase in ["def merge", "return data", "table table"]:
+            assert eng.search_phrase(phrase, k=1000, slop=0) == \
+                eng.search_phrase(phrase, k=1000), phrase
+    finally:
+        eng.shutdown()
