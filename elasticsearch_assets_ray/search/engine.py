@@ -361,6 +361,21 @@ class ShardData:
             norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
             scores[idx] += idf[t] * norm
 
+        ok = self._bool_eligible(
+            must_s, should_s, not_s, filt_s, minimum_should_match,
+            meta_filters, range_filters, postings_idx,
+        )
+        cand = np.nonzero(ok)[0]
+        cand, cs = _select_topk(cand, scores, k, params)
+        return (cand + self.doc_base).astype(np.int64), cs
+
+    def _bool_eligible(
+        self, must_s, should_s, not_s, filt_s, minimum_should_match,
+        meta_filters, range_filters, postings_idx,
+    ) -> np.ndarray:
+        """The bool clause algebra as a live-doc eligibility mask —
+        shared by top-k serving and aggregations-over-bool."""
+        n = self.num_docs
         ok = ~self.deleted_mask
         if meta_filters or range_filters:
             # ES keyword-field term/terms + numeric range filters
@@ -406,10 +421,43 @@ class ShardData:
             # empty bool query matches all docs, but an all-docs scan is
             # never what a top-k caller wants; fail loud instead)
             raise ValueError("bool query needs at least one positive clause")
+        return ok
 
-        cand = np.nonzero(ok)[0]
-        cand, cs = _select_topk(cand, scores, k, params)
-        return (cand + self.doc_base).astype(np.int64), cs
+    def _postings_idx_fn(self):
+        decoded: dict[str, tuple | None] = {}
+
+        def postings_idx(t: str):
+            if t not in decoded:
+                i = self.terms.get(t)
+                if i is None:
+                    decoded[t] = None
+                else:
+                    doc_ids, tfs = decode_postings(self.blobs[i])
+                    idx = (doc_ids - np.uint64(self.doc_base)).astype(np.int64)
+                    decoded[t] = (idx, tfs)
+            return decoded[t]
+
+        return postings_idx
+
+    def agg_match_bool(
+        self,
+        clauses: dict,
+        group_col: str,
+        stats_col: str | None = None,
+    ) -> dict:
+        """:meth:`agg_match` with the match set defined by a full bool
+        query (ES: any ``query`` under a ``terms`` aggregation)."""
+        ok = self._bool_eligible(
+            sorted(set(clauses.get("must", []))),
+            sorted(set(clauses.get("should", []))),
+            sorted(set(clauses.get("must_not", []))),
+            sorted(set(clauses.get("filter", []))),
+            clauses.get("msm"),
+            clauses.get("meta_filters"),
+            clauses.get("range_filters"),
+            self._postings_idx_fn(),
+        )
+        return self._agg_over_mask(ok, group_col, stats_col)
 
     def expand_prefix(self, prefix: str, cap: int | None = None) -> list[str]:
         """Terms in this shard's (sorted) dictionary starting with
@@ -531,6 +579,11 @@ class ShardData:
             doc_ids, _ = decode_postings(self.blobs[i])
             hit[(doc_ids - np.uint64(self.doc_base)).astype(np.int64)] = True
         hit &= ~self.deleted_mask
+        return self._agg_over_mask(hit, group_col, stats_col)
+
+    def _agg_over_mask(
+        self, hit: np.ndarray, group_col: str, stats_col: str | None
+    ) -> dict:
         idxs = np.nonzero(hit)[0]
         if len(idxs) == 0:
             return {}
@@ -1091,6 +1144,16 @@ class _ScorerCore:
             merge_agg_partials(merged, s.agg_match(terms, group_col, stats_col))
         return merged
 
+    def agg_match_bool(
+        self, clauses: dict, group_col: str, stats_col: str | None = None
+    ) -> dict:
+        merged: dict = {}
+        for s in self.shards:
+            merge_agg_partials(
+                merged, s.agg_match_bool(clauses, group_col, stats_col)
+            )
+        return merged
+
     def bool_topk(
         self,
         queries: list[tuple[int, dict, int]],
@@ -1315,24 +1378,52 @@ class QueryEngine:
 
     def aggregate(
         self,
-        query: str | list[str],
+        query: str | list[str] | dict,
         group_by: str,
         stats_on: str | None = None,
     ) -> list[dict]:
         """ES search + ``terms`` aggregation (with an optional nested
         ``stats`` sub-aggregation): buckets of ``group_by`` (a stored
-        docmeta keyword column) over ALL docs matching the analyzed
-        ``query`` disjunction — not just the top-k.  Bucket order is ES's:
-        doc_count desc, then key asc.  Stats cover ``dl`` (token count)
-        or any numeric docmeta column; partial (count,sum,min,max) rows
-        merge associatively across shard actors, so driver work is
+        docmeta keyword column) over ALL docs matching ``query`` — not
+        just the top-k.  ``query`` is free text / a term list (the
+        ``match`` disjunction) OR a bool-clause dict ({must, should,
+        must_not, filter, minimum_should_match, filter_meta,
+        filter_range} — the full clause algebra, as ES allows any query
+        under an aggregation).  Bucket order is ES's: doc_count desc,
+        then key asc.  Stats cover ``dl`` (token count) or any numeric
+        docmeta column; partial (count,sum,min,max) rows merge
+        associatively across shard actors, so driver work is
         O(buckets)."""
+        if isinstance(query, dict):
+            def _clause(v):
+                if isinstance(v, str):
+                    return self._analyze(v) if v else []
+                return sorted(set(v))
+
+            clauses = {
+                "must": _clause(query.get("must", "")),
+                "should": _clause(query.get("should", "")),
+                "must_not": _clause(query.get("must_not", "")),
+                "filter": _clause(query.get("filter", "")),
+                "msm": query.get("minimum_should_match"),
+                "meta_filters": query.get("filter_meta"),
+                "range_filters": query.get("filter_range"),
+            }
+            per_actor = ray.get(
+                [a.agg_match_bool.remote(clauses, group_by, stats_on)
+                 for a in self.actors]
+            )
+            return self._agg_buckets(per_actor, stats_on)
         terms = self._analyze(query) if isinstance(query, str) else sorted(set(query))
         if not terms:
             return []
         per_actor = ray.get(
             [a.agg_match.remote(terms, group_by, stats_on) for a in self.actors]
         )
+        return self._agg_buckets(per_actor, stats_on)
+
+    def _agg_buckets(self, per_actor: list[dict], stats_on: str | None
+                     ) -> list[dict]:
         merged: dict = {}
         for part in per_actor:
             merge_agg_partials(merged, part)

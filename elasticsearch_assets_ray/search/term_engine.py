@@ -251,6 +251,13 @@ class _BucketCore:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(parts))[:k]
 
+    def df_of(self, terms: list[str]) -> dict[str, int]:
+        """Document frequencies only — no posting arrays ship (the MLT
+        candidate-selection probe; candidates can be hundreds of terms)."""
+        return {
+            t: self.terms[t][2] for t in terms if t in self.terms
+        }
+
     def fetch(self, terms: list[str], positions: bool = False):
         """→ {term: (doc_ids, norms, df, block_last, block_max)} for the
         terms this core owns; with ``positions=True`` each tuple gains
@@ -595,6 +602,69 @@ class TermPartitionedEngine:
         if not pattern:
             return []
         return self._constant_score_docs("expand_wildcard", pattern, k)
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        minimum_should_match: float = 0.3,
+    ) -> list[tuple[int, float]]:
+        """ES ``more_like_this`` on the term-partitioned layout — same
+        semantics as ``QueryEngine.more_like_this`` (tested identical):
+        the source doc hydrates from the SOURCE index's partition
+        lineage, candidate dfs probe without shipping postings
+        (``df_of``), and the selected terms run through this engine's
+        bool-should path."""
+        from ..index.global_merge import _term_bucket
+        from ..state.docstore import CorpusTextReader
+
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for MLT serving"
+            )
+        if not hasattr(self, "_text_reader"):
+            self._text_reader = CorpusTextReader(src)
+        text = self._text_reader.mget([doc_id])[0]
+        toks = clip_tokens(self._analyzer(text), *self._clip)
+        if not toks:
+            return []
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        if not cand:
+            return []
+        by_actor: dict[int, list[str]] = {}
+        for t in cand:
+            a = self._actor_of_bucket[_term_bucket(t, self._n_buckets)]
+            by_actor.setdefault(a, []).append(t)
+        dfs: dict[str, int] = {}
+        for part in ray.get(
+            [self.actors[a].df_of.remote(ts) for a, ts in by_actor.items()]
+        ):
+            dfs.update(part)
+        scored = []
+        for t in cand:
+            df = dfs.get(t, 0)
+            if df < min_doc_freq:
+                continue
+            idf = math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+            scored.append((-(tf[t] * idf), t))
+        if not scored:
+            return []
+        scored.sort()
+        selected = sorted(t for _, t in scored[:max_query_terms])
+        msm = max(1, int(len(selected) * minimum_should_match))
+        fetch_k = max(2 * k, k + 10)
+        hits = self.search_bool(
+            should=selected, minimum_should_match=msm, k=fetch_k
+        )
+        return [(d, s) for d, s in hits if d != doc_id][:k]
 
     def search_fuzzy(
         self, term: str, fuzziness: int = 1, prefix_length: int = 0,

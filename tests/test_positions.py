@@ -700,3 +700,24 @@ def test_sloppy_phrase_matches_bruteforce(pos_index, small_corpus):
                 eng.search_phrase(phrase, k=1000), phrase
     finally:
         eng.shutdown()
+
+
+def test_global_mlt_matches_doc_engine(pos_index, tmp_path):
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    out = tmp_path / "global_mlt"
+    merge_global_postings(pos_index.index_dir, out, n_salts=3, n_buckets=4,
+                          store_norms=True)
+    geng = TermPartitionedEngine(out, num_actors=2)
+    deng = QueryEngine(pos_index.index_dir, num_actors=2)
+    try:
+        for src in [3, 42, 250]:
+            got = geng.more_like_this(src, k=10)
+            want = deng.more_like_this(src, k=10)
+            assert [d for d, _ in got] == [d for d, _ in want], src
+            for (_, s1), (_, s2) in zip(got, want):
+                assert abs(s1 - s2) < 1e-12, src
+    finally:
+        geng.shutdown()
+        deng.shutdown()

@@ -351,3 +351,26 @@ def test_ids_query_masks_tombstones(small_corpus, tmp_path):
         ]
     finally:
         eng.shutdown()
+
+
+def test_aggregate_over_bool_query(engine, corpus_docs):
+    """Aggregations accept a full bool-clause dict as the query (ES: any
+    query under a terms agg) — brute-force parity incl. filters."""
+    toks, langs = corpus_docs
+    q = dict(must="data", must_not="window", filter_meta={"lang": ["python", "go", "c"]})
+    match = [
+        d for d, ts in enumerate(toks)
+        if "data" in ts and "window" not in ts
+        and langs[d] in ("python", "go", "c")
+    ]
+    expect: dict = {}
+    for d in match:
+        g = langs[d]
+        c, s = expect.get(g, (0, 0.0))
+        expect[g] = (c + 1, s + len(toks[d]))
+    buckets = engine.aggregate(q, group_by="lang", stats_on="dl")
+    assert {b["key"]: (b["doc_count"], b["sum"]) for b in buckets} == expect
+    # bucket order: count desc, key asc
+    assert [b["key"] for b in buckets] == [
+        g for g, _ in sorted(expect.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    ]
