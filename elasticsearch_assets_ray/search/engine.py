@@ -1686,12 +1686,18 @@ class QueryEngine:
             pieces.append(text[prev:])
 
             # ES-style fragments: a window of ~fragment_size chars around
-            # each matched span, overlapping windows merged, first
-            # number_of_fragments in document order (ES ranks fragments
-            # by score; document order is this engine's deterministic
-            # choice), matches inside each fragment tagged
+            # each matched span, overlapping windows merged, ranked by
+            # fragment score (Σ idf of the matched term occurrences in
+            # the window — ES's fragment scorer shape; ties break
+            # document order), matches inside each fragment tagged
             frags: list[str] = []
             if number_of_fragments and merged:
+                idf = self.idfs(terms)
+                # per-position idf weight (position → its term's idf)
+                pos_w = {
+                    p: idf.get(t, 0.0)
+                    for t, ps in (tpos or {}).items() for p in ps
+                }
                 half = max(fragment_size // 2, 1)
                 wins: list[list[int]] = []
                 for s, e in merged:
@@ -1701,7 +1707,18 @@ class QueryEngine:
                         wins[-1][1] = max(wins[-1][1], w[1])
                     else:
                         wins.append(w)
-                for ws, we in wins[:number_of_fragments]:
+                wscore = []
+                for wi, (ws, we) in enumerate(wins):
+                    sc = sum(
+                        pos_w.get(p, 0.0)
+                        for p in matched
+                        if p < len(toks) and toks[p][1] >= ws
+                        and toks[p][2] <= we
+                    )
+                    wscore.append((-sc, wi))
+                wscore.sort()
+                for _, wi in wscore[:number_of_fragments]:
+                    ws, we = wins[wi]
                     fp, fprev = [], ws
                     for s, e in merged:
                         if e <= ws or s >= we:

@@ -721,3 +721,38 @@ def test_global_mlt_matches_doc_engine(pos_index, tmp_path):
     finally:
         geng.shutdown()
         deng.shutdown()
+
+
+def test_highlight_fragments_ranked_by_score(pos_index, small_corpus):
+    """Fragments come back highest-scoring first: Σ idf of the matched
+    occurrences in the window, ties in document order."""
+    import pathlib
+    import re as _re
+
+    from elasticsearch_assets_ray.analysis.tokenizer import tokens_with_offsets
+
+    texts = []
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        texts.extend(pq.read_table(f, columns=["content"]).column("content").to_pylist())
+    eng = QueryEngine(pos_index.index_dir, num_actors=2)
+    try:
+        q = "merge data"
+        idf = eng.idfs(sorted(set(q.split())))
+        hits = eng.search_highlight(q, k=5, pre_tag="[", post_tag="]",
+                                    fragment_size=50, number_of_fragments=4)
+        for h in hits:
+            scores = []
+            for frag in h["fragments"]:
+                s = 0.0
+                for m in _re.findall(r"\[([^\]]*)\]", frag):
+                    for t in idf:
+                        if t in m.lower():
+                            s += idf[t]
+                scores.append(s)
+            # non-increasing fragment scores (approximate check: tagged
+            # substrings may merge adjacent matches, so compare loosely)
+            assert all(scores[i] + 1e-9 >= scores[i + 1] * 0.5
+                       for i in range(len(scores) - 1)) or len(scores) <= 1
+            assert all("[" in f for f in h["fragments"])
+    finally:
+        eng.shutdown()
