@@ -802,7 +802,7 @@ class TermPartitionedEngine:
     _POS_BITS = 21
 
     def search_phrase(
-        self, phrase: str | list[str], k: int = 10
+        self, phrase: str | list[str], k: int = 10, slop: int = 0
     ) -> list[tuple[int, float]]:
         """Exact phrase (ES ``match_phrase``, slop 0) over the
         term-partitioned layout: the phrase terms' postings + positional
@@ -842,11 +842,34 @@ class TermPartitionedEngine:
                 p = p - seq
             return (docs_flat << shift) | p
 
-        cur = slot_keys(toks[0], 0)
-        for seq, t in enumerate(toks[1:], start=1):
-            if len(cur) == 0:
-                break
-            cur = np.intersect1d(cur, slot_keys(t, seq), assume_unique=True)
+        if slop > 0:
+            # ordered sloppy matching — the shard engine's greedy minimal
+            # successor chain on global keys (see ShardData.phrase_topk
+            # for the semantics and the documented Lucene divergence)
+            starts = slot_keys(toks[0], 0)
+            cur = starts
+            ok = np.ones(len(starts), dtype=bool)
+            for t in toks[1:]:
+                nxt = slot_keys(t, 0)
+                pos_in = np.searchsorted(nxt, cur + 1)
+                valid = pos_in < len(nxt)
+                cand_k = nxt[np.minimum(pos_in, max(len(nxt) - 1, 0))] if len(
+                    nxt
+                ) else np.zeros_like(cur)
+                valid &= (cand_k >> shift) == (cur >> shift)
+                ok &= valid
+                cur = np.where(valid, cand_k, cur)
+            mask = np.int64((1 << self._POS_BITS) - 1)
+            span = (cur & mask) - (starts & mask)
+            ok &= span <= (len(toks) - 1 + slop)
+            cur = starts[ok]
+        else:
+            cur = slot_keys(toks[0], 0)
+            for seq, t in enumerate(toks[1:], start=1):
+                if len(cur) == 0:
+                    break
+                cur = np.intersect1d(cur, slot_keys(t, seq),
+                                     assume_unique=True)
         if len(cur) == 0:
             return []
         hd, pf_c = np.unique(cur >> shift, return_counts=True)

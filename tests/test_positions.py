@@ -756,3 +756,25 @@ def test_highlight_fragments_ranked_by_score(pos_index, small_corpus):
             assert all("[" in f for f in h["fragments"])
     finally:
         eng.shutdown()
+
+
+def test_global_sloppy_phrase_matches_doc_engine(pos_index, tmp_path):
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    out = tmp_path / "global_slop"
+    merge_global_postings(pos_index.index_dir, out, n_salts=3, n_buckets=4,
+                          store_norms=True)
+    geng = TermPartitionedEngine(out, num_actors=2)
+    deng = QueryEngine(pos_index.index_dir, num_actors=2)
+    try:
+        for phrase, slop in [("def merge", 2), ("return data", 1),
+                             ("import data value", 3), ("merge data", 0)]:
+            got = geng.search_phrase(phrase, k=1000, slop=slop)
+            want = deng.search_phrase(phrase, k=1000, slop=slop)
+            assert [d for d, _ in got] == [d for d, _ in want], (phrase, slop)
+            for (_, s1), (_, s2) in zip(got, want):
+                assert abs(s1 - s2) < 1e-12, (phrase, slop)
+    finally:
+        geng.shutdown()
+        deng.shutdown()
