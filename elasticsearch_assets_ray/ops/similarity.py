@@ -636,7 +636,7 @@ def cosine_dup_pairs_lsh(
     col: str = "embedding",
     id_col: str = "vec_id",
     nbits: int | None = None,
-    bands: int = 16,
+    bands: int = 32,
     seed: int = 11,
 ) -> pa.Table:
     """Approximate near-dup pairs: multi-band sign-bit LSH candidates →

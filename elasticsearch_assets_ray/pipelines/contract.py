@@ -1967,11 +1967,9 @@ PRICING_CUTOFF = "1998-09-02"
 def q_pricing_summary(sf_dir: str) -> pa.Table:
     """Generic wide aggregation (TPC-H Q1 shape) over the 600k-row
     lineitem table: the partial-aggregate combiner pattern — per-batch
-    pandas groupby partials, then a tiny global groupby — so the shuffle
-    moves a handful of rows, not the table."""
+    Arrow-kernel groupby partials, then a tiny global groupby — so the
+    shuffle moves a handful of rows, not the table."""
     import datetime as dt
-
-    import pandas as pd
 
     cutoff = dt.datetime.fromisoformat(PRICING_CUTOFF)
     ds = rd.read_parquet(
@@ -1983,27 +1981,42 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df[df["l_shipdate"] <= cutoff]
+        batch = batch.filter(
+            pc.less_equal(batch.column("l_shipdate"), pa.scalar(cutoff))
+        )
         # money in integer cents: 2-dp decimals stored as doubles are
         # exactly recoverable via round(x*100), and integer sums are
         # bit-exact under ANY accumulation order — float sums land on
         # rounding boundaries often enough to break value-hash compares
-        price_c = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        disc_c = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
-        df["qty_i"] = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
-        df["base_c"] = price_c
-        df["disc_e4"] = price_c * (100 - disc_c)  # 1e-4 dollar units
-        g = df.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
-            sum_qty=("qty_i", "sum"),
-            sum_base_price_cents=("base_c", "sum"),
-            sum_disc_price_e4=("disc_e4", "sum"),
-            n=("qty_i", "size"),
-        ).reset_index()
-        g["key"] = g["l_returnflag"] + "\x01" + g["l_linestatus"]
-        return pa.Table.from_pandas(
-            g[["key", "sum_qty", "sum_base_price_cents", "sum_disc_price_e4", "n"]],
-            preserve_index=False,
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.round(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        qty_i = np.round(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        key = pc.binary_join_element_wise(
+            batch.column("l_returnflag"), batch.column("l_linestatus"), "\x01"
+        )
+        g = pa.table(
+            {
+                "key": key,
+                "sum_qty": qty_i,
+                "sum_base_price_cents": price_c,
+                "sum_disc_price_e4": price_c * (100 - disc_c),  # 1e-4 dollars
+                "n": np.ones(len(price_c), np.int64),
+            }
+        ).group_by("key").aggregate(
+            [("sum_qty", "sum"), ("sum_base_price_cents", "sum"),
+             ("sum_disc_price_e4", "sum"), ("n", "sum")]
+        )
+        return g.select(
+            ["key", "sum_qty_sum", "sum_base_price_cents_sum",
+             "sum_disc_price_e4_sum", "n_sum"]
+        ).rename_columns(
+            ["key", "sum_qty", "sum_base_price_cents", "sum_disc_price_e4", "n"]
         )
 
     agg = to_arrow(

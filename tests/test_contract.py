@@ -45,15 +45,16 @@ def test_approx_recall_thresholds(ray_session):
     """Recall of every approximate path vs its exact in-repo twin — the
     exact pipelines ARE the oracle.  Thresholds sit under the measured
     values (sf0.001: lsh .86 / ivf .72 / minhash 1.0 / simhash .89 /
-    dup-lsh .30, see BASELINE.md) with margin for parameter drift; a drop
-    below means an approximate operator regressed."""
+    dup-lsh .59 at the bands=32 default, see BASELINE.md) with margin for
+    parameter drift; a drop below means an approximate operator
+    regressed."""
     rows = {r["op"]: r for r in contract.q_approx_recall(SF_DIR).to_pylist()}
     rec = {k: v["recall"] for k, v in rows.items()}
     assert rec["knn_lsh"] >= 0.7
     assert rec["knn_ivf"] >= 0.6
     assert rec["minhash_pairs"] >= 0.9
     assert rec["simhash_pairs"] >= 0.7
-    assert rec["embedding_dup_lsh"] >= 0.2
+    assert rec["embedding_dup_lsh"] >= 0.45
     if rows["embedding_dup_lsh_sim06"]["n_exact"] >= 20:
         # the high-sim regime must not be WORSE than the overall mid-
         # threshold recall (only meaningful with a real sample)
