@@ -67,6 +67,19 @@ class IndexConfig:
     lang_col: str | None = "lang"
     id_col: str | None = None
     meta_cols: tuple[str, ...] = ("repo", "path")
+    # ingest-time derived fields (the ES ingest-pipeline analogue; the
+    # reference's index_selector computes per-doc fields the same way,
+    # ``asset/elasticsearch_index_selector/index.js:45-56``): each spec is
+    # a parameterized recipe string ``"<col>=<kind>:<args>"`` resolved by
+    # ``index.build.parse_derived_meta`` — strings (not callables) so the
+    # spec travels in the build manifest's plan fingerprint and resolves
+    # identically inside Ray workers.  A derived column is computed per
+    # partition right after the projected read and stored in docmeta when
+    # listed in ``meta_cols``.  Supported kinds:
+    #   ``ts_from_int:<src_col>:<epoch0_s>:<mult>:<mod_s>`` — a
+    #   deterministic timestamp[us] spread over [epoch0, epoch0+mod):
+    #   ``epoch0 + (src * mult) % mod`` seconds (SQL-reproducible).
+    derived_meta: tuple[str, ...] = ()
     # "fused": tokenize+merge in one task per shard — the shard→partition
     # routing is fixed at plan time, so the partials exchange is a planned
     # no-op and the generic sort shuffle is skipped entirely (measured to
@@ -105,3 +118,12 @@ class IndexConfig:
             raise ValueError(f"unknown merge_strategy {self.merge_strategy!r}")
         if self.postings_codec not in ("varint", "for"):
             raise ValueError(f"unknown postings_codec {self.postings_codec!r}")
+        for spec in self.derived_meta:
+            if "=" not in spec:
+                raise ValueError(f"derived_meta spec needs '=': {spec!r}")
+            name = spec.split("=", 1)[0]
+            if name not in self.meta_cols:
+                raise ValueError(
+                    f"derived column {name!r} must be listed in meta_cols "
+                    "to be stored in docmeta"
+                )

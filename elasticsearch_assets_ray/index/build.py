@@ -455,6 +455,29 @@ def docmeta_path(index_dir: str | Path, partition_id: int) -> Path:
     return Path(index_dir) / "docmeta" / f"part-{partition_id:05d}.parquet"
 
 
+def parse_derived_meta(spec: str):
+    """Resolve one ingest-time derived-field recipe string (the ES
+    ingest-pipeline analogue; IndexConfig.derived_meta documents the
+    grammar) → ``(name, src_cols, fn)`` with ``fn(tbl) -> pa.Array``.
+
+    Recipes are strings, not callables, so they serialize into the build
+    manifest's plan fingerprint and resolve identically inside Ray
+    workers — the same reason analyzer names (not functions) travel in
+    the manifest."""
+    name, rest = spec.split("=", 1)
+    kind, *args = rest.split(":")
+    if kind == "ts_from_int":
+        src, epoch0, mult, mod_s = args[0], int(args[1]), int(args[2]), int(args[3])
+
+        def fn(tbl: pa.Table) -> pa.Array:
+            v = tbl.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+            sec = epoch0 + (v * mult) % mod_s
+            return pa.array(sec * 1_000_000).cast(pa.timestamp("us"))
+
+        return name, (src,), fn
+    raise ValueError(f"unknown derived_meta kind {kind!r} in {spec!r}")
+
+
 def segment_dir(index_dir: str | Path, shard_id: int) -> Path:
     return Path(index_dir) / "segments" / f"shard={shard_id:05d}"
 
@@ -477,17 +500,25 @@ class TokenizePartition:
         self.meta_cols = tuple(config.meta_cols)
         self.codec = config.postings_codec
         self.store_positions = config.store_positions
+        self.derived = [parse_derived_meta(s) for s in config.derived_meta]
         self.done_shards = done_shards
 
     def _read_columns(self) -> list[str]:
+        derived_names = {name for name, _, _ in self.derived}
         cols: list[str] = [self.text_col]
         for c in (self.lang_col, self.id_col, *self.meta_cols):
-            if c is not None and c not in cols:
+            if c is not None and c not in cols and c not in derived_names:
                 cols.append(c)
+        for _, srcs, _ in self.derived:
+            for c in srcs:
+                if c not in cols:
+                    cols.append(c)
         return cols
 
     def read_partition(self, row: dict) -> pa.Table:
-        """Projected read of one partition (row-group span + row slice)."""
+        """Projected read of one partition (row-group span + row slice),
+        plus ingest-time derived columns (computed AFTER the slice, so a
+        derived value never depends on partitioning)."""
         pf = pq.ParquetFile(row["path"])
         tbl = pf.read_row_groups(
             list(range(row["row_group_start"], row["row_group_end"])),
@@ -495,6 +526,8 @@ class TokenizePartition:
         )
         if row.get("row_start", -1) >= 0:
             tbl = tbl.slice(row["row_start"], row["row_end"] - row["row_start"])
+        for name, _, fn in self.derived:
+            tbl = tbl.append_column(name, fn(tbl))
         return tbl
 
     def write_docmeta(self, row: dict, tbl: pa.Table, dls, shas, nbytes) -> None:
@@ -959,6 +992,7 @@ def build_index(
         min_token_len=config.min_token_len,
         max_token_len=config.max_token_len,
         store_positions=config.store_positions,
+        derived_meta=tuple(config.derived_meta),
     )
     existing = BuildManifest.load(index_dir) if resume else None
     if existing is not None and existing.plan_fingerprint() == plan.plan_fingerprint():
@@ -979,6 +1013,7 @@ def build_index(
             min_token_len=config.min_token_len,
             max_token_len=config.max_token_len,
             store_positions=config.store_positions,
+            derived_meta=tuple(config.derived_meta),
         )
         if appended is not None:
             # incremental append: old shards stay checkpointed, only new

@@ -81,6 +81,11 @@ class BuildManifest:
     lang_col: str | None = "lang"
     id_col: str | None = None
     meta_cols: list[str] = field(default_factory=lambda: ["repo", "path"])
+    # ingest-time derived-field recipe strings (IndexConfig.derived_meta):
+    # tokenize tasks resolve them by spec, so they MUST travel in the
+    # plan fingerprint — a changed recipe over the same dir otherwise
+    # silently reuses docmeta computed under the old one
+    derived_meta: list[str] = field(default_factory=list)
     postings_codec: str = "varint"
     # positional sidecar present in every segment (phrase-query support);
     # layout-affecting, so it travels in the plan fingerprint
@@ -114,6 +119,7 @@ class BuildManifest:
                 "lang_col": self.lang_col,
                 "id_col": self.id_col,
                 "meta_cols": list(self.meta_cols),
+                "derived_meta": list(self.derived_meta),
                 "postings_codec": self.postings_codec,
                 "store_positions": self.store_positions,
                 "min_token_len": self.min_token_len,
@@ -140,6 +146,7 @@ class BuildManifest:
             lang_col=d.get("lang_col", "lang"),
             id_col=d.get("id_col"),
             meta_cols=list(d.get("meta_cols", ["repo", "path"])),
+            derived_meta=list(d.get("derived_meta", [])),
             postings_codec=d.get("postings_codec", "varint"),
             store_positions=d.get("store_positions", False),
             min_token_len=d.get("min_token_len", 1),
@@ -173,6 +180,7 @@ class BuildManifest:
             self.lang_col,
             self.id_col,
             tuple(self.meta_cols),
+            tuple(self.derived_meta),
             self.postings_codec,
             self.store_positions,
             self.min_token_len,
@@ -197,6 +205,7 @@ def plan_append(
     min_token_len: int = 1,
     max_token_len: int = 64,
     store_positions: bool = False,
+    derived_meta: tuple[str, ...] = (),
 ) -> "BuildManifest | None":
     """Incremental append: plan ONLY files not in ``existing``, plus an
     in-place rebuild of the shards covering files MODIFIED in place.
@@ -228,6 +237,7 @@ def plan_append(
         and existing.lang_col == lang_col
         and existing.id_col == id_col
         and list(existing.meta_cols) == list(meta_cols)
+        and list(existing.derived_meta) == list(derived_meta)
         and existing.postings_codec == postings_codec
         and existing.store_positions == store_positions
         and existing.min_token_len == min_token_len
@@ -298,7 +308,7 @@ def plan_append(
         block_size, text_col=text_col, lang_col=lang_col, id_col=id_col,
         meta_cols=meta_cols, postings_codec=postings_codec,
         min_token_len=min_token_len, max_token_len=max_token_len,
-        store_positions=store_positions,
+        store_positions=store_positions, derived_meta=derived_meta,
     )
     pid0 = (max((p.partition_id for p in existing.partitions), default=-1)) + 1
     sid0 = (max(existing.shards, default=-1)) + 1
@@ -314,6 +324,7 @@ def plan_append(
         lang_col=lang_col,
         id_col=id_col,
         meta_cols=list(meta_cols),
+        derived_meta=list(derived_meta),
         postings_codec=postings_codec,
         store_positions=store_positions,
         min_token_len=min_token_len,
@@ -412,6 +423,7 @@ def plan_build(
     min_token_len: int = 1,
     max_token_len: int = 64,
     store_positions: bool = False,
+    derived_meta: tuple[str, ...] = (),
 ) -> BuildManifest:
     """Plan partitions + shards from Parquet footer metadata only.
 
@@ -515,6 +527,7 @@ def plan_build(
         lang_col=lang_col,
         id_col=id_col,
         meta_cols=list(meta_cols),
+        derived_meta=list(derived_meta),
         postings_codec=postings_codec,
         store_positions=store_positions,
         min_token_len=min_token_len,

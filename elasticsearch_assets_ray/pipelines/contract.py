@@ -106,7 +106,23 @@ def _docs(sf_dir: str):
 
 # bump when index layout / analyzer / scoring semantics change, so a
 # /tmp cache surviving from an earlier code version can never be reused
-CONTRACT_INDEX_VERSION = "v7"  # v7: layout-v2 global (per-posting dls)
+CONTRACT_INDEX_VERSION = "v8"  # v8: created_at derived docmeta (date aggs)
+
+# deterministic date-typed docmeta column: documents carry no timestamp,
+# so the contract derives one at ingest (the ES ingest-pipeline analogue)
+# — ``created_at = epoch0 + (doc_id * MULT) % MOD`` seconds, spread
+# uniformly over two years from 2024-01-01 (MULT co-prime with MOD).  The
+# SAME formula is SQL-expressible, so date pipelines stay hash-oracled.
+CREATED_EPOCH0 = 1_704_067_200  # 2024-01-01T00:00:00Z
+CREATED_MULT = 8_647
+CREATED_MOD_S = 63_072_000  # 730 days
+CREATED_SPEC = (
+    f"created_at=ts_from_int:doc_id:{CREATED_EPOCH0}:{CREATED_MULT}:{CREATED_MOD_S}"
+)
+CREATED_SQL = (
+    f"make_timestamp(({CREATED_EPOCH0} + (doc_id * {CREATED_MULT}) "
+    f"% {CREATED_MOD_S}) * 1000000)"
+)
 
 
 def doc_index_dir(sf_dir: str) -> str:
@@ -121,7 +137,8 @@ def ensure_doc_index(sf_dir: str) -> str:
         text_col="text",
         lang_col=None,
         id_col="doc_id",
-        meta_cols=("source", "lang"),
+        meta_cols=("source", "lang", "created_at"),
+        derived_meta=(CREATED_SPEC,),
         partition_target_docs=128,
         shard_target_docs=512,
         # Lucene indexes positions for text fields by default; the one
@@ -1126,6 +1143,216 @@ FROM hit
 JOIN documents d ON d.doc_id = hit.doc_id
 JOIN dl ON dl.doc_id = hit.doc_id
 GROUP BY 1, 2
+"""
+
+
+# date_histogram aggregation: (query_id, match text, interval) — one
+# calendar interval of each kind plus an epoch-aligned fixed interval
+DATE_HIST_QUERIES: list[tuple[int, str, str]] = [
+    (0, "hash join", "month"),
+    (1, "customer order value", "week"),
+    (2, "query scan", "quarter"),
+    (3, "table", "12h"),
+]
+
+
+def q_date_histogram(sf_dir: str) -> pa.Table:
+    """ES ``date_histogram`` aggregation (stats sub-agg on ``dl``) over
+    the docs matching each query's ``match`` disjunction — the single
+    most-used ES aggregation, served from per-shard timestamp doc values
+    (``created_at``, a stored docmeta column) with one vectorized
+    interval floor per shard and an associative bucket merge.  Bucket
+    keys are bucket-start epoch MICROS (UTC; weeks start Monday, fixed
+    intervals are epoch-aligned — both the ES conventions)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    rows = []
+    try:
+        for qid, text, interval in DATE_HIST_QUERIES:
+            for b in engine.date_histogram(
+                text, field="created_at", interval=interval, stats_on="dl"
+            ):
+                rows.append(
+                    {
+                        "query_id": qid,
+                        "bucket_us": b["key"],
+                        "doc_count": b["doc_count"],
+                        "sum_dl": b["sum"],
+                        "min_dl": b["min"],
+                        "max_dl": b["max"],
+                        "avg_dl": b["avg"],
+                    }
+                )
+    finally:
+        engine.shutdown()
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_date_histogram_global(sf_dir: str) -> pa.Table:
+    """The SAME date_histogram served from the TERM-partitioned layout:
+    matched doc ids gather from the bucket actors, then route to the
+    source index's docmeta partition lineage for the doc-values pass —
+    identical buckets to the doc-partitioned engine (same SQL oracle)."""
+    _, eng = _global_engine(sf_dir)
+    rows = []
+    try:
+        for qid, text, interval in DATE_HIST_QUERIES:
+            for b in eng.date_histogram(
+                text, field="created_at", interval=interval, stats_on="dl"
+            ):
+                rows.append(
+                    {
+                        "query_id": qid,
+                        "bucket_us": b["key"],
+                        "doc_count": b["doc_count"],
+                        "sum_dl": b["sum"],
+                        "min_dl": b["min"],
+                        "max_dl": b["max"],
+                        "avg_dl": b["avg"],
+                    }
+                )
+    finally:
+        eng.shutdown()
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def sql_date_histogram() -> str:
+    rows = []
+    for qid, text, _ in DATE_HIST_QUERIES:
+        for t in _simple_tokens(text):
+            rows.append(f"({qid}, '{t}')")
+    values = ", ".join(rows)
+    bucket_cases = []
+    for qid, _, interval in DATE_HIST_QUERIES:
+        from ..search.datehist import parse_fixed_interval_us
+
+        fixed = parse_fixed_interval_us(interval)
+        if fixed is not None:
+            expr = f"(epoch_us(c.created) // {fixed}) * {fixed}"
+        else:
+            expr = f"epoch_us(date_trunc('{interval}', c.created))"
+        bucket_cases.append(f"WHEN {qid} THEN {expr}")
+    case = "CASE hit.query_id " + " ".join(bucket_cases) + " END"
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+c AS (SELECT doc_id, {CREATED_SQL} AS created FROM documents),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t)
+SELECT hit.query_id, {case} AS bucket_us,
+       count(*)::BIGINT AS doc_count,
+       sum(dl.dl) AS sum_dl,
+       min(dl.dl) AS min_dl,
+       max(dl.dl) AS max_dl,
+       sum(dl.dl) / count(*) AS avg_dl
+FROM hit
+JOIN c ON c.doc_id = hit.doc_id
+JOIN dl ON dl.doc_id = hit.doc_id
+GROUP BY 1, 2
+"""
+
+
+# timestamp range filter over a date-typed docmeta column:
+# (query_id, match text, (lo_iso, hi_iso)) — ES ``range`` filter on a
+# date field under ``bool.filter`` (bounds inclusive, like gte/lte)
+TS_FILTER_QUERIES: list[tuple[int, str, tuple[str | None, str | None]]] = [
+    (0, "query scan", ("2024-03-01T00:00:00", "2024-11-30T23:59:59")),
+    (1, "customer order", (None, "2024-08-15T12:00:00")),
+    (2, "table", ("2025-02-01T00:00:00", None)),
+]
+
+
+def _iso_us(s: str | None) -> int | None:
+    import datetime as dt
+
+    if s is None:
+        return None
+    d = dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc)
+    return int(d.timestamp() * 1_000_000)
+
+
+def q_ts_filter_search(sf_dir: str) -> pa.Table:
+    """Bool query + ES ``range`` filter over a DATE-typed docmeta column
+    (``created_at``): timestamps load as epoch-micros doc values, so the
+    range gate is the same vectorized integer compare as any numeric
+    range filter."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_bool(
+                must=text,
+                filter_range={"created_at": (_iso_us(lo), _iso_us(hi))},
+                k=K_FETCH,
+            )
+            for qid, text, (lo, hi) in TS_FILTER_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_ts_filter_search() -> str:
+    term_rows, range_rows = [], []
+    for qid, text, (lo, hi) in TS_FILTER_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+        lo_us = "NULL" if lo is None else _iso_us(lo)
+        hi_us = "NULL" if hi is None else _iso_us(hi)
+        range_rows.append(f"({qid}, {lo_us}, {hi_us})")
+    tvalues = ", ".join(term_rows)
+    rvalues = ", ".join(range_rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+c AS (SELECT doc_id, epoch_us({CREATED_SQL}) AS created_us FROM documents),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+qm(query_id, t) AS (VALUES {tvalues}),
+qr(query_id, lo_us, hi_us) AS (VALUES {rvalues}),
+need AS (SELECT query_id, count(*) AS n_must FROM qm GROUP BY 1),
+mh AS (SELECT qm.query_id, tf.doc_id, count(*) AS hits
+       FROM qm JOIN tf ON tf.t = qm.t GROUP BY 1, 2),
+elig AS (SELECT mh.query_id, mh.doc_id
+         FROM mh
+         JOIN need ON need.query_id = mh.query_id
+         JOIN c ON c.doc_id = mh.doc_id
+         JOIN qr ON qr.query_id = mh.query_id
+         WHERE mh.hits = need.n_must
+           AND (qr.lo_us IS NULL OR c.created_us >= qr.lo_us)
+           AND (qr.hi_us IS NULL OR c.created_us <= qr.hi_us)),
+scored AS (
+  SELECT e.query_id, e.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM elig e
+  JOIN qm ON qm.query_id = e.query_id
+  JOIN tf ON tf.doc_id = e.doc_id AND tf.t = qm.t
+  JOIN df ON df.t = qm.t
+  JOIN dl ON dl.doc_id = e.doc_id, s
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
 """
 
 
@@ -2549,6 +2776,9 @@ def queries():
         "fuzzy_search": q_fuzzy_search,
         "meta_filter_search": q_meta_filter_search,
         "match_agg_lang": q_match_agg,
+        "date_histogram": q_date_histogram,
+        "date_histogram_global": q_date_histogram_global,
+        "ts_filter_search": q_ts_filter_search,
         "highlight_positions": q_highlight_positions,
         "more_like_this": q_more_like_this,
         "search_after_page2": q_search_after,
@@ -2604,6 +2834,9 @@ def oracle_sql():
         "fuzzy_search": sql_fuzzy_search(),
         "meta_filter_search": sql_meta_filter_search(),
         "match_agg_lang": sql_match_agg(),
+        "date_histogram": sql_date_histogram(),
+        "date_histogram_global": sql_date_histogram(),
+        "ts_filter_search": sql_ts_filter_search(),
         "highlight_positions": sql_highlight_positions(),
         "more_like_this": sql_more_like_this(),
         "search_after_page2": sql_search_after(),

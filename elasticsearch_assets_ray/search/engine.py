@@ -459,6 +459,42 @@ class ShardData:
         )
         return self._agg_over_mask(ok, group_col, stats_col)
 
+    def agg_date_histogram(
+        self,
+        clauses: dict,
+        field: str,
+        interval: str,
+        stats_col: str | None = None,
+    ) -> dict:
+        """Per-shard partial for an ES ``date_histogram`` aggregation over
+        the docs matching a bool query: bucket-start epoch micros →
+        (doc_count, sum, min, max) of ``stats_col``.  The date field is a
+        stored docmeta column (timestamps load as epoch-micros doc
+        values); bucketing is one vectorized floor
+        (:func:`..search.datehist.floor_interval_us`)."""
+        from .datehist import floor_interval_us, partial_over_values
+
+        ok = self._bool_eligible(
+            sorted(set(clauses.get("must", []))),
+            sorted(set(clauses.get("should", []))),
+            sorted(set(clauses.get("must_not", []))),
+            sorted(set(clauses.get("filter", []))),
+            clauses.get("msm"),
+            clauses.get("meta_filters"),
+            clauses.get("range_filters"),
+            self._postings_idx_fn(),
+        )
+        idxs = np.nonzero(ok)[0]
+        if len(idxs) == 0:
+            return {}
+        keys = floor_interval_us(self.meta_col(field)[idxs], interval)
+        vals = (
+            self.meta_col(stats_col)[idxs].astype(np.float64)
+            if stats_col is not None
+            else None
+        )
+        return partial_over_values(keys, vals)
+
     def expand_prefix(self, prefix: str, cap: int | None = None) -> list[str]:
         """Terms in this shard's (sorted) dictionary starting with
         ``prefix``, in term order — the Lucene per-segment prefix
@@ -493,7 +529,16 @@ class ShardData:
                     for p in self._info.docmeta_paths(self.shard_id)
                 ]
                 col = pa.chunked_array(parts).combine_chunks()
-                arr = col.to_numpy(zero_copy_only=False)
+                if pa.types.is_timestamp(col.type):
+                    # date fields surface as epoch MICROS doc values (the
+                    # ES epoch_millis convention, one unit finer) so range
+                    # filters and date_histogram bucketing stay integer-
+                    # vectorized; unit-aware (DEVNOTES invariant)
+                    from ..ops import epoch_us
+
+                    arr = epoch_us(col)
+                else:
+                    arr = col.to_numpy(zero_copy_only=False)
             self._meta_cache[name] = arr
         return arr
 
@@ -1154,6 +1199,17 @@ class _ScorerCore:
             )
         return merged
 
+    def agg_date_histogram(
+        self, clauses: dict, field: str, interval: str,
+        stats_col: str | None = None,
+    ) -> dict:
+        merged: dict = {}
+        for s in self.shards:
+            merge_agg_partials(
+                merged, s.agg_date_histogram(clauses, field, interval, stats_col)
+            )
+        return merged
+
     def bool_topk(
         self,
         queries: list[tuple[int, dict, int]],
@@ -1437,6 +1493,55 @@ class QueryEngine:
                 )
             out.append(row)
         return out
+
+    def date_histogram(
+        self,
+        query: str | list[str] | dict,
+        field: str,
+        interval: str = "month",
+        stats_on: str | None = None,
+    ) -> list[dict]:
+        """ES ``date_histogram`` aggregation (with an optional ``stats``
+        sub-aggregation) over ALL docs matching ``query`` — free text / a
+        term list (the ``match`` disjunction) or a full bool-clause dict,
+        exactly like :meth:`aggregate`.  ``interval`` is an ES
+        ``calendar_interval`` (day/week/month/quarter/year, UTC, weeks
+        starting Monday) or ``fixed_interval`` (``<n><ms|s|m|h|d>``,
+        epoch-aligned).  Buckets come back key-ASCENDING (the ES
+        date_histogram order), ``key`` = bucket start in epoch MICROS;
+        per-shard partials merge associatively so driver work is
+        O(buckets)."""
+        from .datehist import buckets_from_partials
+
+        if isinstance(query, dict):
+            def _clause(v):
+                if isinstance(v, str):
+                    return self._analyze(v) if v else []
+                return sorted(set(v))
+
+            clauses = {
+                "must": _clause(query.get("must", "")),
+                "should": _clause(query.get("should", "")),
+                "must_not": _clause(query.get("must_not", "")),
+                "filter": _clause(query.get("filter", "")),
+                "msm": query.get("minimum_should_match"),
+                "meta_filters": query.get("filter_meta"),
+                "range_filters": query.get("filter_range"),
+            }
+        else:
+            terms = (
+                self._analyze(query) if isinstance(query, str)
+                else sorted(set(query))
+            )
+            if not terms:
+                return []
+            clauses = {"must": [], "should": terms, "must_not": [],
+                       "filter": [], "msm": 1}
+        per_actor = ray.get(
+            [a.agg_date_histogram.remote(clauses, field, interval, stats_on)
+             for a in self.actors]
+        )
+        return buckets_from_partials(per_actor, stats_on)
 
     def search_phrase_prefix(
         self, phrase: str | list[str], k: int = 10, max_expansions: int = 50

@@ -666,6 +666,48 @@ class TermPartitionedEngine:
         )
         return [(d, s) for d, s in hits if d != doc_id][:k]
 
+    def date_histogram(
+        self,
+        query: str | list[str],
+        field: str,
+        interval: str = "month",
+        stats_on: str | None = None,
+    ) -> list[dict]:
+        """ES ``date_histogram`` over the docs matching the ``match``
+        disjunction, served from the term-partitioned layout — same
+        bucket keys/stats as :meth:`QueryEngine.date_histogram` (parity
+        tested).  The term layout holds postings, not doc values, so the
+        matched doc-id set routes to the SOURCE index's docmeta partition
+        lineage (the hydration path MLT already uses): one Ray task per
+        partition group reads only the date (+ stats) column for the
+        matched rows and returns an associative bucket partial — work
+        scales with matched docs + touched partitions, never corpus
+        size."""
+        from .datehist import buckets_from_partials, datehist_partials_over_ids
+
+        terms = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not terms:
+            return []
+        fetched = self.fetch_terms(terms)
+        if not fetched:
+            return []
+        ids = np.unique(
+            np.concatenate([v[0] for v in fetched.values()])
+        ).astype(np.int64)
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for date_histogram serving"
+            )
+        partials = datehist_partials_over_ids(
+            src, ids, field, interval, stats_on
+        )
+        return buckets_from_partials(partials, stats_on)
+
     def search_fuzzy(
         self, term: str, fuzziness: int = 1, prefix_length: int = 0,
         max_expansions: int = 50, k: int = 10,
