@@ -1666,6 +1666,20 @@ def q_highlight_positions(sf_dir: str) -> pa.Table:
 
     idx = ensure_doc_index(sf_dir)
     engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    return _highlight_stats_table(engine, idx)
+
+
+def q_highlight_positions_global(sf_dir: str) -> pa.Table:
+    """The SAME highlight served from the TERM-partitioned layout: per-hit
+    positions slice out of the positional term fetches (the phrase path),
+    text hydrates via the source index's partition lineage — identical
+    output to the shard-actor engine (shared renderer + same SQL
+    oracle)."""
+    idx, eng = _global_engine(sf_dir)
+    return _highlight_stats_table(eng, idx)
+
+
+def _highlight_stats_table(engine, idx: str) -> pa.Table:
     per_q: dict[int, list[tuple[int, float]]] = {}
     stats: dict[tuple[int, int], tuple[int, int, int]] = {}
     try:
@@ -2780,6 +2794,7 @@ def queries():
         "date_histogram_global": q_date_histogram_global,
         "ts_filter_search": q_ts_filter_search,
         "highlight_positions": q_highlight_positions,
+        "highlight_positions_global": q_highlight_positions_global,
         "more_like_this": q_more_like_this,
         "search_after_page2": q_search_after,
         "multi_match_best": q_multi_match_best,
@@ -2838,6 +2853,7 @@ def oracle_sql():
         "date_histogram_global": sql_date_histogram(),
         "ts_filter_search": sql_ts_filter_search(),
         "highlight_positions": sql_highlight_positions(),
+        "highlight_positions_global": sql_highlight_positions(),
         "more_like_this": sql_more_like_this(),
         "search_after_page2": sql_search_after(),
         "multi_match_best": sql_multi_match_best(),

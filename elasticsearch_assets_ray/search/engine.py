@@ -1735,7 +1735,6 @@ class QueryEngine:
 
         Returns per hit: {doc_id, score, highlighted, n_matches,
         positions: {term: [token positions]}}."""
-        from ..analysis.tokenizer import tokens_with_offsets
         from ..state.docstore import CorpusTextReader
 
         terms = self._analyze(query)
@@ -1767,83 +1766,13 @@ class QueryEngine:
         analyzer = (
             "code" if self.analyzer_name == "per_lang" else self.analyzer_name
         )
-        out = []
-        for (doc, score), text, tpos in zip(hits, texts, pos_flat):
-            toks = tokens_with_offsets(
-                text, analyzer, m.min_token_len, m.max_token_len
-            )
-            matched = sorted(
-                {p for ps in (tpos or {}).values() for p in ps}
-            )
-            spans = [
-                (toks[p][1], toks[p][2]) for p in matched if p < len(toks)
-            ]
-            merged: list[list[int]] = []
-            for s, e in spans:
-                if merged and s <= merged[-1][1]:
-                    merged[-1][1] = max(merged[-1][1], e)
-                else:
-                    merged.append([s, e])
-            pieces, prev = [], 0
-            for s, e in merged:
-                pieces.extend((text[prev:s], pre_tag, text[s:e], post_tag))
-                prev = e
-            pieces.append(text[prev:])
+        from .highlight import render_highlights
 
-            # ES-style fragments: a window of ~fragment_size chars around
-            # each matched span, overlapping windows merged, ranked by
-            # fragment score (Σ idf of the matched term occurrences in
-            # the window — ES's fragment scorer shape; ties break
-            # document order), matches inside each fragment tagged
-            frags: list[str] = []
-            if number_of_fragments and merged:
-                idf = self.idfs(terms)
-                # per-position idf weight (position → its term's idf)
-                pos_w = {
-                    p: idf.get(t, 0.0)
-                    for t, ps in (tpos or {}).items() for p in ps
-                }
-                half = max(fragment_size // 2, 1)
-                wins: list[list[int]] = []
-                for s, e in merged:
-                    c = (s + e) // 2
-                    w = [max(0, c - half), min(len(text), c + half)]
-                    if wins and w[0] <= wins[-1][1]:
-                        wins[-1][1] = max(wins[-1][1], w[1])
-                    else:
-                        wins.append(w)
-                wscore = []
-                for wi, (ws, we) in enumerate(wins):
-                    sc = sum(
-                        pos_w.get(p, 0.0)
-                        for p in matched
-                        if p < len(toks) and toks[p][1] >= ws
-                        and toks[p][2] <= we
-                    )
-                    wscore.append((-sc, wi))
-                wscore.sort()
-                for _, wi in wscore[:number_of_fragments]:
-                    ws, we = wins[wi]
-                    fp, fprev = [], ws
-                    for s, e in merged:
-                        if e <= ws or s >= we:
-                            continue
-                        s2, e2 = max(s, ws), min(e, we)
-                        fp.extend((text[fprev:s2], pre_tag, text[s2:e2], post_tag))
-                        fprev = e2
-                    fp.append(text[fprev:we])
-                    frags.append("".join(fp))
-            out.append(
-                {
-                    "doc_id": doc,
-                    "score": score,
-                    "highlighted": "".join(pieces),
-                    "fragments": frags,
-                    "n_matches": len(matched),
-                    "positions": tpos or {},
-                }
-            )
-        return out
+        return render_highlights(
+            hits, texts, pos_flat, self.idfs(terms), analyzer,
+            m.min_token_len, m.max_token_len, pre_tag, post_tag,
+            fragment_size, number_of_fragments,
+        )
 
     def _actor_index_for_doc(self, doc: int) -> int:
         for ai, sids in enumerate(self._shard_groups):

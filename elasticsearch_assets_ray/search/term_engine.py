@@ -666,6 +666,66 @@ class TermPartitionedEngine:
         )
         return [(d, s) for d, s in hits if d != doc_id][:k]
 
+    def search_highlight(
+        self,
+        query: str,
+        k: int = 10,
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+        fragment_size: int = 100,
+        number_of_fragments: int = 5,
+    ) -> list[dict]:
+        """ES ``highlight`` served from the TERM-partitioned layout —
+        output identical to :meth:`QueryEngine.search_highlight` (parity
+        tested; the rendering is shared code).  The term layout indexes
+        positions by term, not by doc, so per-hit positions SLICE out of
+        the positional term fetches the engine already gathers for phrase
+        serving (one searchsorted per (term, hit) — no per-doc position
+        index needed), and original text hydrates from the SOURCE index's
+        partition lineage (the MLT path)."""
+        from ..state.docstore import CorpusTextReader
+        from .highlight import render_highlights
+
+        terms = self._analyze(query)
+        hits = self.search(query, k=k)
+        if not hits:
+            return []
+        ids = [d for d, _ in hits]
+        fetched = self.fetch_terms(terms, positions=True)
+        # per-term occurrence-span index, computed once per term
+        spans: dict[str, tuple] = {}
+        for t, v in fetched.items():
+            tfs = v[5].astype(np.int64)
+            spans[t] = (v[0], v[6], np.concatenate([[0], np.cumsum(tfs)]))
+        tpos_list: list[dict[str, list[int]]] = []
+        for d in ids:
+            tp: dict[str, list[int]] = {}
+            for t, (pids, pos, tfcum) in spans.items():
+                e = int(np.searchsorted(pids, d))
+                if e < len(pids) and pids[e] == d:
+                    tp[t] = pos[tfcum[e]:tfcum[e + 1]].astype(int).tolist()
+            tpos_list.append(tp)
+        idf_of = {
+            t: math.log(1.0 + (self.n - v[2] + 0.5) / (v[2] + 0.5))
+            for t, v in fetched.items()
+        }
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for highlight serving"
+            )
+        if not hasattr(self, "_text_reader"):
+            self._text_reader = CorpusTextReader(src)
+        texts = self._text_reader.mget(ids)
+        name = self.meta.get("analyzer", "code")
+        analyzer = "code" if name == "per_lang" else name
+        return render_highlights(
+            hits, texts, tpos_list, idf_of, analyzer,
+            self._clip[0], self._clip[1], pre_tag, post_tag,
+            fragment_size, number_of_fragments,
+        )
+
     def date_histogram(
         self,
         query: str | list[str],
