@@ -686,6 +686,36 @@ def q_bm25_phrase_slop(sf_dir: str) -> pa.Table:
     return _bm25_rerank(per_q, idx)
 
 
+def q_bm25_phrase_slop_lucene(sf_dir: str) -> pa.Table:
+    """``match_phrase`` + slop with LUCENE-exact semantics (reordering
+    admitted, matches weighted 1/(1+matchLength) into a float tf —
+    ``search.sloppy``).  Not SQL-expressible (the matcher is operational,
+    not declarative) → rows-only here; correctness is carried by parity
+    tests against a naive reference matcher and cross-engine identity
+    (``tests/test_sloppy.py``).  Both engines run; the pipeline asserts
+    they agree and returns the shard engine's ranking."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_phrase(p, k=K_FETCH, slop=s, slop_mode="lucene")
+            for qid, p, s in PHRASE_SLOP_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    _, teng = _global_engine(sf_dir)
+    try:
+        for qid, p, s in PHRASE_SLOP_QUERIES:
+            got = teng.search_phrase(p, k=K_FETCH, slop=s, slop_mode="lucene")
+            assert got == per_q[qid], f"engine divergence on slop query {qid}"
+    finally:
+        teng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
 def sql_bm25_phrase_slop() -> str:
     toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
     pf_parts = []
@@ -2781,6 +2811,7 @@ def queries():
         "bm25_phrase": q_bm25_phrase,
         "bm25_phrase_global": q_bm25_phrase_global,
         "bm25_phrase_slop": q_bm25_phrase_slop,
+        "bm25_phrase_slop_lucene": q_bm25_phrase_slop_lucene,
         "bm25_bool_global": q_bm25_bool_global,
         "prefix_search_global": q_prefix_search_global,
         "wildcard_search_global": q_wildcard_search_global,

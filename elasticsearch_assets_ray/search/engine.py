@@ -719,6 +719,7 @@ class ShardData:
         avgdl: float,
         k: int,
         slop: int = 0,
+        slop_mode: str = "ordered",
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact (multi-)phrase top-k over the positional sidecar (Lucene
         PhraseQuery / MultiPhraseQuery semantics, slop 0): each element of
@@ -734,12 +735,14 @@ class ShardData:
         matches when the greedy chain (each slot takes its smallest
         position strictly after the previous slot's) spans
         ``≤ len(phrase)-1+slop`` positions; tf = count of matching start
-        positions.  DOCUMENTED DIVERGENCE from Lucene's SloppyPhraseScorer:
-        Lucene also admits reordered terms within the slop budget and
-        weights each match 1/(slop_of_match+1); the ordered/greedy form
-        is deterministic and exactly SQL-reproducible.  At slop=0 the two
-        definitions coincide (asserted by test against the intersect
-        path)."""
+        positions.  That ordered/greedy form (``slop_mode="ordered"``, the
+        default) is deterministic and exactly SQL-reproducible;
+        ``slop_mode="lucene"`` instead runs Lucene's SloppyPhraseMatcher
+        semantics — reordered terms admitted within the slop budget, each
+        match weighted ``1/(1+matchLength)`` into a FLOAT tf
+        (``search.sloppy``; parity-tested against a naive reference, not
+        SQL-oracled).  At slop=0 all definitions coincide (asserted by
+        test against the intersect path)."""
         if self.posblobs is None:
             raise RuntimeError(
                 "index was built without store_positions=True — phrase "
@@ -790,6 +793,32 @@ class ShardData:
                 # entry docs ascend → single-term keys are sorted unique
                 return parts[0]
             return np.unique(np.concatenate(parts))
+
+        if slop > 0 and slop_mode == "lucene":
+            from .sloppy import check_no_repeats, sloppy_freqs_for_candidates
+
+            check_no_repeats(slot_present)
+            mask32 = np.int64((1 << 32) - 1)
+            slot_docs, slot_pos = [], []
+            for alts in slot_present:
+                keys = slot_keys(alts, 0)  # (doc<<32|pos), sorted unique
+                slot_docs.append((keys >> np.int64(32)).astype(np.int64))
+                slot_pos.append((keys & mask32).astype(np.int64))
+            hd, pf = sloppy_freqs_for_candidates(slot_docs, slot_pos, slop)
+            if len(hd):
+                live = ~self.deleted_mask[hd]
+                hd, pf = hd[live], pf[live]
+            if len(hd) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            k1, b = params.k1, params.b
+            dl = self.dl[hd]
+            scores_local = idf_sum * pf * (k1 + 1.0) / (
+                pf + k1 * (1.0 - b + b * dl / avgdl)
+            )
+            dense = np.zeros(self.num_docs, dtype=np.float64)
+            dense[hd] = scores_local
+            cand2, cs = _select_topk(hd, dense, k, params)
+            return (cand2 + self.doc_base).astype(np.int64), cs
 
         if slop > 0:
             # ordered sloppy matching: greedy successor chain per start
@@ -1093,14 +1122,16 @@ class _ScorerCore:
     def phrase_topk(
         self, queries: list[tuple]
     ) -> list[tuple[int, np.ndarray, np.ndarray]]:
-        """queries: [(qid, phrase terms in order, idf_sum, k[, slop])]."""
+        """queries: [(qid, phrase terms in order, idf_sum, k[, slop[,
+        slop_mode]])]."""
         out = []
         for q in queries:
             qid, phrase, idf_sum, k = q[0], q[1], q[2], q[3]
             slop = q[4] if len(q) > 4 else 0
+            slop_mode = q[5] if len(q) > 5 else "ordered"
             parts = [
                 s.phrase_topk(phrase, idf_sum, self.params, self.avgdl, k,
-                              slop)
+                              slop, slop_mode)
                 for s in self.shards
             ]
             ids, sc = merge_topk(parts, k, self.params.round_decimals)
@@ -1322,16 +1353,19 @@ class QueryEngine:
         return list(zip(ids.tolist(), sc.tolist()))
 
     def search_phrase(
-        self, phrase: str | list[str], k: int = 10, slop: int = 0
+        self, phrase: str | list[str], k: int = 10, slop: int = 0,
+        slop_mode: str = "ordered",
     ) -> list[tuple[int, float]]:
         """Exact phrase query (ES ``match_phrase``) over an index built
         with ``store_positions=True``.  ``phrase`` is free text analyzed
         in ORDER (duplicates kept) or a pre-analyzed token list; score =
         BM25 with tf = phrase frequency and idf = sum of the constituent
-        terms' idfs (Lucene PhraseQuery).  ``slop > 0`` matches ORDERED
-        sloppy occurrences (greedy minimal chain, span ≤ len-1+slop —
-        see ``ShardData.phrase_topk`` for the documented divergence from
-        Lucene's reordering/weighted sloppyFreq)."""
+        terms' idfs (Lucene PhraseQuery).  ``slop > 0`` matches sloppy
+        occurrences: ``slop_mode="ordered"`` (default) is the greedy
+        minimal chain (span ≤ len-1+slop, SQL-reproducible);
+        ``slop_mode="lucene"`` is Lucene's SloppyPhraseMatcher —
+        reordering admitted, matches weighted 1/(1+matchLength) into a
+        float tf (see ``search.sloppy``)."""
         if isinstance(phrase, str):
             fn = get_analyzer(
                 "code" if self.analyzer_name == "per_lang" else self.analyzer_name
@@ -1345,7 +1379,7 @@ class QueryEngine:
         idf = self.idfs(sorted(set(terms)))
         idf_sum = float(sum(idf[t] for t in terms))
         per_actor = ray.get(
-            [a.phrase_topk.remote([(0, terms, idf_sum, k, slop)])
+            [a.phrase_topk.remote([(0, terms, idf_sum, k, slop, slop_mode)])
              for a in self.actors]
         )
         parts = [(res[0][1], res[0][2]) for res in per_actor]

@@ -1,0 +1,193 @@
+"""Lucene-exact sloppy-phrase matching (``match_phrase`` with ``slop``).
+
+Semantics (Lucene's SloppyPhraseMatcher, implemented from the published
+algorithm description — positions are compared as EFFECTIVE positions
+``pos - slot_offset``):
+
+* the matcher walks a priority queue of per-slot position iterators in
+  effective-position order, repeatedly advancing the minimum; every time
+  the minimum overtakes the queue head, the current alignment's
+  ``matchLength = max(eff) - min(eff)`` is emitted as one match when
+  ``matchLength <= slop``;
+* each match contributes ``sloppyFreq = 1 / (1 + matchLength)`` to the
+  phrase frequency — so tf is a FLOAT, exact matches weigh 1.0, and a
+  maximally-slopped match weighs 1/(1+slop);
+* terms may match in ANY order within the slop budget (a reordering of
+  adjacent terms costs 2 moves, matching ES docs: "foo bar" with slop 2
+  matches "bar foo").
+
+This module is the single implementation both serving engines share (so
+cross-engine parity is structural); :func:`sloppy_freq_reference` is an
+intentionally naive, heap-free transcription used ONLY by tests as the
+independent parity oracle — the semantics are not SQL-expressible, which
+is why this surface is parity-tested instead of DuckDB-oracled
+(SURVEY.md §8 documents the ordered/greedy form as the SQL-reproducible
+sibling).
+
+Documented limitation: phrases with REPEATED terms (``"data config
+data"``) raise — Lucene's repeat handling (distinct slots must occupy
+distinct token positions) is a separate, substantially more complex
+machine; the ordered/greedy mode still accepts them.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+
+def check_no_repeats(terms_per_slot: list) -> None:
+    """Reject phrases where one term occupies two slots (see module
+    docstring).  ``terms_per_slot``: one term or list of alternatives
+    per slot."""
+    seen: set[str] = set()
+    for alts in terms_per_slot:
+        for t in [alts] if isinstance(alts, str) else alts:
+            if t in seen:
+                raise ValueError(
+                    "lucene slop mode does not support repeated phrase "
+                    f"terms ({t!r} occupies two slots); use the ordered "
+                    "mode (slop_mode='ordered') for repeating phrases"
+                )
+            seen.add(t)
+
+
+def lucene_sloppy_freq(slot_positions: list[np.ndarray], slop: int) -> float:
+    """Phrase frequency of ONE document: Σ 1/(1+matchLength) over the
+    matcher's alignments.  ``slot_positions[i]`` = sorted in-doc token
+    positions of phrase slot ``i`` (alternatives already unioned);
+    returns 0.0 when any slot is absent."""
+    nslots = len(slot_positions)
+    effs: list[np.ndarray] = []
+    heap: list[tuple[int, int]] = []
+    idx = [0] * nslots
+    end = None
+    for i, pos in enumerate(slot_positions):
+        if len(pos) == 0:
+            return 0.0
+        e = np.asarray(pos, dtype=np.int64) - i
+        effs.append(e)
+        first = int(e[0])
+        heapq.heappush(heap, (first, i))
+        end = first if end is None else max(end, first)
+    freq = 0.0
+    cur_eff, cur_slot = heapq.heappop(heap)
+    match_length = end - cur_eff
+    # single-slot phrase: every position is one exact match
+    if not heap:
+        return float(len(effs[0]))
+    next_eff = heap[0][0]
+    while True:
+        idx[cur_slot] += 1
+        if idx[cur_slot] >= len(effs[cur_slot]):
+            break
+        new_eff = int(effs[cur_slot][idx[cur_slot]])
+        if new_eff > end:
+            end = new_eff
+        if new_eff > next_eff:
+            # the minimum overtook the queue head: the current alignment
+            # is as tight as it gets — emit it
+            if match_length <= slop:
+                freq += 1.0 / (1 + match_length)
+            heapq.heappush(heap, (new_eff, cur_slot))
+            cur_eff, cur_slot = heapq.heappop(heap)
+            next_eff = heap[0][0]
+            match_length = end - cur_eff
+        else:
+            ml2 = end - new_eff
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq += 1.0 / (1 + match_length)
+    return freq
+
+
+def sloppy_freq_reference(slot_positions: list[list[int]], slop: int) -> float:
+    """Heap-free naive transcription of the same matcher (linear scans
+    for min/max each round) — the test-only parity oracle."""
+    nslots = len(slot_positions)
+    if any(len(p) == 0 for p in slot_positions):
+        return 0.0
+    effs = [[int(p) - i for p in ps] for i, ps in enumerate(slot_positions)]
+    if nslots == 1:
+        return float(len(effs[0]))
+    # current front: one position index per slot
+    ii = [0] * nslots
+    cur = [e[0] for e in effs]
+    end = max(cur)
+    live = list(range(nslots))
+
+    def min_slot() -> int:
+        m = live[0]
+        for s in live[1:]:
+            if (cur[s], s) < (cur[m], m):
+                m = s
+        return m
+
+    freq = 0.0
+    ms = min_slot()
+    match_length = end - cur[ms]
+    rest = [s for s in live if s != ms]
+    next_eff = min(cur[s] for s in rest)
+    while True:
+        ii[ms] += 1
+        if ii[ms] >= len(effs[ms]):
+            break
+        cur[ms] = effs[ms][ii[ms]]
+        if cur[ms] > end:
+            end = cur[ms]
+        if cur[ms] > next_eff:
+            if match_length <= slop:
+                freq += 1.0 / (1 + match_length)
+            ms = min_slot()
+            rest = [s for s in live if s != ms]
+            next_eff = min(cur[s] for s in rest)
+            match_length = end - cur[ms]
+        else:
+            ml2 = end - cur[ms]
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq += 1.0 / (1 + match_length)
+    return freq
+
+
+def sloppy_freqs_for_candidates(
+    slot_docs: list[np.ndarray],
+    slot_pos: list[np.ndarray],
+    slop: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-candidate phrase frequencies.
+
+    ``slot_docs[i]`` / ``slot_pos[i]``: the slot's postings flattened to
+    parallel (doc, position) arrays sorted by (doc, position) —
+    alternatives unioned.  Candidates are docs present in EVERY slot
+    (Lucene's conjunction approximation; the matcher then decides).
+    Returns (docs, float tfs) with zero-tf docs dropped.
+
+    The matcher itself is sequential per doc (Lucene's is too); the
+    candidate set is the all-terms conjunction, so the loop runs over
+    docs that contain every phrase term, not over posting mass.
+    """
+    cands = None
+    for d in slot_docs:
+        u = np.unique(d)
+        cands = u if cands is None else cands[np.isin(cands, u, assume_unique=True)]
+        if len(cands) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+    out_d: list[int] = []
+    out_f: list[float] = []
+    # per-slot range lookup: positions of doc d = slice between the
+    # searchsorted bounds of d in the slot's doc column
+    for d in cands.tolist():
+        slots = []
+        for docs, pos in zip(slot_docs, slot_pos):
+            lo = int(np.searchsorted(docs, d, side="left"))
+            hi = int(np.searchsorted(docs, d, side="right"))
+            slots.append(pos[lo:hi])
+        f = lucene_sloppy_freq(slots, slop)
+        if f > 0.0:
+            out_d.append(int(d))
+            out_f.append(f)
+    return np.array(out_d, dtype=np.int64), np.array(out_f, dtype=np.float64)

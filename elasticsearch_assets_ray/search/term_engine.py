@@ -904,7 +904,8 @@ class TermPartitionedEngine:
     _POS_BITS = 21
 
     def search_phrase(
-        self, phrase: str | list[str], k: int = 10, slop: int = 0
+        self, phrase: str | list[str], k: int = 10, slop: int = 0,
+        slop_mode: str = "ordered",
     ) -> list[tuple[int, float]]:
         """Exact phrase (ES ``match_phrase``, slop 0) over the
         term-partitioned layout: the phrase terms' postings + positional
@@ -944,6 +945,23 @@ class TermPartitionedEngine:
                 p = p - seq
             return (docs_flat << shift) | p
 
+        if slop > 0 and slop_mode == "lucene":
+            # Lucene SloppyPhraseMatcher semantics (reordering + weighted
+            # sloppyFreq), shared matcher with the shard engine — parity
+            # is structural (see search.sloppy)
+            from .sloppy import check_no_repeats, sloppy_freqs_for_candidates
+
+            check_no_repeats(toks)
+            slot_docs, slot_pos = [], []
+            for t in toks:
+                ids, _n, _d, _bl, _bm, tfs, pos = fetched[t]
+                slot_docs.append(np.repeat(ids, tfs).astype(np.int64))
+                slot_pos.append(pos.astype(np.int64))
+            hd, pf = sloppy_freqs_for_candidates(slot_docs, slot_pos, slop)
+            if len(hd) == 0:
+                return []
+            return self._phrase_score_tail(hd, pf, idf_sum, k)
+
         if slop > 0:
             # ordered sloppy matching — the shard engine's greedy minimal
             # successor chain on global keys (see ShardData.phrase_topk
@@ -975,8 +993,14 @@ class TermPartitionedEngine:
         if len(cur) == 0:
             return []
         hd, pf_c = np.unique(cur >> shift, return_counts=True)
-        pf = pf_c.astype(np.float64)
+        return self._phrase_score_tail(hd, pf_c.astype(np.float64), idf_sum, k)
 
+    def _phrase_score_tail(
+        self, hd: np.ndarray, pf: np.ndarray, idf_sum: float, k: int
+    ) -> list[tuple[int, float]]:
+        """BM25 over phrase frequencies (int or sloppy-float): doc lengths
+        hydrate for MATCHED docs only via the source index's docmeta
+        point reads (the Lucene norms-file analogue)."""
         from ..state.docstore import DocStore
 
         if not hasattr(self, "_dl_store"):

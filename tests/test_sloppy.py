@@ -1,0 +1,177 @@
+"""Lucene-exact sloppy phrase: hand-computed matcher values, random
+parity vs the naive reference transcription, and cross-engine identity
+on adversarial reordered fixtures."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_assets_ray.search.sloppy import (
+    check_no_repeats,
+    lucene_sloppy_freq,
+    sloppy_freq_reference,
+    sloppy_freqs_for_candidates,
+)
+
+
+def _freq(slots, slop):
+    return lucene_sloppy_freq([np.array(s, dtype=np.int64) for s in slots], slop)
+
+
+def test_matcher_hand_computed():
+    # exact adjacency weighs 1.0
+    assert _freq([[0], [1]], 0) == 1.0
+    assert _freq([[0], [1]], 3) == 1.0
+    # reversed pair: matchLength 2 → needs slop ≥ 2, weighs 1/3
+    # (the ES docs' example: "foo bar" slop 2 matches "bar foo")
+    assert _freq([[1], [0]], 1) == 0.0
+    assert _freq([[1], [0]], 2) == pytest.approx(1.0 / 3.0)
+    # two exact occurrences accumulate: "a b a b"
+    assert _freq([[0, 2], [1, 3]], 0) == 2.0
+    # "a a b": the tightest alignment wins, one match of weight 1.0
+    assert _freq([[0, 1], [2]], 2) == 1.0
+    # one-position gap: matchLength 1 → 1/2
+    assert _freq([[0], [2]], 1) == pytest.approx(0.5)
+    # absent slot → 0
+    assert _freq([[0], []], 4) == 0.0
+    # single-term phrase: every occurrence is an exact match
+    assert _freq([[3, 9, 17]], 2) == 3.0
+    # three terms reordered: a@2 b@0 c@1 → effs 2, -1, -1; ml = 3
+    assert _freq([[2], [0], [1]], 2) == 0.0
+    assert _freq([[2], [0], [1]], 3) == pytest.approx(0.25)
+
+
+def test_matcher_matches_reference_on_random_docs():
+    rng = np.random.default_rng(29)
+    for trial in range(300):
+        nslots = int(rng.integers(2, 5))
+        slots = []
+        for _ in range(nslots):
+            npos = int(rng.integers(1, 7))
+            slots.append(sorted(set(rng.integers(0, 25, npos).tolist())))
+        slop = int(rng.integers(0, 6))
+        got = lucene_sloppy_freq(
+            [np.array(s, dtype=np.int64) for s in slots], slop
+        )
+        want = sloppy_freq_reference(slots, slop)
+        assert got == pytest.approx(want), (slots, slop)
+
+
+def test_candidates_helper():
+    # doc 5 contains both, doc 7 only slot 0
+    d0 = np.array([5, 5, 7], dtype=np.int64)
+    p0 = np.array([0, 4, 1], dtype=np.int64)
+    d1 = np.array([5], dtype=np.int64)
+    p1 = np.array([1], dtype=np.int64)
+    docs, tfs = sloppy_freqs_for_candidates([d0, d1], [p0, p1], 0)
+    assert docs.tolist() == [5] and tfs.tolist() == [1.0]
+    with pytest.raises(ValueError):
+        check_no_repeats(["data", "config", "data"])
+    check_no_repeats(["data", ["config", "cfg"]])
+
+
+@pytest.fixture(scope="module")
+def slop_corpus(tmp_path_factory, ray_session):
+    """Adversarial fixture: reordered, gapped and repeated occurrences of
+    a two-term phrase, plus random filler."""
+    from elasticsearch_assets_ray.config import IndexConfig
+    from elasticsearch_assets_ray.index.build import build_index
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+
+    tmp = tmp_path_factory.mktemp("slopcorpus")
+    rng = np.random.default_rng(41)
+    filler = ["kappa", "theta", "mu", "nu"]
+    special = [
+        "alpha beta",                      # exact
+        "beta alpha",                      # reversed (ml 2)
+        "alpha kappa beta",                # gap 1 (ml 1)
+        "alpha kappa kappa beta",          # gap 2 (ml 2)
+        "beta kappa alpha",                # reversed + gap (ml 3)
+        "alpha beta kappa alpha beta",     # two exact
+        "alpha beta beta alpha",           # mixed
+    ]
+    texts = []
+    for i in range(160):
+        if i < len(special) * 4:
+            texts.append(special[i % len(special)])
+        else:
+            texts.append(
+                " ".join(
+                    filler[j]
+                    for j in rng.integers(0, len(filler), rng.integers(3, 10))
+                )
+            )
+    src = tmp / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts),
+            }
+        ),
+        src,
+    )
+    idx = tmp / "idx"
+    build_index(
+        str(src), idx,
+        IndexConfig(
+            analyzer="simple", text_col="text", lang_col=None, id_col="doc_id",
+            meta_cols=(), partition_target_docs=16, shard_target_docs=48,
+            store_positions=True,
+        ),
+    )
+    gdir = tmp / "global"
+    merge_global_postings(idx, gdir, n_salts=2, n_buckets=4,
+                          hot_df_fraction=0.5, store_norms=True)
+    return idx, gdir, texts
+
+
+def test_lucene_slop_engines_and_semantics(slop_corpus, ray_session):
+    from elasticsearch_assets_ray.config import BM25Params
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    idx, gdir, texts = slop_corpus
+    eng = QueryEngine(idx, num_actors=2, params=BM25Params(round_decimals=4))
+    teng = TermPartitionedEngine(gdir, num_actors=2, round_decimals=4)
+    try:
+        for slop in [1, 2, 3, 4]:
+            a = eng.search_phrase("alpha beta", k=50, slop=slop,
+                                  slop_mode="lucene")
+            b = teng.search_phrase("alpha beta", k=50, slop=slop,
+                                   slop_mode="lucene")
+            assert a == b, slop
+            # every hit's tf must equal the naive reference on its text
+            hits = dict(a)
+            for d, _ in a:
+                toks = texts[d].split()
+                slots = [
+                    [i for i, t in enumerate(toks) if t == "alpha"],
+                    [i for i, t in enumerate(toks) if t == "beta"],
+                ]
+                assert sloppy_freq_reference(slots, slop) > 0
+        # reordering is admitted at slop 2 but not by the ordered mode
+        lucene_docs = {d for d, _ in eng.search_phrase(
+            "alpha beta", k=50, slop=2, slop_mode="lucene")}
+        ordered_docs = {d for d, _ in eng.search_phrase(
+            "alpha beta", k=50, slop=2)}
+        reversed_docs = {d for d, t in enumerate(texts) if t == "beta alpha"}
+        assert reversed_docs <= lucene_docs
+        assert not (reversed_docs & ordered_docs)
+        # weighting: an exact doc outscores a same-length reversed doc
+        exact_d = texts.index("alpha beta")
+        rev_d = texts.index("beta alpha")
+        sc = dict(eng.search_phrase("alpha beta", k=50, slop=2,
+                                    slop_mode="lucene"))
+        assert sc[exact_d] > sc[rev_d]
+        # repeated phrase terms raise in lucene mode, ordered still works
+        with pytest.raises(Exception):
+            eng.search_phrase("alpha beta alpha", k=5, slop=1,
+                              slop_mode="lucene")
+        assert isinstance(
+            eng.search_phrase("alpha beta alpha", k=5, slop=1), list
+        )
+    finally:
+        eng.shutdown()
+        teng.shutdown()
