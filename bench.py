@@ -309,27 +309,48 @@ def cmd_soak(seconds: float, num_cpus: int) -> None:
         px.enqueue_due_windows()
         time.sleep(0.3)
     eng = QueryEngine(os.path.join(root, "idx"), num_actors=4)
+    from elasticsearch_assets_ray.search.term_engine import (
+        TermPartitionedEngine,
+    )
+
+    teng = TermPartitionedEngine(os.path.join(root, "gidx"), num_actors=4)
 
     t_end = time.time() + seconds
     ticks = refreshes = 0
+    term_refresh = {"noop": 0, "appended": 0, "reloaded": 0}
     lat: list[float] = []
+    tlat: list[float] = []
     qs = ["parse config value", "import", "merge segment block"]
     while time.time() < t_end:
         px.enqueue_due_windows()
         if px.tick() is not None:
             ticks += 1
             refreshes += eng.refresh() > 0
+            for s in teng.refresh():  # in-place generation adoption
+                term_refresh[s] += 1
         for q in qs:
             t0 = time.perf_counter()
             eng.search(q, k=10)
             lat.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            teng.search(q, k=10)
+            tlat.append(time.perf_counter() - t0)
         time.sleep(0.2)
     stop.set()
     wt.join()
     from elasticsearch_assets_ray import IndexInfo
 
     searchable = IndexInfo(os.path.join(root, "idx")).stats.num_docs
+    # the refreshed-in-place term engine must serve exactly what a fresh
+    # engine over the final layout serves
+    fresh = TermPartitionedEngine(os.path.join(root, "gidx"), num_actors=4)
+    term_match = all(
+        teng.search(q, k=10) == fresh.search(q, k=10) for q in qs
+    )
+    fresh.shutdown()
+    teng.shutdown()
     lat.sort()
+    tlat.sort()
     eng.shutdown()
     import shutil as sh
 
@@ -345,9 +366,14 @@ def cmd_soak(seconds: float, num_cpus: int) -> None:
                 "docs_written": written["n"],
                 "productive_ticks": ticks,
                 "engine_refreshes": int(refreshes),
+                "term_engine_refreshes": term_refresh,
+                "term_results_match_fresh_engine": bool(term_match),
                 "query_p50_ms_under_ingest": round(
                     1000 * lat[len(lat) // 2], 2
                 ) if lat else None,
+                "term_query_p50_ms_under_ingest": round(
+                    1000 * tlat[len(tlat) // 2], 2
+                ) if tlat else None,
                 "num_cpus": num_cpus,
             }
         )

@@ -91,12 +91,111 @@ class _BucketCore:
     BLOCK = 128  # norms-block granularity for the block-max skip path
 
     def __init__(self, global_dir: str, bucket_ids: list[int]):
+        self.global_dir = str(global_dir)
+        self.bucket_ids = list(bucket_ids)
+        self._load_full(_load_meta(global_dir))
+
+    def _load_full(self, meta: dict) -> None:
+        """(Re)load every committed part of the owned buckets."""
+        from ..index.global_merge import _bucket_paths
+
         self.terms: dict[str, tuple[np.ndarray, np.ndarray, int,
                                     np.ndarray, np.ndarray]] = {}
         # positional sidecar (store_positions layouts): term →
         # (tfs aligned to doc order, flat in-doc positions doc-aligned)
         self.positions: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        meta = _load_meta(global_dir)
+        # per-posting doc lengths (and, for layouts without a positional
+        # sidecar, tfs), ids-aligned, u4 (v2 layouts): retained so a live
+        # refresh can re-derive every norm under a MOVED avgdl without
+        # reloading postings (appends move avgdl)
+        self.dls: dict[str, np.ndarray] = {}
+        self.tfs: dict[str, np.ndarray] = {}
+        for b in self.bucket_ids:
+            self._load_paths(_bucket_paths(self.global_dir, b, meta), meta)
+        self._note_loaded(meta)
+
+    def _note_loaded(self, meta: dict) -> None:
+        self._loaded_gens = list(meta.get("generations", []))
+        self._loaded_fps = dict(meta.get("shard_fps", {}))
+        self._loaded_avgdl = float(meta.get("avgdl", 1.0))
+
+    def refresh(self, expected_gens: list[str] | None = None) -> str:
+        """Adopt layout changes IN PLACE: committed append generations
+        load incrementally (only the new part files are read) and every
+        norm re-derives under the meta's moved avgdl (the dls retained at
+        load make that one vectorized pass per term); anything an append
+        can't represent (re-merge swap, in-place shard rewrite, v1
+        layout) falls back to a full reload of the owned buckets.
+        Returns "noop" | "appended" | "reloaded"."""
+        from ..index.global_merge import _bucket_paths
+
+        meta = _load_meta(self.global_dir)
+        gens = list(meta.get("generations", []))
+        fps = dict(meta.get("shard_fps", {}))
+        avgdl = float(meta.get("avgdl", 1.0))
+        v2 = int(meta.get("layout_version", 1)) >= 2
+        base_same = set(self._loaded_gens) <= set(gens) and all(
+            fps.get(s) == f for s, f in self._loaded_fps.items()
+        )
+        if base_same and gens == self._loaded_gens:
+            if avgdl != self._loaded_avgdl:  # tombstone-only drift
+                if not v2:
+                    self._load_full(meta)
+                    return "reloaded"
+                self._renorm(meta)
+                self._note_loaded(meta)
+                return "appended"
+            return "noop"
+        if not base_same or not v2:
+            self._load_full(meta)
+            return "reloaded"
+        new_gens = [g for g in gens if g not in self._loaded_gens]
+        gp = Path(self.global_dir)
+        for b in self.bucket_ids:
+            paths = [
+                str(gp / g / f"bucket={b}")
+                for g in new_gens
+                if (gp / g / f"bucket={b}").exists()
+            ]
+            if paths:
+                self._load_paths(paths, meta)
+        if avgdl != self._loaded_avgdl:
+            self._renorm(meta)
+        self._note_loaded(meta)
+        return "appended"
+
+    def _blocks(self, ids: np.ndarray, norms: np.ndarray):
+        nb = (len(ids) + self.BLOCK - 1) // self.BLOCK
+        if not nb:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        bstarts = np.arange(nb, dtype=np.int64) * self.BLOCK
+        block_last = ids[np.minimum(bstarts + self.BLOCK - 1, len(ids) - 1)]
+        return block_last, np.maximum.reduceat(norms, bstarts)
+
+    def _renorm(self, meta: dict) -> None:
+        """Re-derive every BM25 norm (and block-max metadata) under the
+        meta's CURRENT avgdl from the retained per-posting (dl, tf) — the
+        v2-layout property that makes in-place refresh exact (identical
+        to a cold load of the same layout, tested)."""
+        k1, bm_b = float(meta.get("k1", 1.2)), float(meta.get("b", 0.75))
+        avgdl = float(meta.get("avgdl", 1.0))
+        for t, (ids, _norms, df, _bl, _bm) in self.terms.items():
+            dl = self.dls[t].astype(np.float64)
+            if t in self.positions:
+                tf = self.positions[t][0].astype(np.float64)
+            else:
+                tf = self.tfs[t].astype(np.float64)
+            new_norms = tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - bm_b + bm_b * dl / avgdl)
+            )
+            bl, bm = self._blocks(ids, new_norms)
+            self.terms[t] = (ids, new_norms, df, bl, bm)
+
+    def _load_paths(self, paths: list[str], meta: dict) -> None:
+        """Load bucket part dirs and MERGE into the resident term maps —
+        an empty state makes this the cold load; an append generation's
+        doc ids all exceed the resident ones (asserted), so per-term
+        arrays concatenate in doc order with no re-sort."""
         if not meta.get("store_norms"):
             raise ValueError(
                 "term-partitioned serving needs store_norms=True at merge time"
@@ -110,12 +209,9 @@ class _BucketCore:
         v2 = int(meta.get("layout_version", 1)) >= 2
         k1, bm_b = float(meta.get("k1", 1.2)), float(meta.get("b", 0.75))
         avgdl = float(meta.get("avgdl", 1.0))
-        from ..index.global_merge import _bucket_paths
-
-        for b in bucket_ids:
-            paths = _bucket_paths(global_dir, b, meta)
+        if True:  # preserved indentation of the former per-bucket body
             if not paths:
-                continue
+                return
             cols = ["term", "salt", "postings", "df"]
             cols.append("dls" if v2 else "norms")
             if has_pos:
@@ -124,7 +220,7 @@ class _BucketCore:
                 columns=cols
             )
             if tbl.num_rows == 0:
-                continue
+                return
             order = pc.sort_indices(
                 tbl, sort_keys=[("term", "ascending"), ("salt", "ascending")]
             )
@@ -142,9 +238,10 @@ class _BucketCore:
                 # derives HERE under the meta's CURRENT avgdl — this is
                 # what keeps served scores exact across incremental
                 # appends (an append moves avgdl; baked v1 norms can't)
-                dl_flat = np.frombuffer(
+                dl_u4 = np.frombuffer(
                     b"".join(tbl.column("dls").to_pylist()), dtype="<u4"
-                ).astype(np.float64)
+                )
+                dl_flat = dl_u4.astype(np.float64)
                 tf_f = tf_flat.astype(np.float64)
                 norm_flat = tf_f * (k1 + 1.0) / (
                     tf_f + k1 * (1.0 - bm_b + bm_b * dl_flat / avgdl)
@@ -185,6 +282,9 @@ class _BucketCore:
                 tok_offs = np.concatenate([[0], cum])
                 tf_sorted = tf_flat[o]
             doc_flat, norm_flat = doc_flat[o], norm_flat[o]
+            if v2:
+                dl_sorted = dl_u4[o]
+                tf_u4 = tf_flat[o].astype(np.uint32)
             post_offs = np.concatenate(
                 [offs[run_starts], [offs[-1]]]
             ).astype(np.int64)
@@ -193,20 +293,41 @@ class _BucketCore:
                 ids = doc_flat[lo:hi]
                 norms = norm_flat[lo:hi]
                 df = int(dfs[run_starts[ri]:run_ends[ri]].sum())
-                nb = (len(ids) + self.BLOCK - 1) // self.BLOCK
-                bstarts = np.arange(nb, dtype=np.int64) * self.BLOCK
-                block_last = ids[np.minimum(bstarts + self.BLOCK - 1,
-                                            len(ids) - 1)]
-                block_max = np.maximum.reduceat(norms, bstarts) if nb else (
-                    np.empty(0, np.float64)
-                )
                 name = term_names[tcodes[run_starts[ri]]]
+                dl_t = dl_sorted[lo:hi] if v2 else None
+                tf_t = tf_u4[lo:hi] if v2 else None
+                pos_t = (
+                    (tf_sorted[lo:hi], pos_flat[tok_offs[lo]:tok_offs[hi]])
+                    if has_pos else None
+                )
+                old = self.terms.get(name)
+                if old is not None:
+                    o_ids, o_norms, o_df = old[0], old[1], old[2]
+                    if len(ids) and len(o_ids) and ids[0] <= o_ids[-1]:
+                        raise ValueError(
+                            "append generation doc ids overlap resident "
+                            f"postings for term {name!r} — full reload "
+                            "required"
+                        )
+                    ids = np.concatenate([o_ids, ids])
+                    norms = np.concatenate([o_norms, norms])
+                    df += o_df
+                    if v2:
+                        dl_t = np.concatenate([self.dls[name], dl_t])
+                        tf_t = np.concatenate([self.tfs[name], tf_t])
+                    if has_pos:
+                        otf, opos = self.positions[name]
+                        pos_t = (
+                            np.concatenate([otf, pos_t[0]]),
+                            np.concatenate([opos, pos_t[1]]),
+                        )
+                block_last, block_max = self._blocks(ids, norms)
                 self.terms[name] = (ids, norms, df, block_last, block_max)
+                if v2:
+                    self.dls[name] = dl_t
+                    self.tfs[name] = tf_t
                 if has_pos:
-                    self.positions[name] = (
-                        tf_sorted[lo:hi],
-                        pos_flat[tok_offs[lo]:tok_offs[hi]],
-                    )
+                    self.positions[name] = pos_t
 
     def expand_prefix(self, prefix: str, cap: int | None = None) -> list[str]:
         """This core's dictionary terms with the prefix, in term order
@@ -1018,6 +1139,30 @@ class TermPartitionedEngine:
             pf + k1 * (1.0 - b + b * dl / avgdl)
         )
         return self._tie_cut(hd.astype(np.int64), scores, k)
+
+    def refresh(self) -> list[str]:
+        """Adopt layout changes WITHOUT reconstructing the engine: every
+        bucket actor loads only committed NEW append generations
+        in place (re-deriving all norms under the moved avgdl from its
+        retained per-posting dl/tf — the dls-v2 property) and falls back
+        to reloading its buckets when the base layout was swapped.
+        Coordinator caches that depend on the layout (term fetch cache,
+        dl/text stores, corpus stats) reset.  Results after refresh are
+        identical to a freshly constructed engine (tested).  Returns the
+        per-actor statuses ("noop" | "appended" | "reloaded")."""
+        statuses = ray.get([a.refresh.remote() for a in self.actors])
+        self.meta = _load_meta(self.global_dir)
+        self.n = int(self.meta["num_docs"])
+        if int(self.meta["n_buckets"]) != self._n_buckets:
+            raise RuntimeError(
+                "n_buckets changed under a live engine — reconstruct"
+            )
+        self._term_cache = {}
+        self._cache_postings = 0
+        for attr in ("_dl_store", "_text_reader"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return statuses
 
     def shutdown(self) -> None:
         for a in self.actors:
