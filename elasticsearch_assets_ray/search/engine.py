@@ -768,6 +768,30 @@ class ShardData:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             slot_present.append(present)
 
+        # Position-skip doc gating: a match needs EVERY slot in the doc,
+        # so candidate docs = the slots' doc-set conjunction (postings
+        # only, no position expansion) and position streams expand ONLY
+        # for candidates — a hot slot beside a rare one skips ~all of its
+        # position mass (the block-max-for-positions idea applied at doc
+        # granularity; measured in BASELINE.md, rank+score unchanged by
+        # construction and by test).
+        cand_docs = None
+        for alts in slot_present:
+            if len(alts) == 1:
+                docs = decoded[alts[0]][0]
+            else:
+                docs = np.unique(
+                    np.concatenate([decoded[t][0] for t in alts])
+                )
+            if cand_docs is None:
+                cand_docs = docs
+            else:
+                cand_docs = cand_docs[
+                    np.isin(cand_docs, docs, assume_unique=True)
+                ]
+            if len(cand_docs) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+
         # Vectorized start-position intersection: every (doc, token
         # position) pair becomes one uint-keyed value ``doc << 32 | pos``;
         # slot ``seq`` shifts its positions back by ``seq`` so a phrase
@@ -780,8 +804,23 @@ class ShardData:
             for t in alts:
                 idx, pos, tfcum = decoded[t]
                 tf = np.diff(tfcum)
-                docs_flat = np.repeat(idx, tf)
-                p = pos.astype(np.int64)
+                es = np.nonzero(np.isin(idx, cand_docs, assume_unique=True))[0]
+                if len(es) < len(idx):
+                    # gather only the candidate docs' position segments
+                    seg_lens = tf[es]
+                    seg_starts = tfcum[:-1][es]
+                    cum = np.cumsum(seg_lens)
+                    total = int(cum[-1]) if len(cum) else 0
+                    intra = np.arange(total, dtype=np.int64) - np.repeat(
+                        cum - seg_lens, seg_lens
+                    )
+                    p = pos[np.repeat(seg_starts, seg_lens) + intra].astype(
+                        np.int64
+                    )
+                    docs_flat = np.repeat(idx[es], seg_lens)
+                else:
+                    docs_flat = np.repeat(idx, tf)
+                    p = pos.astype(np.int64)
                 if seq:
                     keep = p >= seq
                     if not keep.all():

@@ -1053,12 +1053,42 @@ class TermPartitionedEngine:
 
         shift = np.int64(self._POS_BITS)
 
+        # position-skip doc gating (see ShardData.phrase_topk): expand
+        # position streams only for docs containing EVERY phrase term
+        cand_docs = None
+        for t in sorted(set(toks)):
+            ids = fetched[t][0]
+            if cand_docs is None:
+                cand_docs = ids
+            else:
+                cand_docs = cand_docs[
+                    np.isin(cand_docs, ids, assume_unique=True)
+                ]
+            if len(cand_docs) == 0:
+                return []
+
         def slot_keys(t: str, seq: int) -> np.ndarray:
             ids, _norms, _df, _bl, _bm, tfs, pos = fetched[t]
             if len(pos) and int(pos.max()) >= (1 << self._POS_BITS):
                 raise ValueError("document exceeds 2^21 token positions")
-            docs_flat = np.repeat(ids, tfs)
-            p = pos.astype(np.int64)
+            es = np.nonzero(np.isin(ids, cand_docs, assume_unique=True))[0]
+            if len(es) < len(ids):
+                tf64 = tfs.astype(np.int64)
+                tfcum = np.concatenate([[0], np.cumsum(tf64)])
+                seg_lens = tf64[es]
+                seg_starts = tfcum[:-1][es]
+                cum = np.cumsum(seg_lens)
+                total = int(cum[-1]) if len(cum) else 0
+                intra = np.arange(total, dtype=np.int64) - np.repeat(
+                    cum - seg_lens, seg_lens
+                )
+                p = pos[np.repeat(seg_starts, seg_lens) + intra].astype(
+                    np.int64
+                )
+                docs_flat = np.repeat(ids[es], seg_lens)
+            else:
+                docs_flat = np.repeat(ids, tfs)
+                p = pos.astype(np.int64)
             if seq:
                 keep = p >= seq
                 if not keep.all():
