@@ -1291,6 +1291,215 @@ GROUP BY 1, 2
 """
 
 
+# ES ``range`` aggregation over the numeric ``dl`` doc values: ranges
+# deliberately OVERLAP (ES semantics — a doc lands in every matching
+# bucket, so doc_counts can exceed the match count) and include an empty
+# one (kept in the output with doc_count 0; stats coalesce to 0 on both
+# sides so the hash compare stays total)
+RANGE_AGG_QUERIES: list[tuple[int, str, list[tuple]]] = [
+    (0, "hash join", [(None, 40.0), (40.0, 70.0), (70.0, None),
+                      (500.0, None)]),
+    (1, "customer order value", [(30.0, 80.0), (None, 56.0), (56.0, None)]),
+    (2, "table", [(None, None)]),
+]
+
+# ES ``date_range`` aggregation over the date-typed ``created_at``
+# docmeta column, bounds as ISO strings (converted to the engines'
+# epoch-micro doc values; from inclusive, to exclusive — ES)
+DATE_RANGE_QUERIES: list[tuple[int, str, list[tuple]]] = [
+    (0, "query scan", [(None, "2024-02-01"), ("2024-02-01", "2024-08-01"),
+                       ("2024-01-15", None)]),
+    (1, "customer order", [("2024-01-20", "2025-06-01")]),
+]
+
+
+def _range_rows(qid: int, buckets: list[dict]) -> list[dict]:
+    return [
+        {
+            "query_id": qid,
+            "range_idx": i,
+            "doc_count": b["doc_count"],
+            "sum_dl": b.get("sum", 0.0),
+            "min_dl": b.get("min", 0.0),
+            "max_dl": b.get("max", 0.0),
+            "avg_dl": b.get("avg", 0.0),
+        }
+        for i, b in enumerate(buckets)
+    ]
+
+
+def _q_range_agg(engine) -> pa.Table:
+    rows = []
+    for qid, text, ranges in RANGE_AGG_QUERIES:
+        rows += _range_rows(
+            qid, engine.range_agg(text, field="dl", ranges=ranges,
+                                  stats_on="dl")
+        )
+    for qid, text, ranges in DATE_RANGE_QUERIES:
+        rows += _range_rows(
+            qid + 100,
+            engine.range_agg(text, field="created_at", ranges=ranges,
+                             stats_on="dl"),
+        )
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_range_agg(sf_dir: str) -> pa.Table:
+    """ES ``range`` + ``date_range`` aggregations (stats sub-agg on
+    ``dl``) over each query's ``match`` disjunction, served from per-
+    shard doc values: one vectorized mask per range (a doc lands in
+    EVERY overlapping range, ES-exact), associative per-shard partials,
+    one bucket row PER DECLARED RANGE — empties kept with doc_count 0."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_range_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_range_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME range/date_range aggregations served from the TERM-
+    partitioned layout: matched ids route to the source index's docmeta
+    partition lineage, each Ray task reads only the bucketing (+ stats)
+    column — identical buckets to the doc-partitioned engine (same SQL
+    oracle)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_range_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_range_agg() -> str:
+    term_rows, rng_rows = [], []
+    for base, queries, is_date in (
+        (0, RANGE_AGG_QUERIES, False), (100, DATE_RANGE_QUERIES, True)
+    ):
+        for qid, text, ranges in queries:
+            for t in _simple_tokens(text):
+                term_rows.append(f"({base + qid}, '{t}')")
+            for i, (lo, hi) in enumerate(ranges):
+                if is_date:
+                    lo = _iso_us(lo)
+                    hi = _iso_us(hi)
+                lo_s = "NULL" if lo is None else f"{float(lo)!r}"
+                hi_s = "NULL" if hi is None else f"{float(hi)!r}"
+                rng_rows.append(
+                    f"({base + qid}, {i}, {lo_s}::DOUBLE, {hi_s}::DOUBLE, "
+                    f"{int(is_date)})"
+                )
+    tvalues = ", ".join(term_rows)
+    rvalues = ", ".join(rng_rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+c AS (SELECT doc_id, epoch_us({CREATED_SQL})::DOUBLE AS created_us
+      FROM documents),
+q(query_id, t) AS (VALUES {tvalues}),
+r(query_id, range_idx, lo, hi, is_date) AS (VALUES {rvalues}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+v AS (SELECT hit.query_id, hit.doc_id,
+             CASE WHEN r2.is_date = 1 THEN c.created_us ELSE dl.dl END AS fv,
+             dl.dl, r2.range_idx, r2.lo, r2.hi
+      FROM hit
+      JOIN (SELECT DISTINCT query_id, range_idx, lo, hi, is_date FROM r) r2
+        ON r2.query_id = hit.query_id
+      JOIN dl ON dl.doc_id = hit.doc_id
+      JOIN c ON c.doc_id = hit.doc_id),
+m AS (SELECT query_id, range_idx, dl FROM v
+      WHERE (lo IS NULL OR fv >= lo) AND (hi IS NULL OR fv < hi))
+SELECT r.query_id, r.range_idx,
+       count(m.dl)::BIGINT AS doc_count,
+       coalesce(sum(m.dl), 0) AS sum_dl,
+       coalesce(min(m.dl), 0) AS min_dl,
+       coalesce(max(m.dl), 0) AS max_dl,
+       coalesce(sum(m.dl) / nullif(count(m.dl), 0), 0) AS avg_dl
+FROM r
+LEFT JOIN m ON m.query_id = r.query_id AND m.range_idx = r.range_idx
+GROUP BY 1, 2
+"""
+
+
+# date_histogram zero-fill: fixed 1d interval, min_doc_count=0,
+# extended_bounds widening past the (sf-dependent) data span on the low
+# side; ES semantics — enumerate every bucket between
+# min(first non-empty, lo bound) and max(last non-empty, hi bound)
+DATE_HIST_FILL_QUERIES: list[tuple[int, str]] = [(0, "hash join"),
+                                                 (1, "query scan")]
+DATE_HIST_FILL_BOUNDS = ("2023-12-15", "2024-03-15")
+
+
+def q_datehist_fill(sf_dir: str) -> pa.Table:
+    """``date_histogram`` with ``min_doc_count: 0`` + ``extended_bounds``
+    (count-only): empty buckets between the span ends fill in — the ES
+    zero-fill, enumerated driver-side in O(buckets)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    rows = []
+    try:
+        for qid, text in DATE_HIST_FILL_QUERIES:
+            for b in engine.date_histogram(
+                text, field="created_at", interval="1d", min_doc_count=0,
+                extended_bounds=DATE_HIST_FILL_BOUNDS,
+            ):
+                rows.append(
+                    {"query_id": qid, "bucket_us": b["key"],
+                     "doc_count": b["doc_count"]}
+                )
+    finally:
+        engine.shutdown()
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def sql_datehist_fill() -> str:
+    day = 86_400_000_000
+    lo_k = (_iso_us(DATE_HIST_FILL_BOUNDS[0]) // day) * day
+    hi_k = (_iso_us(DATE_HIST_FILL_BOUNDS[1]) // day) * day
+    term_rows = []
+    for qid, text in DATE_HIST_FILL_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+c AS (SELECT doc_id, epoch_us({CREATED_SQL}) AS created_us FROM documents),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+counts AS (SELECT hit.query_id,
+                  (c.created_us // {day}) * {day} AS bucket_us,
+                  count(*)::BIGINT AS doc_count
+           FROM hit JOIN c ON c.doc_id = hit.doc_id
+           GROUP BY 1, 2),
+span AS (SELECT query_id,
+                least(min(bucket_us), {lo_k}) AS lo,
+                greatest(max(bucket_us), {hi_k}) AS hi
+         FROM counts GROUP BY 1),
+series AS (SELECT query_id,
+                  unnest(generate_series(lo, hi, {day})) AS bucket_us
+           FROM span)
+SELECT series.query_id, series.bucket_us,
+       coalesce(counts.doc_count, 0)::BIGINT AS doc_count
+FROM series
+LEFT JOIN counts ON counts.query_id = series.query_id
+                AND counts.bucket_us = series.bucket_us
+"""
+
+
 # timestamp range filter over a date-typed docmeta column:
 # (query_id, match text, (lo_iso, hi_iso)) — ES ``range`` filter on a
 # date field under ``bool.filter`` (bounds inclusive, like gte/lte)
@@ -2823,6 +3032,9 @@ def queries():
         "match_agg_lang": q_match_agg,
         "date_histogram": q_date_histogram,
         "date_histogram_global": q_date_histogram_global,
+        "datehist_fill": q_datehist_fill,
+        "range_agg": q_range_agg,
+        "range_agg_global": q_range_agg_global,
         "ts_filter_search": q_ts_filter_search,
         "highlight_positions": q_highlight_positions,
         "highlight_positions_global": q_highlight_positions_global,
@@ -2882,6 +3094,9 @@ def oracle_sql():
         "match_agg_lang": sql_match_agg(),
         "date_histogram": sql_date_histogram(),
         "date_histogram_global": sql_date_histogram(),
+        "datehist_fill": sql_datehist_fill(),
+        "range_agg": sql_range_agg(),
+        "range_agg_global": sql_range_agg(),
         "ts_filter_search": sql_ts_filter_search(),
         "highlight_positions": sql_highlight_positions(),
         "highlight_positions_global": sql_highlight_positions(),

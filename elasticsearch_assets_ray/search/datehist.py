@@ -84,19 +84,19 @@ def floor_interval_us(v_us: np.ndarray, interval: str) -> np.ndarray:
     return (v // fixed) * fixed
 
 
-def partial_over_values(
-    keys_us: np.ndarray, stats_vals: np.ndarray | None
+def partial_over_groups(
+    groups: np.ndarray, stats_vals: np.ndarray | None
 ) -> dict:
-    """Associative ``bucket_key → (count, sum, min, max)`` partial from
-    already-floored bucket keys (merge with
-    ``search.engine.merge_agg_partials``)."""
+    """Associative ``group → (count, sum, min, max)`` partial over
+    arbitrary group values (ints for date buckets, strings for keyword
+    terms aggs); merge with ``search.engine.merge_agg_partials``."""
     out: dict = {}
-    if len(keys_us) == 0:
+    if len(groups) == 0:
         return out
-    ug, inv, counts = np.unique(keys_us, return_inverse=True, return_counts=True)
+    ug, inv, counts = np.unique(groups, return_inverse=True, return_counts=True)
     if stats_vals is None:
         for g, c in zip(ug.tolist(), counts.tolist()):
-            out[int(g)] = (int(c), None, None, None)
+            out[g] = (int(c), None, None, None)
         return out
     vals = np.asarray(stats_vals, dtype=np.float64)
     sums = np.bincount(inv, weights=vals, minlength=len(ug))
@@ -105,9 +105,95 @@ def partial_over_values(
     np.minimum.at(mins, inv, vals)
     np.maximum.at(maxs, inv, vals)
     for i, g in enumerate(ug.tolist()):
-        out[int(g)] = (
+        out[g] = (
             int(counts[i]), float(sums[i]), float(mins[i]), float(maxs[i]),
         )
+    return out
+
+
+def partial_over_values(
+    keys_us: np.ndarray, stats_vals: np.ndarray | None
+) -> dict:
+    """:func:`partial_over_groups` with int bucket keys (date buckets)."""
+    return {
+        int(k): v
+        for k, v in partial_over_groups(keys_us, stats_vals).items()
+    }
+
+
+def range_expand(
+    v: np.ndarray,
+    ranges: list[tuple[float | None, float | None]],
+    stats_vals: np.ndarray | None,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """ES ``range`` / ``date_range`` aggregation bucketing: each value
+    lands in EVERY range containing it (ES allows overlapping ranges — a
+    doc then counts in several buckets; ``from`` inclusive, ``to``
+    exclusive, None = open end).  Returns ``(range_idx, stats_vals)``
+    row-expanded over the matches, ready for
+    :func:`partial_over_groups`."""
+    keys: list[np.ndarray] = []
+    vals: list[np.ndarray] = []
+    for i, (lo, hi) in enumerate(ranges):
+        m = np.ones(len(v), dtype=bool)
+        if lo is not None:
+            m &= v >= lo
+        if hi is not None:
+            m &= v < hi
+        n = int(m.sum())
+        if n == 0:
+            continue
+        keys.append(np.full(n, i, dtype=np.int64))
+        if stats_vals is not None:
+            vals.append(stats_vals[m])
+    if not keys:
+        return np.empty(0, dtype=np.int64), (
+            None if stats_vals is None else np.empty(0)
+        )
+    return (
+        np.concatenate(keys),
+        np.concatenate(vals) if stats_vals is not None else None,
+    )
+
+
+def to_epoch_us_bound(x) -> float | None:
+    """A ``date_range`` bound → epoch micros: None passes through, ints/
+    floats are taken as epoch micros already, ISO-8601 strings parse via
+    numpy datetime64 (UTC, like the engines' doc values)."""
+    if x is None or isinstance(x, (int, float)):
+        return x
+    return float(np.datetime64(x, "us").astype(np.int64))
+
+
+def next_bucket_key(key: int, interval: str) -> int:
+    """The start (epoch micros) of the bucket after ``key`` — inverse
+    step of :func:`floor_interval_us`, used for empty-bucket fill."""
+    if interval in ("month", "quarter", "year"):
+        step = {"month": 1, "quarter": 3, "year": 12}[interval]
+        m = np.datetime64(int(key), "us").astype("datetime64[M]").astype(np.int64)
+        return int(
+            np.int64(m + step).astype("datetime64[M]").astype("datetime64[us]").astype(np.int64)
+        )
+    if interval == "week":
+        return int(key) + 7 * _DAY_US
+    fixed = _DAY_US if interval == "day" else parse_fixed_interval_us(interval)
+    if fixed is None:
+        raise ValueError(f"unknown interval {interval!r}")
+    return int(key) + fixed
+
+
+def enumerate_bucket_keys(lo: int, hi: int, interval: str) -> list[int]:
+    """Every bucket start from the bucket containing ``lo`` through the
+    bucket containing ``hi`` inclusive (both epoch micros) — the ES
+    ``min_doc_count: 0`` / ``extended_bounds`` bucket enumeration."""
+    if hi < lo:
+        return []
+    k = int(floor_interval_us(np.array([lo], dtype=np.int64), interval)[0])
+    end = int(floor_interval_us(np.array([hi], dtype=np.int64), interval)[0])
+    out = [k]
+    while k < end:
+        k = next_bucket_key(k, interval)
+        out.append(k)
     return out
 
 
@@ -122,53 +208,67 @@ def _load_meta_values(tbl_col) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
+def bucket_partial(
+    field_vals: np.ndarray, spec: tuple, stats_vals: np.ndarray | None
+) -> dict:
+    """One associative aggregation partial under a bucketing spec:
+    ``("interval", s)`` floors date doc values (date_histogram),
+    ``("terms", None)`` groups by the raw column, ``("ranges",
+    [(lo, hi), ...])`` is the ES range/date_range bucketing (overlap =
+    several buckets, key = range index)."""
+    kind, arg = spec
+    if kind == "interval":
+        return partial_over_groups(
+            floor_interval_us(field_vals, arg), stats_vals
+        )
+    if kind == "terms":
+        return partial_over_groups(field_vals, stats_vals)
+    if kind == "ranges":
+        keys, sv = range_expand(field_vals.astype(np.float64), arg, stats_vals)
+        return partial_over_groups(keys, sv)
+    raise ValueError(f"unknown bucket spec {spec!r}")
+
+
 @ray.remote
-def _datehist_partition_task(
+def _agg_partition_task(
     paths: list[str],
     local_idx: list[np.ndarray],
     field: str,
-    interval: str,
+    spec: tuple,
     stats_col: str | None,
 ) -> dict:
     """One task over a group of docmeta partitions: column-pruned read,
-    row take at the matched local offsets, floor, partial-aggregate."""
+    row take at the matched local offsets, bucket, partial-aggregate."""
+    from .engine import merge_agg_partials
+
     merged: dict = {}
     cols = [field] if stats_col in (None, field) else [field, stats_col]
     for path, idx in zip(paths, local_idx):
         t = pq.read_table(path, columns=cols)
-        v = _load_meta_values(t.column(field))[idx]
-        keys = floor_interval_us(v, interval)
         sv = None
         if stats_col is not None:
             sv = _load_meta_values(t.column(stats_col))[idx].astype(np.float64)
-        for k, part in partial_over_values(keys, sv).items():
-            got = merged.get(k)
-            if got is None:
-                merged[k] = part
-            else:
-                c, s, lo, hi = got
-                c2, s2, lo2, hi2 = part
-                merged[k] = (
-                    c + c2,
-                    None if s is None else s + s2,
-                    None if lo is None else min(lo, lo2),
-                    None if hi is None else max(hi, hi2),
-                )
+        merge_agg_partials(
+            merged,
+            bucket_partial(_load_meta_values(t.column(field))[idx], spec, sv),
+        )
     return merged
 
 
-def datehist_partials_over_ids(
+def agg_partials_over_ids(
     index_dir: str | Path,
     doc_ids: np.ndarray,
     field: str,
-    interval: str,
+    spec: tuple,
     stats_col: str | None = None,
     partitions_per_task: int = 16,
 ) -> list[dict]:
-    """Distributed date_histogram partials for an explicit matched doc-id
+    """Distributed aggregation partials for an explicit matched doc-id
     set, served from a SOURCE index's docmeta partition lineage (the path
     the term-partitioned engine uses; the doc-partitioned engine computes
-    the same partial in-actor from its resident doc values)."""
+    the same partial in-actor from its resident doc values).  ``spec``
+    picks the bucketing (see :func:`_bucket_fn`); work scales with
+    matched docs + touched partitions, never corpus size."""
     from ..index.build import IndexInfo, docmeta_path
 
     ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
@@ -191,11 +291,11 @@ def datehist_partials_over_ids(
         paths.append(str(docmeta_path(index_dir, p.partition_id)))
         locals_.append(sel - p.doc_base)
     futs = [
-        _datehist_partition_task.remote(
+        _agg_partition_task.remote(
             paths[i : i + partitions_per_task],
             locals_[i : i + partitions_per_task],
             field,
-            interval,
+            spec,
             stats_col,
         )
         for i in range(0, len(paths), partitions_per_task)
@@ -203,21 +303,89 @@ def datehist_partials_over_ids(
     return list(ray.get(futs))
 
 
+def datehist_partials_over_ids(
+    index_dir: str | Path,
+    doc_ids: np.ndarray,
+    field: str,
+    interval: str,
+    stats_col: str | None = None,
+    partitions_per_task: int = 16,
+) -> list[dict]:
+    """date_histogram partials (``("interval", ...)`` spec) — see
+    :func:`agg_partials_over_ids`."""
+    return agg_partials_over_ids(
+        index_dir, doc_ids, field, ("interval", interval), stats_col,
+        partitions_per_task,
+    )
+
+
 def buckets_from_partials(
-    partials: list[dict], stats_on: str | None
+    partials: list[dict],
+    stats_on: str | None,
+    interval: str | None = None,
+    min_doc_count: int = 1,
+    extended_bounds: tuple | None = None,
 ) -> list[dict]:
     """Merge partials → ES-shaped bucket rows, key ascending (the ES
-    date_histogram bucket order), key as epoch micros (UTC)."""
+    date_histogram bucket order), key as epoch micros (UTC).
+
+    ``min_doc_count=0`` (needs ``interval``) fills EMPTY buckets between
+    the first and last non-empty one — the ES zero-fill — and
+    ``extended_bounds=(lo, hi)`` (epoch micros or ISO strings) widens
+    the enumerated span beyond the data, exactly like ES (bounds are
+    clamped to whole buckets; data outside the bounds still shows)."""
     from .engine import merge_agg_partials
 
     merged: dict = {}
     for p in partials:
         merge_agg_partials(merged, p)
+    if min_doc_count == 0 and interval is not None:
+        bounds = [int(k) for k in merged]
+        if extended_bounds is not None:
+            lo, hi = (to_epoch_us_bound(b) for b in extended_bounds)
+            bounds += [int(lo), int(hi)]
+        if bounds:
+            for k in enumerate_bucket_keys(min(bounds), max(bounds), interval):
+                merged.setdefault(k, (0, None, None, None))
     rows = []
     for k in sorted(merged):
         c, s, lo, hi = merged[k]
         row = {"key": int(k), "doc_count": int(c)}
         if stats_on is not None and s is not None:
             row.update({"sum": s, "min": lo, "max": hi, "avg": s / c})
+        rows.append(row)
+    return rows
+
+
+def range_buckets_from_partials(
+    partials: list[dict],
+    ranges: list[tuple[float | None, float | None]],
+    stats_on: str | None,
+) -> list[dict]:
+    """Merge range-spec partials → ES ``range``/``date_range`` bucket
+    rows: one row PER RANGE in the order given (ES keeps declaration
+    order and includes empty ranges with ``doc_count`` 0), keyed
+    ``"lo-hi"`` with open ends spelled ``*`` like ES."""
+    from .engine import merge_agg_partials
+
+    merged: dict = {}
+    for p in partials:
+        merge_agg_partials(merged, p)
+    rows = []
+    for i, (lo, hi) in enumerate(ranges):
+        c, s, mn, mx = merged.get(i, (0, None, None, None))
+        key = (
+            ("*" if lo is None else f"{lo:g}")
+            + "-"
+            + ("*" if hi is None else f"{hi:g}")
+        )
+        row = {
+            "key": key,
+            "from": lo,
+            "to": hi,
+            "doc_count": int(c),
+        }
+        if stats_on is not None and s is not None:
+            row.update({"sum": s, "min": mn, "max": mx, "avg": s / c})
         rows.append(row)
     return rows

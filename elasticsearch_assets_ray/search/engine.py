@@ -495,6 +495,43 @@ class ShardData:
         )
         return partial_over_values(keys, vals)
 
+    def agg_range(
+        self,
+        clauses: dict,
+        field: str,
+        ranges: list[tuple[float | None, float | None]],
+        stats_col: str | None = None,
+    ) -> dict:
+        """Per-shard partial for an ES ``range`` / ``date_range``
+        aggregation over the docs matching a bool query: range INDEX →
+        (doc_count, sum, min, max) of ``stats_col``.  ES semantics —
+        ``from`` inclusive, ``to`` exclusive, open ends, a doc lands in
+        EVERY overlapping range (so doc_counts can exceed the match
+        count); date fields bucket on epoch-micro doc values."""
+        from .datehist import bucket_partial
+
+        ok = self._bool_eligible(
+            sorted(set(clauses.get("must", []))),
+            sorted(set(clauses.get("should", []))),
+            sorted(set(clauses.get("must_not", []))),
+            sorted(set(clauses.get("filter", []))),
+            clauses.get("msm"),
+            clauses.get("meta_filters"),
+            clauses.get("range_filters"),
+            self._postings_idx_fn(),
+        )
+        idxs = np.nonzero(ok)[0]
+        if len(idxs) == 0:
+            return {}
+        vals = (
+            self.meta_col(stats_col)[idxs].astype(np.float64)
+            if stats_col is not None
+            else None
+        )
+        return bucket_partial(
+            self.meta_col(field)[idxs], ("ranges", ranges), vals
+        )
+
     def expand_prefix(self, prefix: str, cap: int | None = None) -> list[str]:
         """Terms in this shard's (sorted) dictionary starting with
         ``prefix``, in term order — the Lucene per-segment prefix
@@ -1280,6 +1317,18 @@ class _ScorerCore:
             )
         return merged
 
+    def agg_range(
+        self, clauses: dict, field: str,
+        ranges: list[tuple[float | None, float | None]],
+        stats_col: str | None = None,
+    ) -> dict:
+        merged: dict = {}
+        for s in self.shards:
+            merge_agg_partials(
+                merged, s.agg_range(clauses, field, ranges, stats_col)
+            )
+        return merged
+
     def bool_topk(
         self,
         queries: list[tuple[int, dict, int]],
@@ -1567,12 +1616,42 @@ class QueryEngine:
             out.append(row)
         return out
 
+    def _query_clauses(self, query: str | list[str] | dict) -> dict | None:
+        """Free text / term list / bool-clause dict → the analyzed clause
+        dict the shard actors consume (None ⇔ an empty non-dict query,
+        which matches nothing)."""
+        if isinstance(query, dict):
+            def _clause(v):
+                if isinstance(v, str):
+                    return self._analyze(v) if v else []
+                return sorted(set(v))
+
+            return {
+                "must": _clause(query.get("must", "")),
+                "should": _clause(query.get("should", "")),
+                "must_not": _clause(query.get("must_not", "")),
+                "filter": _clause(query.get("filter", "")),
+                "msm": query.get("minimum_should_match"),
+                "meta_filters": query.get("filter_meta"),
+                "range_filters": query.get("filter_range"),
+            }
+        terms = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not terms:
+            return None
+        return {"must": [], "should": terms, "must_not": [],
+                "filter": [], "msm": 1}
+
     def date_histogram(
         self,
         query: str | list[str] | dict,
         field: str,
         interval: str = "month",
         stats_on: str | None = None,
+        min_doc_count: int = 1,
+        extended_bounds: tuple | None = None,
     ) -> list[dict]:
         """ES ``date_histogram`` aggregation (with an optional ``stats``
         sub-aggregation) over ALL docs matching ``query`` — free text / a
@@ -1583,38 +1662,57 @@ class QueryEngine:
         epoch-aligned).  Buckets come back key-ASCENDING (the ES
         date_histogram order), ``key`` = bucket start in epoch MICROS;
         per-shard partials merge associatively so driver work is
-        O(buckets)."""
+        O(buckets).  ``min_doc_count=0`` fills empty buckets between the
+        first and last non-empty one, and ``extended_bounds=(lo, hi)``
+        (epoch micros or ISO strings) widens that span — both ES-exact
+        (driver-side enumeration, O(buckets))."""
         from .datehist import buckets_from_partials
 
-        if isinstance(query, dict):
-            def _clause(v):
-                if isinstance(v, str):
-                    return self._analyze(v) if v else []
-                return sorted(set(v))
-
-            clauses = {
-                "must": _clause(query.get("must", "")),
-                "should": _clause(query.get("should", "")),
-                "must_not": _clause(query.get("must_not", "")),
-                "filter": _clause(query.get("filter", "")),
-                "msm": query.get("minimum_should_match"),
-                "meta_filters": query.get("filter_meta"),
-                "range_filters": query.get("filter_range"),
-            }
-        else:
-            terms = (
-                self._analyze(query) if isinstance(query, str)
-                else sorted(set(query))
-            )
-            if not terms:
-                return []
-            clauses = {"must": [], "should": terms, "must_not": [],
-                       "filter": [], "msm": 1}
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return []
         per_actor = ray.get(
             [a.agg_date_histogram.remote(clauses, field, interval, stats_on)
              for a in self.actors]
         )
-        return buckets_from_partials(per_actor, stats_on)
+        return buckets_from_partials(
+            per_actor, stats_on, interval=interval,
+            min_doc_count=min_doc_count, extended_bounds=extended_bounds,
+        )
+
+    def range_agg(
+        self,
+        query: str | list[str] | dict,
+        field: str,
+        ranges: list[dict | tuple],
+        stats_on: str | None = None,
+    ) -> list[dict]:
+        """ES ``range`` / ``date_range`` aggregation (with an optional
+        ``stats`` sub-aggregation) over ALL docs matching ``query``.
+        ``ranges`` is a list of ES-style ``{"from": x, "to": y}`` dicts
+        (or ``(from, to)`` tuples) — ``from`` inclusive, ``to``
+        exclusive, None/missing = open end; date fields accept ISO
+        strings (converted to the engines' epoch-micro doc values).
+        Overlapping ranges behave like ES: a doc lands in every matching
+        bucket.  One bucket row PER RANGE comes back in declaration
+        order, empty ranges included (``doc_count`` 0)."""
+        from .datehist import range_buckets_from_partials, to_epoch_us_bound
+
+        norm = [
+            (
+                to_epoch_us_bound(r.get("from") if isinstance(r, dict) else r[0]),
+                to_epoch_us_bound(r.get("to") if isinstance(r, dict) else r[1]),
+            )
+            for r in ranges
+        ]
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return []
+        per_actor = ray.get(
+            [a.agg_range.remote(clauses, field, norm, stats_on)
+             for a in self.actors]
+        )
+        return range_buckets_from_partials(per_actor, norm, stats_on)
 
     def search_phrase_prefix(
         self, phrase: str | list[str], k: int = 10, max_expansions: int = 50

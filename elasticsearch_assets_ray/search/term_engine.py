@@ -847,12 +847,75 @@ class TermPartitionedEngine:
             fragment_size, number_of_fragments,
         )
 
+    def _matched_ids_and_source(
+        self, query: str | list[str]
+    ) -> tuple[np.ndarray, str] | None:
+        """Matched doc-id set for a ``match`` disjunction + the source
+        index whose docmeta partition lineage serves doc values (None ⇔
+        nothing matches)."""
+        terms = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not terms:
+            return None
+        fetched = self.fetch_terms(terms)
+        if not fetched:
+            return None
+        ids = np.unique(
+            np.concatenate([v[0] for v in fetched.values()])
+        ).astype(np.int64)
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for doc-values aggregations"
+            )
+        return ids, src
+
+    def range_agg(
+        self,
+        query: str | list[str],
+        field: str,
+        ranges: list[dict | tuple],
+        stats_on: str | None = None,
+    ) -> list[dict]:
+        """ES ``range`` / ``date_range`` aggregation served from the
+        term-partitioned layout — same buckets as
+        :meth:`QueryEngine.range_agg` (parity tested).  Matched doc ids
+        route to the source index's docmeta partition lineage; each Ray
+        task reads only the bucketing (+ stats) column for the matched
+        rows — work scales with matched docs + touched partitions."""
+        from .datehist import (
+            agg_partials_over_ids,
+            range_buckets_from_partials,
+            to_epoch_us_bound,
+        )
+
+        norm = [
+            (
+                to_epoch_us_bound(r.get("from") if isinstance(r, dict) else r[0]),
+                to_epoch_us_bound(r.get("to") if isinstance(r, dict) else r[1]),
+            )
+            for r in ranges
+        ]
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return range_buckets_from_partials([], norm, stats_on)
+        ids, src = got
+        partials = agg_partials_over_ids(
+            src, ids, field, ("ranges", norm), stats_on
+        )
+        return range_buckets_from_partials(partials, norm, stats_on)
+
     def date_histogram(
         self,
         query: str | list[str],
         field: str,
         interval: str = "month",
         stats_on: str | None = None,
+        min_doc_count: int = 1,
+        extended_bounds: tuple | None = None,
     ) -> list[dict]:
         """ES ``date_histogram`` over the docs matching the ``match``
         disjunction, served from the term-partitioned layout — same
@@ -866,28 +929,17 @@ class TermPartitionedEngine:
         size."""
         from .datehist import buckets_from_partials, datehist_partials_over_ids
 
-        terms = (
-            self._analyze(query) if isinstance(query, str)
-            else sorted(set(query))
-        )
-        if not terms:
+        got = self._matched_ids_and_source(query)
+        if got is None:
             return []
-        fetched = self.fetch_terms(terms)
-        if not fetched:
-            return []
-        ids = np.unique(
-            np.concatenate([v[0] for v in fetched.values()])
-        ).astype(np.int64)
-        src = self.meta.get("source_index")
-        if not src:
-            raise RuntimeError(
-                "global layout predates source_index metadata — rebuild "
-                "merge_global_postings for date_histogram serving"
-            )
+        ids, src = got
         partials = datehist_partials_over_ids(
             src, ids, field, interval, stats_on
         )
-        return buckets_from_partials(partials, stats_on)
+        return buckets_from_partials(
+            partials, stats_on, interval=interval,
+            min_doc_count=min_doc_count, extended_bounds=extended_bounds,
+        )
 
     def search_fuzzy(
         self, term: str, fuzziness: int = 1, prefix_length: int = 0,

@@ -66,6 +66,92 @@ def test_partials_merge_to_buckets():
     assert c == [{"key": k1, "doc_count": 1}]
 
 
+def test_range_expand_es_semantics():
+    """from inclusive, to exclusive, open ends, overlap → every matching
+    bucket (ES range-agg semantics)."""
+    from elasticsearch_assets_ray.search.datehist import (
+        bucket_partial,
+        range_expand,
+    )
+
+    v = np.array([1.0, 5.0, 10.0, 20.0])
+    ranges = [(None, 5.0), (5.0, 20.0), (0.0, 100.0)]  # 3rd overlaps all
+    keys, vals = range_expand(v, ranges, np.array([10.0, 20.0, 30.0, 40.0]))
+    got = sorted(zip(keys.tolist(), vals.tolist()))
+    assert got == [(0, 10.0), (1, 20.0), (1, 30.0),
+                   (2, 10.0), (2, 20.0), (2, 30.0), (2, 40.0)]
+    # no range matches → empty
+    k2, v2 = range_expand(np.array([50.0]), [(0.0, 10.0)], None)
+    assert len(k2) == 0 and v2 is None
+    p = bucket_partial(np.array([1.0, 5.0]), ("ranges", ranges), None)
+    assert p[0] == (1, None, None, None) and p[2][0] == 2
+
+
+def test_enumerate_bucket_keys_and_next():
+    from elasticsearch_assets_ray.search.datehist import (
+        enumerate_bucket_keys,
+        next_bucket_key,
+    )
+
+    # fixed interval: simple arithmetic
+    assert enumerate_bucket_keys(_us("2024-01-01T05:00:00"),
+                                 _us("2024-01-02T13:00:00"), "12h") == [
+        _us("2024-01-01T00:00:00"), _us("2024-01-01T12:00:00"),
+        _us("2024-01-02T00:00:00"), _us("2024-01-02T12:00:00"),
+    ]
+    # calendar months step through year boundaries and short months
+    assert enumerate_bucket_keys(_us("2023-11-15"), _us("2024-02-02"),
+                                 "month") == [
+        _us("2023-11-01"), _us("2023-12-01"), _us("2024-01-01"),
+        _us("2024-02-01"),
+    ]
+    assert next_bucket_key(_us("2024-02-01"), "month") == _us("2024-03-01")
+    assert next_bucket_key(_us("2024-10-01"), "quarter") == _us("2025-01-01")
+    # weeks stay Monday-aligned
+    assert next_bucket_key(_us("2024-03-11"), "week") == _us("2024-03-18")
+    assert enumerate_bucket_keys(_us("2024-01-02"), _us("2024-01-01"),
+                                 "day") == []
+
+
+def test_zero_fill_and_extended_bounds():
+    k_jan, k_apr = _us("2024-01-01"), _us("2024-04-01")
+    p = partial_over_values(np.array([k_jan, k_apr, k_apr]), None)
+    # default min_doc_count=1: only non-empty buckets
+    assert [r["key"] for r in buckets_from_partials([p], None,
+                                                    interval="month")] == \
+        [k_jan, k_apr]
+    # min_doc_count=0 fills feb+mar
+    rows = buckets_from_partials([p], None, interval="month",
+                                 min_doc_count=0)
+    assert [(r["key"], r["doc_count"]) for r in rows] == [
+        (k_jan, 1), (_us("2024-02-01"), 0), (_us("2024-03-01"), 0),
+        (k_apr, 2),
+    ]
+    # extended_bounds (ISO strings) widen the span; stats rows untouched
+    rows = buckets_from_partials(
+        [p], None, interval="month", min_doc_count=0,
+        extended_bounds=("2023-12-05", "2024-05-20"),
+    )
+    assert rows[0]["key"] == _us("2023-12-01")
+    assert rows[-1] == {"key": _us("2024-05-01"), "doc_count": 0}
+    assert len(rows) == 6
+
+
+def test_range_buckets_rendering():
+    from elasticsearch_assets_ray.search.datehist import (
+        range_buckets_from_partials,
+    )
+
+    ranges = [(None, 5.0), (5.0, 20.0), (100.0, None)]
+    partials = [{0: (2, 7.0, 3.0, 4.0)}, {1: (1, 9.0, 9.0, 9.0)}]
+    rows = range_buckets_from_partials(partials, ranges, stats_on="dl")
+    # declaration order, empty ranges kept, ES-style keys
+    assert [r["key"] for r in rows] == ["*-5", "5-20", "100-*"]
+    assert rows[0]["doc_count"] == 2 and rows[0]["sum"] == 7.0
+    assert rows[2] == {"key": "100-*", "from": 100.0, "to": None,
+                       "doc_count": 0}
+
+
 def test_derived_meta_column_and_fingerprint(tmp_path, ray_session):
     """ts_from_int derives a timestamp docmeta column; changing the recipe
     changes the plan fingerprint (stale docmeta can never be reused)."""
@@ -170,6 +256,58 @@ def test_date_histogram_engines_agree(tmp_path, ray_session):
         assert eng.date_histogram("alpha", field="created_at") == \
             teng.date_histogram("alpha", field="created_at")
         assert eng.date_histogram("", field="created_at") == []
+
+        # zero-fill parity (+ extended bounds as ISO strings)
+        fa = eng.date_histogram(
+            "alpha beta", field="created_at", interval="month",
+            min_doc_count=0, extended_bounds=("2023-10-01", "2026-06-01"),
+        )
+        fb = teng.date_histogram(
+            "alpha beta", field="created_at", interval="month",
+            min_doc_count=0, extended_bounds=("2023-10-01", "2026-06-01"),
+        )
+        assert fa == fb
+        assert fa[0]["key"] == _us("2023-10-01")
+        assert fa[-1]["key"] == _us("2026-06-01")
+        ks = [r["key"] for r in fa]
+        assert len(ks) == 33 and any(r["doc_count"] == 0 for r in fa)
+
+        # range / date_range aggregation parity + brute-force oracle
+        date_ranges = [
+            {"to": "2024-06-01"},
+            {"from": "2024-06-01", "to": "2025-01-01"},
+            {"from": "2024-01-01"},  # overlaps both — docs double-count
+        ]
+        ra = eng.range_agg("alpha beta", field="created_at",
+                           ranges=date_ranges, stats_on="dl")
+        rb = teng.range_agg("alpha beta", field="created_at",
+                            ranges=date_ranges, stats_on="dl")
+        assert ra == rb
+        lo_jun = float(_us("2024-06-01"))
+        assert [r["key"] for r in ra] == [
+            f"*-{lo_jun:g}",
+            f"{lo_jun:g}-{float(_us('2025-01-01')):g}",
+            f"{float(_us('2024-01-01')):g}-*",
+        ]
+        # brute-force oracle over the derived timestamps
+        match = {
+            i for i, t in enumerate(texts) if {"alpha", "beta"} & set(t.split())
+        }
+        ts_us = (1704067200 + (np.arange(n) * 8647) % 63072000) * 1_000_000
+        for row in ra:
+            lo, hi = row["from"], row["to"]
+            want = sum(
+                1 for i in match
+                if (lo is None or ts_us[i] >= lo) and (hi is None or ts_us[i] < hi)
+            )
+            assert row["doc_count"] == want
+        # numeric field (plain ES range agg on dl), empty range kept
+        nr = [(2, 5), (5, None), (900, None)]
+        na = eng.range_agg("alpha beta", field="dl", ranges=nr)
+        nb = teng.range_agg("alpha beta", field="dl", ranges=nr)
+        assert na == nb
+        assert na[2]["doc_count"] == 0
+        assert na[0]["doc_count"] + na[1]["doc_count"] == len(match)
     finally:
         eng.shutdown()
         teng.shutdown()
