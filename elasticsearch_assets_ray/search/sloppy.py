@@ -153,6 +153,89 @@ def sloppy_freq_reference(slot_positions: list[list[int]], slop: int) -> float:
     return freq
 
 
+def lockstep_sloppy_freqs(
+    slot_pos: list[np.ndarray],
+    lo: np.ndarray,
+    hi: np.ndarray,
+    slop: int,
+) -> np.ndarray:
+    """Vectorized lockstep run of the sloppy matcher over MANY docs at
+    once — semantically identical to calling :func:`lucene_sloppy_freq`
+    per doc (parity-tested), but every docs' state machine advances in
+    the same numpy step, so the per-position cost is a few vector ops
+    instead of a Python heap iteration.
+
+    ``slot_pos[s]``: the slot's flattened position column (sorted within
+    each doc run); ``lo[d, s]`` / ``hi[d, s]``: that doc's half-open
+    index range into it.  Returns the per-doc float phrase frequency.
+
+    State per doc: current effective position per slot (``cur``), the
+    advancing slot (``ms``), the runner-up effective position
+    (``next_eff``), window ``end`` and current ``ml`` (matchLength).
+    Between overtake events only ``ms`` advances (exactly the scalar
+    algorithm), so the argmin/second-min reduce runs only on the docs
+    that emitted a match this step.
+    """
+    n, nslots = lo.shape
+    freq = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return freq
+    if nslots == 1:
+        return (hi[:, 0] - lo[:, 0]).astype(np.float64)
+    ptr = lo.astype(np.int64).copy()
+    hi = hi.astype(np.int64)
+    # cur[d, s] = effective position (pos - s) at the slot's front
+    cur = np.empty((n, nslots), dtype=np.int64)
+    for s in range(nslots):
+        cur[:, s] = slot_pos[s][ptr[:, s]] - s
+    end = cur.max(axis=1)
+    ms = cur.argmin(axis=1)  # first-min = lowest slot on ties (heap order)
+    part = np.partition(cur, 1, axis=1)
+    next_eff = part[:, 1]
+    ml = end - part[:, 0]
+    act = np.arange(n, dtype=np.int64)
+    while len(act):
+        msa = ms[act]
+        ptr[act, msa] += 1
+        exhausted = ptr[act, msa] >= hi[act, msa]
+        done = act[exhausted]
+        if len(done):
+            mld = ml[done]
+            ok = mld <= slop
+            d_ok = done[ok]
+            freq[d_ok] += 1.0 / (1.0 + mld[ok])
+        act = act[~exhausted]
+        if len(act) == 0:
+            break
+        msa = ms[act]
+        new_eff = np.empty(len(act), dtype=np.int64)
+        for s in range(nslots):
+            m = msa == s
+            if m.any():
+                rows = act[m]
+                new_eff[m] = slot_pos[s][ptr[rows, s]] - s
+        cur[act, msa] = new_eff
+        end[act] = np.maximum(end[act], new_eff)
+        ov = new_eff > next_eff[act]
+        nv = act[~ov]
+        if len(nv):
+            ml[nv] = np.minimum(ml[nv], end[nv] - new_eff[~ov])
+        od = act[ov]
+        if len(od):
+            # the minimum overtook the runner-up: emit the alignment,
+            # then re-reduce min / second-min from the updated fronts
+            mlo = ml[od]
+            ok = mlo <= slop
+            o_ok = od[ok]
+            freq[o_ok] += 1.0 / (1.0 + mlo[ok])
+            c = cur[od]
+            ms[od] = c.argmin(axis=1)
+            p2 = np.partition(c, 1, axis=1)
+            next_eff[od] = p2[:, 1]
+            ml[od] = end[od] - p2[:, 0]
+    return freq
+
+
 def sloppy_freqs_for_candidates(
     slot_docs: list[np.ndarray],
     slot_pos: list[np.ndarray],
@@ -166,9 +249,10 @@ def sloppy_freqs_for_candidates(
     (Lucene's conjunction approximation; the matcher then decides).
     Returns (docs, float tfs) with zero-tf docs dropped.
 
-    The matcher itself is sequential per doc (Lucene's is too); the
-    candidate set is the all-terms conjunction, so the loop runs over
-    docs that contain every phrase term, not over posting mass.
+    The matchers run in one vectorized lockstep pass over all candidate
+    docs (:func:`lockstep_sloppy_freqs`); the candidate set is the
+    all-terms conjunction, so work scales with docs that contain every
+    phrase term, not posting mass.
     """
     cands = None
     for d in slot_docs:
@@ -176,18 +260,12 @@ def sloppy_freqs_for_candidates(
         cands = u if cands is None else cands[np.isin(cands, u, assume_unique=True)]
         if len(cands) == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-    out_d: list[int] = []
-    out_f: list[float] = []
-    # per-slot range lookup: positions of doc d = slice between the
-    # searchsorted bounds of d in the slot's doc column
-    for d in cands.tolist():
-        slots = []
-        for docs, pos in zip(slot_docs, slot_pos):
-            lo = int(np.searchsorted(docs, d, side="left"))
-            hi = int(np.searchsorted(docs, d, side="right"))
-            slots.append(pos[lo:hi])
-        f = lucene_sloppy_freq(slots, slop)
-        if f > 0.0:
-            out_d.append(int(d))
-            out_f.append(f)
-    return np.array(out_d, dtype=np.int64), np.array(out_f, dtype=np.float64)
+    nslots = len(slot_docs)
+    lo = np.empty((len(cands), nslots), dtype=np.int64)
+    hi = np.empty((len(cands), nslots), dtype=np.int64)
+    for s, docs in enumerate(slot_docs):
+        lo[:, s] = np.searchsorted(docs, cands, side="left")
+        hi[:, s] = np.searchsorted(docs, cands, side="right")
+    freqs = lockstep_sloppy_freqs(slot_pos, lo, hi, slop)
+    keep = freqs > 0.0
+    return cands[keep].astype(np.int64), freqs[keep]

@@ -58,6 +58,47 @@ def test_matcher_matches_reference_on_random_docs():
         assert got == pytest.approx(want), (slots, slop)
 
 
+def test_lockstep_matches_scalar_on_random_batches():
+    """The vectorized lockstep engine ≡ the per-doc heap matcher on
+    random multi-doc batches (skewed position counts, docs missing from
+    some slots, duplicate effective positions)."""
+    from elasticsearch_assets_ray.search.sloppy import (
+        sloppy_freqs_for_candidates,
+    )
+
+    rng = np.random.default_rng(37)
+    for trial in range(60):
+        nslots = int(rng.integers(2, 5))
+        ndocs = int(rng.integers(1, 40))
+        slot_docs, slot_pos = [], []
+        per_doc: dict[int, list[np.ndarray]] = {
+            d: [np.empty(0, np.int64)] * nslots for d in range(ndocs)
+        }
+        for s in range(nslots):
+            ds, ps = [], []
+            for d in range(ndocs):
+                # skew: occasional hot doc with many positions
+                npos = int(rng.integers(0, 40 if rng.random() < 0.1 else 6))
+                if npos == 0:
+                    continue
+                pos = np.unique(rng.integers(0, 60, npos)).astype(np.int64)
+                per_doc[d][s] = pos
+                ds += [d] * len(pos)
+                ps += pos.tolist()
+            slot_docs.append(np.array(ds, dtype=np.int64))
+            slot_pos.append(np.array(ps, dtype=np.int64))
+        slop = int(rng.integers(0, 8))
+        docs, tfs = sloppy_freqs_for_candidates(slot_docs, slot_pos, slop)
+        got = dict(zip(docs.tolist(), tfs.tolist()))
+        for d in range(ndocs):
+            slots = per_doc[d]
+            want = (
+                0.0 if any(len(p) == 0 for p in slots)
+                else lucene_sloppy_freq(slots, slop)
+            )
+            assert got.get(d, 0.0) == pytest.approx(want), (trial, d, slop)
+
+
 def test_candidates_helper():
     # doc 5 contains both, doc 7 only slot 0
     d0 = np.array([5, 5, 7], dtype=np.int64)
