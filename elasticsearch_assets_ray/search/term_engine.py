@@ -68,6 +68,29 @@ WAND_AUTO_MAX_DENSITY = 0.001
 _ABSENT = ("__absent__",)  # negative-cache sentinel for unknown terms
 
 
+def subset_positions(
+    ids: np.ndarray, tfs: np.ndarray, pos: np.ndarray, cand: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Restrict a positional posting — ``ids`` (sorted doc ids), ``tfs``
+    (doc-aligned), ``pos`` (flat, doc-run-concatenated) — to the docs in
+    sorted ``cand``: the doc-conjunction gate's segment gather, shared by
+    the coordinator fast path and the remote-side subset fetch."""
+    es = np.nonzero(np.isin(ids, cand, assume_unique=True))[0]
+    if len(es) == len(ids):
+        return ids, tfs, pos
+    tf64 = tfs.astype(np.int64)
+    tfcum = np.concatenate([[0], np.cumsum(tf64)])
+    seg_lens = tf64[es]
+    seg_starts = tfcum[:-1][es]
+    cum = np.cumsum(seg_lens)
+    total = int(cum[-1]) if len(cum) else 0
+    intra = np.arange(total, dtype=np.int64) - np.repeat(
+        cum - seg_lens, seg_lens
+    )
+    pos_sub = pos[np.repeat(seg_starts, seg_lens) + intra]
+    return ids[es], tfs[es], pos_sub
+
+
 def _load_meta(global_dir: str | Path) -> dict:
     p = Path(global_dir) / "_globalmeta.json"
     if not p.exists():
@@ -398,6 +421,63 @@ class _BucketCore:
             out[t] = v + self.positions[t]
         return out
 
+    def position_mass(self, terms: list[str]) -> dict:
+        """term → total stored positions (Σ tf — the positional wire
+        cost of a full fetch), O(1) per term.  Feeds the coordinator's
+        phrase-gate decision; terms without a sidecar are absent."""
+        out = {}
+        for t in terms:
+            v = self.positions.get(t)
+            if v is not None:
+                out[t] = int(len(v[1]))
+        return out
+
+    def fetch_dls_subset(
+        self, term: str, docs: np.ndarray
+    ) -> np.ndarray | None:
+        """Per-doc lengths for sorted ``docs``, served from the term's
+        retained per-posting dl column (the dls-v2 invariant) — every
+        requested doc must sit in the term's posting list (phrase-matched
+        docs always do).  None ⇔ this layout retains no dls (v1) or a
+        doc is missing — callers fall back to docstore hydration."""
+        v = self.terms.get(term)
+        dls = self.dls.get(term)
+        if v is None or dls is None:
+            return None
+        ids = v[0]
+        idx = np.searchsorted(ids, docs)
+        if (idx >= len(ids)).any() or (ids[np.minimum(idx, len(ids) - 1)]
+                                       != docs).any():
+            return None
+        return dls[idx].astype(np.float64)
+
+    def fetch_positions_subset(
+        self, terms: list[str], cand: np.ndarray
+    ) -> dict:
+        """Positional fetch gated REMOTE-SIDE by a candidate doc set:
+        only the postings of docs in sorted ``cand`` (the phrase terms'
+        doc conjunction, computed by the coordinator from the cheap
+        non-positional round) ship back.  Wire cost scales with the
+        conjunction, not the hot terms' full position mass.  Tuple shape
+        stays 7-wide so consumers index (tfs, positions) at [5]/[6];
+        norms/block fields are None — the phrase path never reads them."""
+        out = {}
+        for t in terms:
+            v = self.terms.get(t)
+            if v is None:
+                continue
+            if t not in self.positions:
+                raise RuntimeError(
+                    "global layout lacks the positional sidecar — rebuild "
+                    "merge_global_postings over a store_positions index"
+                )
+            tfs, pos = self.positions[t]
+            ids_sub, tfs_sub, pos_sub = subset_positions(
+                v[0], tfs, pos, cand
+            )
+            out[t] = (ids_sub, None, v[2], None, None, tfs_sub, pos_sub)
+        return out
+
 
 @ray.remote
 class TermBucketActor(_BucketCore):
@@ -505,6 +585,95 @@ class TermPartitionedEngine:
                 if old_v is not _ABSENT:
                     self._cache_postings -= _cost(old_v)
         return fetched
+
+    # remote-side phrase gate: ship position subsets instead of full
+    # streams when the doc conjunction is small relative to the uncached
+    # terms' posting mass (df as the proxy — positions-per-doc assumed
+    # comparable across the phrase terms)
+    PHRASE_GATE_FRAC = 0.5
+
+    def _fetch_phrase_postings(
+        self, terms: list[str]
+    ) -> tuple[dict, np.ndarray] | None:
+        """Positional postings for a phrase's (deduplicated, sorted)
+        terms, plus their doc conjunction.
+
+        Two rounds: the cheap non-positional fetch (coordinator-cached)
+        yields doc-id lists; the conjunction then gates the positional
+        round REMOTE-SIDE (:meth:`_BucketCore.fetch_positions_subset`) —
+        only surviving docs' position segments cross the wire.  Falls
+        back to the full positional fetch (which feeds the coordinator
+        cache) when the conjunction is large, or serves straight from
+        already-cached positional entries.  Bit-exact either way: the
+        coordinator's own doc-conjunction gate makes the subset a no-op
+        on results.  None ⇔ some term is absent (phrase can't match)."""
+        from ..index.global_merge import _term_bucket
+
+        base = self.fetch_terms(terms, positions=False)
+        if any(t not in base for t in terms):
+            return None
+        cand = None
+        for t in terms:
+            ids = base[t][0]
+            cand = ids if cand is None else cand[
+                np.isin(cand, ids, assume_unique=True)
+            ]
+            if len(cand) == 0:
+                return {}, cand
+        fetched: dict[str, tuple] = {}
+        uncached: list[str] = []
+        cache = getattr(self, "_term_cache", {})
+        for t in terms:
+            got = cache.get((t, True))
+            if got is not None and got is not _ABSENT:
+                fetched[t] = got
+            else:
+                uncached.append(t)
+        if uncached:
+            by_actor: dict[int, list[str]] = {}
+            for t in uncached:
+                a = self._actor_of_bucket[_term_bucket(t, self._n_buckets)]
+                by_actor.setdefault(a, []).append(t)
+            # exact per-term positional mass (Σ tf), O(1) actor-side,
+            # memoized — the wire cost a full positional fetch would pay
+            if not hasattr(self, "_mass_cache"):
+                self._mass_cache: dict[str, int] = {}
+            need_mass = {
+                a: [t for t in ts if t not in self._mass_cache]
+                for a, ts in by_actor.items()
+            }
+            futs = [
+                self.actors[a].position_mass.remote(ts)
+                for a, ts in need_mass.items() if ts
+            ]
+            for part in ray.get(futs):
+                self._mass_cache.update(part)
+            mass = {t: self._mass_cache.get(t, 0) for t in uncached}
+            full_cost = sum(
+                int(base[t][2]) + mass[t] for t in uncached
+            )
+            gated_cost = sum(
+                len(cand) * (1 + mass[t] / max(int(base[t][2]), 1))
+                for t in uncached
+            )
+            # prefer the full fetch while it still FITS the coordinator
+            # cache (pays the wire once, repeats are free); gate only
+            # when the mass would blow the budget AND the conjunction's
+            # expected segment mass is materially smaller
+            fits_cache = full_cost <= self.CACHE_MAX_POSTINGS
+            if (not fits_cache
+                    and gated_cost < self.PHRASE_GATE_FRAC * full_cost):
+                futs = [
+                    self.actors[a].fetch_positions_subset.remote(ts, cand)
+                    for a, ts in by_actor.items()
+                ]
+                for part in ray.get(futs):
+                    fetched.update(part)
+            else:
+                fetched.update(self.fetch_terms(uncached, positions=True))
+        if any(t not in fetched for t in terms):
+            return None
+        return fetched, cand
 
     # ------------------------------------------------------------- scoring
 
@@ -1095,8 +1264,14 @@ class TermPartitionedEngine:
             toks = list(phrase)
         if not toks:
             return []
-        fetched = self.fetch_terms(sorted(set(toks)), positions=True)
-        if any(t not in fetched for t in toks):
+        # position-skip doc gating (see ShardData.phrase_topk), applied
+        # REMOTE-SIDE when the conjunction is selective: only candidate
+        # docs' position segments ship from the bucket actors
+        got = self._fetch_phrase_postings(sorted(set(toks)))
+        if got is None:
+            return []
+        fetched, cand_docs = got
+        if len(cand_docs) == 0:
             return []
         idf_sum = 0.0
         for t in toks:  # WITH repeats — Lucene PhraseWeight
@@ -1104,20 +1279,9 @@ class TermPartitionedEngine:
             idf_sum += math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
 
         shift = np.int64(self._POS_BITS)
-
-        # position-skip doc gating (see ShardData.phrase_topk): expand
-        # position streams only for docs containing EVERY phrase term
-        cand_docs = None
-        for t in sorted(set(toks)):
-            ids = fetched[t][0]
-            if cand_docs is None:
-                cand_docs = ids
-            else:
-                cand_docs = cand_docs[
-                    np.isin(cand_docs, ids, assume_unique=True)
-                ]
-            if len(cand_docs) == 0:
-                return []
+        # matched docs sit in every phrase term's posting list — route
+        # the dl gather to the RAREST term's actor (smallest base)
+        dl_term = min(set(toks), key=lambda t: int(fetched[t][2]))
 
         def slot_keys(t: str, seq: int) -> np.ndarray:
             ids, _norms, _df, _bl, _bm, tfs, pos = fetched[t]
@@ -1163,7 +1327,8 @@ class TermPartitionedEngine:
             hd, pf = sloppy_freqs_for_candidates(slot_docs, slot_pos, slop)
             if len(hd) == 0:
                 return []
-            return self._phrase_score_tail(hd, pf, idf_sum, k)
+            return self._phrase_score_tail(hd, pf, idf_sum, k,
+                                           dl_term=dl_term)
 
         if slop > 0:
             # ordered sloppy matching — the shard engine's greedy minimal
@@ -1196,25 +1361,42 @@ class TermPartitionedEngine:
         if len(cur) == 0:
             return []
         hd, pf_c = np.unique(cur >> shift, return_counts=True)
-        return self._phrase_score_tail(hd, pf_c.astype(np.float64), idf_sum, k)
+        return self._phrase_score_tail(hd, pf_c.astype(np.float64), idf_sum, k,
+                                       dl_term=dl_term)
 
     def _phrase_score_tail(
-        self, hd: np.ndarray, pf: np.ndarray, idf_sum: float, k: int
+        self, hd: np.ndarray, pf: np.ndarray, idf_sum: float, k: int,
+        dl_term: str | None = None,
     ) -> list[tuple[int, float]]:
-        """BM25 over phrase frequencies (int or sloppy-float): doc lengths
-        hydrate for MATCHED docs only via the source index's docmeta
-        point reads (the Lucene norms-file analogue)."""
-        from ..state.docstore import DocStore
+        """BM25 over phrase frequencies (int or sloppy-float).  Doc
+        lengths for the MATCHED docs come from ``dl_term``'s retained
+        per-posting dl column on its owning bucket actor (matched docs ⊆
+        every phrase term's posting list — one subset gather, no file
+        I/O); layouts without retained dls fall back to the source
+        index's docmeta point reads (the Lucene norms-file analogue)."""
+        from ..index.global_merge import _term_bucket
 
-        if not hasattr(self, "_dl_store"):
-            src = self.meta.get("source_index")
-            if not src:
-                raise RuntimeError(
-                    "global layout predates source_index metadata — rebuild "
-                    "merge_global_postings for phrase serving"
-                )
-            self._dl_store = DocStore(src, columns=["doc_id", "dl"])
-        dl = self._dl_store.mget(hd).column("dl").to_numpy().astype(np.float64)
+        dl = None
+        if dl_term is not None:
+            a = self._actor_of_bucket[_term_bucket(dl_term, self._n_buckets)]
+            dl = ray.get(
+                self.actors[a].fetch_dls_subset.remote(dl_term, hd)
+            )
+        if dl is None:
+            from ..state.docstore import DocStore
+
+            if not hasattr(self, "_dl_store"):
+                src = self.meta.get("source_index")
+                if not src:
+                    raise RuntimeError(
+                        "global layout predates source_index metadata — "
+                        "rebuild merge_global_postings for phrase serving"
+                    )
+                self._dl_store = DocStore(src, columns=["doc_id", "dl"])
+            dl = (
+                self._dl_store.mget(hd).column("dl").to_numpy()
+                .astype(np.float64)
+            )
         k1, b = float(self.meta["k1"]), float(self.meta["b"])
         avgdl = float(self.meta["avgdl"])
         scores = idf_sum * pf * (k1 + 1.0) / (

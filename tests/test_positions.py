@@ -517,6 +517,50 @@ def test_global_phrase_matches_doc_engine(pos_index, tmp_path):
         deng.shutdown()
 
 
+def test_global_phrase_remote_gate_bit_exact(pos_index, tmp_path):
+    """Forcing the REMOTE-side doc-conjunction gate (cache budget 0 ⇒
+    nothing 'fits', every positional fetch ships candidate subsets) must
+    leave every phrase mode rank+score identical — the gate is a pure
+    wire optimization.  Also covers the dls-subset dl gather and its
+    docstore fallback."""
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    out = tmp_path / "global_gate"
+    merge_global_postings(pos_index.index_dir, out, n_salts=3, n_buckets=4,
+                          store_norms=True)
+    full = TermPartitionedEngine(out, num_actors=2)
+    gated = TermPartitionedEngine(out, num_actors=2)
+    gated.CACHE_MAX_POSTINGS = 0  # instance override: never fits_cache
+    gated.PHRASE_GATE_FRAC = 10.0  # any conjunction gates
+    try:
+        for phrase in ["def merge", "return data", "import import",
+                       "merge segment block", "zz qq"]:
+            for kw in ({}, {"slop": 2}, {"slop": 2, "slop_mode": "lucene"}):
+                if "import import" == phrase and kw.get("slop_mode") == "lucene":
+                    continue  # repeats rejected in lucene mode
+                a = full.search_phrase(phrase, k=1000, **kw)
+                b = gated.search_phrase(phrase, k=1000, **kw)
+                assert a == b, (phrase, kw)
+        # repeat query: gated path re-fetches subsets (nothing cached) —
+        # still identical
+        assert gated.search_phrase("def merge", k=10) == \
+            full.search_phrase("def merge", k=10)
+        # dl fallback path (no dl_term) still serves
+        hd = np.array([d for d, _ in full.search_phrase("def merge", k=5)])
+        if len(hd):
+            tail_a = full._phrase_score_tail(
+                np.sort(hd), np.ones(len(hd)), 1.0, 5, dl_term=None
+            )
+            tail_b = full._phrase_score_tail(
+                np.sort(hd), np.ones(len(hd)), 1.0, 5, dl_term="def"
+            )
+            assert tail_a == tail_b
+    finally:
+        full.shutdown()
+        gated.shutdown()
+
+
 def test_global_phrase_requires_positional_layout(small_index, tmp_path):
     from elasticsearch_assets_ray.index.global_merge import merge_global_postings
     from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
