@@ -54,22 +54,77 @@ from .codec import decode_postings_many, encode_postings_many
 HOT_DF_FRACTION = 0.10  # df above this fraction of the corpus → salted
 
 
-def _term_bucket(term: str, n_buckets: int) -> int:
+# FNV-1a 64-bit — the DEFAULT bucket hash for new layouts: fully
+# vectorizable (column-wise numpy over the Arrow string buffer, no
+# per-term Python even for distinct terms) and library-version-stable
+# (defined here, not borrowed from a hash library whose seed could
+# drift).  Persisted layouts record their hash in ``term_hash``; md5
+# remains the read path for layouts that predate the key.
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_U64_MASK = 0xFFFFFFFFFFFFFFFF
+
+
+def _fnv1a64(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for c in data:
+        h = ((h ^ c) * 0x100000001B3) & _U64_MASK
+    return h
+
+
+def _term_bucket(term: str, n_buckets: int, algo: str = "md5") -> int:
+    if algo == "fnv1a64":
+        return _fnv1a64(term.encode()) % n_buckets
     return int.from_bytes(hashlib.md5(term.encode()).digest()[:4], "little") % n_buckets
 
 
+def _fnv1a64_vec(arr: pa.Array) -> np.ndarray:
+    """FNV-1a 64 of every string in an Arrow utf8 array, vectorized
+    column-wise over the value buffer: max_len passes (token clip bounds
+    it at 64), each a numpy xor-multiply over all remaining terms."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if arr.null_count:
+        raise ValueError("term column must not contain nulls")
+    arr = arr.cast(pa.large_utf8())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                         count=n + 1, offset=arr.offset * 8)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts = offs[:-1]
+    lens = (offs[1:] - starts).astype(np.int64)
+    h = np.full(n, _FNV_OFF, dtype=np.uint64)
+    if lens.max(initial=0) == 0:
+        return h
+    alive = np.nonzero(lens > 0)[0]
+    j = 0
+    with np.errstate(over="ignore"):  # uint64 wrap IS the algorithm
+        while len(alive):
+            c = data[starts[alive] + j].astype(np.uint64)
+            h[alive] = (h[alive] ^ c) * _FNV_PRIME
+            j += 1
+            alive = alive[lens[alive] > j]
+    return h
+
+
 def _term_buckets_vec(term_col: "pa.Array | pa.ChunkedArray",
-                      n_buckets: int) -> np.ndarray:
-    """Vectorized ``_term_bucket`` over a string column: md5 once per
-    DISTINCT term (dictionary-encode + gather), never per row."""
+                      n_buckets: int, algo: str = "md5") -> np.ndarray:
+    """Vectorized ``_term_bucket`` over a string column.  fnv1a64 hashes
+    the distinct dictionary with pure numpy (no per-term Python at all);
+    md5 (pre-``term_hash`` layouts) keeps the per-DISTINCT-term loop."""
     if isinstance(term_col, pa.ChunkedArray):
         term_col = term_col.combine_chunks()
     enc = term_col.dictionary_encode()
-    dict_terms = enc.dictionary.to_pylist()
-    db = np.fromiter(
-        (_term_bucket(t, n_buckets) for t in dict_terms),
-        np.int32, len(dict_terms),
-    )
+    if algo == "fnv1a64":
+        db = (_fnv1a64_vec(enc.dictionary) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+    else:
+        dict_terms = enc.dictionary.to_pylist()
+        db = np.fromiter(
+            (_term_bucket(t, n_buckets) for t in dict_terms),
+            np.int32, len(dict_terms),
+        )
     return db[enc.indices.to_numpy()]
 
 
@@ -85,6 +140,7 @@ def merge_global_postings(
     _append_only_shards: list[int] | None = None,
     _append_hot_terms: list[str] | None = None,
     _append_gen_dir: str | Path | None = None,
+    _append_term_hash: str | None = None,
 ):
     """Doc-range segments → term-partitioned global index.
 
@@ -231,6 +287,13 @@ def merge_global_postings(
     from ..ops import to_arrow
 
     hot_cut = hot_df_fraction * info.stats.num_docs
+    # bucket routing is a PERSISTED layout contract: fresh merges take
+    # the vectorized default; appends must reuse the layout's recorded
+    # hash or new parts would land in the wrong buckets
+    term_hash = (
+        (_append_term_hash or "md5") if _append_gen_dir is not None
+        else "fnv1a64"
+    )
 
     def partial_df(batch: pa.Table) -> pa.Table:
         term = batch.column("term").combine_chunks()
@@ -244,7 +307,12 @@ def merge_global_postings(
             {
                 "term": enc.dictionary,
                 "df": pa.array(df),
-                "dfb": pa.array(_term_buckets_vec(enc.dictionary, 64), pa.int32()),
+                # transient exchange key (never persisted) — always the
+                # vectorized hash regardless of the layout's term_hash
+                "dfb": pa.array(
+                    _term_buckets_vec(enc.dictionary, 64, "fnv1a64"),
+                    pa.int32(),
+                ),
             }
         )
 
@@ -292,7 +360,9 @@ def merge_global_postings(
         salt = np.where(mask, shards % n_salts, -1).astype(np.int32)
         batch = batch.append_column("salt", pa.array(salt, pa.int32()))
         return batch.append_column(
-            "bucket", pa.array(_term_buckets_vec(term, n_buckets), pa.int32())
+            "bucket",
+            pa.array(_term_buckets_vec(term, n_buckets, term_hash),
+                     pa.int32()),
         )
 
     def merge_bucket(g: pa.Table) -> pa.Table:
@@ -355,6 +425,7 @@ def merge_global_postings(
     merged.write_parquet(str(out_dir), partition_cols=["bucket"])
     meta = {
         "layout_version": 2,  # v2: per-posting dls, norms derived at load
+        "term_hash": term_hash,
         "n_salts": n_salts,
         "n_buckets": n_buckets,
         "hot_df_fraction": hot_df_fraction,
@@ -472,6 +543,7 @@ def append_global_postings(index_dir: str | Path, global_dir: str | Path):
         _append_only_shards=new_shards,
         _append_hot_terms=list(meta.get("hot_terms", [])),
         _append_gen_dir=out_dir / gen_name,
+        _append_term_hash=meta.get("term_hash", "md5"),
     )
     # commit: ONE atomic meta replace makes the generation visible
     meta["generations"] = sorted(committed | {gen_name})
@@ -597,11 +669,17 @@ def read_term_postings(global_dir: str | Path, term: str,
 
     from .codec import decode_postings
 
-    b = _term_bucket(term, n_buckets)
     try:
-        paths = _bucket_paths(global_dir, b)
+        meta = _load_globalmeta(global_dir)
     except FileNotFoundError:
-        # layouts without meta (norms-less merges in tests): base only
+        meta = None
+    algo = (meta or {}).get("term_hash", "fnv1a64" if meta is None else "md5")
+    b = _term_bucket(term, n_buckets, algo)
+    if meta is not None:
+        paths = _bucket_paths(global_dir, b, meta)
+    else:
+        # layouts without meta (norms-less merges in tests): base only,
+        # written by a fresh merge ⇒ the vectorized default hash
         paths = [str(Path(global_dir) / f"bucket={b}")]
     # a list of DIRS needs the union-of-datasets form
     dset = pds.dataset([pds.dataset(p) for p in paths])

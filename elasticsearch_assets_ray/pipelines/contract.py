@@ -189,7 +189,10 @@ def q_term_stats(sf_dir: str) -> pa.Table:
                 "term": term_arr,
                 "df": pa.array(df),
                 "cf": pa.array(cf),
-                "tb": pa.array(_term_buckets_vec(term_arr, 64), pa.int32()),
+                # transient exchange key — the vectorized hash
+                "tb": pa.array(
+                    _term_buckets_vec(term_arr, 64, "fnv1a64"), pa.int32()
+                ),
             }
         )
 

@@ -521,6 +521,9 @@ class TermPartitionedEngine:
             int(self.meta.get("max_token_len", 64)),
         )
         self._n_buckets = n_buckets
+        # bucket routing must use the LAYOUT's recorded hash (fnv1a64 on
+        # new merges; md5 on layouts predating the term_hash key)
+        self._term_hash = self.meta.get("term_hash", "md5")
 
     def _analyze(self, query: str) -> list[str]:
         return sorted(set(clip_tokens(self._analyzer(query), *self._clip)))
@@ -555,7 +558,7 @@ class TermPartitionedEngine:
         if missing:
             by_actor: dict[int, list[str]] = {}
             for t in missing:
-                a = self._actor_of_bucket[_term_bucket(t, self._n_buckets)]
+                a = self._actor_of_bucket[_term_bucket(t, self._n_buckets, self._term_hash)]
                 by_actor.setdefault(a, []).append(t)
             futs = [
                 self.actors[a].fetch.remote(ts, positions)
@@ -632,7 +635,7 @@ class TermPartitionedEngine:
         if uncached:
             by_actor: dict[int, list[str]] = {}
             for t in uncached:
-                a = self._actor_of_bucket[_term_bucket(t, self._n_buckets)]
+                a = self._actor_of_bucket[_term_bucket(t, self._n_buckets, self._term_hash)]
                 by_actor.setdefault(a, []).append(t)
             # exact per-term positional mass (Σ tf), O(1) actor-side,
             # memoized — the wire cost a full positional fetch would pay
@@ -867,7 +870,7 @@ class TermPartitionedEngine:
             return []
         by_actor: dict[int, list[str]] = {}
         for t in terms:
-            ai = self._actor_of_bucket[_term_bucket(t, self._n_buckets)]
+            ai = self._actor_of_bucket[_term_bucket(t, self._n_buckets, self._term_hash)]
             by_actor.setdefault(ai, []).append(t)
         parts = ray.get(
             [self.actors[a].match_docs.remote(ts, k)
@@ -931,7 +934,7 @@ class TermPartitionedEngine:
             return []
         by_actor: dict[int, list[str]] = {}
         for t in cand:
-            a = self._actor_of_bucket[_term_bucket(t, self._n_buckets)]
+            a = self._actor_of_bucket[_term_bucket(t, self._n_buckets, self._term_hash)]
             by_actor.setdefault(a, []).append(t)
         dfs: dict[str, int] = {}
         for part in ray.get(
@@ -1378,7 +1381,7 @@ class TermPartitionedEngine:
 
         dl = None
         if dl_term is not None:
-            a = self._actor_of_bucket[_term_bucket(dl_term, self._n_buckets)]
+            a = self._actor_of_bucket[_term_bucket(dl_term, self._n_buckets, self._term_hash)]
             dl = ray.get(
                 self.actors[a].fetch_dls_subset.remote(dl_term, hd)
             )

