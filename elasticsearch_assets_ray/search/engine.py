@@ -871,16 +871,18 @@ class ShardData:
             return np.unique(np.concatenate(parts))
 
         if slop > 0 and slop_mode == "lucene":
-            from .sloppy import check_no_repeats, sloppy_freqs_for_candidates
+            from .sloppy import repeat_groups_of, sloppy_freqs_for_candidates
 
-            check_no_repeats(slot_present)
+            rpt_groups = repeat_groups_of(slot_present)
             mask32 = np.int64((1 << 32) - 1)
             slot_docs, slot_pos = [], []
             for alts in slot_present:
                 keys = slot_keys(alts, 0)  # (doc<<32|pos), sorted unique
                 slot_docs.append((keys >> np.int64(32)).astype(np.int64))
                 slot_pos.append((keys & mask32).astype(np.int64))
-            hd, pf = sloppy_freqs_for_candidates(slot_docs, slot_pos, slop)
+            hd, pf = sloppy_freqs_for_candidates(
+                slot_docs, slot_pos, slop, repeat_groups=rpt_groups
+            )
             if len(hd):
                 live = ~self.deleted_mask[hd]
                 hd, pf = hd[live], pf[live]

@@ -38,9 +38,9 @@ import numpy as np
 
 
 def check_no_repeats(terms_per_slot: list) -> None:
-    """Reject phrases where one term occupies two slots (see module
-    docstring).  ``terms_per_slot``: one term or list of alternatives
-    per slot."""
+    """Reject phrases where one term occupies two slots (callers that
+    can't route repeats; the engines now route single-term repeats to
+    :func:`repeat_groups_of` + the repeats matcher instead)."""
     seen: set[str] = set()
     for alts in terms_per_slot:
         for t in [alts] if isinstance(alts, str) else alts:
@@ -51,6 +51,133 @@ def check_no_repeats(terms_per_slot: list) -> None:
                     "mode (slop_mode='ordered') for repeating phrases"
                 )
             seen.add(t)
+
+
+def repeat_groups_of(terms_per_slot: list) -> list[list[int]]:
+    """Repeat groups for Lucene sloppy matching: slots sharing a term
+    form one group (their matched token positions must be DISTINCT).
+    Single-term slots only — a repeated term among a slot's
+    ALTERNATIVES (Lucene's multi-term repeat machinery) still raises."""
+    by_term: dict[str, list[int]] = {}
+    for i, alts in enumerate(terms_per_slot):
+        ts = [alts] if isinstance(alts, str) else list(alts)
+        for t in ts:
+            by_term.setdefault(t, []).append(i)
+    groups = [v for v in by_term.values() if len(v) > 1]
+    if groups and any(
+        not isinstance(a, str) and len(a) > 1 for a in terms_per_slot
+    ):
+        raise ValueError(
+            "lucene slop mode supports repeats only for single-term "
+            "slots (multi-term repeat slots are Lucene's separate "
+            "machinery); use slop_mode='ordered'"
+        )
+    # merge overlapping groups (a slot can repeat several terms only in
+    # the multi-term case, excluded above — groups are disjoint here)
+    return groups
+
+
+def lucene_sloppy_freq_repeats(
+    slot_positions: list[np.ndarray],
+    slop: int,
+    repeat_groups: list[list[int]],
+) -> float:
+    """Sloppy phrase frequency of ONE document for phrases with REPEATED
+    terms — Lucene's SloppyPhraseMatcher collision handling, transcribed
+    from the published algorithm: slots of the same repeat group may
+    never occupy the same TOKEN position (``tpPos = eff + offset``); on
+    a collision the LESSER phrase position (by ``(eff, offset)``)
+    advances, repeatedly, until the group is collision-free — at init
+    and after every main-loop advance.  Emission and the
+    ``1/(1+matchLength)`` weighting are the standard matcher's.
+
+    The runner-up bound (``next``) deliberately stays STALE across
+    collision advances — the published algorithm refreshes it only at
+    emission boundaries, and that staleness is load-bearing: an advance
+    whose collision pass pushed the runner-up forward still emits the
+    pre-advance alignment against the OLD bound (e.g. "a a" over
+    "a a a" yields two matches precisely because of it).
+    """
+    nslots = len(slot_positions)
+    if any(len(p) == 0 for p in slot_positions):
+        return 0.0
+    effs = [np.asarray(p, dtype=np.int64) - i
+            for i, p in enumerate(slot_positions)]
+    if nslots == 1:
+        return float(len(effs[0]))
+    group_of = {}
+    for g in repeat_groups:
+        for i in g:
+            group_of[i] = g
+    ii = [0] * nslots
+    cur = [int(e[0]) for e in effs]
+    end = max(cur)
+
+    def tp(i: int) -> int:
+        return cur[i] + i
+
+    def collide(i: int) -> int | None:
+        for j in group_of.get(i, ()):
+            if j != i and tp(j) == tp(i):
+                return j
+        return None
+
+    def advance(i: int) -> bool:
+        nonlocal end
+        ii[i] += 1
+        if ii[i] >= len(effs[i]):
+            return False
+        cur[i] = int(effs[i][ii[i]])
+        if cur[i] > end:
+            end = cur[i]
+        return True
+
+    def advance_rpts(i: int) -> bool:
+        """Resolve collisions of slot ``i``'s group by advancing the
+        lesser of each colliding pair (False ⇔ a needed slot ran dry)."""
+        if i not in group_of:
+            return True
+        while (j := collide(i)) is not None:
+            a = i if (cur[i], i) < (cur[j], j) else j
+            if not advance(a):
+                return False
+            i = a
+        return True
+
+    # init: place fronts, then fix collisions slot-ascending
+    for i in range(nslots):
+        if not advance_rpts(i):
+            return 0.0
+
+    def min_slot() -> int:
+        m = 0
+        for s in range(1, nslots):
+            if (cur[s], s) < (cur[m], m):
+                m = s
+        return m
+
+    freq = 0.0
+    ms = min_slot()
+    match_length = end - cur[ms]
+    next_eff = min(cur[s] for s in range(nslots) if s != ms)
+    while True:
+        if not advance(ms):
+            break
+        if not advance_rpts(ms):
+            break
+        if cur[ms] > next_eff:
+            if match_length <= slop:
+                freq += 1.0 / (1 + match_length)
+            ms = min_slot()
+            next_eff = min(cur[s] for s in range(nslots) if s != ms)
+            match_length = end - cur[ms]
+        else:
+            ml2 = end - cur[ms]
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq += 1.0 / (1 + match_length)
+    return freq
 
 
 def lucene_sloppy_freq(slot_positions: list[np.ndarray], slop: int) -> float:
@@ -240,6 +367,7 @@ def sloppy_freqs_for_candidates(
     slot_docs: list[np.ndarray],
     slot_pos: list[np.ndarray],
     slop: int,
+    repeat_groups: list[list[int]] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-candidate phrase frequencies.
 
@@ -266,6 +394,19 @@ def sloppy_freqs_for_candidates(
     for s, docs in enumerate(slot_docs):
         lo[:, s] = np.searchsorted(docs, cands, side="left")
         hi[:, s] = np.searchsorted(docs, cands, side="right")
+    if repeat_groups:
+        # repeats slow path: the collision machine is stateful per doc
+        # (Lucene walks it doc-at-a-time too); candidates are still the
+        # all-slots conjunction
+        out_d, out_f = [], []
+        for r, d in enumerate(cands.tolist()):
+            slots = [slot_pos[s][lo[r, s]:hi[r, s]] for s in range(nslots)]
+            f = lucene_sloppy_freq_repeats(slots, slop, repeat_groups)
+            if f > 0.0:
+                out_d.append(int(d))
+                out_f.append(f)
+        return (np.array(out_d, dtype=np.int64),
+                np.array(out_f, dtype=np.float64))
     freqs = lockstep_sloppy_freqs(slot_pos, lo, hi, slop)
     keep = freqs > 0.0
     return cands[keep].astype(np.int64), freqs[keep]

@@ -1319,15 +1319,17 @@ class TermPartitionedEngine:
             # Lucene SloppyPhraseMatcher semantics (reordering + weighted
             # sloppyFreq), shared matcher with the shard engine — parity
             # is structural (see search.sloppy)
-            from .sloppy import check_no_repeats, sloppy_freqs_for_candidates
+            from .sloppy import repeat_groups_of, sloppy_freqs_for_candidates
 
-            check_no_repeats(toks)
+            rpt_groups = repeat_groups_of(toks)
             slot_docs, slot_pos = [], []
             for t in toks:
                 ids, _n, _d, _bl, _bm, tfs, pos = fetched[t]
                 slot_docs.append(np.repeat(ids, tfs).astype(np.int64))
                 slot_pos.append(pos.astype(np.int64))
-            hd, pf = sloppy_freqs_for_candidates(slot_docs, slot_pos, slop)
+            hd, pf = sloppy_freqs_for_candidates(
+                slot_docs, slot_pos, slop, repeat_groups=rpt_groups
+            )
             if len(hd) == 0:
                 return []
             return self._phrase_score_tail(hd, pf, idf_sum, k,

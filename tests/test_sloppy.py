@@ -58,6 +58,39 @@ def test_matcher_matches_reference_on_random_docs():
         assert got == pytest.approx(want), (slots, slop)
 
 
+def test_repeats_matcher_hand_computed():
+    """Lucene repeat semantics: slots of one repeat group occupy DISTINCT
+    token positions; collisions advance the lesser phrase position."""
+    from elasticsearch_assets_ray.search.sloppy import (
+        lucene_sloppy_freq_repeats,
+        repeat_groups_of,
+    )
+
+    def f(slots, slop, groups):
+        return lucene_sloppy_freq_repeats(
+            [np.array(s, dtype=np.int64) for s in slots], slop, groups
+        )
+
+    # "a a" over doc "a a a": matches (0,1) and (1,2), both exact
+    assert f([[0, 1, 2], [0, 1, 2]], 0, [[0, 1]]) == pytest.approx(2.0)
+    # "a a" over a single-position doc: the two slots cannot take
+    # distinct positions → no match at ANY slop
+    for slop in range(6):
+        assert f([[3], [3]], slop, [[0, 1]]) == 0.0
+    # "data config data" over itself: one exact match
+    assert f([[0, 2], [1], [0, 2]], 0, [[0, 2]]) == pytest.approx(1.0)
+    # "a b a" over "a b" (one a): impossible
+    assert f([[0], [1], [0]], 4, [[0, 2]]) == 0.0
+    # "a b a" over "a b a a": ml-0 match plus a slopped one
+    got = f([[0, 2, 3], [1], [0, 2, 3]], 2, [[0, 2]])
+    assert got >= 1.0
+    # groups helper
+    assert repeat_groups_of(["data", "config", "data"]) == [[0, 2]]
+    assert repeat_groups_of(["a", "b"]) == []
+    with pytest.raises(ValueError):
+        repeat_groups_of([["a", "x"], "b", "a"])  # multi-term repeat slot
+
+
 def test_lockstep_matches_scalar_on_random_batches():
     """The vectorized lockstep engine ≡ the per-doc heap matcher on
     random multi-doc batches (skewed position counts, docs missing from
@@ -206,13 +239,43 @@ def test_lucene_slop_engines_and_semantics(slop_corpus, ray_session):
         sc = dict(eng.search_phrase("alpha beta", k=50, slop=2,
                                     slop_mode="lucene"))
         assert sc[exact_d] > sc[rev_d]
-        # repeated phrase terms raise in lucene mode, ordered still works
-        with pytest.raises(Exception):
-            eng.search_phrase("alpha beta alpha", k=5, slop=1,
-                              slop_mode="lucene")
-        assert isinstance(
-            eng.search_phrase("alpha beta alpha", k=5, slop=1), list
+        # repeated phrase terms: both engines serve identically and every
+        # hit matches the per-doc repeats matcher on its own text
+        from elasticsearch_assets_ray.search.sloppy import (
+            lucene_sloppy_freq_repeats,
         )
+
+        for phrase, slop in [("alpha beta alpha", 2), ("beta beta", 3),
+                             ("alpha beta alpha", 4)]:
+            ptoks = phrase.split()
+            ra = eng.search_phrase(phrase, k=100, slop=slop,
+                                   slop_mode="lucene")
+            rb = teng.search_phrase(phrase, k=100, slop=slop,
+                                    slop_mode="lucene")
+            assert ra == rb, (phrase, slop)
+            groups = [[i for i, t in enumerate(ptoks) if t == u]
+                      for u in dict.fromkeys(ptoks)
+                      if ptoks.count(u) > 1]
+            hit_docs = {d for d, _ in ra}
+            for d, text in enumerate(texts):
+                toks = text.split()
+                slots = [
+                    np.array([i for i, t in enumerate(toks) if t == pt],
+                             dtype=np.int64)
+                    for pt in ptoks
+                ]
+                want = (
+                    0.0 if any(len(s) == 0 for s in slots)
+                    else lucene_sloppy_freq_repeats(slots, slop, groups)
+                )
+                assert (want > 0) == (d in hit_docs), (phrase, slop, d)
+        # distinct-position law: "beta beta" can never match a
+        # single-beta doc, any slop
+        single = texts.index("alpha kappa beta")
+        assert single not in {
+            d for d, _ in eng.search_phrase("beta beta", k=200, slop=6,
+                                            slop_mode="lucene")
+        }
     finally:
         eng.shutdown()
         teng.shutdown()
