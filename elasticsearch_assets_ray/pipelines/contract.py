@@ -1503,6 +1503,145 @@ LEFT JOIN counts ON counts.query_id = series.query_id
 """
 
 
+# ES numeric ``histogram`` aggregation over the ``dl`` doc values
+# (interval 10, offset 0; stats sub-agg on dl) and ES ``cardinality``
+# (exact) of the ``source`` keyword column — per match query
+HISTO_CARD_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join"), (1, "customer order value"), (2, "table"),
+]
+HISTO_INTERVAL = 10.0
+
+
+def _q_histogram_agg(engine) -> pa.Table:
+    rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        for b in engine.histogram(
+            text, field="dl", interval=HISTO_INTERVAL, stats_on="dl"
+        ):
+            rows.append(
+                {
+                    "query_id": qid,
+                    "bucket_key": b["key"],
+                    "doc_count": b["doc_count"],
+                    "sum_dl": b["sum"],
+                    "min_dl": b["min"],
+                    "max_dl": b["max"],
+                    "avg_dl": b["avg"],
+                }
+            )
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_histogram_agg(sf_dir: str) -> pa.Table:
+    """ES numeric ``histogram`` aggregation (stats sub-agg) over each
+    query's match set, from per-shard doc values: one vectorized
+    floor-to-grid per shard, associative bucket merge."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_histogram_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_histogram_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME histogram served from the TERM-partitioned layout via
+    the source docmeta lineage (same SQL oracle)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_histogram_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_histogram_agg() -> str:
+    term_rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t)
+SELECT hit.query_id,
+       floor(dl.dl / {HISTO_INTERVAL}) * {HISTO_INTERVAL} AS bucket_key,
+       count(*)::BIGINT AS doc_count,
+       sum(dl.dl) AS sum_dl,
+       min(dl.dl) AS min_dl,
+       max(dl.dl) AS max_dl,
+       sum(dl.dl) / count(*) AS avg_dl
+FROM hit JOIN dl ON dl.doc_id = hit.doc_id
+GROUP BY 1, 2
+"""
+
+
+def _q_cardinality_agg(engine) -> pa.Table:
+    rows = [
+        {
+            "query_id": qid,
+            "n_distinct": int(engine.cardinality(text, field="source")),
+        }
+        for qid, text in HISTO_CARD_QUERIES
+    ]
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_cardinality_agg(sf_dir: str) -> pa.Table:
+    """ES ``cardinality`` aggregation (EXACT mode — per-shard distinct
+    value arrays union-merged; ``precision=p`` switches to HLL partials
+    for the 10^12-row path, accuracy-tested separately) over the
+    ``source`` keyword column of each query's match set."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_cardinality_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_cardinality_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME cardinality served from the TERM-partitioned layout (one
+    unique-array partial per touched docmeta partition group)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_cardinality_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_cardinality_agg() -> str:
+    term_rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t)
+SELECT hit.query_id,
+       count(DISTINCT d.source)::BIGINT AS n_distinct
+FROM hit JOIN documents d ON d.doc_id = hit.doc_id
+GROUP BY 1
+"""
+
+
 # timestamp range filter over a date-typed docmeta column:
 # (query_id, match text, (lo_iso, hi_iso)) — ES ``range`` filter on a
 # date field under ``bool.filter`` (bounds inclusive, like gte/lte)
@@ -3038,6 +3177,10 @@ def queries():
         "datehist_fill": q_datehist_fill,
         "range_agg": q_range_agg,
         "range_agg_global": q_range_agg_global,
+        "histogram_agg": q_histogram_agg,
+        "histogram_agg_global": q_histogram_agg_global,
+        "cardinality_agg": q_cardinality_agg,
+        "cardinality_agg_global": q_cardinality_agg_global,
         "ts_filter_search": q_ts_filter_search,
         "highlight_positions": q_highlight_positions,
         "highlight_positions_global": q_highlight_positions_global,
@@ -3100,6 +3243,10 @@ def oracle_sql():
         "datehist_fill": sql_datehist_fill(),
         "range_agg": sql_range_agg(),
         "range_agg_global": sql_range_agg(),
+        "histogram_agg": sql_histogram_agg(),
+        "histogram_agg_global": sql_histogram_agg(),
+        "cardinality_agg": sql_cardinality_agg(),
+        "cardinality_agg_global": sql_cardinality_agg(),
         "ts_filter_search": sql_ts_filter_search(),
         "highlight_positions": sql_highlight_positions(),
         "highlight_positions_global": sql_highlight_positions(),

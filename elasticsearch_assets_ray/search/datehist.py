@@ -221,6 +221,13 @@ def bucket_partial(
         return partial_over_groups(
             floor_interval_us(field_vals, arg), stats_vals
         )
+    if kind == "histogram":
+        # ES numeric histogram: key = floor((v - offset)/interval)
+        #                              * interval + offset
+        interval, offset = arg
+        v = field_vals.astype(np.float64)
+        keys = np.floor((v - offset) / interval) * interval + offset
+        return partial_over_groups(keys, stats_vals)
     if kind == "terms":
         return partial_over_groups(field_vals, stats_vals)
     if kind == "ranges":
@@ -269,11 +276,34 @@ def agg_partials_over_ids(
     the same partial in-actor from its resident doc values).  ``spec``
     picks the bucketing (see :func:`_bucket_fn`); work scales with
     matched docs + touched partitions, never corpus size."""
+    plan = _route_ids_to_partitions(index_dir, doc_ids)
+    if plan is None:
+        return []
+    paths, locals_ = plan
+    futs = [
+        _agg_partition_task.remote(
+            paths[i : i + partitions_per_task],
+            locals_[i : i + partitions_per_task],
+            field,
+            spec,
+            stats_col,
+        )
+        for i in range(0, len(paths), partitions_per_task)
+    ]
+    return list(ray.get(futs))
+
+
+def _route_ids_to_partitions(
+    index_dir: str | Path, doc_ids: np.ndarray
+) -> tuple[list[str], list[np.ndarray]] | None:
+    """Matched GLOBAL doc ids → (docmeta paths, partition-local offsets),
+    one entry per touched partition (contiguous doc-id ranges → one
+    searchsorted).  None ⇔ no ids."""
     from ..index.build import IndexInfo, docmeta_path
 
     ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
     if len(ids) == 0:
-        return []
+        return None
     info = IndexInfo(index_dir)
     parts = sorted(info.manifest.partitions, key=lambda p: p.doc_base)
     bases = np.array([p.doc_base for p in parts], dtype=np.int64)
@@ -290,13 +320,68 @@ def agg_partials_over_ids(
             raise ValueError(f"doc_id beyond partition {p.partition_id} range")
         paths.append(str(docmeta_path(index_dir, p.partition_id)))
         locals_.append(sel - p.doc_base)
+    return paths, locals_
+
+
+@ray.remote
+def _distinct_partition_task(
+    paths: list[str],
+    local_idx: list[np.ndarray],
+    field: str,
+    hll_p: int | None,
+) -> object:
+    """Distinct values of ``field`` over the matched rows of a partition
+    group: exact mode returns the (partition-local) unique value array;
+    approx mode returns HLL registers — the exchange is then 2^p bytes
+    per task regardless of cardinality (the ES ``cardinality`` agg's
+    design point)."""
+    if hll_p is not None:
+        from ..ops.sketch import HyperLogLog
+
+        h = HyperLogLog(p=hll_p)
+        for path, idx in zip(paths, local_idx):
+            t = pq.read_table(path, columns=[field])
+            col = t.column(field).combine_chunks()
+            h.add_many(col.take(pa.array(idx)).to_pylist())
+        return h.to_bytes()
+    parts = []
+    for path, idx in zip(paths, local_idx):
+        t = pq.read_table(path, columns=[field])
+        v = _load_meta_values(t.column(field))[idx]
+        # COUNT(DISTINCT) semantics: missing values contribute nothing
+        if v.dtype.kind == "f":
+            v = v[~np.isnan(v)]
+        elif v.dtype == object and len(v):
+            v = v[np.fromiter((x is not None for x in v), bool, len(v))]
+        parts.append(np.unique(v))
+    return (
+        np.unique(np.concatenate(parts)) if parts
+        else np.empty(0, np.float64)
+    )
+
+
+def distinct_partials_over_ids(
+    index_dir: str | Path,
+    doc_ids: np.ndarray,
+    field: str,
+    hll_p: int | None = None,
+    partitions_per_task: int = 16,
+) -> list:
+    """ES ``cardinality``-aggregation partials for an explicit matched
+    doc-id set over the source index's docmeta lineage — same routing as
+    :func:`agg_partials_over_ids`; exact partials are per-task unique
+    arrays (union-merged by the caller), approx partials are HLL
+    register blobs (OR-merged)."""
+    plan = _route_ids_to_partitions(index_dir, doc_ids)
+    if plan is None:
+        return []
+    paths, locals_ = plan
     futs = [
-        _agg_partition_task.remote(
-            paths[i : i + partitions_per_task],
-            locals_[i : i + partitions_per_task],
+        _distinct_partition_task.remote(
+            paths[i: i + partitions_per_task],
+            locals_[i: i + partitions_per_task],
             field,
-            spec,
-            stats_col,
+            hll_p,
         )
         for i in range(0, len(paths), partitions_per_task)
     ]
@@ -340,17 +425,35 @@ def buckets_from_partials(
     for p in partials:
         merge_agg_partials(merged, p)
     if min_doc_count == 0 and interval is not None:
-        bounds = [int(k) for k in merged]
-        if extended_bounds is not None:
-            lo, hi = (to_epoch_us_bound(b) for b in extended_bounds)
-            bounds += [int(lo), int(hi)]
-        if bounds:
-            for k in enumerate_bucket_keys(min(bounds), max(bounds), interval):
-                merged.setdefault(k, (0, None, None, None))
+        if isinstance(interval, tuple):
+            # numeric histogram: (interval, offset); fill keys step the
+            # same float grid the bucket kernel produced (exact for the
+            # integral/decimal-gridded intervals ES histograms use)
+            iv, off = interval
+            bounds = [float(k) for k in merged]
+            if extended_bounds is not None:
+                bounds += [float(b) for b in extended_bounds
+                           if b is not None]
+            if bounds:
+                lo_k = float(np.floor((min(bounds) - off) / iv) * iv + off)
+                n = int(round((np.floor((max(bounds) - off) / iv) * iv + off
+                               - lo_k) / iv))
+                for j in range(n + 1):
+                    merged.setdefault(lo_k + j * iv, (0, None, None, None))
+        else:
+            bounds = [int(k) for k in merged]
+            if extended_bounds is not None:
+                lo, hi = (to_epoch_us_bound(b) for b in extended_bounds)
+                bounds += [int(lo), int(hi)]
+            if bounds:
+                for k in enumerate_bucket_keys(min(bounds), max(bounds),
+                                               interval):
+                    merged.setdefault(k, (0, None, None, None))
     rows = []
+    numeric = isinstance(interval, tuple)
     for k in sorted(merged):
         c, s, lo, hi = merged[k]
-        row = {"key": int(k), "doc_count": int(c)}
+        row = {"key": float(k) if numeric else int(k), "doc_count": int(c)}
         if stats_on is not None and s is not None:
             row.update({"sum": s, "min": lo, "max": hi, "avg": s / c})
         rows.append(row)

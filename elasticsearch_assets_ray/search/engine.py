@@ -532,6 +532,74 @@ class ShardData:
             self.meta_col(field)[idxs], ("ranges", ranges), vals
         )
 
+    def agg_histogram(
+        self,
+        clauses: dict,
+        field: str,
+        interval: float,
+        offset: float = 0.0,
+        stats_col: str | None = None,
+    ) -> dict:
+        """Per-shard partial for an ES numeric ``histogram`` aggregation:
+        key = floor((v - offset)/interval)*interval + offset."""
+        from .datehist import bucket_partial
+
+        ok = self._bool_eligible(
+            sorted(set(clauses.get("must", []))),
+            sorted(set(clauses.get("should", []))),
+            sorted(set(clauses.get("must_not", []))),
+            sorted(set(clauses.get("filter", []))),
+            clauses.get("msm"),
+            clauses.get("meta_filters"),
+            clauses.get("range_filters"),
+            self._postings_idx_fn(),
+        )
+        idxs = np.nonzero(ok)[0]
+        if len(idxs) == 0:
+            return {}
+        vals = (
+            self.meta_col(stats_col)[idxs].astype(np.float64)
+            if stats_col is not None
+            else None
+        )
+        return bucket_partial(
+            self.meta_col(field)[idxs], ("histogram", (interval, offset)),
+            vals,
+        )
+
+    def agg_cardinality(
+        self, clauses: dict, field: str, hll_p: int | None = None
+    ) -> object:
+        """Per-shard partial for an ES ``cardinality`` aggregation over
+        the docs matching a bool query: exact mode returns the shard's
+        distinct value array (union-merged upstream); approx mode
+        returns HLL registers (2^p bytes regardless of cardinality)."""
+        ok = self._bool_eligible(
+            sorted(set(clauses.get("must", []))),
+            sorted(set(clauses.get("should", []))),
+            sorted(set(clauses.get("must_not", []))),
+            sorted(set(clauses.get("filter", []))),
+            clauses.get("msm"),
+            clauses.get("meta_filters"),
+            clauses.get("range_filters"),
+            self._postings_idx_fn(),
+        )
+        idxs = np.nonzero(ok)[0]
+        vals = self.meta_col(field)[idxs]
+        # COUNT(DISTINCT) semantics: missing values contribute nothing
+        if vals.dtype.kind == "f":
+            vals = vals[~np.isnan(vals)]
+        elif vals.dtype == object and len(vals):
+            vals = vals[np.fromiter((v is not None for v in vals), bool,
+                                    len(vals))]
+        if hll_p is not None:
+            from ..ops.sketch import HyperLogLog
+
+            h = HyperLogLog(p=hll_p)
+            h.add_many(vals.tolist())
+            return h.to_bytes()
+        return np.unique(vals)
+
     def expand_prefix(self, prefix: str, cap: int | None = None) -> list[str]:
         """Terms in this shard's (sorted) dictionary starting with
         ``prefix``, in term order — the Lucene per-segment prefix
@@ -1331,6 +1399,34 @@ class _ScorerCore:
             )
         return merged
 
+    def agg_histogram(
+        self, clauses: dict, field: str, interval: float,
+        offset: float = 0.0, stats_col: str | None = None,
+    ) -> dict:
+        merged: dict = {}
+        for s in self.shards:
+            merge_agg_partials(
+                merged,
+                s.agg_histogram(clauses, field, interval, offset, stats_col),
+            )
+        return merged
+
+    def agg_cardinality(
+        self, clauses: dict, field: str, hll_p: int | None = None
+    ) -> object:
+        if hll_p is not None:
+            from ..ops.sketch import HyperLogLog
+
+            h = HyperLogLog(p=hll_p)
+            for s in self.shards:
+                h.merge(HyperLogLog.from_bytes(
+                    s.agg_cardinality(clauses, field, hll_p)
+                ))
+            return h.to_bytes()
+        parts = [s.agg_cardinality(clauses, field) for s in self.shards]
+        parts = [p for p in parts if len(p)]
+        return np.unique(np.concatenate(parts)) if parts else np.empty(0)
+
     def bool_topk(
         self,
         queries: list[tuple[int, dict, int]],
@@ -1715,6 +1811,66 @@ class QueryEngine:
              for a in self.actors]
         )
         return range_buckets_from_partials(per_actor, norm, stats_on)
+
+    def histogram(
+        self,
+        query: str | list[str] | dict,
+        field: str,
+        interval: float,
+        offset: float = 0.0,
+        stats_on: str | None = None,
+        min_doc_count: int = 1,
+        extended_bounds: tuple | None = None,
+    ) -> list[dict]:
+        """ES numeric ``histogram`` aggregation (optional ``stats``
+        sub-agg) over ALL docs matching ``query``: bucket key =
+        ``floor((v - offset)/interval)*interval + offset``, buckets
+        key-ascending; ``min_doc_count=0`` fills empty buckets between
+        the span ends (``extended_bounds`` widens it) — all ES-exact."""
+        from .datehist import buckets_from_partials
+
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return []
+        per_actor = ray.get(
+            [a.agg_histogram.remote(clauses, field, float(interval),
+                                    float(offset), stats_on)
+             for a in self.actors]
+        )
+        return buckets_from_partials(
+            per_actor, stats_on, interval=(float(interval), float(offset)),
+            min_doc_count=min_doc_count, extended_bounds=extended_bounds,
+        )
+
+    def cardinality(
+        self,
+        query: str | list[str] | dict,
+        field: str,
+        precision: int | None = None,
+    ) -> float:
+        """ES ``cardinality`` aggregation over the docs matching
+        ``query``: distinct values of a doc-values column.  Default is
+        EXACT (per-shard unique arrays union-merged — fine for the
+        keyword-cardinality fields the agg is typically pointed at);
+        ``precision=p`` switches to HyperLogLog partials (2^p bytes per
+        shard regardless of cardinality — the 10^12-row path, estimate
+        within ~1.04/sqrt(2^p))."""
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return 0.0
+        parts = ray.get(
+            [a.agg_cardinality.remote(clauses, field, precision)
+             for a in self.actors]
+        )
+        if precision is not None:
+            from ..ops.sketch import HyperLogLog
+
+            h = HyperLogLog(p=precision)
+            for b in parts:
+                h.merge(HyperLogLog.from_bytes(b))
+            return float(h.estimate())
+        parts = [p for p in parts if len(p)]
+        return float(len(np.unique(np.concatenate(parts)))) if parts else 0.0
 
     def search_phrase_prefix(
         self, phrase: str | list[str], k: int = 10, max_expansions: int = 50

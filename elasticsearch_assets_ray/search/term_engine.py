@@ -1080,6 +1080,61 @@ class TermPartitionedEngine:
         )
         return range_buckets_from_partials(partials, norm, stats_on)
 
+    def histogram(
+        self,
+        query: str | list[str],
+        field: str,
+        interval: float,
+        offset: float = 0.0,
+        stats_on: str | None = None,
+        min_doc_count: int = 1,
+        extended_bounds: tuple | None = None,
+    ) -> list[dict]:
+        """ES numeric ``histogram`` served from the term-partitioned
+        layout — same buckets as :meth:`QueryEngine.histogram` (parity
+        tested); matched ids route to the source docmeta lineage."""
+        from .datehist import agg_partials_over_ids, buckets_from_partials
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return []
+        ids, src = got
+        partials = agg_partials_over_ids(
+            src, ids, field, ("histogram", (float(interval), float(offset))),
+            stats_on,
+        )
+        return buckets_from_partials(
+            partials, stats_on, interval=(float(interval), float(offset)),
+            min_doc_count=min_doc_count, extended_bounds=extended_bounds,
+        )
+
+    def cardinality(
+        self,
+        query: str | list[str],
+        field: str,
+        precision: int | None = None,
+    ) -> float:
+        """ES ``cardinality`` served from the term-partitioned layout:
+        matched ids route to the source docmeta lineage; exact partials
+        are per-task unique arrays, approx partials HLL registers (2^p
+        bytes per task — the scale path)."""
+        from .datehist import distinct_partials_over_ids
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return 0.0
+        ids, src = got
+        parts = distinct_partials_over_ids(src, ids, field, hll_p=precision)
+        if precision is not None:
+            from ..ops.sketch import HyperLogLog
+
+            h = HyperLogLog(p=precision)
+            for b in parts:
+                h.merge(HyperLogLog.from_bytes(b))
+            return float(h.estimate())
+        parts = [p for p in parts if len(p)]
+        return float(len(np.unique(np.concatenate(parts)))) if parts else 0.0
+
     def date_histogram(
         self,
         query: str | list[str],

@@ -308,6 +308,42 @@ def test_date_histogram_engines_agree(tmp_path, ray_session):
         assert na == nb
         assert na[2]["doc_count"] == 0
         assert na[0]["doc_count"] + na[1]["doc_count"] == len(match)
+
+        # numeric histogram parity + brute force (interval 2, offset 0.5)
+        ha = eng.histogram("alpha beta", field="dl", interval=2.0,
+                           offset=0.5, stats_on="dl")
+        hb = teng.histogram("alpha beta", field="dl", interval=2.0,
+                            offset=0.5, stats_on="dl")
+        assert ha == hb and ha
+        dls = {}  # doc -> dl (token count)
+        for i in match:
+            dls[i] = len(texts[i].split())
+        import collections
+
+        want_counts = collections.Counter(
+            np.floor((dls[i] - 0.5) / 2.0) * 2.0 + 0.5 for i in match
+        )
+        assert {r["key"]: r["doc_count"] for r in ha} == dict(want_counts)
+        assert sum(r["doc_count"] for r in ha) == len(match)
+        # zero-fill on the numeric grid
+        hf = eng.histogram("alpha beta", field="dl", interval=2.0,
+                           offset=0.5, min_doc_count=0)
+        keys = [r["key"] for r in hf]
+        assert keys == [keys[0] + 2.0 * j for j in range(len(keys))]
+        assert teng.histogram("alpha beta", field="dl", interval=2.0,
+                              offset=0.5, min_doc_count=0) == hf
+
+        # cardinality: exact == brute force, both engines; approx within
+        # HLL tolerance of exact
+        ca = eng.cardinality("alpha beta", field="dl")
+        cb = teng.cardinality("alpha beta", field="dl")
+        want_card = len({dls[i] for i in match})
+        assert ca == cb == want_card
+        ea = eng.cardinality("alpha beta", field="dl", precision=12)
+        eb = teng.cardinality("alpha beta", field="dl", precision=12)
+        assert abs(ea - want_card) <= max(2, 0.1 * want_card)
+        assert abs(eb - want_card) <= max(2, 0.1 * want_card)
+        assert ea == eb  # same deterministic sketch either route
     finally:
         eng.shutdown()
         teng.shutdown()
