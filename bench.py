@@ -169,6 +169,14 @@ def cmd_bench(sf_dir: str, num_cpus: int) -> None:
     from elasticsearch_assets_ray.pipelines import contract
     from elasticsearch_assets_ray.search.engine import QueryEngine
 
+    # flagship build throughput FIRST: measured after the 61-pipeline
+    # suite it read ~5x low (object-store pressure + co-tenant load the
+    # suite itself induces — r04 observed 43k vs 138-160k in a fresh
+    # session); protocol v2 times it on the fresh session, post-warmup
+    _build_synth_index(num_cpus)  # warmup (page cache + worker pool)
+    build_dps = _build_synth_index(num_cpus)
+    log(f"index build: {build_dps:.0f} docs/s")
+
     # cold start: drop the cached contract index so bm25_topk times a full
     # build + scoring run
     shutil.rmtree(contract.doc_index_dir(sf_dir), ignore_errors=True)
@@ -199,12 +207,12 @@ def cmd_bench(sf_dir: str, num_cpus: int) -> None:
         times[name] = round(time.perf_counter() - t0, 3)
         log(f"{name}: {times[name]}s")
 
-    # flagship numbers: synth-corpus build throughput + serving latency p50
-    _build_synth_index(num_cpus)  # warmup (page cache + worker pool)
-    build_dps = _build_synth_index(num_cpus)
-    log(f"index build: {build_dps:.0f} docs/s")
-
+    # serving latency p50 on a RESET Ray session: the suite leaves the
+    # object store pressured enough to double measured p50s (protocol v2)
+    ray.shutdown()
+    ray = _init_ray(num_cpus)
     eng = QueryEngine(contract.doc_index_dir(sf_dir), num_actors=4)
+    eng.search("warmup", k=5)  # actor construction + shard load
     lat = []
     qs = [q for _, q in contract.BM25_QUERIES] * 20
     for q in qs:  # serving path, one query per call
@@ -234,6 +242,7 @@ def cmd_bench(sf_dir: str, num_cpus: int) -> None:
                 "(cold index build + BM25 + dedup + kNN + stats + routing)",
                 "value": total,
                 "unit": "sec",
+                "bench_protocol": 2,
                 "queries": times,
                 "sf": sf,
                 "num_cpus": num_cpus,
