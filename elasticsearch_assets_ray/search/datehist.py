@@ -342,7 +342,14 @@ def _distinct_partition_task(
         for path, idx in zip(paths, local_idx):
             t = pq.read_table(path, columns=[field])
             col = t.column(field).combine_chunks()
-            h.add_many(col.take(pa.array(idx)).to_pylist())
+            vals = col.take(pa.array(idx)).to_pylist()
+            # COUNT(DISTINCT) semantics — drop missing values (None is
+            # filtered by add_many; NaN must not hash as a value, to
+            # match the exact branch and the doc-engine HLL path)
+            h.add_many([
+                v for v in vals
+                if not (isinstance(v, float) and v != v)
+            ])
         return h.to_bytes()
     parts = []
     for path, idx in zip(paths, local_idx):
@@ -426,25 +433,30 @@ def buckets_from_partials(
         merge_agg_partials(merged, p)
     if min_doc_count == 0 and interval is not None:
         if isinstance(interval, tuple):
-            # numeric histogram: (interval, offset); fill keys step the
-            # same float grid the bucket kernel produced (exact for the
-            # integral/decimal-gridded intervals ES histograms use)
+            # numeric histogram: (interval, offset).  Fill keys must be
+            # BIT-identical to the bucket kernel's floats, so they come
+            # from the SAME expression — float(j)*iv + off, j the integer
+            # bucket index (the kernel computes floor((v-off)/iv)*iv+off,
+            # and np.floor yields exactly float(j)); a lo_k + j*iv
+            # running sum drifts and mints phantom duplicate buckets
             iv, off = interval
-            bounds = [float(k) for k in merged]
+            # merged keys sit ON the grid — recover j by rounding;
+            # extended_bounds are arbitrary values — floor like the kernel
+            js = [int(round((float(k) - off) / iv)) for k in merged]
             if extended_bounds is not None:
-                bounds += [float(b) for b in extended_bounds
-                           if b is not None]
-            if bounds:
-                lo_k = float(np.floor((min(bounds) - off) / iv) * iv + off)
-                n = int(round((np.floor((max(bounds) - off) / iv) * iv + off
-                               - lo_k) / iv))
-                for j in range(n + 1):
-                    merged.setdefault(lo_k + j * iv, (0, None, None, None))
+                js += [int(np.floor((float(b) - off) / iv))
+                       for b in extended_bounds if b is not None]
+            if js:
+                for j in range(min(js), max(js) + 1):
+                    merged.setdefault(float(np.float64(j) * iv + off),
+                                      (0, None, None, None))
         else:
             bounds = [int(k) for k in merged]
             if extended_bounds is not None:
-                lo, hi = (to_epoch_us_bound(b) for b in extended_bounds)
-                bounds += [int(lo), int(hi)]
+                bounds += [
+                    int(to_epoch_us_bound(b)) for b in extended_bounds
+                    if b is not None
+                ]
             if bounds:
                 for k in enumerate_bucket_keys(min(bounds), max(bounds),
                                                interval):

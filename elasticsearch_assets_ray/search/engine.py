@@ -1768,7 +1768,13 @@ class QueryEngine:
 
         clauses = self._query_clauses(query)
         if clauses is None:
-            return []
+            # an empty/unanalyzable query matches nothing, but ES still
+            # zero-fills the extended_bounds span
+            return buckets_from_partials(
+                [], stats_on, interval=interval,
+                min_doc_count=min_doc_count,
+                extended_bounds=extended_bounds,
+            )
         per_actor = ray.get(
             [a.agg_date_histogram.remote(clauses, field, interval, stats_on)
              for a in self.actors]
@@ -1805,7 +1811,9 @@ class QueryEngine:
         ]
         clauses = self._query_clauses(query)
         if clauses is None:
-            return []
+            # ES emits every declared range (doc_count 0) even when the
+            # query matches nothing
+            return range_buckets_from_partials([], norm, stats_on)
         per_actor = ray.get(
             [a.agg_range.remote(clauses, field, norm, stats_on)
              for a in self.actors]
@@ -1831,7 +1839,11 @@ class QueryEngine:
 
         clauses = self._query_clauses(query)
         if clauses is None:
-            return []
+            return buckets_from_partials(
+                [], stats_on, interval=(float(interval), float(offset)),
+                min_doc_count=min_doc_count,
+                extended_bounds=extended_bounds,
+            )
         per_actor = ray.get(
             [a.agg_histogram.remote(clauses, field, float(interval),
                                     float(offset), stats_on)

@@ -1097,7 +1097,11 @@ class TermPartitionedEngine:
 
         got = self._matched_ids_and_source(query)
         if got is None:
-            return []
+            return buckets_from_partials(
+                [], stats_on, interval=(float(interval), float(offset)),
+                min_doc_count=min_doc_count,
+                extended_bounds=extended_bounds,
+            )
         ids, src = got
         partials = agg_partials_over_ids(
             src, ids, field, ("histogram", (float(interval), float(offset))),
@@ -1158,7 +1162,12 @@ class TermPartitionedEngine:
 
         got = self._matched_ids_and_source(query)
         if got is None:
-            return []
+            # nothing matches — ES still zero-fills extended_bounds
+            return buckets_from_partials(
+                [], stats_on, interval=interval,
+                min_doc_count=min_doc_count,
+                extended_bounds=extended_bounds,
+            )
         ids, src = got
         partials = datehist_partials_over_ids(
             src, ids, field, interval, stats_on
@@ -1345,24 +1354,13 @@ class TermPartitionedEngine:
             ids, _norms, _df, _bl, _bm, tfs, pos = fetched[t]
             if len(pos) and int(pos.max()) >= (1 << self._POS_BITS):
                 raise ValueError("document exceeds 2^21 token positions")
-            es = np.nonzero(np.isin(ids, cand_docs, assume_unique=True))[0]
-            if len(es) < len(ids):
-                tf64 = tfs.astype(np.int64)
-                tfcum = np.concatenate([[0], np.cumsum(tf64)])
-                seg_lens = tf64[es]
-                seg_starts = tfcum[:-1][es]
-                cum = np.cumsum(seg_lens)
-                total = int(cum[-1]) if len(cum) else 0
-                intra = np.arange(total, dtype=np.int64) - np.repeat(
-                    cum - seg_lens, seg_lens
-                )
-                p = pos[np.repeat(seg_starts, seg_lens) + intra].astype(
-                    np.int64
-                )
-                docs_flat = np.repeat(ids[es], seg_lens)
-            else:
-                docs_flat = np.repeat(ids, tfs)
-                p = pos.astype(np.int64)
+            # doc-conjunction gate, shared segment gather (a no-op pass
+            # when the fetch was already gated remote-side)
+            ids_sub, tfs_sub, pos_sub = subset_positions(
+                ids, tfs, pos, cand_docs
+            )
+            docs_flat = np.repeat(ids_sub, tfs_sub)
+            p = pos_sub.astype(np.int64)
             if seq:
                 keep = p >= seq
                 if not keep.all():
@@ -1483,7 +1481,7 @@ class TermPartitionedEngine:
             )
         self._term_cache = {}
         self._cache_postings = 0
-        for attr in ("_dl_store", "_text_reader"):
+        for attr in ("_dl_store", "_text_reader", "_mass_cache"):
             if hasattr(self, attr):
                 delattr(self, attr)
         return statuses

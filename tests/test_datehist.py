@@ -137,6 +137,47 @@ def test_zero_fill_and_extended_bounds():
     assert len(rows) == 6
 
 
+def test_numeric_fill_no_float_drift():
+    """Zero-fill keys must be BIT-identical to the bucket kernel's floats
+    for non-binary-exact intervals (0.1): a drifting running sum mints
+    phantom duplicate buckets (code-review regression)."""
+    from elasticsearch_assets_ray.search.datehist import (
+        bucket_partial,
+        buckets_from_partials,
+    )
+
+    p = bucket_partial(np.array([0.75, 0.95]), ("histogram", (0.1, 0.0)),
+                       None)
+    rows = buckets_from_partials([p], None, interval=(0.1, 0.0),
+                                 min_doc_count=0)
+    assert len(rows) == 3, rows  # 0.7, 0.8(empty), 0.9 — no phantom 4th
+    assert [r["doc_count"] for r in rows] == [1, 0, 1]
+    # the filled key equals the kernel key bit-for-bit
+    kernel_keys = set(p)
+    assert {rows[0]["key"], rows[2]["key"]} == kernel_keys
+
+
+def test_empty_query_agg_shapes():
+    """Aggregations over a query that matches nothing keep their ES
+    shape: declared ranges still emit doc_count-0 rows; extended_bounds
+    still zero-fill; None bounds (open ends) don't crash."""
+    from elasticsearch_assets_ray.search.datehist import (
+        buckets_from_partials,
+        range_buckets_from_partials,
+    )
+
+    rows = range_buckets_from_partials([], [(None, 5.0), (5.0, None)], "x")
+    assert [r["doc_count"] for r in rows] == [0, 0]
+    fill = buckets_from_partials([], None, interval="1d", min_doc_count=0,
+                                 extended_bounds=("2024-01-03",
+                                                  "2024-01-05"))
+    assert [r["doc_count"] for r in fill] == [0, 0, 0]
+    # one-sided bounds: the open end contributes nothing, no TypeError
+    one = buckets_from_partials([], None, interval="1d", min_doc_count=0,
+                                extended_bounds=(None, "2024-01-02"))
+    assert one == [{"key": _us("2024-01-02"), "doc_count": 0}]
+
+
 def test_range_buckets_rendering():
     from elasticsearch_assets_ray.search.datehist import (
         range_buckets_from_partials,
@@ -344,6 +385,29 @@ def test_date_histogram_engines_agree(tmp_path, ray_session):
         assert abs(ea - want_card) <= max(2, 0.1 * want_card)
         assert abs(eb - want_card) <= max(2, 0.1 * want_card)
         assert ea == eb  # same deterministic sketch either route
+
+        # empty-match parity (code-review regression): a term absent
+        # from the index still zero-fills / emits declared ranges,
+        # identically on both engines
+        eb_args = dict(field="created_at", interval="month",
+                       min_doc_count=0,
+                       extended_bounds=("2024-01-15", "2024-03-15"))
+        za = eng.date_histogram("zzzzmissing", **eb_args)
+        zb = teng.date_histogram("zzzzmissing", **eb_args)
+        assert za == zb and [r["doc_count"] for r in za] == [0, 0, 0]
+        assert eng.date_histogram("", **eb_args) == za
+        zr_a = eng.range_agg("zzzzmissing", field="dl",
+                             ranges=[(None, 5.0)])
+        zr_b = teng.range_agg("zzzzmissing", field="dl",
+                              ranges=[(None, 5.0)])
+        assert zr_a == zr_b and zr_a[0]["doc_count"] == 0
+        assert eng.range_agg("", field="dl", ranges=[(None, 5.0)]) == zr_a
+        zh = dict(field="dl", interval=2.0, min_doc_count=0,
+                  extended_bounds=(1.0, 5.0))
+        ha0 = eng.histogram("zzzzmissing", **zh)
+        hb0 = teng.histogram("zzzzmissing", **zh)
+        assert ha0 == hb0 and len(ha0) == 3
+        assert all(r["doc_count"] == 0 for r in ha0)
     finally:
         eng.shutdown()
         teng.shutdown()

@@ -46,8 +46,12 @@ def test_live_refresh_adopts_append(tmp_path, ray_session):
     build_index(grow, idx, cfg)
     append_global_postings(idx, gdir)
 
+    live._mass_cache = {"stale_term": 1}  # phrase-gate memo must not survive
     statuses = live.refresh()
     assert statuses and all(s == "appended" for s in statuses), statuses
+    # refresh drops every layout-dependent coordinator cache, including
+    # the phrase-gate position-mass memo (code-review regression)
+    assert not hasattr(live, "_mass_cache")
 
     fresh = TermPartitionedEngine(gdir, num_actors=2)
     deng = QueryEngine(idx, num_actors=2)
