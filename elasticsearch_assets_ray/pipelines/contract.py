@@ -1642,6 +1642,153 @@ GROUP BY 1
 """
 
 
+# ES ``extended_stats`` + ``percentiles`` (exact nearest-rank mode —
+# integer rank logic, so the SQL oracle reproduces it bit-exactly; the
+# sketch mode is accuracy-tested against this exact twin in tests)
+PCTL_PERCENTS = (5.0, 50.0, 95.0)
+
+
+def _q_extstats_agg(engine) -> pa.Table:
+    rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        e = engine.extended_stats(text, field="dl")
+        rows.append(
+            {
+                "query_id": qid,
+                "n_docs": e["count"],
+                "sum_dl": e["sum"],
+                "sumsq_dl": e["sum_of_squares"],
+                "min_dl": e["min"],
+                "max_dl": e["max"],
+                "avg_dl": e["avg"],
+                "var_dl": e["variance"],
+                "std_dl": e["std_deviation"],
+            }
+        )
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_extstats_agg(sf_dir: str) -> pa.Table:
+    """ES ``extended_stats`` (count/sum/sum_of_squares/min/max/avg/
+    population variance/std) over each query's match set — O(1)-wire
+    associative per-shard partials; the variance derives from (n, Σv,
+    Σv²) with the SAME operation order as the SQL oracle, so the floats
+    hash-match bit-exactly."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_extstats_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_extstats_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME extended_stats from the TERM-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_extstats_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_extstats_agg() -> str:
+    term_rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+agg AS (SELECT hit.query_id,
+               count(*)::BIGINT AS n_docs,
+               sum(dl.dl) AS sum_dl,
+               sum(dl.dl * dl.dl) AS sumsq_dl,
+               min(dl.dl) AS min_dl,
+               max(dl.dl) AS max_dl
+        FROM hit JOIN dl ON dl.doc_id = hit.doc_id
+        GROUP BY 1)
+SELECT query_id, n_docs, sum_dl, sumsq_dl, min_dl, max_dl,
+       sum_dl / n_docs AS avg_dl,
+       sumsq_dl / n_docs - (sum_dl / n_docs) * (sum_dl / n_docs) AS var_dl,
+       sqrt(sumsq_dl / n_docs
+            - (sum_dl / n_docs) * (sum_dl / n_docs)) AS std_dl
+FROM agg
+"""
+
+
+def _q_percentiles_agg(engine) -> pa.Table:
+    rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        got = engine.percentiles(text, field="dl", percents=PCTL_PERCENTS)
+        for p in PCTL_PERCENTS:
+            rows.append({"query_id": qid, "pct": p, "value": got[p]})
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_percentiles_agg(sf_dir: str) -> pa.Table:
+    """ES ``percentiles`` (exact nearest-rank mode: the ceil(p/100·n)-th
+    smallest value — pure integer rank logic, no interpolation floats to
+    diverge on) over each query's match set.  The ``mode="sketch"``
+    scale path (mergeable log-bucket counts) is accuracy-tested against
+    this exact twin in the test suite."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_percentiles_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_percentiles_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME percentiles from the TERM-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_percentiles_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_percentiles_agg() -> str:
+    term_rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    pvals = ", ".join(f"({p!r})" for p in PCTL_PERCENTS)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+ranked AS (SELECT hit.query_id, dl.dl,
+                  row_number() OVER (PARTITION BY hit.query_id
+                                     ORDER BY dl.dl) AS rn,
+                  count(*) OVER (PARTITION BY hit.query_id) AS n
+           FROM hit JOIN dl ON dl.doc_id = hit.doc_id),
+p(pct) AS (VALUES {pvals})
+SELECT ranked.query_id, p.pct, ranked.dl AS value
+FROM ranked, p
+WHERE ranked.rn = greatest(1, least(ceil(p.pct / 100.0 * ranked.n), ranked.n))
+"""
+
+
 # timestamp range filter over a date-typed docmeta column:
 # (query_id, match text, (lo_iso, hi_iso)) — ES ``range`` filter on a
 # date field under ``bool.filter`` (bounds inclusive, like gte/lte)
@@ -3181,6 +3328,10 @@ def queries():
         "histogram_agg_global": q_histogram_agg_global,
         "cardinality_agg": q_cardinality_agg,
         "cardinality_agg_global": q_cardinality_agg_global,
+        "extstats_agg": q_extstats_agg,
+        "extstats_agg_global": q_extstats_agg_global,
+        "percentiles_agg": q_percentiles_agg,
+        "percentiles_agg_global": q_percentiles_agg_global,
         "ts_filter_search": q_ts_filter_search,
         "highlight_positions": q_highlight_positions,
         "highlight_positions_global": q_highlight_positions_global,
@@ -3247,6 +3398,10 @@ def oracle_sql():
         "histogram_agg_global": sql_histogram_agg(),
         "cardinality_agg": sql_cardinality_agg(),
         "cardinality_agg_global": sql_cardinality_agg(),
+        "extstats_agg": sql_extstats_agg(),
+        "extstats_agg_global": sql_extstats_agg(),
+        "percentiles_agg": sql_percentiles_agg(),
+        "percentiles_agg_global": sql_percentiles_agg(),
         "ts_filter_search": sql_ts_filter_search(),
         "highlight_positions": sql_highlight_positions(),
         "highlight_positions_global": sql_highlight_positions(),

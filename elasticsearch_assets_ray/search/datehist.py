@@ -293,6 +293,168 @@ def agg_partials_over_ids(
     return list(ray.get(futs))
 
 
+# ---------------------------------------------------------------- metric
+# aggregation kernels beyond (count, sum, min, max): extended_stats and
+# percentiles (exact nearest-rank + a mergeable log-bucket sketch)
+
+_SKETCH_NONPOS = -(10 ** 9)  # bucket id for values <= 0 (log undefined)
+
+
+def pctl_sketch_partial(v: np.ndarray, k: int) -> dict:
+    """Mergeable percentile-sketch partial: positive values land in
+    log10 buckets ``floor(log10(v) * k)`` (relative error ≤
+    ``10^(1/(2k)) - 1`` — ~0.6% at k=200), non-positive values in one
+    underflow bucket.  The partial is a bucket→count dict whose size is
+    bounded by the VALUE RANGE (decades × k), not the match count —
+    counts add associatively, so the exchange stays O(buckets) at any
+    scale."""
+    out: dict[int, int] = {}
+    if len(v) == 0:
+        return out
+    pos = v > 0.0
+    vp = v[pos]
+    if len(vp):
+        idx = np.floor(np.log10(vp) * k).astype(np.int64)
+        u, c = np.unique(idx, return_counts=True)
+        out = {int(a): int(b) for a, b in zip(u.tolist(), c.tolist())}
+    n_nonpos = int(len(v) - len(vp))
+    if n_nonpos:
+        out[_SKETCH_NONPOS] = out.get(_SKETCH_NONPOS, 0) + n_nonpos
+    return out
+
+
+def merge_count_partials(dst: dict, part: dict) -> dict:
+    for b, c in part.items():
+        dst[b] = dst.get(b, 0) + c
+    return dst
+
+
+def _nearest_ranks(n: int, percents) -> list[int]:
+    """0-based nearest-rank index per percent: ``ceil(p/100 * n) - 1``
+    (clamped) — integer logic, so the exact mode is SQL-bit-reproducible
+    (no interpolation arithmetic to diverge on)."""
+    import math
+
+    return [
+        min(max(math.ceil(p / 100.0 * n), 1), n) - 1 for p in percents
+    ]
+
+
+def pctl_exact(parts: list[np.ndarray], percents) -> dict:
+    """Exact nearest-rank percentiles from per-shard sorted value
+    arrays."""
+    if not parts:
+        return {float(p): None for p in percents}
+    v = np.sort(np.concatenate(parts))
+    if len(v) == 0:
+        return {float(p): None for p in percents}
+    ranks = _nearest_ranks(len(v), percents)
+    return {float(p): float(v[r]) for p, r in zip(percents, ranks)}
+
+
+def pctl_from_sketch(counts: dict, percents, k: int) -> dict:
+    """Percentiles from merged sketch partials: walk the cumulative
+    bucket counts to each nearest rank, report the bucket's geometric
+    midpoint ``10^((idx + 0.5)/k)`` (0.0 for the underflow bucket)."""
+    total = sum(counts.values())
+    if total == 0:
+        return {float(p): None for p in percents}
+    buckets = sorted(counts)
+    cum = np.cumsum([counts[b] for b in buckets])
+    out = {}
+    for p, r in zip(percents, _nearest_ranks(total, percents)):
+        bi = int(np.searchsorted(cum, r + 1))
+        b = buckets[bi]
+        out[float(p)] = (
+            0.0 if b == _SKETCH_NONPOS else float(10.0 ** ((b + 0.5) / k))
+        )
+    return out
+
+
+def merge_extstats(parts: list[tuple]) -> tuple:
+    """Associative merge of (count, sum, sum_of_squares, min, max)."""
+    n, s, s2, mn, mx = 0, 0.0, 0.0, np.inf, -np.inf
+    for pn, ps, ps2, pmn, pmx in parts:
+        n += pn
+        s += ps
+        s2 += ps2
+        mn = min(mn, pmn)
+        mx = max(mx, pmx)
+    return n, s, s2, mn, mx
+
+
+def extstats_render(parts: list[tuple]) -> dict:
+    """Merged partials → the ES ``extended_stats`` payload (population
+    variance, like ES)."""
+    n, s, s2, mn, mx = merge_extstats(parts)
+    if n == 0:
+        return {"count": 0, "min": None, "max": None, "sum": 0.0,
+                "avg": None, "sum_of_squares": 0.0, "variance": None,
+                "std_deviation": None}
+    avg = s / n
+    var = s2 / n - avg * avg
+    return {
+        "count": int(n), "min": mn, "max": mx, "sum": s, "avg": avg,
+        "sum_of_squares": s2, "variance": var,
+        "std_deviation": float(np.sqrt(max(var, 0.0))),
+    }
+
+
+@ray.remote
+def _values_partition_task(
+    paths: list[str],
+    local_idx: list[np.ndarray],
+    field: str,
+    mode: str,
+    sketch_k: int | None,
+) -> object:
+    """Matched-row doc values of a partition group reduced per ``mode``:
+    ``"sorted"`` (exact percentiles), ``"sketch"`` (log-bucket counts),
+    ``"extstats"`` ((n, sum, sumsq, min, max))."""
+    vals = []
+    for path, idx in zip(paths, local_idx):
+        t = pq.read_table(path, columns=[field])
+        v = _load_meta_values(t.column(field))[idx].astype(np.float64)
+        vals.append(v[~np.isnan(v)])
+    v = np.concatenate(vals) if vals else np.empty(0)
+    if mode == "sketch":
+        return pctl_sketch_partial(v, sketch_k)
+    if mode == "extstats":
+        if len(v) == 0:
+            return (0, 0.0, 0.0, np.inf, -np.inf)
+        return (int(len(v)), float(v.sum()), float((v * v).sum()),
+                float(v.min()), float(v.max()))
+    return np.sort(v)
+
+
+def values_partials_over_ids(
+    index_dir: str | Path,
+    doc_ids: np.ndarray,
+    field: str,
+    mode: str,
+    sketch_k: int | None = None,
+    partitions_per_task: int = 16,
+) -> list:
+    """Metric-aggregation partials (percentiles / extended_stats) for an
+    explicit matched doc-id set over the source docmeta lineage — same
+    routing as :func:`agg_partials_over_ids`."""
+    plan = _route_ids_to_partitions(index_dir, doc_ids)
+    if plan is None:
+        return []
+    paths, locals_ = plan
+    futs = [
+        _values_partition_task.remote(
+            paths[i: i + partitions_per_task],
+            locals_[i: i + partitions_per_task],
+            field,
+            mode,
+            sketch_k,
+        )
+        for i in range(0, len(paths), partitions_per_task)
+    ]
+    return list(ray.get(futs))
+
+
 def _route_ids_to_partitions(
     index_dir: str | Path, doc_ids: np.ndarray
 ) -> tuple[list[str], list[np.ndarray]] | None:

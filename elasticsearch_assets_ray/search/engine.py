@@ -567,6 +567,58 @@ class ShardData:
             vals,
         )
 
+    def agg_extended_stats(
+        self, clauses: dict, field: str
+    ) -> tuple[int, float, float, float, float]:
+        """Per-shard partial for ES ``extended_stats``: (count, sum,
+        sum_of_squares, min, max) — associative, O(1) wire."""
+        ok = self._bool_eligible(
+            sorted(set(clauses.get("must", []))),
+            sorted(set(clauses.get("should", []))),
+            sorted(set(clauses.get("must_not", []))),
+            sorted(set(clauses.get("filter", []))),
+            clauses.get("msm"),
+            clauses.get("meta_filters"),
+            clauses.get("range_filters"),
+            self._postings_idx_fn(),
+        )
+        idxs = np.nonzero(ok)[0]
+        v = self.meta_col(field)[idxs].astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return (0, 0.0, 0.0, np.inf, -np.inf)
+        return (
+            int(len(v)), float(v.sum()), float((v * v).sum()),
+            float(v.min()), float(v.max()),
+        )
+
+    def agg_values(
+        self, clauses: dict, field: str, sketch_k: int | None = None
+    ) -> object:
+        """Per-shard partial for ES ``percentiles``: exact mode returns
+        the shard's SORTED matched values; sketch mode returns a
+        log-bucket count dict (``pctl_sketch_partial``) whose size is
+        bounded by the value range, not the match count — the 10^12-row
+        path."""
+        ok = self._bool_eligible(
+            sorted(set(clauses.get("must", []))),
+            sorted(set(clauses.get("should", []))),
+            sorted(set(clauses.get("must_not", []))),
+            sorted(set(clauses.get("filter", []))),
+            clauses.get("msm"),
+            clauses.get("meta_filters"),
+            clauses.get("range_filters"),
+            self._postings_idx_fn(),
+        )
+        idxs = np.nonzero(ok)[0]
+        v = self.meta_col(field)[idxs].astype(np.float64)
+        v = v[~np.isnan(v)]
+        if sketch_k is not None:
+            from .datehist import pctl_sketch_partial
+
+            return pctl_sketch_partial(v, sketch_k)
+        return np.sort(v)
+
     def agg_cardinality(
         self, clauses: dict, field: str, hll_p: int | None = None
     ) -> object:
@@ -1411,6 +1463,27 @@ class _ScorerCore:
             )
         return merged
 
+    def agg_extended_stats(self, clauses: dict, field: str) -> tuple:
+        from .datehist import merge_extstats
+
+        return merge_extstats(
+            [s.agg_extended_stats(clauses, field) for s in self.shards]
+        )
+
+    def agg_values(
+        self, clauses: dict, field: str, sketch_k: int | None = None
+    ) -> object:
+        parts = [s.agg_values(clauses, field, sketch_k) for s in self.shards]
+        if sketch_k is not None:
+            from .datehist import merge_count_partials
+
+            merged: dict = {}
+            for p in parts:
+                merge_count_partials(merged, p)
+            return merged
+        parts = [p for p in parts if len(p)]
+        return np.sort(np.concatenate(parts)) if parts else np.empty(0)
+
     def agg_cardinality(
         self, clauses: dict, field: str, hll_p: int | None = None
     ) -> object:
@@ -1853,6 +1926,62 @@ class QueryEngine:
             per_actor, stats_on, interval=(float(interval), float(offset)),
             min_doc_count=min_doc_count, extended_bounds=extended_bounds,
         )
+
+    def extended_stats(
+        self, query: str | list[str] | dict, field: str
+    ) -> dict:
+        """ES ``extended_stats`` aggregation over the docs matching
+        ``query``: count/min/max/sum/avg/sum_of_squares/variance
+        (population, like ES)/std_deviation — O(1)-wire associative
+        per-shard partials."""
+        from .datehist import extstats_render
+
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return extstats_render([])
+        parts = ray.get(
+            [a.agg_extended_stats.remote(clauses, field)
+             for a in self.actors]
+        )
+        return extstats_render(parts)
+
+    PCTL_DEFAULT = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+    PCTL_SKETCH_K = 200
+
+    def percentiles(
+        self,
+        query: str | list[str] | dict,
+        field: str,
+        percents=PCTL_DEFAULT,
+        mode: str = "exact",
+    ) -> dict:
+        """ES ``percentiles`` aggregation over the docs matching
+        ``query``.  ``mode="exact"`` uses the nearest-rank definition
+        (``ceil(p/100·n)``-th smallest — integer logic, SQL-
+        reproducible) from per-shard sorted value partials;
+        ``mode="sketch"`` is the scale path: mergeable log-bucket counts
+        whose exchange size is bounded by the value RANGE, not the match
+        count (relative error ≤ ~0.6% at the default resolution,
+        accuracy-tested).  ES itself serves approximate percentiles
+        (t-digest) — the sketch mode is the analogous trade."""
+        from .datehist import pctl_exact, pctl_from_sketch
+
+        sketch_k = self.PCTL_SKETCH_K if mode == "sketch" else None
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return {float(p): None for p in percents}
+        parts = ray.get(
+            [a.agg_values.remote(clauses, field, sketch_k)
+             for a in self.actors]
+        )
+        if mode == "sketch":
+            from .datehist import merge_count_partials
+
+            merged: dict = {}
+            for p in parts:
+                merge_count_partials(merged, p)
+            return pctl_from_sketch(merged, percents, self.PCTL_SKETCH_K)
+        return pctl_exact([p for p in parts if len(p)], percents)
 
     def cardinality(
         self,

@@ -1112,6 +1112,55 @@ class TermPartitionedEngine:
             min_doc_count=min_doc_count, extended_bounds=extended_bounds,
         )
 
+    def extended_stats(self, query: str | list[str], field: str) -> dict:
+        """ES ``extended_stats`` served from the term-partitioned layout
+        (matched ids → source docmeta lineage, O(1)-wire partials)."""
+        from .datehist import extstats_render, values_partials_over_ids
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return extstats_render([])
+        ids, src = got
+        return extstats_render(
+            values_partials_over_ids(src, ids, field, "extstats")
+        )
+
+    PCTL_SKETCH_K = 200
+
+    def percentiles(
+        self,
+        query: str | list[str],
+        field: str,
+        percents=(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0),
+        mode: str = "exact",
+    ) -> dict:
+        """ES ``percentiles`` served from the term-partitioned layout —
+        same semantics as :meth:`QueryEngine.percentiles` (parity
+        tested): exact nearest-rank from sorted partials, or the
+        mergeable log-bucket sketch whose exchange is bounded by the
+        value range."""
+        from .datehist import (
+            merge_count_partials,
+            pctl_exact,
+            pctl_from_sketch,
+            values_partials_over_ids,
+        )
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return {float(p): None for p in percents}
+        ids, src = got
+        if mode == "sketch":
+            parts = values_partials_over_ids(
+                src, ids, field, "sketch", sketch_k=self.PCTL_SKETCH_K
+            )
+            merged: dict = {}
+            for p in parts:
+                merge_count_partials(merged, p)
+            return pctl_from_sketch(merged, percents, self.PCTL_SKETCH_K)
+        parts = values_partials_over_ids(src, ids, field, "sorted")
+        return pctl_exact([p for p in parts if len(p)], percents)
+
     def cardinality(
         self,
         query: str | list[str],

@@ -178,6 +178,45 @@ def test_empty_query_agg_shapes():
     assert one == [{"key": _us("2024-01-02"), "doc_count": 0}]
 
 
+def test_percentile_sketch_kernel():
+    """Log-bucket percentile sketch: associative merge, underflow
+    bucket for non-positive values, relative error within the bound
+    over 6 decades."""
+    from elasticsearch_assets_ray.search.datehist import (
+        merge_count_partials,
+        pctl_exact,
+        pctl_from_sketch,
+        pctl_sketch_partial,
+    )
+
+    rng = np.random.default_rng(5)
+    v = 10.0 ** rng.uniform(-2, 4, 20_000)  # 6 decades
+    k = 200
+    # split into 4 partials, merge in two different orders → same dict
+    chunks = np.array_split(v, 4)
+    m1: dict = {}
+    for c in chunks:
+        merge_count_partials(m1, pctl_sketch_partial(c, k))
+    m2: dict = {}
+    for c in reversed(chunks):
+        merge_count_partials(m2, pctl_sketch_partial(c, k))
+    assert m1 == m2
+    pct = (1.0, 50.0, 99.0)
+    approx = pctl_from_sketch(m1, pct, k)
+    exact = pctl_exact([np.sort(v)], pct)
+    bound = 10.0 ** (1.0 / (2 * k)) - 1.0  # documented half-bucket error
+    for p in pct:
+        assert abs(approx[p] - exact[p]) <= 2 * bound * exact[p], p
+    # non-positive values: underflow bucket, reported as 0.0
+    m = pctl_sketch_partial(np.array([-1.0, 0.0, 5.0]), k)
+    assert sum(m.values()) == 3
+    got = pctl_from_sketch(m, (25.0,), k)
+    assert got[25.0] == 0.0
+    # empty
+    assert pctl_from_sketch({}, (50.0,), k) == {50.0: None}
+    assert pctl_exact([], (50.0,)) == {50.0: None}
+
+
 def test_range_buckets_rendering():
     from elasticsearch_assets_ray.search.datehist import (
         range_buckets_from_partials,
@@ -385,6 +424,37 @@ def test_date_histogram_engines_agree(tmp_path, ray_session):
         assert abs(ea - want_card) <= max(2, 0.1 * want_card)
         assert abs(eb - want_card) <= max(2, 0.1 * want_card)
         assert ea == eb  # same deterministic sketch either route
+
+        # extended_stats: parity + brute force (population variance)
+        es_a = eng.extended_stats("alpha beta", field="dl")
+        es_b = teng.extended_stats("alpha beta", field="dl")
+        assert es_a == es_b
+        vals = np.array(sorted(dls[i] for i in match), dtype=np.float64)
+        assert es_a["count"] == len(vals)
+        assert es_a["sum"] == vals.sum() and es_a["min"] == vals.min()
+        assert es_a["sum_of_squares"] == (vals * vals).sum()
+        avg = vals.sum() / len(vals)
+        assert es_a["variance"] == (vals * vals).sum() / len(vals) - avg * avg
+        assert eng.extended_stats("", field="dl")["count"] == 0
+
+        # percentiles: exact nearest-rank parity + brute force; sketch
+        # within its documented relative error
+        import math
+
+        pct = (5.0, 50.0, 95.0)
+        pa_ = eng.percentiles("alpha beta", field="dl", percents=pct)
+        pb_ = teng.percentiles("alpha beta", field="dl", percents=pct)
+        assert pa_ == pb_
+        for p in pct:
+            r = min(max(math.ceil(p / 100 * len(vals)), 1), len(vals)) - 1
+            assert pa_[p] == vals[r], p
+        sa = eng.percentiles("alpha beta", field="dl", percents=pct,
+                             mode="sketch")
+        sb = teng.percentiles("alpha beta", field="dl", percents=pct,
+                              mode="sketch")
+        assert sa == sb
+        for p in pct:
+            assert abs(sa[p] - pa_[p]) <= 0.01 * pa_[p] + 1e-9, (p, sa, pa_)
 
         # empty-match parity (code-review regression): a term absent
         # from the index still zero-fills / emits declared ranges,
