@@ -668,6 +668,14 @@ PHRASE_SLOP_QUERIES: list[tuple[int, str, int]] = [
     (3, "big table", 0),
 ]
 
+# repeated-term phrases — lucene mode only (the ordered pipeline's SQL
+# oracle encodes the no-repeat greedy chain); exercises the repeat
+# collision machine cross-engine in the driver artifact
+LUCENE_REPEAT_QUERIES: list[tuple[int, str, int]] = [
+    (10, "table scan table", 3),
+    (11, "join join", 2),
+]
+
 
 def q_bm25_phrase_slop(sf_dir: str) -> pa.Table:
     """ES ``match_phrase`` with ``slop``: ordered sloppy matching — the
@@ -705,13 +713,13 @@ def q_bm25_phrase_slop_lucene(sf_dir: str) -> pa.Table:
     try:
         per_q = {
             qid: engine.search_phrase(p, k=K_FETCH, slop=s, slop_mode="lucene")
-            for qid, p, s in PHRASE_SLOP_QUERIES
+            for qid, p, s in PHRASE_SLOP_QUERIES + LUCENE_REPEAT_QUERIES
         }
     finally:
         engine.shutdown()
     _, teng = _global_engine(sf_dir)
     try:
-        for qid, p, s in PHRASE_SLOP_QUERIES:
+        for qid, p, s in PHRASE_SLOP_QUERIES + LUCENE_REPEAT_QUERIES:
             got = teng.search_phrase(p, k=K_FETCH, slop=s, slop_mode="lucene")
             assert got == per_q[qid], f"engine divergence on slop query {qid}"
     finally:
@@ -1639,6 +1647,93 @@ SELECT hit.query_id,
        count(DISTINCT d.source)::BIGINT AS n_distinct
 FROM hit JOIN documents d ON d.doc_id = hit.doc_id
 GROUP BY 1
+"""
+
+
+# date_histogram with a terms SUB-aggregation — time buckets × keyword
+# (the most common ES agg composition); composite (bucket, lang) keys
+DATEHIST_TERMS_QUERIES: list[tuple[int, str, str]] = [
+    (0, "hash join", "month"),
+    (1, "table", "quarter"),
+]
+
+
+def _q_datehist_terms(engine) -> pa.Table:
+    rows = []
+    for qid, text, interval in DATEHIST_TERMS_QUERIES:
+        for b in engine.date_histogram(
+            text, field="created_at", interval=interval, stats_on="dl",
+            group_by="lang",
+        ):
+            rows.append(
+                {
+                    "query_id": qid,
+                    "bucket_us": b["key"],
+                    "lang": b["term"],
+                    "doc_count": b["doc_count"],
+                    "sum_dl": b["sum"],
+                    "avg_dl": b["avg"],
+                }
+            )
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_datehist_terms(sf_dir: str) -> pa.Table:
+    """``date_histogram`` with a ``terms`` sub-aggregation (composite
+    (bucket, lang) keys through the same associative partial machinery)
+    — time × keyword, the most common ES aggregation composition."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_datehist_terms(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_datehist_terms_global(sf_dir: str) -> pa.Table:
+    """The SAME composite aggregation from the TERM-partitioned layout
+    (the lineage task reads the group column beside the date column)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_datehist_terms(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_datehist_terms() -> str:
+    term_rows = []
+    for qid, text, _ in DATEHIST_TERMS_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    cases = []
+    for qid, _, interval in DATEHIST_TERMS_QUERIES:
+        cases.append(
+            f"WHEN {qid} THEN epoch_us(date_trunc('{interval}', c.created))"
+        )
+    case = "CASE hit.query_id " + " ".join(cases) + " END"
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+c AS (SELECT doc_id, {CREATED_SQL} AS created FROM documents),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t)
+SELECT hit.query_id, {case} AS bucket_us, d.lang,
+       count(*)::BIGINT AS doc_count,
+       sum(dl.dl) AS sum_dl,
+       sum(dl.dl) / count(*) AS avg_dl
+FROM hit
+JOIN c ON c.doc_id = hit.doc_id
+JOIN documents d ON d.doc_id = hit.doc_id
+JOIN dl ON dl.doc_id = hit.doc_id
+GROUP BY 1, 2, 3
 """
 
 
@@ -3328,6 +3423,8 @@ def queries():
         "histogram_agg_global": q_histogram_agg_global,
         "cardinality_agg": q_cardinality_agg,
         "cardinality_agg_global": q_cardinality_agg_global,
+        "datehist_terms": q_datehist_terms,
+        "datehist_terms_global": q_datehist_terms_global,
         "extstats_agg": q_extstats_agg,
         "extstats_agg_global": q_extstats_agg_global,
         "percentiles_agg": q_percentiles_agg,
@@ -3398,6 +3495,8 @@ def oracle_sql():
         "histogram_agg_global": sql_histogram_agg(),
         "cardinality_agg": sql_cardinality_agg(),
         "cardinality_agg_global": sql_cardinality_agg(),
+        "datehist_terms": sql_datehist_terms(),
+        "datehist_terms_global": sql_datehist_terms(),
         "extstats_agg": sql_extstats_agg(),
         "extstats_agg_global": sql_extstats_agg(),
         "percentiles_agg": sql_percentiles_agg(),

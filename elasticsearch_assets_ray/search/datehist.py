@@ -197,6 +197,16 @@ def enumerate_bucket_keys(lo: int, hi: int, interval: str) -> list[int]:
     return out
 
 
+def composite_keys(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Two parallel key columns → one object array of (a, b) tuples —
+    the composite bucket key for sub-aggregations (tuples sort
+    lexicographically, which IS the ES bucket order: parent key
+    ascending, then sub-bucket)."""
+    out = np.empty(len(a), dtype=object)
+    out[:] = list(zip(a.tolist(), b.tolist()))
+    return out
+
+
 def _load_meta_values(tbl_col) -> np.ndarray:
     """Docmeta column → numeric doc values (timestamps surface as epoch
     micros, the ES doc-values convention; see ``ShardSearcher.meta_col``)."""
@@ -220,6 +230,15 @@ def bucket_partial(
     if kind == "interval":
         return partial_over_groups(
             floor_interval_us(field_vals, arg), stats_vals
+        )
+    if kind == "interval_terms":
+        # date_histogram with a terms SUB-aggregation: composite
+        # (bucket_us, term) keys — arg = (interval, group_vals)
+        interval, group_vals = arg
+        return partial_over_groups(
+            composite_keys(floor_interval_us(field_vals, interval),
+                           group_vals),
+            stats_vals,
         )
     if kind == "histogram":
         # ES numeric histogram: key = floor((v - offset)/interval)
@@ -250,14 +269,28 @@ def _agg_partition_task(
 
     merged: dict = {}
     cols = [field] if stats_col in (None, field) else [field, stats_col]
+    # an interval_terms spec names its group COLUMN; the task reads it
+    # and swaps the per-row values in before the shared bucket kernel
+    gcol = spec[1][1] if spec[0] == "interval_terms" else None
+    if gcol is not None and gcol not in cols:
+        cols.append(gcol)
     for path, idx in zip(paths, local_idx):
         t = pq.read_table(path, columns=cols)
         sv = None
         if stats_col is not None:
             sv = _load_meta_values(t.column(stats_col))[idx].astype(np.float64)
+        spec_local = spec
+        if gcol is not None:
+            gv = (
+                t.column(gcol).combine_chunks()
+                .to_numpy(zero_copy_only=False)[idx]
+            )
+            spec_local = ("interval_terms", (spec[1][0], gv))
         merge_agg_partials(
             merged,
-            bucket_partial(_load_meta_values(t.column(field))[idx], spec, sv),
+            bucket_partial(
+                _load_meta_values(t.column(field))[idx], spec_local, sv
+            ),
         )
     return merged
 
@@ -593,7 +626,10 @@ def buckets_from_partials(
     merged: dict = {}
     for p in partials:
         merge_agg_partials(merged, p)
-    if min_doc_count == 0 and interval is not None:
+    if (min_doc_count == 0 and interval is not None
+            and not (merged and isinstance(next(iter(merged)), tuple))):
+        # (composite sub-agg keys take the rows below unfilled — ES
+        # zero-fill applies to the parent histogram only)
         if isinstance(interval, tuple):
             # numeric histogram: (interval, offset).  Fill keys must be
             # BIT-identical to the bucket kernel's floats, so they come
@@ -627,7 +663,14 @@ def buckets_from_partials(
     numeric = isinstance(interval, tuple)
     for k in sorted(merged):
         c, s, lo, hi = merged[k]
-        row = {"key": float(k) if numeric else int(k), "doc_count": int(c)}
+        if isinstance(k, tuple):
+            # composite (bucket, term) key — sub-aggregation rows;
+            # tuple sort above IS the ES order (parent key asc, then
+            # sub-bucket key).  Zero-fill doesn't apply here.
+            row = {"key": int(k[0]), "term": k[1], "doc_count": int(c)}
+        else:
+            row = {"key": float(k) if numeric else int(k),
+                   "doc_count": int(c)}
         if stats_on is not None and s is not None:
             row.update({"sum": s, "min": lo, "max": hi, "avg": s / c})
         rows.append(row)

@@ -465,6 +465,7 @@ class ShardData:
         field: str,
         interval: str,
         stats_col: str | None = None,
+        group_col: str | None = None,
     ) -> dict:
         """Per-shard partial for an ES ``date_histogram`` aggregation over
         the docs matching a bool query: bucket-start epoch micros →
@@ -493,6 +494,13 @@ class ShardData:
             if stats_col is not None
             else None
         )
+        if group_col is not None:
+            # terms SUB-aggregation: composite (bucket, term) keys
+            from .datehist import composite_keys, partial_over_groups
+
+            return partial_over_groups(
+                composite_keys(keys, self.meta_col(group_col)[idxs]), vals
+            )
         return partial_over_values(keys, vals)
 
     def agg_range(
@@ -1430,12 +1438,14 @@ class _ScorerCore:
 
     def agg_date_histogram(
         self, clauses: dict, field: str, interval: str,
-        stats_col: str | None = None,
+        stats_col: str | None = None, group_col: str | None = None,
     ) -> dict:
         merged: dict = {}
         for s in self.shards:
             merge_agg_partials(
-                merged, s.agg_date_histogram(clauses, field, interval, stats_col)
+                merged,
+                s.agg_date_histogram(clauses, field, interval, stats_col,
+                                     group_col),
             )
         return merged
 
@@ -1823,6 +1833,7 @@ class QueryEngine:
         stats_on: str | None = None,
         min_doc_count: int = 1,
         extended_bounds: tuple | None = None,
+        group_by: str | None = None,
     ) -> list[dict]:
         """ES ``date_histogram`` aggregation (with an optional ``stats``
         sub-aggregation) over ALL docs matching ``query`` — free text / a
@@ -1849,7 +1860,8 @@ class QueryEngine:
                 extended_bounds=extended_bounds,
             )
         per_actor = ray.get(
-            [a.agg_date_histogram.remote(clauses, field, interval, stats_on)
+            [a.agg_date_histogram.remote(clauses, field, interval, stats_on,
+                                         group_by)
              for a in self.actors]
         )
         return buckets_from_partials(

@@ -1196,6 +1196,7 @@ class TermPartitionedEngine:
         stats_on: str | None = None,
         min_doc_count: int = 1,
         extended_bounds: tuple | None = None,
+        group_by: str | None = None,
     ) -> list[dict]:
         """ES ``date_histogram`` over the docs matching the ``match``
         disjunction, served from the term-partitioned layout — same
@@ -1218,9 +1219,17 @@ class TermPartitionedEngine:
                 extended_bounds=extended_bounds,
             )
         ids, src = got
-        partials = datehist_partials_over_ids(
-            src, ids, field, interval, stats_on
-        )
+        if group_by is not None:
+            from .datehist import agg_partials_over_ids
+
+            partials = agg_partials_over_ids(
+                src, ids, field, ("interval_terms", (interval, group_by)),
+                stats_on,
+            )
+        else:
+            partials = datehist_partials_over_ids(
+                src, ids, field, interval, stats_on
+            )
         return buckets_from_partials(
             partials, stats_on, interval=interval,
             min_doc_count=min_doc_count, extended_bounds=extended_bounds,

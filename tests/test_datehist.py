@@ -425,6 +425,31 @@ def test_date_histogram_engines_agree(tmp_path, ray_session):
         assert abs(eb - want_card) <= max(2, 0.1 * want_card)
         assert ea == eb  # same deterministic sketch either route
 
+        # date_histogram with a terms SUB-aggregation (composite keys):
+        # parity + brute force; ES order = parent key asc, then term
+        ga = eng.date_histogram("alpha beta", field="created_at",
+                                interval="quarter", group_by="dl")
+        gb = teng.date_histogram("alpha beta", field="created_at",
+                                 interval="quarter", group_by="dl")
+        assert ga == gb and ga
+        import collections as _c
+
+        q_us = {}
+        for i in match:
+            dt64 = np.array([ts_us[i]], dtype=np.int64)
+            from elasticsearch_assets_ray.search.datehist import (
+                floor_interval_us,
+            )
+
+            q_us[i] = int(floor_interval_us(dt64, "quarter")[0])
+        want_g = _c.Counter(
+            (q_us[i], float(len(texts[i].split()))) for i in match
+        )
+        assert {(r["key"], r["term"]): r["doc_count"] for r in ga} == \
+            dict(want_g)
+        keys_seq = [(r["key"], r["term"]) for r in ga]
+        assert keys_seq == sorted(keys_seq)
+
         # extended_stats: parity + brute force (population variance)
         es_a = eng.extended_stats("alpha beta", field="dl")
         es_b = teng.extended_stats("alpha beta", field="dl")
