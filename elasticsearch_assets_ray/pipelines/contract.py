@@ -1650,6 +1650,58 @@ GROUP BY 1
 """
 
 
+# benchmark decontamination: flag docs sharing >= DECON_MIN distinct
+# DECON_N-grams with the (deterministic, in-corpus) benchmark subset
+DECON_N = 3
+DECON_MIN = 2
+DECON_BENCH_MOD = 89  # benchmark set = docs with doc_id % 89 == 0
+
+
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    """LLM training-data DECONTAMINATION (the n-gram-overlap eval-leak
+    filter): the small benchmark side broadcasts its distinct n-grams
+    once (``ray.put``), the corpus streams through ``map_batches`` with
+    one Arrow tokenize + one ``is_in`` kernel per batch — no shuffle, no
+    join, corpus-build throughput at any scale."""
+    import pyarrow.dataset as pds
+
+    from ..ops.decontam import benchmark_gram_ref, decontaminate
+    from ..ops import to_arrow
+
+    t = pds.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"]
+    )
+    keep = t.column("doc_id").to_numpy() % DECON_BENCH_MOD == 0
+    bench = t.filter(pa.array(keep))
+    ref = benchmark_gram_ref(bench.column("text"), DECON_N)
+    out = to_arrow(decontaminate(_docs(sf_dir), ref, n=DECON_N,
+                                 min_overlap=DECON_MIN))
+    return out
+
+
+def sql_decontaminate() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '' AND len(t) <= 64) AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - {DECON_N} + 2, 1)),
+                               i -> array_to_string(toks[i:i + {DECON_N} - 1],
+                                                    ' '))) AS gram
+  FROM base),
+bench AS (SELECT DISTINCT gram FROM grams
+          WHERE doc_id % {DECON_BENCH_MOD} = 0),
+hits AS (SELECT DISTINCT g.doc_id, g.gram FROM grams g JOIN bench USING (gram)),
+counts AS (SELECT doc_id, count(*)::BIGINT AS n_contaminated
+           FROM hits GROUP BY 1)
+SELECT d.doc_id, coalesce(c.n_contaminated, 0)::BIGINT AS n_contaminated,
+       coalesce(c.n_contaminated, 0) >= {DECON_MIN} AS contaminated
+FROM documents d LEFT JOIN counts c USING (doc_id)
+"""
+
+
 # date_histogram with a terms SUB-aggregation — time buckets × keyword
 # (the most common ES agg composition); composite (bucket, lang) keys
 DATEHIST_TERMS_QUERIES: list[tuple[int, str, str]] = [
@@ -3423,6 +3475,7 @@ def queries():
         "histogram_agg_global": q_histogram_agg_global,
         "cardinality_agg": q_cardinality_agg,
         "cardinality_agg_global": q_cardinality_agg_global,
+        "decontaminate": q_decontaminate,
         "datehist_terms": q_datehist_terms,
         "datehist_terms_global": q_datehist_terms_global,
         "extstats_agg": q_extstats_agg,
@@ -3495,6 +3548,7 @@ def oracle_sql():
         "histogram_agg_global": sql_histogram_agg(),
         "cardinality_agg": sql_cardinality_agg(),
         "cardinality_agg_global": sql_cardinality_agg(),
+        "decontaminate": sql_decontaminate(),
         "datehist_terms": sql_datehist_terms(),
         "datehist_terms_global": sql_datehist_terms(),
         "extstats_agg": sql_extstats_agg(),

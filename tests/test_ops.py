@@ -875,3 +875,28 @@ def test_clear_deletes(small_corpus, tmp_path):
     assert sum(len(load_deletes(info.index_dir, s)) for s in info.shard_ids()) == 3
     clear_deletes(info.index_dir)
     assert sum(len(load_deletes(info.index_dir, s)) for s in info.shard_ids()) == 0
+
+
+def test_decontamination_kernel(ray_session):
+    """n-grams never cross document boundaries; counts are DISTINCT
+    shared grams; the broadcast set drives the flag."""
+    import pyarrow as pa
+
+    from elasticsearch_assets_ray.ops.decontam import (
+        benchmark_gram_ref,
+        contamination_counts,
+        doc_ngrams_arrow,
+    )
+    import ray as _ray
+
+    texts = pa.array(["a b", "c d", "x a b c x a b c"], pa.string())
+    grams, gdoc = doc_ngrams_arrow(texts, 2)
+    gs = set(zip(gdoc.tolist(), grams.to_pylist()))
+    assert ("0", "b c") not in gs and (0, "b c") not in gs  # no crossing
+    assert (2, "a b") in gs and (0, "a b") in gs
+    ref = benchmark_gram_ref(["a b c"], 2)
+    bench = _ray.get(ref)
+    counts = contamination_counts(texts, bench, 2)
+    # doc0 shares {a b}; doc1 nothing; doc2 shares {a b, b c} (distinct,
+    # despite each occurring twice)
+    assert counts.tolist() == [1, 0, 2]
