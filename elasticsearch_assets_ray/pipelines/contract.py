@@ -1789,6 +1789,91 @@ GROUP BY 1, 2, 3
 """
 
 
+# ES ``composite`` aggregation: two size-N pages over a (month bucket,
+# lang) composite key — the after-cursor pagination is deterministic
+# ascending, so two pages ≡ the first 2N buckets in key order
+COMPOSITE_SIZE = 7
+COMPOSITE_QUERY = "hash join table"
+
+
+def _q_composite_agg(engine) -> pa.Table:
+    sources = [("m", "date_histogram", "created_at", "month"),
+               ("lang", "terms", "lang")]
+    rows = []
+    after = None
+    for page in (1, 2):
+        buckets, after = engine.composite(
+            COMPOSITE_QUERY, sources, size=COMPOSITE_SIZE, after=after
+        )
+        for b in buckets:
+            rows.append(
+                {
+                    "page": page,
+                    "bucket_us": b["key"]["m"],
+                    "lang": b["key"]["lang"],
+                    "doc_count": b["doc_count"],
+                }
+            )
+        if after is None:
+            break
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_composite_agg(sf_dir: str) -> pa.Table:
+    """ES ``composite`` aggregation, two after-cursor pages over a
+    (date_histogram, terms) composite key: every shard ships at most
+    ``size`` buckets per page regardless of its bucket count (exact by
+    the top-k merge argument) — the mechanism that enumerates 10^8
+    buckets without a 10^8-row exchange."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_composite_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_composite_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME composite pages from the TERM-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_composite_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_composite_agg() -> str:
+    term_rows = ", ".join(
+        f"('{t}')" for t in _simple_tokens(COMPOSITE_QUERY)
+    )
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+c AS (SELECT doc_id, epoch_us(date_trunc('month', {CREATED_SQL}))
+             AS bucket_us
+      FROM documents),
+q(t) AS (VALUES {term_rows}),
+hit AS (SELECT DISTINCT toks.doc_id FROM q JOIN toks ON toks.t = q.t),
+buckets AS (SELECT c.bucket_us, d.lang, count(*)::BIGINT AS doc_count
+            FROM hit
+            JOIN c ON c.doc_id = hit.doc_id
+            JOIN documents d ON d.doc_id = hit.doc_id
+            GROUP BY 1, 2),
+ordered AS (SELECT bucket_us, lang, doc_count,
+                   row_number() OVER (ORDER BY bucket_us, lang) AS rn
+            FROM buckets)
+SELECT CASE WHEN rn <= {COMPOSITE_SIZE} THEN 1 ELSE 2 END AS page,
+       bucket_us, lang, doc_count
+FROM ordered
+WHERE rn <= {2 * COMPOSITE_SIZE}
+"""
+
+
 # ES ``extended_stats`` + ``percentiles`` (exact nearest-rank mode —
 # integer rank logic, so the SQL oracle reproduces it bit-exactly; the
 # sketch mode is accuracy-tested against this exact twin in tests)
@@ -3476,6 +3561,8 @@ def queries():
         "cardinality_agg": q_cardinality_agg,
         "cardinality_agg_global": q_cardinality_agg_global,
         "decontaminate": q_decontaminate,
+        "composite_agg": q_composite_agg,
+        "composite_agg_global": q_composite_agg_global,
         "datehist_terms": q_datehist_terms,
         "datehist_terms_global": q_datehist_terms_global,
         "extstats_agg": q_extstats_agg,
@@ -3549,6 +3636,8 @@ def oracle_sql():
         "cardinality_agg": sql_cardinality_agg(),
         "cardinality_agg_global": sql_cardinality_agg(),
         "decontaminate": sql_decontaminate(),
+        "composite_agg": sql_composite_agg(),
+        "composite_agg_global": sql_composite_agg(),
         "datehist_terms": sql_datehist_terms(),
         "datehist_terms_global": sql_datehist_terms(),
         "extstats_agg": sql_extstats_agg(),

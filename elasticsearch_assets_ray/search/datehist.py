@@ -326,6 +326,151 @@ def agg_partials_over_ids(
     return list(ray.get(futs))
 
 
+# ------------------------------------------------------------- composite
+# ES ``composite`` aggregation: paginate through ALL buckets of a
+# multi-source key in deterministic ascending key order with an
+# ``after`` cursor — the ES mechanism for enumerating millions of
+# buckets without one giant response.
+
+
+def composite_source_keys(spec: tuple, vals: np.ndarray) -> np.ndarray:
+    """One composite source's bucket keys: ``("terms",)`` = raw doc
+    values, ``("date_histogram", interval)`` = floored epoch micros,
+    ``("histogram", interval, offset)`` = the numeric grid."""
+    kind = spec[0]
+    if kind == "terms":
+        return vals
+    if kind == "date_histogram":
+        return floor_interval_us(vals, spec[1])
+    if kind == "histogram":
+        iv, off = float(spec[1]), float(spec[2])
+        v = vals.astype(np.float64)
+        return np.floor((v - off) / iv) * iv + off
+    raise ValueError(f"unknown composite source {spec!r}")
+
+
+def composite_partial(
+    key_cols: list[np.ndarray], size: int, after: tuple | None
+) -> dict:
+    """One shard/partition-group partial for a composite aggregation:
+    the ≤ ``size`` LEXICOGRAPHICALLY-SMALLEST composite keys strictly
+    after the ``after`` cursor, with their local doc counts.  Capping at
+    ``size`` per partial is exact by the standard top-k merge argument:
+    any key in the global first ``size`` has fewer than ``size`` keys
+    before it in EVERY partial, so every partial holding it reports it.
+    The wire cost per shard is O(size), independent of bucket count —
+    the property that lets composite paginate 10^8 buckets."""
+    n = len(key_cols[0])
+    if n == 0:
+        return {}
+    if after is not None:
+        # vectorized lexicographic "key > after"
+        gt = np.zeros(n, dtype=bool)
+        eq = np.ones(n, dtype=bool)
+        for c, a in zip(key_cols, after):
+            gt |= eq & (c > a)
+            eq &= c == a
+        key_cols = [c[gt] for c in key_cols]
+        n = len(key_cols[0])
+        if n == 0:
+            return {}
+    # factorize each column; combined codes sort lexicographically
+    # because each np.unique dictionary is ascending
+    codes, dims, uniqs = [], [], []
+    for c in key_cols:
+        u, inv = np.unique(c, return_inverse=True)
+        uniqs.append(u)
+        codes.append(inv.astype(np.int64))
+        dims.append(np.int64(len(u)))
+    comb = codes[0]
+    for c, d in zip(codes[1:], dims[1:]):
+        comb = comb * d + c
+    uc, counts = np.unique(comb, return_counts=True)
+    uc, counts = uc[:size], counts[:size]
+    out = {}
+    for k, cnt in zip(uc.tolist(), counts.tolist()):
+        parts = []
+        for d in reversed(dims[1:]):
+            k, r = divmod(k, int(d))
+            parts.append(r)
+        parts.append(k)
+        key = tuple(
+            u[i].item() if hasattr(u[i], "item") else u[i]
+            for u, i in zip(uniqs, reversed(parts))
+        )
+        out[key] = int(cnt)
+    return out
+
+
+def composite_render(
+    partials: list[dict], names: list[str], size: int
+) -> tuple[list[dict], tuple | None]:
+    """Merge composite partials → (first ``size`` buckets in ascending
+    key order as ES-shaped rows, after_key cursor for the next page)."""
+    merged: dict = {}
+    for p in partials:
+        merge_count_partials(merged, p)
+    keys = sorted(merged)[:size]
+    buckets = [
+        {"key": dict(zip(names, k)), "doc_count": merged[k]} for k in keys
+    ]
+    after_key = keys[-1] if len(keys) == size else None
+    return buckets, after_key
+
+
+@ray.remote
+def _composite_partition_task(
+    paths: list[str],
+    local_idx: list[np.ndarray],
+    fields: list[str],
+    specs: list[tuple],
+    size: int,
+    after: tuple | None,
+) -> dict:
+    """Composite partial over a docmeta partition group (term-engine
+    lineage path) — column-pruned read of exactly the source fields."""
+    cols = list(dict.fromkeys(fields))
+    merged: dict = {}
+    for path, idx in zip(paths, local_idx):
+        t = pq.read_table(path, columns=cols)
+        key_cols = [
+            composite_source_keys(
+                spec, _load_meta_values(t.column(f))[idx]
+            )
+            for f, spec in zip(fields, specs)
+        ]
+        merge_count_partials(
+            merged, composite_partial(key_cols, size, after)
+        )
+    # re-cap after the per-file merge (still exact, same argument)
+    keys = sorted(merged)[:size]
+    return {k: merged[k] for k in keys}
+
+
+def composite_partials_over_ids(
+    index_dir: str | Path,
+    doc_ids: np.ndarray,
+    fields: list[str],
+    specs: list[tuple],
+    size: int,
+    after: tuple | None,
+    partitions_per_task: int = 16,
+) -> list[dict]:
+    plan = _route_ids_to_partitions(index_dir, doc_ids)
+    if plan is None:
+        return []
+    paths, locals_ = plan
+    futs = [
+        _composite_partition_task.remote(
+            paths[i: i + partitions_per_task],
+            locals_[i: i + partitions_per_task],
+            fields, specs, size, after,
+        )
+        for i in range(0, len(paths), partitions_per_task)
+    ]
+    return list(ray.get(futs))
+
+
 # ---------------------------------------------------------------- metric
 # aggregation kernels beyond (count, sum, min, max): extended_stats and
 # percentiles (exact nearest-rank + a mergeable log-bucket sketch)

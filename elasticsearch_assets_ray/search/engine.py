@@ -575,6 +575,42 @@ class ShardData:
             vals,
         )
 
+    def agg_composite(
+        self,
+        clauses: dict,
+        sources: list[tuple],
+        size: int,
+        after: tuple | None,
+    ) -> dict:
+        """Per-shard partial for an ES ``composite`` aggregation:
+        ``sources`` = [(name, kind, field, *args)] with kind ∈ terms /
+        date_histogram / histogram; returns the shard's ≤ ``size``
+        smallest composite keys strictly after the cursor (O(size) wire
+        — see ``datehist.composite_partial``)."""
+        from .datehist import composite_partial, composite_source_keys
+
+        ok = self._bool_eligible(
+            sorted(set(clauses.get("must", []))),
+            sorted(set(clauses.get("should", []))),
+            sorted(set(clauses.get("must_not", []))),
+            sorted(set(clauses.get("filter", []))),
+            clauses.get("msm"),
+            clauses.get("meta_filters"),
+            clauses.get("range_filters"),
+            self._postings_idx_fn(),
+        )
+        idxs = np.nonzero(ok)[0]
+        if len(idxs) == 0:
+            return {}
+        key_cols = [
+            composite_source_keys(
+                tuple(src[1:2]) + tuple(src[3:]),
+                self.meta_col(src[2])[idxs],
+            )
+            for src in sources
+        ]
+        return composite_partial(key_cols, size, after)
+
     def agg_extended_stats(
         self, clauses: dict, field: str
     ) -> tuple[int, float, float, float, float]:
@@ -1473,6 +1509,21 @@ class _ScorerCore:
             )
         return merged
 
+    def agg_composite(
+        self, clauses: dict, sources: list[tuple], size: int,
+        after: tuple | None,
+    ) -> dict:
+        from .datehist import merge_count_partials
+
+        merged: dict = {}
+        for s in self.shards:
+            merge_count_partials(
+                merged, s.agg_composite(clauses, sources, size, after)
+            )
+        # re-cap (exact, same top-k merge argument)
+        keys = sorted(merged)[:size]
+        return {k: merged[k] for k in keys}
+
     def agg_extended_stats(self, clauses: dict, field: str) -> tuple:
         from .datehist import merge_extstats
 
@@ -1938,6 +1989,33 @@ class QueryEngine:
             per_actor, stats_on, interval=(float(interval), float(offset)),
             min_doc_count=min_doc_count, extended_bounds=extended_bounds,
         )
+
+    def composite(
+        self,
+        query: str | list[str] | dict,
+        sources: list[tuple],
+        size: int = 100,
+        after: tuple | None = None,
+    ) -> tuple[list[dict], tuple | None]:
+        """ES ``composite`` aggregation: paginate through ALL buckets of
+        a multi-source key in ascending key order.  ``sources`` =
+        [(name, kind, field, *args)] with kind ∈ ``terms`` /
+        ``date_histogram`` (interval) / ``histogram`` (interval,
+        offset); returns (buckets, after_key) — pass ``after=after_key``
+        for the next page.  Each shard ships at most ``size`` buckets
+        per page regardless of its bucket count (exact by the top-k
+        merge argument), which is what lets this enumerate 10^8 buckets
+        without a 10^8-row exchange."""
+        from .datehist import composite_render
+
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return [], None
+        parts = ray.get(
+            [a.agg_composite.remote(clauses, sources, size, after)
+             for a in self.actors]
+        )
+        return composite_render(parts, [s[0] for s in sources], size)
 
     def extended_stats(
         self, query: str | list[str] | dict, field: str

@@ -1112,6 +1112,31 @@ class TermPartitionedEngine:
             min_doc_count=min_doc_count, extended_bounds=extended_bounds,
         )
 
+    def composite(
+        self,
+        query: str | list[str],
+        sources: list[tuple],
+        size: int = 100,
+        after: tuple | None = None,
+    ) -> tuple[list[dict], tuple | None]:
+        """ES ``composite`` aggregation served from the term-partitioned
+        layout — same pages as :meth:`QueryEngine.composite` (parity
+        tested); each docmeta partition-group task ships ≤ ``size``
+        buckets per page."""
+        from .datehist import composite_partials_over_ids, composite_render
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return [], None
+        ids, src = got
+        parts = composite_partials_over_ids(
+            src, ids,
+            [s[2] for s in sources],
+            [tuple(s[1:2]) + tuple(s[3:]) for s in sources],
+            size, after,
+        )
+        return composite_render(parts, [s[0] for s in sources], size)
+
     def extended_stats(self, query: str | list[str], field: str) -> dict:
         """ES ``extended_stats`` served from the term-partitioned layout
         (matched ids → source docmeta lineage, O(1)-wire partials)."""

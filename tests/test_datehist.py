@@ -450,6 +450,36 @@ def test_date_histogram_engines_agree(tmp_path, ray_session):
         keys_seq = [(r["key"], r["term"]) for r in ga]
         assert keys_seq == sorted(keys_seq)
 
+        # composite aggregation: paginate (month, dl) buckets in pages
+        # of 5; pages concatenated must equal the brute-force full
+        # enumeration, identically on both engines
+        comp_sources = [("m", "date_histogram", "created_at", "month"),
+                        ("dl", "terms", "dl")]
+        m_us = {
+            i: int(floor_interval_us(
+                np.array([ts_us[i]], dtype=np.int64), "month")[0])
+            for i in match
+        }
+        want_full = _c.Counter((m_us[i], float(dls[i])) for i in match)
+        for engine in (eng, teng):
+            pages, after, npages = [], None, 0
+            while True:
+                buckets, after_key = engine.composite(
+                    "alpha beta", comp_sources, size=5, after=after)
+                pages += buckets
+                npages += 1
+                if after_key is None:
+                    break
+                after = after_key
+            got_keys = [(b["key"]["m"], b["key"]["dl"]) for b in pages]
+            assert got_keys == sorted(want_full), engine
+            assert {k: 0 for k in got_keys} == {
+                k: 0 for k in want_full}  # no dup pages
+            assert [b["doc_count"] for b in pages] == [
+                want_full[k] for k in sorted(want_full)]
+            assert npages == -(-len(want_full) // 5) + (
+                1 if len(want_full) % 5 == 0 else 0)
+
         # extended_stats: parity + brute force (population variance)
         es_a = eng.extended_stats("alpha beta", field="dl")
         es_b = teng.extended_stats("alpha beta", field="dl")
