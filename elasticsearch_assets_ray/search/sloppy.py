@@ -24,10 +24,11 @@ is why this surface is parity-tested instead of DuckDB-oracled
 (SURVEY.md §8 documents the ordered/greedy form as the SQL-reproducible
 sibling).
 
-Documented limitation: phrases with REPEATED terms (``"data config
-data"``) raise — Lucene's repeat handling (distinct slots must occupy
-distinct token positions) is a separate, substantially more complex
-machine; the ordered/greedy mode still accepts them.
+Phrases with REPEATED terms route to
+:func:`lucene_sloppy_freq_repeats` — Lucene's collision machine (slots
+of a repeat group must occupy distinct token positions; the lesser
+phrase position advances on a collision).  Multi-term repeat SLOTS
+(a repeated term among a slot's alternatives) remain rejected.
 """
 
 from __future__ import annotations

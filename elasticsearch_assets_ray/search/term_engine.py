@@ -480,6 +480,68 @@ class _BucketCore:
 
 
 @ray.remote
+def _phrase_chunk_kernel(
+    slot_refs: list,
+    seqs: list[int],
+    lo: int,
+    hi: int,
+    cand: np.ndarray,
+    shift_bits: int,
+    slop: int,
+    slop_mode: str,
+    rpt_groups: list | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One doc-range chunk [lo, hi) of a phrase query, reading the
+    terms' FULL posting arrays zero-copy from the object store
+    (``slot_refs`` are per-slot ``ray.put`` handles of (ids, tf64, pos,
+    tfcum) — put once per term, reused across queries) and slicing
+    locally.  Runs the identical inline kernel on its slice: the
+    subset-gather → key-pack → intersect chain for exact/ordered use,
+    or the lockstep sloppy matcher for lucene mode.  Exact by per-doc
+    independence (forced-parallel parity tests)."""
+    from .sloppy import sloppy_freqs_for_candidates
+
+    shift = np.int64(shift_bits)
+    slices = []
+    for r in slot_refs:
+        ids, tf64, pos, tfcum = (
+            ray.get(r) if isinstance(r, ray.ObjectRef) else r
+        )
+        a = int(np.searchsorted(ids, lo, side="left"))
+        b = int(np.searchsorted(ids, hi, side="left"))
+        slices.append((ids[a:b], tf64[a:b], pos[tfcum[a]:tfcum[b]]))
+    if slop > 0 and slop_mode == "lucene":
+        slot_docs, slot_pos = [], []
+        for ids, tf64, pos in slices:
+            ids_s, tfs_s, pos_s = subset_positions(ids, tf64, pos, cand)
+            slot_docs.append(
+                np.repeat(ids_s, tfs_s).astype(np.int64, copy=False)
+            )
+            slot_pos.append(pos_s.astype(np.int64))
+        return sloppy_freqs_for_candidates(
+            slot_docs, slot_pos, slop, repeat_groups=rpt_groups
+        )
+    cur = None
+    for (ids, tf64, pos), seq in zip(slices, seqs):
+        ids_s, tfs_s, pos_s = subset_positions(ids, tf64, pos, cand)
+        docs_flat = np.repeat(ids_s, tfs_s).astype(np.int64, copy=False)
+        p = pos_s.astype(np.int64)
+        if seq:
+            keep = p >= seq
+            if not keep.all():
+                docs_flat, p = docs_flat[keep], p[keep]
+            p = p - seq
+        keys = (docs_flat << shift) | p
+        cur = keys if cur is None else np.intersect1d(
+            cur, keys, assume_unique=True
+        )
+        if len(cur) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+    hd, pf = np.unique(cur >> shift, return_counts=True)
+    return hd.astype(np.int64), pf.astype(np.float64)
+
+
+@ray.remote
 class TermBucketActor(_BucketCore):
     """Ray actor wrapper: buckets load once, queries gather from it."""
 
@@ -594,6 +656,11 @@ class TermPartitionedEngine:
     # terms' posting mass (df as the proxy — positions-per-doc assumed
     # comparable across the phrase terms)
     PHRASE_GATE_FRAC = 0.5
+    # hot-phrase coordinator work (key packing + intersect / lockstep
+    # matcher) fans out over doc-range chunk TASKS past this total
+    # positional mass — per-doc independence makes the split exact
+    PHRASE_PARALLEL_TASKS = 8
+    PHRASE_PARALLEL_MIN_MASS = 2_000_000
 
     def _fetch_phrase_postings(
         self, terms: list[str]
@@ -1458,14 +1525,29 @@ class TermPartitionedEngine:
             from .sloppy import repeat_groups_of, sloppy_freqs_for_candidates
 
             rpt_groups = repeat_groups_of(toks)
-            slot_docs, slot_pos = [], []
-            for t in toks:
-                ids, _n, _d, _bl, _bm, tfs, pos = fetched[t]
-                slot_docs.append(np.repeat(ids, tfs).astype(np.int64))
-                slot_pos.append(pos.astype(np.int64))
-            hd, pf = sloppy_freqs_for_candidates(
-                slot_docs, slot_pos, slop, repeat_groups=rpt_groups
+            mass = sum(len(fetched[t][6]) for t in set(toks))
+            full_entries = all(
+                fetched[t][1] is not None for t in set(toks)
             )
+            if (mass >= self.PHRASE_PARALLEL_MIN_MASS
+                    and len(cand_docs) > self.PHRASE_PARALLEL_TASKS
+                    and full_entries):
+                # hot-hot phrases: the matcher is coordinator-bound here
+                # (the doc engine parallelizes it per shard) — fan out
+                # over doc-range chunks, exact by per-doc independence
+                hd, pf = self._phrase_parallel(
+                    toks, fetched, cand_docs, shift, slop, "lucene",
+                    rpt_groups,
+                )
+            else:
+                slot_docs, slot_pos = [], []
+                for t in toks:
+                    ids, _n, _d, _bl, _bm, tfs, pos = fetched[t]
+                    slot_docs.append(np.repeat(ids, tfs).astype(np.int64))
+                    slot_pos.append(pos.astype(np.int64))
+                hd, pf = sloppy_freqs_for_candidates(
+                    slot_docs, slot_pos, slop, repeat_groups=rpt_groups
+                )
             if len(hd) == 0:
                 return []
             return self._phrase_score_tail(hd, pf, idf_sum, k,
@@ -1493,6 +1575,22 @@ class TermPartitionedEngine:
             ok &= span <= (len(toks) - 1 + slop)
             cur = starts[ok]
         else:
+            mass = sum(len(fetched[t][6]) for t in set(toks))
+            full_entries = all(
+                fetched[t][1] is not None for t in set(toks)
+            )
+            if (mass >= self.PHRASE_PARALLEL_MIN_MASS
+                    and len(cand_docs) > self.PHRASE_PARALLEL_TASKS
+                    and full_entries):
+                hd, pf_c = self._phrase_parallel(
+                    toks, fetched, cand_docs, shift
+                )
+                if len(hd) == 0:
+                    return []
+                return self._phrase_score_tail(
+                    hd, pf_c.astype(np.float64), idf_sum, k,
+                    dl_term=dl_term,
+                )
             cur = slot_keys(toks[0], 0)
             for seq, t in enumerate(toks[1:], start=1):
                 if len(cur) == 0:
@@ -1504,6 +1602,80 @@ class TermPartitionedEngine:
         hd, pf_c = np.unique(cur >> shift, return_counts=True)
         return self._phrase_score_tail(hd, pf_c.astype(np.float64), idf_sum, k,
                                        dl_term=dl_term)
+
+    def _phrase_parallel(
+        self,
+        toks: list[str],
+        fetched: dict,
+        cand: np.ndarray,
+        shift: np.int64,
+        slop: int = 0,
+        slop_mode: str = "ordered",
+        rpt_groups: list | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Hot-phrase coordinator work fanned out over doc-range chunk
+        tasks — exact by per-doc independence (forced-parallel parity
+        tests).  Each unique term's FULL posting arrays go to the object
+        store ONCE (``ray.put``, FIFO-bounded ref cache reused across
+        queries); tasks read them zero-copy and slice locally, so the
+        per-query wire cost is O(candidates), not O(position mass).
+        Restores the per-shard parallelism the doc-partitioned engine
+        gets structurally."""
+        if not hasattr(self, "_chunk_put_cache"):
+            self._chunk_put_cache: dict[str, tuple] = {}
+            self._chunk_put_postings = 0
+        refs = {}
+        for t in set(toks):
+            got = self._chunk_put_cache.get(t)
+            if got is None:
+                ids, _n, _d, _bl, _bm, tfs, pos = fetched[t]
+                if len(pos) and int(pos.max()) >= (1 << self._POS_BITS):
+                    raise ValueError(
+                        "document exceeds 2^21 token positions"
+                    )
+                tf64 = tfs.astype(np.int64)
+                tfcum = np.concatenate([[0], np.cumsum(tf64)])
+                cost = len(ids) + len(pos)
+                got = (ray.put((ids, tf64, pos, tfcum)), cost)
+                self._chunk_put_cache[t] = got
+                self._chunk_put_postings += cost
+                while (self._chunk_put_postings > self.CACHE_MAX_POSTINGS
+                       and len(self._chunk_put_cache) > len(set(toks))):
+                    old_t = next(iter(self._chunk_put_cache))
+                    if old_t in set(toks):
+                        break
+                    _, c = self._chunk_put_cache.pop(old_t)
+                    self._chunk_put_postings -= c
+            refs[t] = got[0]
+        n_tasks = self.PHRASE_PARALLEL_TASKS
+        qs = cand[np.linspace(0, len(cand) - 1,
+                              n_tasks + 1).astype(np.int64)]
+        cuts = np.unique(qs[1:-1])
+        bounds = np.concatenate(
+            [[np.iinfo(np.int64).min], cuts, [np.iinfo(np.int64).max]]
+        )
+        slot_refs = [refs[t] for t in toks]
+        seqs = list(range(len(toks)))
+        futs = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            a = int(np.searchsorted(cand, lo, side="left"))
+            b = int(np.searchsorted(cand, hi, side="left"))
+            cand_c = cand[a:b]
+            if len(cand_c) == 0:
+                continue
+            futs.append(
+                _phrase_chunk_kernel.remote(
+                    slot_refs, seqs, lo, hi, cand_c, int(shift),
+                    slop, slop_mode, rpt_groups,
+                )
+            )
+        if not futs:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        parts = ray.get(futs)
+        hd = np.concatenate([p[0] for p in parts])
+        pf = np.concatenate([p[1] for p in parts])
+        return hd, pf  # chunks are disjoint ascending doc ranges
 
     def _phrase_score_tail(
         self, hd: np.ndarray, pf: np.ndarray, idf_sum: float, k: int,
@@ -1564,7 +1736,8 @@ class TermPartitionedEngine:
             )
         self._term_cache = {}
         self._cache_postings = 0
-        for attr in ("_dl_store", "_text_reader", "_mass_cache"):
+        for attr in ("_dl_store", "_text_reader", "_mass_cache",
+                     "_chunk_put_cache", "_chunk_put_postings"):
             if hasattr(self, attr):
                 delattr(self, attr)
         return statuses

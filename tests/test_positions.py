@@ -533,12 +533,14 @@ def test_global_phrase_remote_gate_bit_exact(pos_index, tmp_path):
     gated = TermPartitionedEngine(out, num_actors=2)
     gated.CACHE_MAX_POSTINGS = 0  # instance override: never fits_cache
     gated.PHRASE_GATE_FRAC = 10.0  # any conjunction gates
+    # ALSO force the doc-range-chunked parallel phrase paths (exact +
+    # lucene lockstep) — they must stay bit-identical to inline
+    gated.PHRASE_PARALLEL_MIN_MASS = 0
+    gated.PHRASE_PARALLEL_TASKS = 3
     try:
         for phrase in ["def merge", "return data", "import import",
                        "merge segment block", "zz qq"]:
             for kw in ({}, {"slop": 2}, {"slop": 2, "slop_mode": "lucene"}):
-                if "import import" == phrase and kw.get("slop_mode") == "lucene":
-                    continue  # repeats rejected in lucene mode
                 a = full.search_phrase(phrase, k=1000, **kw)
                 b = gated.search_phrase(phrase, k=1000, **kw)
                 assert a == b, (phrase, kw)
