@@ -521,6 +521,39 @@ def _phrase_chunk_kernel(
         return sloppy_freqs_for_candidates(
             slot_docs, slot_pos, slop, repeat_groups=rpt_groups
         )
+    if slop > 0:
+        # ordered sloppy: the inline greedy successor chain on raw
+        # (doc<<bits|pos) keys, over this chunk's slices only
+        keys_per_slot = []
+        for ids, tf64, pos in slices:
+            ids_s, tfs_s, pos_s = subset_positions(ids, tf64, pos, cand)
+            docs_flat = np.repeat(ids_s, tfs_s).astype(
+                np.int64, copy=False
+            )
+            keys_per_slot.append(
+                (docs_flat << shift) | pos_s.astype(np.int64)
+            )
+        starts = keys_per_slot[0]
+        cur = starts
+        okm = np.ones(len(starts), dtype=bool)
+        for nxt in keys_per_slot[1:]:
+            pos_in = np.searchsorted(nxt, cur + 1)
+            valid = pos_in < len(nxt)
+            cand_k = (
+                nxt[np.minimum(pos_in, max(len(nxt) - 1, 0))]
+                if len(nxt) else np.zeros_like(cur)
+            )
+            valid &= (cand_k >> shift) == (cur >> shift)
+            okm &= valid
+            cur = np.where(valid, cand_k, cur)
+        mask = np.int64((1 << shift_bits) - 1)
+        span = (cur & mask) - (starts & mask)
+        okm &= span <= (len(slices) - 1 + slop)
+        cur = starts[okm]
+        if len(cur) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        hd, pf = np.unique(cur >> shift, return_counts=True)
+        return hd.astype(np.int64), pf.astype(np.float64)
     cur = None
     for (ids, tf64, pos), seq in zip(slices, seqs):
         ids_s, tfs_s, pos_s = subset_positions(ids, tf64, pos, cand)
@@ -1557,6 +1590,22 @@ class TermPartitionedEngine:
             # ordered sloppy matching — the shard engine's greedy minimal
             # successor chain on global keys (see ShardData.phrase_topk
             # for the semantics and the documented Lucene divergence)
+            mass = sum(len(fetched[t][6]) for t in set(toks))
+            full_entries = all(
+                fetched[t][1] is not None for t in set(toks)
+            )
+            if (mass >= self.PHRASE_PARALLEL_MIN_MASS
+                    and len(cand_docs) > self.PHRASE_PARALLEL_TASKS
+                    and full_entries):
+                hd, pf_c = self._phrase_parallel(
+                    toks, fetched, cand_docs, shift, slop, "ordered"
+                )
+                if len(hd) == 0:
+                    return []
+                return self._phrase_score_tail(
+                    hd, pf_c.astype(np.float64), idf_sum, k,
+                    dl_term=dl_term,
+                )
             starts = slot_keys(toks[0], 0)
             cur = starts
             ok = np.ones(len(starts), dtype=bool)

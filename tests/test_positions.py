@@ -533,10 +533,13 @@ def test_global_phrase_remote_gate_bit_exact(pos_index, tmp_path):
     gated = TermPartitionedEngine(out, num_actors=2)
     gated.CACHE_MAX_POSTINGS = 0  # instance override: never fits_cache
     gated.PHRASE_GATE_FRAC = 10.0  # any conjunction gates
-    # ALSO force the doc-range-chunked parallel phrase paths (exact +
-    # lucene lockstep) — they must stay bit-identical to inline
-    gated.PHRASE_PARALLEL_MIN_MASS = 0
-    gated.PHRASE_PARALLEL_TASKS = 3
+    # a third engine forces the doc-range-chunked PARALLEL phrase paths
+    # (exact / ordered-slop / lucene / repeats) with the gate OFF —
+    # subset (gated) entries take the inline path by design, so the
+    # parallel kernels need full entries to fire
+    par = TermPartitionedEngine(out, num_actors=2)
+    par.PHRASE_PARALLEL_MIN_MASS = 0
+    par.PHRASE_PARALLEL_TASKS = 3
     try:
         for phrase in ["def merge", "return data", "import import",
                        "merge segment block", "zz qq"]:
@@ -544,6 +547,8 @@ def test_global_phrase_remote_gate_bit_exact(pos_index, tmp_path):
                 a = full.search_phrase(phrase, k=1000, **kw)
                 b = gated.search_phrase(phrase, k=1000, **kw)
                 assert a == b, (phrase, kw)
+                c = par.search_phrase(phrase, k=1000, **kw)
+                assert a == c, ("parallel", phrase, kw)
         # repeat query: gated path re-fetches subsets (nothing cached) —
         # still identical
         assert gated.search_phrase("def merge", k=10) == \
@@ -561,6 +566,7 @@ def test_global_phrase_remote_gate_bit_exact(pos_index, tmp_path):
     finally:
         full.shutdown()
         gated.shutdown()
+        par.shutdown()
 
 
 def test_global_phrase_requires_positional_layout(small_index, tmp_path):
