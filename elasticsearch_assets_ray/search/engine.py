@@ -1001,27 +1001,16 @@ class ShardData:
         # Python loop (measured: hot-phrase p50 on a 1M-doc index drops
         # from ~1.5 s to the dense-query regime).
         def slot_keys(alts: list[str], seq: int) -> np.ndarray:
+            # doc-conjunction gate via the shared segment gather
+            from .term_engine import subset_positions
+
             parts = []
             for t in alts:
                 idx, pos, tfcum = decoded[t]
                 tf = np.diff(tfcum)
-                es = np.nonzero(np.isin(idx, cand_docs, assume_unique=True))[0]
-                if len(es) < len(idx):
-                    # gather only the candidate docs' position segments
-                    seg_lens = tf[es]
-                    seg_starts = tfcum[:-1][es]
-                    cum = np.cumsum(seg_lens)
-                    total = int(cum[-1]) if len(cum) else 0
-                    intra = np.arange(total, dtype=np.int64) - np.repeat(
-                        cum - seg_lens, seg_lens
-                    )
-                    p = pos[np.repeat(seg_starts, seg_lens) + intra].astype(
-                        np.int64
-                    )
-                    docs_flat = np.repeat(idx[es], seg_lens)
-                else:
-                    docs_flat = np.repeat(idx, tf)
-                    p = pos.astype(np.int64)
+                idx_s, tf_s, pos_s = subset_positions(idx, tf, pos, cand_docs)
+                docs_flat = np.repeat(idx_s, tf_s)
+                p = pos_s.astype(np.int64)
                 if seq:
                     keep = p >= seq
                     if not keep.all():
@@ -1805,20 +1794,7 @@ class QueryEngine:
         associatively across shard actors, so driver work is
         O(buckets)."""
         if isinstance(query, dict):
-            def _clause(v):
-                if isinstance(v, str):
-                    return self._analyze(v) if v else []
-                return sorted(set(v))
-
-            clauses = {
-                "must": _clause(query.get("must", "")),
-                "should": _clause(query.get("should", "")),
-                "must_not": _clause(query.get("must_not", "")),
-                "filter": _clause(query.get("filter", "")),
-                "msm": query.get("minimum_should_match"),
-                "meta_filters": query.get("filter_meta"),
-                "range_filters": query.get("filter_range"),
-            }
+            clauses = self._query_clauses(query)
             per_actor = ray.get(
                 [a.agg_match_bool.remote(clauses, group_by, stats_on)
                  for a in self.actors]
