@@ -197,14 +197,38 @@ def enumerate_bucket_keys(lo: int, hi: int, interval: str) -> list[int]:
     return out
 
 
-def composite_keys(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Two parallel key columns → one object array of (a, b) tuples —
-    the composite bucket key for sub-aggregations (tuples sort
-    lexicographically, which IS the ES bucket order: parent key
+def valid_mask(v: np.ndarray) -> np.ndarray:
+    """True where a key/doc value is PRESENT — ES terms/composite
+    sources omit documents whose source value is missing, and None/NaN
+    would crash numpy's object sort anyway."""
+    if v.dtype.kind == "f":
+        return ~np.isnan(v)
+    if v.dtype == object and len(v):
+        return np.fromiter((x is not None for x in v), bool, len(v))
+    return np.ones(len(v), dtype=bool)
+
+
+def partial_over_pairs(
+    a: np.ndarray, b: np.ndarray, stats_vals: np.ndarray | None
+) -> dict:
+    """Composite (a, b)-key partial WITHOUT per-row Python tuples: each
+    column factorizes once (np.unique), the combined int64 codes run
+    through the vectorized :func:`partial_over_groups`, and tuples
+    materialize only for the ≤bucket-count OUTPUT.  Tuple keys sort
+    lexicographically at render time — the ES bucket order (parent key
     ascending, then sub-bucket)."""
-    out = np.empty(len(a), dtype=object)
-    out[:] = list(zip(a.tolist(), b.tolist()))
-    return out
+    ua, ia = np.unique(a, return_inverse=True)
+    ub, ib = np.unique(b, return_inverse=True)
+    nb = np.int64(max(len(ub), 1))
+    comb = ia.astype(np.int64) * nb + ib.astype(np.int64)
+    part = partial_over_groups(comb, stats_vals)
+
+    def _py(x):
+        return x.item() if hasattr(x, "item") else x
+
+    return {
+        (_py(ua[k // nb]), _py(ub[k % nb])): v for k, v in part.items()
+    }
 
 
 def _load_meta_values(tbl_col) -> np.ndarray:
@@ -233,12 +257,18 @@ def bucket_partial(
         )
     if kind == "interval_terms":
         # date_histogram with a terms SUB-aggregation: composite
-        # (bucket_us, term) keys — arg = (interval, group_vals)
+        # (bucket_us, term) keys — arg = (interval, group_vals).
+        # Docs with a missing group value are omitted (ES terms-source
+        # semantics).
         interval, group_vals = arg
-        return partial_over_groups(
-            composite_keys(floor_interval_us(field_vals, interval),
-                           group_vals),
-            stats_vals,
+        ok = valid_mask(group_vals)
+        if not ok.all():
+            field_vals = field_vals[ok]
+            group_vals = group_vals[ok]
+            if stats_vals is not None:
+                stats_vals = stats_vals[ok]
+        return partial_over_pairs(
+            floor_interval_us(field_vals, interval), group_vals, stats_vals
         )
     if kind == "histogram":
         # ES numeric histogram: key = floor((v - offset)/interval)
@@ -281,10 +311,7 @@ def _agg_partition_task(
             sv = _load_meta_values(t.column(stats_col))[idx].astype(np.float64)
         spec_local = spec
         if gcol is not None:
-            gv = (
-                t.column(gcol).combine_chunks()
-                .to_numpy(zero_copy_only=False)[idx]
-            )
+            gv = _load_meta_values(t.column(gcol))[idx]
             spec_local = ("interval_terms", (spec[1][0], gv))
         merge_agg_partials(
             merged,
@@ -363,6 +390,15 @@ def composite_partial(
     n = len(key_cols[0])
     if n == 0:
         return {}
+    ok = valid_mask(key_cols[0])
+    for c in key_cols[1:]:
+        ok &= valid_mask(c)
+    if not ok.all():
+        # ES composite sources omit docs with a missing source value
+        key_cols = [c[ok] for c in key_cols]
+        n = len(key_cols[0])
+        if n == 0:
+            return {}
     if after is not None:
         # vectorized lexicographic "key > after"
         gt = np.zeros(n, dtype=bool)

@@ -495,12 +495,18 @@ class ShardData:
             else None
         )
         if group_col is not None:
-            # terms SUB-aggregation: composite (bucket, term) keys
-            from .datehist import composite_keys, partial_over_groups
+            # terms SUB-aggregation: composite (bucket, term) keys,
+            # factorized (no per-row Python tuples); docs with a missing
+            # group value are omitted (ES terms-source semantics)
+            from .datehist import partial_over_pairs, valid_mask
 
-            return partial_over_groups(
-                composite_keys(keys, self.meta_col(group_col)[idxs]), vals
-            )
+            gv = self.meta_col(group_col)[idxs]
+            ok = valid_mask(gv)
+            if not ok.all():
+                keys, gv = keys[ok], gv[ok]
+                if vals is not None:
+                    vals = vals[ok]
+            return partial_over_pairs(keys, gv, vals)
         return partial_over_values(keys, vals)
 
     def agg_range(
@@ -1877,6 +1883,8 @@ class QueryEngine:
         (driver-side enumeration, O(buckets))."""
         from .datehist import buckets_from_partials
 
+        if group_by is not None:
+            min_doc_count = 1  # ES zero-fill applies to the parent only
         clauses = self._query_clauses(query)
         if clauses is None:
             # an empty/unanalyzable query matches nothing, but ES still

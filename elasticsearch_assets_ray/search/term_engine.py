@@ -1335,6 +1335,8 @@ class TermPartitionedEngine:
         size."""
         from .datehist import buckets_from_partials, datehist_partials_over_ids
 
+        if group_by is not None:
+            min_doc_count = 1  # ES zero-fill applies to the parent only
         got = self._matched_ids_and_source(query)
         if got is None:
             # nothing matches — ES still zero-fills extended_bounds
@@ -1529,6 +1531,15 @@ class TermPartitionedEngine:
             idf_sum += math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
 
         shift = np.int64(self._POS_BITS)
+        # parallel-path gate shared by all three phrase modes: enough
+        # positional mass to beat task overhead, enough candidates to
+        # chunk, and FULL entries (subset/gated fetches route inline)
+        parallel_ok = (
+            sum(len(fetched[t][6]) for t in set(toks))
+            >= self.PHRASE_PARALLEL_MIN_MASS
+            and len(cand_docs) > self.PHRASE_PARALLEL_TASKS
+            and all(fetched[t][1] is not None for t in set(toks))
+        )
         # matched docs sit in every phrase term's posting list — route
         # the dl gather to the RAREST term's actor (smallest base)
         dl_term = min(set(toks), key=lambda t: int(fetched[t][2]))
@@ -1558,13 +1569,7 @@ class TermPartitionedEngine:
             from .sloppy import repeat_groups_of, sloppy_freqs_for_candidates
 
             rpt_groups = repeat_groups_of(toks)
-            mass = sum(len(fetched[t][6]) for t in set(toks))
-            full_entries = all(
-                fetched[t][1] is not None for t in set(toks)
-            )
-            if (mass >= self.PHRASE_PARALLEL_MIN_MASS
-                    and len(cand_docs) > self.PHRASE_PARALLEL_TASKS
-                    and full_entries):
+            if parallel_ok:
                 # hot-hot phrases: the matcher is coordinator-bound here
                 # (the doc engine parallelizes it per shard) — fan out
                 # over doc-range chunks, exact by per-doc independence
@@ -1590,13 +1595,7 @@ class TermPartitionedEngine:
             # ordered sloppy matching — the shard engine's greedy minimal
             # successor chain on global keys (see ShardData.phrase_topk
             # for the semantics and the documented Lucene divergence)
-            mass = sum(len(fetched[t][6]) for t in set(toks))
-            full_entries = all(
-                fetched[t][1] is not None for t in set(toks)
-            )
-            if (mass >= self.PHRASE_PARALLEL_MIN_MASS
-                    and len(cand_docs) > self.PHRASE_PARALLEL_TASKS
-                    and full_entries):
+            if parallel_ok:
                 hd, pf_c = self._phrase_parallel(
                     toks, fetched, cand_docs, shift, slop, "ordered"
                 )
@@ -1624,13 +1623,7 @@ class TermPartitionedEngine:
             ok &= span <= (len(toks) - 1 + slop)
             cur = starts[ok]
         else:
-            mass = sum(len(fetched[t][6]) for t in set(toks))
-            full_entries = all(
-                fetched[t][1] is not None for t in set(toks)
-            )
-            if (mass >= self.PHRASE_PARALLEL_MIN_MASS
-                    and len(cand_docs) > self.PHRASE_PARALLEL_TASKS
-                    and full_entries):
+            if parallel_ok:
                 hd, pf_c = self._phrase_parallel(
                     toks, fetched, cand_docs, shift
                 )
@@ -1688,12 +1681,15 @@ class TermPartitionedEngine:
                 got = (ray.put((ids, tf64, pos, tfcum)), cost)
                 self._chunk_put_cache[t] = got
                 self._chunk_put_postings += cost
-                while (self._chunk_put_postings > self.CACHE_MAX_POSTINGS
-                       and len(self._chunk_put_cache) > len(set(toks))):
-                    old_t = next(iter(self._chunk_put_cache))
-                    if old_t in set(toks):
-                        break
-                    _, c = self._chunk_put_cache.pop(old_t)
+                protected = set(toks)
+                while self._chunk_put_postings > self.CACHE_MAX_POSTINGS:
+                    victim = next(
+                        (k for k in self._chunk_put_cache
+                         if k not in protected), None,
+                    )
+                    if victim is None:
+                        break  # only this query's terms remain pinned
+                    _, c = self._chunk_put_cache.pop(victim)
                     self._chunk_put_postings -= c
             refs[t] = got[0]
         n_tasks = self.PHRASE_PARALLEL_TASKS

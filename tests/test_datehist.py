@@ -217,6 +217,54 @@ def test_percentile_sketch_kernel():
     assert pctl_exact([], (50.0,)) == {50.0: None}
 
 
+def test_null_group_values_omitted():
+    """Docs with a missing group/source value are OMITTED (ES semantics),
+    not crashed on, by the composite and grouped partial kernels."""
+    from elasticsearch_assets_ray.search.datehist import (
+        bucket_partial,
+        composite_partial,
+        partial_over_pairs,
+        valid_mask,
+    )
+
+    g = np.array(["a", None, "b", "a"], dtype=object)
+    v = np.array([1.0, np.nan, 3.0, 4.0])
+    assert valid_mask(g).tolist() == [True, False, True, True]
+    assert valid_mask(v).tolist() == [True, False, True, True]
+    keys = np.array([10, 10, 20, 20], dtype=np.int64)
+    p = bucket_partial(keys, ("interval_terms", ("1ms", g)), None)
+    # the None row is gone; remaining rows bucket normally
+    # (keys floor to themselves at 1ms: 10 and 20 micros → 0 buckets of
+    # 1000us → both 0; actually 10//1000*1000 = 0 for both)
+    assert sum(c for c, *_ in p.values()) == 3
+    assert all(t in ("a", "b") for _, t in p)
+    # composite: a row with None in ANY source column is omitted
+    cp = composite_partial([keys.astype(np.float64), g], 10, None)
+    assert sum(cp.values()) == 3 and all(
+        None not in k for k in cp
+    )
+    pp = partial_over_pairs(np.array([1, 1, 2]),
+                            np.array(["x", "y", "x"], dtype=object), None)
+    assert pp == {(1, "x"): (1, None, None, None),
+                  (1, "y"): (1, None, None, None),
+                  (2, "x"): (1, None, None, None)}
+
+
+def test_grouped_histograms_never_zero_fill(ray_session):
+    """min_doc_count=0 with group_by is forced off (ES fills the parent
+    histogram only) — including the empty-match path, which previously
+    emitted term-less fill rows."""
+    from elasticsearch_assets_ray.search.datehist import (
+        buckets_from_partials,
+    )
+
+    rows = buckets_from_partials(
+        [{(1000, "a"): (2, None, None, None)}], None, interval="1ms",
+        min_doc_count=0, extended_bounds=(0, 5000),
+    )
+    assert rows == [{"key": 1000, "term": "a", "doc_count": 2}]
+
+
 def test_range_buckets_rendering():
     from elasticsearch_assets_ray.search.datehist import (
         range_buckets_from_partials,
