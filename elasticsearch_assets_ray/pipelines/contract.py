@@ -1702,6 +1702,73 @@ FROM documents d LEFT JOIN counts c USING (doc_id)
 """
 
 
+# date_histogram with an ES ``time_zone``: buckets computed on the
+# LOCAL calendar (DST-correct via the zoneinfo transition table), keys
+# reported as the bucket start's UTC epoch — oracle is DuckDB ICU's
+# double-AT-TIME-ZONE date_trunc
+DATEHIST_TZ_QUERIES: list[tuple[int, str, str, str]] = [
+    (0, "hash join", "day", "America/New_York"),
+    (1, "query scan", "month", "Europe/Berlin"),
+    (2, "table", "week", "Asia/Kolkata"),
+]
+
+
+def q_datehist_tz(sf_dir: str) -> pa.Table:
+    """``date_histogram`` with ``time_zone``: one vectorized
+    transition-table conversion to local wall time per shard, local
+    calendar floor, bucket start mapped back to UTC — bit-identical to
+    DuckDB ICU across DST transitions (also unit-tested on adversarial
+    spring-forward/fall-back stamps)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    rows = []
+    try:
+        for qid, text, interval, tz in DATEHIST_TZ_QUERIES:
+            for b in engine.date_histogram(
+                text, field="created_at", interval=interval, time_zone=tz
+            ):
+                rows.append(
+                    {"query_id": qid, "bucket_us": b["key"],
+                     "doc_count": b["doc_count"]}
+                )
+    finally:
+        engine.shutdown()
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def sql_datehist_tz() -> str:
+    term_rows = []
+    for qid, text, _, _ in DATEHIST_TZ_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    cases = []
+    for qid, _, interval, tz in DATEHIST_TZ_QUERIES:
+        cases.append(
+            f"WHEN {qid} THEN epoch_us((date_trunc('{interval}', "
+            f"(c.created AT TIME ZONE 'UTC') AT TIME ZONE '{tz}')) "
+            f"AT TIME ZONE '{tz}')"
+        )
+    case = "CASE hit.query_id " + " ".join(cases) + " END"
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+c AS (SELECT doc_id, {CREATED_SQL} AS created FROM documents),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t)
+SELECT hit.query_id, {case} AS bucket_us,
+       count(*)::BIGINT AS doc_count
+FROM hit JOIN c ON c.doc_id = hit.doc_id
+GROUP BY 1, 2
+"""
+
+
 # date_histogram with a terms SUB-aggregation — time buckets × keyword
 # (the most common ES agg composition); composite (bucket, lang) keys
 DATEHIST_TERMS_QUERIES: list[tuple[int, str, str]] = [
@@ -3565,6 +3632,7 @@ def queries():
         "composite_agg_global": q_composite_agg_global,
         "datehist_terms": q_datehist_terms,
         "datehist_terms_global": q_datehist_terms_global,
+        "datehist_tz": q_datehist_tz,
         "extstats_agg": q_extstats_agg,
         "extstats_agg_global": q_extstats_agg_global,
         "percentiles_agg": q_percentiles_agg,
@@ -3640,6 +3708,7 @@ def oracle_sql():
         "composite_agg_global": sql_composite_agg(),
         "datehist_terms": sql_datehist_terms(),
         "datehist_terms_global": sql_datehist_terms(),
+        "datehist_tz": sql_datehist_tz(),
         "extstats_agg": sql_extstats_agg(),
         "extstats_agg_global": sql_extstats_agg(),
         "percentiles_agg": sql_percentiles_agg(),

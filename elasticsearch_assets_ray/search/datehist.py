@@ -84,6 +84,83 @@ def floor_interval_us(v_us: np.ndarray, interval: str) -> np.ndarray:
     return (v // fixed) * fixed
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def tz_offsets_table(
+    tz_name: str, lo_year: int, hi_year: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """UTC-offset transition table for a named zone over [lo_year,
+    hi_year], built from the PUBLIC zoneinfo API (daily offset scan +
+    bisection to the transition second — no private attributes).
+    Returns (transition epoch micros ascending, offset micros in effect
+    from each transition).  Cached per (zone, year span) so repeated
+    queries share one table."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    z = ZoneInfo(tz_name)
+    lo = dt.datetime(lo_year, 1, 1, tzinfo=dt.timezone.utc)
+    hi = dt.datetime(hi_year + 1, 1, 1, tzinfo=dt.timezone.utc)
+
+    def off_at(t: "dt.datetime") -> int:
+        return int(t.astimezone(z).utcoffset().total_seconds() * 1e6)
+
+    trans = [int(lo.timestamp() * 1e6)]
+    offs = [off_at(lo)]
+    day = dt.timedelta(days=1)
+    t = lo
+    while t < hi:
+        t2 = t + day
+        o1, o2 = off_at(t), off_at(t2)
+        if o1 != o2:
+            a, b = t, t2
+            while (b - a).total_seconds() > 1:
+                m = a + (b - a) / 2
+                if off_at(m) == o1:
+                    a = m
+                else:
+                    b = m
+            trans.append(int(b.timestamp() * 1e6))
+            offs.append(o2)
+        t = t2
+    return np.array(trans, dtype=np.int64), np.array(offs, dtype=np.int64)
+
+
+def floor_interval_us_tz(
+    v_us: np.ndarray, interval: str, tz_name: str
+) -> np.ndarray:
+    """Timezone-aware bucket floor (ES ``date_histogram`` with
+    ``time_zone``): values convert to LOCAL wall time via the zone's
+    transition table (DST-correct, vectorized searchsorted), floor on
+    the local calendar/fixed grid, and the bucket start maps back to a
+    UTC epoch key.  Bit-identical to DuckDB ICU's
+    ``date_trunc(.., ts AT TIME ZONE tz) AT TIME ZONE tz`` across DST
+    transitions (oracle-checked); local times in a spring-forward gap
+    resolve with the pre-transition offset."""
+    v = np.asarray(v_us, dtype=np.int64)
+    if len(v) == 0:
+        return v
+    import datetime as dt
+
+    lo_y = dt.datetime.fromtimestamp(
+        int(v.min()) / 1e6, dt.timezone.utc
+    ).year - 1
+    hi_y = dt.datetime.fromtimestamp(
+        int(v.max()) / 1e6, dt.timezone.utc
+    ).year + 1
+    trans, offs = tz_offsets_table(tz_name, lo_y, hi_y)
+    idx = np.searchsorted(trans, v, side="right") - 1
+    local = v + offs[idx]
+    lf = floor_interval_us(local, interval)
+    # local → UTC: transitions expressed in local wall time stay
+    # monotonic (transition spacing >> offset deltas)
+    ltrans = trans + offs
+    j = np.searchsorted(ltrans, lf, side="right") - 1
+    return lf - offs[j]
+
+
 def partial_over_groups(
     groups: np.ndarray, stats_vals: np.ndarray | None
 ) -> dict:
@@ -254,6 +331,11 @@ def bucket_partial(
     if kind == "interval":
         return partial_over_groups(
             floor_interval_us(field_vals, arg), stats_vals
+        )
+    if kind == "interval_tz":
+        interval, tz = arg
+        return partial_over_groups(
+            floor_interval_us_tz(field_vals, interval, tz), stats_vals
         )
     if kind == "interval_terms":
         # date_histogram with a terms SUB-aggregation: composite

@@ -466,6 +466,7 @@ class ShardData:
         interval: str,
         stats_col: str | None = None,
         group_col: str | None = None,
+        time_zone: str | None = None,
     ) -> dict:
         """Per-shard partial for an ES ``date_histogram`` aggregation over
         the docs matching a bool query: bucket-start epoch micros →
@@ -488,7 +489,14 @@ class ShardData:
         idxs = np.nonzero(ok)[0]
         if len(idxs) == 0:
             return {}
-        keys = floor_interval_us(self.meta_col(field)[idxs], interval)
+        if time_zone is not None:
+            from .datehist import floor_interval_us_tz
+
+            keys = floor_interval_us_tz(
+                self.meta_col(field)[idxs], interval, time_zone
+            )
+        else:
+            keys = floor_interval_us(self.meta_col(field)[idxs], interval)
         vals = (
             self.meta_col(stats_col)[idxs].astype(np.float64)
             if stats_col is not None
@@ -1470,13 +1478,14 @@ class _ScorerCore:
     def agg_date_histogram(
         self, clauses: dict, field: str, interval: str,
         stats_col: str | None = None, group_col: str | None = None,
+        time_zone: str | None = None,
     ) -> dict:
         merged: dict = {}
         for s in self.shards:
             merge_agg_partials(
                 merged,
                 s.agg_date_histogram(clauses, field, interval, stats_col,
-                                     group_col),
+                                     group_col, time_zone),
             )
         return merged
 
@@ -1867,6 +1876,7 @@ class QueryEngine:
         min_doc_count: int = 1,
         extended_bounds: tuple | None = None,
         group_by: str | None = None,
+        time_zone: str | None = None,
     ) -> list[dict]:
         """ES ``date_histogram`` aggregation (with an optional ``stats``
         sub-aggregation) over ALL docs matching ``query`` — free text / a
@@ -1883,8 +1893,15 @@ class QueryEngine:
         (driver-side enumeration, O(buckets))."""
         from .datehist import buckets_from_partials
 
-        if group_by is not None:
-            min_doc_count = 1  # ES zero-fill applies to the parent only
+        if group_by is not None and time_zone is not None:
+            raise ValueError(
+                "date_histogram supports group_by and time_zone "
+                "separately, not combined"
+            )
+        if group_by is not None or time_zone is not None:
+            # zero-fill applies to the plain UTC parent histogram only
+            # (local-calendar bucket enumeration is not implemented)
+            min_doc_count = 1
         clauses = self._query_clauses(query)
         if clauses is None:
             # an empty/unanalyzable query matches nothing, but ES still
@@ -1896,7 +1913,7 @@ class QueryEngine:
             )
         per_actor = ray.get(
             [a.agg_date_histogram.remote(clauses, field, interval, stats_on,
-                                         group_by)
+                                         group_by, time_zone)
              for a in self.actors]
         )
         return buckets_from_partials(

@@ -1322,6 +1322,7 @@ class TermPartitionedEngine:
         min_doc_count: int = 1,
         extended_bounds: tuple | None = None,
         group_by: str | None = None,
+        time_zone: str | None = None,
     ) -> list[dict]:
         """ES ``date_histogram`` over the docs matching the ``match``
         disjunction, served from the term-partitioned layout — same
@@ -1335,8 +1336,13 @@ class TermPartitionedEngine:
         size."""
         from .datehist import buckets_from_partials, datehist_partials_over_ids
 
-        if group_by is not None:
-            min_doc_count = 1  # ES zero-fill applies to the parent only
+        if group_by is not None and time_zone is not None:
+            raise ValueError(
+                "date_histogram supports group_by and time_zone "
+                "separately, not combined"
+            )
+        if group_by is not None or time_zone is not None:
+            min_doc_count = 1  # zero-fill: plain UTC parent only
         got = self._matched_ids_and_source(query)
         if got is None:
             # nothing matches — ES still zero-fills extended_bounds
@@ -1351,6 +1357,13 @@ class TermPartitionedEngine:
 
             partials = agg_partials_over_ids(
                 src, ids, field, ("interval_terms", (interval, group_by)),
+                stats_on,
+            )
+        elif time_zone is not None:
+            from .datehist import agg_partials_over_ids
+
+            partials = agg_partials_over_ids(
+                src, ids, field, ("interval_tz", (interval, time_zone)),
                 stats_on,
             )
         else:

@@ -217,6 +217,47 @@ def test_percentile_sketch_kernel():
     assert pctl_exact([], (50.0,)) == {50.0: None}
 
 
+def test_tz_floor_matches_duckdb_icu():
+    """The vectorized timezone-aware floor (zoneinfo transition table)
+    is bit-identical to DuckDB ICU's double-AT-TIME-ZONE date_trunc
+    across DST transitions (spring-forward gap, fall-back overlap, both
+    directions of the boundary, multiple years and zones)."""
+    import duckdb
+
+    from elasticsearch_assets_ray.search.datehist import (
+        floor_interval_us_tz,
+    )
+
+    stamps = [
+        "2024-03-10T06:59:00", "2024-03-10T07:01:00",
+        "2024-03-09T04:59:00", "2024-11-03T05:59:00",
+        "2024-11-03T06:01:00", "2024-11-03T07:30:00",
+        "2024-06-15T03:59:00", "2024-01-01T04:59:00",
+        "2024-01-01T05:01:00", "2025-03-09T06:30:00",
+        "2023-11-05T06:30:00", "2024-12-31T23:30:00",
+    ]
+    v = np.array(
+        [int(np.datetime64(s).astype("datetime64[us]").astype(np.int64))
+         for s in stamps], np.int64,
+    )
+    con = duckdb.connect()
+    for tz in ["America/New_York", "Europe/Berlin", "Asia/Kolkata"]:
+        for interval in ["day", "month", "week", "year"]:
+            mine = floor_interval_us_tz(v, interval, tz)
+            sql = (
+                f"SELECT epoch_us((date_trunc('{interval}', "
+                f"(make_timestamp(x) AT TIME ZONE 'UTC') "
+                f"AT TIME ZONE '{tz}')) AT TIME ZONE '{tz}') "
+                f"FROM (SELECT unnest({[int(x) for x in v]}) AS x)"
+            )
+            want = [r[0] for r in con.execute(sql).fetchall()]
+            assert mine.tolist() == want, (tz, interval)
+    # engines: UTC default unchanged, tz gives shifted keys
+    assert (floor_interval_us_tz(v, "day", "UTC")
+            == np.array([int(x) for x in v]) // 86_400_000_000
+            * 86_400_000_000).all()
+
+
 def test_null_group_values_omitted():
     """Docs with a missing group/source value are OMITTED (ES semantics),
     not crashed on, by the composite and grouped partial kernels."""
@@ -497,6 +538,20 @@ def test_date_histogram_engines_agree(tmp_path, ray_session):
             dict(want_g)
         keys_seq = [(r["key"], r["term"]) for r in ga]
         assert keys_seq == sorted(keys_seq)
+
+        # time_zone: both engines agree; keys shift off the UTC grid
+        ta = eng.date_histogram("alpha beta", field="created_at",
+                                interval="day",
+                                time_zone="America/New_York")
+        tb = teng.date_histogram("alpha beta", field="created_at",
+                                 interval="day",
+                                 time_zone="America/New_York")
+        assert ta == tb and ta
+        day_us = 86_400_000_000
+        assert all(r["key"] % day_us != 0 for r in ta)  # NY offset
+        with pytest.raises(ValueError):
+            eng.date_histogram("alpha", field="created_at",
+                               group_by="dl", time_zone="UTC")
 
         # composite aggregation: paginate (month, dl) buckets in pages
         # of 5; pages concatenated must equal the brute-force full
