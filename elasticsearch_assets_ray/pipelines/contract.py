@@ -1941,6 +1941,101 @@ WHERE rn <= {2 * COMPOSITE_SIZE}
 """
 
 
+# ES ``top_hits`` sub-aggregation: per language bucket, the top-K_TOP
+# matching docs by BM25 (serving tie contract) + the bucket's FULL
+# match count
+TOP_HITS_K = 4
+
+
+def _q_top_hits(engine) -> pa.Table:
+    rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        for b in engine.top_hits(text, group_by="lang", k=TOP_HITS_K):
+            for rank, (doc, score) in enumerate(b["hits"], start=1):
+                rows.append(
+                    {
+                        "query_id": qid,
+                        "lang": b["key"],
+                        "doc_count": b["doc_count"],
+                        "rank": rank,
+                        "doc_id": doc,
+                        "score_r": round(score, 4),
+                    }
+                )
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_top_hits(sf_dir: str) -> pa.Table:
+    """ES ``top_hits`` under a ``terms`` bucket: per-shard partials ship
+    O(groups × k) — each shard's per-group local top-k + full group
+    count — merged with the serving tie contract (rounded score desc,
+    doc asc)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_top_hits(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_top_hits_global(sf_dir: str) -> pa.Table:
+    """The SAME top_hits from the TERM-partitioned layout (full match
+    set scores on the coordinator, group values hydrate id-aligned from
+    the source docmeta lineage — the layout's standing trade)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_top_hits(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_top_hits() -> str:
+    term_rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+q(query_id, t) AS (VALUES {values}),
+elig AS (SELECT DISTINCT q.query_id, tf.doc_id
+         FROM q JOIN tf ON tf.t = q.t),
+scored AS (
+  SELECT e.query_id, e.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM elig e
+  JOIN q ON q.query_id = e.query_id
+  JOIN tf ON tf.doc_id = e.doc_id AND tf.t = q.t
+  JOIN df ON df.t = q.t
+  JOIN dl ON dl.doc_id = e.doc_id, s
+  GROUP BY 1, 2)
+SELECT query_id, lang, doc_count, rank, doc_id, score_r FROM (
+  SELECT sc.query_id, d.lang,
+         count(*) OVER (PARTITION BY sc.query_id, d.lang)::BIGINT
+           AS doc_count,
+         row_number() OVER (PARTITION BY sc.query_id, d.lang
+                            ORDER BY round(sc.score, 4) DESC, sc.doc_id)
+           AS rank,
+         sc.doc_id,
+         round(sc.score, 4) AS score_r
+  FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id)
+WHERE rank <= {TOP_HITS_K}
+"""
+
+
 # ES ``extended_stats`` + ``percentiles`` (exact nearest-rank mode —
 # integer rank logic, so the SQL oracle reproduces it bit-exactly; the
 # sketch mode is accuracy-tested against this exact twin in tests)
@@ -3633,6 +3728,8 @@ def queries():
         "datehist_terms": q_datehist_terms,
         "datehist_terms_global": q_datehist_terms_global,
         "datehist_tz": q_datehist_tz,
+        "top_hits_lang": q_top_hits,
+        "top_hits_lang_global": q_top_hits_global,
         "extstats_agg": q_extstats_agg,
         "extstats_agg_global": q_extstats_agg_global,
         "percentiles_agg": q_percentiles_agg,
@@ -3709,6 +3806,8 @@ def oracle_sql():
         "datehist_terms": sql_datehist_terms(),
         "datehist_terms_global": sql_datehist_terms(),
         "datehist_tz": sql_datehist_tz(),
+        "top_hits_lang": sql_top_hits(),
+        "top_hits_lang_global": sql_top_hits(),
         "extstats_agg": sql_extstats_agg(),
         "extstats_agg_global": sql_extstats_agg(),
         "percentiles_agg": sql_percentiles_agg(),

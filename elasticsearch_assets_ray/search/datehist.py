@@ -706,13 +706,21 @@ def _values_partition_task(
 ) -> object:
     """Matched-row doc values of a partition group reduced per ``mode``:
     ``"sorted"`` (exact percentiles), ``"sketch"`` (log-bucket counts),
-    ``"extstats"`` ((n, sum, sumsq, min, max))."""
+    ``"extstats"`` ((n, sum, sumsq, min, max)), ``"raw"`` (id-aligned
+    values, any dtype — hydration for top_hits-style consumers)."""
     vals = []
     for path, idx in zip(paths, local_idx):
         t = pq.read_table(path, columns=[field])
-        v = _load_meta_values(t.column(field))[idx].astype(np.float64)
-        vals.append(v[~np.isnan(v)])
+        v = _load_meta_values(t.column(field))[idx]
+        if mode != "raw":
+            v = v.astype(np.float64)
+            v = v[~np.isnan(v)]
+        vals.append(v)
     v = np.concatenate(vals) if vals else np.empty(0)
+    if mode == "raw":
+        # id-ALIGNED raw doc values (routed partition order == sorted
+        # unique id order) — no filtering, alignment is the contract
+        return v
     if mode == "sketch":
         return pctl_sketch_partial(v, sketch_k)
     if mode == "extstats":

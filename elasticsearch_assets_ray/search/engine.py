@@ -369,6 +369,83 @@ class ShardData:
         cand, cs = _select_topk(cand, scores, k, params)
         return (cand + self.doc_base).astype(np.int64), cs
 
+    def agg_top_hits(
+        self,
+        clauses: dict,
+        idf: dict[str, float],
+        params: "BM25Params",
+        avgdl: float,
+        group_col: str,
+        k: int,
+    ) -> dict:
+        """Per-shard partial for an ES ``top_hits`` sub-aggregation
+        under a ``terms`` bucket: group value → (total match count,
+        local top-k GLOBAL doc ids, scores) — wire O(groups × k), never
+        O(matches).  Scoring and eligibility are exactly
+        :meth:`bool_topk`'s; ordering is the serving tie contract
+        (rounded score desc, doc asc).  Docs with a missing group value
+        are omitted (ES terms-source semantics)."""
+        from .datehist import valid_mask
+
+        k1, b = params.k1, params.b
+        must_s = sorted(set(clauses.get("must", [])))
+        should_s = sorted(set(clauses.get("should", [])))
+        not_s = sorted(set(clauses.get("must_not", [])))
+        filt_s = sorted(set(clauses.get("filter", [])))
+        scoring = sorted(set(must_s) | set(should_s))
+        postings_idx = self._postings_idx_fn()
+        n = self.num_docs
+        scores = np.zeros(n, dtype=np.float64)
+        for t in scoring:  # sorted order — pinned to the oracle
+            p = postings_idx(t)
+            if p is None:
+                continue
+            idx, tfs = p
+            tf = tfs.astype(np.float64)
+            dl = self.dl[idx]
+            norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            scores[idx] += idf[t] * norm
+        ok = self._bool_eligible(
+            must_s, should_s, not_s, filt_s, clauses.get("msm"),
+            clauses.get("meta_filters"), clauses.get("range_filters"),
+            postings_idx,
+        )
+        cand = np.nonzero(ok)[0]
+        if len(cand) == 0:
+            return {}
+        groups = self.meta_col(group_col)[cand]
+        vm = valid_mask(groups)
+        if not vm.all():
+            cand, groups = cand[vm], groups[vm]
+            if len(cand) == 0:
+                return {}
+        sc = scores[cand]
+        r = (
+            np.round(sc, params.round_decimals)
+            if params.round_decimals is not None else sc
+        )
+        ug, ginv = np.unique(groups, return_inverse=True)
+        order = np.lexsort((cand, -r, ginv))
+        gsorted = ginv[order]
+        starts = np.nonzero(
+            np.concatenate([[True], gsorted[1:] != gsorted[:-1]])
+        )[0]
+        run_lens = np.diff(np.concatenate([starts, [len(order)]]))
+        rank = np.arange(len(order)) - np.repeat(starts, run_lens)
+        keep = rank < k
+        counts = np.bincount(ginv, minlength=len(ug))
+        out = {}
+        sel = order[keep]
+        gk = gsorted[keep]
+        for gi, g in enumerate(ug.tolist()):
+            m = sel[gk == gi]
+            out[g] = (
+                int(counts[gi]),
+                (cand[m] + self.doc_base).astype(np.int64),
+                scores[cand[m]],
+            )
+        return out
+
     def _bool_eligible(
         self, must_s, should_s, not_s, filt_s, minimum_should_match,
         meta_filters, range_filters, postings_idx,
@@ -1513,6 +1590,27 @@ class _ScorerCore:
             )
         return merged
 
+    def agg_top_hits(
+        self, clauses: dict, idf: dict, group_col: str, k: int
+    ) -> dict:
+        merged: dict = {}
+        for s in self.shards:
+            part = s.agg_top_hits(
+                clauses, idf, self.params, self.avgdl, group_col, k
+            )
+            for g, (c, ids, scs) in part.items():
+                got = merged.get(g)
+                if got is None:
+                    merged[g] = [c, [(ids, scs)]]
+                else:
+                    got[0] += c
+                    got[1].append((ids, scs))
+        out = {}
+        for g, (c, parts) in merged.items():
+            ids, scs = merge_topk(parts, k, self.params.round_decimals)
+            out[g] = (c, ids, scs)
+        return out
+
     def agg_composite(
         self, clauses: dict, sources: list[tuple], size: int,
         after: tuple | None,
@@ -2017,6 +2115,51 @@ class QueryEngine:
              for a in self.actors]
         )
         return composite_render(parts, [s[0] for s in sources], size)
+
+    def top_hits(
+        self,
+        query: str | list[str] | dict,
+        group_by: str,
+        k: int = 3,
+    ) -> list[dict]:
+        """ES ``top_hits`` sub-aggregation under a ``terms`` bucket: per
+        group value, the top-``k`` matching docs by BM25 (serving tie
+        contract — rounded score desc, doc asc) plus the group's FULL
+        match count.  Per-shard partials ship O(groups × k); buckets
+        come back in ES terms-agg order (doc_count desc, key asc)."""
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return []
+        scoring = sorted(set(clauses["must"]) | set(clauses["should"]))
+        if not scoring:
+            raise ValueError("top_hits needs a scoring clause")
+        idf = self.idfs(scoring)
+        per_actor = ray.get(
+            [a.agg_top_hits.remote(clauses, idf, group_by, k)
+             for a in self.actors]
+        )
+        merged: dict = {}
+        for part in per_actor:
+            for g, (c, ids, scs) in part.items():
+                got = merged.get(g)
+                if got is None:
+                    merged[g] = [c, [(ids, scs)]]
+                else:
+                    got[0] += c
+                    got[1].append((ids, scs))
+        out = []
+        for g, (c, parts) in merged.items():
+            ids, scs = merge_topk(parts, k, self.params.round_decimals)
+            out.append({
+                "key": g, "doc_count": int(c),
+                # merge_topk keeps the rounded-tie class at the kth
+                # boundary (serving semantics); top_hits returns exactly
+                # k — the order already breaks ties doc-ascending
+                "hits": [(int(d), float(sv))
+                         for d, sv in zip(ids[:k], scs[:k])],
+            })
+        out.sort(key=lambda r: (-r["doc_count"], r["key"]))
+        return out
 
     def extended_stats(
         self, query: str | list[str] | dict, field: str

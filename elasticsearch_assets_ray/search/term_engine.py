@@ -1237,6 +1237,64 @@ class TermPartitionedEngine:
         )
         return composite_render(parts, [s[0] for s in sources], size)
 
+    def top_hits(
+        self, query: str | list[str], group_by: str, k: int = 3
+    ) -> list[dict]:
+        """ES ``top_hits`` under a ``terms`` bucket, served from the
+        term-partitioned layout: the FULL match set scores on the
+        coordinator (the term layout's standing trade — doc values live
+        with the source lineage), group values hydrate id-aligned from
+        the docmeta partitions, and per-group top-k selection keeps the
+        serving tie order.  Buckets in ES terms-agg order."""
+        from .datehist import valid_mask, values_partials_over_ids
+
+        hits = self.search(
+            query if isinstance(query, str) else " ".join(query), k=self.n
+        )
+        if not hits:
+            return []
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        scs = np.array([s for _, s in hits], dtype=np.float64)
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for top_hits serving"
+            )
+        sids = np.unique(ids)
+        parts = values_partials_over_ids(src, sids, group_by, "raw")
+        gv = np.concatenate(parts)
+        g_of_hit = gv[np.searchsorted(sids, ids)]
+        vm = valid_mask(g_of_hit)
+        if not vm.all():
+            ids, scs, g_of_hit = ids[vm], scs[vm], g_of_hit[vm]
+            if len(ids) == 0:
+                return []
+        ug, ginv = np.unique(g_of_hit, return_inverse=True)
+        counts = np.bincount(ginv, minlength=len(ug))
+        # hits arrive in serving rank order; a stable per-group split
+        # keeps it — take each group's first k occurrences
+        pos = np.arange(len(ids), dtype=np.int64)
+        order = np.lexsort((pos, ginv))
+        gs = ginv[order]
+        starts = np.nonzero(
+            np.concatenate([[True], gs[1:] != gs[:-1]])
+        )[0]
+        run_lens = np.diff(np.concatenate([starts, [len(order)]]))
+        rank = np.arange(len(order)) - np.repeat(starts, run_lens)
+        keep = rank < k
+        sel = order[keep]
+        gk = gs[keep]
+        out = []
+        for gi, g in enumerate(ug.tolist()):
+            m = np.sort(sel[gk == gi])  # restore rank order
+            out.append({
+                "key": g, "doc_count": int(counts[gi]),
+                "hits": [(int(ids[i]), float(scs[i])) for i in m],
+            })
+        out.sort(key=lambda r: (-r["doc_count"], r["key"]))
+        return out
+
     def extended_stats(self, query: str | list[str], field: str) -> dict:
         """ES ``extended_stats`` served from the term-partitioned layout
         (matched ids → source docmeta lineage, O(1)-wire partials)."""

@@ -583,6 +583,25 @@ def test_date_histogram_engines_agree(tmp_path, ray_session):
             assert npages == -(-len(want_full) // 5) + (
                 1 if len(want_full) % 5 == 0 else 0)
 
+        # top_hits: per-group top-k equals the per-group filter of the
+        # GLOBAL ranking (same tie contract), identical on both engines
+        th_a = eng.top_hits("alpha beta", group_by="dl", k=2)
+        th_b = teng.top_hits("alpha beta", group_by="dl", k=2)
+        assert th_a == th_b and th_a
+        global_rank = eng.search_bool(should="alpha beta", k=10_000)
+        for b in th_a:
+            want_hits = [
+                (d, s) for d, s in global_rank
+                if float(len(texts[d].split())) == b["key"]
+            ][:2]
+            assert b["hits"] == want_hits, b["key"]
+            assert b["doc_count"] == sum(
+                1 for i in match if float(dls[i]) == b["key"]
+            )
+        assert [(-b["doc_count"], b["key"]) for b in th_a] == sorted(
+            (-b["doc_count"], b["key"]) for b in th_a
+        )
+
         # extended_stats: parity + brute force (population variance)
         es_a = eng.extended_stats("alpha beta", field="dl")
         es_b = teng.extended_stats("alpha beta", field="dl")
