@@ -360,6 +360,12 @@ def bucket_partial(
         keys = np.floor((v - offset) / interval) * interval + offset
         return partial_over_groups(keys, stats_vals)
     if kind == "terms":
+        ok = valid_mask(field_vals)
+        if not ok.all():
+            # ES terms sources omit docs with a missing field value
+            field_vals = field_vals[ok]
+            if stats_vals is not None:
+                stats_vals = stats_vals[ok]
         return partial_over_groups(field_vals, stats_vals)
     if kind == "ranges":
         keys, sv = range_expand(field_vals.astype(np.float64), arg, stats_vals)
@@ -433,6 +439,35 @@ def agg_partials_over_ids(
         for i in range(0, len(paths), partitions_per_task)
     ]
     return list(ray.get(futs))
+
+
+def significant_terms_rows(fg: dict, bg: dict, size: int) -> list[dict]:
+    """ES ``significant_terms`` scoring (JLH, the ES default heuristic):
+    ``score = (fg% − bg%) · (fg% / bg%)`` over merged foreground /
+    background count partials; values whose foreground rate does not
+    EXCEED the background rate are not significant and drop (ES
+    behavior).  Rows score-descending, ties by key, capped at ``size``;
+    the float expression order is pinned for the SQL oracle."""
+    fg_total = sum(c for c, *_ in fg.values())
+    bg_total = sum(c for c, *_ in bg.values())
+    if fg_total == 0 or bg_total == 0:
+        return []
+    rows = []
+    for g, (c, *_rest) in fg.items():
+        bgc = bg.get(g, (0,))[0]
+        if bgc == 0:
+            continue  # value absent from the background set
+        fgp = c / fg_total
+        bgp = bgc / bg_total
+        if not fgp > bgp:
+            continue
+        score = (fgp - bgp) * (fgp / bgp)
+        rows.append(
+            {"key": g, "doc_count": int(c), "bg_count": int(bgc),
+             "score": float(score)}
+        )
+    rows.sort(key=lambda r: (-r["score"], r["key"]))
+    return rows[:size]
 
 
 # ------------------------------------------------------------- composite

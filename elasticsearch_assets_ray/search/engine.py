@@ -516,6 +516,12 @@ class ShardData:
 
         return postings_idx
 
+    def agg_background(self, group_col: str) -> dict:
+        """Corpus-side (background) value counts of a keyword column
+        over ALL live docs — the denominator set of ES
+        ``significant_terms``.  One pass, cacheable upstream."""
+        return self._agg_over_mask(~self.deleted_mask, group_col, None)
+
     def agg_match_bool(
         self,
         clauses: dict,
@@ -921,10 +927,18 @@ class ShardData:
     def _agg_over_mask(
         self, hit: np.ndarray, group_col: str, stats_col: str | None
     ) -> dict:
+        from .datehist import valid_mask
+
         idxs = np.nonzero(hit)[0]
         if len(idxs) == 0:
             return {}
         groups = self.meta_col(group_col)[idxs]
+        vm = valid_mask(groups)
+        if not vm.all():
+            # ES terms aggs omit docs with a missing field value
+            idxs, groups = idxs[vm], groups[vm]
+            if len(idxs) == 0:
+                return {}
         ug, inv, counts = np.unique(groups, return_inverse=True, return_counts=True)
         out: dict = {}
         if stats_col is None:
@@ -1590,6 +1604,12 @@ class _ScorerCore:
             )
         return merged
 
+    def agg_background(self, group_col: str) -> dict:
+        merged: dict = {}
+        for s in self.shards:
+            merge_agg_partials(merged, s.agg_background(group_col))
+        return merged
+
     def agg_top_hits(
         self, clauses: dict, idf: dict, group_col: str, k: int
     ) -> dict:
@@ -2116,6 +2136,47 @@ class QueryEngine:
         )
         return composite_render(parts, [s[0] for s in sources], size)
 
+    def significant_terms(
+        self,
+        query: str | list[str] | dict,
+        field: str,
+        size: int = 10,
+    ) -> list[dict]:
+        """ES ``significant_terms`` over a keyword field: values
+        overrepresented in the docs matching ``query`` relative to the
+        whole index, scored with the JLH heuristic
+        ``(fg% − bg%) · (fg% / bg%)`` (the ES default), values whose
+        foreground rate does not exceed the background rate dropped.
+        Foreground counts are the terms-agg partials; background counts
+        sweep each shard once and CACHE per field (the corpus-side
+        denominator never changes between refreshes).  Buckets come back
+        score-descending (ties by key), capped at ``size``."""
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return []
+        per_actor = ray.get(
+            [a.agg_match_bool.remote(clauses, field, None)
+             for a in self.actors]
+        )
+        fg: dict = {}
+        for part in per_actor:
+            merge_agg_partials(fg, part)
+        if not fg:
+            return []
+        if not hasattr(self, "_bg_cache"):
+            self._bg_cache: dict[str, dict] = {}
+        bg = self._bg_cache.get(field)
+        if bg is None:
+            bg = {}
+            for part in ray.get(
+                [a.agg_background.remote(field) for a in self.actors]
+            ):
+                merge_agg_partials(bg, part)
+            self._bg_cache[field] = bg
+        from .datehist import significant_terms_rows
+
+        return significant_terms_rows(fg, bg, size)
+
     def top_hits(
         self,
         query: str | list[str] | dict,
@@ -2534,6 +2595,8 @@ class QueryEngine:
         self._df_cache.clear()
         self._text_reader = None
         self._ids_store = None
+        if hasattr(self, "_bg_cache"):
+            self._bg_cache.clear()  # background counts grew too
         return len(new)
 
     def shutdown(self) -> None:

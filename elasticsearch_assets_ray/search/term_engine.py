@@ -1237,6 +1237,42 @@ class TermPartitionedEngine:
         )
         return composite_render(parts, [s[0] for s in sources], size)
 
+    def significant_terms(
+        self, query: str | list[str], field: str, size: int = 10
+    ) -> list[dict]:
+        """ES ``significant_terms`` from the term-partitioned layout —
+        same JLH rows as :meth:`QueryEngine.significant_terms` (parity
+        tested).  Foreground counts come from the matched ids' docmeta
+        lineage; the corpus-wide background sweep runs once per field
+        and caches (cleared on refresh)."""
+        from .datehist import (
+            agg_partials_over_ids,
+            significant_terms_rows,
+        )
+        from .engine import merge_agg_partials
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return []
+        ids, src = got
+        fg: dict = {}
+        for part in agg_partials_over_ids(src, ids, field,
+                                          ("terms", None)):
+            merge_agg_partials(fg, part)
+        if not fg:
+            return []
+        if not hasattr(self, "_bg_cache"):
+            self._bg_cache: dict[str, dict] = {}
+        bg = self._bg_cache.get(field)
+        if bg is None:
+            all_ids = np.arange(self.n, dtype=np.int64)
+            bg = {}
+            for part in agg_partials_over_ids(src, all_ids, field,
+                                              ("terms", None)):
+                merge_agg_partials(bg, part)
+            self._bg_cache[field] = bg
+        return significant_terms_rows(fg, bg, size)
+
     def top_hits(
         self, query: str | list[str], group_by: str, k: int = 3
     ) -> list[dict]:
@@ -1853,7 +1889,8 @@ class TermPartitionedEngine:
         self._term_cache = {}
         self._cache_postings = 0
         for attr in ("_dl_store", "_text_reader", "_mass_cache",
-                     "_chunk_put_cache", "_chunk_put_postings"):
+                     "_chunk_put_cache", "_chunk_put_postings",
+                     "_bg_cache"):
             if hasattr(self, attr):
                 delattr(self, attr)
         return statuses

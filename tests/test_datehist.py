@@ -602,6 +602,26 @@ def test_date_histogram_engines_agree(tmp_path, ray_session):
             (-b["doc_count"], b["key"]) for b in th_a
         )
 
+        # significant_terms: parity + JLH brute force over dl values
+        st_a = eng.significant_terms("alpha beta", field="dl", size=5)
+        st_b = teng.significant_terms("alpha beta", field="dl", size=5)
+        assert st_a == st_b
+        import collections as _cc
+
+        fg = _cc.Counter(float(dls[i]) for i in match)
+        bg = _cc.Counter(float(len(t.split())) for t in texts)
+        fg_t, bg_t = sum(fg.values()), sum(bg.values())
+        want_st = []
+        for g, c in fg.items():
+            fgp, bgp = c / fg_t, bg[g] / bg_t
+            if fgp > bgp:
+                want_st.append(
+                    {"key": g, "doc_count": c, "bg_count": bg[g],
+                     "score": (fgp - bgp) * (fgp / bgp)}
+                )
+        want_st.sort(key=lambda r: (-r["score"], r["key"]))
+        assert st_a == want_st[:5]
+
         # extended_stats: parity + brute force (population variance)
         es_a = eng.extended_stats("alpha beta", field="dl")
         es_b = teng.extended_stats("alpha beta", field="dl")
