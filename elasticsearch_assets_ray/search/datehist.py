@@ -116,13 +116,18 @@ def tz_offsets_table(
         o1, o2 = off_at(t), off_at(t2)
         if o1 != o2:
             a, b = t, t2
-            while (b - a).total_seconds() > 1:
+            # bisect to MICROSECOND precision: a 1-second tolerance
+            # recorded transitions up to ~1s late, which mapped every
+            # bucket key coinciding with a transition back through the
+            # stale offset (caught against the DuckDB ICU oracle)
+            one_us = dt.timedelta(microseconds=1)
+            while (b - a) > one_us:
                 m = a + (b - a) / 2
                 if off_at(m) == o1:
                     a = m
                 else:
                     b = m
-            trans.append(int(b.timestamp() * 1e6))
+            trans.append(int(round(b.timestamp() * 1e6)))
             offs.append(o2)
         t = t2
     return np.array(trans, dtype=np.int64), np.array(offs, dtype=np.int64)
@@ -328,6 +333,16 @@ def bucket_partial(
     [(lo, hi), ...])`` is the ES range/date_range bucketing (overlap =
     several buckets, key = range index)."""
     kind, arg = spec
+    if kind in ("interval", "interval_tz", "interval_terms", "histogram"):
+        # ES date_histogram/histogram omit docs with a missing field
+        # value (a NaN would also poison the int64 cast / tz conversion)
+        ok = valid_mask(np.asarray(field_vals))
+        if not ok.all():
+            field_vals = field_vals[ok]
+            if stats_vals is not None:
+                stats_vals = stats_vals[ok]
+            if kind == "interval_terms":
+                arg = (arg[0], arg[1][ok])
     if kind == "interval":
         return partial_over_groups(
             floor_interval_us(field_vals, arg), stats_vals
@@ -439,6 +454,38 @@ def agg_partials_over_ids(
         for i in range(0, len(paths), partitions_per_task)
     ]
     return list(ray.get(futs))
+
+
+def per_group_head(
+    ginv: np.ndarray,
+    order: np.ndarray,
+    k: int,
+    tie_vals: np.ndarray | None = None,
+) -> list[tuple[int, np.ndarray]]:
+    """Shared per-group head-``k`` split: ``order`` sorts rows by
+    (group, in-group rank); returns ``[(group_code, row_indices in rank
+    order), ...]`` keeping each group's first ``k`` rows — O(n), no
+    per-group rescans.  With ``tie_vals`` (the ROUNDED ranking value per
+    row), the cut extends through the kth tie class (the serving
+    ``_select_topk`` contract) so a shard boundary can never decide a
+    rounded tie."""
+    gs = ginv[order]
+    if len(gs) == 0:
+        return []
+    starts = np.nonzero(np.concatenate([[True], gs[1:] != gs[:-1]]))[0]
+    run_lens = np.diff(np.concatenate([starts, [len(order)]]))
+    rank = np.arange(len(order)) - np.repeat(starts, run_lens)
+    keep = rank < k
+    if tie_vals is not None:
+        tv = tie_vals[order]
+        kth = tv[starts + np.minimum(k - 1, run_lens - 1)]
+        keep |= tv == np.repeat(kth, run_lens)
+    sel = order[keep]
+    gk = gs[keep]
+    bounds = np.nonzero(gk[1:] != gk[:-1])[0] + 1
+    parts = np.split(sel, bounds)
+    heads = gk[np.concatenate([[0], bounds])]
+    return list(zip(heads.tolist(), parts))
 
 
 def significant_terms_rows(fg: dict, bg: dict, size: int) -> list[dict]:
@@ -586,11 +633,16 @@ def _composite_partition_task(
     merged: dict = {}
     for path, idx in zip(paths, local_idx):
         t = pq.read_table(path, columns=cols)
+        raw = [_load_meta_values(t.column(f))[idx] for f in fields]
+        vm = valid_mask(raw[0])
+        for c in raw[1:]:
+            vm &= valid_mask(c)
+        if not vm.all():
+            # validity judged on RAW values, before key transforms
+            raw = [c[vm] for c in raw]
         key_cols = [
-            composite_source_keys(
-                spec, _load_meta_values(t.column(f))[idx]
-            )
-            for f, spec in zip(fields, specs)
+            composite_source_keys(spec, c)
+            for spec, c in zip(specs, raw)
         ]
         merge_count_partials(
             merged, composite_partial(key_cols, size, after)

@@ -41,6 +41,28 @@ from ..index.build import IndexInfo
 from ..index.codec import decode_block, decode_postings, read_meta
 
 
+def _merge_group_topk(
+    parts_list: list[dict], k: int, round_decimals: int | None
+) -> dict:
+    """Merge per-group top-hits partials ({group: (count, ids, scores)})
+    across shards/actors: counts add, hit lists merge with the serving
+    tie contract (``merge_topk``) — the ONE implementation both merge
+    levels share."""
+    merged: dict = {}
+    for part in parts_list:
+        for g, (c, ids, scs) in part.items():
+            got = merged.get(g)
+            if got is None:
+                merged[g] = [c, [(ids, scs)]]
+            else:
+                got[0] += c
+                got[1].append((ids, scs))
+    return {
+        g: (c, *merge_topk(parts, k, round_decimals))
+        for g, (c, parts) in merged.items()
+    }
+
+
 def merge_agg_partials(dst: dict, part: dict) -> dict:
     """Fold one (count, sum, min, max) aggregation partial into ``dst``
     in place — the associative bucket merge shared by the actor-level
@@ -419,6 +441,8 @@ class ShardData:
             cand, groups = cand[vm], groups[vm]
             if len(cand) == 0:
                 return {}
+        from .datehist import per_group_head
+
         sc = scores[cand]
         r = (
             np.round(sc, params.round_decimals)
@@ -426,20 +450,14 @@ class ShardData:
         )
         ug, ginv = np.unique(groups, return_inverse=True)
         order = np.lexsort((cand, -r, ginv))
-        gsorted = ginv[order]
-        starts = np.nonzero(
-            np.concatenate([[True], gsorted[1:] != gsorted[:-1]])
-        )[0]
-        run_lens = np.diff(np.concatenate([starts, [len(order)]]))
-        rank = np.arange(len(order)) - np.repeat(starts, run_lens)
-        keep = rank < k
         counts = np.bincount(ginv, minlength=len(ug))
         out = {}
-        sel = order[keep]
-        gk = gsorted[keep]
-        for gi, g in enumerate(ug.tolist()):
-            m = sel[gk == gi]
-            out[g] = (
+        # tie_vals=r: the shard cut keeps the ROUNDED kth tie class so a
+        # shard boundary can never decide a rounded tie (merge resolves
+        # it doc-ascending, like serving)
+        for gi, m in per_group_head(ginv, order, k, tie_vals=r):
+            g = ug[gi]
+            out[g.item() if hasattr(g, "item") else g] = (
                 int(counts[gi]),
                 (cand[m] + self.doc_base).astype(np.int64),
                 scores[cand[m]],
@@ -572,14 +590,21 @@ class ShardData:
         idxs = np.nonzero(ok)[0]
         if len(idxs) == 0:
             return {}
+        from .datehist import valid_mask
+
+        fv = self.meta_col(field)[idxs]
+        vm = valid_mask(fv)
+        if not vm.all():
+            # ES date_histogram omits docs with a missing field value
+            idxs, fv = idxs[vm], fv[vm]
+            if len(idxs) == 0:
+                return {}
         if time_zone is not None:
             from .datehist import floor_interval_us_tz
 
-            keys = floor_interval_us_tz(
-                self.meta_col(field)[idxs], interval, time_zone
-            )
+            keys = floor_interval_us_tz(fv, interval, time_zone)
         else:
-            keys = floor_interval_us(self.meta_col(field)[idxs], interval)
+            keys = floor_interval_us(fv, interval)
         vals = (
             self.meta_col(stats_col)[idxs].astype(np.float64)
             if stats_col is not None
@@ -699,12 +724,19 @@ class ShardData:
         idxs = np.nonzero(ok)[0]
         if len(idxs) == 0:
             return {}
+        from .datehist import valid_mask
+
+        raw = [self.meta_col(src[2])[idxs] for src in sources]
+        vm = valid_mask(raw[0])
+        for c in raw[1:]:
+            vm &= valid_mask(c)
+        if not vm.all():
+            # validity must be judged on RAW values — a transformed key
+            # (floored NaN timestamp) is garbage, not null
+            raw = [c[vm] for c in raw]
         key_cols = [
-            composite_source_keys(
-                tuple(src[1:2]) + tuple(src[3:]),
-                self.meta_col(src[2])[idxs],
-            )
-            for src in sources
+            composite_source_keys(tuple(src[1:2]) + tuple(src[3:]), c)
+            for src, c in zip(sources, raw)
         ]
         return composite_partial(key_cols, size, after)
 
@@ -1613,23 +1645,11 @@ class _ScorerCore:
     def agg_top_hits(
         self, clauses: dict, idf: dict, group_col: str, k: int
     ) -> dict:
-        merged: dict = {}
-        for s in self.shards:
-            part = s.agg_top_hits(
-                clauses, idf, self.params, self.avgdl, group_col, k
-            )
-            for g, (c, ids, scs) in part.items():
-                got = merged.get(g)
-                if got is None:
-                    merged[g] = [c, [(ids, scs)]]
-                else:
-                    got[0] += c
-                    got[1].append((ids, scs))
-        out = {}
-        for g, (c, parts) in merged.items():
-            ids, scs = merge_topk(parts, k, self.params.round_decimals)
-            out[g] = (c, ids, scs)
-        return out
+        return _merge_group_topk(
+            [s.agg_top_hits(clauses, idf, self.params, self.avgdl,
+                            group_col, k) for s in self.shards],
+            k, self.params.round_decimals,
+        )
 
     def agg_composite(
         self, clauses: dict, sources: list[tuple], size: int,
@@ -2016,10 +2036,14 @@ class QueryEngine:
                 "date_histogram supports group_by and time_zone "
                 "separately, not combined"
             )
-        if group_by is not None or time_zone is not None:
-            # zero-fill applies to the plain UTC parent histogram only
-            # (local-calendar bucket enumeration is not implemented)
-            min_doc_count = 1
+        if time_zone is not None and min_doc_count == 0:
+            raise ValueError(
+                "min_doc_count=0 zero-fill is not supported with "
+                "time_zone (local-calendar bucket enumeration is not "
+                "implemented) — drop one or the other"
+            )
+        if group_by is not None:
+            min_doc_count = 1  # ES zero-fill applies to the parent only
         clauses = self._query_clauses(query)
         if clauses is None:
             # an empty/unanalyzable query matches nothing, but ES still
@@ -2199,18 +2223,11 @@ class QueryEngine:
             [a.agg_top_hits.remote(clauses, idf, group_by, k)
              for a in self.actors]
         )
-        merged: dict = {}
-        for part in per_actor:
-            for g, (c, ids, scs) in part.items():
-                got = merged.get(g)
-                if got is None:
-                    merged[g] = [c, [(ids, scs)]]
-                else:
-                    got[0] += c
-                    got[1].append((ids, scs))
+        merged = _merge_group_topk(
+            per_actor, k, self.params.round_decimals
+        )
         out = []
-        for g, (c, parts) in merged.items():
-            ids, scs = merge_topk(parts, k, self.params.round_decimals)
+        for g, (c, ids, scs) in merged.items():
             out.append({
                 "key": g, "doc_count": int(c),
                 # merge_topk keeps the rounded-tie class at the kth

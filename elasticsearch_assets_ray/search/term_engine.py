@@ -1284,9 +1284,18 @@ class TermPartitionedEngine:
         serving tie order.  Buckets in ES terms-agg order."""
         from .datehist import valid_mask, values_partials_over_ids
 
-        hits = self.search(
-            query if isinstance(query, str) else " ".join(query), k=self.n
+        # list-form queries are PRE-ANALYZED terms (the convention every
+        # other method here follows) — never re-analyzed
+        terms = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
         )
+        if not terms:
+            return []
+        fetched = self.fetch_terms(terms)
+        if not fetched:
+            return []
+        hits = self._score_from_fetch(terms, fetched, self.n)
         if not hits:
             return []
         ids = np.array([d for d, _ in hits], dtype=np.int64)
@@ -1306,26 +1315,21 @@ class TermPartitionedEngine:
             ids, scs, g_of_hit = ids[vm], scs[vm], g_of_hit[vm]
             if len(ids) == 0:
                 return []
+        from .datehist import per_group_head
+
         ug, ginv = np.unique(g_of_hit, return_inverse=True)
         counts = np.bincount(ginv, minlength=len(ug))
-        # hits arrive in serving rank order; a stable per-group split
-        # keeps it — take each group's first k occurrences
+        # hits arrive in serving rank order (the full match set — no
+        # boundary cut, so no tie class to extend); a stable per-group
+        # split keeps it: each group's first k occurrences
         pos = np.arange(len(ids), dtype=np.int64)
         order = np.lexsort((pos, ginv))
-        gs = ginv[order]
-        starts = np.nonzero(
-            np.concatenate([[True], gs[1:] != gs[:-1]])
-        )[0]
-        run_lens = np.diff(np.concatenate([starts, [len(order)]]))
-        rank = np.arange(len(order)) - np.repeat(starts, run_lens)
-        keep = rank < k
-        sel = order[keep]
-        gk = gs[keep]
         out = []
-        for gi, g in enumerate(ug.tolist()):
-            m = np.sort(sel[gk == gi])  # restore rank order
+        for gi, m in per_group_head(ginv, order, k):
+            g = ug[gi]
             out.append({
-                "key": g, "doc_count": int(counts[gi]),
+                "key": g.item() if hasattr(g, "item") else g,
+                "doc_count": int(counts[gi]),
                 "hits": [(int(ids[i]), float(scs[i])) for i in m],
             })
         out.sort(key=lambda r: (-r["doc_count"], r["key"]))
@@ -1435,8 +1439,14 @@ class TermPartitionedEngine:
                 "date_histogram supports group_by and time_zone "
                 "separately, not combined"
             )
-        if group_by is not None or time_zone is not None:
-            min_doc_count = 1  # zero-fill: plain UTC parent only
+        if time_zone is not None and min_doc_count == 0:
+            raise ValueError(
+                "min_doc_count=0 zero-fill is not supported with "
+                "time_zone (local-calendar bucket enumeration is not "
+                "implemented) — drop one or the other"
+            )
+        if group_by is not None:
+            min_doc_count = 1  # ES zero-fill applies to the parent only
         got = self._matched_ids_and_source(query)
         if got is None:
             # nothing matches — ES still zero-fills extended_bounds

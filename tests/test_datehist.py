@@ -258,6 +258,57 @@ def test_tz_floor_matches_duckdb_icu():
             * 86_400_000_000).all()
 
 
+def test_tz_transition_edge_and_nan_omission():
+    """Review regressions: (a) bucket keys coinciding with a DST
+    transition map back with the POST-transition offset (the 1-second
+    bisection tolerance put them one offset off vs the ICU oracle);
+    (b) missing timestamps are omitted, not crashed on / bucketed as
+    garbage."""
+    import duckdb
+
+    from elasticsearch_assets_ray.search.datehist import (
+        bucket_partial,
+        floor_interval_us_tz,
+    )
+
+    v = np.array([_us("2024-03-10T07:01:00")], np.int64)  # NY 03:01 EDT
+    got = int(floor_interval_us_tz(v, "1h", "America/New_York")[0])
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT epoch_us((date_trunc('hour', (make_timestamp({int(v[0])})"
+        f" AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York')) "
+        f"AT TIME ZONE 'America/New_York')"
+    ).fetchone()[0]
+    assert got == want  # 07:00 UTC (03:00 EDT), not 08:00
+    p = bucket_partial(
+        np.array([np.nan, float(_us("2024-06-01"))]),
+        ("interval_tz", ("day", "America/New_York")), None,
+    )
+    assert sum(c for c, *_ in p.values()) == 1
+    p2 = bucket_partial(np.array([np.nan, 5.0]),
+                        ("histogram", (2.0, 0.0)), None)
+    assert sum(c for c, *_ in p2.values()) == 1
+
+
+def test_per_group_head_tie_class():
+    """The shared per-group head-k split extends through the kth
+    ROUNDED tie class when asked (shard boundaries must not decide
+    rounded ties) and takes plain first-k otherwise."""
+    from elasticsearch_assets_ray.search.datehist import per_group_head
+
+    ginv = np.array([0, 0, 0, 1, 1])
+    rounded = np.array([1.0, 1.0, 0.5, 2.0, 2.0])
+    docs = np.array([10, 5, 7, 3, 1])
+    order = np.lexsort((docs, -rounded, ginv))
+    plain = dict(per_group_head(ginv, order, 1))
+    assert [int(docs[i]) for i in plain[0]] == [5]
+    tied = dict(per_group_head(ginv, order, 1, tie_vals=rounded))
+    assert [int(docs[i]) for i in tied[0]] == [5, 10]  # tie class kept
+    assert [int(docs[i]) for i in tied[1]] == [1, 3]
+    assert per_group_head(np.empty(0, np.int64),
+                          np.empty(0, np.int64), 3) == []
+
+
 def test_null_group_values_omitted():
     """Docs with a missing group/source value are OMITTED (ES semantics),
     not crashed on, by the composite and grouped partial kernels."""
