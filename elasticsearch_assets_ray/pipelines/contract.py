@@ -1769,6 +1769,77 @@ GROUP BY 1, 2
 """
 
 
+# date_histogram with an ES ``offset``: the bucket grid shifts by the
+# duration (floor(v - off) + off) — oracled with the same integer
+# arithmetic
+DATEHIST_OFF_QUERIES: list[tuple[int, str, str, str]] = [
+    (0, "hash join", "1d", "+6h"),
+    (1, "query scan", "12h", "-30m"),
+]
+
+
+def q_datehist_offset(sf_dir: str) -> pa.Table:
+    """``date_histogram`` with ``offset`` — the grid shifts by the
+    duration (ES: floor(v − off) + off), completing the parameter
+    surface (interval / zero-fill / extended_bounds / time_zone /
+    terms sub-agg / offset)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    rows = []
+    try:
+        for qid, text, interval, off in DATEHIST_OFF_QUERIES:
+            for b in engine.date_histogram(
+                text, field="created_at", interval=interval, offset=off
+            ):
+                rows.append(
+                    {"query_id": qid, "bucket_us": b["key"],
+                     "doc_count": b["doc_count"]}
+                )
+    finally:
+        engine.shutdown()
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def sql_datehist_offset() -> str:
+    from ..search.datehist import parse_fixed_interval_us, parse_offset_us
+
+    term_rows = []
+    for qid, text, _, _ in DATEHIST_OFF_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    cases = []
+    for qid, _, interval, off in DATEHIST_OFF_QUERIES:
+        iv = parse_fixed_interval_us(interval)
+        o = parse_offset_us(off)
+        # NOTE: DuckDB ``//`` TRUNCATES where numpy floors — they agree
+        # only for non-negative (v - off), which post-1970 epoch micros
+        # with sub-day offsets guarantee (asserted here so a future
+        # pre-epoch fixture fails loudly rather than hash-mismatching)
+        assert abs(o) < 86_400_000_000 * 2
+        cases.append(
+            f"WHEN {qid} THEN ((c.us - ({o})) // {iv}) * {iv} + ({o})"
+        )
+    case = "CASE hit.query_id " + " ".join(cases) + " END"
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+c AS (SELECT doc_id, epoch_us({CREATED_SQL}) AS us FROM documents),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t)
+SELECT hit.query_id, {case} AS bucket_us,
+       count(*)::BIGINT AS doc_count
+FROM hit JOIN c ON c.doc_id = hit.doc_id
+GROUP BY 1, 2
+"""
+
+
 # date_histogram with a terms SUB-aggregation — time buckets × keyword
 # (the most common ES agg composition); composite (bucket, lang) keys
 DATEHIST_TERMS_QUERIES: list[tuple[int, str, str]] = [
@@ -3817,6 +3888,7 @@ def queries():
         "datehist_terms": q_datehist_terms,
         "datehist_terms_global": q_datehist_terms_global,
         "datehist_tz": q_datehist_tz,
+        "datehist_offset": q_datehist_offset,
         "top_hits_lang": q_top_hits,
         "top_hits_lang_global": q_top_hits_global,
         "sig_terms_source": q_sig_terms,
@@ -3897,6 +3969,7 @@ def oracle_sql():
         "datehist_terms": sql_datehist_terms(),
         "datehist_terms_global": sql_datehist_terms(),
         "datehist_tz": sql_datehist_tz(),
+        "datehist_offset": sql_datehist_offset(),
         "top_hits_lang": sql_top_hits(),
         "top_hits_lang_global": sql_top_hits(),
         "sig_terms_source": sql_sig_terms(),

@@ -133,6 +133,40 @@ def tz_offsets_table(
     return np.array(trans, dtype=np.int64), np.array(offs, dtype=np.int64)
 
 
+def parse_offset_us(offset) -> int:
+    """ES ``date_histogram`` ``offset``: ``"+1h"`` / ``"-30m"`` /
+    ``"6h"`` duration strings (same units as fixed intervals) or raw
+    epoch micros.  Shifts the bucket grid:
+    ``key = floor(v - off, interval) + off``."""
+    if isinstance(offset, (int, np.integer)):
+        return int(offset)
+    sgn = 1
+    o = offset
+    if o and o[0] in "+-":
+        sgn = -1 if o[0] == "-" else 1
+        o = o[1:]
+    us = parse_fixed_interval_us(o)
+    if us is None:
+        raise ValueError(
+            f"bad offset {offset!r}: expected '<n><ms|s|m|h|d>' with an "
+            "optional sign, or epoch micros"
+        )
+    return sgn * us
+
+
+def floor_interval_us_offset(
+    v_us: np.ndarray, interval: str, offset, tz_name: str | None = None
+) -> np.ndarray:
+    """Offset-shifted (and optionally timezone-aware) bucket floor:
+    ES applies ``offset`` AFTER ``time_zone`` — the grid shifts by the
+    duration in the (local, if tz given) bucketing frame."""
+    off = parse_offset_us(offset)
+    v = np.asarray(v_us, dtype=np.int64)
+    if tz_name is not None:
+        return floor_interval_us_tz(v - off, interval, tz_name) + off
+    return floor_interval_us(v - off, interval) + off
+
+
 def floor_interval_us_tz(
     v_us: np.ndarray, interval: str, tz_name: str
 ) -> np.ndarray:
@@ -333,7 +367,8 @@ def bucket_partial(
     [(lo, hi), ...])`` is the ES range/date_range bucketing (overlap =
     several buckets, key = range index)."""
     kind, arg = spec
-    if kind in ("interval", "interval_tz", "interval_terms", "histogram"):
+    if kind in ("interval", "interval_tz", "interval_off",
+                "interval_terms", "histogram"):
         # ES date_histogram/histogram omit docs with a missing field
         # value (a NaN would also poison the int64 cast / tz conversion)
         ok = valid_mask(np.asarray(field_vals))
@@ -352,6 +387,13 @@ def bucket_partial(
         return partial_over_groups(
             floor_interval_us_tz(field_vals, interval, tz), stats_vals
         )
+    if kind == "interval_off":
+        interval, tz, off = arg
+        if off is None:
+            keys = floor_interval_us_tz(field_vals, interval, tz)
+        else:
+            keys = floor_interval_us_offset(field_vals, interval, off, tz)
+        return partial_over_groups(keys, stats_vals)
     if kind == "interval_terms":
         # date_histogram with a terms SUB-aggregation: composite
         # (bucket_us, term) keys — arg = (interval, group_vals).

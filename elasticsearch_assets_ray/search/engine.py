@@ -568,6 +568,7 @@ class ShardData:
         stats_col: str | None = None,
         group_col: str | None = None,
         time_zone: str | None = None,
+        offset=None,
     ) -> dict:
         """Per-shard partial for an ES ``date_histogram`` aggregation over
         the docs matching a bool query: bucket-start epoch micros →
@@ -599,7 +600,11 @@ class ShardData:
             idxs, fv = idxs[vm], fv[vm]
             if len(idxs) == 0:
                 return {}
-        if time_zone is not None:
+        if offset is not None:
+            from .datehist import floor_interval_us_offset
+
+            keys = floor_interval_us_offset(fv, interval, offset, time_zone)
+        elif time_zone is not None:
             from .datehist import floor_interval_us_tz
 
             keys = floor_interval_us_tz(fv, interval, time_zone)
@@ -1601,14 +1606,14 @@ class _ScorerCore:
     def agg_date_histogram(
         self, clauses: dict, field: str, interval: str,
         stats_col: str | None = None, group_col: str | None = None,
-        time_zone: str | None = None,
+        time_zone: str | None = None, offset=None,
     ) -> dict:
         merged: dict = {}
         for s in self.shards:
             merge_agg_partials(
                 merged,
                 s.agg_date_histogram(clauses, field, interval, stats_col,
-                                     group_col, time_zone),
+                                     group_col, time_zone, offset),
             )
         return merged
 
@@ -2015,6 +2020,7 @@ class QueryEngine:
         extended_bounds: tuple | None = None,
         group_by: str | None = None,
         time_zone: str | None = None,
+        offset=None,
     ) -> list[dict]:
         """ES ``date_histogram`` aggregation (with an optional ``stats``
         sub-aggregation) over ALL docs matching ``query`` — free text / a
@@ -2036,14 +2042,20 @@ class QueryEngine:
                 "date_histogram supports group_by and time_zone "
                 "separately, not combined"
             )
-        if time_zone is not None and min_doc_count == 0:
+        if (time_zone is not None or offset is not None) \
+                and min_doc_count == 0:
             raise ValueError(
                 "min_doc_count=0 zero-fill is not supported with "
-                "time_zone (local-calendar bucket enumeration is not "
-                "implemented) — drop one or the other"
+                "time_zone/offset (shifted-grid bucket enumeration is "
+                "not implemented) — drop one or the other"
             )
         if group_by is not None:
             min_doc_count = 1  # ES zero-fill applies to the parent only
+        if group_by is not None and offset is not None:
+            raise ValueError(
+                "date_histogram supports group_by and offset "
+                "separately, not combined"
+            )
         clauses = self._query_clauses(query)
         if clauses is None:
             # an empty/unanalyzable query matches nothing, but ES still
@@ -2055,7 +2067,7 @@ class QueryEngine:
             )
         per_actor = ray.get(
             [a.agg_date_histogram.remote(clauses, field, interval, stats_on,
-                                         group_by, time_zone)
+                                         group_by, time_zone, offset)
              for a in self.actors]
         )
         return buckets_from_partials(

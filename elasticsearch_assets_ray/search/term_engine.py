@@ -1421,6 +1421,7 @@ class TermPartitionedEngine:
         extended_bounds: tuple | None = None,
         group_by: str | None = None,
         time_zone: str | None = None,
+        offset=None,
     ) -> list[dict]:
         """ES ``date_histogram`` over the docs matching the ``match``
         disjunction, served from the term-partitioned layout — same
@@ -1439,14 +1440,20 @@ class TermPartitionedEngine:
                 "date_histogram supports group_by and time_zone "
                 "separately, not combined"
             )
-        if time_zone is not None and min_doc_count == 0:
+        if (time_zone is not None or offset is not None) \
+                and min_doc_count == 0:
             raise ValueError(
                 "min_doc_count=0 zero-fill is not supported with "
-                "time_zone (local-calendar bucket enumeration is not "
-                "implemented) — drop one or the other"
+                "time_zone/offset (shifted-grid bucket enumeration is "
+                "not implemented) — drop one or the other"
             )
         if group_by is not None:
             min_doc_count = 1  # ES zero-fill applies to the parent only
+        if group_by is not None and offset is not None:
+            raise ValueError(
+                "date_histogram supports group_by and offset "
+                "separately, not combined"
+            )
         got = self._matched_ids_and_source(query)
         if got is None:
             # nothing matches — ES still zero-fills extended_bounds
@@ -1463,11 +1470,12 @@ class TermPartitionedEngine:
                 src, ids, field, ("interval_terms", (interval, group_by)),
                 stats_on,
             )
-        elif time_zone is not None:
+        elif time_zone is not None or offset is not None:
             from .datehist import agg_partials_over_ids
 
             partials = agg_partials_over_ids(
-                src, ids, field, ("interval_tz", (interval, time_zone)),
+                src, ids, field,
+                ("interval_off", (interval, time_zone, offset)),
                 stats_on,
             )
         else:

@@ -309,6 +309,35 @@ def test_per_group_head_tie_class():
                           np.empty(0, np.int64), 3) == []
 
 
+def test_datehist_offset_kernel():
+    """ES offset semantics: the bucket grid shifts by the duration
+    (key = floor(v - off) + off), applied in the local frame when a
+    time_zone is also given."""
+    from elasticsearch_assets_ray.search.datehist import (
+        floor_interval_us_offset,
+        parse_offset_us,
+    )
+
+    assert parse_offset_us("+6h") == 6 * 3_600_000_000
+    assert parse_offset_us("-30m") == -30 * 60_000_000
+    assert parse_offset_us("1d") == 86_400_000_000
+    assert parse_offset_us(123) == 123
+    with pytest.raises(ValueError):
+        parse_offset_us("next tuesday")
+    v = np.array([_us("2024-03-15T05:00:00"), _us("2024-03-15T07:00:00")])
+    got = floor_interval_us_offset(v, "day", "+6h")
+    # day buckets anchored at 06:00: 05:00 → prior day 06:00; 07:00 →
+    # same-day 06:00
+    assert got.tolist() == [_us("2024-03-14T06:00:00"),
+                            _us("2024-03-15T06:00:00")]
+    # with tz: offset applies in the LOCAL frame (NY = UTC-5 in March
+    # pre-DST... use Jan): local midnight+6h boundary = 11:00 UTC
+    vj = np.array([_us("2024-01-15T10:00:00"), _us("2024-01-15T12:00:00")])
+    gj = floor_interval_us_offset(vj, "day", "+6h", "America/New_York")
+    assert gj.tolist() == [_us("2024-01-14T11:00:00"),
+                           _us("2024-01-15T11:00:00")]
+
+
 def test_null_group_values_omitted():
     """Docs with a missing group/source value are OMITTED (ES semantics),
     not crashed on, by the composite and grouped partial kernels."""
@@ -603,6 +632,18 @@ def test_date_histogram_engines_agree(tmp_path, ray_session):
         with pytest.raises(ValueError):
             eng.date_histogram("alpha", field="created_at",
                                group_by="dl", time_zone="UTC")
+
+        # offset: both engines agree; grid shifts by the duration
+        oa = eng.date_histogram("alpha beta", field="created_at",
+                                interval="day", offset="+6h")
+        ob = teng.date_histogram("alpha beta", field="created_at",
+                                 interval="day", offset="+6h")
+        assert oa == ob and oa
+        assert all(r["key"] % 86_400_000_000 == 6 * 3_600_000_000
+                   for r in oa)
+        with pytest.raises(ValueError):
+            eng.date_histogram("alpha", field="created_at",
+                               offset="+6h", min_doc_count=0)
 
         # composite aggregation: paginate (month, dl) buckets in pages
         # of 5; pages concatenated must equal the brute-force full
