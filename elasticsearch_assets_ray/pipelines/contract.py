@@ -1818,10 +1818,15 @@ def sql_datehist_offset() -> str:
         iv = parse_fixed_interval_us(interval)
         o = parse_offset_us(off)
         # NOTE: DuckDB ``//`` TRUNCATES where numpy floors — they agree
-        # only for non-negative (v - off), which post-1970 epoch micros
-        # with sub-day offsets guarantee (asserted here so a future
-        # pre-epoch fixture fails loudly rather than hash-mismatching)
-        assert abs(o) < 86_400_000_000 * 2
+        # only for non-negative (v - off); enforce the REAL invariant
+        # (earliest fixture epoch ≥ offset) so a pre-epoch fixture or an
+        # oversized offset fails loudly rather than hash-mismatching
+        if CREATED_EPOCH0 * 1_000_000 < o:
+            raise ValueError(
+                f"offset {off!r} exceeds the earliest fixture epoch — "
+                "the truncating-vs-flooring // divergence would corrupt "
+                "the oracle"
+            )
         cases.append(
             f"WHEN {qid} THEN ((c.us - ({o})) // {iv}) * {iv} + ({o})"
         )

@@ -138,8 +138,13 @@ def parse_offset_us(offset) -> int:
     ``"6h"`` duration strings (same units as fixed intervals) or raw
     epoch micros.  Shifts the bucket grid:
     ``key = floor(v - off, interval) + off``."""
-    if isinstance(offset, (int, np.integer)):
+    if isinstance(offset, (int, float, np.integer, np.floating)):
         return int(offset)
+    if not isinstance(offset, str):
+        raise ValueError(
+            f"bad offset {offset!r}: expected '<n><ms|s|m|h|d>' with an "
+            "optional sign, or epoch micros"
+        )
     sgn = 1
     o = offset
     if o and o[0] in "+-":
@@ -389,11 +394,10 @@ def bucket_partial(
         )
     if kind == "interval_off":
         interval, tz, off = arg
-        if off is None:
-            keys = floor_interval_us_tz(field_vals, interval, tz)
-        else:
-            keys = floor_interval_us_offset(field_vals, interval, off, tz)
-        return partial_over_groups(keys, stats_vals)
+        return partial_over_groups(
+            floor_interval_us_offset(field_vals, interval, off, tz),
+            stats_vals,
+        )
     if kind == "interval_terms":
         # date_histogram with a terms SUB-aggregation: composite
         # (bucket_us, term) keys — arg = (interval, group_vals).

@@ -2042,6 +2042,11 @@ class QueryEngine:
                 "date_histogram supports group_by and time_zone "
                 "separately, not combined"
             )
+        if group_by is not None and offset is not None:
+            raise ValueError(
+                "date_histogram supports group_by and offset "
+                "separately, not combined"
+            )
         if (time_zone is not None or offset is not None) \
                 and min_doc_count == 0:
             raise ValueError(
@@ -2051,11 +2056,6 @@ class QueryEngine:
             )
         if group_by is not None:
             min_doc_count = 1  # ES zero-fill applies to the parent only
-        if group_by is not None and offset is not None:
-            raise ValueError(
-                "date_histogram supports group_by and offset "
-                "separately, not combined"
-            )
         clauses = self._query_clauses(query)
         if clauses is None:
             # an empty/unanalyzable query matches nothing, but ES still

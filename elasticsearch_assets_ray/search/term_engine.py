@@ -1440,6 +1440,11 @@ class TermPartitionedEngine:
                 "date_histogram supports group_by and time_zone "
                 "separately, not combined"
             )
+        if group_by is not None and offset is not None:
+            raise ValueError(
+                "date_histogram supports group_by and offset "
+                "separately, not combined"
+            )
         if (time_zone is not None or offset is not None) \
                 and min_doc_count == 0:
             raise ValueError(
@@ -1449,11 +1454,6 @@ class TermPartitionedEngine:
             )
         if group_by is not None:
             min_doc_count = 1  # ES zero-fill applies to the parent only
-        if group_by is not None and offset is not None:
-            raise ValueError(
-                "date_histogram supports group_by and offset "
-                "separately, not combined"
-            )
         got = self._matched_ids_and_source(query)
         if got is None:
             # nothing matches — ES still zero-fills extended_bounds
@@ -1470,12 +1470,19 @@ class TermPartitionedEngine:
                 src, ids, field, ("interval_terms", (interval, group_by)),
                 stats_on,
             )
-        elif time_zone is not None or offset is not None:
+        elif offset is not None:
             from .datehist import agg_partials_over_ids
 
             partials = agg_partials_over_ids(
                 src, ids, field,
                 ("interval_off", (interval, time_zone, offset)),
+                stats_on,
+            )
+        elif time_zone is not None:
+            from .datehist import agg_partials_over_ids
+
+            partials = agg_partials_over_ids(
+                src, ids, field, ("interval_tz", (interval, time_zone)),
                 stats_on,
             )
         else:
