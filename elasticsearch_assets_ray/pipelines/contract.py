@@ -1900,6 +1900,236 @@ def q_datehist_terms_global(sf_dir: str) -> pa.Table:
         eng.shutdown()
 
 
+# ES PIPELINE aggregations (derivative / cumulative_sum / moving_fn /
+# the *_bucket sibling family / bucket_script / bucket_selector) — pure
+# coordinating-node transforms over the parent date_histogram's bucket
+# rows (search/pipeline_agg.py), exactly where ES runs them; oracled
+# with SQL window functions over the same bucket relation.
+DATEHIST_PIPE_QUERIES: list[tuple[int, str, str]] = [
+    (0, "hash join", "month"),
+    (1, "query scan", "quarter"),
+]
+
+
+def _datehist_bucket_sql(stats: bool) -> str:
+    """Shared oracle CTE: the DATEHIST_PIPE_QUERIES bucket relation
+    ``b(query_id, bucket_us, doc_count[, sum_dl, min_dl, max_dl])``."""
+    term_rows = []
+    for qid, text, _ in DATEHIST_PIPE_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    cases = [
+        f"WHEN {qid} THEN epoch_us(date_trunc('{interval}', c.created))"
+        for qid, _, interval in DATEHIST_PIPE_QUERIES
+    ]
+    case = "CASE hit.query_id " + " ".join(cases) + " END"
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    stat_cols = (
+        ", sum(dl.dl) AS sum_dl, min(dl.dl) AS min_dl, max(dl.dl) AS max_dl"
+        if stats
+        else ""
+    )
+    return f"""
+toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+c AS (SELECT doc_id, {CREATED_SQL} AS created FROM documents),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+b AS (SELECT hit.query_id, {case} AS bucket_us,
+             count(*)::BIGINT AS doc_count{stat_cols}
+      FROM hit
+      JOIN c ON c.doc_id = hit.doc_id
+      JOIN dl ON dl.doc_id = hit.doc_id
+      GROUP BY 1, 2)
+"""
+
+
+def q_datehist_pipeline(sf_dir: str) -> pa.Table:
+    """ES parent PIPELINE aggregations over a monthly/quarterly
+    ``date_histogram``: ``derivative`` of the stats-sub-agg sum,
+    ``cumulative_sum`` of the doc count, and a trailing-window
+    ``moving_fn`` mean — all O(buckets) driver transforms over the
+    engine's bucket rows (the ES coordinating-node contract).  The
+    first-bucket/empty-frame omissions are spelled 0 on both sides to
+    keep the value hash total (the None contract is unit-tested)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+    from ..search.pipeline_agg import cumulative_sum, derivative, moving_fn
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    rows = []
+    try:
+        for qid, text, interval in DATEHIST_PIPE_QUERIES:
+            b = engine.date_histogram(
+                text, field="created_at", interval=interval, stats_on="dl"
+            )
+            b = derivative(b, path="sum", out="deriv_sum_dl")
+            b = cumulative_sum(b, path="_count", out="cum_docs")
+            b = moving_fn(b, path="_count", window=3, fn="mean",
+                          out="movavg_docs")
+            for r in b:
+                rows.append(
+                    {
+                        "query_id": qid,
+                        "bucket_us": r["key"],
+                        "doc_count": r["doc_count"],
+                        "sum_dl": r["sum"],
+                        "deriv_sum_dl": (
+                            0.0 if r["deriv_sum_dl"] is None
+                            else r["deriv_sum_dl"]
+                        ),
+                        "cum_docs": r["cum_docs"],
+                        "movavg_docs": (
+                            0.0 if r["movavg_docs"] is None
+                            else r["movavg_docs"]
+                        ),
+                    }
+                )
+    finally:
+        engine.shutdown()
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def sql_datehist_pipeline() -> str:
+    return f"""
+WITH {_datehist_bucket_sql(stats=True)}
+SELECT query_id, bucket_us, doc_count, sum_dl,
+       coalesce(sum_dl - lag(sum_dl) OVER w, 0) AS deriv_sum_dl,
+       sum(doc_count) OVER (PARTITION BY query_id ORDER BY bucket_us
+                            ROWS UNBOUNDED PRECEDING)::DOUBLE AS cum_docs,
+       coalesce(avg(doc_count::DOUBLE) OVER
+                (PARTITION BY query_id ORDER BY bucket_us
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0)
+           AS movavg_docs
+FROM b
+WINDOW w AS (PARTITION BY query_id ORDER BY bucket_us)
+"""
+
+
+def q_bucket_stats(sf_dir: str) -> pa.Table:
+    """ES SIBLING pipeline aggregations (``max_bucket`` / ``min_bucket``
+    / ``avg_bucket`` / ``sum_bucket``) over the per-bucket stats sum of
+    the same date_histogram — one row per (query, metric), extreme
+    metrics carrying the ES keys array (every bucket attaining the
+    extreme) as a comma-joined key string."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+    from ..search import pipeline_agg as pl
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    rows = []
+    try:
+        for qid, text, interval in DATEHIST_PIPE_QUERIES:
+            b = engine.date_histogram(
+                text, field="created_at", interval=interval, stats_on="dl"
+            )
+            for metric, res in (
+                ("max_bucket", pl.max_bucket(b, path="sum")),
+                ("min_bucket", pl.min_bucket(b, path="sum")),
+                ("avg_bucket", pl.avg_bucket(b, path="sum")),
+                ("sum_bucket", pl.sum_bucket(b, path="sum")),
+            ):
+                rows.append(
+                    {
+                        "query_id": qid,
+                        "metric": metric,
+                        "value": res["value"],
+                        "keys": ",".join(str(k) for k in res.get("keys", [])),
+                    }
+                )
+    finally:
+        engine.shutdown()
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def sql_bucket_stats() -> str:
+    return f"""
+WITH {_datehist_bucket_sql(stats=True)},
+ext AS (SELECT query_id, max(sum_dl) AS mx, min(sum_dl) AS mn,
+               sum(sum_dl) AS s, count(*) AS n
+        FROM b GROUP BY 1)
+SELECT b.query_id, 'max_bucket' AS metric, ext.mx AS value,
+       string_agg(CASE WHEN b.sum_dl = ext.mx
+                       THEN b.bucket_us::VARCHAR END,
+                  ',' ORDER BY b.bucket_us) AS keys
+FROM b JOIN ext ON ext.query_id = b.query_id
+GROUP BY 1, ext.mx
+UNION ALL
+SELECT b.query_id, 'min_bucket' AS metric, ext.mn AS value,
+       string_agg(CASE WHEN b.sum_dl = ext.mn
+                       THEN b.bucket_us::VARCHAR END,
+                  ',' ORDER BY b.bucket_us) AS keys
+FROM b JOIN ext ON ext.query_id = b.query_id
+GROUP BY 1, ext.mn
+UNION ALL
+SELECT query_id, 'avg_bucket' AS metric, s / n AS value, '' AS keys
+FROM ext
+UNION ALL
+SELECT query_id, 'sum_bucket' AS metric, s AS value, '' AS keys
+FROM ext
+"""
+
+
+def q_bucket_script_selector(sf_dir: str) -> pa.Table:
+    """ES ``bucket_script`` (per-bucket doc-length spread = max − min,
+    the Painless-script stand-in over stats buckets_paths) composed
+    with ``bucket_selector`` (keep buckets with ≥ 2 docs and a positive
+    spread) — the standard ES filter-buckets-by-computed-metric
+    composition."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+    from ..search.pipeline_agg import bucket_script, bucket_selector
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    rows = []
+    try:
+        for qid, text, interval in DATEHIST_PIPE_QUERIES:
+            b = engine.date_histogram(
+                text, field="created_at", interval=interval, stats_on="dl"
+            )
+            b = bucket_script(
+                b, {"hi": "max", "lo": "min"}, lambda hi, lo: hi - lo,
+                out="spread",
+            )
+            b = bucket_selector(
+                b, {"n": "_count", "sp": "spread"},
+                lambda n, sp: n >= 2 and sp > 0,
+            )
+            for r in b:
+                rows.append(
+                    {
+                        "query_id": qid,
+                        "bucket_us": r["key"],
+                        "doc_count": r["doc_count"],
+                        "spread": r["spread"],
+                    }
+                )
+    finally:
+        engine.shutdown()
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def sql_bucket_script_selector() -> str:
+    return f"""
+WITH {_datehist_bucket_sql(stats=True)}
+SELECT query_id, bucket_us, doc_count,
+       max_dl - min_dl AS spread
+FROM b
+WHERE doc_count >= 2 AND max_dl - min_dl > 0
+"""
+
+
 def sql_datehist_terms() -> str:
     term_rows = []
     for qid, text, _ in DATEHIST_TERMS_QUERIES:
@@ -3894,6 +4124,9 @@ def queries():
         "datehist_terms_global": q_datehist_terms_global,
         "datehist_tz": q_datehist_tz,
         "datehist_offset": q_datehist_offset,
+        "datehist_pipeline": q_datehist_pipeline,
+        "bucket_stats": q_bucket_stats,
+        "bucket_script_selector": q_bucket_script_selector,
         "top_hits_lang": q_top_hits,
         "top_hits_lang_global": q_top_hits_global,
         "sig_terms_source": q_sig_terms,
@@ -3975,6 +4208,9 @@ def oracle_sql():
         "datehist_terms_global": sql_datehist_terms(),
         "datehist_tz": sql_datehist_tz(),
         "datehist_offset": sql_datehist_offset(),
+        "datehist_pipeline": sql_datehist_pipeline(),
+        "bucket_stats": sql_bucket_stats(),
+        "bucket_script_selector": sql_bucket_script_selector(),
         "top_hits_lang": sql_top_hits(),
         "top_hits_lang_global": sql_top_hits(),
         "sig_terms_source": sql_sig_terms(),
