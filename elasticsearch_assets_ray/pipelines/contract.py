@@ -3119,6 +3119,50 @@ WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.4
 """
 
 
+def q_dedup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup pair output → duplicate CLUSTERS: distributed
+    connected components (hash-to-min label propagation over
+    fixed-bucket exchanges, ops/cluster.py) with the keep-the-min-id
+    canonical policy — the step that turns any pair generator's output
+    into an actionable dedup decision (near-duplication isn't
+    transitive, so pairs alone can't be applied).  Oracled against a
+    DuckDB recursive-CTE transitive closure over the same exact-Jaccard
+    pair relation."""
+    from ..ops.cluster import dedup_clusters
+
+    pairs = dd.jaccard_pairs(_docs(sf_dir), threshold=0.4)
+    return dedup_clusters(pairs.select(["doc_a", "doc_b"]))
+
+
+def sql_dedup_clusters() -> str:
+    return """
+WITH RECURSIVE
+tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '' AND len(x) <= 64) AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       FROM tk, unnest(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cand AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+p AS (SELECT a, b FROM cand
+      JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+      WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.4),
+e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+reach(node, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node
+),
+comp AS (SELECT node AS doc_id, min(r)::BIGINT AS component_id
+         FROM reach GROUP BY 1)
+SELECT doc_id, component_id,
+       count(*) OVER (PARTITION BY component_id)::BIGINT AS cluster_size,
+       doc_id = component_id AS keep
+FROM comp
+"""
+
+
 def q_text_stats(sf_dir: str) -> pa.Table:
     return to_arrow(
         _docs(sf_dir).map_batches(ts_ops.TextStats(), batch_format="pyarrow", zero_copy_batch=True)
@@ -4144,6 +4188,7 @@ def queries():
         "multi_match_most": q_multi_match_most,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "knn_cosine": q_knn_cosine,
@@ -4228,6 +4273,7 @@ def oracle_sql():
         "multi_match_most": sql_multi_match_most(),
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
+        "dedup_clusters": sql_dedup_clusters(),
         "text_stats": sql_text_stats(),
         "token_counts": sql_token_counts(),
         "knn_cosine": sql_knn_cosine(),
