@@ -2362,6 +2362,93 @@ def _q_top_hits(engine) -> pa.Table:
     return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
 
 
+# top_hits with the ES ``sort`` option (rank by a date doc-values
+# column instead of BM25) and ``_source`` hydration of a stored field
+TOP_HITS_SORT_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join"),
+    (1, "customer order value"),
+]
+TOP_HITS_SORT_K = 3
+
+
+def _q_top_hits_sorted(engine) -> pa.Table:
+    rows = []
+    for qid, text in TOP_HITS_SORT_QUERIES:
+        for b in engine.top_hits(
+            text, group_by="lang", k=TOP_HITS_SORT_K,
+            sort=("created_at", "desc"), source_fields=["source"],
+        ):
+            for rank, h in enumerate(b["hits"], start=1):
+                rows.append(
+                    {
+                        "query_id": qid,
+                        "lang": b["key"],
+                        "doc_count": b["doc_count"],
+                        "rank": rank,
+                        "doc_id": h["doc_id"],
+                        "created_us": h["sort"],
+                        "source": h["source"],
+                    }
+                )
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_top_hits_sorted(sf_dir: str) -> pa.Table:
+    """``top_hits`` with the ES ``sort`` option (newest-first by the
+    ``created_at`` doc values — no scoring pass at all) and ``_source``
+    filtering (the ``source`` keyword field hydrates via one
+    O(groups × k) docstore point-join AFTER the cut).  Shard partials
+    keep the kth exact-value tie class so shard boundaries can't decide
+    sort ties."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_top_hits_sorted(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_top_hits_sorted_global(sf_dir: str) -> pa.Table:
+    """The SAME sorted+hydrated top_hits from the TERM-partitioned
+    layout (sort values hydrate id-aligned from the source docmeta
+    lineage beside the group column)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_top_hits_sorted(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_top_hits_sorted() -> str:
+    term_rows = []
+    for qid, text in TOP_HITS_SORT_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+m AS (SELECT hit.query_id, d.lang, d.source, d.doc_id,
+             epoch_us({CREATED_SQL.replace('doc_id', 'd.doc_id')}) AS us
+      FROM hit JOIN documents d ON d.doc_id = hit.doc_id)
+SELECT query_id, lang, doc_count, rank, doc_id, created_us, source FROM (
+  SELECT query_id, lang, source, doc_id, us AS created_us,
+         count(*) OVER (PARTITION BY query_id, lang)::BIGINT AS doc_count,
+         row_number() OVER (PARTITION BY query_id, lang
+                            ORDER BY us DESC, doc_id) AS rank
+  FROM m)
+WHERE rank <= {TOP_HITS_SORT_K}
+"""
+
+
 def q_top_hits(sf_dir: str) -> pa.Table:
     """ES ``top_hits`` under a ``terms`` bucket: per-shard partials ship
     O(groups × k) — each shard's per-group local top-k + full group
@@ -4173,6 +4260,8 @@ def queries():
         "bucket_script_selector": q_bucket_script_selector,
         "top_hits_lang": q_top_hits,
         "top_hits_lang_global": q_top_hits_global,
+        "top_hits_sorted": q_top_hits_sorted,
+        "top_hits_sorted_global": q_top_hits_sorted_global,
         "sig_terms_source": q_sig_terms,
         "sig_terms_source_global": q_sig_terms_global,
         "extstats_agg": q_extstats_agg,
@@ -4258,6 +4347,8 @@ def oracle_sql():
         "bucket_script_selector": sql_bucket_script_selector(),
         "top_hits_lang": sql_top_hits(),
         "top_hits_lang_global": sql_top_hits(),
+        "top_hits_sorted": sql_top_hits_sorted(),
+        "top_hits_sorted_global": sql_top_hits_sorted(),
         "sig_terms_source": sql_sig_terms(),
         "sig_terms_source_global": sql_sig_terms(),
         "extstats_agg": sql_extstats_agg(),

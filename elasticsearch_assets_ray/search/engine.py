@@ -63,6 +63,76 @@ def _merge_group_topk(
     }
 
 
+def _render_hit_dicts(
+    buckets: list[dict],
+    sort: tuple[str, str] | None,
+    source_fields: list[str] | None,
+    docmeta_index_dir,
+) -> list[dict]:
+    """Tuple hits → ES-shaped dict hits, hydrating ``_source`` fields
+    with ONE docstore point-join over the post-cut ids (O(groups × k)
+    lookups against the docmeta partitions — the ES fetch phase).
+    Shared by both serving engines (the term engine passes its
+    ``source_index`` lineage as the docmeta dir)."""
+    val_key = "sort" if sort is not None else "score"
+    src: dict[int, dict] = {}
+    if source_fields:
+        from ..state.docstore import DocStore
+
+        all_ids = [int(d) for b in buckets for d, _ in b["hits"]]
+        if all_ids:
+            rows = DocStore(
+                docmeta_index_dir, columns=list(source_fields)
+            ).mget(all_ids).to_pylist()
+            src = dict(zip(all_ids, rows))
+    out = []
+    for b in buckets:
+        hits = []
+        for d, v in b["hits"]:
+            h = {"doc_id": int(d), val_key: v}
+            if source_fields:
+                h.update({f: src[int(d)][f] for f in source_fields})
+            hits.append(h)
+        out.append({"key": b["key"], "doc_count": b["doc_count"],
+                    "hits": hits})
+    return out
+
+
+def _merge_group_sorted(
+    parts_list: list[dict], k: int, desc: bool, final: bool
+) -> dict:
+    """Merge per-group SORT-mode top-hits partials ({group: (count,
+    ids, sort_values)}): counts add, hit lists re-rank by (sort value
+    asc/desc, doc asc).  Non-final levels keep the kth EXACT-value tie
+    class (so the next merge level can still resolve ties doc-
+    ascending); the final level cuts exactly k — the ES top_hits
+    ``size`` contract."""
+    merged: dict = {}
+    for part in parts_list:
+        for g, (c, ids, vals) in part.items():
+            got = merged.get(g)
+            if got is None:
+                merged[g] = [c, [ids], [vals]]
+            else:
+                got[0] += c
+                got[1].append(ids)
+                got[2].append(vals)
+    out: dict = {}
+    for g, (c, idl, vl) in merged.items():
+        ids = np.concatenate(idl)
+        vals = np.concatenate(vl)
+        keyv = -vals if desc else vals
+        order = np.lexsort((ids, keyv))
+        if final or len(order) <= k:
+            sel = order[:k]
+        else:
+            srt = keyv[order]
+            cut = np.searchsorted(srt, srt[k - 1], side="right")
+            sel = order[:cut]
+        out[g] = (c, ids[sel], vals[sel])
+    return out
+
+
 def merge_agg_partials(dst: dict, part: dict) -> dict:
     """Fold one (count, sum, min, max) aggregation partial into ``dst``
     in place — the associative bucket merge shared by the actor-level
@@ -399,6 +469,7 @@ class ShardData:
         avgdl: float,
         group_col: str,
         k: int,
+        sort: tuple[str, str] | None = None,
     ) -> dict:
         """Per-shard partial for an ES ``top_hits`` sub-aggregation
         under a ``terms`` bucket: group value → (total match count,
@@ -406,7 +477,14 @@ class ShardData:
         O(matches).  Scoring and eligibility are exactly
         :meth:`bool_topk`'s; ordering is the serving tie contract
         (rounded score desc, doc asc).  Docs with a missing group value
-        are omitted (ES terms-source semantics)."""
+        are omitted (ES terms-source semantics).
+
+        With ``sort=(field, "asc"|"desc")`` (the ES top_hits ``sort``
+        option) hits rank by that numeric/date doc-values column
+        instead of BM25 — no scoring pass at all — and the third slot
+        of each partial carries the SORT VALUES; the shard cut keeps
+        the kth EXACT-value tie class so a shard boundary can never
+        decide a sort tie (the merge resolves it doc-ascending)."""
         from .datehist import valid_mask
 
         k1, b = params.k1, params.b
@@ -418,15 +496,16 @@ class ShardData:
         postings_idx = self._postings_idx_fn()
         n = self.num_docs
         scores = np.zeros(n, dtype=np.float64)
-        for t in scoring:  # sorted order — pinned to the oracle
-            p = postings_idx(t)
-            if p is None:
-                continue
-            idx, tfs = p
-            tf = tfs.astype(np.float64)
-            dl = self.dl[idx]
-            norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-            scores[idx] += idf[t] * norm
+        if sort is None:
+            for t in scoring:  # sorted order — pinned to the oracle
+                p = postings_idx(t)
+                if p is None:
+                    continue
+                idx, tfs = p
+                tf = tfs.astype(np.float64)
+                dl = self.dl[idx]
+                norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                scores[idx] += idf[t] * norm
         ok = self._bool_eligible(
             must_s, should_s, not_s, filt_s, clauses.get("msm"),
             clauses.get("meta_filters"), clauses.get("range_filters"),
@@ -442,6 +521,27 @@ class ShardData:
             if len(cand) == 0:
                 return {}
         from .datehist import per_group_head
+
+        if sort is not None:
+            field, direction = sort
+            v = self.meta_col(field)[cand]
+            if not np.issubdtype(v.dtype, np.number):
+                raise ValueError(
+                    "top_hits sort needs a numeric/date doc-values field"
+                )
+            keyv = -v if direction == "desc" else v
+            ug, ginv = np.unique(groups, return_inverse=True)
+            order = np.lexsort((cand, keyv, ginv))
+            counts = np.bincount(ginv, minlength=len(ug))
+            out = {}
+            for gi, m in per_group_head(ginv, order, k, tie_vals=keyv):
+                g = ug[gi]
+                out[g.item() if hasattr(g, "item") else g] = (
+                    int(counts[gi]),
+                    (cand[m] + self.doc_base).astype(np.int64),
+                    v[m],
+                )
+            return out
 
         sc = scores[cand]
         r = (
@@ -1648,13 +1748,19 @@ class _ScorerCore:
         return merged
 
     def agg_top_hits(
-        self, clauses: dict, idf: dict, group_col: str, k: int
+        self, clauses: dict, idf: dict, group_col: str, k: int,
+        sort: tuple[str, str] | None = None,
     ) -> dict:
-        return _merge_group_topk(
-            [s.agg_top_hits(clauses, idf, self.params, self.avgdl,
-                            group_col, k) for s in self.shards],
-            k, self.params.round_decimals,
-        )
+        parts = [
+            s.agg_top_hits(clauses, idf, self.params, self.avgdl,
+                           group_col, k, sort)
+            for s in self.shards
+        ]
+        if sort is not None:
+            return _merge_group_sorted(
+                parts, k, desc=sort[1] == "desc", final=False
+            )
+        return _merge_group_topk(parts, k, self.params.round_decimals)
 
     def agg_composite(
         self, clauses: dict, sources: list[tuple], size: int,
@@ -1754,6 +1860,7 @@ class QueryEngine:
         method: str = "auto",
     ):
         self.info = IndexInfo(index_dir)
+        self.index_dir = str(index_dir)
         self.params = params or BM25Params()
         self.analyzer_name = analyzer or self.info.manifest.analyzer
         shard_ids = self.info.shard_ids()
@@ -2218,26 +2325,47 @@ class QueryEngine:
         query: str | list[str] | dict,
         group_by: str,
         k: int = 3,
+        sort: tuple[str, str] | None = None,
+        source_fields: list[str] | None = None,
     ) -> list[dict]:
         """ES ``top_hits`` sub-aggregation under a ``terms`` bucket: per
         group value, the top-``k`` matching docs by BM25 (serving tie
         contract — rounded score desc, doc asc) plus the group's FULL
         match count.  Per-shard partials ship O(groups × k); buckets
-        come back in ES terms-agg order (doc_count desc, key asc)."""
+        come back in ES terms-agg order (doc_count desc, key asc).
+
+        ``sort=(field, "asc"|"desc")`` is the ES top_hits ``sort``
+        option: hits rank by that numeric/date doc-values column (ties
+        doc-ascending) and carry the sort value instead of a score.
+        ``source_fields`` is ES ``_source`` filtering: each hit
+        hydrates the named stored fields via one O(groups × k)
+        docstore point-join AFTER the cut — never per matching doc.
+        With either option, ``hits`` entries are dicts
+        ``{"doc_id", "sort"|"score", **fields}``; the bare form keeps
+        the legacy ``(doc_id, score)`` tuples."""
         clauses = self._query_clauses(query)
         if clauses is None:
             return []
         scoring = sorted(set(clauses["must"]) | set(clauses["should"]))
-        if not scoring:
-            raise ValueError("top_hits needs a scoring clause")
-        idf = self.idfs(scoring)
-        per_actor = ray.get(
-            [a.agg_top_hits.remote(clauses, idf, group_by, k)
-             for a in self.actors]
-        )
-        merged = _merge_group_topk(
-            per_actor, k, self.params.round_decimals
-        )
+        if sort is None:
+            if not scoring:
+                raise ValueError("top_hits needs a scoring clause")
+            idf = self.idfs(scoring)
+            per_actor = ray.get(
+                [a.agg_top_hits.remote(clauses, idf, group_by, k)
+                 for a in self.actors]
+            )
+            merged = _merge_group_topk(
+                per_actor, k, self.params.round_decimals
+            )
+        else:
+            per_actor = ray.get(
+                [a.agg_top_hits.remote(clauses, {}, group_by, k, sort)
+                 for a in self.actors]
+            )
+            merged = _merge_group_sorted(
+                per_actor, k, desc=sort[1] == "desc", final=True
+            )
         out = []
         for g, (c, ids, scs) in merged.items():
             out.append({
@@ -2245,11 +2373,17 @@ class QueryEngine:
                 # merge_topk keeps the rounded-tie class at the kth
                 # boundary (serving semantics); top_hits returns exactly
                 # k — the order already breaks ties doc-ascending
-                "hits": [(int(d), float(sv))
-                         for d, sv in zip(ids[:k], scs[:k])],
+                "hits": [
+                    (int(d),
+                     float(sv) if sort is None
+                     else (sv.item() if hasattr(sv, "item") else sv))
+                    for d, sv in zip(ids[:k], scs[:k])
+                ],
             })
         out.sort(key=lambda r: (-r["doc_count"], r["key"]))
-        return out
+        if sort is None and source_fields is None:
+            return out
+        return _render_hit_dicts(out, sort, source_fields, self.index_dir)
 
     def extended_stats(
         self, query: str | list[str] | dict, field: str

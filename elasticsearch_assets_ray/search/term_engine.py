@@ -1274,14 +1274,22 @@ class TermPartitionedEngine:
         return significant_terms_rows(fg, bg, size)
 
     def top_hits(
-        self, query: str | list[str], group_by: str, k: int = 3
+        self, query: str | list[str], group_by: str, k: int = 3,
+        sort: tuple[str, str] | None = None,
+        source_fields: list[str] | None = None,
     ) -> list[dict]:
         """ES ``top_hits`` under a ``terms`` bucket, served from the
         term-partitioned layout: the FULL match set scores on the
         coordinator (the term layout's standing trade — doc values live
         with the source lineage), group values hydrate id-aligned from
         the docmeta partitions, and per-group top-k selection keeps the
-        serving tie order.  Buckets in ES terms-agg order."""
+        serving tie order.  Buckets in ES terms-agg order.
+
+        ``sort`` / ``source_fields`` are the ES top_hits ``sort`` and
+        ``_source`` options — same semantics and output shape as
+        :meth:`QueryEngine.top_hits` (parity-tested): sort values
+        hydrate from the source lineage beside the group column, and
+        ``_source`` hydrates post-cut via the docstore point-join."""
         from .datehist import valid_mask, values_partials_over_ids
 
         # list-form queries are PRE-ANALYZED terms (the convention every
@@ -1317,23 +1325,46 @@ class TermPartitionedEngine:
                 return []
         from .datehist import per_group_head
 
+        if sort is not None:
+            field, direction = sort
+            sv_parts = values_partials_over_ids(src, sids, field, "raw")
+            sv_all = np.concatenate(sv_parts)
+            if not np.issubdtype(sv_all.dtype, np.number):
+                raise ValueError(
+                    "top_hits sort needs a numeric/date doc-values field"
+                )
+            scs = sv_all[np.searchsorted(sids, ids)]
+            keyv = -scs if direction == "desc" else scs
         ug, ginv = np.unique(g_of_hit, return_inverse=True)
         counts = np.bincount(ginv, minlength=len(ug))
-        # hits arrive in serving rank order (the full match set — no
-        # boundary cut, so no tie class to extend); a stable per-group
-        # split keeps it: each group's first k occurrences
-        pos = np.arange(len(ids), dtype=np.int64)
-        order = np.lexsort((pos, ginv))
+        if sort is not None:
+            # re-rank the full match set by (sort value, doc asc) —
+            # exact values, no tie class needed at a single level
+            order = np.lexsort((ids, keyv, ginv))
+        else:
+            # hits arrive in serving rank order (the full match set — no
+            # boundary cut, so no tie class to extend); a stable per-
+            # group split keeps it: each group's first k occurrences
+            pos = np.arange(len(ids), dtype=np.int64)
+            order = np.lexsort((pos, ginv))
         out = []
         for gi, m in per_group_head(ginv, order, k):
             g = ug[gi]
             out.append({
                 "key": g.item() if hasattr(g, "item") else g,
                 "doc_count": int(counts[gi]),
-                "hits": [(int(ids[i]), float(scs[i])) for i in m],
+                "hits": [
+                    (int(ids[i]),
+                     float(scs[i]) if sort is None else scs[i].item())
+                    for i in m
+                ],
             })
         out.sort(key=lambda r: (-r["doc_count"], r["key"]))
-        return out
+        if sort is None and source_fields is None:
+            return out
+        from .engine import _render_hit_dicts
+
+        return _render_hit_dicts(out, sort, source_fields, src)
 
     def extended_stats(self, query: str | list[str], field: str) -> dict:
         """ES ``extended_stats`` served from the term-partitioned layout

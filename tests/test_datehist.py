@@ -770,3 +770,89 @@ def test_date_histogram_engines_agree(tmp_path, ray_session):
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+def test_top_hits_sort_and_source(tmp_path, ray_session):
+    """ES top_hits ``sort`` + ``_source`` options: rank by a date
+    doc-values column with HEAVY cross-shard ties (mod-5 derived
+    timestamps) — the tie class must resolve doc-ascending no matter
+    where the shard boundaries fall — and hydrate a stored field
+    post-cut.  Both engines, vs a brute-force reference."""
+    from elasticsearch_assets_ray.config import BM25Params, IndexConfig
+    from elasticsearch_assets_ray.index.build import build_index
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    src = tmp_path / "docs.parquet"
+    rng = np.random.default_rng(11)
+    n = 90
+    words = ["alpha", "beta", "gamma", "delta"]
+    texts = [
+        " ".join(words[j] for j in rng.integers(0, 4, rng.integers(2, 8)))
+        for _ in range(n)
+    ]
+    tags = [f"t{i % 3}" for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts),
+                "tag": pa.array(tags),
+            }
+        ),
+        src,
+    )
+    cfg = IndexConfig(
+        analyzer="simple", text_col="text", lang_col=None, id_col="doc_id",
+        meta_cols=("created_at", "tag"),
+        # mod 5 → only five distinct timestamps: ties straddle shards
+        derived_meta=("created_at=ts_from_int:doc_id:1704067200:8647:5",),
+        partition_target_docs=12, shard_target_docs=30,
+    )
+    idx = tmp_path / "idx"
+    build_index(str(src), idx, cfg)
+    gdir = tmp_path / "global"
+    merge_global_postings(idx, gdir, n_salts=2, n_buckets=4,
+                          hot_df_fraction=0.5, store_norms=True)
+    eng = QueryEngine(idx, num_actors=2, params=BM25Params(round_decimals=4))
+    teng = TermPartitionedEngine(gdir, num_actors=2, round_decimals=4)
+    ts_us = (1704067200 + (np.arange(n) * 8647) % 5) * 1_000_000
+    match = sorted(
+        i for i, t in enumerate(texts) if {"alpha", "beta"} & set(t.split())
+    )
+    try:
+        for direction in ("asc", "desc"):
+            a = eng.top_hits("alpha beta", group_by="tag", k=3,
+                             sort=("created_at", direction),
+                             source_fields=["tag"])
+            b = teng.top_hits("alpha beta", group_by="tag", k=3,
+                              sort=("created_at", direction),
+                              source_fields=["tag"])
+            assert a == b and a, direction
+            sgn = -1 if direction == "desc" else 1
+            for bkt in a:
+                members = [i for i in match if tags[i] == bkt["key"]]
+                want = sorted(members, key=lambda i: (sgn * ts_us[i], i))[:3]
+                assert [h["doc_id"] for h in bkt["hits"]] == want, bkt["key"]
+                assert [h["sort"] for h in bkt["hits"]] == \
+                    [int(ts_us[i]) for i in want]
+                assert all(h["tag"] == bkt["key"] for h in bkt["hits"])
+                assert bkt["doc_count"] == len(members)
+
+        # _source without sort: dict hits keep the BM25 score contract
+        c = eng.top_hits("alpha beta", group_by="tag", k=2,
+                         source_fields=["tag"])
+        plain = eng.top_hits("alpha beta", group_by="tag", k=2)
+        assert [(b2["key"], [(h["doc_id"], h["score"]) for h in b2["hits"]])
+                for b2 in c] == \
+            [(b2["key"], b2["hits"]) for b2 in plain]
+
+        # non-numeric sort field fails loudly on both engines
+        with pytest.raises(ValueError):
+            eng.top_hits("alpha", group_by="tag", k=2, sort=("tag", "asc"))
+        with pytest.raises(ValueError):
+            teng.top_hits("alpha", group_by="tag", k=2, sort=("tag", "asc"))
+    finally:
+        eng.shutdown()
+        teng.shutdown()
