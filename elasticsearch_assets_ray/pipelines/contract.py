@@ -984,6 +984,150 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES ``filters`` aggregation: named buckets, one per query, with a
+# stats sub-agg on dl; includes a no-match filter (kept, doc_count 0)
+FILTERS_AGG_SPEC: list[tuple[str, str]] = [
+    ("joins", "hash join"),
+    ("scans", "query scan table"),
+    ("nomatch", "zzzqqq"),
+]
+
+
+def _q_filters_agg(engine) -> pa.Table:
+    rows = []
+    for b in engine.filters_agg(FILTERS_AGG_SPEC, stats_on="dl"):
+        rows.append(
+            {
+                "name": b["key"],
+                "doc_count": b["doc_count"],
+                "sum_dl": b.get("sum", 0.0),
+                "min_dl": b.get("min", 0.0),
+                "max_dl": b.get("max", 0.0),
+                "avg_dl": b.get("avg", 0.0),
+            }
+        )
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_filters_agg(sf_dir: str) -> pa.Table:
+    """ES ``filters`` aggregation (named buckets, one per query, stats
+    sub-agg): ONE actor round carries every filter; per-shard partials
+    are one (count,sum,min,max) row per name, so driver work is
+    O(filters).  Empty filters keep their bucket with doc_count 0 (the
+    ES keyed-filters contract; stats coalesce to 0 on both sides so
+    the value hash stays total)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_filters_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_filters_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME filters aggregation from the TERM-partitioned layout
+    (matched ids gather per filter; stats hydrate from the source
+    docmeta lineage as extstats partials)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_filters_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_filters_agg() -> str:
+    f_rows, name_rows = [], []
+    for name, text in FILTERS_AGG_SPEC:
+        name_rows.append(f"('{name}')")
+        for t in _simple_tokens(text):
+            f_rows.append(f"('{name}', '{t}')")
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+f(name, t) AS (VALUES {", ".join(f_rows)}),
+names(name) AS (VALUES {", ".join(name_rows)}),
+hit AS (SELECT DISTINCT f.name, toks.doc_id
+        FROM f JOIN toks ON toks.t = f.t),
+agg AS (SELECT hit.name, count(*)::BIGINT AS doc_count,
+               sum(dl.dl) AS sum_dl, min(dl.dl) AS min_dl,
+               max(dl.dl) AS max_dl,
+               sum(dl.dl) / count(*) AS avg_dl
+        FROM hit JOIN dl ON dl.doc_id = hit.doc_id
+        GROUP BY 1)
+SELECT names.name,
+       coalesce(agg.doc_count, 0)::BIGINT AS doc_count,
+       coalesce(agg.sum_dl, 0) AS sum_dl,
+       coalesce(agg.min_dl, 0) AS min_dl,
+       coalesce(agg.max_dl, 0) AS max_dl,
+       coalesce(agg.avg_dl, 0) AS avg_dl
+FROM names LEFT JOIN agg ON agg.name = names.name
+"""
+
+
+# ES ``regexp`` queries (anchored; RE2/Python-re common subset so the
+# DuckDB regexp_full_match oracle evaluates the SAME pattern)
+REGEXP_QUERIES: list[tuple[int, str]] = [
+    (0, "jo[a-z]*n"),
+    (1, "(hash|sort)(es|ed|ing)?"),
+    (2, "[a-z]{2}ble"),
+    (3, "s[ck][a-z]+"),
+]
+
+
+def q_regexp_search(sf_dir: str) -> pa.Table:
+    """ES ``regexp`` query (constant_score rewrite): the ANCHORED
+    pattern's leading-literal run bisects the sorted per-shard
+    dictionary, a compiled regex walks the range; matching docs score
+    1.0, ties break doc_id ascending."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_regexp(p, k=TOPK) for qid, p in REGEXP_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def q_regexp_search_global(sf_dir: str) -> pa.Table:
+    """``regexp`` (constant_score) from the TERM-partitioned layout —
+    same SQL oracle as ``regexp_search``."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        per_q = {
+            qid: eng.search_regexp(p, k=TOPK) for qid, p in REGEXP_QUERIES
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_regexp_search() -> str:
+    values = ", ".join(f"({qid}, '{p}')" for qid, p in REGEXP_QUERIES)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, p) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON regexp_full_match(toks.t, q.p))
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY doc_id) AS rank,
+       1.0 AS score_r
+FROM hit
+QUALIFY rank <= {TOPK}
+"""
+
+
 def q_fuzzy_search(sf_dir: str) -> pa.Table:
     """ES ``fuzzy`` query, scoring_boolean rewrite: the term expands to
     dictionary terms within its edit distance (vectorized
@@ -1159,6 +1303,114 @@ def q_match_agg(sf_dir: str) -> pa.Table:
     import pandas as pd
 
     return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_match_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME terms aggregation served from the TERM-partitioned
+    layout (matched ids → source docmeta lineage for the group/stats
+    pass) — same SQL oracle as ``match_agg_lang``."""
+    _, eng = _global_engine(sf_dir)
+    rows = []
+    try:
+        for qid, text in AGG_QUERIES:
+            for b in eng.aggregate(text, group_by="lang", stats_on="dl"):
+                rows.append(
+                    {
+                        "query_id": qid,
+                        "lang": b["key"],
+                        "doc_count": b["doc_count"],
+                        "sum_dl": b["sum"],
+                        "min_dl": b["min"],
+                        "max_dl": b["max"],
+                        "avg_dl": b["avg"],
+                    }
+                )
+    finally:
+        eng.shutdown()
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+AGG_ORDER_SIZE = 3
+
+
+def _q_match_agg_ordered(engine) -> pa.Table:
+    rows = []
+    for qid, text in AGG_QUERIES:
+        buckets = engine.aggregate(
+            text, group_by="lang", stats_on="dl",
+            order=("avg", "desc"), size=AGG_ORDER_SIZE,
+        )
+        for rank, b in enumerate(buckets, start=1):
+            rows.append(
+                {
+                    "query_id": qid,
+                    "rank": rank,
+                    "lang": b["key"],
+                    "doc_count": b["doc_count"],
+                    "avg_dl": b["avg"],
+                }
+            )
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_match_agg_ordered(sf_dir: str) -> pa.Table:
+    """``terms`` aggregation with the ES ``order`` + ``size`` options:
+    buckets ranked by the stats sub-agg's avg (desc, ties key asc), cut
+    to the top 3 — and unlike ES's shard_size heuristic the cut is
+    EXACT, because every bucket already crossed the O(buckets) merge.
+    The emitted rank makes the ordering hash-visible to the oracle."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_match_agg_ordered(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_match_agg_ordered_global(sf_dir: str) -> pa.Table:
+    """The SAME ordered/sized terms aggregation from the
+    TERM-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_match_agg_ordered(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_match_agg_ordered() -> str:
+    rows = []
+    for qid, text in AGG_QUERIES:
+        for t in _simple_tokens(text):
+            rows.append(f"({qid}, '{t}')")
+    values = ", ".join(rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+agg AS (SELECT hit.query_id, d.lang,
+               count(*)::BIGINT AS doc_count,
+               sum(dl.dl) / count(*) AS avg_dl
+        FROM hit
+        JOIN documents d ON d.doc_id = hit.doc_id
+        JOIN dl ON dl.doc_id = hit.doc_id
+        GROUP BY 1, 2)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY avg_dl DESC, lang) AS rank,
+       lang, doc_count, avg_dl
+FROM agg
+QUALIFY rank <= {AGG_ORDER_SIZE}
+"""
 
 
 def sql_match_agg() -> str:
@@ -4236,9 +4488,16 @@ def queries():
         "prefix_search": q_prefix_search,
         "bm25_phrase_prefix": q_phrase_prefix,
         "wildcard_search": q_wildcard_search,
+        "regexp_search": q_regexp_search,
+        "regexp_search_global": q_regexp_search_global,
         "fuzzy_search": q_fuzzy_search,
         "meta_filter_search": q_meta_filter_search,
         "match_agg_lang": q_match_agg,
+        "match_agg_lang_global": q_match_agg_global,
+        "match_agg_ordered": q_match_agg_ordered,
+        "match_agg_ordered_global": q_match_agg_ordered_global,
+        "filters_agg": q_filters_agg,
+        "filters_agg_global": q_filters_agg_global,
         "date_histogram": q_date_histogram,
         "date_histogram_global": q_date_histogram_global,
         "datehist_fill": q_datehist_fill,
@@ -4323,9 +4582,16 @@ def oracle_sql():
         "prefix_search": sql_prefix_search(),
         "bm25_phrase_prefix": sql_phrase_prefix(),
         "wildcard_search": sql_wildcard_search(),
+        "regexp_search": sql_regexp_search(),
+        "regexp_search_global": sql_regexp_search(),
         "fuzzy_search": sql_fuzzy_search(),
         "meta_filter_search": sql_meta_filter_search(),
         "match_agg_lang": sql_match_agg(),
+        "match_agg_lang_global": sql_match_agg(),
+        "match_agg_ordered": sql_match_agg_ordered(),
+        "match_agg_ordered_global": sql_match_agg_ordered(),
+        "filters_agg": sql_filters_agg(),
+        "filters_agg_global": sql_filters_agg(),
         "date_histogram": sql_date_histogram(),
         "date_histogram_global": sql_date_histogram(),
         "datehist_fill": sql_datehist_fill(),

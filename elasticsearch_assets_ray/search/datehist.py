@@ -534,6 +534,32 @@ def per_group_head(
     return list(zip(heads.tolist(), parts))
 
 
+def order_terms_buckets(
+    rows: list[dict],
+    order: tuple[str, str] | None,
+    size: int | None,
+) -> list[dict]:
+    """ES terms-agg ``order`` / ``size``: re-sort bucket rows by
+    ``order=(metric, "asc"|"desc")`` — metric ``_count`` (doc_count),
+    ``_key``, or a stats sub-agg value (``sum``/``avg``/``min``/``max``)
+    — ties key-ascending (the ES tie-break), then cut to ``size``.
+    ``order=None`` keeps the rows' incoming ES-default order.  The cut
+    is exact here (ALL buckets merged before the sort) — no shard_size
+    approximation."""
+    if order is not None:
+        metric, direction = order
+        rev = direction == "desc"
+        field = "doc_count" if metric == "_count" else metric
+        if metric == "_key":
+            rows = sorted(rows, key=lambda r: r["key"], reverse=rev)
+        else:
+            rows = sorted(rows, key=lambda r: r["key"])
+            rows.sort(key=lambda r: r[field], reverse=rev)  # stable
+    if size is not None:
+        rows = rows[:size]
+    return rows
+
+
 def significant_terms_rows(fg: dict, bg: dict, size: int) -> list[dict]:
     """ES ``significant_terms`` scoring (JLH, the ES default heuristic):
     ``score = (fg% − bg%) · (fg% / bg%)`` over merged foreground /

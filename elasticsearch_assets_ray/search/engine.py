@@ -133,6 +133,22 @@ def _merge_group_sorted(
     return out
 
 
+def merge_opt_stats_partials(dst: dict, part: dict) -> dict:
+    """Like :func:`merge_agg_partials` but treats ``None`` stats as
+    ABSENT rather than poisoning (a shard can match docs for a filter
+    bucket while having no valid stats values) — used by the filters
+    aggregation where partial stats are optional per shard."""
+    for g, (c, sm, mn, mx) in part.items():
+        c0, s0, m0, x0 = dst.get(g, (0, None, None, None))
+        dst[g] = (
+            c0 + c,
+            sm if s0 is None else (s0 if sm is None else s0 + sm),
+            mn if m0 is None else (m0 if mn is None else min(m0, mn)),
+            mx if x0 is None else (x0 if mx is None else max(x0, mx)),
+        )
+    return dst
+
+
 def merge_agg_partials(dst: dict, part: dict) -> dict:
     """Fold one (count, sum, min, max) aggregation partial into ``dst``
     in place — the associative bucket merge shared by the actor-level
@@ -190,6 +206,44 @@ def wildcard_expand_sorted(
         )
         + r"\Z"
     )
+    lo = bisect.bisect_left(term_list, lit) if lit else 0
+    out: list[str] = []
+    for j in range(lo, len(term_list)):
+        t = term_list[j]
+        if lit and not t.startswith(lit):
+            break
+        if rx.match(t):
+            out.append(t)
+            if cap is not None and len(out) >= cap:
+                break
+    return out
+
+
+def regexp_expand_sorted(
+    term_list: list[str], pattern: str, cap: int | None = None
+) -> list[str]:
+    """Terms of a SORTED dictionary matching an ES ``regexp`` pattern,
+    in term order.  Like Lucene, the pattern is ANCHORED (it must match
+    the whole term); the pattern's leading literal run bisects the
+    dictionary range and a compiled regex filters within it.  Syntax is
+    the RE2/Python-re common subset (disclosed divergence from Lucene's
+    regexp flavor — the optional ``~ & < > @`` operators are not
+    supported; character classes, alternation, quantifiers and groups
+    are).  Shared by both engines."""
+    import bisect
+    import re as _re
+
+    meta = set(".?+*|{}[]()\\^$")
+    wi = next(
+        (i for i, c in enumerate(pattern) if c in meta), len(pattern)
+    )
+    lit = pattern[:wi]
+    # a literal char FOLLOWED by ? * { may be absent from matches
+    # ("ab*" matches "a") — back it out of the bisect prefix; shorter
+    # prefix only widens the scanned range, never loses a match
+    if wi < len(pattern) and pattern[wi] in "?*{" and lit:
+        lit = lit[:-1]
+    rx = _re.compile(pattern + r"\Z")
     lo = bisect.bisect_left(term_list, lit) if lit else 0
     out: list[str] = []
     for j in range(lo, len(term_list)):
@@ -1022,6 +1076,24 @@ class ShardData:
         docs = docs[~self.deleted_mask[docs - self.doc_base]]
         return docs[:k]
 
+    def expand_regexp(self, pattern: str, cap: int | None = None) -> list[str]:
+        """Terms matching an ES ``regexp`` pattern (anchored), in term
+        order (leading-literal bisect + regex walk)."""
+        return regexp_expand_sorted(self.term_list, pattern, cap)
+
+    def regexp_docs(self, pattern: str, k: int) -> np.ndarray:
+        """ES ``regexp`` query (constant_score rewrite): the k smallest
+        live GLOBAL doc ids containing any matching term."""
+        hits: list[np.ndarray] = []
+        for t in self.expand_regexp(pattern):
+            doc_ids, _ = decode_postings(self.blobs[self.terms[t]])
+            hits.append(doc_ids.astype(np.int64))
+        if not hits:
+            return np.empty(0, dtype=np.int64)
+        docs = np.unique(np.concatenate(hits))
+        docs = docs[~self.deleted_mask[docs - self.doc_base]]
+        return docs[:k]
+
     def expand_fuzzy(
         self, term: str, max_edits: int = 1, prefix_length: int = 0
     ) -> list[tuple[str, int]]:
@@ -1060,6 +1132,45 @@ class ShardData:
             hit[(doc_ids - np.uint64(self.doc_base)).astype(np.int64)] = True
         hit &= ~self.deleted_mask
         return self._agg_over_mask(hit, group_col, stats_col)
+
+    def agg_filters(
+        self, named_clauses: list[tuple[str, dict]],
+        stats_col: str | None = None,
+    ) -> dict:
+        """Per-shard partial for an ES ``filters`` aggregation: one
+        NAMED bucket per filter query (each the full bool-clause
+        algebra, non-scoring) → {name: (doc_count, sum, min, max)}.
+        Stats cover only valid (non-NaN) values; doc_count counts every
+        eligible doc — the ES metric-sub-agg convention."""
+        from .datehist import valid_mask
+
+        postings_idx = self._postings_idx_fn()
+        sv = (
+            self.meta_col(stats_col) if stats_col is not None else None
+        )
+        out: dict = {}
+        for name, clauses in named_clauses:
+            ok = self._bool_eligible(
+                sorted(set(clauses.get("must", []))),
+                sorted(set(clauses.get("should", []))),
+                sorted(set(clauses.get("must_not", []))),
+                sorted(set(clauses.get("filter", []))),
+                clauses.get("msm"), clauses.get("meta_filters"),
+                clauses.get("range_filters"), postings_idx,
+            )
+            idxs = np.nonzero(ok)[0]
+            c = len(idxs)
+            if c == 0 or sv is None:
+                out[name] = (c, None, None, None)
+                continue
+            v = sv[idxs].astype(np.float64)
+            v = v[valid_mask(v)]
+            if len(v) == 0:
+                out[name] = (c, None, None, None)
+            else:
+                out[name] = (c, float(v.sum()), float(v.min()),
+                             float(v.max()))
+        return out
 
     def _agg_over_mask(
         self, hit: np.ndarray, group_col: str, stats_col: str | None
@@ -1633,6 +1744,17 @@ class _ScorerCore:
         docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
         return np.sort(docs)[:k]
 
+    def expand_regexp(self, pattern: str, cap: int | None = None) -> list[str]:
+        out: set[str] = set()
+        for s in self.shards:
+            out.update(s.expand_regexp(pattern, cap))
+        return sorted(out)
+
+    def regexp_docs(self, pattern: str, k: int) -> np.ndarray:
+        parts = [s.regexp_docs(pattern, k) for s in self.shards]
+        docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        return np.sort(docs)[:k]
+
     def expand_fuzzy(
         self, term: str, max_edits: int = 1, prefix_length: int = 0
     ) -> list[tuple[str, int]]:
@@ -1745,6 +1867,17 @@ class _ScorerCore:
         merged: dict = {}
         for s in self.shards:
             merge_agg_partials(merged, s.agg_background(group_col))
+        return merged
+
+    def agg_filters(
+        self, named_clauses: list[tuple[str, dict]],
+        stats_col: str | None = None,
+    ) -> dict:
+        merged: dict = {}
+        for s in self.shards:
+            merge_opt_stats_partials(
+                merged, s.agg_filters(named_clauses, stats_col)
+            )
         return merged
 
     def agg_top_hits(
@@ -1995,6 +2128,18 @@ class QueryEngine:
         docs = np.sort(np.concatenate(per_actor))[:k]
         return [(int(d), 1.0) for d in docs]
 
+    def search_regexp(self, pattern: str, k: int = 10) -> list[tuple[int, float]]:
+        """ES ``regexp`` query under its default constant_score rewrite:
+        every live doc containing any dictionary term the ANCHORED
+        pattern matches scores 1.0; ties break doc_id ascending, so the
+        result is the k smallest matching ids.  Pattern syntax is the
+        RE2/Python-re common subset (see ``regexp_expand_sorted``)."""
+        if not pattern:
+            return []
+        per_actor = ray.get([a.regexp_docs.remote(pattern, k) for a in self.actors])
+        docs = np.sort(np.concatenate(per_actor))[:k]
+        return [(int(d), 1.0) for d in docs]
+
     def expand_fuzzy(
         self, term: str, fuzziness: int = 1, prefix_length: int = 0,
         max_expansions: int = 50,
@@ -2045,6 +2190,8 @@ class QueryEngine:
         query: str | list[str] | dict,
         group_by: str,
         stats_on: str | None = None,
+        order: tuple[str, str] | None = None,
+        size: int | None = None,
     ) -> list[dict]:
         """ES search + ``terms`` aggregation (with an optional nested
         ``stats`` sub-aggregation): buckets of ``group_by`` (a stored
@@ -2053,25 +2200,37 @@ class QueryEngine:
         ``match`` disjunction) OR a bool-clause dict ({must, should,
         must_not, filter, minimum_should_match, filter_meta,
         filter_range} — the full clause algebra, as ES allows any query
-        under an aggregation).  Bucket order is ES's: doc_count desc,
-        then key asc.  Stats cover ``dl`` (token count) or any numeric
+        under an aggregation).  Bucket order is ES's default (doc_count
+        desc, then key asc) unless ``order=(metric, "asc"|"desc")`` —
+        the ES terms-agg ``order`` option with metric ``_count`` /
+        ``_key`` / a stats sub-agg path (``sum``/``avg``/``min``/
+        ``max``); ``size`` cuts AFTER the global sort, and unlike ES's
+        shard_size heuristic the cut is EXACT — every bucket already
+        crossed the O(buckets) merge, so ordering by a sub-agg metric
+        loses nothing.  Stats cover ``dl`` (token count) or any numeric
         docmeta column; partial (count,sum,min,max) rows merge
         associatively across shard actors, so driver work is
         O(buckets)."""
+        from .datehist import order_terms_buckets
+
         if isinstance(query, dict):
             clauses = self._query_clauses(query)
             per_actor = ray.get(
                 [a.agg_match_bool.remote(clauses, group_by, stats_on)
                  for a in self.actors]
             )
-            return self._agg_buckets(per_actor, stats_on)
+            return order_terms_buckets(
+                self._agg_buckets(per_actor, stats_on), order, size
+            )
         terms = self._analyze(query) if isinstance(query, str) else sorted(set(query))
         if not terms:
             return []
         per_actor = ray.get(
             [a.agg_match.remote(terms, group_by, stats_on) for a in self.actors]
         )
-        return self._agg_buckets(per_actor, stats_on)
+        return order_terms_buckets(
+            self._agg_buckets(per_actor, stats_on), order, size
+        )
 
     def _agg_buckets(self, per_actor: list[dict], stats_on: str | None
                      ) -> list[dict]:
@@ -2181,6 +2340,42 @@ class QueryEngine:
             per_actor, stats_on, interval=interval,
             min_doc_count=min_doc_count, extended_bounds=extended_bounds,
         )
+
+    def filters_agg(
+        self,
+        filters: dict | list[tuple],
+        stats_on: str | None = None,
+    ) -> list[dict]:
+        """ES ``filters`` aggregation: one NAMED bucket per filter
+        query — each a free-text match / term list / full bool-clause
+        dict, exactly like :meth:`aggregate`'s query argument — with an
+        optional ``stats`` sub-aggregation.  Buckets come back in
+        DECLARATION order (the ES keyed-filters contract), empty
+        filters included with ``doc_count`` 0.  One actor round carries
+        ALL filters; per-shard partials are (count, sum, min, max) per
+        name, so driver work is O(filters)."""
+        items = (
+            list(filters.items()) if isinstance(filters, dict)
+            else list(filters)
+        )
+        named = [(str(n), self._query_clauses(q)) for n, q in items]
+        send = [(n, c) for n, c in named if c is not None]
+        merged: dict = {}
+        if send:
+            per_actor = ray.get(
+                [a.agg_filters.remote(send, stats_on)
+                 for a in self.actors]
+            )
+            for p in per_actor:
+                merge_opt_stats_partials(merged, p)
+        rows = []
+        for n, _ in named:
+            c, s, mn, mx = merged.get(n, (0, None, None, None))
+            row = {"key": n, "doc_count": int(c)}
+            if stats_on is not None and s is not None:
+                row.update({"sum": s, "min": mn, "max": mx, "avg": s / c})
+            rows.append(row)
+        return rows
 
     def range_agg(
         self,

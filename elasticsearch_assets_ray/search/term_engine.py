@@ -368,6 +368,13 @@ class _BucketCore:
 
         return wildcard_expand_sorted(self._sorted_terms(), pattern, cap)
 
+    def expand_regexp(self, pattern: str, cap: int | None = None) -> list[str]:
+        """Anchored-regexp dictionary matches in term order — the shard
+        engine's shared ``regexp_expand_sorted`` walk."""
+        from .engine import regexp_expand_sorted
+
+        return regexp_expand_sorted(self._sorted_terms(), pattern, cap)
+
     def _sorted_terms(self) -> list[str]:
         tl = getattr(self, "_term_list", None)
         if tl is None:
@@ -996,6 +1003,14 @@ class TermPartitionedEngine:
             return []
         return self._constant_score_docs("expand_wildcard", pattern, k)
 
+    def search_regexp(self, pattern: str, k: int = 10) -> list[tuple[int, float]]:
+        """ES ``regexp`` query (constant_score rewrite, anchored
+        pattern) on the term-partitioned layout — identical results to
+        ``QueryEngine.search_regexp``."""
+        if not pattern:
+            return []
+        return self._constant_score_docs("expand_regexp", pattern, k)
+
     def more_like_this(
         self,
         doc_id: int,
@@ -1144,6 +1159,83 @@ class TermPartitionedEngine:
                 "merge_global_postings for doc-values aggregations"
             )
         return ids, src
+
+    def aggregate(
+        self,
+        query: str | list[str],
+        group_by: str,
+        stats_on: str | None = None,
+        order: tuple[str, str] | None = None,
+        size: int | None = None,
+    ) -> list[dict]:
+        """ES search + ``terms`` aggregation served from the
+        term-partitioned layout: the ``match`` disjunction's doc ids
+        gather from the bucket actors, then route to the source index's
+        docmeta partition lineage for the group/stats pass — identical
+        buckets to :meth:`QueryEngine.aggregate`, including the
+        ``order``/``size`` options (exact cut: every bucket crosses the
+        O(buckets) merge before the sort)."""
+        from .engine import merge_agg_partials
+        from .datehist import agg_partials_over_ids, order_terms_buckets
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return []
+        ids, src = got
+        merged: dict = {}
+        for p in agg_partials_over_ids(
+            src, ids, group_by, ("terms", None), stats_on
+        ):
+            merge_agg_partials(merged, p)
+        buckets = sorted(merged.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        rows = []
+        for g, (c, sm, mn, mx) in buckets:
+            row = {"key": g, "doc_count": c}
+            if stats_on is not None:
+                row.update(
+                    {"sum": sm, "min": mn, "max": mx,
+                     "avg": sm / c if c else None}
+                )
+            rows.append(row)
+        return order_terms_buckets(rows, order, size)
+
+    def filters_agg(
+        self,
+        filters: dict | list[tuple],
+        stats_on: str | None = None,
+    ) -> list[dict]:
+        """ES ``filters`` aggregation served from the term-partitioned
+        layout: per named filter (a ``match`` disjunction — text or a
+        pre-analyzed term list), the matched-id set gathers from the
+        bucket actors and stats hydrate from the source docmeta lineage
+        (extstats partials → sum/min/max/avg).  Buckets in declaration
+        order, empty filters kept with ``doc_count`` 0 — identical
+        rows to :meth:`QueryEngine.filters_agg` on match queries."""
+        from .datehist import merge_extstats, values_partials_over_ids
+
+        items = (
+            list(filters.items()) if isinstance(filters, dict)
+            else list(filters)
+        )
+        rows = []
+        for name, q in items:
+            got = self._matched_ids_and_source(q)
+            if got is None:
+                rows.append({"key": str(name), "doc_count": 0})
+                continue
+            ids, src = got
+            row = {"key": str(name), "doc_count": int(len(ids))}
+            if stats_on is not None:
+                n, s, _s2, mn, mx = merge_extstats(
+                    values_partials_over_ids(src, ids, stats_on, "extstats")
+                )
+                if n:
+                    # avg over the full match count — the shard engine's
+                    # (and the SQL oracle's) sum/doc_count convention
+                    row.update({"sum": s, "min": mn, "max": mx,
+                                "avg": s / len(ids)})
+            rows.append(row)
+        return rows
 
     def range_agg(
         self,

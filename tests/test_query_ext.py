@@ -374,3 +374,29 @@ def test_aggregate_over_bool_query(engine, corpus_docs):
     assert [b["key"] for b in buckets] == [
         g for g, _ in sorted(expect.items(), key=lambda kv: (-kv[1][0], kv[0]))
     ]
+
+
+def test_regexp_constant_score(engine, corpus_docs):
+    toks, _ = corpus_docs
+    for pattern in ["me[a-z]+e", "d.ta", "(imp|exp)ort(s|ed)?",
+                    "[a-z]{3}sor", "zz+x?"]:
+        rx = re.compile(pattern + r"\Z")
+        expect = [d for d, ts in enumerate(toks)
+                  if any(rx.match(t) for t in ts)]
+        res = engine.search_regexp(pattern, k=7)
+        assert [d for d, _ in res] == expect[:7], pattern
+        assert all(s == 1.0 for _, s in res)
+
+
+def test_regexp_expand_sorted_kernel():
+    from elasticsearch_assets_ray.search.engine import regexp_expand_sorted
+
+    terms = sorted(["abc", "ab", "a", "abd", "bcd", "zebra", "zzz"])
+    # quantifier right after the literal run: "ab*" must still match "a"
+    assert regexp_expand_sorted(terms, "ab*") == ["a", "ab"]
+    assert regexp_expand_sorted(terms, "ab.") == ["abc", "abd"]
+    assert regexp_expand_sorted(terms, "ab?c") == ["abc"]
+    # alternation has no literal prefix — full-dictionary scan
+    assert regexp_expand_sorted(terms, "(zebra|bcd)") == ["bcd", "zebra"]
+    assert regexp_expand_sorted(terms, "ab.", cap=1) == ["abc"]
+    assert regexp_expand_sorted(terms, "q+") == []
