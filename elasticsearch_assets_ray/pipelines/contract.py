@@ -845,6 +845,23 @@ def q_phrase_prefix(sf_dir: str) -> pa.Table:
     return _bm25_rerank(per_q, idx)
 
 
+def q_phrase_prefix_global(sf_dir: str) -> pa.Table:
+    """The SAME ``match_phrase_prefix`` served from the
+    TERM-partitioned layout (bucket-actor prefix expansion, multi-
+    phrase-candidate-gated positional fetch, expansion-union last
+    slot) — same SQL oracle as ``bm25_phrase_prefix``."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        per_q = {
+            qid: eng.search_phrase_prefix(p, k=K_FETCH,
+                                          max_expansions=MAX_EXPANSIONS)
+            for qid, p in PHRASE_PREFIX_QUERIES
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
 def sql_phrase_prefix() -> str:
     toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
     pf_parts = []
@@ -980,6 +997,149 @@ SELECT query_id, doc_id,
        row_number() OVER (PARTITION BY query_id ORDER BY doc_id) AS rank,
        1.0 AS score_r
 FROM hit
+QUALIFY rank <= {TOPK}
+"""
+
+
+# ES ``rescore`` with a phrase rescorer: (qid, match text, phrase,
+# window_size, score_mode) — re-rank the query phase's top window by
+# the combined score, cut to TOPK
+RESCORE_QUERIES: list[tuple[int, str, str, int, str]] = [
+    (0, "hash join performance", "hash join", 30, "total"),
+    (1, "customer order value", "customer order", 25, "total"),
+    (2, "query scan table", "table scan", 30, "multiply"),
+]
+RESCORE_WQ = 1.0
+RESCORE_WR = 2.0
+
+
+def _q_rescore(engine, idx: str) -> pa.Table:
+    from ..search.engine import rescore_with_phrase
+
+    per_q = {
+        qid: rescore_with_phrase(
+            engine, text, phrase, k=TOPK, window_size=w,
+            query_weight=RESCORE_WQ, rescore_weight=RESCORE_WR,
+            score_mode=mode,
+        )
+        for qid, text, phrase, w, mode in RESCORE_QUERIES
+    }
+    return _bm25_rerank(per_q, idx)
+
+
+def q_rescore(sf_dir: str) -> pa.Table:
+    """ES ``rescore`` (phrase rescorer): the match query's top-window
+    hits re-rank by wq·BM25 + wr·phrase-BM25 (``total``; ``multiply``
+    also exercised), docs outside the phrase match keeping their
+    weighted query score — one phrase query total, never one per
+    window doc.  The window is the exact GLOBAL top (disclosed
+    divergence from ES's per-shard window_size; the exact merge makes
+    the global window strictly dominate)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_rescore(engine, idx)
+    finally:
+        engine.shutdown()
+
+
+def q_rescore_global(sf_dir: str) -> pa.Table:
+    """The SAME rescore composition served from the TERM-partitioned
+    layout (both engines share the search/search_phrase contract, so
+    one engine-agnostic rescorer serves both)."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_rescore(eng, idx)
+    finally:
+        eng.shutdown()
+
+
+def sql_rescore() -> str:
+    values = ", ".join(
+        f"({qid}, '{text}')" for qid, text, _, _, _ in RESCORE_QUERIES
+    )
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    qtoks = _TOKS.format(id="query_id", text="qtext", src="q")
+    pf_parts, idf_rows = [], []
+    for qid, _, phrase, _, _ in RESCORE_QUERIES:
+        ptoks = [t for t in phrase.lower().split() if t]
+        joins = "\n  ".join(
+            f"JOIN toksp p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.pos = p0.pos + {i} AND p{i}.t = '{t}'"
+            for i, t in enumerate(ptoks[1:], start=1)
+        )
+        pf_parts.append(
+            f"SELECT {qid} AS query_id, p0.doc_id, count(*)::DOUBLE AS pf\n"
+            f"  FROM toksp p0\n  {joins}\n  WHERE p0.t = '{ptoks[0]}'\n"
+            f"  GROUP BY 1, 2"
+        )
+        for t in ptoks:
+            idf_rows.append(f"({qid}, '{t}')")
+    pf_union = "\nUNION ALL\n".join(pf_parts)
+    win_case = "CASE w.query_id " + " ".join(
+        f"WHEN {qid} THEN {w}" for qid, _, _, w, _ in RESCORE_QUERIES
+    ) + " END"
+    total_expr = (
+        f"{RESCORE_WQ} * w.score + CASE WHEN p.score IS NULL THEN 0 "
+        f"ELSE {RESCORE_WR} * p.score END"
+    )
+    mult_expr = (
+        f"CASE WHEN p.score IS NULL THEN {RESCORE_WQ} * w.score "
+        f"ELSE {RESCORE_WQ} * w.score * {RESCORE_WR} * p.score END"
+    )
+    mode_case = "CASE w.query_id " + " ".join(
+        f"WHEN {qid} THEN ({total_expr if mode == 'total' else mult_expr})"
+        for qid, _, _, _, mode in RESCORE_QUERIES
+    ) + " END"
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY t),
+q(query_id, qtext) AS (VALUES {values}),
+qt AS (SELECT DISTINCT doc_id AS query_id, t AS tq FROM ({qtoks})),
+base AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM qt
+  JOIN tf ON tf.t = qt.tq
+  JOIN df ON df.t = qt.tq
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  GROUP BY 1, 2),
+w AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS wrank
+  FROM base),
+pqt(query_id, t) AS (VALUES {", ".join(idf_rows)}),
+idfs AS (SELECT pqt.query_id,
+                sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+         FROM pqt JOIN df ON df.t = pqt.t, s GROUP BY 1),
+pf AS ({pf_union}),
+ph AS (
+  SELECT pf.query_id, pf.doc_id,
+         idfs.idf_sum * pf.pf * ({K1} + 1)
+           / (pf.pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+  FROM pf
+  JOIN idfs ON idfs.query_id = pf.query_id
+  JOIN dl ON dl.doc_id = pf.doc_id, s)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score_r DESC, doc_id) AS rank,
+       score_r
+FROM (
+  SELECT w.query_id, w.doc_id, round({mode_case}, 4) AS score_r
+  FROM w
+  LEFT JOIN ph p ON p.query_id = w.query_id AND p.doc_id = w.doc_id
+  WHERE w.wrank <= {win_case})
 QUALIFY rank <= {TOPK}
 """
 
@@ -4487,10 +4647,13 @@ def queries():
         "wildcard_search_global": q_wildcard_search_global,
         "prefix_search": q_prefix_search,
         "bm25_phrase_prefix": q_phrase_prefix,
+        "bm25_phrase_prefix_global": q_phrase_prefix_global,
         "wildcard_search": q_wildcard_search,
         "regexp_search": q_regexp_search,
         "regexp_search_global": q_regexp_search_global,
         "fuzzy_search": q_fuzzy_search,
+        "rescore_phrase": q_rescore,
+        "rescore_phrase_global": q_rescore_global,
         "meta_filter_search": q_meta_filter_search,
         "match_agg_lang": q_match_agg,
         "match_agg_lang_global": q_match_agg_global,
@@ -4581,10 +4744,13 @@ def oracle_sql():
         "wildcard_search_global": sql_wildcard_search(),
         "prefix_search": sql_prefix_search(),
         "bm25_phrase_prefix": sql_phrase_prefix(),
+        "bm25_phrase_prefix_global": sql_phrase_prefix(),
         "wildcard_search": sql_wildcard_search(),
         "regexp_search": sql_regexp_search(),
         "regexp_search_global": sql_regexp_search(),
         "fuzzy_search": sql_fuzzy_search(),
+        "rescore_phrase": sql_rescore(),
+        "rescore_phrase_global": sql_rescore(),
         "meta_filter_search": sql_meta_filter_search(),
         "match_agg_lang": sql_match_agg(),
         "match_agg_lang_global": sql_match_agg(),

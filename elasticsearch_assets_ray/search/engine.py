@@ -63,6 +63,79 @@ def _merge_group_topk(
     }
 
 
+def rescore_with_phrase(
+    engine,
+    query: str | list[str],
+    phrase: str | list[str],
+    k: int = 10,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    score_mode: str = "total",
+    round_decimals: int | None = 4,
+) -> list[tuple[int, float]]:
+    """ES ``rescore`` with a phrase rescorer: re-rank the query phase's
+    top ``window_size`` hits by combining their BM25 score with a
+    ``match_phrase`` score, then cut to ``k``.  ``score_mode`` is the ES
+    option set: ``total`` (wq·q + wr·r, the default), ``multiply``,
+    ``avg``, ``max``, ``min`` — a window doc outside the phrase's match
+    set contributes no rescore term (ES: only matching rescore docs
+    change score; under avg/max/min it keeps its weighted query score).
+
+    Engine-agnostic by design: both serving engines expose ``search``
+    and ``search_phrase`` with the same contract, so ONE composition
+    serves both layouts.  Cost = the query phase + one phrase query —
+    the phrase's match set is fetched once, not per window doc.
+    Disclosed divergence: ES applies window_size PER SHARD during the
+    fetch phase; here the window is the exact GLOBAL top (our merge is
+    exact, so the global window dominates every per-shard one).
+    """
+    window = engine.search(query, k=window_size) if isinstance(query, str) \
+        else engine.search_bool(should=query, k=window_size)
+    if not window:
+        return []
+    # engines return the kth ROUNDED tie class in (raw desc, doc asc)
+    # order; the ES window is exactly window_size docs under the serving
+    # order (rounded desc, doc asc) — re-cut deterministically
+    window = sorted(
+        window,
+        key=lambda ds: (
+            -(round(ds[1], round_decimals) if round_decimals is not None
+              else ds[1]),
+            ds[0],
+        ),
+    )[:window_size]
+    # the phrase's FULL match set (phrase matches are selective; k=∞ is
+    # the tie-cut's "return everything matched" mode)
+    ph = dict(engine.search_phrase(phrase, k=1 << 30))
+    out = []
+    wq, wr = float(query_weight), float(rescore_weight)
+    for d, qs in window:
+        r = ph.get(d)
+        q_w = wq * qs
+        if r is None:
+            final = q_w
+        else:
+            r_w = wr * r
+            if score_mode == "total":
+                final = q_w + r_w
+            elif score_mode == "multiply":
+                final = q_w * r_w
+            elif score_mode == "avg":
+                final = (q_w + r_w) / 2.0
+            elif score_mode == "max":
+                final = max(q_w, r_w)
+            elif score_mode == "min":
+                final = min(q_w, r_w)
+            else:
+                raise ValueError(f"unknown score_mode {score_mode!r}")
+        out.append((d, final))
+    if round_decimals is not None:
+        out = [(d, round(s, round_decimals)) for d, s in out]
+    out.sort(key=lambda ds: (-ds[1], ds[0]))
+    return out[:k]
+
+
 def _render_hit_dicts(
     buckets: list[dict],
     sort: tuple[str, str] | None,

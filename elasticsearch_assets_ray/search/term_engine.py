@@ -509,17 +509,23 @@ def _phrase_chunk_kernel(
     from .sloppy import sloppy_freqs_for_candidates
 
     shift = np.int64(shift_bits)
+    # each slot is a LIST of posting refs — singleton for a plain term,
+    # several for a multi-phrase slot (match_phrase_prefix expansions);
+    # slop modes only ever see singletons (asserted by the caller)
     slices = []
-    for r in slot_refs:
-        ids, tf64, pos, tfcum = (
-            ray.get(r) if isinstance(r, ray.ObjectRef) else r
-        )
-        a = int(np.searchsorted(ids, lo, side="left"))
-        b = int(np.searchsorted(ids, hi, side="left"))
-        slices.append((ids[a:b], tf64[a:b], pos[tfcum[a]:tfcum[b]]))
+    for slot in slot_refs:
+        group = []
+        for r in (slot if isinstance(slot, list) else [slot]):
+            ids, tf64, pos, tfcum = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            )
+            a = int(np.searchsorted(ids, lo, side="left"))
+            b = int(np.searchsorted(ids, hi, side="left"))
+            group.append((ids[a:b], tf64[a:b], pos[tfcum[a]:tfcum[b]]))
+        slices.append(group)
     if slop > 0 and slop_mode == "lucene":
         slot_docs, slot_pos = [], []
-        for ids, tf64, pos in slices:
+        for (ids, tf64, pos), in slices:
             ids_s, tfs_s, pos_s = subset_positions(ids, tf64, pos, cand)
             slot_docs.append(
                 np.repeat(ids_s, tfs_s).astype(np.int64, copy=False)
@@ -532,7 +538,7 @@ def _phrase_chunk_kernel(
         # ordered sloppy: the inline greedy successor chain on raw
         # (doc<<bits|pos) keys, over this chunk's slices only
         keys_per_slot = []
-        for ids, tf64, pos in slices:
+        for (ids, tf64, pos), in slices:
             ids_s, tfs_s, pos_s = subset_positions(ids, tf64, pos, cand)
             docs_flat = np.repeat(ids_s, tfs_s).astype(
                 np.int64, copy=False
@@ -562,16 +568,23 @@ def _phrase_chunk_kernel(
         hd, pf = np.unique(cur >> shift, return_counts=True)
         return hd.astype(np.int64), pf.astype(np.float64)
     cur = None
-    for (ids, tf64, pos), seq in zip(slices, seqs):
-        ids_s, tfs_s, pos_s = subset_positions(ids, tf64, pos, cand)
-        docs_flat = np.repeat(ids_s, tfs_s).astype(np.int64, copy=False)
-        p = pos_s.astype(np.int64)
-        if seq:
-            keep = p >= seq
-            if not keep.all():
-                docs_flat, p = docs_flat[keep], p[keep]
-            p = p - seq
-        keys = (docs_flat << shift) | p
+    for group, seq in zip(slices, seqs):
+        parts = []
+        for ids, tf64, pos in group:
+            ids_s, tfs_s, pos_s = subset_positions(ids, tf64, pos, cand)
+            docs_flat = np.repeat(ids_s, tfs_s).astype(np.int64, copy=False)
+            p = pos_s.astype(np.int64)
+            if seq:
+                keep = p >= seq
+                if not keep.all():
+                    docs_flat, p = docs_flat[keep], p[keep]
+                p = p - seq
+            parts.append((docs_flat << shift) | p)
+        # multi-phrase slot: one token per position, so keys across the
+        # group's terms are disjoint — sort-merge, no dedup needed
+        keys = parts[0] if len(parts) == 1 else np.sort(
+            np.concatenate(parts)
+        )
         cur = keys if cur is None else np.intersect1d(
             cur, keys, assume_unique=True
         )
@@ -701,9 +714,20 @@ class TermPartitionedEngine:
     # positional mass — per-doc independence makes the split exact
     PHRASE_PARALLEL_TASKS = 8
     PHRASE_PARALLEL_MIN_MASS = 2_000_000
+    # ...and stays INLINE past this mass: at ~58M positional values (4M
+    # corpus, hot-hot lucene slop — BASELINE.md) the ray.put of the full
+    # mass exceeds what the object store absorbs gracefully and pressure
+    # dominates (4-12 s).  Below it, parallel stays a win even OVER the
+    # put-cache budget: the current query's refs stay pinned, so repeat
+    # queries read zero-copy (measured at 29.6M mass: warm 693 ms
+    # parallel vs 2.0 s inline; cold is fetch-bound either way)
+    PHRASE_PARALLEL_MAX_MASS = 48_000_000
+    # multi-phrase (phrase_prefix) only: max distinct terms to fan out —
+    # puts scale with terms, and wide expansions are cold-dominated
+    PHRASE_PARALLEL_MAX_TERMS = 12
 
     def _fetch_phrase_postings(
-        self, terms: list[str]
+        self, terms: list[str], cand: np.ndarray | None = None
     ) -> tuple[dict, np.ndarray] | None:
         """Positional postings for a phrase's (deduplicated, sorted)
         terms, plus their doc conjunction.
@@ -716,20 +740,27 @@ class TermPartitionedEngine:
         cache) when the conjunction is large, or serves straight from
         already-cached positional entries.  Bit-exact either way: the
         coordinator's own doc-conjunction gate makes the subset a no-op
-        on results.  None ⇔ some term is absent (phrase can't match)."""
+        on results.  None ⇔ some term is absent (phrase can't match).
+
+        A non-None ``cand`` (sorted doc ids) REPLACES the conjunction —
+        the multi-phrase caller (match_phrase_prefix) supplies the
+        fixed-conjunction ∩ expansion-union set, under which plain
+        per-term conjunction would be wrong."""
         from ..index.global_merge import _term_bucket
 
         base = self.fetch_terms(terms, positions=False)
         if any(t not in base for t in terms):
             return None
-        cand = None
-        for t in terms:
-            ids = base[t][0]
-            cand = ids if cand is None else cand[
-                np.isin(cand, ids, assume_unique=True)
-            ]
-            if len(cand) == 0:
-                return {}, cand
+        if cand is None:
+            for t in terms:
+                ids = base[t][0]
+                cand = ids if cand is None else cand[
+                    np.isin(cand, ids, assume_unique=True)
+                ]
+                if len(cand) == 0:
+                    return {}, cand
+        elif len(cand) == 0:
+            return {}, cand
         fetched: dict[str, tuple] = {}
         uncached: list[str] = []
         cache = getattr(self, "_term_cache", {})
@@ -1787,11 +1818,14 @@ class TermPartitionedEngine:
 
         shift = np.int64(self._POS_BITS)
         # parallel-path gate shared by all three phrase modes: enough
-        # positional mass to beat task overhead, enough candidates to
-        # chunk, and FULL entries (subset/gated fetches route inline)
+        # positional mass to beat task overhead (but little enough that
+        # the put-cache can HOLD the refs across queries), enough
+        # candidates to chunk, and FULL entries (subset/gated fetches
+        # route inline)
+        mass = sum(len(fetched[t][6]) for t in set(toks))
         parallel_ok = (
-            sum(len(fetched[t][6]) for t in set(toks))
-            >= self.PHRASE_PARALLEL_MIN_MASS
+            self.PHRASE_PARALLEL_MIN_MASS <= mass
+            <= self.PHRASE_PARALLEL_MAX_MASS
             and len(cand_docs) > self.PHRASE_PARALLEL_TASKS
             and all(fetched[t][1] is not None for t in set(toks))
         )
@@ -1900,6 +1934,145 @@ class TermPartitionedEngine:
         return self._phrase_score_tail(hd, pf_c.astype(np.float64), idf_sum, k,
                                        dl_term=dl_term)
 
+    def search_phrase_prefix(
+        self, phrase: str | list[str], k: int = 10,
+        max_expansions: int = 50,
+    ) -> list[tuple[int, float]]:
+        """ES ``match_phrase_prefix`` served from the term-partitioned
+        layout: the last term expands to ``max_expansions`` dictionary
+        terms in term order (union of the bucket actors' walks — the
+        same global-first-N the doc engine computes), and the phrase
+        intersects with the last slot as the expansions' position-key
+        UNION (Lucene MultiPhraseQuery).  idf = Σ idfs of the fixed
+        terms + Σ idfs of every expansion; tf = multi-phrase start
+        count — rank/score identical to
+        :meth:`QueryEngine.search_phrase_prefix` (tested).
+
+        The positional fetch is GATED like plain phrases, but under the
+        multi-phrase candidate set (fixed-term conjunction ∩ expansion
+        union) rather than the all-terms conjunction — only candidate
+        docs' position segments cross the wire when the gate's cost
+        model says the subset is materially cheaper."""
+        if isinstance(phrase, str):
+            toks = clip_tokens(self._analyzer(phrase), *self._clip)
+        else:
+            toks = list(phrase)
+        if not toks:
+            return []
+        per_actor = ray.get(
+            [a.expand_prefix.remote(toks[-1], max_expansions)
+             for a in self.actors]
+        )
+        expansions = sorted(set().union(*map(set, per_actor)))
+        expansions = expansions[:max_expansions]
+        if not expansions:
+            return []
+        fixed = toks[:-1]
+        terms_all = sorted(set(fixed) | set(expansions))
+        base = self.fetch_terms(terms_all, positions=False)
+        if any(t not in base for t in fixed):
+            return []
+        expansions = [e for e in expansions if e in base]
+        if not expansions:
+            return []
+        cand = None
+        for t in sorted(set(fixed)):
+            ids = base[t][0]
+            cand = ids if cand is None else cand[
+                np.isin(cand, ids, assume_unique=True)
+            ]
+            if len(cand) == 0:
+                return []
+        exp_union = np.unique(
+            np.concatenate([base[e][0] for e in expansions])
+        )
+        cand = exp_union if cand is None else cand[
+            np.isin(cand, exp_union, assume_unique=True)
+        ]
+        if len(cand) == 0:
+            return []
+        need = sorted(set(fixed) | set(expansions))
+        got = self._fetch_phrase_postings(need, cand=cand)
+        if got is None:
+            return []
+        fetched, cand = got
+        idf_sum = 0.0
+        for t in list(fixed) + list(expansions):  # fixed WITH repeats
+            df = fetched[t][2]
+            idf_sum += math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+
+        shift = np.int64(self._POS_BITS)
+        # matched docs ⊆ every FIXED term's postings; with no fixed term
+        # no single posting list covers them — docstore fallback
+        dl_term = (
+            min(set(fixed), key=lambda t: int(fetched[t][2]))
+            if fixed else None
+        )
+        all_terms = set(fixed) | set(expansions)
+        # hot multi-phrases fan out over doc-range chunks like plain
+        # phrases — the expansion union is just a multi-term last slot.
+        # The mass window applies AND the term count must stay small:
+        # each term is one ray.put, and a 50-expansion prefix pays ~1 s
+        # of puts for a marginal warm win (measured at 1M — prefix
+        # queries are autocomplete-shaped, cold-dominated), so wide
+        # expansions stay inline
+        mass = sum(len(fetched[t][6]) for t in all_terms)
+        parallel_ok = (
+            self.PHRASE_PARALLEL_MIN_MASS <= mass
+            <= self.PHRASE_PARALLEL_MAX_MASS
+            and len(all_terms) <= self.PHRASE_PARALLEL_MAX_TERMS
+            and len(cand) > self.PHRASE_PARALLEL_TASKS
+            and all(fetched[t][1] is not None for t in all_terms)
+        )
+        if parallel_ok:
+            hd, pf = self._phrase_parallel(
+                list(fixed) + [list(expansions)], fetched, cand, shift
+            )
+            if len(hd) == 0:
+                return []
+            return self._phrase_score_tail(
+                hd, pf.astype(np.float64), idf_sum, k, dl_term=dl_term
+            )
+
+        def slot_keys(t: str, seq: int) -> np.ndarray:
+            ids, _norms, _df, _bl, _bm, tfs, pos = fetched[t]
+            if len(pos) and int(pos.max()) >= (1 << self._POS_BITS):
+                raise ValueError("document exceeds 2^21 token positions")
+            ids_sub, tfs_sub, pos_sub = subset_positions(
+                ids, tfs, pos, cand
+            )
+            docs_flat = np.repeat(ids_sub, tfs_sub)
+            p = pos_sub.astype(np.int64)
+            if seq:
+                keep = p >= seq
+                if not keep.all():
+                    docs_flat, p = docs_flat[keep], p[keep]
+                p = p - seq
+            return (docs_flat << shift) | p
+
+        cur = None
+        for seq, t in enumerate(fixed):
+            sk = slot_keys(t, seq)
+            cur = sk if cur is None else np.intersect1d(
+                cur, sk, assume_unique=True
+            )
+            if len(cur) == 0:
+                return []
+        # last slot: one token occupies one position, so expansion keys
+        # are disjoint across terms — the union stays unique
+        last = np.unique(np.concatenate(
+            [slot_keys(e, len(toks) - 1) for e in expansions]
+        ))
+        cur = last if cur is None else np.intersect1d(
+            cur, last, assume_unique=True
+        )
+        if len(cur) == 0:
+            return []
+        hd, pf = np.unique(cur >> shift, return_counts=True)
+        return self._phrase_score_tail(
+            hd, pf.astype(np.float64), idf_sum, k, dl_term=dl_term
+        )
+
     def _phrase_parallel(
         self,
         toks: list[str],
@@ -1917,12 +2090,21 @@ class TermPartitionedEngine:
         queries); tasks read them zero-copy and slice locally, so the
         per-query wire cost is O(candidates), not O(position mass).
         Restores the per-shard parallelism the doc-partitioned engine
-        gets structurally."""
+        gets structurally.
+
+        ``toks`` entries may be a LIST of terms (a multi-phrase slot —
+        the match_phrase_prefix expansion union); slop modes require
+        plain single-term slots."""
+        flat_terms = set()
+        for slot in toks:
+            flat_terms.update(slot if isinstance(slot, list) else [slot])
+        if slop > 0 and any(isinstance(s, list) for s in toks):
+            raise ValueError("multi-phrase slots support exact mode only")
         if not hasattr(self, "_chunk_put_cache"):
             self._chunk_put_cache: dict[str, tuple] = {}
             self._chunk_put_postings = 0
         refs = {}
-        for t in set(toks):
+        for t in flat_terms:
             got = self._chunk_put_cache.get(t)
             if got is None:
                 ids, _n, _d, _bl, _bm, tfs, pos = fetched[t]
@@ -1936,7 +2118,7 @@ class TermPartitionedEngine:
                 got = (ray.put((ids, tf64, pos, tfcum)), cost)
                 self._chunk_put_cache[t] = got
                 self._chunk_put_postings += cost
-                protected = set(toks)
+                protected = flat_terms
                 while self._chunk_put_postings > self.CACHE_MAX_POSTINGS:
                     victim = next(
                         (k for k in self._chunk_put_cache
@@ -1954,7 +2136,11 @@ class TermPartitionedEngine:
         bounds = np.concatenate(
             [[np.iinfo(np.int64).min], cuts, [np.iinfo(np.int64).max]]
         )
-        slot_refs = [refs[t] for t in toks]
+        slot_refs = [
+            [refs[t] for t in slot] if isinstance(slot, list)
+            else [refs[slot]]
+            for slot in toks
+        ]
         seqs = list(range(len(toks)))
         futs = []
         for i in range(len(bounds) - 1):

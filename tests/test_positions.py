@@ -830,3 +830,50 @@ def test_global_sloppy_phrase_matches_doc_engine(pos_index, tmp_path):
     finally:
         geng.shutdown()
         deng.shutdown()
+
+
+def test_global_phrase_prefix_matches_doc_engine(pos_index, tmp_path):
+    """``match_phrase_prefix`` on the TERM-partitioned layout (bucket-
+    actor prefix expansion, multi-phrase-candidate gate, expansion-union
+    last slot) is rank+score identical to the shard-actor engine —
+    including under a FORCED remote-side gate (cache budget 0), since
+    the gate's candidate set here is fixed-conjunction ∩ expansion
+    union, not the plain conjunction."""
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    out = tmp_path / "global_pp"
+    merge_global_postings(pos_index.index_dir, out, n_salts=3, n_buckets=4,
+                          store_norms=True)
+    geng = TermPartitionedEngine(out, num_actors=2)
+    gated = TermPartitionedEngine(out, num_actors=2)
+    gated.CACHE_MAX_POSTINGS = 0
+    gated.PHRASE_GATE_FRAC = 10.0
+    # forced doc-range-chunked PARALLEL multi-phrase execution (the
+    # expansion union as a multi-term slot in the chunk kernel)
+    par = TermPartitionedEngine(out, num_actors=2)
+    par.PHRASE_PARALLEL_MIN_MASS = 0
+    par.PHRASE_PARALLEL_TASKS = 3
+    deng = QueryEngine(pos_index.index_dir, num_actors=2)
+    try:
+        for phrase, me in [("def me", 50), ("return da", 50),
+                           ("import", 50), ("def merge", 3),
+                           ("zz qq", 50)]:
+            want = deng.search_phrase_prefix(phrase, k=1000,
+                                             max_expansions=me)
+            got = geng.search_phrase_prefix(phrase, k=1000,
+                                            max_expansions=me)
+            assert [d for d, _ in got] == [d for d, _ in want], phrase
+            for (_, s1), (_, s2) in zip(got, want):
+                assert abs(s1 - s2) < 1e-12, phrase
+            assert gated.search_phrase_prefix(
+                phrase, k=1000, max_expansions=me
+            ) == got, ("gated", phrase)
+            assert par.search_phrase_prefix(
+                phrase, k=1000, max_expansions=me
+            ) == got, ("parallel", phrase)
+    finally:
+        geng.shutdown()
+        gated.shutdown()
+        par.shutdown()
+        deng.shutdown()
