@@ -1001,6 +1001,122 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES ``simple_query_string``: (qid, query, default_operator) — one of
+# each clause shape (phrase|term OR, +/- operators, prefix, AND default)
+SQS_QUERIES: list[tuple[int, str, str]] = [
+    (0, '"hash join" | merge', "or"),
+    (1, "customer + order -table", "or"),
+    (2, "quer* value", "or"),
+    (3, "customer order", "and"),
+]
+
+
+def q_sqs(sf_dir: str) -> pa.Table:
+    """ES ``simple_query_string``: the mini query language (terms,
+    ``+``/``|`` infix, ``-`` negation, ``"phrases"``, ``word*``
+    prefixes) compiled to a clause tree and evaluated per shard over
+    sparse (ids, scores) algebra with Lucene BooleanQuery sum-of-
+    matching-clauses scoring (grammar + divergences: search/sqs.py)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_simple_query_string(
+                q, k=K_FETCH, default_operator=op
+            )
+            for qid, q, op in SQS_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def q_sqs_global(sf_dir: str) -> pa.Table:
+    """The SAME simple_query_string queries served from the
+    TERM-partitioned layout (leaves gather from bucket actors, the
+    clause algebra runs on the coordinator) — same SQL oracle."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        per_q = {
+            qid: eng.search_simple_query_string(
+                q, k=K_FETCH, default_operator=op
+            )
+            for qid, q, op in SQS_QUERIES
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_sqs() -> str:
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+ts AS (SELECT tf.doc_id, tf.t,
+              ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+       FROM tf JOIN df ON df.t = tf.t
+       JOIN dl ON dl.doc_id = tf.doc_id, s
+       WHERE tf.t IN ('merge', 'customer', 'order', 'value')),
+phidf AS (SELECT sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+          FROM df, s WHERE df.t IN ('hash', 'join')),
+ph0pf AS (SELECT p0.doc_id, count(*)::DOUBLE AS pf
+          FROM toksp p0
+          JOIN toksp p1 ON p1.doc_id = p0.doc_id
+           AND p1.pos = p0.pos + 1 AND p1.t = 'join'
+          WHERE p0.t = 'hash' GROUP BY 1),
+ph0 AS (SELECT ph0pf.doc_id,
+               phidf.idf_sum * pf * ({K1} + 1)
+                 / (pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+        FROM ph0pf JOIN dl ON dl.doc_id = ph0pf.doc_id, s, phidf),
+pre2 AS (SELECT DISTINCT doc_id FROM toks WHERE t LIKE 'quer%'),
+d0 AS (SELECT doc_id FROM ph0 UNION
+       SELECT doc_id FROM ts WHERE t = 'merge'),
+s0 AS (SELECT 0 AS query_id, d0.doc_id,
+              coalesce(p.score, 0) + coalesce(m.score, 0) AS score
+       FROM d0
+       LEFT JOIN ph0 p ON p.doc_id = d0.doc_id
+       LEFT JOIN (SELECT doc_id, score FROM ts WHERE t = 'merge') m
+         ON m.doc_id = d0.doc_id),
+s1 AS (SELECT 1 AS query_id, c.doc_id, c.score + o.score AS score
+       FROM (SELECT doc_id, score FROM ts WHERE t = 'customer') c
+       JOIN (SELECT doc_id, score FROM ts WHERE t = 'order') o
+         ON o.doc_id = c.doc_id
+       WHERE c.doc_id NOT IN (SELECT doc_id FROM toks WHERE t = 'table')),
+d2 AS (SELECT doc_id FROM pre2 UNION
+       SELECT doc_id FROM ts WHERE t = 'value'),
+s2 AS (SELECT 2 AS query_id, d2.doc_id,
+              (CASE WHEN p.doc_id IS NULL THEN 0 ELSE 1.0 END)
+              + coalesce(v.score, 0) AS score
+       FROM d2
+       LEFT JOIN pre2 p ON p.doc_id = d2.doc_id
+       LEFT JOIN (SELECT doc_id, score FROM ts WHERE t = 'value') v
+         ON v.doc_id = d2.doc_id),
+s3 AS (SELECT 3 AS query_id, c.doc_id, c.score + o.score AS score
+       FROM (SELECT doc_id, score FROM ts WHERE t = 'customer') c
+       JOIN (SELECT doc_id, score FROM ts WHERE t = 'order') o
+         ON o.doc_id = c.doc_id),
+allq AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+         UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM allq
+QUALIFY rank <= {TOPK}
+"""
+
+
 # ES ``rescore`` with a phrase rescorer: (qid, match text, phrase,
 # window_size, score_mode) — re-rank the query phase's top window by
 # the combined score, cut to TOPK
@@ -4654,6 +4770,8 @@ def queries():
         "fuzzy_search": q_fuzzy_search,
         "rescore_phrase": q_rescore,
         "rescore_phrase_global": q_rescore_global,
+        "simple_query_string": q_sqs,
+        "simple_query_string_global": q_sqs_global,
         "meta_filter_search": q_meta_filter_search,
         "match_agg_lang": q_match_agg,
         "match_agg_lang_global": q_match_agg_global,
@@ -4751,6 +4869,8 @@ def oracle_sql():
         "fuzzy_search": sql_fuzzy_search(),
         "rescore_phrase": sql_rescore(),
         "rescore_phrase_global": sql_rescore(),
+        "simple_query_string": sql_sqs(),
+        "simple_query_string_global": sql_sqs(),
         "meta_filter_search": sql_meta_filter_search(),
         "match_agg_lang": sql_match_agg(),
         "match_agg_lang_global": sql_match_agg(),

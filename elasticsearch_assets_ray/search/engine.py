@@ -1149,6 +1149,54 @@ class ShardData:
         docs = docs[~self.deleted_mask[docs - self.doc_base]]
         return docs[:k]
 
+    def sqs_topk(
+        self, tree: tuple, idf: dict, params: "BM25Params",
+        avgdl: float, k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-shard ``simple_query_string`` evaluation (see
+        :mod:`.sqs`): the clause tree evaluates bottom-up over sparse
+        (global ids, scores) pairs — term leaves score BM25 from the
+        shard postings, phrase leaves reuse :meth:`phrase_topk` with
+        k=∞ (the full match set), prefix leaves are constant_score doc
+        sets — then the local result cuts to k with the rounded tie
+        class for the standard merge."""
+        from .sqs import eval_tree
+
+        k1, b = params.k1, params.b
+        postings_idx = self._postings_idx_fn()
+
+        def leaf(node):
+            empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+            if node[0] == "term":
+                p = postings_idx(node[1])
+                if p is None:
+                    return empty
+                idx, tfs = p
+                live = ~self.deleted_mask[idx]
+                if not live.all():
+                    idx, tfs = idx[live], tfs[live]
+                tf = tfs.astype(np.float64)
+                dl = self.dl[idx]
+                sc = (idf[node[1]] * tf * (k1 + 1.0)
+                      / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+                return (idx + self.doc_base).astype(np.int64), sc
+            if node[0] == "phrase":
+                toks, slop = node[1], node[2]
+                idf_sum = float(sum(idf[t] for t in toks))
+                ids, sc = self.phrase_topk(
+                    list(toks), idf_sum, params, avgdl, k=1 << 30,
+                    slop=slop, slop_mode="lucene" if slop else "ordered",
+                )
+                order = np.argsort(ids)
+                return ids[order].astype(np.int64), sc[order]
+            if node[0] == "prefix":
+                docs = self.prefix_docs(node[1], k=1 << 62)
+                return docs, np.ones(len(docs), np.float64)
+            raise ValueError(f"unknown sqs leaf {node[0]!r}")
+
+        ids, sc = eval_tree(tree, leaf)
+        return merge_topk([(ids, sc)], k, params.round_decimals)
+
     def expand_regexp(self, pattern: str, cap: int | None = None) -> list[str]:
         """Terms matching an ES ``regexp`` pattern (anchored), in term
         order (leading-literal bisect + regex walk)."""
@@ -1817,6 +1865,13 @@ class _ScorerCore:
         docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
         return np.sort(docs)[:k]
 
+    def sqs_topk(self, tree: tuple, idf: dict, k: int):
+        parts = [
+            s.sqs_topk(tree, idf, self.params, self.avgdl, k)
+            for s in self.shards
+        ]
+        return merge_topk(parts, k, self.params.round_decimals)
+
     def expand_regexp(self, pattern: str, cap: int | None = None) -> list[str]:
         out: set[str] = set()
         for s in self.shards:
@@ -2200,6 +2255,44 @@ class QueryEngine:
         per_actor = ray.get([a.wildcard_docs.remote(pattern, k) for a in self.actors])
         docs = np.sort(np.concatenate(per_actor))[:k]
         return [(int(d), 1.0) for d in docs]
+
+    def search_simple_query_string(
+        self, query: str, k: int = 10, default_operator: str = "or",
+    ) -> list[tuple[int, float]]:
+        """ES ``simple_query_string``: the forgiving mini query language
+        (terms, ``+``/``|`` infix operators, ``-`` negation, parens,
+        ``"phrases"``/``"phrase"~N``, ``word*`` prefixes — the supported
+        surface and its documented Lucene divergences live in
+        :mod:`.sqs`).  The clause tree ships to every shard actor and
+        evaluates there over sparse (ids, scores) algebra — Lucene
+        BooleanQuery scoring: a doc's score is the SUM of its matching
+        scoring clauses — then merges with the standard serving tie
+        contract."""
+        from .sqs import parse_simple_query_string, tree_leaves
+
+        fn = get_analyzer(
+            "code" if self.analyzer_name == "per_lang" else self.analyzer_name
+        )
+        m = self.info.manifest
+
+        def analyze(s: str) -> list[str]:
+            return clip_tokens(fn(s), m.min_token_len, m.max_token_len)
+
+        tree = parse_simple_query_string(query, analyze, default_operator)
+        if tree is None:
+            return []
+        need: list[str] = []
+        for leaf in tree_leaves(tree):
+            if leaf[0] == "term":
+                need.append(leaf[1])
+            elif leaf[0] == "phrase":
+                need.extend(leaf[1])
+        idf = self.idfs(sorted(set(need))) if need else {}
+        per_actor = ray.get(
+            [a.sqs_topk.remote(tree, idf, k) for a in self.actors]
+        )
+        ids, sc = merge_topk(per_actor, k, self.params.round_decimals)
+        return list(zip(ids.tolist(), sc.tolist()))
 
     def search_regexp(self, pattern: str, k: int = 10) -> list[tuple[int, float]]:
         """ES ``regexp`` query under its default constant_score rewrite:

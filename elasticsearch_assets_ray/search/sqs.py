@@ -1,0 +1,221 @@
+"""ES ``simple_query_string``: a forgiving mini query language over the
+serving engines.
+
+Supported syntax (the Lucene SimpleQueryParser surface this engine
+reproduces — divergences documented below):
+
+- whitespace-separated clauses combine with the ``default_operator``
+  (``"or"``, the ES default, or ``"and"``);
+- ``+`` infix AND, ``|`` infix OR — applied LEFT-ASSOCIATIVELY with
+  equal precedence, like Lucene's single-pass parser;
+- ``(`` ... ``)`` grouping;
+- ``-clause`` negation (combines as AND-NOT with what precedes it; a
+  query with no positive clause matches nothing);
+- ``"a phrase"`` exact phrase, ``"a phrase"~N`` sloppy phrase with
+  Lucene SloppyPhraseMatcher semantics (reordering + 1/(1+matchLength)
+  weighting — the in-repo matcher, ``search.sloppy``);
+- ``word*`` prefix (constant_score 1.0, the Lucene PrefixQuery
+  CONSTANT_SCORE rewrite).
+
+Scoring is Lucene BooleanQuery's: a doc's score at each node is the
+SUM of its matching scoring sub-clauses; AND requires both sides, OR
+either, AND-NOT subtracts the right side's matches.  Term clauses score
+BM25; phrases score BM25 over the phrase frequency with the summed
+constituent idfs; prefixes contribute a constant 1.0.
+
+Disclosed divergences from ES: no ``~N`` fuzzy suffix on bare terms, no
+``\"`` escaping inside phrases, and operator precedence is flat
+left-associative (Lucene's documented single-pass behavior; ES edge
+cases around mixed ``|``/``-`` may group differently).
+
+The tree evaluates PER SHARD on the doc-partitioned engine (sparse
+(ids, scores) algebra, top-k + rounded tie class per shard, standard
+merge) and on the coordinator for the term-partitioned layout (whose
+bool machinery already gathers per-term postings).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# node = ("term", token)
+#      | ("phrase", [tokens], slop)
+#      | ("prefix", prefix_string)
+#      | ("and" | "or" | "andnot", left, right)
+
+# '-' is the NOT operator only at clause start (standalone token);
+# inside a word it stays part of the term ("hash-join" is one unit the
+# analyzer splits, not a negation)
+_TOKEN_RX = re.compile(
+    r'"[^"]*"(?:~\d+)?|\(|\)|\||\+|-|[^\s()|+"-][^\s()|+"]*'
+)
+
+
+class SQSParseError(ValueError):
+    pass
+
+
+def parse_simple_query_string(
+    query: str,
+    analyze,
+    default_operator: str = "or",
+) -> tuple | None:
+    """Parse → clause tree (None ⇔ no positive clause survives
+    analysis — matches nothing, the ES lenient contract).  ``analyze``
+    is the index analyzer (a word unit analyzing to several tokens
+    becomes a sub-group under the default operator; to zero tokens, it
+    drops)."""
+    if default_operator not in ("or", "and"):
+        raise SQSParseError(f"bad default_operator {default_operator!r}")
+    toks = _TOKEN_RX.findall(query or "")
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def atom():
+        """None ⇔ the unit analyzed away (lenient drop)."""
+        t = take()
+        if t == "(":
+            node = expr()
+            if peek() == ")":
+                take()
+            return node
+        if t.startswith('"'):
+            m = re.match(r'"([^"]*)"(?:~(\d+))?\Z', t)
+            body, slop = m.group(1), int(m.group(2) or 0)
+            ptoks = analyze(body)
+            if not ptoks:
+                return None
+            if len(ptoks) == 1 and slop == 0:
+                return ("term", ptoks[0])
+            return ("phrase", ptoks, slop)
+        if t.endswith("*") and len(t) > 1:
+            pts = analyze(t[:-1])
+            if not pts:
+                return None
+            # multi-token prefix units: leading tokens are terms, the
+            # last carries the star (documented subset)
+            node = None
+            for w in pts[:-1]:
+                node = _fold(node, ("term", w), default_operator)
+            return _fold(node, ("prefix", pts[-1]), default_operator)
+        wts = analyze(t)
+        node = None
+        for w in wts:
+            node = _fold(node, ("term", w), default_operator)
+        return node
+
+    def clause():
+        neg = False
+        while peek() == "-":
+            take()
+            neg = not neg
+        if peek() is None:
+            return None, False
+        a = atom()
+        return a, neg
+
+    def expr():
+        node = None
+        pending_neg: list = []  # negatives seen before any positive
+        while True:
+            t = peek()
+            if t is None or t == ")":
+                break
+            op = None
+            if t in ("+", "|"):
+                take()
+                op = "and" if t == "+" else "or"
+                if peek() is None or peek() == ")":
+                    break
+            c, neg = clause()
+            if c is None:
+                continue
+            if neg:
+                if node is None:
+                    pending_neg.append(c)
+                else:
+                    node = ("andnot", node, c)
+            else:
+                node = _fold(node, c, op or default_operator)
+                while pending_neg and node is not None:
+                    node = ("andnot", node, pending_neg.pop(0))
+        # a tree that never acquired a positive clause matches nothing
+        return node
+
+    return expr()
+
+
+def _fold(node, new, op):
+    if new is None:
+        return node
+    if node is None:
+        return new
+    return (op, node, new)
+
+
+def tree_leaves(tree) -> list[tuple]:
+    out = []
+
+    def walk(n):
+        if n is None:
+            return
+        if n[0] in ("and", "or", "andnot", "not"):
+            for c in n[1:]:
+                walk(c)
+        else:
+            out.append(n)
+
+    walk(tree)
+    return out
+
+
+# ------------------------------------------------------- sparse algebra
+# a result is (ids: int64 sorted ascending unique, scores: float64)
+
+
+def sqs_and(a, b):
+    ids = np.intersect1d(a[0], b[0], assume_unique=True)
+    sa = a[1][np.searchsorted(a[0], ids)]
+    sb = b[1][np.searchsorted(b[0], ids)]
+    return ids, sa + sb
+
+
+def sqs_or(a, b):
+    ids = np.union1d(a[0], b[0])
+    out = np.zeros(len(ids), np.float64)
+    ia = np.searchsorted(ids, a[0])
+    out[ia] += a[1]
+    ib = np.searchsorted(ids, b[0])
+    out[ib] += b[1]
+    return ids, out
+
+
+def sqs_andnot(a, b):
+    keep = ~np.isin(a[0], b[0], assume_unique=True)
+    return a[0][keep], a[1][keep]
+
+
+def eval_tree(tree, leaf_fn):
+    """Evaluate a clause tree bottom-up; ``leaf_fn(node) → (ids,
+    scores)`` supplies leaves (engine-specific)."""
+    kind = tree[0]
+    if kind == "and":
+        return sqs_and(eval_tree(tree[1], leaf_fn),
+                       eval_tree(tree[2], leaf_fn))
+    if kind == "or":
+        return sqs_or(eval_tree(tree[1], leaf_fn),
+                      eval_tree(tree[2], leaf_fn))
+    if kind == "andnot":
+        return sqs_andnot(eval_tree(tree[1], leaf_fn),
+                          eval_tree(tree[2], leaf_fn))
+    return leaf_fn(tree)

@@ -1042,6 +1042,55 @@ class TermPartitionedEngine:
             return []
         return self._constant_score_docs("expand_regexp", pattern, k)
 
+    def search_simple_query_string(
+        self, query: str, k: int = 10, default_operator: str = "or",
+    ) -> list[tuple[int, float]]:
+        """ES ``simple_query_string`` served from the term-partitioned
+        layout — same grammar, scoring and results as
+        :meth:`QueryEngine.search_simple_query_string` (parity tested).
+        Leaves gather from the bucket actors (term postings, phrase
+        machinery, prefix doc sets); the sparse clause algebra runs on
+        the coordinator — the layout's standing trade for bool-shaped
+        queries."""
+        from .sqs import eval_tree, parse_simple_query_string
+
+        def analyze(s: str) -> list[str]:
+            return clip_tokens(self._analyzer(s), *self._clip)
+
+        tree = parse_simple_query_string(query, analyze, default_operator)
+        if tree is None:
+            return []
+
+        def leaf(node):
+            empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+            if node[0] == "term":
+                t = node[1]
+                fetched = self.fetch_terms([t])
+                if t not in fetched:
+                    return empty
+                res = self._score_from_fetch([t], fetched, 1 << 30)
+            elif node[0] == "phrase":
+                toks, slop = node[1], node[2]
+                res = self.search_phrase(
+                    list(toks), k=1 << 30, slop=slop,
+                    slop_mode="lucene" if slop else "ordered",
+                )
+            elif node[0] == "prefix":
+                res = self.search_prefix(node[1], k=1 << 30)
+            else:
+                raise ValueError(f"unknown sqs leaf {node[0]!r}")
+            if not res:
+                return empty
+            ids = np.array([d for d, _ in res], dtype=np.int64)
+            sc = np.array([s for _, s in res], dtype=np.float64)
+            order = np.argsort(ids)
+            return ids[order], sc[order]
+
+        ids, sc = eval_tree(tree, leaf)
+        if len(ids) == 0:
+            return []
+        return self._tie_cut(ids, sc, k)
+
     def more_like_this(
         self,
         doc_id: int,
