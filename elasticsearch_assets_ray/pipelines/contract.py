@@ -1001,6 +1001,151 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# deterministic sampling over documents (training-data curation ops)
+SAMPLE_RATE = 0.1
+STRATA_N = 20
+
+
+def q_sample_hash(sf_dir: str) -> pa.Table:
+    """Deterministic rate sampling by id hash (Knuth multiplicative,
+    SQL-reproducible): a pure per-batch filter — no shuffle, no state,
+    and samples at different rates NEST.  The reproducible stand-in for
+    ``ds.random_sample`` a training-data pipeline needs for audits and
+    scaling studies."""
+    from ..ops.sampling import hash_sample
+
+    return to_arrow(
+        hash_sample(_docs(sf_dir), SAMPLE_RATE).select_columns(
+            ["doc_id", "lang", "source"]
+        )
+    )
+
+
+def sql_sample_hash() -> str:
+    thresh = int(SAMPLE_RATE * float(1 << 32))
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE (doc_id::HUGEINT * 2654435761) % 4294967296 < {thresh}
+"""
+
+
+def q_sample_stratified(sf_dir: str) -> pa.Table:
+    """Deterministic stratified sampling: per language, the
+    ``STRATA_N`` docs with the smallest (id-hash, id) key — a stable
+    hash-ordered sample per stratum (one small-cardinality groupby)."""
+    from ..ops.sampling import stratified_sample
+
+    return to_arrow(
+        stratified_sample(_docs(sf_dir), "lang", STRATA_N).select_columns(
+            ["doc_id", "lang"]
+        )
+    )
+
+
+def sql_sample_stratified() -> str:
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296, doc_id
+         ) AS rn
+  FROM documents)
+WHERE rn <= {STRATA_N}
+"""
+
+
+# ES ``function_score`` (field_value_factor over the dl doc values):
+# (qid, match text, factor, modifier, boost_mode)
+FS_QUERIES: list[tuple[int, str, float, str, str]] = [
+    (0, "hash join", 0.1, "log1p", "multiply"),
+    (1, "customer order value", 1.0, "sqrt", "sum"),
+]
+
+
+def _q_function_score(engine, idx: str) -> pa.Table:
+    per_q = {
+        qid: engine.search_function_score(
+            text, field="dl", k=K_FETCH, factor=fa, modifier=mo,
+            boost_mode=bm,
+        )
+        for qid, text, fa, mo, bm in FS_QUERIES
+    }
+    return _bm25_rerank(per_q, idx)
+
+
+def q_function_score(sf_dir: str) -> pa.Table:
+    """ES ``function_score`` with ``field_value_factor``: BM25 over the
+    match disjunction combined per doc with modifier(factor · dl) —
+    log1p is log10(1+x), the ES convention — via multiply/sum boost
+    modes.  The factor applies IN-SHARD beside the scoring loop (no
+    second pass, no driver hydration)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_function_score(engine, idx)
+    finally:
+        engine.shutdown()
+
+
+def q_function_score_global(sf_dir: str) -> pa.Table:
+    """The SAME function_score from the TERM-partitioned layout (field
+    values hydrate id-aligned from the source docmeta lineage; the tie
+    cut runs on the combined score)."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_function_score(eng, idx)
+    finally:
+        eng.shutdown()
+
+
+def sql_function_score() -> str:
+    values = ", ".join(f"({qid}, '{t}')" for qid, t, _, _, _ in FS_QUERIES)
+    mode_cases = []
+    for qid, _, fa, mo, bm in FS_QUERIES:
+        f = {
+            "log1p": f"log10(1 + {fa} * dl.dl)",
+            "sqrt": f"sqrt({fa} * dl.dl)",
+            "none": f"{fa} * dl.dl",
+        }[mo]
+        expr = f"scored.score * ({f})" if bm == "multiply" \
+            else f"scored.score + ({f})"
+        mode_cases.append(f"WHEN {qid} THEN {expr}")
+    case = "CASE scored.query_id " + " ".join(mode_cases) + " END"
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    qtoks = _TOKS.format(id="query_id", text="qtext", src="q")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+q(query_id, qtext) AS (VALUES {values}),
+qt AS (SELECT DISTINCT doc_id AS query_id, t AS tq FROM ({qtoks})),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM qt
+  JOIN tf ON tf.t = qt.tq
+  JOIN df ON df.t = qt.tq
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(final, 4) DESC, doc_id) AS rank,
+       round(final, 4) AS score_r
+FROM (SELECT scored.query_id, scored.doc_id, {case} AS final
+      FROM scored JOIN dl ON dl.doc_id = scored.doc_id)
+QUALIFY rank <= {TOPK}
+"""
+
+
 # ES ``simple_query_string``: (qid, query, default_operator) — one of
 # each clause shape (phrase|term OR, +/- operators, prefix, AND default)
 SQS_QUERIES: list[tuple[int, str, str]] = [
@@ -4772,6 +4917,8 @@ def queries():
         "rescore_phrase_global": q_rescore_global,
         "simple_query_string": q_sqs,
         "simple_query_string_global": q_sqs_global,
+        "function_score": q_function_score,
+        "function_score_global": q_function_score_global,
         "meta_filter_search": q_meta_filter_search,
         "match_agg_lang": q_match_agg,
         "match_agg_lang_global": q_match_agg_global,
@@ -4818,6 +4965,8 @@ def queries():
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "knn_cosine": q_knn_cosine,
@@ -4871,6 +5020,8 @@ def oracle_sql():
         "rescore_phrase_global": sql_rescore(),
         "simple_query_string": sql_sqs(),
         "simple_query_string_global": sql_sqs(),
+        "function_score": sql_function_score(),
+        "function_score_global": sql_function_score(),
         "meta_filter_search": sql_meta_filter_search(),
         "match_agg_lang": sql_match_agg(),
         "match_agg_lang_global": sql_match_agg(),
@@ -4917,6 +5068,8 @@ def oracle_sql():
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "dedup_clusters": sql_dedup_clusters(),
+        "sample_hash": sql_sample_hash(),
+        "sample_stratified": sql_sample_stratified(),
         "text_stats": sql_text_stats(),
         "token_counts": sql_token_counts(),
         "knn_cosine": sql_knn_cosine(),

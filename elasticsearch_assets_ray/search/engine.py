@@ -240,6 +240,29 @@ def merge_agg_partials(dst: dict, part: dict) -> dict:
     return dst
 
 
+def apply_fvf_modifier(
+    v: np.ndarray, factor: float, modifier: str
+) -> np.ndarray:
+    """ES ``field_value_factor`` modifiers over ``factor · value`` —
+    note ES's log family is base 10 (``log1p`` = log10(1+x)), not
+    natural.  Shared by both engines (and the SQL oracles mirror the
+    same expressions)."""
+    x = factor * v
+    if modifier in (None, "none"):
+        return x
+    if modifier == "log1p":
+        return np.log10(1.0 + x)
+    if modifier == "log2p":
+        return np.log10(2.0 + x)
+    if modifier == "sqrt":
+        return np.sqrt(x)
+    if modifier == "square":
+        return x * x
+    if modifier == "reciprocal":
+        return 1.0 / x
+    raise ValueError(f"unknown field_value_factor modifier {modifier!r}")
+
+
 def prefix_expand_sorted(
     term_list: list[str], prefix: str, cap: int | None = None
 ) -> list[str]:
@@ -1197,6 +1220,48 @@ class ShardData:
         ids, sc = eval_tree(tree, leaf)
         return merge_topk([(ids, sc)], k, params.round_decimals)
 
+    def function_score_topk(
+        self, terms: list[str], idf: dict, params: "BM25Params",
+        avgdl: float, k: int, field: str, factor: float,
+        modifier: str, missing: float, boost_mode: str,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-shard ES ``function_score`` with a ``field_value_factor``
+        function over a match disjunction: F = modifier(factor · field)
+        — ``log1p`` is log10(1 + x), the ES convention — combined with
+        the BM25 score by ``boost_mode`` (multiply | sum).  Missing
+        field values take ``missing``.  Returns the local top-k with
+        the rounded tie class (standard merge)."""
+        k1, b = params.k1, params.b
+        postings_idx = self._postings_idx_fn()
+        n = self.num_docs
+        scores = np.zeros(n, dtype=np.float64)
+        hit = np.zeros(n, dtype=bool)
+        for t in sorted(set(terms)):
+            p = postings_idx(t)
+            if p is None:
+                continue
+            idx, tfs = p
+            tf = tfs.astype(np.float64)
+            dl = self.dl[idx]
+            scores[idx] += (idf[t] * tf * (k1 + 1.0)
+                            / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            hit[idx] = True
+        hit &= ~self.deleted_mask
+        cand = np.nonzero(hit)[0]
+        if len(cand) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        v = self.meta_col(field)[cand].astype(np.float64)
+        nanm = np.isnan(v)
+        if nanm.any():
+            v = np.where(nanm, missing, v)
+        f = apply_fvf_modifier(v, factor, modifier)
+        base = scores[cand]
+        final = base * f if boost_mode == "multiply" else base + f
+        return merge_topk(
+            [((cand + self.doc_base).astype(np.int64), final)],
+            k, params.round_decimals,
+        )
+
     def expand_regexp(self, pattern: str, cap: int | None = None) -> list[str]:
         """Terms matching an ES ``regexp`` pattern (anchored), in term
         order (leading-literal bisect + regex walk)."""
@@ -1872,6 +1937,19 @@ class _ScorerCore:
         ]
         return merge_topk(parts, k, self.params.round_decimals)
 
+    def function_score_topk(
+        self, terms: list[str], idf: dict, k: int, field: str,
+        factor: float, modifier: str, missing: float, boost_mode: str,
+    ):
+        parts = [
+            s.function_score_topk(
+                terms, idf, self.params, self.avgdl, k, field,
+                factor, modifier, missing, boost_mode,
+            )
+            for s in self.shards
+        ]
+        return merge_topk(parts, k, self.params.round_decimals)
+
     def expand_regexp(self, pattern: str, cap: int | None = None) -> list[str]:
         out: set[str] = set()
         for s in self.shards:
@@ -2255,6 +2333,39 @@ class QueryEngine:
         per_actor = ray.get([a.wildcard_docs.remote(pattern, k) for a in self.actors])
         docs = np.sort(np.concatenate(per_actor))[:k]
         return [(int(d), 1.0) for d in docs]
+
+    def search_function_score(
+        self,
+        query: str | list[str],
+        field: str,
+        k: int = 10,
+        factor: float = 1.0,
+        modifier: str = "none",
+        missing: float = 1.0,
+        boost_mode: str = "multiply",
+    ) -> list[tuple[int, float]]:
+        """ES ``function_score`` with a ``field_value_factor`` function:
+        score the ``match`` disjunction with BM25, then combine each
+        doc's score with F = modifier(factor · doc-values[field]) via
+        ``boost_mode`` (multiply, the ES default, or sum).  The factor
+        applies IN-SHARD beside the scoring loop — no second pass, no
+        driver-side hydration; docs missing the field take ``missing``.
+        ES convention note: the log modifiers are base 10."""
+        terms = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not terms:
+            return []
+        idf = self.idfs(terms)
+        per_actor = ray.get(
+            [a.function_score_topk.remote(
+                terms, idf, k, field, float(factor), modifier,
+                float(missing), boost_mode,
+            ) for a in self.actors]
+        )
+        ids, sc = merge_topk(per_actor, k, self.params.round_decimals)
+        return list(zip(ids.tolist(), sc.tolist()))
 
     def search_simple_query_string(
         self, query: str, k: int = 10, default_operator: str = "or",

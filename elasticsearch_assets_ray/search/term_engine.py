@@ -1042,6 +1042,57 @@ class TermPartitionedEngine:
             return []
         return self._constant_score_docs("expand_regexp", pattern, k)
 
+    def search_function_score(
+        self,
+        query: str | list[str],
+        field: str,
+        k: int = 10,
+        factor: float = 1.0,
+        modifier: str = "none",
+        missing: float = 1.0,
+        boost_mode: str = "multiply",
+    ) -> list[tuple[int, float]]:
+        """ES ``function_score`` (field_value_factor) served from the
+        term-partitioned layout: the match set scores on the
+        coordinator, field doc values hydrate id-aligned from the
+        source docmeta lineage, the factor applies, and the tie cut
+        runs on the COMBINED score — identical results to
+        :meth:`QueryEngine.search_function_score` (parity tested)."""
+        from .engine import apply_fvf_modifier
+        from .datehist import values_partials_over_ids
+
+        terms = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not terms:
+            return []
+        fetched = self.fetch_terms(terms)
+        if not fetched:
+            return []
+        hits = self._score_from_fetch(terms, fetched, 1 << 30)
+        if not hits:
+            return []
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        base = np.array([s for _, s in hits], dtype=np.float64)
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for function_score serving"
+            )
+        sids = np.unique(ids)
+        vals = np.concatenate(
+            values_partials_over_ids(src, sids, field, "raw")
+        ).astype(np.float64)
+        v = vals[np.searchsorted(sids, ids)]
+        nanm = np.isnan(v)
+        if nanm.any():
+            v = np.where(nanm, float(missing), v)
+        f = apply_fvf_modifier(v, float(factor), modifier)
+        final = base * f if boost_mode == "multiply" else base + f
+        return self._tie_cut(ids, final, k)
+
     def search_simple_query_string(
         self, query: str, k: int = 10, default_operator: str = "or",
     ) -> list[tuple[int, float]]:
