@@ -506,9 +506,6 @@ def _phrase_chunk_kernel(
     subset-gather → key-pack → intersect chain for exact/ordered use,
     or the lockstep sloppy matcher for lucene mode.  Exact by per-doc
     independence (forced-parallel parity tests)."""
-    from .sloppy import sloppy_freqs_for_candidates
-
-    shift = np.int64(shift_bits)
     # each slot is a LIST of posting refs — singleton for a plain term,
     # several for a multi-phrase slot (match_phrase_prefix expansions);
     # slop modes only ever see singletons (asserted by the caller)
@@ -523,6 +520,29 @@ def _phrase_chunk_kernel(
             b = int(np.searchsorted(ids, hi, side="left"))
             group.append((ids[a:b], tf64[a:b], pos[tfcum[a]:tfcum[b]]))
         slices.append(group)
+    return _phrase_slices_compute(
+        slices, seqs, cand, shift_bits, slop, slop_mode, rpt_groups
+    )
+
+
+def _phrase_slices_compute(
+    slices: list,
+    seqs: list[int],
+    cand: np.ndarray,
+    shift_bits: int,
+    slop: int,
+    slop_mode: str,
+    rpt_groups: list | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The shared chunk compute: per-slot GROUPS of (ids, tf64, pos)
+    posting slices → (matched doc ids, phrase freqs) for this chunk's
+    candidates — the subset-gather → key-pack → intersect chain for
+    exact/ordered, the lockstep sloppy matcher for lucene mode.  Both
+    parallel kernels (full-ref slicing and actor-gated subsets) call
+    this; per-doc independence makes any doc-disjoint split exact."""
+    from .sloppy import sloppy_freqs_for_candidates
+
+    shift = np.int64(shift_bits)
     if slop > 0 and slop_mode == "lucene":
         slot_docs, slot_pos = [], []
         for (ids, tf64, pos), in slices:
@@ -592,6 +612,40 @@ def _phrase_chunk_kernel(
             return np.empty(0, np.int64), np.empty(0, np.float64)
     hd, pf = np.unique(cur >> shift, return_counts=True)
     return hd.astype(np.int64), pf.astype(np.float64)
+
+
+@ray.remote
+def _phrase_gated_chunk_kernel(
+    part_refs: list,
+    toks: list[str],
+    cand: np.ndarray,
+    shift_bits: int,
+    slop: int,
+    slop_mode: str,
+    rpt_groups: list | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One doc-range chunk of a GATED-parallel phrase: ``part_refs``
+    are ObjectRefs of per-owning-actor ``fetch_positions_subset``
+    results for THIS chunk's candidates — actor → task object flow,
+    nothing ever materializes on the coordinator and no full-mass
+    ``ray.put`` happens (the huge-mass regime where both the put and
+    the coordinator copy dominate).  Same shared compute as the
+    full-ref kernel."""
+    fetched: dict = {}
+    for r in part_refs:
+        fetched.update(ray.get(r))
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    slices = []
+    for t in toks:
+        e = fetched.get(t)
+        if e is None or len(e[0]) == 0:
+            return empty  # a slot absent in this chunk → no match here
+        ids_sub, _n, _df, _bl, _bm, tfs_sub, pos_sub = e
+        slices.append([(ids_sub, tfs_sub.astype(np.int64), pos_sub)])
+    return _phrase_slices_compute(
+        slices, list(range(len(toks))), cand, shift_bits, slop,
+        slop_mode, rpt_groups,
+    )
 
 
 @ray.remote
@@ -714,21 +768,27 @@ class TermPartitionedEngine:
     # positional mass — per-doc independence makes the split exact
     PHRASE_PARALLEL_TASKS = 8
     PHRASE_PARALLEL_MIN_MASS = 2_000_000
-    # ...and stays INLINE past this mass: at ~58M positional values (4M
-    # corpus, hot-hot lucene slop — BASELINE.md) the ray.put of the full
-    # mass exceeds what the object store absorbs gracefully and pressure
-    # dominates (4-12 s).  Below it, parallel stays a win even OVER the
-    # put-cache budget: the current query's refs stay pinned, so repeat
-    # queries read zero-copy (measured at 29.6M mass: warm 693 ms
-    # parallel vs 2.0 s inline; cold is fetch-bound either way)
+    # MULTI-phrase (phrase_prefix) fan-out guards only — plain phrases
+    # have no upper bound (see the gate comment in search_phrase: even
+    # ~120M-mass hot-hot slop wins 4.4x warm).  Wide expansions pay one
+    # ray.put PER TERM for a marginal warm win (measured: 50 expansions
+    # ≈ 1 s of puts; prefix queries are autocomplete-shaped,
+    # cold-dominated), so they stay inline past these.
     PHRASE_PARALLEL_MAX_MASS = 48_000_000
-    # multi-phrase (phrase_prefix) only: max distinct terms to fan out —
-    # puts scale with terms, and wide expansions are cold-dominated
     PHRASE_PARALLEL_MAX_TERMS = 12
 
+    # gated-parallel threshold: when the remote gate fires AND the
+    # candidate-subset mass itself exceeds this, the subsets go
+    # per-chunk straight from bucket actors to chunk tasks (the
+    # coordinator never materializes them) — the huge-mass hot-hot
+    # regime where even gated-inline is matcher-bound (measured at 4M:
+    # inline 35 s warm vs chunked ~8 s)
+    GATED_PARALLEL_MIN_COST = 8_000_000
+
     def _fetch_phrase_postings(
-        self, terms: list[str], cand: np.ndarray | None = None
-    ) -> tuple[dict, np.ndarray] | None:
+        self, terms: list[str], cand: np.ndarray | None = None,
+        gated_parallel_min: int | None = None,
+    ) -> tuple[dict, np.ndarray] | tuple[str, np.ndarray, dict] | None:
         """Positional postings for a phrase's (deduplicated, sorted)
         terms, plus their doc conjunction.
 
@@ -804,6 +864,13 @@ class TermPartitionedEngine:
             fits_cache = full_cost <= self.CACHE_MAX_POSTINGS
             if (not fits_cache
                     and gated_cost < self.PHRASE_GATE_FRAC * full_cost):
+                if (gated_parallel_min is not None
+                        and gated_cost >= gated_parallel_min
+                        and len(cand) > self.PHRASE_PARALLEL_TASKS):
+                    # huge-mass regime: hand the caller the candidate
+                    # set + dfs and let it fan per-chunk actor subsets
+                    # straight to chunk tasks — no coordinator copy
+                    return "gated_parallel", cand, base
                 futs = [
                     self.actors[a].fetch_positions_subset.remote(ts, cand)
                     for a, ts in by_actor.items()
@@ -1905,9 +1972,34 @@ class TermPartitionedEngine:
         # position-skip doc gating (see ShardData.phrase_topk), applied
         # REMOTE-SIDE when the conjunction is selective: only candidate
         # docs' position segments ship from the bucket actors
-        got = self._fetch_phrase_postings(sorted(set(toks)))
+        got = self._fetch_phrase_postings(
+            sorted(set(toks)),
+            gated_parallel_min=self.GATED_PARALLEL_MIN_COST,
+        )
         if got is None:
             return []
+        if isinstance(got[0], str) and got[0] == "gated_parallel":
+            _, cand_docs, base = got
+            if len(cand_docs) == 0:
+                return []
+            idf_sum = 0.0
+            for t in toks:  # WITH repeats — Lucene PhraseWeight
+                df = base[t][2]
+                idf_sum += math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+            rpt_groups = None
+            if slop > 0 and slop_mode == "lucene":
+                from .sloppy import repeat_groups_of
+
+                rpt_groups = repeat_groups_of(toks)
+            hd, pf = self._phrase_gated_parallel(
+                toks, cand_docs, slop, slop_mode, rpt_groups
+            )
+            if len(hd) == 0:
+                return []
+            dl_term = min(set(toks), key=lambda t: int(base[t][2]))
+            return self._phrase_score_tail(
+                hd, pf.astype(np.float64), idf_sum, k, dl_term=dl_term
+            )
         fetched, cand_docs = got
         if len(cand_docs) == 0:
             return []
@@ -1918,14 +2010,15 @@ class TermPartitionedEngine:
 
         shift = np.int64(self._POS_BITS)
         # parallel-path gate shared by all three phrase modes: enough
-        # positional mass to beat task overhead (but little enough that
-        # the put-cache can HOLD the refs across queries), enough
-        # candidates to chunk, and FULL entries (subset/gated fetches
-        # route inline)
-        mass = sum(len(fetched[t][6]) for t in set(toks))
+        # positional mass to beat task overhead, enough candidates to
+        # chunk, and FULL entries (subset/gated fetches route inline).
+        # NO upper mass bound here: even at ~120M values (4M corpus,
+        # hot-hot lucene slop) the fan-out beats inline 4.4x warm
+        # (8.0 vs 35.2 s measured) — object-store pressure degrades the
+        # win but never inverts it for single-term slots
         parallel_ok = (
-            self.PHRASE_PARALLEL_MIN_MASS <= mass
-            <= self.PHRASE_PARALLEL_MAX_MASS
+            sum(len(fetched[t][6]) for t in set(toks))
+            >= self.PHRASE_PARALLEL_MIN_MASS
             and len(cand_docs) > self.PHRASE_PARALLEL_TASKS
             and all(fetched[t][1] is not None for t in set(toks))
         )
@@ -2262,6 +2355,63 @@ class TermPartitionedEngine:
         hd = np.concatenate([p[0] for p in parts])
         pf = np.concatenate([p[1] for p in parts])
         return hd, pf  # chunks are disjoint ascending doc ranges
+
+    def _phrase_gated_parallel(
+        self,
+        toks: list[str],
+        cand: np.ndarray,
+        slop: int = 0,
+        slop_mode: str = "ordered",
+        rpt_groups: list | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Huge-mass phrase execution: per doc-range chunk, each owning
+        bucket actor ships that chunk's candidate-subset positions as
+        an ObjectRef consumed DIRECTLY by the chunk task — the
+        coordinator never materializes positions and no full-mass
+        ``ray.put`` happens.  Per-query wire = the gated subset mass,
+        split across chunks; compute = the shared chunk kernel in
+        parallel.  Exact by per-doc independence (forced-route parity
+        tests)."""
+        from ..index.global_merge import _term_bucket
+
+        by_actor: dict[int, list[str]] = {}
+        for t in sorted(set(toks)):
+            ai = self._actor_of_bucket[
+                _term_bucket(t, self._n_buckets, self._term_hash)
+            ]
+            by_actor.setdefault(ai, []).append(t)
+        n_tasks = self.PHRASE_PARALLEL_TASKS
+        qs = cand[np.linspace(0, len(cand) - 1,
+                              n_tasks + 1).astype(np.int64)]
+        cuts = np.unique(qs[1:-1])
+        bounds = np.concatenate(
+            [[np.iinfo(np.int64).min], cuts, [np.iinfo(np.int64).max]]
+        )
+        futs = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            a = int(np.searchsorted(cand, lo, side="left"))
+            b = int(np.searchsorted(cand, hi, side="left"))
+            cand_c = cand[a:b]
+            if len(cand_c) == 0:
+                continue
+            part_refs = [
+                self.actors[ai].fetch_positions_subset.remote(ts, cand_c)
+                for ai, ts in by_actor.items()
+            ]
+            futs.append(
+                _phrase_gated_chunk_kernel.remote(
+                    part_refs, list(toks), cand_c, int(self._POS_BITS),
+                    slop, slop_mode, rpt_groups,
+                )
+            )
+        if not futs:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        parts = ray.get(futs)
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
 
     def _phrase_score_tail(
         self, hd: np.ndarray, pf: np.ndarray, idf_sum: float, k: int,

@@ -540,6 +540,13 @@ def test_global_phrase_remote_gate_bit_exact(pos_index, tmp_path):
     par = TermPartitionedEngine(out, num_actors=2)
     par.PHRASE_PARALLEL_MIN_MASS = 0
     par.PHRASE_PARALLEL_TASKS = 3
+    # a fourth engine forces the GATED-PARALLEL route (remote gate +
+    # per-chunk actor→task subset refs, nothing on the coordinator)
+    gpar = TermPartitionedEngine(out, num_actors=2)
+    gpar.CACHE_MAX_POSTINGS = 0
+    gpar.PHRASE_GATE_FRAC = 10.0
+    gpar.GATED_PARALLEL_MIN_COST = 0
+    gpar.PHRASE_PARALLEL_TASKS = 3
     try:
         for phrase in ["def merge", "return data", "import import",
                        "merge segment block", "zz qq"]:
@@ -549,6 +556,8 @@ def test_global_phrase_remote_gate_bit_exact(pos_index, tmp_path):
                 assert a == b, (phrase, kw)
                 c = par.search_phrase(phrase, k=1000, **kw)
                 assert a == c, ("parallel", phrase, kw)
+                d = gpar.search_phrase(phrase, k=1000, **kw)
+                assert a == d, ("gated-parallel", phrase, kw)
         # repeat query: gated path re-fetches subsets (nothing cached) —
         # still identical
         assert gated.search_phrase("def merge", k=10) == \
@@ -567,6 +576,7 @@ def test_global_phrase_remote_gate_bit_exact(pos_index, tmp_path):
         full.shutdown()
         gated.shutdown()
         par.shutdown()
+        gpar.shutdown()
 
 
 def test_global_phrase_requires_positional_layout(small_index, tmp_path):
