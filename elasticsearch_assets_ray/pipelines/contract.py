@@ -1262,6 +1262,126 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES ``simple_query_string`` with ``word~N`` FUZZY leaves: (qid, query,
+# default_operator) — a bare fuzzy clause, fuzzy AND term, fuzzy OR
+# phrase (the scoring_boolean expansion composes with the clause algebra)
+SQS_FUZZY_QUERIES: list[tuple[int, str, str]] = [
+    (0, "custmer~1", "or"),
+    (1, "tble~1 + scan", "or"),
+    (2, 'quer~1 | "hash join"', "or"),
+]
+
+
+def q_sqs_fuzzy(sf_dir: str) -> pa.Table:
+    """``simple_query_string`` with the ``~N`` fuzzy suffix: each fuzzy
+    leaf expands against the global dictionary (deterministic (dist,
+    term) cap of 50, the ES ``max_expansions`` default) and scores the
+    FuzzyTermsEnum-weighted BM25 disjunction (scoring_boolean — the
+    repo's disclosed ``fuzzy``-query rewrite), composing with the
+    clause algebra like any other leaf."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_simple_query_string(
+                q, k=K_FETCH, default_operator=op
+            )
+            for qid, q, op in SQS_FUZZY_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def q_sqs_fuzzy_global(sf_dir: str) -> pa.Table:
+    """The SAME fuzzy simple_query_string queries served from the
+    TERM-partitioned layout (per-bucket dictionary expansion merged on
+    the coordinator) — same SQL oracle."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        per_q = {
+            qid: eng.search_simple_query_string(
+                q, k=K_FETCH, default_operator=op
+            )
+            for qid, q, op in SQS_FUZZY_QUERIES
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_sqs_fuzzy() -> str:
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    # one expansion + weighted-disjunction-score CTE pair per fuzzy leaf
+    fuzzy_leaves = [("custmer", 1), ("tble", 1), ("quer", 1)]
+    leaf_ctes = []
+    for i, (base, fz) in enumerate(fuzzy_leaves):
+        leaf_ctes.append(f"""
+e{i} AS (SELECT t, dist FROM (
+          SELECT df.t, levenshtein('{base}', df.t) AS dist,
+                 row_number() OVER (
+                   ORDER BY levenshtein('{base}', df.t), df.t) AS rn
+          FROM df WHERE levenshtein('{base}', df.t) <= {fz})
+        WHERE rn <= {FUZZY_MAX_EXPANSIONS}),
+f{i} AS (SELECT tf.doc_id,
+               sum((1.0 - e{i}.dist::DOUBLE / least(len('{base}'), len(e{i}.t)))
+                   * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({K1} + 1)
+                   / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+        FROM e{i} JOIN df ON df.t = e{i}.t
+        JOIN tf ON tf.t = e{i}.t
+        JOIN dl ON dl.doc_id = tf.doc_id, s
+        GROUP BY 1)""")
+    leaves = ",".join(leaf_ctes)
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),{leaves},
+ts AS (SELECT tf.doc_id,
+              ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+       FROM tf JOIN df ON df.t = tf.t
+       JOIN dl ON dl.doc_id = tf.doc_id, s
+       WHERE tf.t = 'scan'),
+phidf AS (SELECT sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+          FROM df, s WHERE df.t IN ('hash', 'join')),
+phpf AS (SELECT p0.doc_id, count(*)::DOUBLE AS pf
+         FROM toksp p0
+         JOIN toksp p1 ON p1.doc_id = p0.doc_id
+          AND p1.pos = p0.pos + 1 AND p1.t = 'join'
+         WHERE p0.t = 'hash' GROUP BY 1),
+ph AS (SELECT phpf.doc_id,
+              phidf.idf_sum * pf * ({K1} + 1)
+                / (pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+       FROM phpf JOIN dl ON dl.doc_id = phpf.doc_id, s, phidf),
+s0 AS (SELECT 0 AS query_id, doc_id, score FROM f0),
+s1 AS (SELECT 1 AS query_id, f1.doc_id, f1.score + ts.score AS score
+       FROM f1 JOIN ts ON ts.doc_id = f1.doc_id),
+d2 AS (SELECT doc_id FROM f2 UNION SELECT doc_id FROM ph),
+s2 AS (SELECT 2 AS query_id, d2.doc_id,
+              coalesce(f.score, 0) + coalesce(p.score, 0) AS score
+       FROM d2
+       LEFT JOIN f2 f ON f.doc_id = d2.doc_id
+       LEFT JOIN ph p ON p.doc_id = d2.doc_id),
+allq AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+         UNION ALL SELECT * FROM s2)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM allq
+QUALIFY rank <= {TOPK}
+"""
+
+
 # ES ``rescore`` with a phrase rescorer: (qid, match text, phrase,
 # window_size, score_mode) — re-rank the query phase's top window by
 # the combined score, cut to TOPK
@@ -4917,6 +5037,8 @@ def queries():
         "rescore_phrase_global": q_rescore_global,
         "simple_query_string": q_sqs,
         "simple_query_string_global": q_sqs_global,
+        "sqs_fuzzy": q_sqs_fuzzy,
+        "sqs_fuzzy_global": q_sqs_fuzzy_global,
         "function_score": q_function_score,
         "function_score_global": q_function_score_global,
         "meta_filter_search": q_meta_filter_search,
@@ -5020,6 +5142,8 @@ def oracle_sql():
         "rescore_phrase_global": sql_rescore(),
         "simple_query_string": sql_sqs(),
         "simple_query_string_global": sql_sqs(),
+        "sqs_fuzzy": sql_sqs_fuzzy(),
+        "sqs_fuzzy_global": sql_sqs_fuzzy(),
         "function_score": sql_function_score(),
         "function_score_global": sql_function_score(),
         "meta_filter_search": sql_meta_filter_search(),

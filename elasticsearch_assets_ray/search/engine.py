@@ -1215,6 +1215,28 @@ class ShardData:
             if node[0] == "prefix":
                 docs = self.prefix_docs(node[1], k=1 << 62)
                 return docs, np.ones(len(docs), np.float64)
+            if node[0] == "fuzzyexp":
+                # weighted BM25 disjunction over the dictionary
+                # expansion (scoring_boolean, = search_fuzzy semantics)
+                base = node[1]
+                n = self.num_docs
+                sc_all = np.zeros(n, dtype=np.float64)
+                hit = np.zeros(n, dtype=bool)
+                for t, dist in sorted(node[2]):  # sorted-term accumulation
+                    p = postings_idx(t)
+                    if p is None:
+                        continue
+                    idx, tfs = p
+                    tf = tfs.astype(np.float64)
+                    dl = self.dl[idx]
+                    w = idf[t] * (1.0 - dist / max(1, min(len(base), len(t))))
+                    sc_all[idx] += (w * tf * (k1 + 1.0)
+                                    / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+                    hit[idx] = True
+                hit &= ~self.deleted_mask
+                cand = np.nonzero(hit)[0]
+                return ((cand + self.doc_base).astype(np.int64),
+                        sc_all[cand])
             raise ValueError(f"unknown sqs leaf {node[0]!r}")
 
         ids, sc = eval_tree(tree, leaf)
@@ -2379,7 +2401,7 @@ class QueryEngine:
         BooleanQuery scoring: a doc's score is the SUM of its matching
         scoring clauses — then merges with the standard serving tie
         contract."""
-        from .sqs import parse_simple_query_string, tree_leaves
+        from .sqs import parse_simple_query_string, rewrite_fuzzy, tree_leaves
 
         fn = get_analyzer(
             "code" if self.analyzer_name == "per_lang" else self.analyzer_name
@@ -2392,12 +2414,20 @@ class QueryEngine:
         tree = parse_simple_query_string(query, analyze, default_operator)
         if tree is None:
             return []
+        # ``word~N`` fuzzy leaves expand against the GLOBAL dictionary
+        # here (one coordinator round per leaf), so every shard scores
+        # the same deterministic (dist, term)-capped expansion
+        tree = rewrite_fuzzy(
+            tree, lambda base, fz: self.expand_fuzzy(base, fuzziness=fz)
+        )
         need: list[str] = []
         for leaf in tree_leaves(tree):
             if leaf[0] == "term":
                 need.append(leaf[1])
             elif leaf[0] == "phrase":
                 need.extend(leaf[1])
+            elif leaf[0] == "fuzzyexp":
+                need.extend(t for t, _ in leaf[2])
         idf = self.idfs(sorted(set(need))) if need else {}
         per_actor = ray.get(
             [a.sqs_topk.remote(tree, idf, k) for a in self.actors]

@@ -15,7 +15,16 @@ reproduces — divergences documented below):
   Lucene SloppyPhraseMatcher semantics (reordering + 1/(1+matchLength)
   weighting — the in-repo matcher, ``search.sloppy``);
 - ``word*`` prefix (constant_score 1.0, the Lucene PrefixQuery
-  CONSTANT_SCORE rewrite).
+  CONSTANT_SCORE rewrite);
+- ``word~N`` fuzzy (edit distance N): the term expands against the
+  index dictionary (deterministic (dist, term) cap, 50 like ES's
+  ``max_expansions`` default) and scores the weighted BM25 disjunction
+  with the Lucene FuzzyTermsEnum boost ``1 − dist/min(len(q),
+  len(t))`` — the scoring_boolean rewrite this repo's ``fuzzy`` query
+  uses (disclosed: Lucene's default blends frequencies instead).
+  Parsing keeps the leaf as ("fuzzy", base, N); engines rewrite it to
+  ("fuzzyexp", base, ((term, dist), ...)) via their dictionary before
+  evaluation (``rewrite_fuzzy``).
 
 Scoring is Lucene BooleanQuery's: a doc's score at each node is the
 SUM of its matching scoring sub-clauses; AND requires both sides, OR
@@ -23,8 +32,8 @@ either, AND-NOT subtracts the right side's matches.  Term clauses score
 BM25; phrases score BM25 over the phrase frequency with the summed
 constituent idfs; prefixes contribute a constant 1.0.
 
-Disclosed divergences from ES: no ``~N`` fuzzy suffix on bare terms, no
-``\"`` escaping inside phrases, and operator precedence is flat
+Disclosed divergences from ES: no ``\"`` escaping inside phrases, and
+operator precedence is flat
 left-associative (Lucene's documented single-pass behavior; ES edge
 cases around mixed ``|``/``-`` may group differently).
 
@@ -43,6 +52,8 @@ import numpy as np
 # node = ("term", token)
 #      | ("phrase", [tokens], slop)
 #      | ("prefix", prefix_string)
+#      | ("fuzzy", base_token, fuzziness)        — parse-time form
+#      | ("fuzzyexp", base_token, ((term, dist), ...))  — after rewrite
 #      | ("and" | "or" | "andnot", left, right)
 
 # '-' is the NOT operator only at clause start (standalone token);
@@ -108,6 +119,19 @@ def parse_simple_query_string(
             for w in pts[:-1]:
                 node = _fold(node, ("term", w), default_operator)
             return _fold(node, ("prefix", pts[-1]), default_operator)
+        fm = re.match(r"(.+)~(\d+)\Z", t)
+        if fm:
+            bts = analyze(fm.group(1))
+            if not bts:
+                return None
+            # multi-token fuzzy units: the edit distance applies to the
+            # last token, leading tokens are plain terms (same subset
+            # rule as prefixes)
+            node = None
+            for w in bts[:-1]:
+                node = _fold(node, ("term", w), default_operator)
+            return _fold(node, ("fuzzy", bts[-1], int(fm.group(2))),
+                         default_operator)
         wts = analyze(t)
         node = None
         for w in wts:
@@ -161,6 +185,25 @@ def _fold(node, new, op):
     if node is None:
         return new
     return (op, node, new)
+
+
+def rewrite_fuzzy(tree, expand_fn):
+    """Replace parse-time ("fuzzy", base, N) leaves with ("fuzzyexp",
+    base, ((term, dist), ...)) via ``expand_fn(base, N) → [(term,
+    dist)]`` — each engine supplies its dictionary expansion (the
+    deterministic (dist, term) cap ``expand_fuzzy`` uses).  An EMPTY
+    expansion stays a leaf evaluating to the empty match set — like a
+    term absent from the index, not a lenient drop (``AND`` with it
+    still matches nothing)."""
+    if tree is None:
+        return None
+    kind = tree[0]
+    if kind in ("and", "or", "andnot"):
+        return (kind, rewrite_fuzzy(tree[1], expand_fn),
+                rewrite_fuzzy(tree[2], expand_fn))
+    if kind == "fuzzy":
+        return ("fuzzyexp", tree[1], tuple(expand_fn(tree[1], tree[2])))
+    return tree
 
 
 def tree_leaves(tree) -> list[tuple]:

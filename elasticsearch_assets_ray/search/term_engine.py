@@ -1170,7 +1170,7 @@ class TermPartitionedEngine:
         machinery, prefix doc sets); the sparse clause algebra runs on
         the coordinator — the layout's standing trade for bool-shaped
         queries."""
-        from .sqs import eval_tree, parse_simple_query_string
+        from .sqs import eval_tree, parse_simple_query_string, rewrite_fuzzy
 
         def analyze(s: str) -> list[str]:
             return clip_tokens(self._analyzer(s), *self._clip)
@@ -1178,6 +1178,9 @@ class TermPartitionedEngine:
         tree = parse_simple_query_string(query, analyze, default_operator)
         if tree is None:
             return []
+        tree = rewrite_fuzzy(
+            tree, lambda base, fz: self.expand_fuzzy(base, fuzziness=fz)
+        )
 
         def leaf(node):
             empty = (np.empty(0, np.int64), np.empty(0, np.float64))
@@ -1187,6 +1190,32 @@ class TermPartitionedEngine:
                 if t not in fetched:
                     return empty
                 res = self._score_from_fetch([t], fetched, 1 << 30)
+            elif node[0] == "fuzzyexp":
+                # weighted BM25 disjunction over the dictionary
+                # expansion — the search_fuzzy kernel, kept sparse
+                base = node[1]
+                fetched = self.fetch_terms(sorted(t for t, _ in node[2]))
+                d_parts, c_parts = [], []
+                for t, dist in sorted(node[2]):  # sorted-term accumulation
+                    got = fetched.get(t)
+                    if got is None:
+                        continue
+                    ids, norms, df = got[0], got[1], got[2]
+                    idf = math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+                    w = idf * (1.0 - dist / max(1, min(len(base), len(t))))
+                    d_parts.append(ids)
+                    c_parts.append(w * norms)
+                if not d_parts:
+                    return empty
+                d_all = np.concatenate(d_parts)
+                c_all = np.concatenate(c_parts)
+                order = np.argsort(d_all, kind="stable")
+                d_all, c_all = d_all[order], c_all[order]
+                starts = np.nonzero(
+                    np.concatenate([[True], d_all[1:] != d_all[:-1]])
+                )[0]
+                return (d_all[starts].astype(np.int64),
+                        np.add.reduceat(c_all, starts))
             elif node[0] == "phrase":
                 toks, slop = node[1], node[2]
                 res = self.search_phrase(
@@ -1815,6 +1844,23 @@ class TermPartitionedEngine:
             min_doc_count=min_doc_count, extended_bounds=extended_bounds,
         )
 
+    def expand_fuzzy(
+        self, term: str, fuzziness: int = 1, prefix_length: int = 0,
+        max_expansions: int = 50,
+    ) -> list[tuple[str, int]]:
+        """Global fuzzy expansion over the bucket dictionaries —
+        deterministic (dist asc, term asc) cap, identical results to
+        ``QueryEngine.expand_fuzzy`` regardless of layout."""
+        per_actor = ray.get(
+            [a.expand_fuzzy.remote(term, fuzziness, prefix_length)
+             for a in self.actors]
+        )
+        merged: dict[str, int] = {}
+        for part in per_actor:
+            merged.update(dict(part))
+        ranked = sorted(merged.items(), key=lambda kv: (kv[1], kv[0]))
+        return ranked[:max_expansions]
+
     def search_fuzzy(
         self, term: str, fuzziness: int = 1, prefix_length: int = 0,
         max_expansions: int = 50, k: int = 10,
@@ -1825,15 +1871,8 @@ class TermPartitionedEngine:
         Σ_t boost(t)·idf(t)·norm(tf_t) with the FuzzyTermsEnum boost —
         identical semantics (and results, tested) to
         ``QueryEngine.search_fuzzy``."""
-        per_actor = ray.get(
-            [a.expand_fuzzy.remote(term, fuzziness, prefix_length)
-             for a in self.actors]
-        )
-        merged: dict[str, int] = {}
-        for part in per_actor:
-            merged.update(dict(part))
-        ranked = sorted(merged.items(), key=lambda kv: (kv[1], kv[0]))
-        ranked = ranked[:max_expansions]
+        ranked = self.expand_fuzzy(term, fuzziness, prefix_length,
+                                   max_expansions)
         if not ranked:
             return []
         fetched = self.fetch_terms(sorted(t for t, _ in ranked))

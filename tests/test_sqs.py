@@ -42,6 +42,12 @@ def test_parser_shapes():
     # single-token quoted collapses to a term
     assert p('"foo"', _an) == ("term", "foo")
     assert p("que*", _an) == ("prefix", "que")
+    assert p("merge~1", _an) == ("fuzzy", "merge", 1)
+    assert p("merge~2 data", _an) == \
+        ("or", ("fuzzy", "merge", 2), ("term", "data"))
+    # multi-token fuzzy unit: distance applies to the LAST token
+    assert p("hash-join~1", _an) == \
+        ("or", ("term", "hash"), ("fuzzy", "join", 1))
     # '-' inside a word is NOT negation; the analyzer splits it
     assert p("hash-join", _an) == \
         ("or", ("term", "hash"), ("term", "join"))
@@ -91,6 +97,17 @@ def corpus_toks(small_corpus, pos_index):
             for t in texts]
 
 
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 def _brute_sqs(toks, tree, k1=1.2, b=0.75):
     """Brute-force sqs scorer over analyzed docs."""
     n = len(toks)
@@ -131,6 +148,26 @@ def _brute_sqs(toks, tree, k1=1.2, b=0.75):
             ids = [d for d, tk in enumerate(toks)
                    if any(t.startswith(node[1]) for t in tk)]
             return np.array(ids, np.int64), np.ones(len(ids), np.float64)
+        if node[0] == "fuzzy":
+            base, fz = node[1], node[2]
+            vocab = sorted({t for tk in toks for t in tk})
+            exps = sorted(
+                ((d, t) for t in vocab
+                 if (d := _lev(base, t)) <= fz),
+            )[:50]  # the deterministic (dist, term) cap
+            acc: dict[int, float] = {}
+            # sorted-term accumulation, matching both engines
+            for t, dist in sorted((t, d) for d, t in exps):
+                w = (idf(t)
+                     * (1.0 - dist / max(1, min(len(base), len(t)))))
+                for dd, tk in enumerate(toks):
+                    tf = tk.count(t)
+                    if tf:
+                        acc[dd] = acc.get(dd, 0.0) + (
+                            w * tf * (k1 + 1)
+                            / (tf + k1 * (1 - b + b * dl[dd] / avgdl)))
+            ids = np.array(sorted(acc), np.int64)
+            return ids, np.array([acc[i] for i in ids], np.float64)
         raise AssertionError(node)
 
     return eval_tree(tree, leaf)
@@ -145,6 +182,10 @@ QUERIES = [
     ("(merge | data) + imp*", "or"),
     ("-merge data", "or"),
     ("zzz qqq", "or"),
+    ("merg~1", "or"),
+    ("merg~1 + data", "or"),
+    ('merge~2 | "def merge"', "or"),
+    ("zzzzzzzz~1", "or"),
 ]
 
 
