@@ -1262,6 +1262,111 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES ``function_score`` DECAY functions (gauss / exp / linear) over
+# numeric (dl) and date (created_at, epoch-micros doc values) fields:
+# (qid, match text, field, function, origin, scale, offset, decay,
+# boost_mode)
+_US_DAY = 86_400_000_000
+DECAY_QUERIES: list[tuple] = [
+    (0, "hash join", "dl", "gauss", 40.0, 15.0, 0.0, 0.5, "multiply"),
+    (1, "customer order value", "dl", "linear", 30.0, 25.0, 5.0, 0.5, "sum"),
+    (2, "table scan", "created_at", "exp",
+     float(CREATED_EPOCH0) * 1e6, float(100 * _US_DAY), 0.0, 0.5,
+     "multiply"),
+]
+
+
+def _q_decay_score(engine, idx: str) -> pa.Table:
+    per_q = {
+        qid: engine.search_decay_score(
+            text, field=fd, function=fn, origin=og, scale=sc,
+            offset=of, decay=dc, boost_mode=bm, k=K_FETCH,
+        )
+        for qid, text, fd, fn, og, sc, of, dc, bm in DECAY_QUERIES
+    }
+    return _bm25_rerank(per_q, idx)
+
+
+def q_decay_score(sf_dir: str) -> pa.Table:
+    """ES ``function_score`` with DECAY functions: BM25 over the match
+    disjunction combined per doc with gauss/exp/linear decay of the
+    field value's distance from an origin — the canonical ES recency /
+    proximity boost — over numeric (dl) and date (created_at,
+    epoch-micros) doc values.  Vectorized in-shard."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_decay_score(engine, idx)
+    finally:
+        engine.shutdown()
+
+
+def q_decay_score_global(sf_dir: str) -> pa.Table:
+    """The SAME decay function_score from the TERM-partitioned layout
+    (field values hydrate id-aligned from the source docmeta lineage;
+    the tie cut runs on the combined score)."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_decay_score(eng, idx)
+    finally:
+        eng.shutdown()
+
+
+def sql_decay_score() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, t, *_ in DECAY_QUERIES
+    )
+    mode_cases = []
+    for qid, _, fd, fn, og, sc, of, dc, bm in DECAY_QUERIES:
+        val = "dl.dl" if fd == "dl" else "c.created_us"
+        d = f"greatest(abs({val} - {og!r}) - {of!r}, 0)"
+        f = {
+            "gauss": f"exp(ln({dc!r}) * pow({d} / {sc!r}, 2))",
+            "exp": f"exp(ln({dc!r}) * ({d} / {sc!r}))",
+            "linear": (f"greatest(({sc / (1.0 - dc)!r} - {d})"
+                       f" / {sc / (1.0 - dc)!r}, 0)"),
+        }[fn]
+        expr = f"scored.score * ({f})" if bm == "multiply" \
+            else f"scored.score + ({f})"
+        mode_cases.append(f"WHEN {qid} THEN {expr}")
+    case = "CASE scored.query_id " + " ".join(mode_cases) + " END"
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    qtoks = _TOKS.format(id="query_id", text="qtext", src="q")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+c AS (SELECT doc_id, epoch_us({CREATED_SQL})::DOUBLE AS created_us
+      FROM documents),
+q(query_id, qtext) AS (VALUES {values}),
+qt AS (SELECT DISTINCT doc_id AS query_id, t AS tq FROM ({qtoks})),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM qt
+  JOIN tf ON tf.t = qt.tq
+  JOIN df ON df.t = qt.tq
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(final, 4) DESC, doc_id) AS rank,
+       round(final, 4) AS score_r
+FROM (SELECT scored.query_id, scored.doc_id, {case} AS final
+      FROM scored JOIN dl ON dl.doc_id = scored.doc_id
+      JOIN c ON c.doc_id = scored.doc_id)
+QUALIFY rank <= {TOPK}
+"""
+
+
 # ES ``simple_query_string`` with ``word~N`` FUZZY leaves: (qid, query,
 # default_operator) — a bare fuzzy clause, fuzzy AND term, fuzzy OR
 # phrase (the scoring_boolean expansion composes with the clause algebra)
@@ -5039,6 +5144,8 @@ def queries():
         "simple_query_string_global": q_sqs_global,
         "sqs_fuzzy": q_sqs_fuzzy,
         "sqs_fuzzy_global": q_sqs_fuzzy_global,
+        "decay_score": q_decay_score,
+        "decay_score_global": q_decay_score_global,
         "function_score": q_function_score,
         "function_score_global": q_function_score_global,
         "meta_filter_search": q_meta_filter_search,
@@ -5144,6 +5251,8 @@ def oracle_sql():
         "simple_query_string_global": sql_sqs(),
         "sqs_fuzzy": sql_sqs_fuzzy(),
         "sqs_fuzzy_global": sql_sqs_fuzzy(),
+        "decay_score": sql_decay_score(),
+        "decay_score_global": sql_decay_score(),
         "function_score": sql_function_score(),
         "function_score_global": sql_function_score(),
         "meta_filter_search": sql_meta_filter_search(),

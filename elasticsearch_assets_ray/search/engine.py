@@ -263,6 +263,38 @@ def apply_fvf_modifier(
     raise ValueError(f"unknown field_value_factor modifier {modifier!r}")
 
 
+def apply_decay(
+    v: np.ndarray, function: str, origin: float, scale: float,
+    offset: float = 0.0, decay: float = 0.5,
+) -> np.ndarray:
+    """ES ``function_score`` decay functions over numeric/date doc
+    values: distance = max(0, |value − origin| − offset), then
+
+    - ``gauss``:  exp(ln(decay) · (distance/scale)²)
+      (the standard exp(−d²/2σ²) with σ² = −scale²/(2·ln decay))
+    - ``exp``:    exp(ln(decay) · distance/scale)  = decayᵈ/ˢᶜᵃˡᵉ
+    - ``linear``: max(0, (s − distance)/s) with s = scale/(1 − decay)
+
+    Docs MISSING the field take function value 1.0 (handled by the
+    callers — ES's contract for decay over absent fields).  Shared by
+    both engines; the SQL oracles mirror these exact formulations.
+    Date fields pass through as epoch-micros doubles (origin/scale in
+    micros)."""
+    if scale <= 0:
+        raise ValueError("decay scale must be > 0")
+    if not (0.0 < decay < 1.0):
+        raise ValueError("decay must be in (0, 1)")
+    dist = np.maximum(0.0, np.abs(v - origin) - offset)
+    if function == "gauss":
+        return np.exp(math.log(decay) * (dist / scale) ** 2)
+    if function == "exp":
+        return np.exp(math.log(decay) * (dist / scale))
+    if function == "linear":
+        s = scale / (1.0 - decay)
+        return np.maximum((s - dist) / s, 0.0)
+    raise ValueError(f"unknown decay function {function!r}")
+
+
 def prefix_expand_sorted(
     term_list: list[str], prefix: str, cap: int | None = None
 ) -> list[str]:
@@ -1284,6 +1316,49 @@ class ShardData:
             k, params.round_decimals,
         )
 
+    def decay_score_topk(
+        self, terms: list[str], idf: dict, params: "BM25Params",
+        avgdl: float, k: int, field: str, function: str,
+        origin: float, scale: float, offset: float, decay: float,
+        boost_mode: str,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-shard ES ``function_score`` with a DECAY function
+        (gauss | exp | linear) over numeric/date doc values, combined
+        with the match disjunction's BM25 score by ``boost_mode``
+        (multiply | sum).  Docs missing the field take function value
+        1.0 (the ES decay contract).  Vectorized in-shard — no second
+        pass, no driver hydration."""
+        k1, b = params.k1, params.b
+        postings_idx = self._postings_idx_fn()
+        n = self.num_docs
+        scores = np.zeros(n, dtype=np.float64)
+        hit = np.zeros(n, dtype=bool)
+        for t in sorted(set(terms)):
+            p = postings_idx(t)
+            if p is None:
+                continue
+            idx, tfs = p
+            tf = tfs.astype(np.float64)
+            dl = self.dl[idx]
+            scores[idx] += (idf[t] * tf * (k1 + 1.0)
+                            / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            hit[idx] = True
+        hit &= ~self.deleted_mask
+        cand = np.nonzero(hit)[0]
+        if len(cand) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        v = self.meta_col(field)[cand].astype(np.float64)
+        f = apply_decay(v, function, origin, scale, offset, decay)
+        nanm = np.isnan(v)
+        if nanm.any():
+            f = np.where(nanm, 1.0, f)
+        base = scores[cand]
+        final = base * f if boost_mode == "multiply" else base + f
+        return merge_topk(
+            [((cand + self.doc_base).astype(np.int64), final)],
+            k, params.round_decimals,
+        )
+
     def expand_regexp(self, pattern: str, cap: int | None = None) -> list[str]:
         """Terms matching an ES ``regexp`` pattern (anchored), in term
         order (leading-literal bisect + regex walk)."""
@@ -1972,6 +2047,20 @@ class _ScorerCore:
         ]
         return merge_topk(parts, k, self.params.round_decimals)
 
+    def decay_score_topk(
+        self, terms: list[str], idf: dict, k: int, field: str,
+        function: str, origin: float, scale: float, offset: float,
+        decay: float, boost_mode: str,
+    ):
+        parts = [
+            s.decay_score_topk(
+                terms, idf, self.params, self.avgdl, k, field,
+                function, origin, scale, offset, decay, boost_mode,
+            )
+            for s in self.shards
+        ]
+        return merge_topk(parts, k, self.params.round_decimals)
+
     def expand_regexp(self, pattern: str, cap: int | None = None) -> list[str]:
         out: set[str] = set()
         for s in self.shards:
@@ -2384,6 +2473,43 @@ class QueryEngine:
             [a.function_score_topk.remote(
                 terms, idf, k, field, float(factor), modifier,
                 float(missing), boost_mode,
+            ) for a in self.actors]
+        )
+        ids, sc = merge_topk(per_actor, k, self.params.round_decimals)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def search_decay_score(
+        self,
+        query: str | list[str],
+        field: str,
+        function: str,
+        origin: float,
+        scale: float,
+        offset: float = 0.0,
+        decay: float = 0.5,
+        boost_mode: str = "multiply",
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``function_score`` with a DECAY function (``gauss`` |
+        ``exp`` | ``linear``) over numeric/date doc values: score the
+        ``match`` disjunction with BM25, then combine each doc's score
+        with the decay of its field value's distance from ``origin``
+        (see :func:`apply_decay` for the exact formulations) via
+        ``boost_mode`` (multiply, the ES default, or sum).  Date fields
+        take origin/scale/offset in epoch MICROS (the engine's doc-value
+        unit).  Docs missing the field take function value 1.0 — the ES
+        decay contract.  Fully vectorized in-shard."""
+        terms = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not terms:
+            return []
+        idf = self.idfs(terms)
+        per_actor = ray.get(
+            [a.decay_score_topk.remote(
+                terms, idf, k, field, function, float(origin),
+                float(scale), float(offset), float(decay), boost_mode,
             ) for a in self.actors]
         )
         ids, sc = merge_topk(per_actor, k, self.params.round_decimals)

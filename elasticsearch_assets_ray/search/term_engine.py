@@ -1160,6 +1160,61 @@ class TermPartitionedEngine:
         final = base * f if boost_mode == "multiply" else base + f
         return self._tie_cut(ids, final, k)
 
+    def search_decay_score(
+        self,
+        query: str | list[str],
+        field: str,
+        function: str,
+        origin: float,
+        scale: float,
+        offset: float = 0.0,
+        decay: float = 0.5,
+        boost_mode: str = "multiply",
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``function_score`` with a DECAY function (gauss | exp |
+        linear) served from the term-partitioned layout: the match set
+        scores on the coordinator, field doc values hydrate id-aligned
+        from the source docmeta lineage, the decay applies, and the tie
+        cut runs on the COMBINED score — identical results to
+        :meth:`QueryEngine.search_decay_score` (parity tested).  Docs
+        missing the field take function value 1.0."""
+        from .datehist import values_partials_over_ids
+        from .engine import apply_decay
+
+        terms = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not terms:
+            return []
+        fetched = self.fetch_terms(terms)
+        if not fetched:
+            return []
+        hits = self._score_from_fetch(terms, fetched, 1 << 30)
+        if not hits:
+            return []
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        base = np.array([s for _, s in hits], dtype=np.float64)
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for function_score serving"
+            )
+        sids = np.unique(ids)
+        vals = np.concatenate(
+            values_partials_over_ids(src, sids, field, "raw")
+        ).astype(np.float64)
+        v = vals[np.searchsorted(sids, ids)]
+        f = apply_decay(v, function, float(origin), float(scale),
+                        float(offset), float(decay))
+        nanm = np.isnan(v)
+        if nanm.any():
+            f = np.where(nanm, 1.0, f)
+        final = base * f if boost_mode == "multiply" else base + f
+        return self._tie_cut(ids, final, k)
+
     def search_simple_query_string(
         self, query: str, k: int = 10, default_operator: str = "or",
     ) -> list[tuple[int, float]]:

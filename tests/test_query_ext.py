@@ -400,3 +400,73 @@ def test_regexp_expand_sorted_kernel():
     assert regexp_expand_sorted(terms, "(zebra|bcd)") == ["bcd", "zebra"]
     assert regexp_expand_sorted(terms, "ab.", cap=1) == ["abc"]
     assert regexp_expand_sorted(terms, "q+") == []
+
+
+def test_apply_decay_formulas():
+    from elasticsearch_assets_ray.search.engine import apply_decay
+
+    v = np.array([0.0, 10.0, 20.0, 40.0])
+    # gauss: value at origin = 1, at origin±scale = decay
+    g = apply_decay(v, "gauss", origin=10.0, scale=10.0, decay=0.5)
+    assert abs(g[1] - 1.0) < 1e-12
+    assert abs(g[0] - 0.5) < 1e-12 and abs(g[2] - 0.5) < 1e-12
+    # exp: decay^(d/scale)
+    e = apply_decay(v, "exp", origin=0.0, scale=10.0, decay=0.5)
+    assert np.allclose(e, [1.0, 0.5, 0.25, 0.0625])
+    # linear hits zero at s = scale/(1-decay) and stays there
+    ln = apply_decay(v, "linear", origin=0.0, scale=10.0, decay=0.5)
+    assert np.allclose(ln, [1.0, 0.5, 0.0, 0.0])
+    # offset carves a flat top
+    o = apply_decay(v, "gauss", origin=10.0, scale=10.0, offset=10.0,
+                    decay=0.5)
+    assert abs(o[0] - 1.0) < 1e-12 and abs(o[2] - 1.0) < 1e-12
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        apply_decay(v, "gauss", 0.0, 0.0)
+    with _pt.raises(ValueError):
+        apply_decay(v, "gauss", 0.0, 1.0, decay=1.0)
+    with _pt.raises(ValueError):
+        apply_decay(v, "triangle", 0.0, 1.0)
+
+
+def test_decay_score_bruteforce(engine, corpus_docs):
+    import math
+
+    toks, _ = corpus_docs
+    n = len(toks)
+    dl = np.array([len(t) for t in toks], dtype=np.float64)
+    avgdl = dl.mean()
+    k1, b = 1.2, 0.75
+
+    def idf(t):
+        df = sum(1 for tk in toks if t in tk)
+        return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    for fn, og, sc, of, bm in [
+        ("gauss", 12.0, 6.0, 0.0, "multiply"),
+        ("exp", 0.0, 20.0, 2.0, "sum"),
+        ("linear", 15.0, 10.0, 0.0, "multiply"),
+    ]:
+        qterms = ["merge", "data"]
+        base = {}
+        for t in sorted(qterms):
+            w = idf(t)
+            for d, tk in enumerate(toks):
+                tf = tk.count(t)
+                if tf:
+                    base[d] = base.get(d, 0.0) + (
+                        w * tf * (k1 + 1)
+                        / (tf + k1 * (1 - b + b * dl[d] / avgdl)))
+        from elasticsearch_assets_ray.search.engine import apply_decay
+        want = []
+        for d, s in base.items():
+            f = float(apply_decay(np.array([dl[d]]), fn, og, sc, of, 0.5)[0])
+            want.append((d, s * f if bm == "multiply" else s + f))
+        want.sort(key=lambda p: (-p[1], p[0]))
+        got = engine.search_decay_score(
+            "merge data", field="dl", function=fn, origin=og, scale=sc,
+            offset=of, boost_mode=bm, k=10,
+        )
+        assert [d for d, _ in got] == [d for d, _ in want[:10]], fn
+        for (_, s1), (_, s2) in zip(got, want):
+            assert abs(s1 - s2) < 1e-9, fn
