@@ -106,7 +106,7 @@ def _docs(sf_dir: str):
 
 # bump when index layout / analyzer / scoring semantics change, so a
 # /tmp cache surviving from an earlier code version can never be reused
-CONTRACT_INDEX_VERSION = "v8"  # v8: created_at derived docmeta (date aggs)
+CONTRACT_INDEX_VERSION = "v9"  # v9: n_chars docmeta (weighted_avg agg)
 
 # deterministic date-typed docmeta column: documents carry no timestamp,
 # so the contract derives one at ingest (the ES ingest-pipeline analogue)
@@ -137,7 +137,7 @@ def ensure_doc_index(sf_dir: str) -> str:
         text_col="text",
         lang_col=None,
         id_col="doc_id",
-        meta_cols=("source", "lang", "created_at"),
+        meta_cols=("source", "lang", "created_at", "n_chars"),
         derived_meta=(CREATED_SPEC,),
         partition_target_docs=128,
         shard_target_docs=512,
@@ -1487,6 +1487,243 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES metric aggs value_count / missing / weighted_avg: (qid, text,
+# value field, weight field)
+METRIC_AGG_QUERIES: list[tuple[int, str, str, str]] = [
+    (0, "hash join", "dl", "n_chars"),
+    (1, "customer order", "n_chars", "dl"),
+]
+
+
+def _q_metric_aggs(engine) -> pa.Table:
+    rows = []
+    for qid, text, vf, wf in METRIC_AGG_QUERIES:
+        m = engine.metric_aggs(text, field=vf, weight_field=wf)
+        rows.append(
+            {
+                "query_id": qid,
+                "value_count": m["value_count"],
+                "missing_count": m["missing"],
+                "weighted_avg_r": round(m["weighted_avg"], 6)
+                if m.get("weighted_avg") is not None else None,
+            }
+        )
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_metric_aggs(sf_dir: str) -> pa.Table:
+    """ES ``value_count`` + ``missing`` + ``weighted_avg`` metric
+    aggregations in one actor round: present/missing tallies of the
+    value field and Σ(value·weight)/Σ(weight) over rows where both are
+    present (ES skip-missing default).  Integer-valued doc values keep
+    the float sums EXACT across shard order (< 2^53), so the rounded
+    quotient is oracle-hash-safe."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_metric_aggs(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_metric_aggs_global(sf_dir: str) -> pa.Table:
+    """The SAME metric aggs from the TERM-partitioned layout (matched
+    ids → source docmeta partition tasks, the weight column riding the
+    stats slot)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_metric_aggs(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_metric_aggs() -> str:
+    term_rows = []
+    for qid, text, _, _ in METRIC_AGG_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    v_case = "CASE hit.query_id " + " ".join(
+        f"WHEN {qid} THEN {'dl.dl' if vf == 'dl' else 'd.n_chars'}"
+        for qid, _, vf, _ in METRIC_AGG_QUERIES
+    ) + " END"
+    w_case = "CASE hit.query_id " + " ".join(
+        f"WHEN {qid} THEN {'dl.dl' if wf == 'dl' else 'd.n_chars'}"
+        for qid, _, _, wf in METRIC_AGG_QUERIES
+    ) + " END"
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+m AS (SELECT hit.query_id, {v_case} AS v, {w_case} AS w
+      FROM hit JOIN documents d ON d.doc_id = hit.doc_id
+      JOIN dl ON dl.doc_id = hit.doc_id)
+SELECT query_id,
+       count(v)::BIGINT AS value_count,
+       (count(*) - count(v))::BIGINT AS missing_count,
+       round(sum(v * w) / sum(w), 6) AS weighted_avg_r
+FROM m GROUP BY 1
+"""
+
+
+# ES compound queries: dis_max (max + tie·rest over sub-queries),
+# boosting (demote-on-negative-match), constant_score (filter → boost).
+# Sub-queries take the sqs grammar, so phrases/prefixes compose.
+DISMAX_QUERIES: list[tuple] = [
+    (0, ["customer order", '"hash join"'], 0.3),
+    (1, ["table scan", "merge | value"], 0.0),
+]
+BOOSTING_QUERIES: list[tuple] = [
+    (0, "customer order", "table", 0.4),
+    (1, '"hash join"', "scan", 0.5),
+]
+CONSTSCORE_QUERIES: list[tuple] = [
+    (0, "merge | quer*", 2.5),
+    (1, "customer + order", 1.0),
+]
+
+
+def _q_compound(engine, idx: str) -> pa.Table:
+    per_q = {}
+    base = 0
+    for qid, qs, tie in DISMAX_QUERIES:
+        per_q[base + qid] = engine.search_dis_max(qs, tie_breaker=tie,
+                                                  k=K_FETCH)
+    base = 10
+    for qid, pos, neg, nb in BOOSTING_QUERIES:
+        per_q[base + qid] = engine.search_boosting(pos, neg, nb, k=K_FETCH)
+    base = 20
+    for qid, fq, boost in CONSTSCORE_QUERIES:
+        per_q[base + qid] = engine.search_constant_score(fq, boost=boost,
+                                                         k=K_FETCH)
+    return _bm25_rerank(per_q, idx)
+
+
+def q_compound(sf_dir: str) -> pa.Table:
+    """ES compound queries — ``dis_max`` (per doc max over sub-queries
+    + tie_breaker × the rest), ``boosting`` (positive score demoted by
+    negative_boost where the doc also matches the negative clause) and
+    ``constant_score`` (every filter-matching doc scores boost) — all
+    evaluated through the shared clause-tree walker, so sub-queries
+    compose the full sqs grammar (phrases, prefixes, fuzzy)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_compound(engine, idx)
+    finally:
+        engine.shutdown()
+
+
+def q_compound_global(sf_dir: str) -> pa.Table:
+    """The SAME compound queries served from the TERM-partitioned
+    layout (the shared tree walker runs on the coordinator over
+    bucket-actor gathers) — same SQL oracle."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_compound(eng, idx)
+    finally:
+        eng.shutdown()
+
+
+def sql_compound() -> str:
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+ts AS (SELECT tf.doc_id, tf.t,
+              ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+       FROM tf JOIN df ON df.t = tf.t
+       JOIN dl ON dl.doc_id = tf.doc_id, s
+       WHERE tf.t IN ('customer', 'order', 'table', 'scan',
+                      'merge', 'value')),
+phidf AS (SELECT sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+          FROM df, s WHERE df.t IN ('hash', 'join')),
+phpf AS (SELECT p0.doc_id, count(*)::DOUBLE AS pf
+         FROM toksp p0
+         JOIN toksp p1 ON p1.doc_id = p0.doc_id
+          AND p1.pos = p0.pos + 1 AND p1.t = 'join'
+         WHERE p0.t = 'hash' GROUP BY 1),
+ph AS (SELECT phpf.doc_id,
+              phidf.idf_sum * pf * ({K1} + 1)
+                / (pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+       FROM phpf JOIN dl ON dl.doc_id = phpf.doc_id, s, phidf),
+-- match sub-query score sums (OR-sum over the listed terms)
+m_co AS (SELECT doc_id, sum(score) AS score FROM ts
+         WHERE t IN ('customer', 'order') GROUP BY 1),
+m_tsn AS (SELECT doc_id, sum(score) AS score FROM ts
+          WHERE t IN ('table', 'scan') GROUP BY 1),
+m_mv AS (SELECT doc_id, sum(score) AS score FROM ts
+         WHERE t IN ('merge', 'value') GROUP BY 1),
+-- dis_max 0: [customer order, "hash join"], tie 0.3
+dm0d AS (SELECT doc_id FROM m_co UNION SELECT doc_id FROM ph),
+dm0 AS (SELECT 0 AS query_id, d.doc_id,
+               greatest(coalesce(a.score, 0), coalesce(b.score, 0))
+               + 0.3 * (coalesce(a.score, 0) + coalesce(b.score, 0)
+                        - greatest(coalesce(a.score, 0),
+                                   coalesce(b.score, 0))) AS score
+        FROM dm0d d
+        LEFT JOIN m_co a ON a.doc_id = d.doc_id
+        LEFT JOIN ph b ON b.doc_id = d.doc_id),
+-- dis_max 1: [table scan, merge | value], tie 0.0
+dm1d AS (SELECT doc_id FROM m_tsn UNION SELECT doc_id FROM m_mv),
+dm1 AS (SELECT 1 AS query_id, d.doc_id,
+               greatest(coalesce(a.score, 0), coalesce(b.score, 0)) AS score
+        FROM dm1d d
+        LEFT JOIN m_tsn a ON a.doc_id = d.doc_id
+        LEFT JOIN m_mv b ON b.doc_id = d.doc_id),
+-- boosting 10: customer order demoted 0.4 on 'table'
+bo0 AS (SELECT 10 AS query_id, m.doc_id,
+               m.score * (CASE WHEN t.doc_id IS NULL THEN 1.0 ELSE 0.4 END)
+                 AS score
+        FROM m_co m
+        LEFT JOIN (SELECT DISTINCT doc_id FROM toks WHERE t = 'table') t
+          ON t.doc_id = m.doc_id),
+-- boosting 11: "hash join" demoted 0.5 on 'scan'
+bo1 AS (SELECT 11 AS query_id, ph.doc_id,
+               ph.score * (CASE WHEN sc.doc_id IS NULL THEN 1.0 ELSE 0.5 END)
+                 AS score
+        FROM ph
+        LEFT JOIN (SELECT DISTINCT doc_id FROM toks WHERE t = 'scan') sc
+          ON sc.doc_id = ph.doc_id),
+-- constant_score 20: merge | quer* → 2.5
+cs0 AS (SELECT 20 AS query_id, doc_id, 2.5 AS score FROM (
+          SELECT DISTINCT doc_id FROM toks
+          WHERE t = 'merge' OR t LIKE 'quer%')),
+-- constant_score 21: customer + order → 1.0
+cs1 AS (SELECT 21 AS query_id, c.doc_id, 1.0 AS score
+        FROM (SELECT DISTINCT doc_id FROM toks WHERE t = 'customer') c
+        JOIN (SELECT DISTINCT doc_id FROM toks WHERE t = 'order') o
+          ON o.doc_id = c.doc_id),
+allq AS (SELECT * FROM dm0 UNION ALL SELECT * FROM dm1
+         UNION ALL SELECT * FROM bo0 UNION ALL SELECT * FROM bo1
+         UNION ALL SELECT * FROM cs0 UNION ALL SELECT * FROM cs1)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM allq
+QUALIFY rank <= {TOPK}
+"""
+
+
 # ES ``rescore`` with a phrase rescorer: (qid, match text, phrase,
 # window_size, score_mode) — re-rank the query phase's top window by
 # the combined score, cut to TOPK
@@ -2667,6 +2904,161 @@ GROUP BY 1, 2
 """
 
 
+# date_histogram time_zone × terms SUB-aggregation: composite
+# (local-calendar bucket, keyword) keys
+DATEHIST_TZ_TERMS_QUERIES: list[tuple[int, str, str, str]] = [
+    (0, "hash join", "month", "America/New_York"),
+    (1, "table scan", "week", "Europe/Berlin"),
+]
+
+
+def _q_datehist_tz_terms(engine) -> pa.Table:
+    rows = []
+    for qid, text, interval, tz in DATEHIST_TZ_TERMS_QUERIES:
+        for b in engine.date_histogram(
+            text, field="created_at", interval=interval, time_zone=tz,
+            group_by="lang",
+        ):
+            rows.append(
+                {"query_id": qid, "bucket_us": b["key"],
+                 "lang": b["term"], "doc_count": b["doc_count"]}
+            )
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_datehist_tz_terms(sf_dir: str) -> pa.Table:
+    """``date_histogram`` with ``time_zone`` AND a ``terms``
+    sub-aggregation combined (previously rejected): the DST-correct
+    local-calendar bucket keys compose with the keyword group into
+    factorized (bucket, term) composite keys — oracled against DuckDB
+    ICU date_trunc AT TIME ZONE × GROUP BY."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_datehist_tz_terms(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_datehist_tz_terms_global(sf_dir: str) -> pa.Table:
+    """The SAME tz × terms date_histogram from the TERM-partitioned
+    layout (the interval_terms partial spec carries the zone through
+    the docmeta-partition tasks)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_datehist_tz_terms(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_datehist_tz_terms() -> str:
+    term_rows = []
+    for qid, text, _, _ in DATEHIST_TZ_TERMS_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    cases = []
+    for qid, _, interval, tz in DATEHIST_TZ_TERMS_QUERIES:
+        cases.append(
+            f"WHEN {qid} THEN epoch_us((date_trunc('{interval}', "
+            f"(c.created AT TIME ZONE 'UTC') AT TIME ZONE '{tz}')) "
+            f"AT TIME ZONE '{tz}')"
+        )
+    case = "CASE hit.query_id " + " ".join(cases) + " END"
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+c AS (SELECT doc_id, {CREATED_SQL} AS created FROM documents),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t)
+SELECT hit.query_id, {case} AS bucket_us, d.lang,
+       count(*)::BIGINT AS doc_count
+FROM hit JOIN c ON c.doc_id = hit.doc_id
+JOIN documents d ON d.doc_id = hit.doc_id
+GROUP BY 1, 2, 3
+"""
+
+
+# date_histogram offset × min_doc_count=0: zero-fill on the SHIFTED
+# grid — (qid, text, fixed interval us, offset us); small intervals so
+# real gaps exist at test scale
+DATEHIST_OFF_FILL_QUERIES: list[tuple[int, str, int, int]] = [
+    (0, "hash join", 4 * 3_600_000_000, 1_800_000_000),
+    (1, "merge", 6 * 3_600_000_000, -3_600_000_000),
+]
+
+
+def q_datehist_off_fill(sf_dir: str) -> pa.Table:
+    """``date_histogram`` with ``offset`` AND ``min_doc_count=0``
+    combined (previously rejected): empty buckets fill on the
+    offset-shifted grid between the first and last non-empty bucket —
+    oracled against a DuckDB generate_series over the same grid."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    rows = []
+    try:
+        for qid, text, iv_us, off_us in DATEHIST_OFF_FILL_QUERIES:
+            for b in engine.date_histogram(
+                text, field="created_at", interval=f"{iv_us // 1000}ms",
+                offset=off_us, min_doc_count=0,
+            ):
+                rows.append(
+                    {"query_id": qid, "bucket_us": b["key"],
+                     "doc_count": b["doc_count"]}
+                )
+    finally:
+        engine.shutdown()
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def sql_datehist_off_fill() -> str:
+    term_rows = []
+    for qid, text, _, _ in DATEHIST_OFF_FILL_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    grid_rows = ", ".join(
+        f"({qid}, {iv}::BIGINT, {off}::BIGINT)"
+        for qid, _, iv, off in DATEHIST_OFF_FILL_QUERIES
+    )
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+c AS (SELECT doc_id, epoch_us({CREATED_SQL}) AS us FROM documents),
+q(query_id, t) AS (VALUES {values}),
+g(query_id, iv, off) AS (VALUES {grid_rows}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+ne AS (SELECT hit.query_id,
+              ((c.us - g.off) // g.iv) * g.iv + g.off AS bucket_us,
+              count(*)::BIGINT AS doc_count
+       FROM hit JOIN c ON c.doc_id = hit.doc_id
+       JOIN g ON g.query_id = hit.query_id
+       GROUP BY 1, 2),
+span AS (SELECT query_id, min(bucket_us) AS lo, max(bucket_us) AS hi
+         FROM ne GROUP BY 1),
+series AS (SELECT span.query_id,
+                  unnest(generate_series(span.lo, span.hi, g.iv))
+                    AS bucket_us
+           FROM span JOIN g ON g.query_id = span.query_id)
+SELECT series.query_id, series.bucket_us,
+       coalesce(ne.doc_count, 0)::BIGINT AS doc_count
+FROM series LEFT JOIN ne
+  ON ne.query_id = series.query_id AND ne.bucket_us = series.bucket_us
+"""
+
+
 # date_histogram with an ES ``offset``: the bucket grid shifts by the
 # duration (floor(v - off) + off) — oracled with the same integer
 # arithmetic
@@ -3320,6 +3712,81 @@ def q_top_hits_sorted_global(sf_dir: str) -> pa.Table:
         return _q_top_hits_sorted(eng)
     finally:
         eng.shutdown()
+
+
+def _q_top_hits_str(engine) -> pa.Table:
+    rows = []
+    for qid, text in TOP_HITS_SORT_QUERIES:
+        for b in engine.top_hits(
+            text, group_by="lang", k=TOP_HITS_SORT_K,
+            sort=("source", "asc"),
+        ):
+            for rank, h in enumerate(b["hits"], start=1):
+                rows.append(
+                    {
+                        "query_id": qid,
+                        "lang": b["key"],
+                        "doc_count": b["doc_count"],
+                        "rank": rank,
+                        "doc_id": h["doc_id"],
+                        "source": h["sort"],
+                    }
+                )
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_top_hits_str_sort(sf_dir: str) -> pa.Table:
+    """``top_hits`` sorted on a STRING doc-values column (``source``
+    asc — ES sorts keyword fields lexicographically): sort keys become
+    order-preserving dense codes per shard (np.unique), the raw strings
+    travel in the partials, and the cross-shard merge re-codes over the
+    union — exact-value tie classes survive shard boundaries, ties
+    break doc-ascending."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_top_hits_str(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_top_hits_str_sort_global(sf_dir: str) -> pa.Table:
+    """The SAME string-sorted top_hits from the TERM-partitioned
+    layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_top_hits_str(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_top_hits_str_sort() -> str:
+    term_rows = []
+    for qid, text in TOP_HITS_SORT_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+m AS (SELECT hit.query_id, d.lang, d.source, d.doc_id
+      FROM hit JOIN documents d ON d.doc_id = hit.doc_id)
+SELECT query_id, lang, doc_count, rank, doc_id, source FROM (
+  SELECT query_id, lang, source, doc_id,
+         count(*) OVER (PARTITION BY query_id, lang)::BIGINT AS doc_count,
+         row_number() OVER (PARTITION BY query_id, lang
+                            ORDER BY source ASC, doc_id) AS rank
+  FROM m)
+WHERE rank <= {TOP_HITS_SORT_K}
+"""
 
 
 def sql_top_hits_sorted() -> str:
@@ -5146,6 +5613,10 @@ def queries():
         "sqs_fuzzy_global": q_sqs_fuzzy_global,
         "decay_score": q_decay_score,
         "decay_score_global": q_decay_score_global,
+        "compound_queries": q_compound,
+        "compound_queries_global": q_compound_global,
+        "metric_aggs": q_metric_aggs,
+        "metric_aggs_global": q_metric_aggs_global,
         "function_score": q_function_score,
         "function_score_global": q_function_score_global,
         "meta_filter_search": q_meta_filter_search,
@@ -5170,6 +5641,9 @@ def queries():
         "datehist_terms": q_datehist_terms,
         "datehist_terms_global": q_datehist_terms_global,
         "datehist_tz": q_datehist_tz,
+        "datehist_tz_terms": q_datehist_tz_terms,
+        "datehist_tz_terms_global": q_datehist_tz_terms_global,
+        "datehist_off_fill": q_datehist_off_fill,
         "datehist_offset": q_datehist_offset,
         "datehist_pipeline": q_datehist_pipeline,
         "bucket_stats": q_bucket_stats,
@@ -5178,6 +5652,8 @@ def queries():
         "top_hits_lang_global": q_top_hits_global,
         "top_hits_sorted": q_top_hits_sorted,
         "top_hits_sorted_global": q_top_hits_sorted_global,
+        "top_hits_str_sort": q_top_hits_str_sort,
+        "top_hits_str_sort_global": q_top_hits_str_sort_global,
         "sig_terms_source": q_sig_terms,
         "sig_terms_source_global": q_sig_terms_global,
         "extstats_agg": q_extstats_agg,
@@ -5253,6 +5729,10 @@ def oracle_sql():
         "sqs_fuzzy_global": sql_sqs_fuzzy(),
         "decay_score": sql_decay_score(),
         "decay_score_global": sql_decay_score(),
+        "compound_queries": sql_compound(),
+        "compound_queries_global": sql_compound(),
+        "metric_aggs": sql_metric_aggs(),
+        "metric_aggs_global": sql_metric_aggs(),
         "function_score": sql_function_score(),
         "function_score_global": sql_function_score(),
         "meta_filter_search": sql_meta_filter_search(),
@@ -5277,6 +5757,9 @@ def oracle_sql():
         "datehist_terms": sql_datehist_terms(),
         "datehist_terms_global": sql_datehist_terms(),
         "datehist_tz": sql_datehist_tz(),
+        "datehist_tz_terms": sql_datehist_tz_terms(),
+        "datehist_tz_terms_global": sql_datehist_tz_terms(),
+        "datehist_off_fill": sql_datehist_off_fill(),
         "datehist_offset": sql_datehist_offset(),
         "datehist_pipeline": sql_datehist_pipeline(),
         "bucket_stats": sql_bucket_stats(),
@@ -5284,6 +5767,8 @@ def oracle_sql():
         "top_hits_lang": sql_top_hits(),
         "top_hits_lang_global": sql_top_hits(),
         "top_hits_sorted": sql_top_hits_sorted(),
+        "top_hits_str_sort": sql_top_hits_str_sort(),
+        "top_hits_str_sort_global": sql_top_hits_str_sort(),
         "top_hits_sorted_global": sql_top_hits_sorted(),
         "sig_terms_source": sql_sig_terms(),
         "sig_terms_source_global": sql_sig_terms(),

@@ -318,6 +318,45 @@ def enumerate_bucket_keys(lo: int, hi: int, interval: str) -> list[int]:
     return out
 
 
+def enumerate_bucket_keys_shifted(
+    lo: int, hi: int, interval: str,
+    tz_name: str | None = None, offset=None,
+) -> list[int]:
+    """:func:`enumerate_bucket_keys` on the SHIFTED grid — the ES
+    ``min_doc_count: 0`` fill under ``time_zone`` and/or ``offset``.
+    Works in the same frames as the bucket kernels (offset applies
+    after time_zone), so enumerated keys are BIT-identical to
+    :func:`floor_interval_us_offset` / :func:`floor_interval_us_tz`
+    keys: shift into the local-minus-offset frame, enumerate the plain
+    calendar/fixed grid there, and map each bucket start back through
+    the zone's local-frame transition table."""
+    off = parse_offset_us(offset) if offset is not None else 0
+    if tz_name is None:
+        return [g + off
+                for g in enumerate_bucket_keys(lo - off, hi - off, interval)]
+    import datetime as dt
+
+    w = np.array([lo - off, hi - off], dtype=np.int64)
+    lo_y = dt.datetime.fromtimestamp(
+        int(w.min()) / 1e6, dt.timezone.utc
+    ).year - 1
+    hi_y = dt.datetime.fromtimestamp(
+        int(w.max()) / 1e6, dt.timezone.utc
+    ).year + 1
+    trans, offs = tz_offsets_table(tz_name, lo_y, hi_y)
+    idx = np.searchsorted(trans, w, side="right") - 1
+    lw = w + offs[idx]
+    gs = np.array(
+        enumerate_bucket_keys(int(lw[0]), int(lw[1]), interval),
+        dtype=np.int64,
+    )
+    if len(gs) == 0:
+        return []
+    ltrans = trans + offs
+    j = np.searchsorted(ltrans, gs, side="right") - 1
+    return [int(x) for x in gs - offs[j] + off]
+
+
 def valid_mask(v: np.ndarray) -> np.ndarray:
     """True where a key/doc value is PRESENT — ES terms/composite
     sources omit documents whose source value is missing, and None/NaN
@@ -363,6 +402,52 @@ def _load_meta_values(tbl_col) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
+def field_counts_partial(
+    field_vals: np.ndarray, weight_vals: np.ndarray | None
+) -> dict:
+    """Associative partial for the metric aggs ``value_count`` /
+    ``missing`` / ``weighted_avg``: present/missing tallies of the
+    value field, plus Σ(value·weight) and Σ(weight) over rows where
+    BOTH are present (the ES weighted_avg skip-missing default).
+    Integer-valued inputs keep the float sums exact (< 2^53), so
+    shard-order never changes the result."""
+    fv = np.asarray(field_vals)
+    ok = valid_mask(fv)
+    out = {
+        "values": (int(ok.sum()), None, None, None),
+        "missing": (int(len(fv) - ok.sum()), None, None, None),
+    }
+    if weight_vals is not None:
+        wv = np.asarray(weight_vals)
+        both = ok & valid_mask(wv)
+        v = fv[both].astype(np.float64)
+        w = wv[both].astype(np.float64)
+        out["weighted"] = (int(both.sum()), float(np.dot(v, w)),
+                           None, None)
+        out["weights"] = (int(both.sum()), float(w.sum()), None, None)
+    return out
+
+
+def metric_aggs_render(partials: list[dict]) -> dict:
+    """Merge :func:`field_counts_partial`s → the ES-shaped metric-agg
+    values (weighted_avg None when no weighted rows matched)."""
+    from .engine import merge_agg_partials
+
+    merged: dict = {}
+    for p in partials:
+        merge_agg_partials(merged, p)
+    out = {
+        "value_count": int(merged.get("values", (0,))[0]),
+        "missing": int(merged.get("missing", (0,))[0]),
+    }
+    if "weights" in merged:
+        sw = merged["weights"][1]
+        out["weighted_avg"] = (
+            merged["weighted"][1] / sw if sw else None
+        )
+    return out
+
+
 def bucket_partial(
     field_vals: np.ndarray, spec: tuple, stats_vals: np.ndarray | None
 ) -> dict:
@@ -382,7 +467,7 @@ def bucket_partial(
             if stats_vals is not None:
                 stats_vals = stats_vals[ok]
             if kind == "interval_terms":
-                arg = (arg[0], arg[1][ok])
+                arg = (arg[0], arg[1][ok]) + tuple(arg[2:])
     if kind == "interval":
         return partial_over_groups(
             floor_interval_us(field_vals, arg), stats_vals
@@ -400,19 +485,26 @@ def bucket_partial(
         )
     if kind == "interval_terms":
         # date_histogram with a terms SUB-aggregation: composite
-        # (bucket_us, term) keys — arg = (interval, group_vals).
-        # Docs with a missing group value are omitted (ES terms-source
-        # semantics).
-        interval, group_vals = arg
+        # (bucket_us, term) keys — arg = (interval, group_vals[, tz,
+        # offset]).  Docs with a missing group value are omitted (ES
+        # terms-source semantics); tz/offset shift the bucket grid
+        # exactly like the parent-only specs.
+        interval, group_vals = arg[0], arg[1]
+        tz = arg[2] if len(arg) > 2 else None
+        off = arg[3] if len(arg) > 3 else None
         ok = valid_mask(group_vals)
         if not ok.all():
             field_vals = field_vals[ok]
             group_vals = group_vals[ok]
             if stats_vals is not None:
                 stats_vals = stats_vals[ok]
-        return partial_over_pairs(
-            floor_interval_us(field_vals, interval), group_vals, stats_vals
-        )
+        if off is not None:
+            keys = floor_interval_us_offset(field_vals, interval, off, tz)
+        elif tz is not None:
+            keys = floor_interval_us_tz(field_vals, interval, tz)
+        else:
+            keys = floor_interval_us(field_vals, interval)
+        return partial_over_pairs(keys, group_vals, stats_vals)
     if kind == "histogram":
         # ES numeric histogram: key = floor((v - offset)/interval)
         #                              * interval + offset
@@ -431,6 +523,11 @@ def bucket_partial(
     if kind == "ranges":
         keys, sv = range_expand(field_vals.astype(np.float64), arg, stats_vals)
         return partial_over_groups(keys, sv)
+    if kind == "field_counts":
+        # metric aggs (value_count / missing / weighted_avg): the
+        # stats column carries the WEIGHTS; missing rows must survive
+        # to be counted, so no pre-mask applies
+        return field_counts_partial(field_vals, stats_vals)
     raise ValueError(f"unknown bucket spec {spec!r}")
 
 
@@ -461,7 +558,10 @@ def _agg_partition_task(
         spec_local = spec
         if gcol is not None:
             gv = _load_meta_values(t.column(gcol))[idx]
-            spec_local = ("interval_terms", (spec[1][0], gv))
+            spec_local = (
+                "interval_terms",
+                (spec[1][0], gv) + tuple(spec[1][2:]),
+            )
         merge_agg_partials(
             merged,
             bucket_partial(
@@ -1042,6 +1142,8 @@ def buckets_from_partials(
     interval: str | None = None,
     min_doc_count: int = 1,
     extended_bounds: tuple | None = None,
+    time_zone: str | None = None,
+    offset=None,
 ) -> list[dict]:
     """Merge partials → ES-shaped bucket rows, key ascending (the ES
     date_histogram bucket order), key as epoch micros (UTC).
@@ -1050,7 +1152,9 @@ def buckets_from_partials(
     the first and last non-empty one — the ES zero-fill — and
     ``extended_bounds=(lo, hi)`` (epoch micros or ISO strings) widens
     the enumerated span beyond the data, exactly like ES (bounds are
-    clamped to whole buckets; data outside the bounds still shows)."""
+    clamped to whole buckets; data outside the bounds still shows).
+    ``time_zone``/``offset`` put the fill on the SHIFTED grid the
+    bucket kernels used (they only matter with ``min_doc_count=0``)."""
     from .engine import merge_agg_partials
 
     merged: dict = {}
@@ -1086,8 +1190,15 @@ def buckets_from_partials(
                     if b is not None
                 ]
             if bounds:
-                for k in enumerate_bucket_keys(min(bounds), max(bounds),
-                                               interval):
+                if time_zone is not None or offset is not None:
+                    keys = enumerate_bucket_keys_shifted(
+                        min(bounds), max(bounds), interval,
+                        time_zone, offset,
+                    )
+                else:
+                    keys = enumerate_bucket_keys(min(bounds), max(bounds),
+                                                 interval)
+                for k in keys:
                     merged.setdefault(k, (0, None, None, None))
     rows = []
     numeric = isinstance(interval, tuple)

@@ -171,6 +171,17 @@ def _render_hit_dicts(
     return out
 
 
+def _sort_key(vals: np.ndarray, desc: bool) -> np.ndarray:
+    """Lexsort key for a sort-values array of EITHER dtype family:
+    numeric/date values negate for desc; STRING doc values map to
+    order-preserving dense codes (np.unique sorts) — exact-value ties
+    share a code, so tie classes survive either way."""
+    if np.issubdtype(vals.dtype, np.number):
+        return -vals if desc else vals
+    _, vinv = np.unique(vals, return_inverse=True)
+    return -vinv if desc else vinv
+
+
 def _merge_group_sorted(
     parts_list: list[dict], k: int, desc: bool, final: bool
 ) -> dict:
@@ -194,7 +205,7 @@ def _merge_group_sorted(
     for g, (c, idl, vl) in merged.items():
         ids = np.concatenate(idl)
         vals = np.concatenate(vl)
-        keyv = -vals if desc else vals
+        keyv = _sort_key(vals, desc)
         order = np.lexsort((ids, keyv))
         if final or len(order) <= k:
             sel = order[:k]
@@ -707,11 +718,7 @@ class ShardData:
         if sort is not None:
             field, direction = sort
             v = self.meta_col(field)[cand]
-            if not np.issubdtype(v.dtype, np.number):
-                raise ValueError(
-                    "top_hits sort needs a numeric/date doc-values field"
-                )
-            keyv = -v if direction == "desc" else v
+            keyv = _sort_key(v, direction == "desc")
             ug, ginv = np.unique(groups, return_inverse=True)
             order = np.lexsort((cand, keyv, ginv))
             counts = np.bincount(ginv, minlength=len(ug))
@@ -1051,6 +1058,32 @@ class ShardData:
             int(len(v)), float(v.sum()), float((v * v).sum()),
             float(v.min()), float(v.max()),
         )
+
+    def agg_field_counts(
+        self, clauses: dict, field: str, weight_field: str | None = None
+    ) -> dict:
+        """Per-shard partial for the metric aggs ``value_count`` /
+        ``missing`` / ``weighted_avg`` (see
+        ``datehist.field_counts_partial``) — associative, O(1) wire."""
+        from .datehist import field_counts_partial
+
+        ok = self._bool_eligible(
+            sorted(set(clauses.get("must", []))),
+            sorted(set(clauses.get("should", []))),
+            sorted(set(clauses.get("must_not", []))),
+            sorted(set(clauses.get("filter", []))),
+            clauses.get("msm"),
+            clauses.get("meta_filters"),
+            clauses.get("range_filters"),
+            self._postings_idx_fn(),
+        )
+        idxs = np.nonzero(ok)[0]
+        fv = self.meta_col(field)[idxs]
+        wv = (
+            self.meta_col(weight_field)[idxs]
+            if weight_field is not None else None
+        )
+        return field_counts_partial(fv, wv)
 
     def agg_values(
         self, clauses: dict, field: str, sketch_k: int | None = None
@@ -2234,6 +2267,16 @@ class _ScorerCore:
             [s.agg_extended_stats(clauses, field) for s in self.shards]
         )
 
+    def agg_field_counts(
+        self, clauses: dict, field: str, weight_field: str | None = None
+    ) -> dict:
+        merged: dict = {}
+        for s in self.shards:
+            merge_agg_partials(
+                merged, s.agg_field_counts(clauses, field, weight_field)
+            )
+        return merged
+
     def agg_values(
         self, clauses: dict, field: str, sketch_k: int | None = None
     ) -> object:
@@ -2527,8 +2570,16 @@ class QueryEngine:
         BooleanQuery scoring: a doc's score is the SUM of its matching
         scoring clauses — then merges with the standard serving tie
         contract."""
-        from .sqs import parse_simple_query_string, rewrite_fuzzy, tree_leaves
+        from .sqs import parse_simple_query_string
 
+        tree = parse_simple_query_string(
+            query, self._sqs_analyze(), default_operator
+        )
+        if tree is None:
+            return []
+        return self._eval_sqs_tree(tree, k)
+
+    def _sqs_analyze(self):
         fn = get_analyzer(
             "code" if self.analyzer_name == "per_lang" else self.analyzer_name
         )
@@ -2537,9 +2588,15 @@ class QueryEngine:
         def analyze(s: str) -> list[str]:
             return clip_tokens(fn(s), m.min_token_len, m.max_token_len)
 
-        tree = parse_simple_query_string(query, analyze, default_operator)
-        if tree is None:
-            return []
+        return analyze
+
+    def _eval_sqs_tree(self, tree: tuple, k: int) -> list[tuple[int, float]]:
+        """Ship a clause tree (sqs grammar or the compound-query nodes —
+        dismax / boosting / constscore) to every shard actor, evaluate
+        over sparse (ids, scores) algebra, merge with the standard tie
+        contract."""
+        from .sqs import rewrite_fuzzy, tree_leaves
+
         # ``word~N`` fuzzy leaves expand against the GLOBAL dictionary
         # here (one coordinator round per leaf), so every shard scores
         # the same deterministic (dist, term)-capped expansion
@@ -2560,6 +2617,60 @@ class QueryEngine:
         )
         ids, sc = merge_topk(per_actor, k, self.params.round_decimals)
         return list(zip(ids.tolist(), sc.tolist()))
+
+    def search_dis_max(
+        self, queries: list[str], tie_breaker: float = 0.0, k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``dis_max``: per doc, the MAX over the sub-queries' scores
+        plus ``tie_breaker`` × the remaining sub-queries' scores; a doc
+        matches if any sub-query matches.  Each sub-query is the
+        simple_query_string grammar (so match disjunctions, phrases,
+        prefixes and fuzzy terms all compose); sub-queries that analyze
+        away drop leniently."""
+        from .sqs import parse_simple_query_string
+
+        analyze = self._sqs_analyze()
+        trees = [parse_simple_query_string(q, analyze, "or") for q in queries]
+        trees = [t for t in trees if t is not None]
+        if not trees:
+            return []
+        return self._eval_sqs_tree(
+            ("dismax", float(tie_breaker), tuple(trees)), k
+        )
+
+    def search_boosting(
+        self, positive: str, negative: str,
+        negative_boost: float = 0.5, k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``boosting`` query: docs matching ``positive`` keep its
+        score, demoted (× ``negative_boost``) where they ALSO match
+        ``negative`` — the negative clause never adds or removes docs.
+        Both clauses take the simple_query_string grammar."""
+        from .sqs import parse_simple_query_string
+
+        analyze = self._sqs_analyze()
+        pos = parse_simple_query_string(positive, analyze, "or")
+        if pos is None:
+            return []
+        neg = parse_simple_query_string(negative, analyze, "or")
+        if neg is None:
+            return self._eval_sqs_tree(pos, k)
+        return self._eval_sqs_tree(
+            ("boosting", pos, neg, float(negative_boost)), k
+        )
+
+    def search_constant_score(
+        self, filter_query: str, boost: float = 1.0, k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``constant_score``: every doc matching the filter-context
+        query scores exactly ``boost`` (ties break doc_id ascending).
+        The filter takes the simple_query_string grammar."""
+        from .sqs import parse_simple_query_string
+
+        tree = parse_simple_query_string(filter_query, self._sqs_analyze(), "or")
+        if tree is None:
+            return []
+        return self._eval_sqs_tree(("constscore", tree, float(boost)), k)
 
     def search_regexp(self, pattern: str, k: int = 10) -> list[tuple[int, float]]:
         """ES ``regexp`` query under its default constant_score rewrite:
@@ -2736,23 +2847,6 @@ class QueryEngine:
         (driver-side enumeration, O(buckets))."""
         from .datehist import buckets_from_partials
 
-        if group_by is not None and time_zone is not None:
-            raise ValueError(
-                "date_histogram supports group_by and time_zone "
-                "separately, not combined"
-            )
-        if group_by is not None and offset is not None:
-            raise ValueError(
-                "date_histogram supports group_by and offset "
-                "separately, not combined"
-            )
-        if (time_zone is not None or offset is not None) \
-                and min_doc_count == 0:
-            raise ValueError(
-                "min_doc_count=0 zero-fill is not supported with "
-                "time_zone/offset (shifted-grid bucket enumeration is "
-                "not implemented) — drop one or the other"
-            )
         if group_by is not None:
             min_doc_count = 1  # ES zero-fill applies to the parent only
         clauses = self._query_clauses(query)
@@ -2763,6 +2857,7 @@ class QueryEngine:
                 [], stats_on, interval=interval,
                 min_doc_count=min_doc_count,
                 extended_bounds=extended_bounds,
+                time_zone=time_zone, offset=offset,
             )
         per_actor = ray.get(
             [a.agg_date_histogram.remote(clauses, field, interval, stats_on,
@@ -2772,6 +2867,7 @@ class QueryEngine:
         return buckets_from_partials(
             per_actor, stats_on, interval=interval,
             min_doc_count=min_doc_count, extended_bounds=extended_bounds,
+            time_zone=time_zone, offset=offset,
         )
 
     def filters_agg(
@@ -3030,6 +3126,29 @@ class QueryEngine:
              for a in self.actors]
         )
         return extstats_render(parts)
+
+    def metric_aggs(
+        self,
+        query: str | list[str] | dict,
+        field: str,
+        weight_field: str | None = None,
+    ) -> dict:
+        """ES ``value_count`` + ``missing`` + ``weighted_avg``
+        aggregations over the docs matching ``query``, in one actor
+        round: count of PRESENT values of ``field``, count of docs
+        MISSING it, and (with ``weight_field``) Σ(value·weight)/Σ(weight)
+        over rows where both are present — the ES skip-missing default.
+        O(1)-wire associative partials."""
+        from .datehist import metric_aggs_render
+
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return metric_aggs_render([])
+        parts = ray.get(
+            [a.agg_field_counts.remote(clauses, field, weight_field)
+             for a in self.actors]
+        )
+        return metric_aggs_render(parts)
 
     PCTL_DEFAULT = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
     PCTL_SKETCH_K = 200

@@ -55,6 +55,14 @@ import numpy as np
 #      | ("fuzzy", base_token, fuzziness)        — parse-time form
 #      | ("fuzzyexp", base_token, ((term, dist), ...))  — after rewrite
 #      | ("and" | "or" | "andnot", left, right)
+#
+# compound-query nodes (not produced by the parser — built by the
+# engines' dis_max / boosting / constant_score entry points; evaluated
+# by the same tree walker so both engines serve them through their
+# existing sqs machinery):
+#      | ("dismax", tie_breaker, (child, ...))   — max + tie·Σ(rest)
+#      | ("boosting", positive, negative, negative_boost)
+#      | ("constscore", child, boost)            — matching docs score boost
 
 # '-' is the NOT operator only at clause start (standalone token);
 # inside a word it stays part of the term ("hash-join" is one unit the
@@ -201,6 +209,14 @@ def rewrite_fuzzy(tree, expand_fn):
     if kind in ("and", "or", "andnot"):
         return (kind, rewrite_fuzzy(tree[1], expand_fn),
                 rewrite_fuzzy(tree[2], expand_fn))
+    if kind == "dismax":
+        return (kind, tree[1],
+                tuple(rewrite_fuzzy(c, expand_fn) for c in tree[2]))
+    if kind == "boosting":
+        return (kind, rewrite_fuzzy(tree[1], expand_fn),
+                rewrite_fuzzy(tree[2], expand_fn), tree[3])
+    if kind == "constscore":
+        return (kind, rewrite_fuzzy(tree[1], expand_fn), tree[2])
     if kind == "fuzzy":
         return ("fuzzyexp", tree[1], tuple(expand_fn(tree[1], tree[2])))
     return tree
@@ -215,6 +231,14 @@ def tree_leaves(tree) -> list[tuple]:
         if n[0] in ("and", "or", "andnot", "not"):
             for c in n[1:]:
                 walk(c)
+        elif n[0] == "dismax":
+            for c in n[2]:
+                walk(c)
+        elif n[0] == "boosting":
+            walk(n[1])
+            walk(n[2])
+        elif n[0] == "constscore":
+            walk(n[1])
         else:
             out.append(n)
 
@@ -261,4 +285,35 @@ def eval_tree(tree, leaf_fn):
     if kind == "andnot":
         return sqs_andnot(eval_tree(tree[1], leaf_fn),
                           eval_tree(tree[2], leaf_fn))
+    if kind == "dismax":
+        # ES dis_max: per doc, max over matching children plus
+        # tie_breaker × the other children's scores; a doc matches if
+        # ANY child matches (children iterate in given order — max and
+        # sum are order-insensitive elementwise, so floats are stable)
+        tie = tree[1]
+        parts = [eval_tree(c, leaf_fn) for c in tree[2]]
+        ids = parts[0][0]
+        for p in parts[1:]:
+            ids = np.union1d(ids, p[0])
+        best = np.zeros(len(ids), np.float64)
+        tot = np.zeros(len(ids), np.float64)
+        for p_ids, p_sc in parts:
+            aligned = np.zeros(len(ids), np.float64)
+            aligned[np.searchsorted(ids, p_ids)] = p_sc
+            np.maximum(best, aligned, out=best)
+            tot += aligned
+        return ids, best + tie * (tot - best)
+    if kind == "boosting":
+        # ES boosting: positive-clause score, demoted by
+        # ``negative_boost`` where the doc ALSO matches the negative
+        # clause (the negative clause never adds or removes docs)
+        pos_ids, pos_sc = eval_tree(tree[1], leaf_fn)
+        neg_ids, _ = eval_tree(tree[2], leaf_fn)
+        demote = np.isin(pos_ids, neg_ids, assume_unique=True)
+        return pos_ids, np.where(demote, pos_sc * tree[3], pos_sc)
+    if kind == "constscore":
+        # ES constant_score: every doc matching the (filter-context)
+        # child scores exactly ``boost``
+        ids, _ = eval_tree(tree[1], leaf_fn)
+        return ids, np.full(len(ids), float(tree[2]), np.float64)
     return leaf_fn(tree)

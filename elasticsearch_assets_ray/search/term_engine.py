@@ -636,12 +636,21 @@ def _phrase_gated_chunk_kernel(
         fetched.update(ray.get(r))
     empty = (np.empty(0, np.int64), np.empty(0, np.float64))
     slices = []
-    for t in toks:
-        e = fetched.get(t)
-        if e is None or len(e[0]) == 0:
-            return empty  # a slot absent in this chunk → no match here
-        ids_sub, _n, _df, _bl, _bm, tfs_sub, pos_sub = e
-        slices.append([(ids_sub, tfs_sub.astype(np.int64), pos_sub)])
+    for slot in toks:
+        # a slot is one term or a LIST of terms (multi-phrase slot —
+        # the match_phrase_prefix expansion union): individual
+        # expansions absent in this chunk are fine, an EMPTY slot
+        # means no match here
+        group = []
+        for t in (slot if isinstance(slot, list) else [slot]):
+            e = fetched.get(t)
+            if e is None or len(e[0]) == 0:
+                continue
+            ids_sub, _n, _df, _bl, _bm, tfs_sub, pos_sub = e
+            group.append((ids_sub, tfs_sub.astype(np.int64), pos_sub))
+        if not group:
+            return empty
+        slices.append(group)
     return _phrase_slices_compute(
         slices, list(range(len(toks))), cand, shift_bits, slop,
         slop_mode, rpt_groups,
@@ -1225,14 +1234,27 @@ class TermPartitionedEngine:
         machinery, prefix doc sets); the sparse clause algebra runs on
         the coordinator — the layout's standing trade for bool-shaped
         queries."""
-        from .sqs import eval_tree, parse_simple_query_string, rewrite_fuzzy
+        from .sqs import parse_simple_query_string
 
+        tree = parse_simple_query_string(
+            query, self._sqs_analyze(), default_operator
+        )
+        if tree is None:
+            return []
+        return self._eval_sqs_tree(tree, k)
+
+    def _sqs_analyze(self):
         def analyze(s: str) -> list[str]:
             return clip_tokens(self._analyzer(s), *self._clip)
 
-        tree = parse_simple_query_string(query, analyze, default_operator)
-        if tree is None:
-            return []
+        return analyze
+
+    def _eval_sqs_tree(self, tree: tuple, k: int) -> list[tuple[int, float]]:
+        """Evaluate a clause tree (sqs grammar or the compound-query
+        nodes — dismax / boosting / constscore) over bucket-actor
+        gathers; the sparse algebra runs on the coordinator."""
+        from .sqs import eval_tree, rewrite_fuzzy
+
         tree = rewrite_fuzzy(
             tree, lambda base, fz: self.expand_fuzzy(base, fuzziness=fz)
         )
@@ -1292,6 +1314,54 @@ class TermPartitionedEngine:
         if len(ids) == 0:
             return []
         return self._tie_cut(ids, sc, k)
+
+    def search_dis_max(
+        self, queries: list[str], tie_breaker: float = 0.0, k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``dis_max`` served from the term-partitioned layout —
+        identical semantics (and results, parity tested) to
+        :meth:`QueryEngine.search_dis_max`."""
+        from .sqs import parse_simple_query_string
+
+        analyze = self._sqs_analyze()
+        trees = [parse_simple_query_string(q, analyze, "or") for q in queries]
+        trees = [t for t in trees if t is not None]
+        if not trees:
+            return []
+        return self._eval_sqs_tree(
+            ("dismax", float(tie_breaker), tuple(trees)), k
+        )
+
+    def search_boosting(
+        self, positive: str, negative: str,
+        negative_boost: float = 0.5, k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``boosting`` query on the term-partitioned layout —
+        identical semantics to :meth:`QueryEngine.search_boosting`."""
+        from .sqs import parse_simple_query_string
+
+        analyze = self._sqs_analyze()
+        pos = parse_simple_query_string(positive, analyze, "or")
+        if pos is None:
+            return []
+        neg = parse_simple_query_string(negative, analyze, "or")
+        if neg is None:
+            return self._eval_sqs_tree(pos, k)
+        return self._eval_sqs_tree(
+            ("boosting", pos, neg, float(negative_boost)), k
+        )
+
+    def search_constant_score(
+        self, filter_query: str, boost: float = 1.0, k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``constant_score`` on the term-partitioned layout —
+        identical semantics to :meth:`QueryEngine.search_constant_score`."""
+        from .sqs import parse_simple_query_string
+
+        tree = parse_simple_query_string(filter_query, self._sqs_analyze(), "or")
+        if tree is None:
+            return []
+        return self._eval_sqs_tree(("constscore", tree, float(boost)), k)
 
     def more_like_this(
         self,
@@ -1700,15 +1770,13 @@ class TermPartitionedEngine:
         from .datehist import per_group_head
 
         if sort is not None:
+            from .engine import _sort_key
+
             field, direction = sort
             sv_parts = values_partials_over_ids(src, sids, field, "raw")
             sv_all = np.concatenate(sv_parts)
-            if not np.issubdtype(sv_all.dtype, np.number):
-                raise ValueError(
-                    "top_hits sort needs a numeric/date doc-values field"
-                )
             scs = sv_all[np.searchsorted(sids, ids)]
-            keyv = -scs if direction == "desc" else scs
+            keyv = _sort_key(scs, direction == "desc")
         ug, ginv = np.unique(g_of_hit, return_inverse=True)
         counts = np.bincount(ginv, minlength=len(ug))
         if sort is not None:
@@ -1729,7 +1797,9 @@ class TermPartitionedEngine:
                 "doc_count": int(counts[gi]),
                 "hits": [
                     (int(ids[i]),
-                     float(scs[i]) if sort is None else scs[i].item())
+                     float(scs[i]) if sort is None
+                     else (scs[i].item() if hasattr(scs[i], "item")
+                           else scs[i]))
                     for i in m
                 ],
             })
@@ -1751,6 +1821,28 @@ class TermPartitionedEngine:
         ids, src = got
         return extstats_render(
             values_partials_over_ids(src, ids, field, "extstats")
+        )
+
+    def metric_aggs(
+        self,
+        query: str | list[str],
+        field: str,
+        weight_field: str | None = None,
+    ) -> dict:
+        """ES ``value_count`` + ``missing`` + ``weighted_avg`` served
+        from the term-partitioned layout (matched ids → source docmeta
+        partition tasks, the weight column riding the stats slot) —
+        identical results to :meth:`QueryEngine.metric_aggs`."""
+        from .datehist import agg_partials_over_ids, metric_aggs_render
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return metric_aggs_render([])
+        ids, src = got
+        return metric_aggs_render(
+            agg_partials_over_ids(
+                src, ids, field, ("field_counts", None), weight_field
+            )
         )
 
     PCTL_SKETCH_K = 200
@@ -1840,23 +1932,6 @@ class TermPartitionedEngine:
         size."""
         from .datehist import buckets_from_partials, datehist_partials_over_ids
 
-        if group_by is not None and time_zone is not None:
-            raise ValueError(
-                "date_histogram supports group_by and time_zone "
-                "separately, not combined"
-            )
-        if group_by is not None and offset is not None:
-            raise ValueError(
-                "date_histogram supports group_by and offset "
-                "separately, not combined"
-            )
-        if (time_zone is not None or offset is not None) \
-                and min_doc_count == 0:
-            raise ValueError(
-                "min_doc_count=0 zero-fill is not supported with "
-                "time_zone/offset (shifted-grid bucket enumeration is "
-                "not implemented) — drop one or the other"
-            )
         if group_by is not None:
             min_doc_count = 1  # ES zero-fill applies to the parent only
         got = self._matched_ids_and_source(query)
@@ -1866,13 +1941,15 @@ class TermPartitionedEngine:
                 [], stats_on, interval=interval,
                 min_doc_count=min_doc_count,
                 extended_bounds=extended_bounds,
+                time_zone=time_zone, offset=offset,
             )
         ids, src = got
         if group_by is not None:
             from .datehist import agg_partials_over_ids
 
             partials = agg_partials_over_ids(
-                src, ids, field, ("interval_terms", (interval, group_by)),
+                src, ids, field,
+                ("interval_terms", (interval, group_by, time_zone, offset)),
                 stats_on,
             )
         elif offset is not None:
@@ -1897,6 +1974,7 @@ class TermPartitionedEngine:
         return buckets_from_partials(
             partials, stats_on, interval=interval,
             min_doc_count=min_doc_count, extended_bounds=extended_bounds,
+            time_zone=time_zone, offset=offset,
         )
 
     def expand_fuzzy(
@@ -2279,9 +2357,34 @@ class TermPartitionedEngine:
         if len(cand) == 0:
             return []
         need = sorted(set(fixed) | set(expansions))
-        got = self._fetch_phrase_postings(need, cand=cand)
+        got = self._fetch_phrase_postings(
+            need, cand=cand,
+            gated_parallel_min=self.GATED_PARALLEL_MIN_COST,
+        )
         if got is None:
             return []
+        if isinstance(got[0], str) and got[0] == "gated_parallel":
+            # huge-mass selective multi-phrase: per-chunk actor→task
+            # subset refs, the expansion union as the last slot
+            _, cand, base2 = got
+            if len(cand) == 0:
+                return []
+            idf_sum = 0.0
+            for t in list(fixed) + list(expansions):  # fixed WITH repeats
+                df = base2[t][2]
+                idf_sum += math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+            hd, pf = self._phrase_gated_parallel(
+                list(fixed) + [list(expansions)], cand
+            )
+            if len(hd) == 0:
+                return []
+            dl_term = (
+                min(set(fixed), key=lambda t: int(base2[t][2]))
+                if fixed else None
+            )
+            return self._phrase_score_tail(
+                hd, pf.astype(np.float64), idf_sum, k, dl_term=dl_term
+            )
         fetched, cand = got
         idf_sum = 0.0
         for t in list(fixed) + list(expansions):  # fixed WITH repeats
@@ -2465,11 +2568,20 @@ class TermPartitionedEngine:
         ``ray.put`` happens.  Per-query wire = the gated subset mass,
         split across chunks; compute = the shared chunk kernel in
         parallel.  Exact by per-doc independence (forced-route parity
-        tests)."""
+        tests).
+
+        ``toks`` entries may be a LIST of terms (a multi-phrase slot —
+        the match_phrase_prefix expansion union); slop modes require
+        plain single-term slots."""
         from ..index.global_merge import _term_bucket
 
+        flat_terms: set[str] = set()
+        for slot in toks:
+            flat_terms.update(slot if isinstance(slot, list) else [slot])
+        if slop > 0 and any(isinstance(s, list) for s in toks):
+            raise ValueError("multi-phrase slots support exact mode only")
         by_actor: dict[int, list[str]] = {}
-        for t in sorted(set(toks)):
+        for t in sorted(flat_terms):
             ai = self._actor_of_bucket[
                 _term_bucket(t, self._n_buckets, self._term_hash)
             ]

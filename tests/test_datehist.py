@@ -629,9 +629,29 @@ def test_date_histogram_engines_agree(tmp_path, ray_session):
         assert ta == tb and ta
         day_us = 86_400_000_000
         assert all(r["key"] % day_us != 0 for r in ta)  # NY offset
-        with pytest.raises(ValueError):
-            eng.date_histogram("alpha", field="created_at",
-                               group_by="dl", time_zone="UTC")
+
+        # group_by × time_zone combine: both engines agree and the
+        # composite keys reproduce the (tz-day-floor, group) pairs
+        from elasticsearch_assets_ray.search.datehist import (
+            floor_interval_us_tz,
+        )
+
+        gt = eng.date_histogram("alpha beta", field="created_at",
+                                interval="day", group_by="dl",
+                                time_zone="America/New_York")
+        gtt = teng.date_histogram("alpha beta", field="created_at",
+                                  interval="day", group_by="dl",
+                                  time_zone="America/New_York")
+        assert gt == gtt and gt
+        ny_us = {
+            i: int(floor_interval_us_tz(
+                np.array([ts_us[i]], dtype=np.int64), "day",
+                "America/New_York")[0])
+            for i in match
+        }
+        want_gt = _c.Counter((ny_us[i], float(dls[i])) for i in match)
+        assert {(r["key"], r["term"]): r["doc_count"] for r in gt} == \
+            dict(want_gt)
 
         # offset: both engines agree; grid shifts by the duration
         oa = eng.date_histogram("alpha beta", field="created_at",
@@ -641,9 +661,36 @@ def test_date_histogram_engines_agree(tmp_path, ray_session):
         assert oa == ob and oa
         assert all(r["key"] % 86_400_000_000 == 6 * 3_600_000_000
                    for r in oa)
-        with pytest.raises(ValueError):
-            eng.date_histogram("alpha", field="created_at",
-                               offset="+6h", min_doc_count=0)
+
+        # zero-fill on the OFFSET-shifted grid: contiguous 6h-anchored
+        # days, the non-empty run identical to the unfilled result
+        za = eng.date_histogram("alpha beta", field="created_at",
+                                interval="day", offset="+6h",
+                                min_doc_count=0)
+        zb = teng.date_histogram("alpha beta", field="created_at",
+                                 interval="day", offset="+6h",
+                                 min_doc_count=0)
+        assert za == zb and za
+        zk = [r["key"] for r in za]
+        assert zk == sorted(zk)
+        assert all(k % day_us == 6 * 3_600_000_000 for k in zk)
+        assert len(zk) == (zk[-1] - zk[0]) // day_us + 1  # contiguous
+        assert [r for r in za if r["doc_count"]] == oa
+
+        # zero-fill on the TIME_ZONE-shifted grid: strictly increasing
+        # local-day starts covering every non-empty bucket
+        zt = eng.date_histogram("alpha beta", field="created_at",
+                                interval="day",
+                                time_zone="America/New_York",
+                                min_doc_count=0)
+        ztt = teng.date_histogram("alpha beta", field="created_at",
+                                  interval="day",
+                                  time_zone="America/New_York",
+                                  min_doc_count=0)
+        assert zt == ztt and zt
+        tk = [r["key"] for r in zt]
+        assert tk == sorted(tk) and len(set(tk)) == len(tk)
+        assert [r for r in zt if r["doc_count"]] == ta
 
         # composite aggregation: paginate (month, dl) buckets in pages
         # of 5; pages concatenated must equal the brute-force full
@@ -848,11 +895,106 @@ def test_top_hits_sort_and_source(tmp_path, ray_session):
                 for b2 in c] == \
             [(b2["key"], b2["hits"]) for b2 in plain]
 
-        # non-numeric sort field fails loudly on both engines
-        with pytest.raises(ValueError):
-            eng.top_hits("alpha", group_by="tag", k=2, sort=("tag", "asc"))
-        with pytest.raises(ValueError):
-            teng.top_hits("alpha", group_by="tag", k=2, sort=("tag", "asc"))
+        # STRING sort field: lexicographic (dense order-preserving
+        # codes per shard, raw strings across the merge), ties
+        # doc-ascending — both engines vs brute force.  Group by tag,
+        # sort by tag: within a bucket every sort value ties, so this
+        # ALSO exercises the all-ties path; then a second pass grouped
+        # by a derived constant exercises real string ordering
+        for direction in ("asc", "desc"):
+            a = eng.top_hits("alpha beta", group_by="tag", k=3,
+                             sort=("tag", direction))
+            b = teng.top_hits("alpha beta", group_by="tag", k=3,
+                              sort=("tag", direction))
+            assert a == b and a, direction
+            for bkt in a:
+                members = [i for i in match if tags[i] == bkt["key"]]
+                want = sorted(members)[:3]  # all-ties → doc asc
+                assert [h["doc_id"] for h in bkt["hits"]] == want
+                assert all(h["sort"] == bkt["key"] for h in bkt["hits"])
+        # real string ordering: group by the (5-distinct) timestamp,
+        # sort by tag — tags VARY within each group, ties doc-asc
+        for direction in ("asc", "desc"):
+            a = eng.top_hits("alpha beta", group_by="created_at", k=3,
+                             sort=("tag", direction))
+            b = teng.top_hits("alpha beta", group_by="created_at", k=3,
+                              sort=("tag", direction))
+            assert a == b and a, direction
+            rev = direction == "desc"
+            for bkt in a:
+                members = [i for i in match if int(ts_us[i]) == bkt["key"]]
+                want = sorted(
+                    members,
+                    key=lambda i: ((-ord(tags[i][1]) if rev
+                                    else ord(tags[i][1])), i),
+                )[:3]
+                assert [h["doc_id"] for h in bkt["hits"]] == want
+                assert [h["sort"] for h in bkt["hits"]] == \
+                    [tags[i] for i in want]
+    finally:
+        eng.shutdown()
+        teng.shutdown()
+
+
+def test_metric_aggs_value_count_missing_weighted(tmp_path, ray_session):
+    """value_count / missing / weighted_avg over a meta column WITH
+    nulls (every 3rd doc missing): present/missing tallies, and the
+    weighted average skipping rows where either side is missing — both
+    engines vs brute force."""
+    from elasticsearch_assets_ray.config import BM25Params, IndexConfig
+    from elasticsearch_assets_ray.index.build import build_index
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    src = tmp_path / "docs.parquet"
+    rng = np.random.default_rng(7)
+    n = 80
+    words = ["alpha", "beta", "gamma"]
+    texts = [
+        " ".join(words[j] for j in rng.integers(0, 3, rng.integers(2, 7)))
+        for _ in range(n)
+    ]
+    score = [None if i % 3 == 0 else float(i % 11) for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts),
+                "score": pa.array(score, pa.float64()),
+            }
+        ),
+        src,
+    )
+    cfg = IndexConfig(
+        analyzer="simple", text_col="text", lang_col=None, id_col="doc_id",
+        meta_cols=("score",),
+        partition_target_docs=12, shard_target_docs=30,
+    )
+    idx = tmp_path / "idx"
+    build_index(str(src), idx, cfg)
+    gdir = tmp_path / "global"
+    merge_global_postings(idx, gdir, n_salts=2, n_buckets=4,
+                          store_norms=True)
+    eng = QueryEngine(idx, num_actors=2, params=BM25Params(round_decimals=4))
+    teng = TermPartitionedEngine(gdir, num_actors=2, round_decimals=4)
+    match = [i for i, t in enumerate(texts)
+             if {"alpha", "beta"} & set(t.split())]
+    dls = [len(t.split()) for t in texts]
+    try:
+        a = eng.metric_aggs("alpha beta", field="score", weight_field="dl")
+        b = teng.metric_aggs("alpha beta", field="score", weight_field="dl")
+        present = [i for i in match if score[i] is not None]
+        want_vw = sum(score[i] * dls[i] for i in present)
+        want_w = sum(dls[i] for i in present)
+        for got in (a, b):
+            assert got["value_count"] == len(present)
+            assert got["missing"] == len(match) - len(present)
+            assert abs(got["weighted_avg"] - want_vw / want_w) < 1e-12
+        # no weight field: tallies only
+        c = eng.metric_aggs("alpha beta", field="score")
+        assert c == {"value_count": len(present),
+                     "missing": len(match) - len(present)}
     finally:
         eng.shutdown()
         teng.shutdown()

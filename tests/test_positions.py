@@ -864,6 +864,13 @@ def test_global_phrase_prefix_matches_doc_engine(pos_index, tmp_path):
     par = TermPartitionedEngine(out, num_actors=2)
     par.PHRASE_PARALLEL_MIN_MASS = 0
     par.PHRASE_PARALLEL_TASKS = 3
+    # forced GATED-PARALLEL multi-phrase: per-chunk actor→task subset
+    # refs with the expansion union as a multi-term slot
+    gpar = TermPartitionedEngine(out, num_actors=2)
+    gpar.CACHE_MAX_POSTINGS = 0
+    gpar.PHRASE_GATE_FRAC = 10.0
+    gpar.GATED_PARALLEL_MIN_COST = 0
+    gpar.PHRASE_PARALLEL_TASKS = 3
     deng = QueryEngine(pos_index.index_dir, num_actors=2)
     try:
         for phrase, me in [("def me", 50), ("return da", 50),
@@ -882,8 +889,12 @@ def test_global_phrase_prefix_matches_doc_engine(pos_index, tmp_path):
             assert par.search_phrase_prefix(
                 phrase, k=1000, max_expansions=me
             ) == got, ("parallel", phrase)
+            assert gpar.search_phrase_prefix(
+                phrase, k=1000, max_expansions=me
+            ) == got, ("gated-parallel", phrase)
     finally:
         geng.shutdown()
         gated.shutdown()
         par.shutdown()
+        gpar.shutdown()
         deng.shutdown()

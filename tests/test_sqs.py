@@ -221,3 +221,65 @@ def test_sqs_engines_match_brute_force(pos_index, corpus_toks, ray_session, tmp_
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+COMPOUND_CASES = [
+    ("dismax", (["merge data", '"def merge"', "imp*"], 0.3)),
+    ("dismax", (["merge", "data"], 0.0)),
+    ("boosting", ("merge data", "import", 0.4)),
+    ("boosting", ("merge | data", "zzz", 0.5)),
+    ("constscore", ("merge | imp*", 2.5)),
+]
+
+
+def test_compound_queries_match_brute_force(pos_index, corpus_toks,
+                                            ray_session, tmp_path):
+    """dis_max / boosting / constant_score: both engines vs the brute
+    scorer (the compound nodes evaluate in the SHARED eval_tree, so the
+    brute oracle exercises the same walker over brute leaves)."""
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    out = tmp_path / "global_compound"
+    merge_global_postings(pos_index.index_dir, out, n_salts=2,
+                          n_buckets=4, store_norms=True)
+    eng = QueryEngine(pos_index.index_dir, num_actors=2)
+    teng = TermPartitionedEngine(out, num_actors=2)
+    try:
+        for kind, args in COMPOUND_CASES:
+            if kind == "dismax":
+                qs, tie = args
+                got = eng.search_dis_max(qs, tie_breaker=tie, k=1000)
+                got_t = teng.search_dis_max(qs, tie_breaker=tie, k=1000)
+                subtrees = tuple(
+                    t for q in qs
+                    if (t := parse_simple_query_string(q, _an, "or"))
+                    is not None
+                )
+                tree = ("dismax", tie, subtrees)
+            elif kind == "boosting":
+                pos_q, neg_q, nb = args
+                got = eng.search_boosting(pos_q, neg_q, nb, k=1000)
+                got_t = teng.search_boosting(pos_q, neg_q, nb, k=1000)
+                tree = ("boosting",
+                        parse_simple_query_string(pos_q, _an, "or"),
+                        parse_simple_query_string(neg_q, _an, "or"), nb)
+            else:
+                fq, boost = args
+                got = eng.search_constant_score(fq, boost=boost, k=1000)
+                got_t = teng.search_constant_score(fq, boost=boost, k=1000)
+                tree = ("constscore",
+                        parse_simple_query_string(fq, _an, "or"), boost)
+            ids, sc = _brute_sqs(corpus_toks, tree)
+            order = np.lexsort((ids, -sc))
+            want = [(int(ids[i]), float(sc[i])) for i in order]
+            assert [d for d, _ in got] == [d for d, _ in want], (kind, args)
+            for (_, s1), (_, s2) in zip(got, want):
+                assert abs(s1 - s2) < 1e-9, (kind, args)
+            assert [d for d, _ in got_t] == [d for d, _ in got], (kind, args)
+            for (_, s1), (_, s2) in zip(got_t, got):
+                assert abs(s1 - s2) < 1e-9, (kind, args)
+    finally:
+        eng.shutdown()
+        teng.shutdown()
