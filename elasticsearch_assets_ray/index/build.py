@@ -475,6 +475,16 @@ def parse_derived_meta(spec: str):
             return pa.array(sec * 1_000_000).cast(pa.timestamp("us"))
 
         return name, (src,), fn
+    if kind == "len_of":
+        # character length of a string column (an ES ingest `script`
+        # staple; gives schema-light corpora a numeric doc-values field)
+        (src,) = args
+
+        def fn(tbl: pa.Table) -> pa.Array:
+            return pc.utf8_length(tbl.column(src)).cast(pa.int64()) \
+                .combine_chunks()
+
+        return name, (src,), fn
     raise ValueError(f"unknown derived_meta kind {kind!r} in {spec!r}")
 
 

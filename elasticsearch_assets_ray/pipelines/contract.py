@@ -1487,6 +1487,157 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES ``query_string`` (the classic Lucene ``q=`` syntax the reference
+# forwards verbatim, ``asset/elasticsearch_reader/index.js:118-122``):
+# (qid, query, default_operator) — one of each clause shape: AND/OR
+# precedence, NOT, a keyword-field (docmeta) clause, a boosted phrase,
+# a numeric range, a date range, an in-word wildcard + required term
+QSTR_QUERIES: list[tuple[int, str, str]] = [
+    (0, "hash AND join OR merge", "or"),
+    (1, "customer order NOT table", "or"),
+    (2, "lang:de scan", "or"),
+    (3, '"hash join"^2 scan', "or"),
+    (4, "n_chars:[150 TO 300] AND scan", "or"),
+    (5, "qu*ry +scan", "or"),
+    (6, "created_at:[2024-03-01 TO 2024-06-01] AND scan", "or"),
+]
+
+
+def _q_query_string(engine, idx: str) -> pa.Table:
+    per_q = {
+        qid: engine.search_query_string(q, k=K_FETCH, default_operator=op)
+        for qid, q, op in QSTR_QUERIES
+    }
+    return _bm25_rerank(per_q, idx)
+
+
+def q_query_string(sf_dir: str) -> pa.Table:
+    """ES ``query_string``: the classic Lucene query syntax (AND/OR/NOT
+    keywords, ``field:value`` docmeta clauses, ``[a TO b]`` ranges,
+    ``^boost``, wildcards, ``+``/``-`` occur modifiers) compiled to a
+    clause tree (search/qs.py) and evaluated per shard over sparse
+    (ids, scores) algebra; docmeta leaves mask the shard's doc values
+    in-memory.  Scoring: Lucene BooleanQuery sum of matching clauses;
+    keyword/range clauses score constant 1.0 (disclosed divergence for
+    keyword terms; ES's own constant_score rewrite for ranges)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_query_string(engine, idx)
+    finally:
+        engine.shutdown()
+
+
+def q_query_string_global(sf_dir: str) -> pa.Table:
+    """The SAME query_string queries served from the TERM-partitioned
+    layout: text leaves gather from bucket actors, docmeta leaves scan
+    the source docmeta lineage column-pruned (keyword fields are not
+    inverted in this layout — disclosed) — same SQL oracle."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_query_string(eng, idx)
+    finally:
+        eng.shutdown()
+
+
+def sql_query_string() -> str:
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    # created_at bounds in epoch SECONDS (engine compares epoch micros;
+    # CREATED_SQL's derivation is in seconds — same predicate)
+    mar1, jun1 = 1_709_251_200, 1_717_200_000
+    created_s = (
+        f"({CREATED_EPOCH0} + (doc_id * {CREATED_MULT}) % {CREATED_MOD_S})"
+    )
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+ts AS (SELECT tf.doc_id, tf.t,
+              ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+       FROM tf JOIN df ON df.t = tf.t
+       JOIN dl ON dl.doc_id = tf.doc_id, s
+       WHERE tf.t IN ('hash', 'join', 'merge', 'customer', 'order', 'scan')),
+phidf AS (SELECT sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+          FROM df, s WHERE df.t IN ('hash', 'join')),
+phpf AS (SELECT p0.doc_id, count(*)::DOUBLE AS pf
+         FROM toksp p0
+         JOIN toksp p1 ON p1.doc_id = p0.doc_id
+          AND p1.pos = p0.pos + 1 AND p1.t = 'join'
+         WHERE p0.t = 'hash' GROUP BY 1),
+ph AS (SELECT phpf.doc_id,
+              phidf.idf_sum * pf * ({K1} + 1)
+                / (pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+       FROM phpf JOIN dl ON dl.doc_id = phpf.doc_id, s, phidf),
+sc AS (SELECT doc_id, score FROM ts WHERE t = 'scan'),
+hj AS (SELECT h.doc_id, h.score + j.score AS score
+       FROM (SELECT doc_id, score FROM ts WHERE t = 'hash') h
+       JOIN (SELECT doc_id, score FROM ts WHERE t = 'join') j
+         ON j.doc_id = h.doc_id),
+d0 AS (SELECT doc_id FROM hj UNION
+       SELECT doc_id FROM ts WHERE t = 'merge'),
+s0 AS (SELECT 0 AS query_id, d0.doc_id,
+              coalesce(hj.score, 0) + coalesce(m.score, 0) AS score
+       FROM d0
+       LEFT JOIN hj ON hj.doc_id = d0.doc_id
+       LEFT JOIN (SELECT doc_id, score FROM ts WHERE t = 'merge') m
+         ON m.doc_id = d0.doc_id),
+d1 AS (SELECT doc_id FROM ts WHERE t = 'customer' UNION
+       SELECT doc_id FROM ts WHERE t = 'order'),
+s1 AS (SELECT 1 AS query_id, d1.doc_id,
+              coalesce(c.score, 0) + coalesce(o.score, 0) AS score
+       FROM d1
+       LEFT JOIN (SELECT doc_id, score FROM ts WHERE t = 'customer') c
+         ON c.doc_id = d1.doc_id
+       LEFT JOIN (SELECT doc_id, score FROM ts WHERE t = 'order') o
+         ON o.doc_id = d1.doc_id
+       WHERE d1.doc_id NOT IN (SELECT doc_id FROM toks WHERE t = 'table')),
+d2 AS (SELECT doc_id FROM documents WHERE lang = 'de' UNION
+       SELECT doc_id FROM sc),
+s2 AS (SELECT 2 AS query_id, d2.doc_id,
+              (CASE WHEN dd.lang = 'de' THEN 1.0 ELSE 0 END)
+              + coalesce(sc.score, 0) AS score
+       FROM d2
+       JOIN documents dd ON dd.doc_id = d2.doc_id
+       LEFT JOIN sc ON sc.doc_id = d2.doc_id),
+d3 AS (SELECT doc_id FROM ph UNION SELECT doc_id FROM sc),
+s3 AS (SELECT 3 AS query_id, d3.doc_id,
+              2.0 * coalesce(p.score, 0) + coalesce(sc.score, 0) AS score
+       FROM d3
+       LEFT JOIN ph p ON p.doc_id = d3.doc_id
+       LEFT JOIN sc ON sc.doc_id = d3.doc_id),
+s4 AS (SELECT 4 AS query_id, sc.doc_id, 1.0 + sc.score AS score
+       FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+       WHERE d.n_chars BETWEEN 150 AND 300),
+wc AS (SELECT DISTINCT doc_id FROM toks WHERE t LIKE 'qu%ry'),
+s5 AS (SELECT 5 AS query_id, sc.doc_id,
+              sc.score + (CASE WHEN wc.doc_id IS NULL THEN 0 ELSE 1.0 END)
+                AS score
+       FROM sc LEFT JOIN wc ON wc.doc_id = sc.doc_id),
+s6 AS (SELECT 6 AS query_id, sc.doc_id, 1.0 + sc.score AS score
+       FROM sc
+       WHERE {created_s} BETWEEN {mar1} AND {jun1}),
+allq AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+         UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+         UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5
+         UNION ALL SELECT * FROM s6)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM allq
+QUALIFY rank <= {TOPK}
+"""
+
+
 # ES metric aggs value_count / missing / weighted_avg: (qid, text,
 # value field, weight field)
 METRIC_AGG_QUERIES: list[tuple[int, str, str, str]] = [
@@ -5611,6 +5762,8 @@ def queries():
         "simple_query_string_global": q_sqs_global,
         "sqs_fuzzy": q_sqs_fuzzy,
         "sqs_fuzzy_global": q_sqs_fuzzy_global,
+        "query_string": q_query_string,
+        "query_string_global": q_query_string_global,
         "decay_score": q_decay_score,
         "decay_score_global": q_decay_score_global,
         "compound_queries": q_compound,
@@ -5727,6 +5880,8 @@ def oracle_sql():
         "simple_query_string_global": sql_sqs(),
         "sqs_fuzzy": sql_sqs_fuzzy(),
         "sqs_fuzzy_global": sql_sqs_fuzzy(),
+        "query_string": sql_query_string(),
+        "query_string_global": sql_query_string(),
         "decay_score": sql_decay_score(),
         "decay_score_global": sql_decay_score(),
         "compound_queries": sql_compound(),

@@ -1049,6 +1049,67 @@ def _route_ids_to_partitions(
 
 
 @ray.remote
+def _meta_match_partition_task(
+    paths: list[str], bases: list[int], field: str, pred: tuple
+) -> np.ndarray:
+    """Matching GLOBAL doc ids of a docmeta-partition group for one
+    query_string docmeta predicate (column-pruned read; predicate
+    semantics shared with the shard engine via ``qs.meta_pred_mask``)."""
+    from .qs import meta_pred_mask
+
+    out = []
+    for path, base in zip(paths, bases):
+        t = pq.read_table(path, columns=[field])
+        vals = _load_meta_values(t.column(field))
+        idx = np.nonzero(meta_pred_mask(vals, pred))[0]
+        if len(idx):
+            out.append(idx.astype(np.int64) + base)
+    return (
+        np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    )
+
+
+def meta_match_ids(
+    index_dir: str | Path,
+    field: str,
+    pred: tuple,
+    partitions_per_task: int = 16,
+) -> np.ndarray:
+    """All live doc ids matching a docmeta predicate — the
+    term-partitioned engine's ``field:value`` / range leaf.  Keyword
+    fields are NOT inverted in this layout (ES indexes them; disclosed),
+    so this is a partition-parallel column-pruned SCAN of the source
+    docmeta lineage — work ∝ partitions × one column.  The global
+    layout refuses to build over tombstoned indexes
+    (``index/global_merge.py:174-182``), so every docmeta row is live.
+    An unmapped field returns empty (the lenient mapping)."""
+    from ..index.build import IndexInfo, docmeta_path
+
+    info = IndexInfo(index_dir)
+    parts = sorted(info.manifest.partitions, key=lambda p: p.doc_base)
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    first = str(docmeta_path(index_dir, parts[0].partition_id))
+    if field not in set(pq.read_schema(first).names):
+        return np.empty(0, dtype=np.int64)
+    paths = [str(docmeta_path(index_dir, p.partition_id)) for p in parts]
+    bases = [p.doc_base for p in parts]
+    futs = [
+        _meta_match_partition_task.remote(
+            paths[i: i + partitions_per_task],
+            bases[i: i + partitions_per_task],
+            field,
+            pred,
+        )
+        for i in range(0, len(paths), partitions_per_task)
+    ]
+    got = [g for g in ray.get(futs) if len(g)]
+    if not got:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(got))
+
+
+@ray.remote
 def _distinct_partition_task(
     paths: list[str],
     local_idx: list[np.ndarray],

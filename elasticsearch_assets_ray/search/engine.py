@@ -1224,6 +1224,26 @@ class ShardData:
         dictionary — supported, as in ES, but inherently a scan."""
         return wildcard_expand_sorted(self.term_list, pattern, cap)
 
+    def _meta_leaf(self, node: tuple) -> tuple[np.ndarray, np.ndarray]:
+        """query_string docmeta leaf (``field:value`` / ranges) over
+        this shard's doc values: live matching GLOBAL ids, each scoring
+        a constant 1.0 (filter-context semantics — divergence from ES
+        keyword TermQuery idf scoring disclosed in search/qs.py).  An
+        unmapped field matches nothing (the ES lenient mapping)."""
+        from .qs import meta_pred_mask
+
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        try:
+            vals = self.meta_col(node[1])
+        except Exception:
+            return empty
+        pred = ("term", node[2]) if node[0] == "metaterm" \
+            else ("range",) + tuple(node[2:])
+        mask = meta_pred_mask(vals, pred) & ~self.deleted_mask
+        idx = np.nonzero(mask)[0]
+        return ((idx + self.doc_base).astype(np.int64),
+                np.ones(len(idx), np.float64))
+
     def wildcard_docs(self, pattern: str, k: int) -> np.ndarray:
         """ES ``wildcard`` query (constant_score rewrite): the k smallest
         live GLOBAL doc ids containing any matching term."""
@@ -1302,6 +1322,13 @@ class ShardData:
                 cand = np.nonzero(hit)[0]
                 return ((cand + self.doc_base).astype(np.int64),
                         sc_all[cand])
+            if node[0] == "wildcard":
+                # ES wildcard under its constant_score rewrite — the
+                # query_string ``te*t`` / ``te?t`` leaf
+                docs = self.wildcard_docs(node[1], k=1 << 62)
+                return docs, np.ones(len(docs), np.float64)
+            if node[0] in ("metaterm", "metarange"):
+                return self._meta_leaf(node)
             raise ValueError(f"unknown sqs leaf {node[0]!r}")
 
         ids, sc = eval_tree(tree, leaf)
@@ -2574,6 +2601,28 @@ class QueryEngine:
 
         tree = parse_simple_query_string(
             query, self._sqs_analyze(), default_operator
+        )
+        if tree is None:
+            return []
+        return self._eval_sqs_tree(tree, k)
+
+    def search_query_string(
+        self, query: str, k: int = 10, default_operator: str = "or",
+    ) -> list[tuple[int, float]]:
+        """ES ``query_string``: the classic Lucene query syntax — the
+        ``q=`` string the reference forwards verbatim to ES
+        (``asset/elasticsearch_reader/index.js:118-122``).  AND/OR/NOT
+        and ``&&``/``||``/``!``, ``+``/``-`` occur modifiers, parens,
+        ``field:value`` docmeta clauses, ``[a TO b]``/cmp ranges,
+        ``clause^boost``, phrases (``"…"~N``), wildcards (``te*t``),
+        fuzzy (``word~N``) — grammar, scoring and disclosed divergences
+        in :mod:`.qs`.  Evaluates on the shard actors over the same
+        sparse clause algebra as ``simple_query_string``."""
+        from .qs import parse_query_string
+
+        tree = parse_query_string(
+            query, self._sqs_analyze(), default_operator,
+            default_field=self.info.manifest.text_col,
         )
         if tree is None:
             return []

@@ -63,6 +63,12 @@ import numpy as np
 #      | ("dismax", tie_breaker, (child, ...))   — max + tie·Σ(rest)
 #      | ("boosting", positive, negative, negative_boost)
 #      | ("constscore", child, boost)            — matching docs score boost
+#
+# query_string nodes (built by search/qs.py, same walker; its docmeta
+# leaves — metaterm/metarange/wildcard — are engine-specific):
+#      | ("boost", child, factor)                — scores × factor
+#      | ("filter", scored, required)            — scored ∩ required docs,
+#                                                  scored's scores (MUST gate)
 
 # '-' is the NOT operator only at clause start (standalone token);
 # inside a word it stays part of the term ("hash-join" is one unit the
@@ -206,9 +212,11 @@ def rewrite_fuzzy(tree, expand_fn):
     if tree is None:
         return None
     kind = tree[0]
-    if kind in ("and", "or", "andnot"):
+    if kind in ("and", "or", "andnot", "filter"):
         return (kind, rewrite_fuzzy(tree[1], expand_fn),
                 rewrite_fuzzy(tree[2], expand_fn))
+    if kind == "boost":
+        return (kind, rewrite_fuzzy(tree[1], expand_fn), tree[2])
     if kind == "dismax":
         return (kind, tree[1],
                 tuple(rewrite_fuzzy(c, expand_fn) for c in tree[2]))
@@ -228,9 +236,11 @@ def tree_leaves(tree) -> list[tuple]:
     def walk(n):
         if n is None:
             return
-        if n[0] in ("and", "or", "andnot", "not"):
+        if n[0] in ("and", "or", "andnot", "not", "filter"):
             for c in n[1:]:
                 walk(c)
+        elif n[0] == "boost":
+            walk(n[1])
         elif n[0] == "dismax":
             for c in n[2]:
                 walk(c)
@@ -316,4 +326,16 @@ def eval_tree(tree, leaf_fn):
         # child scores exactly ``boost``
         ids, _ = eval_tree(tree[1], leaf_fn)
         return ids, np.full(len(ids), float(tree[2]), np.float64)
+    if kind == "boost":
+        ids, sc = eval_tree(tree[1], leaf_fn)
+        return ids, sc * float(tree[2])
+    if kind == "filter":
+        # Lucene MUST gate: the scored side's docs restricted to those
+        # also matching the required side — scores unchanged (the
+        # required clause already contributed once inside the scored
+        # side's sum; no double counting)
+        a = eval_tree(tree[1], leaf_fn)
+        b = eval_tree(tree[2], leaf_fn)
+        keep = np.isin(a[0], b[0], assume_unique=True)
+        return a[0][keep], a[1][keep]
     return leaf_fn(tree)

@@ -1249,6 +1249,31 @@ class TermPartitionedEngine:
 
         return analyze
 
+    def search_query_string(
+        self, query: str, k: int = 10, default_operator: str = "or",
+    ) -> list[tuple[int, float]]:
+        """ES ``query_string`` (the classic Lucene ``q=`` syntax) served
+        from the term-partitioned layout — same grammar, scoring and
+        results as :meth:`QueryEngine.search_query_string` (parity
+        tested).  Text leaves gather from the bucket actors; docmeta
+        leaves (``field:value``, ranges) scan the source docmeta
+        lineage column-pruned (``datehist.meta_match_ids``)."""
+        from .qs import parse_query_string
+
+        src = self.meta.get("source_index")
+        text_col = "content"
+        if src:
+            from ..index.build import IndexInfo
+
+            text_col = IndexInfo(src).manifest.text_col
+        tree = parse_query_string(
+            query, self._sqs_analyze(), default_operator,
+            default_field=text_col,
+        )
+        if tree is None:
+            return []
+        return self._eval_sqs_tree(tree, k)
+
     def _eval_sqs_tree(self, tree: tuple, k: int) -> list[tuple[int, float]]:
         """Evaluate a clause tree (sqs grammar or the compound-query
         nodes — dismax / boosting / constscore) over bucket-actor
@@ -1301,6 +1326,25 @@ class TermPartitionedEngine:
                 )
             elif node[0] == "prefix":
                 res = self.search_prefix(node[1], k=1 << 30)
+            elif node[0] == "wildcard":
+                res = self.search_wildcard(node[1], k=1 << 30)
+            elif node[0] in ("metaterm", "metarange"):
+                # query_string docmeta leaf: keyword fields are not
+                # inverted in this layout — a partition-parallel
+                # column-pruned scan of the source docmeta lineage
+                # (shared predicate semantics: qs.meta_pred_mask)
+                from .datehist import meta_match_ids
+
+                src = self.meta.get("source_index")
+                if not src:
+                    raise RuntimeError(
+                        "global layout predates source_index metadata — "
+                        "rebuild merge_global_postings for docmeta leaves"
+                    )
+                pred = ("term", node[2]) if node[0] == "metaterm" \
+                    else ("range",) + tuple(node[2:])
+                ids = meta_match_ids(src, node[1], pred)
+                return ids, np.ones(len(ids), np.float64)
             else:
                 raise ValueError(f"unknown sqs leaf {node[0]!r}")
             if not res:
