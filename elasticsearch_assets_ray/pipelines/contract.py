@@ -1487,6 +1487,139 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES ``function_score`` with a FUNCTIONS LIST (filters/weights +
+# score_mode/boost_mode/max_boost) incl. script_score and the
+# deterministic random_score: (qid, text, functions, score_mode,
+# boost_mode, max_boost) — one of each combination shape
+FSM_QUERIES: list[tuple] = [
+    (0, "hash join",
+     [{"type": "field_value_factor", "field": "n_chars",
+       "factor": 0.01, "modifier": "log1p"},
+      {"type": "decay", "function": "gauss", "field": "n_chars",
+       "origin": 300.0, "scale": 100.0}],
+     "sum", "multiply", None),
+    (1, "customer order",
+     [{"type": "weight", "weight": 2.0,
+       "filter": {"field": "lang", "term": "de"}},
+      {"type": "weight", "weight": 1.5,
+       "filter": {"field": "lang", "term": "es"}}],
+     "sum", "sum", None),
+    (2, "table scan",
+     [{"type": "script_score",
+       "script": "log(1 + n_chars) * 0.1 + _score * 0.5"}],
+     "multiply", "replace", None),
+    (3, "merge",
+     [{"type": "random_score", "seed": 42, "field": "orig_id",
+       "weight": 0.5}],
+     "sum", "sum", None),
+    (4, "customer order value",
+     [{"type": "field_value_factor", "field": "n_chars",
+       "modifier": "sqrt", "weight": 2.0},
+      {"type": "weight", "weight": 3.0,
+       "filter": {"field": "n_chars", "range": [350, None, True, False]}}],
+     "avg", "multiply", None),
+    (5, "hash join",
+     [{"type": "field_value_factor", "field": "n_chars",
+       "modifier": "sqrt"},
+      {"type": "weight", "weight": 4.0}],
+     "first", "multiply", 20.0),
+]
+
+
+def _q_function_score_multi(engine, idx: str) -> pa.Table:
+    per_q = {
+        qid: engine.search_function_score_multi(
+            text, specs, score_mode=sm, boost_mode=bm, max_boost=mb,
+            k=K_FETCH,
+        )
+        for qid, text, specs, sm, bm, mb in FSM_QUERIES
+    }
+    return _bm25_rerank(per_q, idx)
+
+
+def q_function_score_multi(sf_dir: str) -> pa.Table:
+    """ES ``function_score`` with a FUNCTIONS LIST: per-function docmeta
+    filters and weights, score_mode (sum/multiply/avg/first)
+    combination, max_boost cap, boost_mode application — including
+    ``script_score`` (vectorized expression subset over doc values and
+    ``_score``) and the DETERMINISTIC ``random_score`` (Knuth hash —
+    SQL-reproducible, unlike ES's internal hash; disclosed).  Kernel
+    shared by both engines: search/funcscore.py."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_function_score_multi(engine, idx)
+    finally:
+        engine.shutdown()
+
+
+def q_function_score_multi_global(sf_dir: str) -> pa.Table:
+    """The SAME multi-function function_score queries served from the
+    TERM-partitioned layout (all touched doc-values columns hydrate
+    once, id-aligned, from the source docmeta lineage) — same SQL
+    oracle."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_function_score_multi(eng, idx)
+    finally:
+        eng.shutdown()
+
+
+def sql_function_score_multi() -> str:
+    values = ", ".join(f"({qid}, '{t}')" for qid, t, *_ in FSM_QUERIES)
+    # per-query final-score expression over scored.score + doc values
+    # (d.n_chars, d.lang, d.doc_id) — mirrors funcscore.py exactly
+    g = ("exp(ln(0.5) * pow(greatest(abs(d.n_chars - 300.0), 0.0)"
+         " / 100.0, 2))")
+    cases = {
+        0: ("scored.score * (log10(1 + 0.01 * d.n_chars) + " + g + ")"),
+        1: ("scored.score + (CASE WHEN d.lang = 'de' THEN 2.0 "
+            "WHEN d.lang = 'es' THEN 1.5 ELSE 0 END)"),
+        2: "ln(1 + d.n_chars) * 0.1 + scored.score * 0.5",
+        3: ("scored.score + 0.5 * (((d.doc_id + 42) * 2654435761) "
+            "% 4294967296) / 4294967296.0"),
+        4: ("scored.score * (CASE WHEN d.n_chars >= 350 "
+            "THEN (2.0 * sqrt(d.n_chars) + 3.0) / 5.0 "
+            "ELSE (2.0 * sqrt(d.n_chars)) / 2.0 END)"),
+        5: "scored.score * least(sqrt(d.n_chars), 20.0)",
+    }
+    case = ("CASE scored.query_id "
+            + " ".join(f"WHEN {q} THEN {e}" for q, e in cases.items())
+            + " END")
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    qtoks = _TOKS.format(id="query_id", text="qtext", src="q")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+q(query_id, qtext) AS (VALUES {values}),
+qt AS (SELECT DISTINCT doc_id AS query_id, t AS tq FROM ({qtoks})),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM qt
+  JOIN tf ON tf.t = qt.tq
+  JOIN df ON df.t = qt.tq
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(final, 4) DESC, doc_id) AS rank,
+       round(final, 4) AS score_r
+FROM (SELECT scored.query_id, scored.doc_id, {case} AS final
+      FROM scored JOIN documents d ON d.doc_id = scored.doc_id)
+QUALIFY rank <= {TOPK}
+"""
+
+
 # ES ``query_string`` (the classic Lucene ``q=`` syntax the reference
 # forwards verbatim, ``asset/elasticsearch_reader/index.js:118-122``):
 # (qid, query, default_operator) — one of each clause shape: AND/OR
@@ -5772,6 +5905,8 @@ def queries():
         "metric_aggs_global": q_metric_aggs_global,
         "function_score": q_function_score,
         "function_score_global": q_function_score_global,
+        "function_score_multi": q_function_score_multi,
+        "function_score_multi_global": q_function_score_multi_global,
         "meta_filter_search": q_meta_filter_search,
         "match_agg_lang": q_match_agg,
         "match_agg_lang_global": q_match_agg_global,
@@ -5890,6 +6025,8 @@ def oracle_sql():
         "metric_aggs_global": sql_metric_aggs(),
         "function_score": sql_function_score(),
         "function_score_global": sql_function_score(),
+        "function_score_multi": sql_function_score_multi(),
+        "function_score_multi_global": sql_function_score_multi(),
         "meta_filter_search": sql_meta_filter_search(),
         "match_agg_lang": sql_match_agg(),
         "match_agg_lang_global": sql_match_agg(),

@@ -1419,6 +1419,46 @@ class ShardData:
             k, params.round_decimals,
         )
 
+    def function_score_multi_topk(
+        self, terms: list[str], idf: dict, params: "BM25Params",
+        avgdl: float, k: int, specs: list[dict], score_mode: str,
+        boost_mode: str, max_boost: float | None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-shard ES ``function_score`` with a FUNCTIONS LIST
+        (per-function filters/weights, score_mode/boost_mode/max_boost):
+        BM25 over the match disjunction, then the shared multi-function
+        kernel (:mod:`.funcscore`) over this shard's doc values —
+        vectorized in-shard, no driver hydration."""
+        from .funcscore import combine_function_score
+
+        k1, b = params.k1, params.b
+        postings_idx = self._postings_idx_fn()
+        n = self.num_docs
+        scores = np.zeros(n, dtype=np.float64)
+        hit = np.zeros(n, dtype=bool)
+        for t in sorted(set(terms)):
+            p = postings_idx(t)
+            if p is None:
+                continue
+            idx, tfs = p
+            tf = tfs.astype(np.float64)
+            dl = self.dl[idx]
+            scores[idx] += (idf[t] * tf * (k1 + 1.0)
+                            / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            hit[idx] = True
+        hit &= ~self.deleted_mask
+        cand = np.nonzero(hit)[0]
+        if len(cand) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        final = combine_function_score(
+            scores[cand], specs, lambda f: self.meta_col(f)[cand],
+            score_mode, boost_mode, max_boost,
+        )
+        return merge_topk(
+            [((cand + self.doc_base).astype(np.int64), final)],
+            k, params.round_decimals,
+        )
+
     def expand_regexp(self, pattern: str, cap: int | None = None) -> list[str]:
         """Terms matching an ES ``regexp`` pattern (anchored), in term
         order (leading-literal bisect + regex walk)."""
@@ -2121,6 +2161,19 @@ class _ScorerCore:
         ]
         return merge_topk(parts, k, self.params.round_decimals)
 
+    def function_score_multi_topk(
+        self, terms: list[str], idf: dict, k: int, specs: list[dict],
+        score_mode: str, boost_mode: str, max_boost: float | None,
+    ):
+        parts = [
+            s.function_score_multi_topk(
+                terms, idf, self.params, self.avgdl, k, specs,
+                score_mode, boost_mode, max_boost,
+            )
+            for s in self.shards
+        ]
+        return merge_topk(parts, k, self.params.round_decimals)
+
     def expand_regexp(self, pattern: str, cap: int | None = None) -> list[str]:
         out: set[str] = set()
         for s in self.shards:
@@ -2580,6 +2633,40 @@ class QueryEngine:
             [a.decay_score_topk.remote(
                 terms, idf, k, field, function, float(origin),
                 float(scale), float(offset), float(decay), boost_mode,
+            ) for a in self.actors]
+        )
+        ids, sc = merge_topk(per_actor, k, self.params.round_decimals)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def search_function_score_multi(
+        self,
+        query: str | list[str],
+        functions: list[dict],
+        score_mode: str = "multiply",
+        boost_mode: str = "multiply",
+        max_boost: float | None = None,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``function_score`` with a FUNCTIONS LIST: each function
+        (field_value_factor | decay | weight | script_score |
+        random_score) optionally carries a docmeta ``filter`` and a
+        ``weight``; matching functions combine per ``score_mode``
+        (multiply/sum/avg/max/min/first), cap at ``max_boost``, and
+        apply to the BM25 query score per ``boost_mode``
+        (multiply/sum/avg/max/min/replace).  Docs matching no function
+        keep their query score.  Spec shapes, the script expression
+        subset and disclosed divergences: :mod:`.funcscore`."""
+        terms = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not terms:
+            return []
+        idf = self.idfs(terms)
+        per_actor = ray.get(
+            [a.function_score_multi_topk.remote(
+                terms, idf, k, functions, score_mode, boost_mode,
+                max_boost,
             ) for a in self.actors]
         )
         ids, sc = merge_topk(per_actor, k, self.params.round_decimals)

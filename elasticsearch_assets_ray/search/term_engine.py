@@ -1224,6 +1224,59 @@ class TermPartitionedEngine:
         final = base * f if boost_mode == "multiply" else base + f
         return self._tie_cut(ids, final, k)
 
+    def search_function_score_multi(
+        self,
+        query: str | list[str],
+        functions: list[dict],
+        score_mode: str = "multiply",
+        boost_mode: str = "multiply",
+        max_boost: float | None = None,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``function_score`` with a FUNCTIONS LIST served from the
+        term-partitioned layout — identical semantics (and results,
+        parity tested) to :meth:`QueryEngine.search_function_score_multi`.
+        The match set scores on the coordinator; every doc-values column
+        the spec list touches (function fields, filter fields, script
+        identifiers) hydrates ONCE id-aligned from the source docmeta
+        lineage; the shared kernel combines."""
+        from .datehist import values_partials_over_ids
+        from .funcscore import combine_function_score, spec_fields
+
+        terms = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not terms:
+            return []
+        fetched = self.fetch_terms(terms)
+        if not fetched:
+            return []
+        hits = self._score_from_fetch(terms, fetched, 1 << 30)
+        if not hits:
+            return []
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        base = np.array([s for _, s in hits], dtype=np.float64)
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for function_score serving"
+            )
+        sids = np.unique(ids)
+        order = np.searchsorted(sids, ids)
+        cols: dict[str, np.ndarray] = {}
+        for f in spec_fields(functions):
+            raw = np.concatenate(
+                values_partials_over_ids(src, sids, f, "raw")
+            )
+            cols[f] = raw[order]
+        final = combine_function_score(
+            base, functions, lambda f: cols[f],
+            score_mode, boost_mode, max_boost,
+        )
+        return self._tie_cut(ids, final, k)
+
     def search_simple_query_string(
         self, query: str, k: int = 10, default_operator: str = "or",
     ) -> list[tuple[int, float]]:
