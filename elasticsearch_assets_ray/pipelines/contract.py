@@ -1620,6 +1620,160 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES suggesters: term (spell correction — misspelled inputs, absent
+# from the dictionary so suggest_mode="missing" fires) and completion
+# (prefix + df popularity); caps mirrored exactly in the SQL oracles
+SUGGEST_TERM_TEXT = "custmer ordr tble vlue"
+SUGGEST_TERM_SIZE = 5
+SUGGEST_TERM_CAP = 200
+COMPLETION_PREFIXES: list[tuple[int, str]] = [
+    (0, "sc"), (1, "qu"), (2, "val"), (3, "s"),
+]
+COMPLETION_SIZE = 10
+COMPLETION_CAP = 1000
+
+
+def _suggest_term_table(engine) -> pa.Table:
+    rows = engine.suggest_term(
+        SUGGEST_TERM_TEXT, size=SUGGEST_TERM_SIZE,
+        max_edits=2, prefix_length=1, max_candidates=SUGGEST_TERM_CAP,
+    )
+    toks, ranks, sugg, scores, freqs = [], [], [], [], []
+    rank = 0
+    last_tok = None
+    for r in rows:
+        rank = rank + 1 if r["token"] == last_tok else 1
+        last_tok = r["token"]
+        toks.append(r["token"])
+        ranks.append(rank)
+        sugg.append(r["suggestion"])
+        scores.append(round(r["score"], 4))
+        freqs.append(r["freq"])
+    return pa.table({
+        "token": pa.array(toks, pa.string()),
+        "rank": pa.array(ranks, pa.int64()),
+        "suggestion": pa.array(sugg, pa.string()),
+        "score_r": pa.array(scores, pa.float64()),
+        "freq": pa.array(freqs, pa.int64()),
+    })
+
+
+def q_suggest_term(sf_dir: str) -> pa.Table:
+    """ES ``term`` suggester (spell correction): per misspelled input
+    token, dictionary terms within edit distance 2 (first char pinned,
+    deterministic (dist, term)-capped candidates) ranked by normalized
+    similarity desc, df desc, term asc — search/suggest.py."""
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4)
+    try:
+        return _suggest_term_table(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_suggest_term_global(sf_dir: str) -> pa.Table:
+    """The SAME term-suggester queries served from the TERM-partitioned
+    layout (per-bucket dictionary expansion + df probe) — same oracle."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _suggest_term_table(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_suggest_term() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    values = ", ".join(f"('{t}')" for t in SUGGEST_TERM_TEXT.split())
+    return f"""
+WITH toks AS ({toks}),
+df AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY t),
+q(tok) AS (VALUES {values}),
+cand AS (
+  SELECT q.tok, df.t, levenshtein(q.tok, df.t) AS dist, df.df
+  FROM q JOIN df ON substr(df.t, 1, 1) = substr(q.tok, 1, 1)
+   AND levenshtein(q.tok, df.t) <= 2 AND df.t <> q.tok
+  WHERE q.tok NOT IN (SELECT t FROM df)),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY tok ORDER BY dist, t) AS rn
+  FROM cand),
+scored AS (
+  SELECT tok AS token, t AS suggestion,
+         1.0 - dist::DOUBLE / least(len(tok), len(t)) AS score, df AS freq
+  FROM capped WHERE rn <= {SUGGEST_TERM_CAP})
+SELECT token,
+       row_number() OVER (PARTITION BY token
+                          ORDER BY score DESC, freq DESC, suggestion) AS rank,
+       suggestion, round(score, 4) AS score_r, freq
+FROM scored
+QUALIFY rank <= {SUGGEST_TERM_SIZE}
+"""
+
+
+def _suggest_completion_table(engine) -> pa.Table:
+    qids, ranks, sugg, freqs = [], [], [], []
+    for qid, prefix in COMPLETION_PREFIXES:
+        rows = engine.suggest_completion(
+            prefix, size=COMPLETION_SIZE, max_candidates=COMPLETION_CAP,
+        )
+        for i, r in enumerate(rows, 1):
+            qids.append(qid)
+            ranks.append(i)
+            sugg.append(r["suggestion"])
+            freqs.append(r["freq"])
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "suggestion": pa.array(sugg, pa.string()),
+        "freq": pa.array(freqs, pa.int64()),
+    })
+
+
+def q_suggest_completion(sf_dir: str) -> pa.Table:
+    """ES ``completion`` suggester analogue: dictionary terms with the
+    prefix ranked by df (corpus popularity — the zero-config stand-in
+    for ES's explicit weights, disclosed) desc, term asc; term-ordered
+    candidate walk capped (mirrored in the oracle)."""
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4)
+    try:
+        return _suggest_completion_table(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_suggest_completion_global(sf_dir: str) -> pa.Table:
+    """The SAME completion queries from the TERM-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _suggest_completion_table(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_suggest_completion() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    values = ", ".join(f"({qid}, '{p}')" for qid, p in COMPLETION_PREFIXES)
+    return f"""
+WITH toks AS ({toks}),
+df AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY t),
+q(query_id, p) AS (VALUES {values}),
+cand AS (
+  SELECT q.query_id, df.t, df.df,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY df.t) AS walk
+  FROM q JOIN df ON df.t LIKE p || '%')
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY df DESC, t) AS rank,
+       t AS suggestion, df AS freq
+FROM cand WHERE walk <= {COMPLETION_CAP}
+QUALIFY rank <= {COMPLETION_SIZE}
+"""
+
+
 # ES ``query_string`` (the classic Lucene ``q=`` syntax the reference
 # forwards verbatim, ``asset/elasticsearch_reader/index.js:118-122``):
 # (qid, query, default_operator) — one of each clause shape: AND/OR
@@ -5897,6 +6051,10 @@ def queries():
         "sqs_fuzzy_global": q_sqs_fuzzy_global,
         "query_string": q_query_string,
         "query_string_global": q_query_string_global,
+        "suggest_term": q_suggest_term,
+        "suggest_term_global": q_suggest_term_global,
+        "suggest_completion": q_suggest_completion,
+        "suggest_completion_global": q_suggest_completion_global,
         "decay_score": q_decay_score,
         "decay_score_global": q_decay_score_global,
         "compound_queries": q_compound,
@@ -6017,6 +6175,10 @@ def oracle_sql():
         "sqs_fuzzy_global": sql_sqs_fuzzy(),
         "query_string": sql_query_string(),
         "query_string_global": sql_query_string(),
+        "suggest_term": sql_suggest_term(),
+        "suggest_term_global": sql_suggest_term(),
+        "suggest_completion": sql_suggest_completion(),
+        "suggest_completion_global": sql_suggest_completion(),
         "decay_score": sql_decay_score(),
         "decay_score_global": sql_decay_score(),
         "compound_queries": sql_compound(),

@@ -2460,15 +2460,21 @@ class QueryEngine:
         m = self.info.manifest
         return sorted(set(clip_tokens(fn(query), m.min_token_len, m.max_token_len)))
 
-    def idfs(self, terms: list[str]) -> dict[str, float]:
+    def dfs(self, terms: list[str]) -> dict[str, int]:
+        """Global document frequencies (cached; one actor round for the
+        uncached terms — the suggesters' popularity probe)."""
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
             df_parts = ray.get([a.local_dfs.remote(missing) for a in self.actors])
             for t in missing:
                 self._df_cache[t] = sum(p[t] for p in df_parts)
+        return {t: self._df_cache[t] for t in terms}
+
+    def idfs(self, terms: list[str]) -> dict[str, float]:
+        dfs = self.dfs(terms)
         n = self.info.stats.num_docs
         return {
-            t: math.log(1.0 + (n - self._df_cache[t] + 0.5) / (self._df_cache[t] + 0.5))
+            t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
             for t in terms
         }
 
@@ -2753,6 +2759,48 @@ class QueryEngine:
         )
         ids, sc = merge_topk(per_actor, k, self.params.round_decimals)
         return list(zip(ids.tolist(), sc.tolist()))
+
+    def suggest_term(
+        self, text: str, size: int = 5, suggest_mode: str = "missing",
+        max_edits: int = 2, prefix_length: int = 1,
+        max_candidates: int = 200,
+    ) -> list[dict]:
+        """ES ``term`` suggester (spell correction): per analyzed input
+        token, dictionary terms within ``max_edits`` ranked (score desc,
+        df desc, term asc) — semantics in :mod:`.suggest`.  Candidates
+        come from the deterministic (dist, term)-capped global fuzzy
+        expansion; dfs probe in one actor round per token.  Returns
+        [{token, suggestion, score, freq}] in input-token order."""
+        from .suggest import rank_term_suggestions
+
+        tokens = list(dict.fromkeys(self._analyze(text)))
+        out: list[dict] = []
+        for tok in tokens:
+            cands = self.expand_fuzzy(
+                tok, fuzziness=max_edits, prefix_length=prefix_length,
+                max_expansions=max_candidates,
+            )
+            dfs = self.dfs(sorted({t for t, _ in cands} | {tok}))
+            for row in rank_term_suggestions(
+                tok, cands, dfs, dfs.get(tok, 0), size, suggest_mode,
+            ):
+                out.append({"token": tok, **row})
+        return out
+
+    def suggest_completion(
+        self, prefix: str, size: int = 10, max_candidates: int = 1000,
+    ) -> list[dict]:
+        """ES ``completion`` suggester analogue: dictionary terms with
+        the prefix ranked by df (popularity) desc, term asc — popularity
+        derives from the indexed corpus instead of ES's explicit
+        per-suggestion weights (disclosed, :mod:`.suggest`).  The
+        term-ordered candidate walk is capped at ``max_candidates``."""
+        from .suggest import rank_completions
+
+        if not prefix:
+            return []
+        terms = self.expand_prefix(prefix, max_expansions=max_candidates)
+        return rank_completions(terms, self.dfs(terms), size)
 
     def search_dis_max(
         self, queries: list[str], tie_breaker: float = 0.0, k: int = 10,

@@ -2074,6 +2074,73 @@ class TermPartitionedEngine:
             time_zone=time_zone, offset=offset,
         )
 
+    def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
+        """Global prefix expansion over the bucket dictionaries, first
+        ``max_expansions`` in term order — identical results to
+        ``QueryEngine.expand_prefix`` (union of per-actor first-Ns
+        contains the global first-N)."""
+        per_actor = ray.get(
+            [a.expand_prefix.remote(prefix, max_expansions)
+             for a in self.actors]
+        )
+        out = sorted(set().union(*map(set, per_actor)))
+        return out[:max_expansions]
+
+    def dfs(self, terms: list[str]) -> dict[str, int]:
+        """Global document frequencies — terms route to their owning
+        bucket actors, no posting arrays ship (the ``df_of`` probe)."""
+        from ..index.global_merge import _term_bucket
+
+        by_actor: dict[int, list[str]] = {}
+        for t in terms:
+            a = self._actor_of_bucket[
+                _term_bucket(t, self._n_buckets, self._term_hash)
+            ]
+            by_actor.setdefault(a, []).append(t)
+        out: dict[str, int] = {}
+        for part in ray.get(
+            [self.actors[a].df_of.remote(ts) for a, ts in by_actor.items()]
+        ):
+            out.update(part)
+        return {t: out.get(t, 0) for t in terms}
+
+    def suggest_term(
+        self, text: str, size: int = 5, suggest_mode: str = "missing",
+        max_edits: int = 2, prefix_length: int = 1,
+        max_candidates: int = 200,
+    ) -> list[dict]:
+        """ES ``term`` suggester on the term-partitioned layout — same
+        semantics (and results, parity tested) as
+        :meth:`QueryEngine.suggest_term`."""
+        from .suggest import rank_term_suggestions
+
+        tokens = list(dict.fromkeys(self._analyze(text)))
+        out: list[dict] = []
+        for tok in tokens:
+            cands = self.expand_fuzzy(
+                tok, fuzziness=max_edits, prefix_length=prefix_length,
+                max_expansions=max_candidates,
+            )
+            dfs = self.dfs(sorted({t for t, _ in cands} | {tok}))
+            for row in rank_term_suggestions(
+                tok, cands, dfs, dfs.get(tok, 0), size, suggest_mode,
+            ):
+                out.append({"token": tok, **row})
+        return out
+
+    def suggest_completion(
+        self, prefix: str, size: int = 10, max_candidates: int = 1000,
+    ) -> list[dict]:
+        """ES ``completion`` suggester analogue on the term-partitioned
+        layout — same semantics (and results, parity tested) as
+        :meth:`QueryEngine.suggest_completion`."""
+        from .suggest import rank_completions
+
+        if not prefix:
+            return []
+        terms = self.expand_prefix(prefix, max_expansions=max_candidates)
+        return rank_completions(terms, self.dfs(terms), size)
+
     def expand_fuzzy(
         self, term: str, fuzziness: int = 1, prefix_length: int = 0,
         max_expansions: int = 50,

@@ -1,0 +1,47 @@
+"""Suggester ranking semantics (engine parity + oracle bit-exactness
+run in test_contract; this covers the mode/edge logic)."""
+
+import pytest
+
+from elasticsearch_assets_ray.search.suggest import (
+    rank_completions,
+    rank_term_suggestions,
+)
+
+
+def test_term_modes():
+    cands = [("table", 1), ("tale", 1), ("the", 2)]
+    dfs = {"table": 50, "tale": 3, "the": 80}
+    # missing: token present in the index → no suggestions
+    assert rank_term_suggestions("tble", cands, dfs, 4, 5, "missing") == []
+    # absent token: score desc (dist/len), df desc, term asc
+    got = rank_term_suggestions("tble", cands, dfs, 0, 5, "missing")
+    assert [g["suggestion"] for g in got] == ["table", "tale", "the"]
+    assert got[0]["score"] == 1 - 1 / 4 and got[0]["freq"] == 50
+    # equal score (table/tale both dist 1, min len 4): df breaks the tie
+    assert got[0]["score"] == got[1]["score"]
+    # popular: only candidates strictly more frequent than the input
+    got = rank_term_suggestions("tble", cands, dfs, 40, 5, "popular")
+    assert [g["suggestion"] for g in got] == ["table", "the"]
+    # always: suggests even for present tokens
+    got = rank_term_suggestions("tble", cands, dfs, 999, 2, "always")
+    assert len(got) == 2  # size cap
+    # zero-df candidates never suggest
+    got = rank_term_suggestions("tble", [("tbl", 1)], {"tbl": 0}, 0, 5,
+                                "always")
+    assert got == []
+    # self never suggests
+    got = rank_term_suggestions("table", [("table", 0)], dfs, 0, 5,
+                                "always")
+    assert got == []
+    with pytest.raises(ValueError):
+        rank_term_suggestions("x", [], {}, 0, 5, "bogus")
+
+
+def test_completions():
+    got = rank_completions(["scan", "scale", "schema"],
+                           {"scan": 10, "scale": 30, "schema": 10}, 2)
+    assert [g["suggestion"] for g in got] == ["scale", "scan"]
+    assert got[0]["freq"] == 30
+    # df-0 terms drop
+    assert rank_completions(["sc"], {"sc": 0}, 5) == []
