@@ -1620,6 +1620,94 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES field collapsing: (text, collapse field, k groups, inner_hits)
+COLLAPSE_QUERY = ("customer order value", "lang", 5, 3)
+
+
+def _collapse_table(engine, idx: str) -> pa.Table:
+    text, field, kg, inner = COLLAPSE_QUERY
+    rows = engine.search_collapse(text, field, k_groups=kg,
+                                  inner_size=inner)
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    store = DocStore(idx, columns=["doc_id", "orig_id"])
+    orig = (
+        store.mget(ids).column("orig_id").to_numpy().astype(np.int64)
+        if len(ids) else np.empty(0, np.int64)
+    )
+    return pa.table({
+        "grp": pa.array([str(r["group"]) for r in rows], pa.string()),
+        "group_rank": pa.array([r["group_rank"] for r in rows], pa.int64()),
+        "inner_rank": pa.array([r["inner_rank"] for r in rows], pa.int64()),
+        "doc_id": pa.array(orig),
+        "score_r": pa.array([round(r["score"], 4) for r in rows],
+                            pa.float64()),
+    })
+
+
+def q_collapse_search(sf_dir: str) -> pa.Table:
+    """ES field collapsing (``collapse`` + ``inner_hits``): match hits
+    group by a keyword doc-values field, groups rank by their best hit,
+    top inner hits per group.  Exact over the full match set — per-shard
+    partials are bounded by distinct-groups × inner_size
+    (search/collapse.py has the exactness argument vs ES's
+    window-bounded collapse)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _collapse_table(engine, idx)
+    finally:
+        engine.shutdown()
+
+
+def q_collapse_search_global(sf_dir: str) -> pa.Table:
+    """The SAME collapse query served from the TERM-partitioned layout
+    (group doc values hydrate id-aligned from the source docmeta
+    lineage) — same SQL oracle."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _collapse_table(eng, idx)
+    finally:
+        eng.shutdown()
+
+
+def sql_collapse_search() -> str:
+    text, field, kg, inner = COLLAPSE_QUERY
+    terms = ", ".join(f"'{t}'" for t in text.split())
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df ON df.t = tf.t
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  WHERE tf.t IN ({terms})
+  GROUP BY 1),
+j AS (SELECT scored.doc_id, round(scored.score, 4) AS sr, d.{field} AS grp
+      FROM scored JOIN documents d ON d.doc_id = scored.doc_id
+      WHERE d.{field} IS NOT NULL),
+ih AS (SELECT *, row_number() OVER (PARTITION BY grp
+                                    ORDER BY sr DESC, doc_id) AS inner_rank
+       FROM j),
+best AS (SELECT grp, sr AS bs, doc_id AS bd FROM ih WHERE inner_rank = 1),
+gr AS (SELECT grp, row_number() OVER (ORDER BY bs DESC, bd) AS group_rank
+       FROM best)
+SELECT ih.grp, gr.group_rank, ih.inner_rank, ih.doc_id, ih.sr AS score_r
+FROM ih JOIN gr ON gr.grp = ih.grp
+WHERE ih.inner_rank <= {inner} AND gr.group_rank <= {kg}
+"""
+
+
 # ES suggesters: term (spell correction — misspelled inputs, absent
 # from the dictionary so suggest_mode="missing" fires) and completion
 # (prefix + df popularity); caps mirrored exactly in the SQL oracles
@@ -6051,6 +6139,8 @@ def queries():
         "sqs_fuzzy_global": q_sqs_fuzzy_global,
         "query_string": q_query_string,
         "query_string_global": q_query_string_global,
+        "collapse_search": q_collapse_search,
+        "collapse_search_global": q_collapse_search_global,
         "suggest_term": q_suggest_term,
         "suggest_term_global": q_suggest_term_global,
         "suggest_completion": q_suggest_completion,
@@ -6175,6 +6265,8 @@ def oracle_sql():
         "sqs_fuzzy_global": sql_sqs_fuzzy(),
         "query_string": sql_query_string(),
         "query_string_global": sql_query_string(),
+        "collapse_search": sql_collapse_search(),
+        "collapse_search_global": sql_collapse_search(),
         "suggest_term": sql_suggest_term(),
         "suggest_term_global": sql_suggest_term(),
         "suggest_completion": sql_suggest_completion(),

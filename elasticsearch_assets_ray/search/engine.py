@@ -1459,6 +1459,42 @@ class ShardData:
             k, params.round_decimals,
         )
 
+    def collapse_topk(
+        self, terms: list[str], idf: dict, params: "BM25Params",
+        avgdl: float, field: str, inner_size: int,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per-shard ES ``collapse`` partial: BM25 over the match
+        disjunction, then per-group top ``inner_size`` by (score desc,
+        doc asc) over this shard's doc values — the return is bounded by
+        distinct-groups × inner_size, not the match set
+        (:mod:`.collapse` has the exactness argument)."""
+        from .collapse import collapse_partial
+
+        k1, b = params.k1, params.b
+        postings_idx = self._postings_idx_fn()
+        n = self.num_docs
+        scores = np.zeros(n, dtype=np.float64)
+        hit = np.zeros(n, dtype=bool)
+        for t in sorted(set(terms)):
+            p = postings_idx(t)
+            if p is None:
+                continue
+            idx, tfs = p
+            tf = tfs.astype(np.float64)
+            dl = self.dl[idx]
+            scores[idx] += (idf[t] * tf * (k1 + 1.0)
+                            / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            hit[idx] = True
+        hit &= ~self.deleted_mask
+        cand = np.nonzero(hit)[0]
+        if len(cand) == 0:
+            e = np.empty(0, np.int64)
+            return e, np.empty(0, np.float64), np.empty(0, object)
+        return collapse_partial(
+            (cand + self.doc_base).astype(np.int64), scores[cand],
+            np.asarray(self.meta_col(field)[cand]), inner_size,
+        )
+
     def expand_regexp(self, pattern: str, cap: int | None = None) -> list[str]:
         """Terms matching an ES ``regexp`` pattern (anchored), in term
         order (leading-literal bisect + regex walk)."""
@@ -2174,6 +2210,19 @@ class _ScorerCore:
         ]
         return merge_topk(parts, k, self.params.round_decimals)
 
+    def collapse_topk(
+        self, terms: list[str], idf: dict, field: str, inner_size: int,
+    ):
+        parts = [
+            s.collapse_topk(terms, idf, self.params, self.avgdl,
+                            field, inner_size)
+            for s in self.shards
+        ]
+        ids = np.concatenate([p[0] for p in parts])
+        sc = np.concatenate([p[1] for p in parts])
+        gv = np.concatenate([np.asarray(p[2], dtype=object) for p in parts])
+        return ids, sc, gv
+
     def expand_regexp(self, pattern: str, cap: int | None = None) -> list[str]:
         out: set[str] = set()
         for s in self.shards:
@@ -2759,6 +2808,41 @@ class QueryEngine:
         )
         ids, sc = merge_topk(per_actor, k, self.params.round_decimals)
         return list(zip(ids.tolist(), sc.tolist()))
+
+    def search_collapse(
+        self,
+        query: str | list[str],
+        field: str,
+        k_groups: int = 10,
+        inner_size: int = 3,
+    ) -> list[dict]:
+        """ES field collapsing (``collapse`` + ``inner_hits``): hits of
+        the ``match`` disjunction group by a keyword doc-values field;
+        groups rank by their best hit (rounded score desc, doc asc),
+        each returning its top ``inner_size`` hits.  Exact over the FULL
+        match set (per-shard partials are bounded by distinct-groups ×
+        inner_size — :mod:`.collapse` has the argument; ES's own
+        window-bounded collapse can miss groups, disclosed divergence in
+        our favor).  → [{group, group_rank, inner_rank, doc_id,
+        score}]."""
+        from .collapse import collapse_rows
+
+        terms = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not terms:
+            return []
+        idf = self.idfs(terms)
+        parts = ray.get(
+            [a.collapse_topk.remote(terms, idf, field, inner_size)
+             for a in self.actors]
+        )
+        ids = np.concatenate([p[0] for p in parts])
+        sc = np.concatenate([p[1] for p in parts])
+        gv = np.concatenate([np.asarray(p[2], dtype=object) for p in parts])
+        return collapse_rows(ids, sc, gv, k_groups, inner_size,
+                             self.params.round_decimals)
 
     def suggest_term(
         self, text: str, size: int = 5, suggest_mode: str = "missing",

@@ -2104,6 +2104,49 @@ class TermPartitionedEngine:
             out.update(part)
         return {t: out.get(t, 0) for t in terms}
 
+    def search_collapse(
+        self,
+        query: str | list[str],
+        field: str,
+        k_groups: int = 10,
+        inner_size: int = 3,
+    ) -> list[dict]:
+        """ES field collapsing on the term-partitioned layout — same
+        semantics (and results, parity tested) as
+        :meth:`QueryEngine.search_collapse`.  The match set scores on
+        the coordinator; group doc values hydrate id-aligned from the
+        source docmeta lineage."""
+        from .collapse import collapse_rows
+        from .datehist import values_partials_over_ids
+
+        terms = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not terms:
+            return []
+        fetched = self.fetch_terms(terms)
+        if not fetched:
+            return []
+        hits = self._score_from_fetch(terms, fetched, 1 << 30)
+        if not hits:
+            return []
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        sc = np.array([s for _, s in hits], dtype=np.float64)
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for collapse serving"
+            )
+        sids = np.unique(ids)
+        raw = np.concatenate(
+            values_partials_over_ids(src, sids, field, "raw")
+        )
+        gv = np.asarray(raw, dtype=object)[np.searchsorted(sids, ids)]
+        return collapse_rows(ids, sc, gv, k_groups, inner_size,
+                             self.round_decimals)
+
     def suggest_term(
         self, text: str, size: int = 5, suggest_mode: str = "missing",
         max_edits: int = 2, prefix_length: int = 1,
