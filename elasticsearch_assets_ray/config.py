@@ -98,6 +98,15 @@ class IndexConfig:
     # queries (QueryEngine.search_phrase).  Off by default — positions
     # roughly double segment size for prose corpora.
     store_positions: bool = False
+    # ES ``index_phrases: true``: additionally index 2-token SHINGLES
+    # (``t1\x1ft2`` terms with the first token's position) so exact
+    # phrase queries run as term lookups (2-term phrases) or
+    # low-df shingle intersections (longer) instead of unigram
+    # position intersections — the index-time answer to hot-hot
+    # phrases.  Costs index size/build time (off by default, like ES);
+    # requires store_positions.  Doc lengths, avgdl, dictionary walks
+    # (prefix/wildcard/fuzzy) and BM25 stats all stay UNIGRAM.
+    index_phrases: bool = False
 
     def __post_init__(self) -> None:
         if self.block_size < 8:
@@ -118,6 +127,8 @@ class IndexConfig:
             raise ValueError(f"unknown merge_strategy {self.merge_strategy!r}")
         if self.postings_codec not in ("varint", "for"):
             raise ValueError(f"unknown postings_codec {self.postings_codec!r}")
+        if self.index_phrases and not self.store_positions:
+            raise ValueError("index_phrases requires store_positions")
         for spec in self.derived_meta:
             if "=" not in spec:
                 raise ValueError(f"derived_meta spec needs '=': {spec!r}")

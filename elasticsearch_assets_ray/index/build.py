@@ -364,6 +364,84 @@ def in_doc_positions(doc_rel: np.ndarray) -> np.ndarray:
     return np.arange(n, dtype=np.int64) - np.repeat(starts, seg_len)
 
 
+# shingle-term separator (ES ``index_phrases``): 0x1f can never appear
+# in an analyzed token (every analyzer's split pattern strips it), so a
+# term containing it is unambiguously a 2-token shingle
+SHINGLE_SEP = "\x1f"
+
+
+def add_shingle_stream(
+    terms: list[str], codes: np.ndarray, rel: np.ndarray
+) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
+    """Append the 2-token SHINGLE stream (ES ``index_phrases``) to a
+    tokenized code stream: every in-doc adjacent token pair becomes one
+    shingle token ``t1\\x1ft2`` at the FIRST token's position.  Returns
+    the merged SORTED vocabulary and remapped (codes, rel, pos) streams
+    — unigram positions are computed before the append, so doc lengths
+    and unigram postings are untouched.  Output feeds
+    :func:`invert_codes_pos` unchanged (shingle and unigram codes never
+    share a (term, doc) group, and within one group original token
+    order keeps positions ascending)."""
+    pos = in_doc_positions(rel)
+    if len(codes) < 2:
+        return list(terms), codes, rel, pos
+    adj = rel[1:] == rel[:-1]
+    if not adj.any():
+        return list(terms), codes, rel, pos
+    nt = np.int64(len(terms))
+    a, b = codes[:-1][adj], codes[1:][adj]
+    upairs, pcodes = np.unique(a * nt + b, return_inverse=True)
+    pair_terms = [
+        terms[int(k // nt)] + SHINGLE_SEP + terms[int(k % nt)]
+        for k in upairs
+    ]
+    all_terms = list(terms) + pair_terms
+    order = sorted(range(len(all_terms)), key=all_terms.__getitem__)
+    remap = np.empty(len(all_terms), dtype=np.int64)
+    for rank, i in enumerate(order):
+        remap[i] = rank
+    new_codes = np.concatenate(
+        [remap[codes], remap[len(terms) + pcodes]]
+    )
+    new_rel = np.concatenate([rel, rel[:-1][adj]])
+    new_pos = np.concatenate([pos, pos[:-1][adj]])
+    return [all_terms[i] for i in order], new_codes, new_rel, new_pos
+
+
+def add_shingle_stream_flat(
+    flat: list[str], rel: np.ndarray
+) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """:func:`add_shingle_stream` for the per-doc string path (the
+    groupby strategy / custom analyzers) — same output order contract
+    (``pd.factorize(sort=True)`` downstream sorts the merged vocab), so
+    segments stay byte-identical across strategies (tested)."""
+    pos = in_doc_positions(rel)
+    if len(flat) < 2:
+        return list(flat), rel, pos
+    adj = rel[1:] == rel[:-1]
+    if not adj.any():
+        return list(flat), rel, pos
+    idx = np.nonzero(adj)[0]
+    flat2 = list(flat) + [
+        flat[i] + SHINGLE_SEP + flat[i + 1] for i in idx.tolist()
+    ]
+    rel2 = np.concatenate([rel, rel[:-1][adj]])
+    pos2 = np.concatenate([pos, pos[:-1][adj]])
+    return flat2, rel2, pos2
+
+
+def unigram_token_total(terms: list[str], cfs: np.ndarray) -> int:
+    """Σcf over UNIGRAM terms only — index stats (total_tokens → avgdl)
+    must not count shingle tokens, or BM25 length normalization would
+    shift under ``index_phrases``."""
+    if not terms:
+        return 0
+    uni = np.fromiter(
+        (SHINGLE_SEP not in t for t in terms), dtype=bool, count=len(terms)
+    )
+    return int(np.asarray(cfs)[uni].sum())
+
+
 def invert_codes_pos(
     flat_codes: np.ndarray, doc_rel: np.ndarray, n_terms: int, doc_base: int,
     tokpos: np.ndarray,
@@ -394,16 +472,20 @@ def invert_codes_pos(
     return docs, tfs.astype(np.uint64), offsets, posf
 
 
-def invert_flat_pos(flat_tokens, doc_rel: np.ndarray, doc_base: int):
+def invert_flat_pos(flat_tokens, doc_rel: np.ndarray, doc_base: int,
+                    tokpos: np.ndarray | None = None):
     """:func:`invert_flat` + flat per-posting positions (same term order
-    — pd.factorize(sort=True) — and identical docs/tfs/offsets)."""
+    — pd.factorize(sort=True) — and identical docs/tfs/offsets).
+    ``tokpos`` overrides the derived in-doc positions (the shingle
+    stream carries explicit first-token positions)."""
     import pandas as pd
 
     if not flat_tokens:
         return ([], np.empty(0, np.uint64), np.empty(0, np.uint64),
                 np.zeros(1, np.int64), np.empty(0, np.int64))
     codes, uniques = pd.factorize(np.asarray(flat_tokens, dtype=object), sort=True)
-    tokpos = in_doc_positions(doc_rel)
+    if tokpos is None:
+        tokpos = in_doc_positions(doc_rel)
     docs, tfs, offsets, posf = invert_codes_pos(
         codes.astype(np.int64), doc_rel, len(uniques), doc_base, tokpos
     )
@@ -510,6 +592,7 @@ class TokenizePartition:
         self.meta_cols = tuple(config.meta_cols)
         self.codec = config.postings_codec
         self.store_positions = config.store_positions
+        self.index_phrases = config.index_phrases
         self.derived = [parse_derived_meta(s) for s in config.derived_meta]
         self.done_shards = done_shards
 
@@ -587,8 +670,13 @@ class TokenizePartition:
             )
             self.write_docmeta(row, tbl, dls, shas, nbytes)
             if self.store_positions:
+                posx = None
+                if self.index_phrases:
+                    flat, doc_rel, posx = add_shingle_stream_flat(
+                        flat, doc_rel
+                    )
                 terms, ids_a, tfs_a, offs, posf = invert_flat_pos(
-                    flat, doc_rel, doc_base
+                    flat, doc_rel, doc_base, tokpos=posx
                 )
                 out_pos.extend(encode_positions_many(posf, tfs_a, offs))
             else:
@@ -639,10 +727,12 @@ class WriteShardSegment:
     """Per-shard merge + atomic segment write (``map_groups`` over the
     shard-keyed shuffle).  Returns one summary row per shard."""
 
-    def __init__(self, index_dir: str, block_size: int, codec: str = "varint"):
+    def __init__(self, index_dir: str, block_size: int, codec: str = "varint",
+                 index_phrases: bool = False):
         self.index_dir = index_dir
         self.block_size = block_size
         self.codec = codec
+        self.index_phrases = index_phrases
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -733,7 +823,11 @@ class WriteShardSegment:
                 "shard_id": pa.array([shard_id], pa.int32()),
                 "num_terms": pa.array([len(out_terms)], pa.int64()),
                 "num_postings": pa.array([n_postings], pa.int64()),
-                "total_tokens": pa.array([int(out_cf.sum())], pa.int64()),
+                "total_tokens": pa.array(
+                    [unigram_token_total(out_terms, out_cf)
+                     if self.index_phrases else int(out_cf.sum())],
+                    pa.int64(),
+                ),
             }
         )
 
@@ -805,8 +899,14 @@ class BuildShard:
                     off += nrows
                     n_docs += nrows
                 if cfg.store_positions:
+                    if cfg.index_phrases:
+                        terms, codes, rel, posx = add_shingle_stream(
+                            terms, codes, rel
+                        )
+                    else:
+                        posx = in_doc_positions(rel)
                     ids_a, tfs_a, offs, posf = invert_codes_pos(
-                        codes, rel, len(terms), shard_base, in_doc_positions(rel)
+                        codes, rel, len(terms), shard_base, posx
                     )
                 else:
                     ids_a, tfs_a, offs = invert_codes(codes, rel, len(terms), shard_base)
@@ -833,8 +933,13 @@ class BuildShard:
                     np.concatenate(rel_chunks) if rel_chunks else np.empty(0, np.int64)
                 )
                 if cfg.store_positions:
+                    posx = None
+                    if cfg.index_phrases:
+                        all_flat, rel, posx = add_shingle_stream_flat(
+                            all_flat, rel
+                        )
                     terms, ids_a, tfs_a, offs, posf = invert_flat_pos(
-                        all_flat, rel, shard_base
+                        all_flat, rel, shard_base, tokpos=posx
                     )
                 else:
                     terms, ids_a, tfs_a, offs = invert_flat(all_flat, rel, shard_base)
@@ -865,7 +970,11 @@ class BuildShard:
             else:
                 seg = pa.table(seg_cols, schema=SEGMENT_SCHEMA)
             write_segment_atomic(self.index_dir, shard_id, seg)
-            out_rows.append((shard_id, len(terms), int(offs[-1]), int(cfs.sum())))
+            total_toks = (
+                unigram_token_total(terms, cfs)
+                if cfg.index_phrases else int(cfs.sum())
+            )
+            out_rows.append((shard_id, len(terms), int(offs[-1]), total_toks))
         return pa.table(
             {
                 "shard_id": pa.array([r[0] for r in out_rows], pa.int32()),
@@ -1003,6 +1112,7 @@ def build_index(
         max_token_len=config.max_token_len,
         store_positions=config.store_positions,
         derived_meta=tuple(config.derived_meta),
+        index_phrases=config.index_phrases,
     )
     existing = BuildManifest.load(index_dir) if resume else None
     if existing is not None and existing.plan_fingerprint() == plan.plan_fingerprint():
@@ -1024,6 +1134,7 @@ def build_index(
             max_token_len=config.max_token_len,
             store_positions=config.store_positions,
             derived_meta=tuple(config.derived_meta),
+            index_phrases=config.index_phrases,
         )
         if appended is not None:
             # incremental append: old shards stay checkpointed, only new
@@ -1120,7 +1231,8 @@ def build_index(
                 batch_size=1,
             )
             writer = WriteShardSegment(str(index_dir), config.block_size,
-                                       config.postings_codec)
+                                       config.postings_codec,
+                                       config.index_phrases)
 
             def write_shard_segment(group: pa.Table) -> pa.Table:
                 return writer(group)

@@ -432,6 +432,9 @@ def merge_global_postings(
         "block_size": block_size,
         "store_norms": store_norms,
         "store_positions": store_positions,
+        "index_phrases": bool(
+            getattr(info.manifest, "index_phrases", False)
+        ),
         "source_index": str(index_dir),
         "num_docs": info.stats.num_docs,
         "avgdl": info.stats.avgdl,

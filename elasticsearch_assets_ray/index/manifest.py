@@ -90,6 +90,9 @@ class BuildManifest:
     # positional sidecar present in every segment (phrase-query support);
     # layout-affecting, so it travels in the plan fingerprint
     store_positions: bool = False
+    # 2-token shingle terms indexed beside unigrams (ES index_phrases);
+    # layout-affecting, so it travels in the plan fingerprint
+    index_phrases: bool = False
     # tokenization-affecting config: MUST travel with the manifest so a
     # resume/append under a changed clip can never silently reuse stale
     # segments, and the query side clips exactly as the build did
@@ -122,6 +125,7 @@ class BuildManifest:
                 "derived_meta": list(self.derived_meta),
                 "postings_codec": self.postings_codec,
                 "store_positions": self.store_positions,
+                "index_phrases": self.index_phrases,
                 "min_token_len": self.min_token_len,
                 "max_token_len": self.max_token_len,
                 "corpus_sizes": self.corpus_sizes,
@@ -149,6 +153,7 @@ class BuildManifest:
             derived_meta=list(d.get("derived_meta", [])),
             postings_codec=d.get("postings_codec", "varint"),
             store_positions=d.get("store_positions", False),
+            index_phrases=d.get("index_phrases", False),
             min_token_len=d.get("min_token_len", 1),
             max_token_len=d.get("max_token_len", 64),
             corpus_sizes=d.get("corpus_sizes", []),
@@ -183,6 +188,7 @@ class BuildManifest:
             tuple(self.derived_meta),
             self.postings_codec,
             self.store_positions,
+            self.index_phrases,
             self.min_token_len,
             self.max_token_len,
             tuple(self.corpus_sizes),
@@ -206,6 +212,7 @@ def plan_append(
     max_token_len: int = 64,
     store_positions: bool = False,
     derived_meta: tuple[str, ...] = (),
+    index_phrases: bool = False,
 ) -> "BuildManifest | None":
     """Incremental append: plan ONLY files not in ``existing``, plus an
     in-place rebuild of the shards covering files MODIFIED in place.
@@ -240,6 +247,7 @@ def plan_append(
         and list(existing.derived_meta) == list(derived_meta)
         and existing.postings_codec == postings_codec
         and existing.store_positions == store_positions
+        and existing.index_phrases == index_phrases
         and existing.min_token_len == min_token_len
         and existing.max_token_len == max_token_len
     )
@@ -309,6 +317,7 @@ def plan_append(
         meta_cols=meta_cols, postings_codec=postings_codec,
         min_token_len=min_token_len, max_token_len=max_token_len,
         store_positions=store_positions, derived_meta=derived_meta,
+        index_phrases=index_phrases,
     )
     pid0 = (max((p.partition_id for p in existing.partitions), default=-1)) + 1
     sid0 = (max(existing.shards, default=-1)) + 1
@@ -327,6 +336,7 @@ def plan_append(
         derived_meta=list(derived_meta),
         postings_codec=postings_codec,
         store_positions=store_positions,
+        index_phrases=index_phrases,
         min_token_len=min_token_len,
         max_token_len=max_token_len,
         corpus_sizes=(
@@ -424,6 +434,7 @@ def plan_build(
     max_token_len: int = 64,
     store_positions: bool = False,
     derived_meta: tuple[str, ...] = (),
+    index_phrases: bool = False,
 ) -> BuildManifest:
     """Plan partitions + shards from Parquet footer metadata only.
 
@@ -530,6 +541,7 @@ def plan_build(
         derived_meta=list(derived_meta),
         postings_codec=postings_codec,
         store_positions=store_positions,
+        index_phrases=index_phrases,
         min_token_len=min_token_len,
         max_token_len=max_token_len,
         corpus_sizes=sizes,

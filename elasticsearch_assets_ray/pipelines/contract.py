@@ -1620,6 +1620,81 @@ QUALIFY rank <= {TOPK}
 """
 
 
+def shingled_index_dir(sf_dir: str) -> str:
+    tag = hashlib.md5(
+        f"{CONTRACT_INDEX_VERSION}:sh:{sf_dir}".encode()
+    ).hexdigest()[:10]
+    return f"/tmp/esray_contract_shidx_{tag}"
+
+
+def ensure_doc_index_shingled(sf_dir: str) -> str:
+    """The contract index rebuilt with ``index_phrases=True`` (ES's
+    2-token shingle acceleration) — a SEPARATE cache dir so every other
+    pipeline keeps the unigram dictionary."""
+    cfg = IndexConfig(
+        analyzer="simple",
+        text_col="text",
+        lang_col=None,
+        id_col="doc_id",
+        meta_cols=("source", "lang", "created_at", "n_chars"),
+        derived_meta=(CREATED_SPEC,),
+        partition_target_docs=128,
+        shard_target_docs=512,
+        store_positions=True,
+        index_phrases=True,
+    )
+    out = shingled_index_dir(sf_dir)
+    build_index(f"{sf_dir}/documents.parquet", out, cfg)
+    return out
+
+
+def q_bm25_phrase_shingled(sf_dir: str) -> pa.Table:
+    """The SAME match_phrase queries as ``bm25_phrase``, served from an
+    ``index_phrases=True`` index: a 2-term phrase is ONE shingle-term
+    lookup (pf = its tf), longer phrases intersect low-df shingle
+    streams — the index-time answer to hot-hot phrases (ES
+    ``index_phrases``).  Results must be identical to the unigram
+    path, so the oracle is sql_bm25_phrase verbatim."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index_shingled(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_phrase(p, k=K_FETCH)
+            for qid, p in PHRASE_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def q_bm25_phrase_shingled_global(sf_dir: str) -> pa.Table:
+    """The shingled phrases from the TERM-partitioned layout (a 2-term
+    phrase needs no positions at all: score = unigram idf_sum × the
+    shingle's norms, one non-positional fetch) — same oracle."""
+    import os
+
+    from ..index.global_merge import merge_global_postings
+    from ..search.term_engine import TermPartitionedEngine
+
+    idx = ensure_doc_index_shingled(sf_dir)
+    gdir = f"{idx}_global"
+    if not os.path.exists(f"{gdir}/_globalmeta.json"):
+        merge_global_postings(idx, gdir, n_salts=2, n_buckets=8,
+                              hot_df_fraction=0.5, store_norms=True)
+    eng = TermPartitionedEngine(gdir, num_actors=2, round_decimals=4)
+    try:
+        per_q = {
+            qid: eng.search_phrase(p, k=K_FETCH)
+            for qid, p in PHRASE_QUERIES
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
 # ES field collapsing: (text, collapse field, k groups, inner_hits)
 COLLAPSE_QUERY = ("customer order value", "lang", 5, 3)
 
@@ -6139,6 +6214,8 @@ def queries():
         "sqs_fuzzy_global": q_sqs_fuzzy_global,
         "query_string": q_query_string,
         "query_string_global": q_query_string_global,
+        "bm25_phrase_shingled": q_bm25_phrase_shingled,
+        "bm25_phrase_shingled_global": q_bm25_phrase_shingled_global,
         "collapse_search": q_collapse_search,
         "collapse_search_global": q_collapse_search_global,
         "suggest_term": q_suggest_term,
@@ -6265,6 +6342,8 @@ def oracle_sql():
         "sqs_fuzzy_global": sql_sqs_fuzzy(),
         "query_string": sql_query_string(),
         "query_string_global": sql_query_string(),
+        "bm25_phrase_shingled": sql_bm25_phrase(),
+        "bm25_phrase_shingled_global": sql_bm25_phrase(),
         "collapse_search": sql_collapse_search(),
         "collapse_search_global": sql_collapse_search(),
         "suggest_term": sql_suggest_term(),

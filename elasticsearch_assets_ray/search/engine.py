@@ -498,6 +498,21 @@ class ShardData:
         # queries can bisect a term range without a global dictionary
         self.term_list: list[str] = seg.column("term").to_pylist()
         self.terms: dict[str, int] = {t: i for i, t in enumerate(self.term_list)}
+        # ES index_phrases: 2-token shingle terms live beside unigrams in
+        # the dictionary; phrase queries rewrite onto them, and every
+        # dictionary WALK (prefix/wildcard/regexp/fuzzy) must skip them —
+        # "hash\x1fjoin" startswith "hash"
+        self.index_phrases = bool(
+            getattr(info.manifest, "index_phrases", False)
+        )
+        if self.index_phrases:
+            from ..index.build import SHINGLE_SEP
+
+            self.walk_term_list = [
+                t for t in self.term_list if SHINGLE_SEP not in t
+            ]
+        else:
+            self.walk_term_list = self.term_list
         self.df = seg.column("df").to_numpy()
         self.max_tf = seg.column("max_tf").to_numpy()
         self.blobs = seg.column("postings").to_pylist()
@@ -1149,7 +1164,7 @@ class ShardData:
         """Terms in this shard's (sorted) dictionary starting with
         ``prefix``, in term order — the Lucene per-segment prefix
         expansion.  ``cap`` bounds the walk (max_expansions)."""
-        return prefix_expand_sorted(self.term_list, prefix, cap)
+        return prefix_expand_sorted(self.walk_term_list, prefix, cap)
 
     def prefix_docs(self, prefix: str, k: int) -> np.ndarray:
         """ES ``prefix`` query (constant_score rewrite): the k smallest
@@ -1222,7 +1237,7 @@ class ShardData:
         ``?`` = one char), in term order (literal-prefix bisect + regex
         walk).  A leading-wildcard pattern scans the whole shard
         dictionary — supported, as in ES, but inherently a scan."""
-        return wildcard_expand_sorted(self.term_list, pattern, cap)
+        return wildcard_expand_sorted(self.walk_term_list, pattern, cap)
 
     def _meta_leaf(self, node: tuple) -> tuple[np.ndarray, np.ndarray]:
         """query_string docmeta leaf (``field:value`` / ranges) over
@@ -1498,7 +1513,7 @@ class ShardData:
     def expand_regexp(self, pattern: str, cap: int | None = None) -> list[str]:
         """Terms matching an ES ``regexp`` pattern (anchored), in term
         order (leading-literal bisect + regex walk)."""
-        return regexp_expand_sorted(self.term_list, pattern, cap)
+        return regexp_expand_sorted(self.walk_term_list, pattern, cap)
 
     def regexp_docs(self, pattern: str, k: int) -> np.ndarray:
         """ES ``regexp`` query (constant_score rewrite): the k smallest
@@ -1527,7 +1542,7 @@ class ShardData:
         is bounded by the shard vocabulary, and the prefix bisect bounds
         it further when prefix_length > 0."""
         return fuzzy_expand_sorted(
-            self.term_list, term, max_edits, prefix_length
+            self.walk_term_list, term, max_edits, prefix_length
         )
 
     def agg_match(
@@ -1727,6 +1742,26 @@ class ShardData:
         slots: list[list[str]] = [
             [s] if isinstance(s, str) else list(s) for s in phrase
         ]
+        if (
+            slop == 0
+            and self.index_phrases
+            and len(slots) >= 2
+            and all(len(a) == 1 for a in slots)
+        ):
+            # index_phrases rewrite: the n-term phrase becomes n−1
+            # SHINGLE slots at consecutive positions — a 2-term phrase
+            # is ONE term lookup (pf = the shingle's tf), longer ones
+            # intersect low-df shingle streams instead of hot unigram
+            # position mass.  Identical matches/pf by construction
+            # (a phrase start at p ⟺ every bigram at p..p+n−2; tested
+            # vs the unigram path).
+            from ..index.build import SHINGLE_SEP
+
+            toks0 = [a[0] for a in slots]
+            slots = [
+                [toks0[i] + SHINGLE_SEP + toks0[i + 1]]
+                for i in range(len(toks0) - 1)
+            ]
         decoded: dict[str, tuple] = {}
         slot_present: list[list[str]] = []
         for alts in slots:

@@ -376,9 +376,17 @@ class _BucketCore:
         return regexp_expand_sorted(self._sorted_terms(), pattern, cap)
 
     def _sorted_terms(self) -> list[str]:
+        # dictionary WALKS (prefix/wildcard/regexp/fuzzy) see unigrams
+        # only — index_phrases shingle terms ("hash\x1fjoin") would
+        # otherwise match prefix walks of their first token.  Exact
+        # lookups (self.terms) still serve shingles.
         tl = getattr(self, "_term_list", None)
         if tl is None:
-            tl = self._term_list = sorted(self.terms)
+            from ..index.build import SHINGLE_SEP
+
+            tl = self._term_list = sorted(
+                t for t in self.terms if SHINGLE_SEP not in t
+            )
         return tl
 
     def expand_fuzzy(
@@ -2348,6 +2356,39 @@ class TermPartitionedEngine:
             toks = list(phrase)
         if not toks:
             return []
+        idf_override = None
+        if (
+            slop == 0
+            and len(toks) >= 2
+            and bool(self.meta.get("index_phrases"))
+        ):
+            # index_phrases rewrite (see ShardData.phrase_topk): idf_sum
+            # stays the UNIGRAM constituents' sum (Lucene PhraseWeight),
+            # probed without shipping postings; the slots become n−1
+            # shingle terms.  A 2-term phrase needs no positions at all:
+            # pf = the shingle's tf, so score = idf_sum × its norms —
+            # one non-positional fetch.
+            from ..index.build import SHINGLE_SEP
+
+            uni_dfs = self.dfs(sorted(set(toks)))
+            if any(uni_dfs[t] == 0 for t in set(toks)):
+                return []
+            idf_override = float(sum(
+                math.log(1.0 + (self.n - uni_dfs[t] + 0.5)
+                         / (uni_dfs[t] + 0.5))
+                for t in toks  # WITH repeats
+            ))
+            toks = [
+                toks[i] + SHINGLE_SEP + toks[i + 1]
+                for i in range(len(toks) - 1)
+            ]
+            if len(toks) == 1:
+                g = self.fetch_terms(toks).get(toks[0])
+                if g is None:
+                    return []
+                return self._tie_cut(
+                    g[0].astype(np.int64), idf_override * g[1], k
+                )
         # position-skip doc gating (see ShardData.phrase_topk), applied
         # REMOTE-SIDE when the conjunction is selective: only candidate
         # docs' position segments ship from the bucket actors
@@ -2361,10 +2402,15 @@ class TermPartitionedEngine:
             _, cand_docs, base = got
             if len(cand_docs) == 0:
                 return []
-            idf_sum = 0.0
-            for t in toks:  # WITH repeats — Lucene PhraseWeight
-                df = base[t][2]
-                idf_sum += math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+            if idf_override is not None:
+                idf_sum = idf_override
+            else:
+                idf_sum = 0.0
+                for t in toks:  # WITH repeats — Lucene PhraseWeight
+                    df = base[t][2]
+                    idf_sum += math.log(
+                        1.0 + (self.n - df + 0.5) / (df + 0.5)
+                    )
             rpt_groups = None
             if slop > 0 and slop_mode == "lucene":
                 from .sloppy import repeat_groups_of
@@ -2382,10 +2428,13 @@ class TermPartitionedEngine:
         fetched, cand_docs = got
         if len(cand_docs) == 0:
             return []
-        idf_sum = 0.0
-        for t in toks:  # WITH repeats — Lucene PhraseWeight
-            df = fetched[t][2]
-            idf_sum += math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+        if idf_override is not None:
+            idf_sum = idf_override
+        else:
+            idf_sum = 0.0
+            for t in toks:  # WITH repeats — Lucene PhraseWeight
+                df = fetched[t][2]
+                idf_sum += math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
 
         shift = np.int64(self._POS_BITS)
         # parallel-path gate shared by all three phrase modes: enough
