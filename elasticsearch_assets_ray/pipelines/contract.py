@@ -1620,6 +1620,165 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# Hybrid retrieval (ES rrf retriever): (qid, match text, knn query
+# vec_id) — BM25 ranks fuse with brute-force cosine ranks by
+# reciprocal-rank fusion; embeddings.vec_id is the document id space
+HYBRID_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash join merge", 0),
+    (1, "customer order value", 1),
+    (2, "slow query scan big table", 2),
+]
+RRF_WINDOW = 50  # rank_window_size per retriever
+RRF_CONST = 60   # the ES rank_constant default
+
+
+def _bm25_rank_lists(
+    per_q: dict[int, list[tuple[int, float]]], idx: str, depth: int
+) -> dict[int, list[int]]:
+    """Engine hits → orig-id rank lists under the contract order
+    (round(score,4) desc, orig_id asc), capped at ``depth`` — the
+    text-retriever side of the RRF fusion."""
+    out: dict[int, list[int]] = {}
+    store = DocStore(idx, columns=["doc_id", "orig_id"])
+    for qid, hits in per_q.items():
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        orig = (
+            store.mget(ids).column("orig_id").to_numpy().astype(np.int64)
+            if len(ids) else np.empty(0, np.int64)
+        )
+        score_r = np.round(np.array([s for _, s in hits]), 4)
+        top = np.lexsort((orig, -score_r))[:depth]
+        out[qid] = orig[top].tolist()
+    return out
+
+
+def _q_hybrid_rrf(engine, idx: str, sf_dir: str) -> pa.Table:
+    from ..search.hybrid import rrf_fuse
+
+    per_q = {
+        qid: engine.search(text, k=RRF_WINDOW)
+        for qid, text, _ in HYBRID_QUERIES
+    }
+    bm25_ranks = _bm25_rank_lists(per_q, idx, RRF_WINDOW)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vec_ids = [v for _, _, v in HYBRID_QUERIES]
+    qmat = sim.queries_from_dataset(emb, vec_ids)
+    knn = sim.knn_cosine(emb, qmat, vec_ids, k=RRF_WINDOW).to_pydict()
+    knn_ranks: dict[int, list[int]] = {v: [] for v in vec_ids}
+    for v, d in zip(knn["query_id"], knn["vec_id"]):
+        knn_ranks[v].append(d)  # knn_cosine emits rank order per query
+    o_q, o_r, o_d, o_s = [], [], [], []
+    for qid, _, vid in HYBRID_QUERIES:
+        fused = rrf_fuse(
+            [bm25_ranks[qid], knn_ranks[vid]],
+            k=TOPK, rank_constant=RRF_CONST,
+        )
+        for r, (d, s) in enumerate(fused, start=1):
+            o_q.append(qid)
+            o_r.append(r)
+            o_d.append(d)
+            o_s.append(round(s, 6))
+    return pa.table({
+        "query_id": pa.array(o_q, pa.int64()),
+        "rank": pa.array(o_r, pa.int64()),
+        "doc_id": pa.array(o_d, pa.int64()),
+        "rrf_r": pa.array(o_s, pa.float64()),
+    })
+
+
+def q_hybrid_rrf(sf_dir: str) -> pa.Table:
+    """Hybrid text+vector retrieval via Reciprocal Rank Fusion (the ES
+    ``rrf`` retriever): BM25 top-``rank_window`` ranks fuse with exact
+    cosine-kNN ranks as Σ 1/(60+rank); no score calibration, exactly
+    SQL-reproducible.  Documents without an embedding simply get no
+    vector contribution (the ES semantics when retrievers cover
+    different doc sets)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_hybrid_rrf(engine, idx, sf_dir)
+    finally:
+        engine.shutdown()
+
+
+def q_hybrid_rrf_global(sf_dir: str) -> pa.Table:
+    """The SAME hybrid RRF with the text ranks served from the
+    TERM-partitioned layout — same SQL oracle (the fusion is
+    engine-agnostic)."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_hybrid_rrf(eng, idx, sf_dir)
+    finally:
+        eng.shutdown()
+
+
+def sql_hybrid_rrf() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}', {vid})" for qid, t, vid in HYBRID_QUERIES
+    )
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    qtoks = _TOKS.format(id="query_id", text="qtext", src="q")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+q(query_id, qtext, vec_qid) AS (VALUES {values}),
+qt AS (SELECT DISTINCT query_id, t AS tq
+       FROM (SELECT doc_id AS query_id, t FROM ({qtoks})) _),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM qt
+  JOIN tf ON tf.t = qt.tq
+  JOIN df ON df.t = qt.tq
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  GROUP BY 1, 2),
+brank AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rb
+  FROM scored QUALIFY rb <= {RRF_WINDOW}),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS v FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+qe AS (SELECT q.query_id, e.i, e.v, nrm.nrm
+       FROM q JOIN e ON e.vec_id = q.vec_qid
+       JOIN nrm ON nrm.vec_id = q.vec_qid),
+dots AS (SELECT qe.query_id, e.vec_id,
+                sum(qe.v * e.v) / (any_value(qe.nrm) * any_value(nv.nrm)) AS sim
+         FROM qe JOIN e ON e.i = qe.i
+         JOIN nrm nv ON nv.vec_id = e.vec_id
+         GROUP BY 1, 2),
+krank AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(sim, 4) DESC, vec_id) AS rk
+  FROM dots QUALIFY rk <= {RRF_WINDOW}),
+fused AS (
+  SELECT coalesce(b.query_id, k.query_id) AS query_id,
+         coalesce(b.doc_id, k.vec_id) AS doc_id,
+         coalesce(1.0 / ({RRF_CONST} + b.rb), 0)
+         + coalesce(1.0 / ({RRF_CONST} + k.rk), 0) AS score
+  FROM brank b
+  FULL OUTER JOIN krank k
+    ON k.query_id = b.query_id AND k.vec_id = b.doc_id)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 6) DESC, doc_id) AS rank,
+       round(score, 6) AS rrf_r
+FROM fused
+QUALIFY rank <= {TOPK}
+"""
+
+
 def shingled_index_dir(sf_dir: str) -> str:
     tag = hashlib.md5(
         f"{CONTRACT_INDEX_VERSION}:sh:{sf_dir}".encode()
@@ -6216,6 +6375,8 @@ def queries():
         "query_string_global": q_query_string_global,
         "bm25_phrase_shingled": q_bm25_phrase_shingled,
         "bm25_phrase_shingled_global": q_bm25_phrase_shingled_global,
+        "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_rrf_global": q_hybrid_rrf_global,
         "collapse_search": q_collapse_search,
         "collapse_search_global": q_collapse_search_global,
         "suggest_term": q_suggest_term,
@@ -6344,6 +6505,8 @@ def oracle_sql():
         "query_string_global": sql_query_string(),
         "bm25_phrase_shingled": sql_bm25_phrase(),
         "bm25_phrase_shingled_global": sql_bm25_phrase(),
+        "hybrid_rrf": sql_hybrid_rrf(),
+        "hybrid_rrf_global": sql_hybrid_rrf(),
         "collapse_search": sql_collapse_search(),
         "collapse_search_global": sql_collapse_search(),
         "suggest_term": sql_suggest_term(),

@@ -45,3 +45,20 @@ def test_completions():
     assert got[0]["freq"] == 30
     # df-0 terms drop
     assert rank_completions(["sc"], {"sc": 0}, 5) == []
+
+
+def test_rrf_fuse():
+    from elasticsearch_assets_ray.search.hybrid import rrf_fuse
+
+    got = rrf_fuse([[1, 2, 3], [3, 1]], k=10)
+    # doc 1: 1/61 + 1/62; doc 3: 1/63 + 1/61; doc 2: 1/62
+    s1 = 1 / 61 + 1 / 62
+    s3 = 1 / 63 + 1 / 61
+    assert [d for d, _ in got] == [1, 3, 2]
+    assert abs(got[0][1] - s1) < 1e-15 and abs(got[1][1] - s3) < 1e-15
+    # tie on score -> doc id ascending
+    got = rrf_fuse([[5], [7]], k=10)
+    assert [d for d, _ in got] == [5, 7]
+    # k cut and duplicate-id defensiveness
+    assert len(rrf_fuse([[1, 2, 3, 1]], k=2)) == 2
+    assert rrf_fuse([[4, 4]], k=5)[0][1] == 1 / 61
