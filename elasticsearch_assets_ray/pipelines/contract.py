@@ -1620,6 +1620,86 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES _termvectors: per-doc term vectors (realtime re-analysis) with
+# term statistics, over these ORIG doc ids
+TV_DOC_IDS = [0, 7, 42]
+
+
+def _q_termvectors(engine, idx: str) -> pa.Table:
+    import pyarrow.dataset as pds_
+
+    dm = pds_.dataset(f"{idx}/docmeta").to_table(columns=["doc_id", "orig_id"])
+    orig2glob = dict(
+        zip(dm.column("orig_id").to_pylist(), dm.column("doc_id").to_pylist())
+    )
+    o_d, o_t, o_p, o_tf, o_df, o_ttf = [], [], [], [], [], []
+    for orig in TV_DOC_IDS:
+        tv = engine.termvectors(orig2glob[orig], term_statistics=True)
+        for term in sorted(tv["terms"]):
+            row = tv["terms"][term]
+            for pos in row["positions"]:
+                o_d.append(orig)
+                o_t.append(term)
+                o_p.append(pos)
+                o_tf.append(row["term_freq"])
+                o_df.append(row["doc_freq"])
+                o_ttf.append(row["ttf"])
+    return pa.table({
+        "doc_id": pa.array(o_d, pa.int64()),
+        "term": pa.array(o_t, pa.string()),
+        "pos": pa.array(o_p, pa.int64()),
+        "term_freq": pa.array(o_tf, pa.int64()),
+        "df": pa.array(o_df, pa.int64()),
+        "ttf": pa.array(o_ttf, pa.int64()),
+    })
+
+
+def q_termvectors(sf_dir: str) -> pa.Table:
+    """ES ``_termvectors`` (realtime path — re-analyze the stored
+    ``_source``, ES's behavior when vectors aren't stored at index
+    time): per-term frequency + in-doc positions, with ``doc_freq`` /
+    ``ttf`` term statistics probed from the live index."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_termvectors(engine, idx)
+    finally:
+        engine.shutdown()
+
+
+def q_termvectors_global(sf_dir: str) -> pa.Table:
+    """The SAME termvectors from the TERM-partitioned layout (text via
+    the source docmeta lineage, df/ttf probes routed to the owning
+    bucket actors' retained per-posting tfs) — same SQL oracle."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_termvectors(eng, idx)
+    finally:
+        eng.shutdown()
+
+
+def sql_termvectors() -> str:
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+stats AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df,
+                 count(*)::BIGINT AS ttf FROM toks GROUP BY t),
+tv AS (SELECT doc_id, t, pos FROM toksp WHERE doc_id IN ({ids})),
+tfq AS (SELECT doc_id, t, count(*)::BIGINT AS term_freq
+        FROM tv GROUP BY 1, 2)
+SELECT tv.doc_id, tv.t AS term, tv.pos, tfq.term_freq,
+       stats.df, stats.ttf
+FROM tv
+JOIN tfq ON tfq.doc_id = tv.doc_id AND tfq.t = tv.t
+JOIN stats ON stats.t = tv.t
+"""
+
+
 # Hybrid retrieval (ES rrf retriever): (qid, match text, knn query
 # vec_id) — BM25 ranks fuse with brute-force cosine ranks by
 # reciprocal-rank fusion; embeddings.vec_id is the document id space
@@ -6377,6 +6457,8 @@ def queries():
         "bm25_phrase_shingled_global": q_bm25_phrase_shingled_global,
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_rrf_global": q_hybrid_rrf_global,
+        "termvectors": q_termvectors,
+        "termvectors_global": q_termvectors_global,
         "collapse_search": q_collapse_search,
         "collapse_search_global": q_collapse_search_global,
         "suggest_term": q_suggest_term,
@@ -6507,6 +6589,8 @@ def oracle_sql():
         "bm25_phrase_shingled_global": sql_bm25_phrase(),
         "hybrid_rrf": sql_hybrid_rrf(),
         "hybrid_rrf_global": sql_hybrid_rrf(),
+        "termvectors": sql_termvectors(),
+        "termvectors_global": sql_termvectors(),
         "collapse_search": sql_collapse_search(),
         "collapse_search_global": sql_collapse_search(),
         "suggest_term": sql_suggest_term(),

@@ -514,6 +514,7 @@ class ShardData:
         else:
             self.walk_term_list = self.term_list
         self.df = seg.column("df").to_numpy()
+        self.cf = seg.column("cf").to_numpy()
         self.max_tf = seg.column("max_tf").to_numpy()
         self.blobs = seg.column("postings").to_pylist()
         # positional sidecar (store_positions builds) — None otherwise
@@ -540,6 +541,10 @@ class ShardData:
     def local_df(self, term: str) -> int:
         i = self.terms.get(term)
         return int(self.df[i]) if i is not None else 0
+
+    def local_cf(self, term: str) -> int:
+        i = self.terms.get(term)
+        return int(self.cf[i]) if i is not None else 0
 
     def dense_topk(
         self,
@@ -2109,6 +2114,9 @@ class _ScorerCore:
     def local_dfs(self, terms: list[str]) -> dict[str, int]:
         return {t: sum(s.local_df(t) for s in self.shards) for t in terms}
 
+    def local_cfs(self, terms: list[str]) -> dict[str, int]:
+        return {t: sum(s.local_cf(t) for s in self.shards) for t in terms}
+
     def add_shards(self, shard_ids: list[int], avgdl: float,
                    num_docs: int) -> int:
         """Live refresh (append-only growth): load ONLY the new shards
@@ -2561,6 +2569,49 @@ class QueryEngine:
             t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
             for t in terms
         }
+
+    def cfs(self, terms: list[str]) -> dict[str, int]:
+        """Global collection frequencies (total term freq — the ES
+        ``ttf`` term statistic), one actor round."""
+        parts = ray.get([a.local_cfs.remote(terms) for a in self.actors])
+        return {t: sum(p[t] for p in parts) for t in terms}
+
+    def termvectors(
+        self,
+        doc_id: int,
+        term_statistics: bool = False,
+        field_statistics: bool = False,
+    ) -> dict:
+        """ES ``_termvectors`` (the realtime path: re-analyze the stored
+        ``_source``, exactly what ES does when termvectors aren't stored
+        at index time): per-term ``term_freq`` + in-doc ``positions``;
+        ``term_statistics=True`` adds ``doc_freq``/``ttf`` probed from
+        the index; ``field_statistics=True`` adds doc_count /
+        sum_doc_freq / sum_ttf from the build stats."""
+        from ..state.docstore import CorpusTextReader
+        from .termvectors import build_termvector
+
+        if self._text_reader is None:
+            self._text_reader = CorpusTextReader(self.info.index_dir)
+        text = self._text_reader.mget([doc_id])[0]
+        out = build_termvector(text, self._sqs_analyze())
+        if term_statistics and out["terms"]:
+            ts = sorted(out["terms"])
+            dfs, cfs = self.dfs(ts), self.cfs(ts)
+            for t, row in out["terms"].items():
+                row["doc_freq"] = int(dfs.get(t, 0))
+                row["ttf"] = int(cfs.get(t, 0))
+        if field_statistics:
+            st = self.info.stats
+            out["field_statistics"] = {
+                "doc_count": int(st.num_docs),
+                "sum_ttf": int(st.total_tokens),
+                "sum_doc_freq": int(sum(
+                    s.num_postings
+                    for s in self.info.manifest.shards.values()
+                )),
+            }
+        return out
 
     def search(
         self,

@@ -417,6 +417,13 @@ class _BucketCore:
             t: self.terms[t][2] for t in terms if t in self.terms
         }
 
+    def cf_of(self, terms: list[str]) -> dict[str, int]:
+        """Collection frequencies (ttf) from the retained per-posting
+        tfs (layout v2) — the termvectors term-statistics probe."""
+        return {
+            t: int(self.tfs[t].sum()) for t in terms if t in self.tfs
+        }
+
     def fetch(self, terms: list[str], positions: bool = False):
         """→ {term: (doc_ids, norms, df, block_last, block_max)} for the
         terms this core owns; with ``positions=True`` each tuple gains
@@ -2154,6 +2161,67 @@ class TermPartitionedEngine:
         gv = np.asarray(raw, dtype=object)[np.searchsorted(sids, ids)]
         return collapse_rows(ids, sc, gv, k_groups, inner_size,
                              self.round_decimals)
+
+    def cfs(self, terms: list[str]) -> dict[str, int]:
+        """Global collection frequencies (ttf) — terms route to their
+        owning bucket actors (retained per-posting tfs, no arrays ship)."""
+        from ..index.global_merge import _term_bucket
+
+        by_actor: dict[int, list[str]] = {}
+        for t in terms:
+            a = self._actor_of_bucket[
+                _term_bucket(t, self._n_buckets, self._term_hash)
+            ]
+            by_actor.setdefault(a, []).append(t)
+        out: dict[str, int] = {}
+        for part in ray.get(
+            [self.actors[a].cf_of.remote(ts) for a, ts in by_actor.items()]
+        ):
+            out.update(part)
+        return {t: out.get(t, 0) for t in terms}
+
+    def termvectors(
+        self,
+        doc_id: int,
+        term_statistics: bool = False,
+        field_statistics: bool = False,
+    ) -> dict:
+        """ES ``_termvectors`` on the term-partitioned layout — same
+        realtime semantics (and results, parity tested) as
+        :meth:`QueryEngine.termvectors`: text hydrates from the source
+        docmeta lineage, stats probe the bucket actors / source build
+        stats."""
+        from ..state.docstore import CorpusTextReader
+        from .termvectors import build_termvector
+
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for termvectors"
+            )
+        if not hasattr(self, "_text_reader"):
+            self._text_reader = CorpusTextReader(src)
+        text = self._text_reader.mget([doc_id])[0]
+        out = build_termvector(text, self._sqs_analyze())
+        if term_statistics and out["terms"]:
+            ts = sorted(out["terms"])
+            dfs, cfs = self.dfs(ts), self.cfs(ts)
+            for t, row in out["terms"].items():
+                row["doc_freq"] = int(dfs.get(t, 0))
+                row["ttf"] = int(cfs.get(t, 0))
+        if field_statistics:
+            from ..index.build import IndexInfo
+
+            info = IndexInfo(src)
+            out["field_statistics"] = {
+                "doc_count": int(info.stats.num_docs),
+                "sum_ttf": int(info.stats.total_tokens),
+                "sum_doc_freq": int(sum(
+                    s.num_postings for s in info.manifest.shards.values()
+                )),
+            }
+        return out
 
     def suggest_term(
         self, text: str, size: int = 5, suggest_mode: str = "missing",
