@@ -1620,6 +1620,174 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES phrase suggester (did-you-mean): misspelled inputs over the
+# shingled contract index; bigram LM counts = shingle cfs
+PS_QUERIES: list[tuple[int, str]] = [
+    (0, "custmer ordr"),
+    (1, "slow quer scan"),
+    (2, "hash joim"),
+]
+PS_SIZE, PS_CANDS, PS_MAX_ERRORS = 3, 6, 2
+
+
+def _q_suggest_phrase(engine) -> pa.Table:
+    o_q, o_r, o_t, o_s = [], [], [], []
+    for qid, text in PS_QUERIES:
+        # over-fetch, then re-rank under the ROUNDED contract order
+        # (round(score,6) desc, text asc) the oracle hashes
+        rows = engine.suggest_phrase(
+            text, size=1000, max_edits=1, prefix_length=1,
+            num_candidates=PS_CANDS, max_errors=PS_MAX_ERRORS,
+        )
+        ranked = sorted(
+            ((-round(r["score"], 6), r["text"]) for r in rows)
+        )[:PS_SIZE]
+        for r, (ns, t) in enumerate(ranked, start=1):
+            o_q.append(qid)
+            o_r.append(r)
+            o_t.append(t)
+            o_s.append(-ns)
+    return pa.table({
+        "query_id": pa.array(o_q, pa.int64()),
+        "rank": pa.array(o_r, pa.int64()),
+        "text": pa.array(o_t, pa.string()),
+        "score_r": pa.array(o_s, pa.float64()),
+    })
+
+
+def q_suggest_phrase(sf_dir: str) -> pa.Table:
+    """ES ``phrase`` suggester (did-you-mean): whole-phrase corrections
+    from per-token dictionary candidates, scored by a stupid-backoff
+    bigram language model whose counts ARE the index_phrases shingle
+    postings (no side model); only corrections scoring above the input
+    return (confidence=1.0).  Formula: search/suggest.py."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index_shingled(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_suggest_phrase(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_suggest_phrase_global(sf_dir: str) -> pa.Table:
+    """The SAME phrase-suggester queries from the TERM-partitioned
+    layout over the shingled index (bigram counts from the owning
+    bucket actors' retained shingle tfs) — same SQL oracle."""
+    import os
+
+    from ..index.global_merge import merge_global_postings
+    from ..search.term_engine import TermPartitionedEngine
+
+    idx = ensure_doc_index_shingled(sf_dir)
+    gdir = f"{idx}_global"
+    if not os.path.exists(f"{gdir}/_globalmeta.json"):
+        merge_global_postings(idx, gdir, n_salts=2, n_buckets=8,
+                              hot_df_fraction=0.5, store_norms=True)
+    eng = TermPartitionedEngine(gdir, num_actors=2, round_decimals=4)
+    try:
+        return _q_suggest_phrase(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_suggest_phrase() -> str:
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    rwel, backoff = 0.95, 0.4
+    selects = []
+    for qid, text in PS_QUERIES:
+        toks = [t for t in text.lower().split() if t]
+        n = len(toks)
+        # per-position candidate subqueries (mirror expand_fuzzy: first
+        # char pinned, levenshtein <= 1, (dist, term) cap)
+        cands = []
+        for i, tok in enumerate(toks):
+            cands.append(
+                f"(SELECT t, dist FROM ("
+                f"SELECT cf.t, levenshtein('{tok}', cf.t) AS dist, "
+                f"row_number() OVER (ORDER BY levenshtein('{tok}', cf.t), cf.t) AS rn "
+                f"FROM cf WHERE substr(cf.t, 1, 1) = '{tok[0]}' "
+                f"AND levenshtein('{tok}', cf.t) <= 1) WHERE rn <= {PS_CANDS}"
+                f") c{i}"
+            )
+        froms = " CROSS JOIN ".join(cands)
+        # score expression: token 0 unigram, transitions stupid-backoff
+        parts = []
+        for i, tok in enumerate(toks):
+            e = (f"(CASE WHEN c{i}.t = '{tok}' THEN {rwel} "
+                 f"ELSE (1.0 - c{i}.dist::DOUBLE / "
+                 f"least(len('{tok}'), len(c{i}.t))) * {1.0 - rwel} END)")
+            if i == 0:
+                p = f"(cfa0.c / tt.total)"
+            else:
+                p = (f"(CASE WHEN coalesce(bg{i}.c, 0) > 0 "
+                     f"THEN bg{i}.c / cfa{i - 1}.c "
+                     f"ELSE {backoff} * cfa{i}.c / tt.total END)")
+            parts.append(f"log10({p}) + log10({e})")
+        score = " + ".join(parts)
+        joins = []
+        for i in range(n):
+            joins.append(f"JOIN cf cfa{i} ON cfa{i}.t = c{i}.t")
+        for i in range(1, n):
+            joins.append(
+                f"LEFT JOIN big bg{i} ON bg{i}.t1 = c{i - 1}.t "
+                f"AND bg{i}.t2 = c{i}.t"
+            )
+        changed = " + ".join(
+            f"(CASE WHEN c{i}.t = '{toks[i]}' THEN 0 ELSE 1 END)"
+            for i in range(n)
+        )
+        eguards = " AND ".join(
+            f"(c{i}.t = '{toks[i]}' OR c{i}.dist < "
+            f"least(len('{toks[i]}'), len(c{i}.t)))" for i in range(n)
+        )
+        # base (the unchanged input's score) — NULL when any token is
+        # out of dictionary; candidates must beat it strictly
+        base_p = []
+        for i, tok in enumerate(toks):
+            if i == 0:
+                base_p.append(
+                    f"log10((SELECT c FROM cf WHERE t = '{tok}') / tt.total)"
+                )
+            else:
+                base_p.append(
+                    f"log10(CASE WHEN coalesce((SELECT c FROM big WHERE "
+                    f"t1 = '{toks[i - 1]}' AND t2 = '{tok}'), 0) > 0 "
+                    f"THEN (SELECT c FROM big WHERE t1 = '{toks[i - 1]}' "
+                    f"AND t2 = '{tok}') / (SELECT c FROM cf WHERE t = '{toks[i - 1]}') "
+                    f"ELSE {backoff} * (SELECT c FROM cf WHERE t = '{tok}') / tt.total END)"
+                )
+            base_p.append(f"log10({rwel})")
+        base = " + ".join(base_p)
+        phrase = " || ' ' || ".join(f"c{i}.t" for i in range(n))
+        selects.append(f"""
+SELECT {qid} AS query_id, {phrase} AS text, {score} AS score
+FROM {froms} {' '.join(joins)}, tt
+WHERE ({changed}) BETWEEN 1 AND {PS_MAX_ERRORS} AND {eguards}
+  AND {score} > coalesce(({base}), -1e308)""")
+        # NOTE: `base` re-evaluates per row but is row-constant
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+cf AS (SELECT t, count(*)::DOUBLE AS c FROM toks GROUP BY t),
+big AS (SELECT p0.t AS t1, p1.t AS t2, count(*)::DOUBLE AS c
+        FROM toksp p0 JOIN toksp p1
+          ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+        GROUP BY 1, 2),
+tt AS (SELECT sum(c) AS total FROM cf),
+allq AS ({union})
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 6) DESC, text) AS rank,
+       text, round(score, 6) AS score_r
+FROM allq
+QUALIFY rank <= {PS_SIZE}
+"""
+
+
 # ES _termvectors: per-doc term vectors (realtime re-analysis) with
 # term statistics, over these ORIG doc ids
 TV_DOC_IDS = [0, 7, 42]
@@ -6459,6 +6627,8 @@ def queries():
         "hybrid_rrf_global": q_hybrid_rrf_global,
         "termvectors": q_termvectors,
         "termvectors_global": q_termvectors_global,
+        "suggest_phrase": q_suggest_phrase,
+        "suggest_phrase_global": q_suggest_phrase_global,
         "collapse_search": q_collapse_search,
         "collapse_search_global": q_collapse_search_global,
         "suggest_term": q_suggest_term,
@@ -6591,6 +6761,8 @@ def oracle_sql():
         "hybrid_rrf_global": sql_hybrid_rrf(),
         "termvectors": sql_termvectors(),
         "termvectors_global": sql_termvectors(),
+        "suggest_phrase": sql_suggest_phrase(),
+        "suggest_phrase_global": sql_suggest_phrase(),
         "collapse_search": sql_collapse_search(),
         "collapse_search_global": sql_collapse_search(),
         "suggest_term": sql_suggest_term(),

@@ -2972,6 +2972,31 @@ class QueryEngine:
         terms = self.expand_prefix(prefix, max_expansions=max_candidates)
         return rank_completions(terms, self.dfs(terms), size)
 
+    def suggest_phrase(
+        self, text: str, size: int = 3, max_edits: int = 1,
+        prefix_length: int = 1, num_candidates: int = 6,
+        max_errors: int = 2,
+    ) -> list[dict]:
+        """ES ``phrase`` suggester (did-you-mean): whole-phrase
+        corrections ranked by a stupid-backoff bigram language model
+        whose counts come from the index_phrases SHINGLE postings
+        (requires an ``index_phrases=True`` index — the layout IS the
+        language model).  Formula + divergences: :mod:`.suggest`."""
+        from ..index.build import SHINGLE_SEP
+        from .suggest import suggest_phrase
+
+        if not getattr(self.info.manifest, "index_phrases", False):
+            raise ValueError(
+                "phrase suggester needs an index_phrases=True index "
+                "(shingle postings supply the bigram counts)"
+            )
+        return suggest_phrase(
+            text, self._sqs_analyze(), self.expand_fuzzy, self.cfs,
+            int(self.info.stats.total_tokens), SHINGLE_SEP,
+            size=size, max_edits=max_edits, prefix_length=prefix_length,
+            num_candidates=num_candidates, max_errors=max_errors,
+        )
+
     def search_dis_max(
         self, queries: list[str], tie_breaker: float = 0.0, k: int = 10,
     ) -> list[tuple[int, float]]:

@@ -2260,6 +2260,36 @@ class TermPartitionedEngine:
         terms = self.expand_prefix(prefix, max_expansions=max_candidates)
         return rank_completions(terms, self.dfs(terms), size)
 
+    def suggest_phrase(
+        self, text: str, size: int = 3, max_edits: int = 1,
+        prefix_length: int = 1, num_candidates: int = 6,
+        max_errors: int = 2,
+    ) -> list[dict]:
+        """ES ``phrase`` suggester (did-you-mean) on the term-partitioned
+        layout — same semantics (and results, parity tested) as
+        :meth:`QueryEngine.suggest_phrase`; bigram counts resolve from
+        the owning bucket actors' retained shingle tfs."""
+        from ..index.build import SHINGLE_SEP
+        from .suggest import suggest_phrase
+
+        if not self.meta.get("index_phrases"):
+            raise ValueError(
+                "phrase suggester needs an index_phrases=True layout "
+                "(shingle postings supply the bigram counts)"
+            )
+        if not hasattr(self, "_src_total_tokens"):
+            from ..index.build import IndexInfo
+
+            self._src_total_tokens = int(
+                IndexInfo(self.meta["source_index"]).stats.total_tokens
+            )
+        return suggest_phrase(
+            text, self._sqs_analyze(), self.expand_fuzzy, self.cfs,
+            self._src_total_tokens, SHINGLE_SEP,
+            size=size, max_edits=max_edits, prefix_length=prefix_length,
+            num_candidates=num_candidates, max_errors=max_errors,
+        )
+
     def expand_fuzzy(
         self, term: str, fuzziness: int = 1, prefix_length: int = 0,
         max_expansions: int = 50,
