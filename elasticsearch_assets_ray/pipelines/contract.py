@@ -1620,6 +1620,89 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES rare_terms aggregation: (qid, match text, max_doc_count) — the
+# long tail of n_chars buckets (the high-cardinality field, so rare
+# buckets exist at every scale) over the matched docs
+RARE_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash join", 1),
+    (1, "customer order value", 2),
+    (2, "big table scan", 1),
+]
+RARE_SIZE = 20
+
+
+def _q_rare_terms(engine) -> pa.Table:
+    rows = []
+    for qid, text, mdc in RARE_QUERIES:
+        for rank, b in enumerate(
+            engine.rare_terms(text, field="n_chars", max_doc_count=mdc,
+                              size=RARE_SIZE),
+            start=1,
+        ):
+            rows.append((qid, rank, int(b["key"]), int(b["doc_count"])))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "rank": pa.array([r[1] for r in rows], pa.int64()),
+        "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        "doc_count": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def q_rare_terms(sf_dir: str) -> pa.Table:
+    """ES ``rare_terms`` aggregation: the LONG TAIL of the keyword field
+    over matched docs (doc_count ≤ max_doc_count, count asc, key asc) —
+    exact here (every bucket crosses the O(buckets) merge; ES's
+    CuckooFilter approximation can drop buckets, disclosed)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_rare_terms(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_rare_terms_global(sf_dir: str) -> pa.Table:
+    """The SAME rare_terms queries from the TERM-partitioned layout —
+    same SQL oracle."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_rare_terms(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_rare_terms() -> str:
+    rows = []
+    mdc_case = []
+    for qid, text, mdc in RARE_QUERIES:
+        for t in text.lower().split():
+            rows.append(f"({qid}, '{t}')")
+        mdc_case.append(f"WHEN {qid} THEN {mdc}")
+    values = ", ".join(rows)
+    case = "CASE query_id " + " ".join(mdc_case) + " END"
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+buckets AS (
+  SELECT hit.query_id, d.n_chars, count(*)::BIGINT AS doc_count
+  FROM hit JOIN documents d ON d.doc_id = hit.doc_id
+  GROUP BY 1, 2)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY doc_count, n_chars) AS rank,
+       n_chars, doc_count
+FROM buckets
+WHERE doc_count <= {case}
+QUALIFY rank <= {RARE_SIZE}
+"""
+
+
 # ES phrase suggester (did-you-mean): misspelled inputs over the
 # shingled contract index; bigram LM counts = shingle cfs
 PS_QUERIES: list[tuple[int, str]] = [
@@ -6629,6 +6712,8 @@ def queries():
         "termvectors_global": q_termvectors_global,
         "suggest_phrase": q_suggest_phrase,
         "suggest_phrase_global": q_suggest_phrase_global,
+        "rare_terms_agg": q_rare_terms,
+        "rare_terms_agg_global": q_rare_terms_global,
         "collapse_search": q_collapse_search,
         "collapse_search_global": q_collapse_search_global,
         "suggest_term": q_suggest_term,
@@ -6763,6 +6848,8 @@ def oracle_sql():
         "termvectors_global": sql_termvectors(),
         "suggest_phrase": sql_suggest_phrase(),
         "suggest_phrase_global": sql_suggest_phrase(),
+        "rare_terms_agg": sql_rare_terms(),
+        "rare_terms_agg_global": sql_rare_terms(),
         "collapse_search": sql_collapse_search(),
         "collapse_search_global": sql_collapse_search(),
         "suggest_term": sql_suggest_term(),

@@ -634,6 +634,21 @@ def per_group_head(
     return list(zip(heads.tolist(), parts))
 
 
+def rare_terms_buckets(
+    rows: list[dict], max_doc_count: int, size: int | None
+) -> list[dict]:
+    """ES ``rare_terms``: the long tail of a terms aggregation — buckets
+    with doc_count ≤ ``max_doc_count``, ordered (doc_count asc, key
+    asc).  Exact here (every bucket crosses the O(buckets) merge; ES
+    uses a CuckooFilter approximation with possible false negatives —
+    divergence in our favor, disclosed)."""
+    out = [r for r in rows if r["doc_count"] <= max_doc_count]
+    # keys are homogeneous (one doc-values column): numeric keys order
+    # numerically, keywords lexically — matching the oracle's ORDER BY
+    out.sort(key=lambda r: (r["doc_count"], r["key"]))
+    return out[:size] if size is not None else out
+
+
 def order_terms_buckets(
     rows: list[dict],
     order: tuple[str, str] | None,

@@ -1257,8 +1257,12 @@ class ShardData:
             vals = self.meta_col(node[1])
         except Exception:
             return empty
-        pred = ("term", node[2]) if node[0] == "metaterm" \
-            else ("range",) + tuple(node[2:])
+        if node[0] == "metaterm":
+            pred = ("term", node[2])
+        elif node[0] == "metaexists":
+            pred = ("exists",)
+        else:
+            pred = ("range",) + tuple(node[2:])
         mask = meta_pred_mask(vals, pred) & ~self.deleted_mask
         idx = np.nonzero(mask)[0]
         return ((idx + self.doc_base).astype(np.int64),
@@ -1347,7 +1351,7 @@ class ShardData:
                 # query_string ``te*t`` / ``te?t`` leaf
                 docs = self.wildcard_docs(node[1], k=1 << 62)
                 return docs, np.ones(len(docs), np.float64)
-            if node[0] in ("metaterm", "metarange"):
+            if node[0] in ("metaterm", "metarange", "metaexists"):
                 return self._meta_leaf(node)
             raise ValueError(f"unknown sqs leaf {node[0]!r}")
 
@@ -3153,6 +3157,21 @@ class QueryEngine:
         )
         return order_terms_buckets(
             self._agg_buckets(per_actor, stats_on), order, size
+        )
+
+    def rare_terms(
+        self, query: str | list[str] | dict, field: str,
+        max_doc_count: int = 1, size: int | None = None,
+    ) -> list[dict]:
+        """ES ``rare_terms`` aggregation: the LONG TAIL of ``field`` over
+        the matched docs — buckets with doc_count ≤ ``max_doc_count``,
+        (doc_count asc, key asc) order.  Exact (no CuckooFilter false
+        negatives — ES's approximation disclosed in
+        ``datehist.rare_terms_buckets``)."""
+        from .datehist import rare_terms_buckets
+
+        return rare_terms_buckets(
+            self.aggregate(query, field), max_doc_count, size
         )
 
     def _agg_buckets(self, per_actor: list[dict], stats_on: str | None

@@ -56,8 +56,10 @@ Disclosed divergences from ES/Lucene:
   per matching doc (filter-context semantics); ES scores keyword term
   queries with an idf-weighted TermQuery.  Numeric/date RANGE clauses
   score 1.0 in ES too (``constant_score`` rewrite) — those match.
-- no ``\\`` escaping, no per-clause ``minimum_should_match``, no
-  ``_exists_:``/``_missing_:`` pseudo-fields.
+- no ``\\`` escaping and no per-clause ``minimum_should_match``;
+  ``_exists_:field`` IS supported (docs with a non-null value for the
+  docmeta field, constant score 1.0), ``_missing_:`` (removed from ES
+  5+) is not.
 
 Tree node additions over :mod:`.sqs` (evaluated by the same
 ``eval_tree`` walker so both engines serve query_string through their
@@ -71,6 +73,7 @@ existing sqs machinery):
   range over numeric/date doc values (raw string bounds; the engines
   coerce against the column's dtype — ISO dates become epoch micros),
   score 1.0; ``None`` bound = open;
+- ``("metaexists", field)`` — docmeta non-null check, score 1.0;
 - ``("wildcard", pattern)`` — dictionary wildcard, constant_score 1.0.
 """
 
@@ -229,6 +232,11 @@ def parse_query_string(
         fm = _FIELD_RX.match(t)
         if fm and not _CMP_RX.match(t):  # '>' never starts a field name
             field2, rest = fm.group(1), fm.group(2)
+            if field2 == "_exists_" and rest:
+                node = ("metaexists", rest)
+                if boost is not None and boost != 1.0:
+                    node = ("boost", node, boost)
+                return node
             if rest == "":
                 # ``field:`` scoping the NEXT atom: group/phrase/range
                 node = atom(field2)
@@ -372,14 +380,22 @@ def coerce_meta_bound(raw: str) -> float | None:
 def meta_pred_mask(vals: np.ndarray, pred: tuple) -> np.ndarray:
     """Boolean row mask of a docmeta predicate over doc values.
 
-    ``pred`` is ``("term", raw)`` or ``("range", lo_raw, hi_raw,
-    lo_incl, hi_incl)`` with raw string literals (None bound = open).
-    Numeric/timestamp columns coerce literals via
+    ``pred`` is ``("term", raw)``, ``("range", lo_raw, hi_raw, lo_incl,
+    hi_incl)`` with raw string literals (None bound = open), or
+    ``("exists",)``.  Numeric/timestamp columns coerce literals via
     :func:`coerce_meta_bound`; keyword columns compare exact strings
     (ranges over keyword columns are unsupported and match nothing —
     disclosed)."""
     n = len(vals)
     numeric = vals.dtype.kind in "iuf"
+    if pred[0] == "exists":
+        if vals.dtype.kind == "f":
+            return ~np.isnan(vals)
+        if numeric:
+            return np.ones(n, dtype=bool)  # non-nullable int doc values
+        return np.fromiter(
+            (v is not None for v in vals), dtype=bool, count=n
+        )
     if pred[0] == "term":
         raw = pred[1]
         if numeric:

@@ -1396,7 +1396,7 @@ class TermPartitionedEngine:
                 res = self.search_prefix(node[1], k=1 << 30)
             elif node[0] == "wildcard":
                 res = self.search_wildcard(node[1], k=1 << 30)
-            elif node[0] in ("metaterm", "metarange"):
+            elif node[0] in ("metaterm", "metarange", "metaexists"):
                 # query_string docmeta leaf: keyword fields are not
                 # inverted in this layout — a partition-parallel
                 # column-pruned scan of the source docmeta lineage
@@ -1409,8 +1409,12 @@ class TermPartitionedEngine:
                         "global layout predates source_index metadata — "
                         "rebuild merge_global_postings for docmeta leaves"
                     )
-                pred = ("term", node[2]) if node[0] == "metaterm" \
-                    else ("range",) + tuple(node[2:])
+                if node[0] == "metaterm":
+                    pred = ("term", node[2])
+                elif node[0] == "metaexists":
+                    pred = ("exists",)
+                else:
+                    pred = ("range",) + tuple(node[2:])
                 ids = meta_match_ids(src, node[1], pred)
                 return ids, np.ones(len(ids), np.float64)
             else:
@@ -1662,6 +1666,19 @@ class TermPartitionedEngine:
                 )
             rows.append(row)
         return order_terms_buckets(rows, order, size)
+
+    def rare_terms(
+        self, query: str | list[str], field: str,
+        max_doc_count: int = 1, size: int | None = None,
+    ) -> list[dict]:
+        """ES ``rare_terms`` on the term-partitioned layout — identical
+        semantics (and results, parity via the shared oracle) to
+        :meth:`QueryEngine.rare_terms`."""
+        from .datehist import rare_terms_buckets
+
+        return rare_terms_buckets(
+            self.aggregate(query, field), max_doc_count, size
+        )
 
     def filters_agg(
         self,

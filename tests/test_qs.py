@@ -73,6 +73,10 @@ def test_parser_shapes():
     assert P("te?t") == ("wildcard", "te?t")
     assert P("merge~1") == ("fuzzy", "merge", 1)
     assert P("merge~") == ("fuzzy", "merge", 2)
+    # _exists_ pseudo-field
+    assert P("_exists_:lang foo") == \
+        ("or", ("metaexists", "lang"), ("term", "foo"))
+    assert P("_exists_:lang^2") == ("boost", ("metaexists", "lang"), 2.0)
     # lenient empties
     assert P("") is None
     assert P("NOT foo") is None
@@ -187,11 +191,15 @@ def _brute_qs(corpus, tree, k1=1.2, b=0.75):
             ids = [d for d, tk in enumerate(toks)
                    if any(rx.match(t) for t in tk)]
             return np.array(ids, np.int64), np.ones(len(ids), np.float64)
-        if node[0] in ("metaterm", "metarange"):
+        if node[0] in ("metaterm", "metarange", "metaexists"):
             if node[1] not in meta:  # unmapped field matches nothing
                 return np.empty(0, np.int64), np.empty(0, np.float64)
-            pred = ("term", node[2]) if node[0] == "metaterm" \
-                else ("range",) + tuple(node[2:])
+            if node[0] == "metaterm":
+                pred = ("term", node[2])
+            elif node[0] == "metaexists":
+                pred = ("exists",)
+            else:
+                pred = ("range",) + tuple(node[2:])
             mask = meta_pred_mask(meta[node[1]], pred)
             ids = np.nonzero(mask)[0].astype(np.int64)
             return ids, np.ones(len(ids), np.float64)
@@ -216,6 +224,8 @@ QS_CASES = [
     ("merge data", "and"),
     ("lang:zzz merge", "or"),        # no docs match the meta term
     ("nosuchfield:zzz merge", "or"),  # unmapped field matches nothing
+    ("_exists_:lang AND merge", "or"),
+    ("_exists_:nosuchfield merge", "or"),
 ]
 
 
