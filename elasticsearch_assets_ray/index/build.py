@@ -1082,6 +1082,9 @@ class IndexInfo:
             "store_positions": bool(
                 getattr(self.manifest, "store_positions", False)
             ),
+            "index_phrases": bool(
+                getattr(self.manifest, "index_phrases", False)
+            ),
         }
 
 
