@@ -1620,6 +1620,105 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES significant_text: (qid, match text); deterministic sample = first
+# SIGTEXT_SAMPLE matched doc ids ascending (disclosed stand-in for ES's
+# per-shard sampling)
+SIGTEXT_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join"),
+    (1, "window stream"),
+]
+SIGTEXT_SAMPLE = 100
+SIGTEXT_SIZE = 10
+
+
+def _q_sig_text(engine) -> pa.Table:
+    rows = []
+    for qid, text in SIGTEXT_QUERIES:
+        for rank, b in enumerate(
+            engine.significant_text(text, size=SIGTEXT_SIZE,
+                                    sample_size=SIGTEXT_SAMPLE),
+            start=1,
+        ):
+            rows.append((qid, rank, b["key"], int(b["doc_count"]),
+                         int(b["bg_count"]), round(b["score"], 6)))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "rank": pa.array([r[1] for r in rows], pa.int64()),
+        "term": pa.array([r[2] for r in rows], pa.string()),
+        "fg_count": pa.array([r[3] for r in rows], pa.int64()),
+        "bg_count": pa.array([r[4] for r in rows], pa.int64()),
+        "score_r": pa.array([r[5] for r in rows], pa.float64()),
+    })
+
+
+def q_sig_text(sf_dir: str) -> pa.Table:
+    """ES ``significant_text``: terms overrepresented in the TEXT of
+    matching docs vs the whole index (JLH, doc-distinct foreground over
+    a deterministic sample, dictionary-df background with text-mode
+    totals) — the free-text twin of significant_terms."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_sig_text(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_sig_text_global(sf_dir: str) -> pa.Table:
+    """The SAME significant_text queries from the TERM-partitioned
+    layout — same SQL oracle."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_sig_text(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_sig_text() -> str:
+    rows = []
+    for qid, text in SIGTEXT_QUERIES:
+        for t in text.lower().split():
+            rows.append(f"({qid}, '{t}')")
+    values = ", ".join(rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+n AS (SELECT count(*)::DOUBLE AS total FROM documents),
+df AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY t),
+q(query_id, t) AS (VALUES {values}),
+matched AS (SELECT DISTINCT q.query_id, toks.doc_id
+            FROM q JOIN toks ON toks.t = q.t),
+sample AS (SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY doc_id) AS rn
+             FROM matched) WHERE rn <= {SIGTEXT_SAMPLE}),
+fg_total AS (SELECT query_id, count(*)::DOUBLE AS n FROM sample GROUP BY 1),
+fg AS (SELECT s.query_id, toks.t,
+              count(DISTINCT toks.doc_id)::BIGINT AS c
+       FROM sample s JOIN toks ON toks.doc_id = s.doc_id
+       GROUP BY 1, 2),
+scored AS (
+  SELECT fg.query_id, fg.t, fg.c, df.df,
+         ((fg.c / ft.n) - (df.df / n.total))
+           * ((fg.c / ft.n) / (df.df / n.total)) AS score
+  FROM fg
+  JOIN fg_total ft ON ft.query_id = fg.query_id
+  JOIN df ON df.t = fg.t, n
+  WHERE (fg.c / ft.n) > (df.df / n.total))
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, t) AS rank,
+       t AS term, c AS fg_count, df AS bg_count,
+       round(score, 6) AS score_r
+FROM scored
+QUALIFY rank <= {SIGTEXT_SIZE}
+"""
+
+
 # ES rare_terms aggregation: (qid, match text, max_doc_count) — the
 # long tail of n_chars buckets (the high-cardinality field, so rare
 # buckets exist at every scale) over the matched docs
@@ -6714,6 +6813,8 @@ def queries():
         "suggest_phrase_global": q_suggest_phrase_global,
         "rare_terms_agg": q_rare_terms,
         "rare_terms_agg_global": q_rare_terms_global,
+        "sig_text": q_sig_text,
+        "sig_text_global": q_sig_text_global,
         "collapse_search": q_collapse_search,
         "collapse_search_global": q_collapse_search_global,
         "suggest_term": q_suggest_term,
@@ -6850,6 +6951,8 @@ def oracle_sql():
         "suggest_phrase_global": sql_suggest_phrase(),
         "rare_terms_agg": sql_rare_terms(),
         "rare_terms_agg_global": sql_rare_terms(),
+        "sig_text": sql_sig_text(),
+        "sig_text_global": sql_sig_text(),
         "collapse_search": sql_collapse_search(),
         "collapse_search_global": sql_collapse_search(),
         "suggest_term": sql_suggest_term(),

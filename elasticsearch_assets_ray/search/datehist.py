@@ -675,15 +675,25 @@ def order_terms_buckets(
     return rows
 
 
-def significant_terms_rows(fg: dict, bg: dict, size: int) -> list[dict]:
+def significant_terms_rows(
+    fg: dict, bg: dict, size: int,
+    fg_total: int | None = None, bg_total: int | None = None,
+) -> list[dict]:
     """ES ``significant_terms`` scoring (JLH, the ES default heuristic):
     ``score = (fg% − bg%) · (fg% / bg%)`` over merged foreground /
     background count partials; values whose foreground rate does not
     EXCEED the background rate are not significant and drop (ES
     behavior).  Rows score-descending, ties by key, capped at ``size``;
-    the float expression order is pinned for the SQL oracle."""
-    fg_total = sum(c for c, *_ in fg.values())
-    bg_total = sum(c for c, *_ in bg.values())
+    the float expression order is pinned for the SQL oracle.
+
+    Totals default to the summed counts — correct for KEYWORD fields
+    where each doc contributes one value.  TEXT mode (significant_text:
+    a doc contributes many terms) passes explicit totals: fg_total =
+    sampled doc count, bg_total = index doc count."""
+    if fg_total is None:
+        fg_total = sum(c for c, *_ in fg.values())
+    if bg_total is None:
+        bg_total = sum(c for c, *_ in bg.values())
     if fg_total == 0 or bg_total == 0:
         return []
     rows = []

@@ -1244,6 +1244,22 @@ class ShardData:
         dictionary — supported, as in ES, but inherently a scan."""
         return wildcard_expand_sorted(self.walk_term_list, pattern, cap)
 
+    def match_first(self, terms: list[str], n: int) -> np.ndarray:
+        """First ``n`` live GLOBAL doc ids matching the disjunction —
+        the deterministic sampling probe (significant_text)."""
+        hits = []
+        for t in sorted(set(terms)):
+            i = self.terms.get(t)
+            if i is None:
+                continue
+            doc_ids, _ = decode_postings(self.blobs[i])
+            hits.append(doc_ids.astype(np.int64))
+        if not hits:
+            return np.empty(0, dtype=np.int64)
+        docs = np.unique(np.concatenate(hits)) - self.doc_base
+        docs = docs[~self.deleted_mask[docs]]
+        return (docs[:n] + self.doc_base).astype(np.int64)
+
     def _meta_leaf(self, node: tuple) -> tuple[np.ndarray, np.ndarray]:
         """query_string docmeta leaf (``field:value`` / ranges) over
         this shard's doc values: live matching GLOBAL ids, each scoring
@@ -2120,6 +2136,11 @@ class _ScorerCore:
 
     def local_cfs(self, terms: list[str]) -> dict[str, int]:
         return {t: sum(s.local_cf(t) for s in self.shards) for t in terms}
+
+    def match_first(self, terms: list[str], n: int) -> np.ndarray:
+        parts = [s.match_first(terms, n) for s in self.shards]
+        docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        return np.sort(docs)[:n]
 
     def add_shards(self, shard_ids: list[int], avgdl: float,
                    num_docs: int) -> int:
@@ -3441,6 +3462,50 @@ class QueryEngine:
         from .datehist import significant_terms_rows
 
         return significant_terms_rows(fg, bg, size)
+
+    def significant_text(
+        self,
+        query: str | list[str],
+        size: int = 10,
+        sample_size: int = 200,
+    ) -> list[dict]:
+        """ES ``significant_text``: terms overrepresented in the TEXT of
+        docs matching ``query`` vs the whole index, JLH-scored.  Like
+        ES, the foreground re-analyzes a SAMPLE of matching docs (ES
+        samples per shard; here the sample is the first ``sample_size``
+        matched doc ids ascending — deterministic and SQL-reproducible,
+        disclosed) and counts each term once per doc; the background is
+        the dictionary df over the index.  fg_total = sampled docs,
+        bg_total = index docs (the text-mode totals)."""
+        from ..state.docstore import CorpusTextReader
+        from .datehist import significant_terms_rows
+
+        terms = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not terms:
+            return []
+        per_actor = ray.get(
+            [a.match_first.remote(terms, sample_size) for a in self.actors]
+        )
+        ids = np.sort(np.concatenate(per_actor))[:sample_size]
+        if len(ids) == 0:
+            return []
+        if self._text_reader is None:
+            self._text_reader = CorpusTextReader(self.info.index_dir)
+        texts = self._text_reader.mget(ids.tolist())
+        analyze = self._sqs_analyze()
+        fg: dict[str, tuple] = {}
+        for text in texts:
+            for t in set(analyze(text)):
+                c = fg.get(t)
+                fg[t] = (c[0] + 1,) if c else (1,)
+        bg = {t: (df,) for t, df in self.dfs(sorted(fg)).items()}
+        return significant_terms_rows(
+            fg, bg, size,
+            fg_total=len(ids), bg_total=self.info.stats.num_docs,
+        )
 
     def top_hits(
         self,

@@ -1667,6 +1667,39 @@ class TermPartitionedEngine:
             rows.append(row)
         return order_terms_buckets(rows, order, size)
 
+    def significant_text(
+        self,
+        query: str | list[str],
+        size: int = 10,
+        sample_size: int = 200,
+    ) -> list[dict]:
+        """ES ``significant_text`` on the term-partitioned layout —
+        same semantics (and results, shared oracle) as
+        :meth:`QueryEngine.significant_text`; the sample hydrates from
+        the source docmeta lineage, the background df probes route to
+        the owning bucket actors."""
+        from ..state.docstore import CorpusTextReader
+        from .datehist import significant_terms_rows
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return []
+        ids, src = got
+        ids = ids[:sample_size]  # already unique ascending
+        if not hasattr(self, "_text_reader"):
+            self._text_reader = CorpusTextReader(src)
+        texts = self._text_reader.mget(ids.tolist())
+        analyze = self._sqs_analyze()
+        fg: dict[str, tuple] = {}
+        for text in texts:
+            for t in set(analyze(text)):
+                c = fg.get(t)
+                fg[t] = (c[0] + 1,) if c else (1,)
+        bg = {t: (df,) for t, df in self.dfs(sorted(fg)).items()}
+        return significant_terms_rows(
+            fg, bg, size, fg_total=len(ids), bg_total=self.n,
+        )
+
     def rare_terms(
         self, query: str | list[str], field: str,
         max_doc_count: int = 1, size: int | None = None,
