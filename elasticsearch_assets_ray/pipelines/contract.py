@@ -1620,6 +1620,63 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES percolate (reverse search): standing queries in the query_string
+# grammar, matched per incoming doc — one of each leaf family
+PERCOLATE_QUERIES: dict[str, str] = {
+    "phrase_alert": '"hash join"',
+    "bool_mix": "customer AND order NOT table",
+    "prefix_watch": "qu*",
+    "meta_mix": "lang:de AND scan",
+    "fuzzy_watch": "custmer~1",
+    "wildcard_watch": "sc?n",
+}
+
+
+def q_percolate(sf_dir: str) -> pa.Table:
+    """ES percolate: standing queries (full query_string grammar — text,
+    phrase, prefix/wildcard/fuzzy, metadata clauses) matched against
+    the document stream.  A stateful map_batches stage: queries compile
+    once per actor, each batch builds a batch-local mini index (Arrow
+    tokenize + invert) and evaluates every tree with the engines' own
+    sparse algebra — streaming, no shuffle (ops/percolate.py)."""
+    from ..ops.percolate import percolate
+
+    out = percolate(_docs(sf_dir), PERCOLATE_QUERIES)
+    return to_arrow(out).sort_by([("query", "ascending"),
+                                  ("doc_id", "ascending")])
+
+
+def sql_percolate() -> str:
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+ph AS (SELECT DISTINCT p0.doc_id FROM toksp p0
+       JOIN toksp p1 ON p1.doc_id = p0.doc_id
+        AND p1.pos = p0.pos + 1 AND p1.t = 'join'
+       WHERE p0.t = 'hash'),
+q1 AS (SELECT doc_id, 'phrase_alert' AS query FROM ph),
+q2 AS (SELECT c.doc_id, 'bool_mix' AS query
+       FROM (SELECT DISTINCT doc_id FROM toks WHERE t = 'customer') c
+       JOIN (SELECT DISTINCT doc_id FROM toks WHERE t = 'order') o
+         ON o.doc_id = c.doc_id
+       WHERE c.doc_id NOT IN (SELECT doc_id FROM toks WHERE t = 'table')),
+q3 AS (SELECT DISTINCT doc_id, 'prefix_watch' AS query
+       FROM toks WHERE t LIKE 'qu%'),
+q4 AS (SELECT DISTINCT toks.doc_id, 'meta_mix' AS query
+       FROM toks JOIN documents d ON d.doc_id = toks.doc_id
+       WHERE toks.t = 'scan' AND d.lang = 'de'),
+q5 AS (SELECT DISTINCT doc_id, 'fuzzy_watch' AS query
+       FROM toks WHERE levenshtein(t, 'custmer') <= 1),
+q6 AS (SELECT DISTINCT doc_id, 'wildcard_watch' AS query
+       FROM toks WHERE t LIKE 'sc_n'),
+allq AS (SELECT * FROM q1 UNION ALL SELECT * FROM q2
+         UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
+         UNION ALL SELECT * FROM q5 UNION ALL SELECT * FROM q6)
+SELECT doc_id, query FROM allq ORDER BY query, doc_id
+"""
+
+
 # ES significant_text: (qid, match text); deterministic sample = first
 # SIGTEXT_SAMPLE matched doc ids ascending (disclosed stand-in for ES's
 # per-shard sampling)
@@ -6815,6 +6872,7 @@ def queries():
         "rare_terms_agg_global": q_rare_terms_global,
         "sig_text": q_sig_text,
         "sig_text_global": q_sig_text_global,
+        "percolate": q_percolate,
         "collapse_search": q_collapse_search,
         "collapse_search_global": q_collapse_search_global,
         "suggest_term": q_suggest_term,
@@ -6953,6 +7011,7 @@ def oracle_sql():
         "rare_terms_agg_global": sql_rare_terms(),
         "sig_text": sql_sig_text(),
         "sig_text_global": sql_sig_text(),
+        "percolate": sql_percolate(),
         "collapse_search": sql_collapse_search(),
         "collapse_search_global": sql_collapse_search(),
         "suggest_term": sql_suggest_term(),
