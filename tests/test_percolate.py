@@ -1,0 +1,77 @@
+"""Percolator edge semantics (oracle bit-exactness runs in
+test_contract; this covers the stage contract)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from elasticsearch_assets_ray.ops.percolate import Percolator
+
+
+def _batch(texts, langs=None, ids=None):
+    n = len(texts)
+    cols = {
+        "doc_id": pa.array(ids or list(range(n)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }
+    if langs:
+        cols["lang"] = pa.array(langs, pa.string())
+    return pa.table(cols)
+
+
+def test_leaf_families():
+    p = Percolator({
+        "phrase": '"big cat"',
+        "boolq": "dog AND cat NOT bird",
+        "pref": "ca*",
+        "wild": "d?g",
+        "fuzz": "caat~1",
+        "meta": "lang:de AND dog",
+        "exists": "_exists_:lang AND bird",
+        "plus": "+dog cat",
+    }, analyzer="simple")
+    out = p(_batch(
+        ["big cat sat", "dog and cat", "dog bird cat", "a dog"],
+        langs=["en", "de", "de", None],
+    ))
+    pairs = sorted(zip(out.column("doc_id").to_pylist(),
+                       out.column("query").to_pylist()))
+    assert (0, "phrase") in pairs and (1, "phrase") not in pairs
+    assert (1, "boolq") in pairs and (2, "boolq") not in pairs
+    assert {d for d, q in pairs if q == "pref"} == {0, 1, 2}
+    assert {d for d, q in pairs if q == "wild"} == {1, 2, 3}
+    assert {d for d, q in pairs if q == "fuzz"} == {0, 1, 2}  # cat~1
+    assert {d for d, q in pairs if q == "meta"} == {1, 2}
+    assert {d for d, q in pairs if q == "exists"} == {2}  # lang null on 3
+    assert {d for d, q in pairs if q == "plus"} == {1, 2, 3}
+
+
+def test_empty_and_degenerate():
+    p = Percolator({"q": "cat", "gone": "!!!"})  # 'gone' analyzes away
+    out = p(_batch([]))
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "query"]
+    out = p(_batch(["no match here"]))
+    assert out.num_rows == 0
+    # repeated-token phrase positions
+    p2 = Percolator({"rep": '"cat cat"'})
+    out = p2(_batch(["cat cat cat", "cat dog cat"]))
+    assert out.column("doc_id").to_pylist() == [0]
+    # missing metadata column matches nothing (lenient mapping)
+    p3 = Percolator({"m": "nosuch:x cat"})
+    out = p3(_batch(["cat"]))
+    assert out.column("doc_id").to_pylist() == [0]  # OR: text side matches
+    p4 = Percolator({"m": "nosuch:x AND cat"})
+    assert p4(_batch(["cat"])).num_rows == 0
+
+
+def test_slop_rejected():
+    p = Percolator({"s": '"a b"~2'})
+    with pytest.raises(ValueError):
+        p(_batch(["a x b"]))
+
+
+def test_ids_passthrough_dtype():
+    p = Percolator({"q": "cat"})
+    out = p(_batch(["cat", "dog"], ids=[100, 200]))
+    assert out.column("doc_id").to_pylist() == [100]
