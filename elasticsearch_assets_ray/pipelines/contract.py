@@ -30,6 +30,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data as rd
 from ray.data.aggregate import Sum
@@ -1618,6 +1619,83 @@ FROM (SELECT scored.query_id, scored.doc_id, {case} AS final
       FROM scored JOIN documents d ON d.doc_id = scored.doc_id)
 QUALIFY rank <= {TOPK}
 """
+
+
+def _half_indexes(sf_dir: str) -> tuple[str, str]:
+    """Split documents into two halves (orig doc_id below/above the
+    median) and build one index per half — the cross-index fixture."""
+    tag = hashlib.md5(
+        f"{CONTRACT_INDEX_VERSION}:mi:{sf_dir}".encode()
+    ).hexdigest()[:10]
+    base = f"/tmp/esray_contract_mi_{tag}"
+    import os
+
+    if not os.path.exists(f"{base}/b/corpus/part.parquet"):
+        t = pq.read_table(f"{sf_dir}/documents.parquet")
+        ids = t.column("doc_id").to_numpy()
+        cut = int(np.median(ids))
+        for name, mask in (("a", ids <= cut), ("b", ids > cut)):
+            os.makedirs(f"{base}/{name}/corpus", exist_ok=True)
+            tmp = f"{base}/{name}/corpus/.part.tmp"
+            pq.write_table(t.filter(pa.array(mask)), tmp)
+            os.replace(tmp, f"{base}/{name}/corpus/part.parquet")
+    cfg = dict(
+        analyzer="simple", text_col="text", lang_col=None,
+        id_col="doc_id", meta_cols=("source", "lang", "n_chars"),
+        partition_target_docs=128, shard_target_docs=512,
+    )
+    ia = build_index(f"{base}/a/corpus", f"{base}/a/idx", IndexConfig(**cfg))
+    ib = build_index(f"{base}/b/corpus", f"{base}/b/idx", IndexConfig(**cfg))
+    return str(ia.index_dir), str(ib.index_dir)
+
+
+def q_multi_index(sf_dir: str) -> pa.Table:
+    """Cross-index search (the ES multi-index ``_search`` target) with
+    ``dfs_query_then_fetch`` exactness: the documents corpus splits into
+    TWO separately-built indexes; the coordinator sums dfs and pushes
+    the combined (N, avgdl) to every member's actors, so merged scores
+    are BIT-IDENTICAL to one index over the union — the oracle is the
+    single-index BM25 SQL verbatim (search/multi_index.py)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+    from ..search.multi_index import MultiIndexEngine
+
+    ia, ib = _half_indexes(sf_dir)
+    engines = [
+        QueryEngine(d, num_actors=2, params=BM25Params(round_decimals=4))
+        for d in (ia, ib)
+    ]
+    dirs = (ia, ib)
+    try:
+        mie = MultiIndexEngine(engines)
+        o_q, o_r, o_d, o_s = [], [], [], []
+        for qid, text in BM25_QUERIES:
+            hits = mie.search(text, k=K_FETCH)
+            # hydrate orig ids per member, then the contract rerank
+            orig = np.empty(len(hits), dtype=np.int64)
+            for ei, d in enumerate(dirs):
+                rows = [i for i, h in enumerate(hits) if h[0] == ei]
+                if not rows:
+                    continue
+                ids = np.array([hits[i][1] for i in rows], dtype=np.int64)
+                store = DocStore(d, columns=["doc_id", "orig_id"])
+                got = store.mget(ids).column("orig_id").to_numpy()
+                orig[rows] = got.astype(np.int64)
+            score_r = np.round(np.array([s for _, _, s in hits]), 4)
+            top = np.lexsort((orig, -score_r))[:TOPK]
+            o_q.extend([qid] * len(top))
+            o_r.extend(range(1, len(top) + 1))
+            o_d.extend(orig[top].tolist())
+            o_s.extend(score_r[top].tolist())
+        return pa.table({
+            "query_id": pa.array(o_q, pa.int64()),
+            "rank": pa.array(o_r, pa.int64()),
+            "doc_id": pa.array(o_d, pa.int64()),
+            "score_r": pa.array(o_s, pa.float64()),
+        })
+    finally:
+        for e in engines:
+            e.shutdown()
 
 
 # ES percolate (reverse search): standing queries in the query_string
@@ -6873,6 +6951,7 @@ def queries():
         "sig_text": q_sig_text,
         "sig_text_global": q_sig_text_global,
         "percolate": q_percolate,
+        "multi_index_search": q_multi_index,
         "collapse_search": q_collapse_search,
         "collapse_search_global": q_collapse_search_global,
         "suggest_term": q_suggest_term,
@@ -7012,6 +7091,7 @@ def oracle_sql():
         "sig_text": sql_sig_text(),
         "sig_text_global": sql_sig_text(),
         "percolate": sql_percolate(),
+        "multi_index_search": sql_bm25_topk(),
         "collapse_search": sql_collapse_search(),
         "collapse_search_global": sql_collapse_search(),
         "suggest_term": sql_suggest_term(),
