@@ -2955,6 +2955,20 @@ class QueryEngine:
         return collapse_rows(ids, sc, gv, k_groups, inner_size,
                              self.params.round_decimals)
 
+    def explain(self, query: str, doc_id: int) -> dict:
+        """ES ``_explain``: the BM25 score breakdown of one doc for a
+        match query — per matched term df/idf/tf/length-norm and the
+        contribution; ``score`` equals what ``search`` would rank this
+        doc with (tested).  Realtime: the doc re-analyzes via its
+        termvector, stats probe the live index."""
+        from .termvectors import explain_from_termvector
+
+        tv = self.termvectors(doc_id, term_statistics=True)
+        return explain_from_termvector(
+            tv, self._analyze(query), self.info.stats.num_docs,
+            self.info.stats.avgdl, self.params.k1, self.params.b,
+        )
+
     def suggest_term(
         self, text: str, size: int = 5, suggest_mode: str = "missing",
         max_edits: int = 2, prefix_length: int = 1,

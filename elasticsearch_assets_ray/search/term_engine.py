@@ -2273,6 +2273,18 @@ class TermPartitionedEngine:
             }
         return out
 
+    def explain(self, query: str, doc_id: int) -> dict:
+        """ES ``_explain`` on the term-partitioned layout — same
+        breakdown (and score, tested) as :meth:`QueryEngine.explain`."""
+        from .termvectors import explain_from_termvector
+
+        tv = self.termvectors(doc_id, term_statistics=True)
+        return explain_from_termvector(
+            tv, self._analyze(query), self.n,
+            float(self.meta["avgdl"]),
+            float(self.meta["k1"]), float(self.meta["b"]),
+        )
+
     def suggest_term(
         self, text: str, size: int = 5, suggest_mode: str = "missing",
         max_edits: int = 2, prefix_length: int = 1,

@@ -62,3 +62,38 @@ def test_rrf_fuse():
     # k cut and duplicate-id defensiveness
     assert len(rrf_fuse([[1, 2, 3, 1]], k=2)) == 2
     assert rrf_fuse([[4, 4]], k=5)[0][1] == 1 / 61
+
+
+def test_explain_matches_search(small_index, ray_session, tmp_path):
+    """ES _explain: per-term breakdown must total to the exact score
+    search ranks the doc with — both engines."""
+    from elasticsearch_assets_ray.index.global_merge import (
+        merge_global_postings,
+    )
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+    from elasticsearch_assets_ray.search.term_engine import (
+        TermPartitionedEngine,
+    )
+
+    q = "merge data import"
+    eng = QueryEngine(small_index.index_dir, num_actors=2)
+    merge_global_postings(small_index.index_dir, tmp_path / "g",
+                          n_salts=2, n_buckets=4, store_norms=True)
+    teng = TermPartitionedEngine(tmp_path / "g", num_actors=2)
+    try:
+        hits = eng.search(q, k=5)
+        assert hits
+        for d, s in hits:
+            ex = eng.explain(q, d)
+            assert ex["matched"] and abs(ex["score"] - s) < 1e-9
+            assert abs(sum(r["contribution"]
+                           for r in ex["terms"].values()) - s) < 1e-12
+            ex_t = teng.explain(q, d)
+            assert abs(ex_t["score"] - s) < 1e-9
+            assert ex_t["terms"].keys() == ex["terms"].keys()
+        # a doc matching nothing
+        miss = eng.explain("zzzz qqqq", hits[0][0])
+        assert not miss["matched"] and miss["score"] == 0.0
+    finally:
+        eng.shutdown()
+        teng.shutdown()
