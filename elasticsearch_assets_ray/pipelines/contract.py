@@ -1621,6 +1621,65 @@ QUALIFY rank <= {TOPK}
 """
 
 
+def q_json_field_stats(sf_dir: str) -> pa.Table:
+    """Dynamic JSON field extraction (the ES runtime-field / dynamic
+    mapping analogue over the reference's schema-less ``_source``
+    model): ``events.props`` is a JSON-string column; ``props.k``
+    extracts to typed doc values in one vectorized map_batches pass
+    (RE2 fast lane for flat objects, exact json.loads fallback —
+    ops/json_fields.py), then aggregates per event_type with the
+    partial-then-tiny-groupby combiner pattern.  Integer sums keep the
+    hash comparison exact."""
+    from ray.data.aggregate import Max, Min
+
+    from ..ops.json_fields import add_json_field
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    ds = add_json_field(ds, "props", "k", "k")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pylist(),
+            "k": b.column("k").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("event_type", sort=True).agg(
+            n=("k", "size"), ksum=("k", "sum"),
+            kmin=("k", "min"), kmax=("k", "max"),
+        ).reset_index()
+        return pa.table({
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            "ksum": pa.array(g["ksum"].to_numpy(), pa.int64()),
+            "kmin": pa.array(g["kmin"].to_numpy(), pa.int64()),
+            "kmax": pa.array(g["kmax"].to_numpy(), pa.int64()),
+        })
+
+    out = to_arrow(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("ksum", alias_name="ksum"),
+            Min("kmin", alias_name="kmin"), Max("kmax", alias_name="kmax"),
+        )
+    )
+    return out.sort_by("event_type")
+
+
+def sql_json_field_stats() -> str:
+    return """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS ksum,
+       min(json_extract(props, '$.k')::BIGINT)::BIGINT AS kmin,
+       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS kmax
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def _half_indexes(sf_dir: str) -> tuple[str, str]:
     """Split documents into two halves (orig doc_id below/above the
     median) and build one index per half — the cross-index fixture."""
@@ -6952,6 +7011,7 @@ def queries():
         "sig_text_global": q_sig_text_global,
         "percolate": q_percolate,
         "multi_index_search": q_multi_index,
+        "json_field_stats": q_json_field_stats,
         "collapse_search": q_collapse_search,
         "collapse_search_global": q_collapse_search_global,
         "suggest_term": q_suggest_term,
@@ -7092,6 +7152,7 @@ def oracle_sql():
         "sig_text_global": sql_sig_text(),
         "percolate": sql_percolate(),
         "multi_index_search": sql_bm25_topk(),
+        "json_field_stats": sql_json_field_stats(),
         "collapse_search": sql_collapse_search(),
         "collapse_search_global": sql_collapse_search(),
         "suggest_term": sql_suggest_term(),
