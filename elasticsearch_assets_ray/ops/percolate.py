@@ -20,10 +20,17 @@ qualifying term), boosts (ignored — percolation is filter-context),
 and ``field:value`` clauses evaluated against the batch's OWN columns
 (`lang:de AND urgent` percolates on metadata + text together).
 
-Scale notes: work is O(batch tokens × queries' clause count); at many
-thousands of standing queries ES builds a query index to prune — out
-of scope here (disclosed); the stage parallelizes over blocks, so
-corpus size is the streaming axis.
+Scale notes: like ES's percolator (which indexes term extractions of
+the STANDING queries to skip non-candidates), ``__init__`` builds a
+query index — for each query an exact NECESSARY-term set ("no doc can
+match unless it contains ≥1 of these terms", None when no such set
+exists, e.g. pure-metadata / NOT / wildcard queries) — and each batch
+evaluates only queries whose requirement intersects the batch
+vocabulary, plus the always-candidates.  Pruning is exact (never drops
+a match; forced-off parity test in tests/test_percolate.py), so at
+10⁴+ standing queries per-batch work is O(batch tokens × CANDIDATE
+clause count).  The stage parallelizes over blocks; corpus size is the
+streaming axis.
 """
 
 from __future__ import annotations
@@ -37,6 +44,53 @@ from ..search.qs import meta_pred_mask, parse_query_string
 from ..search.sqs import eval_tree, rewrite_fuzzy
 
 _POS_BITS = 21
+
+
+def required_terms(node) -> frozenset | None:
+    """Exact pruning extraction (the ES percolator's query-index idea,
+    `extractQueryTerms`): a frozenset S such that any matching doc MUST
+    contain ≥1 term of S, or None when no finite exact set exists
+    (metadata / negation / dictionary-walk leaves can match term-free).
+
+    For conjunctions the SMALLEST child set is kept (the tightest
+    necessary condition); for disjunctions sets union, and one
+    un-extractable child poisons the whole disjunction.  A phrase needs
+    every token, so its longest (likeliest-rarest) token is a valid
+    single-term requirement.  Exactness invariant: pruning with these
+    sets can never drop a true match."""
+    kind = node[0]
+    if kind == "term":
+        return frozenset((node[1],))
+    if kind == "phrase":
+        return frozenset((max(node[1], key=len),))
+    if kind in ("and", "filter"):
+        a, b = required_terms(node[1]), required_terms(node[2])
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a if len(a) <= len(b) else b
+    if kind in ("andnot", "boosting"):
+        # the negative side never adds matchable docs
+        return required_terms(node[1])
+    if kind == "or":
+        a, b = required_terms(node[1]), required_terms(node[2])
+        if a is None or b is None:
+            return None
+        return a | b
+    if kind == "dismax":  # matches iff ANY child matches
+        out: frozenset = frozenset()
+        for c in node[2]:
+            r = required_terms(c)
+            if r is None:
+                return None
+            out |= r
+        return out
+    if kind in ("constscore", "boost"):
+        return required_terms(node[1])
+    # prefix / wildcard / fuzzy / fuzzyexp / metaterm / metarange /
+    # metaexists — no finite exact term requirement
+    return None
 
 
 class Percolator:
@@ -54,6 +108,7 @@ class Percolator:
         min_token_len: int = 1,
         max_token_len: int = 64,
         default_operator: str = "or",
+        prune: bool = True,
     ):
         if analyzer not in ("simple", "code"):
             raise ValueError(
@@ -74,6 +129,21 @@ class Percolator:
             )
             for name, q in queries.items()
         }
+        # standing-query term index: term → queries requiring it, plus
+        # the always-candidates (no extractable requirement)
+        self.prune = prune
+        self._term_to_q: dict[str, list[str]] = {}
+        self._always: list[str] = []
+        for name in sorted(self.trees):
+            tree = self.trees[name]
+            if tree is None:
+                continue
+            req = required_terms(tree)
+            if req is None:
+                self._always.append(name)
+            else:
+                for t in sorted(req):
+                    self._term_to_q.setdefault(t, []).append(name)
         self._ident_cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -184,7 +254,24 @@ class Percolator:
         o_ids, o_q = [], []
         from ..search.engine import fuzzy_expand_sorted
 
-        for name in sorted(self.trees):
+        if self.prune:
+            # candidate cut: walk whichever side is smaller — the query
+            # index's term set or the batch vocabulary
+            cand = set(self._always)
+            idx = self._term_to_q
+            if len(idx) <= len(tidx):
+                for t, qs in idx.items():
+                    if t in tidx:
+                        cand.update(qs)
+            else:
+                for t in tidx:
+                    qs = idx.get(t)
+                    if qs:
+                        cand.update(qs)
+            names = sorted(cand)
+        else:
+            names = sorted(self.trees)
+        for name in names:
             tree = self.trees[name]
             if tree is None:
                 continue

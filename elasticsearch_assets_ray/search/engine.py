@@ -324,13 +324,31 @@ def prefix_expand_sorted(
     return out
 
 
+def trailing_wildcard_literal(pattern: str) -> str:
+    """The literal run AFTER the last wildcard char (empty when the
+    pattern ends with ``*``/``?`` or has no wildcard)."""
+    si = max((pattern.rindex(c) for c in "*?" if c in pattern), default=-1)
+    return pattern[si + 1:]
+
+
 def wildcard_expand_sorted(
-    term_list: list[str], pattern: str, cap: int | None = None
+    term_list: list[str],
+    pattern: str,
+    cap: int | None = None,
+    rev_list: list[str] | None = None,
 ) -> list[str]:
     """Terms of a SORTED dictionary matching an ES wildcard pattern
     (``*`` any run, ``?`` one char), in term order: the literal prefix
     before the first wildcard bisects the range, a compiled regex
-    filters within it.  Shared by both engines."""
+    filters within it.  Shared by both engines.
+
+    Leading-wildcard patterns (``*suffix``) have no usable prefix; when
+    the caller supplies ``rev_list`` — the same dictionary with every
+    term REVERSED, sorted — and the pattern carries a trailing literal,
+    the reversed suffix bisects ``rev_list`` instead of scanning the
+    whole dictionary (Lucene's ``reverse_wildcard`` sub-field idea as a
+    lazy per-actor structure; result set identical to the scan, output
+    still in term order)."""
     import bisect
     import re as _re
 
@@ -345,6 +363,20 @@ def wildcard_expand_sorted(
         )
         + r"\Z"
     )
+    if not lit and rev_list is not None:
+        rsuf = trailing_wildcard_literal(pattern)[::-1]
+        if rsuf:
+            lo = bisect.bisect_left(rev_list, rsuf)
+            out = []
+            for j in range(lo, len(rev_list)):
+                rt = rev_list[j]
+                if not rt.startswith(rsuf):
+                    break
+                t = rt[::-1]
+                if rx.match(t):
+                    out.append(t)
+            out.sort()
+            return out[:cap] if cap is not None else out
     lo = bisect.bisect_left(term_list, lit) if lit else 0
     out: list[str] = []
     for j in range(lo, len(term_list)):
@@ -1240,9 +1272,22 @@ class ShardData:
     def expand_wildcard(self, pattern: str, cap: int | None = None) -> list[str]:
         """Terms matching an ES ``wildcard`` pattern (``*`` = any run,
         ``?`` = one char), in term order (literal-prefix bisect + regex
-        walk).  A leading-wildcard pattern scans the whole shard
-        dictionary — supported, as in ES, but inherently a scan."""
-        return wildcard_expand_sorted(self.walk_term_list, pattern, cap)
+        walk).  A leading-wildcard pattern with a trailing literal
+        (``*suffix``) bisects a lazily-built REVERSED dictionary instead
+        of scanning (Lucene ``reverse_wildcard``); only a pattern that
+        both starts and ends with a wildcard still scans."""
+        rev = None
+        if pattern and pattern[0] in "*?" and trailing_wildcard_literal(
+            pattern
+        ):
+            rev = getattr(self, "_rev_walk_list", None)
+            if rev is None:
+                rev = self._rev_walk_list = sorted(
+                    t[::-1] for t in self.walk_term_list
+                )
+        return wildcard_expand_sorted(
+            self.walk_term_list, pattern, cap, rev_list=rev
+        )
 
     def match_first(self, terms: list[str], n: int) -> np.ndarray:
         """First ``n`` live GLOBAL doc ids matching the disjunction —

@@ -141,6 +141,11 @@ class _BucketCore:
         self._loaded_gens = list(meta.get("generations", []))
         self._loaded_fps = dict(meta.get("shard_fps", {}))
         self._loaded_avgdl = float(meta.get("avgdl", 1.0))
+        # dictionary-walk caches rebuild lazily — an append generation
+        # can introduce brand-new terms that a stale sorted list would
+        # hide from prefix/wildcard/fuzzy walks
+        self._term_list = None
+        self._rev_terms = None
 
     def refresh(self, expected_gens: list[str] | None = None) -> str:
         """Adopt layout changes IN PLACE: committed append generations
@@ -363,10 +368,23 @@ class _BucketCore:
 
     def expand_wildcard(self, pattern: str, cap: int | None = None) -> list[str]:
         """Wildcard (* / ?) dictionary matches in term order — the shard
-        engine's shared ``wildcard_expand_sorted`` walk."""
-        from .engine import wildcard_expand_sorted
+        engine's shared ``wildcard_expand_sorted`` walk.  Leading
+        wildcards with a trailing literal bisect a lazily-built reversed
+        dictionary (invalidated on refresh) instead of scanning."""
+        from .engine import trailing_wildcard_literal, wildcard_expand_sorted
 
-        return wildcard_expand_sorted(self._sorted_terms(), pattern, cap)
+        rev = None
+        if pattern and pattern[0] in "*?" and trailing_wildcard_literal(
+            pattern
+        ):
+            rev = getattr(self, "_rev_terms", None)
+            if rev is None:
+                rev = self._rev_terms = sorted(
+                    t[::-1] for t in self._sorted_terms()
+                )
+        return wildcard_expand_sorted(
+            self._sorted_terms(), pattern, cap, rev_list=rev
+        )
 
     def expand_regexp(self, pattern: str, cap: int | None = None) -> list[str]:
         """Anchored-regexp dictionary matches in term order — the shard

@@ -5,7 +5,7 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
-from elasticsearch_assets_ray.ops.percolate import Percolator
+from elasticsearch_assets_ray.ops.percolate import Percolator, required_terms
 
 
 def _batch(texts, langs=None, ids=None):
@@ -75,3 +75,64 @@ def test_ids_passthrough_dtype():
     p = Percolator({"q": "cat"})
     out = p(_batch(["cat", "dog"], ids=[100, 200]))
     assert out.column("doc_id").to_pylist() == [100]
+
+
+QUERIES = {
+    "phrase": '"big cat"',
+    "boolq": "dog AND cat NOT bird",
+    "pref": "ca*",
+    "wild": "d?g",
+    "fuzz": "caat~1",
+    "meta": "lang:de AND dog",
+    "metaonly": "lang:fr",
+    "exists": "_exists_:lang AND bird",
+    "plus": "+dog cat",
+    "ortext": "zebra OR yak",
+    "mixedor": "nosuch:x cat",
+}
+
+
+def test_required_terms_extraction():
+    from elasticsearch_assets_ray.analysis.tokenizer import get_analyzer
+
+    an = get_analyzer("simple")
+
+    def req(q, default_operator="or"):
+        from elasticsearch_assets_ray.search.qs import parse_query_string
+
+        return required_terms(
+            parse_query_string(q, an, default_operator, default_field="text")
+        )
+
+    assert req('"big cat"') == {"big"}  # longest phrase token
+    assert req("dog AND cat NOT bird") in ({"dog"}, {"cat"})
+    assert req("zebra OR yak") == {"zebra", "yak"}
+    assert req("ca*") is None  # dictionary walk
+    assert req("caat~1") is None
+    assert req("lang:fr") is None  # pure metadata
+    assert req("lang:de AND dog") == {"dog"}  # conjunction keeps exact side
+    assert req("nosuch:x cat") is None  # OR poisoned by meta side
+    assert req("+dog cat") in ({"dog"}, {"cat"}, {"dog", "cat"})
+
+
+def test_prune_index_and_parity():
+    pruned = Percolator(QUERIES)
+    full = Percolator(QUERIES, prune=False)
+    # always-candidates = the queries with no exact term requirement
+    assert set(pruned._always) == {"pref", "wild", "fuzz", "metaonly",
+                                   "mixedor"}
+    assert "dog" in pruned._term_to_q and "bird" in pruned._term_to_q
+    batches = [
+        _batch(["big cat sat", "dog and cat", "dog bird cat", "a dog"],
+               langs=["en", "de", "de", None]),
+        _batch(["zebra crossing", "nothing relevant", "yak milk"],
+               langs=["fr", "fr", None]),
+        _batch([]),
+        _batch(["caat dag cat"], langs=["de"]),
+    ]
+    for b in batches:
+        want = sorted(zip(full(b).column("doc_id").to_pylist(),
+                          full(b).column("query").to_pylist()))
+        got = sorted(zip(pruned(b).column("doc_id").to_pylist(),
+                         pruned(b).column("query").to_pylist()))
+        assert got == want

@@ -56,6 +56,33 @@ def test_wildcard_constant_score(engine, corpus_docs):
         assert all(s == 1.0 for _, s in res)
 
 
+def test_wildcard_reversed_dictionary_parity():
+    """The lazy reversed-dictionary walk for leading-wildcard patterns
+    must be result-identical to the full-dictionary scan (incl. cap
+    semantics: first N matches in term order)."""
+    from elasticsearch_assets_ray.search.engine import (
+        trailing_wildcard_literal,
+        wildcard_expand_sorted,
+    )
+
+    terms = sorted({"cat", "bat", "rat", "ratify", "concat", "carat",
+                    "dog", "catalog", "scatter", "a", "xing", "ring",
+                    "kingring", "t"})
+    rev = sorted(t[::-1] for t in terms)
+    for pat in ["*at", "?at", "*cat", "*a*", "*", "*at*", "*r?t", "x*",
+                "*ing", "*g", "c*t", "*zzz", "*t"]:
+        plain = wildcard_expand_sorted(terms, pat)
+        assert wildcard_expand_sorted(terms, pat, rev_list=rev) == plain, pat
+        for cap in (1, 2, 3):
+            assert (
+                wildcard_expand_sorted(terms, pat, cap, rev_list=rev)
+                == plain[:cap]
+            ), pat
+    assert trailing_wildcard_literal("*at") == "at"
+    assert trailing_wildcard_literal("*a*") == ""
+    assert trailing_wildcard_literal("?x") == "x"
+
+
 def _lev(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a):

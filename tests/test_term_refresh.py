@@ -41,7 +41,24 @@ def test_live_refresh_adopts_append(tmp_path, ray_session):
     live = TermPartitionedEngine(gdir, num_actors=2)  # constructed BEFORE
     pre = {q: live.search(q, k=30) for q in QUERIES}  # warm the term cache
 
+    # warm the dictionary-walk caches BEFORE the append so a stale
+    # sorted/reversed term list would be caught below
+    pre_wild = live.search_wildcard("*mport", k=10)
+    assert pre_wild  # suffix of "import" — must match pre-append docs
+
     extra = make_corpus_batch(np.arange(n1, n1 + 150, dtype=np.int64))
+    # inject a term that exists ONLY in the append generation — walks
+    # must see it after refresh (walk caches invalidate on _note_loaded)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    content2 = pc.binary_join_element_wise(
+        extra.column("content").cast(pa.string()),
+        pa.scalar(" zzqnewterm"), ""
+    )
+    extra = extra.set_column(
+        extra.schema.get_field_index("content"), "content", content2
+    )
     pq.write_table(extra, grow / "zz-extra.parquet", row_group_size=50)
     build_index(grow, idx, cfg)
     append_global_postings(idx, gdir)
@@ -73,6 +90,16 @@ def test_live_refresh_adopts_append(tmp_path, ray_session):
             for q in QUERIES
             for doc, s in live.search(q, k=30)
         )
+        # dictionary walks see the append-only term (stale-cache check):
+        # both the prefix range and the reversed-dictionary suffix walk
+        got_new = live.search_wildcard("zzqnew*", k=200)
+        assert got_new == fresh.search_wildcard("zzqnew*", k=200)
+        assert got_new and all(x >= n1 for x, _ in got_new)
+        got_suf = live.search_wildcard("*qnewterm", k=200)
+        assert got_suf == fresh.search_wildcard("*qnewterm", k=200)
+        assert got_suf and all(x >= n1 for x, _ in got_suf)
+        assert live.search_wildcard("*mport", k=10) == \
+            fresh.search_wildcard("*mport", k=10)
         for p in PHRASES:
             assert live.search_phrase(p, k=100) == fresh.search_phrase(p, k=100)
         assert live.search_phrase("merge data", k=20, slop=2,
