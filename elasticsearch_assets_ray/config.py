@@ -107,6 +107,13 @@ class IndexConfig:
     # requires store_positions.  Doc lengths, avgdl, dictionary walks
     # (prefix/wildcard/fuzzy) and BM25 stats all stay UNIGRAM.
     index_phrases: bool = False
+    # With index_phrases: also store the SHINGLE terms' positional
+    # payloads.  2-term phrases never read them (pf = the shingle's tf)
+    # — only 3+-term phrases use shingle positions for their slot
+    # intersection.  ``False`` halves the positional layout weight for
+    # 2-term-dominant workloads; 3+-term phrases then fall back to the
+    # (identical-result) unigram position path.  Layout-affecting.
+    shingle_positions: bool = True
 
     def __post_init__(self) -> None:
         if self.block_size < 8:
@@ -129,6 +136,10 @@ class IndexConfig:
             raise ValueError(f"unknown postings_codec {self.postings_codec!r}")
         if self.index_phrases and not self.store_positions:
             raise ValueError("index_phrases requires store_positions")
+        if not self.index_phrases and not self.shingle_positions:
+            # normalize: without shingles the flag is meaningless, and a
+            # normalized value keeps plan fingerprints stable
+            object.__setattr__(self, "shingle_positions", True)
         for spec in self.derived_meta:
             if "=" not in spec:
                 raise ValueError(f"derived_meta spec needs '=': {spec!r}")

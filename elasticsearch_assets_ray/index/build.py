@@ -430,6 +430,16 @@ def add_shingle_stream_flat(
     return flat2, rel2, pos2
 
 
+def shingle_mask(terms: list[str]) -> np.ndarray:
+    """Bool mask over the term list: True for 2-token shingle terms —
+    the ``encode_positions_many`` skip mask under
+    ``shingle_positions=False`` (both build strategies derive it with
+    this one helper, keeping segments byte-identical across them)."""
+    return np.fromiter(
+        (SHINGLE_SEP in t for t in terms), dtype=bool, count=len(terms)
+    )
+
+
 def unigram_token_total(terms: list[str], cfs: np.ndarray) -> int:
     """Σcf over UNIGRAM terms only — index stats (total_tokens → avgdl)
     must not count shingle tokens, or BM25 length normalization would
@@ -593,6 +603,7 @@ class TokenizePartition:
         self.codec = config.postings_codec
         self.store_positions = config.store_positions
         self.index_phrases = config.index_phrases
+        self.shingle_positions = config.shingle_positions
         self.derived = [parse_derived_meta(s) for s in config.derived_meta]
         self.done_shards = done_shards
 
@@ -678,7 +689,14 @@ class TokenizePartition:
                 terms, ids_a, tfs_a, offs, posf = invert_flat_pos(
                     flat, doc_rel, doc_base, tokpos=posx
                 )
-                out_pos.extend(encode_positions_many(posf, tfs_a, offs))
+                skip = (
+                    shingle_mask(terms)
+                    if self.index_phrases and not self.shingle_positions
+                    else None
+                )
+                out_pos.extend(
+                    encode_positions_many(posf, tfs_a, offs, skip=skip)
+                )
             else:
                 terms, ids_a, tfs_a, offs = invert_flat(flat, doc_rel, doc_base)
             blobs = encode_postings_many(ids_a, tfs_a, offs, self.block_size,
@@ -963,8 +981,14 @@ class BuildShard:
                 "postings": pa.array(blobs, pa.large_binary()),
             }
             if cfg.store_positions:
+                skip = (
+                    shingle_mask(terms)
+                    if cfg.index_phrases and not cfg.shingle_positions
+                    else None
+                )
                 seg_cols["positions"] = pa.array(
-                    encode_positions_many(posf, tfs_a, offs), pa.large_binary()
+                    encode_positions_many(posf, tfs_a, offs, skip=skip),
+                    pa.large_binary(),
                 )
                 seg = pa.table(seg_cols, schema=SEGMENT_SCHEMA_POS)
             else:
@@ -1085,6 +1109,9 @@ class IndexInfo:
             "index_phrases": bool(
                 getattr(self.manifest, "index_phrases", False)
             ),
+            "shingle_positions": bool(
+                getattr(self.manifest, "shingle_positions", True)
+            ),
         }
 
 
@@ -1116,6 +1143,7 @@ def build_index(
         store_positions=config.store_positions,
         derived_meta=tuple(config.derived_meta),
         index_phrases=config.index_phrases,
+        shingle_positions=config.shingle_positions,
     )
     existing = BuildManifest.load(index_dir) if resume else None
     if existing is not None and existing.plan_fingerprint() == plan.plan_fingerprint():
@@ -1138,6 +1166,7 @@ def build_index(
             store_positions=config.store_positions,
             derived_meta=tuple(config.derived_meta),
             index_phrases=config.index_phrases,
+            shingle_positions=config.shingle_positions,
         )
         if appended is not None:
             # incremental append: old shards stay checkpointed, only new

@@ -559,7 +559,10 @@ def merge_encoded_parts(blobs: list[bytes], block_size: int = 128,
 
 
 def encode_positions_many(
-    positions: np.ndarray, tfs: np.ndarray, offsets: np.ndarray
+    positions: np.ndarray,
+    tfs: np.ndarray,
+    offsets: np.ndarray,
+    skip: np.ndarray | None = None,
 ) -> list[bytes]:
     """Encode T terms' position streams → T blobs (one vectorized pass).
 
@@ -567,6 +570,13 @@ def encode_positions_many(
     ascending); ``tfs``: per (term, doc) posting entry, flat; ``offsets``
     (len T+1) delimits posting ENTRIES per term (the same offsets array
     :func:`encode_postings_many` takes).
+
+    ``skip`` (len T bool): terms whose blob is emitted EMPTY and whose
+    tokens never enter the varint pass — the ``shingle_positions=False``
+    build path (a 2-term phrase reads the shingle's tf, never its
+    positions, so storing them is pure layout weight).  An empty blob is
+    unambiguous: any term with df ≥ 1 has tf ≥ 1, so a real stream is
+    always ≥ 1 byte.
     """
     positions = np.ascontiguousarray(positions, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
@@ -574,6 +584,27 @@ def encode_positions_many(
     T = len(offsets) - 1
     if T == 0:
         return []
+    if skip is not None and skip.any():
+        entry_keep = np.repeat(~skip, np.diff(offsets))
+        kept_tfs = tfs[entry_keep]
+        if len(positions) == int(tfs.sum()):
+            # positions cover every term (build path) — drop skipped
+            positions = positions[np.repeat(entry_keep, tfs)]
+        elif len(positions) != int(kept_tfs.sum()):
+            # else: positions already exclude skipped terms (compaction
+            # of a layout whose skipped blobs were never stored)
+            raise ValueError("positions length matches neither all terms "
+                             "nor the non-skipped subset")
+        kept_counts = np.diff(offsets)[~skip]
+        sub_offsets = np.concatenate(
+            [[0], np.cumsum(kept_counts)]
+        ).astype(np.int64)
+        sub = encode_positions_many(positions, kept_tfs, sub_offsets)
+        out_all: list[bytes] = []
+        it = iter(sub)
+        for t in range(T):
+            out_all.append(b"" if skip[t] else next(it))
+        return out_all
     if int(tfs.sum()) != len(positions):
         raise ValueError("positions length != sum(tfs)")
     tfcum = np.concatenate([[0], np.cumsum(tfs)])  # token offset per entry

@@ -108,10 +108,18 @@ def compact_shard(index_dir: str | Path, shard_id: int,
 
         kept_pos: list[np.ndarray] = []
         kept_tfs: list[np.ndarray] = []
+        # shingle_positions=False layouts store EMPTY blobs for shingle
+        # terms — carry the emptiness through compaction unchanged
+        empty_rows: set[int] = set()
         for t in range(len(blobs)):
             lo, hi = int(offs[t]), int(offs[t + 1])
             t_tfs = tf_flat[lo:hi].astype(np.int64)
-            pos = decode_positions(seg.column("positions")[t].as_py(), t_tfs)
+            blob = seg.column("positions")[t].as_py()
+            if len(blob) == 0 and int(t_tfs.sum()) > 0:
+                empty_rows.add(t)
+                kept_tfs.append(t_tfs[live[lo:hi]])
+                continue
+            pos = decode_positions(blob, t_tfs)
             tok_keep = np.repeat(live[lo:hi], t_tfs)
             kept_pos.append(pos[tok_keep])
             kept_tfs.append(t_tfs[live[lo:hi]])
@@ -121,8 +129,17 @@ def compact_shard(index_dir: str | Path, shard_id: int,
         tfs_flat_kept = (
             np.concatenate(kept_tfs) if kept_tfs else np.empty(0, np.int64)
         )
+        skip_kept = (
+            np.fromiter(
+                (int(r) in empty_rows for r in kept_rows),
+                dtype=bool, count=len(kept_rows),
+            )
+            if empty_rows else None
+        )
         cols["positions"] = pa.array(
-            encode_positions_many(pos_flat, tfs_flat_kept, offs_kept),
+            encode_positions_many(
+                pos_flat, tfs_flat_kept, offs_kept, skip=skip_kept
+            ),
             pa.large_binary(),
         )
     # extra columns (e.g. a `shard` partition echo) are preserved

@@ -435,6 +435,9 @@ def merge_global_postings(
         "index_phrases": bool(
             getattr(info.manifest, "index_phrases", False)
         ),
+        "shingle_positions": bool(
+            getattr(info.manifest, "shingle_positions", True)
+        ),
         "source_index": str(index_dir),
         "num_docs": info.stats.num_docs,
         "avgdl": info.stats.avgdl,

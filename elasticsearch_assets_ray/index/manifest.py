@@ -93,6 +93,9 @@ class BuildManifest:
     # 2-token shingle terms indexed beside unigrams (ES index_phrases);
     # layout-affecting, so it travels in the plan fingerprint
     index_phrases: bool = False
+    # shingle terms' positional payloads stored (see IndexConfig);
+    # layout-affecting, so it travels in the plan fingerprint
+    shingle_positions: bool = True
     # tokenization-affecting config: MUST travel with the manifest so a
     # resume/append under a changed clip can never silently reuse stale
     # segments, and the query side clips exactly as the build did
@@ -126,6 +129,7 @@ class BuildManifest:
                 "postings_codec": self.postings_codec,
                 "store_positions": self.store_positions,
                 "index_phrases": self.index_phrases,
+                "shingle_positions": self.shingle_positions,
                 "min_token_len": self.min_token_len,
                 "max_token_len": self.max_token_len,
                 "corpus_sizes": self.corpus_sizes,
@@ -154,6 +158,7 @@ class BuildManifest:
             postings_codec=d.get("postings_codec", "varint"),
             store_positions=d.get("store_positions", False),
             index_phrases=d.get("index_phrases", False),
+            shingle_positions=d.get("shingle_positions", True),
             min_token_len=d.get("min_token_len", 1),
             max_token_len=d.get("max_token_len", 64),
             corpus_sizes=d.get("corpus_sizes", []),
@@ -189,6 +194,7 @@ class BuildManifest:
             self.postings_codec,
             self.store_positions,
             self.index_phrases,
+            self.shingle_positions,
             self.min_token_len,
             self.max_token_len,
             tuple(self.corpus_sizes),
@@ -213,6 +219,7 @@ def plan_append(
     store_positions: bool = False,
     derived_meta: tuple[str, ...] = (),
     index_phrases: bool = False,
+    shingle_positions: bool = True,
 ) -> "BuildManifest | None":
     """Incremental append: plan ONLY files not in ``existing``, plus an
     in-place rebuild of the shards covering files MODIFIED in place.
@@ -248,6 +255,7 @@ def plan_append(
         and existing.postings_codec == postings_codec
         and existing.store_positions == store_positions
         and existing.index_phrases == index_phrases
+        and existing.shingle_positions == shingle_positions
         and existing.min_token_len == min_token_len
         and existing.max_token_len == max_token_len
     )
@@ -318,6 +326,7 @@ def plan_append(
         min_token_len=min_token_len, max_token_len=max_token_len,
         store_positions=store_positions, derived_meta=derived_meta,
         index_phrases=index_phrases,
+        shingle_positions=shingle_positions,
     )
     pid0 = (max((p.partition_id for p in existing.partitions), default=-1)) + 1
     sid0 = (max(existing.shards, default=-1)) + 1
@@ -337,6 +346,7 @@ def plan_append(
         postings_codec=postings_codec,
         store_positions=store_positions,
         index_phrases=index_phrases,
+        shingle_positions=shingle_positions,
         min_token_len=min_token_len,
         max_token_len=max_token_len,
         corpus_sizes=(
@@ -435,6 +445,7 @@ def plan_build(
     store_positions: bool = False,
     derived_meta: tuple[str, ...] = (),
     index_phrases: bool = False,
+    shingle_positions: bool = True,
 ) -> BuildManifest:
     """Plan partitions + shards from Parquet footer metadata only.
 
@@ -542,6 +553,7 @@ def plan_build(
         postings_codec=postings_codec,
         store_positions=store_positions,
         index_phrases=index_phrases,
+        shingle_positions=shingle_positions,
         min_token_len=min_token_len,
         max_token_len=max_token_len,
         corpus_sizes=sizes,

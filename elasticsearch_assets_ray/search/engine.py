@@ -537,6 +537,9 @@ class ShardData:
         self.index_phrases = bool(
             getattr(info.manifest, "index_phrases", False)
         )
+        self.shingle_positions = bool(
+            getattr(info.manifest, "shingle_positions", True)
+        )
         if self.index_phrases:
             from ..index.build import SHINGLE_SEP
 
@@ -1817,6 +1820,7 @@ class ShardData:
             and self.index_phrases
             and len(slots) >= 2
             and all(len(a) == 1 for a in slots)
+            and (self.shingle_positions or len(slots) == 2)
         ):
             # index_phrases rewrite: the n-term phrase becomes n−1
             # SHINGLE slots at consecutive positions — a 2-term phrase
@@ -1824,7 +1828,10 @@ class ShardData:
             # intersect low-df shingle streams instead of hot unigram
             # position mass.  Identical matches/pf by construction
             # (a phrase start at p ⟺ every bigram at p..p+n−2; tested
-            # vs the unigram path).
+            # vs the unigram path).  shingle_positions=False layouts
+            # store no shingle position payloads, so only the 2-term
+            # (tf-only) form rewrites; longer phrases use the identical-
+            # result unigram path below.
             from ..index.build import SHINGLE_SEP
 
             toks0 = [a[0] for a in slots]
@@ -1832,6 +1839,28 @@ class ShardData:
                 [toks0[i] + SHINGLE_SEP + toks0[i + 1]]
                 for i in range(len(toks0) - 1)
             ]
+            if not self.shingle_positions:
+                # pf = the shingle's tf — straight from its postings,
+                # no positional decode (none stored for shingles)
+                t = slots[0][0]
+                i = self.terms.get(t)
+                if i is None:
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+                doc_ids, tfs = decode_postings(self.blobs[i])
+                idx = (doc_ids - np.uint64(self.doc_base)).astype(np.int64)
+                live = ~self.deleted_mask[idx]
+                hd, pf = idx[live], tfs[live].astype(np.float64)
+                if len(hd) == 0:
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+                k1, b = params.k1, params.b
+                dl = self.dl[hd]
+                scores_local = idf_sum * pf * (k1 + 1.0) / (
+                    pf + k1 * (1.0 - b + b * dl / avgdl)
+                )
+                dense = np.zeros(self.num_docs, dtype=np.float64)
+                dense[hd] = scores_local
+                cand2, cs = _select_topk(hd, dense, k, params)
+                return (cand2 + self.doc_base).astype(np.int64), cs
         decoded: dict[str, tuple] = {}
         slot_present: list[list[str]] = []
         for alts in slots:

@@ -294,13 +294,31 @@ class _BucketCore:
             if has_pos:
                 # gather each entry's position segment through the same
                 # doc-order permutation: segment starts/lengths follow the
-                # entry permutation, expanded to one flat gather
+                # entry permutation, expanded to one flat gather.
+                # shingle_positions=False layouts store EMPTY blobs for
+                # shingle terms — their entries contribute zero gaps to
+                # the concatenated stream (tf zeroed for the decode), and
+                # no positions are retained for them below.
+                tf_pos = tf_flat
+                term_is_sh = None
+                if not bool(meta.get("shingle_positions", True)):
+                    from ..index.build import SHINGLE_SEP
+
+                    term_is_sh = np.fromiter(
+                        (SHINGLE_SEP in t for t in term_names),
+                        dtype=bool, count=len(term_names),
+                    )
+                    row_is_sh = term_is_sh[tcodes]
+                    if row_is_sh.any():
+                        tf_pos = np.where(
+                            np.repeat(row_is_sh, counts), 0, tf_flat
+                        )
                 pos_flat_pre = decode_positions(
-                    b"".join(tbl.column("positions").to_pylist()), tf_flat
+                    b"".join(tbl.column("positions").to_pylist()), tf_pos
                 ).astype(np.int64)
-                tfcum = np.concatenate([[0], np.cumsum(tf_flat)])
+                tfcum = np.concatenate([[0], np.cumsum(tf_pos)])
                 seg_starts = tfcum[:-1][o]
-                seg_lens = tf_flat[o]
+                seg_lens = tf_pos[o]
                 total = int(seg_lens.sum())
                 cum = np.cumsum(seg_lens)
                 intra = np.arange(total, dtype=np.int64) - np.repeat(
@@ -308,7 +326,9 @@ class _BucketCore:
                 )
                 pos_flat = pos_flat_pre[np.repeat(seg_starts, seg_lens) + intra]
                 tok_offs = np.concatenate([[0], cum])
-                tf_sorted = tf_flat[o]
+                tf_sorted = tf_pos[o]
+            else:
+                term_is_sh = None
             doc_flat, norm_flat = doc_flat[o], norm_flat[o]
             if v2:
                 dl_sorted = dl_u4[o]
@@ -328,6 +348,11 @@ class _BucketCore:
                     (tf_sorted[lo:hi], pos_flat[tok_offs[lo]:tok_offs[hi]])
                     if has_pos else None
                 )
+                if (
+                    term_is_sh is not None
+                    and term_is_sh[tcodes[run_starts[ri]]]
+                ):
+                    pos_t = None  # shingle_positions=False: tf-only term
                 old = self.terms.get(name)
                 if old is not None:
                     o_ids, o_norms, o_df = old[0], old[1], old[2]
@@ -343,7 +368,7 @@ class _BucketCore:
                     if v2:
                         dl_t = np.concatenate([self.dls[name], dl_t])
                         tf_t = np.concatenate([self.tfs[name], tf_t])
-                    if has_pos:
+                    if has_pos and pos_t is not None:
                         otf, opos = self.positions[name]
                         pos_t = (
                             np.concatenate([otf, pos_t[0]]),
@@ -354,7 +379,7 @@ class _BucketCore:
                 if v2:
                     self.dls[name] = dl_t
                     self.tfs[name] = tf_t
-                if has_pos:
+                if has_pos and pos_t is not None:
                     self.positions[name] = pos_t
 
     def expand_prefix(self, prefix: str, cap: int | None = None) -> list[str]:
@@ -2539,6 +2564,10 @@ class TermPartitionedEngine:
             slop == 0
             and len(toks) >= 2
             and bool(self.meta.get("index_phrases"))
+            and (
+                bool(self.meta.get("shingle_positions", True))
+                or len(toks) == 2
+            )
         ):
             # index_phrases rewrite (see ShardData.phrase_topk): idf_sum
             # stays the UNIGRAM constituents' sum (Lucene PhraseWeight),
