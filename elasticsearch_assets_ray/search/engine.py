@@ -3088,13 +3088,19 @@ class QueryEngine:
     def suggest_phrase(
         self, text: str, size: int = 3, max_edits: int = 1,
         prefix_length: int = 1, num_candidates: int = 6,
-        max_errors: int = 2,
+        max_errors: int = 2, collate: bool = False,
+        collate_prune: bool = False,
     ) -> list[dict]:
         """ES ``phrase`` suggester (did-you-mean): whole-phrase
         corrections ranked by a stupid-backoff bigram language model
         whose counts come from the index_phrases SHINGLE postings
         (requires an ``index_phrases=True`` index — the layout IS the
-        language model).  Formula + divergences: :mod:`.suggest`."""
+        language model).  ``collate=True`` drops suggestions with zero
+        exact-phrase matches (one k=1 phrase probe per surviving
+        suggestion — the shingle chain makes it a term fetch for 2-term
+        phrases); ``collate_prune=True`` keeps them with a
+        ``collate_match`` flag (ES ``collate.prune``).  Formula +
+        divergences: :mod:`.suggest`."""
         from ..index.build import SHINGLE_SEP
         from .suggest import suggest_phrase
 
@@ -3103,11 +3109,16 @@ class QueryEngine:
                 "phrase suggester needs an index_phrases=True index "
                 "(shingle postings supply the bigram counts)"
             )
+        collate_fn = (
+            (lambda words: bool(self.search_phrase(list(words), k=1)))
+            if collate or collate_prune else None
+        )
         return suggest_phrase(
             text, self._sqs_analyze(), self.expand_fuzzy, self.cfs,
             int(self.info.stats.total_tokens), SHINGLE_SEP,
             size=size, max_edits=max_edits, prefix_length=prefix_length,
             num_candidates=num_candidates, max_errors=max_errors,
+            collate_match=collate_fn, collate_prune=collate_prune,
         )
 
     def search_dis_max(

@@ -102,6 +102,8 @@ def suggest_phrase(
     prefix_length: int = 1,
     num_candidates: int = 6,
     max_errors: int = 2,
+    collate_match=None,
+    collate_prune: bool = False,
 ) -> list[dict]:
     """ES ``phrase`` suggester (did-you-mean): per-token candidates from
     the dictionary (deterministic (dist, term) cap — the direct
@@ -112,7 +114,14 @@ def suggest_phrase(
     input with an out-of-dictionary token scores −∞, so any valid
     correction beats it.  ``cfs(terms) → {term: count}`` must resolve
     both unigrams and ``w1<sep>w2`` shingle terms (an index_phrases
-    layout)."""
+    layout).
+
+    ``collate_match`` (ES ``collate``): a callable ``(words: tuple) →
+    bool`` — does the suggestion, as an exact phrase, match at least one
+    document?  Suggestions failing it are DROPPED (walked lazily in rank
+    order, so queries run only until ``size`` survivors are found); with
+    ``collate_prune=True`` (ES ``prune``) they are kept and every
+    suggestion gains a ``collate_match`` field instead."""
     import itertools
     import math
 
@@ -173,8 +182,18 @@ def suggest_phrase(
         s = phrase_score(words, dists)
         if s is None or (base is not None and s <= base):
             continue
-        out.append((-s, " ".join(words)))
+        out.append((-s, " ".join(words), words))
     out.sort()
-    return [
-        {"text": t, "score": -ns} for ns, t in out[:size]
-    ]
+    results: list[dict] = []
+    for ns, t, words in out:
+        if len(results) >= size:
+            break
+        if collate_match is None:
+            results.append({"text": t, "score": -ns})
+            continue
+        m = bool(collate_match(words))
+        if collate_prune:
+            results.append({"text": t, "score": -ns, "collate_match": m})
+        elif m:
+            results.append({"text": t, "score": -ns})
+    return results

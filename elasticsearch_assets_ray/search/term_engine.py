@@ -2368,12 +2368,14 @@ class TermPartitionedEngine:
     def suggest_phrase(
         self, text: str, size: int = 3, max_edits: int = 1,
         prefix_length: int = 1, num_candidates: int = 6,
-        max_errors: int = 2,
+        max_errors: int = 2, collate: bool = False,
+        collate_prune: bool = False,
     ) -> list[dict]:
         """ES ``phrase`` suggester (did-you-mean) on the term-partitioned
         layout — same semantics (and results, parity tested) as
-        :meth:`QueryEngine.suggest_phrase`; bigram counts resolve from
-        the owning bucket actors' retained shingle tfs."""
+        :meth:`QueryEngine.suggest_phrase`, including ``collate`` /
+        ``collate_prune``; bigram counts resolve from the owning bucket
+        actors' retained shingle tfs."""
         from ..index.build import SHINGLE_SEP
         from .suggest import suggest_phrase
 
@@ -2388,11 +2390,16 @@ class TermPartitionedEngine:
             self._src_total_tokens = int(
                 IndexInfo(self.meta["source_index"]).stats.total_tokens
             )
+        collate_fn = (
+            (lambda words: bool(self.search_phrase(list(words), k=1)))
+            if collate or collate_prune else None
+        )
         return suggest_phrase(
             text, self._sqs_analyze(), self.expand_fuzzy, self.cfs,
             self._src_total_tokens, SHINGLE_SEP,
             size=size, max_edits=max_edits, prefix_length=prefix_length,
             num_candidates=num_candidates, max_errors=max_errors,
+            collate_match=collate_fn, collate_prune=collate_prune,
         )
 
     def expand_fuzzy(

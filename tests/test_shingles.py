@@ -105,6 +105,18 @@ def test_shard_engine_parity(shingle_indexes, ray_session):
         # unigram scoring identical (shingles don't leak into match)
         assert ep.search("merge data import", k=50) == \
             es.search("merge data import", k=50)
+        # phrase-suggester collate: every surviving suggestion has >= 1
+        # exact-phrase match; prune keeps all with a flag
+        plain_sugg = es.suggest_phrase("merge dta", size=5)
+        coll = es.suggest_phrase("merge dta", size=5, collate=True)
+        assert {d["text"] for d in coll} <= {d["text"] for d in plain_sugg}
+        for d in coll:
+            assert es.search_phrase(d["text"].split(), k=1), d
+        pruned = es.suggest_phrase("merge dta", size=5, collate_prune=True)
+        for d in pruned:
+            assert d["collate_match"] == bool(
+                es.search_phrase(d["text"].split(), k=1)
+            ), d
     finally:
         ep.shutdown()
         es.shutdown()

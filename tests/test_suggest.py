@@ -97,3 +97,50 @@ def test_explain_matches_search(small_index, ray_session, tmp_path):
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+def test_phrase_suggester_collate_unit():
+    """collate drops zero-match suggestions; prune keeps + flags; the
+    collate callback runs lazily in rank order."""
+    from elasticsearch_assets_ray.search.suggest import suggest_phrase
+
+    SEP = "\x1f"
+    counts = {"big": 50, "cat": 40, "bat": 30,
+              "big" + SEP + "cat": 20, "big" + SEP + "bat": 10}
+
+    def analyze(s):
+        return s.lower().split()
+
+    def expand_fuzzy(tok, max_edits, prefix_length, num_candidates):
+        return {"cct": [("cat", 1), ("bat", 1)],
+                "big": [("big", 0)]}.get(tok, [])
+
+    def cfs(terms):
+        return {t: counts.get(t, 0) for t in terms}
+
+    base = dict(analyze=analyze, expand_fuzzy=expand_fuzzy, cfs=cfs,
+                total_tokens=125, shingle_sep=SEP, size=5)
+    plain = suggest_phrase("big cct", **base)
+    assert [d["text"] for d in plain] == ["big cat", "big bat"]
+
+    calls = []
+
+    def collate(words):
+        calls.append(words)
+        return words == ("big", "cat")
+
+    got = suggest_phrase("big cct", **base, collate_match=collate)
+    assert [d["text"] for d in got] == ["big cat"]
+    assert calls == [("big", "cat"), ("big", "bat")]
+
+    pruned = suggest_phrase("big cct", **base, collate_match=collate,
+                            collate_prune=True)
+    assert [(d["text"], d["collate_match"]) for d in pruned] == [
+        ("big cat", True), ("big bat", False)]
+
+    # size-capped laziness: size=1 stops after the first survivor
+    calls.clear()
+    one = suggest_phrase("big cct", **base | {"size": 1},
+                         collate_match=collate)
+    assert [d["text"] for d in one] == ["big cat"]
+    assert calls == [("big", "cat")]
