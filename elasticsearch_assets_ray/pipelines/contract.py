@@ -6051,6 +6051,184 @@ FROM documents
 """
 
 
+def q_repetition_stats(sf_dir: str) -> pa.Table:
+    """Gopher/C4 repetition signals per document (ops/repetition.py) —
+    column-pruned read, stateless map_batches, no shuffle."""
+    from ..ops import repetition as rep
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return to_arrow(rep.repetition_stats(ds))
+
+
+_REP_METRIC_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(words)::BIGINT AS n_words,
+         len(lines)::BIGINT AS n_lines,
+         len(list_distinct(words))::BIGINT AS d_words,
+         len(list_distinct(lines))::BIGINT AS d_lines
+  FROM w
+),
+uni AS (
+  SELECT doc_id, max(c) AS mc FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest(words) AS g FROM w) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, max(c) AS mc FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT w.doc_id, words[i] || ' ' || words[i + 1] AS g
+      FROM w, UNNEST(generate_series(1, greatest(len(words) - 1, 0))) t(i)
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id, max(c) AS mc FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT w.doc_id,
+             words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS g
+      FROM w, UNNEST(generate_series(1, greatest(len(words) - 2, 0))) t(i)
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+ln AS (
+  SELECT doc_id, sum(l)::BIGINT AS tot, sum((c - 1) * l)::BIGINT AS dup
+  FROM (
+    SELECT doc_id, g, count(*) AS c, len(g)::BIGINT AS l
+    FROM (SELECT doc_id, unnest(lines) AS g FROM w) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words, b.n_lines,
+  CASE WHEN b.n_words > 0
+       THEN (b.n_words - b.d_words) / b.n_words::DOUBLE
+       ELSE 0.0 END AS dup_word_frac,
+  CASE WHEN b.n_words > 0
+       THEN coalesce(uni.mc, 0) / b.n_words::DOUBLE
+       ELSE 0.0 END AS top_unigram_frac,
+  CASE WHEN b.n_words > 1
+       THEN coalesce(big.mc, 0) / (b.n_words - 1)::DOUBLE
+       ELSE 0.0 END AS top_bigram_frac,
+  CASE WHEN b.n_words > 2
+       THEN coalesce(tri.mc, 0) / (b.n_words - 2)::DOUBLE
+       ELSE 0.0 END AS top_trigram_frac,
+  CASE WHEN b.n_lines > 0
+       THEN (b.n_lines - b.d_lines) / b.n_lines::DOUBLE
+       ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN coalesce(ln.tot, 0) > 0
+       THEN ln.dup / ln.tot::DOUBLE
+       ELSE 0.0 END AS dup_line_char_frac
+FROM base b
+LEFT JOIN uni USING (doc_id)
+LEFT JOIN big USING (doc_id)
+LEFT JOIN tri USING (doc_id)
+LEFT JOIN ln USING (doc_id)
+"""
+
+
+def sql_repetition_stats() -> str:
+    return _REP_METRIC_SQL
+
+
+def q_gopher_filter(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition gate: metrics + per-rule booleans +
+    keep (ops/repetition.py GOPHER_DEFAULTS thresholds)."""
+    from ..ops import repetition as rep
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return to_arrow(rep.gopher_repetition_filter(ds))
+
+
+def sql_gopher_filter() -> str:
+    from ..ops.repetition import GOPHER_DEFAULTS as G
+
+    return f"""
+WITH m AS ({_REP_METRIC_SQL})
+SELECT m.*,
+  dup_word_frac <= {G['max_dup_word_frac']} AS ok_dup_word,
+  top_unigram_frac <= {G['max_top_unigram_frac']} AS ok_top_unigram,
+  top_bigram_frac <= {G['max_top_bigram_frac']} AS ok_top_bigram,
+  top_trigram_frac <= {G['max_top_trigram_frac']} AS ok_top_trigram,
+  dup_line_frac <= {G['max_dup_line_frac']} AS ok_dup_line,
+  dup_line_char_frac <= {G['max_dup_line_char_frac']} AS ok_dup_line_chars,
+  n_words >= {G['min_words']} AS ok_min_words,
+  (dup_word_frac <= {G['max_dup_word_frac']}
+   AND top_unigram_frac <= {G['max_top_unigram_frac']}
+   AND top_bigram_frac <= {G['max_top_bigram_frac']}
+   AND top_trigram_frac <= {G['max_top_trigram_frac']}
+   AND dup_line_frac <= {G['max_dup_line_frac']}
+   AND dup_line_char_frac <= {G['max_dup_line_char_frac']}
+   AND n_words >= {G['min_words']}) AS keep
+FROM m
+"""
+
+
+def _pii_chain_sql(table: str, id_col: str, text_col: str) -> str:
+    from ..ops.pii import DEFAULT_PATTERNS
+
+    sql = f"SELECT {id_col}, {text_col} AS t FROM {table}"
+    done: list[str] = []
+    for name, pat, rep in DEFAULT_PATTERNS:
+        # DuckDB string literals are SQL-standard (no backslash
+        # processing) — only quotes need escaping
+        pat_sql = pat.replace("'", "''")
+        carried = (", ".join(done) + ", ") if done else ""
+        sql = (
+            f"SELECT {id_col}, {carried}"
+            f"len(regexp_extract_all(t, '{pat_sql}'))::BIGINT AS n_{name}, "
+            f"regexp_replace(t, '{pat_sql}', '{rep}', 'g') AS t "
+            f"FROM ({sql})"
+        )
+        done.append(f"n_{name}")
+    return (
+        f"SELECT {id_col}, {', '.join(done)}, t AS {text_col} FROM ({sql})"
+    )
+
+
+def q_pii_redact_events(sf_dir: str) -> pa.Table:
+    """PII/number redaction over the events props strings (the only
+    contract column with digit runs — non-degenerate counts); chain
+    semantics + RE2 parity notes in ops/pii.py."""
+    from ..ops import pii
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+    return to_arrow(
+        pii.pii_redact(ds, text_col="props", id_col="event_id")
+    )
+
+
+def sql_pii_redact_events() -> str:
+    return _pii_chain_sql("events", "event_id", "props")
+
+
+def q_pii_scan_docs(sf_dir: str) -> pa.Table:
+    """PII scan over documents — the corpus contains none, so this
+    pins the NEGATIVE path: zero counts everywhere and redacted text
+    identical to the input (both hash-checked vs the oracle)."""
+    from ..ops import pii
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return to_arrow(pii.pii_redact(ds))
+
+
+def sql_pii_scan_docs() -> str:
+    return _pii_chain_sql("documents", "doc_id", "text")
+
+
 def q_knn_cosine(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     q = sim.queries_from_dataset(ds, KNN_QUERY_IDS)
@@ -7095,6 +7273,10 @@ def queries():
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
         "text_stats": q_text_stats,
+        "repetition_stats": q_repetition_stats,
+        "gopher_filter": q_gopher_filter,
+        "pii_redact_events": q_pii_redact_events,
+        "pii_scan_docs": q_pii_scan_docs,
         "token_counts": q_token_counts,
         "knn_cosine": q_knn_cosine,
         "events_daily": q_events_daily,
@@ -7237,6 +7419,10 @@ def oracle_sql():
         "sample_hash": sql_sample_hash(),
         "sample_stratified": sql_sample_stratified(),
         "text_stats": sql_text_stats(),
+        "repetition_stats": sql_repetition_stats(),
+        "gopher_filter": sql_gopher_filter(),
+        "pii_redact_events": sql_pii_redact_events(),
+        "pii_scan_docs": sql_pii_scan_docs(),
         "token_counts": sql_token_counts(),
         "knn_cosine": sql_knn_cosine(),
         "events_daily": sql_events_daily(),
