@@ -162,7 +162,22 @@ def cmd_scaling() -> None:
     )
 
 
-def cmd_bench(sf_dir: str, num_cpus: int) -> None:
+# --headline subset: one representative per pipeline family, so a
+# budget-constrained driver run still covers build, both serving
+# engines, dedup, ANN, stats, routing and the curation composites
+# without the ~140-pipeline full sweep
+HEADLINE = [
+    "term_stats", "global_term_merge", "bm25_topk", "bm25_topk_global",
+    "bm25_phrase", "bm25_phrase_global", "bm25_bool", "highlight_positions",
+    "match_agg_lang", "date_histogram", "exact_dedup", "minhash_pairs",
+    "simhash_pairs", "jaccard_pairs", "knn_cosine", "embedding_dup_pairs",
+    "curation", "pricing_summary", "text_stats", "lang_id", "token_counts",
+    "repetition_stats", "gopher_filter", "pii_redact_events",
+    "events_daily", "filtered_docs", "id_route_counts", "date_slices",
+]
+
+
+def cmd_bench(sf_dir: str, num_cpus: int, headline: bool = False) -> None:
     gate = wait_quiet()
     load_start = os.getloadavg()[0]
     ray = _init_ray(num_cpus)
@@ -184,7 +199,15 @@ def cmd_bench(sf_dir: str, num_cpus: int) -> None:
     times: dict[str, float] = {}
     recall_rows = None
     recall_sec = None
-    for name, fn in contract.queries().items():
+    all_q = contract.queries()
+    if headline:
+        missing = [n for n in HEADLINE if n not in all_q]
+        if missing:
+            raise SystemExit(f"HEADLINE names missing from contract: {missing}")
+        items = [(n, all_q[n]) for n in HEADLINE]
+    else:
+        items = list(all_q.items())
+    for name, fn in items:
         if name == "approx_recall":
             # meta-pipeline: re-runs 7 other pipelines to measure their
             # recall — timed separately so the headline total stays a sum
@@ -243,6 +266,7 @@ def cmd_bench(sf_dir: str, num_cpus: int) -> None:
                 "value": total,
                 "unit": "sec",
                 "bench_protocol": 2,
+                "headline_subset": headline,
                 "queries": times,
                 "sf": sf,
                 "num_cpus": num_cpus,
@@ -393,6 +417,9 @@ def cmd_soak(seconds: float, num_cpus: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline", action="store_true",
+                    help="time only the curated one-per-family subset "
+                         "(~30 pipelines) instead of the full sweep")
     ap.add_argument("--build-worker", type=int, default=None)
     ap.add_argument("--soak", type=float, default=None, metavar="SECONDS",
                     help="real-time streaming soak: ingest + persistent "
@@ -407,7 +434,7 @@ def main() -> None:
     elif args.soak is not None:
         cmd_soak(args.soak, num_cpus)
     else:
-        cmd_bench(args.sf_dir, num_cpus)
+        cmd_bench(args.sf_dir, num_cpus, headline=args.headline)
 
 
 if __name__ == "__main__":
