@@ -577,6 +577,23 @@ def parse_derived_meta(spec: str):
                 .combine_chunks()
 
         return name, (src,), fn
+    if kind == "mod_of":
+        # small-int field out of an integer column: src % m + plus (an
+        # ES ingest `script` one-liner; e.g. a terms_set
+        # minimum_should_match_field needs single-digit values) —
+        # SQL-mirrorable verbatim as ``src % m + plus``
+        src, m_s, plus_s = args
+        m, plus = int(m_s), int(plus_s)
+        if m < 1:
+            raise ValueError(f"mod_of modulus must be >= 1 in {spec!r}")
+
+        def fn(tbl: pa.Table) -> pa.Array:
+            v = tbl.column(src).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.array(v % m + plus, pa.int64())
+
+        return name, (src,), fn
     raise ValueError(f"unknown derived_meta kind {kind!r} in {spec!r}")
 
 

@@ -107,7 +107,7 @@ def _docs(sf_dir: str):
 
 # bump when index layout / analyzer / scoring semantics change, so a
 # /tmp cache surviving from an earlier code version can never be reused
-CONTRACT_INDEX_VERSION = "v9"  # v9: n_chars docmeta (weighted_avg agg)
+CONTRACT_INDEX_VERSION = "v10"  # v10: req_matches docmeta (terms_set)
 
 # deterministic date-typed docmeta column: documents carry no timestamp,
 # so the contract derives one at ingest (the ES ingest-pipeline analogue)
@@ -125,6 +125,11 @@ CREATED_SQL = (
     f"% {CREATED_MOD_S}) * 1000000)"
 )
 
+# per-doc terms_set minimum (ES minimum_should_match_field): a 1..3
+# small-int derived at ingest — SQL mirror is the same expression
+REQ_SPEC = "req_matches=mod_of:n_chars:3:1"
+REQ_SQL = "(n_chars % 3 + 1)"
+
 
 def doc_index_dir(sf_dir: str) -> str:
     tag = hashlib.md5(f"{CONTRACT_INDEX_VERSION}:{sf_dir}".encode()).hexdigest()[:10]
@@ -138,8 +143,8 @@ def ensure_doc_index(sf_dir: str) -> str:
         text_col="text",
         lang_col=None,
         id_col="doc_id",
-        meta_cols=("source", "lang", "created_at", "n_chars"),
-        derived_meta=(CREATED_SPEC,),
+        meta_cols=("source", "lang", "created_at", "n_chars", "req_matches"),
+        derived_meta=(CREATED_SPEC, REQ_SPEC),
         partition_target_docs=128,
         shard_target_docs=512,
         # Lucene indexes positions for text fields by default; the one
@@ -498,6 +503,252 @@ SELECT query_id, doc_id,
                           ORDER BY round(score, 4) DESC, doc_id) AS rank,
        round(score, 4) AS score_r
 FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
+# ES terms_set contract set: (query_id, term list); the per-doc minimum
+# is the derived ``req_matches`` docmeta column (REQ_SPEC / REQ_SQL)
+TERMS_SET_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["hash", "join", "merge"]),
+    (1, ["scan", "filter", "sort", "table"]),
+    (2, ["window"]),
+]
+
+
+def _q_terms_set(engine, idx: str) -> pa.Table:
+    per_q = {
+        qid: engine.search_terms_set(terms, "req_matches", k=K_FETCH)
+        for qid, terms in TERMS_SET_QUERIES
+    }
+    return _bm25_rerank(per_q, idx)
+
+
+def q_terms_set(sf_dir: str) -> pa.Table:
+    """ES ``terms_set`` (per-doc ``minimum_should_match_field``) on the
+    shard-actor engine: a doc matches when its count of matching
+    distinct terms reaches its OWN ``req_matches`` doc value; score =
+    BM25 sum over matched terms."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_terms_set(engine, idx)
+    finally:
+        engine.shutdown()
+
+
+def q_terms_set_global(sf_dir: str) -> pa.Table:
+    """terms_set served from the TERM-partitioned layout (bucket-actor
+    postings + docmeta-lineage hydration of the per-doc minimum)."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_terms_set(eng, idx)
+    finally:
+        eng.shutdown()
+
+
+def sql_terms_set() -> str:
+    rows = []
+    for qid, terms in TERMS_SET_QUERIES:
+        for t in sorted(set(terms)):
+            rows.append(f"({qid}, '{t}')")
+    values = ", ".join(rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+q(query_id, t) AS (VALUES {values}),
+req AS (SELECT doc_id, {REQ_SQL} AS m FROM documents),
+mh AS (SELECT q.query_id, tf.doc_id, count(*) AS hits
+       FROM q JOIN tf ON tf.t = q.t GROUP BY 1, 2),
+elig AS (SELECT mh.query_id, mh.doc_id FROM mh
+         JOIN req ON req.doc_id = mh.doc_id
+         WHERE mh.hits >= req.m),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS w
+  FROM q
+  JOIN tf ON tf.t = q.t
+  JOIN df ON df.t = q.t
+  JOIN dl ON dl.doc_id = tf.doc_id, s),
+scored AS (
+  SELECT e.query_id, e.doc_id, sum(c.w) AS score
+  FROM elig e
+  JOIN contrib c ON c.query_id = e.query_id AND c.doc_id = e.doc_id
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
+# match_bool_prefix contract set: (query_id, text) — last analyzed token
+# becomes a constant-score prefix SHOULD clause
+MBP_QUERIES: list[tuple[int, str]] = [
+    (0, "merge da"),
+    (1, "ha"),
+    (2, "scan filt"),
+]
+
+
+def _mbp_tokens(text: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower())
+            if t and len(t) <= 64]
+
+
+def _q_match_bool_prefix(engine, idx: str) -> pa.Table:
+    per_q = {
+        qid: engine.search_match_bool_prefix(text, k=K_FETCH)
+        for qid, text in MBP_QUERIES
+    }
+    return _bm25_rerank(per_q, idx)
+
+
+def q_match_bool_prefix(sf_dir: str) -> pa.Table:
+    """ES ``match_bool_prefix``: terms as bool SHOULD clauses, the last
+    token as a constant-score prefix (type-ahead without adjacency)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_match_bool_prefix(engine, idx)
+    finally:
+        engine.shutdown()
+
+
+def q_match_bool_prefix_global(sf_dir: str) -> pa.Table:
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_match_bool_prefix(eng, idx)
+    finally:
+        eng.shutdown()
+
+
+def sql_match_bool_prefix() -> str:
+    t_rows, p_rows = [], []
+    for qid, text in MBP_QUERIES:
+        toks = _mbp_tokens(text)
+        for t in sorted(set(toks[:-1])):
+            t_rows.append(f"({qid}, '{t}')")
+        p_rows.append(f"({qid}, '{toks[-1]}')")
+    t_values = ", ".join(t_rows) if t_rows else "(-1, '')"
+    p_values = ", ".join(p_rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+qt(query_id, t) AS (VALUES {t_values}),
+qp(query_id, p) AS (VALUES {p_values}),
+tscore AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS w
+  FROM qt
+  JOIN tf ON tf.t = qt.t
+  JOIN df ON df.t = qt.t
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  GROUP BY 1, 2),
+pm AS (SELECT DISTINCT qp.query_id, tf.doc_id
+       FROM qp JOIN tf ON tf.t LIKE qp.p || '%'),
+cand AS (
+  SELECT query_id, doc_id FROM tscore
+  UNION
+  SELECT query_id, doc_id FROM pm),
+scored AS (
+  SELECT c.query_id, c.doc_id,
+         coalesce(t.w, 0)
+         + CASE WHEN pm.doc_id IS NULL THEN 0.0 ELSE 1.0 END AS score
+  FROM cand c
+  LEFT JOIN tscore t ON t.query_id = c.query_id AND t.doc_id = c.doc_id
+  LEFT JOIN pm ON pm.query_id = c.query_id AND pm.doc_id = c.doc_id)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
+# pinned contract set: promoted internal==orig doc ids + organic query
+PINNED_IDS = [42, 7, 3]
+PINNED_ORGANIC = "hash join"
+
+
+def q_pinned_search(sf_dir: str) -> pa.Table:
+    """ES ``pinned`` query: the given ids rank first (descending
+    promoted scores), organic BM25 follows with pinned ids removed —
+    engine-agnostic helper over the shard engine."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine, pinned_search
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        hits = pinned_search(engine, PINNED_IDS, PINNED_ORGANIC, k=TOPK)
+    finally:
+        engine.shutdown()
+    return _bm25_rerank({0: hits}, idx)
+
+
+def sql_pinned_search() -> str:
+    pin_rows = ", ".join(
+        f"({d}, {i})" for i, d in enumerate(PINNED_IDS)
+    )
+    pin_list = ", ".join(str(d) for d in PINNED_IDS)
+    terms = ", ".join(f"(0, '{t}')" for t in _simple_tokens(PINNED_ORGANIC))
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+q(query_id, t) AS (VALUES {terms}),
+organic AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM q
+  JOIN tf ON tf.t = q.t
+  JOIN df ON df.t = q.t
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  WHERE tf.doc_id NOT IN ({pin_list})
+  GROUP BY tf.doc_id),
+pins(doc_id, pos) AS (VALUES {pin_rows}),
+allhits AS (
+  SELECT doc_id, power(2.0, 100) - pos AS score FROM pins
+  UNION ALL
+  SELECT doc_id, score FROM organic)
+SELECT 0 AS query_id, doc_id,
+       row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM allhits
 QUALIFY rank <= {TOPK}
 """
 
@@ -7272,6 +7523,11 @@ def queries():
         "dedup_clusters": q_dedup_clusters,
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
+        "terms_set": q_terms_set,
+        "terms_set_global": q_terms_set_global,
+        "match_bool_prefix": q_match_bool_prefix,
+        "match_bool_prefix_global": q_match_bool_prefix_global,
+        "pinned_search": q_pinned_search,
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
@@ -7418,6 +7674,11 @@ def oracle_sql():
         "dedup_clusters": sql_dedup_clusters(),
         "sample_hash": sql_sample_hash(),
         "sample_stratified": sql_sample_stratified(),
+        "terms_set": sql_terms_set(),
+        "terms_set_global": sql_terms_set(),
+        "match_bool_prefix": sql_match_bool_prefix(),
+        "match_bool_prefix_global": sql_match_bool_prefix(),
+        "pinned_search": sql_pinned_search(),
         "text_stats": sql_text_stats(),
         "repetition_stats": sql_repetition_stats(),
         "gopher_filter": sql_gopher_filter(),

@@ -709,6 +709,45 @@ class ShardData:
         cand, cs = _select_topk(cand, scores, k, params)
         return (cand + self.doc_base).astype(np.int64), cs
 
+    def terms_set_topk(
+        self,
+        terms: list[str],
+        minimum_field: str,
+        idf: dict[str, float],
+        params: BM25Params,
+        avgdl: float,
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ES ``terms_set`` query over the shard: a doc is a candidate
+        when it contains ≥1 of the (distinct) terms AND its count of
+        matching distinct terms is ≥ the doc's OWN value of
+        ``minimum_field`` (the ``minimum_should_match_field``
+        semantics — a doc whose field value exceeds the number of query
+        terms can never match; a value ≤ 0 gates nothing beyond the
+        ≥1-match floor; both pinned in the oracle).  Score = BM25 sum
+        over the matched terms, same tie contract as bool."""
+        k1, b = params.k1, params.b
+        terms_s = sorted(set(terms))
+        n = self.num_docs
+        scores = np.zeros(n, dtype=np.float64)
+        count = np.zeros(n, dtype=np.int64)
+        for t in terms_s:  # sorted order — pinned to the oracle
+            i = self.terms.get(t)
+            if i is None:
+                continue
+            doc_ids, tfs = decode_postings(self.blobs[i])
+            idx = (doc_ids - np.uint64(self.doc_base)).astype(np.int64)
+            tf = tfs.astype(np.float64)
+            dl = self.dl[idx]
+            norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            scores[idx] += idf[t] * norm
+            count[idx] += 1
+        m = self.meta_col(minimum_field)
+        ok = (count >= 1) & (count >= m) & ~self.deleted_mask
+        cand = np.nonzero(ok)[0]
+        cand, cs = _select_topk(cand, scores, k, params)
+        return (cand + self.doc_base).astype(np.int64), cs
+
     def agg_top_hits(
         self,
         clauses: dict,
@@ -2148,6 +2187,41 @@ class ShardData:
         return ids, sc
 
 
+# pinned-query promoted score base: exactly representable, far above any
+# BM25 score, and PINNED_BASE - i stays exact for every realistic i
+PINNED_BASE = float(2.0 ** 100)
+
+
+def pinned_search(
+    engine, pinned_ids: list[int], organic_query: str, k: int = 10,
+) -> list[tuple[int, float]]:
+    """ES ``pinned`` query, engine-agnostic (works over either serving
+    engine — anything with ``.search``): the given ids rank FIRST in the
+    given order (scores ``PINNED_BASE - position``, mirroring ES's
+    descending ``Float.MAX_VALUE``-family scores), then the organic
+    query's results with pinned ids removed.  Ids the index does not
+    contain are dropped when the engine exposes ``search_ids`` (the
+    shard engine); the term layout refuses tombstoned sources, so all
+    pinned ids are live there by construction."""
+    ids = list(dict.fromkeys(int(d) for d in pinned_ids))  # order-keeping
+    if hasattr(engine, "search_ids"):
+        live = {d for d, _ in engine.search_ids(ids)}
+        ids = [d for d in ids if d in live]
+    out: list[tuple[int, float]] = [
+        (d, PINNED_BASE - i) for i, d in enumerate(ids[:k])
+    ]
+    if len(out) < k:
+        pinned = set(ids)
+        organic = engine.search(organic_query, k=k + len(pinned))
+        for d, s in organic:
+            if d in pinned:
+                continue
+            out.append((d, s))
+            if len(out) >= k:
+                break
+    return out
+
+
 def merge_topk(
     parts: list[tuple[np.ndarray, np.ndarray]], k: int,
     round_decimals: int | None = None,
@@ -2599,6 +2673,17 @@ class _ScorerCore:
             ids, sc = merge_topk(parts, k, self.params.round_decimals)
             out.append((qid, ids, sc))
         return out
+
+    def terms_set_topk(
+        self, terms: list[str], minimum_field: str,
+        idf: dict[str, float], k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        parts = [
+            s.terms_set_topk(terms, minimum_field, idf, self.params,
+                             self.avgdl, k)
+            for s in self.shards
+        ]
+        return merge_topk(parts, k, self.params.round_decimals)
 
 
 @ray.remote
@@ -3856,6 +3941,46 @@ class QueryEngine:
         parts = [(res[0][1], res[0][2]) for res in per_actor]
         ids, sc = merge_topk(parts, k, self.params.round_decimals)
         return list(zip(ids.tolist(), sc.tolist()))
+
+    def search_terms_set(
+        self, terms: str | list[str], minimum_field: str, k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``terms_set`` query: docs containing at least their OWN
+        ``minimum_field`` value's worth of the given terms (the
+        ``minimum_should_match_field`` form — ES's per-doc msm; a doc
+        whose field value exceeds the number of distinct query terms
+        can never match, a value ≤ 0 gates nothing beyond the ≥1-match
+        candidate floor).  Score = BM25 sum over matched terms; same
+        merge + tie semantics as search()."""
+        terms_s = (
+            sorted(set(self._analyze(terms))) if isinstance(terms, str)
+            else sorted(set(terms))
+        )
+        if not terms_s:
+            return []
+        idf = self.idfs(terms_s)
+        parts = ray.get([
+            a.terms_set_topk.remote(terms_s, minimum_field, idf, k)
+            for a in self.actors
+        ])
+        ids, sc = merge_topk(parts, k, self.params.round_decimals)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def search_match_bool_prefix(
+        self, text: str, k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``match_bool_prefix``: the analyzed terms become bool
+        SHOULD clauses, the LAST one as a prefix query (constant-score
+        rewrite — its contribution is 1.0, Lucene's default MultiTerm
+        rewrite inside bool) — the type-ahead cousin of
+        match_phrase_prefix without the adjacency requirement."""
+        toks = self._sqs_analyze()(text)
+        if not toks:
+            return []
+        tree: tuple = ("prefix", toks[-1])
+        for t in reversed(toks[:-1]):
+            tree = ("or", ("term", t), tree)
+        return self._eval_sqs_tree(tree, k)
 
     def search_ids(self, doc_ids: list[int], k: int | None = None
                    ) -> list[tuple[int, float]]:

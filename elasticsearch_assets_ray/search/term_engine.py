@@ -1227,6 +1227,67 @@ class TermPartitionedEngine:
         final = base * f if boost_mode == "multiply" else base + f
         return self._tie_cut(ids, final, k)
 
+    def search_terms_set(
+        self, terms: str | list[str], minimum_field: str, k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``terms_set`` on the term-partitioned layout: postings
+        gather from the owning bucket actors, per-doc matched-term
+        counts fold on the coordinator, and each doc's
+        ``minimum_should_match_field`` value hydrates id-aligned from
+        the source docmeta lineage — results identical to
+        :meth:`QueryEngine.search_terms_set` (parity tested).
+        Semantics pinned there: candidates need ≥1 match AND
+        count ≥ the doc's own field value."""
+        from .datehist import values_partials_over_ids
+
+        terms_s = (
+            sorted(set(self._analyze(terms))) if isinstance(terms, str)
+            else sorted(set(terms))
+        )
+        if not terms_s:
+            return []
+        fetched = self.fetch_terms(terms_s)
+        if not fetched:
+            return []
+        hits = self._score_from_fetch(terms_s, fetched, 1 << 30)
+        if not hits:
+            return []
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        sc = np.array([s for _, s in hits], dtype=np.float64)
+        all_ids = np.concatenate([
+            fetched[t][0] for t in terms_s if t in fetched
+        ]).astype(np.int64)
+        uids, cnt = np.unique(all_ids, return_counts=True)
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for terms_set serving"
+            )
+        m = np.concatenate(
+            values_partials_over_ids(src, uids, minimum_field, "raw")
+        ).astype(np.float64)
+        pos = np.searchsorted(uids, ids)
+        ok = cnt[pos] >= m[pos]
+        if not ok.any():
+            return []
+        return self._tie_cut(ids[ok], sc[ok], k)
+
+    def search_match_bool_prefix(
+        self, text: str, k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``match_bool_prefix`` on the term-partitioned layout —
+        terms as bool SHOULD clauses, last token as a constant-score
+        prefix (identical semantics + results to the shard engine's
+        method, parity tested)."""
+        toks = self._sqs_analyze()(text)
+        if not toks:
+            return []
+        tree: tuple = ("prefix", toks[-1])
+        for t in reversed(toks[:-1]):
+            tree = ("or", ("term", t), tree)
+        return self._eval_sqs_tree(tree, k)
+
     def search_decay_score(
         self,
         query: str | list[str],

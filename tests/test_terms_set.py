@@ -1,0 +1,138 @@
+"""terms_set (per-doc minimum_should_match_field), match_bool_prefix,
+and the pinned query: brute-force semantics on the shard engine, parity
+on the term-partitioned engine."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_assets_ray.config import IndexConfig
+from elasticsearch_assets_ray.index.build import build_index
+from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+from elasticsearch_assets_ray.search.engine import (
+    PINNED_BASE,
+    QueryEngine,
+    pinned_search,
+)
+from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+DOCS = [
+    "alpha beta gamma",        # req 1
+    "alpha beta",              # req 2
+    "alpha",                   # req 2 → can't reach 2 of the set
+    "beta gamma delta",        # req 3 → needs all three
+    "alpha beta gamma delta",  # req 3
+    "epsilon zeta",            # req 1 → no set terms at all
+    "alpha alpha beta",        # req 0 → floor is still >= 1 match
+    "gamma",                   # req 1
+]
+REQ = [1, 2, 2, 3, 3, 1, 0, 1]
+
+
+@pytest.fixture(scope="module")
+def ts_index(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("tsidx")
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+        "text": pa.array(DOCS, pa.string()),
+        "req": pa.array(REQ, pa.int64()),
+    })
+    pq.write_table(tbl, d / "corpus.parquet", row_group_size=3)
+    cfg = IndexConfig(
+        analyzer="simple", text_col="text", lang_col=None, id_col="doc_id",
+        meta_cols=("req",), partition_target_docs=3, shard_target_docs=3,
+        store_positions=True,
+    )
+    info = build_index(str(d), d / "idx", cfg)
+    merge_global_postings(d / "idx", d / "glb", n_salts=2, n_buckets=4,
+                          store_norms=True)
+    return info, d / "glb"
+
+
+def test_terms_set_semantics_and_parity(ts_index, ray_session):
+    info, glb = ts_index
+    eng = QueryEngine(info.index_dir, num_actors=2)
+    teng = TermPartitionedEngine(glb, num_actors=2)
+    try:
+        got = eng.search_terms_set(["alpha", "beta", "gamma"], "req", k=20)
+        ids = [d for d, _ in got]
+        # doc0: 3>=1 ✓; doc1: 2>=2 ✓; doc2: 1>=2 ✗; doc3: 2>=3 ✗;
+        # doc4: 3>=3 ✓; doc5: 0 matches ✗; doc6: 2>=0 ✓ (>=1 floor);
+        # doc7: 1>=1 ✓
+        assert set(ids) == {0, 1, 4, 6, 7}
+        # scores are the BM25 sum over matched terms — must equal a bool
+        # should query's scores for the same matched docs
+        bool_sc = dict(eng.search_bool(should=["alpha", "beta", "gamma"],
+                                       k=20))
+        for d, s in got:
+            assert abs(s - bool_sc[d]) < 1e-9
+        assert teng.search_terms_set(["alpha", "beta", "gamma"],
+                                     "req", k=20) == got
+        # string form analyzes
+        assert eng.search_terms_set("alpha beta gamma", "req", k=20) == got
+        # absent terms contribute nothing
+        got2 = eng.search_terms_set(["alpha", "zzz_absent"], "req", k=20)
+        assert {d for d, _ in got2} == {0, 6}  # count 1: req<=1 docs w/ alpha
+        assert teng.search_terms_set(["alpha", "zzz_absent"], "req",
+                                     k=20) == got2
+    finally:
+        eng.shutdown()
+        teng.shutdown()
+
+
+def test_match_bool_prefix_semantics_and_parity(ts_index, ray_session):
+    info, glb = ts_index
+    eng = QueryEngine(info.index_dir, num_actors=2)
+    teng = TermPartitionedEngine(glb, num_actors=2)
+    try:
+        got = eng.search_match_bool_prefix("epsilon ga", k=20)
+        # docs matching "epsilon" (BM25) OR prefix "ga*" (constant 1.0)
+        ids = {d for d, _ in got}
+        assert ids == {0, 3, 4, 5, 7}  # gamma docs + epsilon doc
+        sc = dict(got)
+        # prefix-only docs score exactly the constant 1.0
+        assert sc[7] == 1.0 and sc[0] == 1.0
+        # the epsilon doc scores BM25(epsilon) — no prefix match
+        # (1e-16-level float-association difference vs the dense search
+        # path is expected: the sqs algebra sums sparse-aligned)
+        assert abs(sc[5] - dict(eng.search("epsilon", k=5))[5]) < 1e-9
+        tgot = teng.search_match_bool_prefix("epsilon ga", k=20)
+        assert [d for d, _ in tgot] == [d for d, _ in got]
+        for (_, s1), (_, s2) in zip(tgot, got):
+            assert abs(s1 - s2) < 1e-9  # float association only
+        # single-token query: pure prefix
+        p = eng.search_match_bool_prefix("alp", k=20)
+        assert {d for d, _ in p} == {0, 1, 2, 4, 6}
+        assert all(s == 1.0 for _, s in p)
+        assert teng.search_match_bool_prefix("alp", k=20) == p
+    finally:
+        eng.shutdown()
+        teng.shutdown()
+
+
+def test_pinned_search(ts_index, ray_session):
+    info, glb = ts_index
+    eng = QueryEngine(info.index_dir, num_actors=2)
+    teng = TermPartitionedEngine(glb, num_actors=2)
+    try:
+        for e in (eng, teng):
+            got = pinned_search(e, [7, 2], "alpha beta", k=5)
+            assert [d for d, _ in got[:2]] == [7, 2]
+            assert got[0][1] == PINNED_BASE and got[1][1] == PINNED_BASE - 1
+            organic = [d for d, _ in got[2:]]
+            assert 7 not in organic and 2 not in organic
+            assert organic == [
+                d for d, _ in e.search("alpha beta", k=7)
+                if d not in (7, 2)
+            ][: len(organic)]
+        # nonexistent pinned ids drop on the shard engine
+        got = pinned_search(eng, [999, 0], "alpha", k=3)
+        assert [d for d, _ in got[:1]] == [0]
+        assert 999 not in {d for d, _ in got}
+        # duplicates keep first position only
+        got = pinned_search(eng, [1, 1, 0], "gamma", k=4)
+        assert [d for d, _ in got[:2]] == [1, 0]
+    finally:
+        eng.shutdown()
+        teng.shutdown()
