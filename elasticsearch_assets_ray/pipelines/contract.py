@@ -692,6 +692,61 @@ QUALIFY rank <= {TOPK}
 """
 
 
+MULTI_TERMS_QUERY = "merge data table"
+
+
+def _q_multi_terms(engine) -> pa.Table:
+    rows = engine.multi_terms(
+        MULTI_TERMS_QUERY, ["lang", "source"], stats_on="n_chars"
+    )
+    return pa.table({
+        "lang": pa.array([r["key"][0] for r in rows], pa.string()),
+        "source": pa.array([r["key"][1] for r in rows], pa.string()),
+        "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+        "sum_chars": pa.array([r["sum"] for r in rows], pa.float64()),
+        "min_chars": pa.array([r["min"] for r in rows], pa.float64()),
+        "max_chars": pa.array([r["max"] for r in rows], pa.float64()),
+    })
+
+
+def q_multi_terms(sf_dir: str) -> pa.Table:
+    """ES ``multi_terms`` aggregation (composite value-pair buckets over
+    2 keyword fields + stats sub-agg) on the shard-actor engine."""
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4)
+    try:
+        return _q_multi_terms(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_multi_terms_global(sf_dir: str) -> pa.Table:
+    """multi_terms served from the TERM-partitioned layout (composite
+    partial over the source docmeta lineage)."""
+    _idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_multi_terms(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_multi_terms() -> str:
+    terms = ", ".join(f"'{t}'" for t in _simple_tokens(MULTI_TERMS_QUERY))
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+hit AS (SELECT DISTINCT doc_id FROM toks WHERE t IN ({terms}))
+SELECT d.lang, d.source, count(*)::BIGINT AS doc_count,
+       sum(d.n_chars)::DOUBLE AS sum_chars,
+       min(d.n_chars)::DOUBLE AS min_chars,
+       max(d.n_chars)::DOUBLE AS max_chars
+FROM documents d JOIN hit ON hit.doc_id = d.doc_id
+GROUP BY d.lang, d.source
+"""
+
+
 # pinned contract set: promoted internal==orig doc ids + organic query
 PINNED_IDS = [42, 7, 3]
 PINNED_ORGANIC = "hash join"
@@ -7528,6 +7583,8 @@ def queries():
         "match_bool_prefix": q_match_bool_prefix,
         "match_bool_prefix_global": q_match_bool_prefix_global,
         "pinned_search": q_pinned_search,
+        "multi_terms_agg": q_multi_terms,
+        "multi_terms_agg_global": q_multi_terms_global,
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
@@ -7679,6 +7736,8 @@ def oracle_sql():
         "match_bool_prefix": sql_match_bool_prefix(),
         "match_bool_prefix_global": sql_match_bool_prefix(),
         "pinned_search": sql_pinned_search(),
+        "multi_terms_agg": sql_multi_terms(),
+        "multi_terms_agg_global": sql_multi_terms(),
         "text_stats": sql_text_stats(),
         "repetition_stats": sql_repetition_stats(),
         "gopher_filter": sql_gopher_filter(),

@@ -457,6 +457,19 @@ def bucket_partial(
     [(lo, hi), ...])`` is the ES range/date_range bucketing (overlap =
     several buckets, key = range index)."""
     kind, arg = spec
+    if kind == "terms_pair":
+        # ES multi_terms (2 fields): composite (field, arg) keys; docs
+        # missing EITHER value are omitted (ES multi_terms semantics)
+        group_vals = np.asarray(arg)
+        ok = valid_mask(np.asarray(field_vals)) & valid_mask(group_vals)
+        if not ok.all():
+            field_vals = field_vals[ok]
+            group_vals = group_vals[ok]
+            if stats_vals is not None:
+                stats_vals = stats_vals[ok]
+        if len(field_vals) == 0:
+            return {}
+        return partial_over_pairs(field_vals, group_vals, stats_vals)
     if kind in ("interval", "interval_tz", "interval_off",
                 "interval_terms", "histogram"):
         # ES date_histogram/histogram omit docs with a missing field
@@ -545,9 +558,15 @@ def _agg_partition_task(
 
     merged: dict = {}
     cols = [field] if stats_col in (None, field) else [field, stats_col]
-    # an interval_terms spec names its group COLUMN; the task reads it
-    # and swaps the per-row values in before the shared bucket kernel
-    gcol = spec[1][1] if spec[0] == "interval_terms" else None
+    # an interval_terms / terms_pair spec names its group COLUMN; the
+    # task reads it and swaps the per-row values in before the shared
+    # bucket kernel
+    if spec[0] == "interval_terms":
+        gcol = spec[1][1]
+    elif spec[0] == "terms_pair":
+        gcol = spec[1]
+    else:
+        gcol = None
     if gcol is not None and gcol not in cols:
         cols.append(gcol)
     for path, idx in zip(paths, local_idx):
@@ -558,10 +577,13 @@ def _agg_partition_task(
         spec_local = spec
         if gcol is not None:
             gv = _load_meta_values(t.column(gcol))[idx]
-            spec_local = (
-                "interval_terms",
-                (spec[1][0], gv) + tuple(spec[1][2:]),
-            )
+            if spec[0] == "terms_pair":
+                spec_local = ("terms_pair", gv)
+            else:
+                spec_local = (
+                    "interval_terms",
+                    (spec[1][0], gv) + tuple(spec[1][2:]),
+                )
         merge_agg_partials(
             merged,
             bucket_partial(

@@ -1679,6 +1679,45 @@ class ShardData:
         hit &= ~self.deleted_mask
         return self._agg_over_mask(hit, group_col, stats_col)
 
+    def agg_match_multi(
+        self,
+        terms: list[str],
+        group_cols: list[str],
+        stats_col: str | None = None,
+    ) -> dict:
+        """Per-shard partial for an ES ``multi_terms`` aggregation
+        (2 fields): composite (v1, v2) buckets over the docs matching
+        ANY of ``terms``; docs missing EITHER field value are omitted
+        (ES multi_terms semantics).  Same mergeable partial shape as
+        :meth:`agg_match`."""
+        from .datehist import partial_over_pairs, valid_mask
+
+        if len(group_cols) != 2:
+            raise ValueError("multi_terms supports exactly 2 fields")
+        hit = np.zeros(self.num_docs, dtype=bool)
+        for t in terms:
+            i = self.terms.get(t)
+            if i is None:
+                continue
+            doc_ids, _ = decode_postings(self.blobs[i])
+            hit[(doc_ids - np.uint64(self.doc_base)).astype(np.int64)] = True
+        hit &= ~self.deleted_mask
+        idxs = np.nonzero(hit)[0]
+        if len(idxs) == 0:
+            return {}
+        a = self.meta_col(group_cols[0])[idxs]
+        b = self.meta_col(group_cols[1])[idxs]
+        vm = valid_mask(a) & valid_mask(b)
+        if not vm.all():
+            idxs, a, b = idxs[vm], a[vm], b[vm]
+            if len(idxs) == 0:
+                return {}
+        sv = (
+            self.meta_col(stats_col)[idxs].astype(np.float64)
+            if stats_col is not None else None
+        )
+        return partial_over_pairs(a, b, sv)
+
     def agg_filters(
         self, named_clauses: list[tuple[str, dict]],
         stats_col: str | None = None,
@@ -2508,6 +2547,17 @@ class _ScorerCore:
         merged: dict = {}
         for s in self.shards:
             merge_agg_partials(merged, s.agg_match(terms, group_col, stats_col))
+        return merged
+
+    def agg_match_multi(
+        self, terms: list[str], group_cols: list[str],
+        stats_col: str | None = None,
+    ) -> dict:
+        merged: dict = {}
+        for s in self.shards:
+            merge_agg_partials(
+                merged, s.agg_match_multi(terms, group_cols, stats_col)
+            )
         return merged
 
     def agg_match_bool(
@@ -3377,6 +3427,37 @@ class QueryEngine:
 
         return rare_terms_buckets(
             self.aggregate(query, field), max_doc_count, size
+        )
+
+    def multi_terms(
+        self,
+        query: str | list[str],
+        fields: list[str],
+        stats_on: str | None = None,
+        order: tuple[str, str] | None = None,
+        size: int | None = None,
+    ) -> list[dict]:
+        """ES ``multi_terms`` aggregation (2 fields): buckets keyed by
+        the VALUE PAIR (field1, field2) over all docs matching the
+        ``match`` disjunction; docs missing either value are omitted.
+        Default order doc_count desc then key asc (tuple-lexicographic
+        — the ES parent-then-sub order); ``order``/``size`` as in
+        :meth:`aggregate` (exact cut).  Optional ``stats`` sub-agg over
+        a numeric column."""
+        from .datehist import order_terms_buckets
+
+        terms = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not terms:
+            return []
+        per_actor = ray.get(
+            [a.agg_match_multi.remote(terms, list(fields), stats_on)
+             for a in self.actors]
+        )
+        return order_terms_buckets(
+            self._agg_buckets(per_actor, stats_on), order, size
         )
 
     def _agg_buckets(self, per_actor: list[dict], stats_on: str | None

@@ -1771,6 +1771,45 @@ class TermPartitionedEngine:
             rows.append(row)
         return order_terms_buckets(rows, order, size)
 
+    def multi_terms(
+        self,
+        query: str | list[str],
+        fields: list[str],
+        stats_on: str | None = None,
+        order: tuple[str, str] | None = None,
+        size: int | None = None,
+    ) -> list[dict]:
+        """ES ``multi_terms`` (2 fields) on the term-partitioned layout:
+        matched ids gather from the bucket actors, the composite
+        (field1, field2) partial folds over the source docmeta lineage
+        (``terms_pair`` spec) — identical buckets to
+        :meth:`QueryEngine.multi_terms` (parity tested)."""
+        from .datehist import agg_partials_over_ids, order_terms_buckets
+        from .engine import merge_agg_partials
+
+        if len(fields) != 2:
+            raise ValueError("multi_terms supports exactly 2 fields")
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return []
+        ids, src = got
+        merged: dict = {}
+        for p in agg_partials_over_ids(
+            src, ids, fields[0], ("terms_pair", fields[1]), stats_on
+        ):
+            merge_agg_partials(merged, p)
+        buckets = sorted(merged.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        rows = []
+        for g, (c, sm, mn, mx) in buckets:
+            row = {"key": g, "doc_count": c}
+            if stats_on is not None:
+                row.update(
+                    {"sum": sm, "min": mn, "max": mx,
+                     "avg": sm / c if c else None}
+                )
+            rows.append(row)
+        return order_terms_buckets(rows, order, size)
+
     def significant_text(
         self,
         query: str | list[str],

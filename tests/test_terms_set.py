@@ -30,6 +30,9 @@ DOCS = [
 REQ = [1, 2, 2, 3, 3, 1, 0, 1]
 
 
+GRP = ["x", "y", None, "x", "y", "x", "x", "y"]
+
+
 @pytest.fixture(scope="module")
 def ts_index(tmp_path_factory, ray_session):
     d = tmp_path_factory.mktemp("tsidx")
@@ -37,12 +40,13 @@ def ts_index(tmp_path_factory, ray_session):
         "doc_id": pa.array(range(len(DOCS)), pa.int64()),
         "text": pa.array(DOCS, pa.string()),
         "req": pa.array(REQ, pa.int64()),
+        "grp": pa.array(GRP, pa.string()),
     })
     pq.write_table(tbl, d / "corpus.parquet", row_group_size=3)
     cfg = IndexConfig(
         analyzer="simple", text_col="text", lang_col=None, id_col="doc_id",
-        meta_cols=("req",), partition_target_docs=3, shard_target_docs=3,
-        store_positions=True,
+        meta_cols=("req", "grp"), partition_target_docs=3,
+        shard_target_docs=3, store_positions=True,
     )
     info = build_index(str(d), d / "idx", cfg)
     merge_global_postings(d / "idx", d / "glb", n_salts=2, n_buckets=4,
@@ -106,6 +110,34 @@ def test_match_bool_prefix_semantics_and_parity(ts_index, ray_session):
         assert {d for d, _ in p} == {0, 1, 2, 4, 6}
         assert all(s == 1.0 for _, s in p)
         assert teng.search_match_bool_prefix("alp", k=20) == p
+    finally:
+        eng.shutdown()
+        teng.shutdown()
+
+
+def test_multi_terms_agg(ts_index, ray_session):
+    info, glb = ts_index
+    eng = QueryEngine(info.index_dir, num_actors=2)
+    teng = TermPartitionedEngine(glb, num_actors=2)
+    try:
+        # docs matching "alpha": 0,1,2,4,6 — doc 2 has grp=None → omitted
+        got = eng.multi_terms("alpha", ["grp", "req"])
+        want = {("x", 1): 1, ("x", 0): 1, ("y", 2): 1, ("y", 3): 1}
+        assert {tuple(r["key"]): r["doc_count"] for r in got} == want
+        # default order: doc_count desc, key asc (tuple lexicographic)
+        keys = [tuple(r["key"]) for r in got]
+        assert keys == sorted(keys)
+        assert teng.multi_terms("alpha", ["grp", "req"]) == got
+        # stats sub-agg over a numeric column
+        got2 = eng.multi_terms("beta", ["grp", "req"], stats_on="req")
+        for r in got2:
+            assert r["sum"] == r["key"][1] * r["doc_count"]
+        assert teng.multi_terms("beta", ["grp", "req"],
+                                stats_on="req") == got2
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            eng.multi_terms("alpha", ["grp"])
     finally:
         eng.shutdown()
         teng.shutdown()
