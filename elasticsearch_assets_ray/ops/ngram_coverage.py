@@ -1,0 +1,212 @@
+"""Duplicate n-gram span coverage — the exact-substring-dedup signal
+(Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+Better", arXiv:2107.06499): for every document, the fraction of its
+token positions covered by at least one word n-gram that ALSO occurs in
+another document.  High coverage ⇒ the doc is largely boilerplate /
+near-copy; curation pipelines drop or trim on it (the RefinedWeb /
+Dolma "duplicate n-gram coverage" family).  Unlike MinHash (whole-doc
+similarity) this catches PARTIAL copies — a unique page wrapping a
+copied paragraph.
+
+Ray-Data-first shape, two fixed-bucket exchanges, no driver state:
+
+1. ``map_batches`` extract: one Arrow tokenize per batch, n-gram rows
+   ``(doc_id, pos, gram, bucket)`` built from n zero-copy slices;
+   the route bucket comes from a token-hash polynomial (distinct-term
+   FNV, O(n) vectorized combines) but gram IDENTITY inside a bucket is
+   the exact STRING — hash collisions can co-locate grams, never merge
+   them.
+2. ``groupby(bucket).map_groups``: per bucket, factorize gram strings,
+   count DISTINCT docs per gram (one lexsort), emit the (doc_id, pos)
+   rows of grams seen in ≥ 2 docs.
+3. union with per-doc token-count rows, ``groupby(doc bucket)``: per
+   doc, interval-union the covered spans ``[pos, pos+n)`` (sorted
+   positions, Σ min(n, gap)) and divide by the token count — one exact
+   integer IEEE division, so the DuckDB oracle hash-matches.
+
+Docs with fewer than n tokens (or no duplicated grams) report coverage
+0.0 — they appear in the output (the per-doc token-count rows guarantee
+it).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..index.build import in_doc_positions, tokenize_codes_arrow
+
+_POLY = np.uint64(0x9E3779B97F4A7C15)  # odd → bijective mixing mod 2^64
+
+
+def _gram_rows(
+    batch: pa.Table, n: int, analyzer: str, clip: tuple[int, int],
+    text_col: str, id_col: str, n_buckets: int,
+) -> pa.Table:
+    import pyarrow.compute as pc
+
+    from ..index.global_merge import _fnv1a64_vec
+
+    terms, codes, rel, dls = tokenize_codes_arrow(
+        batch.column(text_col), analyzer, clip[0], clip[1], {}
+    )
+    doc_ids = batch.column(id_col).to_numpy()
+    out_dl = pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "kind": pa.array(np.zeros(len(doc_ids), np.int8)),
+        "val": pa.array(np.asarray(dls, dtype=np.int64)),
+        "gram": pa.array([""] * len(doc_ids), pa.string()),
+        "bucket": pa.array(
+            np.asarray(doc_ids, np.int64) % n_buckets, pa.int32()
+        ),
+    })
+    ntok = len(codes)
+    if ntok < n:
+        return out_dl
+    rel = np.asarray(rel, dtype=np.int64)
+    pos = in_doc_positions(rel)
+    m = ntok - n + 1
+    same_doc = rel[:m] == rel[n - 1:]
+    # exact gram strings (identity) + hashed route bucket (placement)
+    tok = pc.take(pa.array(terms, pa.string()), pa.array(codes, pa.int64()))
+    parts = [tok.slice(i, m) for i in range(n)]
+    gram = pc.binary_join_element_wise(*parts, " ")
+    th = _fnv1a64_vec(pa.array(terms, pa.string()))
+    h_tok = th[codes]
+    g = np.zeros(m, dtype=np.uint64)
+    for i in range(n):
+        g = g * _POLY + h_tok[i: i + m]
+    keep = same_doc
+    if not keep.all():
+        gram = pc.filter(gram, pa.array(keep))
+    g = g[keep]
+    gdoc = doc_ids[rel[:m][keep]]
+    gpos = pos[:m][keep]
+    grams_tbl = pa.table({
+        "doc_id": pa.array(gdoc.astype(np.int64), pa.int64()),
+        "kind": pa.array(np.ones(len(g), np.int8)),
+        "val": pa.array(gpos.astype(np.int64)),
+        "gram": gram,
+        "bucket": pa.array(
+            (g % np.uint64(n_buckets)).astype(np.int32), pa.int32()
+        ),
+    })
+    return pa.concat_tables([out_dl, grams_tbl])
+
+
+def _dup_gram_positions(group: pa.Table) -> pa.Table:
+    """Per gram-bucket: (doc_id, pos) rows of grams occurring in ≥ 2
+    DISTINCT docs (exact string identity via factorize + lexsort)."""
+    import pyarrow.compute as pc
+
+    enc = group.column("gram").combine_chunks().dictionary_encode()
+    gc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = group.column("doc_id").to_numpy()
+    pos = group.column("val").to_numpy()
+    order = np.lexsort((doc, gc))
+    gs, ds_ = gc[order], doc[order]
+    new_pair = np.ones(len(gs), dtype=bool)
+    new_pair[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
+    new_gram = np.ones(len(gs), dtype=bool)
+    new_gram[1:] = gs[1:] != gs[:-1]
+    # distinct docs per gram = pairs per gram run
+    gram_starts = np.nonzero(new_gram)[0]
+    pair_cum = np.cumsum(new_pair)
+    docs_per_gram = np.diff(
+        np.concatenate([pair_cum[gram_starts] - new_pair[gram_starts],
+                        [pair_cum[-1]]])
+    )
+    dup_codes = gs[gram_starts[docs_per_gram >= 2]]
+    dup = np.isin(gc, dup_codes)
+    return pa.table({
+        "doc_id": pa.array(doc[dup].astype(np.int64), pa.int64()),
+        "pos": pa.array(pos[dup].astype(np.int64), pa.int64()),
+    })
+
+
+def _coverage_group(group: pa.Table, n: int) -> pa.Table:
+    """Per doc-bucket: interval-union of [pos, pos+n) spans per doc +
+    the per-doc token counts → coverage rows."""
+    doc = group.column("doc_id").to_numpy()
+    kind = group.column("kind").to_numpy()
+    val = group.column("val").to_numpy()
+    dlm = kind == 0
+    dl_doc, dl_val = doc[dlm], val[dlm]
+    cov_doc, cov_pos = doc[~dlm], val[~dlm]
+    covered = np.zeros(len(dl_doc), dtype=np.int64)
+    if len(cov_doc):
+        order = np.lexsort((cov_pos, cov_doc))
+        d_s, p_s = cov_doc[order], cov_pos[order]
+        # de-dup identical (doc, pos) then Σ min(n, next - pos)
+        first = np.ones(len(d_s), dtype=bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (p_s[1:] != p_s[:-1])
+        d_s, p_s = d_s[first], p_s[first]
+        gap = np.full(len(p_s), n, dtype=np.int64)
+        same = d_s[1:] == d_s[:-1]
+        gap[:-1][same] = np.minimum(n, p_s[1:][same] - p_s[:-1][same])
+        per_doc = np.zeros(len(dl_doc), dtype=np.int64)
+        sorter = np.argsort(dl_doc)
+        idx = sorter[np.searchsorted(dl_doc, d_s, sorter=sorter)]
+        np.add.at(per_doc, idx, gap)
+        covered = per_doc
+    frac = np.zeros(len(dl_doc), dtype=np.float64)
+    okd = dl_val > 0
+    frac[okd] = covered[okd] / dl_val[okd]
+    return pa.table({
+        "doc_id": pa.array(dl_doc.astype(np.int64), pa.int64()),
+        "n_tokens": pa.array(dl_val.astype(np.int64), pa.int64()),
+        "covered_tokens": pa.array(covered, pa.int64()),
+        "coverage": pa.array(frac, pa.float64()),
+    })
+
+
+def duplicate_ngram_coverage(
+    ds,
+    n: int = 5,
+    analyzer: str = "simple",
+    clip: tuple[int, int] = (1, 64),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+):
+    """Dataset of documents → per-doc duplicate-n-gram coverage rows
+    (doc_id, n_tokens, covered_tokens, coverage).  Two fixed-bucket
+    exchanges (gram buckets, then doc buckets); every kernel is
+    lexsort/reduceat-vectorized.  ``n_buckets`` caps any single group's
+    memory at ~corpus_grams/n_buckets — raise it for larger corpora."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        return _gram_rows(batch, n, analyzer, clip, text_col, id_col,
+                          n_buckets)
+
+    rows = ds.map_batches(extract, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    # expression filters — vectorized block pruning, never per-row Python
+    grams = rows.filter(expr="kind == 1")
+    dls = rows.filter(expr="kind == 0")
+    covered = grams.groupby("bucket").map_groups(
+        _dup_gram_positions, batch_format="pyarrow"
+    )
+
+    def cov_to_union(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "kind": pa.array(np.ones(batch.num_rows, np.int8)),
+            "val": batch.column("pos"),
+            "bucket": pa.array(
+                (batch.column("doc_id").to_numpy() % n_buckets)
+                .astype(np.int32), pa.int32()
+            ),
+        })
+
+    def dl_to_union(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "kind", "val", "bucket"])
+
+    union = dls.map_batches(
+        dl_to_union, batch_format="pyarrow", zero_copy_batch=True
+    ).union(covered.map_batches(
+        cov_to_union, batch_format="pyarrow", zero_copy_batch=True
+    ))
+    return union.groupby("bucket").map_groups(
+        lambda g: _coverage_group(g, n), batch_format="pyarrow"
+    )

@@ -6535,6 +6535,52 @@ def sql_pii_scan_docs() -> str:
     return _pii_chain_sql("documents", "doc_id", "text")
 
 
+DUP_NGRAM_N = 5
+
+
+def q_dup_ngram_coverage(sf_dir: str) -> pa.Table:
+    """Duplicate n-gram span coverage (exact-substring-dedup signal,
+    ops/ngram_coverage.py): per doc, the fraction of token positions
+    covered by an n-gram occurring in ≥2 docs — two fixed-bucket
+    exchanges, all kernels lexsort-vectorized."""
+    from ..ops.ngram_coverage import duplicate_ngram_coverage
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return to_arrow(duplicate_ngram_coverage(ds, n=DUP_NGRAM_N))
+
+
+def sql_dup_ngram_coverage() -> str:
+    n = DUP_NGRAM_N
+    gram_expr = " || ' ' || ".join(f"a[i + {j}]" for j in range(n))
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '' AND len(x) <= 64) AS a
+  FROM documents),
+dl AS (SELECT doc_id, len(a)::BIGINT AS n_tokens FROM w),
+g AS (
+  SELECT doc_id, i, {gram_expr} AS gram
+  FROM w, UNNEST(generate_series(1, greatest(len(a) - {n - 1}, 0))) t(i)),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.i + k AS p
+  FROM g JOIN dup USING (gram),
+       UNNEST(generate_series(0, {n - 1})) u(k)),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS covered_tokens
+        FROM cov GROUP BY doc_id)
+SELECT dl.doc_id, dl.n_tokens,
+       coalesce(cnt.covered_tokens, 0)::BIGINT AS covered_tokens,
+       CASE WHEN dl.n_tokens > 0
+            THEN coalesce(cnt.covered_tokens, 0) / dl.n_tokens::DOUBLE
+            ELSE 0.0 END AS coverage
+FROM dl LEFT JOIN cnt USING (doc_id)
+"""
+
+
 def q_knn_cosine(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     q = sim.queries_from_dataset(ds, KNN_QUERY_IDS)
@@ -7590,6 +7636,7 @@ def queries():
         "gopher_filter": q_gopher_filter,
         "pii_redact_events": q_pii_redact_events,
         "pii_scan_docs": q_pii_scan_docs,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
         "token_counts": q_token_counts,
         "knn_cosine": q_knn_cosine,
         "events_daily": q_events_daily,
@@ -7743,6 +7790,7 @@ def oracle_sql():
         "gopher_filter": sql_gopher_filter(),
         "pii_redact_events": sql_pii_redact_events(),
         "pii_scan_docs": sql_pii_scan_docs(),
+        "dup_ngram_coverage": sql_dup_ngram_coverage(),
         "token_counts": sql_token_counts(),
         "knn_cosine": sql_knn_cosine(),
         "events_daily": sql_events_daily(),
