@@ -692,6 +692,160 @@ QUALIFY rank <= {TOPK}
 """
 
 
+AUTO_DH_QUERY = "merge data"
+AUTO_DH_TARGET = 12
+
+
+def _q_auto_dh(engine) -> pa.Table:
+    from ..search.datehist import auto_date_histogram
+
+    out = auto_date_histogram(
+        engine, AUTO_DH_QUERY, "created_at", target_buckets=AUTO_DH_TARGET
+    )
+    rows = out["buckets"]
+    return pa.table({
+        "interval": pa.array([out["interval"]] * len(rows), pa.string()),
+        "key": pa.array([r["key"] for r in rows], pa.int64()),
+        "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+    })
+
+
+def q_auto_date_histogram(sf_dir: str) -> pa.Table:
+    """ES ``auto_date_histogram``: the finest ladder interval whose
+    zero-filled span count fits the target, then a zero-filled
+    date_histogram at it (shared helper, search/datehist.py)."""
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4)
+    try:
+        return _q_auto_dh(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_auto_date_histogram_global(sf_dir: str) -> pa.Table:
+    _idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_auto_dh(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_auto_date_histogram() -> str:
+    """Oracle restricted to the week-and-coarser ladder rungs — valid
+    whenever the matched span exceeds ``target`` DAYS (then no
+    finer-than-week rung can satisfy the target, so the engine's full
+    ladder walk and this 4-way CASE agree).  The contract corpus spaces
+    created_at ~2.4 h apart by doc_id, so any query matching ≳ 130 docs
+    clears that bar at every sf; the engine itself walks the FULL
+    ladder."""
+    terms = ", ".join(f"'{t}'" for t in _simple_tokens(AUTO_DH_QUERY))
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    t = AUTO_DH_TARGET
+    ladder = [("week", "7 DAY", "wk"), ("month", "1 MONTH", "mo"),
+              ("quarter", "3 MONTH", "q"), ("year", "1 YEAR", "yr")]
+    grid = "\nUNION ALL\n".join(
+        f"SELECT '{iv}' AS iv, date_trunc('{iv}', bounds.mn) "
+        f"+ g.i * INTERVAL {step} AS k "
+        f"FROM bounds, spans, UNNEST(generate_series(0, spans.{cnt} - 1)) g(i)"
+        for iv, step, cnt in ladder
+    )
+    cnts = "\nUNION ALL\n".join(
+        f"SELECT '{iv}' AS iv, date_trunc('{iv}', created) AS k, "
+        f"count(*) AS cnt FROM matched GROUP BY 1, 2"
+        for iv, _, _ in ladder
+    )
+    branches = f"""
+SELECT chosen.c AS interval, epoch_us(grid.k)::BIGINT AS key,
+       coalesce(cnts.cnt, 0)::BIGINT AS doc_count
+FROM chosen
+JOIN ({grid}) grid ON grid.iv = chosen.c
+LEFT JOIN ({cnts}) cnts ON cnts.iv = grid.iv AND cnts.k = grid.k
+"""
+    return f"""
+WITH toks AS ({toks}),
+matched AS (
+  SELECT d.doc_id, {CREATED_SQL} AS created
+  FROM documents d
+  WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM toks
+                     WHERE t IN ({terms}))),
+bounds AS (SELECT min(created) AS mn, max(created) AS mx FROM matched),
+spans AS (SELECT
+  date_diff('week', date_trunc('week', mn), date_trunc('week', mx)) + 1 AS wk,
+  date_diff('month', date_trunc('month', mn), date_trunc('month', mx)) + 1 AS mo,
+  date_diff('quarter', date_trunc('quarter', mn), date_trunc('quarter', mx)) + 1 AS q,
+  date_diff('year', date_trunc('year', mn), date_trunc('year', mx)) + 1 AS yr
+  FROM bounds),
+chosen AS (SELECT CASE WHEN wk <= {t} THEN 'week'
+                       WHEN mo <= {t} THEN 'month'
+                       WHEN q <= {t} THEN 'quarter'
+                       ELSE 'year' END AS c FROM spans)
+{branches}
+"""
+
+
+ADJ_FILTERS = [
+    ("joins", "hash join merge"),
+    ("scans", "scan table"),
+    ("sorts", "sort filter"),
+]
+
+
+def _q_adjacency(engine) -> pa.Table:
+    rows = engine.adjacency_matrix(ADJ_FILTERS)
+    return pa.table({
+        "key": pa.array([r["key"] for r in rows], pa.string()),
+        "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+    })
+
+
+def q_adjacency_matrix(sf_dir: str) -> pa.Table:
+    """ES ``adjacency_matrix`` aggregation (per-filter + pairwise
+    intersection doc counts) on the shard-actor engine."""
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4)
+    try:
+        return _q_adjacency(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_adjacency_matrix_global(sf_dir: str) -> pa.Table:
+    _idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_adjacency(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_adjacency_matrix() -> str:
+    rows = []
+    for name, text in ADJ_FILTERS:
+        for t in _simple_tokens(text):
+            rows.append(f"('{name}', '{t}')")
+    values = ", ".join(rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+f(fname, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT f.fname, toks.doc_id
+        FROM f JOIN toks ON toks.t = f.t),
+singles AS (SELECT fname AS key, count(*)::BIGINT AS doc_count
+            FROM hit GROUP BY fname),
+pairs AS (SELECT a.fname || '&' || b.fname AS key,
+                 count(*)::BIGINT AS doc_count
+          FROM hit a JOIN hit b
+            ON a.doc_id = b.doc_id AND a.fname < b.fname
+          GROUP BY 1)
+SELECT key, doc_count FROM singles
+UNION ALL
+SELECT key, doc_count FROM pairs
+"""
+
+
 MULTI_TERMS_QUERY = "merge data table"
 
 
@@ -7631,6 +7785,10 @@ def queries():
         "pinned_search": q_pinned_search,
         "multi_terms_agg": q_multi_terms,
         "multi_terms_agg_global": q_multi_terms_global,
+        "adjacency_matrix": q_adjacency_matrix,
+        "adjacency_matrix_global": q_adjacency_matrix_global,
+        "auto_date_histogram": q_auto_date_histogram,
+        "auto_date_histogram_global": q_auto_date_histogram_global,
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
@@ -7785,6 +7943,10 @@ def oracle_sql():
         "pinned_search": sql_pinned_search(),
         "multi_terms_agg": sql_multi_terms(),
         "multi_terms_agg_global": sql_multi_terms(),
+        "adjacency_matrix": sql_adjacency_matrix(),
+        "adjacency_matrix_global": sql_adjacency_matrix(),
+        "auto_date_histogram": sql_auto_date_histogram(),
+        "auto_date_histogram_global": sql_auto_date_histogram(),
         "text_stats": sql_text_stats(),
         "repetition_stats": sql_repetition_stats(),
         "gopher_filter": sql_gopher_filter(),

@@ -656,6 +656,65 @@ def per_group_head(
     return list(zip(heads.tolist(), parts))
 
 
+# auto_date_histogram rounding ladder (finest → coarsest) — the ES
+# RoundingInfo sequence (seconds 1/5/10/30, minutes 1/5/10/30, hours
+# 1/3/12, day, week, months 1/3, year).  ES continues 5y/10y/20y/…;
+# this ladder caps at calendar year (disclosed divergence — a span too
+# wide for yearly buckets returns yearly anyway).
+AUTO_DATEHIST_LADDER = (
+    "1s", "5s", "10s", "30s", "1m", "5m", "10m", "30m",
+    "1h", "3h", "12h", "day", "week", "month", "quarter", "year",
+)
+
+
+def span_bucket_count(lo_us: int, hi_us: int, interval: str) -> int:
+    """Number of ``interval`` buckets spanned by [lo, hi] inclusive —
+    the zero-filled bucket count ``date_histogram(min_doc_count=0)``
+    would return for data with that min/max."""
+    f = floor_interval_us(np.array([lo_us, hi_us], dtype=np.int64),
+                          interval)
+    if interval in ("month", "quarter", "year"):
+        m = f.astype("datetime64[us]").astype("datetime64[M]").astype(
+            np.int64
+        )
+        step = {"month": 1, "quarter": 3, "year": 12}[interval]
+        return int((m[1] - m[0]) // step) + 1
+    step = _DAY_US * 7 if interval == "week" else (
+        _DAY_US if interval == "day" else parse_fixed_interval_us(interval)
+    )
+    return int((f[1] - f[0]) // step) + 1
+
+
+def auto_date_histogram(
+    engine,
+    query,
+    field: str,
+    target_buckets: int = 10,
+    stats_on: str | None = None,
+) -> dict:
+    """ES ``auto_date_histogram``: pick the FINEST ladder interval whose
+    zero-filled bucket count over the matched docs' [min, max] span is
+    ≤ ``target_buckets``, then serve a zero-filled ``date_histogram`` at
+    it.  Engine-agnostic — works over anything exposing ``filters_agg``
+    (the min/max probe) and ``date_histogram`` (both engines; parity
+    tested).  Returns ``{"interval": chosen, "buckets": rows}``; no
+    matches → ``{"interval": "year", "buckets": []}``."""
+    probe = engine.filters_agg({"all": query}, stats_on=field)
+    r = probe[0]
+    if r["doc_count"] == 0 or "min" not in r:
+        return {"interval": "year", "buckets": []}
+    lo, hi = int(r["min"]), int(r["max"])  # epoch µs < 2^53 — exact
+    chosen = AUTO_DATEHIST_LADDER[-1]
+    for interval in AUTO_DATEHIST_LADDER:
+        if span_bucket_count(lo, hi, interval) <= target_buckets:
+            chosen = interval
+            break
+    buckets = engine.date_histogram(
+        query, field, interval=chosen, stats_on=stats_on, min_doc_count=0
+    )
+    return {"interval": chosen, "buckets": buckets}
+
+
 def rare_terms_buckets(
     rows: list[dict], max_doc_count: int, size: int | None
 ) -> list[dict]:

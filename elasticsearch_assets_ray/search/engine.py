@@ -1718,6 +1718,39 @@ class ShardData:
         )
         return partial_over_pairs(a, b, sv)
 
+    def agg_adjacency(
+        self, named_clauses: list[tuple[str, dict]], separator: str = "&",
+    ) -> dict:
+        """Per-shard partial for an ES ``adjacency_matrix`` aggregation:
+        {key: doc_count} for every filter and every PAIRWISE
+        intersection (key = the two names sorted, joined by
+        ``separator``).  Masks come from the shared bool eligibility
+        algebra; partials sum across shards."""
+        postings_idx = self._postings_idx_fn()
+        masks: list[tuple[str, np.ndarray]] = []
+        for name, clauses in named_clauses:
+            ok = self._bool_eligible(
+                sorted(set(clauses.get("must", []))),
+                sorted(set(clauses.get("should", []))),
+                sorted(set(clauses.get("must_not", []))),
+                sorted(set(clauses.get("filter", []))),
+                clauses.get("msm"), clauses.get("meta_filters"),
+                clauses.get("range_filters"), postings_idx,
+            )
+            masks.append((str(name), ok))
+        out: dict = {}
+        for i, (n1, m1) in enumerate(masks):
+            c = int(m1.sum())
+            if c:
+                out[n1] = out.get(n1, 0) + c
+            for n2, m2 in masks[i + 1:]:
+                c = int((m1 & m2).sum())
+                if c:
+                    a, b = sorted((n1, n2))
+                    out[a + separator + b] = out.get(
+                        a + separator + b, 0) + c
+        return out
+
     def agg_filters(
         self, named_clauses: list[tuple[str, dict]],
         stats_col: str | None = None,
@@ -2623,6 +2656,15 @@ class _ScorerCore:
             merge_opt_stats_partials(
                 merged, s.agg_filters(named_clauses, stats_col)
             )
+        return merged
+
+    def agg_adjacency(
+        self, named_clauses: list[tuple[str, dict]], separator: str = "&",
+    ) -> dict:
+        merged: dict = {}
+        for s in self.shards:
+            for key, c in s.agg_adjacency(named_clauses, separator).items():
+                merged[key] = merged.get(key, 0) + c
         return merged
 
     def agg_top_hits(
@@ -3553,6 +3595,43 @@ class QueryEngine:
             min_doc_count=min_doc_count, extended_bounds=extended_bounds,
             time_zone=time_zone, offset=offset,
         )
+
+    def adjacency_matrix(
+        self,
+        filters: dict | list[tuple],
+        separator: str = "&",
+    ) -> list[dict]:
+        """ES ``adjacency_matrix`` aggregation: a doc_count bucket for
+        every named filter AND every pairwise intersection (key = the
+        two names sorted, joined by ``separator`` — the ES default
+        ``&``).  Each filter is a free-text match / term list / full
+        bool-clause dict like :meth:`aggregate`'s query.  Only buckets
+        with doc_count ≥ 1 return (the ES contract), sorted key
+        ascending.  One actor round carries all filters; per-shard
+        partials are O(filters²) counts."""
+        items = (
+            list(filters.items()) if isinstance(filters, dict)
+            else list(filters)
+        )
+        named = []
+        for n, q in items:
+            c = self._query_clauses(q)
+            if c is None:  # matches nothing — contributes no buckets
+                c = {"must": ["\x00impossible\x00"], "should": [],
+                     "must_not": [], "filter": [], "msm": None}
+            named.append((str(n), c))
+        merged: dict = {}
+        per_actor = ray.get(
+            [a.agg_adjacency.remote(named, separator)
+             for a in self.actors]
+        )
+        for p in per_actor:
+            for key, c in p.items():
+                merged[key] = merged.get(key, 0) + c
+        return [
+            {"key": k, "doc_count": int(merged[k])}
+            for k in sorted(merged)
+        ]
 
     def filters_agg(
         self,

@@ -1894,6 +1894,40 @@ class TermPartitionedEngine:
             rows.append(row)
         return rows
 
+    def adjacency_matrix(
+        self,
+        filters: dict | list[tuple],
+        separator: str = "&",
+    ) -> list[dict]:
+        """ES ``adjacency_matrix`` served from the term-partitioned
+        layout: each filter's FULL matched-id set gathers from the
+        bucket actors (``match`` disjunctions, like ``filters_agg``
+        here), pairwise intersections fold on the coordinator with
+        sorted-array intersects — identical buckets to
+        :meth:`QueryEngine.adjacency_matrix` (parity tested)."""
+        items = (
+            list(filters.items()) if isinstance(filters, dict)
+            else list(filters)
+        )
+        sets: list[tuple[str, np.ndarray]] = []
+        for n, q in items:
+            got = self._matched_ids_and_source(q)
+            ids = got[0] if got is not None else np.empty(0, np.int64)
+            sets.append((str(n), np.asarray(ids, dtype=np.int64)))
+        merged: dict = {}
+        for i, (n1, s1) in enumerate(sets):
+            if len(s1):
+                merged[n1] = len(s1)
+            for n2, s2 in sets[i + 1:]:
+                c = len(np.intersect1d(s1, s2, assume_unique=True))
+                if c:
+                    a, b = sorted((n1, n2))
+                    merged[a + separator + b] = c
+        return [
+            {"key": k, "doc_count": int(merged[k])}
+            for k in sorted(merged)
+        ]
+
     def range_agg(
         self,
         query: str | list[str],

@@ -998,3 +998,52 @@ def test_metric_aggs_value_count_missing_weighted(tmp_path, ray_session):
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+def test_auto_date_histogram_ladder_selection():
+    import numpy as np
+
+    from elasticsearch_assets_ray.search.datehist import (
+        auto_date_histogram,
+        span_bucket_count,
+    )
+
+    US = 1_000_000
+    MIN, HOUR, DAY = 60 * US, 3600 * US, 86400 * US
+    assert span_bucket_count(0, 59 * US, "1m") == 1
+    assert span_bucket_count(0, 60 * US, "1m") == 2
+    assert span_bucket_count(0, 10 * MIN - 1, "5m") == 2
+    assert span_bucket_count(5 * HOUR, 23 * HOUR, "12h") == 2
+    # 2024-01-15 .. 2024-07-02 → 7 months, 3 quarters, 1 year
+    lo = int(np.datetime64("2024-01-15T00:00:00", "us").astype(np.int64))
+    hi = int(np.datetime64("2024-07-02T12:00:00", "us").astype(np.int64))
+    assert span_bucket_count(lo, hi, "month") == 7
+    assert span_bucket_count(lo, hi, "quarter") == 3
+    assert span_bucket_count(lo, hi, "year") == 1
+
+    class Fake:
+        def __init__(self, lo, hi, n):
+            self.lo, self.hi, self.n = lo, hi, n
+            self.calls = []
+
+        def filters_agg(self, filters, stats_on=None):
+            return [{"key": "all", "doc_count": self.n,
+                     "min": float(self.lo), "max": float(self.hi),
+                     "sum": 0.0}]
+
+        def date_histogram(self, query, field, interval="month",
+                           stats_on=None, min_doc_count=1):
+            self.calls.append((interval, min_doc_count))
+            return [{"key": 0, "doc_count": self.n}]
+
+    # 2-hour span, target 10 → 30m (5 buckets fits, 10m = 13 doesn't)
+    f = Fake(0, 2 * HOUR, 50)
+    out = auto_date_histogram(f, "q", "ts", target_buckets=10)
+    assert out["interval"] == "30m" and f.calls == [("30m", 0)]
+    # 500-day span, target 12 → quarter
+    f = Fake(0, 500 * DAY, 50)
+    assert auto_date_histogram(f, "q", "ts", 12)["interval"] == "quarter"
+    # no matches → empty, yearly
+    f = Fake(0, 0, 0)
+    out = auto_date_histogram(f, "q", "ts")
+    assert out == {"interval": "year", "buckets": []}

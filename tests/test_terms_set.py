@@ -143,6 +143,26 @@ def test_multi_terms_agg(ts_index, ray_session):
         teng.shutdown()
 
 
+def test_adjacency_matrix(ts_index, ray_session):
+    info, glb = ts_index
+    eng = QueryEngine(info.index_dir, num_actors=2)
+    teng = TermPartitionedEngine(glb, num_actors=2)
+    try:
+        filters = {"ab": "alpha", "bg": "beta gamma", "none": "zzznope"}
+        got = eng.adjacency_matrix(filters)
+        want = [
+            {"key": "ab", "doc_count": 5},          # 0,1,2,4,6
+            {"key": "ab&bg", "doc_count": 4},       # 0,1,4,6
+            {"key": "bg", "doc_count": 6},          # 0,1,3,4,6,7
+        ]
+        assert got == want  # zero buckets (none, none&*) omitted
+        assert teng.adjacency_matrix(filters) == want
+        assert [r["key"] for r in got] == sorted(r["key"] for r in got)
+    finally:
+        eng.shutdown()
+        teng.shutdown()
+
+
 def test_pinned_search(ts_index, ray_session):
     info, glb = ts_index
     eng = QueryEngine(info.index_dir, num_actors=2)
