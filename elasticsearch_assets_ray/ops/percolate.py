@@ -46,51 +46,77 @@ from ..search.sqs import eval_tree, rewrite_fuzzy
 _POS_BITS = 21
 
 
-def required_terms(node) -> frozenset | None:
+def required_atoms(node) -> frozenset | None:
     """Exact pruning extraction (the ES percolator's query-index idea,
-    `extractQueryTerms`): a frozenset S such that any matching doc MUST
-    contain ≥1 term of S, or None when no finite exact set exists
-    (metadata / negation / dictionary-walk leaves can match term-free).
+    `extractQueryTerms` + its prefix handling): a frozenset of
+    requirement ATOMS — ``("term", t)`` (doc must contain t) or
+    ``("prefix", p)`` (doc must contain a term starting with p) — such
+    that any matching doc MUST satisfy ≥1 atom; or None when no finite
+    exact set exists (metadata / negation / unanchored-wildcard / fuzzy
+    leaves can match without any anchorable term).
 
-    For conjunctions the SMALLEST child set is kept (the tightest
-    necessary condition); for disjunctions sets union, and one
-    un-extractable child poisons the whole disjunction.  A phrase needs
-    every token, so its longest (likeliest-rarest) token is a valid
-    single-term requirement.  Exactness invariant: pruning with these
-    sets can never drop a true match."""
+    For conjunctions the TIGHTEST child set is kept (fewest atoms,
+    term atoms over prefix atoms on ties); for disjunctions sets union,
+    and one un-extractable child poisons the whole disjunction.  A
+    phrase needs every token, so its longest (likeliest-rarest) token
+    is a valid single-atom requirement; a wildcard with a literal
+    prefix anchors on it.  Exactness invariant: pruning with these
+    atoms can never drop a true match."""
     kind = node[0]
     if kind == "term":
-        return frozenset((node[1],))
+        return frozenset((("term", node[1]),))
     if kind == "phrase":
-        return frozenset((max(node[1], key=len),))
+        return frozenset((("term", max(node[1], key=len)),))
+    if kind == "prefix":
+        return frozenset((("prefix", node[1]),)) if node[1] else None
+    if kind == "wildcard":
+        wi = min(
+            (node[1].index(c) for c in "*?" if c in node[1]),
+            default=len(node[1]),
+        )
+        lit = node[1][:wi]
+        return frozenset((("prefix", lit),)) if lit else None
     if kind in ("and", "filter"):
-        a, b = required_terms(node[1]), required_terms(node[2])
+        a, b = required_atoms(node[1]), required_atoms(node[2])
         if a is None:
             return b
         if b is None:
             return a
-        return a if len(a) <= len(b) else b
+
+        def cost(s):
+            return (len(s), sum(1 for k, _ in s if k == "prefix"))
+
+        return a if cost(a) <= cost(b) else b
     if kind in ("andnot", "boosting"):
         # the negative side never adds matchable docs
-        return required_terms(node[1])
+        return required_atoms(node[1])
     if kind == "or":
-        a, b = required_terms(node[1]), required_terms(node[2])
+        a, b = required_atoms(node[1]), required_atoms(node[2])
         if a is None or b is None:
             return None
         return a | b
     if kind == "dismax":  # matches iff ANY child matches
         out: frozenset = frozenset()
         for c in node[2]:
-            r = required_terms(c)
+            r = required_atoms(c)
             if r is None:
                 return None
             out |= r
         return out
     if kind in ("constscore", "boost"):
-        return required_terms(node[1])
-    # prefix / wildcard / fuzzy / fuzzyexp / metaterm / metarange /
-    # metaexists — no finite exact term requirement
+        return required_atoms(node[1])
+    # fuzzy / fuzzyexp / metaterm / metarange / metaexists — no exact
+    # anchorable requirement
     return None
+
+
+def required_terms(node) -> frozenset | None:
+    """Term-only view of :func:`required_atoms` (None when the
+    requirement needs prefix atoms or doesn't exist)."""
+    atoms = required_atoms(node)
+    if atoms is None or any(k != "term" for k, _ in atoms):
+        return None
+    return frozenset(t for _, t in atoms)
 
 
 class Percolator:
@@ -129,21 +155,26 @@ class Percolator:
             )
             for name, q in queries.items()
         }
-        # standing-query term index: term → queries requiring it, plus
-        # the always-candidates (no extractable requirement)
+        # standing-query index: term atom → queries, prefix atom →
+        # queries, plus the always-candidates (no extractable
+        # requirement)
         self.prune = prune
         self._term_to_q: dict[str, list[str]] = {}
+        self._prefix_to_q: dict[str, list[str]] = {}
         self._always: list[str] = []
         for name in sorted(self.trees):
             tree = self.trees[name]
             if tree is None:
                 continue
-            req = required_terms(tree)
+            req = required_atoms(tree)
             if req is None:
                 self._always.append(name)
-            else:
-                for t in sorted(req):
-                    self._term_to_q.setdefault(t, []).append(name)
+                continue
+            for kind, v in sorted(req):
+                if kind == "term":
+                    self._term_to_q.setdefault(v, []).append(name)
+                else:
+                    self._prefix_to_q.setdefault(v, []).append(name)
         self._ident_cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -267,6 +298,14 @@ class Percolator:
                 for t in tidx:
                     qs = idx.get(t)
                     if qs:
+                        cand.update(qs)
+            if self._prefix_to_q:
+                import bisect
+
+                vocab = sorted(terms)
+                for p, qs in self._prefix_to_q.items():
+                    i = bisect.bisect_left(vocab, p)
+                    if i < len(vocab) and vocab[i].startswith(p):
                         cand.update(qs)
             names = sorted(cand)
         else:

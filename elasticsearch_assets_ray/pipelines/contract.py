@@ -692,6 +692,110 @@ QUALIFY rank <= {TOPK}
 """
 
 
+SAMPLER_QUERY = "merge data"
+SAMPLER_SIZE = 50
+SAMPLER_DEDUP_MAX = 2
+
+
+def _q_sampler(engine, idx: str, dedup: bool) -> pa.Table:
+    from ..search.sampler import sampler_agg
+
+    rows = sampler_agg(
+        engine, SAMPLER_QUERY, "lang", idx, sample_size=SAMPLER_SIZE,
+        dedup_on="source" if dedup else None,
+        max_docs_per_value=SAMPLER_DEDUP_MAX,
+    )
+    return pa.table({
+        "key": pa.array([r["key"] for r in rows], pa.string()),
+        "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+    })
+
+
+def q_sampler_agg(sf_dir: str) -> pa.Table:
+    """ES ``sampler`` aggregation: a terms sub-agg restricted to the
+    best-scoring ``sample_size`` matches (exact over the full ranked
+    list — the ES per-shard shard_size approximation disclosed in
+    search/sampler.py)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_sampler(engine, idx, dedup=False)
+    finally:
+        engine.shutdown()
+
+
+def q_diversified_sampler(sf_dir: str) -> pa.Table:
+    """ES ``diversified_sampler``: rank-order walk skipping docs whose
+    dedup field already contributed max_docs_per_value, until the
+    sample fills."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_sampler(engine, idx, dedup=True)
+    finally:
+        engine.shutdown()
+
+
+def q_diversified_sampler_global(sf_dir: str) -> pa.Table:
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_sampler(eng, idx, dedup=True)
+    finally:
+        eng.shutdown()
+
+
+def _sql_sampler(dedup: bool) -> str:
+    terms = ", ".join(f"('{t}')" for t in _simple_tokens(SAMPLER_QUERY))
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    if dedup:
+        sample = f"""
+surv AS (
+  SELECT s.doc_id, s.rank,
+         row_number() OVER (PARTITION BY d.source ORDER BY s.rank) AS occ
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+sample AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY rank) AS srank
+    FROM surv WHERE occ <= {SAMPLER_DEDUP_MAX})
+  WHERE srank <= {SAMPLER_SIZE})"""
+    else:
+        sample = f"""
+sample AS (SELECT doc_id FROM scored WHERE rank <= {SAMPLER_SIZE})"""
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+q(t) AS (VALUES {terms}),
+scored AS (
+  SELECT tf.doc_id,
+         row_number() OVER (
+           ORDER BY round(sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))), 4)
+           DESC, tf.doc_id) AS rank
+  FROM q
+  JOIN tf ON tf.t = q.t
+  JOIN df ON df.t = q.t
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  GROUP BY tf.doc_id, s.n, s.avgdl),
+{sample}
+SELECT d.lang AS key, count(*)::BIGINT AS doc_count
+FROM sample JOIN documents d ON d.doc_id = sample.doc_id
+GROUP BY d.lang
+"""
+
+
 AUTO_DH_QUERY = "merge data"
 AUTO_DH_TARGET = 12
 
@@ -7789,6 +7893,9 @@ def queries():
         "adjacency_matrix_global": q_adjacency_matrix_global,
         "auto_date_histogram": q_auto_date_histogram,
         "auto_date_histogram_global": q_auto_date_histogram_global,
+        "sampler_agg": q_sampler_agg,
+        "diversified_sampler": q_diversified_sampler,
+        "diversified_sampler_global": q_diversified_sampler_global,
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
@@ -7947,6 +8054,9 @@ def oracle_sql():
         "adjacency_matrix_global": sql_adjacency_matrix(),
         "auto_date_histogram": sql_auto_date_histogram(),
         "auto_date_histogram_global": sql_auto_date_histogram(),
+        "sampler_agg": _sql_sampler(dedup=False),
+        "diversified_sampler": _sql_sampler(dedup=True),
+        "diversified_sampler_global": _sql_sampler(dedup=True),
         "text_stats": sql_text_stats(),
         "repetition_stats": sql_repetition_stats(),
         "gopher_filter": sql_gopher_filter(),

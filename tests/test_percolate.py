@@ -107,21 +107,38 @@ def test_required_terms_extraction():
     assert req('"big cat"') == {"big"}  # longest phrase token
     assert req("dog AND cat NOT bird") in ({"dog"}, {"cat"})
     assert req("zebra OR yak") == {"zebra", "yak"}
-    assert req("ca*") is None  # dictionary walk
+    assert req("ca*") is None  # prefix atom — not a term requirement
     assert req("caat~1") is None
     assert req("lang:fr") is None  # pure metadata
     assert req("lang:de AND dog") == {"dog"}  # conjunction keeps exact side
     assert req("nosuch:x cat") is None  # OR poisoned by meta side
     assert req("+dog cat") in ({"dog"}, {"cat"}, {"dog", "cat"})
 
+    from elasticsearch_assets_ray.ops.percolate import required_atoms
+    from elasticsearch_assets_ray.search.qs import parse_query_string
+
+    def atoms(q):
+        return required_atoms(
+            parse_query_string(q, an, "or", default_field="text")
+        )
+
+    assert atoms("ca*") == {("prefix", "ca")}
+    assert atoms("d?g") == {("prefix", "d")}
+    assert atoms("*og") is None  # no literal anchor
+    assert atoms("dog OR ca*") == {("term", "dog"), ("prefix", "ca")}
+    # conjunction prefers the term atom over the prefix atom
+    assert atoms("ca* AND dog") == {("term", "dog")}
+
 
 def test_prune_index_and_parity():
     pruned = Percolator(QUERIES)
     full = Percolator(QUERIES, prune=False)
-    # always-candidates = the queries with no exact term requirement
-    assert set(pruned._always) == {"pref", "wild", "fuzz", "metaonly",
-                                   "mixedor"}
+    # always-candidates = the queries with no anchorable requirement;
+    # pref/wild anchor on their literal prefixes now
+    assert set(pruned._always) == {"fuzz", "metaonly", "mixedor"}
     assert "dog" in pruned._term_to_q and "bird" in pruned._term_to_q
+    assert pruned._prefix_to_q.get("ca") == ["pref"]
+    assert pruned._prefix_to_q.get("d") == ["wild"]
     batches = [
         _batch(["big cat sat", "dog and cat", "dog bird cat", "a dog"],
                langs=["en", "de", "de", None]),

@@ -188,3 +188,57 @@ def test_pinned_search(ts_index, ray_session):
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+def test_sampler_and_diversified(ts_index, ray_session):
+    from elasticsearch_assets_ray.search.sampler import (
+        _occurrence_index,
+        sampler_agg,
+    )
+
+    np.testing.assert_array_equal(
+        _occurrence_index(np.array(["a", "b", "a", "a", "b"])),
+        [0, 0, 1, 2, 1],
+    )
+    info, glb = ts_index
+    eng = QueryEngine(info.index_dir, num_actors=2)
+    teng = TermPartitionedEngine(glb, num_actors=2)
+    try:
+        # plain sampler: top-3 ranked docs for "alpha beta", grouped by grp
+        full = [d for d, _ in eng.search("alpha beta", k=100)]
+        got = sampler_agg(eng, "alpha beta", "grp", info.index_dir,
+                          sample_size=3)
+        sample = full[:3]
+        want_counts: dict = {}
+        for d in sample:
+            g = GRP[d]
+            if g is not None:
+                want_counts[g] = want_counts.get(g, 0) + 1
+        assert {r["key"]: r["doc_count"] for r in got} == want_counts
+        # diversified on grp, max 1 per value: walk ranks keeping first
+        # of each grp; grp=None docs are skipped
+        got2 = sampler_agg(eng, "alpha beta", "grp", info.index_dir,
+                           sample_size=5, dedup_on="grp",
+                           max_docs_per_value=1)
+        seen, kept = set(), []
+        for d in full:
+            g = GRP[d]
+            if g is None or g in seen:
+                continue
+            seen.add(g)
+            kept.append(d)
+        want2: dict = {}
+        for d in kept[:5]:
+            want2[GRP[d]] = want2.get(GRP[d], 0) + 1
+        assert {r["key"]: r["doc_count"] for r in got2} == want2
+        # parity on the term engine (source_index docmeta)
+        from elasticsearch_assets_ray.search.term_engine import _load_meta
+
+        src = _load_meta(glb)["source_index"]
+        assert sampler_agg(teng, "alpha beta", "grp", src,
+                           sample_size=3) == got
+        assert sampler_agg(teng, "alpha beta", "grp", src, sample_size=5,
+                           dedup_on="grp", max_docs_per_value=1) == got2
+    finally:
+        eng.shutdown()
+        teng.shutdown()
