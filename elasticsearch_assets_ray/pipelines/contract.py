@@ -7767,6 +7767,167 @@ def q_date_slices(sf_dir: str) -> pa.Table:
     )
 
 
+# ES span-query contract set (span_term / span_or / span_near /
+# span_first / span_not / span_multi) — the Lucene positional algebra
+# the reference passes through to ES untranslated.  Exact semantics in
+# ``search/spans.py``: tf = distinct top-level match starts, idf = Σ
+# leaf-term idfs (excludes don't score), mirrored by the EXISTS-chain
+# oracle below.
+SPAN_QUERIES: list[tuple[int, dict]] = [
+    # ordered near with an or-group slot and a gap budget
+    (0, {"span_near": {"clauses": [
+        {"span_term": "hash"},
+        {"span_or": [{"span_term": "join"}, {"span_term": "merge"}]},
+        {"span_term": "table"},
+    ], "slop": 4, "in_order": True}}),
+    # span_not with pre/post over a nested ordered near
+    (1, {"span_not": {
+        "include": {"span_near": {"clauses": [{"span_term": "sort"},
+                                              {"span_term": "table"}],
+                                  "slop": 3, "in_order": True}},
+        "exclude": {"span_term": "slow"}, "pre": 1, "post": 2}}),
+    # span_first over an ordered near
+    (2, {"span_first": {
+        "match": {"span_near": {"clauses": [{"span_term": "spark"},
+                                            {"span_term": "query"}],
+                                "slop": 2, "in_order": True}},
+        "end": 8}}),
+    # unordered near with a span_multi prefix expansion
+    (3, {"span_near": {"clauses": [
+        {"span_multi": {"prefix": "sc", "max_expansions": 20}},
+        {"span_term": "join"},
+    ], "slop": 3, "in_order": False}}),
+]
+
+
+def q_span_search(sf_dir: str) -> pa.Table:
+    """Lucene span queries on the doc-partitioned engine (ES span_term /
+    span_or / span_near / span_first / span_not / span_multi — the
+    reference ships span bodies to ES verbatim through its lucene query
+    passthrough, ``/root/reference/asset/elasticsearch_reader/
+    reader.js:7-14``).  Candidate docs gate on the tree's
+    requirement-set conjunction before any position stream decodes;
+    scoring is BM25 with tf = distinct match starts (``search/spans.py``
+    documents the Lucene sloppyFreq divergence)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_spans(tree, k=K_FETCH)
+            for qid, tree in SPAN_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def q_span_search_global(sf_dir: str) -> pa.Table:
+    """The SAME span queries served from the TERM-partitioned layout
+    (requirement-gated positional fetch, shared kernel) — must agree
+    with the doc engine AND the SQL oracle."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        per_q = {
+            qid: eng.search_spans(tree, k=K_FETCH)
+            for qid, tree in SPAN_QUERIES
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_span_search() -> str:
+    """EXISTS-chain restatement of the four span contract queries: pf =
+    count(DISTINCT start) with a valid completion, idf = Σ leaf idfs
+    (q3's span_multi expansion = the first 20 ``sc%`` dictionary terms,
+    mirrored by an ordered LIMIT subquery)."""
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    # static idf constituents (all present in the corpus vocabulary)
+    idf_rows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in [
+            (0, ["hash", "join", "merge", "table"]),
+            (1, ["sort", "table"]),       # exclude 'slow' doesn't score
+            (2, ["spark", "query"]),
+            (3, ["join"]),                # + dynamic sc% expansion
+        ] for t in terms
+    )
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT t, count(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY t),
+sc_terms AS (SELECT t FROM df WHERE t LIKE 'sc%' ORDER BY t LIMIT 20),
+qt(query_id, t) AS (VALUES {idf_rows}),
+qt_all AS (SELECT * FROM qt
+           UNION ALL SELECT 3 AS query_id, t FROM sc_terms),
+idfs AS (SELECT qt_all.query_id,
+                sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+         FROM qt_all JOIN df ON df.t = qt_all.t, s GROUP BY 1),
+pf AS (
+  -- q0: hash (join|merge) table, ordered, total gap <= 4
+  SELECT 0 AS query_id, p0.doc_id, count(DISTINCT p0.pos)::DOUBLE AS pf
+  FROM toksp p0
+  WHERE p0.t = 'hash' AND EXISTS (
+    SELECT 1 FROM toksp p1 JOIN toksp p2 ON p2.doc_id = p1.doc_id
+    WHERE p1.doc_id = p0.doc_id AND p1.t IN ('join', 'merge')
+      AND p2.t = 'table' AND p1.pos > p0.pos AND p2.pos > p1.pos
+      AND p2.pos - p0.pos - 2 <= 4)
+  GROUP BY 2
+  UNION ALL
+  -- q1: (sort..table, gap<=3) NOT overlapping 'slow' widened pre=1 post=2
+  SELECT 1, p0.doc_id, count(DISTINCT p0.pos)::DOUBLE
+  FROM toksp p0
+  WHERE p0.t = 'sort' AND EXISTS (
+    SELECT 1 FROM toksp p1
+    WHERE p1.doc_id = p0.doc_id AND p1.t = 'table'
+      AND p1.pos > p0.pos AND p1.pos - p0.pos - 1 <= 3
+      AND NOT EXISTS (
+        SELECT 1 FROM toksp x
+        WHERE x.doc_id = p0.doc_id AND x.t = 'slow'
+          AND x.pos < p1.pos + 1 + 2 AND x.pos + 1 > p0.pos - 1))
+  GROUP BY 2
+  UNION ALL
+  -- q2: (spark..query, gap<=2) with end <= 8
+  SELECT 2, p0.doc_id, count(DISTINCT p0.pos)::DOUBLE
+  FROM toksp p0
+  WHERE p0.t = 'spark' AND EXISTS (
+    SELECT 1 FROM toksp p1
+    WHERE p1.doc_id = p0.doc_id AND p1.t = 'query'
+      AND p1.pos > p0.pos AND p1.pos - p0.pos - 1 <= 2
+      AND p1.pos + 1 <= 8)
+  GROUP BY 2
+  UNION ALL
+  -- q3: unordered (sc% expansion, join), window - 2 <= 3
+  SELECT 3, doc_id, count(DISTINCT st)::DOUBLE FROM (
+    SELECT pa.doc_id, least(pa.pos, pb.pos) AS st
+    FROM toksp pa JOIN toksp pb ON pb.doc_id = pa.doc_id
+    WHERE pa.t IN (SELECT t FROM sc_terms) AND pb.t = 'join'
+      AND abs(pa.pos - pb.pos) <= 4)
+  GROUP BY 2
+),
+scored AS (
+  SELECT pf.query_id, pf.doc_id,
+         idfs.idf_sum * pf.pf * ({K1} + 1)
+           / (pf.pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+  FROM pf
+  JOIN idfs ON idfs.query_id = pf.query_id
+  JOIN dl ON dl.doc_id = pf.doc_id, s
+)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
 # ----------------------------------------------------------- the surface
 
 
@@ -7813,6 +7974,8 @@ def queries():
         "percolate": q_percolate,
         "multi_index_search": q_multi_index,
         "json_field_stats": q_json_field_stats,
+        "span_search": q_span_search,
+        "span_search_global": q_span_search_global,
         "collapse_search": q_collapse_search,
         "collapse_search_global": q_collapse_search_global,
         "suggest_term": q_suggest_term,
@@ -7974,6 +8137,8 @@ def oracle_sql():
         "percolate": sql_percolate(),
         "multi_index_search": sql_bm25_topk(),
         "json_field_stats": sql_json_field_stats(),
+        "span_search": sql_span_search(),
+        "span_search_global": sql_span_search(),
         "collapse_search": sql_collapse_search(),
         "collapse_search_global": sql_collapse_search(),
         "suggest_term": sql_suggest_term(),

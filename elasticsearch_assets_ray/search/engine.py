@@ -2131,6 +2131,79 @@ class ShardData:
         cand2, cs = _select_topk(hd, dense, k, params)
         return (cand2 + self.doc_base).astype(np.int64), cs
 
+    def span_topk(
+        self,
+        tree: dict,
+        idf_sum: float,
+        params: BM25Params,
+        avgdl: float,
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene span-query top-k over the positional sidecar (ES
+        ``span_term`` / ``span_or`` / ``span_near`` / ``span_first`` /
+        ``span_not``; ``span_multi`` must be rewritten to ``span_or`` by
+        the coordinator).  Candidate docs = the tree's requirement-set
+        conjunction (postings only — the phrase gate generalized to
+        or-groups), so position streams expand ONLY for candidates; the
+        engine-agnostic kernel (``search.spans``) then computes tf =
+        distinct top-level match starts and BM25 scores it with the
+        caller's constituent idf sum (see spans.py for the exact
+        semantics and the documented Lucene sloppyFreq divergence)."""
+        if self.posblobs is None:
+            raise RuntimeError(
+                "index was built without store_positions=True — span "
+                "queries need the positional sidecar"
+            )
+        from .spans import all_terms, requirement_sets, span_freqs
+        from .term_engine import subset_positions
+
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        reqs = requirement_sets(tree)
+        present = {t for t in all_terms(tree) if t in self.terms}
+        decoded = {t: self._decoded_positions(t) for t in sorted(present)}
+        cand = None
+        for rs in reqs:
+            avail = sorted(t for t in rs if t in present)
+            if not avail:
+                return empty
+            if len(avail) == 1:
+                docs = decoded[avail[0]][0]
+            else:
+                docs = np.unique(
+                    np.concatenate([decoded[t][0] for t in avail])
+                )
+            if cand is None:
+                cand = docs
+            else:
+                cand = cand[np.isin(cand, docs, assume_unique=True)]
+            if len(cand) == 0:
+                return empty
+        streams: dict[str, tuple] = {}
+        for t in sorted(present):
+            idx, pos, tfcum = decoded[t]
+            tf = np.diff(tfcum)
+            idx_s, tf_s, pos_s = subset_positions(idx, tf, pos, cand)
+            streams[t] = (
+                np.repeat(idx_s, tf_s).astype(np.int64),
+                pos_s.astype(np.int64),
+            )
+        hd, pf = span_freqs(tree, streams)
+        if len(hd) == 0:
+            return empty
+        live = ~self.deleted_mask[hd]
+        hd, pf = hd[live], pf[live]
+        if len(hd) == 0:
+            return empty
+        k1, b = params.k1, params.b
+        dl = self.dl[hd]
+        scores_local = idf_sum * pf * (k1 + 1.0) / (
+            pf + k1 * (1.0 - b + b * dl / avgdl)
+        )
+        dense = np.zeros(self.num_docs, dtype=np.float64)
+        dense[hd] = scores_local
+        cand2, cs = _select_topk(hd, dense, k, params)
+        return (cand2 + self.doc_base).astype(np.int64), cs
+
     def wand_topk(
         self,
         terms: list[str],
@@ -2423,6 +2496,21 @@ class _ScorerCore:
             parts = [
                 s.phrase_topk(phrase, idf_sum, self.params, self.avgdl, k,
                               slop, slop_mode)
+                for s in self.shards
+            ]
+            ids, sc = merge_topk(parts, k, self.params.round_decimals)
+            out.append((qid, ids, sc))
+        return out
+
+    def span_topk(
+        self, queries: list[tuple]
+    ) -> list[tuple[int, np.ndarray, np.ndarray]]:
+        """queries: [(qid, span tree, idf_sum, k)] — ``span_multi``
+        already rewritten by the coordinator."""
+        out = []
+        for qid, tree, idf_sum, k in queries:
+            parts = [
+                s.span_topk(tree, idf_sum, self.params, self.avgdl, k)
                 for s in self.shards
             ]
             ids, sc = merge_topk(parts, k, self.params.round_decimals)
@@ -2944,6 +3032,30 @@ class QueryEngine:
         idf_sum = float(sum(idf[t] for t in terms))
         per_actor = ray.get(
             [a.phrase_topk.remote([(0, terms, idf_sum, k, slop, slop_mode)])
+             for a in self.actors]
+        )
+        parts = [(res[0][1], res[0][2]) for res in per_actor]
+        ids, sc = merge_topk(parts, k, self.params.round_decimals)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def search_spans(self, tree: dict, k: int = 10) -> list[tuple[int, float]]:
+        """Lucene span queries (ES ``span_term`` / ``span_or`` /
+        ``span_near`` / ``span_first`` / ``span_not`` / ``span_multi``)
+        — see ``search.spans`` for the tree shape and exact semantics.
+        ``span_multi`` prefixes expand GLOBALLY (deterministic across
+        shard layouts) before the fan-out; idf = Σ over every leaf term
+        occurrence (or-group members each contribute); score = BM25 with
+        tf = distinct top-level match starts."""
+        from .spans import leaf_terms, rewrite_multi
+
+        tree = rewrite_multi(tree, self.expand_prefix)
+        leaves = leaf_terms(tree)
+        if not leaves:
+            return []
+        idf = self.idfs(sorted(set(leaves)))
+        idf_sum = float(sum(idf[t] for t in leaves))
+        per_actor = ray.get(
+            [a.span_topk.remote([(0, tree, idf_sum, k)])
              for a in self.actors]
         )
         parts = [(res[0][1], res[0][2]) for res in per_actor]

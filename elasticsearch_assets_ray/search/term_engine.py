@@ -2903,6 +2903,77 @@ class TermPartitionedEngine:
         return self._phrase_score_tail(hd, pf_c.astype(np.float64), idf_sum, k,
                                        dl_term=dl_term)
 
+    def search_spans(self, tree: dict, k: int = 10) -> list[tuple[int, float]]:
+        """Lucene span queries over the TERM-partitioned layout — same
+        tree shape, kernel and scoring as ``QueryEngine.search_spans``
+        (``search.spans``; parity is structural).  The tree's
+        requirement-set conjunction gates the positional fetch exactly
+        like the phrase path (``_fetch_phrase_postings`` with an explicit
+        candidate set — or-group requirements make plain per-term
+        conjunction wrong, the match_phrase_prefix precedent), so only
+        candidate docs' position segments cross the wire; doc lengths
+        hydrate from a singleton-requirement term's retained dl column
+        when one exists, else from source docmeta point reads."""
+        from .spans import (
+            all_terms, leaf_terms, requirement_sets, rewrite_multi,
+            span_freqs,
+        )
+
+        tree = rewrite_multi(tree, self.expand_prefix)
+        leaves = leaf_terms(tree)
+        if not leaves:
+            return []
+        reqs = requirement_sets(tree)
+        terms = sorted(all_terms(tree))
+        base = self.fetch_terms(terms, positions=False)
+        present = sorted(t for t in terms if t in base)
+        cand: np.ndarray | None = None
+        for rs in reqs:
+            avail = sorted(t for t in rs if t in base)
+            if not avail:
+                return []
+            if len(avail) == 1:
+                docs = base[avail[0]][0]
+            else:
+                docs = np.unique(
+                    np.concatenate([base[t][0] for t in avail])
+                )
+            if cand is None:
+                cand = docs
+            else:
+                cand = cand[np.isin(cand, docs, assume_unique=True)]
+            if len(cand) == 0:
+                return []
+        got = self._fetch_phrase_postings(present, cand=cand)
+        if got is None:
+            return []
+        fetched, cand = got
+        if len(cand) == 0:
+            return []
+        streams: dict[str, tuple] = {}
+        for t in present:
+            ids, _n, _d, _bl, _bm, tfs, pos = fetched[t]
+            ids_s, tfs_s, pos_s = subset_positions(ids, tfs, pos, cand)
+            streams[t] = (
+                np.repeat(ids_s, tfs_s).astype(np.int64),
+                pos_s.astype(np.int64),
+            )
+        hd, pf = span_freqs(tree, streams)
+        if len(hd) == 0:
+            return []
+        idf_sum = 0.0
+        for t in leaves:  # WITH repeats — the constituent idf sum
+            df = int(base[t][2]) if t in base else 0
+            idf_sum += math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+        # dl hydration: a singleton requirement term's postings contain
+        # every matched doc; pick the rarest such term, else docmeta
+        singles = [next(iter(rs)) for rs in reqs
+                   if len(rs) == 1 and next(iter(rs)) in base]
+        dl_term = (
+            min(singles, key=lambda t: int(base[t][2])) if singles else None
+        )
+        return self._phrase_score_tail(hd, pf, idf_sum, k, dl_term=dl_term)
+
     def search_phrase_prefix(
         self, phrase: str | list[str], k: int = 10,
         max_expansions: int = 50,

@@ -1,0 +1,395 @@
+"""Lucene span queries (span_term / span_or / span_near / span_first /
+span_not / span_multi) — kernel unit tests, brute-force parity on the
+doc-partitioned engine, and doc↔term engine agreement.
+
+The reference passes span queries through to Elasticsearch untranslated
+(lucene passthrough); ``search/spans.py`` documents the exact semantics
+this repo serves (tf = distinct top-level match starts; unordered-near
+output spans are minimal-per-start).  The naive evaluator here is an
+INDEPENDENT formulation (tuple enumeration, no DP, no sweep).
+"""
+
+import pathlib
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_assets_ray.analysis.tokenizer import clip_tokens, code_tokens
+from elasticsearch_assets_ray.config import BM25Params, IndexConfig
+from elasticsearch_assets_ray.index.build import build_index
+from elasticsearch_assets_ray.search.engine import QueryEngine
+from elasticsearch_assets_ray.search import spans as sp
+
+
+# ---------------------------------------------------------------- kernel
+
+
+def _streams(doc_pos: dict[str, dict[int, list[int]]]):
+    """term -> {doc: positions} into kernel streams."""
+    out = {}
+    for t, per_doc in doc_pos.items():
+        docs, pos = [], []
+        for d in sorted(per_doc):
+            for p in sorted(per_doc[d]):
+                docs.append(d)
+                pos.append(p)
+        out[t] = (np.array(docs, np.int64), np.array(pos, np.int64))
+    return out
+
+
+def test_kernel_term_or_first():
+    st = _streams({
+        "a": {0: [1, 5], 2: [0]},
+        "b": {0: [3], 1: [7]},
+    })
+    d, s, e = sp.eval_spans({"span_term": "a"}, st)
+    assert d.tolist() == [0, 0, 2] and s.tolist() == [1, 5, 0]
+    assert (e - s == 1).all()
+    d, s, e = sp.eval_spans(
+        {"span_or": [{"span_term": "a"}, {"span_term": "b"}]}, st
+    )
+    assert list(zip(d.tolist(), s.tolist())) == [
+        (0, 1), (0, 3), (0, 5), (1, 7), (2, 0)
+    ]
+    d, s, e = sp.eval_spans(
+        {"span_first": {"match": {"span_term": "a"}, "end": 2}}, st
+    )
+    assert list(zip(d.tolist(), s.tolist())) == [(0, 1), (2, 0)]
+
+
+def test_kernel_near_ordered_gap_budget():
+    st = _streams({"a": {0: [0, 10]}, "b": {0: [2, 11]}, "c": {0: [4, 12]}})
+    tree = {"span_near": {"clauses": [
+        {"span_term": "a"}, {"span_term": "b"}, {"span_term": "c"}],
+        "slop": 2, "in_order": True}}
+    d, s, e = sp.eval_spans(tree, st)
+    # chains: 0→2→4 (gaps 1+1=2 ok), 10→11→12 (gaps 0 ok), 0→2→12 (gap
+    # 1+9 no), 0→11→12 (10+0 no) ...
+    assert list(zip(s.tolist(), e.tolist())) == [(0, 5), (10, 13)]
+    tree["span_near"]["slop"] = 1
+    d, s, e = sp.eval_spans(tree, st)
+    assert list(zip(s.tolist(), e.tolist())) == [(10, 13)]
+
+
+def test_kernel_near_ordered_requires_non_overlap():
+    # b at the same position as a: ordered near needs end_i <= start_{i+1}
+    st = _streams({"a": {0: [4]}, "b": {0: [4]}})
+    tree = {"span_near": {"clauses": [{"span_term": "a"}, {"span_term": "b"}],
+                          "slop": 10, "in_order": True}}
+    d, _s, _e = sp.eval_spans(tree, st)
+    assert len(d) == 0
+
+
+def test_kernel_near_unordered_window():
+    st = _streams({"a": {0: [5]}, "b": {0: [2, 9]}})
+    tree = {"span_near": {"clauses": [{"span_term": "a"}, {"span_term": "b"}],
+                          "slop": 2, "in_order": False}}
+    d, s, e = sp.eval_spans(tree, st)
+    # windows: start 2 → minimal [2,5] width 4 - 2 = 2 ok; start 5 →
+    # minimal [5,9] width 5 - 2 = 3 > 2 no; start 9 → nothing after
+    assert list(zip(s.tolist(), e.tolist())) == [(2, 6)]
+    tree["span_near"]["slop"] = 3
+    d, s, e = sp.eval_spans(tree, st)
+    assert list(zip(s.tolist(), e.tolist())) == [(2, 6), (5, 10)]
+
+
+def test_kernel_near_unordered_rejects_non_unit():
+    st = _streams({"a": {0: [0]}, "b": {0: [1]}, "c": {0: [3]}})
+    inner = {"span_near": {"clauses": [{"span_term": "a"}, {"span_term": "b"}],
+                           "slop": 0, "in_order": True}}
+    tree = {"span_near": {"clauses": [inner, {"span_term": "c"}],
+                          "slop": 5, "in_order": False}}
+    with pytest.raises(ValueError, match="unit-length"):
+        sp.eval_spans(tree, st)
+
+
+def test_kernel_not_pre_post():
+    st = _streams({"a": {0: [2, 8]}, "x": {0: [4]}})
+    base = {"span_not": {"include": {"span_term": "a"},
+                         "exclude": {"span_term": "x"}, "pre": 0, "post": 0}}
+    d, s, _ = sp.eval_spans(base, st)
+    assert s.tolist() == [2, 8]  # x at 4 overlaps neither unit span
+    wide = {"span_not": {"include": {"span_term": "a"},
+                         "exclude": {"span_term": "x"}, "pre": 0, "post": 2}}
+    # post=2: exclude kills include when excl.start < incl.end + 2 →
+    # a@2 (end 3): 4 < 5 and 5 > 2 → killed; a@8: 4 < 11? yes, but
+    # excl.end 5 > 8 - 0? no → survives
+    d, s, _ = sp.eval_spans(wide, st)
+    assert s.tolist() == [8]
+    pre = {"span_not": {"include": {"span_term": "a"},
+                        "exclude": {"span_term": "x"}, "pre": 5, "post": 0}}
+    # pre=5: a@8: excl.end 5 > 8-5=3 and excl.start 4 < 9 → killed
+    d, s, _ = sp.eval_spans(pre, st)
+    assert s.tolist() == [2]
+
+
+def test_kernel_requirements_and_leaves():
+    tree = {"span_near": {"clauses": [
+        {"span_term": "a"},
+        {"span_or": [{"span_term": "b"}, {"span_term": "c"}]},
+        {"span_not": {"include": {"span_term": "d"},
+                      "exclude": {"span_term": "x"}, "pre": 0, "post": 0}},
+    ], "slop": 1, "in_order": True}}
+    assert sp.leaf_terms(tree) == ["a", "b", "c", "d"]
+    assert sp.all_terms(tree) == {"a", "b", "c", "d", "x"}
+    assert sp.requirement_sets(tree) == [
+        frozenset({"a"}), frozenset({"b", "c"}), frozenset({"d"})
+    ]
+
+
+def test_rewrite_multi():
+    tree = {"span_near": {"clauses": [
+        {"span_multi": {"prefix": "im", "max_expansions": 3}},
+        {"span_term": "z"},
+    ], "slop": 0, "in_order": True}}
+    got = sp.rewrite_multi(tree, lambda p, m: [p + "a", p + "b"][:m])
+    assert got["span_near"]["clauses"][0] == {
+        "span_or": [{"span_term": "ima"}, {"span_term": "imb"}]
+    }
+
+
+# ------------------------------------------------------- naive evaluator
+
+
+def _naive_spans(node, pos_of: dict[str, list[int]]):
+    """Independent per-doc reference: returns a sorted set of (start,
+    end) spans.  Tuple enumeration (exponential, test-scale only)."""
+    if "span_term" in node:
+        return sorted((p, p + 1) for p in pos_of.get(node["span_term"], []))
+    if "span_or" in node:
+        out = set()
+        for c in node["span_or"]:
+            out.update(_naive_spans(c, pos_of))
+        return sorted(out)
+    if "span_first" in node:
+        m = _naive_spans(node["span_first"]["match"], pos_of)
+        return [se for se in m if se[1] <= node["span_first"]["end"]]
+    if "span_not" in node:
+        spec = node["span_not"]
+        inc = _naive_spans(spec["include"], pos_of)
+        exc = _naive_spans(spec["exclude"], pos_of)
+        pre, post = spec.get("pre", 0), spec.get("post", 0)
+        return [
+            (s, e) for s, e in inc
+            if not any(s2 < e + post and e2 > s - pre for s2, e2 in exc)
+        ]
+    spec = node["span_near"]
+    children = [_naive_spans(c, pos_of) for c in spec["clauses"]]
+    if any(not c for c in children):
+        return []
+    slop = spec.get("slop", 0)
+    out = set()
+    if spec.get("in_order", True):
+        def rec(i, prev_end, gap, origin):
+            if i == len(children):
+                out.add((origin, prev_end))
+                return
+            for s, e in children[i]:
+                if i == 0:
+                    rec(1, e, 0, s)
+                elif s >= prev_end and gap + (s - prev_end) <= slop:
+                    rec(i + 1, e, gap + (s - prev_end), s if i == 0 else origin)
+        rec(0, 0, 0, 0)
+    else:
+        import itertools
+
+        n = len(children)
+        best: dict[int, int] = {}
+        for tup in itertools.product(*children):
+            ps = [s for s, _ in tup]
+            if len(set(ps)) != n:
+                continue
+            mn, mx = min(ps), max(ps)
+            if (mx - mn + 1) - n <= slop:
+                if mn not in best or mx + 1 < best[mn]:
+                    best[mn] = mx + 1
+        out = set(best.items())
+    return sorted(out)
+
+
+def _naive_freqs(tree, texts, m):
+    """doc -> tf (distinct top-level starts) over analyzed texts."""
+    freqs = {}
+    for d, text in enumerate(texts):
+        toks = clip_tokens(code_tokens(text), m.min_token_len,
+                           m.max_token_len)
+        pos_of: dict[str, list[int]] = {}
+        for i, t in enumerate(toks):
+            pos_of.setdefault(t, []).append(i)
+        spans_ = _naive_spans(tree, pos_of)
+        starts = {s for s, _ in spans_}
+        if starts:
+            freqs[d] = len(starts)
+    return freqs
+
+
+TREES = [
+    # 2-term exact near == phrase semantics
+    {"span_near": {"clauses": [{"span_term": "return"},
+                               {"span_term": "data"}],
+                   "slop": 0, "in_order": True}},
+    # or-group inside ordered near with budget
+    {"span_near": {"clauses": [
+        {"span_term": "def"},
+        {"span_or": [{"span_term": "merge"}, {"span_term": "data"}]},
+    ], "slop": 2, "in_order": True}},
+    # unordered near
+    {"span_near": {"clauses": [{"span_term": "merge"},
+                               {"span_term": "segment"},
+                               {"span_term": "block"}],
+                   "slop": 4, "in_order": False}},
+    # span_not with pre/post over a nested near
+    {"span_not": {
+        "include": {"span_near": {"clauses": [{"span_term": "the"},
+                                              {"span_term": "the"}],
+                                  "slop": 1, "in_order": True}},
+        "exclude": {"span_term": "def"}, "pre": 1, "post": 1}},
+    # span_first over an or
+    {"span_first": {"match": {"span_or": [{"span_term": "import"},
+                                          {"span_term": "def"}]},
+                    "end": 3}},
+    # nested ordered near (non-unit child)
+    {"span_near": {"clauses": [
+        {"span_near": {"clauses": [{"span_term": "def"},
+                                   {"span_term": "merge"}],
+                       "slop": 1, "in_order": True}},
+        {"span_term": "data"},
+    ], "slop": 5, "in_order": True}},
+    # or-group with an absent member still matches on the live one
+    {"span_near": {"clauses": [
+        {"span_or": [{"span_term": "zzqqnotaterm"}, {"span_term": "merge"}]},
+        {"span_term": "data"},
+    ], "slop": 3, "in_order": True}},
+]
+
+
+@pytest.fixture(scope="module")
+def pos_index(small_corpus, tmp_path_factory):
+    idx = tmp_path_factory.mktemp("spanidx") / "idx"
+    return build_index(
+        small_corpus, idx,
+        IndexConfig(partition_target_docs=50, shard_target_docs=100,
+                    store_positions=True),
+    )
+
+
+def _texts(small_corpus):
+    texts = []
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        texts.extend(
+            pq.read_table(f, columns=["content"]).column("content").to_pylist()
+        )
+    return texts
+
+
+def test_spans_match_brute_force_and_bm25(pos_index, small_corpus):
+    texts = _texts(small_corpus)
+    m = pos_index.manifest
+    dl = (
+        pq.read_table(pos_index.index_dir / "docmeta",
+                      columns=["doc_id", "dl"])
+        .sort_by("doc_id").column("dl").to_numpy()
+    )
+    eng = QueryEngine(pos_index.index_dir, num_actors=2)
+    params = BM25Params()
+    try:
+        for tree in TREES:
+            oracle = _naive_freqs(tree, texts, m)
+            got = dict(eng.search_spans(tree, k=1000))
+            assert set(got) == set(oracle), tree
+            if not oracle:
+                continue
+            leaves = sp.leaf_terms(tree)
+            idf = eng.idfs(sorted(set(leaves)))
+            idf_sum = sum(idf[t] for t in leaves)
+            avgdl = pos_index.stats.avgdl
+            for d, pf in oracle.items():
+                expect = (
+                    idf_sum * pf * (params.k1 + 1.0)
+                    / (pf + params.k1
+                       * (1.0 - params.b + params.b * dl[d] / avgdl))
+                )
+                assert abs(got[d] - expect) < 1e-9, (tree, d)
+        # 2-term exact near ≡ match_phrase (same pf, same idf sum)
+        got = eng.search_spans(TREES[0], k=1000)
+        want = eng.search_phrase("return data", k=1000)
+        assert got == want
+        # span_multi: prefix expansion == explicit or of the expansions
+        multi = {"span_near": {"clauses": [
+            {"span_multi": {"prefix": "im", "max_expansions": 50}},
+            {"span_term": "data"},
+        ], "slop": 4, "in_order": True}}
+        expanded = {"span_near": {"clauses": [
+            {"span_or": [{"span_term": t}
+                         for t in eng.expand_prefix("im", 50)]},
+            {"span_term": "data"},
+        ], "slop": 4, "in_order": True}}
+        assert eng.search_spans(multi, k=100) == eng.search_spans(
+            expanded, k=100
+        )
+    finally:
+        eng.shutdown()
+
+
+def test_spans_requires_positions(small_index):
+    eng = QueryEngine(small_index.index_dir, num_actors=1)
+    try:
+        import ray
+
+        with pytest.raises(ray.exceptions.RayTaskError,
+                           match="store_positions"):
+            eng.search_spans({"span_term": "def"}, k=5)
+    finally:
+        eng.shutdown()
+
+
+def test_spans_absent_and_empty(pos_index):
+    eng = QueryEngine(pos_index.index_dir, num_actors=1)
+    try:
+        assert eng.search_spans(
+            {"span_near": {"clauses": [{"span_term": "zzqqnotaterm"},
+                                       {"span_term": "def"}],
+                           "slop": 1, "in_order": True}}, k=5) == []
+        assert eng.search_spans(
+            {"span_multi": {"prefix": "zzqqnope", "max_expansions": 10}},
+            k=5) == []
+    finally:
+        eng.shutdown()
+
+
+def test_global_spans_match_doc_engine(pos_index, tmp_path):
+    """Span serving on the TERM-partitioned layout is rank+score
+    identical to the shard-actor engine, on the plain AND the forced
+    remote-gate (candidate-subset fetch) paths."""
+    from elasticsearch_assets_ray.index.global_merge import (
+        merge_global_postings,
+    )
+    from elasticsearch_assets_ray.search.term_engine import (
+        TermPartitionedEngine,
+    )
+
+    out = tmp_path / "global_spans"
+    merge_global_postings(pos_index.index_dir, out, n_salts=3, n_buckets=4,
+                          store_norms=True)
+    geng = TermPartitionedEngine(out, num_actors=2)
+    gated = TermPartitionedEngine(out, num_actors=2)
+    gated.CACHE_MAX_POSTINGS = 0
+    gated.PHRASE_GATE_FRAC = 10.0
+    deng = QueryEngine(pos_index.index_dir, num_actors=2)
+    multi = {"span_near": {"clauses": [
+        {"span_multi": {"prefix": "im", "max_expansions": 50}},
+        {"span_term": "data"},
+    ], "slop": 4, "in_order": True}}
+    try:
+        for tree in TREES + [multi]:
+            want = deng.search_spans(tree, k=1000)
+            for eng in (geng, gated):
+                got = eng.search_spans(tree, k=1000)
+                assert [d for d, _ in got] == [d for d, _ in want], tree
+                for (_, s1), (_, s2) in zip(got, want):
+                    assert abs(s1 - s2) < 1e-9, tree
+    finally:
+        geng.shutdown()
+        gated.shutdown()
+        deng.shutdown()
