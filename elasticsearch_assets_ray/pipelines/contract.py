@@ -7797,6 +7797,19 @@ SPAN_QUERIES: list[tuple[int, dict]] = [
         {"span_multi": {"prefix": "sc", "max_expansions": 20}},
         {"span_term": "join"},
     ], "slop": 3, "in_order": False}}),
+    # containing: data..table windows that enclose group|agg
+    (4, {"span_containing": {
+        "big": {"span_near": {"clauses": [{"span_term": "data"},
+                                          {"span_term": "table"}],
+                              "slop": 6, "in_order": True}},
+        "little": {"span_or": [{"span_term": "group"},
+                               {"span_term": "agg"}]}}}),
+    # within: 'key' occurrences enclosed by a hash..join window
+    (5, {"span_within": {
+        "big": {"span_near": {"clauses": [{"span_term": "hash"},
+                                          {"span_term": "join"}],
+                              "slop": 8, "in_order": True}},
+        "little": {"span_term": "key"}}}),
 ]
 
 
@@ -7853,6 +7866,8 @@ def sql_span_search() -> str:
             (1, ["sort", "table"]),       # exclude 'slow' doesn't score
             (2, ["spark", "query"]),
             (3, ["join"]),                # + dynamic sc% expansion
+            (4, ["data", "table", "group", "agg"]),  # big + little leaves
+            (5, ["hash", "join", "key"]),
         ] for t in terms
     )
     return f"""
@@ -7909,6 +7924,29 @@ pf AS (
     FROM toksp pa JOIN toksp pb ON pb.doc_id = pa.doc_id
     WHERE pa.t IN (SELECT t FROM sc_terms) AND pb.t = 'join'
       AND abs(pa.pos - pb.pos) <= 4)
+  GROUP BY 2
+  UNION ALL
+  -- q4: containing — (data..table, gap<=6) windows enclosing group|agg;
+  -- pf counts distinct BIG starts with a valid enclosing completion
+  SELECT 4, p0.doc_id, count(DISTINCT p0.pos)::DOUBLE
+  FROM toksp p0
+  WHERE p0.t = 'data' AND EXISTS (
+    SELECT 1 FROM toksp p1 JOIN toksp x ON x.doc_id = p1.doc_id
+    WHERE p1.doc_id = p0.doc_id AND p1.t = 'table' AND p1.pos > p0.pos
+      AND p1.pos - p0.pos - 1 <= 6
+      AND x.t IN ('group', 'agg')
+      AND x.pos >= p0.pos AND x.pos <= p1.pos)
+  GROUP BY 2
+  UNION ALL
+  -- q5: within — 'key' unit spans enclosed by a (hash..join, gap<=8)
+  -- window; pf counts distinct LITTLE starts
+  SELECT 5, p0.doc_id, count(DISTINCT p0.pos)::DOUBLE
+  FROM toksp p0
+  WHERE p0.t = 'key' AND EXISTS (
+    SELECT 1 FROM toksp pb JOIN toksp pe ON pe.doc_id = pb.doc_id
+    WHERE pb.doc_id = p0.doc_id AND pb.t = 'hash' AND pe.t = 'join'
+      AND pe.pos > pb.pos AND pe.pos - pb.pos - 1 <= 8
+      AND pb.pos <= p0.pos AND p0.pos <= pe.pos)
   GROUP BY 2
 ),
 scored AS (

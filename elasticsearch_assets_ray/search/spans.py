@@ -45,6 +45,13 @@ Semantics (exact, documented where they diverge from Lucene):
   pre/post semantics: kill when ``excl.start < incl.end + post`` and
   ``excl.end > incl.start - pre``).
 * ``span_first``: match spans with ``end <= n`` (Lucene SpanFirstQuery).
+* ``span_containing``: ``big`` spans that ENCLOSE at least one
+  ``little`` span (``big.start <= little.start`` and ``little.end <=
+  big.end`` — Lucene SpanContainingQuery); output spans are the
+  qualifying ``big`` spans.
+* ``span_within``: ``little`` spans that are enclosed by at least one
+  ``big`` span (Lucene SpanWithinQuery); output spans are the
+  qualifying ``little`` spans.
 * ``span_multi``: a prefix multi-term wrapper, rewritten to ``span_or``
   of the first ``max_expansions`` matching dictionary terms in term
   order (the engines' deterministic global expansion).
@@ -73,7 +80,7 @@ __all__ = [
 
 def _node_kind(node: dict) -> str:
     for k in ("span_term", "span_or", "span_near", "span_first",
-              "span_not", "span_multi"):
+              "span_not", "span_containing", "span_within", "span_multi"):
         if k in node:
             return k
     raise ValueError(f"not a span node: {node!r}")
@@ -103,6 +110,10 @@ def rewrite_multi(node: dict, expand) -> dict:
         s = node["span_first"]
         return {"span_first": {"match": rewrite_multi(s["match"], expand),
                                "end": int(s["end"])}}
+    if kind in ("span_containing", "span_within"):
+        s = node[kind]
+        return {kind: {"big": rewrite_multi(s["big"], expand),
+                       "little": rewrite_multi(s["little"], expand)}}
     s = node["span_not"]
     return {"span_not": {
         "include": rewrite_multi(s["include"], expand),
@@ -129,6 +140,12 @@ def leaf_terms(node: dict) -> list[str]:
         return out
     if kind == "span_first":
         return leaf_terms(node["span_first"]["match"])
+    if kind in ("span_containing", "span_within"):
+        # both sides are REQUIRED matches (unlike span_not's exclude),
+        # so both contribute scoring constituents (Lucene
+        # SpanContainingQuery/SpanWithinQuery extract both clauses)
+        s = node[kind]
+        return leaf_terms(s["big"]) + leaf_terms(s["little"])
     if kind == "span_not":
         # exclude terms don't contribute to scoring (Lucene SpanNotQuery
         # scores the include clause) but DO need position streams
@@ -154,6 +171,9 @@ def all_terms(node: dict) -> set[str]:
         return out
     if kind == "span_first":
         return all_terms(node["span_first"]["match"])
+    if kind in ("span_containing", "span_within"):
+        s = node[kind]
+        return all_terms(s["big"]) | all_terms(s["little"])
     if kind == "span_not":
         s = node["span_not"]
         return all_terms(s["include"]) | all_terms(s["exclude"])
@@ -180,6 +200,10 @@ def requirement_sets(node: dict) -> list[frozenset]:
         return out
     if kind == "span_first":
         return requirement_sets(node["span_first"]["match"])
+    if kind in ("span_containing", "span_within"):
+        # both sides must match in a qualifying doc
+        s = node[kind]
+        return requirement_sets(s["big"]) + requirement_sets(s["little"])
     if kind == "span_not":
         return requirement_sets(node["span_not"]["include"])
     raise ValueError("span_multi must be rewritten before requirement_sets")
@@ -329,6 +353,42 @@ def eval_spans(node: dict, streams: dict) -> tuple:
         docs, starts, ends = eval_spans(spec["match"], streams)
         m = ends <= int(spec["end"])
         return docs[m], starts[m], ends[m]
+    if kind in ("span_containing", "span_within"):
+        spec = node[kind]
+        bd, bs, be = eval_spans(spec["big"], streams)
+        ld, ls, le = eval_spans(spec["little"], streams)
+        if not len(bd) or not len(ld):
+            return _empty3()
+        # keep spans of the OUTPUT side that satisfy the enclosure test
+        # against ≥1 span of the other side (both lists are doc-sorted)
+        if kind == "span_containing":
+            od, os_, oe = bd, bs, be          # output big
+            td, ts_, te = ld, ls, le          # test little inside big
+        else:
+            od, os_, oe = ld, ls, le          # output little
+            td, ts_, te = bd, bs, be          # test big around little
+        keep = np.zeros(len(od), dtype=bool)
+        ou, o0, o1 = _doc_runs(od)
+        tu, t0, t1 = _doc_runs(td)
+        common, oi, ti = np.intersect1d(ou, tu, assume_unique=True,
+                                        return_indices=True)
+        for a, b in zip(oi, ti):
+            i0, i1 = o0[a], o1[a]
+            x0, x1 = t0[b], t1[b]
+            if kind == "span_containing":
+                # big encloses little: big.start <= l.start, l.end <= big.end
+                hit = (
+                    (os_[i0:i1][:, None] <= ts_[x0:x1][None, :])
+                    & (te[x0:x1][None, :] <= oe[i0:i1][:, None])
+                ).any(axis=1)
+            else:
+                # little within big: big.start <= l.start, l.end <= big.end
+                hit = (
+                    (ts_[x0:x1][None, :] <= os_[i0:i1][:, None])
+                    & (oe[i0:i1][:, None] <= te[x0:x1][None, :])
+                ).any(axis=1)
+            keep[i0:i1] = hit
+        return od[keep], os_[keep], oe[keep]
     if kind == "span_not":
         spec = node["span_not"]
         docs, starts, ends = eval_spans(spec["include"], streams)

@@ -124,6 +124,30 @@ def test_kernel_not_pre_post():
     assert s.tolist() == [2]
 
 
+def test_kernel_containing_within():
+    # big = ordered near a..b (slop 3); little = x
+    st = _streams({"a": {0: [0, 10]}, "b": {0: [3, 12]}, "x": {0: [2, 20]}})
+    big = {"span_near": {"clauses": [{"span_term": "a"}, {"span_term": "b"}],
+                         "slop": 3, "in_order": True}}
+    d, s, e = sp.eval_spans(big, st)
+    assert list(zip(s.tolist(), e.tolist())) == [(0, 4), (10, 13)]
+    # containing: only [0,4) encloses x@2; [10,13) holds no x
+    d, s, e = sp.eval_spans(
+        {"span_containing": {"big": big, "little": {"span_term": "x"}}}, st)
+    assert list(zip(s.tolist(), e.tolist())) == [(0, 4)]
+    # within: x@2 sits inside [0,4); x@20 inside nothing
+    d, s, e = sp.eval_spans(
+        {"span_within": {"big": big, "little": {"span_term": "x"}}}, st)
+    assert list(zip(s.tolist(), e.tolist())) == [(2, 3)]
+    # both sides are required + scoring constituents
+    tree = {"span_containing": {"big": big, "little": {"span_term": "x"}}}
+    assert sp.leaf_terms(tree) == ["a", "b", "x"]
+    assert sp.all_terms(tree) == {"a", "b", "x"}
+    assert sp.requirement_sets(tree) == [
+        frozenset({"a"}), frozenset({"b"}), frozenset({"x"})
+    ]
+
+
 def test_kernel_requirements_and_leaves():
     tree = {"span_near": {"clauses": [
         {"span_term": "a"},
@@ -165,6 +189,16 @@ def _naive_spans(node, pos_of: dict[str, list[int]]):
     if "span_first" in node:
         m = _naive_spans(node["span_first"]["match"], pos_of)
         return [se for se in m if se[1] <= node["span_first"]["end"]]
+    for kind in ("span_containing", "span_within"):
+        if kind in node:
+            spec = node[kind]
+            big = _naive_spans(spec["big"], pos_of)
+            little = _naive_spans(spec["little"], pos_of)
+            if kind == "span_containing":
+                return [(s, e) for s, e in big
+                        if any(s <= s2 and e2 <= e for s2, e2 in little)]
+            return [(s, e) for s, e in little
+                    if any(s2 <= s and e <= e2 for s2, e2 in big)]
     if "span_not" in node:
         spec = node["span_not"]
         inc = _naive_spans(spec["include"], pos_of)
@@ -261,6 +295,19 @@ TREES = [
         {"span_or": [{"span_term": "zzqqnotaterm"}, {"span_term": "merge"}]},
         {"span_term": "data"},
     ], "slop": 3, "in_order": True}},
+    # containing: near windows that enclose a unit span
+    {"span_containing": {
+        "big": {"span_near": {"clauses": [{"span_term": "the"},
+                                          {"span_term": "data"}],
+                              "slop": 4, "in_order": True}},
+        "little": {"span_or": [{"span_term": "merge"},
+                               {"span_term": "segment"}]}}},
+    # within: unit spans enclosed by a near window
+    {"span_within": {
+        "big": {"span_near": {"clauses": [{"span_term": "def"},
+                                          {"span_term": "return"}],
+                              "slop": 8, "in_order": True}},
+        "little": {"span_term": "data"}}},
 ]
 
 
