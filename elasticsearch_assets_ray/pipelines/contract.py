@@ -7966,6 +7966,180 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES intervals contract set (match / any_of / all_of / filters) — the
+# minimal-interval algebra (Lucene IntervalQuery) the reference passes
+# through to ES untranslated.  Exact semantics in ``search/intervals.py``
+# (per-node minimal antichain → max_gaps filter → relation filter; tf =
+# top-level minimal-interval count), mirrored by the min-end +
+# antichain-anti-join oracle below.
+INTERVALS_QUERIES: list[tuple[int, dict]] = [
+    # ordered match with a gap budget
+    (0, {"match": {"query": "hash join", "ordered": True, "max_gaps": 2}}),
+    # unordered match (overlap-tolerant window cover)
+    (1, {"match": {"query": "sort merge", "ordered": False, "max_gaps": 3}}),
+    # any_of over two exact bigrams
+    (2, {"any_of": {"intervals": [
+        {"match": {"query": "hash join", "ordered": True, "max_gaps": 0}},
+        {"match": {"query": "merge join", "ordered": True, "max_gaps": 0}},
+    ]}}),
+    # ordered match with a not_containing filter
+    (3, {"match": {"query": "data table", "ordered": True, "max_gaps": 5,
+                   "filter": {"not_containing": {"term": "slow"}}}}),
+    # explicit all_of with an any_of slot
+    (4, {"all_of": {"intervals": [
+        {"term": "scan"},
+        {"any_of": {"intervals": [{"term": "filter"}, {"term": "merge"}]}},
+    ], "ordered": True, "max_gaps": 3}}),
+    # after filter: 'group' occurrences after an 'order' occurrence
+    (5, {"all_of": {"intervals": [{"term": "group"}],
+                    "ordered": True,
+                    "filter": {"after": {"term": "order"}}}}),
+]
+
+
+def q_interval_search(sf_dir: str) -> pa.Table:
+    """ES intervals queries on the doc-partitioned engine (the modern
+    Lucene positional algebra; the reference ships intervals bodies to
+    ES verbatim through its lucene passthrough,
+    ``/root/reference/asset/elasticsearch_reader/reader.js:7-14``).
+    Same requirement-gated positional serving path as span queries;
+    scoring is BM25 with tf = the doc's top-level minimal-interval
+    count (``search/intervals.py`` documents the Lucene sloppyFreq
+    divergence)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_intervals(tree, k=K_FETCH)
+            for qid, tree in INTERVALS_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def q_interval_search_global(sf_dir: str) -> pa.Table:
+    """The SAME intervals queries served from the TERM-partitioned
+    layout (requirement-gated positional fetch, shared kernel) — must
+    agree with the doc engine AND the SQL oracle."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        per_q = {
+            qid: eng.search_intervals(tree, k=K_FETCH)
+            for qid, tree in INTERVALS_QUERIES
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_interval_search() -> str:
+    """Minimal-interval restatement of the six intervals contract
+    queries: raw match sets per query → per-start min end → antichain
+    anti-join (drop intervals strictly containing another) → per-query
+    max_gaps / relation filters → pf = interval count; idf = Σ SOURCE
+    leaf idfs (filter terms don't score; any_of repeats each child's
+    constituents, hence 'join' twice in q2)."""
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    idf_rows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in [
+            (0, ["hash", "join"]),
+            (1, ["sort", "merge"]),
+            (2, ["hash", "join", "merge", "join"]),
+            (3, ["data", "table"]),          # filter term 'slow' excluded
+            (4, ["scan", "filter", "merge"]),
+            (5, ["group"]),                  # filter term 'order' excluded
+        ] for t in terms
+    )
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT t, count(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY t),
+qt(query_id, t) AS (VALUES {idf_rows}),
+idfs AS (SELECT qt.query_id,
+                sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+         FROM qt JOIN df ON df.t = qt.t, s GROUP BY 1),
+mq AS (
+  -- q0: ordered hash..join raw chains (gaps applied after minimality)
+  SELECT 0 AS query_id, p0.doc_id, p0.pos AS st, p1.pos AS en
+  FROM toksp p0 JOIN toksp p1 ON p1.doc_id = p0.doc_id
+  WHERE p0.t = 'hash' AND p1.t = 'join' AND p1.pos > p0.pos
+  UNION ALL
+  -- q1: unordered sort/merge covering windows (overlap-tolerant)
+  SELECT 1, pa.doc_id, least(pa.pos, pb.pos), greatest(pa.pos, pb.pos)
+  FROM toksp pa JOIN toksp pb ON pb.doc_id = pa.doc_id
+  WHERE pa.t = 'sort' AND pb.t = 'merge'
+  UNION ALL
+  -- q2: any_of of two EXACT bigrams — a max_gaps=0 ordered pair's
+  -- minimal+gap output is exactly its adjacency pairs, so the child
+  -- reductions are already applied here; parent antichain is a no-op
+  SELECT 2, p0.doc_id, p0.pos, p1.pos
+  FROM toksp p0 JOIN toksp p1 ON p1.doc_id = p0.doc_id
+  WHERE p1.pos = p0.pos + 1
+    AND ((p0.t = 'hash' AND p1.t = 'join')
+         OR (p0.t = 'merge' AND p1.t = 'join'))
+  UNION ALL
+  -- q3: ordered data..table raw chains (filter applied after)
+  SELECT 3, p0.doc_id, p0.pos, p1.pos
+  FROM toksp p0 JOIN toksp p1 ON p1.doc_id = p0.doc_id
+  WHERE p0.t = 'data' AND p1.t = 'table' AND p1.pos > p0.pos
+  UNION ALL
+  -- q4: ordered scan..(filter|merge) raw chains
+  SELECT 4, p0.doc_id, p0.pos, p1.pos
+  FROM toksp p0 JOIN toksp p1 ON p1.doc_id = p0.doc_id
+  WHERE p0.t = 'scan' AND p1.t IN ('filter', 'merge')
+    AND p1.pos > p0.pos
+  UNION ALL
+  -- q5: 'group' units (minimality is a no-op on units; the 'after'
+  -- relation filter is applied below)
+  SELECT 5, doc_id, pos, pos FROM toksp WHERE t = 'group'
+),
+me AS (SELECT query_id, doc_id, st, min(en) AS en
+       FROM mq GROUP BY 1, 2, 3),
+mmin AS (SELECT me.* FROM me WHERE NOT EXISTS (
+  SELECT 1 FROM me m2
+  WHERE m2.query_id = me.query_id AND m2.doc_id = me.doc_id
+    AND m2.st > me.st AND m2.en <= me.en)),
+mkeep AS (
+  SELECT * FROM mmin m WHERE
+    (query_id = 0 AND en - st - 1 <= 2)
+    OR (query_id = 1 AND en - st - 1 <= 3)
+    OR query_id = 2
+    OR (query_id = 3 AND en - st - 1 <= 5 AND NOT EXISTS (
+        SELECT 1 FROM toksp x
+        WHERE x.doc_id = m.doc_id AND x.t = 'slow'
+          AND x.pos >= m.st AND x.pos <= m.en))
+    OR (query_id = 4 AND en - st - 1 <= 3)
+    OR (query_id = 5 AND EXISTS (
+        SELECT 1 FROM toksp f
+        WHERE f.doc_id = m.doc_id AND f.t = 'order' AND m.st > f.pos))
+),
+pf AS (SELECT query_id, doc_id, count(*)::DOUBLE AS pf
+       FROM mkeep GROUP BY 1, 2),
+scored AS (
+  SELECT pf.query_id, pf.doc_id,
+         idfs.idf_sum * pf.pf * ({K1} + 1)
+           / (pf.pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+  FROM pf
+  JOIN idfs ON idfs.query_id = pf.query_id
+  JOIN dl ON dl.doc_id = pf.doc_id, s
+)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
 # ----------------------------------------------------------- the surface
 
 
@@ -8014,6 +8188,8 @@ def queries():
         "json_field_stats": q_json_field_stats,
         "span_search": q_span_search,
         "span_search_global": q_span_search_global,
+        "interval_search": q_interval_search,
+        "interval_search_global": q_interval_search_global,
         "collapse_search": q_collapse_search,
         "collapse_search_global": q_collapse_search_global,
         "suggest_term": q_suggest_term,
@@ -8177,6 +8353,8 @@ def oracle_sql():
         "json_field_stats": sql_json_field_stats(),
         "span_search": sql_span_search(),
         "span_search_global": sql_span_search(),
+        "interval_search": sql_interval_search(),
+        "interval_search_global": sql_interval_search(),
         "collapse_search": sql_collapse_search(),
         "collapse_search_global": sql_collapse_search(),
         "suggest_term": sql_suggest_term(),

@@ -2138,23 +2138,31 @@ class ShardData:
         params: BM25Params,
         avgdl: float,
         k: int,
+        kernel: str = "spans",
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Lucene span-query top-k over the positional sidecar (ES
-        ``span_term`` / ``span_or`` / ``span_near`` / ``span_first`` /
-        ``span_not``; ``span_multi`` must be rewritten to ``span_or`` by
-        the coordinator).  Candidate docs = the tree's requirement-set
+        """Positional-tree top-k over the positional sidecar — Lucene
+        span queries (``kernel="spans"``: ES ``span_term`` / ``span_or``
+        / ``span_near`` / ``span_first`` / ``span_not``; ``span_multi``
+        must be rewritten to ``span_or`` by the coordinator) and ES
+        ``intervals`` queries (``kernel="intervals"``: minimal-interval
+        algebra, ``match``/``prefix`` sugar rewritten by the
+        coordinator).  Candidate docs = the tree's requirement-set
         conjunction (postings only — the phrase gate generalized to
         or-groups), so position streams expand ONLY for candidates; the
-        engine-agnostic kernel (``search.spans``) then computes tf =
-        distinct top-level match starts and BM25 scores it with the
-        caller's constituent idf sum (see spans.py for the exact
-        semantics and the documented Lucene sloppyFreq divergence)."""
+        engine-agnostic kernel module then computes per-doc tf (distinct
+        top-level match starts / minimal-interval count) and BM25 scores
+        it with the caller's constituent idf sum (see spans.py /
+        intervals.py for exact semantics and documented Lucene
+        divergences)."""
         if self.posblobs is None:
             raise RuntimeError(
                 "index was built without store_positions=True — span "
                 "queries need the positional sidecar"
             )
-        from .spans import all_terms, requirement_sets, span_freqs
+        if kernel == "spans":
+            from .spans import all_terms, requirement_sets, span_freqs
+        else:
+            from .intervals import all_terms, requirement_sets, span_freqs
         from .term_engine import subset_positions
 
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
@@ -2503,14 +2511,16 @@ class _ScorerCore:
         return out
 
     def span_topk(
-        self, queries: list[tuple]
+        self, queries: list[tuple], kernel: str = "spans"
     ) -> list[tuple[int, np.ndarray, np.ndarray]]:
-        """queries: [(qid, span tree, idf_sum, k)] — ``span_multi``
-        already rewritten by the coordinator."""
+        """queries: [(qid, positional tree, idf_sum, k)] — rewrites
+        (``span_multi`` / ``match`` / ``prefix``) already applied by the
+        coordinator; ``kernel`` picks the span vs intervals algebra."""
         out = []
         for qid, tree, idf_sum, k in queries:
             parts = [
-                s.span_topk(tree, idf_sum, self.params, self.avgdl, k)
+                s.span_topk(tree, idf_sum, self.params, self.avgdl, k,
+                            kernel=kernel)
                 for s in self.shards
             ]
             ids, sc = merge_topk(parts, k, self.params.round_decimals)
@@ -2916,6 +2926,15 @@ class QueryEngine:
         m = self.info.manifest
         return sorted(set(clip_tokens(fn(query), m.min_token_len, m.max_token_len)))
 
+    def _analyze_seq(self, query: str) -> list[str]:
+        """Order-preserving, duplicates-kept analysis (phrase/intervals
+        ``match`` text — position semantics need the original order)."""
+        fn = get_analyzer(
+            "code" if self.analyzer_name == "per_lang" else self.analyzer_name
+        )
+        m = self.info.manifest
+        return clip_tokens(fn(query), m.min_token_len, m.max_token_len)
+
     def dfs(self, terms: list[str]) -> dict[str, int]:
         """Global document frequencies (cached; one actor round for the
         uncached terms — the suggesters' popularity probe)."""
@@ -3056,6 +3075,33 @@ class QueryEngine:
         idf_sum = float(sum(idf[t] for t in leaves))
         per_actor = ray.get(
             [a.span_topk.remote([(0, tree, idf_sum, k)])
+             for a in self.actors]
+        )
+        parts = [(res[0][1], res[0][2]) for res in per_actor]
+        ids, sc = merge_topk(parts, k, self.params.round_decimals)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def search_intervals(
+        self, tree: dict, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES ``intervals`` query (``match`` / ``any_of`` / ``all_of`` /
+        ``prefix`` + filters) — see ``search.intervals`` for the tree
+        shape and the minimal-interval semantics.  ``match`` text is
+        analyzed with the engine's analyzer and ``prefix`` rules expand
+        GLOBALLY (layout-deterministic) before the fan-out; idf = Σ over
+        every SOURCE leaf-term occurrence (filters gate, they don't
+        score); tf = the doc's top-level minimal-interval count."""
+        from .intervals import desugar, leaf_terms, rewrite_multi
+
+        tree = desugar(tree, self._analyze_seq)
+        tree = rewrite_multi(tree, self.expand_prefix)
+        leaves = leaf_terms(tree)
+        if not leaves:
+            return []
+        idf = self.idfs(sorted(set(leaves)))
+        idf_sum = float(sum(idf[t] for t in leaves))
+        per_actor = ray.get(
+            [a.span_topk.remote([(0, tree, idf_sum, k)], kernel="intervals")
              for a in self.actors]
         )
         parts = [(res[0][1], res[0][2]) for res in per_actor]

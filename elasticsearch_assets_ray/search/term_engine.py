@@ -764,6 +764,11 @@ class TermPartitionedEngine:
     def _analyze(self, query: str) -> list[str]:
         return sorted(set(clip_tokens(self._analyzer(query), *self._clip)))
 
+    def _analyze_seq(self, query: str) -> list[str]:
+        """Order-preserving, duplicates-kept analysis (phrase/intervals
+        ``match`` text — position semantics need the original order)."""
+        return clip_tokens(self._analyzer(query), *self._clip)
+
     # coordinator-side bounded term cache: hot terms repeat across
     # queries, and their (ids, norms) arrays are the expensive part of the
     # gather (a 740k-posting term ships ~12 MB per fetch).  FIFO-evicted
@@ -2914,17 +2919,33 @@ class TermPartitionedEngine:
         candidate docs' position segments cross the wire; doc lengths
         hydrate from a singleton-requirement term's retained dl column
         when one exists, else from source docmeta point reads."""
-        from .spans import (
-            all_terms, leaf_terms, requirement_sets, rewrite_multi,
-            span_freqs,
-        )
+        from . import spans as mod
 
-        tree = rewrite_multi(tree, self.expand_prefix)
-        leaves = leaf_terms(tree)
+        tree = mod.rewrite_multi(tree, self.expand_prefix)
+        return self._positional_tree_search(tree, k, mod)
+
+    def search_intervals(
+        self, tree: dict, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES ``intervals`` query served from the TERM-partitioned
+        layout — same tree shape, kernel and scoring as
+        ``QueryEngine.search_intervals`` (``search.intervals``; parity
+        is structural); the positional fetch is gated exactly like
+        :meth:`search_spans`."""
+        from . import intervals as mod
+
+        tree = mod.desugar(tree, self._analyze_seq)
+        tree = mod.rewrite_multi(tree, self.expand_prefix)
+        return self._positional_tree_search(tree, k, mod)
+
+    def _positional_tree_search(self, tree: dict, k: int, mod):
+        """Shared span/intervals serving tail: requirement-gated
+        positional fetch + the kernel module's tree evaluation."""
+        leaves = mod.leaf_terms(tree)
         if not leaves:
             return []
-        reqs = requirement_sets(tree)
-        terms = sorted(all_terms(tree))
+        reqs = mod.requirement_sets(tree)
+        terms = sorted(mod.all_terms(tree))
         base = self.fetch_terms(terms, positions=False)
         present = sorted(t for t in terms if t in base)
         cand: np.ndarray | None = None
@@ -2958,7 +2979,7 @@ class TermPartitionedEngine:
                 np.repeat(ids_s, tfs_s).astype(np.int64),
                 pos_s.astype(np.int64),
             )
-        hd, pf = span_freqs(tree, streams)
+        hd, pf = mod.span_freqs(tree, streams)
         if len(hd) == 0:
             return []
         idf_sum = 0.0
