@@ -2185,6 +2185,162 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES rank_feature query (bool must:match + should:rank_feature —
+# score ADDS boost·f(feature); feature field = n_chars, always > 0):
+# (qid, match text, spec).  weight = the ES query boost.
+RANKF_QUERIES: list[tuple] = [
+    (0, "hash join",
+     {"type": "rank_feature", "field": "n_chars",
+      "function": "saturation", "pivot": 250.0, "weight": 1.5}),
+    (1, "customer order",
+     {"type": "rank_feature", "field": "n_chars",
+      "function": "log", "scaling_factor": 1.0, "weight": 0.3}),
+    (2, "table scan",
+     {"type": "rank_feature", "field": "n_chars",
+      "function": "sigmoid", "pivot": 250.0, "exponent": 2.0,
+      "weight": 2.0}),
+]
+
+# ES distance_feature query: pivot/(pivot+|v−origin|) over a numeric
+# and a DATE field (epoch micros — the docmeta surface invariant)
+DISTF_QUERIES: list[tuple] = [
+    (0, "merge",
+     {"type": "distance_feature", "field": "n_chars",
+      "origin": 300.0, "pivot": 50.0, "weight": 1.8}),
+    (1, "customer order",
+     {"type": "distance_feature", "field": "created_at",
+      "origin": float(CREATED_EPOCH0) * 1e6 + 365 * _US_DAY,
+      "pivot": float(30 * _US_DAY), "weight": 2.5}),
+]
+
+
+def _q_feature_search(engine, idx: str, specs: list[tuple]) -> pa.Table:
+    per_q = {
+        qid: engine.search_function_score_multi(
+            text, [spec], score_mode="sum", boost_mode="sum", k=K_FETCH,
+        )
+        for qid, text, spec in specs
+    }
+    return _bm25_rerank(per_q, idx)
+
+
+def q_rank_feature(sf_dir: str) -> pa.Table:
+    """ES ``rank_feature`` query (saturation / log / sigmoid over a
+    positive feature field) as a bool should clause beside a match:
+    final = BM25 + boost·f(n_chars).  Runs through the shared
+    function_score kernel (funcscore.py) with score_mode=boost_mode=
+    "sum" — both engines share it by construction.  The reference
+    forwards rank_feature DSL to ES verbatim
+    (/root/reference/asset/elasticsearch_reader/reader.js:6-31)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_feature_search(engine, idx, RANKF_QUERIES)
+    finally:
+        engine.shutdown()
+
+
+def q_rank_feature_global(sf_dir: str) -> pa.Table:
+    """The SAME rank_feature queries from the TERM-partitioned layout
+    (feature doc values hydrate once from the docmeta lineage)."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_feature_search(eng, idx, RANKF_QUERIES)
+    finally:
+        eng.shutdown()
+
+
+def q_distance_feature(sf_dir: str) -> pa.Table:
+    """ES ``distance_feature`` query: proximity boost
+    pivot/(pivot+|value−origin|) over a numeric field and a DATE field
+    (created_at, epoch micros) added to the match score — the canonical
+    ES recency/nearness should-clause.  Shared kernel, both engines."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_feature_search(engine, idx, DISTF_QUERIES)
+    finally:
+        engine.shutdown()
+
+
+def q_distance_feature_global(sf_dir: str) -> pa.Table:
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_feature_search(eng, idx, DISTF_QUERIES)
+    finally:
+        eng.shutdown()
+
+
+def _sql_feature_search(specs: list[tuple]) -> str:
+    values = ", ".join(f"({qid}, '{t}')" for qid, t, _ in specs)
+    cases = []
+    for qid, _, sp in specs:
+        w = sp.get("weight", 1.0)
+        val = ("c.created_us" if sp["field"] == "created_at"
+               else f"d.{sp['field']}::DOUBLE")
+        if sp["type"] == "rank_feature":
+            fn = sp.get("function", "saturation")
+            if fn == "saturation":
+                f = f"({val} / ({val} + {sp['pivot']!r}))"
+            elif fn == "log":
+                f = f"ln({sp.get('scaling_factor', 1.0)!r} + {val})"
+            else:  # sigmoid
+                f = (f"(pow({val}, {sp['exponent']!r}) / "
+                     f"(pow({val}, {sp['exponent']!r}) + "
+                     f"pow({sp['pivot']!r}, {sp['exponent']!r})))")
+        else:  # distance_feature
+            f = (f"({sp['pivot']!r} / ({sp['pivot']!r} + "
+                 f"abs({val} - {sp['origin']!r})))")
+        cases.append(f"WHEN {qid} THEN scored.score + {w!r} * {f}")
+    case = "CASE scored.query_id " + " ".join(cases) + " END"
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    qtoks = _TOKS.format(id="query_id", text="qtext", src="q")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+c AS (SELECT doc_id, epoch_us({CREATED_SQL})::DOUBLE AS created_us
+      FROM documents),
+q(query_id, qtext) AS (VALUES {values}),
+qt AS (SELECT DISTINCT doc_id AS query_id, t AS tq FROM ({qtoks})),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM qt
+  JOIN tf ON tf.t = qt.tq
+  JOIN df ON df.t = qt.tq
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(final, 4) DESC, doc_id) AS rank,
+       round(final, 4) AS score_r
+FROM (SELECT scored.query_id, scored.doc_id, {case} AS final
+      FROM scored JOIN documents d ON d.doc_id = scored.doc_id
+      JOIN c ON c.doc_id = scored.doc_id)
+QUALIFY rank <= {TOPK}
+"""
+
+
+def sql_rank_feature() -> str:
+    return _sql_feature_search(RANKF_QUERIES)
+
+
+def sql_distance_feature() -> str:
+    return _sql_feature_search(DISTF_QUERIES)
+
+
 def q_json_field_stats(sf_dir: str) -> pa.Table:
     """Dynamic JSON field extraction (the ES runtime-field / dynamic
     mapping analogue over the reference's schema-less ``_source``
@@ -8206,6 +8362,10 @@ def queries():
         "function_score_global": q_function_score_global,
         "function_score_multi": q_function_score_multi,
         "function_score_multi_global": q_function_score_multi_global,
+        "rank_feature_search": q_rank_feature,
+        "rank_feature_search_global": q_rank_feature_global,
+        "distance_feature_search": q_distance_feature,
+        "distance_feature_search_global": q_distance_feature_global,
         "meta_filter_search": q_meta_filter_search,
         "match_agg_lang": q_match_agg,
         "match_agg_lang_global": q_match_agg_global,
@@ -8371,6 +8531,10 @@ def oracle_sql():
         "function_score_global": sql_function_score(),
         "function_score_multi": sql_function_score_multi(),
         "function_score_multi_global": sql_function_score_multi(),
+        "rank_feature_search": sql_rank_feature(),
+        "rank_feature_search_global": sql_rank_feature(),
+        "distance_feature_search": sql_distance_feature(),
+        "distance_feature_search_global": sql_distance_feature(),
         "meta_filter_search": sql_meta_filter_search(),
         "match_agg_lang": sql_match_agg(),
         "match_agg_lang_global": sql_match_agg(),

@@ -18,6 +18,14 @@ wire):
   supplies the value — ES's pure-weight function);
 - ``{"type": "script_score", "script": "<expr>"}`` — the expression
   subset below over doc values and ``_score``;
+- ``{"type": "rank_feature", "field", "function":
+  "saturation|log|sigmoid", "pivot"/"scaling_factor"/"exponent"}`` —
+  the ES ``rank_feature`` query as a should-clause contribution (run
+  with score_mode="sum", boost_mode="sum"; ``weight`` is the query
+  boost); missing/non-positive feature → 0 (doc doesn't match);
+- ``{"type": "distance_feature", "field", "origin", "pivot"}`` —
+  ES ``distance_feature``: pivot/(pivot+|v−origin|), dates in epoch
+  micros; missing → 0;
 - ``{"type": "random_score", "seed": int, "field": "orig_id"}`` —
   deterministic uniform [0, 1): Knuth multiplicative hash of
   ``field + seed`` (``ops.sampling.knuth_hash_u32`` — SQL-reproducible,
@@ -192,7 +200,8 @@ def spec_fields(specs: list[dict]) -> list[str]:
             out.append(f)
 
     for s in specs:
-        if s["type"] in ("field_value_factor", "decay", "random_score"):
+        if s["type"] in ("field_value_factor", "decay", "random_score",
+                         "rank_feature", "distance_feature"):
             add(s.get("field", "orig_id" if s["type"] == "random_score"
                 else None))
         elif s["type"] == "script_score":
@@ -243,6 +252,39 @@ def _function_values(
         ids = value_of(spec.get("field", "orig_id")).astype(np.int64)
         h = knuth_hash_u32(ids + int(spec.get("seed", 0)))
         return h.astype(np.float64) / 4294967296.0
+    if t == "rank_feature":
+        # ES ``rank_feature`` query (usually a bool should clause →
+        # score ADDS; run with score_mode="sum", boost_mode="sum").
+        # Feature values are positive by mapping contract; docs missing
+        # the feature (NaN) or non-positive contribute 0 — they simply
+        # don't match the rank_feature clause.
+        v = value_of(spec["field"]).astype(np.float64)
+        fn = spec.get("function", "saturation")
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if fn == "saturation":
+                piv = float(spec["pivot"])
+                f = v / (v + piv)
+            elif fn == "log":
+                sc = float(spec.get("scaling_factor", 1.0))
+                f = np.log(sc + v)
+            elif fn == "sigmoid":
+                piv = float(spec["pivot"])
+                e = float(spec["exponent"])
+                ve = np.power(v, e)
+                f = ve / (ve + piv ** e)
+            else:
+                raise ValueError(f"unknown rank_feature function {fn!r}")
+        return np.where(np.isnan(v) | (v <= 0.0), 0.0, f)
+    if t == "distance_feature":
+        # ES ``distance_feature``: pivot/(pivot + |value − origin|) —
+        # date fields read as epoch MICROS doc values (repo invariant),
+        # so origin/pivot for dates are micros too.  Missing → 0 (the
+        # doc doesn't match the clause).
+        v = value_of(spec["field"]).astype(np.float64)
+        piv = float(spec["pivot"])
+        org = float(spec["origin"])
+        f = piv / (piv + np.abs(v - org))
+        return np.where(np.isnan(v), 0.0, f)
     raise ValueError(f"unknown function_score function type {t!r}")
 
 

@@ -214,3 +214,66 @@ def test_function_score_multi_engine_parity(fs_index, ray_session, tmp_path):
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+def test_rank_feature_kernel():
+    """rank_feature saturation/log/sigmoid values; NaN / non-positive
+    feature contributes 0 (the doc doesn't match the clause)."""
+    base = np.array([1.0, 1.0, 1.0, 1.0])
+    feat = np.array([250.0, np.nan, 0.0, 750.0])
+
+    def vo(f):
+        assert f == "nc"
+        return feat
+
+    out = combine_function_score(
+        base,
+        [{"type": "rank_feature", "field": "nc", "function": "saturation",
+          "pivot": 250.0, "weight": 2.0}],
+        vo, score_mode="sum", boost_mode="sum",
+    )
+    assert abs(out[0] - (1.0 + 2.0 * 0.5)) < 1e-12
+    assert out[1] == 1.0 and out[2] == 1.0  # missing / zero → base
+    assert abs(out[3] - (1.0 + 2.0 * 0.75)) < 1e-12
+    out = combine_function_score(
+        base,
+        [{"type": "rank_feature", "field": "nc", "function": "log",
+          "scaling_factor": 1.0}],
+        vo, score_mode="sum", boost_mode="sum",
+    )
+    assert abs(out[0] - (1.0 + math.log(251.0))) < 1e-12
+    assert out[1] == 1.0
+    out = combine_function_score(
+        base,
+        [{"type": "rank_feature", "field": "nc", "function": "sigmoid",
+          "pivot": 250.0, "exponent": 2.0}],
+        vo, score_mode="sum", boost_mode="sum",
+    )
+    assert abs(out[0] - 1.5) < 1e-12  # v == pivot → 0.5
+    assert abs(out[3] - (1.0 + 0.9 / 1.0)) < 1e-12  # 750²/(750²+250²)=0.9
+
+
+def test_distance_feature_kernel():
+    base = np.zeros(3)
+    feat = np.array([300.0, 350.0, np.nan])
+
+    def vo(f):
+        return feat
+
+    out = combine_function_score(
+        base,
+        [{"type": "distance_feature", "field": "nc", "origin": 300.0,
+          "pivot": 50.0, "weight": 3.0}],
+        vo, score_mode="sum", boost_mode="sum",
+    )
+    assert abs(out[0] - 3.0) < 1e-12        # at origin → pivot/pivot = 1
+    assert abs(out[1] - 1.5) < 1e-12        # dist 50 → 0.5
+    assert out[2] == 0.0                    # missing → no contribution
+
+
+def test_feature_spec_fields():
+    assert spec_fields(
+        [{"type": "rank_feature", "field": "nc"},
+         {"type": "distance_feature", "field": "created_at",
+          "origin": 0.0, "pivot": 1.0}]
+    ) == ["nc", "created_at"]
