@@ -6365,6 +6365,87 @@ def sql_multi_match_most() -> str:
     return _sql_multi_match("most_fields", 0.0)
 
 
+def q_combined_fields(sf_dir: str) -> pa.Table:
+    """ES ``combined_fields`` (term-centric BM25F): text + source blend
+    into ONE pseudo-field — tf_c = Σ_f w_f·tf_f, dl_c = Σ_f w_f·dl_f,
+    avgdl_c = Σ_f w_f·avgdl_f, idf from the UNION document frequency —
+    then plain BM25.  Contrast multi_match (field-centric per-field BM25
+    then DisMax/sum): a term hitting both fields here saturates through
+    one tf curve.  Weights are small rationals over integer tfs, so the
+    blended sums are exact and scores bit-match the SQL after
+    rounding."""
+    from ..config import BM25Params
+    from ..search.multifield import MultiFieldEngine
+
+    idx = ensure_doc_index(sf_dir)
+    sidx = ensure_source_index(sf_dir)
+    eng = MultiFieldEngine(
+        {"text": idx, "source": sidx},
+        num_actors=4,
+        params=BM25Params(round_decimals=4),
+    )
+    try:
+        per_q = {
+            qid: eng.combined_fields(q, fields=MULTI_BOOSTS, k=K_FETCH)
+            for qid, q in MULTI_QUERIES
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_combined_fields() -> str:
+    rows = []
+    for qid, text in MULTI_QUERIES:
+        for t in _simple_tokens(text):
+            rows.append(f"({qid}, '{t}')")
+    values = ", ".join(rows)
+    toks_t = _TOKS.format(id="doc_id", text="text", src="documents")
+    toks_s = _TOKS.format(id="doc_id", text="source", src="documents")
+    bt, bs = MULTI_BOOSTS["text"], MULTI_BOOSTS["source"]
+    return f"""
+WITH tt AS ({toks_t}),
+tsk AS ({toks_s}),
+q(query_id, t) AS (VALUES {values}),
+dlt AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tt GROUP BY doc_id),
+dls AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tsk GROUP BY doc_id),
+dlc AS (SELECT d.doc_id,
+               {bt} * coalesce(dlt.dl, 0) + {bs} * coalesce(dls.dl, 0) AS dl
+        FROM documents d
+        LEFT JOIN dlt ON dlt.doc_id = d.doc_id
+        LEFT JOIN dls ON dls.doc_id = d.doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             {bt} * ((SELECT sum(dl) FROM dlt) / (SELECT count(*) FROM documents))
+           + {bs} * ((SELECT sum(dl) FROM dls) / (SELECT count(*) FROM documents))
+               AS avgdl),
+tft AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tt GROUP BY doc_id, t),
+tfs AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tsk GROUP BY doc_id, t),
+keys AS (SELECT doc_id, t FROM tft UNION SELECT doc_id, t FROM tfs),
+tfc AS (SELECT k.doc_id, k.t,
+               {bt} * coalesce(a.tf, 0) + {bs} * coalesce(b2.tf, 0) AS tf
+        FROM keys k
+        LEFT JOIN tft a ON a.doc_id = k.doc_id AND a.t = k.t
+        LEFT JOIN tfs b2 ON b2.doc_id = k.doc_id AND b2.t = k.t),
+dfc AS (SELECT t, count(*)::DOUBLE AS df FROM tfc GROUP BY t),
+scored AS (
+  SELECT q.query_id, tfc.doc_id,
+         sum( ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+              * tfc.tf * ({K1} + 1)
+              / (tfc.tf + {K1} * (1 - {B} + {B} * dlc.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tfc ON tfc.t = q.t
+  JOIN dfc ON dfc.t = q.t
+  JOIN dlc ON dlc.doc_id = tfc.doc_id, s
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
 def q_search_after(sf_dir: str) -> pa.Table:
     """ES ``search_after`` pagination: page 2 of the BM25 ranking — the
     cursor is page 1's 10th (score_r, doc_id); shards filter on the
@@ -8413,6 +8494,7 @@ def queries():
         "more_like_this": q_more_like_this,
         "search_after_page2": q_search_after,
         "multi_match_best": q_multi_match_best,
+        "combined_fields_search": q_combined_fields,
         "multi_match_most": q_multi_match_most,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
@@ -8582,6 +8664,7 @@ def oracle_sql():
         "more_like_this": sql_more_like_this(),
         "search_after_page2": sql_search_after(),
         "multi_match_best": sql_multi_match_best(),
+        "combined_fields_search": sql_combined_fields(),
         "multi_match_most": sql_multi_match_most(),
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),

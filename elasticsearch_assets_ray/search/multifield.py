@@ -69,6 +69,96 @@ class _MultiCore:
             for f, ts in per_field_terms.items()
         }
 
+    def local_union_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Per term: docs in this actor's shards containing the term in
+        ANY field (the ES ``combined_fields`` document frequency — a
+        union, not a per-field sum).  Shards partition the doc space, so
+        per-actor counts sum exactly across actors."""
+        from ..index.codec import decode_postings
+
+        fields = sorted(self.shards)
+        n_shards = len(next(iter(self.shards.values())))
+        out = {t: 0 for t in terms}
+        for si in range(n_shards):
+            s0 = self.shards[fields[0]][si]
+            dead = np.zeros(s0.num_docs, dtype=bool)
+            for f in fields:
+                dead |= self.shards[f][si].deleted_mask
+            for t in terms:
+                present = None
+                for f in fields:
+                    s = self.shards[f][si]
+                    i = s.terms.get(t)
+                    if i is None:
+                        continue
+                    doc_ids, _ = decode_postings(s.blobs[i])
+                    idx = (doc_ids - np.uint64(s.doc_base)).astype(np.int64)
+                    if present is None:
+                        present = np.zeros(s.num_docs, dtype=bool)
+                    present[idx] = True
+                if present is not None:
+                    out[t] += int(np.count_nonzero(present & ~dead))
+        return out
+
+    def combined_topk(
+        self,
+        queries: list[tuple],
+        idf: dict[str, float],
+        weights: dict[str, float],
+        avgdl_c: float,
+    ) -> list[tuple[int, np.ndarray, np.ndarray]]:
+        """ES ``combined_fields`` (term-centric BM25F): per doc, the
+        fields blend into ONE pseudo-field — tf_c = Σ_f w_f·tf_f,
+        dl_c = Σ_f w_f·dl_f, idf from the UNION df — then plain BM25
+        over (tf_c, dl_c, avgdl_c).  queries: [(qid, terms, k)].
+        Accumulation order = sorted terms / sorted fields; integer tfs ×
+        small rational weights keep the blended sums exact, so scores
+        bit-match the SQL mirror after rounding."""
+        from ..index.codec import decode_postings
+
+        out = []
+        fields = sorted(self.shards)
+        n_shards = len(next(iter(self.shards.values())))
+        k1, b = self.params.k1, self.params.b
+        for qid, terms, k in queries:
+            parts = []
+            for si in range(n_shards):
+                s0 = self.shards[fields[0]][si]
+                n_docs = s0.num_docs
+                dead = np.zeros(n_docs, dtype=bool)
+                dl_c = np.zeros(n_docs, np.float64)
+                for f in fields:
+                    s = self.shards[f][si]
+                    dead |= s.deleted_mask
+                    dl_c += weights.get(f, 1.0) * s.dl
+                scores = np.zeros(n_docs, np.float64)
+                touched = np.zeros(n_docs, dtype=bool)
+                for t in sorted(set(terms)):
+                    tf_c = np.zeros(n_docs, np.float64)
+                    for f in fields:
+                        s = self.shards[f][si]
+                        i = s.terms.get(t)
+                        if i is None:
+                            continue
+                        doc_ids, tfs = decode_postings(s.blobs[i])
+                        idx = (doc_ids - np.uint64(s.doc_base)).astype(
+                            np.int64)
+                        tf_c[idx] += weights.get(f, 1.0) * tfs
+                    m = tf_c > 0
+                    if not m.any():
+                        continue
+                    norm = tf_c * (k1 + 1.0) / (
+                        tf_c + k1 * (1.0 - b + b * dl_c / avgdl_c))
+                    scores[m] += idf[t] * norm[m]
+                    touched |= m
+                touched &= ~dead
+                cand = np.nonzero(touched)[0]
+                cand, cs = _select_topk(cand, scores, k, self.params)
+                parts.append(((cand + s0.doc_base).astype(np.int64), cs))
+            ids, sc = merge_topk(parts, k, self.params.round_decimals)
+            out.append((qid, ids, sc))
+        return out
+
     def multi_topk(
         self,
         queries: list[tuple],
@@ -225,6 +315,69 @@ class MultiFieldEngine:
                 a.multi_topk.remote(
                     [(0, terms_of, boost_of, type, tie_breaker, k)], idfs
                 )
+                for a in self.actors
+            ]
+        )
+        parts = [(res[0][1], res[0][2]) for res in per_actor]
+        ids, sc = merge_topk(parts, k, self.params.round_decimals)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def combined_fields(
+        self,
+        query: str,
+        fields: dict[str, float] | list[str] | None = None,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``combined_fields``: term-centric BM25F — all fields blend
+        into one pseudo-field per term (tf_c = Σ_f w_f·tf_f, dl_c =
+        Σ_f w_f·dl_f, avgdl_c = Σ_f w_f·avgdl_f — exact under fixed
+        weights since Σ_d dl_c = Σ_f w_f Σ_d dl_f), idf from the UNION
+        document frequency (a doc counts once no matter how many fields
+        hit).  ES requires one shared analyzer across the fields; we
+        assert the indexes agree.  Unlike ``multi_match`` (field-centric
+        DisMax/sum of per-field BM25), a term matching two fields here
+        saturates through ONE tf curve.  The reference forwards
+        combined_fields DSL to ES verbatim
+        (/root/reference/asset/elasticsearch_reader/reader.js:6-31)."""
+        if fields is None:
+            weights = {f: 1.0 for f in self.infos}
+        elif isinstance(fields, dict):
+            weights = dict(fields)
+        else:
+            weights = {f: 1.0 for f in fields}
+        unknown = set(weights) - set(self.infos)
+        if unknown:
+            raise KeyError(f"unknown fields: {sorted(unknown)}")
+        flds = sorted(weights)
+        sigs = {
+            (self.infos[f].manifest.analyzer,
+             self.infos[f].manifest.min_token_len,
+             self.infos[f].manifest.max_token_len)
+            for f in flds
+        }
+        if len(sigs) > 1:
+            raise ValueError(
+                "combined_fields requires one shared analyzer across "
+                f"fields (ES contract); got {sorted(sigs)}"
+            )
+        terms = self._analyze(flds[0], query)
+        if not terms:
+            return []
+        df_parts = ray.get(
+            [a.local_union_dfs.remote(terms) for a in self.actors]
+        )
+        n = float(self.num_docs)
+        idf = {}
+        for t in terms:
+            df = sum(p[t] for p in df_parts)
+            idf[t] = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        avgdl_c = sum(
+            weights[f] * self.infos[f].stats.avgdl for f in flds
+        )
+        per_actor = ray.get(
+            [
+                a.combined_topk.remote([(0, terms, k)], idf, weights,
+                                       avgdl_c)
                 for a in self.actors
             ]
         )

@@ -497,3 +497,98 @@ def test_decay_score_bruteforce(engine, corpus_docs):
         assert [d for d, _ in got] == [d for d, _ in want[:10]], fn
         for (_, s1), (_, s2) in zip(got, want):
             assert abs(s1 - s2) < 1e-9, fn
+
+
+def test_combined_fields_bruteforce(small_corpus, small_index,
+                                    tmp_path_factory):
+    """ES combined_fields vs a hand brute: ONE pseudo-field — blended
+    tf/dl, union df, Σ w_f·avgdl_f — scored with plain BM25.  A term
+    hitting both fields must count ONCE in df and saturate through one
+    tf curve (the term-centric BM25F semantics)."""
+    import math
+    import pathlib
+
+    from elasticsearch_assets_ray.config import IndexConfig
+    from elasticsearch_assets_ray.index.build import build_index
+    from elasticsearch_assets_ray.search.multifield import MultiFieldEngine
+
+    pidx = build_index(
+        small_corpus,
+        tmp_path_factory.mktemp("cfpathidx") / "idx",
+        IndexConfig(partition_target_docs=50, shard_target_docs=100,
+                    text_col="path", lang_col=None, meta_cols=()),
+    )
+    texts, paths = [], []
+    for f in sorted(pathlib.Path(small_corpus).glob("*.parquet")):
+        t = pq.read_table(f, columns=["content", "path"])
+        texts.extend(t.column("content").to_pylist())
+        paths.extend(t.column("path").to_pylist())
+    toks_of = {
+        "content": [clip_tokens(code_tokens(t), 1, 64) for t in texts],
+        "path": [clip_tokens(code_tokens(p), 1, 64) for p in paths],
+    }
+    w = {"content": 1.0, "path": 2.0}
+    params = BM25Params()
+    n = len(texts)
+    dl_c = np.array(
+        [w["content"] * len(toks_of["content"][d])
+         + w["path"] * len(toks_of["path"][d]) for d in range(n)],
+        dtype=np.float64,
+    )
+    avgdl_c = sum(
+        w[f] * (sum(len(ts) for ts in toks_of[f]) / n)
+        for f in sorted(w)
+    )
+
+    def brute(qterms):
+        sc = np.zeros(n)
+        for t in sorted(set(qterms)):
+            tf_c = np.array(
+                [w["content"] * toks_of["content"][d].count(t)
+                 + w["path"] * toks_of["path"][d].count(t)
+                 for d in range(n)], dtype=np.float64)
+            df = int(np.count_nonzero(tf_c > 0))
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            m = tf_c > 0
+            sc[m] += idf * tf_c[m] * (params.k1 + 1) / (
+                tf_c[m] + params.k1
+                * (1 - params.b + params.b * dl_c[m] / avgdl_c))
+        return sc
+
+    eng = MultiFieldEngine(
+        {"content": str(small_index.index_dir), "path": str(pidx.index_dir)},
+        num_actors=2,
+    )
+    try:
+        for q in ["merge data", "src module import"]:
+            qt = clip_tokens(code_tokens(q), 1, 64)
+            sc = brute(qt)
+            order = np.lexsort((np.arange(n), -sc))
+            expect = [(int(d), sc[d]) for d in order[:8] if sc[d] > 0]
+            got = eng.combined_fields(q, fields=w, k=8)
+            assert [d for d, _ in got] == [d for d, _ in expect], q
+            for (_, s1), (_, s2) in zip(got, expect):
+                assert abs(s1 - s2) < 1e-9, q
+        # analyzer-mismatch guard: ES requires one shared analyzer
+        import pytest as _pt
+        eng2 = None
+        try:
+            idx2 = build_index(
+                small_corpus,
+                tmp_path_factory.mktemp("cfwhite") / "idx",
+                IndexConfig(partition_target_docs=50,
+                            shard_target_docs=100, analyzer="text",
+                            text_col="path", lang_col=None, meta_cols=()),
+            )
+            eng2 = MultiFieldEngine(
+                {"content": str(small_index.index_dir),
+                 "path": str(idx2.index_dir)}, num_actors=1)
+            with _pt.raises(ValueError, match="shared analyzer"):
+                eng2.combined_fields("merge data", fields=w, k=5)
+        finally:
+            if eng2 is not None:
+                eng2.shutdown()
+    finally:
+        eng.shutdown()
