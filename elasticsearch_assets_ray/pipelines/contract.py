@@ -6134,6 +6134,446 @@ WHERE ranked.rn = greatest(1, least(ceil(p.pct / 100.0 * ranked.n), ranked.n))
 """
 
 
+# ---- statistical aggregation family (ES boxplot / MAD / string_stats /
+# t_test / matrix_stats / top_metrics) — exact SQL-reproducible twins of
+# aggs ES itself serves approximately (t-digest); see search/statagg.py
+
+
+def _q_boxplot_agg(engine) -> pa.Table:
+    rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        b = engine.boxplot(text, field="dl")
+        rows.append({
+            "query_id": qid, "n_docs": b["count"], "vmin": b["min"],
+            "vmax": b["max"], "q1": b["q1"], "q2": b["q2"], "q3": b["q3"],
+        })
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_boxplot_agg(sf_dir: str) -> pa.Table:
+    """ES ``boxplot`` (min/max/quartiles) over each query's match set —
+    exact nearest-rank quartiles (pure integer rank logic, the SQL-
+    reproducible twin of ES's t-digest form) from per-shard sorted
+    value partials."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_boxplot_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_boxplot_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME boxplot from the TERM-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_boxplot_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def _stat_hit_cte() -> str:
+    """Shared CTE: matched (query_id, doc_id) pairs + per-doc dl for
+    the HISTO_CARD_QUERIES match sets."""
+    term_rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t)
+"""
+
+
+def sql_boxplot_agg() -> str:
+    return f"""
+WITH {_stat_hit_cte()},
+ranked AS (SELECT hit.query_id, dl.dl,
+                  row_number() OVER (PARTITION BY hit.query_id
+                                     ORDER BY dl.dl) AS rn,
+                  count(*) OVER (PARTITION BY hit.query_id) AS n
+           FROM hit JOIN dl ON dl.doc_id = hit.doc_id)
+SELECT query_id,
+       max(n)::BIGINT AS n_docs,
+       min(dl) AS vmin,
+       max(dl) AS vmax,
+       max(CASE WHEN rn = greatest(1, least(ceil(0.25 * n), n))
+                THEN dl END) AS q1,
+       max(CASE WHEN rn = greatest(1, least(ceil(0.50 * n), n))
+                THEN dl END) AS q2,
+       max(CASE WHEN rn = greatest(1, least(ceil(0.75 * n), n))
+                THEN dl END) AS q3
+FROM ranked
+GROUP BY 1
+"""
+
+
+def _q_mad_agg(engine) -> pa.Table:
+    rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        rows.append({
+            "query_id": qid,
+            "mad": engine.median_absolute_deviation(text, field="dl"),
+        })
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_mad_agg(sf_dir: str) -> pa.Table:
+    """ES ``median_absolute_deviation``: exact nearest-rank
+    median(|dl − median(dl)|) per query match set (ES is t-digest
+    approximate; absolute deviations of integer doc values are exact
+    floats, so the SQL oracle reproduces the value bit-for-bit)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_mad_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_mad_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME MAD from the TERM-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_mad_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_mad_agg() -> str:
+    return f"""
+WITH {_stat_hit_cte()},
+ranked AS (SELECT hit.query_id, dl.dl,
+                  row_number() OVER (PARTITION BY hit.query_id
+                                     ORDER BY dl.dl) AS rn,
+                  count(*) OVER (PARTITION BY hit.query_id) AS n
+           FROM hit JOIN dl ON dl.doc_id = hit.doc_id),
+med AS (SELECT query_id, dl AS m FROM ranked
+        WHERE rn = greatest(1, least(ceil(0.50 * n), n))),
+dev AS (SELECT ranked.query_id, abs(ranked.dl - med.m) AS d
+        FROM ranked JOIN med ON med.query_id = ranked.query_id),
+dranked AS (SELECT query_id, d,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d) AS rn,
+                   count(*) OVER (PARTITION BY query_id) AS n
+            FROM dev)
+SELECT query_id, d AS mad
+FROM dranked
+WHERE rn = greatest(1, least(ceil(0.50 * n), n))
+"""
+
+
+def _q_string_stats_agg(engine) -> pa.Table:
+    rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        s = engine.string_stats(text, field="source")
+        rows.append({
+            "query_id": qid, "n_docs": s["count"],
+            "min_length": s["min_length"], "max_length": s["max_length"],
+            "avg_length": s["avg_length"], "entropy": s["entropy"],
+        })
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_string_stats_agg(sf_dir: str) -> pa.Table:
+    """ES ``string_stats`` over the ``source`` keyword field of each
+    query's match set: count / min / max / avg length + Shannon entropy
+    of the merged character distribution.  Partials are alphabet-bounded
+    codepoint histograms (never O(match count) on the wire); avg_length
+    is one exact-int division and entropy rounds once after the sum."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_string_stats_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_string_stats_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME string_stats from the TERM-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_string_stats_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_string_stats_agg() -> str:
+    return f"""
+WITH {_stat_hit_cte()},
+sv AS (SELECT hit.query_id, d.source AS s
+       FROM hit JOIN documents d ON d.doc_id = hit.doc_id),
+lens AS (SELECT query_id,
+                count(*)::BIGINT AS n_docs,
+                min(length(s))::BIGINT AS min_length,
+                max(length(s))::BIGINT AS max_length,
+                sum(length(s))::DOUBLE / count(*) AS avg_length
+         FROM sv GROUP BY 1),
+chars AS (SELECT query_id, unnest(str_split_regex(s, '')) AS ch FROM sv),
+cc AS (SELECT query_id, ch, count(*)::DOUBLE AS c FROM chars GROUP BY 1, 2),
+tot AS (SELECT query_id, sum(c) AS t FROM cc GROUP BY 1),
+ent AS (SELECT cc.query_id,
+               round(-sum((cc.c / tot.t) * log2(cc.c / tot.t)), 4) AS entropy
+        FROM cc JOIN tot ON tot.query_id = cc.query_id
+        GROUP BY 1)
+SELECT lens.query_id, lens.n_docs, lens.min_length, lens.max_length,
+       lens.avg_length, ent.entropy
+FROM lens JOIN ent ON ent.query_id = lens.query_id
+"""
+
+
+# t_test forms: unpaired (Welch / pooled) between two match sets on dl,
+# paired between two doc-values fields of one match set
+TTEST_QA = HISTO_CARD_QUERIES[0][1]  # "hash join"
+TTEST_QB = HISTO_CARD_QUERIES[1][1]  # "customer order value"
+TTEST_PAIR_FIELDS = ("dl", "req_matches")
+
+
+def _q_ttest_agg(engine) -> pa.Table:
+    rows = []
+    for kind in ("heteroscedastic", "homoscedastic"):
+        r = engine.t_test(TTEST_QA, field="dl", query_b=TTEST_QB, type=kind)
+        rows.append({"kind": kind, "t": r["t"], "df": r["df"]})
+    r = engine.t_test(TTEST_QA, fields=TTEST_PAIR_FIELDS, type="paired")
+    rows.append({"kind": "paired", "t": r["t"], "df": r["df"]})
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_ttest_agg(sf_dir: str) -> pa.Table:
+    """ES ``t_test`` in all three forms — Welch (heteroscedastic),
+    pooled (homoscedastic) between two match sets on ``dl``, and paired
+    over (dl, req_matches) per-doc differences.  Returns (t, df); the
+    p-value divergence (no public Student-t CDF in sandbox or DuckDB)
+    is documented in ``statagg.ttest_from_moments``.  Every float
+    derives from (n, Σx, Σx²) with the operation order mirrored in the
+    oracle, rounded once."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_ttest_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_ttest_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME t_test forms from the TERM-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_ttest_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_ttest_agg() -> str:
+    qa = ", ".join(f"('{t}')" for t in _simple_tokens(TTEST_QA))
+    qb = ", ".join(f"('{t}')" for t in _simple_tokens(TTEST_QB))
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+qa(t) AS (VALUES {qa}),
+qb(t) AS (VALUES {qb}),
+hita AS (SELECT DISTINCT toks.doc_id FROM qa JOIN toks ON toks.t = qa.t),
+hitb AS (SELECT DISTINCT toks.doc_id FROM qb JOIN toks ON toks.t = qb.t),
+ma AS (SELECT count(*)::DOUBLE AS n, sum(dl.dl) AS s,
+              sum(dl.dl * dl.dl) AS s2
+       FROM hita JOIN dl ON dl.doc_id = hita.doc_id),
+mb AS (SELECT count(*)::DOUBLE AS n, sum(dl.dl) AS s,
+              sum(dl.dl * dl.dl) AS s2
+       FROM hitb JOIN dl ON dl.doc_id = hitb.doc_id),
+-- identical operation order to statagg.ttest_from_moments:
+-- mean = s/n; var = (s2 - s*mean)/(n-1)
+mva AS (SELECT n, s / n AS m, (s2 - s * (s / n)) / (n - 1) AS v FROM ma),
+mvb AS (SELECT n, s / n AS m, (s2 - s * (s / n)) / (n - 1) AS v FROM mb),
+het AS (SELECT 'heteroscedastic' AS kind,
+               round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t,
+               round((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n)
+                     / ((a.v / a.n) * (a.v / a.n) / (a.n - 1)
+                        + (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 4) AS df
+        FROM mva a, mvb b),
+hom AS (SELECT 'homoscedastic' AS kind,
+               round((a.m - b.m)
+                     / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+                            / (a.n + b.n - 2)
+                            * (1.0 / a.n + 1.0 / b.n)), 4) AS t,
+               a.n + b.n - 2 AS df
+        FROM mva a, mvb b),
+pd_ AS (SELECT dl.dl - (d.n_chars % 3 + 1) AS diff
+        FROM hita JOIN dl ON dl.doc_id = hita.doc_id
+        JOIN documents d ON d.doc_id = hita.doc_id),
+pm AS (SELECT count(*)::DOUBLE AS n, sum(diff) AS s,
+              sum(diff * diff) AS s2 FROM pd_),
+pmv AS (SELECT n, s / n AS m, (s2 - s * (s / n)) / (n - 1) AS v FROM pm),
+pai AS (SELECT 'paired' AS kind,
+               round(m / sqrt(v / n), 4) AS t,
+               n - 1 AS df
+        FROM pmv)
+SELECT kind, t, df FROM het
+UNION ALL SELECT kind, t, df FROM hom
+UNION ALL SELECT kind, t, df FROM pai
+"""
+
+
+MATRIX_FIELDS = ("dl", "n_chars")
+
+
+def _q_matrix_stats_agg(engine) -> pa.Table:
+    rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        for r in engine.matrix_stats(text, list(MATRIX_FIELDS)):
+            rows.append({"query_id": qid, **r})
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_matrix_stats_agg(sf_dir: str) -> pa.Table:
+    """ES ``matrix_stats`` over (dl, n_chars) per query match set:
+    count / means / sample covariance (n−1) / Pearson correlation per
+    ordered field pair, from O(k²)-wire Gram partials.  The skewness/
+    kurtosis members are a documented divergence (statagg)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_matrix_stats_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_matrix_stats_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME matrix_stats from the TERM-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_matrix_stats_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_matrix_stats_agg() -> str:
+    return f"""
+WITH {_stat_hit_cte()},
+v AS (SELECT hit.query_id, dl.dl AS a, d.n_chars::DOUBLE AS b
+      FROM hit JOIN dl ON dl.doc_id = hit.doc_id
+      JOIN documents d ON d.doc_id = hit.doc_id),
+m AS (SELECT query_id, count(*)::DOUBLE AS n,
+             sum(a) AS sa, sum(b) AS sb,
+             sum(a * a) AS saa, sum(a * b) AS sab, sum(b * b) AS sbb
+      FROM v GROUP BY 1),
+-- identical operation order to statagg.matrix_stats_render:
+-- mean = Σx/n; cov = (Σxy − n·(μx·μy))/(n−1); corr = cov/(sd·sd)
+c AS (SELECT query_id, n, sa / n AS mean_a, sb / n AS mean_b,
+             (saa - n * ((sa / n) * (sa / n))) / (n - 1) AS cov_aa,
+             (sab - n * ((sa / n) * (sb / n))) / (n - 1) AS cov_ab,
+             (sbb - n * ((sb / n) * (sb / n))) / (n - 1) AS cov_bb
+      FROM m)
+SELECT query_id, 'dl' AS field_a, 'dl' AS field_b, n::BIGINT AS count,
+       round(mean_a, 4) AS mean_a, round(mean_a, 4) AS mean_b,
+       round(cov_aa, 4) AS covariance,
+       round(cov_aa / (sqrt(cov_aa) * sqrt(cov_aa)), 4) AS correlation
+FROM c
+UNION ALL
+SELECT query_id, 'dl', 'n_chars', n::BIGINT,
+       round(mean_a, 4), round(mean_b, 4), round(cov_ab, 4),
+       round(cov_ab / (sqrt(cov_aa) * sqrt(cov_bb)), 4)
+FROM c
+UNION ALL
+SELECT query_id, 'n_chars', 'n_chars', n::BIGINT,
+       round(mean_b, 4), round(mean_b, 4), round(cov_bb, 4),
+       round(cov_bb / (sqrt(cov_bb) * sqrt(cov_bb)), 4)
+FROM c
+"""
+
+
+TOPM_SIZE = 3
+
+
+def _q_top_metrics_agg(engine) -> pa.Table:
+    rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        got = engine.top_metrics(
+            text, metrics=["n_chars", "lang"], sort=("dl", "desc"),
+            size=TOPM_SIZE,
+        )
+        for rank, h in enumerate(got, start=1):
+            rows.append({
+                "query_id": qid, "rank": rank, "doc_id": h["doc_id"],
+                "sort_dl": h["sort"],
+                "n_chars": int(h["metrics"]["n_chars"]),
+                "lang": h["metrics"]["lang"],
+            })
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_top_metrics_agg(sf_dir: str) -> pa.Table:
+    """ES ``top_metrics``: the (n_chars, lang) doc values of the top-3
+    matched docs by dl (ties doc-ascending — the serving tiebreak), per
+    query.  Per-shard partials ship O(size); metric hydration is O(size),
+    never O(match count)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_top_metrics_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_top_metrics_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME top_metrics from the TERM-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_top_metrics_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_top_metrics_agg() -> str:
+    return f"""
+WITH {_stat_hit_cte()},
+ranked AS (SELECT hit.query_id, hit.doc_id, dl.dl,
+                  row_number() OVER (PARTITION BY hit.query_id
+                                     ORDER BY dl.dl DESC, hit.doc_id)
+                      AS rank
+           FROM hit JOIN dl ON dl.doc_id = hit.doc_id)
+SELECT r.query_id, r.rank::BIGINT AS rank, r.doc_id,
+       r.dl AS sort_dl, d.n_chars, d.lang
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rank <= {TOPM_SIZE}
+"""
+
+
 # timestamp range filter over a date-typed docmeta column:
 # (query_id, match text, (lo_iso, hi_iso)) — ES ``range`` filter on a
 # date field under ``bool.filter`` (bounds inclusive, like gte/lte)
@@ -8488,6 +8928,18 @@ def queries():
         "extstats_agg_global": q_extstats_agg_global,
         "percentiles_agg": q_percentiles_agg,
         "percentiles_agg_global": q_percentiles_agg_global,
+        "boxplot_agg": q_boxplot_agg,
+        "boxplot_agg_global": q_boxplot_agg_global,
+        "mad_agg": q_mad_agg,
+        "mad_agg_global": q_mad_agg_global,
+        "string_stats_agg": q_string_stats_agg,
+        "string_stats_agg_global": q_string_stats_agg_global,
+        "ttest_agg": q_ttest_agg,
+        "ttest_agg_global": q_ttest_agg_global,
+        "matrix_stats_agg": q_matrix_stats_agg,
+        "matrix_stats_agg_global": q_matrix_stats_agg_global,
+        "top_metrics_agg": q_top_metrics_agg,
+        "top_metrics_agg_global": q_top_metrics_agg_global,
         "ts_filter_search": q_ts_filter_search,
         "highlight_positions": q_highlight_positions,
         "highlight_positions_global": q_highlight_positions_global,
@@ -8658,6 +9110,18 @@ def oracle_sql():
         "extstats_agg_global": sql_extstats_agg(),
         "percentiles_agg": sql_percentiles_agg(),
         "percentiles_agg_global": sql_percentiles_agg(),
+        "boxplot_agg": sql_boxplot_agg(),
+        "boxplot_agg_global": sql_boxplot_agg(),
+        "mad_agg": sql_mad_agg(),
+        "mad_agg_global": sql_mad_agg(),
+        "string_stats_agg": sql_string_stats_agg(),
+        "string_stats_agg_global": sql_string_stats_agg(),
+        "ttest_agg": sql_ttest_agg(),
+        "ttest_agg_global": sql_ttest_agg(),
+        "matrix_stats_agg": sql_matrix_stats_agg(),
+        "matrix_stats_agg_global": sql_matrix_stats_agg(),
+        "top_metrics_agg": sql_top_metrics_agg(),
+        "top_metrics_agg_global": sql_top_metrics_agg(),
         "ts_filter_search": sql_ts_filter_search(),
         "highlight_positions": sql_highlight_positions(),
         "highlight_positions_global": sql_highlight_positions(),

@@ -1077,7 +1077,7 @@ def _values_partition_task(
     for path, idx in zip(paths, local_idx):
         t = pq.read_table(path, columns=[field])
         v = _load_meta_values(t.column(field))[idx]
-        if mode != "raw":
+        if mode not in ("raw", "stringstats"):
             v = v.astype(np.float64)
             v = v[~np.isnan(v)]
         vals.append(v)
@@ -1086,6 +1086,10 @@ def _values_partition_task(
         # id-ALIGNED raw doc values (routed partition order == sorted
         # unique id order) — no filtering, alignment is the contract
         return v
+    if mode == "stringstats":
+        from .statagg import string_stats_partial
+
+        return string_stats_partial(v)
     if mode == "sketch":
         return pctl_sketch_partial(v, sketch_k)
     if mode == "extstats":
@@ -1118,6 +1122,67 @@ def values_partials_over_ids(
             field,
             mode,
             sketch_k,
+        )
+        for i in range(0, len(paths), partitions_per_task)
+    ]
+    return list(ray.get(futs))
+
+
+@ray.remote
+def _multi_values_partition_task(
+    paths: list[str],
+    local_idx: list[np.ndarray],
+    fields: list[str],
+    mode: str,
+) -> object:
+    """Matched-row doc values of SEVERAL columns, reduced per ``mode``:
+    ``"matrix"`` ((n, Σx, Gram) for matrix_stats), ``"paireddiff"``
+    (extstats moments of fields[0] − fields[1] — the paired t_test
+    partial).  One column-pruned read per partition per field."""
+    cols: list[list[np.ndarray]] = [[] for _ in fields]
+    for path, idx in zip(paths, local_idx):
+        t = pq.read_table(path, columns=list(fields))
+        for i, f in enumerate(fields):
+            cols[i].append(
+                _load_meta_values(t.column(f))[idx].astype(np.float64)
+            )
+    merged = [
+        np.concatenate(c) if c else np.empty(0) for c in cols
+    ]
+    if mode == "matrix":
+        from .statagg import matrix_stats_partial
+
+        return matrix_stats_partial(merged)
+    if mode == "paireddiff":
+        d = merged[0] - merged[1]
+        d = d[~np.isnan(d)]
+        if len(d) == 0:
+            return (0, 0.0, 0.0, np.inf, -np.inf)
+        return (int(len(d)), float(d.sum()), float((d * d).sum()),
+                float(d.min()), float(d.max()))
+    raise ValueError(f"unknown multi-values mode: {mode!r}")
+
+
+def multi_values_partials_over_ids(
+    index_dir: str | Path,
+    doc_ids: np.ndarray,
+    fields: list[str],
+    mode: str,
+    partitions_per_task: int = 16,
+) -> list:
+    """Multi-column metric partials (matrix_stats / paired t_test) for
+    an explicit matched doc-id set over the source docmeta lineage —
+    same routing as :func:`values_partials_over_ids`."""
+    plan = _route_ids_to_partitions(index_dir, doc_ids)
+    if plan is None:
+        return []
+    paths, locals_ = plan
+    futs = [
+        _multi_values_partition_task.remote(
+            paths[i: i + partitions_per_task],
+            locals_[i: i + partitions_per_task],
+            list(fields),
+            mode,
         )
         for i in range(0, len(paths), partitions_per_task)
     ]

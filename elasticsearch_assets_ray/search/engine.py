@@ -1239,6 +1239,89 @@ class ShardData:
             return h.to_bytes()
         return np.unique(vals)
 
+    def _agg_match_idxs(self, clauses: dict) -> np.ndarray:
+        """Shard-local row indexes matching a bool clause set — the
+        shared entry of every doc-values aggregation partial."""
+        ok = self._bool_eligible(
+            sorted(set(clauses.get("must", []))),
+            sorted(set(clauses.get("should", []))),
+            sorted(set(clauses.get("must_not", []))),
+            sorted(set(clauses.get("filter", []))),
+            clauses.get("msm"),
+            clauses.get("meta_filters"),
+            clauses.get("range_filters"),
+            self._postings_idx_fn(),
+        )
+        return np.nonzero(ok)[0]
+
+    def agg_string_stats(self, clauses: dict, field: str) -> tuple:
+        """Per-shard partial for ES ``string_stats`` (see
+        ``statagg.string_stats_partial``) — wire bounded by alphabet."""
+        from .statagg import string_stats_partial
+
+        idxs = self._agg_match_idxs(clauses)
+        return string_stats_partial(self.meta_col(field)[idxs])
+
+    def agg_matrix_stats(self, clauses: dict, fields: list[str]) -> tuple:
+        """Per-shard partial for ES ``matrix_stats`` — (n, Σx, Gram),
+        O(k²) wire (see ``statagg.matrix_stats_partial``)."""
+        from .statagg import matrix_stats_partial
+
+        idxs = self._agg_match_idxs(clauses)
+        return matrix_stats_partial(
+            [self.meta_col(f)[idxs] for f in fields]
+        )
+
+    def agg_paired_diff(
+        self, clauses: dict, field_a: str, field_b: str
+    ) -> tuple:
+        """Per-shard extstats-shaped moments of the per-doc DIFFERENCE
+        ``field_a - field_b`` over rows where BOTH are present — the
+        paired ``t_test`` partial."""
+        idxs = self._agg_match_idxs(clauses)
+        a = self.meta_col(field_a)[idxs].astype(np.float64)
+        b = self.meta_col(field_b)[idxs].astype(np.float64)
+        d = a - b
+        d = d[~np.isnan(d)]
+        if len(d) == 0:
+            return (0, 0.0, 0.0, np.inf, -np.inf)
+        return (int(len(d)), float(d.sum()), float((d * d).sum()),
+                float(d.min()), float(d.max()))
+
+    def agg_top_metrics(
+        self,
+        clauses: dict,
+        sort_field: str,
+        desc: bool,
+        size: int,
+        metric_fields: list[str],
+    ) -> list[tuple]:
+        """Per-shard partial for ES ``top_metrics``: this shard's top
+        ``size`` matched docs by ``sort_field`` (ties GLOBAL-doc-id
+        ascending — the serving tiebreak), each carrying its metric
+        doc values.  O(size) wire."""
+        idxs = self._agg_match_idxs(clauses)
+        sv = self.meta_col(sort_field)[idxs].astype(np.float64)
+        keep = ~np.isnan(sv)  # ES skips docs missing the sort field
+        idxs, sv = idxs[keep], sv[keep]
+        if len(idxs) == 0:
+            return []
+        order = np.lexsort((idxs, -sv if desc else sv))[:size]
+        idxs, sv = idxs[order], sv[order]
+        mets = [self.meta_col(f)[idxs] for f in metric_fields]
+        gids = idxs + self.doc_base
+        out = []
+        for i in range(len(idxs)):
+            out.append((
+                float(sv[i]), int(gids[i]),
+                tuple(
+                    None if (isinstance(c[i], float) and np.isnan(c[i]))
+                    else (c[i].item() if hasattr(c[i], "item") else c[i])
+                    for c in mets
+                ),
+            ))
+        return out
+
     def expand_prefix(self, prefix: str, cap: int | None = None) -> list[str]:
         """Terms in this shard's (sorted) dictionary starting with
         ``prefix``, in term order — the Lucene per-segment prefix
@@ -2842,6 +2925,39 @@ class _ScorerCore:
         parts = [p for p in parts if len(p)]
         return np.unique(np.concatenate(parts)) if parts else np.empty(0)
 
+    def agg_string_stats(self, clauses: dict, field: str) -> tuple:
+        from .statagg import merge_string_stats
+
+        return merge_string_stats(
+            [s.agg_string_stats(clauses, field) for s in self.shards]
+        )
+
+    def agg_matrix_stats(self, clauses: dict, fields: list[str]) -> list:
+        return [s.agg_matrix_stats(clauses, fields) for s in self.shards]
+
+    def agg_paired_diff(
+        self, clauses: dict, field_a: str, field_b: str
+    ) -> tuple:
+        from .datehist import merge_extstats
+
+        return merge_extstats(
+            [s.agg_paired_diff(clauses, field_a, field_b)
+             for s in self.shards]
+        )
+
+    def agg_top_metrics(
+        self, clauses: dict, sort_field: str, desc: bool, size: int,
+        metric_fields: list[str],
+    ) -> list[tuple]:
+        from .statagg import merge_top_metrics
+
+        return merge_top_metrics(
+            [s.agg_top_metrics(clauses, sort_field, desc, size,
+                               metric_fields)
+             for s in self.shards],
+            size, desc,
+        )
+
     def bool_topk(
         self,
         queries: list[tuple[int, dict, int]],
@@ -4182,6 +4298,162 @@ class QueryEngine:
             return float(h.estimate())
         parts = [p for p in parts if len(p)]
         return float(len(np.unique(np.concatenate(parts)))) if parts else 0.0
+
+    def boxplot(self, query: str | list[str] | dict, field: str) -> dict:
+        """ES ``boxplot`` aggregation (min/max/q1/q2/q3) over the docs
+        matching ``query`` — exact nearest-rank quartiles from per-shard
+        sorted value partials (ES itself serves t-digest approximations;
+        the exact form is the SQL-reproducible twin, and the
+        ``percentiles(mode="sketch")`` log-bucket path remains the
+        10^12-row option for the same quantile shape)."""
+        from .statagg import boxplot_exact
+
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return boxplot_exact([])
+        return boxplot_exact(ray.get(
+            [a.agg_values.remote(clauses, field, None)
+             for a in self.actors]
+        ))
+
+    def median_absolute_deviation(
+        self, query: str | list[str] | dict, field: str
+    ) -> float | None:
+        """ES ``median_absolute_deviation``: exact nearest-rank
+        median(|x − median(x)|) from the same sorted-value partials."""
+        from .statagg import mad_exact
+
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return None
+        return mad_exact(ray.get(
+            [a.agg_values.remote(clauses, field, None)
+             for a in self.actors]
+        ))
+
+    def string_stats(
+        self, query: str | list[str] | dict, field: str
+    ) -> dict:
+        """ES ``string_stats`` aggregation over a keyword doc-values
+        column: count / min_length / max_length / avg_length / Shannon
+        entropy over the merged character distribution.  Per-shard
+        partials are alphabet-bounded (codepoint histograms), never
+        O(match count) on the wire."""
+        from .statagg import string_stats_render
+
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return string_stats_render([])
+        return string_stats_render(
+            ray.get(
+                [a.agg_string_stats.remote(clauses, field)
+                 for a in self.actors]
+            ),
+            self.params.round_decimals,
+        )
+
+    def t_test(
+        self,
+        query_a: str | list[str] | dict,
+        field: str | None = None,
+        query_b: str | list[str] | dict | None = None,
+        fields: tuple[str, str] | None = None,
+        type: str = "heteroscedastic",
+    ) -> dict:
+        """ES ``t_test`` aggregation.  Two forms:
+
+        * unpaired (``heteroscedastic`` Welch / ``homoscedastic``
+          pooled): one numeric ``field``, two match sets ``query_a`` /
+          ``query_b`` (the ES two-filter form) — one extstats partial
+          round per side.
+        * ``type="paired"``: two ``fields`` of the SAME match set
+          ``query_a`` — per-doc differences reduce in-shard.
+
+        Returns ``{"t", "df"}`` (p-value divergence documented in
+        ``statagg.ttest_from_moments``)."""
+        from .datehist import merge_extstats
+        from .statagg import ttest_from_moments
+
+        if type == "paired":
+            if fields is None:
+                raise ValueError("paired t_test needs fields=(a, b)")
+            clauses = self._query_clauses(query_a)
+            if clauses is None:
+                return {"t": None, "df": None}
+            part = merge_extstats(ray.get(
+                [a.agg_paired_diff.remote(clauses, fields[0], fields[1])
+                 for a in self.actors]
+            ))
+            return ttest_from_moments(
+                part, None, "paired", self.params.round_decimals
+            )
+        if field is None or query_b is None:
+            raise ValueError("unpaired t_test needs field= and query_b=")
+        ca = self._query_clauses(query_a)
+        cb = self._query_clauses(query_b)
+        if ca is None or cb is None:
+            return {"t": None, "df": None}
+        pa_ = merge_extstats(ray.get(
+            [a.agg_extended_stats.remote(ca, field) for a in self.actors]
+        ))
+        pb = merge_extstats(ray.get(
+            [a.agg_extended_stats.remote(cb, field) for a in self.actors]
+        ))
+        return ttest_from_moments(pa_, pb, type, self.params.round_decimals)
+
+    def matrix_stats(
+        self, query: str | list[str] | dict, fields: list[str]
+    ) -> list[dict]:
+        """ES ``matrix_stats`` aggregation over k numeric doc-values
+        columns: per ordered field pair, count / means / sample
+        covariance / Pearson correlation, from O(k²)-wire Gram-matrix
+        partials (rows missing any field skipped — ES semantics).
+        Skewness/kurtosis divergence documented in
+        ``statagg.matrix_stats_render``."""
+        from .statagg import matrix_stats_render
+
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return []
+        per_actor = ray.get(
+            [a.agg_matrix_stats.remote(clauses, list(fields))
+             for a in self.actors]
+        )
+        return matrix_stats_render(
+            [p for parts in per_actor for p in parts],
+            list(fields), self.params.round_decimals,
+        )
+
+    def top_metrics(
+        self,
+        query: str | list[str] | dict,
+        metrics: list[str],
+        sort: tuple[str, str],
+        size: int = 1,
+    ) -> list[dict]:
+        """ES ``top_metrics`` aggregation: the metric doc values of the
+        top-``size`` matching docs by a numeric/date sort field (ties
+        doc-ascending — the serving tiebreak).  Per-shard partials ship
+        O(size); the global top is exact because it is a subset of the
+        union of per-shard tops."""
+        from .statagg import merge_top_metrics
+
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return []
+        field, direction = sort
+        desc = direction == "desc"
+        per_actor = ray.get(
+            [a.agg_top_metrics.remote(clauses, field, desc, size,
+                                      list(metrics))
+             for a in self.actors]
+        )
+        merged = merge_top_metrics(per_actor, size, desc)
+        return [
+            {"doc_id": d, "sort": sv,
+             "metrics": dict(zip(metrics, mv))}
+            for sv, d, mv in merged
+        ]
 
     def search_phrase_prefix(
         self, phrase: str | list[str], k: int = 10, max_expansions: int = 50

@@ -2252,6 +2252,167 @@ class TermPartitionedEngine:
         parts = [p for p in parts if len(p)]
         return float(len(np.unique(np.concatenate(parts)))) if parts else 0.0
 
+    def boxplot(self, query: str | list[str], field: str) -> dict:
+        """ES ``boxplot`` served from the term-partitioned layout —
+        same exact nearest-rank semantics as
+        :meth:`QueryEngine.boxplot` (parity-tested)."""
+        from .datehist import values_partials_over_ids
+        from .statagg import boxplot_exact
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return boxplot_exact([])
+        ids, src = got
+        return boxplot_exact(
+            values_partials_over_ids(src, ids, field, "sorted")
+        )
+
+    def median_absolute_deviation(
+        self, query: str | list[str], field: str
+    ) -> float | None:
+        """ES ``median_absolute_deviation`` served from the term-
+        partitioned layout (exact nearest-rank twin)."""
+        from .datehist import values_partials_over_ids
+        from .statagg import mad_exact
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return None
+        ids, src = got
+        return mad_exact(
+            values_partials_over_ids(src, ids, field, "sorted")
+        )
+
+    def string_stats(self, query: str | list[str], field: str) -> dict:
+        """ES ``string_stats`` served from the term-partitioned layout:
+        matched ids route to the source docmeta lineage; per-task
+        partials are alphabet-bounded codepoint histograms."""
+        from .datehist import values_partials_over_ids
+        from .statagg import string_stats_render
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return string_stats_render([])
+        ids, src = got
+        rd_ = 6 if self.round_decimals is None else self.round_decimals
+        return string_stats_render(
+            values_partials_over_ids(src, ids, field, "stringstats"), rd_
+        )
+
+    def t_test(
+        self,
+        query_a: str | list[str],
+        field: str | None = None,
+        query_b: str | list[str] | None = None,
+        fields: tuple[str, str] | None = None,
+        type: str = "heteroscedastic",
+    ) -> dict:
+        """ES ``t_test`` served from the term-partitioned layout — same
+        forms and moments arithmetic as :meth:`QueryEngine.t_test`
+        (parity-tested; p-value divergence documented in
+        ``statagg.ttest_from_moments``)."""
+        from .datehist import (
+            merge_extstats,
+            multi_values_partials_over_ids,
+            values_partials_over_ids,
+        )
+        from .statagg import ttest_from_moments
+
+        rd_ = 6 if self.round_decimals is None else self.round_decimals
+        if type == "paired":
+            if fields is None:
+                raise ValueError("paired t_test needs fields=(a, b)")
+            got = self._matched_ids_and_source(query_a)
+            if got is None:
+                return {"t": None, "df": None}
+            ids, src = got
+            part = merge_extstats(multi_values_partials_over_ids(
+                src, ids, [fields[0], fields[1]], "paireddiff"
+            ))
+            return ttest_from_moments(part, None, "paired", rd_)
+        if field is None or query_b is None:
+            raise ValueError("unpaired t_test needs field= and query_b=")
+
+        def _moments(q):
+            got = self._matched_ids_and_source(q)
+            if got is None:
+                return None
+            ids, src = got
+            return merge_extstats(
+                values_partials_over_ids(src, ids, field, "extstats")
+            )
+
+        pa_, pb = _moments(query_a), _moments(query_b)
+        if pa_ is None or pb is None:
+            return {"t": None, "df": None}
+        return ttest_from_moments(pa_, pb, type, rd_)
+
+    def matrix_stats(
+        self, query: str | list[str], fields: list[str]
+    ) -> list[dict]:
+        """ES ``matrix_stats`` served from the term-partitioned layout —
+        O(k²) Gram partials over the source docmeta lineage."""
+        from .datehist import multi_values_partials_over_ids
+        from .statagg import matrix_stats_render
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return []
+        ids, src = got
+        return matrix_stats_render(
+            multi_values_partials_over_ids(src, ids, list(fields), "matrix"),
+            list(fields),
+            6 if self.round_decimals is None else self.round_decimals,
+        )
+
+    def top_metrics(
+        self,
+        query: str | list[str],
+        metrics: list[str],
+        sort: tuple[str, str],
+        size: int = 1,
+    ) -> list[dict]:
+        """ES ``top_metrics`` served from the term-partitioned layout:
+        the matched id set hydrates ONLY the sort column id-aligned,
+        the top-``size`` cut happens on the coordinator, and metric
+        columns hydrate for just the cut docs — O(size) hydration, not
+        O(match count) per metric."""
+        from .datehist import valid_mask, values_partials_over_ids
+        from .statagg import merge_top_metrics
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return []
+        ids, src = got
+        field, direction = sort
+        desc = direction == "desc"
+        sv_parts = values_partials_over_ids(src, ids, field, "raw")
+        sv = np.concatenate(sv_parts) if sv_parts else np.empty(0)
+        vm = valid_mask(sv)
+        ids2, sv = ids[vm], sv[vm].astype(np.float64)
+        if len(ids2) == 0:
+            return []
+        order = np.lexsort((ids2, -sv if desc else sv))[:size]
+        top_ids, top_sv = ids2[order], sv[order]
+        sid = np.sort(top_ids)
+        met_cols = []
+        for f in metrics:
+            parts = values_partials_over_ids(src, sid, f, "raw")
+            met_cols.append(np.concatenate(parts))
+        out = []
+        for i in range(len(top_ids)):
+            j = int(np.searchsorted(sid, top_ids[i]))
+            mv = tuple(
+                None if (isinstance(c[j], float) and np.isnan(c[j]))
+                else (c[j].item() if hasattr(c[j], "item") else c[j])
+                for c in met_cols
+            )
+            out.append({
+                "doc_id": int(top_ids[i]), "sort": float(top_sv[i]),
+                "metrics": dict(zip(metrics, mv)),
+            })
+        return out
+
     def date_histogram(
         self,
         query: str | list[str],
