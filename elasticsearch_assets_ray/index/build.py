@@ -594,6 +594,24 @@ def parse_derived_meta(spec: str):
             return pa.array(v % m + plus, pa.int64())
 
         return name, (src,), fn
+    if kind == "affine_mod":
+        # gridded float field out of an integer column:
+        # ((src * mult) % mod) / div - sub — the deterministic
+        # geo-coordinate recipe (e.g. lat on a 0.01° grid over
+        # [-85, 85)): integer modular arithmetic is exact, the single
+        # float divide is SQL-mirrorable verbatim
+        src, mult_s, mod_s, div_s, sub_s = args
+        mult, mod, div, sub = int(mult_s), int(mod_s), float(div_s), float(sub_s)
+        if mod < 1:
+            raise ValueError(f"affine_mod modulus must be >= 1 in {spec!r}")
+
+        def fn(tbl: pa.Table) -> pa.Array:
+            v = tbl.column(src).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.array((v * mult) % mod / div - sub, pa.float64())
+
+        return name, (src,), fn
     raise ValueError(f"unknown derived_meta kind {kind!r} in {spec!r}")
 
 

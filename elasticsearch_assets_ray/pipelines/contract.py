@@ -107,7 +107,7 @@ def _docs(sf_dir: str):
 
 # bump when index layout / analyzer / scoring semantics change, so a
 # /tmp cache surviving from an earlier code version can never be reused
-CONTRACT_INDEX_VERSION = "v10"  # v10: req_matches docmeta (terms_set)
+CONTRACT_INDEX_VERSION = "v11"  # v11: lat/lon geo docmeta (runtime fields)
 
 # deterministic date-typed docmeta column: documents carry no timestamp,
 # so the contract derives one at ingest (the ES ingest-pipeline analogue)
@@ -130,6 +130,16 @@ CREATED_SQL = (
 REQ_SPEC = "req_matches=mod_of:n_chars:3:1"
 REQ_SQL = "(n_chars % 3 + 1)"
 
+# deterministic geo point per doc: INTEGER-degree grids (lat ∈ [-85, 84]
+# — inside ES's web-mercator clip band; lon ∈ [-180, 179]).  Integer
+# values keep centroid sums exact (add-order independent), so geo
+# aggregations stay hash-oracled; the haversine/geotile expressions over
+# them are continuous math, rounded/bucketed per the float invariant.
+GEO_LAT_SPEC = "lat=affine_mod:doc_id:7919:170:1:85"
+GEO_LON_SPEC = "lon=affine_mod:doc_id:104729:360:1:180"
+GEO_LAT_SQL = "((documents.doc_id * 7919) % 170 - 85)"
+GEO_LON_SQL = "((documents.doc_id * 104729) % 360 - 180)"
+
 
 def doc_index_dir(sf_dir: str) -> str:
     tag = hashlib.md5(f"{CONTRACT_INDEX_VERSION}:{sf_dir}".encode()).hexdigest()[:10]
@@ -143,8 +153,9 @@ def ensure_doc_index(sf_dir: str) -> str:
         text_col="text",
         lang_col=None,
         id_col="doc_id",
-        meta_cols=("source", "lang", "created_at", "n_chars", "req_matches"),
-        derived_meta=(CREATED_SPEC, REQ_SPEC),
+        meta_cols=("source", "lang", "created_at", "n_chars", "req_matches",
+                   "lat", "lon"),
+        derived_meta=(CREATED_SPEC, REQ_SPEC, GEO_LAT_SPEC, GEO_LON_SPEC),
         partition_target_docs=128,
         shard_target_docs=512,
         # Lucene indexes positions for text fields by default; the one
@@ -4678,6 +4689,439 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------- geo
+# The ES geo surface (geo_distance agg+filter, geotile_grid, geo_bounds,
+# geo_centroid — the reference validates these params and delegates the
+# math to ES, asset/elasticsearch_reader/index.js:187-286) served as
+# RUNTIME FIELDS: haversine / slippy-tile expressions over the derived
+# integer-degree lat/lon docmeta, executed by the engines' existing
+# range/terms/stats machinery and mirrored verbatim in the SQL oracle.
+
+GEO_ORIGIN_A = (40.7, -74.0)     # NYC-ish
+GEO_ORIGIN_B = (-33.9, 151.2)    # Sydney-ish
+# (query_id, match text, origin, ranges[m or "<n><unit>"]) — ranges
+# overlap (ES: a doc lands in every matching bucket) and include a
+# far-out empty one
+GEO_DIST_QUERIES: list[tuple[int, str, tuple, list[tuple]]] = [
+    (0, "hash join", GEO_ORIGIN_A,
+     [(None, 3_000_000.0), (3_000_000.0, 9_000_000.0),
+      (9_000_000.0, None), (5_000_000.0, 12_000_000.0),
+      (19_900_000.0, None)]),
+    (1, "customer order value", GEO_ORIGIN_B,
+     [(None, "8000km"), ("8000km", None)]),
+]
+
+
+def _geo_stat_rows(qid: int, buckets: list[dict]) -> list[dict]:
+    return [
+        {
+            "query_id": qid,
+            "range_idx": i,
+            "doc_count": b["doc_count"],
+            "sum_nc": b.get("sum", 0.0),
+            "min_nc": b.get("min", 0.0),
+            "max_nc": b.get("max", 0.0),
+            "avg_nc": b.get("avg", 0.0),
+        }
+        for i, b in enumerate(buckets)
+    ]
+
+
+def _q_geo_distance_agg(engine) -> pa.Table:
+    rows = []
+    for qid, text, origin, ranges in GEO_DIST_QUERIES:
+        rows += _geo_stat_rows(
+            qid,
+            engine.geo_distance_agg(text, "lat", "lon", origin, ranges,
+                                    stats_on="n_chars"),
+        )
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_geo_distance_agg(sf_dir: str) -> pa.Table:
+    """ES ``geo_distance`` aggregation (stats sub-agg on ``n_chars``)
+    over each query's match set: distance-from-origin range buckets
+    where the distance is a haversine RUNTIME FIELD over the stored
+    lat/lon doc values — per-shard vectorized masks, O(ranges) wire,
+    the plain range-agg machinery end to end."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_geo_distance_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_geo_distance_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME geo_distance aggregation from the TERM-partitioned
+    layout: matched ids route to the source docmeta lineage; each Ray
+    task reads ONLY lat+lon (+ stats col) for the matched rows and
+    evaluates the haversine expression vectorized."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_geo_distance_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_geo_distance_agg() -> str:
+    from ..search.geo import haversine_sql
+
+    term_rows, rng_rows, dist_cases = [], [], []
+    for qid, text, (lat0, lon0), ranges in GEO_DIST_QUERIES:
+        from ..ops.geo import parse_distance
+
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+        for i, (lo, hi) in enumerate(ranges):
+            lo_m = (parse_distance(lo) if isinstance(lo, str)
+                    else lo)
+            hi_m = (parse_distance(hi) if isinstance(hi, str)
+                    else hi)
+            lo_s = "NULL" if lo_m is None else f"{float(lo_m)!r}"
+            hi_s = "NULL" if hi_m is None else f"{float(hi_m)!r}"
+            rng_rows.append(
+                f"({qid}, {i}, {lo_s}::DOUBLE, {hi_s}::DOUBLE)"
+            )
+        dist_cases.append(
+            f"WHEN {qid} THEN "
+            + haversine_sql(GEO_LAT_SQL, GEO_LON_SQL, lat0, lon0)
+        )
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    case = "CASE q2.query_id " + " ".join(dist_cases) + " END"
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, t) AS (VALUES {', '.join(term_rows)}),
+r(query_id, range_idx, lo, hi) AS (VALUES {', '.join(rng_rows)}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+d AS (SELECT q2.query_id, documents.doc_id, documents.n_chars::DOUBLE AS nc,
+             {case} AS dist
+      FROM documents
+      JOIN (SELECT DISTINCT query_id FROM q) q2 ON true
+      JOIN hit ON hit.query_id = q2.query_id
+             AND hit.doc_id = documents.doc_id),
+m AS (SELECT d.query_id, r.range_idx, d.nc
+      FROM d JOIN r ON r.query_id = d.query_id
+      WHERE (r.lo IS NULL OR d.dist >= r.lo)
+        AND (r.hi IS NULL OR d.dist < r.hi))
+SELECT r.query_id, r.range_idx,
+       count(m.nc)::BIGINT AS doc_count,
+       coalesce(sum(m.nc), 0) AS sum_nc,
+       coalesce(min(m.nc), 0) AS min_nc,
+       coalesce(max(m.nc), 0) AS max_nc,
+       coalesce(sum(m.nc) / nullif(count(m.nc), 0), 0) AS avg_nc
+FROM r
+LEFT JOIN m ON m.query_id = r.query_id AND m.range_idx = r.range_idx
+GROUP BY 1, 2
+"""
+
+
+# (query_id, match text, zoom, size)
+GEOTILE_QUERIES: list[tuple[int, str, int, int]] = [
+    (0, "hash join", 5, 12),
+    (1, "query scan", 3, 8),
+]
+
+
+def _q_geotile_grid(engine) -> pa.Table:
+    rows = []
+    for qid, text, zoom, size in GEOTILE_QUERIES:
+        for b in engine.geotile_grid(text, "lat", "lon", precision=zoom,
+                                     size=size):
+            rows.append({"query_id": qid, "tile": b["key"],
+                         "doc_count": b["doc_count"]})
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_geotile_grid(sf_dir: str) -> pa.Table:
+    """ES ``geotile_grid`` aggregation: slippy-map tile buckets
+    (``"z/x/y"`` keys) of the matched docs' points, doc_count desc /
+    packed-tile asc, EXACT top-``size`` cut (no shard_size heuristic —
+    every tile crosses the O(tiles) merge).  The tile id is a runtime
+    field, so the whole agg is the existing terms machinery."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_geotile_grid(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_geotile_grid_global(sf_dir: str) -> pa.Table:
+    """The SAME geotile_grid from the TERM-partitioned layout (matched
+    ids → docmeta lineage, lat+lon column-pruned reads)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_geotile_grid(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_geotile_grid() -> str:
+    from ..search.geo import geotile_xy_sql
+
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    parts = []
+    for qid, text, zoom, size in GEOTILE_QUERIES:
+        tvals = ", ".join(f"('{t}')" for t in _simple_tokens(text))
+        x, y = geotile_xy_sql(GEO_LAT_SQL, GEO_LON_SQL, zoom)
+        parts.append(f"""
+SELECT {qid} AS query_id, tile, doc_count FROM (
+  SELECT '{zoom}/' || tx::BIGINT || '/' || ty::BIGINT AS tile,
+         count(*)::BIGINT AS doc_count,
+         tx * {float(1 << zoom)!r} + ty AS packed
+  FROM (
+    SELECT {x} AS tx, {y} AS ty
+    FROM documents
+    WHERE doc_id IN (SELECT DISTINCT toks.doc_id
+                     FROM toks JOIN (VALUES {tvals}) q(t)
+                       ON toks.t = q.t)
+  )
+  GROUP BY tile, packed
+  ORDER BY doc_count DESC, packed ASC
+  LIMIT {size}
+)""")
+    return f"WITH toks AS ({toks})\n" + "\nUNION ALL\n".join(parts)
+
+
+GEO_BOUNDS_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join"), (1, "customer order value"),
+]
+
+
+def _q_geo_bounds_centroid(engine) -> pa.Table:
+    rows = []
+    for qid, text in GEO_BOUNDS_QUERIES:
+        gb = engine.geo_bounds(text, "lat", "lon")
+        gc = engine.geo_centroid(text, "lat", "lon")
+        rows.append({
+            "query_id": qid,
+            "doc_count": gb["count"],
+            "top_lat": gb["top_left"]["lat"],
+            "left_lon": gb["top_left"]["lon"],
+            "bottom_lat": gb["bottom_right"]["lat"],
+            "right_lon": gb["bottom_right"]["lon"],
+            "centroid_lat": gc["location"]["lat"],
+            "centroid_lon": gc["location"]["lon"],
+        })
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_geo_bounds_centroid(sf_dir: str) -> pa.Table:
+    """ES ``geo_bounds`` + ``geo_centroid`` metric aggregations over
+    each query's match set: envelope (min/max per axis) and per-axis
+    arithmetic mean (the ES accumulation) from O(1)-wire stats partials.
+    Sums stay exact — the lat/lon grid is integer-degree — so the
+    centroid division is add-order independent and hash-oracled."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_geo_bounds_centroid(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_geo_bounds_centroid_global(sf_dir: str) -> pa.Table:
+    """The SAME geo_bounds/geo_centroid from the TERM-partitioned
+    layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_geo_bounds_centroid(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_geo_bounds_centroid() -> str:
+    term_rows = []
+    for qid, text in GEO_BOUNDS_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, t) AS (VALUES {', '.join(term_rows)}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+g AS (SELECT hit.query_id,
+             {GEO_LAT_SQL}::DOUBLE AS lat, {GEO_LON_SQL}::DOUBLE AS lon
+      FROM documents JOIN hit ON hit.doc_id = documents.doc_id)
+SELECT query_id,
+       count(*)::BIGINT AS doc_count,
+       max(lat) AS top_lat,
+       min(lon) AS left_lon,
+       min(lat) AS bottom_lat,
+       max(lon) AS right_lon,
+       sum(lat) / count(*) AS centroid_lat,
+       sum(lon) / count(*) AS centroid_lon
+FROM g GROUP BY 1
+"""
+
+
+# (query_id, match text, origin, distance) — the geo_distance FILTER
+GEO_SEARCH_QUERIES: list[tuple[int, str, tuple, object]] = [
+    (0, "hash join", GEO_ORIGIN_A, "7000km"),
+    (1, "customer order value", GEO_ORIGIN_B, 12_000_000.0),
+]
+
+
+def _q_geo_search(engine) -> pa.Table:
+    rows = []
+    for qid, text, origin, dist in GEO_SEARCH_QUERIES:
+        for doc, _score in engine.search_geo_distance(
+            text, "lat", "lon", origin, dist, k=1 << 30
+        ):
+            rows.append({"query_id": qid, "doc_id": doc})
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["query_id", "doc_id"]),
+        preserve_index=False,
+    )
+
+
+def q_geo_search(sf_dir: str) -> pa.Table:
+    """ES bool query + ``geo_distance`` filter (the reference's
+    geo_point/geo_distance reader params): the match set gated by a
+    non-scoring haversine-runtime-field range predicate — the full
+    surviving doc-id set (k unbounded) so the compare is set-exact."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_geo_search(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_geo_search_global(sf_dir: str) -> pa.Table:
+    """The SAME geo_distance-filtered search on the TERM-partitioned
+    layout: a programmatic sqs ``("filter", match, metarange)`` tree —
+    the geo gate scans lat+lon column-pruned via meta_match_ids."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_geo_search(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_geo_search() -> str:
+    from ..ops.geo import parse_distance
+    from ..search.geo import haversine_sql
+
+    term_rows, gates = [], []
+    for qid, text, (lat0, lon0), dist in GEO_SEARCH_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+        d = parse_distance(dist) if isinstance(dist, str) else float(dist)
+        gates.append(
+            f"WHEN {qid} THEN "
+            + haversine_sql(GEO_LAT_SQL, GEO_LON_SQL, lat0, lon0)
+            + f" <= {d!r}"
+        )
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    case = "CASE hit.query_id " + " ".join(gates) + " END"
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, t) AS (VALUES {', '.join(term_rows)}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t)
+SELECT hit.query_id, hit.doc_id
+FROM hit JOIN documents ON documents.doc_id = hit.doc_id
+WHERE {case}
+"""
+
+
+# generic (non-geo) runtime-field showcase: a scripted group key and a
+# scripted stats value through the plain terms-agg machinery
+RUNTIME_GROUP_FLD = "script:floor(doc['n_chars'] / 64.0)"
+RUNTIME_STATS_FLD = "script:doc['n_chars'] * 2.0 + doc['req_matches']"
+RUNTIME_QUERIES: list[tuple[int, str]] = [(0, "hash join"), (1, "table")]
+
+
+def _q_runtime_fields(engine) -> pa.Table:
+    rows = []
+    for qid, text in RUNTIME_QUERIES:
+        for b in engine.aggregate(text, RUNTIME_GROUP_FLD,
+                                  stats_on=RUNTIME_STATS_FLD):
+            rows.append({
+                "query_id": qid, "bucket": float(b["key"]),
+                "doc_count": b["doc_count"], "sum_v": b["sum"],
+                "min_v": b["min"], "max_v": b["max"], "avg_v": b["avg"],
+            })
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_runtime_fields(sf_dir: str) -> pa.Table:
+    """RUNTIME FIELDS (ES runtime mappings): a ``script:`` expression is
+    usable anywhere a docmeta field name is — here a scripted GROUP key
+    (``floor(n_chars/64)``) and a scripted STATS value through the
+    unchanged terms-agg machinery.  Scripts compile once per actor,
+    evaluate vectorized, and are integer-valued so sums stay exact."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_runtime_fields(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_runtime_fields_global(sf_dir: str) -> pa.Table:
+    """The SAME runtime-field aggregation from the TERM-partitioned
+    layout: the script's SOURCE columns (only) are read column-pruned
+    from the docmeta lineage and the expression evaluates per task."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_runtime_fields(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_runtime_fields() -> str:
+    term_rows = []
+    for qid, text in RUNTIME_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, t) AS (VALUES {', '.join(term_rows)}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+v AS (SELECT hit.query_id,
+             floor(documents.n_chars / 64.0) AS bucket,
+             documents.n_chars * 2.0 + {REQ_SQL} AS val
+      FROM documents JOIN hit ON hit.doc_id = documents.doc_id)
+SELECT query_id, bucket,
+       count(*)::BIGINT AS doc_count,
+       sum(val) AS sum_v, min(val) AS min_v, max(val) AS max_v,
+       sum(val) / count(*) AS avg_v
+FROM v GROUP BY 1, 2
+"""
+
+
 # date_histogram zero-fill: fixed 1d interval, min_doc_count=0,
 # extended_bounds widening past the (sf-dependent) data span on the low
 # side; ES semantics — enumerate every bucket between
@@ -8940,6 +9384,16 @@ def queries():
         "matrix_stats_agg_global": q_matrix_stats_agg_global,
         "top_metrics_agg": q_top_metrics_agg,
         "top_metrics_agg_global": q_top_metrics_agg_global,
+        "geo_distance_agg": q_geo_distance_agg,
+        "geo_distance_agg_global": q_geo_distance_agg_global,
+        "geotile_grid": q_geotile_grid,
+        "geotile_grid_global": q_geotile_grid_global,
+        "geo_bounds_centroid": q_geo_bounds_centroid,
+        "geo_bounds_centroid_global": q_geo_bounds_centroid_global,
+        "geo_search": q_geo_search,
+        "geo_search_global": q_geo_search_global,
+        "runtime_fields": q_runtime_fields,
+        "runtime_fields_global": q_runtime_fields_global,
         "ts_filter_search": q_ts_filter_search,
         "highlight_positions": q_highlight_positions,
         "highlight_positions_global": q_highlight_positions_global,
@@ -9122,6 +9576,16 @@ def oracle_sql():
         "matrix_stats_agg_global": sql_matrix_stats_agg(),
         "top_metrics_agg": sql_top_metrics_agg(),
         "top_metrics_agg_global": sql_top_metrics_agg(),
+        "geo_distance_agg": sql_geo_distance_agg(),
+        "geo_distance_agg_global": sql_geo_distance_agg(),
+        "geotile_grid": sql_geotile_grid(),
+        "geotile_grid_global": sql_geotile_grid(),
+        "geo_bounds_centroid": sql_geo_bounds_centroid(),
+        "geo_bounds_centroid_global": sql_geo_bounds_centroid(),
+        "geo_search": sql_geo_search(),
+        "geo_search_global": sql_geo_search(),
+        "runtime_fields": sql_runtime_fields(),
+        "runtime_fields_global": sql_runtime_fields(),
         "ts_filter_search": sql_ts_filter_search(),
         "highlight_positions": sql_highlight_positions(),
         "highlight_positions_global": sql_highlight_positions(),

@@ -402,6 +402,67 @@ def _load_meta_values(tbl_col) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
+_SCRIPT_CACHE: dict = {}
+
+
+def _compiled_script(src: str):
+    """Per-process compile cache for runtime-field expressions (one
+    compile per task process, not per partition)."""
+    expr = _SCRIPT_CACHE.get(src)
+    if expr is None:
+        from .funcscore import ScriptExpr
+
+        expr = _SCRIPT_CACHE[src] = ScriptExpr(src)
+    return expr
+
+
+def field_src_cols(field: str | None) -> list[str]:
+    """The stored docmeta columns a field name actually reads — the
+    field itself, or (for a ``script:`` runtime field) the columns its
+    expression references (what the column-pruned read must fetch)."""
+    if not field:
+        return []
+    if field.startswith("script:"):
+        return list(_compiled_script(field[len("script:"):]).fields)
+    return [field]
+
+
+def field_from_table(t: pa.Table, field: str) -> np.ndarray:
+    """Doc values of ``field`` from an already-read docmeta table slice:
+    a stored column, or a ``script:<expr>`` RUNTIME FIELD evaluated
+    vectorized over the columns it references."""
+    if field.startswith("script:"):
+        expr = _compiled_script(field[len("script:"):])
+        env = {f: _load_meta_values(t.column(f)) for f in expr.fields}
+        env["_score"] = np.zeros(t.num_rows)
+        return expr(env)
+    return _load_meta_values(t.column(field))
+
+
+def read_field_values(path: str, field: str) -> np.ndarray:
+    """One docmeta partition's doc values for a stored column OR a
+    ``script:<expr>`` RUNTIME FIELD (ES runtime mappings — the field
+    name carries its definition, mirroring the shard engine's
+    ``ShardData.meta_col``).  Scripts read exactly the columns they
+    reference (column-pruned), evaluate vectorized, and are what the
+    term-partitioned engine's doc-values consumers — metric aggs,
+    bucket aggs, docmeta predicates — hydrate."""
+    return field_from_table(
+        pq.read_table(path, columns=field_src_cols(field)), field
+    )
+
+
+def field_schema_ok(schema_names: set, field: str) -> bool:
+    """Mapping check that understands runtime fields: a script field is
+    mapped iff every stored column it reads is."""
+    if field.startswith("script:"):
+        return all(
+            f in schema_names
+            for f in _compiled_script(field[len("script:"):]).fields
+        )
+    return field in schema_names
+
+
 def field_counts_partial(
     field_vals: np.ndarray, weight_vals: np.ndarray | None
 ) -> dict:
@@ -557,7 +618,6 @@ def _agg_partition_task(
     from .engine import merge_agg_partials
 
     merged: dict = {}
-    cols = [field] if stats_col in (None, field) else [field, stats_col]
     # an interval_terms / terms_pair spec names its group COLUMN; the
     # task reads it and swaps the per-row values in before the shared
     # bucket kernel
@@ -567,16 +627,21 @@ def _agg_partition_task(
         gcol = spec[1]
     else:
         gcol = None
-    if gcol is not None and gcol not in cols:
-        cols.append(gcol)
+    # column-pruned read: the union of stored columns each field name
+    # resolves to (a script: runtime field contributes the columns its
+    # expression reads, not itself)
+    cols = list(dict.fromkeys(
+        field_src_cols(field) + field_src_cols(stats_col)
+        + field_src_cols(gcol)
+    ))
     for path, idx in zip(paths, local_idx):
         t = pq.read_table(path, columns=cols)
         sv = None
         if stats_col is not None:
-            sv = _load_meta_values(t.column(stats_col))[idx].astype(np.float64)
+            sv = field_from_table(t, stats_col)[idx].astype(np.float64)
         spec_local = spec
         if gcol is not None:
-            gv = _load_meta_values(t.column(gcol))[idx]
+            gv = field_from_table(t, gcol)[idx]
             if spec[0] == "terms_pair":
                 spec_local = ("terms_pair", gv)
             else:
@@ -587,7 +652,7 @@ def _agg_partition_task(
         merge_agg_partials(
             merged,
             bucket_partial(
-                _load_meta_values(t.column(field))[idx], spec_local, sv
+                field_from_table(t, field)[idx], spec_local, sv
             ),
         )
     return merged
@@ -1075,8 +1140,7 @@ def _values_partition_task(
     values, any dtype — hydration for top_hits-style consumers)."""
     vals = []
     for path, idx in zip(paths, local_idx):
-        t = pq.read_table(path, columns=[field])
-        v = _load_meta_values(t.column(field))[idx]
+        v = read_field_values(path, field)[idx]
         if mode not in ("raw", "stringstats"):
             v = v.astype(np.float64)
             v = v[~np.isnan(v)]
@@ -1230,8 +1294,7 @@ def _meta_match_partition_task(
 
     out = []
     for path, base in zip(paths, bases):
-        t = pq.read_table(path, columns=[field])
-        vals = _load_meta_values(t.column(field))
+        vals = read_field_values(path, field)
         idx = np.nonzero(meta_pred_mask(vals, pred))[0]
         if len(idx):
             out.append(idx.astype(np.int64) + base)
@@ -1261,7 +1324,7 @@ def meta_match_ids(
     if not parts:
         return np.empty(0, dtype=np.int64)
     first = str(docmeta_path(index_dir, parts[0].partition_id))
-    if field not in set(pq.read_schema(first).names):
+    if not field_schema_ok(set(pq.read_schema(first).names), field):
         return np.empty(0, dtype=np.int64)
     paths = [str(docmeta_path(index_dir, p.partition_id)) for p in parts]
     bases = [p.doc_base for p in parts]
@@ -1310,8 +1373,7 @@ def _distinct_partition_task(
         return h.to_bytes()
     parts = []
     for path, idx in zip(paths, local_idx):
-        t = pq.read_table(path, columns=[field])
-        v = _load_meta_values(t.column(field))[idx]
+        v = read_field_values(path, field)[idx]
         # COUNT(DISTINCT) semantics: missing values contribute nothing
         if v.dtype.kind == "f":
             v = v[~np.isnan(v)]

@@ -1348,7 +1348,24 @@ class ShardData:
         (``asset/elasticsearch_state_storage/api.js:6-33``)."""
         arr = self._meta_cache.get(name)
         if arr is None:
-            if name == "dl":
+            if name.startswith("script:"):
+                # RUNTIME FIELD (ES runtime mappings): the field "name"
+                # IS its definition — an expression over stored docmeta
+                # columns (``funcscore.ScriptExpr`` subset, all
+                # SQL-mirrorable).  Strings-travel philosophy: like
+                # derived_meta recipes and analyzer names, the script
+                # string is the wire format, so every existing filter /
+                # aggregation path (meta_mask ranges, terms, histogram,
+                # stats, percentiles, ...) gains runtime-field support
+                # with no signature change.  Computed once per actor
+                # and cached like any stored column.
+                from .funcscore import ScriptExpr
+
+                expr = ScriptExpr(name[len("script:"):])
+                env = {f: self.meta_col(f) for f in expr.fields}
+                env["_score"] = np.zeros(self.num_docs)
+                arr = expr(env)
+            elif name == "dl":
                 arr = self.dl
             else:
                 parts = [
@@ -4454,6 +4471,151 @@ class QueryEngine:
              "metrics": dict(zip(metrics, mv))}
             for sv, d, mv in merged
         ]
+
+    @staticmethod
+    def _geo_origin(origin) -> tuple[float, float]:
+        from ..ops.geo import parse_point
+
+        return parse_point(origin) if isinstance(origin, str) else origin
+
+    @staticmethod
+    def _geo_meters(v) -> float | None:
+        from ..ops.geo import parse_distance
+
+        if v is None:
+            return None
+        return parse_distance(v) if isinstance(v, str) else float(v)
+
+    def geo_distance_agg(
+        self,
+        query: str | list[str] | dict,
+        lat_field: str,
+        lon_field: str,
+        origin: str | tuple[float, float],
+        ranges: list[dict | tuple],
+        stats_on: str | None = None,
+    ) -> list[dict]:
+        """ES ``geo_distance`` aggregation: distance-from-``origin``
+        range buckets over the matched docs.  ``origin`` is a
+        ``"lat,lon"`` string (the reference's geo_point format) or a
+        tuple; range ends are meters or ``"<n><unit>"`` strings
+        (``ops.geo.parse_distance`` units).  Distance is a haversine
+        RUNTIME FIELD (``geo.haversine_script``), so this is exactly
+        :meth:`range_agg` — per-shard partials, O(ranges) wire."""
+        lat0, lon0 = self._geo_origin(origin)
+        from .geo import haversine_script
+
+        norm = [
+            {
+                "from": self._geo_meters(
+                    r.get("from") if isinstance(r, dict) else r[0]),
+                "to": self._geo_meters(
+                    r.get("to") if isinstance(r, dict) else r[1]),
+            }
+            for r in ranges
+        ]
+        return self.range_agg(
+            query, haversine_script(lat_field, lon_field, lat0, lon0),
+            norm, stats_on,
+        )
+
+    def geotile_grid(
+        self,
+        query: str | list[str] | dict,
+        lat_field: str,
+        lon_field: str,
+        precision: int = 7,
+        size: int = 10,
+        stats_on: str | None = None,
+    ) -> list[dict]:
+        """ES ``geotile_grid`` aggregation: slippy-map tile buckets
+        (``"z/x/y"`` keys) of the matched docs' points, doc_count
+        descending (tile-ascending ties) cut to ``size`` — EXACT, unlike
+        ES's shard_size heuristic (every tile crosses the O(tiles)
+        merge).  The tile id is a runtime field, so the whole agg is
+        the terms machinery."""
+        from .geo import geotile_key, geotile_script
+
+        buckets = self.aggregate(
+            query, geotile_script(lat_field, lon_field, precision),
+            stats_on=stats_on, size=size,
+        )
+        for b in buckets:
+            b["key"] = geotile_key(b["key"], precision)
+        return buckets
+
+    def geo_bounds(
+        self, query: str | list[str] | dict,
+        lat_field: str = "lat", lon_field: str = "lon",
+    ) -> dict:
+        """ES ``geo_bounds``: the envelope of matched points (two
+        extended_stats rounds; ``wrap_longitude`` not modeled)."""
+        from .geo import geo_bounds_render
+
+        return geo_bounds_render(
+            self.extended_stats(query, lat_field),
+            self.extended_stats(query, lon_field),
+        )
+
+    def geo_centroid(
+        self, query: str | list[str] | dict,
+        lat_field: str = "lat", lon_field: str = "lon",
+    ) -> dict:
+        """ES ``geo_centroid``: per-axis arithmetic mean of matched
+        points (the ES accumulation)."""
+        from .geo import geo_centroid_render
+
+        return geo_centroid_render(
+            self.extended_stats(query, lat_field),
+            self.extended_stats(query, lon_field),
+        )
+
+    def search_geo_distance(
+        self,
+        query: str | list[str],
+        lat_field: str,
+        lon_field: str,
+        origin: str | tuple[float, float],
+        distance: str | float,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES bool query with a ``geo_distance`` filter (the reference's
+        geo_point + geo_distance param pair): BM25-ranked ``query`` hits
+        within ``distance`` of ``origin`` — the filter is a non-scoring
+        range predicate over the haversine runtime field."""
+        from .geo import haversine_script
+
+        lat0, lon0 = self._geo_origin(origin)
+        return self.search_bool(
+            should=query, k=k, minimum_should_match=1,
+            filter_range={
+                haversine_script(lat_field, lon_field, lat0, lon0):
+                    (None, self._geo_meters(distance)),
+            },
+        )
+
+    def search_geo_box(
+        self,
+        query: str | list[str],
+        lat_field: str,
+        lon_field: str,
+        top_left: str | tuple[float, float],
+        bottom_right: str | tuple[float, float],
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES bool query with a ``geo_bounding_box`` filter (the
+        reference's geo_box_top_left/bottom_right pair) — two plain
+        range predicates over the stored lat/lon doc values."""
+        from .geo import bbox_range_filters
+
+        return self.search_bool(
+            should=query, k=k, minimum_should_match=1,
+            filter_range=bbox_range_filters(
+                lat_field, lon_field,
+                self._geo_origin(top_left),
+                self._geo_origin(bottom_right),
+            ),
+        )
 
     def search_phrase_prefix(
         self, phrase: str | list[str], k: int = 10, max_expansions: int = 50

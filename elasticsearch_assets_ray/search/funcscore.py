@@ -48,8 +48,9 @@ function value before boost_mode.
 Script expression subset (script_score): ``_score``, bare field names
 or ``doc['field']``, numbers, ``+ - * /``, parens, unary minus, and
 ``log`` (natural), ``log10``, ``sqrt``, ``exp``, ``abs``,
-``min(a,b)``, ``max(a,b)``, ``pow(a,b)`` — all ANSI-SQL-mirrorable so
-the driver oracle can verify.
+``min(a,b)``, ``max(a,b)``, ``pow(a,b)``, and the trig/floor set
+``sin cos tan asin atan floor`` — all ANSI-SQL-mirrorable so the
+driver oracle can verify.
 """
 
 from __future__ import annotations
@@ -72,6 +73,15 @@ _FUNCS1 = {
     "sqrt": np.sqrt,
     "exp": np.exp,
     "abs": np.abs,
+    # trig + floor: what geo runtime fields (haversine distance, slippy
+    # geotile x/y) need; every one is an ANSI-SQL builtin so oracles
+    # can mirror the expression verbatim
+    "sin": np.sin,
+    "cos": np.cos,
+    "tan": np.tan,
+    "asin": np.arcsin,
+    "atan": np.arctan,
+    "floor": np.floor,
 }
 _FUNCS2 = {
     "min": np.minimum,

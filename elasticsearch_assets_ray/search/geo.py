@@ -1,0 +1,165 @@
+"""ES geo search surface served through RUNTIME FIELDS: ``geo_distance``
+query/aggregation, ``geo_bounding_box`` filter, ``geotile_grid`` bucket
+aggregation, ``geo_bounds`` / ``geo_centroid`` metric aggregations.
+
+The reference validates geo params and delegates the math to
+Elasticsearch (``/root/reference/asset/elasticsearch_reader/index.js:
+187-286`` — geo_box_top_left/geo_point/geo_distance/geo_sort_point);
+``ops/geo.py`` carries the Ray-Data dataset-side filters.  This module
+is the ENGINE side: each geo primitive compiles to a ``script:``
+runtime-field expression over stored ``lat``/``lon`` doc-value columns
+(``funcscore.ScriptExpr`` subset), so the existing range/terms/stats
+aggregation and filter machinery of BOTH engines executes it with no
+new distributed code path — and every expression has a verbatim SQL
+mirror for the driver oracle.
+
+Formulas:
+
+- distance: great-circle haversine, meters —
+  ``2R·asin(sqrt(sin²(Δφ/2) + cosφ·cosφ₀·sin²(Δλ/2)))`` with
+  ``R = 6371008.8`` (the mean earth radius ``ops.geo`` uses).  The
+  origin's ``cos φ₀`` is folded to a PYTHON-computed literal so numpy
+  and the SQL engine evaluate the exact same constant; the haversine
+  operand is clamped to 1.0 before ``asin`` (antipodal float drift).
+- geotile: slippy-map tiles (ES ``geotile_grid`` keys) —
+  ``x = ⌊(λ+180)/360·2^z⌋``,
+  ``y = ⌊(1 − ln(tan φ + sec φ)/π)/2·2^z⌋``, both clamped to
+  ``[0, 2^z−1]``, packed as ``x·2^z + y`` (exact in float64 for
+  z ≤ 13; callers render ``"z/x/y"`` via :func:`geotile_key`).
+  ES clips latitudes to ±85.05112878 (web-mercator) — callers should
+  keep synthetic coordinates inside that band, since ``tan φ + sec φ``
+  is non-positive at the south pole and ``ln`` of it diverges between
+  numpy (NaN) and SQL engines (error/NULL).
+"""
+
+from __future__ import annotations
+
+import math
+
+EARTH_RADIUS_M = 6_371_008.8
+_K_FULL = repr(math.pi / 180.0)   # degrees → radians
+_K_HALF = repr(math.pi / 360.0)   # half-angle: (a−b)·π/360 = Δ/2 in rad
+_PI = repr(math.pi)
+
+GEOTILE_MAX_ZOOM = 13  # x·2^z + y stays exactly representable
+
+
+def _haversine(latv: str, lonv: str, lat0: float, lon0: float,
+               minfn: str) -> str:
+    c0 = repr(math.cos(math.radians(lat0)))
+    return (
+        f"2.0 * {EARTH_RADIUS_M!r} * asin(sqrt({minfn}("
+        f"pow(sin(({latv} - {float(lat0)!r}) * {_K_HALF}), 2.0) + "
+        f"cos({latv} * {_K_FULL}) * {c0} * "
+        f"pow(sin(({lonv} - {float(lon0)!r}) * {_K_HALF}), 2.0)"
+        f", 1.0)))"
+    )
+
+
+def haversine_script(lat_field: str, lon_field: str,
+                     lat0: float, lon0: float) -> str:
+    """Runtime-field name computing each doc's great-circle distance
+    (meters) from ``(lat0, lon0)`` — usable anywhere a docmeta field
+    name is: range filters, range aggs, stats, sort keys."""
+    return "script:" + _haversine(
+        f"doc['{lat_field}']", f"doc['{lon_field}']", lat0, lon0, "min"
+    )
+
+
+def haversine_sql(lat_col: str, lon_col: str,
+                  lat0: float, lon0: float) -> str:
+    """The same haversine expression in ANSI SQL (DuckDB ``least``)."""
+    return _haversine(lat_col, lon_col, lat0, lon0, "least")
+
+
+def _geotile_xy(latv: str, lonv: str, zoom: int, minfn: str, maxfn: str,
+                lnfn: str) -> tuple[str, str]:
+    if not (0 <= zoom <= GEOTILE_MAX_ZOOM):
+        raise ValueError(
+            f"geotile precision {zoom} outside [0, {GEOTILE_MAX_ZOOM}]"
+        )
+    s = repr(float(1 << zoom))
+    sm1 = repr(float((1 << zoom) - 1))
+    tx = f"floor(({lonv} + 180.0) / 360.0 * {s})"
+    ty = (
+        f"floor((1.0 - {lnfn}(tan({latv} * {_K_FULL}) + "
+        f"1.0 / cos({latv} * {_K_FULL})) / {_PI}) / 2.0 * {s})"
+    )
+    return (
+        f"{minfn}({maxfn}({tx}, 0.0), {sm1})",
+        f"{minfn}({maxfn}({ty}, 0.0), {sm1})",
+    )
+
+
+def _geotile(latv: str, lonv: str, zoom: int, minfn: str, maxfn: str,
+             lnfn: str) -> str:
+    x, y = _geotile_xy(latv, lonv, zoom, minfn, maxfn, lnfn)
+    return f"{x} * {float(1 << zoom)!r} + {y}"
+
+
+def geotile_script(lat_field: str, lon_field: str, zoom: int) -> str:
+    """Runtime-field name computing each doc's packed geotile id
+    ``x·2^z + y`` at ``zoom`` (the ES ``geotile_grid`` bucket key,
+    packed numeric; render with :func:`geotile_key`)."""
+    return "script:" + _geotile(
+        f"doc['{lat_field}']", f"doc['{lon_field}']", zoom,
+        "min", "max", "log",
+    )
+
+
+def geotile_sql(lat_col: str, lon_col: str, zoom: int) -> str:
+    """The same packed-geotile expression in ANSI SQL."""
+    return _geotile(lat_col, lon_col, zoom, "least", "greatest", "ln")
+
+
+def geotile_xy_sql(lat_col: str, lon_col: str, zoom: int
+                   ) -> tuple[str, str]:
+    """The clipped tile-x / tile-y sub-expressions in ANSI SQL (for
+    rendering the ``"z/x/y"`` key string oracle-side)."""
+    return _geotile_xy(lat_col, lon_col, zoom, "least", "greatest", "ln")
+
+
+def geotile_key(tile_id: float, zoom: int) -> str:
+    """Packed tile id → the ES ``geotile_grid`` bucket key ``"z/x/y"``."""
+    s = 1 << zoom
+    t = int(tile_id)
+    return f"{zoom}/{t // s}/{t % s}"
+
+
+def bbox_range_filters(lat_field: str, lon_field: str,
+                       top_left: tuple[float, float],
+                       bottom_right: tuple[float, float]) -> dict:
+    """ES ``geo_bounding_box`` as the engines' inclusive range-filter
+    dict (the reference's geo_box_top_left/bottom_right pair,
+    ``asset/elasticsearch_reader/index.js:187-213``)."""
+    (top, left), (bottom, right) = top_left, bottom_right
+    if bottom > top:
+        raise ValueError(f"bounding box top {top} below bottom {bottom}")
+    if left > right:
+        raise ValueError(
+            "dateline-crossing boxes (left > right) are not supported"
+        )
+    return {lat_field: (bottom, top), lon_field: (left, right)}
+
+
+def geo_bounds_render(lat_stats: dict, lon_stats: dict) -> dict:
+    """ES ``geo_bounds`` envelope from per-axis stats aggregations
+    (``wrap_longitude`` not modeled — boxes never cross the dateline)."""
+    if not lat_stats.get("count"):
+        return {"count": 0, "top_left": None, "bottom_right": None}
+    return {
+        "count": lat_stats["count"],
+        "top_left": {"lat": lat_stats["max"], "lon": lon_stats["min"]},
+        "bottom_right": {"lat": lat_stats["min"], "lon": lon_stats["max"]},
+    }
+
+
+def geo_centroid_render(lat_stats: dict, lon_stats: dict) -> dict:
+    """ES ``geo_centroid``: arithmetic mean per axis (the ES
+    accumulation) over docs carrying the point."""
+    if not lat_stats.get("count"):
+        return {"count": 0, "location": None}
+    return {
+        "count": lat_stats["count"],
+        "location": {"lat": lat_stats["avg"], "lon": lon_stats["avg"]},
+    }

@@ -2413,6 +2413,155 @@ class TermPartitionedEngine:
             })
         return out
 
+    def geo_distance_agg(
+        self,
+        query: str | list[str],
+        lat_field: str,
+        lon_field: str,
+        origin: str | tuple[float, float],
+        ranges: list[dict | tuple],
+        stats_on: str | None = None,
+    ) -> list[dict]:
+        """ES ``geo_distance`` aggregation served from the
+        term-partitioned layout — identical buckets to
+        :meth:`QueryEngine.geo_distance_agg`: the distance is a
+        haversine RUNTIME FIELD over the source docmeta lineage's
+        lat/lon doc values, so this is exactly :meth:`range_agg`."""
+        from .engine import QueryEngine
+        from .geo import haversine_script
+
+        lat0, lon0 = QueryEngine._geo_origin(origin)
+        norm = [
+            {
+                "from": QueryEngine._geo_meters(
+                    r.get("from") if isinstance(r, dict) else r[0]),
+                "to": QueryEngine._geo_meters(
+                    r.get("to") if isinstance(r, dict) else r[1]),
+            }
+            for r in ranges
+        ]
+        return self.range_agg(
+            query, haversine_script(lat_field, lon_field, lat0, lon0),
+            norm, stats_on,
+        )
+
+    def geotile_grid(
+        self,
+        query: str | list[str],
+        lat_field: str,
+        lon_field: str,
+        precision: int = 7,
+        size: int = 10,
+        stats_on: str | None = None,
+    ) -> list[dict]:
+        """ES ``geotile_grid`` served from the term-partitioned layout
+        (tile id = runtime field → the terms-agg machinery; same exact
+        cut as :meth:`QueryEngine.geotile_grid`)."""
+        from .geo import geotile_key, geotile_script
+
+        buckets = self.aggregate(
+            query, geotile_script(lat_field, lon_field, precision),
+            stats_on=stats_on, size=size,
+        )
+        for b in buckets:
+            b["key"] = geotile_key(b["key"], precision)
+        return buckets
+
+    def geo_bounds(
+        self, query: str | list[str],
+        lat_field: str = "lat", lon_field: str = "lon",
+    ) -> dict:
+        """ES ``geo_bounds`` from the term-partitioned layout."""
+        from .geo import geo_bounds_render
+
+        return geo_bounds_render(
+            self.extended_stats(query, lat_field),
+            self.extended_stats(query, lon_field),
+        )
+
+    def geo_centroid(
+        self, query: str | list[str],
+        lat_field: str = "lat", lon_field: str = "lon",
+    ) -> dict:
+        """ES ``geo_centroid`` from the term-partitioned layout."""
+        from .geo import geo_centroid_render
+
+        return geo_centroid_render(
+            self.extended_stats(query, lat_field),
+            self.extended_stats(query, lon_field),
+        )
+
+    def search_geo_distance(
+        self,
+        query: str | list[str],
+        lat_field: str,
+        lon_field: str,
+        origin: str | tuple[float, float],
+        distance: str | float,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES bool query + ``geo_distance`` filter on the
+        term-partitioned layout: evaluated as a programmatic sqs
+        ``("filter", match, metarange-over-runtime-field)`` tree — the
+        geo predicate scans the source docmeta lineage column-pruned
+        (``datehist.meta_match_ids`` reads only lat+lon), text clauses
+        gather from the bucket actors."""
+        from functools import reduce
+
+        from .engine import QueryEngine
+        from .geo import haversine_script
+
+        lat0, lon0 = QueryEngine._geo_origin(origin)
+        toks = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not toks:
+            return []
+        scored = reduce(
+            lambda a, b: ("or", a, b), [("term", t) for t in toks]
+        )
+        gate = ("metarange",
+                haversine_script(lat_field, lon_field, lat0, lon0),
+                None, QueryEngine._geo_meters(distance), True, True)
+        return self._eval_sqs_tree(("filter", scored, gate), k)
+
+    def search_geo_box(
+        self,
+        query: str | list[str],
+        lat_field: str,
+        lon_field: str,
+        top_left: str | tuple[float, float],
+        bottom_right: str | tuple[float, float],
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES bool query + ``geo_bounding_box`` filter on the
+        term-partitioned layout (two metarange gates over the stored
+        lat/lon doc values)."""
+        from functools import reduce
+
+        from .engine import QueryEngine
+        from .geo import bbox_range_filters
+
+        toks = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not toks:
+            return []
+        scored = reduce(
+            lambda a, b: ("or", a, b), [("term", t) for t in toks]
+        )
+        filters = bbox_range_filters(
+            lat_field, lon_field,
+            QueryEngine._geo_origin(top_left),
+            QueryEngine._geo_origin(bottom_right),
+        )
+        tree = scored
+        for col, (lo, hi) in sorted(filters.items()):
+            tree = ("filter", tree, ("metarange", col, lo, hi, True, True))
+        return self._eval_sqs_tree(tree, k)
+
     def date_histogram(
         self,
         query: str | list[str],
