@@ -5849,6 +5849,123 @@ WINDOW w AS (PARTITION BY query_id ORDER BY bucket_us)
 """
 
 
+# (query_id, match text, histogram interval, rate unit) — week/day
+# intervals so the sf0.01 corpus's ~50-day created_at span still yields
+# a real bucket series
+PIPE2_QUERIES: list[tuple[int, str, str, str]] = [
+    (0, "hash join", "week", "day"),
+    (1, "query scan", "day", "hour"),
+]
+
+
+def _pipe2_bucket_sql() -> str:
+    """Shared oracle CTE for PIPE2_QUERIES (same shape as
+    :func:`_datehist_bucket_sql`, week/day truncation)."""
+    term_rows = []
+    for qid, text, _, _ in PIPE2_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    cases = [
+        f"WHEN {qid} THEN epoch_us(date_trunc('{interval}', c.created))"
+        for qid, _, interval, _ in PIPE2_QUERIES
+    ]
+    case = "CASE hit.query_id " + " ".join(cases) + " END"
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+c AS (SELECT doc_id, {CREATED_SQL} AS created FROM documents),
+q(query_id, t) AS (VALUES {', '.join(term_rows)}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+b AS (SELECT hit.query_id, {case} AS bucket_us,
+             count(*)::BIGINT AS doc_count, sum(dl.dl) AS sum_dl
+      FROM hit
+      JOIN c ON c.doc_id = hit.doc_id
+      JOIN dl ON dl.doc_id = hit.doc_id
+      GROUP BY 1, 2)
+"""
+
+
+def q_datehist_pipeline2(sf_dir: str) -> pa.Table:
+    """The round-4 PIPELINE aggregations: ``normalize``
+    (percent_of_sum), ``rate`` (docs per day — each calendar bucket
+    divides by its OWN 28/29/30/31-day span), ``moving_percentiles``
+    (exact nearest-rank median of the trailing 3-bucket frame), then a
+    ``bucket_sort`` cut (top 4 buckets by the stats sum, stable
+    bucket-asc ties) — declared-order transforms over the parent
+    date_histogram, all O(buckets) on the coordinator (the ES
+    coordinating-node contract)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+    from ..search.pipeline_agg import (
+        bucket_sort,
+        moving_percentiles,
+        normalize,
+        rate,
+    )
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    rows = []
+    try:
+        for qid, text, interval, unit in PIPE2_QUERIES:
+            b = engine.date_histogram(
+                text, field="created_at", interval=interval, stats_on="dl"
+            )
+            b = normalize(b, path="_count", method="percent_of_sum",
+                          out="pct_docs")
+            b = rate(b, interval=interval, unit=unit, out="rate_v")
+            b = moving_percentiles(b, path="_count", window=3,
+                                   percents=(50.0,), out="mp")
+            b = bucket_sort(b, sort=[("sum", "desc")], size=6)
+            for r in b:
+                rows.append({
+                    "query_id": qid,
+                    "bucket_us": r["key"],
+                    "doc_count": r["doc_count"],
+                    "pct_docs": r["pct_docs"],
+                    "rate_v": r["rate_v"],
+                    "med_prev3": (0.0 if r["mp"] is None
+                                  else r["mp"][50.0]),
+                })
+    finally:
+        engine.shutdown()
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def sql_datehist_pipeline2() -> str:
+    step = {"week": "7 DAY", "day": "1 DAY"}
+    span_case = "CASE query_id " + " ".join(
+        f"WHEN {qid} THEN date_diff('{unit}', make_timestamp(bucket_us), "
+        f"make_timestamp(bucket_us) + INTERVAL {step[interval]})"
+        for qid, _, interval, unit in PIPE2_QUERIES
+    ) + " END"
+    return f"""
+WITH {_pipe2_bucket_sql()},
+t AS (
+  SELECT query_id, bucket_us, doc_count, sum_dl,
+         100 * doc_count / sum(doc_count)
+             OVER (PARTITION BY query_id) AS pct_docs,
+         doc_count / ({span_case})::DOUBLE AS rate_v,
+         list(doc_count) OVER (PARTITION BY query_id ORDER BY bucket_us
+                               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+             AS frame
+  FROM b
+)
+SELECT query_id, bucket_us, doc_count, pct_docs, rate_v,
+       coalesce(
+         list_sort(frame)[
+           least(greatest(ceil(0.5 * len(frame)), 1), len(frame))::INT
+         ]::DOUBLE, 0) AS med_prev3
+FROM t
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY sum_dl DESC, bucket_us ASC) <= 6
+"""
+
+
 def q_bucket_stats(sf_dir: str) -> pa.Table:
     """ES SIBLING pipeline aggregations (``max_bucket`` / ``min_bucket``
     / ``avg_bucket`` / ``sum_bucket``) over the per-bucket stats sum of
@@ -9358,6 +9475,7 @@ def queries():
         "datehist_off_fill": q_datehist_off_fill,
         "datehist_offset": q_datehist_offset,
         "datehist_pipeline": q_datehist_pipeline,
+        "datehist_pipeline2": q_datehist_pipeline2,
         "bucket_stats": q_bucket_stats,
         "bucket_script_selector": q_bucket_script_selector,
         "top_hits_lang": q_top_hits,
@@ -9550,6 +9668,7 @@ def oracle_sql():
         "datehist_off_fill": sql_datehist_off_fill(),
         "datehist_offset": sql_datehist_offset(),
         "datehist_pipeline": sql_datehist_pipeline(),
+        "datehist_pipeline2": sql_datehist_pipeline2(),
         "bucket_stats": sql_bucket_stats(),
         "bucket_script_selector": sql_bucket_script_selector(),
         "top_hits_lang": sql_top_hits(),

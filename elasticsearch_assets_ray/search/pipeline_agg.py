@@ -253,3 +253,169 @@ def moving_fn(
         r[out] = f(frame) if frame else None
         rows.append(r)
     return rows
+
+
+def bucket_sort(
+    buckets: list[dict],
+    sort: list[tuple[str, str]] | None = None,
+    frm: int = 0,
+    size: int | None = None,
+    gap_policy: str = "skip",
+) -> list[dict]:
+    """ES ``bucket_sort`` pipeline agg: re-order the parent's buckets by
+    one or more metric paths, then truncate with ``from``/``size``.
+    Under ``gap_policy="skip"`` (ES default) a bucket missing ANY sort
+    metric is DROPPED (the ES contract); with no ``sort`` at all this is
+    the pure-truncation form ES also allows.  Multi-key sort applies
+    keys left-to-right (stable sorts in reverse spec order)."""
+    rows = list(buckets)
+    if sort:
+        keyed = []
+        for b in rows:
+            vals = [bucket_metric(b, p, gap_policy) for p, _ in sort]
+            if any(v is None for v in vals):
+                continue  # skip: drop buckets with a gapped sort metric
+            keyed.append((vals, b))
+        for i in range(len(sort) - 1, -1, -1):
+            keyed.sort(key=lambda kv: kv[0][i],
+                       reverse=sort[i][1] == "desc")
+        rows = [b for _, b in keyed]
+    end = None if size is None else frm + size
+    return rows[frm:end]
+
+
+def normalize(
+    buckets: list[dict],
+    path: str = "_count",
+    method: str = "percent_of_sum",
+    out: str = "normalized",
+) -> list[dict]:
+    """ES ``normalize`` pipeline agg: rescale the bucket metric series.
+    Methods (the ES set): ``proportion_of_sum`` (x/Σ),
+    ``percent_of_sum`` (100·x/Σ), ``rescale_0_1`` ((x−min)/(max−min)),
+    ``rescale_0_100``, ``mean`` ((x−mean)/(max−min)), ``z-score``
+    ((x−mean)/σ, population σ — ES), ``softmax`` (eˣ/Σeʸ).  Gapped
+    buckets carry ``out=None`` and are excluded from the statistics
+    (the ES skip behavior); degenerate denominators (all-equal series,
+    zero sum) also yield None rather than ±inf."""
+    vals = [bucket_metric(b, path, "skip") for b in buckets]
+    present = [v for v in vals if v is not None]
+
+    def _stats():
+        n = len(present)
+        mean = sum(present) / n
+        var = sum((v - mean) ** 2 for v in present) / n
+        return mean, math.sqrt(var)
+
+    def _of(v):
+        if method == "proportion_of_sum":
+            s = sum(present)
+            return v / s if s else None
+        if method == "percent_of_sum":
+            s = sum(present)
+            return 100.0 * v / s if s else None
+        if method in ("rescale_0_1", "rescale_0_100", "mean"):
+            lo, hi = min(present), max(present)
+            if hi == lo:
+                return None
+            if method == "mean":
+                m, _ = _stats()
+                return (v - m) / (hi - lo)
+            r = (v - lo) / (hi - lo)
+            return r * 100.0 if method == "rescale_0_100" else r
+        if method == "z-score":
+            m, sd = _stats()
+            return (v - m) / sd if sd else None
+        if method == "softmax":
+            s = sum(math.exp(x) for x in present)
+            return math.exp(v) / s
+        raise ValueError(f"unknown normalize method {method!r}")
+
+    rows = []
+    for b, v in zip(buckets, vals):
+        r = dict(b)
+        r[out] = None if (v is None or not present) else _of(v)
+        rows.append(r)
+    return rows
+
+
+def moving_percentiles(
+    buckets: list[dict],
+    path: str = "_count",
+    window: int = 3,
+    percents: tuple[float, ...] = (50.0,),
+    shift: int = 0,
+    out: str = "moving_pctl",
+) -> list[dict]:
+    """ES ``moving_percentiles`` pipeline agg, EXACT twin: slide the
+    ``moving_fn`` frame (``[i − window + shift, i + shift)``, gaps
+    excluded) and compute nearest-rank percentiles of the frame values
+    (ES merges the sub-agg's t-digests — approximation disclosed; the
+    exact form is the SQL-reproducible one, matching the repo's
+    percentile convention).  ``out`` maps percent → value (None frame →
+    None)."""
+    vals = [bucket_metric(b, path, "skip") for b in buckets]
+    rows = []
+    for i, b in enumerate(buckets):
+        lo, hi = max(0, i - window + shift), max(0, i + shift)
+        frame = sorted(v for v in vals[lo:hi] if v is not None)
+        r = dict(b)
+        if frame:
+            n = len(frame)
+            r[out] = {
+                p: frame[min(max(math.ceil(p / 100.0 * n), 1), n) - 1]
+                for p in percents
+            }
+        else:
+            r[out] = None
+        rows.append(r)
+    return rows
+
+
+# fixed ES units, microseconds (calendar units resolve per bucket)
+_RATE_UNIT_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def rate(
+    buckets: list[dict],
+    interval: str,
+    unit: str,
+    path: str = "_count",
+    out: str = "rate",
+) -> list[dict]:
+    """ES ``rate`` aggregation (inside a ``date_histogram``): the bucket
+    metric re-expressed per ``unit`` of time — ``metric /
+    (bucket_length / unit_length)``, where bucket length is the TRUE
+    calendar span of that bucket (a monthly bucket divides by its own
+    28/29/30/31 days — the ES behavior).  ``interval`` is the parent
+    histogram's calendar/fixed interval (bucket keys are epoch-µs
+    starts); ``unit`` ∈ second|minute|hour|day|week, or equal to
+    ``interval`` (factor 1 — "per month of a monthly histogram").
+    Gapped metrics carry None."""
+    from .datehist import next_bucket_key
+
+    if unit not in _RATE_UNIT_US and unit != interval:
+        raise ValueError(
+            f"rate unit {unit!r} must be one of {sorted(_RATE_UNIT_US)} "
+            f"or equal the histogram interval {interval!r}"
+        )
+    rows = []
+    for b in buckets:
+        v = bucket_metric(b, path, "skip")
+        r = dict(b)
+        if v is None:
+            r[out] = None
+        elif unit == interval:
+            r[out] = v
+        else:
+            key = int(b["key"])
+            span = next_bucket_key(key, interval) - key
+            r[out] = v / (span / _RATE_UNIT_US[unit])
+        rows.append(r)
+    return rows

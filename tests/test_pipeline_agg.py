@@ -79,3 +79,72 @@ def test_moving_fn_trailing_window_and_shift():
 def test_moving_fn_gap_excluded_from_frame():
     out = pl.moving_fn(B, path="sum", window=3, fn="sum", out="m")
     assert [r["m"] for r in out] == [None, 10.0, 10.0, 14.0]
+
+
+def test_bucket_sort_multi_key_truncation_and_gap_drop():
+    out = pl.bucket_sort(B, sort=[("sum", "desc"), ("_count", "asc")])
+    # the gapped bucket (sum None) is DROPPED under skip; ties on sum
+    # break by doc_count asc
+    assert [r["key"] for r in out] == [0, 3, 2]
+    # single-key sort is stable: the sum=4 tie keeps parent order (2, 3)
+    out = pl.bucket_sort(B, sort=[("sum", "desc")], frm=1, size=1)
+    assert [r["key"] for r in out] == [2]
+    # no sort → pure from/size truncation in incoming order
+    assert [r["key"] for r in pl.bucket_sort(B, size=2)] == [0, 1]
+
+
+def test_normalize_methods():
+    out = pl.normalize(B, path="_count", method="proportion_of_sum")
+    assert [r["normalized"] for r in out] == [
+        4 / 12, 0.0, 6 / 12, 2 / 12]
+    out = pl.normalize(B, path="sum", method="percent_of_sum")
+    got = [r["normalized"] for r in out]
+    assert got[1] is None  # gap stays a gap
+    assert got[0] == 100.0 * 10.0 / 18.0
+    out = pl.normalize(B, path="_count", method="rescale_0_1")
+    assert [r["normalized"] for r in out] == [4 / 6, 0.0, 1.0, 2 / 6]
+    out = pl.normalize(B, path="_count", method="z-score")
+    m = 3.0
+    sd = (sum((v - m) ** 2 for v in (4, 0, 6, 2)) / 4) ** 0.5
+    assert out[2]["normalized"] == (6 - m) / sd
+    import math
+
+    out = pl.normalize(B, path="_count", method="softmax")
+    s = sum(math.exp(v) for v in (4, 0, 6, 2))
+    assert out[0]["normalized"] == math.exp(4) / s
+    # degenerate: all-equal series has no 0-1 rescale
+    flat = [{"key": 0, "doc_count": 5}, {"key": 1, "doc_count": 5}]
+    assert [r["normalized"] for r in
+            pl.normalize(flat, method="rescale_0_1")] == [None, None]
+
+
+def test_moving_percentiles_exact_nearest_rank():
+    out = pl.moving_percentiles(B, path="_count", window=3,
+                                percents=(50.0, 100.0))
+    # frames (strictly previous, gaps kept — _count never gaps):
+    # [], [4], [4,0], [4,0,6]
+    assert out[0]["moving_pctl"] is None
+    assert out[1]["moving_pctl"] == {50.0: 4.0, 100.0: 4.0}
+    assert out[2]["moving_pctl"] == {50.0: 0.0, 100.0: 4.0}
+    assert out[3]["moving_pctl"] == {50.0: 4.0, 100.0: 6.0}
+
+
+def test_rate_calendar_months_and_identity():
+    # Jan 2024 (31d, leap year Feb 29d): epoch-µs month starts
+    jan = 1_704_067_200_000_000
+    feb = 1_706_745_600_000_000
+    buckets = [
+        {"key": jan, "doc_count": 62, "sum": 31.0},
+        {"key": feb, "doc_count": 58, "sum": None},
+    ]
+    out = pl.rate(buckets, interval="month", unit="day")
+    assert out[0]["rate"] == 62 / 31.0
+    assert out[1]["rate"] == 58 / 29.0
+    out = pl.rate(buckets, interval="month", unit="month")
+    assert [r["rate"] for r in out] == [62.0, 58.0]
+    out = pl.rate(buckets, interval="month", unit="day", path="sum")
+    assert out[0]["rate"] == 1.0 and out[1]["rate"] is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        pl.rate(buckets, interval="month", unit="year")
