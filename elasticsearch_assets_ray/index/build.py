@@ -594,6 +594,23 @@ def parse_derived_meta(spec: str):
             return pa.array(v % m + plus, pa.int64())
 
         return name, (src,), fn
+    if kind == "group_of":
+        # family anchor out of an integer column: (src // m) * m — the
+        # deterministic parent-id recipe for the ES join-field analogue
+        # (each run of m consecutive ids is one family whose first
+        # member is the parent); SQL mirror: ``src - src % m``
+        src, m_s = args
+        m = int(m_s)
+        if m < 1:
+            raise ValueError(f"group_of modulus must be >= 1 in {spec!r}")
+
+        def fn(tbl: pa.Table) -> pa.Array:
+            v = tbl.column(src).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.array((v // m) * m, pa.int64())
+
+        return name, (src,), fn
     if kind == "affine_mod":
         # gridded float field out of an integer column:
         # ((src * mult) % mod) / div - sub — the deterministic

@@ -107,7 +107,7 @@ def _docs(sf_dir: str):
 
 # bump when index layout / analyzer / scoring semantics change, so a
 # /tmp cache surviving from an earlier code version can never be reused
-CONTRACT_INDEX_VERSION = "v11"  # v11: lat/lon geo docmeta (runtime fields)
+CONTRACT_INDEX_VERSION = "v12"  # v12: parent_id join-field docmeta
 
 # deterministic date-typed docmeta column: documents carry no timestamp,
 # so the contract derives one at ingest (the ES ingest-pipeline analogue)
@@ -140,6 +140,12 @@ GEO_LON_SPEC = "lon=affine_mod:doc_id:104729:360:1:180"
 GEO_LAT_SQL = "((documents.doc_id * 7919) % 170 - 85)"
 GEO_LON_SQL = "((documents.doc_id * 104729) % 360 - 180)"
 
+# ES join-field relation: each run of 5 consecutive doc ids is one
+# family; the first member (parent_id == doc_id) is the PARENT, the
+# rest are its children.  SQL mirror is the same integer arithmetic.
+PARENT_SPEC = "parent_id=group_of:doc_id:5"
+PARENT_SQL = "(doc_id - doc_id % 5)"
+
 
 def doc_index_dir(sf_dir: str) -> str:
     tag = hashlib.md5(f"{CONTRACT_INDEX_VERSION}:{sf_dir}".encode()).hexdigest()[:10]
@@ -154,8 +160,9 @@ def ensure_doc_index(sf_dir: str) -> str:
         lang_col=None,
         id_col="doc_id",
         meta_cols=("source", "lang", "created_at", "n_chars", "req_matches",
-                   "lat", "lon"),
-        derived_meta=(CREATED_SPEC, REQ_SPEC, GEO_LAT_SPEC, GEO_LON_SPEC),
+                   "lat", "lon", "parent_id"),
+        derived_meta=(CREATED_SPEC, REQ_SPEC, GEO_LAT_SPEC, GEO_LON_SPEC,
+                      PARENT_SPEC),
         partition_target_docs=128,
         shard_target_docs=512,
         # Lucene indexes positions for text fields by default; the one
@@ -5122,6 +5129,193 @@ FROM v GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------- join field
+# ES has_child / has_parent over the derived parent_id relation
+# (search/joinfield.py).  Scores are per-doc SERVING-rounded BM25
+# (round_decimals=4), so every combine is over 1e-4-grid values and the
+# oracle compares integer e4 units (the repo's integer-unit-sum float
+# invariant); avg mode is exercised in unit tests, not the oracle (a
+# grid sum divided by n can land on the rounding half-boundary).
+
+# (query_id, child match text, score_mode, min_children, max_children)
+HAS_CHILD_QUERIES: list[tuple[int, str, str, int, int | None]] = [
+    (0, "hash join", "sum", 1, None),
+    (1, "query scan", "max", 1, None),
+    (2, "table", "none", 2, 4),
+]
+# (query_id, parent match text)
+HAS_PARENT_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join"), (1, "customer order value"),
+]
+
+
+def _q_has_child(engine) -> pa.Table:
+    rows = []
+    for qid, text, mode, mn, mx in HAS_CHILD_QUERIES:
+        for parent, score, n in engine.search_has_child(
+            text, "parent_id", score_mode=mode, min_children=mn,
+            max_children=mx, k=None,
+        ):
+            rows.append({
+                "query_id": qid, "parent_id": parent, "n_children": n,
+                "score_e4": int(np.rint(score * 1e4)),
+            })
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["query_id", "parent_id",
+                                    "n_children", "score_e4"]),
+        preserve_index=False,
+    )
+
+
+def q_has_child(sf_dir: str) -> pa.Table:
+    """ES ``has_child`` (join field): parents whose children match,
+    with sum/max/filter-context score modes and min/max_children count
+    bounds — per-shard associative (count, Σ, min, max) partials keyed
+    by parent over serving-rounded child scores, O(parents) wire,
+    correct across family-straddling shard boundaries."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_has_child(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_has_child_global(sf_dir: str) -> pa.Table:
+    """The SAME has_child from the TERM-partitioned layout: child match
+    set gathers from bucket actors, parent_id hydrates id-aligned from
+    the docmeta lineage, same joinfield reduction."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_has_child(eng)
+    finally:
+        eng.shutdown()
+
+
+def _join_scored_cte(queries: list[tuple[int, str]]) -> str:
+    """BM25 per-(query, doc) serving-rounded scores CTE (the
+    sql_bm25_topk formulation, shared by the join-field oracles)."""
+    term_rows = []
+    for qid, text in queries:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+q(query_id, t) AS (VALUES {', '.join(term_rows)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ), 4) AS score_r
+  FROM q
+  JOIN tf ON tf.t = q.t
+  JOIN df ON df.t = q.t
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  GROUP BY 1, 2
+)"""
+
+
+def sql_has_child() -> str:
+    mode_case = "CASE fam.query_id " + " ".join(
+        f"WHEN {qid} THEN " + {
+            "sum": "fam.se4",
+            "max": "CAST(round(fam.mxs * 10000, 0) AS BIGINT)",
+            "min": "CAST(round(fam.mns * 10000, 0) AS BIGINT)",
+            "none": "10000",
+        }[mode]
+        for qid, _, mode, _, _ in HAS_CHILD_QUERIES
+    ) + " END"
+    bounds_case = "CASE fam.query_id " + " ".join(
+        f"WHEN {qid} THEN fam.n >= {mn}"
+        + (f" AND fam.n <= {mx}" if mx is not None else "")
+        for qid, _, _, mn, mx in HAS_CHILD_QUERIES
+    ) + " END"
+    return f"""
+WITH {_join_scored_cte([(qid, text) for qid, text, _, _, _ in HAS_CHILD_QUERIES])},
+fam AS (
+  SELECT query_id, (doc_id - doc_id % 5) AS parent_id,
+         count(*)::BIGINT AS n,
+         sum(CAST(round(score_r * 10000, 0) AS BIGINT)) AS se4,
+         max(score_r) AS mxs, min(score_r) AS mns
+  FROM scored
+  WHERE doc_id % 5 <> 0
+  GROUP BY 1, 2
+)
+SELECT fam.query_id, fam.parent_id, fam.n AS n_children,
+       {mode_case} AS score_e4
+FROM fam
+WHERE {bounds_case}
+"""
+
+
+def _q_has_parent(engine) -> pa.Table:
+    rows = []
+    for qid, text in HAS_PARENT_QUERIES:
+        for child, score in engine.search_has_parent(
+            text, "parent_id", score=True, k=None,
+        ):
+            rows.append({
+                "query_id": qid, "child_id": child,
+                "parent_score_e4": int(np.rint(score * 1e4)),
+            })
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["query_id", "child_id",
+                                    "parent_score_e4"]),
+        preserve_index=False,
+    )
+
+
+def q_has_parent(sf_dir: str) -> pa.Table:
+    """ES ``has_parent`` (join field): children of matching parents,
+    carrying the parent's serving score — parent-typed rows selected by
+    the ``parent_id == doc_id`` runtime-field predicate, children found
+    by one broadcast vectorized isin per shard over cached doc
+    values."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_has_parent(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_has_parent_global(sf_dir: str) -> pa.Table:
+    """The SAME has_parent from the TERM-partitioned layout (sqs filter
+    tree for the parent-type gate; ``meta_pairs_in`` broadcast scan of
+    the docmeta lineage for the children)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_has_parent(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_has_parent() -> str:
+    return f"""
+WITH {_join_scored_cte(HAS_PARENT_QUERIES)}
+SELECT p.query_id, d.doc_id AS child_id,
+       CAST(round(p.score_r * 10000, 0) AS BIGINT) AS parent_score_e4
+FROM documents d
+JOIN scored p ON p.doc_id = d.doc_id - d.doc_id % 5
+WHERE d.doc_id % 5 <> 0 AND p.doc_id % 5 = 0
+"""
+
+
 # date_histogram zero-fill: fixed 1d interval, min_doc_count=0,
 # extended_bounds widening past the (sf-dependent) data span on the low
 # side; ES semantics — enumerate every bucket between
@@ -9512,6 +9706,10 @@ def queries():
         "geo_search_global": q_geo_search_global,
         "runtime_fields": q_runtime_fields,
         "runtime_fields_global": q_runtime_fields_global,
+        "has_child": q_has_child,
+        "has_child_global": q_has_child_global,
+        "has_parent": q_has_parent,
+        "has_parent_global": q_has_parent_global,
         "ts_filter_search": q_ts_filter_search,
         "highlight_positions": q_highlight_positions,
         "highlight_positions_global": q_highlight_positions_global,
@@ -9705,6 +9903,10 @@ def oracle_sql():
         "geo_search_global": sql_geo_search(),
         "runtime_fields": sql_runtime_fields(),
         "runtime_fields_global": sql_runtime_fields(),
+        "has_child": sql_has_child(),
+        "has_child_global": sql_has_child(),
+        "has_parent": sql_has_parent(),
+        "has_parent_global": sql_has_parent(),
         "ts_filter_search": sql_ts_filter_search(),
         "highlight_positions": sql_highlight_positions(),
         "highlight_positions_global": sql_highlight_positions(),

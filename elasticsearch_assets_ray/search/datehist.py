@@ -1344,6 +1344,64 @@ def meta_match_ids(
 
 
 @ray.remote
+def _meta_pairs_partition_task(
+    paths: list[str], bases: list[int], field: str, values: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(global ids, field values) of rows whose ``field`` is IN the
+    broadcast ``values`` set — the has_parent child scan over the
+    docmeta lineage (column-pruned, one vectorized isin per
+    partition)."""
+    out_i, out_v = [], []
+    for path, base in zip(paths, bases):
+        vals = read_field_values(path, field)
+        idx = np.nonzero(np.isin(vals, values))[0]
+        if len(idx):
+            out_i.append(idx.astype(np.int64) + base)
+            out_v.append(vals[idx])
+    if not out_i:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    return np.concatenate(out_i), np.concatenate(out_v)
+
+
+def meta_pairs_in(
+    index_dir: str | Path,
+    field: str,
+    values: np.ndarray,
+    partitions_per_task: int = 16,
+) -> tuple[np.ndarray, np.ndarray]:
+    """All live (doc id, ``field`` value) pairs whose value is in the
+    ``values`` set — same partition-parallel routing as
+    :func:`meta_match_ids`; ``values`` ships once via ``ray.put``."""
+    from ..index.build import IndexInfo, docmeta_path
+
+    info = IndexInfo(index_dir)
+    parts = sorted(info.manifest.partitions, key=lambda p: p.doc_base)
+    if not parts:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    first = str(docmeta_path(index_dir, parts[0].partition_id))
+    if not field_schema_ok(set(pq.read_schema(first).names), field):
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    paths = [str(docmeta_path(index_dir, p.partition_id)) for p in parts]
+    bases = [p.doc_base for p in parts]
+    vref = ray.put(np.asarray(values))
+    futs = [
+        _meta_pairs_partition_task.remote(
+            paths[i: i + partitions_per_task],
+            bases[i: i + partitions_per_task],
+            field,
+            vref,
+        )
+        for i in range(0, len(paths), partitions_per_task)
+    ]
+    got = ray.get(futs)
+    ids = [g[0] for g in got if len(g[0])]
+    vals = [g[1] for g in got if len(g[0])]
+    if not ids:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    return np.concatenate(ids), np.concatenate(vals)
+
+
+@ray.remote
 def _distinct_partition_task(
     paths: list[str],
     local_idx: list[np.ndarray],

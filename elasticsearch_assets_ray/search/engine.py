@@ -847,6 +847,66 @@ class ShardData:
             )
         return out
 
+    def agg_join_children(
+        self,
+        clauses: dict,
+        idf: dict[str, float],
+        params: "BM25Params",
+        avgdl: float,
+        parent_field: str,
+    ) -> dict:
+        """Per-shard partial for ES ``has_child``: this shard's matched
+        CHILD docs (rows whose ``parent_field`` differs from their own
+        doc id) grouped by parent — ``{parent: (n, Σscore, min, max)}``
+        over SERVING-rounded scores.  Associative, O(parents) wire;
+        correct even when a family straddles a shard boundary.  Scoring
+        and eligibility are exactly :meth:`agg_top_hits`'s."""
+        from .joinfield import group_child_scores
+
+        k1, b = params.k1, params.b
+        must_s = sorted(set(clauses.get("must", [])))
+        should_s = sorted(set(clauses.get("should", [])))
+        not_s = sorted(set(clauses.get("must_not", [])))
+        filt_s = sorted(set(clauses.get("filter", [])))
+        scoring = sorted(set(must_s) | set(should_s))
+        postings_idx = self._postings_idx_fn()
+        scores = np.zeros(self.num_docs, dtype=np.float64)
+        for t in scoring:  # sorted order — pinned to the oracle
+            p = postings_idx(t)
+            if p is None:
+                continue
+            idx, tfs = p
+            tf = tfs.astype(np.float64)
+            dl = self.dl[idx]
+            norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            scores[idx] += idf[t] * norm
+        ok = self._bool_eligible(
+            must_s, should_s, not_s, filt_s, clauses.get("msm"),
+            clauses.get("meta_filters"), clauses.get("range_filters"),
+            postings_idx,
+        )
+        cand = np.nonzero(ok)[0]
+        if len(cand) == 0:
+            return {}
+        sc = scores[cand]
+        if params.round_decimals is not None:
+            sc = np.round(sc, params.round_decimals)
+        parents = self.meta_col(parent_field)[cand].astype(np.int64)
+        return group_child_scores(parents, cand + self.doc_base, sc)
+
+    def meta_pairs_in(
+        self, field: str, values: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Live docs of this shard whose ``field`` doc value is IN the
+        broadcast ``values`` set: (global ids, field values) — the
+        ``has_parent`` child scan (ES resolves the same join via global
+        ordinals per shard; here it is one vectorized ``isin`` over the
+        cached doc-values column)."""
+        v = self.meta_col(field)
+        m = np.isin(v, values) & ~self.deleted_mask
+        idx = np.nonzero(m)[0]
+        return (idx + self.doc_base).astype(np.int64), v[idx]
+
     def _bool_eligible(
         self, must_s, should_s, not_s, filt_s, minimum_should_match,
         meta_filters, range_filters, postings_idx,
@@ -2880,6 +2940,28 @@ class _ScorerCore:
             )
         return _merge_group_topk(parts, k, self.params.round_decimals)
 
+    def agg_join_children(
+        self, clauses: dict, idf: dict, parent_field: str
+    ) -> dict:
+        merged: dict = {}
+        for s in self.shards:
+            merge_agg_partials(
+                merged,
+                s.agg_join_children(clauses, idf, self.params,
+                                    self.avgdl, parent_field),
+            )
+        return merged
+
+    def meta_pairs_in(
+        self, field: str, values: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        ids, vals = [], []
+        for s in self.shards:
+            i, v = s.meta_pairs_in(field, values)
+            ids.append(i)
+            vals.append(v)
+        return np.concatenate(ids), np.concatenate(vals)
+
     def agg_composite(
         self, clauses: dict, sources: list[tuple], size: int,
         after: tuple | None,
@@ -4616,6 +4698,76 @@ class QueryEngine:
                 self._geo_origin(bottom_right),
             ),
         )
+
+    def search_has_child(
+        self,
+        child_query: str | list[str] | dict,
+        parent_field: str = "parent_id",
+        score_mode: str = "none",
+        min_children: int = 1,
+        max_children: int | None = None,
+        k: int | None = 10,
+    ) -> list[tuple[int, float, int]]:
+        """ES ``has_child`` (join field): PARENT docs whose children
+        match ``child_query``, scored by ``score_mode`` ∈
+        none|sum|avg|min|max over the children's serving scores
+        (``none`` → constant 1.0 filter context), count-bounded by
+        ``min_children``/``max_children`` — rows ``(parent_id, score,
+        n_matching_children)``, (score desc, parent asc).  Per-shard
+        associative partials keyed by parent (see
+        ``joinfield.group_child_scores``); O(parents) wire."""
+        from .joinfield import finish_has_child
+
+        clauses = self._query_clauses(child_query)
+        if clauses is None:
+            return []
+        scoring = sorted(set(clauses["must"]) | set(clauses["should"]))
+        idf = self.idfs(scoring)
+        per_actor = ray.get(
+            [a.agg_join_children.remote(clauses, idf, parent_field)
+             for a in self.actors]
+        )
+        merged: dict = {}
+        for p in per_actor:
+            merge_agg_partials(merged, p)
+        return finish_has_child(
+            merged, score_mode, min_children, max_children, k,
+            self.params.round_decimals,
+        )
+
+    def search_has_parent(
+        self,
+        parent_query: str | list[str],
+        parent_field: str = "parent_id",
+        score: bool = True,
+        k: int | None = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``has_parent`` (join field): CHILD docs whose parent
+        matches ``parent_query``, carrying the parent's serving score
+        (or 1.0 with ``score=False``) — (score desc, child asc).  The
+        parent match restricts to parent-typed rows via the
+        ``parent_id == doc_id`` runtime-field predicate; the child scan
+        broadcasts the matched-parent id set to one vectorized ``isin``
+        per shard over cached doc values."""
+        from .joinfield import children_rows, self_parent_script
+
+        hits = self.search_bool(
+            should=parent_query, k=1 << 30, minimum_should_match=1,
+            filter_range={self_parent_script(parent_field): (0.0, 0.0)},
+        )
+        if not hits:
+            return []
+        pscores = {int(d): float(s) for d, s in hits}
+        pids = np.fromiter(pscores, dtype=np.int64, count=len(pscores))
+        got = ray.get(
+            [a.meta_pairs_in.remote(parent_field, pids)
+             for a in self.actors]
+        )
+        ids = np.concatenate([g[0] for g in got])
+        parents = np.concatenate([g[1] for g in got]).astype(np.int64)
+        child = parents != ids  # drop the parent rows themselves
+        return children_rows(ids[child], parents[child], pscores,
+                             score, k)
 
     def search_phrase_prefix(
         self, phrase: str | list[str], k: int = 10, max_expansions: int = 50

@@ -2562,6 +2562,94 @@ class TermPartitionedEngine:
             tree = ("filter", tree, ("metarange", col, lo, hi, True, True))
         return self._eval_sqs_tree(tree, k)
 
+    def search_has_child(
+        self,
+        child_query: str | list[str],
+        parent_field: str = "parent_id",
+        score_mode: str = "none",
+        min_children: int = 1,
+        max_children: int | None = None,
+        k: int | None = 10,
+    ) -> list[tuple[int, float, int]]:
+        """ES ``has_child`` served from the term-partitioned layout —
+        identical rows to :meth:`QueryEngine.search_has_child`: the
+        child match set (serving-rounded scores) gathers from the
+        bucket actors, matched ids route to the source docmeta lineage
+        for the id-aligned ``parent_id`` hydration, the per-parent
+        reduction is the shared ``joinfield`` kernel."""
+        from .datehist import values_partials_over_ids
+        from .joinfield import finish_has_child, group_child_scores
+
+        hits = self.search(child_query, k=1 << 30)
+        if not hits:
+            return []
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        scs = np.array([s for _, s in hits], dtype=np.float64)
+        if self.round_decimals is not None:
+            # children contribute SERVING-rounded scores (the shard
+            # engine's agg_join_children does the same) — grid values
+            # keep the per-parent combine order-independent
+            scs = np.round(scs, self.round_decimals)
+        order = np.argsort(ids)
+        ids, scs = ids[order], scs[order]
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for join-field queries"
+            )
+        parts = values_partials_over_ids(src, ids, parent_field, "raw")
+        parents = np.concatenate(parts).astype(np.int64)
+        merged = group_child_scores(parents, ids, scs)
+        return finish_has_child(
+            merged, score_mode, min_children, max_children, k,
+            self.round_decimals,
+        )
+
+    def search_has_parent(
+        self,
+        parent_query: str | list[str],
+        parent_field: str = "parent_id",
+        score: bool = True,
+        k: int | None = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``has_parent`` served from the term-partitioned layout:
+        parent-typed matches via the ``parent_id == doc_id``
+        runtime-field gate (programmatic sqs filter tree), then one
+        broadcast ``isin`` scan of the docmeta lineage for the matched
+        parents' children (``datehist.meta_pairs_in``)."""
+        from functools import reduce
+
+        from .datehist import meta_pairs_in
+        from .joinfield import children_rows, self_parent_script
+
+        toks = (
+            self._analyze(parent_query) if isinstance(parent_query, str)
+            else sorted(set(parent_query))
+        )
+        if not toks:
+            return []
+        scored = reduce(
+            lambda a, b: ("or", a, b), [("term", t) for t in toks]
+        )
+        gate = ("metarange", self_parent_script(parent_field),
+                0.0, 0.0, True, True)
+        hits = self._eval_sqs_tree(("filter", scored, gate), 1 << 30)
+        if not hits:
+            return []
+        pscores = {int(d): float(s) for d, s in hits}
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for join-field queries"
+            )
+        pids = np.fromiter(pscores, dtype=np.int64, count=len(pscores))
+        ids, parents = meta_pairs_in(src, parent_field, pids)
+        child = parents.astype(np.int64) != ids
+        return children_rows(ids[child], parents[child].astype(np.int64),
+                             pscores, score, k)
+
     def date_histogram(
         self,
         query: str | list[str],
