@@ -5129,6 +5129,93 @@ FROM v GROUP BY 1, 2
 """
 
 
+# (query_id, match text, interval, distinct field)
+CUMCARD_QUERIES: list[tuple[int, str, str, str]] = [
+    (0, "hash join", "week", "source"),
+    (1, "query scan", "day", "lang"),
+]
+
+
+def _q_cumulative_cardinality(engine) -> pa.Table:
+    from ..search.pipeline_agg import cumulative_cardinality
+
+    rows = []
+    for qid, text, interval, field in CUMCARD_QUERIES:
+        grouped = engine.date_histogram(
+            text, field="created_at", interval=interval, group_by=field
+        )
+        for r in cumulative_cardinality(grouped, out="cum_card"):
+            rows.append({
+                "query_id": qid, "bucket_us": r["key"],
+                "cardinality": r["cardinality"],
+                "cum_card": r["cum_card"],
+            })
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_cumulative_cardinality(sf_dir: str) -> pa.Table:
+    """ES ``cumulative_cardinality`` pipeline agg (EXACT twin — ES
+    merges HLLs, disclosed): per date bucket the exact distinct count
+    of a keyword field plus the expanding distinct count, from the
+    engines' existing (bucket, value) composite sub-agg partials (wire
+    = distinct pairs)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_cumulative_cardinality(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_cumulative_cardinality_global(sf_dir: str) -> pa.Table:
+    """The SAME cumulative_cardinality from the TERM-partitioned layout
+    (matched ids → docmeta lineage composite partials)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_cumulative_cardinality(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_cumulative_cardinality() -> str:
+    term_rows, trunc_cases, field_cases = [], [], []
+    for qid, text, interval, field in CUMCARD_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+        created_q = CREATED_SQL.replace("doc_id", "documents.doc_id")
+        trunc_cases.append(
+            f"WHEN {qid} THEN epoch_us(date_trunc('{interval}', "
+            f"{created_q}))"
+        )
+        field_cases.append(f"WHEN {qid} THEN documents.{field}")
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    trunc = "CASE hit.query_id " + " ".join(trunc_cases) + " END"
+    fld = "CASE hit.query_id " + " ".join(field_cases) + " END"
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, t) AS (VALUES {', '.join(term_rows)}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+pairs AS (SELECT DISTINCT hit.query_id, {trunc} AS bucket_us,
+                 {fld} AS val
+          FROM hit JOIN documents ON documents.doc_id = hit.doc_id
+          WHERE {fld} IS NOT NULL),
+card AS (SELECT query_id, bucket_us, count(DISTINCT val)::BIGINT AS c
+         FROM pairs GROUP BY 1, 2)
+SELECT b.query_id, b.bucket_us, card.c AS cardinality,
+       (SELECT count(DISTINCT p.val) FROM pairs p
+        WHERE p.query_id = b.query_id
+          AND p.bucket_us <= b.bucket_us)::BIGINT AS cum_card
+FROM (SELECT DISTINCT query_id, bucket_us FROM pairs) b
+JOIN card ON card.query_id = b.query_id AND card.bucket_us = b.bucket_us
+"""
+
+
 # ---------------------------------------------------- join field
 # ES has_child / has_parent over the derived parent_id relation
 # (search/joinfield.py).  Scores are per-doc SERVING-rounded BM25
@@ -9706,6 +9793,8 @@ def queries():
         "geo_search_global": q_geo_search_global,
         "runtime_fields": q_runtime_fields,
         "runtime_fields_global": q_runtime_fields_global,
+        "cumulative_cardinality": q_cumulative_cardinality,
+        "cumulative_cardinality_global": q_cumulative_cardinality_global,
         "has_child": q_has_child,
         "has_child_global": q_has_child_global,
         "has_parent": q_has_parent,
@@ -9903,6 +9992,8 @@ def oracle_sql():
         "geo_search_global": sql_geo_search(),
         "runtime_fields": sql_runtime_fields(),
         "runtime_fields_global": sql_runtime_fields(),
+        "cumulative_cardinality": sql_cumulative_cardinality(),
+        "cumulative_cardinality_global": sql_cumulative_cardinality(),
         "has_child": sql_has_child(),
         "has_child_global": sql_has_child(),
         "has_parent": sql_has_parent(),

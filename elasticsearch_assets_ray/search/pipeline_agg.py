@@ -419,3 +419,29 @@ def rate(
             r[out] = v / (span / _RATE_UNIT_US[unit])
         rows.append(r)
     return rows
+
+
+def cumulative_cardinality(
+    grouped_rows: list[dict],
+    out: str = "cumulative_cardinality",
+) -> list[dict]:
+    """ES ``cumulative_cardinality`` pipeline agg, EXACT twin: input is
+    the composite ``date_histogram(group_by=field)`` rows (one per
+    (bucket, value) pair — the engines' existing sub-agg partials, wire
+    = distinct pairs); output is one row per parent bucket carrying the
+    bucket's exact ``cardinality`` and the expanding distinct count.
+    ES merges per-bucket HLL sketches on the coordinator — same shape,
+    approximate; the exact form here is the SQL-reproducible twin
+    (divergence disclosed).  Driver work/memory = total distinct
+    values, the same bound ES's coordinator pays."""
+    per_bucket: dict[int, set] = {}
+    for r in grouped_rows:
+        per_bucket.setdefault(r["key"], set()).add(r["term"])
+    seen: set = set()
+    rows = []
+    for k in sorted(per_bucket):
+        terms = per_bucket[k]
+        seen |= terms
+        rows.append({"key": k, "cardinality": len(terms),
+                     out: len(seen)})
+    return rows

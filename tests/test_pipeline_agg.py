@@ -148,3 +148,18 @@ def test_rate_calendar_months_and_identity():
 
     with pytest.raises(ValueError):
         pl.rate(buckets, interval="month", unit="year")
+
+
+def test_cumulative_cardinality_exact_expanding_distinct():
+    rows = [
+        {"key": 20, "term": "a"}, {"key": 10, "term": "a"},
+        {"key": 10, "term": "b"}, {"key": 20, "term": "c"},
+        {"key": 30, "term": "a"},
+    ]
+    out = pl.cumulative_cardinality(rows)
+    assert out == [
+        {"key": 10, "cardinality": 2, "cumulative_cardinality": 2},
+        {"key": 20, "cardinality": 2, "cumulative_cardinality": 3},
+        {"key": 30, "cardinality": 1, "cumulative_cardinality": 3},
+    ]
+    assert pl.cumulative_cardinality([]) == []
