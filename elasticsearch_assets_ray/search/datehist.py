@@ -53,6 +53,18 @@ def parse_fixed_interval_us(interval: str) -> int | None:
     return None
 
 
+def parse_multi_year(interval: str) -> int | None:
+    """``"5y"`` → 5; None when not a multi-year calendar spec.  The
+    auto_date_histogram ladder's coarse end (ES RoundingInfo inner
+    intervals 5/10/20/50/100 years): buckets anchor at calendar-year
+    multiples of N (2020 for N=10 — the "decade" grid)."""
+    if interval.endswith("y"):
+        head = interval[:-1]
+        if head.isdigit() and int(head) > 0:
+            return int(head)
+    return None
+
+
 def floor_interval_us(v_us: np.ndarray, interval: str) -> np.ndarray:
     """Bucket-start epoch micros for each value (int64 in, int64 out).
 
@@ -75,6 +87,16 @@ def floor_interval_us(v_us: np.ndarray, interval: str) -> np.ndarray:
         if interval == "quarter":
             months = (months // 3) * 3
         return months.astype("datetime64[M]").astype("datetime64[us]").astype(np.int64)
+    ny = parse_multi_year(interval)
+    if ny is not None:
+        # years since 1970 → calendar year → floor to the N-multiple
+        # grid anchored at year 0 (the "decade/century" grid) → back
+        yrs = np.asarray(v, dtype=np.int64).astype(
+            "datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+        cal = yrs + 1970
+        fl = (cal // ny) * ny - 1970
+        return fl.astype("datetime64[Y]").astype(
+            "datetime64[us]").astype(np.int64)
     fixed = parse_fixed_interval_us(interval)
     if fixed is None:
         raise ValueError(
@@ -294,6 +316,12 @@ def next_bucket_key(key: int, interval: str) -> int:
         m = np.datetime64(int(key), "us").astype("datetime64[M]").astype(np.int64)
         return int(
             np.int64(m + step).astype("datetime64[M]").astype("datetime64[us]").astype(np.int64)
+        )
+    ny = parse_multi_year(interval)
+    if ny is not None:
+        y = np.datetime64(int(key), "us").astype("datetime64[Y]").astype(np.int64)
+        return int(
+            np.int64(y + ny).astype("datetime64[Y]").astype("datetime64[us]").astype(np.int64)
         )
     if interval == "week":
         return int(key) + 7 * _DAY_US
@@ -721,14 +749,15 @@ def per_group_head(
     return list(zip(heads.tolist(), parts))
 
 
-# auto_date_histogram rounding ladder (finest → coarsest) — the ES
+# auto_date_histogram rounding ladder (finest → coarsest) — the FULL ES
 # RoundingInfo sequence (seconds 1/5/10/30, minutes 1/5/10/30, hours
-# 1/3/12, day, week, months 1/3, year).  ES continues 5y/10y/20y/…;
-# this ladder caps at calendar year (disclosed divergence — a span too
-# wide for yearly buckets returns yearly anyway).
+# 1/3/12, day, week, months 1/3, years 1/5/10/20/50/100).  Multi-year
+# buckets anchor at calendar-year multiples of N (the decade/century
+# grid); a span too wide even for century buckets returns 100y anyway.
 AUTO_DATEHIST_LADDER = (
     "1s", "5s", "10s", "30s", "1m", "5m", "10m", "30m",
     "1h", "3h", "12h", "day", "week", "month", "quarter", "year",
+    "5y", "10y", "20y", "50y", "100y",
 )
 
 
@@ -744,6 +773,12 @@ def span_bucket_count(lo_us: int, hi_us: int, interval: str) -> int:
         )
         step = {"month": 1, "quarter": 3, "year": 12}[interval]
         return int((m[1] - m[0]) // step) + 1
+    ny = parse_multi_year(interval)
+    if ny is not None:
+        y = f.astype("datetime64[us]").astype("datetime64[Y]").astype(
+            np.int64
+        )
+        return int((y[1] - y[0]) // ny) + 1
     step = _DAY_US * 7 if interval == "week" else (
         _DAY_US if interval == "day" else parse_fixed_interval_us(interval)
     )

@@ -1906,9 +1906,11 @@ class TermPartitionedEngine:
     ) -> list[dict]:
         """ES ``adjacency_matrix`` served from the term-partitioned
         layout: each filter's FULL matched-id set gathers from the
-        bucket actors (``match`` disjunctions, like ``filters_agg``
-        here), pairwise intersections fold on the coordinator with
-        sorted-array intersects — identical buckets to
+        bucket actors — a ``match`` disjunction OR a full bool-clause
+        dict ({must, should, must_not, filter, minimum_should_match},
+        evaluated through the engine's bool machinery) — and pairwise
+        intersections fold on the coordinator with sorted-array
+        intersects; identical buckets to
         :meth:`QueryEngine.adjacency_matrix` (parity tested)."""
         items = (
             list(filters.items()) if isinstance(filters, dict)
@@ -1916,8 +1918,22 @@ class TermPartitionedEngine:
         )
         sets: list[tuple[str, np.ndarray]] = []
         for n, q in items:
-            got = self._matched_ids_and_source(q)
-            ids = got[0] if got is not None else np.empty(0, np.int64)
+            if isinstance(q, dict):
+                try:
+                    hits = self.search_bool(
+                        must=q.get("must", ""),
+                        should=q.get("should", ""),
+                        must_not=q.get("must_not", ""),
+                        filter=q.get("filter", ""),
+                        k=1 << 30,
+                        minimum_should_match=q.get("minimum_should_match"),
+                    )
+                except ValueError:  # no positive clause — matches nothing
+                    hits = []
+                ids = np.array(sorted(d for d, _ in hits), dtype=np.int64)
+            else:
+                got = self._matched_ids_and_source(q)
+                ids = got[0] if got is not None else np.empty(0, np.int64)
             sets.append((str(n), np.asarray(ids, dtype=np.int64)))
         merged: dict = {}
         for i, (n1, s1) in enumerate(sets):

@@ -1047,3 +1047,65 @@ def test_auto_date_histogram_ladder_selection():
     f = Fake(0, 0, 0)
     out = auto_date_histogram(f, "q", "ts")
     assert out == {"interval": "year", "buckets": []}
+
+
+def test_multi_year_intervals_and_ladder_tail(ray_session):
+    """The 5y/10y/20y/50y/100y ladder tail: decade/century-grid floors,
+    next-bucket steps, span counts, and the auto ladder choosing them
+    for spans too wide for yearly buckets."""
+    import numpy as np
+
+    from elasticsearch_assets_ray.search.datehist import (
+        auto_date_histogram,
+        enumerate_bucket_keys,
+        floor_interval_us,
+        next_bucket_key,
+        span_bucket_count,
+    )
+
+    def us(s):
+        return int(np.datetime64(s, "us").astype(np.int64))
+
+    v = np.array([us("2024-07-15T12:00:00"), us("2020-01-01T00:00:00"),
+                  us("2019-12-31T23:59:59"), us("1999-06-01T00:00:00")],
+                 dtype=np.int64)
+    assert floor_interval_us(v, "10y").tolist() == [
+        us("2020-01-01T00:00:00"), us("2020-01-01T00:00:00"),
+        us("2010-01-01T00:00:00"), us("1990-01-01T00:00:00")]
+    assert floor_interval_us(v, "5y").tolist() == [
+        us("2020-01-01"), us("2020-01-01"), us("2015-01-01"),
+        us("1995-01-01")]
+    assert floor_interval_us(v, "100y").tolist() == [
+        us("2000-01-01"), us("2000-01-01"), us("2000-01-01"),
+        us("1900-01-01")]
+    assert next_bucket_key(us("2020-01-01"), "10y") == us("2030-01-01")
+    assert span_bucket_count(us("1999-06-01"), us("2024-07-15"),
+                             "10y") == 4  # 1990/2000/2010/2020
+    assert span_bucket_count(us("1999-06-01"), us("2024-07-15"),
+                             "20y") == 3  # 1980/2000/2020
+    assert enumerate_bucket_keys(us("1999-06-01"), us("2024-07-15"),
+                                 "10y") == [
+        us("1990-01-01"), us("2000-01-01"), us("2010-01-01"),
+        us("2020-01-01")]
+
+    class Fake:
+        def __init__(self, lo, hi, n):
+            self.lo, self.hi, self.n = lo, hi, n
+            self.calls = []
+
+        def filters_agg(self, filters, stats_on=None):
+            return [{"key": "all", "doc_count": self.n,
+                     "min": float(self.lo), "max": float(self.hi),
+                     "sum": 0.0}]
+
+        def date_histogram(self, query, field, interval="month",
+                           stats_on=None, min_doc_count=1):
+            self.calls.append((interval, min_doc_count))
+            return [{"key": 0, "doc_count": self.n}]
+
+    # 45-year span, target 10 → 5y (10 buckets fits, year = 46 doesn't)
+    f = Fake(us("1980-01-01"), us("2024-12-31"), 9)
+    assert auto_date_histogram(f, "q", "ts", 10)["interval"] == "5y"
+    # 400-year span, target 10 → 50y
+    f = Fake(us("1700-01-01"), us("2099-12-31"), 9)
+    assert auto_date_histogram(f, "q", "ts", 10)["interval"] == "50y"

@@ -242,3 +242,28 @@ def test_sampler_and_diversified(ts_index, ray_session):
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+def test_adjacency_matrix_bool_filters(ts_index, ray_session):
+    """Full bool-clause dict filters in adjacency_matrix — now on BOTH
+    engines (the term engine evaluates them through its bool
+    machinery)."""
+    info, glb = ts_index
+    eng = QueryEngine(info.index_dir, num_actors=2)
+    teng = TermPartitionedEngine(glb, num_actors=2)
+    try:
+        filters = {
+            "a_not_b": {"must": "alpha", "must_not": "beta"},
+            "bg": "beta gamma",
+            "ab_and": {"must": "alpha beta"},
+        }
+        got = eng.adjacency_matrix(filters)
+        assert teng.adjacency_matrix(filters) == got
+        assert all(r["doc_count"] >= 1 for r in got)
+        by = {r["key"]: r["doc_count"] for r in got}
+        # a doc without beta can never intersect the beta-conjunction
+        assert "a_not_b&ab_and" not in by
+        assert by["ab_and"] <= by["bg"]
+    finally:
+        eng.shutdown()
+        teng.shutdown()
