@@ -122,6 +122,88 @@ def knn_cosine(
     return _merge_partials(partials, k)
 
 
+def _vec_filter_mask(batch: pa.Table, spec: dict):
+    """Arrow-compute mask for a kNN pre-filter spec over a metadata
+    column of the vector table: ``{"col", "in": [values]}`` (ES terms
+    filter) or ``{"col", "range": (lo, hi)}`` (inclusive, None = open)."""
+    import pyarrow.compute as _pc
+
+    c = batch.column(spec["col"])
+    if "in" in spec:
+        return _pc.is_in(
+            c, value_set=pa.array(spec["in"], type=c.type)
+        )
+    lo, hi = spec["range"]
+    m = None
+    if lo is not None:
+        m = _pc.greater_equal(c, lo)
+    if hi is not None:
+        m2 = _pc.less_equal(c, hi)
+        m = m2 if m is None else _pc.and_(m, m2)
+    if m is None:
+        raise ValueError("range filter needs at least one bound")
+    return m
+
+
+class _FilteredTopK(_BatchTopK):
+    """ES kNN-search ``filter`` semantics: PRE-filter — the predicate
+    restricts the candidate set before scoring, so the top-k is exact
+    over the survivors (never a post-filtered short list)."""
+
+    def __init__(self, queries_ref, query_ids, k, col, id_col, spec):
+        super().__init__(queries_ref, query_ids, k, col, id_col)
+        self.spec = spec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.filter(_vec_filter_mask(batch, self.spec))
+        if batch.num_rows == 0:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            })
+        return super().__call__(batch)
+
+
+def knn_cosine_filtered(
+    ds,
+    queries: np.ndarray,
+    query_ids: list[int] | np.ndarray,
+    filter_spec: dict,
+    k: int = 10,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Exact cosine top-k with an ES kNN ``filter`` (pre-filtering:
+    candidates are restricted BEFORE the similarity cut, so results are
+    the true top-k among matching vectors — the ES 8 kNN-search filter
+    contract).  Same streaming shape as :func:`knn_cosine`: the filter
+    mask is one Arrow kernel per batch, the query matrix ships once via
+    ``ray.put``."""
+    if "col" not in filter_spec or (
+        "in" not in filter_spec and "range" not in filter_spec
+    ):
+        raise ValueError(
+            "filter_spec needs 'col' plus 'in' or 'range'"
+        )
+    if "range" in filter_spec and "in" not in filter_spec:
+        lo, hi = filter_spec["range"]
+        if lo is None and hi is None:
+            raise ValueError("range filter needs at least one bound")
+    q = np.asarray(queries, dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    q = q / qn[:, None]
+    queries_ref = ray.put(q)
+    partials = to_arrow(ds.map_batches(
+        _FilteredTopK(queries_ref, np.asarray(query_ids, dtype=np.int64),
+                      k, col, id_col, filter_spec),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ))
+    return _merge_partials(partials, k)
+
+
 def queries_from_dataset(ds, vec_ids: list[int], col: str = "embedding",
                          id_col: str = "vec_id") -> np.ndarray:
     """Fetch query vectors by id from the embedding dataset (small read)."""

@@ -8364,6 +8364,47 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
     return sim.knn_cosine(ds, q, KNN_QUERY_IDS, k=TOPK)
 
 
+KNN_FILTER_LABELS = [0, 2]
+
+
+def q_knn_filtered(sf_dir: str) -> pa.Table:
+    """ES kNN search with a ``filter`` (PRE-filtering — the ES 8
+    contract): exact cosine top-k among vectors whose ``label`` passes
+    a terms filter; the mask is one Arrow kernel per batch before the
+    matmul, so the result is the true top-k over survivors, never a
+    post-filtered short list."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = sim.queries_from_dataset(ds, KNN_QUERY_IDS)
+    return sim.knn_cosine_filtered(
+        ds, q, KNN_QUERY_IDS,
+        {"col": "label", "in": KNN_FILTER_LABELS}, k=TOPK,
+    )
+
+
+def sql_knn_filtered() -> str:
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    labels = ", ".join(str(x) for x in KNN_FILTER_LABELS)
+    return f"""
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+keep AS (SELECT vec_id FROM embeddings WHERE label IN ({labels})),
+q AS (SELECT * FROM e WHERE vec_id IN ({ids})),
+dots AS (SELECT q.vec_id AS query_id, e.vec_id, sum(q.v * e.v) AS dot
+         FROM q JOIN e ON q.i = e.i
+         JOIN keep ON keep.vec_id = e.vec_id
+         GROUP BY 1, 2)
+SELECT query_id, dots.vec_id AS vec_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(dot / (nq.nrm * nv.nrm), 4) DESC, dots.vec_id) AS rank,
+       round(dot / (nq.nrm * nv.nrm), 4) AS sim_r
+FROM dots
+JOIN n nq ON nq.vec_id = dots.query_id
+JOIN n nv ON nv.vec_id = dots.vec_id
+QUALIFY rank <= {TOPK}
+"""
+
+
 def sql_knn_cosine() -> str:
     ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
     return f"""
@@ -9834,6 +9875,7 @@ def queries():
         "dup_ngram_coverage": q_dup_ngram_coverage,
         "token_counts": q_token_counts,
         "knn_cosine": q_knn_cosine,
+        "knn_filtered": q_knn_filtered,
         "events_daily": q_events_daily,
         "events_weekly": q_events_weekly,
         "id_route_counts": q_id_route_counts,
@@ -10033,6 +10075,7 @@ def oracle_sql():
         "dup_ngram_coverage": sql_dup_ngram_coverage(),
         "token_counts": sql_token_counts(),
         "knn_cosine": sql_knn_cosine(),
+        "knn_filtered": sql_knn_filtered(),
         "events_daily": sql_events_daily(),
         "events_weekly": sql_events_weekly(),
         "id_route_counts": sql_id_route_counts(),

@@ -900,3 +900,47 @@ def test_decontamination_kernel(ray_session):
     # doc0 shares {a b}; doc1 nothing; doc2 shares {a b, b c} (distinct,
     # despite each occurring twice)
     assert counts.tolist() == [1, 0, 2]
+
+
+def test_knn_filtered_is_prefilter(ray_session):
+    """ES kNN filter = PRE-filter: the top-k is exact over surviving
+    vectors (a passing vector ranked below k unfiltered must appear),
+    and every hit passes the filter."""
+    import numpy as np
+    import ray.data as rd
+
+    from elasticsearch_assets_ray.ops import similarity as sim
+
+    rng = np.random.default_rng(9)
+    n, d = 300, 16
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    labels = (np.arange(n) % 3).astype(np.int32)
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": emb[i].tolist(), "label": int(labels[i])}
+        for i in range(n)
+    ])
+    q = emb[:2].astype(np.float64)
+    got = sim.knn_cosine_filtered(
+        ds, q, [0, 1], {"col": "label", "in": [1]}, k=5
+    ).to_pandas()
+    assert set(got.vec_id) <= set(np.nonzero(labels == 1)[0].tolist())
+    # brute reference among label==1 only
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    keep = np.nonzero(labels == 1)[0]
+    for qi in range(2):
+        sims = en[keep] @ qn[qi]
+        order = np.lexsort((keep, -np.round(sims, 4)))[:5]
+        want = keep[order].tolist()
+        assert got[got.query_id == qi].sort_values("rank").vec_id.tolist() \
+            == want, qi
+    # range-filter form + validation
+    got2 = sim.knn_cosine_filtered(
+        ds, q[:1], [0], {"col": "label", "range": (1, None)}, k=5
+    ).to_pandas()
+    assert set(got2.vec_id) <= set(np.nonzero(labels >= 1)[0].tolist())
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sim.knn_cosine_filtered(ds, q[:1], [0],
+                                {"col": "label", "range": (None, None)})
