@@ -233,6 +233,43 @@ def merge_opt_stats_partials(dst: dict, part: dict) -> dict:
     return dst
 
 
+def field_caps(index_dir: str) -> dict:
+    """ES ``_field_caps`` analogue: every queryable field of an index →
+    ``{"type", "searchable", "aggregatable"}``.  The analyzed text
+    field (manifest ``text_col``) is searchable-not-aggregatable; every
+    docmeta column is both (term/range predicates scan doc values, the
+    agg machinery consumes them); arrow types map to the ES names
+    (timestamp → date, integer → long, floating → double, string →
+    keyword).  One schema read — no data touched."""
+    from ..index.build import IndexInfo, docmeta_path
+
+    info = IndexInfo(index_dir)
+    parts = sorted(info.manifest.partitions, key=lambda p: p.doc_base)
+    schema = pq.read_schema(
+        docmeta_path(index_dir, parts[0].partition_id)
+    )
+    out = {
+        info.manifest.text_col: {
+            "type": "text", "searchable": True, "aggregatable": False,
+        }
+    }
+    for f in schema:
+        if pa.types.is_timestamp(f.type):
+            t = "date"
+        elif pa.types.is_integer(f.type):
+            t = "long"
+        elif pa.types.is_floating(f.type):
+            t = "double"
+        elif pa.types.is_boolean(f.type):
+            t = "boolean"
+        else:
+            t = "keyword"
+        out[f.name] = {
+            "type": t, "searchable": True, "aggregatable": True,
+        }
+    return out
+
+
 def merge_agg_partials(dst: dict, part: dict) -> dict:
     """Fold one (count, sum, min, max) aggregation partial into ``dst``
     in place — the associative bucket merge shared by the actor-level
@@ -5062,6 +5099,11 @@ class QueryEngine:
             ids, sc = merge_topk(parts, k, self.params.round_decimals)
             results.append(list(zip(ids.tolist(), sc.tolist())))
         return results
+
+    def field_caps(self) -> dict:
+        """ES ``_field_caps``: field → type/searchable/aggregatable
+        (module-level :func:`field_caps` over this index)."""
+        return field_caps(self.index_dir)
 
     def refresh(self) -> int:
         """Pick up shards appended to the index since this engine loaded

@@ -1861,6 +1861,29 @@ class TermPartitionedEngine:
             self.aggregate(query, field), max_doc_count, size
         )
 
+    def _filter_match_ids(self, q) -> np.ndarray:
+        """Sorted matched-id set of one aggregation filter: a ``match``
+        disjunction (text / term list) OR a full bool-clause dict
+        ({must, should, must_not, filter, minimum_should_match})
+        evaluated through the engine's bool machinery — the filter
+        grammar ``filters_agg`` and ``adjacency_matrix`` share with the
+        shard engine."""
+        if isinstance(q, dict):
+            try:
+                hits = self.search_bool(
+                    must=q.get("must", ""),
+                    should=q.get("should", ""),
+                    must_not=q.get("must_not", ""),
+                    filter=q.get("filter", ""),
+                    k=1 << 30,
+                    minimum_should_match=q.get("minimum_should_match"),
+                )
+            except ValueError:  # no positive clause — matches nothing
+                hits = []
+            return np.array(sorted(d for d, _ in hits), dtype=np.int64)
+        got = self._matched_ids_and_source(q)
+        return got[0] if got is not None else np.empty(0, np.int64)
+
     def filters_agg(
         self,
         filters: dict | list[tuple],
@@ -1868,11 +1891,12 @@ class TermPartitionedEngine:
     ) -> list[dict]:
         """ES ``filters`` aggregation served from the term-partitioned
         layout: per named filter (a ``match`` disjunction — text or a
-        pre-analyzed term list), the matched-id set gathers from the
-        bucket actors and stats hydrate from the source docmeta lineage
-        (extstats partials → sum/min/max/avg).  Buckets in declaration
-        order, empty filters kept with ``doc_count`` 0 — identical
-        rows to :meth:`QueryEngine.filters_agg` on match queries."""
+        pre-analyzed term list — or a full bool-clause dict), the
+        matched-id set gathers from the bucket actors and stats hydrate
+        from the source docmeta lineage (extstats partials →
+        sum/min/max/avg).  Buckets in declaration order, empty filters
+        kept with ``doc_count`` 0 — identical rows to
+        :meth:`QueryEngine.filters_agg`."""
         from .datehist import merge_extstats, values_partials_over_ids
 
         items = (
@@ -1881,11 +1905,16 @@ class TermPartitionedEngine:
         )
         rows = []
         for name, q in items:
-            got = self._matched_ids_and_source(q)
-            if got is None:
+            ids = self._filter_match_ids(q)
+            if len(ids) == 0:
                 rows.append({"key": str(name), "doc_count": 0})
                 continue
-            ids, src = got
+            src = self.meta.get("source_index")
+            if not src:
+                raise RuntimeError(
+                    "global layout predates source_index metadata — "
+                    "rebuild merge_global_postings for doc-values stats"
+                )
             row = {"key": str(name), "doc_count": int(len(ids))}
             if stats_on is not None:
                 n, s, _s2, mn, mx = merge_extstats(
@@ -1918,23 +1947,7 @@ class TermPartitionedEngine:
         )
         sets: list[tuple[str, np.ndarray]] = []
         for n, q in items:
-            if isinstance(q, dict):
-                try:
-                    hits = self.search_bool(
-                        must=q.get("must", ""),
-                        should=q.get("should", ""),
-                        must_not=q.get("must_not", ""),
-                        filter=q.get("filter", ""),
-                        k=1 << 30,
-                        minimum_should_match=q.get("minimum_should_match"),
-                    )
-                except ValueError:  # no positive clause — matches nothing
-                    hits = []
-                ids = np.array(sorted(d for d, _ in hits), dtype=np.int64)
-            else:
-                got = self._matched_ids_and_source(q)
-                ids = got[0] if got is not None else np.empty(0, np.int64)
-            sets.append((str(n), np.asarray(ids, dtype=np.int64)))
+            sets.append((str(n), self._filter_match_ids(q)))
         merged: dict = {}
         for i, (n1, s1) in enumerate(sets):
             if len(s1):
@@ -3768,6 +3781,20 @@ class TermPartitionedEngine:
             pf + k1 * (1.0 - b + b * dl / avgdl)
         )
         return self._tie_cut(hd.astype(np.int64), scores, k)
+
+    def field_caps(self) -> dict:
+        """ES ``_field_caps`` from the term-partitioned layout: the
+        capabilities of the SOURCE index whose docmeta lineage serves
+        doc values here (engine.field_caps over it)."""
+        from .engine import field_caps
+
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for field capabilities"
+            )
+        return field_caps(src)
 
     def refresh(self) -> list[str]:
         """Adopt layout changes WITHOUT reconstructing the engine: every

@@ -247,3 +247,15 @@ def test_runtime_field_unmapped_column_matches_nothing(geo_engines):
     ids = meta_match_ids(src, "script:doc['nope'] * 2.0",
                          ("range", None, 1.0, True, True))
     assert len(ids) == 0
+
+def test_field_caps_both_engines(geo_engines):
+    """ES _field_caps analogue: field → type/searchable/aggregatable,
+    identical across both engines (one schema read)."""
+    eng, teng, _, _ = geo_engines
+    caps = eng.field_caps()
+    assert caps == teng.field_caps()
+    assert caps["text"] == {"type": "text", "searchable": True,
+                            "aggregatable": False}
+    assert caps["lat"]["type"] == "double"
+    assert caps["doc_id"]["type"] == "long"
+    assert all(c["aggregatable"] for f, c in caps.items() if f != "text")
