@@ -4902,6 +4902,74 @@ SELECT {qid} AS query_id, tile, doc_count FROM (
     return f"WITH toks AS ({toks})\n" + "\nUNION ALL\n".join(parts)
 
 
+# (query_id, match text, precision, size)
+GEOHASH_QUERIES: list[tuple[int, str, int, int]] = [
+    (0, "hash join", 3, 10),
+    (1, "query scan", 2, 8),
+]
+
+
+def _q_geohash_grid(engine) -> pa.Table:
+    rows = []
+    for qid, text, prec, size in GEOHASH_QUERIES:
+        for b in engine.geohash_grid(text, "lat", "lon", precision=prec,
+                                     size=size):
+            rows.append({"query_id": qid, "cell": b["cell"],
+                         "doc_count": b["doc_count"]})
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_geohash_grid(sf_dir: str) -> pa.Table:
+    """ES ``geohash_grid`` aggregation: base32 geohash buckets via a
+    packed-cell RUNTIME FIELD (equirectangular x/y at the geohash bit
+    depths — bijective with the base32 key), exact top-size cut.  The
+    oracle compares the numeric cell (the SQL-expressible form); the
+    base32 rendering is unit-tested against the public bisection
+    algorithm incl. the canonical u4pruydqq vector."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_geohash_grid(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_geohash_grid_global(sf_dir: str) -> pa.Table:
+    """The SAME geohash_grid from the TERM-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_geohash_grid(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_geohash_grid() -> str:
+    from ..search.geo import geohash_cell_sql
+
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    parts = []
+    for qid, text, prec, size in GEOHASH_QUERIES:
+        tvals = ", ".join(f"('{t}')" for t in _simple_tokens(text))
+        cell = geohash_cell_sql(GEO_LAT_SQL, GEO_LON_SQL, prec)
+        parts.append(f"""
+SELECT {qid} AS query_id, cell, doc_count FROM (
+  SELECT {cell} AS cell, count(*)::BIGINT AS doc_count
+  FROM documents
+  WHERE doc_id IN (SELECT DISTINCT toks.doc_id
+                   FROM toks JOIN (VALUES {tvals}) q(t)
+                     ON toks.t = q.t)
+  GROUP BY 1
+  ORDER BY doc_count DESC, cell ASC
+  LIMIT {size}
+)""")
+    return f"WITH toks AS ({toks})\n" + "\nUNION ALL\n".join(parts)
+
+
 GEO_BOUNDS_QUERIES: list[tuple[int, str]] = [
     (0, "hash join"), (1, "customer order value"),
 ]
@@ -6979,6 +7047,69 @@ WHERE ranked.rn = greatest(1, least(ceil(p.pct / 100.0 * ranked.n), ranked.n))
 # ---- statistical aggregation family (ES boxplot / MAD / string_stats /
 # t_test / matrix_stats / top_metrics) — exact SQL-reproducible twins of
 # aggs ES itself serves approximately (t-digest); see search/statagg.py
+
+
+PCTL_RANK_VALUES = (10.0, 30.0, 55.0, 120.0)
+
+
+def _q_percentile_ranks(engine) -> pa.Table:
+    rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        got = engine.percentile_ranks(text, field="dl",
+                                      values=PCTL_RANK_VALUES)
+        for v in PCTL_RANK_VALUES:
+            rows.append({"query_id": qid, "value": v, "rank_pct": got[v]})
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_percentile_ranks(sf_dir: str) -> pa.Table:
+    """ES ``percentile_ranks`` (inverse percentiles) over each query's
+    match set: 100·count(fv ≤ v)/n per requested value — EXACT (pure
+    integer count logic; ES's t-digest approximation disclosed), from
+    the same per-shard sorted value partials percentiles uses."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_percentile_ranks(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_percentile_ranks_global(sf_dir: str) -> pa.Table:
+    """The SAME percentile_ranks from the TERM-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_percentile_ranks(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_percentile_ranks() -> str:
+    term_rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    vvals = ", ".join(f"({v!r})" for v in PCTL_RANK_VALUES)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+q(query_id, t) AS (VALUES {', '.join(term_rows)}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+v(value) AS (VALUES {vvals})
+SELECT hit.query_id, v.value,
+       100.0 * count(*) FILTER (dl.dl <= v.value) / count(*) AS rank_pct
+FROM hit
+JOIN dl ON dl.doc_id = hit.doc_id
+JOIN v ON true
+GROUP BY 1, 2
+"""
 
 
 def _q_boxplot_agg(engine) -> pa.Table:
@@ -9812,6 +9943,8 @@ def queries():
         "extstats_agg_global": q_extstats_agg_global,
         "percentiles_agg": q_percentiles_agg,
         "percentiles_agg_global": q_percentiles_agg_global,
+        "percentile_ranks": q_percentile_ranks,
+        "percentile_ranks_global": q_percentile_ranks_global,
         "boxplot_agg": q_boxplot_agg,
         "boxplot_agg_global": q_boxplot_agg_global,
         "mad_agg": q_mad_agg,
@@ -9828,6 +9961,8 @@ def queries():
         "geo_distance_agg_global": q_geo_distance_agg_global,
         "geotile_grid": q_geotile_grid,
         "geotile_grid_global": q_geotile_grid_global,
+        "geohash_grid": q_geohash_grid,
+        "geohash_grid_global": q_geohash_grid_global,
         "geo_bounds_centroid": q_geo_bounds_centroid,
         "geo_bounds_centroid_global": q_geo_bounds_centroid_global,
         "geo_search": q_geo_search,
@@ -10012,6 +10147,8 @@ def oracle_sql():
         "extstats_agg_global": sql_extstats_agg(),
         "percentiles_agg": sql_percentiles_agg(),
         "percentiles_agg_global": sql_percentiles_agg(),
+        "percentile_ranks": sql_percentile_ranks(),
+        "percentile_ranks_global": sql_percentile_ranks(),
         "boxplot_agg": sql_boxplot_agg(),
         "boxplot_agg_global": sql_boxplot_agg(),
         "mad_agg": sql_mad_agg(),
@@ -10028,6 +10165,8 @@ def oracle_sql():
         "geo_distance_agg_global": sql_geo_distance_agg(),
         "geotile_grid": sql_geotile_grid(),
         "geotile_grid_global": sql_geotile_grid(),
+        "geohash_grid": sql_geohash_grid(),
+        "geohash_grid_global": sql_geohash_grid(),
         "geo_bounds_centroid": sql_geo_bounds_centroid(),
         "geo_bounds_centroid_global": sql_geo_bounds_centroid(),
         "geo_search": sql_geo_search(),

@@ -1113,6 +1113,23 @@ def pctl_exact(parts: list[np.ndarray], percents) -> dict:
     return {float(p): float(v[r]) for p, r in zip(percents, ranks)}
 
 
+def pctl_ranks_exact(parts: list[np.ndarray], values) -> dict:
+    """Exact percentile RANKS (ES ``percentile_ranks``, inverse of
+    :func:`pctl_exact`): for each value, ``100 · count(fv ≤ v) / n``
+    from the same per-shard sorted value partials — one bisect per
+    requested value."""
+    if not parts:
+        return {float(v): None for v in values}
+    a = np.sort(np.concatenate(parts))
+    if len(a) == 0:
+        return {float(v): None for v in values}
+    return {
+        float(v): 100.0 * float(np.searchsorted(a, float(v), "right"))
+        / len(a)
+        for v in values
+    }
+
+
 def pctl_from_sketch(counts: dict, percents, k: int) -> dict:
     """Percentiles from merged sketch partials: walk the cumulative
     bucket counts to each nearest rank, report the bucket's geometric

@@ -4405,6 +4405,29 @@ class QueryEngine:
             return pctl_from_sketch(merged, percents, self.PCTL_SKETCH_K)
         return pctl_exact([p for p in parts if len(p)], percents)
 
+    def percentile_ranks(
+        self,
+        query: str | list[str] | dict,
+        field: str,
+        values: list[float],
+    ) -> dict:
+        """ES ``percentile_ranks`` aggregation (the inverse of
+        ``percentiles``): for each requested value, the percentage of
+        matched docs' ``field`` doc values ≤ it — EXACT
+        (``100·count(fv ≤ v)/n``; ES serves a t-digest approximation,
+        divergence disclosed).  Reuses the percentiles machinery's
+        sorted per-shard partials."""
+        from .datehist import pctl_ranks_exact
+
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return {float(v): None for v in values}
+        parts = ray.get(
+            [a.agg_values.remote(clauses, field, None)
+             for a in self.actors]
+        )
+        return pctl_ranks_exact([p for p in parts if len(p)], values)
+
     def cardinality(
         self,
         query: str | list[str] | dict,
@@ -4661,6 +4684,34 @@ class QueryEngine:
         )
         for b in buckets:
             b["key"] = geotile_key(b["key"], precision)
+        return buckets
+
+    def geohash_grid(
+        self,
+        query: str | list[str] | dict,
+        lat_field: str,
+        lon_field: str,
+        precision: int = 5,
+        size: int = 10,
+        stats_on: str | None = None,
+    ) -> list[dict]:
+        """ES ``geohash_grid`` aggregation: base32 geohash buckets of
+        the matched points, doc_count descending (packed-cell-ascending
+        ties), EXACT top-``size`` cut.  The packed cell id is a runtime
+        field (equirectangular x/y at the geohash bit depths), so the
+        whole agg is the terms machinery; each row carries both the
+        base32 ``key`` and the numeric ``cell`` (what the SQL oracle
+        compares — base32 rendering is unit-tested against the public
+        algorithm)."""
+        from .geo import geohash_cell_script, geohash_key
+
+        buckets = self.aggregate(
+            query, geohash_cell_script(lat_field, lon_field, precision),
+            stats_on=stats_on, size=size,
+        )
+        for b in buckets:
+            b["cell"] = float(b["key"])
+            b["key"] = geohash_key(b["cell"], precision)
         return buckets
 
     def geo_bounds(

@@ -126,6 +126,75 @@ def geotile_key(tile_id: float, zoom: int) -> str:
     return f"{zoom}/{t // s}/{t % s}"
 
 
+GEOHASH_MAX_PRECISION = 10  # 50 bits — packed cell exact in float64
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_bits(precision: int) -> tuple[int, int]:
+    if not (1 <= precision <= GEOHASH_MAX_PRECISION):
+        raise ValueError(
+            f"geohash precision {precision} outside [1, "
+            f"{GEOHASH_MAX_PRECISION}]"
+        )
+    total = 5 * precision
+    return (total + 1) // 2, total // 2  # lon bits, lat bits (lon first)
+
+
+def _geohash_cell(latv: str, lonv: str, precision: int,
+                  minfn: str, maxfn: str) -> str:
+    bx, by = _geohash_bits(precision)
+    sx, sy = repr(float(1 << bx)), repr(float(1 << by))
+    sxm1, sym1 = repr(float((1 << bx) - 1)), repr(float((1 << by) - 1))
+    cx = f"floor(({lonv} + 180.0) / 360.0 * {sx})"
+    cy = f"floor(({latv} + 90.0) / 180.0 * {sy})"
+    return (
+        f"{minfn}({maxfn}({cx}, 0.0), {sxm1}) * {sy} + "
+        f"{minfn}({maxfn}({cy}, 0.0), {sym1})"
+    )
+
+
+def geohash_cell_script(lat_field: str, lon_field: str,
+                        precision: int) -> str:
+    """Runtime-field name computing each doc's packed geohash CELL
+    ``x·2^by + y`` at ``precision`` (equirectangular x/y at the
+    geohash bit depths — bijective with the base32 key; render with
+    :func:`geohash_key`)."""
+    return "script:" + _geohash_cell(
+        f"doc['{lat_field}']", f"doc['{lon_field}']", precision,
+        "min", "max",
+    )
+
+
+def geohash_cell_sql(lat_col: str, lon_col: str, precision: int) -> str:
+    """The same packed-geohash-cell expression in ANSI SQL."""
+    return _geohash_cell(lat_col, lon_col, precision, "least", "greatest")
+
+
+def geohash_key(cell: float, precision: int) -> str:
+    """Packed cell id → the base32 geohash string (the ES
+    ``geohash_grid`` bucket key): interleave the x (lon) and y (lat)
+    bits MSB-first starting with lon, 5 bits per character."""
+    bx, by = _geohash_bits(precision)
+    c = int(cell)
+    x, y = c // (1 << by), c % (1 << by)
+    bits = []
+    xi, yi = bx - 1, by - 1
+    for i in range(5 * precision):
+        if i % 2 == 0:
+            bits.append((x >> xi) & 1)
+            xi -= 1
+        else:
+            bits.append((y >> yi) & 1)
+            yi -= 1
+    out = []
+    for k in range(precision):
+        v = 0
+        for b in bits[5 * k: 5 * k + 5]:
+            v = (v << 1) | b
+        out.append(_BASE32[v])
+    return "".join(out)
+
+
 def bbox_range_filters(lat_field: str, lon_field: str,
                        top_left: tuple[float, float],
                        bottom_right: tuple[float, float]) -> dict:

@@ -2254,6 +2254,25 @@ class TermPartitionedEngine:
         parts = values_partials_over_ids(src, ids, field, "sorted")
         return pctl_exact([p for p in parts if len(p)], percents)
 
+    def percentile_ranks(
+        self,
+        query: str | list[str],
+        field: str,
+        values: list[float],
+    ) -> dict:
+        """ES ``percentile_ranks`` from the term-partitioned layout —
+        exact ``100·count(fv ≤ v)/n`` over the matched rows' sorted
+        doc-value partials (same as
+        :meth:`QueryEngine.percentile_ranks`, parity by construction)."""
+        from .datehist import pctl_ranks_exact, values_partials_over_ids
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return {float(v): None for v in values}
+        ids, src = got
+        parts = values_partials_over_ids(src, ids, field, "sorted")
+        return pctl_ranks_exact([p for p in parts if len(p)], values)
+
     def cardinality(
         self,
         query: str | list[str],
@@ -2494,6 +2513,29 @@ class TermPartitionedEngine:
         )
         for b in buckets:
             b["key"] = geotile_key(b["key"], precision)
+        return buckets
+
+    def geohash_grid(
+        self,
+        query: str | list[str],
+        lat_field: str,
+        lon_field: str,
+        precision: int = 5,
+        size: int = 10,
+        stats_on: str | None = None,
+    ) -> list[dict]:
+        """ES ``geohash_grid`` served from the term-partitioned layout
+        (packed cell = runtime field → the terms-agg machinery; same
+        exact cut as :meth:`QueryEngine.geohash_grid`)."""
+        from .geo import geohash_cell_script, geohash_key
+
+        buckets = self.aggregate(
+            query, geohash_cell_script(lat_field, lon_field, precision),
+            stats_on=stats_on, size=size,
+        )
+        for b in buckets:
+            b["cell"] = float(b["key"])
+            b["key"] = geohash_key(b["cell"], precision)
         return buckets
 
     def geo_bounds(

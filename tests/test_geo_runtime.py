@@ -259,3 +259,77 @@ def test_field_caps_both_engines(geo_engines):
     assert caps["lat"]["type"] == "double"
     assert caps["doc_id"]["type"] == "long"
     assert all(c["aggregatable"] for f, c in caps.items() if f != "text")
+
+
+def _geohash_encode_ref(lat, lon, p):
+    """Classic public bisection geohash encoder (reference)."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    latr, lonr = [-90.0, 90.0], [-180.0, 180.0]
+    even, out, ch, bit = True, "", 0, 0
+    BITS = [16, 8, 4, 2, 1]
+    while len(out) < p:
+        if even:
+            mid = (lonr[0] + lonr[1]) / 2
+            if lon >= mid:
+                ch |= BITS[bit]
+                lonr[0] = mid
+            else:
+                lonr[1] = mid
+        else:
+            mid = (latr[0] + latr[1]) / 2
+            if lat >= mid:
+                ch |= BITS[bit]
+                latr[0] = mid
+            else:
+                latr[1] = mid
+        even = not even
+        if bit < 4:
+            bit += 1
+        else:
+            out += b32[ch]
+            bit = 0
+            ch = 0
+    return out
+
+
+def test_geohash_key_matches_public_algorithm():
+    from elasticsearch_assets_ray.search.geo import (
+        _geohash_bits,
+        geohash_cell_script,
+        geohash_key,
+    )
+
+    def cell_of(lat, lon, p):
+        bx, by = _geohash_bits(p)
+        x = min(max(math.floor((lon + 180.0) / 360.0 * (1 << bx)), 0),
+                (1 << bx) - 1)
+        y = min(max(math.floor((lat + 90.0) / 180.0 * (1 << by)), 0),
+                (1 << by) - 1)
+        return x * (1 << by) + y
+
+    # the canonical test vector + a seeded sample at several precisions
+    assert geohash_key(cell_of(57.64911, 10.40744, 9), 9) == "u4pruydqq"
+    rng = np.random.default_rng(13)
+    for lat, lon in zip(rng.uniform(-90, 90, 50),
+                        rng.uniform(-180, 180, 50)):
+        for p in (1, 3, 5, 8, 10):
+            assert geohash_key(cell_of(lat, lon, p), p) == \
+                _geohash_encode_ref(lat, lon, p), (lat, lon, p)
+    with pytest.raises(ValueError):
+        geohash_cell_script("lat", "lon", 11)
+
+
+def test_geohash_grid_parity_and_reference(geo_engines):
+    eng, teng, match, _ = geo_engines
+    a = eng.geohash_grid("alpha beta", "lat", "lon", precision=3, size=6)
+    b = teng.geohash_grid("alpha beta", "lat", "lon", precision=3, size=6)
+    assert a == b and len(a) == 6
+    counts = [r["doc_count"] for r in a]
+    assert counts == sorted(counts, reverse=True)
+    # keys are the TRUE geohashes of the matched points
+    want: dict = {}
+    for la, lo in zip(_lat(match), _lon(match)):
+        k = _geohash_encode_ref(la, lo, 3)
+        want[k] = want.get(k, 0) + 1
+    for r in a:
+        assert want[r["key"]] == r["doc_count"], r
