@@ -242,6 +242,9 @@ def moving_fn(
         "max": lambda xs: float(max(xs)),
         "sum": lambda xs: float(sum(xs)),
         "mean": lambda xs: float(sum(xs)) / len(xs),
+        "unweightedAvg": lambda xs: float(sum(xs)) / len(xs),
+        "stdDev": _moving_std,
+        "linearWeightedAvg": _linear_weighted_avg,
     }
     f = builtins[fn] if isinstance(fn, str) else fn
     vals = [bucket_metric(b, path, gap_policy) for b in buckets]
@@ -445,3 +448,50 @@ def cumulative_cardinality(
         rows.append({"key": k, "cardinality": len(terms),
                      out: len(seen)})
     return rows
+
+
+def _moving_std(xs: list[float]) -> float:
+    """``MovingFunctions.stdDev`` (population σ around the frame mean)."""
+    m = sum(xs) / len(xs)
+    return math.sqrt(sum((v - m) ** 2 for v in xs) / len(xs))
+
+
+def _linear_weighted_avg(xs: list[float]) -> float:
+    """``MovingFunctions.linearWeightedAvg``: weights 1..n, newest
+    heaviest — Σ(vᵢ·i)/Σi with i ascending over the frame."""
+    n = len(xs)
+    return sum(v * (i + 1) for i, v in enumerate(xs)) / (n * (n + 1) / 2)
+
+
+def ewma(alpha: float) -> Callable[[list[float]], float]:
+    """``MovingFunctions.ewma`` factory: exponentially weighted moving
+    average over the frame (oldest seeds the accumulator; each newer
+    value folds in as ``α·v + (1−α)·acc`` — the ES formulation).  Pass
+    the returned callable as ``moving_fn``'s ``fn``."""
+
+    def f(xs: list[float]) -> float:
+        acc = xs[0]
+        for v in xs[1:]:
+            acc = alpha * v + (1.0 - alpha) * acc
+        return float(acc)
+
+    return f
+
+
+def holt(alpha: float, beta: float) -> Callable[[list[float]], float]:
+    """``MovingFunctions.holt`` factory: double-exponential (level +
+    trend) smoothing over the frame, returning the last smoothed value
+    — the ES holt() one-step form.  Frames shorter than 2 fall back to
+    the raw value."""
+
+    def f(xs: list[float]) -> float:
+        if len(xs) < 2:
+            return float(xs[0])
+        level, trend = xs[0], xs[1] - xs[0]
+        for v in xs[1:]:
+            last = level
+            level = alpha * v + (1.0 - alpha) * (level + trend)
+            trend = beta * (level - last) + (1.0 - beta) * trend
+        return float(level)
+
+    return f

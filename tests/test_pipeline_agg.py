@@ -163,3 +163,23 @@ def test_cumulative_cardinality_exact_expanding_distinct():
         {"key": 30, "cardinality": 1, "cumulative_cardinality": 3},
     ]
     assert pl.cumulative_cardinality([]) == []
+
+
+def test_moving_fn_extra_builtins_and_factories():
+    import math
+
+    vals = [4.0, 0.0, 6.0]
+    out = pl.moving_fn(B, path="_count", window=3, fn="stdDev", out="m")
+    m = sum(vals) / 3
+    assert out[3]["m"] == math.sqrt(sum((v - m) ** 2 for v in vals) / 3)
+    out = pl.moving_fn(B, path="_count", window=3,
+                       fn="linearWeightedAvg", out="m")
+    assert out[3]["m"] == (4 * 1 + 0 * 2 + 6 * 3) / 6
+    out = pl.moving_fn(B, path="_count", window=3, fn=pl.ewma(0.5), out="m")
+    # acc: 4 -> .5*0+.5*4=2 -> .5*6+.5*2=4
+    assert out[3]["m"] == 4.0
+    out = pl.moving_fn(B, path="_count", window=3,
+                       fn=pl.holt(0.5, 0.5), out="m")
+    assert isinstance(out[3]["m"], float)
+    assert out[1]["m"] == 4.0  # single-value frame falls back raw
+    assert out[0]["m"] is None
