@@ -5284,6 +5284,56 @@ JOIN card ON card.query_id = b.query_id AND card.bucket_us = b.bucket_us
 """
 
 
+# sequence packing: the training-data context-window placement map
+PACK_CHUNK_TOKENS = 1024
+PACK_BIN_CAPACITY = 512
+
+
+def q_pack_chunks(sf_dir: str) -> pa.Table:
+    """GPT-style CONCAT-AND-CHUNK sequence packing: every doc's
+    placement in the global token stream (start offset + the
+    context-window span it lands in) — exact and order-deterministic,
+    two streaming passes whose driver state is one integer per corpus
+    file (the resumable-manifest pattern)."""
+    from ..ops.packing import pack_concat_chunk
+
+    return pack_concat_chunk(f"{sf_dir}/documents.parquet",
+                             PACK_CHUNK_TOKENS)
+
+
+def sql_pack_chunks() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    c = PACK_CHUNK_TOKENS
+    return f"""
+WITH toks AS ({toks}),
+n AS (SELECT doc_id, count(*)::BIGINT AS n_tok FROM toks GROUP BY doc_id),
+alln AS (SELECT d.doc_id, coalesce(n.n_tok, 0)::BIGINT AS n_tok
+         FROM documents d LEFT JOIN n ON n.doc_id = d.doc_id),
+c AS (SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS endt
+      FROM alln)
+SELECT doc_id, n_tok,
+       (endt - n_tok)::BIGINT AS start_tok,
+       ((endt - n_tok) // {c})::BIGINT AS first_chunk,
+       (greatest(endt - 1, endt - n_tok) // {c})::BIGINT AS last_chunk
+FROM c
+"""
+
+
+def q_pack_bins(sf_dir: str) -> pa.Table:
+    """Greedy first-fit-decreasing WHOLE-document packing into
+    fixed-capacity bins (the no-truncation fine-tuning layout), per
+    file partition so bins are co-read units and the op is
+    shuffle-free.  Sequential by nature — rows-only; its invariants
+    (capacity, determinism, per-file bins, oversize singletons) are
+    property-tested in tests/test_packing.py."""
+    from ..ops.packing import pack_greedy_bins
+
+    return pack_greedy_bins(f"{sf_dir}/documents.parquet",
+                            PACK_BIN_CAPACITY)
+
+
 # ---------------------------------------------------- join field
 # ES has_child / has_parent over the derived parent_id relation
 # (search/joinfield.py).  Scores are per-doc SERVING-rounded BM25
@@ -9969,6 +10019,8 @@ def queries():
         "geo_search_global": q_geo_search_global,
         "runtime_fields": q_runtime_fields,
         "runtime_fields_global": q_runtime_fields_global,
+        "pack_chunks": q_pack_chunks,
+        "pack_bins": q_pack_bins,
         "cumulative_cardinality": q_cumulative_cardinality,
         "cumulative_cardinality_global": q_cumulative_cardinality_global,
         "has_child": q_has_child,
@@ -10173,6 +10225,7 @@ def oracle_sql():
         "geo_search_global": sql_geo_search(),
         "runtime_fields": sql_runtime_fields(),
         "runtime_fields_global": sql_runtime_fields(),
+        "pack_chunks": sql_pack_chunks(),
         "cumulative_cardinality": sql_cumulative_cardinality(),
         "cumulative_cardinality_global": sql_cumulative_cardinality(),
         "has_child": sql_has_child(),
