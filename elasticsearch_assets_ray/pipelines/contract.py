@@ -9278,6 +9278,67 @@ FROM a
 """
 
 
+EQL_MAXSPAN_US = 48 * 3600 * 1_000_000  # 48h
+
+
+def q_eql_sequence(sf_dir: str) -> pa.Table:
+    """EQL ``sequence by user_id with maxspan=48h [view] [click]
+    [purchase]`` — anchor-chaining semantics (ops/eql.py), the Elastic
+    Event Query Language's core primitive over the reference's
+    time-sliced event worldview."""
+    from ..ops.eql import eql_sequence, type_is
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    out = to_arrow(
+        eql_sequence(
+            ds,
+            [type_is("view"), type_is("click"), type_is("purchase")],
+            maxspan_us=EQL_MAXSPAN_US,
+        )
+    )
+    return pa.table(
+        {
+            "user_id": out.column("key"),
+            "view_id": out.column("step0_id"),
+            "click_id": out.column("step1_id"),
+            "purchase_id": out.column("step2_id"),
+            "span_us": out.column("span_us"),
+        }
+    )
+
+
+def sql_eql_sequence() -> str:
+    return f"""
+WITH a AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS t0
+  FROM events WHERE event_type = 'view'
+), j1 AS (
+  SELECT a.user_id, a.view_id, a.t0,
+         e.event_id AS click_id, epoch_us(e.ts) AS t1,
+         row_number() OVER (PARTITION BY a.view_id
+                            ORDER BY e.ts, e.event_id) AS rn
+  FROM a JOIN events e
+    ON e.user_id = a.user_id AND e.event_type = 'click'
+   AND epoch_us(e.ts) > a.t0
+), s1 AS (SELECT user_id, view_id, t0, click_id, t1 FROM j1 WHERE rn = 1),
+j2 AS (
+  SELECT s1.user_id, s1.view_id, s1.t0, s1.click_id,
+         e.event_id AS purchase_id, epoch_us(e.ts) AS t2,
+         row_number() OVER (PARTITION BY s1.view_id
+                            ORDER BY e.ts, e.event_id) AS rn
+  FROM s1 JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+   AND epoch_us(e.ts) > s1.t1
+)
+SELECT user_id, view_id, click_id, purchase_id,
+       (t2 - t0)::BIGINT AS span_us
+FROM j2 WHERE rn = 1 AND t2 - t0 <= {EQL_MAXSPAN_US}
+"""
+
+
 # --------------------------------------------------- rows-only pipelines
 
 
@@ -10077,6 +10138,7 @@ def queries():
         "events_sliding": q_events_sliding,
         "asof_purchase_view": q_asof_purchase_view,
         "range_join_followups": q_range_join,
+        "eql_sequence": q_eql_sequence,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -10283,6 +10345,7 @@ def oracle_sql():
         "events_sliding": sql_events_sliding(),
         "asof_purchase_view": sql_asof_purchase_view(),
         "range_join_followups": sql_range_join(),
+        "eql_sequence": sql_eql_sequence(),
         "global_term_merge": sql_global_term_merge(),
     }
 
