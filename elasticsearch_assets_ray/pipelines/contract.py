@@ -26,6 +26,7 @@ expressible verbatim in SQL (``regexp_split_to_array(lower(text),
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -33,7 +34,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 from ..analysis.tokenizer import _STOPWORDS
 from ..config import IndexConfig
@@ -9339,6 +9340,171 @@ FROM j2 WHERE rn = 1 AND t2 - t0 <= {EQL_MAXSPAN_US}
 """
 
 
+def _byq_dir(sf_dir: str, name: str) -> str:
+    tag = hashlib.md5(
+        f"{CONTRACT_INDEX_VERSION}:byq:{name}:{sf_dir}".encode()
+    ).hexdigest()[:10]
+    return f"/tmp/esray_byq_{name}_{tag}"
+
+
+def q_reindex_stats(sf_dir: str) -> pa.Table:
+    """ES ``_reindex``: filtered + transformed copy of ``documents``
+    into a new corpus (per-file resumable tasks, index/byquery.py), then
+    per-(lang, source) stats read back from the DESTINATION."""
+    from ..index.byquery import reindex
+
+    dest = _byq_dir(sf_dir, "reix")
+
+    def upper_source(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("source"), "source",
+            pc.utf8_upper(t.column("source")),
+        )
+
+    reindex(f"{sf_dir}/documents.parquet", dest,
+            query="lang:es OR lang:fr", transform=upper_source)
+    ds = rd.read_parquet(dest, columns=["lang", "source", "n_chars"])
+    agg = to_arrow(
+        ds.groupby(["lang", "source"]).aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+        )
+    )
+    return pa.table({
+        "lang": agg.column("lang"),
+        "source": agg.column("source"),
+        "n_docs": pc.cast(agg.column("n_docs"), pa.int64()),
+        "sum_chars": pc.cast(agg.column("sum_chars"), pa.int64()),
+    })
+
+
+def sql_reindex_stats() -> str:
+    return """
+SELECT lang, upper(source) AS source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM documents WHERE lang IN ('es', 'fr')
+GROUP BY 1, 2
+"""
+
+
+def _live_lang_stats(idx: str) -> pa.Table:
+    """Per-lang count + n_chars over LIVE docs (docmeta minus
+    tombstones) — the read-back side of the by-query pipelines."""
+    import glob as _glob
+
+    from ..index.build import IndexInfo
+    from ..index.deletes import load_deletes
+
+    info = IndexInfo(idx)
+    dead_parts = [
+        load_deletes(idx, sid) for sid in info.manifest.shards
+    ]
+    dead = np.sort(np.concatenate(dead_parts)) if dead_parts else np.empty(0, np.int64)
+    metas = pa.concat_tables([
+        pq.read_table(f, columns=["doc_id", "lang", "n_chars"])
+        for f in sorted(_glob.glob(f"{idx}/docmeta/*.parquet"))
+    ])
+    ids = metas.column("doc_id").to_numpy()
+    pos = np.searchsorted(dead, ids)
+    tomb = (pos < len(dead)) & (dead[np.minimum(pos, max(len(dead) - 1, 0))] == ids) if len(dead) else np.zeros(len(ids), bool)
+    live = metas.filter(pa.array(~tomb))
+    langs = live.column("lang").to_pylist()
+    chars = live.column("n_chars").to_numpy()
+    out: dict[str, list] = {}
+    for lg, c in zip(langs, chars):
+        a = out.setdefault(lg, [0, 0])
+        a[0] += 1
+        a[1] += int(c)
+    keys = sorted(out)
+    return pa.table({
+        "lang": pa.array(keys),
+        "n_docs": pa.array([out[k][0] for k in keys], pa.int64()),
+        "sum_chars": pa.array([out[k][1] for k in keys], pa.int64()),
+    })
+
+
+def q_delete_by_query_stats(sf_dir: str) -> pa.Table:
+    """ES ``_delete_by_query`` (distributed docmeta match → per-shard
+    tombstones) on a copy of the contract index; result = live per-lang
+    stats, which the oracle recomputes with ``WHERE NOT``."""
+    import shutil as _sh
+
+    from ..index.byquery import delete_by_query
+
+    src = ensure_doc_index(sf_dir)
+    idx = _byq_dir(sf_dir, "dbq")
+    marker = f"{idx}/_DBQ_DONE"
+    if not os.path.exists(marker):
+        _sh.rmtree(idx, ignore_errors=True)
+        _sh.copytree(src, idx)
+        delete_by_query(idx, query="source:src1*")
+        open(marker, "w").close()
+    return _live_lang_stats(idx)
+
+
+def sql_delete_by_query_stats() -> str:
+    return """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents WHERE source NOT LIKE 'src1%'
+GROUP BY lang
+"""
+
+
+UBQ_SUFFIX = " zzupd"  # 6 chars appended by the update script
+
+
+def q_update_by_query_stats(sf_dir: str) -> pa.Table:
+    """ES ``_update_by_query``: the matched docs' new versions are
+    APPENDED (incremental build adopts them) and the old ids tombstoned;
+    live per-lang stats then show lang counts unchanged but de-doc
+    n_chars shifted by the script — the oracle states that as CASE
+    WHEN."""
+    import shutil as _sh
+
+    from ..index.byquery import update_by_query
+
+    corpus = _byq_dir(sf_dir, "ubqcorp")
+    idx = _byq_dir(sf_dir, "ubqidx")
+    marker = f"{idx}/_UBQ_DONE"
+    cfg = IndexConfig(
+        analyzer="simple", text_col="text", lang_col=None,
+        id_col="doc_id", meta_cols=("lang", "source", "n_chars"),
+        partition_target_docs=128, shard_target_docs=512,
+    )
+
+    def add_suffix(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.column_names.index("text"), "text",
+            pc.binary_join_element_wise(
+                t.column("text"), UBQ_SUFFIX.strip(), " "
+            ),
+        )
+        return t.set_column(
+            t.column_names.index("n_chars"), "n_chars",
+            pc.add(t.column("n_chars"), len(UBQ_SUFFIX)),
+        )
+
+    if not os.path.exists(marker):
+        _sh.rmtree(corpus, ignore_errors=True)
+        _sh.rmtree(idx, ignore_errors=True)
+        os.makedirs(corpus)
+        _sh.copy(f"{sf_dir}/documents.parquet", f"{corpus}/documents.parquet")
+        build_index(corpus, idx, cfg)
+        update_by_query(corpus, idx, query="lang:de",
+                        transform=add_suffix, tag="c1", config=cfg)
+        open(marker, "w").close()
+    return _live_lang_stats(idx)
+
+
+def sql_update_by_query_stats() -> str:
+    return f"""
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN lang = 'de' THEN n_chars + {len(UBQ_SUFFIX)}
+                ELSE n_chars END)::BIGINT AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
 # --------------------------------------------------- rows-only pipelines
 
 
@@ -10139,6 +10305,9 @@ def queries():
         "asof_purchase_view": q_asof_purchase_view,
         "range_join_followups": q_range_join,
         "eql_sequence": q_eql_sequence,
+        "reindex_stats": q_reindex_stats,
+        "delete_by_query_stats": q_delete_by_query_stats,
+        "update_by_query_stats": q_update_by_query_stats,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -10346,6 +10515,9 @@ def oracle_sql():
         "asof_purchase_view": sql_asof_purchase_view(),
         "range_join_followups": sql_range_join(),
         "eql_sequence": sql_eql_sequence(),
+        "reindex_stats": sql_reindex_stats(),
+        "delete_by_query_stats": sql_delete_by_query_stats(),
+        "update_by_query_stats": sql_update_by_query_stats(),
         "global_term_merge": sql_global_term_merge(),
     }
 
