@@ -9450,6 +9450,43 @@ GROUP BY lang
 """
 
 
+SCROLL_SLICES = 4
+
+
+def q_scroll_export(sf_dir: str) -> pa.Table:
+    """Sliced scroll under a point-in-time snapshot (search/scroll.py):
+    every slice exported independently (the reference's id-slicer
+    worldview), per-slice stats prove disjoint + exhaustive — the
+    oracle restates slice membership as ``doc_id % N``."""
+    from ..search.scroll import PointInTime, pit_export
+
+    idx = ensure_doc_index(sf_dir)
+    pit = PointInTime(idx)
+    rows = []
+    for s in range(SCROLL_SLICES):
+        t = to_arrow(pit_export(
+            pit, query="lang:en OR lang:zh",
+            columns=["doc_id", "n_chars"],
+            slice_id=s, slice_max=SCROLL_SLICES,
+        ))
+        rows.append((s, t.num_rows,
+                     int(pc.sum(t.column("n_chars")).as_py() or 0)))
+    return pa.table({
+        "slice_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        "sum_chars": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def sql_scroll_export() -> str:
+    return f"""
+SELECT (doc_id % {SCROLL_SLICES})::BIGINT AS slice_id,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents WHERE lang IN ('en', 'zh')
+GROUP BY 1
+"""
+
+
 UBQ_SUFFIX = " zzupd"  # 6 chars appended by the update script
 
 
@@ -10308,6 +10345,7 @@ def queries():
         "reindex_stats": q_reindex_stats,
         "delete_by_query_stats": q_delete_by_query_stats,
         "update_by_query_stats": q_update_by_query_stats,
+        "scroll_export": q_scroll_export,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -10518,6 +10556,7 @@ def oracle_sql():
         "reindex_stats": sql_reindex_stats(),
         "delete_by_query_stats": sql_delete_by_query_stats(),
         "update_by_query_stats": sql_update_by_query_stats(),
+        "scroll_export": sql_scroll_export(),
         "global_term_merge": sql_global_term_merge(),
     }
 
