@@ -9450,6 +9450,109 @@ GROUP BY lang
 """
 
 
+RANK_EVAL_K = 10
+
+
+def q_rank_eval(sf_dir: str) -> pa.Table:
+    """ES ``_rank_eval`` over the BM25 contract rankings: deterministic
+    pseudo-judgments (grade 2 when ``doc_id%5 == qid%5``, grade 1 when
+    ``doc_id%3 == qid%3``) rate EVERY document, so recall and the ideal
+    DCG exercise the rated-but-not-retrieved path."""
+    from ..search.rank_eval import rank_eval
+
+    ranked = q_bm25_topk(sf_dir)
+    all_ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_numpy()
+    qids = ranked.column("query_id").to_numpy()
+    docs = ranked.column("doc_id").to_numpy()
+    ranks = ranked.column("rank").to_numpy()
+    requests = []
+    for qid in np.unique(qids):
+        m = qids == qid
+        hits = docs[m][np.argsort(ranks[m])]
+        g = np.where(
+            all_ids % 5 == qid % 5, 2,
+            np.where(all_ids % 3 == qid % 3, 1, 0),
+        )
+        ratings = {int(d): int(x) for d, x in zip(all_ids, g) if x > 0}
+        requests.append({"id": int(qid), "hits": hits.tolist(),
+                         "ratings": ratings})
+    return rank_eval(requests, k=RANK_EVAL_K)
+
+
+def sql_rank_eval() -> str:
+    values = ", ".join(f"({i}, '{q}')" for i, q in BM25_QUERIES)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    qtoks = _TOKS.format(id="query_id", text="qtext", src="q")
+    grade = "CASE WHEN {d} % 5 = {q} % 5 THEN 2.0 " \
+            "WHEN {d} % 3 = {q} % 3 THEN 1.0 ELSE 0.0 END"
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+q(query_id, qtext) AS (VALUES {values}),
+qt AS (SELECT DISTINCT doc_id AS query_id, t AS tq FROM ({qtoks})),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM qt
+  JOIN tf ON tf.t = qt.tq
+  JOIN df ON df.t = qt.tq
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rank
+  FROM scored QUALIFY rank <= {RANK_EVAL_K}
+),
+rg AS (SELECT query_id, rank, {grade.format(d='doc_id', q='query_id')} AS g
+       FROM ranked),
+qids AS (SELECT DISTINCT query_id FROM ranked),
+allg AS (SELECT qq.query_id, d.doc_id,
+                {grade.format(d='d.doc_id', q='qq.query_id')} AS g
+         FROM documents d CROSS JOIN qids qq),
+tot AS (SELECT query_id, count(*) FILTER (WHERE g >= 1) AS n_rel
+        FROM allg GROUP BY 1),
+ideal AS (SELECT query_id, g,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY g DESC, doc_id) AS ir
+          FROM allg WHERE g > 0),
+idcg AS (SELECT query_id, sum((pow(2, g) - 1) / log2(ir + 1)) AS idcg
+         FROM ideal WHERE ir <= {RANK_EVAL_K} GROUP BY 1),
+base AS (SELECT query_id, count(*)::DOUBLE AS n,
+                count(*) FILTER (WHERE g >= 1) AS nrel,
+                min(rank) FILTER (WHERE g >= 1) AS fr,
+                sum((pow(2, g) - 1) / log2(rank + 1)) AS dcg
+         FROM rg GROUP BY 1),
+errc AS (SELECT query_id, rank, (pow(2, g) - 1) / 4.0 AS rp,
+                coalesce(exp(sum(ln(1 - (pow(2, g) - 1) / 4.0))
+                         OVER (PARTITION BY query_id ORDER BY rank
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)), 1.0) AS carry
+         FROM rg),
+err AS (SELECT query_id, sum(rp * carry / rank) AS err FROM errc GROUP BY 1)
+SELECT b.query_id,
+       round(b.nrel / b.n, 6) AS precision_k,
+       round(CASE WHEN t.n_rel > 0 THEN b.nrel / t.n_rel::DOUBLE
+                  ELSE 0 END, 6) AS recall_k,
+       round(coalesce(1.0 / b.fr, 0), 6) AS mrr,
+       round(b.dcg, 6) AS dcg_k,
+       round(CASE WHEN i.idcg > 0 THEN b.dcg / i.idcg ELSE 0 END, 6) AS ndcg_k,
+       round(e.err, 6) AS err_k
+FROM base b
+JOIN tot t USING (query_id)
+LEFT JOIN idcg i USING (query_id)
+JOIN err e USING (query_id)
+"""
+
+
 SCROLL_SLICES = 4
 
 
@@ -10346,6 +10449,7 @@ def queries():
         "delete_by_query_stats": q_delete_by_query_stats,
         "update_by_query_stats": q_update_by_query_stats,
         "scroll_export": q_scroll_export,
+        "rank_eval": q_rank_eval,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -10557,6 +10661,7 @@ def oracle_sql():
         "delete_by_query_stats": sql_delete_by_query_stats(),
         "update_by_query_stats": sql_update_by_query_stats(),
         "scroll_export": sql_scroll_export(),
+        "rank_eval": sql_rank_eval(),
         "global_term_merge": sql_global_term_merge(),
     }
 
