@@ -9450,6 +9450,124 @@ GROUP BY lang
 """
 
 
+TERMS_ENUM_PREFIX, TERMS_ENUM_PAGE = "s", 4
+
+
+def _q_terms_enum(engine) -> pa.Table:
+    """Two pages (size + after-cursor pagination) of ``_terms_enum``."""
+    p1 = engine.terms_enum(TERMS_ENUM_PREFIX, size=TERMS_ENUM_PAGE)
+    p2 = engine.terms_enum(
+        TERMS_ENUM_PREFIX, size=100, after=p1[-1][0] if p1 else None
+    )
+    rows = [(t, d, 0) for t, d in p1] + [(t, d, 1) for t, d in p2]
+    return pa.table({
+        "term": pa.array([r[0] for r in rows]),
+        "df": pa.array([r[1] for r in rows], pa.int64()),
+        "page": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def q_terms_enum(sf_dir: str) -> pa.Table:
+    """ES ``_terms_enum``: sorted dictionary page with prefix + cursor
+    pagination, per-actor first-N pages merged (union ⊇ global first-N),
+    df from the cached global round."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_terms_enum(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_terms_enum_global(sf_dir: str) -> pa.Table:
+    """The SAME ``_terms_enum`` from the term-partitioned layout
+    (per-bucket pages, df routed to owning buckets)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_terms_enum(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_terms_enum() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+d AS (SELECT t AS term, count(DISTINCT doc_id)::BIGINT AS df FROM toks
+      WHERE t LIKE '{TERMS_ENUM_PREFIX}%' GROUP BY 1),
+r AS (SELECT term, df, row_number() OVER (ORDER BY term) AS rn FROM d)
+SELECT term, df,
+       CASE WHEN rn <= {TERMS_ENUM_PAGE} THEN 0 ELSE 1 END::BIGINT AS page
+FROM r
+"""
+
+
+SM_QUERY = "hash join"
+SM_MAP = "n_chars * 3 + 1"
+
+
+def _q_scripted_metric(engine) -> pa.Table:
+    r_sum = engine.scripted_metric(SM_QUERY, map_script=SM_MAP)
+    r_fin = engine.scripted_metric(
+        SM_QUERY, map_script=SM_MAP, combine="sum", finalize="value * 2 + n"
+    )
+    r_min = engine.scripted_metric(SM_QUERY, map_script=SM_MAP, combine="min")
+    r_max = engine.scripted_metric(SM_QUERY, map_script=SM_MAP, combine="max")
+    return pa.table({
+        "doc_count": pa.array([r_sum["doc_count"]], pa.int64()),
+        "value_sum": pa.array([int(r_sum["value"])], pa.int64()),
+        "value_final": pa.array([int(r_fin["value"])], pa.int64()),
+        "value_min": pa.array([int(r_min["value"])], pa.int64()),
+        "value_max": pa.array([int(r_max["value"])], pa.int64()),
+    })
+
+
+def q_scripted_metric(sf_dir: str) -> pa.Table:
+    """ES ``scripted_metric`` (the associative subset): vectorized map
+    expression over matched docs' docmeta, per-actor extstats partials,
+    enumerated combine + reduce-script finalize.  Integer-grid map
+    output keeps every hash-compared value exact."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_scripted_metric(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_scripted_metric_global(sf_dir: str) -> pa.Table:
+    """The SAME scripted_metric from the term-partitioned layout
+    (matched ids → source-docmeta partition tasks)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_scripted_metric(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_scripted_metric() -> str:
+    terms = ", ".join(f"('{t}')" for t in _simple_tokens(SM_QUERY))
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+q(t) AS (VALUES {terms}),
+hit AS (SELECT DISTINCT toks.doc_id FROM q JOIN toks ON toks.t = q.t),
+v AS (SELECT d.n_chars * 3 + 1 AS mv FROM hit JOIN documents d USING (doc_id))
+SELECT count(*)::BIGINT AS doc_count,
+       sum(mv)::BIGINT AS value_sum,
+       (sum(mv) * 2 + count(*))::BIGINT AS value_final,
+       min(mv)::BIGINT AS value_min,
+       max(mv)::BIGINT AS value_max
+FROM v
+"""
+
+
 RANK_EVAL_K = 10
 
 
@@ -10450,6 +10568,10 @@ def queries():
         "update_by_query_stats": q_update_by_query_stats,
         "scroll_export": q_scroll_export,
         "rank_eval": q_rank_eval,
+        "terms_enum": q_terms_enum,
+        "terms_enum_global": q_terms_enum_global,
+        "scripted_metric": q_scripted_metric,
+        "scripted_metric_global": q_scripted_metric_global,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -10662,6 +10784,10 @@ def oracle_sql():
         "update_by_query_stats": sql_update_by_query_stats(),
         "scroll_export": sql_scroll_export(),
         "rank_eval": sql_rank_eval(),
+        "terms_enum": sql_terms_enum(),
+        "terms_enum_global": sql_terms_enum(),
+        "scripted_metric": sql_scripted_metric(),
+        "scripted_metric_global": sql_scripted_metric(),
         "global_term_merge": sql_global_term_merge(),
     }
 

@@ -1149,6 +1149,39 @@ def pctl_from_sketch(counts: dict, percents, k: int) -> dict:
     return out
 
 
+def scripted_metric_result(parts: list[tuple], combine: str,
+                           finalize: str | None = None) -> dict:
+    """ES ``scripted_metric`` fold: merge per-actor/task extstats
+    partials, apply the ``combine`` reduction, optionally run a
+    ``finalize`` reduce-script (ScriptExpr over ``value``/``n``).
+
+    Disclosed divergence: ES runs arbitrary painless init/map/combine/
+    reduce; this ships the ASSOCIATIVE subset — a vectorized map
+    expression, an enumerated combine (sum/count/avg/min/max), and a
+    scalar reduce expression — i.e. exactly the shapes that distribute
+    without shipping per-doc state, which is the point at scale."""
+    n, s, _s2, mn, mx = merge_extstats(parts)
+    if combine == "sum":
+        v = s
+    elif combine == "count":
+        v = float(n)
+    elif combine == "avg":
+        v = s / n if n else 0.0
+    elif combine == "min":
+        v = mn if n else 0.0
+    elif combine == "max":
+        v = mx if n else 0.0
+    else:
+        raise ValueError(f"unknown combine {combine!r}")
+    if finalize is not None:
+        expr = _compiled_script(finalize)
+        env = {f: np.zeros(1) for f in expr.fields}
+        env.update({"value": np.array([v]), "n": np.array([float(n)]),
+                    "_score": np.zeros(1)})
+        v = float(np.asarray(expr(env))[0])
+    return {"value": v, "doc_count": int(n)}
+
+
 def merge_extstats(parts: list[tuple]) -> tuple:
     """Associative merge of (count, sum, sum_of_squares, min, max)."""
     n, s, s2, mn, mx = 0, 0.0, 0.0, np.inf, -np.inf

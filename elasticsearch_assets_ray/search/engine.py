@@ -2635,6 +2635,35 @@ class _ScorerCore:
     def local_cfs(self, terms: list[str]) -> dict[str, int]:
         return {t: sum(s.local_cf(t) for s in self.shards) for t in terms}
 
+    def scripted_extstats(self, clauses: dict, field: str) -> tuple:
+        """(n, sum, sumsq, min, max) of ``field`` (stored or ``script:``
+        runtime column) over this actor's matched docs — the
+        scripted_metric map+combine partial, O(1) wire."""
+        v = self.agg_values(clauses, field, None)
+        if len(v) == 0:
+            return (0, 0.0, 0.0, float("inf"), float("-inf"))
+        return (int(len(v)), float(v.sum()), float((v * v).sum()),
+                float(v.min()), float(v.max()))
+
+    def terms_page(self, prefix: str, after: str | None,
+                   size: int) -> list[str]:
+        """ES ``_terms_enum`` shard page: the first ``size`` dictionary
+        terms with ``prefix`` strictly after ``after``, merged across
+        this actor's shards.  The union of per-actor first-``size``
+        pages contains the global first-``size`` (each list is sorted
+        and complete up to its cut)."""
+        out: set[str] = set()
+        for s in self.shards:
+            n = 0
+            for t in s.expand_prefix(prefix):
+                if after is not None and t <= after:
+                    continue
+                out.add(t)
+                n += 1
+                if n >= size:
+                    break
+        return sorted(out)[:size]
+
     def match_first(self, terms: list[str], n: int) -> np.ndarray:
         parts = [s.match_first(terms, n) for s in self.shards]
         docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
@@ -3196,6 +3225,22 @@ class QueryEngine:
             for t in missing:
                 self._df_cache[t] = sum(p[t] for p in df_parts)
         return {t: self._df_cache[t] for t in terms}
+
+    def terms_enum(self, prefix: str = "", *, size: int = 10,
+                   after: str | None = None) -> list[tuple[str, int]]:
+        """ES ``_terms_enum``: the first ``size`` dictionary terms with
+        ``prefix`` (strictly after ``after`` — the pagination cursor),
+        in term order.  One page round (per-actor sorted first-``size``,
+        union ⊇ global first-``size``) + one cached df round.  Returned
+        with df — a disclosed ADDITION over ES (which returns bare
+        terms); like Lucene, df counts tombstoned docs until compaction.
+        """
+        pages = ray.get([
+            a.terms_page.remote(prefix, after, size) for a in self.actors
+        ])
+        terms = sorted(set().union(*pages))[:size]
+        df = self.dfs(terms)
+        return [(t, df[t]) for t in terms]
 
     def idfs(self, terms: list[str]) -> dict[str, float]:
         dfs = self.dfs(terms)
@@ -4366,6 +4411,29 @@ class QueryEngine:
              for a in self.actors]
         )
         return metric_aggs_render(parts)
+
+    def scripted_metric(
+        self,
+        query: str | list[str] | dict,
+        *,
+        map_script: str,
+        combine: str = "sum",
+        finalize: str | None = None,
+    ) -> dict:
+        """ES ``scripted_metric`` aggregation (the distributable
+        subset — see ``datehist.scripted_metric_result``): ``map_script``
+        evaluates vectorized over each matched doc's docmeta (runtime-
+        field machinery), combines per actor into an O(1) extstats
+        partial, folds with ``combine`` and an optional ``finalize``
+        reduce-script over ``value``/``n``."""
+        from .datehist import scripted_metric_result
+
+        clauses = self._query_clauses(query)
+        parts = [] if clauses is None else ray.get([
+            a.scripted_extstats.remote(clauses, f"script:{map_script}")
+            for a in self.actors
+        ])
+        return scripted_metric_result(parts, combine, finalize)
 
     PCTL_DEFAULT = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
     PCTL_SKETCH_K = 200

@@ -391,6 +391,20 @@ class _BucketCore:
 
         return prefix_expand_sorted(self._sorted_terms(), prefix, cap)
 
+    def terms_page(self, prefix: str, after: str | None,
+                   size: int) -> list[str]:
+        """ES ``_terms_enum`` bucket page: first ``size`` matching terms
+        strictly after the cursor (same soundness as the shard engine's
+        per-actor page)."""
+        out = []
+        for t in self.expand_prefix(prefix):
+            if after is not None and t <= after:
+                continue
+            out.append(t)
+            if len(out) >= size:
+                break
+        return out
+
     def expand_wildcard(self, pattern: str, cap: int | None = None) -> list[str]:
         """Wildcard (* / ?) dictionary matches in term order — the shard
         engine's shared ``wildcard_expand_sorted`` walk.  Leading
@@ -1166,6 +1180,32 @@ class TermPartitionedEngine:
             return []
         return self._constant_score_docs("expand_prefix", prefix, k)
 
+    def terms_enum(self, prefix: str = "", *, size: int = 10,
+                   after: str | None = None) -> list[tuple[str, int]]:
+        """ES ``_terms_enum`` on the term-partitioned layout: per-actor
+        sorted pages (union ⊇ global first-``size``) merged on the
+        coordinator, then one df round routed to each term's OWNING
+        bucket (no posting arrays ship).  Identical output to
+        ``QueryEngine.terms_enum`` over the same corpus (tested)."""
+        from ..index.global_merge import _term_bucket
+
+        pages = ray.get([
+            a.terms_page.remote(prefix, after, size) for a in self.actors
+        ])
+        terms = sorted(set().union(*pages))[:size]
+        by_actor: dict[int, list[str]] = {}
+        for t in terms:
+            a = self._actor_of_bucket[
+                _term_bucket(t, self._n_buckets, self._term_hash)
+            ]
+            by_actor.setdefault(a, []).append(t)
+        dfs: dict[str, int] = {}
+        for part in ray.get(
+            [self.actors[a].df_of.remote(ts) for a, ts in by_actor.items()]
+        ):
+            dfs.update(part)
+        return [(t, dfs.get(t, 0)) for t in terms]
+
     def search_wildcard(self, pattern: str, k: int = 10) -> list[tuple[int, float]]:
         """ES ``wildcard`` query (constant_score rewrite) on the
         term-partitioned layout."""
@@ -1927,6 +1967,35 @@ class TermPartitionedEngine:
                                 "avg": s / len(ids)})
             rows.append(row)
         return rows
+
+    def scripted_metric(
+        self,
+        query,
+        *,
+        map_script: str,
+        combine: str = "sum",
+        finalize: str | None = None,
+    ) -> dict:
+        """ES ``scripted_metric`` on the term-partitioned layout: the
+        matched-id set gathers from the bucket actors, extstats partials
+        compute in source-docmeta partition tasks over the ``script:``
+        runtime field, and the fold matches
+        :meth:`QueryEngine.scripted_metric` exactly (parity tested)."""
+        from .datehist import scripted_metric_result, values_partials_over_ids
+
+        ids = self._filter_match_ids(query)
+        parts = []
+        if len(ids):
+            src = self.meta.get("source_index")
+            if not src:
+                raise RuntimeError(
+                    "global layout predates source_index metadata — "
+                    "rebuild merge_global_postings for scripted_metric"
+                )
+            parts = values_partials_over_ids(
+                src, ids, f"script:{map_script}", "extstats"
+            )
+        return scripted_metric_result(parts, combine, finalize)
 
     def adjacency_matrix(
         self,

@@ -1,0 +1,135 @@
+"""_terms_enum (both engines: pagination, prefix, brute parity),
+scripted_metric (both engines, finalize, brute parity), and
+search-template rendering.  Oracle twins run via the contract
+pipelines."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_assets_ray.search.template import render_template
+
+WORDS = ["alpha", "alder", "algae", "beta", "bolt", "gamma", "gleam",
+         "delta", "dune"]
+
+
+@pytest.fixture(scope="module")
+def engines(tmp_path_factory, ray_session):
+    from elasticsearch_assets_ray.config import BM25Params, IndexConfig
+    from elasticsearch_assets_ray.index.build import build_index
+    from elasticsearch_assets_ray.index.global_merge import merge_global_postings
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+    from elasticsearch_assets_ray.search.term_engine import TermPartitionedEngine
+
+    tmp = tmp_path_factory.mktemp("tapi")
+    src = tmp / "docs.parquet"
+    rng = np.random.default_rng(9)
+    n = 180
+    texts = [
+        " ".join(WORDS[j] for j in rng.integers(0, len(WORDS),
+                                                rng.integers(2, 10)))
+        for _ in range(n)
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        src,
+    )
+    cfg = IndexConfig(
+        analyzer="simple", text_col="text", lang_col=None, id_col="doc_id",
+        meta_cols=("n_chars",), partition_target_docs=24,
+        shard_target_docs=60,
+    )
+    idx = tmp / "idx"
+    build_index(str(src), idx, cfg)
+    gdir = tmp / "global"
+    merge_global_postings(idx, gdir, n_salts=2, n_buckets=4,
+                          hot_df_fraction=0.5, store_norms=True)
+    eng = QueryEngine(idx, num_actors=2, params=BM25Params(round_decimals=4))
+    teng = TermPartitionedEngine(gdir, num_actors=2, round_decimals=4)
+    yield eng, teng, texts
+    teng.shutdown()
+    eng.shutdown()
+
+
+def _brute_terms(texts, prefix, after=None):
+    from collections import Counter
+
+    df = Counter()
+    for t in texts:
+        for w in set(t.split()):
+            df[w] += 1
+    terms = sorted(
+        w for w in df
+        if w.startswith(prefix) and (after is None or w > after)
+    )
+    return [(w, df[w]) for w in terms]
+
+
+def test_terms_enum_parity_and_pagination(engines):
+    eng, teng, texts = engines
+    for prefix in ("", "al", "g", "zz"):
+        want_all = _brute_terms(texts, prefix)
+        got = eng.terms_enum(prefix, size=4)
+        assert got == want_all[:4], prefix
+        assert teng.terms_enum(prefix, size=4) == want_all[:4], prefix
+    # paginate with after-cursor: pages concatenate to the full list
+    pages, after = [], None
+    while True:
+        page = eng.terms_enum("", size=3, after=after)
+        if not page:
+            break
+        pages.extend(page)
+        after = page[-1][0]
+    assert pages == _brute_terms(texts, "")
+    assert teng.terms_enum("", size=50) == _brute_terms(texts, "")
+
+
+def test_scripted_metric_parity(engines):
+    eng, teng, texts = engines
+    hits = [i for i, t in enumerate(texts)
+            if {"alpha", "beta"} & set(t.split())]
+    chars = np.array([len(texts[i]) for i in hits], dtype=np.float64)
+    want_sum = float((chars * 3 + 1).sum())
+    r = eng.scripted_metric("alpha beta", map_script="n_chars * 3 + 1")
+    assert r == {"value": want_sum, "doc_count": len(hits)}
+    rg = teng.scripted_metric("alpha beta", map_script="n_chars * 3 + 1")
+    assert rg == r
+    # combine variants + finalize reduce-script
+    for combine, want in (
+        ("count", float(len(hits))),
+        ("min", float((chars * 3 + 1).min())),
+        ("max", float((chars * 3 + 1).max())),
+        ("avg", float((chars * 3 + 1).sum() / len(hits))),
+    ):
+        assert eng.scripted_metric(
+            "alpha beta", map_script="n_chars * 3 + 1", combine=combine
+        )["value"] == pytest.approx(want)
+    f = eng.scripted_metric(
+        "alpha beta", map_script="n_chars * 3 + 1",
+        combine="sum", finalize="value * 2 + n",
+    )
+    assert f["value"] == want_sum * 2 + len(hits)
+    assert teng.scripted_metric(
+        "alpha beta", map_script="n_chars * 3 + 1",
+        combine="sum", finalize="value * 2 + n",
+    ) == f
+    # no matches
+    z = eng.scripted_metric("zzz", map_script="n_chars")
+    assert z == {"value": 0.0, "doc_count": 0}
+
+
+def test_render_template():
+    assert render_template("lang:{{lang}}", {"lang": "py"}) == "lang:py"
+    assert render_template("a {{missing}} b", {}) == "a  b"
+    t = "x{{#f}} AND lang:{{lang}}{{/f}}{{^f}} (unfiltered){{/f}}"
+    assert render_template(t, {"f": True, "lang": "go"}) == "x AND lang:go"
+    assert render_template(t, {}) == "x (unfiltered)"
+    nested = "{{#a}}1{{#b}}2{{/b}}{{/a}}"
+    assert render_template(nested, {"a": 1, "b": 1}) == "12"
+    assert render_template(nested, {"a": 1}) == "1"
+    assert render_template(nested, {}) == ""
