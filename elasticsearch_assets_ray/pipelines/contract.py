@@ -9450,6 +9450,68 @@ GROUP BY lang
 """
 
 
+def q_ingest_pipeline(sf_dir: str) -> pa.Table:
+    """ES ingest pipeline (ops/ingest.py) streamed over ``documents``
+    via ``map_batches``: gsub + script + CONDITIONAL uppercase +
+    drop, then per-source stats — the oracle restates each processor
+    in SQL (conditionals as CASE WHEN, drop as WHERE NOT, applied in
+    the same order)."""
+    from ..ops.ingest import IngestPipeline
+
+    pipe = IngestPipeline([
+        {"gsub": {"field": "text", "pattern": "a", "replacement": "@"}},
+        {"script": {"source": "n_chars * 2 + doc_id",
+                    "target_field": "n2"}},
+        {"uppercase": {"field": "source", "if": "lang:de"}},
+        {"drop": {"if": "source:src19"}},
+    ])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch.column("source"),
+            "n2": pc.cast(batch.column("n2"), pa.int64()),
+            "ats": pc.cast(
+                pc.count_substring(batch.column("text"), "@"), pa.int64()
+            ),
+        })
+
+    ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet")
+        .map_batches(pipe, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    agg = to_arrow(
+        ds.groupby("source").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n2", alias_name="sum_script"),
+            Sum("ats", alias_name="sum_at"),
+        )
+    )
+    return pa.table({
+        "source": agg.column("source"),
+        "n_docs": pc.cast(agg.column("n_docs"), pa.int64()),
+        "sum_script": pc.cast(agg.column("sum_script"), pa.int64()),
+        "sum_at": pc.cast(agg.column("sum_at"), pa.int64()),
+    })
+
+
+def sql_ingest_pipeline() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'de' THEN upper(source) ELSE source END AS source_c,
+         replace(text, 'a', '@') AS text_g,
+         n_chars * 2 + doc_id AS n2
+  FROM documents
+)
+SELECT source_c AS source, count(*)::BIGINT AS n_docs,
+       sum(n2)::BIGINT AS sum_script,
+       sum(length(text_g) - length(replace(text_g, '@', '')))::BIGINT AS sum_at
+FROM t WHERE source_c <> 'src19'
+GROUP BY 1
+"""
+
+
 TERMS_ENUM_PREFIX, TERMS_ENUM_PAGE = "s", 4
 
 
@@ -10568,6 +10630,7 @@ def queries():
         "update_by_query_stats": q_update_by_query_stats,
         "scroll_export": q_scroll_export,
         "rank_eval": q_rank_eval,
+        "ingest_pipeline": q_ingest_pipeline,
         "terms_enum": q_terms_enum,
         "terms_enum_global": q_terms_enum_global,
         "scripted_metric": q_scripted_metric,
@@ -10784,6 +10847,7 @@ def oracle_sql():
         "update_by_query_stats": sql_update_by_query_stats(),
         "scroll_export": sql_scroll_export(),
         "rank_eval": sql_rank_eval(),
+        "ingest_pipeline": sql_ingest_pipeline(),
         "terms_enum": sql_terms_enum(),
         "terms_enum_global": sql_terms_enum(),
         "scripted_metric": sql_scripted_metric(),
