@@ -9450,6 +9450,87 @@ GROUP BY lang
 """
 
 
+def q_eql_until(sf_dir: str) -> pa.Table:
+    """EQL ``sequence by user_id [view] [purchase] until [error]`` —
+    an error event strictly inside the (anchor, completion) window
+    expires the pending sequence (ES until semantics)."""
+    from ..ops.eql import eql_sequence, type_is
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    out = to_arrow(eql_sequence(
+        ds, [type_is("view"), type_is("purchase")], until=type_is("error")
+    ))
+    return pa.table({
+        "user_id": out.column("key"),
+        "view_id": out.column("step0_id"),
+        "purchase_id": out.column("step1_id"),
+        "span_us": out.column("span_us"),
+    })
+
+
+def sql_eql_until() -> str:
+    return """
+WITH a AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS t0
+  FROM events WHERE event_type = 'view'
+), j1 AS (
+  SELECT a.user_id, a.view_id, a.t0,
+         e.event_id AS purchase_id, epoch_us(e.ts) AS t1,
+         row_number() OVER (PARTITION BY a.view_id
+                            ORDER BY e.ts, e.event_id) AS rn
+  FROM a JOIN events e
+    ON e.user_id = a.user_id AND e.event_type = 'purchase'
+   AND epoch_us(e.ts) > a.t0
+), s AS (SELECT user_id, view_id, t0, purchase_id, t1 FROM j1 WHERE rn = 1)
+SELECT user_id, view_id, purchase_id, (t1 - t0)::BIGINT AS span_us
+FROM s
+WHERE NOT EXISTS (
+  SELECT 1 FROM events u
+  WHERE u.user_id = s.user_id AND u.event_type = 'error'
+    AND epoch_us(u.ts) > s.t0 AND epoch_us(u.ts) < s.t1
+)
+"""
+
+
+def q_eql_sample(sf_dir: str) -> pa.Table:
+    """EQL ``sample by user_id [signup] [error]`` — unordered join:
+    keys having both event kinds, earliest (ts, id) pick per step."""
+    from ..ops.eql import eql_sample, type_is
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    out = to_arrow(eql_sample(ds, [type_is("signup"), type_is("error")]))
+    return pa.table({
+        "user_id": out.column("key"),
+        "signup_id": out.column("step0_id"),
+        "error_id": out.column("step1_id"),
+    })
+
+
+def sql_eql_sample() -> str:
+    return """
+WITH s AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'signup'
+), e AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.event_id AS signup_id, e.event_id AS error_id
+FROM s JOIN e ON e.user_id = s.user_id
+WHERE s.rn = 1 AND e.rn = 1
+"""
+
+
 def q_ingest_pipeline(sf_dir: str) -> pa.Table:
     """ES ingest pipeline (ops/ingest.py) streamed over ``documents``
     via ``map_batches``: gsub + script + CONDITIONAL uppercase +
@@ -10630,6 +10711,8 @@ def queries():
         "update_by_query_stats": q_update_by_query_stats,
         "scroll_export": q_scroll_export,
         "rank_eval": q_rank_eval,
+        "eql_until": q_eql_until,
+        "eql_sample": q_eql_sample,
         "ingest_pipeline": q_ingest_pipeline,
         "terms_enum": q_terms_enum,
         "terms_enum_global": q_terms_enum_global,
@@ -10847,6 +10930,8 @@ def oracle_sql():
         "update_by_query_stats": sql_update_by_query_stats(),
         "scroll_export": sql_scroll_export(),
         "rank_eval": sql_rank_eval(),
+        "eql_until": sql_eql_until(),
+        "eql_sample": sql_eql_sample(),
         "ingest_pipeline": sql_ingest_pipeline(),
         "terms_enum": sql_terms_enum(),
         "terms_enum_global": sql_terms_enum(),

@@ -117,3 +117,111 @@ def test_eql_empty_step_and_validation(ray_session):
     assert _got(ds, ["view", "signup"]) == []  # no signup events
     with pytest.raises(ValueError):
         eql_sequence(ds, [type_is("view")])
+
+
+def _brute_until(rows, steps, until):
+    """Anchor chains killed by an until event strictly inside the
+    (anchor, completion) window."""
+    base = _brute(rows, steps)
+    by_key = {}
+    for r in rows:
+        if r["event_type"] == until:
+            by_key.setdefault(r["user_id"], []).append(r["ts"])
+    ids = {r["event_id"]: r for r in rows}
+    out = []
+    for chain in base:
+        first, last = ids[chain[0]], ids[chain[-1]]
+        uts = by_key.get(first["user_id"], [])
+        if not any(first["ts"] < u < last["ts"] for u in uts):
+            out.append(chain)
+    return out
+
+
+def test_eql_until_kills_pending(ray_session):
+    rows = _mk_rows(seed=13)
+    ds = _ds(rows)
+    import ray
+
+    from elasticsearch_assets_ray.ops.eql import type_is as ti
+
+    parts = ray.get(eql_sequence(
+        ds, [ti("view"), ti("purchase")], until=ti("error")
+    ).to_arrow_refs())
+    tbl = pa.concat_tables([p for p in parts if p.num_rows >= 0])
+    got = sorted(
+        (int(tbl.column("step0_id")[i].as_py()),
+         int(tbl.column("step1_id")[i].as_py()))
+        for i in range(tbl.num_rows)
+    )
+    want = _brute_until(rows, ["view", "purchase"], "error")
+    assert got == want
+    full = _got(ds, ["view", "purchase"])
+    assert set(got) < set(full)  # until really killed some
+
+
+def test_eql_multi_key_by(ray_session):
+    # same user, two "sessions": sequence must not chain across them
+    rows = []
+    for i, (sess, et, t) in enumerate([
+        (1, "view", 10), (2, "click", 20),   # cross-session: no chain
+        (1, "click", 30),
+        (2, "view", 40), (2, "click", 50),
+    ]):
+        rows.append({"event_id": i, "user_id": 7, "session": sess,
+                     "ts": t, "event_type": et})
+    t = pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "session": pa.array([r["session"] for r in rows], pa.int64()),
+        "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r["event_type"] for r in rows]),
+    })
+    import ray
+
+    parts = ray.get(eql_sequence(
+        rd.from_arrow(t), [type_is("view"), type_is("click")],
+        key_col=["user_id", "session"],
+    ).to_arrow_refs())
+    tbl = pa.concat_tables([p for p in parts if p.num_rows >= 0])
+    pairs = sorted(
+        (int(tbl.column("step0_id")[i].as_py()),
+         int(tbl.column("step1_id")[i].as_py()))
+        for i in range(tbl.num_rows)
+    )
+    assert pairs == [(0, 2), (3, 4)]
+
+
+def test_eql_sample_earliest_per_step(ray_session):
+    from elasticsearch_assets_ray.ops.eql import eql_sample
+
+    rows = _mk_rows(seed=21)
+    ds = _ds(rows)
+    import ray
+
+    parts = ray.get(eql_sample(
+        ds, [type_is("view"), type_is("error")]
+    ).to_arrow_refs())
+    tbl = pa.concat_tables([p for p in parts if p.num_rows >= 0])
+    got = sorted(
+        (int(tbl.column("key")[i].as_py()),
+         int(tbl.column("step0_id")[i].as_py()),
+         int(tbl.column("step1_id")[i].as_py()))
+        for i in range(tbl.num_rows)
+    )
+    # brute: earliest (ts, id) per step per key, keys having both
+    want = []
+    keys = {r["user_id"] for r in rows}
+    for k in sorted(keys):
+        picks = []
+        ok = True
+        for et in ("view", "error"):
+            evs = [r for r in rows
+                   if r["user_id"] == k and r["event_type"] == et]
+            if not evs:
+                ok = False
+                break
+            picks.append(min(evs, key=lambda r: (r["ts"], r["event_id"]))
+                         ["event_id"])
+        if ok:
+            want.append((k, picks[0], picks[1]))
+    assert got == sorted(want) and len(got) > 0
