@@ -9711,6 +9711,59 @@ FROM v
 """
 
 
+CAT_MAX_TOKENS = 5
+
+
+def _q_categorize(engine) -> pa.Table:
+    rows = engine.categorize_text(SM_QUERY, max_tokens=CAT_MAX_TOKENS)
+    return pa.table({
+        "key": pa.array([r["key"] for r in rows]),
+        "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+    })
+
+
+def q_categorize_text(sf_dir: str) -> pa.Table:
+    """ES ``categorize_text``: log-template buckets over matched docs'
+    text — matched ids → corpus-partition tasks shipping only
+    {category: count} dicts (search/categorize.py)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_categorize(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_categorize_text_global(sf_dir: str) -> pa.Table:
+    """The SAME categorize_text from the term-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_categorize(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_categorize_text() -> str:
+    terms = ", ".join(f"('{t}')" for t in _simple_tokens(SM_QUERY))
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+q(t) AS (VALUES {terms}),
+hit AS (SELECT DISTINCT toks.doc_id FROM q JOIN toks ON toks.t = q.t),
+c AS (
+  SELECT array_to_string(list_slice(
+           list_filter(regexp_split_to_array(d.text, '[^a-zA-Z0-9]+'),
+                       x -> x <> '' AND NOT regexp_matches(x, '[0-9]')),
+           1, {CAT_MAX_TOKENS}), ' ') AS key
+  FROM hit JOIN documents d USING (doc_id)
+)
+SELECT key, count(*)::BIGINT AS doc_count FROM c GROUP BY 1
+"""
+
+
 RANK_EVAL_K = 10
 
 
@@ -10718,6 +10771,8 @@ def queries():
         "terms_enum_global": q_terms_enum_global,
         "scripted_metric": q_scripted_metric,
         "scripted_metric_global": q_scripted_metric_global,
+        "categorize_text": q_categorize_text,
+        "categorize_text_global": q_categorize_text_global,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -10937,6 +10992,8 @@ def oracle_sql():
         "terms_enum_global": sql_terms_enum(),
         "scripted_metric": sql_scripted_metric(),
         "scripted_metric_global": sql_scripted_metric(),
+        "categorize_text": sql_categorize_text(),
+        "categorize_text_global": sql_categorize_text(),
         "global_term_merge": sql_global_term_merge(),
     }
 

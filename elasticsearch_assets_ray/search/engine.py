@@ -2635,6 +2635,25 @@ class _ScorerCore:
     def local_cfs(self, terms: list[str]) -> dict[str, int]:
         return {t: sum(s.local_cf(t) for s in self.shards) for t in terms}
 
+    def match_ids_bool(self, clauses: dict) -> np.ndarray:
+        """ALL matched global doc ids for a bool-clause dict — the
+        gather feeding source-lineage aggregations (categorize_text);
+        wire cost ∝ matches."""
+        out = []
+        for s in self.shards:
+            ok = s._bool_eligible(
+                sorted(set(clauses.get("must", []))),
+                sorted(set(clauses.get("should", []))),
+                sorted(set(clauses.get("must_not", []))),
+                sorted(set(clauses.get("filter", []))),
+                clauses.get("msm"),
+                clauses.get("meta_filters"),
+                clauses.get("range_filters"),
+                s._postings_idx_fn(),
+            )
+            out.append(np.nonzero(ok)[0].astype(np.int64) + s.doc_base)
+        return (np.concatenate(out) if out else np.empty(0, np.int64))
+
     def scripted_extstats(self, clauses: dict, field: str) -> tuple:
         """(n, sum, sumsq, min, max) of ``field`` (stored or ``script:``
         runtime column) over this actor's matched docs — the
@@ -4411,6 +4430,33 @@ class QueryEngine:
              for a in self.actors]
         )
         return metric_aggs_render(parts)
+
+    def categorize_text(
+        self,
+        query: str | list[str] | dict,
+        *,
+        max_tokens: int = 5,
+        size: int | None = None,
+    ) -> list[dict]:
+        """ES ``categorize_text`` aggregation: log-template buckets of
+        the matched docs' text (see ``search.categorize`` for the
+        deterministic template-key semantics and the disclosed
+        similarity-merge divergence).  Matched ids gather from the
+        actors; texts stay inside corpus-partition tasks that ship only
+        ``{category: count}`` dicts."""
+        from .categorize import categorize_buckets, categorize_partials
+
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return []
+        ids_parts = ray.get(
+            [a.match_ids_bool.remote(clauses) for a in self.actors]
+        )
+        ids = (np.concatenate([p for p in ids_parts if len(p)])
+               if any(len(p) for p in ids_parts) else np.empty(0, np.int64))
+        return categorize_buckets(
+            categorize_partials(self.index_dir, ids, max_tokens), size
+        )
 
     def scripted_metric(
         self,

@@ -1968,6 +1968,32 @@ class TermPartitionedEngine:
             rows.append(row)
         return rows
 
+    def categorize_text(
+        self,
+        query,
+        *,
+        max_tokens: int = 5,
+        size: int | None = None,
+    ) -> list[dict]:
+        """ES ``categorize_text`` on the term-partitioned layout —
+        matched ids from the bucket actors, template counting in source
+        corpus partition tasks; identical buckets to
+        :meth:`QueryEngine.categorize_text` (parity tested)."""
+        from .categorize import categorize_buckets, categorize_partials
+
+        ids = self._filter_match_ids(query)
+        if len(ids) == 0:
+            return []
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — "
+                "rebuild merge_global_postings for categorize_text"
+            )
+        return categorize_buckets(
+            categorize_partials(src, ids, max_tokens), size
+        )
+
     def scripted_metric(
         self,
         query,

@@ -123,6 +123,43 @@ def test_scripted_metric_parity(engines):
     assert z == {"value": 0.0, "doc_count": 0}
 
 
+def test_categorize_keys_vectorized():
+    import pyarrow as pa
+
+    from elasticsearch_assets_ray.search.categorize import categorize_keys
+
+    texts = pa.array([
+        "Error 404 at /api/user/123: timeout after 30ms",
+        "Error 500 at /api/order/9: timeout after 2ms",
+        "ok",
+        "",
+        "a b c d e f g h",
+    ])
+    keys = categorize_keys(texts, max_tokens=5).to_pylist()
+    # digit-bearing tokens are the variable parts — dropped
+    assert keys[0] == "Error at api user timeout"
+    assert keys[1] == "Error at api order timeout"
+    assert keys[2] == "ok" and keys[3] == ""
+    assert keys[4] == "a b c d e"
+
+
+def test_categorize_text_engine_parity(engines):
+    eng, teng, texts = engines
+    want = {}
+    for i, t in enumerate(texts):
+        if not ({"alpha", "beta"} & set(t.split())):
+            continue
+        key = " ".join(t.split()[:3])
+        want[key] = want.get(key, 0) + 1
+    rows = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = [{"key": k, "doc_count": v} for k, v in rows]
+    got = eng.categorize_text("alpha beta", max_tokens=3)
+    assert got == expect
+    assert teng.categorize_text("alpha beta", max_tokens=3) == expect
+    assert eng.categorize_text("alpha beta", max_tokens=3, size=2) == expect[:2]
+    assert eng.categorize_text("zzz") == []
+
+
 def test_render_template():
     assert render_template("lang:{{lang}}", {"lang": "py"}) == "lang:py"
     assert render_template("a {{missing}} b", {}) == "a  b"
