@@ -467,14 +467,17 @@ def regexp_expand_sorted(
 
 def fuzzy_expand_sorted(
     term_list: list[str], term: str, max_edits: int = 1,
-    prefix_length: int = 0,
+    prefix_length: int = 0, transpositions: bool = False,
 ) -> list[tuple[str, int]]:
-    """Terms of a SORTED dictionary within Levenshtein distance
-    ``max_edits`` of ``term`` → [(term, distance)] in term order.  One
-    vectorized DP over all length-eligible candidates (rows = candidates,
-    columns = target chars); ``prefix_length`` chars must match exactly
-    (bisect-bounded scan).  Shared by the shard and term-partitioned
-    engines."""
+    """Terms of a SORTED dictionary within edit distance ``max_edits``
+    of ``term`` → [(term, distance)] in term order.  One vectorized DP
+    over all length-eligible candidates (rows = candidates, columns =
+    target chars); ``prefix_length`` chars must match exactly
+    (bisect-bounded scan).  ``transpositions=True`` counts an adjacent
+    swap as ONE edit (Damerau OSA — ES's ``fuzzy_transpositions``
+    default; the oracle-checked pipelines keep plain Levenshtein, which
+    is what DuckDB's ``levenshtein`` computes — disclosed).  Shared by
+    the shard and term-partitioned engines."""
     import bisect
 
     if max_edits < 0:
@@ -504,6 +507,7 @@ def fuzzy_expand_sorted(
         lens[i] = len(b)
     q = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
     prev = np.broadcast_to(np.arange(L + 1, dtype=np.int64), (n, L + 1)).copy()
+    prev2 = None
     for i in range(len(q)):
         cur = np.empty_like(prev)
         cur[:, 0] = i + 1
@@ -511,8 +515,14 @@ def fuzzy_expand_sorted(
             sub = prev[:, j] + (M[:, j] != q[i])
             dele = prev[:, j + 1] + 1
             ins = cur[:, j] + 1
-            cur[:, j + 1] = np.minimum(np.minimum(sub, dele), ins)
-        prev = cur
+            best = np.minimum(np.minimum(sub, dele), ins)
+            if transpositions and i > 0 and j > 0:
+                # OSA: adjacent swap costs 1 (M[j-1],M[j]) == (q[i],q[i-1])
+                swap = (M[:, j] == q[i - 1]) & (M[:, j - 1] == q[i])
+                best = np.where(swap, np.minimum(best, prev2[:, j - 1] + 1),
+                                best)
+            cur[:, j + 1] = best
+        prev2, prev = prev, cur
     dist = prev[np.arange(n), lens]
     keep = np.nonzero(dist <= max_edits)[0]
     return [(cand[i], int(dist[i])) for i in keep.tolist()]
@@ -1838,12 +1848,15 @@ class ShardData:
         return docs[:k]
 
     def expand_fuzzy(
-        self, term: str, max_edits: int = 1, prefix_length: int = 0
+        self, term: str, max_edits: int = 1, prefix_length: int = 0,
+        transpositions: bool = False,
     ) -> list[tuple[str, int]]:
-        """Dictionary terms within Levenshtein distance ``max_edits`` of
+        """Dictionary terms within edit distance ``max_edits`` of
         ``term`` (ES ``fuzzy`` query expansion) → [(term, distance)] in
         term order.  ``prefix_length`` chars must match exactly (the ES
-        option that keeps the scan off the whole dictionary).
+        option that keeps the scan off the whole dictionary);
+        ``transpositions`` enables Damerau-OSA adjacent swaps (the ES
+        ``fuzzy_transpositions`` option).
 
         The distance computation is one vectorized DP across ALL length-
         eligible candidates at once (rows = candidates, columns = target
@@ -1851,7 +1864,8 @@ class ShardData:
         is bounded by the shard vocabulary, and the prefix bisect bounds
         it further when prefix_length > 0."""
         return fuzzy_expand_sorted(
-            self.walk_term_list, term, max_edits, prefix_length
+            self.walk_term_list, term, max_edits, prefix_length,
+            transpositions,
         )
 
     def agg_match(
@@ -2866,13 +2880,15 @@ class _ScorerCore:
         return np.sort(docs)[:k]
 
     def expand_fuzzy(
-        self, term: str, max_edits: int = 1, prefix_length: int = 0
+        self, term: str, max_edits: int = 1, prefix_length: int = 0,
+        transpositions: bool = False,
     ) -> list[tuple[str, int]]:
         # distance is a property of (query, term) — identical across
         # shards, so a dict union suffices
         out: dict[str, int] = {}
         for s in self.shards:
-            out.update(s.expand_fuzzy(term, max_edits, prefix_length))
+            out.update(s.expand_fuzzy(term, max_edits, prefix_length,
+                                      transpositions))
         return sorted(out.items())
 
     def docs_deleted(self, doc_ids: list[int]) -> list[int]:
@@ -3840,13 +3856,16 @@ class QueryEngine:
 
     def expand_fuzzy(
         self, term: str, fuzziness: int = 1, prefix_length: int = 0,
-        max_expansions: int = 50,
+        max_expansions: int = 50, transpositions: bool = False,
     ) -> list[tuple[str, int]]:
-        """Global fuzzy expansion: dictionary terms within Levenshtein
-        distance ``fuzziness``, capped at ``max_expansions`` by
-        (distance asc, term asc) — deterministic across shard layouts."""
+        """Global fuzzy expansion: dictionary terms within edit
+        distance ``fuzziness`` (Damerau-OSA when ``transpositions`` —
+        the ES ``fuzzy_transpositions`` option), capped at
+        ``max_expansions`` by (distance asc, term asc) — deterministic
+        across shard layouts."""
         per_actor = ray.get(
-            [a.expand_fuzzy.remote(term, fuzziness, prefix_length)
+            [a.expand_fuzzy.remote(term, fuzziness, prefix_length,
+                                   transpositions)
              for a in self.actors]
         )
         merged: dict[str, int] = {}

@@ -447,14 +447,16 @@ class _BucketCore:
         return tl
 
     def expand_fuzzy(
-        self, term: str, max_edits: int = 1, prefix_length: int = 0
+        self, term: str, max_edits: int = 1, prefix_length: int = 0,
+        transpositions: bool = False,
     ) -> list[tuple[str, int]]:
         """This core's dictionary terms within edit distance (the shard
         engine's vectorized-DP expansion over the bucket dictionary)."""
         from .engine import fuzzy_expand_sorted
 
         return fuzzy_expand_sorted(
-            self._sorted_terms(), term, max_edits, prefix_length
+            self._sorted_terms(), term, max_edits, prefix_length,
+            transpositions,
         )
 
     def match_docs(self, terms: list[str], k: int) -> "np.ndarray":

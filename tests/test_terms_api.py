@@ -160,6 +160,37 @@ def test_categorize_text_engine_parity(engines):
     assert eng.categorize_text("zzz") == []
 
 
+def test_fuzzy_transpositions_osa():
+    from elasticsearch_assets_ray.search.engine import fuzzy_expand_sorted
+
+    terms = sorted(["abcd", "acbd", "abdc", "bacd", "dbca", "abcde"])
+    # adjacent swap: 1 edit with OSA, 2 with plain Levenshtein
+    plain = dict(fuzzy_expand_sorted(terms, "abcd", max_edits=2))
+    osa = dict(fuzzy_expand_sorted(terms, "abcd", max_edits=2,
+                                   transpositions=True))
+    assert plain["acbd"] == 2 and osa["acbd"] == 1
+    assert plain["abdc"] == 2 and osa["abdc"] == 1
+    assert plain["bacd"] == 2 and osa["bacd"] == 1
+    assert plain["abcd"] == 0 and osa["abcd"] == 0
+    assert plain["abcde"] == 1 and osa["abcde"] == 1
+    # non-adjacent rearrangement is NOT a single swap
+    assert osa["dbca"] == 2
+    # max_edits=1: OSA admits the swap, plain does not
+    assert "acbd" in dict(fuzzy_expand_sorted(
+        terms, "abcd", 1, transpositions=True))
+    assert "acbd" not in dict(fuzzy_expand_sorted(terms, "abcd", 1))
+
+
+def test_fuzzy_transpositions_engine_threading(engines):
+    eng, teng, _ = engines
+    # "laphа"-style swap against the fixture vocab: "ablha"? use real
+    # vocab: "alpha" with an adjacent swap → "aplha"
+    got_plain = dict(eng.expand_fuzzy("aplha", fuzziness=1))
+    got_osa = dict(eng.expand_fuzzy("aplha", fuzziness=1,
+                                    transpositions=True))
+    assert "alpha" not in got_plain and got_osa.get("alpha") == 1
+
+
 def test_render_template():
     assert render_template("lang:{{lang}}", {"lang": "py"}) == "lang:py"
     assert render_template("a {{missing}} b", {}) == "a  b"
