@@ -5284,6 +5284,37 @@ class QueryEngine:
             results.append(list(zip(ids.tolist(), sc.tolist())))
         return results
 
+    def msearch(self, requests: list[dict]) -> list[list[tuple[int, float]]]:
+        """ES ``_msearch``: a batch of independent search requests in
+        one call, results in request order.  Plain match requests
+        (``{"query": str, "k": int}``) collapse into ONE actor round via
+        :meth:`search_batch` — the multiplexing win msearch exists for;
+        typed requests (``{"bool": {...}}``, ``{"phrase": str, "slop":
+        n}``) dispatch through their engine methods."""
+        plain = [
+            (i, r["query"], int(r.get("k", 10)))
+            for i, r in enumerate(requests)
+            if "query" in r and "bool" not in r and "phrase" not in r
+        ]
+        out: list = [None] * len(requests)
+        if plain:
+            got = self.search_batch(plain)
+            for (i, _, _), res in zip(plain, got):
+                out[i] = res
+        for i, r in enumerate(requests):
+            if out[i] is not None:
+                continue
+            k = int(r.get("k", 10))
+            if "bool" in r:
+                out[i] = self.search_bool(**r["bool"], k=k)
+            elif "phrase" in r:
+                out[i] = self.search_phrase(
+                    r["phrase"], k=k, slop=int(r.get("slop", 0))
+                )
+            else:
+                raise ValueError(f"msearch: unsupported request {r!r}")
+        return out
+
     def field_caps(self) -> dict:
         """ES ``_field_caps``: field → type/searchable/aggregatable
         (module-level :func:`field_caps` over this index)."""

@@ -42,7 +42,7 @@ def engines(tmp_path_factory, ray_session):
     cfg = IndexConfig(
         analyzer="simple", text_col="text", lang_col=None, id_col="doc_id",
         meta_cols=("n_chars",), partition_target_docs=24,
-        shard_target_docs=60,
+        shard_target_docs=60, store_positions=True,
     )
     idx = tmp / "idx"
     build_index(str(src), idx, cfg)
@@ -158,6 +158,25 @@ def test_categorize_text_engine_parity(engines):
     assert teng.categorize_text("alpha beta", max_tokens=3) == expect
     assert eng.categorize_text("alpha beta", max_tokens=3, size=2) == expect[:2]
     assert eng.categorize_text("zzz") == []
+
+
+def test_msearch_matches_individual(engines):
+    eng, _, _ = engines
+    reqs = [
+        {"query": "alpha beta", "k": 7},
+        {"phrase": "gamma delta", "k": 5},
+        {"query": "dune", "k": 4},
+        {"bool": {"must": "alpha", "must_not": "beta"}, "k": 6},
+        {"query": "nosuchterm", "k": 3},
+    ]
+    got = eng.msearch(reqs)
+    assert got[0] == eng.search("alpha beta", k=7)
+    assert got[1] == eng.search_phrase("gamma delta", k=5)
+    assert got[2] == eng.search("dune", k=4)
+    assert got[3] == eng.search_bool(must="alpha", must_not="beta", k=6)
+    assert got[4] == []
+    with pytest.raises(ValueError):
+        eng.msearch([{"nope": 1}])
 
 
 def test_fuzzy_transpositions_osa():
