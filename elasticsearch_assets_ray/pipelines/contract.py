@@ -9711,6 +9711,46 @@ FROM v
 """
 
 
+FIS_MIN_SUPPORT = 150
+
+
+def q_frequent_item_sets(sf_dir: str) -> pa.Table:
+    """ES ``frequent_item_sets`` (Apriori tier ≤ 2, disclosed): singles
+    straight from the dictionary df, candidate pairs counted by
+    per-shard postings intersects — no per-doc itemset state."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        rows = engine.frequent_item_sets(minimum_support=FIS_MIN_SUPPORT)
+    finally:
+        engine.shutdown()
+    return pa.table({
+        "items": pa.array([",".join(r["items"]) for r in rows]),
+        "set_size": pa.array([len(r["items"]) for r in rows], pa.int64()),
+        "support": pa.array([r["support"] for r in rows], pa.int64()),
+    })
+
+
+def sql_frequent_item_sets() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+d AS (SELECT DISTINCT doc_id, t FROM toks),
+s AS (SELECT t, count(*)::BIGINT AS c FROM d GROUP BY 1
+      HAVING count(*) >= {FIS_MIN_SUPPORT}),
+p AS (SELECT a.t AS ta, b.t AS tb, count(*)::BIGINT AS c
+      FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.t < b.t
+      WHERE a.t IN (SELECT t FROM s) AND b.t IN (SELECT t FROM s)
+      GROUP BY 1, 2 HAVING count(*) >= {FIS_MIN_SUPPORT})
+SELECT t AS items, 1::BIGINT AS set_size, c AS support FROM s
+UNION ALL
+SELECT ta || ',' || tb, 2::BIGINT, c FROM p
+"""
+
+
 CAT_MAX_TOKENS = 5
 
 
@@ -10773,6 +10813,7 @@ def queries():
         "scripted_metric_global": q_scripted_metric_global,
         "categorize_text": q_categorize_text,
         "categorize_text_global": q_categorize_text_global,
+        "frequent_item_sets": q_frequent_item_sets,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -10994,6 +11035,7 @@ def oracle_sql():
         "scripted_metric_global": sql_scripted_metric(),
         "categorize_text": sql_categorize_text(),
         "categorize_text_global": sql_categorize_text(),
+        "frequent_item_sets": sql_frequent_item_sets(),
         "global_term_merge": sql_global_term_merge(),
     }
 

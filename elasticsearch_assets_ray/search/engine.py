@@ -2649,6 +2649,44 @@ class _ScorerCore:
     def local_cfs(self, terms: list[str]) -> dict[str, int]:
         return {t: sum(s.local_cf(t) for s in self.shards) for t in terms}
 
+    def df_candidates(self, local_min: int) -> dict[str, int]:
+        """Terms whose ACTOR-local df ≥ ``local_min`` (the Apriori
+        frequent-singles probe: a globally-frequent term must clear
+        ms/num_actors on at least one actor — pigeonhole-sound).
+        Shingle terms are internal and excluded (the walk list)."""
+        out: dict[str, int] = {}
+        for s in self.shards:
+            for t in s.walk_term_list:
+                d = s.local_df(t)
+                if d:
+                    out[t] = out.get(t, 0) + d
+        return {t: d for t, d in out.items() if d >= local_min}
+
+    def pair_supports(self, pairs: list[tuple[str, str]]) -> np.ndarray:
+        """Local co-occurrence count per candidate pair: one postings
+        decode per distinct term per shard (cached), one sorted-array
+        intersect per pair.  Counts include tombstoned docs, matching
+        the dictionary df the singles use (Lucene stats semantics)."""
+        counts = np.zeros(len(pairs), dtype=np.int64)
+        for s in self.shards:
+            cache: dict[str, np.ndarray] = {}
+
+            def docs(t: str) -> np.ndarray:
+                arr = cache.get(t)
+                if arr is None:
+                    i = s.terms.get(t)
+                    arr = (decode_postings(s.blobs[i])[0]
+                           if i is not None else np.empty(0, np.int64))
+                    cache[t] = arr
+                return arr
+
+            for j, (a, b) in enumerate(pairs):
+                da, db = docs(a), docs(b)
+                if len(da) and len(db):
+                    counts[j] += len(np.intersect1d(
+                        da, db, assume_unique=True))
+        return counts
+
     def match_ids_bool(self, clauses: dict) -> np.ndarray:
         """ALL matched global doc ids for a bool-clause dict — the
         gather feeding source-lineage aggregations (categorize_text);
@@ -4449,6 +4487,67 @@ class QueryEngine:
              for a in self.actors]
         )
         return metric_aggs_render(parts)
+
+    def frequent_item_sets(
+        self,
+        *,
+        minimum_support: int,
+        minimum_set_size: int = 1,
+        size: int | None = None,
+        max_frequent_items: int = 1000,
+    ) -> list[dict]:
+        """ES ``frequent_item_sets`` over the indexed terms (items = a
+        doc's distinct tokens), the Apriori subset up to SET SIZE 2 —
+        disclosed divergence: ES mines arbitrary-size closed sets; the
+        1-and-2 tier is the part whose support comes straight from the
+        index (singles = dictionary df, pairs = one postings intersect
+        per candidate) with no per-doc itemset state anywhere.
+
+        Candidate singles: one actor round returning terms with local
+        df ≥ ceil(ms/num_actors) (pigeonhole-sound) + one cached global
+        df round.  Candidate pairs: frequent×frequent (a<b), counted by
+        per-shard sorted-array intersects.  ``max_frequent_items`` is
+        the scale valve (top-df cut, disclosed when it trips — ES has
+        the same knob, default 10).  Buckets (support desc, items asc).
+        """
+        import math as _math
+
+        local_min = max(1, _math.ceil(minimum_support / len(self.actors)))
+        parts = ray.get(
+            [a.df_candidates.remote(local_min) for a in self.actors]
+        )
+        cand = sorted({t for p in parts for t in p})
+        df = self.dfs(cand)
+        singles = sorted(
+            (t for t in cand if df[t] >= minimum_support)
+        )
+        if len(singles) > max_frequent_items:
+            singles = sorted(
+                sorted(singles, key=lambda t: (-df[t], t))
+                [:max_frequent_items]
+            )
+        pairs = [
+            (a, b)
+            for i, a in enumerate(singles)
+            for b in singles[i + 1:]
+        ]
+        rows: list[dict] = []
+        if minimum_set_size <= 1:
+            rows += [{"items": [t], "support": int(df[t])}
+                     for t in singles]
+        if pairs:
+            counts = np.sum(
+                ray.get([a.pair_supports.remote(pairs)
+                         for a in self.actors]),
+                axis=0,
+            )
+            rows += [
+                {"items": [a, b], "support": int(c)}
+                for (a, b), c in zip(pairs, counts)
+                if c >= minimum_support
+            ]
+        rows.sort(key=lambda r: (-r["support"], r["items"]))
+        return rows[:size] if size is not None else rows
 
     def categorize_text(
         self,

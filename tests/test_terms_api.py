@@ -160,6 +160,31 @@ def test_categorize_text_engine_parity(engines):
     assert eng.categorize_text("zzz") == []
 
 
+def test_frequent_item_sets_brute_parity(engines):
+    from collections import Counter
+
+    eng, _, texts = engines
+    df = Counter()
+    pair = Counter()
+    for t in texts:
+        toks = sorted(set(t.split()))
+        df.update(toks)
+        for i, a in enumerate(toks):
+            for b in toks[i + 1:]:
+                pair[(a, b)] += 1
+    ms = 30
+    want = [{"items": [t], "support": c} for t, c in df.items() if c >= ms]
+    want += [{"items": [a, b], "support": c}
+             for (a, b), c in pair.items() if c >= ms]
+    want.sort(key=lambda r: (-r["support"], r["items"]))
+    got = eng.frequent_item_sets(minimum_support=ms)
+    assert got == want and any(len(r["items"]) == 2 for r in got)
+    # minimum_set_size=2 drops the singles; size caps
+    got2 = eng.frequent_item_sets(minimum_support=ms, minimum_set_size=2)
+    assert got2 == [r for r in want if len(r["items"]) == 2]
+    assert eng.frequent_item_sets(minimum_support=ms, size=3) == want[:3]
+
+
 def test_msearch_matches_individual(engines):
     eng, _, _ = engines
     reqs = [
