@@ -9711,6 +9711,29 @@ FROM v
 """
 
 
+def q_variable_width_hist(sf_dir: str) -> pa.Table:
+    """ES ``variable_width_histogram`` (rows-only: the optimal-1-D-
+    k-means DP is not SQL-expressible; optimality is asserted vs an
+    exhaustive-partition brute in tests/test_statagg.py): n_chars
+    clusters over the docs matching the scripted-metric query."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        rows = engine.variable_width_histogram(SM_QUERY, "n_chars",
+                                               buckets=6)
+    finally:
+        engine.shutdown()
+    return pa.table({
+        "key": pa.array([round(r["key"], 6) for r in rows], pa.float64()),
+        "vmin": pa.array([r["min"] for r in rows], pa.float64()),
+        "vmax": pa.array([r["max"] for r in rows], pa.float64()),
+        "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+    })
+
+
 FIS_MIN_SUPPORT = 150
 
 
@@ -10814,6 +10837,7 @@ def queries():
         "categorize_text": q_categorize_text,
         "categorize_text_global": q_categorize_text_global,
         "frequent_item_sets": q_frequent_item_sets,
+        "variable_width_hist": q_variable_width_hist,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,

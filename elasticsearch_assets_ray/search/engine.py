@@ -4707,6 +4707,25 @@ class QueryEngine:
              for a in self.actors]
         ))
 
+    def variable_width_histogram(
+        self, query: str | list[str] | dict, field: str,
+        buckets: int = 10,
+    ) -> list[dict]:
+        """ES ``variable_width_histogram`` — EXACT optimal 1-D weighted
+        k-means (Ckmeans DP over distinct values) where ES clusters
+        approximately per shard (disclosed; see
+        ``statagg.variable_width_buckets`` for the cost model)."""
+        from .statagg import variable_width_buckets
+
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return []
+        return variable_width_buckets(
+            ray.get([a.agg_values.remote(clauses, field, None)
+                     for a in self.actors]),
+            buckets,
+        )
+
     def median_absolute_deviation(
         self, query: str | list[str] | dict, field: str
     ) -> float | None:

@@ -29,6 +29,66 @@ from .datehist import _nearest_ranks
 # ---------------------------------------------------------------- boxplot
 
 
+def variable_width_buckets(
+    parts: list[np.ndarray], n_buckets: int
+) -> list[dict]:
+    """ES ``variable_width_histogram`` — but EXACT where ES is
+    approximate (disclosed): optimal 1-D weighted k-means over the
+    matched values via the Ckmeans dynamic program on DISTINCT values
+    (cost O(k·m²) in m distinct values — bounded by value cardinality,
+    not match count; shards ship sorted-value partials like the exact
+    percentiles path).  Deterministic: the DP's leftmost-optimal split
+    tie-break.  Buckets: {key: weighted centroid, min, max, doc_count},
+    ascending."""
+    vals = [p for p in parts if len(p)]
+    if not vals:
+        return []
+    v = np.sort(np.concatenate(vals).astype(np.float64))
+    uv, w = np.unique(v, return_counts=True)
+    m = len(uv)
+    k = min(n_buckets, m)
+    # weighted prefix sums → O(1) segment SSE
+    cw = np.concatenate(([0.0], np.cumsum(w)))
+    cs = np.concatenate(([0.0], np.cumsum(w * uv)))
+    cs2 = np.concatenate(([0.0], np.cumsum(w * uv * uv)))
+
+    def seg_cost(a: np.ndarray, b: int) -> np.ndarray:
+        """SSE of segments (a..b] for a vector of starts ``a``."""
+        ww = cw[b] - cw[a]
+        s = cs[b] - cs[a]
+        s2 = cs2[b] - cs2[a]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = s2 - np.where(ww > 0, s * s / ww, 0.0)
+        return out
+    INF = np.inf
+    D = np.full((k + 1, m + 1), INF)
+    B = np.zeros((k + 1, m + 1), dtype=np.int64)
+    D[0, 0] = 0.0
+    for j in range(1, k + 1):
+        for i in range(j, m + 1):
+            starts = np.arange(j - 1, i)
+            costs = D[j - 1, starts] + seg_cost(starts, i)
+            a = int(np.argmin(costs))  # leftmost optimum
+            D[j, i], B[j, i] = costs[a], starts[a]
+    # walk back the optimal split points
+    bounds = [m]
+    i = m
+    for j in range(k, 0, -1):
+        i = int(B[j, i])
+        bounds.append(i)
+    bounds = bounds[::-1]
+    out = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        ww = cw[b] - cw[a]
+        out.append({
+            "key": float((cs[b] - cs[a]) / ww),
+            "min": float(uv[a]),
+            "max": float(uv[b - 1]),
+            "doc_count": int(ww),
+        })
+    return out
+
+
 def boxplot_exact(parts: list[np.ndarray]) -> dict:
     """ES ``boxplot`` aggregation (min/max/q1/q2/q3) from per-shard
     SORTED value partials — exact nearest-rank quartiles (ES itself is

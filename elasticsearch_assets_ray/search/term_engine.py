@@ -2412,6 +2412,23 @@ class TermPartitionedEngine:
             values_partials_over_ids(src, ids, field, "sorted")
         )
 
+    def variable_width_histogram(
+        self, query, field: str, buckets: int = 10,
+    ) -> list[dict]:
+        """ES ``variable_width_histogram`` from the term-partitioned
+        layout — identical buckets to
+        :meth:`QueryEngine.variable_width_histogram` (parity tested)."""
+        from .datehist import values_partials_over_ids
+        from .statagg import variable_width_buckets
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return []
+        ids, src = got
+        return variable_width_buckets(
+            values_partials_over_ids(src, ids, field, "sorted"), buckets
+        )
+
     def median_absolute_deviation(
         self, query: str | list[str], field: str
     ) -> float | None:

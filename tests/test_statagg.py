@@ -5,6 +5,8 @@ test_contract.py via the *_agg / *_agg_global pipelines."""
 
 import math
 
+import pytest
+
 import numpy as np
 
 from elasticsearch_assets_ray.search.statagg import (
@@ -172,3 +174,56 @@ def test_merge_top_metrics_exact_subset_property():
         desc=False,
     )
     assert got_asc == sorted(rows, key=lambda r: (r[0], r[1]))[:5]
+
+
+def _brute_ckmeans(v, w, k):
+    """Exhaustive optimal contiguous partition into k clusters (small m)."""
+    import itertools
+
+    m = len(v)
+    k = min(k, m)
+    best, best_cost = None, float("inf")
+    for cuts in itertools.combinations(range(1, m), k - 1):
+        bounds = [0, *cuts, m]
+        cost = 0.0
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            ww = sum(w[a:b])
+            mu = sum(wi * vi for vi, wi in zip(v[a:b], w[a:b])) / ww
+            cost += sum(wi * (vi - mu) ** 2
+                        for vi, wi in zip(v[a:b], w[a:b]))
+        if cost < best_cost - 1e-12:
+            best_cost, best = cost, bounds
+    return best, best_cost
+
+
+def test_variable_width_histogram_optimal_vs_brute():
+    from elasticsearch_assets_ray.search.statagg import (
+        variable_width_buckets,
+    )
+
+    rng = np.random.default_rng(5)
+    raw = np.concatenate([
+        rng.normal(0, 1, 40), rng.normal(10, 1, 30), rng.normal(25, 2, 30)
+    ]).round(0)  # round → repeated values exercise the weights
+    for k in (2, 3, 4):
+        got = variable_width_buckets([raw], k)
+        uv, w = np.unique(raw, return_counts=True)
+        bounds, cost = _brute_ckmeans(uv.tolist(), w.tolist(), k)
+        assert len(got) == min(k, len(uv))
+        got_cost = 0.0
+        for b in got:
+            seg = raw[(raw >= b["min"]) & (raw <= b["max"])]
+            got_cost += float(((seg - seg.mean()) ** 2).sum())
+        assert got_cost == pytest.approx(cost, abs=1e-6)
+        assert sum(b["doc_count"] for b in got) == len(raw)
+        assert all(g1["max"] < g2["min"] for g1, g2 in zip(got, got[1:]))
+
+
+def test_variable_width_histogram_edges():
+    from elasticsearch_assets_ray.search.statagg import (
+        variable_width_buckets,
+    )
+
+    assert variable_width_buckets([], 5) == []
+    one = variable_width_buckets([np.array([3.0, 3.0])], 4)
+    assert one == [{"key": 3.0, "min": 3.0, "max": 3.0, "doc_count": 2}]

@@ -185,6 +185,16 @@ def test_frequent_item_sets_brute_parity(engines):
     assert eng.frequent_item_sets(minimum_support=ms, size=3) == want[:3]
 
 
+def test_variable_width_histogram_engine_parity(engines):
+    eng, teng, texts = engines
+    a = eng.variable_width_histogram("alpha beta", "n_chars", buckets=4)
+    b = teng.variable_width_histogram("alpha beta", "n_chars", buckets=4)
+    assert a == b and len(a) == 4
+    n_hits = sum(1 for t in texts if {"alpha", "beta"} & set(t.split()))
+    assert sum(x["doc_count"] for x in a) == n_hits
+    assert eng.variable_width_histogram("zzz", "n_chars") == []
+
+
 def test_msearch_matches_individual(engines):
     eng, _, _ = engines
     reqs = [
