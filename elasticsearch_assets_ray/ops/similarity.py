@@ -122,6 +122,49 @@ def knn_cosine(
     return _merge_partials(partials, k)
 
 
+def knn_cosine_multi(
+    ds,
+    queries: np.ndarray,
+    clause_ks: list[int],
+    boosts_e1: list[int],
+    k: int = 10,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """ES multiple-``knn``-clause search (ES 8.7): each clause retrieves
+    its own global top-``clause_ks[i]``; a doc's combined score sums
+    ``boost × sim`` over the clauses whose top-k it made; final ranking
+    (score desc, id asc) cut to ``k``.
+
+    One data pass: every clause vector rides the same broadcast query
+    matrix (one matmul per batch).  Scores are integer e5 units
+    (``boost_e1 × round(sim,4)·10⁴``) so the combined sum is exact and
+    oracle-hash-safe — boosts therefore come in TENTHS (``boosts_e1``).
+    → pa.Table(rank, vec_id, score_e5)."""
+    if len(clause_ks) != len(queries) or len(boosts_e1) != len(queries):
+        raise ValueError("one k and one boost per clause")
+    kmax = max(clause_ks)
+    base = knn_cosine(ds, queries, list(range(len(clause_ks))),
+                      k=kmax, col=col, id_col=id_col)
+    qid = base.column("query_id").to_numpy()
+    rank = base.column("rank").to_numpy()
+    vid = base.column("vec_id").to_numpy()
+    sim_e4 = np.rint(base.column("sim_r").to_numpy() * 1e4).astype(np.int64)
+    ks = np.asarray(clause_ks, dtype=np.int64)
+    bs = np.asarray(boosts_e1, dtype=np.int64)
+    keep = rank <= ks[qid]
+    contrib = bs[qid[keep]] * sim_e4[keep]
+    uvid, inv = np.unique(vid[keep], return_inverse=True)
+    score = np.zeros(len(uvid), dtype=np.int64)
+    np.add.at(score, inv, contrib)
+    top = np.lexsort((uvid, -score))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        "vec_id": pa.array(uvid[top], pa.int64()),
+        "score_e5": pa.array(score[top], pa.int64()),
+    })
+
+
 def _vec_filter_mask(batch: pa.Table, spec: dict):
     """Arrow-compute mask for a kNN pre-filter spec over a metadata
     column of the vector table: ``{"col", "in": [values]}`` (ES terms

@@ -9734,6 +9734,57 @@ def q_variable_width_hist(sf_dir: str) -> pa.Table:
     })
 
 
+KNN_MULTI_CLAUSES = [(0, 15, 10), (3, 10, 5)]  # (query vec, k, boost_e1)
+
+
+def q_knn_multi(sf_dir: str) -> pa.Table:
+    """ES multiple-kNN-clause search (8.7 ``knn`` array): every clause
+    rides ONE broadcast query matrix / one matmul pass; combined score =
+    Σ boost×sim over clauses whose top-k the doc made, in exact integer
+    e5 units."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = sim.queries_from_dataset(ds, [c[0] for c in KNN_MULTI_CLAUSES])
+    return sim.knn_cosine_multi(
+        ds, q,
+        clause_ks=[c[1] for c in KNN_MULTI_CLAUSES],
+        boosts_e1=[c[2] for c in KNN_MULTI_CLAUSES],
+        k=TOPK,
+    )
+
+
+def sql_knn_multi() -> str:
+    ids = ", ".join(str(c[0]) for c in KNN_MULTI_CLAUSES)
+    b_case = " ".join(
+        f"WHEN {c[0]} THEN {c[2]}" for c in KNN_MULTI_CLAUSES
+    )
+    keep = " OR ".join(
+        f"(query_id = {c[0]} AND rank <= {c[1]})" for c in KNN_MULTI_CLAUSES
+    )
+    return f"""
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+q AS (SELECT * FROM e WHERE vec_id IN ({ids})),
+dots AS (SELECT q.vec_id AS query_id, e.vec_id, sum(q.v * e.v) AS dot
+         FROM q JOIN e ON q.i = e.i GROUP BY 1, 2),
+r AS (SELECT query_id, dots.vec_id AS vec_id,
+             round(dot / (nq.nrm * nv.nrm), 4) AS sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(dot / (nq.nrm * nv.nrm), 4) DESC,
+                                         dots.vec_id) AS rank
+      FROM dots
+      JOIN n nq ON nq.vec_id = dots.query_id
+      JOIN n nv ON nv.vec_id = dots.vec_id),
+c AS (SELECT vec_id,
+             sum((CASE query_id {b_case} END)
+                 * round(sim * 10000)::BIGINT) AS score_e5
+      FROM r WHERE {keep} GROUP BY vec_id)
+SELECT row_number() OVER (ORDER BY score_e5 DESC, vec_id) AS rank,
+       vec_id, score_e5
+FROM c QUALIFY rank <= {TOPK}
+"""
+
+
 FIS_MIN_SUPPORT = 150
 
 
@@ -10838,6 +10889,7 @@ def queries():
         "categorize_text_global": q_categorize_text_global,
         "frequent_item_sets": q_frequent_item_sets,
         "variable_width_hist": q_variable_width_hist,
+        "knn_multi": q_knn_multi,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -11060,6 +11112,7 @@ def oracle_sql():
         "categorize_text": sql_categorize_text(),
         "categorize_text_global": sql_categorize_text(),
         "frequent_item_sets": sql_frequent_item_sets(),
+        "knn_multi": sql_knn_multi(),
         "global_term_merge": sql_global_term_merge(),
     }
 

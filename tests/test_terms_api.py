@@ -255,3 +255,33 @@ def test_render_template():
     assert render_template(nested, {"a": 1, "b": 1}) == "12"
     assert render_template(nested, {"a": 1}) == "1"
     assert render_template(nested, {}) == ""
+
+
+def test_knn_multi_brute_parity(ray_session, tmp_path):
+    import ray.data as rd
+
+    from elasticsearch_assets_ray.ops.similarity import knn_cosine_multi
+
+    rng = np.random.default_rng(4)
+    n, d = 120, 8
+    emb = rng.normal(0, 1, (n, d))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(emb.tolist(),
+                              pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(t)
+    qs = emb[[0, 3]]
+    got = knn_cosine_multi(ds, qs, clause_ks=[7, 5], boosts_e1=[10, 5],
+                           k=6)
+    # brute
+    u = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    score = {}
+    for ci, (qi, kc, b) in enumerate([(0, 7, 10), (3, 5, 5)]):
+        sims = np.round(u @ u[qi], 4)
+        order = np.lexsort((np.arange(n), -sims))[:kc]
+        for v in order:
+            score[v] = score.get(v, 0) + b * int(np.rint(sims[v] * 1e4))
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+    assert list(zip(got.column("vec_id").to_pylist(),
+                    got.column("score_e5").to_pylist())) == want
