@@ -9808,6 +9808,21 @@ def q_frequent_item_sets(sf_dir: str) -> pa.Table:
     })
 
 
+def q_frequent_item_sets_global(sf_dir: str) -> pa.Table:
+    """The SAME frequent_item_sets from the term-partitioned layout
+    (exact per-bucket singles; pair doc lists gather via fetch_terms)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        rows = eng.frequent_item_sets(minimum_support=FIS_MIN_SUPPORT)
+    finally:
+        eng.shutdown()
+    return pa.table({
+        "items": pa.array([",".join(r["items"]) for r in rows]),
+        "set_size": pa.array([len(r["items"]) for r in rows], pa.int64()),
+        "support": pa.array([r["support"] for r in rows], pa.int64()),
+    })
+
+
 def sql_frequent_item_sets() -> str:
     toks = _TOKS.format(id="doc_id", text="text", src="documents")
     return f"""
@@ -10888,6 +10903,7 @@ def queries():
         "categorize_text": q_categorize_text,
         "categorize_text_global": q_categorize_text_global,
         "frequent_item_sets": q_frequent_item_sets,
+        "frequent_item_sets_global": q_frequent_item_sets_global,
         "variable_width_hist": q_variable_width_hist,
         "knn_multi": q_knn_multi,
         "minhash_pairs": q_minhash_pairs,
@@ -11112,6 +11128,7 @@ def oracle_sql():
         "categorize_text": sql_categorize_text(),
         "categorize_text_global": sql_categorize_text(),
         "frequent_item_sets": sql_frequent_item_sets(),
+        "frequent_item_sets_global": sql_frequent_item_sets(),
         "knn_multi": sql_knn_multi(),
         "global_term_merge": sql_global_term_merge(),
     }

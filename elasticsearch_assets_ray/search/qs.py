@@ -100,6 +100,23 @@ _TOKEN_RX = re.compile(
 )
 
 
+def validate_query(query: str, analyze=None, meta_fields=None) -> dict:
+    """ES ``_validate/query`` (the ``explain=false`` form): parse-check
+    a Lucene query string without running it.  Returns the ES-shaped
+    body — ``{"valid": bool[, "error": str]}``.  A query that parses
+    but matches nothing (all clauses analyzed away) is VALID, exactly
+    as in ES; pass ``meta_fields`` (the index's mapped fields) to also
+    reject unknown-field clauses, ES's strict-mapping behavior."""
+    if analyze is None:
+        def analyze(s: str) -> list[str]:  # the lenient default
+            return [t for t in s.lower().split() if t]
+    try:
+        parse_query_string(query, analyze, meta_fields=meta_fields)
+        return {"valid": True}
+    except QSParseError as e:
+        return {"valid": False, "error": str(e)}
+
+
 class QSParseError(ValueError):
     pass
 

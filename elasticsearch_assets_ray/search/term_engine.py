@@ -391,6 +391,14 @@ class _BucketCore:
 
         return prefix_expand_sorted(self._sorted_terms(), prefix, cap)
 
+    def df_candidates(self, min_df: int) -> dict[str, int]:
+        """Terms with df ≥ ``min_df`` — EXACT here (a term lives wholly
+        in its owning bucket, so local df IS global df; no pigeonhole
+        bound needed, unlike the doc-partitioned engine)."""
+        terms = self._sorted_terms()
+        d = self.df_of(terms)
+        return {t: v for t, v in d.items() if v >= min_df}
+
     def terms_page(self, prefix: str, after: str | None,
                    size: int) -> list[str]:
         """ES ``_terms_enum`` bucket page: first ``size`` matching terms
@@ -1969,6 +1977,56 @@ class TermPartitionedEngine:
                                 "avg": s / len(ids)})
             rows.append(row)
         return rows
+
+    def frequent_item_sets(
+        self,
+        *,
+        minimum_support: int,
+        minimum_set_size: int = 1,
+        size: int | None = None,
+        max_frequent_items: int = 1000,
+    ) -> list[dict]:
+        """ES ``frequent_item_sets`` (Apriori tier ≤ 2) on the
+        term-partitioned layout: frequent singles are EXACT per bucket
+        (a term is wholly bucket-owned); candidate pairs straddle
+        buckets, so their doc lists gather through the existing
+        ``fetch_terms`` round (wire mass = Σ df of the frequent terms —
+        the same class as serving any hot-term query; the
+        ``max_frequent_items`` valve bounds it) and intersect on the
+        coordinator.  Identical buckets to
+        :meth:`QueryEngine.frequent_item_sets` (parity tested)."""
+        parts = ray.get([
+            a.df_candidates.remote(minimum_support) for a in self.actors
+        ])
+        df: dict[str, int] = {}
+        for p in parts:
+            df.update(p)
+        singles = sorted(df)
+        if len(singles) > max_frequent_items:
+            singles = sorted(
+                sorted(singles, key=lambda t: (-df[t], t))
+                [:max_frequent_items]
+            )
+        rows: list[dict] = []
+        if minimum_set_size <= 1:
+            rows += [{"items": [t], "support": int(df[t])}
+                     for t in singles]
+        if len(singles) > 1:
+            fetched = self.fetch_terms(singles)
+            docs = {
+                t: np.asarray(fetched[t][0], dtype=np.int64)
+                for t in singles if t in fetched
+            }
+            for i, a in enumerate(singles):
+                for b in singles[i + 1:]:
+                    da, db = docs.get(a), docs.get(b)
+                    if da is None or db is None:
+                        continue
+                    c = len(np.intersect1d(da, db, assume_unique=True))
+                    if c >= minimum_support:
+                        rows.append({"items": [a, b], "support": int(c)})
+        rows.sort(key=lambda r: (-r["support"], r["items"]))
+        return rows[:size] if size is not None else rows
 
     def categorize_text(
         self,

@@ -260,3 +260,15 @@ def test_qs_engines_match_brute_force(qs_index, qs_corpus, ray_session,
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+def test_validate_query_api():
+    from elasticsearch_assets_ray.search.qs import validate_query
+
+    assert validate_query("hash AND join") == {"valid": True}
+    assert validate_query("lang:py AND (a OR b)^2") == {"valid": True}
+    assert validate_query("zzz") == {"valid": True}  # matches nothing: valid
+    bad = validate_query("lang:[TO 5]", meta_fields={"lang"})
+    assert bad["valid"] is False and "bad range" in bad["error"]
+    unk = validate_query("nofield:3", meta_fields={"lang"})
+    assert unk["valid"] is False and "unknown field" in unk["error"]

@@ -183,6 +183,11 @@ def test_frequent_item_sets_brute_parity(engines):
     got2 = eng.frequent_item_sets(minimum_support=ms, minimum_set_size=2)
     assert got2 == [r for r in want if len(r["items"]) == 2]
     assert eng.frequent_item_sets(minimum_support=ms, size=3) == want[:3]
+    # term-partitioned twin: identical buckets
+    teng = engines[1]
+    assert teng.frequent_item_sets(minimum_support=ms) == want
+    assert teng.frequent_item_sets(
+        minimum_support=ms, minimum_set_size=2) == got2
 
 
 def test_variable_width_histogram_engine_parity(engines):
