@@ -61,3 +61,53 @@ def stratified_sample(ds, group_col: str, n_per_group: int,
     return ds.groupby(group_col).map_groups(
         pick, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def mixture_rates(weights: dict[str, float], temperature: float = 1.0,
+                  ) -> dict[str, float]:
+    """Temperature-adjusted per-source inclusion rates — the
+    multilingual / source-balancing recipe (p_s ∝ w_s^(1/T), scaled so
+    the largest rate is 1.0).  T > 1 flattens the mixture toward the
+    tail sources; T = 1 keeps the raw weights; T → 0 keeps only the
+    heaviest source.  Feed the result to :func:`mixture_sample`."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    p = {s: float(w) ** (1.0 / temperature) for s, w in weights.items()}
+    m = max(p.values())
+    return {s: v / m for s, v in p.items()}
+
+
+def mixture_thresholds(rates: dict[str, float]) -> dict[str, int]:
+    """Exact integer hash thresholds (rate × 2³²) — the wire/SQL form;
+    computing them ONCE here keeps the float pow out of the oracle
+    comparison (both sides compare against the same integers)."""
+    return {s: int(r * float(_MOD)) for s, r in rates.items()}
+
+
+def mixture_sample(ds, thresholds: dict[str, int],
+                   source_col: str = "source", id_col: str = "doc_id"):
+    """Per-source deterministic downsampling in ONE streaming filter —
+    the training-data MIXING step (upweight rare sources / downweight
+    dominant ones without a shuffle).  Each row keeps iff
+    ``knuth_hash(id) < thresholds[source]``; unknown sources drop.
+    Same nesting + partitioning-independence properties as
+    :func:`hash_sample`, per source."""
+
+    def pick(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        src = b.column(source_col)
+        src = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+        enc = src.dictionary_encode()
+        dict_thresh = np.array(
+            [thresholds.get(v, 0) for v in enc.dictionary.to_pylist()],
+            dtype=np.uint64,
+        )
+        row_thresh = dict_thresh[
+            np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        ]
+        ids = b.column(id_col).to_numpy()
+        return b.filter(pa.array(knuth_hash_u32(ids) < row_thresh))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)

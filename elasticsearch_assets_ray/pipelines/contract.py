@@ -9734,6 +9734,50 @@ def q_variable_width_hist(sf_dir: str) -> pa.Table:
     })
 
 
+def _mix_thresholds() -> dict[str, int]:
+    from ..ops.sampling import mixture_rates, mixture_thresholds
+
+    weights = {f"src{i}": ((i % 4) + 1) / 4 for i in range(20)}
+    return mixture_thresholds(mixture_rates(weights, temperature=2.0))
+
+
+def q_mixture_sample(sf_dir: str) -> pa.Table:
+    """Training-data MIXING: temperature-balanced per-source
+    downsampling (p_s ∝ w_s^(1/T), one streaming Knuth-hash filter, no
+    shuffle) — per-source counts + chars of the surviving mixture."""
+    from ..ops.sampling import mixture_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    out = mixture_sample(ds, _mix_thresholds())
+    agg = to_arrow(
+        out.groupby("source").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+        )
+    )
+    return pa.table({
+        "source": agg.column("source"),
+        "n_docs": pc.cast(agg.column("n_docs"), pa.int64()),
+        "sum_chars": pc.cast(agg.column("sum_chars"), pa.int64()),
+    })
+
+
+def sql_mixture_sample() -> str:
+    case = " ".join(
+        f"WHEN '{s}' THEN {t}" for s, t in sorted(_mix_thresholds().items())
+    )
+    return f"""
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents
+WHERE (doc_id::HUGEINT * 2654435761) % 4294967296
+      < (CASE source {case} ELSE 0 END)
+GROUP BY source
+"""
+
+
 KNN_MULTI_CLAUSES = [(0, 15, 10), (3, 10, 5)]  # (query vec, k, boost_e1)
 
 
@@ -10906,6 +10950,7 @@ def queries():
         "frequent_item_sets_global": q_frequent_item_sets_global,
         "variable_width_hist": q_variable_width_hist,
         "knn_multi": q_knn_multi,
+        "mixture_sample": q_mixture_sample,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
@@ -11130,6 +11175,7 @@ def oracle_sql():
         "frequent_item_sets": sql_frequent_item_sets(),
         "frequent_item_sets_global": sql_frequent_item_sets(),
         "knn_multi": sql_knn_multi(),
+        "mixture_sample": sql_mixture_sample(),
         "global_term_merge": sql_global_term_merge(),
     }
 

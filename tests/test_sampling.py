@@ -51,3 +51,51 @@ def test_stratified_sample_exact_heads(ray_session):
         want = sorted(members, key=lambda i: (h[i], i))[:10]
         assert sorted(got) == sorted(want), lang
         assert len(got) == 10
+
+
+def test_mixture_rates_temperature_math():
+    from elasticsearch_assets_ray.ops.sampling import mixture_rates
+
+    w = {"a": 4.0, "b": 1.0}
+    r1 = mixture_rates(w, temperature=1.0)
+    assert r1 == {"a": 1.0, "b": 0.25}
+    r2 = mixture_rates(w, temperature=2.0)  # sqrt flattening
+    assert r2["a"] == 1.0 and abs(r2["b"] - 0.5) < 1e-12
+    # T -> inf flattens to uniform
+    rf = mixture_rates(w, temperature=1e9)
+    assert abs(rf["b"] - 1.0) < 1e-6
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mixture_rates(w, temperature=0)
+
+
+def test_mixture_sample_deterministic_and_nested(ray_session):
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from elasticsearch_assets_ray.ops.sampling import (
+        mixture_sample,
+        mixture_thresholds,
+    )
+
+    n = 4000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array([f"s{i % 3}" for i in range(n)]),
+    })
+
+    def ids_of(thresh):
+        ds = mixture_sample(rd.from_arrow(t), thresh)
+        parts = [p for p in ray.get(ds.to_arrow_refs()) if p.num_rows]
+        out = pa.concat_tables(parts) if parts else None
+        return set(out.column("doc_id").to_pylist()) if out else set()
+
+    lo = ids_of(mixture_thresholds({"s0": 1.0, "s1": 0.25, "s2": 0.0}))
+    hi = ids_of(mixture_thresholds({"s0": 1.0, "s1": 0.5, "s2": 0.0}))
+    assert lo < hi                       # per-source nesting
+    assert ids_of(mixture_thresholds({"s0": 1.0, "s1": 0.25, "s2": 0.0})) == lo  # deterministic
+    assert not any(i % 3 == 2 for i in hi)  # rate-0 source fully dropped
+    s0 = {i for i in hi if i % 3 == 0}
+    assert len(s0) == (n + 2) // 3       # rate-1 source fully kept
