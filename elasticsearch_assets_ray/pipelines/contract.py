@@ -5522,6 +5522,63 @@ WHERE d.doc_id % 5 <> 0 AND p.doc_id % 5 = 0
 """
 
 
+# ES parent_id query: children of one named parent, constant score.
+PARENT_ID_PARENTS = (0, 35, 110)
+
+
+def _q_parent_id(engine) -> pa.Table:
+    rows = []
+    for p in PARENT_ID_PARENTS:
+        for child, score in engine.search_parent_id(
+            p, "parent_id", k=None, boost=1.5
+        ):
+            rows.append({
+                "parent_id": p, "child_id": child,
+                "score_e4": int(np.rint(score * 1e4)),
+            })
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["parent_id", "child_id", "score_e4"]),
+        preserve_index=False,
+    )
+
+
+def q_parent_id(sf_dir: str) -> pa.Table:
+    """ES ``parent_id`` query (join field): all children of each named
+    parent at constant ``boost`` score — one broadcast single-value isin
+    scan per shard over cached doc values, parent row excluded."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_parent_id(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_parent_id_global(sf_dir: str) -> pa.Table:
+    """The SAME parent_id query from the TERM-partitioned layout
+    (partition-parallel docmeta lineage scan)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_parent_id(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_parent_id() -> str:
+    vals = ", ".join(f"({p})" for p in PARENT_ID_PARENTS)
+    return f"""
+SELECT p.parent AS parent_id, d.doc_id AS child_id, 15000 AS score_e4
+FROM documents d
+JOIN (VALUES {vals}) AS p(parent)
+  ON d.doc_id - d.doc_id % 5 = p.parent AND d.doc_id <> p.parent
+"""
+
+
 # date_histogram zero-fill: fixed 1d interval, min_doc_count=0,
 # extended_bounds widening past the (sf-dependent) data span on the low
 # side; ES semantics — enumerate every bucket between
@@ -10881,6 +10938,8 @@ def queries():
         "has_child_global": q_has_child_global,
         "has_parent": q_has_parent,
         "has_parent_global": q_has_parent_global,
+        "parent_id_children": q_parent_id,
+        "parent_id_children_global": q_parent_id_global,
         "ts_filter_search": q_ts_filter_search,
         "highlight_positions": q_highlight_positions,
         "highlight_positions_global": q_highlight_positions_global,
@@ -11106,6 +11165,8 @@ def oracle_sql():
         "has_child_global": sql_has_child(),
         "has_parent": sql_has_parent(),
         "has_parent_global": sql_has_parent(),
+        "parent_id_children": sql_parent_id(),
+        "parent_id_children_global": sql_parent_id(),
         "ts_filter_search": sql_ts_filter_search(),
         "highlight_positions": sql_highlight_positions(),
         "highlight_positions_global": sql_highlight_positions(),

@@ -5108,6 +5108,30 @@ class QueryEngine:
         return children_rows(ids[child], parents[child], pscores,
                              score, k)
 
+    def search_parent_id(
+        self,
+        parent: int,
+        parent_field: str = "parent_id",
+        k: int | None = 10,
+        boost: float = 1.0,
+    ) -> list[tuple[int, float]]:
+        """ES ``parent_id`` query: child docs whose join parent is the
+        given id, each at constant score ``boost`` (the ES semantics —
+        the query matches in filter-like fashion and scores 1.0×boost).
+        One broadcast single-value ``isin`` scan per shard over cached
+        doc values; the parent row itself (``doc_id == parent``) is
+        excluded, matching the join-field child-type contract."""
+        pids = np.asarray([parent], dtype=np.int64)
+        got = ray.get(
+            [a.meta_pairs_in.remote(parent_field, pids)
+             for a in self.actors]
+        )
+        ids = np.concatenate([g[0] for g in got])
+        ids = np.sort(ids[ids != parent])
+        if k is not None:
+            ids = ids[:k]
+        return [(int(d), float(boost)) for d in ids]
+
     def search_phrase_prefix(
         self, phrase: str | list[str], k: int = 10, max_expansions: int = 50
     ) -> list[tuple[int, float]]:

@@ -2893,6 +2893,34 @@ class TermPartitionedEngine:
         return children_rows(ids[child], parents[child].astype(np.int64),
                              pscores, score, k)
 
+    def search_parent_id(
+        self,
+        parent: int,
+        parent_field: str = "parent_id",
+        k: int | None = 10,
+        boost: float = 1.0,
+    ) -> list[tuple[int, float]]:
+        """ES ``parent_id`` query served from the term-partitioned
+        layout — identical rows to
+        :meth:`QueryEngine.search_parent_id`: one partition-parallel
+        single-value scan of the source docmeta lineage
+        (``datehist.meta_pairs_in``), parent row excluded, constant
+        score ``boost``."""
+        from .datehist import meta_pairs_in
+
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for join-field queries"
+            )
+        pids = np.asarray([parent], dtype=np.int64)
+        ids, _ = meta_pairs_in(src, parent_field, pids)
+        ids = np.sort(ids[ids != parent])
+        if k is not None:
+            ids = ids[:k]
+        return [(int(d), float(boost)) for d in ids]
+
     def date_histogram(
         self,
         query: str | list[str],
