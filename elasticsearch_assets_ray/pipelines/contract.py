@@ -108,7 +108,7 @@ def _docs(sf_dir: str):
 
 # bump when index layout / analyzer / scoring semantics change, so a
 # /tmp cache surviving from an earlier code version can never be reused
-CONTRACT_INDEX_VERSION = "v12"  # v12: parent_id join-field docmeta
+CONTRACT_INDEX_VERSION = "v13"  # v13: ip_u32 IPv4 docmeta (ip_prefix/ip_range)
 
 # deterministic date-typed docmeta column: documents carry no timestamp,
 # so the contract derives one at ingest (the ES ingest-pipeline analogue)
@@ -147,6 +147,12 @@ GEO_LON_SQL = "((documents.doc_id * 104729) % 360 - 180)"
 PARENT_SPEC = "parent_id=group_of:doc_id:5"
 PARENT_SQL = "(doc_id - doc_id % 5)"
 
+# deterministic IPv4 doc value (uint32 as exact float64 — < 2^32 < 2^53):
+# Knuth multiplicative hash of doc_id, SQL-mirrorable verbatim.  Feeds
+# the ES ip_prefix / ip_range aggregations (search.ipaddr).
+IP_SPEC = "ip_u32=affine_mod:doc_id:2654435761:4294967296:1:0"
+IP_SQL = "((documents.doc_id * 2654435761) % 4294967296)"
+
 
 def doc_index_dir(sf_dir: str) -> str:
     tag = hashlib.md5(f"{CONTRACT_INDEX_VERSION}:{sf_dir}".encode()).hexdigest()[:10]
@@ -161,9 +167,9 @@ def ensure_doc_index(sf_dir: str) -> str:
         lang_col=None,
         id_col="doc_id",
         meta_cols=("source", "lang", "created_at", "n_chars", "req_matches",
-                   "lat", "lon", "parent_id"),
+                   "lat", "lon", "parent_id", "ip_u32"),
         derived_meta=(CREATED_SPEC, REQ_SPEC, GEO_LAT_SPEC, GEO_LON_SPEC,
-                      PARENT_SPEC),
+                      PARENT_SPEC, IP_SPEC),
         partition_target_docs=128,
         shard_target_docs=512,
         # Lucene indexes positions for text fields by default; the one
@@ -2294,6 +2300,78 @@ def q_distance_feature_global(sf_dir: str) -> pa.Table:
         return _q_feature_search(eng, idx, DISTF_QUERIES)
     finally:
         eng.shutdown()
+
+
+# ES sparse_vector query (8.x learned-sparse / text-expansion
+# retrieval): query vectors map tokens → weights; score = Σ w·impact
+# with impact = tf (ES stores ELSER model weights — same dot-product
+# algebra, disclosed).  Weights are BINARY-EXACT (multiples of 2^-3),
+# so every product w×tf and every sum is an exact float — the oracle
+# hash can't diverge on accumulation order.  One vector carries an
+# absent token (ES: silently contributes nothing).
+SPARSEV_QUERIES: list[tuple[int, dict[str, float]]] = [
+    (0, {"hash": 1.5, "join": 0.75, "merge": 0.25}),
+    (1, {"customer": 2.0, "order": 0.5, "value": 1.25,
+         "nosuchtoken": 3.0}),
+    (2, {"vector": 1.0, "scan": 0.25, "slow": 0.5, "window": 0.125}),
+]
+
+
+def _q_sparse_vector(engine, idx: str) -> pa.Table:
+    per_q = {
+        qid: engine.search_sparse_vector(qv, k=K_FETCH)
+        for qid, qv in SPARSEV_QUERIES
+    }
+    return _bm25_rerank(per_q, idx)
+
+
+def q_sparse_vector(sf_dir: str) -> pa.Table:
+    """ES ``sparse_vector`` query: top-10 by the dot product of the
+    query vector's token weights with the stored term impacts (tf) —
+    the ES 8.x learned-sparse serving path with the model-weight
+    provenance swapped for term frequency (disclosed).  Per-shard dense
+    accumulate + the standard rounded-tie merge."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_sparse_vector(engine, idx)
+    finally:
+        engine.shutdown()
+
+
+def q_sparse_vector_global(sf_dir: str) -> pa.Table:
+    """The SAME sparse_vector queries from the TERM-partitioned layout
+    (one retained-tf fetch round per owning bucket actor)."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_sparse_vector(eng, idx)
+    finally:
+        eng.shutdown()
+
+
+def sql_sparse_vector() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}', {w!r})"
+        for qid, qv in SPARSEV_QUERIES for t, w in sorted(qv.items())
+    )
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+qv(query_id, t, w) AS (VALUES {values}),
+scored AS (SELECT qv.query_id, tf.doc_id, sum(tf.tf * qv.w) AS score
+           FROM qv JOIN tf ON tf.t = qv.t GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
 
 
 def _sql_feature_search(specs: list[tuple]) -> str:
@@ -10792,6 +10870,554 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ------------------------------------------------------------------ ip
+# ES ip_prefix / ip_range aggregations (search.ipaddr) over the derived
+# ``ip_u32`` docmeta (IP_SPEC) — runtime-field terms/range machinery on
+# both engines, exact integer arithmetic in the SQL mirror.
+
+# (query_id, match text, prefix_length, size)
+IPPFX_QUERIES: list[tuple[int, str, int, int | None]] = [
+    (0, "hash join", 6, None),
+    (1, "customer order value", 10, 12),
+]
+
+IPRANGE_TEXT = "merge sort"
+IPRANGE_RANGES: list[dict] = [
+    {"to": "64.0.0.0"},
+    {"from": "64.0.0.0", "to": "192.0.0.0"},
+    {"mask": "128.0.0.0/2"},
+    {"from": "240.0.0.0"},
+    {"from": "10.0.0.0", "to": "10.0.0.0"},  # empty (from == to)
+]
+
+
+def _q_ip_prefix(engine) -> pa.Table:
+    from ..search.ipaddr import ip_prefix_agg
+
+    rows = []
+    for qid, text, plen, size in IPPFX_QUERIES:
+        for b in ip_prefix_agg(engine, text, "ip_u32", plen, size=size):
+            rows.append({
+                "query_id": qid,
+                "key": b["key"],
+                "prefix_length": b["prefix_length"],
+                "net": b["net"],
+                "doc_count": b["doc_count"],
+            })
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["query_id", "key", "prefix_length",
+                                    "net", "doc_count"]),
+        preserve_index=False,
+    )
+
+
+def q_ip_prefix(sf_dir: str) -> pa.Table:
+    """ES ``ip_prefix`` aggregation: matched docs' IPv4 doc values
+    grouped by their N-bit network (a runtime field over the derived
+    ``ip_u32`` ingest column), buckets ASCENDING by network with an
+    exact ``size`` cut — the terms machinery end to end."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_ip_prefix(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_ip_prefix_global(sf_dir: str) -> pa.Table:
+    """The SAME ip_prefix aggregation from the TERM-partitioned layout
+    (matched ids → source docmeta lineage, column-pruned)."""
+    _idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_ip_prefix(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_ip_prefix() -> str:
+    from ..search.ipaddr import ip_key_sql, ip_prefix_sql
+
+    term_rows, net_cases, size_cases, plen_cases = [], [], [], []
+    for qid, text, plen, size in IPPFX_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+        net_cases.append(
+            f"WHEN {qid} THEN " + ip_prefix_sql(IP_SQL, plen)
+        )
+        size_cases.append(
+            f"WHEN {qid} THEN {1 << 32 if size is None else size}"
+        )
+        plen_cases.append(f"WHEN {qid} THEN {plen}")
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    net = "CASE hit.query_id " + " ".join(net_cases) + " END"
+    size_c = "CASE query_id " + " ".join(size_cases) + " END"
+    plen_c = "CASE query_id " + " ".join(plen_cases) + " END"
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, t) AS (VALUES {', '.join(term_rows)}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+b AS (SELECT hit.query_id, {net} AS net
+      FROM hit JOIN documents ON documents.doc_id = hit.doc_id),
+g AS (SELECT query_id, net, count(*)::BIGINT AS doc_count
+      FROM b GROUP BY 1, 2
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY net)
+              <= {size_c})
+SELECT query_id, {ip_key_sql('net')} AS key,
+       {plen_c} AS prefix_length, net, doc_count
+FROM g
+"""
+
+
+def _q_ip_range(engine) -> pa.Table:
+    from ..search.ipaddr import ip_range_agg
+
+    rows = []
+    buckets = ip_range_agg(engine, IPRANGE_TEXT, "ip_u32",
+                           IPRANGE_RANGES, stats_on="n_chars")
+    for i, b in enumerate(buckets):
+        rows.append({
+            "range_idx": i,
+            "key": b["key"],
+            "doc_count": b["doc_count"],
+            "sum_nc": b.get("sum", 0.0),
+        })
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["range_idx", "key", "doc_count",
+                                    "sum_nc"]),
+        preserve_index=False,
+    )
+
+
+def q_ip_range(sf_dir: str) -> pa.Table:
+    """ES ``ip_range`` aggregation (from inclusive / to exclusive, CIDR
+    ``mask`` sugar, declaration order, empty buckets kept) with a stats
+    sub-agg on ``n_chars`` — the range machinery over the ``ip_u32``
+    doc values."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_ip_range(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_ip_range_global(sf_dir: str) -> pa.Table:
+    _idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_ip_range(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_ip_range() -> str:
+    from ..search.ipaddr import U32, cidr_bounds, ip_bound
+
+    rng_rows = []
+    for i, r in enumerate(IPRANGE_RANGES):
+        if "mask" in r:
+            lo, hi = cidr_bounds(r["mask"])
+            lo_f: float | None = float(lo)
+            hi_f = None if hi >= U32 else float(hi)
+            key = r["mask"]
+        else:
+            lo_f, hi_f = ip_bound(r.get("from")), ip_bound(r.get("to"))
+            from ..search.ipaddr import u32_to_ip
+
+            key = (("*" if lo_f is None else u32_to_ip(int(lo_f)))
+                   + "-"
+                   + ("*" if hi_f is None else u32_to_ip(int(hi_f))))
+        lo_s = "NULL" if lo_f is None else f"{lo_f!r}"
+        hi_s = "NULL" if hi_f is None else f"{hi_f!r}"
+        rng_rows.append(
+            f"({i}, '{key}', {lo_s}::DOUBLE, {hi_s}::DOUBLE)"
+        )
+    terms = ", ".join(f"('{t}')" for t in _simple_tokens(IPRANGE_TEXT))
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+q(t) AS (VALUES {terms}),
+hit AS (SELECT DISTINCT toks.doc_id FROM q JOIN toks ON toks.t = q.t),
+d AS (SELECT documents.doc_id, documents.n_chars::DOUBLE AS nc,
+             {IP_SQL}::DOUBLE AS ip
+      FROM documents JOIN hit ON hit.doc_id = documents.doc_id),
+r(range_idx, key, lo, hi) AS (VALUES {', '.join(rng_rows)}),
+m AS (SELECT r.range_idx, d.nc
+      FROM d JOIN r ON (r.lo IS NULL OR d.ip >= r.lo)
+                   AND (r.hi IS NULL OR d.ip < r.hi))
+SELECT r.range_idx, r.key,
+       count(m.nc)::BIGINT AS doc_count,
+       coalesce(sum(m.nc), 0) AS sum_nc
+FROM r LEFT JOIN m ON m.range_idx = r.range_idx
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------ geo_line
+# ES geo_line aggregation under a terms bucket: per lang, the matched
+# docs' points connected in sort order, truncated to the first SIZE —
+# the top_hits machinery end to end (search.geo.geo_line_agg).
+
+# (query_id, match text, sort_order)
+GEOLINE_QUERIES: list[tuple[int, str, str]] = [
+    (0, "hash join", "asc"),
+    (1, "customer order value", "desc"),
+]
+GEOLINE_SIZE = 8
+
+
+def _q_geo_line(engine) -> pa.Table:
+    from ..search.geo import geo_line_agg
+
+    rows = []
+    for qid, text, order in GEOLINE_QUERIES:
+        for b in geo_line_agg(engine, text, "lang", "n_chars",
+                              size=GEOLINE_SIZE, sort_order=order):
+            line = ";".join(
+                f"{int(lon)} {int(lat)}" for lon, lat in b["points"]
+            )
+            rows.append({
+                "query_id": qid,
+                "key": b["key"],
+                "doc_count": b["doc_count"],
+                "complete": bool(b["complete"]),
+                "line": line,
+            })
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["query_id", "key", "doc_count",
+                                    "complete", "line"]),
+        preserve_index=False,
+    )
+
+
+def q_geo_line(sf_dir: str) -> pa.Table:
+    """ES ``geo_line`` aggregation: per ``lang`` bucket, the matched
+    docs' (lon, lat) points joined in ``n_chars`` order (doc-ascending
+    ties — the serving sort contract), truncated to the first
+    ``GEOLINE_SIZE`` (ES ``size``; ``complete`` = nothing dropped)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_geo_line(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_geo_line_global(sf_dir: str) -> pa.Table:
+    """The SAME geo_line aggregation from the TERM-partitioned layout
+    (sort values + points hydrate from the source docmeta lineage)."""
+    _idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_geo_line(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_geo_line() -> str:
+    term_rows, dir_cases = [], []
+    for qid, text, order in GEOLINE_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+        dir_cases.append(
+            f"WHEN {qid} THEN "
+            + ("d.n_chars" if order == "asc" else "-d.n_chars")
+        )
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    sort_c = "CASE d.query_id " + " ".join(dir_cases) + " END"
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, t) AS (VALUES {', '.join(term_rows)}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+d AS (SELECT hit.query_id, documents.doc_id, documents.lang,
+             documents.n_chars,
+             CAST({GEO_LAT_SQL} AS BIGINT) AS lat,
+             CAST({GEO_LON_SQL} AS BIGINT) AS lon
+      FROM documents JOIN hit ON hit.doc_id = documents.doc_id),
+ranked AS (SELECT d.*,
+                  row_number() OVER (PARTITION BY d.query_id, d.lang
+                                     ORDER BY {sort_c}, d.doc_id) AS rn,
+                  count(*) OVER (PARTITION BY d.query_id, d.lang)
+                      AS doc_count
+           FROM d)
+SELECT query_id, lang AS key, doc_count,
+       doc_count <= {GEOLINE_SIZE} AS complete,
+       string_agg(concat(lon, ' ', lat), ';' ORDER BY rn) AS line
+FROM ranked
+WHERE rn <= {GEOLINE_SIZE}
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# ----------------------------------------------------------- ML siblings
+# ES ML sibling aggregations (bucket_count_ks_test, bucket_correlation,
+# change_point — search.pipeline_agg): pure coordinating-node transforms
+# over a weekly date_histogram's bucket rows; the statistics are exact
+# closed forms (single divisions of exact integer sums — the float
+# invariant), so they SQL-oracle bit-for-bit.
+
+MLAGG_TEXT = "hash join"     # KS + correlation base series (weekly)
+_WEEK_US = 7 * 86_400_000_000
+CP_TEXT = "hash"             # change_point series: counts step to zero
+CP_CUT = "2024-10-01"        # filter created_at < CUT …
+CP_BOUNDS = ("2024-01-05", "2025-05-20")  # … inside zero-filled bounds
+KS_ALTS = ("two_sided", "less", "greater")
+
+
+def _mlagg_buckets(engine) -> list[dict]:
+    return engine.date_histogram(MLAGG_TEXT, field="created_at",
+                                 interval="7d")
+
+
+def _q_ks_test(engine) -> pa.Table:
+    from ..search.pipeline_agg import bucket_count_ks_test
+
+    r = bucket_count_ks_test(_mlagg_buckets(engine), alternatives=KS_ALTS)
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(
+            [{"alternative": a,
+              "stat_r": round(r["statistics"][a], 6),
+              "n": r["n"]} for a in KS_ALTS],
+            columns=["alternative", "stat_r", "n"],
+        ),
+        preserve_index=False,
+    )
+
+
+def q_ks_test(sf_dir: str) -> pa.Table:
+    """ES ``bucket_count_ks_test`` sibling aggregation: one-sample K-S
+    statistics (all three alternatives) of the weekly match-count
+    distribution against uniform fractions — exact sup-differences of
+    one-division CDFs over the date_histogram buckets."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_ks_test(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_ks_test_global(sf_dir: str) -> pa.Table:
+    _idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_ks_test(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_ks_test() -> str:
+    terms = ", ".join(f"('{t}')" for t in _simple_tokens(MLAGG_TEXT))
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+q(t) AS (VALUES {terms}),
+hit AS (SELECT DISTINCT toks.doc_id FROM q JOIN toks ON toks.t = q.t),
+c AS (SELECT doc_id, epoch_us({CREATED_SQL}) AS us FROM documents),
+b AS (SELECT (c.us // {_WEEK_US}) * {_WEEK_US} AS bucket_us,
+             count(*)::BIGINT AS v
+      FROM hit JOIN c ON c.doc_id = hit.doc_id GROUP BY 1),
+o AS (SELECT v, row_number() OVER (ORDER BY bucket_us) AS rn,
+             sum(v) OVER (ORDER BY bucket_us) AS cum FROM b),
+t AS (SELECT count(*)::DOUBLE AS nb, sum(v)::DOUBLE AS tot FROM b),
+d AS (SELECT (o.cum::DOUBLE / t.tot) - (o.rn::DOUBLE / t.nb) AS diff
+      FROM o, t),
+m AS (SELECT max(diff) AS dp, max(-diff) AS dm FROM d)
+SELECT 'two_sided' AS alternative,
+       round(greatest(m.dp, m.dm), 6) AS stat_r,
+       t.tot::BIGINT AS n FROM m, t
+UNION ALL
+SELECT 'greater', round(greatest(m.dp, 0.0), 6), t.tot::BIGINT FROM m, t
+UNION ALL
+SELECT 'less', round(greatest(m.dm, 0.0), 6), t.tot::BIGINT FROM m, t
+"""
+
+
+def _q_bucket_corr(engine) -> pa.Table:
+    from ..search.pipeline_agg import bucket_correlation
+
+    buckets = _mlagg_buckets(engine)
+    r = bucket_correlation(buckets,
+                           [float(i) for i in range(len(buckets))])
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame([{"corr_r": round(r, 6)}], columns=["corr_r"]),
+        preserve_index=False,
+    )
+
+
+def q_bucket_corr(sf_dir: str) -> pa.Table:
+    """ES ``bucket_correlation`` sibling aggregation
+    (``count_correlation``): Pearson r between the weekly match counts
+    and a 0..n−1 ramp indicator — exact formula, normalization-
+    invariant, oracled against DuckDB ``corr()`` (rounded AFTER the
+    irrational sqrt — the float invariant's continuous case)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_bucket_corr(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_bucket_corr_global(sf_dir: str) -> pa.Table:
+    _idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_bucket_corr(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_bucket_corr() -> str:
+    terms = ", ".join(f"('{t}')" for t in _simple_tokens(MLAGG_TEXT))
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+q(t) AS (VALUES {terms}),
+hit AS (SELECT DISTINCT toks.doc_id FROM q JOIN toks ON toks.t = q.t),
+c AS (SELECT doc_id, epoch_us({CREATED_SQL}) AS us FROM documents),
+b AS (SELECT (c.us // {_WEEK_US}) * {_WEEK_US} AS bucket_us,
+             count(*)::BIGINT AS v
+      FROM hit JOIN c ON c.doc_id = hit.doc_id GROUP BY 1),
+o AS (SELECT v, row_number() OVER (ORDER BY bucket_us) - 1 AS i FROM b)
+SELECT round(corr(o.v, o.i), 6) AS corr_r FROM o
+"""
+
+
+def _q_change_point(engine) -> pa.Table:
+    from ..search.pipeline_agg import change_point
+
+    buckets = engine.date_histogram(
+        {"must": CP_TEXT,
+         "filter_range": {"created_at": (None, _iso_us(CP_CUT))}},
+        field="created_at", interval="7d", min_doc_count=0,
+        extended_bounds=CP_BOUNDS,
+    )
+    r = change_point(buckets)
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(
+            [{"type": r["type"],
+              "bucket_us": (-1 if r["bucket_key"] is None
+                            else int(r["bucket_key"])),
+              "score_r": round(r["score"], 6)}],
+            columns=["type", "bucket_us", "score_r"],
+        ),
+        preserve_index=False,
+    )
+
+
+def q_change_point(sf_dir: str) -> pa.Table:
+    """ES ``change_point`` sibling aggregation (simplified exact binary
+    segmentation — ES's proprietary ML detector disclosed in
+    ``pipeline_agg.change_point``): the weekly match counts of a
+    created_at-capped query over zero-filled extended bounds step to
+    zero at the cutoff; the detector must name that bucket.  Every R²
+    is one division of exact integer sums, so the SQL mirror matches
+    bit-for-bit."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_change_point(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_change_point_global(sf_dir: str) -> pa.Table:
+    _idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_change_point(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_change_point() -> str:
+    lo_k = (_iso_us(CP_BOUNDS[0]) // _WEEK_US) * _WEEK_US
+    hi_k = (_iso_us(CP_BOUNDS[1]) // _WEEK_US) * _WEEK_US
+    cut = _iso_us(CP_CUT)
+    return f"""
+WITH toks AS ({_TOKS.format(id="doc_id", text="text", src="documents")}),
+hit AS (SELECT DISTINCT toks.doc_id FROM toks WHERE toks.t = '{CP_TEXT}'),
+c AS (SELECT doc_id, epoch_us({CREATED_SQL}) AS us FROM documents),
+counts AS (SELECT (c.us // {_WEEK_US}) * {_WEEK_US} AS bucket_us,
+                  count(*)::BIGINT AS v
+           FROM hit JOIN c ON c.doc_id = hit.doc_id
+           WHERE c.us <= {cut} GROUP BY 1),
+span AS (SELECT least(coalesce(min(bucket_us), {lo_k}), {lo_k}) AS lo,
+                greatest(coalesce(max(bucket_us), {hi_k}), {hi_k}) AS hi
+         FROM counts),
+x AS (SELECT s.bucket_us, coalesce(counts.v, 0)::BIGINT AS v,
+             row_number() OVER (ORDER BY s.bucket_us) AS i
+      FROM (SELECT unnest(generate_series(lo, hi, {_WEEK_US}))
+                   AS bucket_us FROM span) s
+      LEFT JOIN counts ON counts.bucket_us = s.bucket_us),
+agg AS (SELECT count(*)::BIGINT AS n, sum(v)::BIGINT AS tot,
+               sum(v * v)::BIGINT AS sumsq FROM x),
+ss AS (SELECT n, tot, (n * sumsq - tot * tot)::BIGINT AS ss_num
+       FROM agg),
+steps AS (SELECT x.i AS k,
+                 (sum(x.v) OVER (ORDER BY x.i) * ss.n
+                  - x.i * ss.tot)::BIGINT AS dk
+          FROM x, ss QUALIFY x.i < ss.n),
+bs AS (SELECT steps.k,
+              (steps.dk * steps.dk)
+              / (steps.k * (ss.n - steps.k) * ss.ss_num) AS r2
+       FROM steps, ss
+       QUALIFY row_number() OVER (ORDER BY r2 DESC, steps.k ASC) = 1),
+loo AS (SELECT x.i, x.v, ((x.v * ss.n - ss.tot) * (x.v * ss.n - ss.tot))
+                         / ((ss.n - 1) * ss.ss_num) AS r2
+        FROM x, ss),
+bo AS (SELECT i, v, r2 FROM loo
+       QUALIFY row_number() OVER (ORDER BY r2 DESC, i ASC) = 1)
+SELECT CASE WHEN greatest(bs.r2, bo.r2) < 0.3 THEN 'stationary'
+            WHEN bo.r2 > bs.r2 THEN
+                 (CASE WHEN bo.v * ss.n > ss.tot THEN 'spike'
+                       ELSE 'dip' END)
+            ELSE 'step_change' END AS type,
+       CASE WHEN greatest(bs.r2, bo.r2) < 0.3 THEN -1
+            WHEN bo.r2 > bs.r2 THEN
+                 (SELECT bucket_us FROM x WHERE x.i = bo.i)
+            ELSE (SELECT bucket_us FROM x WHERE x.i = bs.k + 1) END
+           AS bucket_us,
+       CASE WHEN greatest(bs.r2, bo.r2) < 0.3 THEN 0.0
+            ELSE round(greatest(bs.r2, bo.r2), 6) END AS score_r
+FROM bs, bo, ss
+"""
+
+
 # ----------------------------------------------------------- the surface
 
 
@@ -10860,6 +11486,20 @@ def queries():
         "function_score_multi_global": q_function_score_multi_global,
         "rank_feature_search": q_rank_feature,
         "rank_feature_search_global": q_rank_feature_global,
+        "sparse_vector_search": q_sparse_vector,
+        "sparse_vector_search_global": q_sparse_vector_global,
+        "ip_prefix_agg": q_ip_prefix,
+        "ip_prefix_agg_global": q_ip_prefix_global,
+        "ip_range_agg": q_ip_range,
+        "ip_range_agg_global": q_ip_range_global,
+        "geo_line_agg": q_geo_line,
+        "geo_line_agg_global": q_geo_line_global,
+        "ks_test_agg": q_ks_test,
+        "ks_test_agg_global": q_ks_test_global,
+        "bucket_corr_agg": q_bucket_corr,
+        "bucket_corr_agg_global": q_bucket_corr_global,
+        "change_point_agg": q_change_point,
+        "change_point_agg_global": q_change_point_global,
         "distance_feature_search": q_distance_feature,
         "distance_feature_search_global": q_distance_feature_global,
         "meta_filter_search": q_meta_filter_search,
@@ -11088,6 +11728,20 @@ def oracle_sql():
         "function_score_multi_global": sql_function_score_multi(),
         "rank_feature_search": sql_rank_feature(),
         "rank_feature_search_global": sql_rank_feature(),
+        "sparse_vector_search": sql_sparse_vector(),
+        "sparse_vector_search_global": sql_sparse_vector(),
+        "ip_prefix_agg": sql_ip_prefix(),
+        "ip_prefix_agg_global": sql_ip_prefix(),
+        "ip_range_agg": sql_ip_range(),
+        "ip_range_agg_global": sql_ip_range(),
+        "geo_line_agg": sql_geo_line(),
+        "geo_line_agg_global": sql_geo_line(),
+        "ks_test_agg": sql_ks_test(),
+        "ks_test_agg_global": sql_ks_test(),
+        "bucket_corr_agg": sql_bucket_corr(),
+        "bucket_corr_agg_global": sql_bucket_corr(),
+        "change_point_agg": sql_change_point(),
+        "change_point_agg_global": sql_change_point(),
         "distance_feature_search": sql_distance_feature(),
         "distance_feature_search_global": sql_distance_feature(),
         "meta_filter_search": sql_meta_filter_search(),

@@ -687,6 +687,37 @@ class ShardData:
             touched[idx] = True
         return scores, touched
 
+    def sparse_topk(
+        self,
+        items: tuple[tuple[str, float], ...],
+        params: BM25Params,
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ES ``sparse_vector`` query (8.x learned-sparse retrieval)
+        over this shard: score = Σ query_weight(token) × stored term
+        impact.  ES stores model weights (ELSER) as term impacts; this
+        index's impact is the term frequency — the dot-product algebra,
+        top-k machinery and rank contract are identical, the weights'
+        provenance differs (disclosed; no model ships in this repo).
+        ``items`` = (token, weight) pairs SORTED by token — the
+        accumulation-order pin that keeps float sums identical to the
+        oracle.  Tokens are index terms verbatim (a sparse query vector
+        comes from a model vocabulary, not the analyzer)."""
+        scores = np.zeros(self.num_docs, dtype=np.float64)
+        touched = np.zeros(self.num_docs, dtype=bool)
+        for t, w in items:
+            i = self.terms.get(t)
+            if i is None:
+                continue
+            doc_ids, tfs = decode_postings(self.blobs[i])
+            idx = (doc_ids - np.uint64(self.doc_base)).astype(np.int64)
+            scores[idx] += w * tfs.astype(np.float64)
+            touched[idx] = True
+        touched &= ~self.deleted_mask
+        cand = np.nonzero(touched)[0]
+        cand, cs = _select_topk(cand, scores, k, params)
+        return (cand + self.doc_base).astype(np.int64), cs
+
     def bool_topk(
         self,
         must: list[str],
@@ -2788,6 +2819,19 @@ class _ScorerCore:
             out.append((qid, ids, sc))
         return out
 
+    def sparse_topk(
+        self, queries: list[tuple]
+    ) -> list[tuple[int, np.ndarray, np.ndarray]]:
+        """queries: [(qid, ((token, weight), ...) sorted by token, k)] —
+        the ES ``sparse_vector`` fan-out (see ShardData.sparse_topk)."""
+        out = []
+        for qid, items, k in queries:
+            parts = [s.sparse_topk(items, self.params, k)
+                     for s in self.shards]
+            ids, sc = merge_topk(parts, k, self.params.round_decimals)
+            out.append((qid, ids, sc))
+        return out
+
     def phrase_topk(
         self, queries: list[tuple]
     ) -> list[tuple[int, np.ndarray, np.ndarray]]:
@@ -3388,6 +3432,31 @@ class QueryEngine:
         per_actor = ray.get(
             [a.topk.remote([(0, terms, k, tuple(search_after))], idf)
              for a in self.actors]
+        )
+        parts = [(res[0][1], res[0][2]) for res in per_actor]
+        ids, sc = merge_topk(parts, k, self.params.round_decimals)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def search_sparse_vector(
+        self, query_vector: dict[str, float], k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES ``sparse_vector`` query (the 8.x learned-sparse /
+        text-expansion retrieval): ``query_vector`` maps tokens to
+        weights; score(doc) = Σ weight(token) × stored term impact.
+        The stored impact here is the term frequency (ES stores ELSER
+        model weights — same dot-product algebra and serving path, the
+        weight provenance differs; disclosed, no model in this repo).
+        Tokens are matched against index terms VERBATIM — a sparse
+        query vector comes from a model vocabulary, not the analyzer.
+        The reference forwards query DSL to ES untouched
+        (/root/reference/asset/elasticsearch_reader/reader.js:6-31)."""
+        items = tuple(sorted(
+            (t, float(w)) for t, w in query_vector.items() if w
+        ))
+        if not items:
+            return []
+        per_actor = ray.get(
+            [a.sparse_topk.remote([(0, items, k)]) for a in self.actors]
         )
         parts = [(res[0][1], res[0][2]) for res in per_actor]
         ids, sc = merge_topk(parts, k, self.params.round_decimals)

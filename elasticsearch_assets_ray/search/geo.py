@@ -232,3 +232,47 @@ def geo_centroid_render(lat_stats: dict, lon_stats: dict) -> dict:
         "count": lat_stats["count"],
         "location": {"lat": lat_stats["avg"], "lon": lon_stats["avg"]},
     }
+
+
+def geo_line_agg(
+    engine,
+    query,
+    group_by: str,
+    sort_field: str,
+    lat_field: str = "lat",
+    lon_field: str = "lon",
+    size: int = 10000,
+    sort_order: str = "asc",
+    include_sort: bool = False,
+) -> list[dict]:
+    """ES ``geo_line`` aggregation (under a ``terms`` bucket): per group
+    value, the matched docs' points connected in ``sort_field`` order
+    (``sort_order`` asc/desc), truncated to the FIRST ``size`` points —
+    exactly the ES semantics, and exactly the engines' ``top_hits``
+    machinery (per-shard partials ship O(groups × size), points hydrate
+    once after the cut).  Engine-agnostic; buckets in ES terms-agg order
+    (doc_count desc, key asc).
+
+    Each bucket: ``key``, ``doc_count`` (FULL match count for the
+    group), ``points`` ([[lon, lat], ...] — GeoJSON axis order),
+    ``complete`` (ES: false when truncation dropped points), and
+    ``sort`` (the per-point sort values) when ``include_sort``."""
+    if sort_order not in ("asc", "desc"):
+        raise ValueError(f"sort_order {sort_order!r} not in asc/desc")
+    buckets = engine.top_hits(
+        query, group_by, k=size, sort=(sort_field, sort_order),
+        source_fields=[lat_field, lon_field],
+    )
+    out = []
+    for b in buckets:
+        pts = [[h[lon_field], h[lat_field]] for h in b["hits"]]
+        row = {
+            "key": b["key"],
+            "doc_count": b["doc_count"],
+            "points": pts,
+            "complete": b["doc_count"] <= size,
+        }
+        if include_sort:
+            row["sort"] = [h["sort"] for h in b["hits"]]
+        out.append(row)
+    return out

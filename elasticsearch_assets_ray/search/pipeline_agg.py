@@ -495,3 +495,180 @@ def holt(alpha: float, beta: float) -> Callable[[list[float]], float]:
         return float(level)
 
     return f
+
+
+# --------------------------------------------------------------- ML
+# The ES ML sibling aggregations (bucket_count_ks_test,
+# bucket_correlation, change_point) are coordinating-node transforms
+# over a parent aggregation's bucket rows, exactly like the *_bucket
+# family above — the statistics are exact textbook formulas here, where
+# ES's x-pack versions add Monte-Carlo sampling options (divergences
+# noted per function).
+
+
+def bucket_count_ks_test(
+    buckets: list[dict],
+    fractions: list[float] | None = None,
+    alternatives: tuple[str, ...] = ("two_sided",),
+    path: str = "_count",
+) -> dict:
+    """ES ``bucket_count_ks_test`` sibling aggregation: a one-sample
+    Kolmogorov–Smirnov test of the buckets' count distribution against
+    the expected ``fractions`` (default uniform across buckets).
+
+    Statistics are EXACT sup-differences of the two CDFs
+    (``greater`` = sup(F_emp − F_exp), ``less`` = sup(F_exp − F_emp),
+    ``two_sided`` = sup |·|); p-values use the classical asymptotics
+    (one-sided ``exp(−2 n D²)``, two-sided the Kolmogorov series with
+    the small-n correction) — ES's ``sampling_method`` Monte-Carlo
+    variants are not modeled (disclosed).  Returns
+    ``{"statistics": {alt: D}, "p_values": {alt: p}, "n": total}``."""
+    xs = [bucket_metric(b, path, "insert_zeros") or 0.0 for b in buckets]
+    total = float(sum(xs))
+    nb = len(xs)
+    if nb == 0 or total <= 0:
+        return {"statistics": {a: None for a in alternatives},
+                "p_values": {a: None for a in alternatives}, "n": 0}
+    if fractions is not None and len(fractions) != nb:
+        raise ValueError(
+            f"fractions has {len(fractions)} entries for {nb} buckets"
+        )
+    # ONE division per CDF point over exact integer-valued cumulative
+    # sums (counts are ints) — bit-identical to a SQL mirror's
+    # ``cum/total`` and ``i/n``; accumulating per-point quotients
+    # drifts ulps and can straddle a rounding boundary
+    f_emp, f_exp, ce = [], [], 0.0
+    cx = 0.0
+    for i, x in enumerate(xs):
+        ce += x
+        f_emp.append(ce / total)
+        if fractions is None:
+            f_exp.append((i + 1) / nb)
+        else:
+            cx += fractions[i]
+            f_exp.append(cx)
+    d_plus = max(e - x for e, x in zip(f_emp, f_exp))
+    d_minus = max(x - e for e, x in zip(f_emp, f_exp))
+    stats, pvals = {}, {}
+    sq = math.sqrt(total)
+    for alt in alternatives:
+        if alt == "greater":
+            d = max(d_plus, 0.0)
+            p = math.exp(-2.0 * total * d * d)
+        elif alt == "less":
+            d = max(d_minus, 0.0)
+            p = math.exp(-2.0 * total * d * d)
+        elif alt == "two_sided":
+            d = max(d_plus, d_minus)
+            lam = (sq + 0.12 + 0.11 / sq) * d
+            if lam < 0.2:
+                # the alternating series converges too slowly below the
+                # Kolmogorov distribution's support — p is 1 to >10
+                # digits there
+                p = 1.0
+            else:
+                p = 2.0 * sum(
+                    (-1.0) ** (j - 1) * math.exp(-2.0 * j * j * lam * lam)
+                    for j in range(1, 101)
+                )
+                p = min(max(p, 0.0), 1.0)
+        else:
+            raise ValueError(f"unknown KS alternative {alt!r}")
+        stats[alt] = d
+        pvals[alt] = p
+    return {"statistics": stats, "p_values": pvals, "n": int(total)}
+
+
+def bucket_correlation(
+    buckets: list[dict],
+    indicator: list[float],
+    path: str = "_count",
+) -> float | None:
+    """ES ``bucket_correlation`` sibling aggregation
+    (``count_correlation`` function): the Pearson correlation between
+    the buckets' metric series and a caller-supplied ``indicator``
+    vector of the same length — exact (r is normalization-invariant, so
+    it equals both the population and sample formulations and any SQL
+    ``corr()``).  None when either side is constant (undefined)."""
+    xs = [bucket_metric(b, path, "insert_zeros") or 0.0 for b in buckets]
+    if len(indicator) != len(xs):
+        raise ValueError(
+            f"indicator has {len(indicator)} entries for {len(xs)} buckets"
+        )
+    n = len(xs)
+    if n == 0:
+        return None
+    mx = sum(xs) / n
+    my = sum(indicator) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    syy = sum((y - my) ** 2 for y in indicator)
+    if sxx <= 0.0 or syy <= 0.0:
+        return None
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, indicator))
+    return sxy / math.sqrt(sxx * syy)
+
+
+def change_point(
+    buckets: list[dict],
+    path: str = "_count",
+    min_r2: float = 0.3,
+) -> dict:
+    """ES ``change_point`` sibling aggregation, simplified to an EXACT
+    binary-segmentation detector (ES runs proprietary ML with more
+    change types — disclosed): the split ``k`` maximizing the
+    between-segment sum of squares picks the change bucket; the same
+    two-group decomposition with a leave-one-out partition decides
+    ``spike``/``dip`` (one outlier bucket explains more variance than
+    the best step) vs ``step_change``; series whose best model explains
+    under ``min_r2`` of the variance are ``stationary``.
+
+    Scores use the closed two-group form — for any 2-partition with
+    ``k`` members summing ``cs``, between-SS = ``(cs·n − k·tot)² /
+    (n·k·(n−k))`` — so each R² is ONE division of exact integers when
+    the metric is integer counts (bit-identical to a SQL mirror of the
+    same expressions; the float-safety invariant).  Returns
+    ``{"type", "bucket_key", "score"}`` (key None when stationary);
+    ``score`` = the winning model's explained-variance fraction R²."""
+    xs = [bucket_metric(b, path, "insert_zeros") or 0.0 for b in buckets]
+    n = len(xs)
+    if n < 4:
+        return {"type": "stationary", "bucket_key": None, "score": 0.0}
+    if all(float(x).is_integer() for x in xs):
+        xs = [int(x) for x in xs]
+    tot = sum(xs)
+    sumsq = sum(x * x for x in xs)
+    ss_num = n * sumsq - tot * tot  # = n · total sum of squares
+    if ss_num <= 0:
+        return {"type": "stationary", "bucket_key": None, "score": 0.0}
+    # best contiguous step: R²(k) = D_k² / (k·(n−k)·ss_num),
+    # D_k = cs_k·n − k·tot (exact when counts are ints)
+    best_k, best_step = 1, -1.0
+    cs = 0
+    for k in range(1, n):
+        cs += xs[k - 1]
+        d = cs * n - k * tot
+        r2 = (d * d) / (k * (n - k) * ss_num)
+        if r2 > best_step:
+            best_k, best_step = k, r2
+    # best single-bucket outlier: the same form with k=1, any position
+    best_i, best_out = 0, -1.0
+    for i, x in enumerate(xs):
+        d = x * n - tot
+        r2 = (d * d) / ((n - 1) * ss_num)
+        if r2 > best_out:
+            best_i, best_out = i, r2
+    if max(best_step, best_out) < min_r2:
+        return {"type": "stationary", "bucket_key": None, "score": 0.0}
+    if best_out > best_step:
+        kind = "spike" if x_gt_mean_rest(xs[best_i], tot, n) else "dip"
+        return {"type": kind, "bucket_key": buckets[best_i].get("key"),
+                "score": best_out}
+    # the change bucket is the FIRST bucket of the second segment
+    return {"type": "step_change",
+            "bucket_key": buckets[best_k].get("key"),
+            "score": best_step}
+
+
+def x_gt_mean_rest(x, tot, n) -> bool:
+    """``x > mean(rest)`` ⇔ ``x·n > tot`` — integer-exact for counts."""
+    return x * n > tot

@@ -510,6 +510,25 @@ class _BucketCore:
             out[t] = v + self.positions[t]
         return out
 
+    def fetch_tf(self, terms: list[str]) -> dict:
+        """→ {term: (doc_ids, tfs)} from the retained per-posting tf
+        column (layout v2) — the ``sparse_vector`` impact surface; no
+        norms, dls or positions ship."""
+        out = {}
+        for t in terms:
+            v = self.terms.get(t)
+            if v is None:
+                continue
+            tf = self.tfs.get(t)
+            if tf is None:
+                raise RuntimeError(
+                    "layout v1 retains no per-posting tfs — rebuild "
+                    "merge_global_postings (layout v2) for sparse_vector "
+                    "serving"
+                )
+            out[t] = (v[0], tf)
+        return out
+
     def position_mass(self, terms: list[str]) -> dict:
         """term → total stored positions (Σ tf — the positional wire
         cost of a full fetch), O(1) per term.  Feeds the coordinator's
@@ -1158,6 +1177,42 @@ class TermPartitionedEngine:
         fetched = self.fetch_terms(terms)
         return self._score_from_fetch(terms, fetched, k)
 
+    def search_sparse_vector(
+        self, query_vector: dict[str, float], k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES ``sparse_vector`` query on the TERM-partitioned layout —
+        identical results to :meth:`QueryEngine.search_sparse_vector`
+        (parity tested).  One ``fetch_tf`` round per OWNING bucket actor
+        (wire = the tokens' posting ids + u4 tfs, no norms/positions);
+        contributions accumulate in sorted-token order (the float pin)
+        through the shared scatter/sort-merge tail."""
+        from ..index.global_merge import _term_bucket
+
+        items = sorted((t, float(w)) for t, w in query_vector.items() if w)
+        if not items:
+            return []
+        by_actor: dict[int, list[str]] = {}
+        for t, _w in items:
+            a = self._actor_of_bucket[
+                _term_bucket(t, self._n_buckets, self._term_hash)
+            ]
+            by_actor.setdefault(a, []).append(t)
+        fetched: dict[str, tuple] = {}
+        for part in ray.get(
+            [self.actors[a].fetch_tf.remote(ts)
+             for a, ts in by_actor.items()]
+        ):
+            fetched.update(part)
+        d_parts, c_parts = [], []
+        for t, w in items:
+            got = fetched.get(t)
+            if got is None:
+                continue
+            ids, tfs = got
+            d_parts.append(ids)
+            c_parts.append(w * tfs.astype(np.float64))
+        return self._merge_contribs(d_parts, c_parts, k)
+
     def _constant_score_docs(self, expand_method: str, arg: str, k: int):
         # 1) expand over every bucket actor (dictionary walk); 2) gather
         # the k smallest matching doc ids, one round per OWNING actor
@@ -1762,11 +1817,70 @@ class TermPartitionedEngine:
         )
 
     def _matched_ids_and_source(
-        self, query: str | list[str]
+        self, query: str | list[str] | dict
     ) -> tuple[np.ndarray, str] | None:
-        """Matched doc-id set for a ``match`` disjunction + the source
-        index whose docmeta partition lineage serves doc values (None ⇔
-        nothing matches)."""
+        """Matched doc-id set for a ``match`` disjunction OR a full
+        bool-clause dict + the source index whose docmeta partition
+        lineage serves doc values (None ⇔ nothing matches).
+
+        Dict queries take the grammar the shard engine's aggregations
+        accept ({must, should, must_not, filter,
+        minimum_should_match, filter_meta, filter_range}): text clauses
+        evaluate through the engine's bool machinery; ``filter_meta`` /
+        ``filter_range`` (INCLUSIVE bounds, the shard-engine contract)
+        are partition-parallel column-pruned scans of the source
+        docmeta lineage intersected on the coordinator.  (Formerly a
+        dict silently matched nothing — its KEYS were treated as
+        terms.)"""
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for doc-values aggregations"
+            )
+        if isinstance(query, dict):
+            from .datehist import meta_match_ids
+
+            bool_keys = ("must", "should", "must_not", "filter")
+            ids: np.ndarray | None = None
+            if any(query.get(k) for k in bool_keys):
+                sub = {k: query.get(k, "") for k in bool_keys}
+                if query.get("minimum_should_match") is not None:
+                    sub["minimum_should_match"] = query[
+                        "minimum_should_match"
+                    ]
+                ids = self._filter_match_ids(sub)
+                if len(ids) == 0:
+                    return None
+            for field, allowed in sorted(
+                (query.get("filter_meta") or {}).items()
+            ):
+                vals = (
+                    list(allowed)
+                    if isinstance(allowed, (list, tuple, set, frozenset))
+                    else [allowed]
+                )
+                got = [meta_match_ids(src, field, ("term", v))
+                       for v in vals]
+                got = [g for g in got if len(g)]
+                m = (np.unique(np.concatenate(got)) if got
+                     else np.empty(0, np.int64))
+                ids = (m if ids is None
+                       else ids[np.isin(ids, m, assume_unique=True)])
+                if len(ids) == 0:
+                    return None
+            for field, (lo, hi) in sorted(
+                (query.get("filter_range") or {}).items()
+            ):
+                m = meta_match_ids(src, field, ("range", lo, hi,
+                                                True, True))
+                ids = (m if ids is None
+                       else ids[np.isin(ids, m, assume_unique=True)])
+                if len(ids) == 0:
+                    return None
+            if ids is None or len(ids) == 0:
+                return None
+            return ids.astype(np.int64), src
         terms = (
             self._analyze(query) if isinstance(query, str)
             else sorted(set(query))
@@ -1779,12 +1893,6 @@ class TermPartitionedEngine:
         ids = np.unique(
             np.concatenate([v[0] for v in fetched.values()])
         ).astype(np.int64)
-        src = self.meta.get("source_index")
-        if not src:
-            raise RuntimeError(
-                "global layout predates source_index metadata — rebuild "
-                "merge_global_postings for doc-values aggregations"
-            )
         return ids, src
 
     def aggregate(

@@ -183,3 +183,73 @@ def test_moving_fn_extra_builtins_and_factories():
     assert isinstance(out[3]["m"], float)
     assert out[1]["m"] == 4.0  # single-value frame falls back raw
     assert out[0]["m"] is None
+
+
+def _b(counts):
+    return [{"key": i, "doc_count": c} for i, c in enumerate(counts)]
+
+
+def test_ks_test_hand_computed():
+    from elasticsearch_assets_ray.search.pipeline_agg import (
+        bucket_count_ks_test,
+    )
+
+    # 4 buckets, counts [4,0,0,0], total 4, uniform expected CDF
+    # F_emp = [1,1,1,1], F_exp = [.25,.5,.75,1] → D+ = .75, D- = 0
+    r = bucket_count_ks_test(_b([4, 0, 0, 0]),
+                             alternatives=("two_sided", "less", "greater"))
+    assert r["n"] == 4
+    assert abs(r["statistics"]["two_sided"] - 0.75) < 1e-12
+    assert abs(r["statistics"]["greater"] - 0.75) < 1e-12
+    assert r["statistics"]["less"] == 0.0
+    # one-sided p = exp(-2 n D²) = exp(-4.5)
+    import math
+
+    assert abs(r["p_values"]["greater"] - math.exp(-4.5)) < 1e-12
+    assert r["p_values"]["less"] == 1.0
+    # perfectly uniform counts → two_sided D = 0, p = 1
+    r2 = bucket_count_ks_test(_b([5, 5, 5, 5]))
+    assert r2["statistics"]["two_sided"] == 0.0
+    assert abs(r2["p_values"]["two_sided"] - 1.0) < 1e-9
+    # explicit fractions matching the data exactly
+    r3 = bucket_count_ks_test(_b([1, 3]), fractions=[0.25, 0.75])
+    assert r3["statistics"]["two_sided"] == 0.0
+
+
+def test_bucket_correlation_hand_computed():
+    from elasticsearch_assets_ray.search.pipeline_agg import (
+        bucket_correlation,
+    )
+
+    # perfectly linear → r = 1; reversed → -1
+    assert abs(bucket_correlation(_b([1, 2, 3, 4]), [0, 1, 2, 3]) - 1.0) < 1e-12
+    assert abs(bucket_correlation(_b([4, 3, 2, 1]), [0, 1, 2, 3]) + 1.0) < 1e-12
+    # constant side → None (undefined)
+    assert bucket_correlation(_b([2, 2, 2]), [0, 1, 2]) is None
+    # hand value: x=[1,2,4], y=[0,1,2] → sxy=3, sxx≈4.6667, syy=2
+    import math
+
+    r = bucket_correlation(_b([1, 2, 4]), [0, 1, 2])
+    sxx = sum((v - 7 / 3) ** 2 for v in [1, 2, 4])
+    assert abs(r - 3.0 / math.sqrt(sxx * 2.0)) < 1e-12
+
+
+def test_change_point_types():
+    from elasticsearch_assets_ray.search.pipeline_agg import change_point
+
+    # clean step down
+    r = change_point(_b([10, 11, 9, 10, 0, 0, 0, 0]))
+    assert r["type"] == "step_change" and r["bucket_key"] == 4
+    assert r["score"] > 0.9
+    # single spike
+    r = change_point(_b([10, 10, 80, 10, 10, 10, 10, 10]))
+    assert r["type"] == "spike" and r["bucket_key"] == 2
+    # single dip
+    r = change_point(_b([10, 10, 10, 0, 10, 10, 10, 10]))
+    assert r["type"] == "dip" and r["bucket_key"] == 3
+    # flat / alternating noise → stationary (no split or outlier
+    # explains ≥ 30% of the variance)
+    assert change_point(_b([10, 10, 10, 10]))["type"] == "stationary"
+    assert change_point(_b([10, 9] * 8))["type"] == "stationary"
+    # too short
+    assert change_point(_b([1, 99]))["type"] == "stationary"

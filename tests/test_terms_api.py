@@ -290,3 +290,35 @@ def test_knn_multi_brute_parity(ray_session, tmp_path):
     want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
     assert list(zip(got.column("vec_id").to_pylist(),
                     got.column("score_e5").to_pylist())) == want
+
+
+def test_sparse_vector_parity_and_brute(engines):
+    """ES ``sparse_vector``: both engines vs a Counter brute (score =
+    Σ w·tf, exact floats — binary-exact weights make every sum exact)."""
+    from collections import Counter
+
+    eng, teng, texts = engines
+    cases = [
+        {"alpha": 1.5, "beta": 0.25},
+        {"gamma": 2.0, "dune": 0.5, "nosuchtok": 4.0},
+        {"bolt": 1.0},
+        {},
+    ]
+    for qv in cases:
+        got = eng.search_sparse_vector(qv, k=12)
+        got_t = teng.search_sparse_vector(qv, k=12)
+        # brute over raw texts (simple analyzer == whitespace here)
+        score = Counter()
+        for d, t in enumerate(texts):
+            c = Counter(t.split())
+            s = sum(w * c[tok] for tok, w in qv.items() if c[tok])
+            if s:
+                score[d] = s
+        want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))
+        if want:
+            # keep the kth rounded tie class, as the engines do
+            kth = round(want[min(11, len(want) - 1)][1], 4)
+            want = [kv for i, kv in enumerate(want)
+                    if i < 12 or round(kv[1], 4) == kth]
+        assert got == [(d, float(s)) for d, s in want], qv
+        assert got_t == got, qv
