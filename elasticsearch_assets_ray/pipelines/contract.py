@@ -5657,6 +5657,169 @@ JOIN (VALUES {vals}) AS p(parent)
 """
 
 
+# ES children / parent AGGREGATIONS over the same join relation: terms
+# buckets on one side of the join, counts/stats switched to the other.
+# Stats are integer n_chars sums (exact) and avg is ONE exact-int IEEE
+# division (the float-safety invariant), so both stay hash-oracled.
+CHILDREN_AGG_QUERY = "hash join"  # parent-scope match text
+PARENT_AGG_QUERY = "customer order value"  # child-scope match text
+
+
+def _q_children_agg(engine) -> pa.Table:
+    rows = []
+    for b in engine.children_agg(
+        CHILDREN_AGG_QUERY, group_by="lang", parent_field="parent_id",
+        stats_on="n_chars",
+    ):
+        rows.append({
+            "key": b["key"], "parent_count": b["parent_count"],
+            "doc_count": b["doc_count"],
+            "sum_chars": None if b["sum"] is None else int(b["sum"]),
+            "min_chars": None if b["min"] is None else int(b["min"]),
+            "max_chars": None if b["max"] is None else int(b["max"]),
+            "avg_chars": b["avg"],
+        })
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["key", "parent_count", "doc_count",
+                                    "sum_chars", "min_chars", "max_chars",
+                                    "avg_chars"]),
+        preserve_index=False,
+    )
+
+
+def q_children_agg(sf_dir: str) -> pa.Table:
+    """ES ``children`` aggregation (join field): parents matching the
+    query bucket by ``lang``; each bucket reports its parents' CHILD
+    docs' count + n_chars stats — matched parents' keys hydrate by doc
+    id, one broadcast (ids, keys) pair feeds per-shard associative
+    child partials."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_children_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_children_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME children aggregation from the TERM-partitioned layout
+    (runtime-field parent gate; id-aligned lineage hydration; shared
+    keyed-partials kernel)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_children_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_children_agg() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    qt = ", ".join(f"('{t}')" for t in _simple_tokens(CHILDREN_AGG_QUERY))
+    return f"""
+WITH toks AS ({toks}),
+qt(t) AS (VALUES {qt}),
+pk AS (
+  SELECT d.doc_id, d.lang AS key FROM documents d
+  WHERE d.doc_id % 5 = 0 AND d.lang IS NOT NULL
+    AND EXISTS (SELECT 1 FROM toks JOIN qt ON toks.t = qt.t
+                WHERE toks.doc_id = d.doc_id)
+),
+pc AS (SELECT key, count(*)::BIGINT AS parent_count FROM pk GROUP BY key),
+ch AS (
+  SELECT pk.key, count(*)::BIGINT AS doc_count,
+         sum(c.n_chars)::BIGINT AS sum_chars,
+         min(c.n_chars)::BIGINT AS min_chars,
+         max(c.n_chars)::BIGINT AS max_chars,
+         sum(c.n_chars)::DOUBLE / count(*) AS avg_chars
+  FROM documents c JOIN pk ON (c.doc_id - c.doc_id % 5) = pk.doc_id
+  WHERE c.doc_id % 5 <> 0
+  GROUP BY pk.key
+)
+SELECT pc.key, pc.parent_count,
+       coalesce(ch.doc_count, 0) AS doc_count,
+       ch.sum_chars, ch.min_chars, ch.max_chars, ch.avg_chars
+FROM pc LEFT JOIN ch USING (key)
+"""
+
+
+def _q_parent_agg(engine) -> pa.Table:
+    rows = []
+    for b in engine.parent_agg(
+        PARENT_AGG_QUERY, group_by="source", parent_field="parent_id",
+        stats_on="n_chars",
+    ):
+        rows.append({
+            "key": b["key"], "doc_count": b["doc_count"],
+            "sum_chars": int(b["sum"]), "min_chars": int(b["min"]),
+            "max_chars": int(b["max"]), "avg_chars": b["avg"],
+        })
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["key", "doc_count", "sum_chars",
+                                    "min_chars", "max_chars",
+                                    "avg_chars"]),
+        preserve_index=False,
+    )
+
+
+def q_parent_agg(sf_dir: str) -> pa.Table:
+    """ES ``parent`` aggregation (join field): child docs matching the
+    query join to their parents; ``source`` buckets form over the
+    UNIQUE parent docs (each parent once however many children matched)
+    with n_chars stats — parent ids hydrate by doc id, the deduped set
+    broadcasts to one terms-partial round."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_parent_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_parent_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME parent aggregation from the TERM-partitioned layout
+    (matched ids gather from bucket actors, parent ids / keys / stats
+    hydrate id-aligned from the docmeta lineage)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_parent_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_parent_agg() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    qt = ", ".join(f"('{t}')" for t in _simple_tokens(PARENT_AGG_QUERY))
+    return f"""
+WITH toks AS ({toks}),
+qt(t) AS (VALUES {qt}),
+m AS (SELECT DISTINCT toks.doc_id FROM toks JOIN qt ON toks.t = qt.t),
+par AS (
+  SELECT DISTINCT (m.doc_id - m.doc_id % 5) AS pid FROM m
+  WHERE m.doc_id % 5 <> 0
+)
+SELECT d.source AS key, count(*)::BIGINT AS doc_count,
+       sum(d.n_chars)::BIGINT AS sum_chars,
+       min(d.n_chars)::BIGINT AS min_chars,
+       max(d.n_chars)::BIGINT AS max_chars,
+       sum(d.n_chars)::DOUBLE / count(*) AS avg_chars
+FROM documents d JOIN par ON d.doc_id = par.pid
+WHERE d.source IS NOT NULL
+GROUP BY d.source
+"""
+
+
 # date_histogram zero-fill: fixed 1d interval, min_doc_count=0,
 # extended_bounds widening past the (sf-dependent) data span on the low
 # side; ES semantics — enumerate every bucket between
@@ -11580,6 +11743,10 @@ def queries():
         "has_parent_global": q_has_parent_global,
         "parent_id_children": q_parent_id,
         "parent_id_children_global": q_parent_id_global,
+        "children_agg": q_children_agg,
+        "children_agg_global": q_children_agg_global,
+        "parent_agg": q_parent_agg,
+        "parent_agg_global": q_parent_agg_global,
         "ts_filter_search": q_ts_filter_search,
         "highlight_positions": q_highlight_positions,
         "highlight_positions_global": q_highlight_positions_global,
@@ -11821,6 +11988,10 @@ def oracle_sql():
         "has_parent_global": sql_has_parent(),
         "parent_id_children": sql_parent_id(),
         "parent_id_children_global": sql_parent_id(),
+        "children_agg": sql_children_agg(),
+        "children_agg_global": sql_children_agg(),
+        "parent_agg": sql_parent_agg(),
+        "parent_agg_global": sql_parent_agg(),
         "ts_filter_search": sql_ts_filter_search(),
         "highlight_positions": sql_highlight_positions(),
         "highlight_positions_global": sql_highlight_positions(),

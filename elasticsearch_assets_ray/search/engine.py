@@ -985,6 +985,66 @@ class ShardData:
         idx = np.nonzero(m)[0]
         return (idx + self.doc_base).astype(np.int64), v[idx]
 
+    def meta_values_of(
+        self, ids: np.ndarray, field: str
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(resident global ids, ``field`` doc values) for the broadcast
+        SORTED doc-id set — live rows only.  The inverse of
+        :meth:`meta_pairs_in`: lookup by DOC ID rather than by value
+        (two searchsorteds bound this shard's slice, no isin scan)."""
+        lo = np.searchsorted(ids, self.doc_base)
+        hi = np.searchsorted(ids, self.doc_base + self.num_docs)
+        loc = (ids[lo:hi] - self.doc_base).astype(np.int64)
+        if len(loc):
+            loc = loc[~self.deleted_mask[loc]]
+        return (loc + self.doc_base).astype(np.int64), self.meta_col(field)[loc]
+
+    def agg_children_of(
+        self,
+        parent_field: str,
+        pids: np.ndarray,
+        pkeys: np.ndarray,
+        stats_col: str | None = None,
+    ) -> dict:
+        """Per-shard partial for the ES ``children`` aggregation: this
+        shard's CHILD rows whose parent is in the broadcast matched-
+        parent set, bucketed by the PARENT's key — ``{key: (n, Σ, min,
+        max)}`` over ``stats_col``.  ``pids`` (sorted) / ``pkeys``
+        (aligned) ship once via ``ray.put``; associative partials keep
+        the join correct across family-straddling shard boundaries."""
+        from .joinfield import keyed_partials
+
+        if len(pids) == 0:
+            return {}
+        v = self.meta_col(parent_field).astype(np.int64)
+        gids = np.arange(self.num_docs, dtype=np.int64) + self.doc_base
+        idxs = np.nonzero((v != gids) & ~self.deleted_mask)[0]
+        if len(idxs) == 0:
+            return {}
+        p = v[idxs]
+        pos = np.clip(np.searchsorted(pids, p), 0, len(pids) - 1)
+        ok = pids[pos] == p
+        idxs, pos = idxs[ok], pos[ok]
+        if len(idxs) == 0:
+            return {}
+        vals = (
+            self.meta_col(stats_col)[idxs].astype(np.float64)
+            if stats_col is not None else None
+        )
+        return keyed_partials(pkeys[pos], vals)
+
+    def agg_ids_buckets(
+        self, ids: np.ndarray, group_col: str, stats_col: str | None = None
+    ) -> dict:
+        """Terms-agg partial over the resident docs of a broadcast doc-id
+        set (the ES ``parent`` aggregation's second round: buckets over
+        the joined parent docs)."""
+        m = np.zeros(self.num_docs, dtype=bool)
+        sel = ids[(ids >= self.doc_base) & (ids < self.doc_base + self.num_docs)]
+        m[(sel - self.doc_base).astype(np.int64)] = True
+        m &= ~self.deleted_mask
+        return self._agg_over_mask(m, group_col, stats_col)
+
     def _bool_eligible(
         self, must_s, should_s, not_s, filt_s, minimum_should_match,
         meta_filters, range_filters, postings_idx,
@@ -3145,6 +3205,39 @@ class _ScorerCore:
             vals.append(v)
         return np.concatenate(ids), np.concatenate(vals)
 
+    def meta_values_of(
+        self, ids: np.ndarray, field: str
+    ) -> tuple[np.ndarray, np.ndarray]:
+        rid, vals = [], []
+        for s in self.shards:
+            i, v = s.meta_values_of(ids, field)
+            rid.append(i)
+            vals.append(v)
+        return np.concatenate(rid), np.concatenate(vals)
+
+    def agg_children_of(
+        self, parent_field: str, pids: np.ndarray, pkeys: np.ndarray,
+        stats_col: str | None = None,
+    ) -> dict:
+        merged: dict = {}
+        for s in self.shards:
+            merge_agg_partials(
+                merged, s.agg_children_of(parent_field, pids, pkeys,
+                                          stats_col),
+            )
+        return merged
+
+    def agg_ids_buckets(
+        self, ids: np.ndarray, group_col: str,
+        stats_col: str | None = None,
+    ) -> dict:
+        merged: dict = {}
+        for s in self.shards:
+            merge_agg_partials(
+                merged, s.agg_ids_buckets(ids, group_col, stats_col),
+            )
+        return merged
+
     def agg_composite(
         self, clauses: dict, sources: list[tuple], size: int,
         after: tuple | None,
@@ -4107,16 +4200,7 @@ class QueryEngine:
         merged: dict = {}
         for part in per_actor:
             merge_agg_partials(merged, part)
-        buckets = sorted(merged.items(), key=lambda kv: (-kv[1][0], kv[0]))
-        out = []
-        for g, (c, sm, mn, mx) in buckets:
-            row = {"key": g, "doc_count": c}
-            if stats_on is not None:
-                row.update(
-                    {"sum": sm, "min": mn, "max": mx, "avg": sm / c if c else None}
-                )
-            out.append(row)
-        return out
+        return self._agg_buckets_rows(merged, stats_on)
 
     def _query_clauses(self, query: str | list[str] | dict) -> dict | None:
         """Free text / term list / bool-clause dict → the analyzed clause
@@ -5200,6 +5284,128 @@ class QueryEngine:
         if k is not None:
             ids = ids[:k]
         return [(int(d), float(boost)) for d in ids]
+
+    def children_agg(
+        self,
+        parent_query: str | list[str],
+        group_by: str,
+        parent_field: str = "parent_id",
+        stats_on: str | None = None,
+        order: tuple[str, str] | None = None,
+        size: int | None = None,
+    ) -> list[dict]:
+        """ES ``children`` aggregation (join field): PARENT docs matching
+        ``parent_query`` bucket by ``group_by`` (terms agg over the
+        parent scope), and each bucket switches to its parents' CHILD
+        docs — ``parent_count`` (the terms bucket's own doc_count),
+        ``doc_count`` (the ``children`` sub-agg count) and optional
+        stats over a child numeric column.  Two rounds: matched parents'
+        keys hydrate by doc id (``meta_values_of``), then one broadcast
+        of the (sorted parent ids, aligned keys) pair feeds per-shard
+        associative child partials (``agg_children_of``) — O(buckets)
+        wire on the reduce, correct across family-straddling shard
+        boundaries (the ES shard-local join relies on routing instead)."""
+        from .datehist import order_terms_buckets, valid_mask
+        from .joinfield import family_agg_rows, self_parent_script
+
+        hits = self.search_bool(
+            should=parent_query, k=1 << 30, minimum_should_match=1,
+            filter_range={self_parent_script(parent_field): (0.0, 0.0)},
+        )
+        if not hits:
+            return []
+        pids = np.unique(np.fromiter(
+            (d for d, _ in hits), np.int64, count=len(hits)
+        ))
+        pref = ray.put(pids)
+        got = ray.get(
+            [a.meta_values_of.remote(pref, group_by) for a in self.actors]
+        )
+        rid = np.concatenate([g[0] for g in got])
+        keys = np.concatenate([g[1] for g in got])
+        vm = valid_mask(keys)  # ES terms aggs omit missing-key parents
+        rid, keys = rid[vm], keys[vm]
+        o = np.argsort(rid)
+        rid, keys = rid[o], keys[o]
+        if len(rid) == 0:
+            return []
+        idr, kr = ray.put(rid), ray.put(keys)
+        per_actor = ray.get(
+            [a.agg_children_of.remote(parent_field, idr, kr, stats_on)
+             for a in self.actors]
+        )
+        merged: dict = {}
+        for p in per_actor:
+            merge_agg_partials(merged, p)
+        return order_terms_buckets(
+            family_agg_rows(keys, merged, stats_on), order, size
+        )
+
+    def parent_agg(
+        self,
+        child_query: str | list[str],
+        group_by: str,
+        parent_field: str = "parent_id",
+        stats_on: str | None = None,
+        order: tuple[str, str] | None = None,
+        size: int | None = None,
+    ) -> list[dict]:
+        """ES ``parent`` aggregation (join field): CHILD docs matching
+        ``child_query`` join to their parents, and buckets of
+        ``group_by`` form over the UNIQUE parent docs (each parent
+        counted once however many children matched — the ES parent-agg
+        doc_count).  Optional stats over a parent numeric column.
+        Matched docs' parent ids hydrate by doc id, parent-typed matches
+        drop (the child-scope contract), and the deduped parent set
+        broadcasts to one terms-partial round (``agg_ids_buckets``)."""
+        from .datehist import order_terms_buckets
+
+        hits = self.search_bool(
+            should=child_query, k=1 << 30, minimum_should_match=1,
+        )
+        if not hits:
+            return []
+        ids = np.unique(np.fromiter(
+            (d for d, _ in hits), np.int64, count=len(hits)
+        ))
+        iref = ray.put(ids)
+        got = ray.get(
+            [a.meta_values_of.remote(iref, parent_field)
+             for a in self.actors]
+        )
+        rid = np.concatenate([g[0] for g in got])
+        pv = np.concatenate([g[1] for g in got]).astype(np.int64)
+        parents = np.unique(pv[pv != rid])
+        if len(parents) == 0:
+            return []
+        uref = ray.put(parents)
+        per_actor = ray.get(
+            [a.agg_ids_buckets.remote(uref, group_by, stats_on)
+             for a in self.actors]
+        )
+        merged: dict = {}
+        for p in per_actor:
+            merge_agg_partials(merged, p)
+        return order_terms_buckets(
+            self._agg_buckets_rows(merged, stats_on), order, size
+        )
+
+    def _agg_buckets_rows(self, merged: dict, stats_on: str | None
+                          ) -> list[dict]:
+        """Merged ``{key: (n, Σ, min, max)}`` partials → default-ordered
+        terms-agg rows (doc_count desc, key asc) — the tail
+        :meth:`_agg_buckets` shares with the id-set aggregations."""
+        buckets = sorted(merged.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        out = []
+        for g, (c, sm, mn, mx) in buckets:
+            row = {"key": g, "doc_count": c}
+            if stats_on is not None:
+                row.update({
+                    "sum": sm, "min": mn, "max": mx,
+                    "avg": sm / c if c else None,
+                })
+            out.append(row)
+        return out
 
     def search_phrase_prefix(
         self, phrase: str | list[str], k: int = 10, max_expansions: int = 50

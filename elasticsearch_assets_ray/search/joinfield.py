@@ -110,6 +110,59 @@ def children_rows(
     return out if k is None else out[:k]
 
 
+def keyed_partials(keys: np.ndarray, vals: np.ndarray | None) -> dict:
+    """Group values → ``{key: (n, Σ, min, max)}`` — the engines'
+    terms-agg partial shape (fold with ``merge_agg_partials``).
+    ``keys`` must already be missing-filtered (``datehist.valid_mask``);
+    ``vals`` aligns with ``keys`` (None ⇔ count-only partials)."""
+    if len(keys) == 0:
+        return {}
+    ug, inv, counts = np.unique(keys, return_inverse=True,
+                                return_counts=True)
+    if vals is None:
+        return {
+            g: (int(c), None, None, None)
+            for g, c in zip(ug.tolist(), counts.tolist())
+        }
+    v = np.asarray(vals, dtype=np.float64)
+    sums = np.bincount(inv, weights=v, minlength=len(ug))
+    mins = np.full(len(ug), np.inf)
+    maxs = np.full(len(ug), -np.inf)
+    np.minimum.at(mins, inv, v)
+    np.maximum.at(maxs, inv, v)
+    return {
+        g: (int(counts[i]), float(sums[i]), float(mins[i]), float(maxs[i]))
+        for i, g in enumerate(ug.tolist())
+    }
+
+
+def family_agg_rows(
+    parent_keys: np.ndarray,
+    child_partials: dict,
+    stats_on: str | None,
+) -> list[dict]:
+    """Assemble ``children``-aggregation rows: one per parent bucket —
+    ``parent_count`` from the matched parents' own key values (so a
+    bucket whose parents have NO children still appears, the ES terms +
+    sub-agg nesting), ``doc_count`` = that bucket's matching CHILD docs
+    (the ``children`` sub-agg's count), optional child stats.  Default
+    ES bucket order: (parent doc_count desc, key asc)."""
+    uk, pc = np.unique(parent_keys, return_counts=True)
+    rows = []
+    for key, n_par in zip(uk.tolist(), pc.tolist()):
+        c, sm, mn, mx = child_partials.get(key, (0, None, None, None))
+        row = {"key": key, "parent_count": int(n_par), "doc_count": int(c)}
+        if stats_on is not None:
+            row.update({
+                "sum": sm if c else None, "min": mn if c else None,
+                "max": mx if c else None,
+                "avg": sm / c if c else None,
+            })
+        rows.append(row)
+    rows.sort(key=lambda r: (-r["parent_count"], r["key"]))
+    return rows
+
+
 def self_parent_script(parent_field: str, id_field: str = "doc_id") -> str:
     """Runtime-field expression that is 0 exactly on PARENT rows
     (``parent_id == doc_id``) — the type filter both engines use as a

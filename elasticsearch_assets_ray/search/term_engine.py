@@ -3029,6 +3029,138 @@ class TermPartitionedEngine:
             ids = ids[:k]
         return [(int(d), float(boost)) for d in ids]
 
+    def children_agg(
+        self,
+        parent_query: str | list[str],
+        group_by: str,
+        parent_field: str = "parent_id",
+        stats_on: str | None = None,
+        order: tuple[str, str] | None = None,
+        size: int | None = None,
+    ) -> list[dict]:
+        """ES ``children`` aggregation served from the term-partitioned
+        layout — identical rows to :meth:`QueryEngine.children_agg`:
+        parent-typed matches via the runtime-field gate, parent keys and
+        child stats hydrate id-aligned from the source docmeta lineage,
+        children found by one broadcast ``isin`` scan
+        (``datehist.meta_pairs_in``), reduced by the shared
+        ``joinfield.keyed_partials`` kernel."""
+        from functools import reduce
+
+        from .datehist import (
+            meta_pairs_in, order_terms_buckets, valid_mask,
+            values_partials_over_ids,
+        )
+        from .joinfield import (
+            family_agg_rows, keyed_partials, self_parent_script,
+        )
+
+        toks = (
+            self._analyze(parent_query) if isinstance(parent_query, str)
+            else sorted(set(parent_query))
+        )
+        if not toks:
+            return []
+        scored = reduce(
+            lambda a, b: ("or", a, b), [("term", t) for t in toks]
+        )
+        gate = ("metarange", self_parent_script(parent_field),
+                0.0, 0.0, True, True)
+        hits = self._eval_sqs_tree(("filter", scored, gate), 1 << 30)
+        if not hits:
+            return []
+        src = self._source_index_dir()
+        pids = np.unique(np.array([d for d, _ in hits], dtype=np.int64))
+        keys = np.concatenate(
+            values_partials_over_ids(src, pids, group_by, "raw")
+        )
+        vm = valid_mask(keys)  # terms aggs omit missing-key parents
+        pids, keys = pids[vm], keys[vm]
+        if len(pids) == 0:
+            return []
+        cids, cparents = meta_pairs_in(src, parent_field, pids)
+        cparents = cparents.astype(np.int64)
+        child = cparents != cids
+        cids, cparents = cids[child], cparents[child]
+        vals = None
+        if stats_on is not None and len(cids):
+            o = np.argsort(cids)  # "raw" hydration aligns to sorted ids
+            cids, cparents = cids[o], cparents[o]
+            vals = np.concatenate(
+                values_partials_over_ids(src, cids, stats_on, "raw")
+            ).astype(np.float64)
+        pos = np.searchsorted(pids, cparents)
+        return order_terms_buckets(
+            family_agg_rows(keys, keyed_partials(keys[pos], vals),
+                            stats_on),
+            order, size,
+        )
+
+    def parent_agg(
+        self,
+        child_query: str | list[str],
+        group_by: str,
+        parent_field: str = "parent_id",
+        stats_on: str | None = None,
+        order: tuple[str, str] | None = None,
+        size: int | None = None,
+    ) -> list[dict]:
+        """ES ``parent`` aggregation served from the term-partitioned
+        layout — identical rows to :meth:`QueryEngine.parent_agg`:
+        matched child ids gather from the bucket actors, parent ids /
+        bucket keys / stats hydrate id-aligned from the source docmeta
+        lineage, each parent counted ONCE (unique-parent doc_count)."""
+        from .datehist import (
+            order_terms_buckets, valid_mask, values_partials_over_ids,
+        )
+        from .joinfield import keyed_partials
+
+        got = self._matched_ids_and_source(child_query)
+        if got is None:
+            return []
+        ids, src = got  # unique ascending
+        pv = np.concatenate(
+            values_partials_over_ids(src, ids, parent_field, "raw")
+        ).astype(np.int64)
+        parents = np.unique(pv[pv != ids])
+        if len(parents) == 0:
+            return []
+        keys = np.concatenate(
+            values_partials_over_ids(src, parents, group_by, "raw")
+        )
+        vm = valid_mask(keys)
+        parents, keys = parents[vm], keys[vm]
+        vals = (
+            np.concatenate(
+                values_partials_over_ids(src, parents, stats_on, "raw")
+            ).astype(np.float64)
+            if stats_on is not None and len(parents) else None
+        )
+        merged = keyed_partials(keys, vals)
+        buckets = sorted(merged.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        rows = []
+        for g, (c, sm, mn, mx) in buckets:
+            row = {"key": g, "doc_count": c}
+            if stats_on is not None:
+                row.update({
+                    "sum": sm, "min": mn, "max": mx,
+                    "avg": sm / c if c else None,
+                })
+            rows.append(row)
+        return order_terms_buckets(rows, order, size)
+
+    def _source_index_dir(self) -> str:
+        """The source index's docmeta lineage path (join-field /
+        aggregation hydration) — layouts predating ``source_index``
+        metadata must rebuild."""
+        src = self.meta.get("source_index")
+        if not src:
+            raise RuntimeError(
+                "global layout predates source_index metadata — rebuild "
+                "merge_global_postings for join-field queries"
+            )
+        return src
+
     def date_histogram(
         self,
         query: str | list[str],

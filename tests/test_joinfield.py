@@ -82,8 +82,9 @@ def join_engines(tmp_path_factory, ray_session):
     )
     cfg = IndexConfig(
         analyzer="simple", text_col="text", lang_col=None, id_col="doc_id",
-        meta_cols=("parent_id",),
-        derived_meta=(f"parent_id=group_of:doc_id:{FAM}",),
+        meta_cols=("parent_id", "grp", "val"),
+        derived_meta=(f"parent_id=group_of:doc_id:{FAM}",
+                      "grp=mod_of:doc_id:3:0", "val=mod_of:doc_id:7:0"),
         # shard size NOT a multiple of the family size → families
         # straddle shard boundaries; the associative merge must still
         # be exact
@@ -164,6 +165,108 @@ def test_has_parent_engine_parity_and_brute(join_engines):
     af = eng.search_has_parent("gamma delta", score=False, k=None)
     assert sorted(d for d, _ in af) == sorted(d for d, _ in a)
     assert all(s == 1.0 for _, s in af)
+
+
+def test_keyed_partials_kernel():
+    from elasticsearch_assets_ray.search.joinfield import keyed_partials
+
+    keys = np.array([1, 2, 1, 2, 2], dtype=np.int64)
+    vals = np.array([5.0, 1.0, 3.0, 2.0, 9.0])
+    assert keyed_partials(keys, vals) == {
+        1: (2, 8.0, 3.0, 5.0), 2: (3, 12.0, 1.0, 9.0)
+    }
+    assert keyed_partials(keys, None) == {
+        1: (2, None, None, None), 2: (3, None, None, None)
+    }
+    assert keyed_partials(np.empty(0, np.int64), None) == {}
+
+
+def _brute_children_agg(eng, n, stats_on):
+    hits = dict(eng.search_bool(should="alpha beta", k=1 << 30,
+                                minimum_should_match=1))
+    pids = sorted(d for d in hits if d % FAM == 0)
+    rows: dict = {}
+    for p in pids:
+        key = p % 3  # grp recipe
+        pc_, ch = rows.setdefault(key, [0, []])
+        rows[key][0] += 1
+        for c in range(p + 1, min(p + FAM, n)):
+            rows[key][1].append(c % 7)  # val recipe
+    out = []
+    for key, (n_par, vs) in rows.items():
+        row = {"key": key, "parent_count": n_par, "doc_count": len(vs)}
+        if stats_on:
+            row.update({
+                "sum": float(sum(vs)) if vs else None,
+                "min": float(min(vs)) if vs else None,
+                "max": float(max(vs)) if vs else None,
+                "avg": sum(vs) / len(vs) if vs else None,
+            })
+        out.append(row)
+    out.sort(key=lambda r: (-r["parent_count"], r["key"]))
+    return out
+
+
+def test_children_agg_engine_parity_and_brute(join_engines):
+    eng, teng, texts, n = join_engines
+    a = eng.children_agg("alpha beta", group_by="grp", stats_on="val")
+    b = teng.children_agg("alpha beta", group_by="grp", stats_on="val")
+    assert a == b
+    assert a == _brute_children_agg(eng, n, "val")
+    # count-only + order/size options
+    a2 = eng.children_agg("alpha beta", group_by="grp",
+                          order=("_key", "desc"), size=2)
+    b2 = teng.children_agg("alpha beta", group_by="grp",
+                           order=("_key", "desc"), size=2)
+    assert a2 == b2 and len(a2) == 2
+    assert [r["key"] for r in a2] == sorted(
+        [r["key"] for r in eng.children_agg("alpha beta", "grp")],
+        reverse=True)[:2]
+
+
+def test_parent_agg_engine_parity_and_brute(join_engines):
+    eng, teng, texts, n = join_engines
+    a = eng.parent_agg("gamma delta", group_by="grp", stats_on="val")
+    b = teng.parent_agg("gamma delta", group_by="grp", stats_on="val")
+    assert a == b
+    # brute: unique parents of matched CHILD docs, bucketed by grp
+    hits = dict(eng.search_bool(should="gamma delta", k=1 << 30,
+                                minimum_should_match=1))
+    parents = sorted({d - d % FAM for d in hits if d % FAM != 0})
+    want: dict = {}
+    for p in parents:
+        key = p % 3
+        want.setdefault(key, []).append(p % 7)
+    rows = [
+        {"key": k, "doc_count": len(vs), "sum": float(sum(vs)),
+         "min": float(min(vs)), "max": float(max(vs)),
+         "avg": sum(vs) / len(vs)}
+        for k, vs in want.items()
+    ]
+    rows.sort(key=lambda r: (-r["doc_count"], r["key"]))
+    assert a == rows
+
+
+def test_family_agg_rows_zero_children_bucket():
+    from elasticsearch_assets_ray.search.joinfield import family_agg_rows
+
+    # a bucket whose parents have NO matching children still appears
+    keys = np.array([1, 1, 2], dtype=np.int64)
+    rows = family_agg_rows(keys, {1: (3, 6.0, 1.0, 3.0)}, "x")
+    assert rows == [
+        {"key": 1, "parent_count": 2, "doc_count": 3,
+         "sum": 6.0, "min": 1.0, "max": 3.0, "avg": 2.0},
+        {"key": 2, "parent_count": 1, "doc_count": 0,
+         "sum": None, "min": None, "max": None, "avg": None},
+    ]
+
+
+def test_join_agg_empty_query(join_engines):
+    eng, teng, _, _ = join_engines
+    assert eng.children_agg("zzz_nonexistent", "grp") == []
+    assert teng.children_agg("zzz_nonexistent", "grp") == []
+    assert eng.parent_agg("zzz_nonexistent", "grp") == []
+    assert teng.parent_agg("zzz_nonexistent", "grp") == []
 
 
 def test_join_empty_query(join_engines):
