@@ -5820,6 +5820,92 @@ GROUP BY d.source
 """
 
 
+# ES random_sampler aggregation: deterministic Knuth-hash sample of the
+# match set (seed additive, SQL-mirrorable), terms + stats sub-agg over
+# the sample, inverse-probability scaled estimate.  p = 1/8 keeps the
+# scale factor integral (exact scaled counts).
+RANDOM_SAMPLER_QUERY = "hash join table"
+RANDOM_SAMPLER_P = 0.125
+RANDOM_SAMPLER_SEED = 7
+
+
+def _q_random_sampler(engine) -> pa.Table:
+    rows = []
+    for b in engine.random_sampler(
+        RANDOM_SAMPLER_QUERY, group_by="lang",
+        probability=RANDOM_SAMPLER_P, seed=RANDOM_SAMPLER_SEED,
+        stats_on="n_chars",
+    ):
+        rows.append({
+            "key": b["key"], "doc_count": b["doc_count"],
+            "doc_count_scaled": b["doc_count_scaled"],
+            "sum_chars": int(b["sum"]), "min_chars": int(b["min"]),
+            "max_chars": int(b["max"]), "avg_chars": b["avg"],
+        })
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["key", "doc_count", "doc_count_scaled",
+                                    "sum_chars", "min_chars", "max_chars",
+                                    "avg_chars"]),
+        preserve_index=False,
+    )
+
+
+def q_random_sampler(sf_dir: str) -> pa.Table:
+    """ES ``random_sampler`` aggregation: terms + n_chars stats over a
+    deterministic 1/8 Knuth-hash sample of the matched docs, with the
+    inverse-probability scaled estimate — matched ids gather once, the
+    sampled subset broadcasts to one terms-partial round."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_random_sampler(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_random_sampler_global(sf_dir: str) -> pa.Table:
+    """The SAME random_sampler from the TERM-partitioned layout (matched
+    ids gather from bucket actors, sampled subset routes to the docmeta
+    lineage)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_random_sampler(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_random_sampler() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    qt = ", ".join(f"('{t}')" for t in _simple_tokens(RANDOM_SAMPLER_QUERY))
+    thresh = int(RANDOM_SAMPLER_P * 2**32)
+    scale = int(round(1 / RANDOM_SAMPLER_P))
+    return f"""
+WITH toks AS ({toks}),
+qt(t) AS (VALUES {qt}),
+m AS (SELECT DISTINCT toks.doc_id FROM toks JOIN qt ON toks.t = qt.t),
+s AS (
+  SELECT doc_id FROM m
+  WHERE ((doc_id::HUGEINT + {RANDOM_SAMPLER_SEED}) * 2654435761)
+        % 4294967296 < {thresh}
+)
+SELECT d.lang AS key, count(*)::BIGINT AS doc_count,
+       (count(*) * {scale})::BIGINT AS doc_count_scaled,
+       sum(d.n_chars)::BIGINT AS sum_chars,
+       min(d.n_chars)::BIGINT AS min_chars,
+       max(d.n_chars)::BIGINT AS max_chars,
+       sum(d.n_chars)::DOUBLE / count(*) AS avg_chars
+FROM documents d JOIN s USING (doc_id)
+WHERE d.lang IS NOT NULL
+GROUP BY d.lang
+"""
+
+
 # date_histogram zero-fill: fixed 1d interval, min_doc_count=0,
 # extended_bounds widening past the (sf-dependent) data span on the low
 # side; ES semantics — enumerate every bucket between
@@ -11747,6 +11833,8 @@ def queries():
         "children_agg_global": q_children_agg_global,
         "parent_agg": q_parent_agg,
         "parent_agg_global": q_parent_agg_global,
+        "random_sampler_agg": q_random_sampler,
+        "random_sampler_agg_global": q_random_sampler_global,
         "ts_filter_search": q_ts_filter_search,
         "highlight_positions": q_highlight_positions,
         "highlight_positions_global": q_highlight_positions_global,
@@ -11992,6 +12080,8 @@ def oracle_sql():
         "children_agg_global": sql_children_agg(),
         "parent_agg": sql_parent_agg(),
         "parent_agg_global": sql_parent_agg(),
+        "random_sampler_agg": sql_random_sampler(),
+        "random_sampler_agg_global": sql_random_sampler(),
         "ts_filter_search": sql_ts_filter_search(),
         "highlight_positions": sql_highlight_positions(),
         "highlight_positions_global": sql_highlight_positions(),

@@ -5390,6 +5390,54 @@ class QueryEngine:
             self._agg_buckets_rows(merged, stats_on), order, size
         )
 
+    def random_sampler(
+        self,
+        query: str | list[str] | dict,
+        group_by: str,
+        probability: float,
+        seed: int = 0,
+        stats_on: str | None = None,
+        order: tuple[str, str] | None = None,
+        size: int | None = None,
+    ) -> list[dict]:
+        """ES ``random_sampler`` aggregation: a terms sub-agg on
+        ``group_by`` restricted to a probabilistic sample of the match
+        set.  The sample is a DETERMINISTIC Knuth-hash cut
+        (``sampler.random_sample_mask`` — the ES ``seed`` option made
+        reproducible and SQL-mirrorable, where ES uses per-shard RNG;
+        disclosed), so results are exact and hash-oracled.  Rows carry
+        the raw in-sample ``doc_count``/stats plus ES's
+        inverse-probability ``doc_count_scaled`` estimate.  Matched ids
+        gather once (wire ∝ matches, the categorize_text shape), the
+        sampled subset broadcasts to one terms-partial round."""
+        from .datehist import order_terms_buckets
+        from .sampler import random_sample_mask, scale_sampled_rows
+
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return []
+        got = ray.get(
+            [a.match_ids_bool.remote(clauses) for a in self.actors]
+        )
+        ids = np.concatenate(got) if got else np.empty(0, np.int64)
+        ids = ids[random_sample_mask(ids, probability, seed)]
+        if len(ids) == 0:
+            return []
+        ref = ray.put(np.sort(ids))
+        per_actor = ray.get(
+            [a.agg_ids_buckets.remote(ref, group_by, stats_on)
+             for a in self.actors]
+        )
+        merged: dict = {}
+        for p in per_actor:
+            merge_agg_partials(merged, p)
+        return order_terms_buckets(
+            scale_sampled_rows(
+                self._agg_buckets_rows(merged, stats_on), probability
+            ),
+            order, size,
+        )
+
     def _agg_buckets_rows(self, merged: dict, stats_on: str | None
                           ) -> list[dict]:
         """Merged ``{key: (n, Σ, min, max)}`` partials → default-ordered

@@ -26,6 +26,36 @@ from __future__ import annotations
 import numpy as np
 
 
+_KNUTH = np.uint64(2_654_435_761)
+_MOD32 = np.uint64(1) << np.uint64(32)
+
+
+def random_sample_mask(
+    ids: np.ndarray, probability: float, seed: int = 0
+) -> np.ndarray:
+    """ES ``random_sampler`` membership: doc passes iff
+    ``((id + seed) * 2654435761) % 2^32 < floor(p * 2^32)`` — the
+    repo's Knuth multiplicative hash with the ES ``seed`` option as an
+    additive offset.  Deterministic, seed-reproducible, and
+    SQL-mirrorable verbatim (the hash-sampling contract
+    ``ops/sampling.py`` established)."""
+    if not (0.0 < probability <= 1.0):
+        raise ValueError("probability must be in (0, 1]")
+    thresh = np.uint64(int(probability * float(_MOD32)))
+    h = ((ids.astype(np.uint64) + np.uint64(seed)) * _KNUTH) % _MOD32
+    return h < thresh
+
+
+def scale_sampled_rows(rows: list[dict], probability: float) -> list[dict]:
+    """Attach ES's inverse-probability estimate next to each raw sampled
+    count (``doc_count_scaled = rint(doc_count / p)``) — exact when
+    ``1/p`` is integral (the recommended usage; a fractional ``1/p``
+    puts the estimate on a rounding boundary)."""
+    for r in rows:
+        r["doc_count_scaled"] = int(np.rint(r["doc_count"] / probability))
+    return rows
+
+
 def _occurrence_index(vals: np.ndarray) -> np.ndarray:
     """occ[i] = how many earlier rows share vals[i] (vectorized
     cumcount: stable argsort by value, run-relative positions)."""

@@ -3149,6 +3149,49 @@ class TermPartitionedEngine:
             rows.append(row)
         return order_terms_buckets(rows, order, size)
 
+    def random_sampler(
+        self,
+        query: str | list[str] | dict,
+        group_by: str,
+        probability: float,
+        seed: int = 0,
+        stats_on: str | None = None,
+        order: tuple[str, str] | None = None,
+        size: int | None = None,
+    ) -> list[dict]:
+        """ES ``random_sampler`` served from the term-partitioned layout
+        — identical rows to :meth:`QueryEngine.random_sampler` (shared
+        deterministic Knuth-hash sample): matched ids gather from the
+        bucket actors, the sampled subset routes to the source docmeta
+        lineage for the terms partials."""
+        from .datehist import agg_partials_over_ids, order_terms_buckets
+        from .engine import merge_agg_partials
+        from .sampler import random_sample_mask, scale_sampled_rows
+
+        ids = self._filter_match_ids(query)
+        ids = ids[random_sample_mask(ids, probability, seed)]
+        if len(ids) == 0:
+            return []
+        src = self._source_index_dir()
+        merged: dict = {}
+        for p in agg_partials_over_ids(
+            src, ids, group_by, ("terms", None), stats_on
+        ):
+            merge_agg_partials(merged, p)
+        buckets = sorted(merged.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        rows = []
+        for g, (c, sm, mn, mx) in buckets:
+            row = {"key": g, "doc_count": c}
+            if stats_on is not None:
+                row.update({
+                    "sum": sm, "min": mn, "max": mx,
+                    "avg": sm / c if c else None,
+                })
+            rows.append(row)
+        return order_terms_buckets(
+            scale_sampled_rows(rows, probability), order, size
+        )
+
     def _source_index_dir(self) -> str:
         """The source index's docmeta lineage path (join-field /
         aggregation hydration) — layouts predating ``source_index``

@@ -267,3 +267,45 @@ def test_adjacency_matrix_bool_filters(ts_index, ray_session):
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+def test_random_sampler_parity_and_brute(ts_index, ray_session):
+    """random_sampler: deterministic Knuth-hash sample, engine parity,
+    brute-force buckets, p=1 degeneracy, probability validation."""
+    from elasticsearch_assets_ray.search.sampler import random_sample_mask
+
+    info, glb = ts_index
+    eng = QueryEngine(info.index_dir, num_actors=2)
+    teng = TermPartitionedEngine(glb, num_actors=2)
+    try:
+        matched = np.array(sorted(
+            d for d, _ in eng.search_bool(should="alpha beta gamma",
+                                          k=1 << 30)
+        ), dtype=np.int64)
+        seed = next(
+            s for s in range(64)
+            if 0 < random_sample_mask(matched, 0.5, s).sum() < len(matched)
+        )
+        a = eng.random_sampler("alpha beta gamma", "grp", 0.5, seed=seed)
+        b = teng.random_sampler("alpha beta gamma", "grp", 0.5, seed=seed)
+        assert a == b
+        keep = matched[random_sample_mask(matched, 0.5, seed)]
+        want: dict = {}
+        for d in keep.tolist():
+            if GRP[d] is not None:  # terms aggs omit missing keys
+                want[GRP[d]] = want.get(GRP[d], 0) + 1
+        rows = [{"key": k, "doc_count": c, "doc_count_scaled": c * 2}
+                for k, c in want.items()]
+        rows.sort(key=lambda r: (-r["doc_count"], r["key"]))
+        assert a == rows
+        # p = 1 keeps every matched doc (scaled == raw)
+        full = eng.random_sampler("alpha beta gamma", "grp", 1.0)
+        n_keyed = sum(1 for d in matched.tolist() if GRP[d] is not None)
+        assert sum(r["doc_count"] for r in full) == n_keyed
+        assert all(r["doc_count_scaled"] == r["doc_count"] for r in full)
+        assert teng.random_sampler("alpha beta gamma", "grp", 1.0) == full
+        with pytest.raises(ValueError):
+            eng.random_sampler("alpha", "grp", 0.0)
+    finally:
+        eng.shutdown()
+        teng.shutdown()
