@@ -5820,6 +5820,90 @@ GROUP BY d.source
 """
 
 
+# ES synonym serving (Lucene SynonymQuery): query-time synonym
+# expansion — each expanded token slot scores as ONE pseudo-term with
+# tf = Σ members' tfs (exact-integer sums) and df = max over members.
+SYN_QUERY = "join scan"
+SYN_MAP = {"join": ["merge"], "scan": ["filter"]}
+
+
+def _q_synonym_search(engine) -> pa.Table:
+    rows = [
+        {"doc_id": int(d), "score_e4": int(np.rint(s * 1e4))}
+        for d, s in engine.search_synonyms(SYN_QUERY, SYN_MAP, k=1 << 30)
+    ]
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["doc_id", "score_e4"]),
+        preserve_index=False,
+    )
+
+
+def q_synonym_search(sf_dir: str) -> pa.Table:
+    """ES ``match`` over a synonym-expanding analyzer (Lucene
+    SynonymQuery): every matched doc with its serving-rounded score —
+    per-slot blended df (max over members), summed member tfs before
+    saturation."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_synonym_search(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_synonym_search_global(sf_dir: str) -> pa.Table:
+    """The SAME SynonymQuery from the TERM-partitioned layout: one
+    raw-tf+dl fetch round per owning bucket actor (pre-saturated norms
+    can't serve a summed-tf group), norms re-derived under the blended
+    tf."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_synonym_search(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_synonym_search() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    slot_rows = ", ".join(
+        f"({i}, '{m}')"
+        for i, (t, syns) in enumerate(SYN_MAP.items())
+        for m in sorted({t, *syns})
+    )
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+slotmap(slot, t) AS (VALUES {slot_rows}),
+slotdf AS (
+  SELECT sm.slot, max(df.df) AS df
+  FROM slotmap sm JOIN df ON df.t = sm.t GROUP BY sm.slot
+),
+slottf AS (
+  SELECT sm.slot, tf.doc_id, sum(tf.tf) AS tf
+  FROM slotmap sm JOIN tf ON tf.t = sm.t GROUP BY 1, 2
+)
+SELECT st.doc_id,
+       CAST(round(round(sum(
+         ln(1 + (s.n - sd.df + 0.5) / (sd.df + 0.5))
+         * st.tf * ({K1} + 1) / (st.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+       ), 4) * 10000, 0) AS BIGINT) AS score_e4
+FROM slottf st
+JOIN slotdf sd USING (slot)
+JOIN dl ON dl.doc_id = st.doc_id, s
+GROUP BY st.doc_id
+"""
+
+
 # ES random_sampler aggregation: deterministic Knuth-hash sample of the
 # match set (seed additive, SQL-mirrorable), terms + stats sub-agg over
 # the sample, inverse-probability scaled estimate.  p = 1/8 keeps the
@@ -11900,6 +11984,8 @@ def queries():
         "parent_agg_global": q_parent_agg_global,
         "random_sampler_agg": q_random_sampler,
         "random_sampler_agg_global": q_random_sampler_global,
+        "synonym_search": q_synonym_search,
+        "synonym_search_global": q_synonym_search_global,
         "ts_filter_search": q_ts_filter_search,
         "highlight_positions": q_highlight_positions,
         "highlight_positions_global": q_highlight_positions_global,
@@ -12148,6 +12234,8 @@ def oracle_sql():
         "parent_agg_global": sql_parent_agg(),
         "random_sampler_agg": sql_random_sampler(),
         "random_sampler_agg_global": sql_random_sampler(),
+        "synonym_search": sql_synonym_search(),
+        "synonym_search_global": sql_synonym_search(),
         "ts_filter_search": sql_ts_filter_search(),
         "highlight_positions": sql_highlight_positions(),
         "highlight_positions_global": sql_highlight_positions(),

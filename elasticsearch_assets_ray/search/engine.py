@@ -718,6 +718,49 @@ class ShardData:
         cand, cs = _select_topk(cand, scores, k, params)
         return (cand + self.doc_base).astype(np.int64), cs
 
+    def synonym_topk(
+        self,
+        slots: tuple[tuple[str, ...], ...],
+        idf_slots: tuple[float, ...],
+        params: BM25Params,
+        avgdl: float,
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene ``SynonymQuery`` serving over this shard (what ES
+        ``match`` becomes when the analyzer's synonym filter emits
+        interchangeable terms at one position): each slot scores as ONE
+        pseudo-term — tf = Σ members' frequencies in the doc
+        (SynonymScorer), idf from the coordinator's BLENDED slot df
+        (max over members, Lucene's ``docFreq``).  A doc matching ANY
+        member of ANY slot is eligible (match disjunction)."""
+        k1, b = params.k1, params.b
+        scores = np.zeros(self.num_docs, dtype=np.float64)
+        touched = np.zeros(self.num_docs, dtype=bool)
+        for slot, idf in zip(slots, idf_slots):  # coordinator-pinned order
+            tf = np.zeros(self.num_docs, dtype=np.float64)
+            hit = np.zeros(self.num_docs, dtype=bool)
+            for t in slot:  # members sorted — the float-sum pin
+                i = self.terms.get(t)
+                if i is None:
+                    continue
+                doc_ids, tfs = decode_postings(self.blobs[i])
+                idx = (doc_ids - np.uint64(self.doc_base)).astype(np.int64)
+                tf[idx] += tfs.astype(np.float64)
+                hit[idx] = True
+            cand = np.nonzero(hit)[0]
+            if len(cand) == 0:
+                continue
+            tfc = tf[cand]
+            dl = self.dl[cand]
+            scores[cand] += idf * tfc * (k1 + 1.0) / (
+                tfc + k1 * (1.0 - b + b * dl / avgdl)
+            )
+            touched |= hit
+        touched &= ~self.deleted_mask
+        cand = np.nonzero(touched)[0]
+        cand, cs = _select_topk(cand, scores, k, params)
+        return (cand + self.doc_base).astype(np.int64), cs
+
     def bool_topk(
         self,
         must: list[str],
@@ -2892,6 +2935,21 @@ class _ScorerCore:
             out.append((qid, ids, sc))
         return out
 
+    def synonym_topk(
+        self, queries: list[tuple]
+    ) -> list[tuple[int, np.ndarray, np.ndarray]]:
+        """queries: [(qid, slots, idf_slots, k)] — the Lucene
+        SynonymQuery fan-out (see ShardData.synonym_topk)."""
+        out = []
+        for qid, slots, idf_slots, k in queries:
+            parts = [
+                s.synonym_topk(slots, idf_slots, self.params, self.avgdl, k)
+                for s in self.shards
+            ]
+            ids, sc = merge_topk(parts, k, self.params.round_decimals)
+            out.append((qid, ids, sc))
+        return out
+
     def phrase_topk(
         self, queries: list[tuple]
     ) -> list[tuple[int, np.ndarray, np.ndarray]]:
@@ -3550,6 +3608,52 @@ class QueryEngine:
             return []
         per_actor = ray.get(
             [a.sparse_topk.remote([(0, items, k)]) for a in self.actors]
+        )
+        parts = [(res[0][1], res[0][2]) for res in per_actor]
+        ids, sc = merge_topk(parts, k, self.params.round_decimals)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def search_synonyms(
+        self,
+        query: str | list,
+        synonyms: dict[str, list[str]] | None = None,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``match`` over a synonym-expanding analyzer (the
+        ``synonym``/``synonym_graph`` token filter → Lucene
+        ``SynonymQuery``): each analyzed token with an entry in
+        ``synonyms`` becomes a SLOT of interchangeable terms scored as
+        one pseudo-term — tf = Σ members' frequencies in the doc
+        (SynonymScorer), df = MAX over the members' global dfs (Lucene
+        ``SynonymQuery#docFreq``; disclosed: Lucene takes the max of
+        SEARCH-TIME TermStates, identical here).  ``query`` may instead
+        be a pre-built slot list (each item a term or a member list).
+        Slot members sort — the float-sum accumulation pin the SQL
+        oracle mirrors."""
+        if isinstance(query, str):
+            toks = self._analyze(query)
+            syn = synonyms or {}
+            slots = [
+                tuple(sorted({t, *syn.get(t, ())})) for t in toks
+            ]
+        else:
+            slots = [
+                tuple(sorted(set(s))) if isinstance(s, (list, tuple, set))
+                else (s,)
+                for s in query
+            ]
+        if not slots:
+            return []
+        all_terms = sorted({t for s in slots for t in s})
+        dfs = self.dfs(all_terms)
+        n = self.info.stats.num_docs
+        slot_dfs = [max(dfs[t] for t in s) for s in slots]
+        idf_slots = tuple(
+            math.log(1.0 + (n - df + 0.5) / (df + 0.5)) for df in slot_dfs
+        )
+        per_actor = ray.get(
+            [a.synonym_topk.remote([(0, tuple(slots), idf_slots, k)])
+             for a in self.actors]
         )
         parts = [(res[0][1], res[0][2]) for res in per_actor]
         ids, sc = merge_topk(parts, k, self.params.round_decimals)

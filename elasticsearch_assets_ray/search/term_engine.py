@@ -529,6 +529,27 @@ class _BucketCore:
             out[t] = (v[0], tf)
         return out
 
+    def fetch_tf_dl(self, terms: list[str]) -> dict:
+        """→ {term: (doc_ids, tfs, dls)} from the retained per-posting
+        tf AND dl columns (layout v2) — the SynonymQuery wire: raw term
+        frequencies sum ACROSS the group before saturation, so
+        pre-saturated norms can't serve it; dls re-derive the norm
+        under the blended tf coordinator-side."""
+        out = {}
+        for t in terms:
+            v = self.terms.get(t)
+            if v is None:
+                continue
+            tf, dl = self.tfs.get(t), self.dls.get(t)
+            if tf is None or dl is None:
+                raise RuntimeError(
+                    "layout v1 retains no per-posting tfs/dls — rebuild "
+                    "merge_global_postings (layout v2) for synonym "
+                    "serving"
+                )
+            out[t] = (v[0], tf, dl)
+        return out
+
     def position_mass(self, terms: list[str]) -> dict:
         """term → total stored positions (Σ tf — the positional wire
         cost of a full fetch), O(1) per term.  Feeds the coordinator's
@@ -1211,6 +1232,78 @@ class TermPartitionedEngine:
             ids, tfs = got
             d_parts.append(ids)
             c_parts.append(w * tfs.astype(np.float64))
+        return self._merge_contribs(d_parts, c_parts, k)
+
+    def search_synonyms(
+        self,
+        query: str | list,
+        synonyms: dict[str, list[str]] | None = None,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """Lucene ``SynonymQuery`` on the TERM-partitioned layout —
+        identical results to :meth:`QueryEngine.search_synonyms`
+        (parity tested).  One ``fetch_tf_dl`` round per OWNING bucket
+        actor (raw tfs + dls — pre-saturated norms can't serve a
+        summed-tf group); per slot the members' postings merge
+        (exact-integer tf sums), the norm re-derives under the blended
+        tf, and contributions flow through the shared
+        scatter/sort-merge tail."""
+        import math
+
+        from ..index.global_merge import _term_bucket
+
+        if isinstance(query, str):
+            toks = self._analyze(query)
+            syn = synonyms or {}
+            slots = [tuple(sorted({t, *syn.get(t, ())})) for t in toks]
+        else:
+            slots = [
+                tuple(sorted(set(s))) if isinstance(s, (list, tuple, set))
+                else (s,)
+                for s in query
+            ]
+        if not slots:
+            return []
+        all_terms = sorted({t for s in slots for t in s})
+        dfs = self.dfs(all_terms)
+        n = self.n
+        avgdl = float(self.meta["avgdl"])
+        k1, b = float(self.meta["k1"]), float(self.meta["b"])
+        by_actor: dict[int, list[str]] = {}
+        for t in all_terms:
+            a = self._actor_of_bucket[
+                _term_bucket(t, self._n_buckets, self._term_hash)
+            ]
+            by_actor.setdefault(a, []).append(t)
+        fetched: dict[str, tuple] = {}
+        for part in ray.get(
+            [self.actors[a].fetch_tf_dl.remote(ts)
+             for a, ts in by_actor.items()]
+        ):
+            fetched.update(part)
+        d_parts, c_parts = [], []
+        for slot in slots:
+            df = max(dfs[t] for t in slot)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            got = [fetched[t] for t in slot if t in fetched]
+            if not got:
+                continue
+            if len(got) == 1:
+                ids = got[0][0]
+                tf = got[0][1].astype(np.float64)
+                dl = got[0][2].astype(np.float64)
+            else:
+                ids_c = np.concatenate([g[0] for g in got])
+                tf_c = np.concatenate([g[1] for g in got]).astype(np.float64)
+                dl_c = np.concatenate([g[2] for g in got]).astype(np.float64)
+                ids, inv = np.unique(ids_c, return_inverse=True)
+                tf = np.bincount(inv, weights=tf_c, minlength=len(ids))
+                dl = np.zeros(len(ids), dtype=np.float64)
+                dl[inv] = dl_c  # same doc → same dl; any occurrence wins
+            d_parts.append(ids)
+            c_parts.append(
+                idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            )
         return self._merge_contribs(d_parts, c_parts, k)
 
     def _constant_score_docs(self, expand_method: str, arg: str, k: int):

@@ -309,3 +309,56 @@ def test_random_sampler_parity_and_brute(ts_index, ray_session):
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+def test_synonym_query_semantics_and_parity(ts_index, ray_session):
+    """Lucene SynonymQuery: blended df (max over members), summed member
+    tfs before saturation; singleton-slot degeneracy == plain match;
+    engine parity."""
+    import math
+
+    info, glb = ts_index
+    from elasticsearch_assets_ray.config import BM25Params
+
+    eng = QueryEngine(info.index_dir, num_actors=2,
+                      params=BM25Params(round_decimals=4))
+    teng = TermPartitionedEngine(glb, num_actors=2, round_decimals=4)
+    try:
+        syn = {"alpha": ["gamma"]}
+        a = eng.search_synonyms("alpha", syn, k=20)
+        b = teng.search_synonyms("alpha", syn, k=20)
+        assert a == b
+        # brute: slot (alpha, gamma) — tf = tf_alpha + tf_gamma,
+        # df = max(df_alpha, df_gamma)
+        toks = [d.split() for d in DOCS]
+        dls = [len(t) for t in toks]
+        avgdl = sum(dls) / len(dls)
+        df = max(sum("alpha" in t for t in toks),
+                 sum("gamma" in t for t in toks))
+        idf = math.log(1 + (len(DOCS) - df + 0.5) / (df + 0.5))
+        want = []
+        for d, t in enumerate(toks):
+            tf = t.count("alpha") + t.count("gamma")
+            if tf:
+                sc = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75
+                                                   + 0.75 * dls[d] / avgdl))
+                want.append((d, sc))
+        want.sort(key=lambda x: (-round(x[1], 4), x[0]))
+        assert [d for d, _ in a] == [d for d, _ in want]
+        for (_, ga), (_, wa) in zip(a, want):
+            assert ga == pytest.approx(wa, abs=1e-12)
+        # no synonyms → singleton slots == the plain match query (ranks
+        # exact; scores to 1 ulp — the factor association differs)
+        ps = eng.search_synonyms("alpha beta", {}, k=20)
+        qs_ = eng.search("alpha beta", k=20)
+        assert [d for d, _ in ps] == [d for d, _ in qs_]
+        for (_, g1), (_, g2) in zip(ps, qs_):
+            assert g1 == pytest.approx(g2, abs=1e-9)
+        # pre-built slot-list form, mixed singleton/group
+        c = eng.search_synonyms([["alpha", "gamma"], "beta"], k=20)
+        assert c == teng.search_synonyms([["alpha", "gamma"], "beta"], k=20)
+        assert eng.search_synonyms("zzz", {}, k=5) == []
+        assert teng.search_synonyms("zzz", {"zzz": ["qqq"]}, k=5) == []
+    finally:
+        eng.shutdown()
+        teng.shutdown()
