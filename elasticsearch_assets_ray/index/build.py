@@ -611,6 +611,26 @@ def parse_derived_meta(spec: str):
             return pa.array((v // m) * m, pa.int64())
 
         return name, (src,), fn
+    if kind == "nullable_mod":
+        # SPARSE small-int field: src % m where src % k != 0, NULL
+        # otherwise — the deterministic nullable doc value the ES
+        # ``missing`` aggregation / ``exists`` query need (real corpora
+        # have optional fields; derived columns are total by default).
+        # SQL mirror: ``CASE WHEN src % k = 0 THEN NULL ELSE src % m END``
+        src, m_s, k_s = args
+        m, kk = int(m_s), int(k_s)
+        if m < 1 or kk < 1:
+            raise ValueError(f"nullable_mod moduli must be >= 1 in {spec!r}")
+
+        def fn(tbl: pa.Table) -> pa.Array:
+            v = tbl.column(src).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.array(
+                np.ma.masked_array(v % m, mask=(v % kk == 0)), pa.int64()
+            )
+
+        return name, (src,), fn
     if kind == "affine_mod":
         # gridded float field out of an integer column:
         # ((src * mult) % mod) / div - sub — the deterministic

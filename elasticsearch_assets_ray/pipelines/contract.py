@@ -108,7 +108,7 @@ def _docs(sf_dir: str):
 
 # bump when index layout / analyzer / scoring semantics change, so a
 # /tmp cache surviving from an earlier code version can never be reused
-CONTRACT_INDEX_VERSION = "v13"  # v13: ip_u32 IPv4 docmeta (ip_prefix/ip_range)
+CONTRACT_INDEX_VERSION = "v14"  # v14: nullable opt_score docmeta (missing agg)
 
 # deterministic date-typed docmeta column: documents carry no timestamp,
 # so the contract derives one at ingest (the ES ingest-pipeline analogue)
@@ -153,6 +153,12 @@ PARENT_SQL = "(doc_id - doc_id % 5)"
 IP_SPEC = "ip_u32=affine_mod:doc_id:2654435761:4294967296:1:0"
 IP_SQL = "((documents.doc_id * 2654435761) % 4294967296)"
 
+# deterministic NULLABLE small-int doc value (real corpora have optional
+# fields; every other derived column is total) — feeds the ES `missing`
+# aggregation / `exists`-style predicates.  SQL mirror verbatim.
+OPT_SPEC = "opt_score=nullable_mod:doc_id:7:3"
+OPT_SQL = "(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE doc_id % 7 END)"
+
 
 def doc_index_dir(sf_dir: str) -> str:
     tag = hashlib.md5(f"{CONTRACT_INDEX_VERSION}:{sf_dir}".encode()).hexdigest()[:10]
@@ -167,9 +173,9 @@ def ensure_doc_index(sf_dir: str) -> str:
         lang_col=None,
         id_col="doc_id",
         meta_cols=("source", "lang", "created_at", "n_chars", "req_matches",
-                   "lat", "lon", "parent_id", "ip_u32"),
+                   "lat", "lon", "parent_id", "ip_u32", "opt_score"),
         derived_meta=(CREATED_SPEC, REQ_SPEC, GEO_LAT_SPEC, GEO_LON_SPEC,
-                      PARENT_SPEC, IP_SPEC),
+                      PARENT_SPEC, IP_SPEC, OPT_SPEC),
         partition_target_docs=128,
         shard_target_docs=512,
         # Lucene indexes positions for text fields by default; the one
@@ -5817,6 +5823,132 @@ SELECT d.source AS key, count(*)::BIGINT AS doc_count,
 FROM documents d JOIN par ON d.doc_id = par.pid
 WHERE d.source IS NOT NULL
 GROUP BY d.source
+"""
+
+
+# ES global + missing aggregations.
+MISSING_AGG_QUERY = "hash join table"
+
+
+def _q_global_agg(engine) -> pa.Table:
+    rows = []
+    for b in engine.global_agg("source", stats_on="n_chars"):
+        rows.append({
+            "key": b["key"], "doc_count": b["doc_count"],
+            "sum_chars": int(b["sum"]), "min_chars": int(b["min"]),
+            "max_chars": int(b["max"]), "avg_chars": b["avg"],
+        })
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["key", "doc_count", "sum_chars",
+                                    "min_chars", "max_chars",
+                                    "avg_chars"]),
+        preserve_index=False,
+    )
+
+
+def q_global_agg(sf_dir: str) -> pa.Table:
+    """ES ``global`` aggregation: terms + n_chars stats over ALL docs,
+    ignoring query scope — the significant_terms background pass as a
+    first-class agg (one per-shard partial round)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_global_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_global_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME global aggregation from the TERM-partitioned layout
+    (partition-parallel column-pruned full scan of the docmeta
+    lineage)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_global_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_global_agg() -> str:
+    return """
+SELECT source AS key, count(*)::BIGINT AS doc_count,
+       sum(n_chars)::BIGINT AS sum_chars,
+       min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars,
+       sum(n_chars)::DOUBLE / count(*) AS avg_chars
+FROM documents
+WHERE source IS NOT NULL
+GROUP BY source
+"""
+
+
+def _q_missing_agg(engine) -> pa.Table:
+    b = engine.missing_agg(MISSING_AGG_QUERY, "opt_score",
+                           stats_on="n_chars")
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame([{
+            "doc_count": b["doc_count"],
+            "sum_chars": None if b["sum"] is None else int(b["sum"]),
+            "min_chars": None if b["min"] is None else int(b["min"]),
+            "max_chars": None if b["max"] is None else int(b["max"]),
+            "avg_chars": b["avg"],
+        }]),
+        preserve_index=False,
+    )
+
+
+def q_missing_agg(sf_dir: str) -> pa.Table:
+    """ES ``missing`` aggregation: matched docs whose nullable
+    ``opt_score`` doc value is absent, with an n_chars stats sub-agg —
+    per-shard associative partials, O(1) wire."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_missing_agg(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_missing_agg_global(sf_dir: str) -> pa.Table:
+    """The SAME missing aggregation from the TERM-partitioned layout
+    (matched ids gather, field values hydrate id-aligned from the
+    lineage, the missing subset re-hydrates its stats column)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_missing_agg(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_missing_agg() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    qt = ", ".join(f"('{t}')" for t in _simple_tokens(MISSING_AGG_QUERY))
+    return f"""
+WITH toks AS ({toks}),
+qt(t) AS (VALUES {qt}),
+m AS (SELECT DISTINCT toks.doc_id FROM toks JOIN qt ON toks.t = qt.t),
+miss AS (
+  SELECT d.doc_id, d.n_chars FROM documents d JOIN m USING (doc_id)
+  WHERE {OPT_SQL} IS NULL
+)
+SELECT count(*)::BIGINT AS doc_count,
+       sum(n_chars)::BIGINT AS sum_chars,
+       min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars,
+       sum(n_chars)::DOUBLE / count(n_chars) AS avg_chars
+FROM miss
 """
 
 
@@ -11986,6 +12118,10 @@ def queries():
         "random_sampler_agg_global": q_random_sampler_global,
         "synonym_search": q_synonym_search,
         "synonym_search_global": q_synonym_search_global,
+        "global_agg": q_global_agg,
+        "global_agg_global": q_global_agg_global,
+        "missing_agg": q_missing_agg,
+        "missing_agg_global": q_missing_agg_global,
         "ts_filter_search": q_ts_filter_search,
         "highlight_positions": q_highlight_positions,
         "highlight_positions_global": q_highlight_positions_global,
@@ -12236,6 +12372,10 @@ def oracle_sql():
         "random_sampler_agg_global": sql_random_sampler(),
         "synonym_search": sql_synonym_search(),
         "synonym_search_global": sql_synonym_search(),
+        "global_agg": sql_global_agg(),
+        "global_agg_global": sql_global_agg(),
+        "missing_agg": sql_missing_agg(),
+        "missing_agg_global": sql_missing_agg(),
         "ts_filter_search": sql_ts_filter_search(),
         "highlight_positions": sql_highlight_positions(),
         "highlight_positions_global": sql_highlight_positions(),

@@ -1338,6 +1338,56 @@ def multi_values_partials_over_ids(
     return list(ray.get(futs))
 
 
+@ray.remote
+def _agg_full_partition_task(
+    paths: list[str], group_col: str, stats_col: str | None
+) -> dict:
+    """Terms-agg partial over ALL rows of a docmeta-partition group —
+    the ES ``global`` aggregation's scan (column-pruned, no id
+    routing)."""
+    from .engine import merge_agg_partials
+    from .joinfield import keyed_partials
+
+    merged: dict = {}
+    for path in paths:
+        keys = read_field_values(path, group_col)
+        vals = (
+            read_field_values(path, stats_col).astype(np.float64)
+            if stats_col is not None else None
+        )
+        vm = valid_mask(keys)
+        if not vm.all():
+            keys = keys[vm]
+            vals = vals[vm] if vals is not None else None
+        merge_agg_partials(merged, keyed_partials(keys, vals))
+    return merged
+
+
+def agg_partials_full(
+    index_dir: str | Path,
+    group_col: str,
+    stats_col: str | None = None,
+    partitions_per_task: int = 16,
+) -> list[dict]:
+    """Terms partials over the WHOLE source docmeta lineage (every
+    live row — the global layout refuses tombstoned inputs), one task
+    per partition group."""
+    from ..index.build import IndexInfo, docmeta_path
+
+    info = IndexInfo(index_dir)
+    parts = sorted(info.manifest.partitions, key=lambda p: p.doc_base)
+    if not parts:
+        return []
+    paths = [str(docmeta_path(index_dir, p.partition_id)) for p in parts]
+    futs = [
+        _agg_full_partition_task.remote(
+            paths[i: i + partitions_per_task], group_col, stats_col
+        )
+        for i in range(0, len(paths), partitions_per_task)
+    ]
+    return list(ray.get(futs))
+
+
 def _route_ids_to_partitions(
     index_dir: str | Path, doc_ids: np.ndarray
 ) -> tuple[list[str], list[np.ndarray]] | None:

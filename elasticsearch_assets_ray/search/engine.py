@@ -1158,11 +1158,43 @@ class ShardData:
 
         return postings_idx
 
-    def agg_background(self, group_col: str) -> dict:
-        """Corpus-side (background) value counts of a keyword column
-        over ALL live docs — the denominator set of ES
-        ``significant_terms``.  One pass, cacheable upstream."""
-        return self._agg_over_mask(~self.deleted_mask, group_col, None)
+    def agg_background(self, group_col: str,
+                       stats_col: str | None = None) -> dict:
+        """Corpus-side (background) buckets of a keyword column over ALL
+        live docs — the denominator set of ES ``significant_terms`` AND
+        the ES ``global`` aggregation (terms + optional stats sub-agg
+        ignoring the query scope).  One pass, cacheable upstream."""
+        return self._agg_over_mask(~self.deleted_mask, group_col, stats_col)
+
+    def agg_missing(
+        self, clauses: dict, field: str, stats_col: str | None = None
+    ) -> tuple:
+        """Per-shard partial for the ES ``missing`` aggregation: matched
+        docs whose ``field`` doc value is ABSENT — (n, Σ, min, max) over
+        ``stats_col`` (an extstats-shaped associative tuple; count-only
+        when ``stats_col`` is None)."""
+        from .datehist import valid_mask
+
+        ok = self._bool_eligible(
+            sorted(set(clauses.get("must", []))),
+            sorted(set(clauses.get("should", []))),
+            sorted(set(clauses.get("must_not", []))),
+            sorted(set(clauses.get("filter", []))),
+            clauses.get("msm"),
+            clauses.get("meta_filters"),
+            clauses.get("range_filters"),
+            self._postings_idx_fn(),
+        )
+        miss = ok & ~valid_mask(self.meta_col(field))
+        idxs = np.nonzero(miss)[0]
+        if stats_col is None or len(idxs) == 0:
+            return (int(len(idxs)), 0, 0.0, np.inf, -np.inf)
+        v = self.meta_col(stats_col)[idxs].astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return (int(len(idxs)), 0, 0.0, np.inf, -np.inf)
+        return (int(len(idxs)), int(len(v)), float(v.sum()),
+                float(v.min()), float(v.max()))
 
     def agg_match_bool(
         self,
@@ -3200,11 +3232,27 @@ class _ScorerCore:
             )
         return merged
 
-    def agg_background(self, group_col: str) -> dict:
+    def agg_background(self, group_col: str,
+                       stats_col: str | None = None) -> dict:
         merged: dict = {}
         for s in self.shards:
-            merge_agg_partials(merged, s.agg_background(group_col))
+            merge_agg_partials(merged, s.agg_background(group_col,
+                                                        stats_col))
         return merged
+
+    def agg_missing(
+        self, clauses: dict, field: str, stats_col: str | None = None
+    ) -> tuple:
+        n, vc, sm, mn, mx = 0, 0, 0.0, np.inf, -np.inf
+        for s in self.shards:
+            pn, pvc, ps, pmn, pmx = s.agg_missing(clauses, field,
+                                                  stats_col)
+            n += pn
+            vc += pvc
+            sm += ps
+            mn = min(mn, pmn)
+            mx = max(mx, pmx)
+        return (n, vc, sm, mn, mx)
 
     def agg_filters(
         self, named_clauses: list[tuple[str, dict]],
@@ -5541,6 +5589,67 @@ class QueryEngine:
             ),
             order, size,
         )
+
+    def global_agg(
+        self,
+        group_by: str,
+        stats_on: str | None = None,
+        order: tuple[str, str] | None = None,
+        size: int | None = None,
+    ) -> list[dict]:
+        """ES ``global`` aggregation with a terms (+ optional stats)
+        sub-agg: buckets over ALL live docs, ignoring any query scope —
+        the significant_terms background pass re-used as a first-class
+        aggregation (one per-shard partial round, O(buckets) wire)."""
+        from .datehist import order_terms_buckets
+
+        per_actor = ray.get(
+            [a.agg_background.remote(group_by, stats_on)
+             for a in self.actors]
+        )
+        return order_terms_buckets(
+            self._agg_buckets(per_actor, stats_on), order, size
+        )
+
+    def missing_agg(
+        self,
+        query: str | list[str] | dict,
+        field: str,
+        stats_on: str | None = None,
+    ) -> dict:
+        """ES ``missing`` aggregation: the bucket of matched docs whose
+        ``field`` doc value is ABSENT (null), with an optional stats
+        sub-agg over another numeric column — per-shard associative
+        partials, O(1) wire."""
+        empty = {"doc_count": 0}
+        if stats_on is not None:
+            empty.update({"sum": None, "min": None, "max": None,
+                          "avg": None})
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return empty
+        parts = ray.get(
+            [a.agg_missing.remote(clauses, field, stats_on)
+             for a in self.actors]
+        )
+        n, vc, sm, mn, mx = 0, 0, 0.0, float("inf"), float("-inf")
+        for pn, pvc, ps, pmn, pmx in parts:
+            n += pn
+            vc += pvc
+            sm += ps
+            mn = min(mn, pmn)
+            mx = max(mx, pmx)
+        row = {"doc_count": n}
+        if stats_on is not None:
+            # avg divides by the stats field's VALUE COUNT (the ES
+            # sub-agg contract), not the parent bucket's doc_count
+            row.update({
+                "sum": sm if vc else None,
+                "min": mn if vc else None,
+                "max": mx if vc else None,
+                "avg": sm / vc if vc else None,
+            })
+        return row
 
     def _agg_buckets_rows(self, merged: dict, stats_on: str | None
                           ) -> list[dict]:

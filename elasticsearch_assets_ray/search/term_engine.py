@@ -3285,6 +3285,80 @@ class TermPartitionedEngine:
             scale_sampled_rows(rows, probability), order, size
         )
 
+    def global_agg(
+        self,
+        group_by: str,
+        stats_on: str | None = None,
+        order: tuple[str, str] | None = None,
+        size: int | None = None,
+    ) -> list[dict]:
+        """ES ``global`` aggregation served from the term-partitioned
+        layout — identical rows to :meth:`QueryEngine.global_agg`: a
+        partition-parallel column-pruned scan of the WHOLE source
+        docmeta lineage (no id routing — every row is in scope)."""
+        from .datehist import agg_partials_full, order_terms_buckets
+        from .engine import merge_agg_partials
+
+        merged: dict = {}
+        for p in agg_partials_full(
+            self._source_index_dir(), group_by, stats_on
+        ):
+            merge_agg_partials(merged, p)
+        buckets = sorted(merged.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        rows = []
+        for g, (c, sm, mn, mx) in buckets:
+            row = {"key": g, "doc_count": c}
+            if stats_on is not None:
+                row.update({
+                    "sum": sm, "min": mn, "max": mx,
+                    "avg": sm / c if c else None,
+                })
+            rows.append(row)
+        return order_terms_buckets(rows, order, size)
+
+    def missing_agg(
+        self,
+        query: str | list[str] | dict,
+        field: str,
+        stats_on: str | None = None,
+    ) -> dict:
+        """ES ``missing`` aggregation served from the term-partitioned
+        layout — identical row to :meth:`QueryEngine.missing_agg`:
+        matched ids gather from the bucket actors, the ``field`` values
+        hydrate id-aligned from the docmeta lineage, the missing subset
+        re-hydrates its stats column."""
+        from .datehist import valid_mask, values_partials_over_ids
+
+        empty = {"doc_count": 0}
+        if stats_on is not None:
+            empty.update({"sum": None, "min": None, "max": None,
+                          "avg": None})
+        ids = self._filter_match_ids(query)
+        if len(ids) == 0:
+            return empty
+        src = self._source_index_dir()
+        fv = np.concatenate(
+            values_partials_over_ids(src, ids, field, "raw")
+        )
+        miss = ids[~valid_mask(fv)]
+        row = {"doc_count": int(len(miss))}
+        if stats_on is not None:
+            vals = (
+                np.concatenate(
+                    values_partials_over_ids(src, miss, stats_on, "raw")
+                ).astype(np.float64)
+                if len(miss) else np.empty(0)
+            )
+            vals = vals[~np.isnan(vals)]
+            vc = len(vals)
+            row.update({
+                "sum": float(vals.sum()) if vc else None,
+                "min": float(vals.min()) if vc else None,
+                "max": float(vals.max()) if vc else None,
+                "avg": float(vals.sum()) / vc if vc else None,
+            })
+        return row
+
     def _source_index_dir(self) -> str:
         """The source index's docmeta lineage path (join-field /
         aggregation hydration) — layouts predating ``source_index``

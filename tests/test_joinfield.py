@@ -82,9 +82,10 @@ def join_engines(tmp_path_factory, ray_session):
     )
     cfg = IndexConfig(
         analyzer="simple", text_col="text", lang_col=None, id_col="doc_id",
-        meta_cols=("parent_id", "grp", "val"),
+        meta_cols=("parent_id", "grp", "val", "opt"),
         derived_meta=(f"parent_id=group_of:doc_id:{FAM}",
-                      "grp=mod_of:doc_id:3:0", "val=mod_of:doc_id:7:0"),
+                      "grp=mod_of:doc_id:3:0", "val=mod_of:doc_id:7:0",
+                      "opt=nullable_mod:doc_id:5:4"),
         # shard size NOT a multiple of the family size → families
         # straddle shard boundaries; the associative merge must still
         # be exact
@@ -275,3 +276,49 @@ def test_join_empty_query(join_engines):
     assert teng.search_has_child("zzz_nonexistent") == []
     assert eng.search_has_parent("zzz_nonexistent") == []
     assert teng.search_has_parent("zzz_nonexistent") == []
+
+def test_global_agg_parity_and_brute(join_engines):
+    eng, teng, texts, n = join_engines
+    a = eng.global_agg("grp", stats_on="val")
+    b = teng.global_agg("grp", stats_on="val")
+    assert a == b
+    # brute: every doc, bucketed by grp = doc_id % 3, stats val = id % 7
+    want: dict = {}
+    for d in range(n):
+        want.setdefault(d % 3, []).append(d % 7)
+    rows = [
+        {"key": k, "doc_count": len(vs), "sum": float(sum(vs)),
+         "min": float(min(vs)), "max": float(max(vs)),
+         "avg": sum(vs) / len(vs)}
+        for k, vs in want.items()
+    ]
+    rows.sort(key=lambda r: (-r["doc_count"], r["key"]))
+    assert a == rows
+    # count-only + size option
+    a2 = eng.global_agg("grp", size=2)
+    assert len(a2) == 2 and a2 == teng.global_agg("grp", size=2)
+
+
+def test_missing_agg_parity_and_brute(join_engines):
+    eng, teng, texts, n = join_engines
+    a = eng.missing_agg("alpha beta", "opt", stats_on="val")
+    b = teng.missing_agg("alpha beta", "opt", stats_on="val")
+    assert a == b
+    matched = {d for d, _ in eng.search_bool(should="alpha beta",
+                                             k=1 << 30)}
+    miss = sorted(d for d in matched if d % 4 == 0)  # opt NULL rule
+    assert a["doc_count"] == len(miss)
+    vs = [d % 7 for d in miss]
+    assert a["sum"] == float(sum(vs)) and a["min"] == float(min(vs))
+    assert a["max"] == float(max(vs))
+    assert a["avg"] == sum(vs) / len(vs)
+    # count-only form + no-match query
+    c = eng.missing_agg("alpha beta", "opt")
+    assert c == {"doc_count": len(miss)}
+    assert teng.missing_agg("alpha beta", "opt") == c
+    e0 = eng.missing_agg("zzz_nonexistent", "opt", stats_on="val")
+    assert e0["doc_count"] == 0 and e0["sum"] is None
+    assert teng.missing_agg("zzz_nonexistent", "opt",
+                            stats_on="val") == e0
+    # a total (never-null) field has an empty missing bucket
+    assert eng.missing_agg("alpha beta", "grp")["doc_count"] == 0
