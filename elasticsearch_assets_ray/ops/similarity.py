@@ -107,8 +107,16 @@ def knn_cosine(
     k: int = 10,
     col: str = "embedding",
     id_col: str = "vec_id",
+    similarity: float | None = None,
 ) -> pa.Table:
-    """Exact cosine top-k → pa.Table(query_id, rank, vec_id, sim_r)."""
+    """Exact cosine top-k → pa.Table(query_id, rank, vec_id, sim_r).
+
+    ``similarity`` is the ES 8.8 ``knn.similarity`` cutoff: hits below
+    the minimum similarity drop.  The cut applies on the serving-rounded
+    grid (``sim_r``) AFTER ranking — rows are (sim desc, id asc) per
+    query, so the filter keeps a PREFIX and ranks stay ES-exact; pick
+    off-grid thresholds (e.g. 0.305) to make rounded vs raw comparison
+    indistinguishable."""
     q = np.asarray(queries, dtype=np.float64)
     qn = np.linalg.norm(q, axis=1)
     qn[qn == 0] = 1.0
@@ -119,7 +127,14 @@ def knn_cosine(
         batch_format="pyarrow",
         zero_copy_batch=True,
     ))
-    return _merge_partials(partials, k)
+    out = _merge_partials(partials, k)
+    if similarity is not None:
+        import pyarrow.compute as _pc
+
+        out = out.filter(
+            _pc.greater_equal(out.column("sim_r"), similarity)
+        )
+    return out
 
 
 def knn_cosine_multi(

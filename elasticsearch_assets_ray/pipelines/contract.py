@@ -5826,6 +5826,64 @@ GROUP BY d.source
 """
 
 
+# ES terms query with TERMS LOOKUP: the term list comes from a stored
+# doc's text field (index/id/path), filter-context constant scoring.
+TERMS_LOOKUP_DOC = 42
+TERMS_LOOKUP_BOOST = 1.5
+
+
+def _q_terms_lookup(engine) -> pa.Table:
+    rows = [
+        {"doc_id": int(d), "score_e4": int(np.rint(s * 1e4))}
+        for d, s in engine.search_terms_lookup(
+            TERMS_LOOKUP_DOC, k=None, boost=TERMS_LOOKUP_BOOST
+        )
+    ]
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["doc_id", "score_e4"]),
+        preserve_index=False,
+    )
+
+
+def q_terms_lookup(sf_dir: str) -> pa.Table:
+    """ES terms-lookup query: term list hydrated from a stored doc's
+    text (one partition-lineage point read), docs containing ANY of the
+    looked-up terms at constant boost score."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_terms_lookup(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_terms_lookup_global(sf_dir: str) -> pa.Table:
+    """The SAME terms-lookup from the TERM-partitioned layout (lineage
+    point read + owning-bucket-actor match gather)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_terms_lookup(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_terms_lookup() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    e4 = int(round(TERMS_LOOKUP_BOOST * 1e4))
+    return f"""
+WITH toks AS ({toks}),
+lk AS (SELECT DISTINCT t FROM toks WHERE doc_id = {TERMS_LOOKUP_DOC})
+SELECT DISTINCT toks.doc_id, {e4} AS score_e4
+FROM toks JOIN lk ON toks.t = lk.t
+"""
+
+
 # ES global + missing aggregations.
 MISSING_AGG_QUERY = "hash join table"
 
@@ -9211,6 +9269,43 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
     return sim.knn_cosine(ds, q, KNN_QUERY_IDS, k=TOPK)
 
 
+KNN_SIM_CUTOFF = 0.27505  # off-grid (sim_r is a 1e-4 grid) — raw ≡ rounded
+
+
+def q_knn_similarity(sf_dir: str) -> pa.Table:
+    """ES 8.8 ``knn.similarity`` cutoff: exact cosine top-k with hits
+    below the minimum similarity dropped — a prefix cut of the per-query
+    ranked rows (ranks stay ES-exact), threshold off the rounding grid
+    so rounded-vs-raw comparison is indistinguishable."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = sim.queries_from_dataset(ds, KNN_QUERY_IDS)
+    return sim.knn_cosine(ds, q, KNN_QUERY_IDS, k=TOPK,
+                          similarity=KNN_SIM_CUTOFF)
+
+
+def sql_knn_similarity() -> str:
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    return f"""
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+q AS (SELECT * FROM e WHERE vec_id IN ({ids})),
+dots AS (SELECT q.vec_id AS query_id, e.vec_id, sum(q.v * e.v) AS dot
+         FROM q JOIN e ON q.i = e.i GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, dots.vec_id AS vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(dot / (nq.nrm * nv.nrm), 4) DESC,
+                                     dots.vec_id) AS rank,
+         round(dot / (nq.nrm * nv.nrm), 4) AS sim_r
+  FROM dots
+  JOIN n nq ON nq.vec_id = dots.query_id
+  JOIN n nv ON nv.vec_id = dots.vec_id
+)
+SELECT * FROM ranked WHERE rank <= {TOPK} AND sim_r >= {KNN_SIM_CUTOFF}
+"""
+
+
 KNN_FILTER_LABELS = [0, 2]
 
 
@@ -12118,6 +12213,8 @@ def queries():
         "random_sampler_agg_global": q_random_sampler_global,
         "synonym_search": q_synonym_search,
         "synonym_search_global": q_synonym_search_global,
+        "terms_lookup": q_terms_lookup,
+        "terms_lookup_global": q_terms_lookup_global,
         "global_agg": q_global_agg,
         "global_agg_global": q_global_agg_global,
         "missing_agg": q_missing_agg,
@@ -12158,6 +12255,7 @@ def queries():
         "dup_ngram_coverage": q_dup_ngram_coverage,
         "token_counts": q_token_counts,
         "knn_cosine": q_knn_cosine,
+        "knn_similarity": q_knn_similarity,
         "knn_filtered": q_knn_filtered,
         "events_daily": q_events_daily,
         "events_weekly": q_events_weekly,
@@ -12372,6 +12470,8 @@ def oracle_sql():
         "random_sampler_agg_global": sql_random_sampler(),
         "synonym_search": sql_synonym_search(),
         "synonym_search_global": sql_synonym_search(),
+        "terms_lookup": sql_terms_lookup(),
+        "terms_lookup_global": sql_terms_lookup(),
         "global_agg": sql_global_agg(),
         "global_agg_global": sql_global_agg(),
         "missing_agg": sql_missing_agg(),
@@ -12412,6 +12512,7 @@ def oracle_sql():
         "dup_ngram_coverage": sql_dup_ngram_coverage(),
         "token_counts": sql_token_counts(),
         "knn_cosine": sql_knn_cosine(),
+        "knn_similarity": sql_knn_similarity(),
         "knn_filtered": sql_knn_filtered(),
         "events_daily": sql_events_daily(),
         "events_weekly": sql_events_weekly(),

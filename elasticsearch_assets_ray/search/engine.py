@@ -5882,6 +5882,45 @@ class QueryEngine:
         )
         return [(d, s) for d, s in hits if d != doc_id][:k]
 
+    def search_terms_lookup(
+        self,
+        lookup_doc: int,
+        k: int | None = None,
+        boost: float = 1.0,
+    ) -> list[tuple[int, float]]:
+        """ES ``terms`` query with TERMS LOOKUP: the term list hydrates
+        from a stored document's text field (the lookup ``index``/
+        ``id``/``path`` triple — here the corpus text via partition
+        lineage, one point read), then every doc containing ANY of the
+        looked-up terms scores the constant ``boost`` (the ES
+        terms-query contract; the lookup doc itself matches too — ES
+        does not exclude it).  Rows (doc asc), optional cut."""
+        from ..state.docstore import CorpusTextReader
+
+        if self._text_reader is None:
+            self._text_reader = CorpusTextReader(self.info.index_dir)
+        text = self._text_reader.mget([lookup_doc])[0]
+        m = self.info.manifest
+        fn = get_analyzer(
+            "code" if self.analyzer_name == "per_lang" else self.analyzer_name
+        )
+        terms = sorted(set(
+            clip_tokens(fn(text), m.min_token_len, m.max_token_len)
+        ))
+        if not terms:
+            return []
+        got = ray.get([
+            a.match_ids_bool.remote(
+                {"must": [], "should": terms, "must_not": [],
+                 "filter": [], "msm": 1}
+            )
+            for a in self.actors
+        ])
+        ids = np.sort(np.concatenate(got)) if got else np.empty(0, np.int64)
+        if k is not None:
+            ids = ids[:k]
+        return [(int(d), float(boost)) for d in ids]
+
     def search_highlight(
         self,
         query: str,

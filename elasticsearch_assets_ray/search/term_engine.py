@@ -3359,6 +3359,30 @@ class TermPartitionedEngine:
             })
         return row
 
+    def search_terms_lookup(
+        self,
+        lookup_doc: int,
+        k: int | None = None,
+        boost: float = 1.0,
+    ) -> list[tuple[int, float]]:
+        """ES terms-lookup query served from the TERM-partitioned layout
+        — identical rows to :meth:`QueryEngine.search_terms_lookup`: the
+        term list hydrates from the source docmeta lineage (one point
+        read), the match set gathers from the owning bucket actors."""
+        from ..state.docstore import CorpusTextReader
+
+        src = self._source_index_dir()
+        if not hasattr(self, "_text_reader"):
+            self._text_reader = CorpusTextReader(src)
+        text = self._text_reader.mget([lookup_doc])[0]
+        terms = sorted(set(self._analyze(text)))
+        if not terms:
+            return []
+        ids = self._filter_match_ids(terms)
+        if k is not None:
+            ids = ids[:k]
+        return [(int(d), float(boost)) for d in ids]
+
     def _source_index_dir(self) -> str:
         """The source index's docmeta lineage path (join-field /
         aggregation hydration) — layouts predating ``source_index``

@@ -271,6 +271,30 @@ def test_knn_cosine_matches_numpy():
         ).column("rank").to_pylist() == [1, 2, 3, 4, 5]
 
 
+def test_knn_cosine_similarity_cutoff():
+    """ES 8.8 knn.similarity: hits below the minimum drop, surviving
+    ranks are the untouched prefix of the uncut result."""
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((80, 16)).astype(np.float32)
+    ds = _emb_ds(mat)
+    base = sim.knn_cosine(ds, mat[:2].astype(np.float64), [0, 1], k=10)
+    sims = base.column("sim_r").to_numpy()
+    # a cutoff between the observed min and max is non-degenerate
+    cut = float(np.quantile(sims, 0.4)) + 1e-6
+    out = sim.knn_cosine(ds, mat[:2].astype(np.float64), [0, 1], k=10,
+                         similarity=cut)
+    assert 0 < out.num_rows < base.num_rows
+    assert (out.column("sim_r").to_numpy() >= cut).all()
+    # prefix property: surviving rows == base rows filtered, ranks kept
+    kept = base.filter(pa.compute.greater_equal(base.column("sim_r"), cut))
+    assert out.equals(kept)
+    # cutoff above every sim → empty; cutoff below → identity
+    assert sim.knn_cosine(ds, mat[:1].astype(np.float64), [0], k=5,
+                          similarity=2.0).num_rows == 0
+    assert sim.knn_cosine(ds, mat[:1].astype(np.float64), [0], k=5,
+                          similarity=-2.0).num_rows == 5
+
+
 def test_knn_lsh_self_hit_and_subset():
     rng = np.random.default_rng(6)
     mat = rng.standard_normal((60, 16)).astype(np.float32)

@@ -362,3 +362,26 @@ def test_synonym_query_semantics_and_parity(ts_index, ray_session):
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+def test_terms_lookup_parity_and_brute(ts_index, ray_session):
+    """ES terms-lookup query: term list from a stored doc's text, ANY
+    match at constant boost, lookup doc included (ES contract)."""
+    info, glb = ts_index
+    eng = QueryEngine(info.index_dir, num_actors=2)
+    teng = TermPartitionedEngine(glb, num_actors=2)
+    try:
+        a = eng.search_terms_lookup(0, boost=1.5)  # alpha beta gamma
+        b = teng.search_terms_lookup(0, boost=1.5)
+        assert a == b
+        toks0 = set(DOCS[0].split())
+        want = [(d, 1.5) for d, t in enumerate(DOCS)
+                if toks0 & set(t.split())]
+        assert a == want
+        assert 0 in {d for d, _ in a}  # the lookup doc itself matches
+        assert 5 not in {d for d, _ in a}  # epsilon zeta shares nothing
+        # k cut is a doc-ascending prefix
+        assert eng.search_terms_lookup(0, k=3, boost=1.5) == want[:3]
+    finally:
+        eng.shutdown()
+        teng.shutdown()
