@@ -5884,6 +5884,56 @@ FROM toks JOIN lk ON toks.t = lk.t
 """
 
 
+# ES exists query over the nullable doc value (the missing agg's
+# complement), served through the query_string metaexists leaf.
+def _q_exists_search(engine) -> pa.Table:
+    rows = [
+        {"doc_id": int(d), "score_e4": int(np.rint(s * 1e4))}
+        for d, s in engine.search_query_string(
+            "_exists_:opt_score", k=1 << 30
+        )
+    ]
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["doc_id", "score_e4"]),
+        preserve_index=False,
+    )
+
+
+def q_exists_search(sf_dir: str) -> pa.Table:
+    """ES ``exists`` query: docs with a non-null ``opt_score`` doc value
+    at constant score (query_string ``_exists_:`` leaf — a vectorized
+    non-null scan per shard)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_exists_search(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_exists_search_global(sf_dir: str) -> pa.Table:
+    """The SAME exists query from the TERM-partitioned layout
+    (partition-parallel column-pruned docmeta scan)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_exists_search(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_exists_search() -> str:
+    return f"""
+SELECT doc_id, 10000 AS score_e4 FROM documents
+WHERE {OPT_SQL} IS NOT NULL
+"""
+
+
 # ES global + missing aggregations.
 MISSING_AGG_QUERY = "hash join table"
 
@@ -12219,6 +12269,8 @@ def queries():
         "global_agg_global": q_global_agg_global,
         "missing_agg": q_missing_agg,
         "missing_agg_global": q_missing_agg_global,
+        "exists_search": q_exists_search,
+        "exists_search_global": q_exists_search_global,
         "ts_filter_search": q_ts_filter_search,
         "highlight_positions": q_highlight_positions,
         "highlight_positions_global": q_highlight_positions_global,
@@ -12476,6 +12528,8 @@ def oracle_sql():
         "global_agg_global": sql_global_agg(),
         "missing_agg": sql_missing_agg(),
         "missing_agg_global": sql_missing_agg(),
+        "exists_search": sql_exists_search(),
+        "exists_search_global": sql_exists_search(),
         "ts_filter_search": sql_ts_filter_search(),
         "highlight_positions": sql_highlight_positions(),
         "highlight_positions_global": sql_highlight_positions(),
