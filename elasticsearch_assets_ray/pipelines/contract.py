@@ -5826,6 +5826,90 @@ GROUP BY d.source
 """
 
 
+# ES transforms (_transform API): pivot + latest with checkpointed
+# incremental generations (ops/transform.py).
+PIVOT_AGGS = {
+    "n": (None, "count"),
+    "v_sum_u": ("value", "sum_e6"),
+    "v_min": ("value", "min"),
+    "v_max": ("value", "max"),
+    "v_avg_u": ("value", "avg_e6"),
+}
+
+
+def q_transform_pivot(sf_dir: str) -> pa.Table:
+    """ES pivot transform over events: per-event_type count + value
+    stats (micro-unit integer sums; avg = ONE exact-int division at
+    render).  Checkpoint generations append per-bucket partials (work ∝
+    new data); render = n_buckets parallel associative merges."""
+    import hashlib as _hl
+
+    from ..ops.transform import pivot_transform, render_pivot
+
+    tag = _hl.md5(
+        f"{CONTRACT_INDEX_VERSION}:tfp:{sf_dir}".encode()
+    ).hexdigest()[:10]
+    dest = f"/tmp/esray_transform_pivot_{tag}"
+    pivot_transform(f"{sf_dir}/events.parquet", dest,
+                    ["event_type"], PIVOT_AGGS)
+    return render_pivot(dest, ["event_type"], PIVOT_AGGS)
+
+
+def sql_transform_pivot() -> str:
+    return """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(CAST(round(value * 1000000, 0) AS BIGINT))::BIGINT AS v_sum_u,
+       min(value) AS v_min, max(value) AS v_max,
+       sum(CAST(round(value * 1000000, 0) AS BIGINT))::DOUBLE / count(*)
+         AS v_avg_u
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_transform_latest(sf_dir: str) -> pa.Table:
+    """ES latest transform over events: the newest event per user
+    (sort ts, tie event_id — deterministic; ES leaves sort-ties
+    unspecified, disclosed), carrying event_type + value."""
+    import hashlib as _hl
+
+    from ..ops.transform import latest_transform, render_latest
+
+    tag = _hl.md5(
+        f"{CONTRACT_INDEX_VERSION}:tfl:{sf_dir}".encode()
+    ).hexdigest()[:10]
+    dest = f"/tmp/esray_transform_latest_{tag}"
+    latest_transform(f"{sf_dir}/events.parquet", dest, key="user_id",
+                     sort_on="ts", fields=["event_type", "value"],
+                     tie_on="event_id")
+    t = render_latest(dest, "user_id", ["event_type", "value"])
+    import pandas as pd
+
+    df = t.to_pandas()
+    return pa.Table.from_pandas(
+        pd.DataFrame({
+            "user_id": df["user_id"].astype(np.int64),
+            "ts_us": df["_sort"].to_numpy().astype(np.int64),
+            "event_type": df["event_type"],
+            "value": df["value"],
+        }),
+        preserve_index=False,
+    )
+
+
+def sql_transform_latest() -> str:
+    return """
+WITH r AS (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type, value
+FROM r WHERE rn = 1
+"""
+
+
 # ES terms query with TERMS LOOKUP: the term list comes from a stored
 # doc's text field (index/id/path), filter-context constant scoring.
 TERMS_LOOKUP_DOC = 42
@@ -12271,6 +12355,8 @@ def queries():
         "missing_agg_global": q_missing_agg_global,
         "exists_search": q_exists_search,
         "exists_search_global": q_exists_search_global,
+        "transform_pivot": q_transform_pivot,
+        "transform_latest": q_transform_latest,
         "ts_filter_search": q_ts_filter_search,
         "highlight_positions": q_highlight_positions,
         "highlight_positions_global": q_highlight_positions_global,
@@ -12530,6 +12616,8 @@ def oracle_sql():
         "missing_agg_global": sql_missing_agg(),
         "exists_search": sql_exists_search(),
         "exists_search_global": sql_exists_search(),
+        "transform_pivot": sql_transform_pivot(),
+        "transform_latest": sql_transform_latest(),
         "ts_filter_search": sql_ts_filter_search(),
         "highlight_positions": sql_highlight_positions(),
         "highlight_positions_global": sql_highlight_positions(),
