@@ -150,9 +150,16 @@ def decontaminate(
     """Per-doc benchmark-overlap report over a training ``Dataset``:
     ``(doc_id, n_grams, n_hits, contaminated)`` — distinct in-doc
     n-grams, how many of them appear in the benchmark, and the leak
-    flag.  The benchmark gram set broadcasts once; the scan streams."""
+    flag.  The benchmark gram set broadcasts once; the scan streams.
+
+    ``concurrency`` is capped at cluster CPUs − 1: an actor pool that
+    pins EVERY CPU starves the upstream read tasks and the pipeline
+    deadlocks (observed at concurrency=4 on a 4-CPU session)."""
     import ray
 
+    if ray.is_initialized():
+        avail = int(ray.cluster_resources().get("CPU", 2))
+        concurrency = max(1, min(concurrency, avail - 1))
     grams_ref = ray.put(benchmark_ngrams(bench, n, text_col, analyzer, clip))
     return ds.map_batches(
         Decontaminator,
