@@ -9230,71 +9230,6 @@ FROM m
 """
 
 
-# Benchmark decontamination: every 97th doc plays the held-out test
-# set; training docs (the rest) report their distinct-3-gram overlap.
-DECON_BENCH_MOD = 97
-DECON_N = 3
-
-
-def q_decontaminate(sf_dir: str) -> pa.Table:
-    """Benchmark decontamination (ops/decontaminate.py): the benchmark
-    side (every 97th doc — the held-out analogue, small by definition)
-    builds its distinct n-gram set once and broadcasts via ray.put; the
-    training scan is one streaming Arrow-vectorized map_batches stage
-    (exact gram STRINGS, hash-free — no false contamination)."""
-    from ..ops.decontaminate import decontaminate
-
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-
-    def _side(keep_bench: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_numpy()
-            m = (ids % DECON_BENCH_MOD == 0)
-            return t.filter(pa.array(m if keep_bench else ~m))
-        return fn
-
-    bench = pa.concat_tables(
-        ds.map_batches(_side(True), batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    )
-    train = ds.map_batches(_side(False), batch_format="pyarrow")
-    return to_arrow(decontaminate(train, bench, n=DECON_N))
-
-
-def sql_decontaminate() -> str:
-    g3 = "words[i] || ' ' || words[i+1] || ' ' || words[i+2]"
-    return f"""
-WITH w AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     x -> x <> '' AND len(x) <= 64) AS words
-  FROM documents
-),
-bg AS (
-  SELECT DISTINCT {g3} AS g
-  FROM w, UNNEST(generate_series(1, greatest(len(words) - 2, 0))) t(i)
-  WHERE doc_id % {DECON_BENCH_MOD} = 0
-),
-tg AS (
-  SELECT DISTINCT doc_id, {g3} AS g
-  FROM w, UNNEST(generate_series(1, greatest(len(words) - 2, 0))) t(i)
-  WHERE doc_id % {DECON_BENCH_MOD} <> 0
-),
-c AS (
-  SELECT doc_id, count(*)::BIGINT AS n_grams,
-         count(*) FILTER (WHERE g IN (SELECT g FROM bg))::BIGINT AS n_hits
-  FROM tg GROUP BY doc_id
-)
-SELECT w.doc_id, coalesce(c.n_grams, 0) AS n_grams,
-       coalesce(c.n_hits, 0) AS n_hits,
-       coalesce(c.n_hits, 0) > 0 AS contaminated
-FROM w LEFT JOIN c USING (doc_id)
-WHERE w.doc_id % {DECON_BENCH_MOD} <> 0
-"""
-
-
 def _pii_chain_sql(table: str, id_col: str, text_col: str) -> str:
     from ..ops.pii import DEFAULT_PATTERNS
 
@@ -12387,7 +12322,6 @@ def queries():
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
-        "decontaminate": q_decontaminate,
         "pii_redact_events": q_pii_redact_events,
         "pii_scan_docs": q_pii_scan_docs,
         "dup_ngram_coverage": q_dup_ngram_coverage,
@@ -12648,7 +12582,6 @@ def oracle_sql():
         "text_stats": sql_text_stats(),
         "repetition_stats": sql_repetition_stats(),
         "gopher_filter": sql_gopher_filter(),
-        "decontaminate": sql_decontaminate(),
         "pii_redact_events": sql_pii_redact_events(),
         "pii_scan_docs": sql_pii_scan_docs(),
         "dup_ngram_coverage": sql_dup_ngram_coverage(),
