@@ -2736,6 +2736,110 @@ QUALIFY rank <= {SIGTEXT_SIZE}
 """
 
 
+# ES Graph explore (_graph/explore, depth-1): vertices = JLH-significant
+# terms of the seed sample; connections = distinct-doc co-occurrence
+# between vertex pairs inside the SAME sample.
+GRAPH_SEED = "hash join"
+GRAPH_VERTICES = 8
+GRAPH_SAMPLE = 100
+GRAPH_MIN_EDGE = 2
+
+
+def _q_graph_explore(engine) -> pa.Table:
+    from ..search.graph import graph_explore
+
+    verts, edges = graph_explore(
+        engine, GRAPH_SEED, vertices_size=GRAPH_VERTICES,
+        sample_size=GRAPH_SAMPLE, min_edge_doc_count=GRAPH_MIN_EDGE,
+    )
+    rows = [
+        ("vertex", v["key"], "", int(v["doc_count"]), int(v["bg_count"]),
+         round(v["score"], 6))
+        for v in verts
+    ] + [
+        ("edge", e["source"], e["target"], int(e["doc_count"]), 0, None)
+        for e in edges
+    ]
+    return pa.table({
+        "kind": pa.array([r[0] for r in rows], pa.string()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "target": pa.array([r[2] for r in rows], pa.string()),
+        "doc_count": pa.array([r[3] for r in rows], pa.int64()),
+        "bg_count": pa.array([r[4] for r in rows], pa.int64()),
+        "score_r": pa.array([r[5] for r in rows], pa.float64()),
+    })
+
+
+def q_graph_explore(sf_dir: str) -> pa.Table:
+    """ES Graph explore (depth-1, exact): JLH vertices over the
+    deterministic seed sample + distinct-doc co-occurrence connections
+    — driver work bounded by the sample, like ES Graph itself."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_graph_explore(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_graph_explore_global(sf_dir: str) -> pa.Table:
+    """The SAME graph exploration from the TERM-partitioned layout
+    (shared engine-agnostic kernel; sample via bucket-actor gather +
+    lineage point reads)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_graph_explore(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_graph_explore() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    q = ", ".join(f"('{t}')" for t in _simple_tokens(GRAPH_SEED))
+    return f"""
+WITH toks AS ({toks}),
+n AS (SELECT count(*)::DOUBLE AS total FROM documents),
+df AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY t),
+q(t) AS (VALUES {q}),
+matched AS (SELECT DISTINCT toks.doc_id FROM q JOIN toks ON toks.t = q.t),
+sample AS (SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+             FROM matched) WHERE rn <= {GRAPH_SAMPLE}),
+ft AS (SELECT count(*)::DOUBLE AS n FROM sample),
+stoks AS (SELECT DISTINCT s.doc_id, toks.t
+          FROM sample s JOIN toks ON toks.doc_id = s.doc_id),
+fg AS (SELECT t, count(*)::BIGINT AS c FROM stoks GROUP BY t),
+scored AS (
+  SELECT fg.t, fg.c, df.df,
+         ((fg.c / ft.n) - (df.df / n.total))
+           * ((fg.c / ft.n) / (df.df / n.total)) AS score
+  FROM fg
+  JOIN df ON df.t = fg.t, ft, n
+  WHERE (fg.c / ft.n) > (df.df / n.total)),
+verts AS (
+  SELECT t, c, df, score,
+         row_number() OVER (ORDER BY score DESC, t) AS rank
+  FROM scored QUALIFY rank <= {GRAPH_VERTICES}),
+edges AS (
+  SELECT va.t AS source, vb.t AS target, count(*)::BIGINT AS c
+  FROM verts va
+  JOIN verts vb ON va.t < vb.t
+  JOIN stoks sa ON sa.t = va.t
+  JOIN stoks sb ON sb.t = vb.t AND sb.doc_id = sa.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {GRAPH_MIN_EDGE})
+SELECT 'vertex' AS kind, t AS source, '' AS target, c AS doc_count,
+       df AS bg_count, round(score, 6) AS score_r
+FROM verts
+UNION ALL
+SELECT 'edge', source, target, c, 0, NULL FROM edges
+"""
+
+
 # ES rare_terms aggregation: (qid, match text, max_doc_count) — the
 # long tail of n_chars buckets (the high-cardinality field, so rare
 # buckets exist at every scale) over the matched docs
@@ -12282,6 +12386,8 @@ def queries():
         "random_sampler_agg_global": q_random_sampler_global,
         "synonym_search": q_synonym_search,
         "synonym_search_global": q_synonym_search_global,
+        "graph_explore": q_graph_explore,
+        "graph_explore_global": q_graph_explore_global,
         "terms_lookup": q_terms_lookup,
         "terms_lookup_global": q_terms_lookup_global,
         "global_agg": q_global_agg,
@@ -12542,6 +12648,8 @@ def oracle_sql():
         "random_sampler_agg_global": sql_random_sampler(),
         "synonym_search": sql_synonym_search(),
         "synonym_search_global": sql_synonym_search(),
+        "graph_explore": sql_graph_explore(),
+        "graph_explore_global": sql_graph_explore(),
         "terms_lookup": sql_terms_lookup(),
         "terms_lookup_global": sql_terms_lookup(),
         "global_agg": sql_global_agg(),

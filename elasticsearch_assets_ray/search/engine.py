@@ -4660,21 +4660,9 @@ class QueryEngine:
         from ..state.docstore import CorpusTextReader
         from .datehist import significant_terms_rows
 
-        terms = (
-            self._analyze(query) if isinstance(query, str)
-            else sorted(set(query))
-        )
-        if not terms:
-            return []
-        per_actor = ray.get(
-            [a.match_first.remote(terms, sample_size) for a in self.actors]
-        )
-        ids = np.sort(np.concatenate(per_actor))[:sample_size]
+        ids, texts = self.sample_match_texts(query, sample_size)
         if len(ids) == 0:
             return []
-        if self._text_reader is None:
-            self._text_reader = CorpusTextReader(self.info.index_dir)
-        texts = self._text_reader.mget(ids.tolist())
         analyze = self._sqs_analyze()
         fg: dict[str, tuple] = {}
         for text in texts:
@@ -4686,6 +4674,31 @@ class QueryEngine:
             fg, bg, size,
             fg_total=len(ids), bg_total=self.info.stats.num_docs,
         )
+
+    def sample_match_texts(
+        self, query: str | list[str], sample_size: int
+    ) -> tuple[np.ndarray, list[str]]:
+        """Deterministic matched-doc sample (first ``sample_size`` ids
+        ascending — SQL-reproducible, the disclosed stand-in for ES's
+        per-shard sampling) + their hydrated texts: the foreground both
+        ``significant_text`` and ``graph_explore`` re-analyze."""
+        from ..state.docstore import CorpusTextReader
+
+        terms = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not terms:
+            return np.empty(0, np.int64), []
+        per_actor = ray.get(
+            [a.match_first.remote(terms, sample_size) for a in self.actors]
+        )
+        ids = np.sort(np.concatenate(per_actor))[:sample_size]
+        if len(ids) == 0:
+            return ids, []
+        if self._text_reader is None:
+            self._text_reader = CorpusTextReader(self.info.index_dir)
+        return ids, self._text_reader.mget(ids.tolist())
 
     def top_hits(
         self,

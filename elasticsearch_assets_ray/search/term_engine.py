@@ -2077,17 +2077,11 @@ class TermPartitionedEngine:
         :meth:`QueryEngine.significant_text`; the sample hydrates from
         the source docmeta lineage, the background df probes route to
         the owning bucket actors."""
-        from ..state.docstore import CorpusTextReader
         from .datehist import significant_terms_rows
 
-        got = self._matched_ids_and_source(query)
-        if got is None:
+        ids, texts = self.sample_match_texts(query, sample_size)
+        if len(ids) == 0:
             return []
-        ids, src = got
-        ids = ids[:sample_size]  # already unique ascending
-        if not hasattr(self, "_text_reader"):
-            self._text_reader = CorpusTextReader(src)
-        texts = self._text_reader.mget(ids.tolist())
         analyze = self._sqs_analyze()
         fg: dict[str, tuple] = {}
         for text in texts:
@@ -2098,6 +2092,26 @@ class TermPartitionedEngine:
         return significant_terms_rows(
             fg, bg, size, fg_total=len(ids), bg_total=self.n,
         )
+
+    def sample_match_texts(
+        self, query: str | list[str], sample_size: int
+    ) -> tuple[np.ndarray, list[str]]:
+        """Deterministic matched-doc sample + hydrated texts (the
+        significant_text / graph_explore foreground) — matched ids
+        gather from the bucket actors, texts point-read from the source
+        lineage."""
+        from ..state.docstore import CorpusTextReader
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return np.empty(0, np.int64), []
+        ids, src = got
+        ids = ids[:sample_size]  # already unique ascending
+        if len(ids) == 0:
+            return ids, []
+        if not hasattr(self, "_text_reader"):
+            self._text_reader = CorpusTextReader(src)
+        return ids, self._text_reader.mget(ids.tolist())
 
     def rare_terms(
         self, query: str | list[str], field: str,

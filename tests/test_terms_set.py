@@ -385,3 +385,43 @@ def test_terms_lookup_parity_and_brute(ts_index, ray_session):
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+def test_graph_explore_parity_and_brute(ts_index, ray_session):
+    """ES _graph/explore depth-1: JLH vertices + in-sample distinct-doc
+    co-occurrence edges; engine parity and brute-force edge counts."""
+    from elasticsearch_assets_ray.search.graph import graph_explore
+
+    info, glb = ts_index
+    eng = QueryEngine(info.index_dir, num_actors=2)
+    teng = TermPartitionedEngine(glb, num_actors=2)
+    try:
+        va, ea = graph_explore(eng, "alpha", vertices_size=4,
+                               sample_size=10, min_edge_doc_count=1)
+        vb, eb = graph_explore(teng, "alpha", vertices_size=4,
+                               sample_size=10, min_edge_doc_count=1)
+        assert va == vb and ea == eb
+        # vertices come from the significant_text scoring (same sample)
+        sig = eng.significant_text("alpha", size=4, sample_size=10)
+        assert va == sig
+        # brute edges: distinct-doc co-occurrence among vertex terms in
+        # the sample (= all alpha docs here, fewer than sample_size)
+        sample = [set(DOCS[d].split()) for d in range(len(DOCS))
+                  if "alpha" in DOCS[d].split()]
+        vt = sorted(v["key"] for v in va)
+        want = []
+        for i, a in enumerate(vt):
+            for b in vt[i + 1:]:
+                c = sum(1 for s in sample if a in s and b in s)
+                if c >= 1:
+                    want.append({"source": a, "target": b, "doc_count": c})
+        want.sort(key=lambda e: (-e["doc_count"], e["source"], e["target"]))
+        assert ea == want
+        # min_edge_doc_count filters
+        _, e2 = graph_explore(eng, "alpha", vertices_size=4,
+                              sample_size=10, min_edge_doc_count=3)
+        assert all(e["doc_count"] >= 3 for e in e2)
+        assert graph_explore(eng, "zzz_nope") == ([], [])
+    finally:
+        eng.shutdown()
+        teng.shutdown()
