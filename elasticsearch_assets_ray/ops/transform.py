@@ -194,6 +194,36 @@ def _merge_pivot_partials(tbl: pa.Table, group_by, aggs) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
+def _write_gen_buckets(parts_ds, dest: str, gen: str) -> int:
+    """Partial-rows Dataset (carrying ``_bucket``) → one generation file
+    per bucket via a bucketed EXCHANGE (``groupby(_bucket).map_groups``)
+    with the write INSIDE the group task — no driver materialization of
+    the partials (rows ∝ distinct keys can exceed driver memory at
+    100 TB).  Deterministic names + tmp/rename keep a crashed or retried
+    checkpoint idempotent: the manifest commits only after every bucket
+    landed, and a re-run recomputes the same generation tag and
+    overwrites value-identical files."""
+
+    def write_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64())})
+        b = int(group.column("_bucket")[0].as_py())
+        sub = group.drop_columns(["_bucket"])
+        bdir = os.path.join(dest, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        tmp = os.path.join(bdir, f"gen-{gen}.parquet.in")
+        pq.write_table(sub, tmp)
+        os.replace(tmp, os.path.join(bdir, f"gen-{gen}.parquet"))
+        return pa.table({"bucket": pa.array([b], pa.int32()),
+                         "rows": pa.array([sub.num_rows], pa.int64())})
+
+    stats = parts_ds.groupby("_bucket").map_groups(
+        write_group, batch_format="pyarrow"
+    )
+    return int(stats.count())
+
+
 @ray.remote
 def _render_bucket_task(paths: list[str], group_by: list[str],
                         aggs: dict) -> pa.Table:
@@ -250,26 +280,14 @@ def pivot_transform(
         return {"new_files": 0, "generation": None}
     gen = hashlib.md5(("\n".join(new)).encode()).hexdigest()[:10]
     ds = rd.read_parquet(new, columns=_columns_for(group_by, aggs))
-    parts = [
-        b for b in ds.map_batches(
+    os.makedirs(dest, exist_ok=True)
+    _write_gen_buckets(
+        ds.map_batches(
             lambda t: _pivot_partial(t, tuple(group_by), aggs, n_buckets),
             batch_format="pyarrow", zero_copy_batch=True,
-        ).iter_batches(batch_format="pyarrow")
-    ]
-    os.makedirs(dest, exist_ok=True)
-    futs = []
-    if parts:
-        allp = pa.concat_tables(parts)
-        bk = allp.column("_bucket").to_numpy()
-        for b in np.unique(bk):
-            sub = allp.filter(pa.array(bk == b)).drop_columns(["_bucket"])
-            bdir = os.path.join(dest, f"bucket={int(b)}")
-            os.makedirs(bdir, exist_ok=True)
-            tmp = os.path.join(bdir, f"gen-{gen}.parquet.in")
-            pq.write_table(sub, tmp)
-            futs.append((tmp, os.path.join(bdir, f"gen-{gen}.parquet")))
-    for tmp, final in futs:
-        os.replace(tmp, final)
+        ),
+        dest, gen,
+    )
     man = man or {"fingerprint": fp, "inputs": {}, "generations": []}
     for f in new:
         st = os.stat(f)
@@ -393,27 +411,15 @@ def latest_transform(
     if tie_on is not None and tie_on not in cols:
         cols.append(tie_on)
     ds = rd.read_parquet(new, columns=cols)
-    parts = [
-        b for b in ds.map_batches(
+    os.makedirs(dest, exist_ok=True)
+    _write_gen_buckets(
+        ds.map_batches(
             lambda t: _latest_partial(t, key, sort_on, list(fields),
                                       n_buckets, tie_on),
             batch_format="pyarrow", zero_copy_batch=True,
-        ).iter_batches(batch_format="pyarrow")
-    ]
-    os.makedirs(dest, exist_ok=True)
-    pending = []
-    if parts:
-        allp = pa.concat_tables(parts)
-        bk = allp.column("_bucket").to_numpy()
-        for b in np.unique(bk):
-            sub = allp.filter(pa.array(bk == b)).drop_columns(["_bucket"])
-            bdir = os.path.join(dest, f"bucket={int(b)}")
-            os.makedirs(bdir, exist_ok=True)
-            tmp = os.path.join(bdir, f"gen-{gen}.parquet.in")
-            pq.write_table(sub, tmp)
-            pending.append((tmp, os.path.join(bdir, f"gen-{gen}.parquet")))
-    for tmp, final in pending:
-        os.replace(tmp, final)
+        ),
+        dest, gen,
+    )
     man = man or {"fingerprint": fp, "inputs": {}, "generations": []}
     for f in new:
         st = os.stat(f)

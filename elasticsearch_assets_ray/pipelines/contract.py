@@ -3330,6 +3330,128 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES retriever tree (8.14+): one declarative tree — leaves produce
+# ranked lists, compound rrf nodes fuse them.  The oracled pipeline is
+# a single-level 3-way fusion (two text leaves + one knn leaf);
+# arbitrary NESTING is composition-tested (tests/test_terms_set.py).
+RETRIEVER_TEXT_A = "hash join merge"
+RETRIEVER_TEXT_B = "slow query scan big table"
+RETRIEVER_VID = 0
+
+
+def _q_retriever_tree(engine, idx: str, sf_dir: str) -> pa.Table:
+    from ..search.retriever import RetrieverContext, execute_retriever
+
+    ctx = RetrieverContext(engine, idx,
+                           f"{sf_dir}/embeddings.parquet")
+    spec = {"rrf": {
+        "retrievers": [
+            {"standard": {"query": RETRIEVER_TEXT_A}},
+            {"standard": {"query": RETRIEVER_TEXT_B}},
+            {"knn": {"query_vector_id": RETRIEVER_VID}},
+        ],
+        "rank_constant": RRF_CONST,
+        "rank_window_size": RRF_WINDOW,
+    }}
+    fused = execute_retriever(spec, ctx, k=TOPK)
+    return pa.table({
+        "rank": pa.array(range(1, len(fused) + 1), pa.int64()),
+        "doc_id": pa.array([d for d, _ in fused], pa.int64()),
+        "rrf_r": pa.array([round(s, 6) for _, s in fused], pa.float64()),
+    })
+
+
+def q_retriever_tree(sf_dir: str) -> pa.Table:
+    """ES retriever tree: a 3-way ``rrf`` node fusing two ``standard``
+    BM25 leaves and one exact-cosine ``knn`` leaf — the 8.14 search
+    syntax over the engines' existing rank machinery."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_retriever_tree(engine, idx, sf_dir)
+    finally:
+        engine.shutdown()
+
+
+def q_retriever_tree_global(sf_dir: str) -> pa.Table:
+    """The SAME retriever tree with the text leaves served from the
+    TERM-partitioned layout (the tree executor is engine-agnostic)."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_retriever_tree(eng, idx, sf_dir)
+    finally:
+        eng.shutdown()
+
+
+def sql_retriever_tree() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    qa = ", ".join(f"('{t}')" for t in _simple_tokens(RETRIEVER_TEXT_A))
+    qb = ", ".join(f"('{t}')" for t in _simple_tokens(RETRIEVER_TEXT_B))
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+qa(t) AS (VALUES {qa}),
+qb(t) AS (VALUES {qb}),
+sa AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM qa JOIN tf ON tf.t = qa.t JOIN df ON df.t = qa.t
+  JOIN dl ON dl.doc_id = tf.doc_id, s GROUP BY 1),
+sb AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM qb JOIN tf ON tf.t = qb.t JOIN df ON df.t = qb.t
+  JOIN dl ON dl.doc_id = tf.doc_id, s GROUP BY 1),
+ra AS (SELECT doc_id, row_number() OVER (
+         ORDER BY round(score, 4) DESC, doc_id) AS r
+       FROM sa QUALIFY r <= {RRF_WINDOW}),
+rb AS (SELECT doc_id, row_number() OVER (
+         ORDER BY round(score, 4) DESC, doc_id) AS r
+       FROM sb QUALIFY r <= {RRF_WINDOW}),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS v FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+qe AS (SELECT e.i, e.v, nrm.nrm FROM e
+       JOIN nrm ON nrm.vec_id = e.vec_id
+       WHERE e.vec_id = {RETRIEVER_VID}),
+dots AS (SELECT e.vec_id,
+                sum(qe.v * e.v) / (any_value(qe.nrm) * any_value(nv.nrm)) AS sim
+         FROM qe JOIN e ON e.i = qe.i
+         JOIN nrm nv ON nv.vec_id = e.vec_id
+         GROUP BY 1),
+rk AS (SELECT vec_id, row_number() OVER (
+         ORDER BY round(sim, 4) DESC, vec_id) AS r
+       FROM dots QUALIFY r <= {RRF_WINDOW}),
+ids AS (SELECT doc_id FROM ra UNION SELECT doc_id FROM rb
+        UNION SELECT vec_id FROM rk),
+fused AS (
+  SELECT ids.doc_id,
+         coalesce(1.0 / ({RRF_CONST} + ra.r), 0)
+         + coalesce(1.0 / ({RRF_CONST} + rb.r), 0)
+         + coalesce(1.0 / ({RRF_CONST} + rk.r), 0) AS score
+  FROM ids
+  LEFT JOIN ra ON ra.doc_id = ids.doc_id
+  LEFT JOIN rb ON rb.doc_id = ids.doc_id
+  LEFT JOIN rk ON rk.vec_id = ids.doc_id)
+SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank,
+       doc_id, round(score, 6) AS rrf_r
+FROM fused
+QUALIFY rank <= {TOPK}
+"""
+
+
 def shingled_index_dir(sf_dir: str) -> str:
     tag = hashlib.md5(
         f"{CONTRACT_INDEX_VERSION}:sh:{sf_dir}".encode()
@@ -12386,6 +12508,8 @@ def queries():
         "random_sampler_agg_global": q_random_sampler_global,
         "synonym_search": q_synonym_search,
         "synonym_search_global": q_synonym_search_global,
+        "retriever_tree": q_retriever_tree,
+        "retriever_tree_global": q_retriever_tree_global,
         "graph_explore": q_graph_explore,
         "graph_explore_global": q_graph_explore_global,
         "terms_lookup": q_terms_lookup,
@@ -12648,6 +12772,8 @@ def oracle_sql():
         "random_sampler_agg_global": sql_random_sampler(),
         "synonym_search": sql_synonym_search(),
         "synonym_search_global": sql_synonym_search(),
+        "retriever_tree": sql_retriever_tree(),
+        "retriever_tree_global": sql_retriever_tree(),
         "graph_explore": sql_graph_explore(),
         "graph_explore_global": sql_graph_explore(),
         "terms_lookup": sql_terms_lookup(),

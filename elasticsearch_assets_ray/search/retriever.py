@@ -1,0 +1,134 @@
+"""ES *retriever tree* (the 8.14+ ``retriever`` search-request syntax):
+one declarative tree whose LEAVES produce ranked lists and whose
+COMPOUND nodes fuse them — the API surface that superseded ad-hoc
+hybrid-search request plumbing.
+
+Supported nodes (the GA set):
+
+- ``{"standard": {"query": <match text>}}`` — BM25 serving (either
+  engine), ranks under the contract order (rounded score desc, orig id
+  asc);
+- ``{"standard": {"query_string": <q>}}`` — the full ``q=`` Lucene
+  grammar (``search/qs.py``) as the leaf;
+- ``{"knn": {"query_vector_id": vid, "k": n}}`` — exact cosine ranks
+  over an embeddings table (``ops/similarity.knn_cosine``; vec_id is
+  the document id space, like the ES dense_vector field on the same
+  index);
+- ``{"rrf": {"retrievers": [...], "rank_constant": 60,
+  "rank_window_size": 50}}`` — reciprocal rank fusion of any child
+  nodes, NESTED arbitrarily: an inner rrf's fused ranking feeds the
+  outer fusion by its rank positions, exactly the ES composition.
+
+Every leaf is exact and deterministic, so a single-level tree is
+SQL-oracled (``retriever_tree`` pipeline) and nesting is covered by
+composition tests (outer-of-inner ≡ manual two-stage fusion by
+construction — the same function computes both).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hybrid import rrf_fuse
+
+
+class RetrieverContext:
+    """Lazily-built leaf resources: the text engine, the orig-id
+    docstore mapping, and the embeddings table for knn leaves."""
+
+    def __init__(self, engine, index_dir: str, embeddings_path: str | None
+                 = None):
+        self.engine = engine
+        self.index_dir = index_dir
+        self.embeddings_path = embeddings_path
+        self._store = None
+        self._emb = None
+
+    def ranked(self, hits: list[tuple[int, float]],
+               depth: int) -> list[tuple[int, float]]:
+        """Engine hits → (orig id, score) rows under the contract order
+        (round(score,4) desc, orig asc), capped at ``depth``."""
+        from ..state.docstore import DocStore
+
+        if not hits:
+            return []
+        if self._store is None:
+            self._store = DocStore(self.index_dir,
+                                   columns=["doc_id", "orig_id"])
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        sc = np.array([s for _, s in hits], dtype=np.float64)
+        orig = self._store.mget(ids).column("orig_id").to_numpy() \
+            .astype(np.int64)
+        top = np.lexsort((orig, -np.round(sc, 4)))[:depth]
+        return [(int(orig[i]), float(sc[i])) for i in top]
+
+    def orig_ids(self, hits: list[tuple[int, float]],
+                 depth: int) -> list[int]:
+        return [d for d, _ in self.ranked(hits, depth)]
+
+    def knn_ranks(self, vid: int, depth: int) -> list[int]:
+        import ray.data as rd
+
+        from ..ops import similarity as sim
+
+        if self.embeddings_path is None:
+            raise ValueError("knn retriever needs an embeddings_path")
+        if self._emb is None:
+            self._emb = rd.read_parquet(self.embeddings_path)
+        q = sim.queries_from_dataset(self._emb, [vid])
+        out = sim.knn_cosine(self._emb, q, [vid], k=depth)
+        return out.column("vec_id").to_pylist()  # already rank order
+
+
+def execute_retriever(
+    spec: dict, ctx: RetrieverContext, k: int = 10
+) -> list[tuple[int, float]]:
+    """Execute a retriever tree → ranked ``[(orig_doc_id, score)]``.
+    Leaf scores are the leaf's own (BM25 / cosine); an ``rrf`` node's
+    scores are the fused reciprocal-rank sums."""
+    if len(spec) != 1:
+        raise ValueError("a retriever node has exactly one key")
+    kind, body = next(iter(spec.items()))
+    if kind == "rrf":
+        children = body["retrievers"]
+        if not children:
+            raise ValueError("rrf retriever needs children")
+        rc = int(body.get("rank_constant", 60))
+        window = int(body.get("rank_window_size", 50))
+        rankings = [
+            _rank_list(child, ctx, window) for child in children
+        ]
+        return rrf_fuse(rankings, k=k, rank_constant=rc)
+    if kind == "standard":
+        if "query_string" in body:
+            hits = ctx.engine.search_query_string(
+                body["query_string"], k=1 << 30
+            )
+        else:
+            hits = ctx.engine.search(body["query"], k=1 << 30)
+        return ctx.ranked(hits, k)
+    if kind == "knn":
+        ids = ctx.knn_ranks(int(body["query_vector_id"]),
+                            int(body.get("k", k)))[:k]
+        return [(d, 0.0) for d in ids]  # rank-only leaf at the top level
+    raise ValueError(f"unknown retriever kind {kind!r}")
+
+
+def _rank_list(spec: dict, ctx: RetrieverContext, window: int
+               ) -> list[int]:
+    """A child node's rank list, capped at the parent's window."""
+    kind, body = next(iter(spec.items()))
+    if kind == "standard":
+        if "query_string" in body:
+            hits = ctx.engine.search_query_string(
+                body["query_string"], k=1 << 30
+            )
+        else:
+            hits = ctx.engine.search(body["query"], k=1 << 30)
+        return ctx.orig_ids(hits, window)
+    if kind == "knn":
+        return ctx.knn_ranks(int(body["query_vector_id"]), window)
+    if kind == "rrf":
+        fused = execute_retriever(spec, ctx, k=window)
+        return [d for d, _ in fused]
+    raise ValueError(f"unknown retriever kind {kind!r}")

@@ -425,3 +425,54 @@ def test_graph_explore_parity_and_brute(ts_index, ray_session):
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+def test_retriever_tree_nesting_and_leaves(ts_index, ray_session):
+    """ES retriever tree: leaf semantics, engine parity, and NESTED rrf
+    == manual two-stage fusion."""
+    from elasticsearch_assets_ray.search.hybrid import rrf_fuse
+    from elasticsearch_assets_ray.search.retriever import (
+        RetrieverContext,
+        execute_retriever,
+    )
+
+    info, glb = ts_index
+    eng = QueryEngine(info.index_dir, num_actors=2)
+    teng = TermPartitionedEngine(glb, num_actors=2)
+    try:
+        ctx = RetrieverContext(eng, info.index_dir)
+        tctx = RetrieverContext(teng, info.index_dir)
+        # standard leaf == plain search under the contract order
+        leaf = {"standard": {"query": "alpha beta"}}
+        a = execute_retriever(leaf, ctx, k=5)
+        assert [d for d, _ in a] == [d for d, _ in eng.search("alpha beta", k=5)]
+        # single-level rrf: engine parity + manual fusion
+        spec = {"rrf": {"retrievers": [
+            {"standard": {"query": "alpha beta"}},
+            {"standard": {"query": "gamma delta"}},
+        ], "rank_constant": 60, "rank_window_size": 5}}
+        f1 = execute_retriever(spec, ctx, k=8)
+        assert f1 == execute_retriever(spec, tctx, k=8)
+        r1 = [d for d, _ in eng.search("alpha beta", k=5)]
+        r2 = [d for d, _ in eng.search("gamma delta", k=5)]
+        assert f1 == rrf_fuse([r1, r2], k=8)
+        # NESTED: outer rrf over (inner rrf, a text leaf) == manual
+        nested = {"rrf": {"retrievers": [
+            spec,
+            {"standard": {"query": "epsilon"}},
+        ], "rank_constant": 10, "rank_window_size": 4}}
+        got = execute_retriever(nested, ctx, k=8)
+        inner_ids = [d for d, _ in execute_retriever(spec, ctx, k=4)]
+        eps = [d for d, _ in eng.search("epsilon", k=4)]
+        assert got == rrf_fuse([inner_ids, eps], k=8, rank_constant=10)
+        with pytest.raises(ValueError):
+            execute_retriever({"bm42": {}}, ctx)
+        with pytest.raises(ValueError):
+            execute_retriever({"rrf": {"retrievers": []}}, ctx)
+        with pytest.raises(ValueError):
+            execute_retriever(
+                {"knn": {"query_vector_id": 0}}, ctx
+            )  # no embeddings_path
+    finally:
+        eng.shutdown()
+        teng.shutdown()
