@@ -174,6 +174,9 @@ HEADLINE = [
     "curation", "pricing_summary", "text_stats", "lang_id", "token_counts",
     "repetition_stats", "gopher_filter", "pii_redact_events",
     "events_daily", "filtered_docs", "id_route_counts", "date_slices",
+    # session-10 families: join-field aggs, transforms, graph, retriever
+    "children_agg", "random_sampler_agg", "synonym_search",
+    "transform_pivot", "graph_explore", "retriever_tree",
 ]
 
 
