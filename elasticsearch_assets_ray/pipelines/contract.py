@@ -8847,6 +8847,87 @@ def sql_multi_match_most() -> str:
     return _sql_multi_match("most_fields", 0.0)
 
 
+def q_multi_match_cross(sf_dir: str) -> pa.Table:
+    """ES ``multi_match`` cross_fields (term-centric, Lucene
+    BlendedTermQuery): per TERM the df blends to the max across fields,
+    each field scores with its own tf/dl/avgdl/boost, per-term field
+    scores combine by DisMax + tie_breaker, terms sum.  Contrast
+    best/most_fields (field-centric: whole-query score per field first).
+    Reference forwards multi_match to ES verbatim
+    (/root/reference/asset/elasticsearch_reader/reader.js:6-31)."""
+    return _q_multi_match(sf_dir, "cross_fields", MULTI_TIE)
+
+
+def sql_multi_match_cross() -> str:
+    rows = []
+    for qid, text in MULTI_QUERIES:
+        for t in _simple_tokens(text):
+            rows.append(f"({qid}, '{t}')")
+    values = ", ".join(rows)
+    toks_t = _TOKS.format(id="doc_id", text="text", src="documents")
+    toks_s = _TOKS.format(id="doc_id", text="source", src="documents")
+    bt, bs = MULTI_BOOSTS["text"], MULTI_BOOSTS["source"]
+    tie = MULTI_TIE
+    return f"""
+WITH tt AS ({toks_t}),
+ts AS ({toks_s}),
+q(query_id, t) AS (VALUES {values}),
+dlt AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tt GROUP BY doc_id),
+dls AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ts GROUP BY doc_id),
+st_s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                (SELECT sum(dl) FROM dlt) / (SELECT count(*) FROM documents) AS avgdl_t,
+                (SELECT sum(dl) FROM dls) / (SELECT count(*) FROM documents) AS avgdl_s),
+tft AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tt GROUP BY doc_id, t),
+tfs AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM ts GROUP BY doc_id, t),
+dft AS (SELECT t, count(*)::DOUBLE AS df FROM tft GROUP BY t),
+dfs AS (SELECT t, count(*)::DOUBLE AS df FROM tfs GROUP BY t),
+idf AS (
+  SELECT DISTINCT q.t,
+         ln(1 + (s.n - greatest(coalesce(dft.df, 0), coalesce(dfs.df, 0)) + 0.5)
+              / (greatest(coalesce(dft.df, 0), coalesce(dfs.df, 0)) + 0.5)) AS idf
+  FROM q
+  LEFT JOIN dft ON dft.t = q.t
+  LEFT JOIN dfs ON dfs.t = q.t, st_s s),
+pt AS (
+  SELECT q.query_id, q.t, tft.doc_id,
+         {bt} * i.idf * tft.tf * ({K1} + 1)
+             / (tft.tf + {K1} * (1 - {B} + {B} * dlt.dl / s.avgdl_t)) AS sc
+  FROM q
+  JOIN idf i ON i.t = q.t
+  JOIN tft ON tft.t = q.t
+  JOIN dlt ON dlt.doc_id = tft.doc_id, st_s s),
+ps AS (
+  SELECT q.query_id, q.t, tfs.doc_id,
+         {bs} * i.idf * tfs.tf * ({K1} + 1)
+             / (tfs.tf + {K1} * (1 - {B} + {B} * dls.dl / s.avgdl_s)) AS sc
+  FROM q
+  JOIN idf i ON i.t = q.t
+  JOIN tfs ON tfs.t = q.t
+  JOIN dls ON dls.doc_id = tfs.doc_id, st_s s),
+keys AS (SELECT query_id, t, doc_id FROM pt
+         UNION SELECT query_id, t, doc_id FROM ps),
+term_comb AS (
+  SELECT k.query_id, k.doc_id,
+         greatest(coalesce(pt.sc, 0), coalesce(ps.sc, 0))
+         + {tie} * (coalesce(pt.sc, 0) + coalesce(ps.sc, 0)
+                    - greatest(coalesce(pt.sc, 0), coalesce(ps.sc, 0))) AS sc
+  FROM keys k
+  LEFT JOIN pt ON pt.query_id = k.query_id AND pt.t = k.t
+              AND pt.doc_id = k.doc_id
+  LEFT JOIN ps ON ps.query_id = k.query_id AND ps.t = k.t
+              AND ps.doc_id = k.doc_id),
+combined AS (
+  SELECT query_id, doc_id, sum(sc) AS score
+  FROM term_comb GROUP BY 1, 2)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM combined
+QUALIFY rank <= {TOPK}
+"""
+
+
 def q_combined_fields(sf_dir: str) -> pa.Table:
     """ES ``combined_fields`` (term-centric BM25F): text + source blend
     into ONE pseudo-field — tf_c = Σ_f w_f·tf_f, dl_c = Σ_f w_f·dl_f,
@@ -12530,6 +12611,7 @@ def queries():
         "multi_match_best": q_multi_match_best,
         "combined_fields_search": q_combined_fields,
         "multi_match_most": q_multi_match_most,
+        "multi_match_cross": q_multi_match_cross,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -12794,6 +12876,7 @@ def oracle_sql():
         "multi_match_best": sql_multi_match_best(),
         "combined_fields_search": sql_combined_fields(),
         "multi_match_most": sql_multi_match_most(),
+        "multi_match_cross": sql_multi_match_cross(),
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "dedup_clusters": sql_dedup_clusters(),

@@ -169,12 +169,62 @@ class _MultiCore:
 
         Combination per doc (ES dis_max / most_fields):
         ``best_fields``: max_f(boost_f·score_f) + tie_breaker·Σ(rest);
-        ``most_fields``: Σ_f boost_f·score_f.  Field iteration is sorted
-        field order — deterministic accumulation."""
+        ``most_fields``: Σ_f boost_f·score_f;
+        ``cross_fields``: TERM-centric — per term, DisMax across the
+        fields whose analyzer produced that term (the BLENDED idf is
+        baked into ``idfs`` by the driver), then sum over terms.  Field
+        iteration is sorted field order — deterministic accumulation."""
+        from ..index.codec import decode_postings
+
         out = []
         fields_all = sorted(self.shards)
         n_shards = len(next(iter(self.shards.values())))
+        k1, b = self.params.k1, self.params.b
         for qid, terms_of, boost_of, mm_type, tie, k in queries:
+            if mm_type == "cross_fields":
+                parts = []
+                all_terms = sorted({t for ts in terms_of.values() for t in ts})
+                for si in range(n_shards):
+                    s0 = self.shards[fields_all[0]][si]
+                    n_docs = s0.num_docs
+                    dead = np.zeros(n_docs, dtype=bool)
+                    for f in fields_all:
+                        dead |= self.shards[f][si].deleted_mask
+                    comb = np.zeros(n_docs, np.float64)
+                    touched_any = np.zeros(n_docs, dtype=bool)
+                    for t in all_terms:
+                        per = []
+                        for f in fields_all:
+                            if t not in terms_of.get(f, ()):  # analyzer gate
+                                continue
+                            s = self.shards[f][si]
+                            i = s.terms.get(t)
+                            if i is None:
+                                continue
+                            doc_ids, tfs = decode_postings(s.blobs[i])
+                            idx = (doc_ids - np.uint64(s.doc_base)).astype(
+                                np.int64)
+                            tf = tfs.astype(np.float64)
+                            dl = s.dl[idx]
+                            norm = tf * (k1 + 1.0) / (
+                                tf + k1 * (1.0 - b + b * dl / self.avgdl[f]))
+                            arr = np.zeros(n_docs, np.float64)
+                            arr[idx] = (
+                                boost_of.get(f, 1.0) * idfs[f][t] * norm)
+                            per.append(arr)
+                        if not per:
+                            continue
+                        M = np.stack(per)
+                        best = M.max(axis=0)
+                        comb += best + tie * (M.sum(axis=0) - best)
+                        touched_any |= best > 0
+                    touched_any &= ~dead
+                    cand = np.nonzero(touched_any)[0]
+                    cand, cs = _select_topk(cand, comb, k, self.params)
+                    parts.append(((cand + s0.doc_base).astype(np.int64), cs))
+                ids, sc = merge_topk(parts, k, self.params.round_decimals)
+                out.append((qid, ids, sc))
+                continue
             parts = []
             for si in range(n_shards):
                 per_field = []
@@ -284,7 +334,18 @@ class MultiFieldEngine:
         own analyzer), scores per field with that field's df/avgdl, and
         combines per doc (``best_fields`` DisMax with ``tie_breaker``, or
         ``most_fields`` sum).  ``fields`` maps field → boost (list form
-        = boost 1.0)."""
+        = boost 1.0).
+
+        ``cross_fields`` is TERM-centric (Lucene BlendedTermQuery): per
+        term, the document frequency BLENDS to the max across the fields
+        whose analyzer produced that term, each field still scores with
+        its own tf/dl/avgdl/boost, and the per-term field scores combine
+        by DisMax + ``tie_breaker``; terms then sum (bool SHOULD).
+        Disclosed simplification vs ES: ES groups fields by analyzer and
+        blends within each group — identical to this when the analyzed
+        query tokens coincide across fields (the dominant
+        shared-analyzer case); fields whose analyzer did not produce a
+        term simply don't join that term's blend here."""
         if fields is None:
             boost_of = {f: 1.0 for f in self.infos}
         elif isinstance(fields, dict):
@@ -304,12 +365,31 @@ class MultiFieldEngine:
             [a.local_dfs.remote(terms_of) for a in self.actors]
         )
         idfs: dict[str, dict[str, float]] = {}
-        for f, ts in terms_of.items():
-            n = self.infos[f].stats.num_docs
-            idfs[f] = {}
-            for t in ts:
-                df = sum(p[f][t] for p in df_parts)
-                idfs[f][t] = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        dfs: dict[str, dict[str, int]] = {
+            f: {t: sum(p[f][t] for p in df_parts) for t in ts}
+            for f, ts in terms_of.items()
+        }
+        if type == "cross_fields":
+            # blended df = max across the fields that produced the term
+            n = self.num_docs
+            blend = {
+                t: max(d[t] for d in dfs.values() if t in d)
+                for t in {t for ts in terms_of.values() for t in ts}
+            }
+            idfs = {
+                f: {
+                    t: math.log(1.0 + (n - blend[t] + 0.5) / (blend[t] + 0.5))
+                    for t in ts
+                }
+                for f, ts in terms_of.items()
+            }
+        else:
+            for f, ts in terms_of.items():
+                n = self.infos[f].stats.num_docs
+                idfs[f] = {}
+                for t in ts:
+                    df = dfs[f][t]
+                    idfs[f][t] = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
         per_actor = ray.get(
             [
                 a.multi_topk.remote(

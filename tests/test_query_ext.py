@@ -330,6 +330,44 @@ def test_multi_match_bruteforce(small_corpus, small_index, tmp_path_factory):
                 assert [d for d, _ in got] == [d for d, _ in expect], (q, mm, tie)
                 for (_, s1), (_, s2) in zip(got, expect):
                     assert abs(s1 - s2) < 1e-9, (q, mm, tie)
+        # cross_fields: TERM-centric — blended df (max across fields),
+        # per-field tf/dl/avgdl/boost, DisMax + tie per term, sum terms
+        boosts = {"content": 1.0, "path": 2.0}
+        dls = {f: np.array([len(ts) for ts in field_toks[f]], dtype=np.float64)
+               for f in boosts}
+        avgdls = {f: dls[f].sum() / n for f in boosts}
+        for q in ["merge data", "src module import"]:
+            qt = clip_tokens(code_tokens(q), 1, 64)
+            for tie in (0.0, 0.3):
+                comb = np.zeros(n)
+                for t in sorted(set(qt)):
+                    blend = max(
+                        sum(1 for ts in field_toks[f] if t in ts)
+                        for f in boosts
+                    )
+                    if blend == 0:
+                        continue
+                    idf = math.log(1.0 + (n - blend + 0.5) / (blend + 0.5))
+                    per = []
+                    for f, boost in boosts.items():
+                        sc = np.zeros(n)
+                        for d, ts in enumerate(field_toks[f]):
+                            tf = ts.count(t)
+                            if tf:
+                                sc[d] = boost * idf * tf * (params.k1 + 1) / (
+                                    tf + params.k1 * (1 - params.b
+                                    + params.b * dls[f][d] / avgdls[f]))
+                        per.append(sc)
+                    M = np.stack(per)
+                    best = M.max(axis=0)
+                    comb += best + tie * (M.sum(axis=0) - best)
+                order = np.lexsort((np.arange(n), -comb))
+                expect = [(int(d), comb[d]) for d in order[:8] if comb[d] > 0]
+                got = eng.multi_match(q, fields=boosts, type="cross_fields",
+                                      tie_breaker=tie, k=8)
+                assert [d for d, _ in got] == [d for d, _ in expect], (q, tie)
+                for (_, s1), (_, s2) in zip(got, expect):
+                    assert abs(s1 - s2) < 1e-9, (q, tie)
     finally:
         eng.shutdown()
 
