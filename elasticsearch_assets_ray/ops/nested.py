@@ -238,4 +238,35 @@ def reverse_nested_counts(
 
     part = nds.map_batches(fn, batch_format="pyarrow",
                            zero_copy_batch=True)
-    return part.groupby("key").aggregate(Sum("doc_count", "doc_count"))
+    return part.groupby("key").aggregate(
+        Sum("doc_count", alias_name="doc_count"))
+
+
+def flattened_not_nested(
+    nds, conds: list[tuple], events_col: str = "events"
+):
+    """The nested-vs-flattened-object distinction made concrete: parent
+    rows where EVERY condition holds in SOME element (what ES's
+    flattened ``object`` mapping would match) but NO single element
+    satisfies all of them (so the ``nested`` query does NOT match).
+    Streaming — one flatten, one kernel pass per condition."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(events_col)
+        flat = pc.list_flatten(col)
+        parents = pc.list_parent_indices(col).to_numpy()
+        n = batch.num_rows
+        flattened_ok = np.ones(n, dtype=bool)
+        nested_mask = np.ones(len(flat), dtype=bool)
+        for field, op, value in conds:
+            m = _OPS[op](pc.struct_field(flat, field), value)
+            m = m.to_numpy(zero_copy_only=False)
+            flattened_ok &= np.bincount(parents[m], minlength=n) > 0
+            nested_mask &= m
+        nested_ok = np.bincount(parents[nested_mask], minlength=n) > 0
+        keep = np.nonzero(flattened_ok & ~nested_ok)[0]
+        out = batch.drop_columns([events_col])
+        return out.take(pa.array(keep, pa.int64()))
+
+    return nds.map_batches(fn, batch_format="pyarrow",
+                           zero_copy_batch=True)

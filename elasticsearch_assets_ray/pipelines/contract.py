@@ -2503,6 +2503,126 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+# ---- ES nested documents (array-of-objects mapping) over events ----
+# parents = users, elements = their events as list<struct> (ops/nested.py);
+# value carried as integer micro-units (float-safety invariant)
+_NESTED_V = 200_000_000  # 200.00 in micro-units
+
+
+def _nested_users(sf_dir: str):
+    from ..ops.nested import nest_events
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+    return nest_events(ds)
+
+
+def q_nested_match(sf_dir: str) -> pa.Table:
+    """ES ``nested`` query (filter context): users with ≥1 event where
+    BOTH ``event_type == 'purchase'`` AND ``value_u >= 200.00`` hold in
+    the SAME element — the defining nested-mapping semantic (a
+    flattened object would also match cross-element combinations).
+    The nested dataset is built with ONE fixed-bucket exchange, the
+    query itself streams (ops/nested.py).  Reference's data model is
+    schema-free JSON docs where arrays of objects are routine payloads
+    (/root/reference/asset/elasticsearch_reader/reader.js:14-28)."""
+    from ..ops.nested import nested_match
+
+    out = to_arrow(nested_match(
+        _nested_users(sf_dir),
+        [("event_type", "==", "purchase"), ("value_u", ">=", _NESTED_V)],
+    ))
+    return out.sort_by("user_id")
+
+
+def sql_nested_match() -> str:
+    return f"""
+SELECT user_id, count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id
+HAVING max(CASE WHEN event_type = 'purchase'
+                AND CAST(round(value * 1e6) AS BIGINT) >= {_NESTED_V}
+           THEN 1 ELSE 0 END) = 1
+ORDER BY user_id
+"""
+
+
+def q_nested_flattened_gap(sf_dir: str) -> pa.Table:
+    """The nested-vs-flattened-object gap, materialized: users matched
+    by FLATTENED semantics (each condition holds in some event) but NOT
+    by the ``nested`` query (no single event satisfies both) — exactly
+    the false-positive set ES's nested mapping exists to eliminate."""
+    from ..ops.nested import flattened_not_nested
+
+    out = to_arrow(flattened_not_nested(
+        _nested_users(sf_dir),
+        [("event_type", "==", "purchase"), ("value_u", ">=", _NESTED_V)],
+    ))
+    return out.sort_by("user_id")
+
+
+def sql_nested_flattened_gap() -> str:
+    return f"""
+SELECT user_id, count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id
+HAVING max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+   AND max(CASE WHEN CAST(round(value * 1e6) AS BIGINT) >= {_NESTED_V}
+           THEN 1 ELSE 0 END) = 1
+   AND max(CASE WHEN event_type = 'purchase'
+                AND CAST(round(value * 1e6) AS BIGINT) >= {_NESTED_V}
+           THEN 1 ELSE 0 END) = 0
+ORDER BY user_id
+"""
+
+
+def q_nested_stats(sf_dir: str) -> pa.Table:
+    """ES ``nested`` aggregation + stats sub-agg: per parent, count and
+    exact micro-unit sum over MATCHING elements only (error events at
+    or above 150.00)."""
+    from ..ops.nested import nested_stats
+
+    out = to_arrow(nested_stats(
+        _nested_users(sf_dir),
+        [("event_type", "==", "error"), ("value_u", ">=", 150_000_000)],
+    ))
+    return out.sort_by("user_id")
+
+
+def sql_nested_stats() -> str:
+    return """
+SELECT user_id, count(*)::BIGINT AS n_matching,
+       sum(CAST(round(value * 1e6) AS BIGINT))::BIGINT AS sum_value_u
+FROM events
+WHERE event_type = 'error'
+  AND CAST(round(value * 1e6) AS BIGINT) >= 150000000
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_reverse_nested(sf_dir: str) -> pa.Table:
+    """Nested ``terms`` buckets + ``reverse_nested``: per event_type,
+    the number of PARENT users having ≥1 matching element (value ≥
+    200.00) of that type — counts jump back to parent scope, the
+    reverse_nested contract."""
+    from ..ops.nested import reverse_nested_counts
+
+    out = to_arrow(reverse_nested_counts(
+        _nested_users(sf_dir), key_field="event_type",
+        conds=[("value_u", ">=", _NESTED_V)],
+    ))
+    return out.sort_by("key")
+
+
+def sql_reverse_nested() -> str:
+    return f"""
+SELECT event_type AS key, count(DISTINCT user_id)::BIGINT AS doc_count
+FROM events
+WHERE CAST(round(value * 1e6) AS BIGINT) >= {_NESTED_V}
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _half_indexes(sf_dir: str) -> tuple[str, str]:
     """Split documents into two halves (orig doc_id below/above the
     median) and build one index per half — the cross-index fixture."""
@@ -12612,6 +12732,10 @@ def queries():
         "combined_fields_search": q_combined_fields,
         "multi_match_most": q_multi_match_most,
         "multi_match_cross": q_multi_match_cross,
+        "nested_match": q_nested_match,
+        "nested_flattened_gap": q_nested_flattened_gap,
+        "nested_stats": q_nested_stats,
+        "reverse_nested": q_reverse_nested,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -12877,6 +13001,10 @@ def oracle_sql():
         "combined_fields_search": sql_combined_fields(),
         "multi_match_most": sql_multi_match_most(),
         "multi_match_cross": sql_multi_match_cross(),
+        "nested_match": sql_nested_match(),
+        "nested_flattened_gap": sql_nested_flattened_gap(),
+        "nested_stats": sql_nested_stats(),
+        "reverse_nested": sql_reverse_nested(),
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "dedup_clusters": sql_dedup_clusters(),
