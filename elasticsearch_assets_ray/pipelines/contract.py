@@ -2623,6 +2623,76 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---- unigram-LM perplexity (CCNet-style corpus quality gate) ----
+# train slice = even doc_ids (deterministic held-in half); score ALL docs
+# so the odd half exercises the OOV cell
+_PPL_CUT = 3.40351  # off the 4-decimal grid: membership never sits on ==
+
+
+def _ppl_scores(sf_dir: str) -> pa.Table:
+    from ..ops.lm import perplexity_scores
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    train = ds.map_batches(
+        lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return to_arrow(
+        perplexity_scores(ds, train)
+    ).sort_by("doc_id")
+
+
+def q_lm_perplexity(sf_dir: str) -> pa.Table:
+    """Per-doc unigram-LM neg-log-likelihood (add-one smoothing, trained
+    on the even-doc_id half, scored over all docs — odd docs hit the
+    OOV cell).  Counting is one fixed-bucket exchange, the model
+    broadcasts once, scoring streams (ops/lm.py)."""
+    return _ppl_scores(sf_dir)
+
+
+def _sql_ppl_scores() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+toks AS ({toks}),
+tr AS (SELECT t FROM toks WHERE doc_id % 2 = 0),
+cnt AS (SELECT t, count(*)::DOUBLE AS c FROM tr GROUP BY t),
+st AS (SELECT (SELECT count(*) FROM tr)::DOUBLE AS big_t,
+              (SELECT count(*) FROM cnt)::DOUBLE AS v),
+lp AS (SELECT toks.doc_id,
+              sum(ln((coalesce(cnt.c, 0) + 1.0) / (s.big_t + s.v + 1.0))) AS sl,
+              count(*)::BIGINT AS n
+       FROM toks LEFT JOIN cnt ON cnt.t = toks.t, st s
+       GROUP BY toks.doc_id)
+"""
+
+
+def sql_lm_perplexity() -> str:
+    return f"""
+WITH {_sql_ppl_scores()}
+SELECT doc_id, n AS n_tokens, round(-sl / n, 4) AS log_ppl_r
+FROM lp ORDER BY doc_id
+"""
+
+
+def q_perplexity_filter(sf_dir: str) -> pa.Table:
+    """The quality GATE: documents kept under the perplexity cutoff.
+    The cut applies to the ROUNDED score (off-grid threshold), so the
+    rounded-vs-raw boundary can never flip membership."""
+    t = _ppl_scores(sf_dir)
+    return t.filter(pc.less_equal(t.column("log_ppl_r"), _PPL_CUT))
+
+
+def sql_perplexity_filter() -> str:
+    return f"""
+WITH {_sql_ppl_scores()}
+SELECT doc_id, n AS n_tokens, round(-sl / n, 4) AS log_ppl_r
+FROM lp WHERE round(-sl / n, 4) <= {_PPL_CUT} ORDER BY doc_id
+"""
+
+
 def _half_indexes(sf_dir: str) -> tuple[str, str]:
     """Split documents into two halves (orig doc_id below/above the
     median) and build one index per half — the cross-index fixture."""
@@ -12736,6 +12806,8 @@ def queries():
         "nested_flattened_gap": q_nested_flattened_gap,
         "nested_stats": q_nested_stats,
         "reverse_nested": q_reverse_nested,
+        "lm_perplexity": q_lm_perplexity,
+        "perplexity_filter": q_perplexity_filter,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -13005,6 +13077,8 @@ def oracle_sql():
         "nested_flattened_gap": sql_nested_flattened_gap(),
         "nested_stats": sql_nested_stats(),
         "reverse_nested": sql_reverse_nested(),
+        "lm_perplexity": sql_lm_perplexity(),
+        "perplexity_filter": sql_perplexity_filter(),
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "dedup_clusters": sql_dedup_clusters(),
