@@ -9524,9 +9524,10 @@ def q_dedup_clusters(sf_dir: str) -> pa.Table:
     return dedup_clusters(pairs.select(["doc_a", "doc_b"]))
 
 
-def sql_dedup_clusters() -> str:
-    return """
-WITH RECURSIVE
+# shared recursive-CTE transitive closure over the exact-Jaccard pair
+# relation (threshold 0.4): `p(a, b)` = near-dup pairs, `comp` = per-node
+# min-id component labels — reused by dedup_clusters and the split ops
+_CC_CTES = """
 tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                                   x -> x <> '' AND len(x) <= 64) AS t FROM documents),
 sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -9546,10 +9547,80 @@ reach(node, r) AS (
 ),
 comp AS (SELECT node AS doc_id, min(r)::BIGINT AS component_id
          FROM reach GROUP BY 1)
+"""
+
+
+def sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE {_CC_CTES}
 SELECT doc_id, component_id,
        count(*) OVER (PARTITION BY component_id)::BIGINT AS cluster_size,
        doc_id = component_id AS keep
 FROM comp
+"""
+
+
+# ---- cluster-aware train/test split (leakage-proof by construction) ----
+_TEST_RATE = 0.3
+_SPLIT_KEY_SQL = "coalesce(comp.component_id, d.doc_id)"
+_SPLIT_THRESH = int(_TEST_RATE * float(1 << 32))
+
+
+def _split_pairs(sf_dir: str):
+    return dd.jaccard_pairs(_docs(sf_dir), threshold=0.4).select(
+        ["doc_a", "doc_b"])
+
+
+def q_cluster_split(sf_dir: str) -> pa.Table:
+    """Cluster-aware train/test split: whole near-dup clusters assign
+    atomically by the Knuth hash of the canonical member, so no
+    near-dup pair can straddle the split (ops/split.py) — the split a
+    contaminated-eval-safe training corpus needs."""
+    from ..ops.split import cluster_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return to_arrow(
+        cluster_split(ds, _split_pairs(sf_dir), _TEST_RATE)
+    ).sort_by("doc_id")
+
+
+def sql_cluster_split() -> str:
+    return f"""
+WITH RECURSIVE {_CC_CTES}
+SELECT d.doc_id, {_SPLIT_KEY_SQL} AS split_key,
+       CASE WHEN (({_SPLIT_KEY_SQL})::HUGEINT * 2654435761) % 4294967296
+                 < {_SPLIT_THRESH}
+            THEN 'test' ELSE 'train' END AS split
+FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_split_leakage(sf_dir: str) -> pa.Table:
+    """The leakage GUARD, measured: per-split doc counts plus the
+    number of near-dup pairs straddling the split — zero by
+    construction for the pair set the split was built from."""
+    from ..ops.split import cluster_split, split_leakage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    assign = cluster_split(ds, _split_pairs(sf_dir), _TEST_RATE)
+    return split_leakage(assign, _split_pairs(sf_dir))
+
+
+def sql_split_leakage() -> str:
+    return f"""
+WITH RECURSIVE {_CC_CTES},
+lab AS (SELECT d.doc_id,
+               CASE WHEN (({_SPLIT_KEY_SQL})::HUGEINT * 2654435761)
+                         % 4294967296 < {_SPLIT_THRESH}
+                    THEN 1 ELSE 0 END AS is_test
+        FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id)
+SELECT (SELECT count(*) FROM lab WHERE is_test = 0)::BIGINT AS n_train,
+       (SELECT count(*) FROM lab WHERE is_test = 1)::BIGINT AS n_test,
+       (SELECT count(*) FROM p
+        JOIN lab la ON la.doc_id = p.a
+        JOIN lab lb ON lb.doc_id = p.b
+        WHERE la.is_test <> lb.is_test)::BIGINT AS cross_pairs
 """
 
 
@@ -12808,6 +12879,8 @@ def queries():
         "reverse_nested": q_reverse_nested,
         "lm_perplexity": q_lm_perplexity,
         "perplexity_filter": q_perplexity_filter,
+        "cluster_split": q_cluster_split,
+        "split_leakage": q_split_leakage,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -13079,6 +13152,8 @@ def oracle_sql():
         "reverse_nested": sql_reverse_nested(),
         "lm_perplexity": sql_lm_perplexity(),
         "perplexity_filter": sql_perplexity_filter(),
+        "cluster_split": sql_cluster_split(),
+        "split_leakage": sql_split_leakage(),
         "exact_dedup": sql_exact_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "dedup_clusters": sql_dedup_clusters(),
