@@ -199,3 +199,83 @@ def perplexity_scores(
                          analyzer=analyzer),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+class LogRatioScorer:
+    """map_batches callable: per-doc length-normalized log importance
+    ratio ``(Σ ln p_target(t) − Σ ln p_raw(t)) / n`` under two broadcast
+    unigram LMs — positive means more target-like.  Same vectorization
+    as :class:`PerplexityScorer` (one tokenize, per-distinct lookups,
+    weighted-bincount doc sums)."""
+
+    def __init__(self, models_ref, text_col: str = "text",
+                 id_col: str = "doc_id", analyzer: str = "simple",
+                 round_decimals: int = 4):
+        self.models_ref = models_ref
+        self.text_col = text_col
+        self.id_col = id_col
+        self.analyzer = analyzer
+        self.round_decimals = round_decimals
+        self._lms = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..index.build import tokenize_codes_arrow
+
+        if self._lms is None:
+            self._lms = ray.get(self.models_ref)
+        lm_t, lm_r = self._lms
+        n = batch.num_rows
+        terms, codes, doc_rel, dls = tokenize_codes_arrow(
+            batch.column(self.text_col), self.analyzer, 1, 64, {}
+        )
+        ntok = np.asarray(dls, dtype=np.int64)
+        if len(codes):
+            ta = np.asarray(terms, dtype=object)
+            diff = lm_t.logp_terms(ta) - lm_r.logp_terms(ta)
+            s = np.bincount(doc_rel, weights=diff[codes], minlength=n)
+        else:
+            s = np.zeros(n, dtype=np.float64)
+        keep = np.nonzero(ntok > 0)[0]
+        lr = s[keep] / ntok[keep]
+        return pa.table({
+            "doc_id": batch.column(self.id_col).take(
+                pa.array(keep, pa.int64())),
+            "n_tokens": pa.array(ntok[keep], pa.int64()),
+            "log_ratio_r": pa.array(
+                np.round(lr, self.round_decimals), pa.float64()),
+        })
+
+
+def importance_weights(
+    ds,
+    target_ds,
+    raw_ds=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "simple",
+    min_count: int = 1,
+    n_buckets: int = N_BUCKETS,
+):
+    """DSIR-style data selection weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling") with
+    unigram LMs in place of hashed-n-gram features: train a TARGET LM
+    on ``target_ds`` and a RAW LM on ``raw_ds`` (default: ``ds``
+    itself), broadcast both once, and stream the per-doc
+    length-normalized log importance ratio over ``ds``.  Selecting the
+    top of the ranking importance-resamples the corpus toward the
+    target distribution."""
+    lm_t = UnigramLM.fit(
+        train_unigram_counts(target_ds, text_col=text_col,
+                             analyzer=analyzer, n_buckets=n_buckets),
+        min_count=min_count)
+    lm_r = UnigramLM.fit(
+        train_unigram_counts(raw_ds if raw_ds is not None else ds,
+                             text_col=text_col, analyzer=analyzer,
+                             n_buckets=n_buckets),
+        min_count=min_count)
+    ref = ray.put((lm_t, lm_r))
+    return ds.map_batches(
+        LogRatioScorer(ref, text_col=text_col, id_col=id_col,
+                       analyzer=analyzer),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

@@ -9571,6 +9571,89 @@ def _split_pairs(sf_dir: str):
         ["doc_a", "doc_b"])
 
 
+# ---- DSIR importance resampling (target = English slice) ----
+_DSIR_K = 100
+
+
+def _dsir_scores(sf_dir: str) -> pa.Table:
+    from ..ops.lm import importance_weights
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    target = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    scored = importance_weights(
+        ds.select_columns(["doc_id", "text"]), target
+    )
+    return to_arrow(scored).sort_by("doc_id")
+
+
+def q_dsir_weights(sf_dir: str) -> pa.Table:
+    """DSIR-style importance weights (ops/lm.py): per-doc log ratio of
+    a TARGET unigram LM (the English slice) over the RAW corpus LM —
+    the data-selection signal that resamples a web-scale corpus toward
+    a target domain."""
+    return _dsir_scores(sf_dir)
+
+
+def _sql_dsir() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+toks AS ({toks}),
+tt AS (SELECT toks.doc_id, toks.t FROM toks
+       JOIN documents d ON d.doc_id = toks.doc_id WHERE d.lang = 'en'),
+ct AS (SELECT t, count(*)::DOUBLE AS c FROM tt GROUP BY t),
+cr AS (SELECT t, count(*)::DOUBLE AS c FROM toks GROUP BY t),
+st AS (SELECT (SELECT count(*) FROM tt)::DOUBLE AS t_t,
+              (SELECT count(*) FROM ct)::DOUBLE AS v_t,
+              (SELECT count(*) FROM toks)::DOUBLE AS t_r,
+              (SELECT count(*) FROM cr)::DOUBLE AS v_r),
+lp AS (SELECT toks.doc_id,
+              sum(ln((coalesce(ct.c, 0) + 1.0) / (s.t_t + s.v_t + 1.0))
+                  - ln((coalesce(cr.c, 0) + 1.0) / (s.t_r + s.v_r + 1.0)))
+                  AS sl,
+              count(*)::BIGINT AS n
+       FROM toks
+       LEFT JOIN ct ON ct.t = toks.t
+       LEFT JOIN cr ON cr.t = toks.t, st s
+       GROUP BY toks.doc_id)
+"""
+
+
+def sql_dsir_weights() -> str:
+    return f"""
+WITH {_sql_dsir()}
+SELECT doc_id, n AS n_tokens, round(sl / n, 4) AS log_ratio_r
+FROM lp ORDER BY doc_id
+"""
+
+
+def q_dsir_select(sf_dir: str) -> pa.Table:
+    """The selection step: top-k most target-like documents under the
+    DSIR ranking (rounded ratio desc, doc_id asc — the repo's
+    deterministic rank key)."""
+    t = _dsir_scores(sf_dir)
+    lr = t.column("log_ratio_r").to_numpy()
+    ids = t.column("doc_id").to_numpy()
+    order = np.lexsort((ids, -lr))[:_DSIR_K]
+    out = t.take(pa.array(order, pa.int64()))
+    return out.append_column(
+        "rank", pa.array(np.arange(1, len(order) + 1), pa.int64()))
+
+
+def sql_dsir_select() -> str:
+    return f"""
+WITH {_sql_dsir()}
+SELECT doc_id, n AS n_tokens, round(sl / n, 4) AS log_ratio_r,
+       row_number() OVER (ORDER BY round(sl / n, 4) DESC, doc_id) AS rank
+FROM lp
+QUALIFY rank <= {_DSIR_K}
+"""
+
+
 def q_cluster_split(sf_dir: str) -> pa.Table:
     """Cluster-aware train/test split: whole near-dup clusters assign
     atomically by the Knuth hash of the canonical member, so no
@@ -12879,6 +12962,8 @@ def queries():
         "reverse_nested": q_reverse_nested,
         "lm_perplexity": q_lm_perplexity,
         "perplexity_filter": q_perplexity_filter,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "cluster_split": q_cluster_split,
         "split_leakage": q_split_leakage,
         "exact_dedup": q_exact_dedup,
@@ -13152,6 +13237,8 @@ def oracle_sql():
         "reverse_nested": sql_reverse_nested(),
         "lm_perplexity": sql_lm_perplexity(),
         "perplexity_filter": sql_perplexity_filter(),
+        "dsir_weights": sql_dsir_weights(),
+        "dsir_select": sql_dsir_select(),
         "cluster_split": sql_cluster_split(),
         "split_leakage": sql_split_leakage(),
         "exact_dedup": sql_exact_dedup(),

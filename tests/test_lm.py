@@ -90,6 +90,41 @@ def test_oov_scores_below_seen():
     assert lp[1] == pytest.approx(math.log(1.0 / 18.0))
 
 
+def test_dsir_ranks_target_like_docs_up():
+    """Importance weights: docs drawn from the target vocabulary score
+    above docs from a disjoint vocabulary, and the math matches a pure
+    Python reference."""
+    from elasticsearch_assets_ray.ops.lm import importance_weights
+
+    target_texts = ["alpha beta gamma delta"] * 4
+    raw_texts = target_texts + ["omega psi chi phi"] * 4
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(raw_texts)), pa.int64()),
+        "text": pa.array(raw_texts, pa.string()),
+    }))
+    target = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(target_texts)), pa.int64()),
+        "text": pa.array(target_texts, pa.string()),
+    }))
+    got = importance_weights(ds, target).to_pandas()
+    got = dict(zip(got["doc_id"], got["log_ratio_r"]))
+    # target-like docs (0-3) all outrank off-target docs (4-7)
+    assert min(got[i] for i in range(4)) > max(got[i] for i in range(4, 8))
+
+    # exact parity vs brute force on doc 0 and doc 4
+    cnt_t = _brute_counts(target_texts)
+    cnt_r = _brute_counts(raw_texts)
+    Tt, Vt = sum(cnt_t.values()), len(cnt_t)
+    Tr, Vr = sum(cnt_r.values()), len(cnt_r)
+    for i in (0, 4):
+        toks = clipped_tokens(raw_texts[i])
+        s = sum(
+            math.log((cnt_t.get(t, 0) + 1.0) / (Tt + Vt + 1.0))
+            - math.log((cnt_r.get(t, 0) + 1.0) / (Tr + Vr + 1.0))
+            for t in toks)
+        assert got[i] == pytest.approx(round(s / len(toks), 4), abs=1e-9)
+
+
 def test_min_count_prunes_lookup_not_normalizer(docs_ds):
     counts = train_unigram_counts(docs_ds, n_buckets=4)
     full = UnigramLM.fit(counts, min_count=1)
