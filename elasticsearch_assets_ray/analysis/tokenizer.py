@@ -167,3 +167,31 @@ def tokens_with_offsets(
         f"no offset mapping for analyzer {analyzer_name!r} (custom analyzers "
         "return tokens only)"
     )
+
+
+def analyze(
+    text: str, analyzer: str = "simple", min_len: int = 1, max_len: int = 64
+) -> list[dict]:
+    """ES ``_analyze`` API: the token stream a text produces under an
+    analyzer, as ``[{token, start_offset, end_offset, position, type}]``
+    (the shape ES returns).  ``position`` numbers the EMITTED sequence —
+    the index's position semantics (filters apply before numbering);
+    ES's stop filter instead leaves position gaps, a disclosed
+    divergence that keeps ``_analyze`` consistent with how our phrase
+    queries number positions.  ``type`` mirrors ES's standard-tokenizer
+    tags (``<NUM>`` for all-digit tokens, ``<ALPHANUM>`` otherwise).
+
+    Per-request debugging surface — bulk paths use the vectorized
+    ``tokenize_codes_arrow`` instead."""
+    return [
+        {
+            "token": t,
+            "start_offset": s,
+            "end_offset": e,
+            "position": i,
+            "type": "<NUM>" if t.isdigit() else "<ALPHANUM>",
+        }
+        for i, (t, s, e) in enumerate(
+            tokens_with_offsets(text, analyzer, min_len, max_len)
+        )
+    ]

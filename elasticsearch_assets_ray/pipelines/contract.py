@@ -9571,6 +9571,51 @@ def _split_pairs(sf_dir: str):
         ["doc_a", "doc_b"])
 
 
+# ---- ES _analyze API (token stream inspection) ----
+def q_analyze_api(sf_dir: str) -> pa.Table:
+    """ES ``_analyze``: the emitted token stream with positions for a
+    document slice (analysis/tokenizer.py `analyze`; offsets are
+    pytest-verified against the raw text — SQL has no character-span
+    primitive, so the oracle pins tokens + positions)."""
+    from ..analysis.tokenizer import analyze
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fn(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("doc_id"), 25))
+        ids, pos, toks = [], [], []
+        for did, text in zip(
+            b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+        ):
+            for row in analyze(text, "simple"):
+                ids.append(did)
+                pos.append(row["position"])
+                toks.append(row["token"])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "position": pa.array(pos, pa.int64()),
+            "token": pa.array(toks, pa.string()),
+        })
+
+    return to_arrow(
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by([("doc_id", "ascending"), ("position", "ascending")])
+
+
+def sql_analyze_api() -> str:
+    return """
+WITH tk AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '' AND len(x) <= 64) AS t
+            FROM documents WHERE doc_id < 25)
+SELECT doc_id, i - 1 AS position, t[i] AS token
+FROM tk, unnest(range(1, len(t) + 1)) u(i)
+ORDER BY doc_id, position
+"""
+
+
 # ---- DSIR importance resampling (target = English slice) ----
 _DSIR_K = 100
 
@@ -12962,6 +13007,7 @@ def queries():
         "reverse_nested": q_reverse_nested,
         "lm_perplexity": q_lm_perplexity,
         "perplexity_filter": q_perplexity_filter,
+        "analyze_api": q_analyze_api,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "cluster_split": q_cluster_split,
@@ -13237,6 +13283,7 @@ def oracle_sql():
         "reverse_nested": sql_reverse_nested(),
         "lm_perplexity": sql_lm_perplexity(),
         "perplexity_filter": sql_perplexity_filter(),
+        "analyze_api": sql_analyze_api(),
         "dsir_weights": sql_dsir_weights(),
         "dsir_select": sql_dsir_select(),
         "cluster_split": sql_cluster_split(),

@@ -45,3 +45,30 @@ def test_registry_and_lang_map():
 
 def test_clip_tokens():
     assert clip_tokens(["a", "ab", "abc"], 2, 2) == ["ab"]
+
+
+def test_analyze_api_shape_and_offsets():
+    """ES _analyze wrapper: positions number the emitted stream, offsets
+    index the raw text, <NUM> tags all-digit tokens."""
+    from elasticsearch_assets_ray.analysis.tokenizer import analyze
+
+    text = "Foo_bar 42 baz-qux 7x"
+    rows = analyze(text, "simple")
+    assert [r["token"] for r in rows] == ["foo", "bar", "42", "baz", "qux",
+                                          "7x"]
+    assert [r["position"] for r in rows] == list(range(6))
+    for r in rows:
+        assert text[r["start_offset"]:r["end_offset"]].lower() == r["token"]
+    assert rows[2]["type"] == "<NUM>"
+    assert rows[0]["type"] == "<ALPHANUM>"
+    # code analyzer splits camel/snake with exact spans
+    rows = analyze("HTTPServer fooBar", "code")
+    assert [r["token"] for r in rows] == ["http", "server", "foo", "bar"]
+    for r in rows:
+        src = "HTTPServer fooBar"[r["start_offset"]:r["end_offset"]]
+        assert src.lower() == r["token"]
+    # stopword-filtering analyzer: positions stay consecutive (index
+    # semantics, disclosed divergence from ES stop-filter gaps)
+    rows = analyze("the cat and the hat", "text")
+    assert [r["token"] for r in rows] == ["cat", "hat"]
+    assert [r["position"] for r in rows] == [0, 1]
