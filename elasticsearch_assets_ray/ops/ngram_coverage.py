@@ -160,6 +160,152 @@ def _coverage_group(group: pa.Table, n: int) -> pa.Table:
     })
 
 
+def _loser_gram_positions(group: pa.Table) -> pa.Table:
+    """Per gram-bucket: every (doc_id, pos) OCCURRENCE of a gram that
+    occurs ≥ 2 times (in-doc repeats count — the suffix-dedup view),
+    EXCEPT the global first occurrence (min (doc_id, pos)); a gram lands
+    wholly in one bucket, so the in-bucket winner IS the global one."""
+    enc = group.column("gram").combine_chunks().dictionary_encode()
+    gc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = group.column("doc_id").to_numpy()
+    pos = group.column("val").to_numpy()
+    order = np.lexsort((pos, doc, gc))
+    gs = gc[order]
+    first = np.ones(len(gs), dtype=bool)
+    first[1:] = gs[1:] != gs[:-1]
+    starts = np.nonzero(first)[0]
+    runs = np.diff(np.concatenate([starts, [len(gs)]]))
+    # winners of singleton grams aren't losers; winners of dup grams
+    # keep their copy; everything else is removed
+    lose = np.ones(len(gs), dtype=bool)
+    lose[starts] = False  # winner of each run
+    keep_idx = order[lose]
+    return pa.table({
+        "doc_id": pa.array(doc[keep_idx].astype(np.int64), pa.int64()),
+        "pos": pa.array(pos[keep_idx].astype(np.int64), pa.int64()),
+    })
+
+
+def _strip_group(group: pa.Table, n: int, analyzer: str,
+                 clip: tuple[int, int]) -> pa.Table:
+    """Per doc-bucket: re-tokenize the bucket's docs, blank every token
+    position covered by a loser occurrence's [pos, pos+n) span, emit the
+    kept token stream re-joined — all integer/string ops, no floats."""
+    import pyarrow.compute as pc
+
+    kind = group.column("kind").to_numpy()
+    docm = kind == 0
+    docs = group.filter(pa.array(docm))
+    rem_doc = group.column("doc_id").to_numpy()[~docm]
+    rem_pos = group.column("val").to_numpy()[~docm]
+    doc_ids = docs.column("doc_id").to_numpy().astype(np.int64)
+    order = np.argsort(doc_ids)
+    docs = docs.take(pa.array(order, pa.int64()))
+    doc_ids = doc_ids[order]
+    terms, codes, rel, dls = tokenize_codes_arrow(
+        docs.column("text"), analyzer, clip[0], clip[1], {}
+    )
+    dls = np.asarray(dls, dtype=np.int64)
+    offsets = np.zeros(len(doc_ids) + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum(dls)
+    removed = np.zeros(int(offsets[-1]) + 1, dtype=np.int64)
+    if len(rem_doc):
+        di = np.searchsorted(doc_ids, rem_doc)
+        start = offsets[di] + rem_pos
+        end = offsets[di] + np.minimum(rem_pos + n, dls[di])
+        np.add.at(removed, start, 1)
+        np.add.at(removed, end, -1)
+    rm_mask = np.cumsum(removed[:-1]) > 0
+    keep = ~rm_mask
+    tok = pc.take(pa.array(terms, pa.string()),
+                  pa.array(codes, pa.int64()))
+    kept_tok = pc.filter(tok, pa.array(keep))
+    kept_per_doc = np.zeros(len(doc_ids), dtype=np.int64)
+    rel = np.asarray(rel, dtype=np.int64)
+    np.add.at(kept_per_doc, rel[keep], 1)
+    k_off = np.zeros(len(doc_ids) + 1, dtype=np.int64)
+    k_off[1:] = np.cumsum(kept_per_doc)
+    lists = pa.LargeListArray.from_arrays(
+        pa.array(k_off, pa.int64()),
+        kept_tok.combine_chunks() if isinstance(kept_tok, pa.ChunkedArray)
+        else kept_tok,
+    )
+    joined = pc.binary_join(lists, " ")
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "n_tokens": pa.array(dls, pa.int64()),
+        "removed_tokens": pa.array(dls - kept_per_doc, pa.int64()),
+        "text_dedup": joined,
+    })
+
+
+def exact_substring_dedup(
+    ds,
+    n: int = 5,
+    analyzer: str = "simple",
+    clip: tuple[int, int] = (1, 64),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+):
+    """Exact-substring deduplication (the REMOVAL step of Lee et al.
+    2021, arXiv:2107.06499, at word-n-gram granularity): every n-gram
+    occurring more than once in the corpus keeps exactly its FIRST
+    occurrence (global (doc_id, pos) minimum); every other occurrence's
+    [pos, pos+n) span is cut from its document, and documents re-emit
+    as the kept token stream (+ counts).  Token-join output is exact
+    for whitespace-joined corpora; for general text, spans should map
+    back through character offsets (disclosed).
+
+    Shape: the coverage op's gram exchange (exact string identity,
+    hashed routing) emits loser occurrences; a second doc-keyed exchange
+    co-locates them with their documents, which re-tokenize once and
+    strip spans with one diff+cumsum pass.  No floats anywhere — the
+    oracle comparison is exact strings and integers."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        return _gram_rows(batch, n, analyzer, clip, text_col, id_col,
+                          n_buckets)
+
+    rows = ds.map_batches(extract, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    losers = rows.filter(expr="kind == 1").groupby("bucket").map_groups(
+        _loser_gram_positions, batch_format="pyarrow"
+    )
+
+    def docs_to_union(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(np.zeros(len(ids), np.int8)),
+            "val": pa.array(np.full(len(ids), -1, np.int64)),
+            "text": batch.column(text_col),
+            "bucket": pa.array((ids % n_buckets).astype(np.int32),
+                               pa.int32()),
+        })
+
+    def losers_to_union(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(np.ones(len(ids), np.int8)),
+            "val": batch.column("pos"),
+            "text": pa.array([""] * len(ids), pa.string()),
+            "bucket": pa.array((ids % n_buckets).astype(np.int32),
+                               pa.int32()),
+        })
+
+    union = ds.map_batches(
+        docs_to_union, batch_format="pyarrow", zero_copy_batch=True
+    ).union(losers.map_batches(
+        losers_to_union, batch_format="pyarrow", zero_copy_batch=True
+    ))
+    return union.groupby("bucket").map_groups(
+        lambda g: _strip_group(g, n, analyzer, clip),
+        batch_format="pyarrow",
+    )
+
+
 def duplicate_ngram_coverage(
     ds,
     n: int = 5,

@@ -9616,6 +9616,57 @@ ORDER BY doc_id, position
 """
 
 
+# ---- exact-substring dedup (Lee et al. removal step, word 5-grams) ----
+_ESD_N = 5
+
+
+def q_exact_substring_dedup(sf_dir: str) -> pa.Table:
+    """Exact-substring REMOVAL (Lee et al. 2021): every corpus-repeated
+    5-gram keeps only its global first occurrence; all other spans are
+    cut and documents re-emit as the kept token stream.  Two
+    fixed-bucket exchanges, no floats — fully exact
+    (ops/ngram_coverage.py `exact_substring_dedup`)."""
+    from ..ops.ngram_coverage import exact_substring_dedup
+
+    out = to_arrow(exact_substring_dedup(_docs(sf_dir), n=_ESD_N))
+    return out.sort_by("doc_id")
+
+
+def sql_exact_substring_dedup() -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(_ESD_N))
+    return f"""
+WITH tk AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '' AND len(x) <= 64) AS t
+            FROM documents),
+tok AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        FROM tk, unnest(range(1, len(t) + 1)) u(i)),
+g AS (SELECT doc_id, i - 1 AS pos, {gram} AS gram
+      FROM tk, unnest(range(1, len(t) - {_ESD_N - 2})) u(i)
+      WHERE len(t) >= {_ESD_N}),
+w AS (SELECT gram, count(*) AS c,
+             min(doc_id * 4294967296 + pos) AS wk
+      FROM g GROUP BY gram),
+rem AS (SELECT g.doc_id, g.pos FROM g JOIN w USING (gram)
+        WHERE w.c >= 2 AND g.doc_id * 4294967296 + g.pos <> w.wk),
+cut AS (SELECT DISTINCT t2.doc_id, t2.pos
+        FROM rem r JOIN tok t2
+          ON t2.doc_id = r.doc_id
+         AND t2.pos >= r.pos AND t2.pos < r.pos + {_ESD_N}),
+kept AS (SELECT t2.doc_id, t2.pos, t2.tok
+         FROM tok t2 ANTI JOIN cut c
+           ON c.doc_id = t2.doc_id AND c.pos = t2.pos),
+agg AS (SELECT doc_id, count(*) AS kept_n,
+               string_agg(tok, ' ' ORDER BY pos) AS txt
+        FROM kept GROUP BY doc_id)
+SELECT tk.doc_id, len(tk.t)::BIGINT AS n_tokens,
+       (len(tk.t) - coalesce(agg.kept_n, 0))::BIGINT AS removed_tokens,
+       coalesce(agg.txt, '') AS text_dedup
+FROM tk LEFT JOIN agg ON agg.doc_id = tk.doc_id
+ORDER BY tk.doc_id
+"""
+
+
 # ---- DSIR importance resampling (target = English slice) ----
 _DSIR_K = 100
 
@@ -13008,6 +13059,7 @@ def queries():
         "lm_perplexity": q_lm_perplexity,
         "perplexity_filter": q_perplexity_filter,
         "analyze_api": q_analyze_api,
+        "exact_substring_dedup": q_exact_substring_dedup,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "cluster_split": q_cluster_split,
@@ -13284,6 +13336,7 @@ def oracle_sql():
         "lm_perplexity": sql_lm_perplexity(),
         "perplexity_filter": sql_perplexity_filter(),
         "analyze_api": sql_analyze_api(),
+        "exact_substring_dedup": sql_exact_substring_dedup(),
         "dsir_weights": sql_dsir_weights(),
         "dsir_select": sql_dsir_select(),
         "cluster_split": sql_cluster_split(),

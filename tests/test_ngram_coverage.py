@@ -62,3 +62,62 @@ def test_coverage_brute_parity(n, ray_session):
     assert out == want
     # every doc appears exactly once, including empty/short ones
     assert sorted(out) == list(range(len(TEXTS)))
+
+
+def test_exact_substring_dedup_handcrafted():
+    """Removal semantics: the global first occurrence of a repeated
+    n-gram survives, every other occurrence's span is cut; overlapping
+    cut spans union; unique docs pass through untouched."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elasticsearch_assets_ray.ops.ngram_coverage import (
+        exact_substring_dedup,
+    )
+
+    boiler = "alpha beta gamma delta epsilon"  # the 5-gram to repeat
+    docs = [
+        (0, f"{boiler} one two three"),           # winner (min doc,pos)
+        (1, f"zero {boiler} tail"),               # loser: pos 1..5 cut
+        (2, f"{boiler} mid {boiler}"),            # loser twice
+        (3, "u1 u2 u3 u4 u5 u6"),                 # unique, untouched
+        (4, "short doc"),                          # < n tokens
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    }))
+    out = exact_substring_dedup(ds, n=5).to_pandas().set_index("doc_id")
+    assert out.loc[0, "text_dedup"] == f"{boiler} one two three"
+    assert out.loc[0, "removed_tokens"] == 0
+    assert out.loc[1, "text_dedup"] == "zero tail"
+    assert out.loc[1, "removed_tokens"] == 5
+    # doc 2: both occurrences lose (winner is doc 0) -> only "mid" stays
+    assert out.loc[2, "text_dedup"] == "mid"
+    assert out.loc[2, "removed_tokens"] == 10
+    assert out.loc[3, "text_dedup"] == "u1 u2 u3 u4 u5 u6"
+    assert out.loc[4, "text_dedup"] == "short doc"
+    assert out["n_tokens"].to_dict() == {0: 8, 1: 7, 2: 11, 3: 6, 4: 2}
+
+
+def test_exact_substring_dedup_in_doc_repeat_and_overlap():
+    """In-doc repeats count as duplicates (suffix-dedup view): the
+    second occurrence inside the SAME doc is cut; overlapping repeated
+    grams union their spans instead of double-cutting."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elasticsearch_assets_ray.ops.ngram_coverage import (
+        exact_substring_dedup,
+    )
+
+    # "a b a b a b" with n=2: grams (a b) x3 at 0,2,4 ... plus (b a) x2
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["a b a b a b"], pa.string()),
+    }))
+    out = exact_substring_dedup(ds, n=2).to_pandas()
+    # winners: (a b)@0 and (b a)@1 survive; losers (a b)@2 cut {2,3},
+    # (b a)@3 cut {3,4}, (a b)@4 cut {4,5}: kept = positions {0,1}
+    assert out.loc[0, "text_dedup"] == "a b"
+    assert out.loc[0, "removed_tokens"] == 4
