@@ -1,0 +1,215 @@
+"""BPE tokenizer induction over Ray Data — learn byte-pair-encoding
+merges from a corpus (Sennrich et al. 2016, "Neural Machine Translation
+of Rare Words with Subword Units", arXiv:1508.07909) and apply them as
+a streaming encode stage.  The induction step every LLM data pipeline
+runs at least once; the reference has no analogue (its analyzers are
+ES-side), so this extends the training-data surface like ops/lm.py.
+
+Shape:
+
+- **Word counting is the only distributed pass** — exactly the
+  :func:`..ops.lm.train_unigram_counts` exchange (per-batch Arrow
+  tokenize partials → fixed-bucket fnv1a64 reduce).  BPE learning then
+  operates on the DISTINCT-word histogram, which is vocabulary-sized
+  (Heaps' law: ~10⁶ distinct words for a 10¹¹-token corpus), not
+  corpus-sized — driver-side by design, the same posture as the LM fit.
+- **Merge learning** is the classic algorithm with the standard
+  incremental optimization: a pair→words inverted index plus delta
+  updates on merge, so each round touches only words containing the
+  merged pair.  Ties break (count desc, pair lexicographic asc) —
+  fully deterministic, no RNG.
+- **Encoding** (:class:`BPEEncoder`) is a ``map_batches`` callable that
+  memoizes the merge walk per DISTINCT word (Zipf reuse — the same
+  trick as the cached code tokenizer), applied to each batch's
+  dictionary only.
+
+End-of-word is modeled with the ``</w>`` sentinel appended to the last
+character (the original formulation), so merges never cross word
+boundaries."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_EOW = "</w>"
+
+
+def _word_symbols(word: str) -> tuple[str, ...]:
+    if not word:
+        return ()
+    return tuple(word[:-1]) + (word[-1] + _EOW,)
+
+
+def learn_bpe(
+    word_counts: dict[str, int], num_merges: int
+) -> list[tuple[str, str]]:
+    """The merge table: ``num_merges`` (left, right) pairs in learned
+    order.  Deterministic: argmax by (count desc, pair asc).  Stops
+    early when no pair occurs twice."""
+    vocab: list[list[str]] = []
+    counts: list[int] = []
+    for w in sorted(word_counts):
+        vocab.append(list(_word_symbols(w)))
+        counts.append(int(word_counts[w]))
+
+    pair_count: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+
+    def add_word_pairs(wi: int, sign: int) -> None:
+        syms, c = vocab[wi], counts[wi] * sign
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            pair_count[p] = pair_count.get(p, 0) + c
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(wi)
+
+    for wi in range(len(vocab)):
+        add_word_pairs(wi, +1)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best, best_c = None, 1
+        for p, c in pair_count.items():
+            if c > best_c or (c == best_c and best is not None and p < best):
+                best, best_c = p, c
+        if best is None:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        for wi in sorted(pair_words.get(best, ())):
+            syms = vocab[wi]
+            if len(syms) < 2:
+                continue
+            add_word_pairs(wi, -1)
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and syms[i] == best[0] and syms[i + 1] == best[1]):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[wi] = out
+            add_word_pairs(wi, +1)
+        # fully-merged-away pairs would linger at count 0
+        pair_count = {p: c for p, c in pair_count.items() if c > 0}
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first merge walk (the canonical BPE apply)."""
+    syms = list(_word_symbols(word))
+    while len(syms) > 1:
+        best_i, best_r = -1, len(ranks)
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and r < best_r:
+                best_i, best_r = i, r
+        if best_i < 0:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+class BPEEncoder:
+    """map_batches callable: per-doc BPE token count (and char-symbol
+    baseline) under a broadcast merge table.  The merge walk memoizes
+    per DISTINCT word; each batch tokenizes once with the Arrow kernel
+    and encodes only its dictionary."""
+
+    def __init__(self, merges_ref, text_col: str = "text",
+                 id_col: str = "doc_id", analyzer: str = "simple"):
+        self.merges_ref = merges_ref
+        self.text_col = text_col
+        self.id_col = id_col
+        self.analyzer = analyzer
+        self._ranks: dict[tuple[str, str], int] | None = None
+        self._cache: dict[str, int] = {}
+
+    def _get_ranks(self) -> dict[tuple[str, str], int]:
+        if self._ranks is None:
+            import ray
+
+            merges = ray.get(self.merges_ref)
+            self._ranks = {tuple(p): i for i, p in enumerate(merges)}
+        return self._ranks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..index.build import tokenize_codes_arrow
+
+        ranks = self._get_ranks()
+        n = batch.num_rows
+        terms, codes, doc_rel, dls = tokenize_codes_arrow(
+            batch.column(self.text_col), self.analyzer, 1, 64, {}
+        )
+        per_term = np.empty(len(terms), dtype=np.int64)
+        chars = np.empty(len(terms), dtype=np.int64)
+        for i, w in enumerate(terms):
+            c = self._cache.get(w)
+            if c is None:
+                c = self._cache[w] = len(encode_word(w, ranks))
+            per_term[i] = c
+            chars[i] = len(w)
+        if len(codes):
+            bpe = np.bincount(doc_rel, weights=per_term[codes].astype(
+                np.float64), minlength=n).astype(np.int64)
+            ch = np.bincount(doc_rel, weights=chars[codes].astype(
+                np.float64), minlength=n).astype(np.int64)
+        else:
+            bpe = np.zeros(n, np.int64)
+            ch = np.zeros(n, np.int64)
+        return pa.table({
+            "doc_id": batch.column(self.id_col),
+            "word_count": pa.array(np.asarray(dls, np.int64), pa.int64()),
+            "bpe_tokens": pa.array(bpe, pa.int64()),
+            "char_symbols": pa.array(ch, pa.int64()),
+        })
+
+
+def learn_bpe_from_dataset(
+    train_ds,
+    num_merges: int,
+    text_col: str = "text",
+    analyzer: str = "simple",
+    n_buckets: int = 64,
+    min_count: int = 1,
+) -> list[tuple[str, str]]:
+    """Distributed word histogram → driver-side merge learning."""
+    import ray
+
+    from .lm import train_unigram_counts
+
+    counts_ds = train_unigram_counts(train_ds, text_col=text_col,
+                                     analyzer=analyzer, n_buckets=n_buckets)
+    parts = [ray.get(r) for r in counts_ds.to_arrow_refs()]
+    t = pa.concat_tables([p for p in parts if p.num_rows])
+    wc = dict(zip(t.column("term").to_pylist(),
+                  t.column("c").to_pylist()))
+    if min_count > 1:
+        wc = {w: c for w, c in wc.items() if c >= min_count}
+    return learn_bpe(wc, num_merges)
+
+
+def bpe_token_counts(
+    ds,
+    num_merges: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "simple",
+    train_ds=None,
+):
+    """Learn merges on ``train_ds`` (default: ``ds``), broadcast the
+    table once, stream per-doc token counts."""
+    import ray
+
+    merges = learn_bpe_from_dataset(
+        train_ds if train_ds is not None else ds,
+        num_merges, text_col=text_col, analyzer=analyzer)
+    ref = ray.put(merges)
+    return ds.map_batches(
+        BPEEncoder(ref, text_col=text_col, id_col=id_col,
+                   analyzer=analyzer),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

@@ -9667,6 +9667,22 @@ ORDER BY tk.doc_id
 """
 
 
+# ---- BPE tokenizer induction (rows-only: iterative, not SQL) ----
+def q_bpe_token_stats(sf_dir: str) -> pa.Table:
+    """BPE induction + apply (ops/bpe.py): learn 200 merges from the
+    corpus word histogram (one counting exchange, driver-side
+    vocabulary-sized learning), broadcast the table, stream per-doc
+    BPE/word/char-symbol counts.  Deterministic (tie-break pinned), so
+    rows-only re-runs are stable; parity vs a naive recount reference
+    is pytest-enforced."""
+    from ..ops.bpe import bpe_token_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return to_arrow(bpe_token_counts(ds, num_merges=200)).sort_by("doc_id")
+
+
 # ---- DSIR importance resampling (target = English slice) ----
 _DSIR_K = 100
 
@@ -13060,6 +13076,7 @@ def queries():
         "perplexity_filter": q_perplexity_filter,
         "analyze_api": q_analyze_api,
         "exact_substring_dedup": q_exact_substring_dedup,
+        "bpe_token_stats": q_bpe_token_stats,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "cluster_split": q_cluster_split,
