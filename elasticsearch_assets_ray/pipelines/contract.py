@@ -9667,6 +9667,59 @@ ORDER BY tk.doc_id
 """
 
 
+# ---- distributed PCA over the embedding column ----
+def q_embedding_covariance(sf_dir: str) -> pa.Table:
+    """The PCA moment pass (ops/pca.py): per-batch (n, Σx, XᵀX)
+    partials → driver covariance — corpus-size-independent driver
+    state; oracled cell-by-cell vs a SQL self-join covariance."""
+    from ..ops.pca import covariance
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    _mean, cov, _n = covariance(ds)
+    d = cov.shape[0]
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    return pa.table({
+        "i": pa.array(ii.ravel(), pa.int64()),
+        "j": pa.array(jj.ravel(), pa.int64()),
+        "cov_r": pa.array(np.round(cov.ravel(), 4), pa.float64()),
+    })
+
+
+def sql_embedding_covariance() -> str:
+    return """
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+m AS (SELECT i, avg(v) AS mu FROM e GROUP BY i),
+n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+x AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS s
+      FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2)
+SELECT x.i, x.j,
+       round((x.s - n.n * mi.mu * mj.mu) / (n.n - 1), 4) AS cov_r
+FROM x JOIN m mi ON mi.i = x.i JOIN m mj ON mj.i = x.j, n
+ORDER BY x.i, x.j
+"""
+
+
+def q_pca_project(sf_dir: str) -> pa.Table:
+    """PCA projection (rows-only — eigenvectors aren't SQL): fit k=8 on
+    the moment pass, broadcast, stream projections; first four
+    coordinates surfaced rounded (deterministic under the pinned sign
+    convention; numpy parity is pytest-enforced)."""
+    from ..ops.pca import pca_project
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = to_arrow(pca_project(ds, k=8)).sort_by("vec_id")
+    proj = np.stack(
+        [np.asarray(x) for x in out.column("projected").to_pylist()])
+    cols = {"vec_id": out.column("vec_id")}
+    for c in range(4):
+        cols[f"p{c + 1}_r"] = pa.array(np.round(proj[:, c], 4),
+                                       pa.float64())
+    return pa.table(cols)
+
+
 # ---- BPE tokenizer induction (rows-only: iterative, not SQL) ----
 def q_bpe_token_stats(sf_dir: str) -> pa.Table:
     """BPE induction + apply (ops/bpe.py): learn 200 merges from the
@@ -13077,6 +13130,8 @@ def queries():
         "analyze_api": q_analyze_api,
         "exact_substring_dedup": q_exact_substring_dedup,
         "bpe_token_stats": q_bpe_token_stats,
+        "embedding_covariance": q_embedding_covariance,
+        "pca_project": q_pca_project,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "cluster_split": q_cluster_split,
@@ -13354,6 +13409,7 @@ def oracle_sql():
         "perplexity_filter": sql_perplexity_filter(),
         "analyze_api": sql_analyze_api(),
         "exact_substring_dedup": sql_exact_substring_dedup(),
+        "embedding_covariance": sql_embedding_covariance(),
         "dsir_weights": sql_dsir_weights(),
         "dsir_select": sql_dsir_select(),
         "cluster_split": sql_cluster_split(),
