@@ -177,8 +177,10 @@ HEADLINE = [
     # session-10 families: join-field aggs, transforms, graph, retriever
     "children_agg", "random_sampler_agg", "synonym_search",
     "transform_pivot", "graph_explore", "retriever_tree",
-    # session-12 families: nested docs, LM/DSIR scoring, leak-proof split
+    # session-12 families: nested docs, LM/DSIR scoring, leak-proof split,
+    # substring removal, BPE induction, PCA
     "nested_match", "lm_perplexity", "dsir_weights", "cluster_split",
+    "exact_substring_dedup", "bpe_token_stats", "embedding_covariance",
 ]
 
 
