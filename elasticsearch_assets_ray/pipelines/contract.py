@@ -9667,6 +9667,43 @@ ORDER BY tk.doc_id
 """
 
 
+# ---- RAG window chunking (overlapping token windows w/ provenance) ----
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+def q_chunk_windows(sf_dir: str) -> pa.Table:
+    """Overlapping-window chunking (ops/chunking.py): every doc splits
+    into window-32 / stride-24 token chunks with provenance spans —
+    pure streaming, one tokenize + vectorized expansion per batch."""
+    from ..ops.chunking import chunk_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = to_arrow(chunk_windows(ds, _CHUNK_W, _CHUNK_S))
+    return out.sort_by([("doc_id", "ascending"),
+                        ("chunk_idx", "ascending")])
+
+
+def sql_chunk_windows() -> str:
+    w, s = _CHUNK_W, _CHUNK_S
+    return f"""
+WITH tk AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '' AND len(x) <= 64) AS t
+            FROM documents),
+c AS (SELECT doc_id, t, i - 1 AS k
+      FROM tk, unnest(range(1,
+             CASE WHEN len(t) = 0 THEN 0
+                  ELSE 1 + ((greatest(len(t) - {w}, 0) + {s} - 1) // {s})
+             END + 1)) u(i))
+SELECT doc_id, k AS chunk_idx, k * {s} AS start_tok,
+       least(k * {s} + {w}, len(t)) AS end_tok,
+       array_to_string(t[k * {s} + 1 : least(k * {s} + {w}, len(t))], ' ')
+           AS text_chunk
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
 # ---- distributed PCA over the embedding column ----
 def q_embedding_covariance(sf_dir: str) -> pa.Table:
     """The PCA moment pass (ops/pca.py): per-batch (n, Σx, XᵀX)
@@ -13132,6 +13169,7 @@ def queries():
         "bpe_token_stats": q_bpe_token_stats,
         "embedding_covariance": q_embedding_covariance,
         "pca_project": q_pca_project,
+        "chunk_windows": q_chunk_windows,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "cluster_split": q_cluster_split,
@@ -13410,6 +13448,7 @@ def oracle_sql():
         "analyze_api": sql_analyze_api(),
         "exact_substring_dedup": sql_exact_substring_dedup(),
         "embedding_covariance": sql_embedding_covariance(),
+        "chunk_windows": sql_chunk_windows(),
         "dsir_weights": sql_dsir_weights(),
         "dsir_select": sql_dsir_select(),
         "cluster_split": sql_cluster_split(),
