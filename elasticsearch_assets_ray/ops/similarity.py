@@ -1110,3 +1110,93 @@ def knn_cosine_pq(
         "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
         "sim_r": pa.array(np.concatenate(out_s), pa.float64()),
     })
+
+
+def semdedup_pairs(
+    ds,
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    probes: int = 3,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 10_000,
+    seed: int = 13,
+) -> pa.Table:
+    """SemDeDup-style cluster-pruned embedding near-dup pairs (Abbas et
+    al. 2023, arXiv:2303.09540: k-means the embedding space, then look
+    for semantic duplicates only WITHIN each cluster) with MULTI-PROBE
+    assignment: every vector joins its ``probes`` closest clusters, so
+    near-threshold pairs straddling a cluster boundary still co-occur
+    somewhere (measured at sf0.01/16 clusters: recall 0.39 → 0.92 for
+    probes 1 → 3 at the mid 0.4 threshold — single-probe is the weak
+    default the LSH ops already taught us to avoid).  Candidate work is
+    Σ|cluster|² ≈ probes²/n_clusters of exact; the only exchange is one
+    groupby on the cluster id.  Remaining cross-cluster misses are the
+    (measured) recall loss — see ``approx_recall`` / BASELINE.md.
+
+    Same kernels and conventions as :func:`cosine_dup_pairs` (round to
+    4 THEN threshold, ``vec_a < vec_b``), same deterministic spherical
+    k-means as :func:`build_ivf` — so recall against the exact twin is
+    attributable to clustering alone."""
+    sample_tbl = to_arrow(ds.limit(sample_size))
+    sample = _embedding_matrix(sample_tbl, col)
+    cent = kmeans_fit(sample, n_clusters, seed=seed)
+    p_eff = min(probes, n_clusters)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        e = _embedding_matrix(batch, col)
+        nn = np.linalg.norm(e, axis=1)
+        nn[nn == 0] = 1.0
+        en = e / nn[:, None]
+        sims = en @ c.T
+        top = np.argpartition(-sims, p_eff - 1, axis=1)[:, :p_eff]
+        n = len(en)
+        rep = np.repeat(np.arange(n), p_eff)
+        return pa.table({
+            "vec_id": batch.column(id_col).take(
+                pa.array(rep, pa.int64())),
+            "unit": pa.array(list(en[rep]), pa.list_(pa.float64())),
+            "cluster": pa.array(top.ravel().astype(np.int32), pa.int32()),
+        })
+
+    def per_cluster(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy()
+        flat = g.column("unit").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        m = flat.reshape(len(ids), -1)
+        sims = np.round(m @ m.T, 4)
+        ai, bj = np.nonzero(sims >= threshold)
+        keep = ids[ai] < ids[bj]
+        return pa.table({
+            "vec_a": pa.array(ids[ai][keep].astype(np.int64), pa.int64()),
+            "vec_b": pa.array(ids[bj][keep].astype(np.int64), pa.int64()),
+            "sim_r": pa.array(sims[ai, bj][keep], pa.float64()),
+        })
+
+    out = to_arrow(
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(per_cluster, batch_format="pyarrow")
+    )
+    if out.num_rows == 0 or "vec_a" not in out.column_names:
+        return pa.table({
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "sim_r": pa.array([], pa.float64()),
+        })
+    # multi-probe can surface the same pair in several clusters — dedup
+    # on the (a, b) key (output is pair-scale, driver-side is fine)
+    a = out.column("vec_a").to_numpy()
+    b = out.column("vec_b").to_numpy()
+    s = out.column("sim_r").to_numpy()
+    order = np.lexsort((b, a))
+    a, b, s = a[order], b[order], s[order]
+    first = np.ones(len(a), dtype=bool)
+    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return pa.table({
+        "vec_a": pa.array(a[first], pa.int64()),
+        "vec_b": pa.array(b[first], pa.int64()),
+        "sim_r": pa.array(s[first], pa.float64()),
+    })

@@ -9884,12 +9884,14 @@ ORDER BY d.doc_id
 def q_split_leakage(sf_dir: str) -> pa.Table:
     """The leakage GUARD, measured: per-split doc counts plus the
     number of near-dup pairs straddling the split — zero by
-    construction for the pair set the split was built from."""
+    construction for the pair set the split was built from.  The pair
+    set materializes ONCE and feeds both the split and the scan."""
     from ..ops.split import cluster_split, split_leakage
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    assign = cluster_split(ds, _split_pairs(sf_dir), _TEST_RATE)
-    return split_leakage(assign, _split_pairs(sf_dir))
+    pairs = _split_pairs(sf_dir)  # an Arrow table — computed ONCE here
+    assign = cluster_split(ds, pairs, _TEST_RATE)
+    return split_leakage(assign, pairs)
 
 
 def sql_split_leakage() -> str:
@@ -11891,6 +11893,16 @@ def _topk_sets(tbl: pa.Table, id_col: str) -> dict[int, set[int]]:
     return out
 
 
+def q_semdedup_pairs(sf_dir: str) -> pa.Table:
+    """SemDeDup cluster-pruned near-dup pairs (rows-only; recall vs the
+    exact twin measured in `approx_recall`): one cluster-keyed
+    exchange, per-cluster exact cosine — the middle point between
+    exact all-pairs and sign-LSH (ops/similarity.py)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return sim.semdedup_pairs(ds, threshold=0.4, n_clusters=16)
+
+
 def q_approx_recall(sf_dir: str) -> pa.Table:
     """Recall of every approximate path against its EXACT in-repo twin —
     the exact pipelines ARE the oracle, so the probabilistic operators
@@ -11936,6 +11948,12 @@ def q_approx_recall(sf_dir: str) -> pa.Table:
         ("embedding_dup_lsh",
          float(len(etruth & egot) / len(etruth)) if etruth else 1.0,
          len(etruth), len(egot))
+    )
+    sgot = _pair_set(q_semdedup_pairs(sf_dir), "vec_a", "vec_b")
+    rows.append(
+        ("semdedup_pairs",
+         float(len(etruth & sgot) / len(etruth)) if etruth else 1.0,
+         len(etruth), len(sgot))
     )
     # recall restricted to HIGH-similarity truth pairs (sim ≥ 0.6) — the
     # regime real embedding dedup thresholds live in; sign-LSH recall at
@@ -13170,6 +13188,7 @@ def queries():
         "embedding_covariance": q_embedding_covariance,
         "pca_project": q_pca_project,
         "chunk_windows": q_chunk_windows,
+        "semdedup_pairs": q_semdedup_pairs,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "cluster_split": q_cluster_split,

@@ -56,6 +56,8 @@ def test_approx_recall_thresholds(ray_session):
     assert rec["minhash_pairs"] >= 0.9
     assert rec["simhash_pairs"] >= 0.7
     assert rec["embedding_dup_lsh"] >= 0.45
+    # multi-probe SemDeDup (probes=3, 16 clusters): 0.92 measured sf0.01
+    assert rec["semdedup_pairs"] >= 0.7
     if rows["embedding_dup_lsh_sim06"]["n_exact"] >= 20:
         # the high-sim regime must not be WORSE than the overall mid-
         # threshold recall (only meaningful with a real sample)
