@@ -111,3 +111,78 @@ def mixture_sample(ds, thresholds: dict[str, int],
         return b.filter(pa.array(knuth_hash_u32(ids) < row_thresh))
 
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_budget_plan(
+    ds,
+    weights_ppm: dict[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    analyzer: str = "simple",
+):
+    """Token-budget mixture planning: given target mixture WEIGHTS
+    (integer parts-per-million, the exact wire form) and a total token
+    BUDGET, measure each source's token supply (one streaming counting
+    pass — per-batch tokenize + tiny source-keyed partials) and compute
+    the integer plan:
+
+    * ``target_tokens``  = ``budget · w_s // 10⁶`` — the source's share;
+    * ``epochs_e6``      = ``target · 10⁶ // supply`` — how often the
+      source repeats in micro-epochs (> 10⁶ ⇒ UPSAMPLING: the source is
+      scarcer than its share; the standard repeated-epochs regime);
+    * ``sample_rate_e6`` = ``min(10⁶, epochs_e6)`` — the downsampling
+      rate to feed :func:`mixture_sample` (via ``rate·2³²/10⁶``).
+
+    EVERY output is integer arithmetic on exact counts — the SQL oracle
+    reproduces the plan bit-for-bit (no float division anywhere)."""
+    from ray.data.aggregate import Sum
+
+    from ..index.build import tokenize_codes_arrow
+
+    def partial(b: pa.Table) -> pa.Table:
+        _t, codes, doc_rel, dls = tokenize_codes_arrow(
+            b.column(text_col), analyzer, 1, 64, {}
+        )
+        ntok = np.asarray(dls, dtype=np.int64)
+        enc = b.column(source_col).combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        toks = np.zeros(k, np.int64)
+        np.add.at(toks, idx, ntok)
+        docs = np.bincount(idx, minlength=k).astype(np.int64)
+        return pa.table({
+            "source": enc.dictionary,
+            "n_docs": pa.array(docs, pa.int64()),
+            "n_tokens": pa.array(toks, pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_tokens", alias_name="n_tokens"))
+    )
+    import ray as _ray
+
+    parts = [_ray.get(r) for r in agg.to_arrow_refs()]
+    t = pa.concat_tables([p for p in parts if p.num_rows])
+    rows = {r["source"]: r for r in t.to_pylist()}
+    out = []
+    for s in sorted(weights_ppm):
+        w = int(weights_ppm[s])
+        supply = int(rows[s]["n_tokens"]) if s in rows else 0
+        target = budget_tokens * w // 1_000_000
+        epochs_e6 = (target * 1_000_000 // supply) if supply else 0
+        rate_e6 = min(1_000_000, epochs_e6)
+        out.append((s, int(rows[s]["n_docs"]) if s in rows else 0,
+                    supply, w, target, epochs_e6, rate_e6))
+    return pa.table({
+        "source": pa.array([r[0] for r in out], pa.string()),
+        "n_docs": pa.array([r[1] for r in out], pa.int64()),
+        "n_tokens": pa.array([r[2] for r in out], pa.int64()),
+        "weight_ppm": pa.array([r[3] for r in out], pa.int64()),
+        "target_tokens": pa.array([r[4] for r in out], pa.int64()),
+        "epochs_e6": pa.array([r[5] for r in out], pa.int64()),
+        "sample_rate_e6": pa.array([r[6] for r in out], pa.int64()),
+    })

@@ -9667,6 +9667,50 @@ ORDER BY tk.doc_id
 """
 
 
+# ---- token-budget mixture planning (integer-exact) ----
+_TBP_WEIGHTS = {"src0": 400_000, "src1": 300_000, "src2": 200_000,
+                "src3": 100_000}
+_TBP_BUDGET = 20_000
+
+
+def q_token_budget_plan(sf_dir: str) -> pa.Table:
+    """Token-budget mixture planning (ops/sampling.py): measure each
+    source's token supply in one counting pass, then the integer plan —
+    target share, micro-epochs (>1e6 ⇒ upsampling), and the
+    downsampling rate for mixture_sample.  All integer arithmetic on
+    exact counts: the oracle reproduces the plan bit-for-bit."""
+    from ..ops.sampling import token_budget_plan
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    return token_budget_plan(ds, _TBP_WEIGHTS, _TBP_BUDGET)
+
+
+def sql_token_budget_plan() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    w = ", ".join(f"('{s}', {v})" for s, v in sorted(_TBP_WEIGHTS.items()))
+    return f"""
+WITH toks AS ({toks}),
+tok_s AS (SELECT d.source, count(*)::BIGINT AS n_tokens
+          FROM toks t JOIN documents d ON d.doc_id = t.doc_id GROUP BY 1),
+doc_s AS (SELECT source, count(*)::BIGINT AS n_docs
+          FROM documents GROUP BY 1),
+w(source, weight_ppm) AS (VALUES {w})
+SELECT w.source, doc_s.n_docs, tok_s.n_tokens,
+       w.weight_ppm::BIGINT AS weight_ppm,
+       ({_TBP_BUDGET}::BIGINT * w.weight_ppm) // 1000000 AS target_tokens,
+       ((({_TBP_BUDGET}::BIGINT * w.weight_ppm) // 1000000) * 1000000)
+           // tok_s.n_tokens AS epochs_e6,
+       least(1000000,
+             ((({_TBP_BUDGET}::BIGINT * w.weight_ppm) // 1000000) * 1000000)
+                 // tok_s.n_tokens) AS sample_rate_e6
+FROM w
+JOIN tok_s ON tok_s.source = w.source
+JOIN doc_s ON doc_s.source = w.source
+ORDER BY w.source
+"""
+
+
 # ---- RAG window chunking (overlapping token windows w/ provenance) ----
 _CHUNK_W, _CHUNK_S = 32, 24
 
@@ -13189,6 +13233,7 @@ def queries():
         "pca_project": q_pca_project,
         "chunk_windows": q_chunk_windows,
         "semdedup_pairs": q_semdedup_pairs,
+        "token_budget_plan": q_token_budget_plan,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "cluster_split": q_cluster_split,
@@ -13468,6 +13513,7 @@ def oracle_sql():
         "exact_substring_dedup": sql_exact_substring_dedup(),
         "embedding_covariance": sql_embedding_covariance(),
         "chunk_windows": sql_chunk_windows(),
+        "token_budget_plan": sql_token_budget_plan(),
         "dsir_weights": sql_dsir_weights(),
         "dsir_select": sql_dsir_select(),
         "cluster_split": sql_cluster_split(),

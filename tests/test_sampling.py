@@ -99,3 +99,39 @@ def test_mixture_sample_deterministic_and_nested(ray_session):
     assert not any(i % 3 == 2 for i in hi)  # rate-0 source fully dropped
     s0 = {i for i in hi if i % 3 == 0}
     assert len(s0) == (n + 2) // 3       # rate-1 source fully kept
+
+
+def test_token_budget_plan_math(ray_session):
+    """Integer plan semantics: target = budget*w//1e6; epochs_e6 > 1e6
+    flags upsampling; rate caps at 1e6; counts exact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elasticsearch_assets_ray.ops.sampling import token_budget_plan
+    from elasticsearch_assets_ray.ops.textstats import clipped_tokens
+
+    docs = [
+        (0, "a b c d e", "big"), (1, "f g h i j", "big"),
+        (2, "k l m n o p q r s t", "big"),
+        (3, "one two", "small"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t, _ in docs], pa.string()),
+        "source": pa.array([s for _, _, s in docs], pa.string()),
+    }))
+    # supplies: big=20 tokens, small=2
+    plan = token_budget_plan(
+        ds, {"big": 250_000, "small": 750_000}, budget_tokens=40
+    ).to_pylist()
+    by = {r["source"]: r for r in plan}
+    assert by["big"]["n_tokens"] == 20 and by["big"]["n_docs"] == 3
+    assert by["small"]["n_tokens"] == 2 and by["small"]["n_docs"] == 1
+    # big: target 40*250000//1e6 = 10 of 20 -> rate 0.5e6, no upsampling
+    assert by["big"]["target_tokens"] == 10
+    assert by["big"]["epochs_e6"] == 500_000
+    assert by["big"]["sample_rate_e6"] == 500_000
+    # small: target 30 of 2 -> 15 epochs (upsampling), rate capped
+    assert by["small"]["target_tokens"] == 30
+    assert by["small"]["epochs_e6"] == 15_000_000
+    assert by["small"]["sample_rate_e6"] == 1_000_000
