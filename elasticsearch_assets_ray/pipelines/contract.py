@@ -9667,6 +9667,57 @@ ORDER BY tk.doc_id
 """
 
 
+# ---- ES _count API (non-scoring exact match count) ----
+_COUNT_Q = dict(must="table", must_not="window",
+                filter_meta={"lang": ["en", "de"]})
+
+
+def _q_count(engine) -> pa.Table:
+    return pa.table({
+        "doc_count": pa.array([engine.count(_COUNT_Q)], pa.int64()),
+    })
+
+
+def q_count_api(sf_dir: str) -> pa.Table:
+    """ES ``_count``: exact live-doc match count of a full bool-clause
+    query — one non-scoring eligibility round (no scores, no id ship);
+    the reference's world runs on ES count probes
+    (/root/reference/asset/elasticsearch_reader/elasticsearch_date_range/slicer.js)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_count(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_count_api_global(sf_dir: str) -> pa.Table:
+    """The same ``_count`` from the term-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_count(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_count_api() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks})
+SELECT count(*)::BIGINT AS doc_count
+FROM documents d
+WHERE d.lang IN ('en', 'de')
+  AND EXISTS (SELECT 1 FROM toks t
+              WHERE t.doc_id = d.doc_id AND t.t = 'table')
+  AND NOT EXISTS (SELECT 1 FROM toks t
+                  WHERE t.doc_id = d.doc_id AND t.t = 'window')
+"""
+
+
 # ---- token-budget mixture planning (integer-exact) ----
 _TBP_WEIGHTS = {"src0": 400_000, "src1": 300_000, "src2": 200_000,
                 "src3": 100_000}
@@ -13234,6 +13285,8 @@ def queries():
         "chunk_windows": q_chunk_windows,
         "semdedup_pairs": q_semdedup_pairs,
         "token_budget_plan": q_token_budget_plan,
+        "count_api": q_count_api,
+        "count_api_global": q_count_api_global,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "cluster_split": q_cluster_split,
@@ -13514,6 +13567,8 @@ def oracle_sql():
         "embedding_covariance": sql_embedding_covariance(),
         "chunk_windows": sql_chunk_windows(),
         "token_budget_plan": sql_token_budget_plan(),
+        "count_api": sql_count_api(),
+        "count_api_global": sql_count_api(),
         "dsir_weights": sql_dsir_weights(),
         "dsir_select": sql_dsir_select(),
         "cluster_split": sql_cluster_split(),

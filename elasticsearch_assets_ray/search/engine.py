@@ -4469,6 +4469,16 @@ class QueryEngine:
             for k in sorted(merged)
         ]
 
+    def count(self, query) -> int:
+        """ES ``_count``: the exact number of live documents matching
+        ``query`` (free-text match / term list / full bool-clause dict,
+        exactly like :meth:`aggregate`'s query argument) — one
+        non-scoring eligibility round via the filters-agg machinery; no
+        scores computed, no ids shipped.  Reference context: the role
+        uses ES count probes for all slicing decisions
+        (/root/reference/asset/elasticsearch_reader/elasticsearch_date_range/slicer.js)."""
+        return int(self.filters_agg({"q": query})[0]["doc_count"])
+
     def filters_agg(
         self,
         filters: dict | list[tuple],

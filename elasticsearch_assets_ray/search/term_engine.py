@@ -2134,6 +2134,12 @@ class TermPartitionedEngine:
         grammar ``filters_agg`` and ``adjacency_matrix`` share with the
         shard engine."""
         if isinstance(q, dict):
+            if q.get("filter_meta") or q.get("filter_range"):
+                # full grammar incl. docmeta filters — the lineage-scan
+                # path (its bool part routes back here meta-free)
+                got = self._matched_ids_and_source(q)
+                return got[0] if got is not None else np.empty(
+                    0, np.int64)
             try:
                 hits = self.search_bool(
                     must=q.get("must", ""),
@@ -2148,6 +2154,16 @@ class TermPartitionedEngine:
             return np.array(sorted(d for d, _ in hits), dtype=np.int64)
         got = self._matched_ids_and_source(q)
         return got[0] if got is not None else np.empty(0, np.int64)
+
+    def count(self, query) -> int:
+        """ES ``_count``: the exact number of live documents matching
+        ``query`` (free-text match / term list / full bool-clause dict,
+        exactly like :meth:`aggregate`'s query argument) — one
+        non-scoring eligibility round via the filters-agg machinery; no
+        scores computed, no ids shipped.  Reference context: the role
+        uses ES count probes for all slicing decisions
+        (/root/reference/asset/elasticsearch_reader/elasticsearch_date_range/slicer.js)."""
+        return int(self.filters_agg({"q": query})[0]["doc_count"])
 
     def filters_agg(
         self,

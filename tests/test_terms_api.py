@@ -322,3 +322,22 @@ def test_sparse_vector_parity_and_brute(engines):
                     if i < 12 or round(kv[1], 4) == kth]
         assert got == [(d, float(s)) for d, s in want], qv
         assert got_t == got, qv
+
+
+def test_count_api_both_engines(engines):
+    """ES _count: exact bool-dict match counts, incl. docmeta range
+    filters, identical on both engines and to a brute force."""
+    eng, teng, texts = engines
+    toks = [set(t.split()) for t in texts]
+    nch = [len(t) for t in texts]
+    for q, brute in [
+        (dict(must="alpha"),
+         sum(1 for ts in toks if "alpha" in ts)),
+        (dict(must="alpha", must_not="beta"),
+         sum(1 for ts in toks if "alpha" in ts and "beta" not in ts)),
+        (dict(must="alpha", filter_range={"n_chars": (20, 40)}),
+         sum(1 for ts, c in zip(toks, nch)
+             if "alpha" in ts and 20 <= c <= 40)),
+    ]:
+        assert eng.count(q) == brute, q
+        assert teng.count(q) == brute, q
