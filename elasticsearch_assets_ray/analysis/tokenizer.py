@@ -88,10 +88,39 @@ def text_tokens(text: str) -> list[str]:
     return [t for t in _SIMPLE_RE.findall(text.lower()) if t not in _STOPWORDS]
 
 
+# crude English suffix stripper for the `stem` analyzer (Porter-style
+# suffixes + final-e deletion).  Alternatives anchored at $ with
+# distinct lengths start at DIFFERENT positions for any given token, so
+# leftmost-match semantics pick the same suffix in Python re and RE2
+# (DuckDB regexp_replace) — the SQL mirror is
+# `CASE WHEN len(regexp_replace(t,'(ing|ies|ed|es|s|e)$','')) >= 2
+#       THEN regexp_replace(t,'(ing|ies|ed|es|s|e)$','') ELSE t END`.
+_STEM_RE = re.compile(r"(ing|ies|ed|es|s|e)$")
+
+
+def stem_token(tok: str) -> str:
+    """Suffix-strip one token; keep the original when the stem would
+    drop below 2 chars (never emits an empty token, so the stem stream
+    is 1:1 with the ``simple`` stream — POSITIONS ALIGN, the property
+    ``span_field_masking`` requires)."""
+    r = _STEM_RE.sub("", tok)
+    return r if len(r) >= 2 else tok
+
+
+def stem_tokens(text: str) -> list[str]:
+    """Stemmed sibling of the ``simple`` analyzer (ES multi-field
+    ``text.stems`` pattern): identical tokenization, each token mapped
+    through :func:`stem_token`.  Token COUNT and POSITIONS are identical
+    to ``simple`` over the same text, which makes a ``stem``-analyzed
+    field the canonical ``span_field_masking`` partner field."""
+    return [stem_token(t) for t in _SIMPLE_RE.findall(text.lower())]
+
+
 _REGISTRY: dict[str, Analyzer] = {
     "code": code_tokens,
     "simple": simple_tokens,
     "text": text_tokens,
+    "stem": stem_tokens,
 }
 
 # lang → analyzer name; unknown langs fall back to `code`

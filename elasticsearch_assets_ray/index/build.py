@@ -57,6 +57,7 @@ from ..analysis.tokenizer import (
     analyzer_for_lang,
     clip_tokens,
     get_analyzer,
+    stem_token,
 )
 from ..config import IndexConfig
 from .codec import (
@@ -227,7 +228,7 @@ def _tokenize_codes_unsorted(
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     n = len(text)
-    if analyzer_name == "simple":
+    if analyzer_name in ("simple", "stem"):
         la = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
     elif analyzer_name == "code":
         la = pc.split_pattern_regex(text, "[^A-Za-z0-9_]+")
@@ -254,6 +255,11 @@ def _tokenize_codes_unsorted(
             continue
         if analyzer_name == "simple":
             subs = [ident] if cfg_min <= len(ident) <= cfg_max else []
+        elif analyzer_name == "stem":
+            # per-DISTINCT-token suffix strip (clip applies to the STEM,
+            # matching clip_tokens(stem_tokens(text)) in the Python path)
+            s = stem_token(ident)
+            subs = [s] if cfg_min <= len(s) <= cfg_max else []
         else:
             cached = ident_cache.get(ident)
             if cached is None:
@@ -955,7 +961,7 @@ class BuildShard:
         out_rows = []
         cfg = self.config
         analyzer_of = _analyzers(cfg.analyzer)
-        arrow_path = cfg.analyzer in ("code", "simple")
+        arrow_path = cfg.analyzer in ("code", "simple", "stem")
         if arrow_path and not hasattr(self, "_ident_cache"):
             self._ident_cache: dict = {}
         for shard_id in descs.column("shard_id").to_pylist():

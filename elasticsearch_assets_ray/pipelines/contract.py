@@ -12356,6 +12356,230 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# --------------------------------------------------- span_field_masking
+#
+# ES span_field_masking (Lucene SpanFieldMaskingQuery): a span clause
+# over a SIBLING field — here the `stem`-analyzed field, whose token
+# stream is 1:1 with `simple` so positions align (the ES-documented
+# precondition) — masked to combine positionally inside a span query on
+# `text`.  Leaf idf comes from each leaf's REAL field's df; norms from
+# the masked-as field (Lucene's scoring caveat).  The corpus vocabulary
+# is suffix-free base words, so the stem transform here is final-e
+# deletion (merge→merg, table→tabl, value→valu); a masked leaf like
+# stem:'tabl' only matches when streams really fetch from the stem
+# field's index — a wrong-field fetch returns zero hits, which the
+# oracle catches.
+MSPAN_QUERIES: list[tuple[int, dict]] = [
+    # ordered near: text anchor then a masked stem leaf
+    (0, {"span_near": {"clauses": [
+        {"span_term": "hash"},
+        {"span_field_masking": {"query": {"span_term": "tabl"},
+                                "query_field": "stem", "field": "text"}},
+    ], "slop": 3, "in_order": True}}),
+    # unordered near: masked or-group beside a text anchor
+    (1, {"span_near": {"clauses": [
+        {"span_field_masking": {
+            "query": {"span_or": [{"span_term": "merg"},
+                                  {"span_term": "sort"}]},
+            "query_field": "stem", "field": "text"}},
+        {"span_term": "key"},
+    ], "slop": 4, "in_order": False}}),
+    # span_not: masked include slot, text exclude
+    (2, {"span_not": {
+        "include": {"span_near": {"clauses": [
+            {"span_term": "scan"},
+            {"span_field_masking": {"query": {"span_term": "valu"},
+                                    "query_field": "stem",
+                                    "field": "text"}},
+        ], "slop": 2, "in_order": True}},
+        "exclude": {"span_term": "slow"}, "pre": 1, "post": 1}}),
+    # span_multi expanding in the STEM dictionary under a mask
+    (3, {"span_near": {"clauses": [
+        {"span_field_masking": {
+            "query": {"span_multi": {"prefix": "quer",
+                                     "max_expansions": 10}},
+            "query_field": "stem", "field": "text"}},
+        {"span_term": "row"},
+    ], "slop": 5, "in_order": True}}),
+]
+
+
+def ensure_stem_index(sf_dir: str) -> str:
+    """Positional sibling FIELD index: the SAME ``documents.text``
+    column under the ``stem`` analyzer (1:1 tokens with ``simple`` →
+    aligned positions), same partition/shard plan as ``ensure_doc_index``
+    — the span_field_masking partner field."""
+    cfg = IndexConfig(
+        analyzer="stem",
+        text_col="text",
+        lang_col=None,
+        id_col="doc_id",
+        meta_cols=(),
+        partition_target_docs=128,
+        shard_target_docs=512,
+        store_positions=True,
+    )
+    out = doc_index_dir(sf_dir) + "_stemfield"
+    build_index(f"{sf_dir}/documents.parquet", out, cfg)
+    return out
+
+
+def q_span_masked_search(sf_dir: str) -> pa.Table:
+    """``span_field_masking`` on the doc-partitioned engines: the
+    multi-field engine resolves masks to field-qualified stream keys,
+    decodes each leaf's positions from its own field's aligned shard,
+    and scores with the masked-as field's norms (the reference ships
+    span bodies to ES verbatim,
+    ``/root/reference/asset/elasticsearch_reader/reader.js:7-14``)."""
+    from ..config import BM25Params
+    from ..search.multifield import MultiFieldEngine
+
+    idx = ensure_doc_index(sf_dir)
+    sidx = ensure_stem_index(sf_dir)
+    eng = MultiFieldEngine(
+        {"text": idx, "stem": sidx},
+        num_actors=4,
+        params=BM25Params(round_decimals=4),
+    )
+    try:
+        per_q = {
+            qid: eng.search_spans(tree, field="text", k=K_FETCH)
+            for qid, tree in MSPAN_QUERIES
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def q_span_masked_search_global(sf_dir: str) -> pa.Table:
+    """The SAME masked span queries from the TERM-partitioned layout:
+    masked leaves fetch postings/positions from the sibling field's own
+    term-partitioned engine (shared corpus doc-id coordinate), the
+    requirement-set conjunction gates both engines' positional rounds,
+    and norms stay with the text layout."""
+    from ..index.global_merge import merge_global_postings
+    from ..search.term_engine import TermPartitionedEngine
+
+    idx, eng = _global_engine(sf_dir)
+    sidx = ensure_stem_index(sf_dir)
+    sgdir = f"{sidx}_globalnorms"
+    if not os.path.exists(f"{sgdir}/_globalmeta.json"):
+        merge_global_postings(sidx, sgdir, n_salts=2, n_buckets=8,
+                              hot_df_fraction=0.5, store_norms=True)
+    seng = TermPartitionedEngine(sgdir, num_actors=2, round_decimals=4)
+    try:
+        per_q = {
+            qid: eng.search_spans(tree, k=K_FETCH,
+                                  mask_engines={"stem": seng},
+                                  outer_field="text")
+            for qid, tree in MSPAN_QUERIES
+        }
+    finally:
+        seng.shutdown()
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_span_masked_search() -> str:
+    """EXISTS-chain restatement of the masked span queries over TWO
+    token streams: ``toksp`` (simple) and ``tokst`` (its stemmed 1:1
+    sibling — final-e/suffix deletion, the ``stem`` analyzer verbatim in
+    RE2).  Masked leaves take df/idf from the STEM stream; dl/avgdl stay
+    with the text field (Lucene SpanFieldMaskingQuery norms caveat —
+    identical here anyway since the streams are 1:1)."""
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    idf_rows = ", ".join(
+        f"({qid}, '{f}', '{t}')" for qid, f, t in [
+            (0, "text", "hash"), (0, "stem", "tabl"),
+            (1, "stem", "merg"), (1, "stem", "sort"), (1, "text", "key"),
+            (2, "text", "scan"), (2, "stem", "valu"),  # exclude no score
+            (3, "text", "row"),                 # + dynamic quer% expansion
+        ]
+    )
+    return f"""
+WITH toksp AS ({toksp}),
+tokst AS (SELECT doc_id,
+                 CASE WHEN len(regexp_replace(t, '(ing|ies|ed|es|s|e)$', ''))
+                        >= 2
+                      THEN regexp_replace(t, '(ing|ies|ed|es|s|e)$', '')
+                      ELSE t END AS t,
+                 pos
+          FROM toksp),
+toks AS (SELECT doc_id, t FROM toksp),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT 'text' AS f, t, count(DISTINCT doc_id)::DOUBLE AS df
+       FROM toksp GROUP BY t
+       UNION ALL
+       SELECT 'stem', t, count(DISTINCT doc_id)::DOUBLE FROM tokst GROUP BY t),
+quer_terms AS (SELECT t FROM df WHERE f = 'stem' AND t LIKE 'quer%'
+               ORDER BY t LIMIT 10),
+qt(query_id, f, t) AS (VALUES {idf_rows}),
+qt_all AS (SELECT * FROM qt
+           UNION ALL SELECT 3 AS query_id, 'stem' AS f, t FROM quer_terms),
+idfs AS (SELECT qt_all.query_id,
+                sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+         FROM qt_all JOIN df ON df.f = qt_all.f AND df.t = qt_all.t, s
+         GROUP BY 1),
+pf AS (
+  -- q0: text 'hash' then stem 'tabl', ordered, gap <= 3
+  SELECT 0 AS query_id, p0.doc_id, count(DISTINCT p0.pos)::DOUBLE AS pf
+  FROM toksp p0
+  WHERE p0.t = 'hash' AND EXISTS (
+    SELECT 1 FROM tokst p1
+    WHERE p1.doc_id = p0.doc_id AND p1.t = 'tabl'
+      AND p1.pos > p0.pos AND p1.pos - p0.pos - 1 <= 3)
+  GROUP BY 2
+  UNION ALL
+  -- q1: unordered (stem merg|sort, text key), window - 2 <= 4
+  SELECT 1, doc_id, count(DISTINCT st)::DOUBLE FROM (
+    SELECT pa.doc_id, least(pa.pos, pb.pos) AS st
+    FROM tokst pa JOIN toksp pb ON pb.doc_id = pa.doc_id
+    WHERE pa.t IN ('merg', 'sort') AND pb.t = 'key'
+      AND abs(pa.pos - pb.pos) <= 5)
+  GROUP BY 2
+  UNION ALL
+  -- q2: (text scan .. stem valu, gap<=2) NOT overlapping text 'slow'
+  -- widened pre=1 post=1
+  SELECT 2, p0.doc_id, count(DISTINCT p0.pos)::DOUBLE
+  FROM toksp p0
+  WHERE p0.t = 'scan' AND EXISTS (
+    SELECT 1 FROM tokst p1
+    WHERE p1.doc_id = p0.doc_id AND p1.t = 'valu'
+      AND p1.pos > p0.pos AND p1.pos - p0.pos - 1 <= 2
+      AND NOT EXISTS (
+        SELECT 1 FROM toksp x
+        WHERE x.doc_id = p0.doc_id AND x.t = 'slow'
+          AND x.pos < p1.pos + 1 + 1 AND x.pos + 1 > p0.pos - 1))
+  GROUP BY 2
+  UNION ALL
+  -- q3: (stem quer% expansion) then text 'row', ordered, gap <= 5
+  SELECT 3, p0.doc_id, count(DISTINCT p0.pos)::DOUBLE
+  FROM tokst p0
+  WHERE p0.t IN (SELECT t FROM quer_terms) AND EXISTS (
+    SELECT 1 FROM toksp p1
+    WHERE p1.doc_id = p0.doc_id AND p1.t = 'row'
+      AND p1.pos > p0.pos AND p1.pos - p0.pos - 1 <= 5)
+  GROUP BY 2
+),
+scored AS (
+  SELECT pf.query_id, pf.doc_id,
+         idfs.idf_sum * pf.pf * ({K1} + 1)
+           / (pf.pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+  FROM pf
+  JOIN idfs ON idfs.query_id = pf.query_id
+  JOIN dl ON dl.doc_id = pf.doc_id, s
+)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
 # ES intervals contract set (match / any_of / all_of / filters) — the
 # minimal-interval algebra (Lucene IntervalQuery) the reference passes
 # through to ES untranslated.  Exact semantics in ``search/intervals.py``
@@ -13126,6 +13350,8 @@ def queries():
         "json_field_stats": q_json_field_stats,
         "span_search": q_span_search,
         "span_search_global": q_span_search_global,
+        "span_masked_search": q_span_masked_search,
+        "span_masked_search_global": q_span_masked_search_global,
         "interval_search": q_interval_search,
         "interval_search_global": q_interval_search_global,
         "collapse_search": q_collapse_search,
@@ -13412,6 +13638,8 @@ def oracle_sql():
         "json_field_stats": sql_json_field_stats(),
         "span_search": sql_span_search(),
         "span_search_global": sql_span_search(),
+        "span_masked_search": sql_span_masked_search(),
+        "span_masked_search_global": sql_span_masked_search(),
         "interval_search": sql_interval_search(),
         "interval_search_global": sql_interval_search(),
         "collapse_search": sql_collapse_search(),

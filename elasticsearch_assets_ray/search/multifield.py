@@ -100,6 +100,121 @@ class _MultiCore:
                     out[t] += int(np.count_nonzero(present & ~dead))
         return out
 
+    def expand_prefix_field(self, field: str, prefix: str,
+                            max_expansions: int) -> list[str]:
+        """First-N dictionary terms with ``prefix`` in ONE field across
+        this actor's shards (the per-actor cap is sound: the global
+        first-N in sorted order is a subset of the union of per-shard
+        first-Ns)."""
+        from .engine import prefix_expand_sorted
+
+        out: set[str] = set()
+        for s in self.shards[field]:
+            out.update(
+                prefix_expand_sorted(s.walk_term_list, prefix, max_expansions)
+            )
+        return sorted(out)[:max_expansions]
+
+    def span_topk_masked(
+        self,
+        queries: list[tuple],
+        outer_field: str,
+    ) -> list[tuple[int, np.ndarray, np.ndarray]]:
+        """Span-tree top-k where leaves may be FIELD-QUALIFIED stream
+        keys (``span_field_masking`` resolved by the coordinator —
+        ``search.spans.resolve_masks``).  Per shard, position streams
+        decode from each leaf's own field index (shard plans are
+        aligned, so local doc coordinates agree across fields); the
+        engine-agnostic span kernel evaluates the tree; scoring uses the
+        OUTER field's norms (dl/avgdl — Lucene SpanFieldMaskingQuery
+        scores with the masked-as field's norms) and the coordinator's
+        constituent idf sum (each leaf's idf from its REAL field's df).
+        queries: [(qid, resolved_tree, idf_sum, avgdl_outer, k)]."""
+        from .spans import all_terms, requirement_sets, span_freqs, split_mask_key
+        from .term_engine import subset_positions
+
+        fields = sorted(self.shards)
+        n_shards = len(next(iter(self.shards.values())))
+        k1, b = self.params.k1, self.params.b
+        out = []
+        for qid, tree, idf_sum, avgdl, k in queries:
+            reqs = requirement_sets(tree)
+            keys = sorted(all_terms(tree))
+            parts = []
+            for si in range(n_shards):
+                s_outer = self.shards[outer_field][si]
+                if s_outer.posblobs is None:
+                    raise RuntimeError(
+                        "span queries need store_positions=True indexes"
+                    )
+                dead = np.zeros(s_outer.num_docs, dtype=bool)
+                for f in fields:
+                    dead |= self.shards[f][si].deleted_mask
+                # resolve each qualified key to (ShardData, term)
+                sd_of: dict[str, tuple] = {}
+                for key in keys:
+                    f, t = split_mask_key(key)
+                    sd = self.shards[f or outer_field][si]
+                    if t in sd.terms:
+                        sd_of[key] = (sd, t)
+                empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+                decoded = {
+                    key: sd._decoded_positions(t)
+                    for key, (sd, t) in sd_of.items()
+                }
+                cand = None
+                dead_end = False
+                for rs in reqs:
+                    avail = sorted(kk for kk in rs if kk in sd_of)
+                    if not avail:
+                        dead_end = True
+                        break
+                    if len(avail) == 1:
+                        docs = decoded[avail[0]][0]
+                    else:
+                        docs = np.unique(
+                            np.concatenate([decoded[kk][0] for kk in avail])
+                        )
+                    if cand is None:
+                        cand = docs
+                    else:
+                        cand = cand[np.isin(cand, docs, assume_unique=True)]
+                    if not len(cand):
+                        dead_end = True
+                        break
+                if dead_end:
+                    parts.append(empty)
+                    continue
+                streams: dict[str, tuple] = {}
+                for key in sorted(sd_of):
+                    idx, pos, tfcum = decoded[key]
+                    tf = np.diff(tfcum)
+                    idx_s, tf_s, pos_s = subset_positions(idx, tf, pos, cand)
+                    streams[key] = (
+                        np.repeat(idx_s, tf_s).astype(np.int64),
+                        pos_s.astype(np.int64),
+                    )
+                hd, pf = span_freqs(tree, streams)
+                if len(hd):
+                    live = ~dead[hd]
+                    hd, pf = hd[live], pf[live]
+                if not len(hd):
+                    parts.append(empty)
+                    continue
+                dl = s_outer.dl[hd]
+                scores_local = idf_sum * pf * (k1 + 1.0) / (
+                    pf + k1 * (1.0 - b + b * dl / avgdl)
+                )
+                dense = np.zeros(s_outer.num_docs, dtype=np.float64)
+                dense[hd] = scores_local
+                cand2, cs = _select_topk(hd, dense, k, self.params)
+                parts.append(
+                    ((cand2 + s_outer.doc_base).astype(np.int64), cs)
+                )
+            ids, sc = merge_topk(parts, k, self.params.round_decimals)
+            out.append((qid, ids, sc))
+        return out
+
     def combined_topk(
         self,
         queries: list[tuple],
@@ -397,6 +512,75 @@ class MultiFieldEngine:
                 )
                 for a in self.actors
             ]
+        )
+        parts = [(res[0][1], res[0][2]) for res in per_actor]
+        ids, sc = merge_topk(parts, k, self.params.round_decimals)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def search_spans(
+        self, tree: dict, field: str, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Lucene span queries WITH ``span_field_masking`` (ES masks a
+        span clause over a sibling field — e.g. a ``stem``-analyzed
+        field — so it combines positionally inside a span query on
+        ``field``; the reference ships span bodies to ES verbatim,
+        ``/root/reference/asset/elasticsearch_reader/reader.js:7-14``).
+
+        Masks resolve to field-qualified stream keys at the coordinator
+        (``search.spans.resolve_masks``); ``span_multi`` prefixes expand
+        against their OWN field's dictionary (global, deterministic);
+        idf = Σ leaf idfs, each from its real field's df (Lucene
+        collects term statistics from the actual term); norms come from
+        the masked-as field (ES-documented scoring caveat).  Requires
+        position-compatible fields — the aligned-shard-plan contract
+        plus 1:1 analyzers (``simple``/``stem``)."""
+        from .spans import (
+            leaf_terms,
+            mask_key,
+            resolve_masks,
+            rewrite_multi,
+            split_mask_key,
+        )
+
+        if field not in self.infos:
+            raise KeyError(f"unknown field {field!r}")
+        tree = resolve_masks(tree, field)
+
+        def expand(prefix_key: str, mx: int) -> list[str]:
+            f, prefix = split_mask_key(prefix_key)
+            f = f or field
+            per_actor = ray.get(
+                [a.expand_prefix_field.remote(f, prefix, mx)
+                 for a in self.actors]
+            )
+            terms = sorted(set().union(*map(set, per_actor)))[:mx]
+            if f == field:
+                return terms
+            return [mask_key(f, t) for t in terms]
+
+        tree = rewrite_multi(tree, expand)
+        leaves = leaf_terms(tree)
+        if not leaves:
+            return []
+        per_field: dict[str, list[str]] = {}
+        for key in sorted(set(leaves)):
+            f, t = split_mask_key(key)
+            per_field.setdefault(f or field, []).append(t)
+        df_parts = ray.get(
+            [a.local_dfs.remote(per_field) for a in self.actors]
+        )
+        n = float(self.num_docs)
+        idf_of: dict[str, float] = {}
+        for f, ts in per_field.items():
+            for t in ts:
+                df = sum(p[f][t] for p in df_parts)
+                key = t if f == field else mask_key(f, t)
+                idf_of[key] = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        idf_sum = float(sum(idf_of[key] for key in leaves))
+        avgdl = self.infos[field].stats.avgdl
+        per_actor = ray.get(
+            [a.span_topk_masked.remote([(0, tree, idf_sum, avgdl, k)], field)
+             for a in self.actors]
         )
         parts = [(res[0][1], res[0][2]) for res in per_actor]
         ids, sc = merge_topk(parts, k, self.params.round_decimals)

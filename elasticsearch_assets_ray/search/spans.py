@@ -73,6 +73,9 @@ __all__ = [
     "leaf_terms",
     "requirement_sets",
     "rewrite_multi",
+    "resolve_masks",
+    "mask_key",
+    "split_mask_key",
     "eval_spans",
     "span_freqs",
 ]
@@ -80,10 +83,103 @@ __all__ = [
 
 def _node_kind(node: dict) -> str:
     for k in ("span_term", "span_or", "span_near", "span_first",
-              "span_not", "span_containing", "span_within", "span_multi"):
+              "span_not", "span_containing", "span_within", "span_multi",
+              "span_field_masking"):
         if k in node:
             return k
     raise ValueError(f"not a span node: {node!r}")
+
+
+# ----------------------------------------------------- span_field_masking
+#
+# ES span_field_masking (Lucene SpanFieldMaskingQuery) wraps a span
+# query over ANOTHER field of the same documents and "lies" about its
+# field so it can combine inside span_near/span_or on the outer field::
+#
+#     {"span_field_masking": {"query": <span node>,
+#                             "query_field": "stem",   # source field
+#                             "field": "text"}}        # masked-as field
+#
+# Only meaningful when the two fields produce position-compatible token
+# streams (ES documents the same caveat); the `stem` analyzer is the
+# canonical partner field here (1:1 tokens with `simple`).  Resolution
+# happens BEFORE rewrite_multi/evaluation: every leaf inside a masked
+# subtree is rewritten to a field-qualified stream key, after which the
+# whole kernel (leaf_terms / requirement_sets / eval_spans) is
+# field-oblivious again.  Scoring follows Lucene: term statistics (df →
+# idf) come from each leaf's REAL field, norms (dl/avgdl) from the
+# masked-as (outer) field.
+
+# \x02 cannot collide with analyzer tokens ([a-z0-9]+) nor with
+# index_phrases shingle terms (SHINGLE_SEP is \x1f)
+MASK_SEP = "\x02"
+
+
+def mask_key(field: str, term: str) -> str:
+    """Field-qualified stream key for a masked leaf."""
+    return f"{MASK_SEP}{field}{MASK_SEP}{term}"
+
+
+def split_mask_key(key: str) -> tuple[str | None, str]:
+    """(field, term) for a qualified key; (None, key) for a plain one."""
+    if key.startswith(MASK_SEP):
+        f, t = key[1:].split(MASK_SEP, 1)
+        return f, t
+    return None, key
+
+
+def resolve_masks(node: dict, outer_field: str) -> dict:
+    """Eliminate ``span_field_masking`` nodes by qualifying every leaf
+    (span_term term / span_multi prefix) under a mask with its source
+    field's stream key.  Validates that ``field`` (the masked-as field)
+    equals the enclosing search field — ES requires position-compatible
+    combination and our engines serve one coordinate space per query."""
+
+    def walk(n: dict, field: str | None) -> dict:
+        kind = _node_kind(n)
+        if kind == "span_field_masking":
+            spec = n["span_field_masking"]
+            masked_as = spec.get("field", outer_field)
+            if masked_as != outer_field:
+                raise ValueError(
+                    f"span_field_masking masks as {masked_as!r} but the "
+                    f"query runs on field {outer_field!r}"
+                )
+            qf = spec["query_field"]
+            return walk(spec["query"], None if qf == outer_field else qf)
+        if kind == "span_term":
+            t = n["span_term"]
+            return {"span_term": mask_key(field, t) if field else t}
+        if kind == "span_multi":
+            spec = dict(n["span_multi"])
+            if field:
+                spec["prefix"] = mask_key(field, spec["prefix"])
+            return {"span_multi": spec}
+        if kind == "span_or":
+            return {"span_or": [walk(c, field) for c in n["span_or"]]}
+        if kind == "span_near":
+            s = n["span_near"]
+            return {"span_near": {
+                "clauses": [walk(c, field) for c in s["clauses"]],
+                "slop": int(s.get("slop", 0)),
+                "in_order": bool(s.get("in_order", True)),
+            }}
+        if kind == "span_first":
+            s = n["span_first"]
+            return {"span_first": {"match": walk(s["match"], field),
+                                   "end": int(s["end"])}}
+        if kind in ("span_containing", "span_within"):
+            s = n[kind]
+            return {kind: {"big": walk(s["big"], field),
+                           "little": walk(s["little"], field)}}
+        s = n["span_not"]
+        return {"span_not": {
+            "include": walk(s["include"], field),
+            "exclude": walk(s["exclude"], field),
+            "pre": int(s.get("pre", 0)), "post": int(s.get("post", 0)),
+        }}
+
+    return walk(node, None)
 
 
 def rewrite_multi(node: dict, expand) -> dict:
@@ -91,6 +187,13 @@ def rewrite_multi(node: dict, expand) -> dict:
     leaves via ``expand(prefix, max_expansions) -> list[str]`` (the
     engine's deterministic global dictionary expansion)."""
     kind = _node_kind(node)
+    if kind == "span_field_masking":
+        raise ValueError(
+            "span_field_masking must be resolved first (resolve_masks); "
+            "masked span queries are served by the multi-field entry "
+            "points (MultiFieldEngine.search_spans / "
+            "TermPartitionedEngine.search_spans with mask_engines)"
+        )
     if kind == "span_term":
         return node
     if kind == "span_multi":

@@ -4081,7 +4081,11 @@ class TermPartitionedEngine:
         return self._phrase_score_tail(hd, pf_c.astype(np.float64), idf_sum, k,
                                        dl_term=dl_term)
 
-    def search_spans(self, tree: dict, k: int = 10) -> list[tuple[int, float]]:
+    def search_spans(
+        self, tree: dict, k: int = 10,
+        mask_engines: dict[str, "TermPartitionedEngine"] | None = None,
+        outer_field: str = "text",
+    ) -> list[tuple[int, float]]:
         """Lucene span queries over the TERM-partitioned layout — same
         tree shape, kernel and scoring as ``QueryEngine.search_spans``
         (``search.spans``; parity is structural).  The tree's
@@ -4091,11 +4095,35 @@ class TermPartitionedEngine:
         conjunction wrong, the match_phrase_prefix precedent), so only
         candidate docs' position segments cross the wire; doc lengths
         hydrate from a singleton-requirement term's retained dl column
-        when one exists, else from source docmeta point reads."""
+        when one exists, else from source docmeta point reads.
+
+        ``mask_engines`` serves ``span_field_masking``: a map of sibling
+        FIELD name → that field's own TermPartitionedEngine (same
+        corpus, position-compatible analyzer).  Masked leaves resolve to
+        field-qualified stream keys; their postings/positions fetch from
+        the sibling engine (doc ids share the corpus coordinate space),
+        idf uses the sibling field's df, and norms stay with THIS
+        (masked-as) field — Lucene SpanFieldMaskingQuery semantics."""
         from . import spans as mod
 
-        tree = mod.rewrite_multi(tree, self.expand_prefix)
-        return self._positional_tree_search(tree, k, mod)
+        if mask_engines:
+            tree = mod.resolve_masks(tree, outer_field)
+
+            def expand(prefix_key: str, mx: int) -> list[str]:
+                f, prefix = mod.split_mask_key(prefix_key)
+                if f is None:
+                    return self.expand_prefix(prefix, mx)
+                return [
+                    mod.mask_key(f, t)
+                    for t in mask_engines[f].expand_prefix(prefix, mx)
+                ]
+
+            tree = mod.rewrite_multi(tree, expand)
+        else:
+            tree = mod.rewrite_multi(tree, self.expand_prefix)
+        return self._positional_tree_search(
+            tree, k, mod, mask_engines=mask_engines
+        )
 
     def search_intervals(
         self, tree: dict, k: int = 10
@@ -4111,26 +4139,52 @@ class TermPartitionedEngine:
         tree = mod.rewrite_multi(tree, self.expand_prefix)
         return self._positional_tree_search(tree, k, mod)
 
-    def _positional_tree_search(self, tree: dict, k: int, mod):
+    def _positional_tree_search(
+        self, tree: dict, k: int, mod,
+        mask_engines: dict[str, "TermPartitionedEngine"] | None = None,
+    ):
         """Shared span/intervals serving tail: requirement-gated
-        positional fetch + the kernel module's tree evaluation."""
+        positional fetch + the kernel module's tree evaluation.  With
+        ``mask_engines``, stream keys may be field-qualified
+        (``span_field_masking``): each field's postings/positions fetch
+        from its own engine; doc ids share the corpus coordinate."""
+        from .spans import split_mask_key
+
+        def engine_of(key: str) -> tuple["TermPartitionedEngine", str]:
+            f, t = split_mask_key(key)
+            return (self, t) if f is None else (mask_engines[f], t)
+
         leaves = mod.leaf_terms(tree)
         if not leaves:
             return []
         reqs = mod.requirement_sets(tree)
-        terms = sorted(mod.all_terms(tree))
-        base = self.fetch_terms(terms, positions=False)
-        present = sorted(t for t in terms if t in base)
+        keys = sorted(mod.all_terms(tree))
+        # one non-positional fetch round per engine
+        by_field: dict[str | None, list[str]] = {}
+        for key in keys:
+            f, t = split_mask_key(key)
+            by_field.setdefault(f, []).append(key)
+        base: dict[str, tuple] = {}
+        for f, ks in by_field.items():
+            eng = self if f is None else mask_engines[f]
+            got = eng.fetch_terms(
+                [split_mask_key(kk)[1] for kk in ks], positions=False
+            )
+            for kk in ks:
+                t = split_mask_key(kk)[1]
+                if t in got:
+                    base[kk] = got[t]
+        present = sorted(kk for kk in keys if kk in base)
         cand: np.ndarray | None = None
         for rs in reqs:
-            avail = sorted(t for t in rs if t in base)
+            avail = sorted(kk for kk in rs if kk in base)
             if not avail:
                 return []
             if len(avail) == 1:
                 docs = base[avail[0]][0]
             else:
                 docs = np.unique(
-                    np.concatenate([base[t][0] for t in avail])
+                    np.concatenate([base[kk][0] for kk in avail])
                 )
             if cand is None:
                 cand = docs
@@ -4138,17 +4192,30 @@ class TermPartitionedEngine:
                 cand = cand[np.isin(cand, docs, assume_unique=True)]
             if len(cand) == 0:
                 return []
-        got = self._fetch_phrase_postings(present, cand=cand)
-        if got is None:
-            return []
-        fetched, cand = got
-        if len(cand) == 0:
-            return []
+        # one positional round per engine, all gated by the same cand
+        fetched: dict[str, tuple] = {}
+        for f, ks in by_field.items():
+            eng = self if f is None else mask_engines[f]
+            pres = sorted(
+                {split_mask_key(kk)[1] for kk in ks if kk in base}
+            )
+            if not pres:
+                continue
+            got = eng._fetch_phrase_postings(pres, cand=cand)
+            if got is None:  # pragma: no cover - present ⊆ base guards
+                return []
+            part, cand = got
+            if len(cand) == 0:
+                return []
+            for kk in ks:
+                t = split_mask_key(kk)[1]
+                if t in part:
+                    fetched[kk] = part[t]
         streams: dict[str, tuple] = {}
-        for t in present:
-            ids, _n, _d, _bl, _bm, tfs, pos = fetched[t]
+        for kk in present:
+            ids, _n, _d, _bl, _bm, tfs, pos = fetched[kk]
             ids_s, tfs_s, pos_s = subset_positions(ids, tfs, pos, cand)
-            streams[t] = (
+            streams[kk] = (
                 np.repeat(ids_s, tfs_s).astype(np.int64),
                 pos_s.astype(np.int64),
             )
@@ -4156,13 +4223,17 @@ class TermPartitionedEngine:
         if len(hd) == 0:
             return []
         idf_sum = 0.0
-        for t in leaves:  # WITH repeats — the constituent idf sum
-            df = int(base[t][2]) if t in base else 0
+        for kk in leaves:  # WITH repeats — the constituent idf sum
+            df = int(base[kk][2]) if kk in base else 0
             idf_sum += math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
         # dl hydration: a singleton requirement term's postings contain
-        # every matched doc; pick the rarest such term, else docmeta
-        singles = [next(iter(rs)) for rs in reqs
-                   if len(rs) == 1 and next(iter(rs)) in base]
+        # every matched doc; pick the rarest such UNQUALIFIED term (dls
+        # must come from THIS field's layout), else docmeta point reads
+        singles = [
+            next(iter(rs)) for rs in reqs
+            if len(rs) == 1 and next(iter(rs)) in base
+            and split_mask_key(next(iter(rs)))[0] is None
+        ]
         dl_term = (
             min(singles, key=lambda t: int(base[t][2])) if singles else None
         )

@@ -440,3 +440,206 @@ def test_global_spans_match_doc_engine(pos_index, tmp_path):
         geng.shutdown()
         gated.shutdown()
         deng.shutdown()
+
+
+# ------------------------------------------------- span_field_masking
+
+
+def test_resolve_masks_and_keys():
+    tree = {"span_near": {"clauses": [
+        {"span_term": "hash"},
+        {"span_field_masking": {"query": {"span_term": "tabl"},
+                                "query_field": "stem", "field": "text"}},
+    ], "slop": 2, "in_order": True}}
+    got = sp.resolve_masks(tree, "text")
+    c0, c1 = got["span_near"]["clauses"]
+    assert c0 == {"span_term": "hash"}
+    assert c1 == {"span_term": sp.mask_key("stem", "tabl")}
+    assert sp.split_mask_key(c1["span_term"]) == ("stem", "tabl")
+    assert sp.split_mask_key("plain") == (None, "plain")
+    # masking as a field other than the search field is rejected
+    bad = {"span_field_masking": {"query": {"span_term": "x"},
+                                  "query_field": "stem", "field": "other"}}
+    with pytest.raises(ValueError, match="masks as"):
+        sp.resolve_masks(bad, "text")
+    # query_field == outer field degrades to a plain leaf
+    same = sp.resolve_masks(
+        {"span_field_masking": {"query": {"span_term": "x"},
+                                "query_field": "text", "field": "text"}},
+        "text")
+    assert same == {"span_term": "x"}
+    # unresolved masking nodes fail loud at rewrite time
+    with pytest.raises(ValueError, match="resolve_masks"):
+        sp.rewrite_multi(bad, lambda p, m: [])
+    # span_multi prefixes qualify too
+    multi = sp.resolve_masks(
+        {"span_field_masking": {
+            "query": {"span_multi": {"prefix": "qu", "max_expansions": 5}},
+            "query_field": "stem", "field": "text"}},
+        "text")
+    assert multi["span_multi"]["prefix"] == sp.mask_key("stem", "qu")
+
+
+MASK_TEXTS = [
+    "merging tables with hash keys",          # stem: merg tabl with hash key
+    "the merge table uses a hash key",
+    "sorted values inside the table scan",
+    "hash table merge hash table",
+    "scan value scan value slow scan",
+    "query rows query rowing",
+]
+
+
+@pytest.fixture(scope="module")
+def mask_field_indexes(tmp_path_factory):
+    """Aligned (simple, stem) field indexes over the same tiny corpus."""
+    import pyarrow as pa
+
+    root = tmp_path_factory.mktemp("maskidx")
+    src = root / "docs.parquet"
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(MASK_TEXTS))),
+                  "text": MASK_TEXTS}),
+        src,
+    )
+    dirs = {}
+    for field, analyzer in (("text", "simple"), ("stem", "stem")):
+        out = root / f"idx_{field}"
+        build_index(
+            src, out,
+            IndexConfig(analyzer=analyzer, text_col="text", lang_col=None,
+                        id_col="doc_id", meta_cols=(),
+                        partition_target_docs=2,
+                        shard_target_docs=4, store_positions=True),
+        )
+        dirs[field] = str(out)
+    return dirs
+
+
+MASK_TREES = [
+    # stem 'tabl' covers 'table'/'tables' occurrences after 'hash'
+    {"span_near": {"clauses": [
+        {"span_term": "hash"},
+        {"span_field_masking": {"query": {"span_term": "tabl"},
+                                "query_field": "stem", "field": "text"}},
+    ], "slop": 1, "in_order": True}},
+    # masked or-group, unordered
+    {"span_near": {"clauses": [
+        {"span_field_masking": {
+            "query": {"span_or": [{"span_term": "merg"},
+                                  {"span_term": "sort"}]},
+            "query_field": "stem", "field": "text"}},
+        {"span_term": "hash"},
+    ], "slop": 4, "in_order": False}},
+    # span_not: masked include slot, text exclude
+    {"span_not": {
+        "include": {"span_near": {"clauses": [
+            {"span_term": "scan"},
+            {"span_field_masking": {"query": {"span_term": "valu"},
+                                    "query_field": "stem",
+                                    "field": "text"}},
+        ], "slop": 0, "in_order": True}},
+        "exclude": {"span_term": "slow"}, "pre": 1, "post": 1}},
+    # span_multi expanding in the STEM dictionary
+    {"span_near": {"clauses": [
+        {"span_field_masking": {
+            "query": {"span_multi": {"prefix": "ro", "max_expansions": 5}},
+            "query_field": "stem", "field": "text"}},
+        {"span_term": "query"},
+    ], "slop": 2, "in_order": False}},
+]
+
+
+def _naive_masked_freqs(tree, texts):
+    """doc -> tf over (simple, stem) token streams, via the naive span
+    evaluator on field-qualified keys."""
+    from elasticsearch_assets_ray.analysis.tokenizer import (
+        simple_tokens,
+        stem_tokens,
+    )
+
+    freqs = {}
+    for d, text in enumerate(texts):
+        pos_of: dict[str, list[int]] = {}
+        for i, t in enumerate(simple_tokens(text)):
+            pos_of.setdefault(t, []).append(i)
+        for i, t in enumerate(stem_tokens(text)):
+            pos_of.setdefault(sp.mask_key("stem", t), []).append(i)
+        resolved = sp.resolve_masks(tree, "text")
+
+        def expand(prefix_key, mx):
+            f, prefix = sp.split_mask_key(prefix_key)
+            terms = sorted(
+                {t for t in pos_of
+                 if sp.split_mask_key(t)[0] == f
+                 and sp.split_mask_key(t)[1].startswith(prefix)}
+            )[:mx]
+            return terms
+
+        resolved = sp.rewrite_multi(resolved, expand)
+        spans_ = _naive_spans(resolved, pos_of)
+        starts = {s for s, _ in spans_}
+        if starts:
+            freqs[d] = len(starts)
+    return freqs
+
+
+def test_masked_spans_doc_engine_vs_naive(mask_field_indexes):
+    from elasticsearch_assets_ray.search.multifield import MultiFieldEngine
+
+    eng = MultiFieldEngine(mask_field_indexes, num_actors=2)
+    try:
+        for tree in MASK_TREES:
+            got = dict(eng.search_spans(tree, field="text", k=100))
+            want = _naive_masked_freqs(tree, MASK_TEXTS)
+            assert set(got) == set(want), tree
+        # canary: a stem-only term on the TEXT field matches nothing —
+        # proof streams really fetch from the sibling index
+        naked = {"span_near": {"clauses": [
+            {"span_term": "hash"}, {"span_term": "tabl"},
+        ], "slop": 1, "in_order": True}}
+        assert eng.search_spans(naked, field="text", k=100) == []
+        assert dict(eng.search_spans(MASK_TREES[0], field="text", k=100))
+    finally:
+        eng.shutdown()
+
+
+def test_masked_spans_term_engine_parity(mask_field_indexes, tmp_path):
+    """Masked span serving from TWO term-partitioned layouts is
+    rank+score identical to the multi-field shard engine, plain and
+    forced-gated."""
+    from elasticsearch_assets_ray.index.global_merge import (
+        merge_global_postings,
+    )
+    from elasticsearch_assets_ray.search.multifield import MultiFieldEngine
+    from elasticsearch_assets_ray.search.term_engine import (
+        TermPartitionedEngine,
+    )
+
+    gdirs = {}
+    for f, d in mask_field_indexes.items():
+        out = tmp_path / f"glb_{f}"
+        merge_global_postings(d, out, n_salts=2, n_buckets=4,
+                              store_norms=True)
+        gdirs[f] = out
+    deng = MultiFieldEngine(mask_field_indexes, num_actors=2)
+    geng = TermPartitionedEngine(gdirs["text"], num_actors=2)
+    gstem = TermPartitionedEngine(gdirs["stem"], num_actors=1)
+    gated = TermPartitionedEngine(gdirs["text"], num_actors=2)
+    gated.CACHE_MAX_POSTINGS = 0
+    gated.PHRASE_GATE_FRAC = 10.0
+    try:
+        for tree in MASK_TREES:
+            want = deng.search_spans(tree, field="text", k=100)
+            for eng in (geng, gated):
+                got = eng.search_spans(
+                    tree, k=100, mask_engines={"stem": gstem},
+                    outer_field="text")
+                assert [d for d, _ in got] == [d for d, _ in want], tree
+                for (_, s1), (_, s2) in zip(got, want):
+                    assert abs(s1 - s2) < 1e-9, tree
+    finally:
+        deng.shutdown()
+        geng.shutdown()
+        gstem.shutdown()
+        gated.shutdown()

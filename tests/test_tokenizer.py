@@ -72,3 +72,59 @@ def test_analyze_api_shape_and_offsets():
     rows = analyze("the cat and the hat", "text")
     assert [r["token"] for r in rows] == ["cat", "hat"]
     assert [r["position"] for r in rows] == [0, 1]
+
+
+def test_stem_analyzer_aligns_with_simple():
+    """`stem` is 1:1 with `simple` (the span_field_masking position
+    contract) and the arrow build path matches the registry function."""
+    import pyarrow as pa
+
+    from elasticsearch_assets_ray.analysis.tokenizer import (
+        clip_tokens,
+        get_analyzer,
+        stem_token,
+    )
+    from elasticsearch_assets_ray.index.build import tokenize_codes_arrow
+
+    texts = [
+        "Merging tables with hashed keys!",
+        "bodies of caches going s a es dress",
+        "the query rows rowing value",
+        "",
+    ]
+    simple = get_analyzer("simple")
+    stem = get_analyzer("stem")
+    for t in texts:
+        s_toks, m_toks = simple(t), stem(t)
+        assert len(s_toks) == len(m_toks)
+        assert m_toks == [stem_token(x) for x in s_toks]
+    assert [stem_token(t) for t in
+            ["merging", "bodies", "caches", "table", "dress", "es", "as"]
+            ] == ["merg", "bod", "cach", "tabl", "dres", "es", "as"]
+    terms, codes, rel, dls = tokenize_codes_arrow(
+        pa.array(texts), "stem", 1, 64, {}
+    )
+    got = [[terms[c] for c, r in zip(codes, rel) if r == i]
+           for i in range(len(texts))]
+    want = [clip_tokens(stem(t), 1, 64) for t in texts]
+    assert got == want
+
+
+def test_stem_matches_duckdb_regexp():
+    """The RE2 expression embedded in the masked-span SQL oracle is the
+    stem_token function verbatim (leftmost-match agreement)."""
+    import duckdb
+
+    from elasticsearch_assets_ray.analysis.tokenizer import stem_token
+
+    toks = ["merging", "bodies", "caches", "table", "dress", "es", "as",
+            "value", "the", "a", "sort", "keys", "going", "ss", "se",
+            "tries", "freed", "sees", "blues", "queue", "rowing"]
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT CASE WHEN len(regexp_replace(t, '(ing|ies|ed|es|s|e)$', ''))"
+        " >= 2 THEN regexp_replace(t, '(ing|ies|ed|es|s|e)$', '') ELSE t END"
+        " FROM (SELECT unnest(?) AS t)",
+        [toks],
+    ).fetchall()
+    assert [g[0] for g in got] == [stem_token(t) for t in toks]
