@@ -46,7 +46,18 @@ def learn_bpe(
 ) -> list[tuple[str, str]]:
     """The merge table: ``num_merges`` (left, right) pairs in learned
     order.  Deterministic: argmax by (count desc, pair asc).  Stops
-    early when no pair occurs twice."""
+    early when no pair occurs twice.
+
+    The per-round argmax is a LAZY-DELETION HEAP over ``(-count, pair)``
+    (stale entries validate against the live count on pop), so a round
+    costs O(touched·log P) instead of the O(P) full-dictionary scan —
+    measured ~30× on the 100k-word × 1000-merge benchmark (BASELINE.md),
+    which is what makes 32k-merge production vocabularies feasible
+    driver-side.  Heap order ``(-c, pair)`` pops (count desc, pair asc)
+    — exactly the scan's tie rule, so merge tables are unchanged
+    (parity-tested against the naive recount reference)."""
+    import heapq
+
     vocab: list[list[str]] = []
     counts: list[int] = []
     for w in sorted(word_counts):
@@ -56,32 +67,41 @@ def learn_bpe(
     pair_count: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
 
-    def add_word_pairs(wi: int, sign: int) -> None:
+    def add_word_pairs(wi: int, sign: int, touched: set | None = None) -> None:
         syms, c = vocab[wi], counts[wi] * sign
         for a, b in zip(syms, syms[1:]):
             p = (a, b)
             pair_count[p] = pair_count.get(p, 0) + c
             if sign > 0:
                 pair_words.setdefault(p, set()).add(wi)
+            if touched is not None:
+                touched.add(p)
 
     for wi in range(len(vocab)):
         add_word_pairs(wi, +1)
 
+    heap = [(-c, p) for p, c in pair_count.items() if c > 1]
+    heapq.heapify(heap)
+
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        best, best_c = None, 1
-        for p, c in pair_count.items():
-            if c > best_c or (c == best_c and best is not None and p < best):
-                best, best_c = p, c
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_count.get(p, 0) == -negc:
+                best = p
+                break
+            # stale entry (count changed since push) — drop
         if best is None:
             break
         merges.append(best)
         joined = best[0] + best[1]
+        touched: set = set()
         for wi in sorted(pair_words.get(best, ())):
             syms = vocab[wi]
             if len(syms) < 2:
                 continue
-            add_word_pairs(wi, -1)
+            add_word_pairs(wi, -1, touched)
             out, i = [], 0
             while i < len(syms):
                 if (i + 1 < len(syms)
@@ -92,9 +112,14 @@ def learn_bpe(
                     out.append(syms[i])
                     i += 1
             vocab[wi] = out
-            add_word_pairs(wi, +1)
-        # fully-merged-away pairs would linger at count 0
-        pair_count = {p: c for p, c in pair_count.items() if c > 0}
+            add_word_pairs(wi, +1, touched)
+        for p in touched:
+            c = pair_count.get(p, 0)
+            if c <= 0:
+                pair_count.pop(p, None)  # fully merged away
+            elif c > 1:
+                heapq.heappush(heap, (-c, p))
+        pair_count.pop(best, None)
     return merges
 
 

@@ -39,23 +39,44 @@ from ..index.build import in_doc_positions, tokenize_codes_arrow
 _POLY = np.uint64(0x9E3779B97F4A7C15)  # odd → bijective mixing mod 2^64
 
 
+_POLY2 = np.uint64(0xC2B2AE3D27D4EB4F)  # second, independent channel
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — derives the second hash
+    channel's per-term values from the fnv ones (uint64 in/out)."""
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
 def _gram_rows(
     batch: pa.Table, n: int, analyzer: str, clip: tuple[int, int],
     text_col: str, id_col: str, n_buckets: int,
+    gram_identity: str = "exact",
 ) -> pa.Table:
     import pyarrow.compute as pc
 
     from ..index.global_merge import _fnv1a64_vec
 
+    hash_id = gram_identity == "hash128"
     terms, codes, rel, dls = tokenize_codes_arrow(
         batch.column(text_col), analyzer, clip[0], clip[1], {}
     )
     doc_ids = batch.column(id_col).to_numpy()
+    nd = len(doc_ids)
+    id_cols_dl = (
+        {"g1": pa.array(np.zeros(nd, np.int64)),
+         "g2": pa.array(np.zeros(nd, np.int64))}
+        if hash_id else {"gram": pa.array([""] * nd, pa.string())}
+    )
     out_dl = pa.table({
         "doc_id": pa.array(doc_ids, pa.int64()),
-        "kind": pa.array(np.zeros(len(doc_ids), np.int8)),
+        "kind": pa.array(np.zeros(nd, np.int8)),
         "val": pa.array(np.asarray(dls, dtype=np.int64)),
-        "gram": pa.array([""] * len(doc_ids), pa.string()),
+        **id_cols_dl,
         "bucket": pa.array(
             np.asarray(doc_ids, np.int64) % n_buckets, pa.int32()
         ),
@@ -67,26 +88,49 @@ def _gram_rows(
     pos = in_doc_positions(rel)
     m = ntok - n + 1
     same_doc = rel[:m] == rel[n - 1:]
-    # exact gram strings (identity) + hashed route bucket (placement)
-    tok = pc.take(pa.array(terms, pa.string()), pa.array(codes, pa.int64()))
-    parts = [tok.slice(i, m) for i in range(n)]
-    gram = pc.binary_join_element_wise(*parts, " ")
     th = _fnv1a64_vec(pa.array(terms, pa.string()))
     h_tok = th[codes]
-    g = np.zeros(m, dtype=np.uint64)
-    for i in range(n):
-        g = g * _POLY + h_tok[i: i + m]
+    with np.errstate(over="ignore"):
+        g = np.zeros(m, dtype=np.uint64)
+        for i in range(n):
+            g = g * _POLY + h_tok[i: i + m]
     keep = same_doc
-    if not keep.all():
-        gram = pc.filter(gram, pa.array(keep))
+    if hash_id:
+        # 128-bit identity: two independent polynomial channels over
+        # per-term hashes (fnv / splitmix64∘fnv, distinct odd
+        # multipliers) — 16 wire bytes per occurrence instead of the
+        # exact gram string.  Random-input collision odds ≈ K²/2^129
+        # over K distinct grams; adversarial inputs can collide by
+        # construction (polynomial hashes) — use gram_identity="exact"
+        # when that matters.
+        h2_tok = _splitmix64(th)[codes]
+        with np.errstate(over="ignore"):
+            g2 = np.zeros(m, dtype=np.uint64)
+            for i in range(n):
+                g2 = g2 * _POLY2 + h2_tok[i: i + m]
+        g2 = g2[keep]
+        gram = None
+    else:
+        # exact gram strings (identity) + hashed route bucket (placement)
+        tok = pc.take(pa.array(terms, pa.string()),
+                      pa.array(codes, pa.int64()))
+        parts = [tok.slice(i, m) for i in range(n)]
+        gram = pc.binary_join_element_wise(*parts, " ")
+        if not keep.all():
+            gram = pc.filter(gram, pa.array(keep))
     g = g[keep]
     gdoc = doc_ids[rel[:m][keep]]
     gpos = pos[:m][keep]
+    id_cols = (
+        {"g1": pa.array(g.view(np.int64)),
+         "g2": pa.array(g2.view(np.int64))}
+        if hash_id else {"gram": gram}
+    )
     grams_tbl = pa.table({
         "doc_id": pa.array(gdoc.astype(np.int64), pa.int64()),
         "kind": pa.array(np.ones(len(g), np.int8)),
         "val": pa.array(gpos.astype(np.int64)),
-        "gram": gram,
+        **id_cols,
         "bucket": pa.array(
             (g % np.uint64(n_buckets)).astype(np.int32), pa.int32()
         ),
@@ -94,30 +138,50 @@ def _gram_rows(
     return pa.concat_tables([out_dl, grams_tbl])
 
 
+def _gram_sort_keys(group: pa.Table) -> tuple:
+    """Gram-identity sort keys for a gram-bucket group: the exact-string
+    path dictionary-encodes once; the hash128 path sorts its two int64
+    channels directly (no string materialization anywhere)."""
+    if "gram" in group.column_names:
+        enc = group.column("gram").combine_chunks().dictionary_encode()
+        return (enc.indices.to_numpy(zero_copy_only=False)
+                .astype(np.int64),)
+    return (group.column("g1").to_numpy(), group.column("g2").to_numpy())
+
+
+def _run_boundaries(keys: tuple, order: np.ndarray) -> np.ndarray:
+    """Boolean new-run mask over sorted order for composite keys."""
+    first = keys[0][order]
+    new = np.ones(len(first), dtype=bool)
+    new[1:] = first[1:] != first[:-1]
+    for kx in keys[1:]:
+        kxo = kx[order]
+        new[1:] |= kxo[1:] != kxo[:-1]
+    return new
+
+
 def _dup_gram_positions(group: pa.Table) -> pa.Table:
     """Per gram-bucket: (doc_id, pos) rows of grams occurring in ≥ 2
-    DISTINCT docs (exact string identity via factorize + lexsort)."""
-    import pyarrow.compute as pc
-
-    enc = group.column("gram").combine_chunks().dictionary_encode()
-    gc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    DISTINCT docs — gram identity is the exact string (factorized once)
+    or the two hash128 channels, per :func:`_gram_sort_keys`."""
+    keys = _gram_sort_keys(group)
     doc = group.column("doc_id").to_numpy()
     pos = group.column("val").to_numpy()
-    order = np.lexsort((doc, gc))
-    gs, ds_ = gc[order], doc[order]
-    new_pair = np.ones(len(gs), dtype=bool)
-    new_pair[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
-    new_gram = np.ones(len(gs), dtype=bool)
-    new_gram[1:] = gs[1:] != gs[:-1]
+    order = np.lexsort((doc,) + keys)
+    new_gram = _run_boundaries(keys, order)
+    ds_ = doc[order]
+    new_pair = new_gram.copy()
+    new_pair[1:] |= ds_[1:] != ds_[:-1]
     # distinct docs per gram = pairs per gram run
     gram_starts = np.nonzero(new_gram)[0]
+    run_lens = np.diff(np.concatenate([gram_starts, [len(ds_)]]))
     pair_cum = np.cumsum(new_pair)
     docs_per_gram = np.diff(
         np.concatenate([pair_cum[gram_starts] - new_pair[gram_starts],
                         [pair_cum[-1]]])
     )
-    dup_codes = gs[gram_starts[docs_per_gram >= 2]]
-    dup = np.isin(gc, dup_codes)
+    dup = np.empty(len(ds_), dtype=bool)
+    dup[order] = np.repeat(docs_per_gram >= 2, run_lens)
     return pa.table({
         "doc_id": pa.array(doc[dup].astype(np.int64), pa.int64()),
         "pos": pa.array(pos[dup].astype(np.int64), pa.int64()),
@@ -165,19 +229,15 @@ def _loser_gram_positions(group: pa.Table) -> pa.Table:
     occurs ≥ 2 times (in-doc repeats count — the suffix-dedup view),
     EXCEPT the global first occurrence (min (doc_id, pos)); a gram lands
     wholly in one bucket, so the in-bucket winner IS the global one."""
-    enc = group.column("gram").combine_chunks().dictionary_encode()
-    gc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = _gram_sort_keys(group)
     doc = group.column("doc_id").to_numpy()
     pos = group.column("val").to_numpy()
-    order = np.lexsort((pos, doc, gc))
-    gs = gc[order]
-    first = np.ones(len(gs), dtype=bool)
-    first[1:] = gs[1:] != gs[:-1]
+    order = np.lexsort((pos, doc) + keys)
+    first = _run_boundaries(keys, order)
     starts = np.nonzero(first)[0]
-    runs = np.diff(np.concatenate([starts, [len(gs)]]))
     # winners of singleton grams aren't losers; winners of dup grams
     # keep their copy; everything else is removed
-    lose = np.ones(len(gs), dtype=bool)
+    lose = np.ones(len(first), dtype=bool)
     lose[starts] = False  # winner of each run
     keep_idx = order[lose]
     return pa.table({
@@ -247,6 +307,7 @@ def exact_substring_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    gram_identity: str = "exact",
 ):
     """Exact-substring deduplication (the REMOVAL step of Lee et al.
     2021, arXiv:2107.06499, at word-n-gram granularity): every n-gram
@@ -261,11 +322,18 @@ def exact_substring_dedup(
     hashed routing) emits loser occurrences; a second doc-keyed exchange
     co-locates them with their documents, which re-tokenize once and
     strip spans with one diff+cumsum pass.  No floats anywhere — the
-    oracle comparison is exact strings and integers."""
+    oracle comparison is exact strings and integers.
+
+    ``gram_identity="hash128"`` replaces the exact gram strings on the
+    wire with a 128-bit two-channel polynomial hash (16 bytes per
+    occurrence vs the n-token string — ~4× less exchange volume at
+    n=5, and the in-bucket factorize becomes an integer lexsort);
+    random-input collision odds ≈ K²/2^129 over K distinct grams,
+    disclosed in :func:`_gram_rows`."""
 
     def extract(batch: pa.Table) -> pa.Table:
         return _gram_rows(batch, n, analyzer, clip, text_col, id_col,
-                          n_buckets)
+                          n_buckets, gram_identity)
 
     rows = ds.map_batches(extract, batch_format="pyarrow",
                           zero_copy_batch=True)
@@ -314,16 +382,19 @@ def duplicate_ngram_coverage(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    gram_identity: str = "exact",
 ):
     """Dataset of documents → per-doc duplicate-n-gram coverage rows
     (doc_id, n_tokens, covered_tokens, coverage).  Two fixed-bucket
     exchanges (gram buckets, then doc buckets); every kernel is
     lexsort/reduceat-vectorized.  ``n_buckets`` caps any single group's
-    memory at ~corpus_grams/n_buckets — raise it for larger corpora."""
+    memory at ~corpus_grams/n_buckets — raise it for larger corpora.
+    ``gram_identity="hash128"``: 16-byte hashed gram identity instead of
+    exact strings (collision bound disclosed in :func:`_gram_rows`)."""
 
     def extract(batch: pa.Table) -> pa.Table:
         return _gram_rows(batch, n, analyzer, clip, text_col, id_col,
-                          n_buckets)
+                          n_buckets, gram_identity)
 
     rows = ds.map_batches(extract, batch_format="pyarrow",
                           zero_copy_batch=True)

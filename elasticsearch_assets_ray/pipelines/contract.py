@@ -9632,6 +9632,20 @@ def q_exact_substring_dedup(sf_dir: str) -> pa.Table:
     return out.sort_by("doc_id")
 
 
+def q_exact_substring_dedup_hash(sf_dir: str) -> pa.Table:
+    """The SAME removal with ``gram_identity="hash128"``: gram identity
+    travels as a two-channel 128-bit polynomial hash (16 wire bytes per
+    occurrence instead of the exact 5-gram string — ~4× less exchange
+    volume; collision bound disclosed in ops/ngram_coverage.py).
+    Checked against the SAME exact-string SQL oracle, so any identity
+    collision at contract scale would fail the hash gate."""
+    from ..ops.ngram_coverage import exact_substring_dedup
+
+    out = to_arrow(exact_substring_dedup(
+        _docs(sf_dir), n=_ESD_N, gram_identity="hash128"))
+    return out.sort_by("doc_id")
+
+
 def sql_exact_substring_dedup() -> str:
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(_ESD_N))
     return f"""
@@ -13505,6 +13519,7 @@ def queries():
         "perplexity_filter": q_perplexity_filter,
         "analyze_api": q_analyze_api,
         "exact_substring_dedup": q_exact_substring_dedup,
+        "exact_substring_dedup_hash": q_exact_substring_dedup_hash,
         "bpe_token_stats": q_bpe_token_stats,
         "embedding_covariance": q_embedding_covariance,
         "pca_project": q_pca_project,
@@ -13792,6 +13807,7 @@ def oracle_sql():
         "perplexity_filter": sql_perplexity_filter(),
         "analyze_api": sql_analyze_api(),
         "exact_substring_dedup": sql_exact_substring_dedup(),
+        "exact_substring_dedup_hash": sql_exact_substring_dedup(),
         "embedding_covariance": sql_embedding_covariance(),
         "chunk_windows": sql_chunk_windows(),
         "token_budget_plan": sql_token_budget_plan(),

@@ -121,3 +121,33 @@ def test_exact_substring_dedup_in_doc_repeat_and_overlap():
     # (b a)@3 cut {3,4}, (a b)@4 cut {4,5}: kept = positions {0,1}
     assert out.loc[0, "text_dedup"] == "a b"
     assert out.loc[0, "removed_tokens"] == 4
+
+
+@pytest.mark.parametrize("n", [2, 5])
+def test_hash128_identity_matches_exact(n, ray_session):
+    """gram_identity="hash128" (16-byte two-channel polynomial keys on
+    the wire) produces IDENTICAL coverage and removal output to the
+    exact-string path on the adversarial fixture set."""
+    import ray.data as rd
+
+    from elasticsearch_assets_ray.ops.ngram_coverage import (
+        exact_substring_dedup,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+        "text": pa.array(TEXTS, pa.string()),
+    }))
+
+    def norm(pipe):
+        rows = sorted(pipe.take_all(), key=lambda r: r["doc_id"])
+        return rows
+
+    a = norm(duplicate_ngram_coverage(ds, n=n, n_buckets=4))
+    b = norm(duplicate_ngram_coverage(ds, n=n, n_buckets=4,
+                                      gram_identity="hash128"))
+    assert a == b
+    c = norm(exact_substring_dedup(ds, n=n, n_buckets=4))
+    d = norm(exact_substring_dedup(ds, n=n, n_buckets=4,
+                                   gram_identity="hash128"))
+    assert c == d
