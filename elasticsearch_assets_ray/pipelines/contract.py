@@ -12594,6 +12594,145 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ------------------------------------------- span_multi wrapper kinds
+#
+# ES SpanMultiTermQueryWrapper wraps ANY multi-term query — prefix
+# (already in SPAN_QUERIES q3), wildcard, regexp, fuzzy.  Expansion is
+# the engines' deterministic global dictionary walk (term-order cap;
+# fuzzy caps (distance asc, term asc) with plain Levenshtein — the
+# DuckDB oracle's function); each expansion member contributes to the
+# constituent idf sum exactly like an explicit span_or.
+SPAN_MULTI_QUERIES: list[tuple[int, dict]] = [
+    # wildcard wrapper (s?a* → scan/small/spark) before 'join'
+    (0, {"span_near": {"clauses": [
+        {"span_multi": {"wildcard": "s?a*", "max_expansions": 50}},
+        {"span_term": "join"},
+    ], "slop": 3, "in_order": True}}),
+    # regexp wrapper ((so|sc).* → scan/sort) unordered beside 'key'
+    (1, {"span_near": {"clauses": [
+        {"span_multi": {"regexp": "(so|sc).*", "max_expansions": 50}},
+        {"span_term": "key"},
+    ], "slop": 4, "in_order": False}}),
+    # fuzzy wrapper (jion~2 → join) before 'table'
+    (2, {"span_near": {"clauses": [
+        {"span_multi": {"fuzzy": "jion", "fuzziness": 2,
+                        "max_expansions": 10}},
+        {"span_term": "table"},
+    ], "slop": 2, "in_order": True}}),
+]
+
+
+def q_span_multi_kinds(sf_dir: str) -> pa.Table:
+    """``span_multi`` over wildcard / regexp / fuzzy wrapped queries
+    (ES SpanMultiTermQueryWrapper — the reference ships span bodies to
+    ES verbatim): each wrapper rewrites to the span_or of its global
+    deterministic expansion before the fan-out."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_spans(tree, k=K_FETCH)
+            for qid, tree in SPAN_MULTI_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def q_span_multi_kinds_global(sf_dir: str) -> pa.Table:
+    """The SAME wrapped span_multi queries from the TERM-partitioned
+    layout (bucket-dictionary walks; layout-deterministic expansions
+    identical to the doc engine's — tested)."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        per_q = {
+            qid: eng.search_spans(tree, k=K_FETCH)
+            for qid, tree in SPAN_MULTI_QUERIES
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def sql_span_multi_kinds() -> str:
+    """EXISTS-chain oracle with the three expansion sets restated as
+    dictionary predicates (LIKE with ``*``→``%``/``?``→``_``, RE2
+    full-match, levenshtein ≤ fuzziness).  Expansion caps (50/50/10)
+    exceed the match counts at every contract scale, so the uncapped
+    SQL sets coincide with the engines' capped walks."""
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    idf_rows = ", ".join(
+        f"({qid}, '{t}')" for qid, t in
+        [(0, "join"), (1, "key"), (2, "table")]
+    )
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT t, count(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY t),
+wc_terms AS (SELECT t FROM df WHERE t LIKE 's_a%' ORDER BY t LIMIT 50),
+re_terms AS (SELECT t FROM df WHERE regexp_full_match(t, '(so|sc).*')
+             ORDER BY t LIMIT 50),
+fz_terms AS (SELECT t FROM df WHERE levenshtein(t, 'jion') <= 2
+             ORDER BY t LIMIT 10),
+qt(query_id, t) AS (VALUES {idf_rows}),
+qt_all AS (SELECT * FROM qt
+           UNION ALL SELECT 0, t FROM wc_terms
+           UNION ALL SELECT 1, t FROM re_terms
+           UNION ALL SELECT 2, t FROM fz_terms),
+idfs AS (SELECT qt_all.query_id,
+                sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+         FROM qt_all JOIN df ON df.t = qt_all.t, s GROUP BY 1),
+pf AS (
+  -- q0: (s?a* expansion) then 'join', ordered, gap <= 3
+  SELECT 0 AS query_id, p0.doc_id, count(DISTINCT p0.pos)::DOUBLE AS pf
+  FROM toksp p0
+  WHERE p0.t IN (SELECT t FROM wc_terms) AND EXISTS (
+    SELECT 1 FROM toksp p1
+    WHERE p1.doc_id = p0.doc_id AND p1.t = 'join'
+      AND p1.pos > p0.pos AND p1.pos - p0.pos - 1 <= 3)
+  GROUP BY 2
+  UNION ALL
+  -- q1: unordered ((so|sc).* expansion, key), window - 2 <= 4
+  SELECT 1, doc_id, count(DISTINCT st)::DOUBLE FROM (
+    SELECT pa.doc_id, least(pa.pos, pb.pos) AS st
+    FROM toksp pa JOIN toksp pb ON pb.doc_id = pa.doc_id
+    WHERE pa.t IN (SELECT t FROM re_terms) AND pb.t = 'key'
+      AND abs(pa.pos - pb.pos) <= 5)
+  GROUP BY 2
+  UNION ALL
+  -- q2: (jion~2 expansion) then 'table', ordered, gap <= 2
+  SELECT 2, p0.doc_id, count(DISTINCT p0.pos)::DOUBLE
+  FROM toksp p0
+  WHERE p0.t IN (SELECT t FROM fz_terms) AND EXISTS (
+    SELECT 1 FROM toksp p1
+    WHERE p1.doc_id = p0.doc_id AND p1.t = 'table'
+      AND p1.pos > p0.pos AND p1.pos - p0.pos - 1 <= 2)
+  GROUP BY 2
+),
+scored AS (
+  SELECT pf.query_id, pf.doc_id,
+         idfs.idf_sum * pf.pf * ({K1} + 1)
+           / (pf.pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+  FROM pf
+  JOIN idfs ON idfs.query_id = pf.query_id
+  JOIN dl ON dl.doc_id = pf.doc_id, s
+)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
 # ES intervals contract set (match / any_of / all_of / filters) — the
 # minimal-interval algebra (Lucene IntervalQuery) the reference passes
 # through to ES untranslated.  Exact semantics in ``search/intervals.py``
@@ -13366,6 +13505,8 @@ def queries():
         "span_search_global": q_span_search_global,
         "span_masked_search": q_span_masked_search,
         "span_masked_search_global": q_span_masked_search_global,
+        "span_multi_kinds": q_span_multi_kinds,
+        "span_multi_kinds_global": q_span_multi_kinds_global,
         "interval_search": q_interval_search,
         "interval_search_global": q_interval_search_global,
         "collapse_search": q_collapse_search,
@@ -13655,6 +13796,8 @@ def oracle_sql():
         "span_search_global": sql_span_search(),
         "span_masked_search": sql_span_masked_search(),
         "span_masked_search_global": sql_span_masked_search(),
+        "span_multi_kinds": sql_span_multi_kinds(),
+        "span_multi_kinds_global": sql_span_multi_kinds(),
         "interval_search": sql_interval_search(),
         "interval_search_global": sql_interval_search(),
         "collapse_search": sql_collapse_search(),

@@ -3751,7 +3751,7 @@ class QueryEngine:
         tf = distinct top-level match starts."""
         from .spans import leaf_terms, rewrite_multi
 
-        tree = rewrite_multi(tree, self.expand_prefix)
+        tree = rewrite_multi(tree, self._expand_span_multi)
         leaves = leaf_terms(tree)
         if not leaves:
             return []
@@ -3778,7 +3778,7 @@ class QueryEngine:
         from .intervals import desugar, leaf_terms, rewrite_multi
 
         tree = desugar(tree, self._analyze_seq)
-        tree = rewrite_multi(tree, self.expand_prefix)
+        tree = rewrite_multi(tree, self._expand_span_multi)
         leaves = leaf_terms(tree)
         if not leaves:
             return []
@@ -3804,6 +3804,54 @@ class QueryEngine:
         )
         out = sorted(set().union(*map(set, per_actor)))
         return out[:max_expansions]
+
+    def expand_wildcard(self, pattern: str, max_expansions: int = 50) -> list[str]:
+        """Global wildcard expansion, first ``max_expansions`` in term
+        order (per-shard walks emit in term order, so the per-actor cap
+        is sound by the expand_prefix argument)."""
+        per_actor = ray.get(
+            [a.expand_wildcard.remote(pattern, max_expansions)
+             for a in self.actors]
+        )
+        out = sorted(set().union(*map(set, per_actor)))
+        return out[:max_expansions]
+
+    def expand_regexp(self, pattern: str, max_expansions: int = 50) -> list[str]:
+        """Global regexp expansion, first ``max_expansions`` in term
+        order."""
+        per_actor = ray.get(
+            [a.expand_regexp.remote(pattern, max_expansions)
+             for a in self.actors]
+        )
+        out = sorted(set().union(*map(set, per_actor)))
+        return out[:max_expansions]
+
+    def expand_fuzzy_capped(
+        self, term: str, fuzziness: int = 1, prefix_length: int = 0,
+        max_expansions: int = 50,
+    ) -> list[str]:
+        """Global fuzzy expansion capped (distance asc, term asc) — the
+        ES FuzzyQuery ordering; distance is a (query, term) property so
+        the per-actor dict union is exact."""
+        per_actor = ray.get(
+            [a.expand_fuzzy.remote(term, fuzziness, prefix_length)
+             for a in self.actors]
+        )
+        merged: dict[str, int] = {}
+        for part in per_actor:
+            merged.update(dict(part))
+        ranked = sorted(merged.items(), key=lambda kv: (kv[1], kv[0]))
+        return sorted(t for t, _ in ranked[:max_expansions])
+
+    def _expand_span_multi(self, spec: dict, m: int) -> list[str]:
+        """span_multi wrapper dispatch (prefix/wildcard/regexp/fuzzy) —
+        the deterministic global expansions above."""
+        from .spans import expand_multi_spec
+
+        return expand_multi_spec(
+            spec, m, self.expand_prefix, self.expand_wildcard,
+            self.expand_regexp, self.expand_fuzzy_capped,
+        )
 
     def search_prefix(self, prefix: str, k: int = 10) -> list[tuple[int, float]]:
         """ES ``prefix`` query under its default constant_score rewrite:

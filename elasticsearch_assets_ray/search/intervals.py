@@ -15,15 +15,18 @@ An intervals tree is plain dicts, mirroring the ES rule JSON::
     {"all_of": {"intervals": [node, ...], "ordered": False,
                 "max_gaps": -1, "filter": {...}?}}
     {"prefix": {"prefix": "sc", "max_expansions": 20}}
+    {"wildcard": {"pattern": "s?a*", "max_expansions": 20}}
+    {"fuzzy": {"term": "jion", "fuzziness": 2, "prefix_length": 0}}
+    {"regexp": {"pattern": "(so|sc).*", "max_expansions": 20}}
 
 ``filter`` is a one-key dict: ``containing`` / ``contained_by`` /
 ``not_containing`` / ``not_contained_by`` / ``overlapping`` /
 ``not_overlapping`` / ``before`` / ``after`` whose value is another
 intervals node.  ``match`` is sugar: the engine analyzes the query text
 and rewrites it to ``all_of`` over ``term`` leaves (``desugar``);
-``prefix`` rewrites to ``any_of`` of dictionary expansions
-(``rewrite_multi`` — same deterministic global expansion as
-``span_multi``).
+``prefix`` / ``wildcard`` / ``fuzzy`` / ``regexp`` rewrite to
+``any_of`` of dictionary expansions (``rewrite_multi`` — same
+deterministic global expansion as ``span_multi``).
 
 Semantics — MINIMAL intervals (Clarke & Cormack's GC-lists, the Lucene
 IntervalsSource contract): every node emits, per doc, an antichain
@@ -86,8 +89,14 @@ _POSITIVE_FILTERS = frozenset(
 )
 
 
+# multi-term rules, all rewritten to any_of-of-terms by rewrite_multi
+# (ES intervals rule types beyond match/term: prefix, wildcard, fuzzy,
+# regexp — Lucene IntervalsSource multiterm wrappers)
+_MULTI_KINDS = ("prefix", "wildcard", "fuzzy", "regexp")
+
+
 def _node_kind(node: dict) -> str:
-    for k in ("term", "match", "any_of", "all_of", "prefix"):
+    for k in ("term", "match", "any_of", "all_of") + _MULTI_KINDS:
         if k in node:
             return k
     raise ValueError(f"not an intervals node: {node!r}")
@@ -95,7 +104,7 @@ def _node_kind(node: dict) -> str:
 
 def _get_filter(node: dict) -> tuple[str, dict] | None:
     kind = _node_kind(node)
-    if kind in ("term", "prefix"):
+    if kind == "term" or kind in _MULTI_KINDS:
         return None
     f = node[kind].get("filter")
     if f is None:
@@ -113,7 +122,7 @@ def desugar(node: dict, analyze) -> dict:
     kept in order — ES analyzes the match query with the field's
     analyzer)."""
     kind = _node_kind(node)
-    if kind in ("term", "prefix"):
+    if kind == "term" or kind in _MULTI_KINDS:
         return node
     if kind == "match":
         spec = node["match"]
@@ -136,19 +145,35 @@ def desugar(node: dict, analyze) -> dict:
 
 
 def rewrite_multi(node: dict, expand) -> dict:
-    """Rewrite every ``prefix`` rule to ``any_of`` of ``term`` leaves
-    via ``expand(prefix, max_expansions) -> list[str]`` (the engine's
-    deterministic global dictionary expansion — the ``span_multi``
-    analogue, hence the shared name with ``spans.rewrite_multi``).
-    ``match`` sugar must be desugared first."""
+    """Rewrite every multi-term rule (``prefix`` / ``wildcard`` /
+    ``fuzzy`` / ``regexp``) to ``any_of`` of ``term`` leaves via
+    ``expand(spec, max_expansions) -> list[str]`` — the engines'
+    ``_expand_span_multi`` dispatcher (deterministic global dictionary
+    expansion; the ``span_multi`` analogue, hence the shared name with
+    ``spans.rewrite_multi``).  ES rule shapes accepted:
+    ``{"prefix": {"prefix": p}}``, ``{"wildcard": {"pattern": w}}``,
+    ``{"fuzzy": {"term": t, "fuzziness": n, "prefix_length": l}}``,
+    ``{"regexp": {"pattern": r}}``.  ``match`` sugar must be desugared
+    first."""
     kind = _node_kind(node)
     if kind == "term":
         return node
     if kind == "match":
         raise ValueError("desugar match nodes before rewrite_multi")
-    if kind == "prefix":
-        spec = node["prefix"]
-        terms = expand(spec["prefix"], int(spec.get("max_expansions", 50)))
+    if kind in _MULTI_KINDS:
+        spec = node[kind]
+        m = int(spec.get("max_expansions", 50))
+        if kind == "prefix":
+            mt = {"prefix": spec["prefix"]}
+        elif kind == "wildcard":
+            mt = {"wildcard": spec["pattern"]}
+        elif kind == "regexp":
+            mt = {"regexp": spec["pattern"]}
+        else:
+            mt = {"fuzzy": spec["term"],
+                  "fuzziness": int(spec.get("fuzziness", 1)),
+                  "prefix_length": int(spec.get("prefix_length", 0))}
+        terms = expand(mt, m)
         return {"any_of": {"intervals": [{"term": t} for t in terms]}}
     spec = dict(node[kind])
     spec["intervals"] = [rewrite_multi(c, expand) for c in spec["intervals"]]
@@ -166,7 +191,7 @@ def leaf_terms(node: dict) -> list[str]:
     kind = _node_kind(node)
     if kind == "term":
         return [node["term"]]
-    if kind in ("match", "prefix"):
+    if kind == "match" or kind in _MULTI_KINDS:
         raise ValueError("desugar/rewrite before leaf_terms")
     out: list[str] = []
     for c in node[kind]["intervals"]:
@@ -180,7 +205,7 @@ def all_terms(node: dict) -> set[str]:
     kind = _node_kind(node)
     if kind == "term":
         return {node["term"]}
-    if kind in ("match", "prefix"):
+    if kind == "match" or kind in _MULTI_KINDS:
         raise ValueError("desugar/rewrite before all_terms")
     out: set[str] = set()
     for c in node[kind]["intervals"]:
@@ -200,7 +225,7 @@ def requirement_sets(node: dict) -> list[frozenset]:
     kind = _node_kind(node)
     if kind == "term":
         return [frozenset([node["term"]])]
-    if kind in ("match", "prefix"):
+    if kind == "match" or kind in _MULTI_KINDS:
         raise ValueError("desugar/rewrite before requirement_sets")
     if kind == "any_of":
         terms: set[str] = set()
@@ -387,7 +412,7 @@ def eval_intervals(node: dict, streams: dict) -> tuple:
         docs, pos = got
         p = pos.astype(np.int64)
         return docs.astype(np.int64), p, p.copy()
-    if kind in ("match", "prefix"):
+    if kind == "match" or kind in _MULTI_KINDS:
         raise ValueError("desugar/rewrite before eval_intervals")
     spec = node[kind]
     if kind == "any_of":

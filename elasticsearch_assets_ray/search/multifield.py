@@ -100,20 +100,31 @@ class _MultiCore:
                     out[t] += int(np.count_nonzero(present & ~dead))
         return out
 
-    def expand_prefix_field(self, field: str, prefix: str,
-                            max_expansions: int) -> list[str]:
-        """First-N dictionary terms with ``prefix`` in ONE field across
-        this actor's shards (the per-actor cap is sound: the global
-        first-N in sorted order is a subset of the union of per-shard
-        first-Ns)."""
-        from .engine import prefix_expand_sorted
-
-        out: set[str] = set()
+    def expand_field(self, field: str, spec: dict, m: int) -> list:
+        """Per-actor span_multi expansion in ONE field's dictionaries
+        (prefix/wildcard/regexp: first-m in term order — the per-actor
+        cap is sound because the global first-m is a subset of the union
+        of per-shard first-ms; fuzzy: (term, distance) pairs for the
+        coordinator's (dist, term) cap)."""
+        if "fuzzy" in spec:
+            out: dict[str, int] = {}
+            for s in self.shards[field]:
+                out.update(s.expand_fuzzy(
+                    spec["fuzzy"], int(spec.get("fuzziness", 1)),
+                    int(spec.get("prefix_length", 0)),
+                ))
+            return sorted(out.items())
+        terms: set[str] = set()
         for s in self.shards[field]:
-            out.update(
-                prefix_expand_sorted(s.walk_term_list, prefix, max_expansions)
-            )
-        return sorted(out)[:max_expansions]
+            if "prefix" in spec:
+                terms.update(s.expand_prefix(spec["prefix"], m))
+            elif "wildcard" in spec:
+                terms.update(s.expand_wildcard(spec["wildcard"], m))
+            elif "regexp" in spec:
+                terms.update(s.expand_regexp(spec["regexp"], m))
+            else:
+                raise ValueError(f"bad span_multi spec: {spec!r}")
+        return sorted(terms)[:m]
 
     def span_topk_masked(
         self,
@@ -527,8 +538,9 @@ class MultiFieldEngine:
         ``/root/reference/asset/elasticsearch_reader/reader.js:7-14``).
 
         Masks resolve to field-qualified stream keys at the coordinator
-        (``search.spans.resolve_masks``); ``span_multi`` prefixes expand
-        against their OWN field's dictionary (global, deterministic);
+        (``search.spans.resolve_masks``); ``span_multi`` wrappers
+        (prefix / wildcard / regexp / fuzzy) expand against their OWN
+        field's dictionary (global, deterministic);
         idf = Σ leaf idfs, each from its real field's df (Lucene
         collects term statistics from the actual term); norms come from
         the masked-as field (ES-documented scoring caveat).  Requires
@@ -546,14 +558,19 @@ class MultiFieldEngine:
             raise KeyError(f"unknown field {field!r}")
         tree = resolve_masks(tree, field)
 
-        def expand(prefix_key: str, mx: int) -> list[str]:
-            f, prefix = split_mask_key(prefix_key)
-            f = f or field
+        def expand(spec: dict, mx: int) -> list[str]:
+            f = spec.get("field", field)
             per_actor = ray.get(
-                [a.expand_prefix_field.remote(f, prefix, mx)
-                 for a in self.actors]
+                [a.expand_field.remote(f, spec, mx) for a in self.actors]
             )
-            terms = sorted(set().union(*map(set, per_actor)))[:mx]
+            if "fuzzy" in spec:
+                merged: dict[str, int] = {}
+                for part in per_actor:
+                    merged.update(dict(part))
+                ranked = sorted(merged.items(), key=lambda kv: (kv[1], kv[0]))
+                terms = sorted(t for t, _ in ranked[:mx])
+            else:
+                terms = sorted(set().union(*map(set, per_actor)))[:mx]
             if f == field:
                 return terms
             return [mask_key(f, t) for t in terms]

@@ -15,6 +15,10 @@ A span tree is plain dicts::
     {"span_first": {"match": node, "end": 4}}
     {"span_not": {"include": node, "exclude": node, "pre": 0, "post": 0}}
     {"span_multi": {"prefix": "sc", "max_expansions": 50}}
+    {"span_multi": {"wildcard": "sc*n", ...}}
+    {"span_multi": {"regexp": "qu.r.*", ...}}
+    {"span_multi": {"fuzzy": "querry", "fuzziness": 1,
+                    "prefix_length": 0, ...}}
 
 The kernel is ENGINE-AGNOSTIC: both engines gather per-term
 ``(docs_flat, positions)`` streams (restricted to the candidate-doc
@@ -52,7 +56,8 @@ Semantics (exact, documented where they diverge from Lucene):
 * ``span_within``: ``little`` spans that are enclosed by at least one
   ``big`` span (Lucene SpanWithinQuery); output spans are the
   qualifying ``little`` spans.
-* ``span_multi``: a prefix multi-term wrapper, rewritten to ``span_or``
+* ``span_multi``: the ES SpanMultiTermQueryWrapper — wraps a prefix,
+  wildcard, regexp or fuzzy multi-term query, rewritten to ``span_or``
   of the first ``max_expansions`` matching dictionary terms in term
   order (the engines' deterministic global expansion).
 
@@ -153,7 +158,8 @@ def resolve_masks(node: dict, outer_field: str) -> dict:
         if kind == "span_multi":
             spec = dict(n["span_multi"])
             if field:
-                spec["prefix"] = mask_key(field, spec["prefix"])
+                spec["field"] = field  # expansion runs in this field's
+                # dictionary; the engine's expander re-qualifies results
             return {"span_multi": spec}
         if kind == "span_or":
             return {"span_or": [walk(c, field) for c in n["span_or"]]}
@@ -184,8 +190,11 @@ def resolve_masks(node: dict, outer_field: str) -> dict:
 
 def rewrite_multi(node: dict, expand) -> dict:
     """Rewrite every ``span_multi`` to a ``span_or`` of ``span_term``
-    leaves via ``expand(prefix, max_expansions) -> list[str]`` (the
-    engine's deterministic global dictionary expansion)."""
+    leaves via ``expand(spec, max_expansions) -> list[str]`` — the
+    engine's deterministic global dictionary expansion of the wrapped
+    multi-term query (``spec`` holds one of prefix / wildcard / regexp
+    / fuzzy, plus an optional ``field`` from resolve_masks, in which
+    case the expander returns field-qualified keys)."""
     kind = _node_kind(node)
     if kind == "span_field_masking":
         raise ValueError(
@@ -197,8 +206,8 @@ def rewrite_multi(node: dict, expand) -> dict:
     if kind == "span_term":
         return node
     if kind == "span_multi":
-        spec = node["span_multi"]
-        terms = expand(spec["prefix"], int(spec.get("max_expansions", 50)))
+        spec = dict(node["span_multi"])
+        terms = expand(spec, int(spec.get("max_expansions", 50)))
         return {"span_or": [{"span_term": t} for t in terms]}
     if kind == "span_or":
         return {"span_or": [rewrite_multi(c, expand) for c in node["span_or"]]}
@@ -223,6 +232,29 @@ def rewrite_multi(node: dict, expand) -> dict:
         "exclude": rewrite_multi(s["exclude"], expand),
         "pre": int(s.get("pre", 0)), "post": int(s.get("post", 0)),
     }}
+
+
+def expand_multi_spec(spec: dict, m: int, prefix_fn, wildcard_fn,
+                      regexp_fn, fuzzy_fn) -> list[str]:
+    """Dispatch a ``span_multi`` spec to an engine's four deterministic
+    global dictionary expanders.  Prefix/wildcard/regexp cap in TERM
+    order; fuzzy caps (distance asc, term asc) — the ES FuzzyQuery
+    ordering both engines already serve — then returns terms sorted
+    (the or-group is order-insensitive; idf-sum counts each member)."""
+    if "prefix" in spec:
+        return prefix_fn(spec["prefix"], m)
+    if "wildcard" in spec:
+        return wildcard_fn(spec["wildcard"], m)
+    if "regexp" in spec:
+        return regexp_fn(spec["regexp"], m)
+    if "fuzzy" in spec:
+        return fuzzy_fn(
+            spec["fuzzy"], int(spec.get("fuzziness", 1)),
+            int(spec.get("prefix_length", 0)), m,
+        )
+    raise ValueError(
+        f"span_multi needs one of prefix/wildcard/regexp/fuzzy: {spec!r}"
+    )
 
 
 def leaf_terms(node: dict) -> list[str]:

@@ -3506,6 +3506,52 @@ class TermPartitionedEngine:
         out = sorted(set().union(*map(set, per_actor)))
         return out[:max_expansions]
 
+    def expand_wildcard(self, pattern: str,
+                        max_expansions: int = 50) -> list[str]:
+        """Global wildcard expansion over the bucket dictionaries, first
+        ``max_expansions`` in term order (per-actor cap sound by the
+        expand_prefix argument)."""
+        per_actor = ray.get(
+            [a.expand_wildcard.remote(pattern, max_expansions)
+             for a in self.actors]
+        )
+        out = sorted(set().union(*map(set, per_actor)))
+        return out[:max_expansions]
+
+    def expand_regexp(self, pattern: str,
+                      max_expansions: int = 50) -> list[str]:
+        """Global regexp expansion, first ``max_expansions`` in term
+        order."""
+        per_actor = ray.get(
+            [a.expand_regexp.remote(pattern, max_expansions)
+             for a in self.actors]
+        )
+        out = sorted(set().union(*map(set, per_actor)))
+        return out[:max_expansions]
+
+    def expand_fuzzy_capped(
+        self, term: str, fuzziness: int = 1, prefix_length: int = 0,
+        max_expansions: int = 50,
+    ) -> list[str]:
+        """:meth:`expand_fuzzy`'s (distance asc, term asc) cap, terms
+        only, sorted — the span_multi fuzzy wrapper's expansion."""
+        return sorted(
+            t for t, _ in self.expand_fuzzy(
+                term, fuzziness, prefix_length, max_expansions
+            )
+        )
+
+    def _expand_span_multi(self, spec: dict, m: int) -> list[str]:
+        """span_multi wrapper dispatch (prefix/wildcard/regexp/fuzzy) —
+        deterministic global expansions, identical results to
+        ``QueryEngine._expand_span_multi`` regardless of layout."""
+        from .spans import expand_multi_spec
+
+        return expand_multi_spec(
+            spec, m, self.expand_prefix, self.expand_wildcard,
+            self.expand_regexp, self.expand_fuzzy_capped,
+        )
+
     def dfs(self, terms: list[str]) -> dict[str, int]:
         """Global document frequencies — terms route to their owning
         bucket actors, no posting arrays ship (the ``df_of`` probe)."""
@@ -4109,18 +4155,17 @@ class TermPartitionedEngine:
         if mask_engines:
             tree = mod.resolve_masks(tree, outer_field)
 
-            def expand(prefix_key: str, mx: int) -> list[str]:
-                f, prefix = mod.split_mask_key(prefix_key)
+            def expand(spec: dict, mx: int) -> list[str]:
+                f = spec.get("field")
+                eng = self if f is None else mask_engines[f]
+                terms = eng._expand_span_multi(spec, mx)
                 if f is None:
-                    return self.expand_prefix(prefix, mx)
-                return [
-                    mod.mask_key(f, t)
-                    for t in mask_engines[f].expand_prefix(prefix, mx)
-                ]
+                    return terms
+                return [mod.mask_key(f, t) for t in terms]
 
             tree = mod.rewrite_multi(tree, expand)
         else:
-            tree = mod.rewrite_multi(tree, self.expand_prefix)
+            tree = mod.rewrite_multi(tree, self._expand_span_multi)
         return self._positional_tree_search(
             tree, k, mod, mask_engines=mask_engines
         )
@@ -4136,7 +4181,7 @@ class TermPartitionedEngine:
         from . import intervals as mod
 
         tree = mod.desugar(tree, self._analyze_seq)
-        tree = mod.rewrite_multi(tree, self.expand_prefix)
+        tree = mod.rewrite_multi(tree, self._expand_span_multi)
         return self._positional_tree_search(tree, k, mod)
 
     def _positional_tree_search(

@@ -200,10 +200,25 @@ def test_walkers_and_rewrites():
         {"prefix": {"prefix": "im", "max_expansions": 2}},
         {"term": "z"},
     ], "ordered": True}}
-    got = iv.rewrite_multi(p, lambda pre, m_: [pre + "a", pre + "b"][:m_])
+    got = iv.rewrite_multi(
+        p, lambda spec, m_: [spec["prefix"] + "a", spec["prefix"] + "b"][:m_]
+    )
     assert got["all_of"]["intervals"][0] == {
         "any_of": {"intervals": [{"term": "ima"}, {"term": "imb"}]}
     }
+    # wildcard / fuzzy / regexp rules route through the same dispatcher
+    w = {"wildcard": {"pattern": "s?a*", "max_expansions": 7}}
+    seen = []
+    iv.rewrite_multi(w, lambda spec, m_: seen.append((spec, m_)) or ["x"])
+    f = {"fuzzy": {"term": "jion", "fuzziness": 2}}
+    iv.rewrite_multi(f, lambda spec, m_: seen.append((spec, m_)) or ["x"])
+    r = {"regexp": {"pattern": "(a|b).*"}}
+    iv.rewrite_multi(r, lambda spec, m_: seen.append((spec, m_)) or ["x"])
+    assert seen == [
+        ({"wildcard": "s?a*"}, 7),
+        ({"fuzzy": "jion", "fuzziness": 2, "prefix_length": 0}, 50),
+        ({"regexp": "(a|b).*"}, 50),
+    ]
 
 
 def test_kernel_matches_brute_force_randomized():
@@ -272,6 +287,15 @@ INTERVAL_QUERIES = [
         {"prefix": {"prefix": "im", "max_expansions": 50}},
         {"term": "data"},
     ], "ordered": True, "max_gaps": 4}},
+    # wildcard / fuzzy multi-term rules (ES intervals wrappers)
+    {"all_of": {"intervals": [
+        {"wildcard": {"pattern": "i?p*", "max_expansions": 50}},
+        {"term": "data"},
+    ], "ordered": True, "max_gaps": 6}},
+    {"all_of": {"intervals": [
+        {"fuzzy": {"term": "dada", "fuzziness": 2}},
+        {"term": "def"},
+    ], "ordered": False, "max_gaps": 8}},
 ]
 
 
@@ -311,7 +335,7 @@ def test_engine_intervals_match_brute_force(pos_index, small_corpus):
     try:
         for raw in INTERVAL_QUERIES:
             tree = iv.desugar(raw, analyze)
-            tree = iv.rewrite_multi(tree, eng.expand_prefix)
+            tree = iv.rewrite_multi(tree, eng._expand_span_multi)
             oracle = {}
             for d, text in enumerate(texts):
                 toks = analyze(text)

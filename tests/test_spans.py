@@ -167,10 +167,28 @@ def test_rewrite_multi():
         {"span_multi": {"prefix": "im", "max_expansions": 3}},
         {"span_term": "z"},
     ], "slop": 0, "in_order": True}}
-    got = sp.rewrite_multi(tree, lambda p, m: [p + "a", p + "b"][:m])
+    got = sp.rewrite_multi(
+        tree, lambda spec, m: [spec["prefix"] + "a", spec["prefix"] + "b"][:m]
+    )
     assert got["span_near"]["clauses"][0] == {
         "span_or": [{"span_term": "ima"}, {"span_term": "imb"}]
     }
+    # wildcard / regexp / fuzzy wrappers dispatch through the same hook
+    from elasticsearch_assets_ray.search.spans import expand_multi_spec
+
+    calls = []
+    fns = dict(
+        prefix_fn=lambda p, m: calls.append(("p", p, m)) or ["x"],
+        wildcard_fn=lambda p, m: calls.append(("w", p, m)) or ["x"],
+        regexp_fn=lambda p, m: calls.append(("r", p, m)) or ["x"],
+        fuzzy_fn=lambda t, f, pl, m: calls.append(("f", t, f, pl, m)) or ["x"],
+    )
+    expand_multi_spec({"wildcard": "a*b"}, 5, **fns)
+    expand_multi_spec({"regexp": "a.b"}, 5, **fns)
+    expand_multi_spec({"fuzzy": "abc", "fuzziness": 2}, 5, **fns)
+    assert calls == [("w", "a*b", 5), ("r", "a.b", 5), ("f", "abc", 2, 0, 5)]
+    with pytest.raises(ValueError, match="span_multi needs"):
+        expand_multi_spec({"nope": 1}, 5, **fns)
 
 
 # ------------------------------------------------------- naive evaluator
@@ -471,13 +489,14 @@ def test_resolve_masks_and_keys():
     # unresolved masking nodes fail loud at rewrite time
     with pytest.raises(ValueError, match="resolve_masks"):
         sp.rewrite_multi(bad, lambda p, m: [])
-    # span_multi prefixes qualify too
+    # span_multi specs carry their source field through the mask
     multi = sp.resolve_masks(
         {"span_field_masking": {
             "query": {"span_multi": {"prefix": "qu", "max_expansions": 5}},
             "query_field": "stem", "field": "text"}},
         "text")
-    assert multi["span_multi"]["prefix"] == sp.mask_key("stem", "qu")
+    assert multi["span_multi"] == {"prefix": "qu", "max_expansions": 5,
+                                   "field": "stem"}
 
 
 MASK_TEXTS = [
@@ -567,8 +586,9 @@ def _naive_masked_freqs(tree, texts):
             pos_of.setdefault(sp.mask_key("stem", t), []).append(i)
         resolved = sp.resolve_masks(tree, "text")
 
-        def expand(prefix_key, mx):
-            f, prefix = sp.split_mask_key(prefix_key)
+        def expand(spec, mx):
+            f = spec.get("field")
+            prefix = spec["prefix"]
             terms = sorted(
                 {t for t in pos_of
                  if sp.split_mask_key(t)[0] == f
@@ -643,3 +663,82 @@ def test_masked_spans_term_engine_parity(mask_field_indexes, tmp_path):
         geng.shutdown()
         gstem.shutdown()
         gated.shutdown()
+
+
+def test_span_multi_kinds_match_explicit_or(pos_index):
+    """wildcard / regexp / fuzzy span_multi wrappers ≡ the explicit
+    span_or of their deterministic global expansions, on both engines."""
+    from elasticsearch_assets_ray.index.global_merge import (
+        merge_global_postings,
+    )
+    from elasticsearch_assets_ray.search.term_engine import (
+        TermPartitionedEngine,
+    )
+    import tempfile
+
+    eng = QueryEngine(pos_index.index_dir, num_actors=2)
+    gdir = tempfile.mkdtemp(prefix="spanmulti_glb_")
+    merge_global_postings(pos_index.index_dir, gdir, n_salts=2,
+                          n_buckets=4, store_norms=True)
+    geng = TermPartitionedEngine(gdir, num_actors=2)
+    specs = [
+        ({"wildcard": "i?p*"}, eng.expand_wildcard("i?p*", 50)),
+        ({"regexp": "(im|da).*"}, eng.expand_regexp("(im|da).*", 50)),
+        ({"fuzzy": "dada", "fuzziness": 2},
+         eng.expand_fuzzy_capped("dada", 2, 0, 50)),
+    ]
+    try:
+        for spec, expansion in specs:
+            assert expansion, spec  # fixture vocabulary must hit
+            multi = {"span_near": {"clauses": [
+                {"span_multi": {**spec, "max_expansions": 50}},
+                {"span_term": "data"},
+            ], "slop": 4, "in_order": True}}
+            explicit = {"span_near": {"clauses": [
+                {"span_or": [{"span_term": t} for t in expansion]},
+                {"span_term": "data"},
+            ], "slop": 4, "in_order": True}}
+            want = eng.search_spans(explicit, k=100)
+            assert eng.search_spans(multi, k=100) == want, spec
+            got = geng.search_spans(multi, k=100)
+            assert [d for d, _ in got] == [d for d, _ in want], spec
+            for (_, s1), (_, s2) in zip(got, want):
+                assert abs(s1 - s2) < 1e-9, spec
+        # term engine expansions agree with the doc engine's
+        assert geng.expand_wildcard("i?p*", 50) == eng.expand_wildcard(
+            "i?p*", 50)
+        assert geng.expand_regexp("(im|da).*", 50) == eng.expand_regexp(
+            "(im|da).*", 50)
+        assert geng.expand_fuzzy_capped("dada", 2, 0, 50) == (
+            eng.expand_fuzzy_capped("dada", 2, 0, 50))
+    finally:
+        eng.shutdown()
+        geng.shutdown()
+
+
+def test_span_multi_masked_wildcard(mask_field_indexes):
+    """A masked span_multi WILDCARD expands in the sibling field's
+    dictionary (stem terms), on the multi-field engine."""
+    from elasticsearch_assets_ray.search.multifield import MultiFieldEngine
+
+    eng = MultiFieldEngine(mask_field_indexes, num_actors=2)
+    tree = {"span_near": {"clauses": [
+        {"span_field_masking": {
+            "query": {"span_multi": {"wildcard": "tab*",
+                                     "max_expansions": 5}},
+            "query_field": "stem", "field": "text"}},
+        {"span_term": "hash"},
+    ], "slop": 4, "in_order": False}}
+    try:
+        got = dict(eng.search_spans(tree, field="text", k=100))
+        want = _naive_masked_freqs(
+            {"span_near": {"clauses": [
+                {"span_field_masking": {
+                    "query": {"span_term": "tabl"},
+                    "query_field": "stem", "field": "text"}},
+                {"span_term": "hash"},
+            ], "slop": 4, "in_order": False}}, MASK_TEXTS)
+        assert set(got) == set(want)
+        assert got  # non-degenerate
+    finally:
+        eng.shutdown()
