@@ -12619,14 +12619,20 @@ SPAN_MULTI_QUERIES: list[tuple[int, dict]] = [
                         "max_expansions": 10}},
         {"span_term": "table"},
     ], "slop": 2, "in_order": True}}),
+    # range wrapper ([scan..sort] → scan/slow/small/sort) before 'data'
+    (3, {"span_near": {"clauses": [
+        {"span_multi": {"range": {"gte": "scan", "lte": "sort"},
+                        "max_expansions": 50}},
+        {"span_term": "data"},
+    ], "slop": 3, "in_order": True}}),
 ]
 
 
 def q_span_multi_kinds(sf_dir: str) -> pa.Table:
-    """``span_multi`` over wildcard / regexp / fuzzy wrapped queries
-    (ES SpanMultiTermQueryWrapper — the reference ships span bodies to
-    ES verbatim): each wrapper rewrites to the span_or of its global
-    deterministic expansion before the fan-out."""
+    """``span_multi`` over wildcard / regexp / fuzzy / range wrapped
+    queries (ES SpanMultiTermQueryWrapper — the reference ships span
+    bodies to ES verbatim): each wrapper rewrites to the span_or of its
+    global deterministic expansion before the fan-out."""
     from ..config import BM25Params
     from ..search.engine import QueryEngine
 
@@ -12667,7 +12673,7 @@ def sql_span_multi_kinds() -> str:
     toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
     idf_rows = ", ".join(
         f"({qid}, '{t}')" for qid, t in
-        [(0, "join"), (1, "key"), (2, "table")]
+        [(0, "join"), (1, "key"), (2, "table"), (3, "data")]
     )
     return f"""
 WITH toksp AS ({toksp}),
@@ -12681,11 +12687,14 @@ re_terms AS (SELECT t FROM df WHERE regexp_full_match(t, '(so|sc).*')
              ORDER BY t LIMIT 50),
 fz_terms AS (SELECT t FROM df WHERE levenshtein(t, 'jion') <= 2
              ORDER BY t LIMIT 10),
+rg_terms AS (SELECT t FROM df WHERE t >= 'scan' AND t <= 'sort'
+             ORDER BY t LIMIT 50),
 qt(query_id, t) AS (VALUES {idf_rows}),
 qt_all AS (SELECT * FROM qt
            UNION ALL SELECT 0, t FROM wc_terms
            UNION ALL SELECT 1, t FROM re_terms
-           UNION ALL SELECT 2, t FROM fz_terms),
+           UNION ALL SELECT 2, t FROM fz_terms
+           UNION ALL SELECT 3, t FROM rg_terms),
 idfs AS (SELECT qt_all.query_id,
                 sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
          FROM qt_all JOIN df ON df.t = qt_all.t, s GROUP BY 1),
@@ -12714,6 +12723,15 @@ pf AS (
     SELECT 1 FROM toksp p1
     WHERE p1.doc_id = p0.doc_id AND p1.t = 'table'
       AND p1.pos > p0.pos AND p1.pos - p0.pos - 1 <= 2)
+  GROUP BY 2
+  UNION ALL
+  -- q3: ([scan..sort] range expansion) then 'data', ordered, gap <= 3
+  SELECT 3, p0.doc_id, count(DISTINCT p0.pos)::DOUBLE
+  FROM toksp p0
+  WHERE p0.t IN (SELECT t FROM rg_terms) AND EXISTS (
+    SELECT 1 FROM toksp p1
+    WHERE p1.doc_id = p0.doc_id AND p1.t = 'data'
+      AND p1.pos > p0.pos AND p1.pos - p0.pos - 1 <= 3)
   GROUP BY 2
 ),
 scored AS (

@@ -361,6 +361,32 @@ def prefix_expand_sorted(
     return out
 
 
+def range_expand_sorted(
+    term_list: list[str], gte: str | None = None, lte: str | None = None,
+    gt: str | None = None, lt: str | None = None, cap: int | None = None,
+) -> list[str]:
+    """Terms of a SORTED dictionary in the lexical range (ES range-query
+    bounds gte/gt/lte/lt; open sides unbounded), in term order — two
+    bisects, shared by both engines (the ES 8.16 intervals ``range``
+    rule / Lucene TermRangeQuery expansion)."""
+    import bisect
+
+    if gt is not None:
+        lo = bisect.bisect_right(term_list, gt)
+    elif gte is not None:
+        lo = bisect.bisect_left(term_list, gte)
+    else:
+        lo = 0
+    if lt is not None:
+        hi = bisect.bisect_left(term_list, lt)
+    elif lte is not None:
+        hi = bisect.bisect_right(term_list, lte)
+    else:
+        hi = len(term_list)
+    out = term_list[lo:hi]
+    return out[:cap] if cap is not None else out
+
+
 def trailing_wildcard_literal(pattern: str) -> str:
     """The literal run AFTER the last wildcard char (empty when the
     pattern ends with ``*``/``?`` or has no wildcard)."""
@@ -1600,6 +1626,16 @@ class ShardData:
         ``prefix``, in term order — the Lucene per-segment prefix
         expansion.  ``cap`` bounds the walk (max_expansions)."""
         return prefix_expand_sorted(self.walk_term_list, prefix, cap)
+
+    def expand_range(
+        self, gte: str | None = None, lte: str | None = None,
+        gt: str | None = None, lt: str | None = None,
+        cap: int | None = None,
+    ) -> list[str]:
+        """Dictionary terms in the lexical range, in term order (the ES
+        8.16 intervals ``range`` rule / span_multi TermRangeQuery)."""
+        return range_expand_sorted(self.walk_term_list, gte, lte, gt, lt,
+                                   cap)
 
     def prefix_docs(self, prefix: str, k: int) -> np.ndarray:
         """ES ``prefix`` query (constant_score rewrite): the k smallest
@@ -3106,6 +3142,13 @@ class _ScorerCore:
             out.update(s.expand_regexp(pattern, cap))
         return sorted(out)
 
+    def expand_range(self, gte=None, lte=None, gt=None, lt=None,
+                     cap: int | None = None) -> list[str]:
+        out: set[str] = set()
+        for s in self.shards:
+            out.update(s.expand_range(gte, lte, gt, lt, cap))
+        return sorted(out)
+
     def regexp_docs(self, pattern: str, k: int) -> np.ndarray:
         parts = [s.regexp_docs(pattern, k) for s in self.shards]
         docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
@@ -3843,14 +3886,26 @@ class QueryEngine:
         ranked = sorted(merged.items(), key=lambda kv: (kv[1], kv[0]))
         return sorted(t for t, _ in ranked[:max_expansions])
 
+    def expand_range_capped(self, gte=None, lte=None, gt=None, lt=None,
+                            max_expansions: int = 50) -> list[str]:
+        """Global lexical-range expansion, first ``max_expansions`` in
+        term order."""
+        per_actor = ray.get(
+            [a.expand_range.remote(gte, lte, gt, lt, max_expansions)
+             for a in self.actors]
+        )
+        out = sorted(set().union(*map(set, per_actor)))
+        return out[:max_expansions]
+
     def _expand_span_multi(self, spec: dict, m: int) -> list[str]:
-        """span_multi wrapper dispatch (prefix/wildcard/regexp/fuzzy) —
-        the deterministic global expansions above."""
+        """span_multi wrapper dispatch (prefix/wildcard/regexp/fuzzy/
+        range) — the deterministic global expansions above."""
         from .spans import expand_multi_spec
 
         return expand_multi_spec(
             spec, m, self.expand_prefix, self.expand_wildcard,
             self.expand_regexp, self.expand_fuzzy_capped,
+            range_fn=self.expand_range_capped,
         )
 
     def search_prefix(self, prefix: str, k: int = 10) -> list[tuple[int, float]]:

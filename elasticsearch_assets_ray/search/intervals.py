@@ -18,6 +18,7 @@ An intervals tree is plain dicts, mirroring the ES rule JSON::
     {"wildcard": {"pattern": "s?a*", "max_expansions": 20}}
     {"fuzzy": {"term": "jion", "fuzziness": 2, "prefix_length": 0}}
     {"regexp": {"pattern": "(so|sc).*", "max_expansions": 20}}
+    {"range": {"gte": "scan", "lte": "sort", "max_expansions": 20}}
 
 ``filter`` is a one-key dict: ``containing`` / ``contained_by`` /
 ``not_containing`` / ``not_contained_by`` / ``overlapping`` /
@@ -92,7 +93,7 @@ _POSITIVE_FILTERS = frozenset(
 # multi-term rules, all rewritten to any_of-of-terms by rewrite_multi
 # (ES intervals rule types beyond match/term: prefix, wildcard, fuzzy,
 # regexp — Lucene IntervalsSource multiterm wrappers)
-_MULTI_KINDS = ("prefix", "wildcard", "fuzzy", "regexp")
+_MULTI_KINDS = ("prefix", "wildcard", "fuzzy", "regexp", "range")
 
 
 def _node_kind(node: dict) -> str:
@@ -169,6 +170,9 @@ def rewrite_multi(node: dict, expand) -> dict:
             mt = {"wildcard": spec["pattern"]}
         elif kind == "regexp":
             mt = {"regexp": spec["pattern"]}
+        elif kind == "range":
+            mt = {"range": {k: spec[k] for k in ("gte", "gt", "lte", "lt")
+                            if spec.get(k) is not None}}
         else:
             mt = {"fuzzy": spec["term"],
                   "fuzziness": int(spec.get("fuzziness", 1)),

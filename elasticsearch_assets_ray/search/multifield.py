@@ -122,6 +122,10 @@ class _MultiCore:
                 terms.update(s.expand_wildcard(spec["wildcard"], m))
             elif "regexp" in spec:
                 terms.update(s.expand_regexp(spec["regexp"], m))
+            elif "range" in spec:
+                r = spec["range"]
+                terms.update(s.expand_range(r.get("gte"), r.get("lte"),
+                                            r.get("gt"), r.get("lt"), m))
             else:
                 raise ValueError(f"bad span_multi spec: {spec!r}")
         return sorted(terms)[:m]

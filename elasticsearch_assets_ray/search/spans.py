@@ -235,12 +235,14 @@ def rewrite_multi(node: dict, expand) -> dict:
 
 
 def expand_multi_spec(spec: dict, m: int, prefix_fn, wildcard_fn,
-                      regexp_fn, fuzzy_fn) -> list[str]:
-    """Dispatch a ``span_multi`` spec to an engine's four deterministic
-    global dictionary expanders.  Prefix/wildcard/regexp cap in TERM
-    order; fuzzy caps (distance asc, term asc) — the ES FuzzyQuery
+                      regexp_fn, fuzzy_fn, range_fn=None) -> list[str]:
+    """Dispatch a ``span_multi`` spec to an engine's deterministic
+    global dictionary expanders.  Prefix/wildcard/regexp/range cap in
+    TERM order; fuzzy caps (distance asc, term asc) — the ES FuzzyQuery
     ordering both engines already serve — then returns terms sorted
-    (the or-group is order-insensitive; idf-sum counts each member)."""
+    (the or-group is order-insensitive; idf-sum counts each member).
+    ``range`` (ES 8.16 intervals rule / Lucene TermRangeQuery) is a
+    bounds dict ``{gte|gt, lte|lt}``."""
     if "prefix" in spec:
         return prefix_fn(spec["prefix"], m)
     if "wildcard" in spec:
@@ -252,8 +254,15 @@ def expand_multi_spec(spec: dict, m: int, prefix_fn, wildcard_fn,
             spec["fuzzy"], int(spec.get("fuzziness", 1)),
             int(spec.get("prefix_length", 0)), m,
         )
+    if "range" in spec:
+        if range_fn is None:
+            raise ValueError("range expansion unsupported by this engine")
+        r = spec["range"]
+        return range_fn(r.get("gte"), r.get("lte"), r.get("gt"),
+                        r.get("lt"), m)
     raise ValueError(
-        f"span_multi needs one of prefix/wildcard/regexp/fuzzy: {spec!r}"
+        "span_multi needs one of prefix/wildcard/regexp/fuzzy/range: "
+        f"{spec!r}"
     )
 
 

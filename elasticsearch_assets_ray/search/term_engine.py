@@ -440,6 +440,15 @@ class _BucketCore:
 
         return regexp_expand_sorted(self._sorted_terms(), pattern, cap)
 
+    def expand_range(self, gte=None, lte=None, gt=None, lt=None,
+                     cap: int | None = None) -> list[str]:
+        """Lexical-range dictionary matches in term order — the shared
+        ``range_expand_sorted`` walk."""
+        from .engine import range_expand_sorted
+
+        return range_expand_sorted(self._sorted_terms(), gte, lte, gt, lt,
+                                   cap)
+
     def _sorted_terms(self) -> list[str]:
         # dictionary WALKS (prefix/wildcard/regexp/fuzzy) see unigrams
         # only — index_phrases shingle terms ("hash\x1fjoin") would
@@ -3541,15 +3550,27 @@ class TermPartitionedEngine:
             )
         )
 
+    def expand_range_capped(self, gte=None, lte=None, gt=None, lt=None,
+                            max_expansions: int = 50) -> list[str]:
+        """Global lexical-range expansion over the bucket dictionaries,
+        first ``max_expansions`` in term order."""
+        per_actor = ray.get(
+            [a.expand_range.remote(gte, lte, gt, lt, max_expansions)
+             for a in self.actors]
+        )
+        out = sorted(set().union(*map(set, per_actor)))
+        return out[:max_expansions]
+
     def _expand_span_multi(self, spec: dict, m: int) -> list[str]:
-        """span_multi wrapper dispatch (prefix/wildcard/regexp/fuzzy) —
-        deterministic global expansions, identical results to
+        """span_multi wrapper dispatch (prefix/wildcard/regexp/fuzzy/
+        range) — deterministic global expansions, identical results to
         ``QueryEngine._expand_span_multi`` regardless of layout."""
         from .spans import expand_multi_spec
 
         return expand_multi_spec(
             spec, m, self.expand_prefix, self.expand_wildcard,
             self.expand_regexp, self.expand_fuzzy_capped,
+            range_fn=self.expand_range_capped,
         )
 
     def dfs(self, terms: list[str]) -> dict[str, int]:

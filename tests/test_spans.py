@@ -742,3 +742,52 @@ def test_span_multi_masked_wildcard(mask_field_indexes):
         assert got  # non-degenerate
     finally:
         eng.shutdown()
+
+
+def test_range_expand_and_span_multi_range(pos_index):
+    """range_expand_sorted bound semantics + span_multi range wrapper ≡
+    explicit or, both engines."""
+    import tempfile
+
+    from elasticsearch_assets_ray.index.global_merge import (
+        merge_global_postings,
+    )
+    from elasticsearch_assets_ray.search.engine import range_expand_sorted
+    from elasticsearch_assets_ray.search.term_engine import (
+        TermPartitionedEngine,
+    )
+
+    tl = ["aa", "ab", "b", "ba", "c"]
+    assert range_expand_sorted(tl, gte="ab", lte="ba") == ["ab", "b", "ba"]
+    assert range_expand_sorted(tl, gt="ab", lt="ba") == ["b"]
+    assert range_expand_sorted(tl, gte="ab") == ["ab", "b", "ba", "c"]
+    assert range_expand_sorted(tl, lt="b") == ["aa", "ab"]
+    assert range_expand_sorted(tl, gte="ab", lte="ba", cap=2) == ["ab", "b"]
+
+    eng = QueryEngine(pos_index.index_dir, num_actors=2)
+    gdir = tempfile.mkdtemp(prefix="spanrange_glb_")
+    merge_global_postings(pos_index.index_dir, gdir, n_salts=2,
+                          n_buckets=4, store_norms=True)
+    geng = TermPartitionedEngine(gdir, num_actors=2)
+    try:
+        expansion = eng.expand_range_capped(gte="da", lte="df",
+                                            max_expansions=50)
+        assert expansion
+        assert geng.expand_range_capped(gte="da", lte="df",
+                                        max_expansions=50) == expansion
+        multi = {"span_near": {"clauses": [
+            {"span_multi": {"range": {"gte": "da", "lte": "df"},
+                            "max_expansions": 50}},
+            {"span_term": "merge"},
+        ], "slop": 6, "in_order": False}}
+        explicit = {"span_near": {"clauses": [
+            {"span_or": [{"span_term": t} for t in expansion]},
+            {"span_term": "merge"},
+        ], "slop": 6, "in_order": False}}
+        want = eng.search_spans(explicit, k=100)
+        assert eng.search_spans(multi, k=100) == want
+        got = geng.search_spans(multi, k=100)
+        assert [d for d, _ in got] == [d for d, _ in want]
+    finally:
+        eng.shutdown()
+        geng.shutdown()
