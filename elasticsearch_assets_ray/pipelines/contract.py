@@ -4890,6 +4890,79 @@ def q_match_agg_ordered_global(sf_dir: str) -> pa.Table:
         eng.shutdown()
 
 
+# ES terms-agg value filters: include (anchored regex), exclude (value
+# array), min_doc_count — RE2 in both the engine and DuckDB.
+TAF_INCLUDE = "src1[0-9]?"          # src1, src10..src19
+TAF_EXCLUDE = ("src13", "src17")
+TAF_MIN_DOC = 2
+
+
+def _q_terms_agg_filtered(engine) -> pa.Table:
+    rows = []
+    for qid, text in AGG_QUERIES:
+        buckets = engine.aggregate(
+            text, group_by="source",
+            include=TAF_INCLUDE, exclude=TAF_EXCLUDE,
+            min_doc_count=TAF_MIN_DOC,
+        )
+        for b in buckets:
+            rows.append({"query_id": qid, "source": b["key"],
+                         "doc_count": b["doc_count"]})
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_terms_agg_filtered(sf_dir: str) -> pa.Table:
+    """``terms`` aggregation with the ES ``include`` / ``exclude`` /
+    ``min_doc_count`` value filters (anchored regex + exclusion array +
+    count floor).  EXACT — every bucket crosses the O(buckets) merge
+    before filtering, so there is no shard_size / shard_min_doc_count
+    truncation to approximate."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_terms_agg_filtered(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_terms_agg_filtered_global(sf_dir: str) -> pa.Table:
+    """The SAME filtered terms aggregation from the TERM-partitioned
+    layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_terms_agg_filtered(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_terms_agg_filtered() -> str:
+    rows = []
+    for qid, text in AGG_QUERIES:
+        for t in _simple_tokens(text):
+            rows.append(f"({qid}, '{t}')")
+    values = ", ".join(rows)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    exc = ", ".join(f"'{v}'" for v in TAF_EXCLUDE)
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, t) AS (VALUES {values}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t)
+SELECT hit.query_id, d.source, count(*)::BIGINT AS doc_count
+FROM hit JOIN documents d ON d.doc_id = hit.doc_id
+WHERE regexp_full_match(d.source, '{TAF_INCLUDE}')
+  AND d.source NOT IN ({exc})
+GROUP BY 1, 2
+HAVING count(*) >= {TAF_MIN_DOC}
+"""
+
+
 def sql_match_agg_ordered() -> str:
     rows = []
     for qid, text in AGG_QUERIES:
@@ -13565,6 +13638,8 @@ def queries():
         "match_agg_lang": q_match_agg,
         "match_agg_lang_global": q_match_agg_global,
         "match_agg_ordered": q_match_agg_ordered,
+        "terms_agg_filtered": q_terms_agg_filtered,
+        "terms_agg_filtered_global": q_terms_agg_filtered_global,
         "match_agg_ordered_global": q_match_agg_ordered_global,
         "filters_agg": q_filters_agg,
         "filters_agg_global": q_filters_agg_global,
@@ -13856,6 +13931,8 @@ def oracle_sql():
         "match_agg_lang": sql_match_agg(),
         "match_agg_lang_global": sql_match_agg(),
         "match_agg_ordered": sql_match_agg_ordered(),
+        "terms_agg_filtered": sql_terms_agg_filtered(),
+        "terms_agg_filtered_global": sql_terms_agg_filtered(),
         "match_agg_ordered_global": sql_match_agg_ordered(),
         "filters_agg": sql_filters_agg(),
         "filters_agg_global": sql_filters_agg(),

@@ -830,6 +830,48 @@ def rare_terms_buckets(
     return out[:size] if size is not None else out
 
 
+def filter_terms_buckets(
+    rows: list[dict],
+    include=None,
+    exclude=None,
+    min_doc_count: int = 1,
+) -> list[dict]:
+    """ES terms-agg ``include`` / ``exclude`` / ``min_doc_count``:
+    value filters applied before the order/size cut.  ``include`` /
+    ``exclude`` are an anchored RE2 pattern (strings — ES regex form)
+    or an explicit value collection (the ES array form); ``exclude``
+    wins over ``include`` (ES precedence).  Exact here for the same
+    reason the ``size`` cut is: every bucket crosses the O(buckets)
+    merge, so filtering after the merge ≡ filtering at the shards (ES
+    applies include/exclude during collection and then suffers
+    shard_size truncation; we don't).  ``min_doc_count`` drops buckets
+    below the floor AFTER the full merge — exact, unlike ES's per-shard
+    ``shard_min_doc_count`` pre-filter."""
+    import re as _re
+
+    def _pred(spec):
+        if spec is None:
+            return None
+        if isinstance(spec, str):
+            rx = _re.compile(spec)
+            return lambda k: isinstance(k, str) and rx.fullmatch(k) is not None
+        vals = set(spec)
+        return lambda k: k in vals
+
+    inc, exc = _pred(include), _pred(exclude)
+    out = []
+    for r in rows:
+        if r["doc_count"] < min_doc_count:
+            continue
+        k = r["key"]
+        if inc is not None and not inc(k):
+            continue
+        if exc is not None and exc(k):
+            continue
+        out.append(r)
+    return out
+
+
 def order_terms_buckets(
     rows: list[dict],
     order: tuple[str, str] | None,

@@ -4364,6 +4364,9 @@ class QueryEngine:
         stats_on: str | None = None,
         order: tuple[str, str] | None = None,
         size: int | None = None,
+        include=None,
+        exclude=None,
+        min_doc_count: int = 1,
     ) -> list[dict]:
         """ES search + ``terms`` aggregation (with an optional nested
         ``stats`` sub-aggregation): buckets of ``group_by`` (a stored
@@ -4382,8 +4385,12 @@ class QueryEngine:
         loses nothing.  Stats cover ``dl`` (token count) or any numeric
         docmeta column; partial (count,sum,min,max) rows merge
         associatively across shard actors, so driver work is
-        O(buckets)."""
-        from .datehist import order_terms_buckets
+        O(buckets).  ``include`` / ``exclude`` (anchored-regex string or
+        value collection) and ``min_doc_count`` are the ES terms-agg
+        value filters — EXACT here (``datehist.filter_terms_buckets``);
+        the terms ``missing`` parameter is served by the standalone
+        ``missing`` aggregation instead."""
+        from .datehist import filter_terms_buckets, order_terms_buckets
 
         if isinstance(query, dict):
             clauses = self._query_clauses(query)
@@ -4391,18 +4398,20 @@ class QueryEngine:
                 [a.agg_match_bool.remote(clauses, group_by, stats_on)
                  for a in self.actors]
             )
-            return order_terms_buckets(
-                self._agg_buckets(per_actor, stats_on), order, size
+        else:
+            terms = (self._analyze(query) if isinstance(query, str)
+                     else sorted(set(query)))
+            if not terms:
+                return []
+            per_actor = ray.get(
+                [a.agg_match.remote(terms, group_by, stats_on)
+                 for a in self.actors]
             )
-        terms = self._analyze(query) if isinstance(query, str) else sorted(set(query))
-        if not terms:
-            return []
-        per_actor = ray.get(
-            [a.agg_match.remote(terms, group_by, stats_on) for a in self.actors]
+        rows = filter_terms_buckets(
+            self._agg_buckets(per_actor, stats_on), include, exclude,
+            min_doc_count,
         )
-        return order_terms_buckets(
-            self._agg_buckets(per_actor, stats_on), order, size
-        )
+        return order_terms_buckets(rows, order, size)
 
     def rare_terms(
         self, query: str | list[str] | dict, field: str,

@@ -2004,6 +2004,9 @@ class TermPartitionedEngine:
         stats_on: str | None = None,
         order: tuple[str, str] | None = None,
         size: int | None = None,
+        include=None,
+        exclude=None,
+        min_doc_count: int = 1,
     ) -> list[dict]:
         """ES search + ``terms`` aggregation served from the
         term-partitioned layout: the ``match`` disjunction's doc ids
@@ -2011,9 +2014,15 @@ class TermPartitionedEngine:
         docmeta partition lineage for the group/stats pass — identical
         buckets to :meth:`QueryEngine.aggregate`, including the
         ``order``/``size`` options (exact cut: every bucket crosses the
-        O(buckets) merge before the sort)."""
+        O(buckets) merge before the sort) and the ``include`` /
+        ``exclude`` / ``min_doc_count`` value filters
+        (``datehist.filter_terms_buckets``)."""
         from .engine import merge_agg_partials
-        from .datehist import agg_partials_over_ids, order_terms_buckets
+        from .datehist import (
+            agg_partials_over_ids,
+            filter_terms_buckets,
+            order_terms_buckets,
+        )
 
         got = self._matched_ids_and_source(query)
         if got is None:
@@ -2034,6 +2043,7 @@ class TermPartitionedEngine:
                      "avg": sm / c if c else None}
                 )
             rows.append(row)
+        rows = filter_terms_buckets(rows, include, exclude, min_doc_count)
         return order_terms_buckets(rows, order, size)
 
     def multi_terms(

@@ -1109,3 +1109,27 @@ def test_multi_year_intervals_and_ladder_tail(ray_session):
     # 400-year span, target 10 → 50y
     f = Fake(us("1700-01-01"), us("2099-12-31"), 9)
     assert auto_date_histogram(f, "q", "ts", 10)["interval"] == "50y"
+
+
+def test_filter_terms_buckets_semantics():
+    from elasticsearch_assets_ray.search.datehist import filter_terms_buckets
+
+    rows = [
+        {"key": "src1", "doc_count": 5},
+        {"key": "src10", "doc_count": 1},
+        {"key": "src13", "doc_count": 9},
+        {"key": "other", "doc_count": 9},
+        {"key": 7, "doc_count": 9},
+    ]
+    # include regex is ANCHORED (full match), exclude wins, floor drops
+    got = filter_terms_buckets(rows, include="src1[0-9]?",
+                               exclude=("src13",), min_doc_count=2)
+    assert [r["key"] for r in got] == ["src1"]
+    # value-collection include; numeric keys pass through collections
+    got = filter_terms_buckets(rows, include=("other", 7))
+    assert [r["key"] for r in got] == ["other", 7]
+    # regex include never matches non-string keys
+    got = filter_terms_buckets(rows, include=".*")
+    assert 7 not in [r["key"] for r in got]
+    # no filters = identity
+    assert filter_terms_buckets(rows) == rows
