@@ -4576,6 +4576,83 @@ FROM names LEFT JOIN agg ON agg.name = names.name
 """
 
 
+def _q_filters_agg_other(engine) -> pa.Table:
+    rows = []
+    for b in engine.filters_agg(FILTERS_AGG_SPEC, stats_on="dl",
+                                other_bucket=True):
+        rows.append(
+            {
+                "name": b["key"],
+                "doc_count": b["doc_count"],
+                "sum_dl": b.get("sum", 0.0),
+                "avg_dl": b.get("avg", 0.0),
+            }
+        )
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_filters_agg_other(sf_dir: str) -> pa.Table:
+    """``filters`` aggregation WITH the ES ``other_bucket``: the
+    appended ``_other_`` bucket counts (and stats) LIVE docs matching
+    NONE of the named filters — shard-side it falls out of the union
+    mask in the same actor round; the term layout computes it as
+    n − |union| with a full-lineage complement scan."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_filters_agg_other(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_filters_agg_other_global(sf_dir: str) -> pa.Table:
+    """The SAME other-bucket filters aggregation from the
+    TERM-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_filters_agg_other(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_filters_agg_other() -> str:
+    f_rows, name_rows = [], []
+    for name, text in FILTERS_AGG_SPEC:
+        name_rows.append(f"('{name}')")
+        for t in _simple_tokens(text):
+            f_rows.append(f"('{name}', '{t}')")
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+f(name, t) AS (VALUES {", ".join(f_rows)}),
+names(name) AS (VALUES {", ".join(name_rows)}),
+hit AS (SELECT DISTINCT f.name, toks.doc_id
+        FROM f JOIN toks ON toks.t = f.t),
+oth AS (SELECT '_other_' AS name, d.doc_id
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM hit WHERE hit.doc_id = d.doc_id)),
+hit_all AS (SELECT * FROM hit UNION ALL SELECT * FROM oth),
+agg AS (SELECT hit_all.name, count(*)::BIGINT AS doc_count,
+               sum(dl.dl) AS sum_dl,
+               sum(dl.dl) / count(*) AS avg_dl
+        FROM hit_all JOIN dl ON dl.doc_id = hit_all.doc_id
+        GROUP BY 1),
+names_all(name) AS (SELECT name FROM names UNION ALL SELECT '_other_')
+SELECT names_all.name,
+       coalesce(agg.doc_count, 0)::BIGINT AS doc_count,
+       coalesce(agg.sum_dl, 0) AS sum_dl,
+       coalesce(agg.avg_dl, 0) AS avg_dl
+FROM names_all LEFT JOIN agg ON agg.name = names_all.name
+"""
+
+
 # ES ``regexp`` queries (anchored; RE2/Python-re common subset so the
 # DuckDB regexp_full_match oracle evaluates the SAME pattern)
 REGEXP_QUERIES: list[tuple[int, str]] = [
@@ -13642,6 +13719,8 @@ def queries():
         "terms_agg_filtered_global": q_terms_agg_filtered_global,
         "match_agg_ordered_global": q_match_agg_ordered_global,
         "filters_agg": q_filters_agg,
+        "filters_agg_other": q_filters_agg_other,
+        "filters_agg_other_global": q_filters_agg_other_global,
         "filters_agg_global": q_filters_agg_global,
         "date_histogram": q_date_histogram,
         "date_histogram_global": q_date_histogram_global,
@@ -13935,6 +14014,8 @@ def oracle_sql():
         "terms_agg_filtered_global": sql_terms_agg_filtered(),
         "match_agg_ordered_global": sql_match_agg_ordered(),
         "filters_agg": sql_filters_agg(),
+        "filters_agg_other": sql_filters_agg_other(),
+        "filters_agg_other_global": sql_filters_agg_other(),
         "filters_agg_global": sql_filters_agg(),
         "date_histogram": sql_date_histogram(),
         "date_histogram_global": sql_date_histogram(),

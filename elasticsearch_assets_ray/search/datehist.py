@@ -1291,6 +1291,71 @@ def _values_partition_task(
     return np.sort(v)
 
 
+@ray.remote
+def _values_excl_partition_task(
+    paths: list[str],
+    excl_locals: list[np.ndarray],
+    field: str,
+) -> tuple:
+    """Extstats partial over every row NOT in the exclusion set — the
+    ES filters-agg ``other_bucket`` complement scan (full lineage,
+    partition-parallel, one column-pruned read each)."""
+    n = 0
+    s = 0.0
+    s2 = 0.0
+    mn = np.inf
+    mx = -np.inf
+    for path, excl in zip(paths, excl_locals):
+        v = read_field_values(path, field).astype(np.float64)
+        if len(excl):
+            keep = np.ones(len(v), dtype=bool)
+            keep[excl] = False
+            v = v[keep]
+        v = v[~np.isnan(v)]
+        if len(v):
+            n += int(len(v))
+            s += float(v.sum())
+            s2 += float((v * v).sum())
+            mn = min(mn, float(v.min()))
+            mx = max(mx, float(v.max()))
+    return (n, s, s2, mn, mx)
+
+
+def values_partials_excluding(
+    index_dir: str | Path,
+    exclude_ids: np.ndarray,
+    field: str,
+    partitions_per_task: int = 16,
+) -> list[tuple]:
+    """Extstats partials of ``field`` over ALL docmeta rows EXCEPT the
+    ``exclude_ids`` set — the other-bucket scan.  Every partition is
+    visited (the complement is corpus-scale by construction); exclusion
+    offsets route per partition with one searchsorted."""
+    from ..index.build import IndexInfo, docmeta_path
+
+    info = IndexInfo(index_dir)
+    parts = sorted(info.manifest.partitions, key=lambda p: p.doc_base)
+    if not parts:
+        return []
+    ids = np.unique(np.asarray(exclude_ids, dtype=np.int64))
+    bases = np.array([p.doc_base for p in parts], dtype=np.int64)
+    paths = [str(docmeta_path(index_dir, p.partition_id)) for p in parts]
+    excl: list[np.ndarray] = []
+    for i, p in enumerate(parts):
+        lo = np.searchsorted(ids, p.doc_base)
+        hi = np.searchsorted(ids, p.doc_base + p.num_rows)
+        excl.append(ids[lo:hi] - bases[i])
+    futs = [
+        _values_excl_partition_task.remote(
+            paths[i: i + partitions_per_task],
+            excl[i: i + partitions_per_task],
+            field,
+        )
+        for i in range(0, len(paths), partitions_per_task)
+    ]
+    return list(ray.get(futs))
+
+
 def values_partials_over_ids(
     index_dir: str | Path,
     doc_ids: np.ndarray,

@@ -2167,19 +2167,34 @@ class ShardData:
     def agg_filters(
         self, named_clauses: list[tuple[str, dict]],
         stats_col: str | None = None,
+        other_key: str | None = None,
     ) -> dict:
         """Per-shard partial for an ES ``filters`` aggregation: one
         NAMED bucket per filter query (each the full bool-clause
         algebra, non-scoring) → {name: (doc_count, sum, min, max)}.
         Stats cover only valid (non-NaN) values; doc_count counts every
-        eligible doc — the ES metric-sub-agg convention."""
+        eligible doc — the ES metric-sub-agg convention.  A non-None
+        ``other_key`` adds the ES ``other_bucket`` partial: LIVE docs
+        matching NONE of the filters."""
         from .datehist import valid_mask
 
         postings_idx = self._postings_idx_fn()
         sv = (
             self.meta_col(stats_col) if stats_col is not None else None
         )
+
+        def stat_row(idxs: np.ndarray) -> tuple:
+            c = len(idxs)
+            if c == 0 or sv is None:
+                return (c, None, None, None)
+            v = sv[idxs].astype(np.float64)
+            v = v[valid_mask(v)]
+            if len(v) == 0:
+                return (c, None, None, None)
+            return (c, float(v.sum()), float(v.min()), float(v.max()))
+
         out: dict = {}
+        any_ok = np.zeros(self.num_docs, dtype=bool)
         for name, clauses in named_clauses:
             ok = self._bool_eligible(
                 sorted(set(clauses.get("must", []))),
@@ -2189,18 +2204,11 @@ class ShardData:
                 clauses.get("msm"), clauses.get("meta_filters"),
                 clauses.get("range_filters"), postings_idx,
             )
-            idxs = np.nonzero(ok)[0]
-            c = len(idxs)
-            if c == 0 or sv is None:
-                out[name] = (c, None, None, None)
-                continue
-            v = sv[idxs].astype(np.float64)
-            v = v[valid_mask(v)]
-            if len(v) == 0:
-                out[name] = (c, None, None, None)
-            else:
-                out[name] = (c, float(v.sum()), float(v.min()),
-                             float(v.max()))
+            any_ok |= ok
+            out[name] = stat_row(np.nonzero(ok)[0])
+        if other_key is not None:
+            other = ~any_ok & ~self.deleted_mask
+            out[other_key] = stat_row(np.nonzero(other)[0])
         return out
 
     def _agg_over_mask(
@@ -3300,11 +3308,12 @@ class _ScorerCore:
     def agg_filters(
         self, named_clauses: list[tuple[str, dict]],
         stats_col: str | None = None,
+        other_key: str | None = None,
     ) -> dict:
         merged: dict = {}
         for s in self.shards:
             merge_opt_stats_partials(
-                merged, s.agg_filters(named_clauses, stats_col)
+                merged, s.agg_filters(named_clauses, stats_col, other_key)
             )
         return merged
 
@@ -4595,6 +4604,8 @@ class QueryEngine:
         self,
         filters: dict | list[tuple],
         stats_on: str | None = None,
+        other_bucket: bool = False,
+        other_bucket_key: str = "_other_",
     ) -> list[dict]:
         """ES ``filters`` aggregation: one NAMED bucket per filter
         query — each a free-text match / term list / full bool-clause
@@ -4603,23 +4614,30 @@ class QueryEngine:
         DECLARATION order (the ES keyed-filters contract), empty
         filters included with ``doc_count`` 0.  One actor round carries
         ALL filters; per-shard partials are (count, sum, min, max) per
-        name, so driver work is O(filters)."""
+        name, so driver work is O(filters).  ``other_bucket=True``
+        appends the ES other bucket (LIVE docs matching NO filter,
+        keyed ``other_bucket_key``) — computed shard-side from the
+        union mask in the same round."""
         items = (
             list(filters.items()) if isinstance(filters, dict)
             else list(filters)
         )
         named = [(str(n), self._query_clauses(q)) for n, q in items]
         send = [(n, c) for n, c in named if c is not None]
+        other_key = other_bucket_key if other_bucket else None
         merged: dict = {}
-        if send:
+        if send or other_key is not None:
             per_actor = ray.get(
-                [a.agg_filters.remote(send, stats_on)
+                [a.agg_filters.remote(send, stats_on, other_key)
                  for a in self.actors]
             )
             for p in per_actor:
                 merge_opt_stats_partials(merged, p)
+        keys = [n for n, _ in named]
+        if other_key is not None:
+            keys.append(other_key)
         rows = []
-        for n, _ in named:
+        for n in keys:
             c, s, mn, mx = merged.get(n, (0, None, None, None))
             row = {"key": n, "doc_count": int(c)}
             if stats_on is not None and s is not None:

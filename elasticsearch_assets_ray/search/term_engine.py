@@ -2188,6 +2188,8 @@ class TermPartitionedEngine:
         self,
         filters: dict | list[tuple],
         stats_on: str | None = None,
+        other_bucket: bool = False,
+        other_bucket_key: str = "_other_",
     ) -> list[dict]:
         """ES ``filters`` aggregation served from the term-partitioned
         layout: per named filter (a ``match`` disjunction — text or a
@@ -2196,16 +2198,27 @@ class TermPartitionedEngine:
         from the source docmeta lineage (extstats partials →
         sum/min/max/avg).  Buckets in declaration order, empty filters
         kept with ``doc_count`` 0 — identical rows to
-        :meth:`QueryEngine.filters_agg`."""
-        from .datehist import merge_extstats, values_partials_over_ids
+        :meth:`QueryEngine.filters_agg`.  ``other_bucket=True`` appends
+        the docs-matching-NO-filter bucket: count = n − |union|, stats
+        from a full-lineage partition-parallel COMPLEMENT scan
+        (``datehist.values_partials_excluding`` — corpus-scale by
+        construction, one column-pruned read per partition)."""
+        from .datehist import (
+            merge_extstats,
+            values_partials_excluding,
+            values_partials_over_ids,
+        )
 
         items = (
             list(filters.items()) if isinstance(filters, dict)
             else list(filters)
         )
         rows = []
+        union_parts: list[np.ndarray] = []
         for name, q in items:
             ids = self._filter_match_ids(q)
+            if other_bucket and len(ids):
+                union_parts.append(ids)
             if len(ids) == 0:
                 rows.append({"key": str(name), "doc_count": 0})
                 continue
@@ -2225,6 +2238,27 @@ class TermPartitionedEngine:
                     # (and the SQL oracle's) sum/doc_count convention
                     row.update({"sum": s, "min": mn, "max": mx,
                                 "avg": s / len(ids)})
+            rows.append(row)
+        if other_bucket:
+            union = (
+                np.unique(np.concatenate(union_parts))
+                if union_parts else np.empty(0, np.int64)
+            )
+            other_n = self.n - int(len(union))
+            row = {"key": other_bucket_key, "doc_count": other_n}
+            if stats_on is not None and other_n:
+                src = self.meta.get("source_index")
+                if not src:
+                    raise RuntimeError(
+                        "global layout predates source_index metadata — "
+                        "rebuild merge_global_postings for doc-values stats"
+                    )
+                n, s, _s2, mn, mx = merge_extstats(
+                    values_partials_excluding(src, union, stats_on)
+                )
+                if n:
+                    row.update({"sum": s, "min": mn, "max": mx,
+                                "avg": s / other_n})
             rows.append(row)
         return rows
 
