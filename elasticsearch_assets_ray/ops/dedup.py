@@ -127,6 +127,122 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def incremental_exact_dedup(
+    ds,
+    state_dir: str,
+    run_tag: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exact dedup of a NEW document wave against a PERSISTED signature
+    store — the production daily-increment posture: a 100 TB corpus's
+    prior waves are never re-scanned, only the signature buckets the new
+    wave's hashes route to are read (column-pruned), and the new wave's
+    winners append as one generation.
+
+    State layout: ``{state_dir}/bucket=BBB/gen-{run_tag}.parquet`` with
+    winner rows ``(content_sha256, doc_id)`` — 256 sha-prefix buckets
+    (the ``exact_dedup`` exchange key), so each group task touches one
+    directory.  Commit is atomic per bucket (tmp + rename, deterministic
+    name) and REPLAY-SAFE: a re-run of the same ``run_tag`` reads the
+    state WITHOUT its own generation, recomputes identical verdicts and
+    rewrites the same winner files byte-identically (the transform /
+    index-append generation pattern, ``ops/transform.py`` /
+    ``index/global_merge.py``).
+
+    Winner = the FIRST occurrence in processing order: earlier
+    generations beat this wave; within the wave, smallest ``id_col``.
+    Returns ``Dataset(doc_id, content_sha256, keep, dup_of)`` — one row
+    per input doc; ``dup_of`` = the winner's doc id for ``keep=False``
+    rows, null for winners."""
+    import os
+
+    sdir = str(state_dir)
+
+    def add(b: pa.Table) -> pa.Table:
+        t = sha256_batch(b, text_col, id_col)
+        return t.append_column(
+            "bucket", _sha_bucket(t.column("content_sha256").to_pylist())
+        )
+
+    def verdict(g: pa.Table) -> pa.Table:
+        bucket = int(g.column("bucket")[0].as_py())
+        bdir = os.path.join(sdir, f"bucket={bucket:03d}")
+        own = f"gen-{run_tag}.parquet"
+        state: dict[str, int] = {}
+        if os.path.isdir(bdir):
+            import pyarrow.parquet as _pq
+
+            for f in sorted(os.listdir(bdir)):
+                # replay safety: this run's own (possibly partial)
+                # generation is NOT prior state
+                if not f.endswith(".parquet") or f == own:
+                    continue
+                t = _pq.read_table(os.path.join(bdir, f),
+                                   columns=["content_sha256", "doc_id"])
+                for h, d in zip(t.column("content_sha256").to_pylist(),
+                                t.column("doc_id").to_pylist()):
+                    if h not in state or d < state[h]:
+                        state[h] = int(d)
+        order = pc.sort_indices(
+            g, sort_keys=[("content_sha256", "ascending"),
+                          ("doc_id", "ascending")]
+        )
+        g = g.take(order)
+        sha_arr = np.asarray(g.column("content_sha256").to_pylist(),
+                             dtype=object)
+        shas = sha_arr.tolist()
+        ids = g.column("doc_id").to_numpy()
+        n = len(shas)
+        # vectorized state lookup: sorted state keys + one searchsorted
+        sk = np.asarray(sorted(state), dtype=object)
+        sv = np.array([state[h] for h in sk.tolist()], dtype=np.int64)
+        if len(sk):
+            pos = np.searchsorted(sk, sha_arr)
+            posc = np.minimum(pos, len(sk) - 1)
+            in_state = sk[posc] == sha_arr
+        else:
+            posc = np.zeros(n, dtype=np.int64)
+            in_state = np.zeros(n, dtype=bool)
+        # in-batch runs (rows are (sha, id)-sorted): a run is wholly in
+        # state or wholly not, so the run-start row IS the batch winner
+        first = np.ones(n, dtype=bool)
+        first[1:] = sha_arr[1:] != sha_arr[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(first, np.arange(n), 0))
+        keep = first & ~in_state
+        dup_of = np.where(
+            in_state, sv[posc] if len(sk) else 0, ids[run_start]
+        ).astype(np.int64)
+        has_dup = ~keep
+        # commit this wave's winners as one atomic generation file
+        os.makedirs(bdir, exist_ok=True)
+        import pyarrow.parquet as _pq
+
+        kt = pa.table({
+            "content_sha256": pa.array(
+                [shas[i] for i in range(n) if keep[i]], pa.string()),
+            "doc_id": pa.array(ids[keep], pa.int64()),
+        })
+        tmp = os.path.join(bdir, f".{own}.tmp")
+        _pq.write_table(kt, tmp)
+        os.replace(tmp, os.path.join(bdir, own))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "content_sha256": pa.array(shas, pa.string()),
+            "keep": pa.array(keep),
+            "dup_of": pa.array(
+                [int(dup_of[i]) if has_dup[i] else None for i in range(n)],
+                pa.int64()),
+        })
+
+    return (
+        ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(verdict, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 # ------------------------------------------------------- shingles / jaccard
 
 

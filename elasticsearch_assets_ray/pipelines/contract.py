@@ -9638,6 +9638,46 @@ FROM documents GROUP BY 1
 """
 
 
+def q_incremental_dedup(sf_dir: str) -> pa.Table:
+    """Exact dedup of document WAVES against a persisted signature
+    store (`ops/dedup.py incremental_exact_dedup` — the daily-increment
+    posture: prior waves are never re-scanned, only the sha-prefix
+    buckets the new wave routes to; winners append as one atomic,
+    replay-safe generation per bucket).  Here the corpus splits into
+    two waves by doc id; wave order == id order, so the store's
+    first-occurrence winner is SQL's min(doc_id) per text."""
+    import shutil
+    import tempfile
+
+    from ..ops.dedup import incremental_exact_dedup
+
+    ds = _docs(sf_dir)
+    half = ds.count() // 2
+    sdir = tempfile.mkdtemp(prefix="esray_incdedup_")
+    try:
+        w1 = incremental_exact_dedup(
+            ds.filter(expr=f"doc_id < {half}"), sdir, run_tag="w1")
+        t1 = to_arrow(w1)  # wave 1 must COMMIT before wave 2 reads
+        t2 = to_arrow(incremental_exact_dedup(
+            ds.filter(expr=f"doc_id >= {half}"), sdir, run_tag="w2"))
+        return pa.concat_tables([t1, t2]).sort_by("doc_id")
+    finally:
+        shutil.rmtree(sdir, ignore_errors=True)
+
+
+def sql_incremental_dedup() -> str:
+    return """
+SELECT doc_id,
+       sha256(text) AS content_sha256,
+       doc_id = min(doc_id) OVER (PARTITION BY text) AS keep,
+       CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY text)
+            THEN NULL
+            ELSE min(doc_id) OVER (PARTITION BY text) END AS dup_of
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_jaccard_pairs(sf_dir: str) -> pa.Table:
     return dd.jaccard_pairs(_docs(sf_dir), threshold=0.4)
 
@@ -13846,6 +13886,7 @@ def queries():
         "cluster_split": q_cluster_split,
         "split_leakage": q_split_leakage,
         "exact_dedup": q_exact_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "sample_hash": q_sample_hash,
@@ -14137,6 +14178,7 @@ def oracle_sql():
         "cluster_split": sql_cluster_split(),
         "split_leakage": sql_split_leakage(),
         "exact_dedup": sql_exact_dedup(),
+        "incremental_dedup": sql_incremental_dedup(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "dedup_clusters": sql_dedup_clusters(),
         "sample_hash": sql_sample_hash(),

@@ -968,3 +968,61 @@ def test_knn_filtered_is_prefilter(ray_session):
     with _pt.raises(ValueError):
         sim.knn_cosine_filtered(ds, q[:1], [0],
                                 {"col": "label", "range": (None, None)})
+
+
+def test_incremental_exact_dedup(ray_session, tmp_path):
+    """Wave-by-wave dedup against the persisted signature store ≡ full
+    exact dedup over the union; idempotent replay; only the new wave's
+    buckets are touched."""
+    import os
+
+    import ray.data as rd
+
+    from elasticsearch_assets_ray.ops.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+
+    texts_a = ["aa bb", "cc dd", "aa bb", "ee ff"]            # ids 0-3
+    texts_b = ["cc dd", "gg hh", "gg hh", "aa bb", "ii jj"]   # ids 4-8
+    wave_a = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts_a)])
+    wave_b = rd.from_items(
+        [{"doc_id": 4 + i, "text": t} for i, t in enumerate(texts_b)])
+    sdir = str(tmp_path / "dedup_state")
+
+    va = {r["doc_id"]: r for r in incremental_exact_dedup(
+        wave_a, sdir, run_tag="day1").take_all()}
+    vb = {r["doc_id"]: r for r in incremental_exact_dedup(
+        wave_b, sdir, run_tag="day2").take_all()}
+    assert [va[i]["keep"] for i in range(4)] == [True, True, False, True]
+    assert va[2]["dup_of"] == 0
+    # wave B: 'cc dd' loses to state winner 1; in-batch 'gg hh' first
+    # occurrence (5) wins, 6 points at 5; 'aa bb' loses to 0; new text 8
+    assert [vb[i]["keep"] for i in range(4, 9)] == [
+        False, True, False, False, True]
+    assert vb[4]["dup_of"] == 1
+    assert vb[6]["dup_of"] == 5
+    assert vb[7]["dup_of"] == 0
+    # equivalence with full dedup over the union (survivor ids match)
+    union = rd.from_items(
+        [{"doc_id": i, "text": t}
+         for i, t in enumerate(texts_a + texts_b)])
+    full = sorted(r["doc_id"] for r in exact_dedup(union).take_all())
+    inc = sorted([i for i in range(4) if va[i]["keep"]]
+                 + [i for i in range(4, 9) if vb[i]["keep"]])
+    assert inc == full
+    # replay of day2 (crash-resume): same verdicts, state unchanged
+    vb2 = {r["doc_id"]: r for r in incremental_exact_dedup(
+        wave_b, sdir, run_tag="day2").take_all()}
+    assert vb2 == vb
+    # a third wave still sees day1+day2 winners
+    wave_c = rd.from_items([{"doc_id": 9, "text": "gg hh"}])
+    vc = incremental_exact_dedup(wave_c, sdir, run_tag="day3").take_all()
+    assert vc[0]["keep"] is False and vc[0]["dup_of"] == 5
+    # state on disk: per-bucket generation files only
+    gens = set()
+    for b in os.listdir(sdir):
+        gens.update(os.listdir(os.path.join(sdir, b)))
+    assert gens <= {"gen-day1.parquet", "gen-day2.parquet",
+                    "gen-day3.parquet"}
