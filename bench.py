@@ -235,6 +235,12 @@ HEADLINE = [
     # substring removal, BPE induction, PCA
     "nested_match", "lm_perplexity", "dsir_weights", "cluster_split",
     "exact_substring_dedup", "bpe_token_stats", "embedding_covariance",
+    # session-13 families: masked spans, span_multi wrappers, terms-agg
+    # value filters, other_bucket, hashed substring dedup, incremental
+    # signature-store dedup
+    "span_masked_search", "span_multi_kinds_global", "terms_agg_filtered",
+    "filters_agg_other_global", "exact_substring_dedup_hash",
+    "incremental_dedup",
 ]
 
 
