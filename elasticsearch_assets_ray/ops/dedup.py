@@ -422,6 +422,40 @@ def _bucketed_pair_counts(pairs_ds, finish_fn, carry_szsum: bool = False):
     )
 
 
+def _emit_pairs_keyed(g: pa.Table, key_col: str,
+                      max_group: int | None) -> pa.Table:
+    """All C(run, 2) pairs of each equal-key run of (key, doc) rows —
+    the `_bucketed_emit_pairs` in-bucket kernel as a standalone (sorted
+    run walk, one triu kernel per distinct run length, duplicate
+    (key, doc) rows dropped, runs above ``max_group`` skipped)."""
+    key = g.column(key_col).to_numpy()
+    doc = g.column("doc_id").to_numpy()
+    order = np.lexsort((doc, key))
+    key, doc = key[order], doc[order]
+    if len(key):
+        dup = (key[1:] == key[:-1]) & (doc[1:] == doc[:-1])
+        if dup.any():
+            keepm = np.concatenate([[True], ~dup])
+            key, doc = key[keepm], doc[keepm]
+    if not len(key):
+        return pa.table({"pair": pa.array([], pa.int64())})
+    starts = np.nonzero(np.concatenate([[True], key[1:] != key[:-1]]))[0]
+    lens = np.diff(np.concatenate([starts, [len(key)]]))
+    keep = lens >= 2
+    if max_group is not None:
+        keep &= lens <= max_group
+    kept_starts, kept_lens = starts[keep], lens[keep]
+    out: list[np.ndarray] = []
+    for length in np.unique(kept_lens).tolist():
+        runs = kept_starts[kept_lens == length]
+        idx = runs[:, None] + np.arange(length)
+        dm = doc[idx]
+        ai, bi = np.triu_indices(length, k=1)
+        out.append(_pair_key(dm[:, ai].ravel(), dm[:, bi].ravel()))
+    pairs = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    return pa.table({"pair": pa.array(pairs, pa.int64())})
+
+
 def _emit_pairs(g: pa.Table, max_group: int | None) -> pa.Table:
     ids = np.unique(g.column("doc_id").to_numpy())
     if len(ids) < 2 or (max_group is not None and len(ids) > max_group):
@@ -1105,6 +1139,200 @@ def minhash_lsh_pairs(
     finally:
         if owned:
             shutil.rmtree(spill_dir, ignore_errors=True)
+
+
+def incremental_minhash_pairs(
+    ds,
+    state_dir: str,
+    run_tag: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.4,
+    max_band_group: int | None = None,
+    n_band_buckets: int = 64,
+    n_spill_buckets: int = 64,
+):
+    """MinHash+LSH near-duplicate pairs of a NEW document wave against
+    itself AND every prior wave, without re-banding prior corpora — the
+    incremental analogue of :func:`minhash_lsh_pairs` (the daily-
+    increment posture next to :func:`incremental_exact_dedup`).
+
+    Persistent state under ``state_dir`` (a shared URI on a real
+    cluster), appended as one atomic generation per bucket per run:
+
+    - ``spill/bucket=BBB/gen-{tag}.parquet`` — the wave's one-pass
+      spill rows ``(doc_id, sig, shingles)``, bucketed by
+      ``doc_id % n_spill_buckets`` so exact verification later reads
+      ONLY the buckets containing candidate docs (column-pruned);
+    - ``bands/bucket=BB/gen-{tag}.parquet`` — ``(band_key, doc_id)``
+      rows bucketed by ``band_key % n_band_buckets``; each candidate
+      task reads its bucket's prior generations (its own excluded —
+      replay safety) and emits exactly the pairs with ≥ 1 NEW member.
+
+    Band keys depend only on the document (never on wave boundaries),
+    so within a colliding band group ``old ∪ new`` the pairs
+    ``new×old ∪ C(new, 2)`` are precisely the pairs earlier waves could
+    not have emitted — the UNION of all waves' outputs equals the batch
+    :func:`minhash_lsh_pairs` over the union corpus (tested), pair for
+    pair and jacc for jacc.  ``max_band_group`` caps on the UNION group
+    size (the batch op's cap semantics).  Re-running a ``run_tag``
+    rewrites its generations byte-identically and returns the same
+    pairs.  → pa.Table(doc_a, doc_b, jacc), pairs with ≥1 wave member,
+    exact-Jaccard ≥ threshold."""
+    import os
+
+    import ray.data as rd
+
+    sdir = str(state_dir)
+    mh = MinHashBands(text_col, id_col, n, num_perm, bands)
+    spill_root = os.path.join(sdir, "spill")
+    bands_root = os.path.join(sdir, "bands")
+    own = f"gen-{run_tag}.parquet"
+
+    # ---- stage 1: spill the wave, committed per doc bucket ----------
+    def add_spill_bucket(batch: pa.Table) -> pa.Table:
+        t = MinHashSpill(mh)(batch)
+        b = (t.column("doc_id").to_numpy() % n_spill_buckets).astype(
+            np.int32)
+        return t.append_column("sbucket", pa.array(b, pa.int32()))
+
+    def commit_spill(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        bucket = int(g.column("sbucket")[0].as_py())
+        bdir = os.path.join(spill_root, f"bucket={bucket:03d}")
+        os.makedirs(bdir, exist_ok=True)
+        g = g.sort_by("doc_id").drop_columns(["sbucket"])
+        tmp = os.path.join(bdir, f".{own}.tmp")
+        _pq.write_table(g, tmp)
+        os.replace(tmp, os.path.join(bdir, own))
+        return g.select(["doc_id", "sig"])
+
+    wave_sigs = (
+        ds.map_batches(add_spill_bucket, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=512)
+        .groupby("sbucket")
+        .map_groups(commit_spill, batch_format="pyarrow",
+                    zero_copy_batch=True)
+    )
+
+    # ---- stage 2: band rows, candidates vs state, commit bands ------
+    def to_band_rows(batch: pa.Table) -> pa.Table:
+        arr = batch.column("sig").combine_chunks()
+        offs = arr.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        keep = counts == num_perm
+        ids = batch.column("doc_id").to_numpy()[keep]
+        if not len(ids):
+            return pa.table(
+                {"band_key": pa.array([], pa.uint64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int32())}
+            )
+        sigs = (
+            arr.values.to_numpy(zero_copy_only=False)[
+                np.repeat(offs[:-1][keep], num_perm)
+                + np.tile(np.arange(num_perm, dtype=np.int64), len(ids))
+            ]
+        ).reshape(len(ids), num_perm)
+        acc = _band_keys(sigs, bands).reshape(-1)
+        return pa.table(
+            {
+                "band_key": pa.array(acc, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "bucket": pa.array(
+                    (acc % np.uint64(n_band_buckets)).astype(np.int32),
+                    pa.int32()),
+            }
+        )
+
+    def cand_task(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        bucket = int(g.column("bucket")[0].as_py())
+        bdir = os.path.join(bands_root, f"bucket={bucket:02d}")
+        new_key = g.column("band_key").to_numpy()
+        new_doc = g.column("doc_id").to_numpy()
+        old_key = np.empty(0, np.uint64)
+        old_doc = np.empty(0, np.int64)
+        if os.path.isdir(bdir):
+            parts_k, parts_d = [], []
+            for f in sorted(os.listdir(bdir)):
+                if not f.endswith(".parquet") or f == own:
+                    continue
+                t = _pq.read_table(os.path.join(bdir, f))
+                parts_k.append(t.column("band_key").to_numpy())
+                parts_d.append(t.column("doc_id").to_numpy())
+            if parts_k:
+                old_key = np.concatenate(parts_k)
+                old_doc = np.concatenate(parts_d)
+        # commit this wave's band rows (atomic, deterministic content)
+        os.makedirs(bdir, exist_ok=True)
+        order = np.lexsort((new_doc, new_key))
+        kt = pa.table({
+            "band_key": pa.array(new_key[order], pa.uint64()),
+            "doc_id": pa.array(new_doc[order], pa.int64()),
+        })
+        tmp = os.path.join(bdir, f".{own}.tmp")
+        _pq.write_table(kt, tmp)
+        os.replace(tmp, os.path.join(bdir, own))
+        # restrict old rows to band keys with ≥1 new member, then emit
+        # all union-group pairs and drop the old-old ones
+        if len(old_key):
+            m = np.isin(old_key, new_key)
+            old_key, old_doc = old_key[m], old_doc[m]
+        key = np.concatenate([new_key, old_key])
+        doc = np.concatenate([new_doc, old_doc])
+        if not len(key):
+            return pa.table({"pair": pa.array([], pa.int64())})
+        grp = pa.table({
+            "band_key": pa.array(key, pa.uint64()),
+            "doc_id": pa.array(doc, pa.int64()),
+        })
+        pairs_t = _emit_pairs_keyed(grp, "band_key", max_band_group)
+        pair = pairs_t.column("pair").to_numpy()
+        if len(pair) and len(old_doc):
+            olds = np.unique(old_doc)
+            a = (pair >> np.int64(32)).astype(np.int64)
+            b = pair & np.int64(0xFFFFFFFF)
+            both_old = np.isin(a, olds) & np.isin(b, olds)
+            pair = pair[~both_old]
+        return pa.table({"pair": pa.array(pair, pa.int64())})
+
+    band_rows = wave_sigs.map_batches(
+        to_band_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    raw = band_rows.groupby("bucket").map_groups(
+        cand_task, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cand = to_arrow(raw)
+    if cand.num_rows == 0:
+        return _canonical_pairs(pa.table({}), ["doc_a", "doc_b", "jacc"])
+    cand_pairs = np.unique(cand.column("pair").to_numpy())
+
+    # ---- stage 3: exact verify from the TOUCHED spill buckets only --
+    members = np.unique(np.concatenate([
+        (cand_pairs >> np.int64(32)).astype(np.int64),
+        (cand_pairs & np.int64(0xFFFFFFFF)).astype(np.int64),
+    ]))
+    touched = np.unique(members % n_spill_buckets)
+    files: list[str] = []
+    for b in touched:
+        bdir = os.path.join(spill_root, f"bucket={int(b):03d}")
+        if os.path.isdir(bdir):
+            files.extend(
+                os.path.join(bdir, f)
+                for f in sorted(os.listdir(bdir)) if f.endswith(".parquet")
+            )
+    spill_ds = rd.read_parquet(files, columns=["doc_id", "shingles"])
+    out = to_arrow(
+        verify_pairs_jaccard_spill(spill_ds, cand_pairs, threshold)
+    )
+    out = _canonical_pairs(out, ["doc_a", "doc_b", "jacc"])
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 # --------------------------------------------------------------- simhash

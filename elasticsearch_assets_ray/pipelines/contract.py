@@ -12122,6 +12122,33 @@ def q_minhash_pairs(sf_dir: str) -> pa.Table:
     return dd.minhash_lsh_pairs(_docs(sf_dir), threshold=0.4)
 
 
+def q_incremental_minhash(sf_dir: str) -> pa.Table:
+    """Wave-by-wave MinHash+LSH near-dup against the persisted
+    band+spill store (`ops/dedup.py incremental_minhash_pairs`): the
+    corpus splits into two waves; the UNION of the waves' outputs is
+    pair- and jacc-identical to the batch op over the whole corpus
+    (band keys are wave-independent — asserted in tests), and wave 2
+    re-bands nothing from wave 1, only reads the colliding band buckets
+    and the candidate docs' spill buckets.  Rows-only (probabilistic
+    recall like `minhash_pairs`; exactness of the VERIFY step is the
+    batch op's)."""
+    import shutil
+    import tempfile
+
+    ds = _docs(sf_dir)
+    half = ds.count() // 2
+    sdir = tempfile.mkdtemp(prefix="esray_incmh_")
+    try:
+        t1 = dd.incremental_minhash_pairs(
+            ds.filter(expr=f"doc_id < {half}"), sdir, "w1", threshold=0.4)
+        t2 = dd.incremental_minhash_pairs(
+            ds.filter(expr=f"doc_id >= {half}"), sdir, "w2", threshold=0.4)
+        return pa.concat_tables([t1, t2]).sort_by(
+            [("doc_a", "ascending"), ("doc_b", "ascending")])
+    finally:
+        shutil.rmtree(sdir, ignore_errors=True)
+
+
 def q_simhash_pairs(sf_dir: str) -> pa.Table:
     return dd.simhash_pairs(_docs(sf_dir), max_hamming=8)
 
@@ -13950,6 +13977,7 @@ def queries():
         "knn_multi": q_knn_multi,
         "mixture_sample": q_mixture_sample,
         "minhash_pairs": q_minhash_pairs,
+        "incremental_minhash": q_incremental_minhash,
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
         "knn_lsh": q_knn_lsh,

@@ -1026,3 +1026,49 @@ def test_incremental_exact_dedup(ray_session, tmp_path):
         gens.update(os.listdir(os.path.join(sdir, b)))
     assert gens <= {"gen-day1.parquet", "gen-day2.parquet",
                     "gen-day3.parquet"}
+
+
+def test_incremental_minhash_pairs(ray_session, tmp_path):
+    """Wave-by-wave LSH near-dup against the persisted band+spill store:
+    the union of the waves' outputs is PAIR-IDENTICAL (and jacc-
+    identical) to the batch op over the union corpus; replay is
+    idempotent; pairs always include ≥1 wave member."""
+    import ray.data as rd
+
+    from elasticsearch_assets_ray.ops.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen engineers review a streaming shuffle plan")
+    texts = []
+    for i in range(30):
+        words = base.split()
+        words[i % len(words)] = f"tok{i}"
+        texts.append(" ".join(words))           # near-dups of base
+    texts += [f"totally unrelated document number {i} about "
+              f"galaxies{i} and protein{i} folding rates" for i in range(10)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    kw = dict(n=3, num_perm=64, bands=16, threshold=0.5)
+
+    full = minhash_lsh_pairs(
+        rd.from_items(rows), **kw).to_pandas()
+    full_set = {(a, b, round(j, 9)) for a, b, j in
+                zip(full.doc_a, full.doc_b, full.jacc)}
+
+    sdir = str(tmp_path / "mh_state")
+    w1 = incremental_minhash_pairs(
+        rd.from_items(rows[:20]), sdir, "w1", **kw).to_pandas()
+    w2 = incremental_minhash_pairs(
+        rd.from_items(rows[20:]), sdir, "w2", **kw).to_pandas()
+    inc_set = {(a, b, round(j, 9)) for d in (w1, w2)
+               for a, b, j in zip(d.doc_a, d.doc_b, d.jacc)}
+    assert inc_set == full_set and len(full_set) > 50
+    # wave 2's pairs all touch a wave-2 doc; cross-wave pairs exist
+    assert all(a >= 20 or b >= 20 for a, b in zip(w2.doc_a, w2.doc_b))
+    assert any(a < 20 and b >= 20 for a, b in zip(w2.doc_a, w2.doc_b))
+    # replay: same pairs, state unchanged
+    w2b = incremental_minhash_pairs(
+        rd.from_items(rows[20:]), sdir, "w2", **kw).to_pandas()
+    assert w2b.equals(w2)
