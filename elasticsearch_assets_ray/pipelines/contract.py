@@ -6584,6 +6584,67 @@ WHERE {OPT_SQL} IS NOT NULL
 """
 
 
+# ES ``script`` query (filter context): painless-subset expressions
+# over doc values — arithmetic, %, one comparison — compiled by
+# search/funcscore.ScriptExpr and SQL-mirrored verbatim (C-style %,
+# IEEE sqrt on both sides; NULL/NaN values don't match on either side).
+SCRIPT_QUERIES: list[tuple[int, str, str]] = [
+    (0, "doc['n_chars'].value % 7 >= 4", "(n_chars % 7) >= 4"),
+    (1, "sqrt(doc['n_chars'].value) + doc['req_matches'].value > 24",
+     f"sqrt(n_chars) + {REQ_SQL} > 24"),
+    (2, "doc['opt_score'].value >= 5", f"{OPT_SQL} >= 5"),
+]
+
+
+def _q_script_query(engine) -> pa.Table:
+    rows = []
+    for qid, src, _sql in SCRIPT_QUERIES:
+        for d, s in engine.search_script_query(src, k=1 << 30):
+            rows.append({"query_id": qid, "doc_id": int(d),
+                         "score_e4": int(np.rint(s * 1e4))})
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["query_id", "doc_id", "score_e4"]),
+        preserve_index=False,
+    )
+
+
+def q_script_query(sf_dir: str) -> pa.Table:
+    """ES ``script`` query (filter context, constant score): the
+    compiled doc-values expression evaluates VECTORIZED in-shard; only
+    matching ids leave the actors."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_script_query(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_script_query_global(sf_dir: str) -> pa.Table:
+    """The SAME script queries from the TERM-partitioned layout
+    (partition-parallel column-pruned docmeta scans)."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_script_query(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_script_query() -> str:
+    parts = [
+        f"SELECT {qid} AS query_id, doc_id, 10000 AS score_e4 "
+        f"FROM documents WHERE {sql}"
+        for qid, _src, sql in SCRIPT_QUERIES
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 # ES global + missing aggregations.
 MISSING_AGG_QUERY = "hash join table"
 
@@ -13879,6 +13940,8 @@ def queries():
         "missing_agg": q_missing_agg,
         "missing_agg_global": q_missing_agg_global,
         "exists_search": q_exists_search,
+        "script_query": q_script_query,
+        "script_query_global": q_script_query_global,
         "exists_search_global": q_exists_search_global,
         "transform_pivot": q_transform_pivot,
         "transform_latest": q_transform_latest,
@@ -14175,6 +14238,8 @@ def oracle_sql():
         "missing_agg": sql_missing_agg(),
         "missing_agg_global": sql_missing_agg(),
         "exists_search": sql_exists_search(),
+        "script_query": sql_script_query(),
+        "script_query_global": sql_script_query(),
         "exists_search_global": sql_exists_search(),
         "transform_pivot": sql_transform_pivot(),
         "transform_latest": sql_transform_latest(),

@@ -1545,6 +1545,66 @@ def _meta_match_partition_task(
     )
 
 
+@ray.remote
+def _script_match_partition_task(
+    paths: list[str], bases: list[int], source: str
+) -> np.ndarray:
+    """Global ids of rows whose compiled doc-values expression is truthy
+    — the term layout's ES ``script``-query scan (column-pruned to the
+    expression's fields, one vectorized eval per partition)."""
+    from .funcscore import ScriptExpr
+
+    expr = ScriptExpr(source)
+    out = []
+    for path, base in zip(paths, bases):
+        t = pq.read_table(path, columns=list(expr.fields))
+        n = t.num_rows
+        env = {
+            f: _load_meta_values(t.column(f)).astype(np.float64)
+            for f in expr.fields
+        }
+        env["_score"] = np.zeros(n, np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v = expr(env)
+        ok = ~np.isnan(v) & (v != 0.0)
+        idx = np.nonzero(ok)[0]
+        if len(idx):
+            out.append(idx.astype(np.int64) + base)
+    return (
+        np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    )
+
+
+def script_match_ids(
+    index_dir: str | Path,
+    source: str,
+    partitions_per_task: int = 16,
+) -> np.ndarray:
+    """All live doc ids matching an ES ``script``-query expression over
+    the source docmeta lineage — same routing as
+    :func:`meta_match_ids` (the global layout's rows are all live)."""
+    from ..index.build import IndexInfo, docmeta_path
+
+    info = IndexInfo(index_dir)
+    parts = sorted(info.manifest.partitions, key=lambda p: p.doc_base)
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    paths = [str(docmeta_path(index_dir, p.partition_id)) for p in parts]
+    bases = [p.doc_base for p in parts]
+    futs = [
+        _script_match_partition_task.remote(
+            paths[i: i + partitions_per_task],
+            bases[i: i + partitions_per_task],
+            source,
+        )
+        for i in range(0, len(paths), partitions_per_task)
+    ]
+    got = [g for g in ray.get(futs) if len(g)]
+    if not got:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(got))
+
+
 def meta_match_ids(
     index_dir: str | Path,
     field: str,

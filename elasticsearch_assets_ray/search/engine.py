@@ -3201,6 +3201,29 @@ class _ScorerCore:
             if parts else np.empty(0, np.int64)
         )
 
+    def script_docs(self, source: str, k: int) -> np.ndarray:
+        """ES ``script`` query (filter context): live docs whose
+        compiled expression over doc values is truthy (≠ 0); k smallest
+        global ids per shard.  NaN comparisons are falsy (numpy), so
+        docs missing a referenced value don't match — the painless
+        null-pointer analogue, disclosed as non-matching."""
+        from .funcscore import ScriptExpr
+
+        expr = ScriptExpr(source)
+        parts = []
+        for s in self.shards:
+            env = {f: s.meta_col(f).astype(np.float64)
+                   for f in expr.fields}
+            env["_score"] = np.zeros(s.num_docs, np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                v = expr(env)
+            ok = ~s.deleted_mask & ~np.isnan(v) & (v != 0.0)
+            parts.append(np.nonzero(ok)[0][:k] + s.doc_base)
+        return (
+            np.sort(np.concatenate(parts))[:k]
+            if parts else np.empty(0, np.int64)
+        )
+
     def doc_term_positions(
         self, pairs: list[tuple[int, list[str]]]
     ) -> list[dict[str, list[int]] | None]:
@@ -5974,6 +5997,20 @@ class QueryEngine:
         smallest live docs whose value is non-null, constant score."""
         per_actor = ray.get(
             [a.exists_docs.remote(field, k) for a in self.actors]
+        )
+        docs = np.sort(np.concatenate(per_actor))[:k]
+        return [(int(d), 1.0) for d in docs]
+
+    def search_script_query(
+        self, source: str, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES ``script`` query (filter context, constant score): the k
+        smallest live docs whose compiled doc-values expression
+        (``search.funcscore.ScriptExpr`` — arithmetic, %, one
+        comparison) is truthy.  The expression evaluates VECTORIZED
+        in-shard; only k ids per actor cross the wire."""
+        per_actor = ray.get(
+            [a.script_docs.remote(source, k) for a in self.actors]
         )
         docs = np.sort(np.concatenate(per_actor))[:k]
         return [(int(d), 1.0) for d in docs]

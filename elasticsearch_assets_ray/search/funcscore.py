@@ -62,10 +62,20 @@ import numpy as np
 _NUM_RX = re.compile(r"\d+\.?\d*(?:[eE][+-]?\d+)?\Z")
 _SCRIPT_TOKEN_RX = re.compile(
     r"\d+\.?\d*(?:[eE][+-]?\d+)?"
-    r"|doc\['[^']+'\]|doc\[\"[^\"]+\"\]"
+    r"|doc\['[^']+'\](?:\.value)?|doc\[\"[^\"]+\"\](?:\.value)?"
     r"|[A-Za-z_][A-Za-z0-9_.]*"
-    r"|[()+\-*/,]"
+    r"|==|!=|<=|>="
+    r"|[()+\-*/%,<>]"
 )
+
+_CMP_OPS = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
 
 _FUNCS1 = {
     "log": np.log,
@@ -121,6 +131,15 @@ class ScriptExpr:
         return t
 
     def _expr(self):
+        # one optional comparison above the arithmetic (the script-QUERY
+        # predicate form; painless booleans → 1.0/0.0, no chaining)
+        n = self._sum()
+        if self._peek() in _CMP_OPS:
+            op = self._take()
+            n = ("cmp", op, n, self._sum())
+        return n
+
+    def _sum(self):
         n = self._term()
         while self._peek() in ("+", "-"):
             op = self._take()
@@ -129,7 +148,7 @@ class ScriptExpr:
 
     def _term(self):
         n = self._unary()
-        while self._peek() in ("*", "/"):
+        while self._peek() in ("*", "/", "%"):
             op = self._take()
             n = (op, n, self._unary())
         return n
@@ -150,6 +169,8 @@ class ScriptExpr:
         if _NUM_RX.match(t):
             return ("num", float(t))
         if t.startswith("doc["):
+            if t.endswith(".value"):  # ES doc['f'].value sugar
+                t = t[: -len(".value")]
             name = t[5:-2]
         elif t in _FUNCS1 and self._peek() == "(":
             self._take()
@@ -190,6 +211,13 @@ class ScriptExpr:
                 return ev(n[1]) * ev(n[2])
             if k == "/":
                 return ev(n[1]) / ev(n[2])
+            if k == "%":
+                # C/Java-style remainder (painless %, DuckDB %) — NOT
+                # np.mod's floored variant (they differ on negatives)
+                return np.fmod(ev(n[1]), ev(n[2]))
+            if k == "cmp":
+                return _CMP_OPS[n[1]](ev(n[2]), ev(n[3])).astype(
+                    np.float64)
             if k == "fn1":
                 return _FUNCS1[n[1]](ev(n[2]))
             return _FUNCS2[n[1]](ev(n[2]), ev(n[3]))

@@ -3466,6 +3466,20 @@ class TermPartitionedEngine:
             ids = ids[:k]
         return [(int(d), float(boost)) for d in ids]
 
+    def search_script_query(
+        self, source: str, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES ``script`` query (filter context, constant score) from
+        the TERM-partitioned layout: a partition-parallel column-pruned
+        scan of the source docmeta lineage evaluates the compiled
+        expression (``datehist.script_match_ids``); k smallest ids,
+        score 1.0 — identical rows to
+        :meth:`QueryEngine.search_script_query`."""
+        from .datehist import script_match_ids
+
+        ids = script_match_ids(self._source_index_dir(), source)
+        return [(int(d), 1.0) for d in ids[:k]]
+
     def _source_index_dir(self) -> str:
         """The source index's docmeta lineage path (join-field /
         aggregation hydration) — layouts predating ``source_index``

@@ -277,3 +277,66 @@ def test_feature_spec_fields():
          {"type": "distance_feature", "field": "created_at",
           "origin": 0.0, "pivot": 1.0}]
     ) == ["nc", "created_at"]
+
+
+def test_script_expr_comparisons_and_mod():
+    """The script-QUERY grammar extensions: %, one comparison level —
+    1.0/0.0 results, C-style remainder (fmod, not floored mod)."""
+    env = {"a": np.array([-7.0, 7.0, 6.0, 5.0]),
+           "b": np.array([3.0, 3.0, 3.0, 3.0]),
+           "_score": np.zeros(4)}
+    assert ScriptExpr("a % b")(env).tolist() == [-1.0, 1.0, 0.0, 2.0]
+    assert ScriptExpr("a % b >= 1")(env).tolist() == [0.0, 1.0, 0.0, 1.0]
+    assert ScriptExpr("a == 7")(env).tolist() == [0.0, 1.0, 0.0, 0.0]
+    assert ScriptExpr("a != 7")(env).tolist() == [1.0, 0.0, 1.0, 1.0]
+    assert ScriptExpr("a + 1 < b")(env).tolist() == [1.0, 0.0, 0.0, 0.0]
+    # old grammar unchanged (no comparison tokens)
+    assert np.allclose(ScriptExpr("a * 2 - b")(env),
+                       env["a"] * 2 - env["b"])
+
+
+def test_script_query_engine_parity(fs_index, ray_session, tmp_path):
+    """ES script query (filter context): shard engine vs term layout vs
+    a brute doc-values recomputation."""
+    from elasticsearch_assets_ray.index.build import docmeta_path
+    from elasticsearch_assets_ray.index.global_merge import (
+        merge_global_postings,
+    )
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+    from elasticsearch_assets_ray.search.term_engine import (
+        TermPartitionedEngine,
+    )
+
+    m = fs_index.manifest
+    parts = sorted(m.partitions, key=lambda p: p.doc_base)
+    metas = [pq.read_table(docmeta_path(fs_index.index_dir, p.partition_id))
+             for p in parts]
+    import pyarrow as pa
+
+    meta_tbl = pa.concat_tables(metas)
+    n_chars_v = meta_tbl.column("n_chars").to_numpy().astype(np.float64)
+
+    out = tmp_path / "global_script"
+    merge_global_postings(fs_index.index_dir, out, n_salts=2,
+                          n_buckets=4, store_norms=True)
+    eng = QueryEngine(fs_index.index_dir, num_actors=2)
+    teng = TermPartitionedEngine(out, num_actors=2)
+    try:
+        for src, pred in [
+            ("doc['n_chars'].value % 5 == 2", lambda v: v % 5 == 2),
+            ("sqrt(doc['n_chars'].value) > 25",
+             lambda v: np.sqrt(v) > 25),
+            ("doc['n_chars'].value * 2 - 100 <= 500",
+             lambda v: v * 2 - 100 <= 500),
+        ]:
+            want = np.nonzero(pred(n_chars_v))[0].tolist()
+            got = eng.search_script_query(src, k=1 << 30)
+            got_t = teng.search_script_query(src, k=1 << 30)
+            assert [d for d, _ in got] == want, src
+            assert got_t == got, src
+            assert all(s == 1.0 for _, s in got)
+            # k-cut = smallest ids prefix
+            assert eng.search_script_query(src, k=3) == got[:3]
+    finally:
+        eng.shutdown()
+        teng.shutdown()
