@@ -8110,6 +8110,104 @@ WHERE rn <= {SIG_TERMS_SIZE}
 """
 
 
+# ES significant_terms ``background_filter``: background = another
+# query's match set ("unusual vs a context"), not the whole index
+SIG_BG_FILTER_QUERY = "table scan filter"
+
+
+def _q_sig_terms_bgfilter(engine) -> pa.Table:
+    rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        for b in engine.significant_terms(
+            text, field="source", size=SIG_TERMS_SIZE,
+            background_filter=SIG_BG_FILTER_QUERY,
+        ):
+            rows.append(
+                {
+                    "query_id": qid,
+                    "skey": b["key"],
+                    "fg_count": b["doc_count"],
+                    "bg_count": b["bg_count"],
+                    "score_r": round(b["score"], 6),
+                }
+            )
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def q_sig_terms_bgfilter(sf_dir: str) -> pa.Table:
+    """``significant_terms`` WITH the ES ``background_filter`` option:
+    the JLH denominator counts come from a second query's match set
+    (same terms-agg partial machinery, uncached)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_sig_terms_bgfilter(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_sig_terms_bgfilter_global(sf_dir: str) -> pa.Table:
+    """The SAME background-filtered significant_terms from the
+    TERM-partitioned layout."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_sig_terms_bgfilter(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_sig_terms_bgfilter() -> str:
+    term_rows = []
+    for qid, text in HISTO_CARD_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+    values = ", ".join(term_rows)
+    bg_rows = ", ".join(
+        f"('{t}')" for t in _simple_tokens(SIG_BG_FILTER_QUERY)
+    )
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, t) AS (VALUES {values}),
+bq(t) AS (VALUES {bg_rows}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t),
+bhit AS (SELECT DISTINCT toks.doc_id
+         FROM bq JOIN toks ON toks.t = bq.t),
+fg AS (SELECT hit.query_id, d.source AS skey,
+              count(*)::BIGINT AS fg_count
+       FROM hit JOIN documents d ON d.doc_id = hit.doc_id
+       GROUP BY 1, 2),
+fgt AS (SELECT query_id, sum(fg_count) AS fg_total FROM fg GROUP BY 1),
+bg AS (SELECT d.source AS skey, count(*)::BIGINT AS bg_count
+       FROM bhit JOIN documents d ON d.doc_id = bhit.doc_id
+       GROUP BY 1),
+bgt AS (SELECT sum(bg_count) AS bg_total FROM bg),
+scored AS (
+  SELECT fg.query_id, fg.skey, fg.fg_count, bg.bg_count,
+         (fg.fg_count / fgt.fg_total) AS fgp,
+         (bg.bg_count / bgt.bg_total) AS bgp
+  FROM fg
+  JOIN fgt ON fgt.query_id = fg.query_id
+  JOIN bg ON bg.skey = fg.skey, bgt
+  WHERE (fg.fg_count / fgt.fg_total) > (bg.bg_count / bgt.bg_total))
+SELECT query_id, skey, fg_count, bg_count, score_r FROM (
+  SELECT query_id, skey, fg_count, bg_count,
+         round((fgp - bgp) * (fgp / bgp), 6) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY (fgp - bgp) * (fgp / bgp) DESC,
+                                     skey) AS rn
+  FROM scored)
+WHERE rn <= {SIG_TERMS_SIZE}
+"""
+
+
 # ES ``top_hits`` sub-aggregation: per language bucket, the top-K_TOP
 # matching docs by BM25 (serving tie contract) + the bucket's FULL
 # match count
@@ -13880,6 +13978,8 @@ def queries():
         "top_hits_str_sort": q_top_hits_str_sort,
         "top_hits_str_sort_global": q_top_hits_str_sort_global,
         "sig_terms_source": q_sig_terms,
+        "sig_terms_bgfilter": q_sig_terms_bgfilter,
+        "sig_terms_bgfilter_global": q_sig_terms_bgfilter_global,
         "sig_terms_source_global": q_sig_terms_global,
         "extstats_agg": q_extstats_agg,
         "extstats_agg_global": q_extstats_agg_global,
@@ -14180,6 +14280,8 @@ def oracle_sql():
         "top_hits_sorted_global": sql_top_hits_sorted(),
         "sig_terms_source": sql_sig_terms(),
         "sig_terms_source_global": sql_sig_terms(),
+        "sig_terms_bgfilter": sql_sig_terms_bgfilter(),
+        "sig_terms_bgfilter_global": sql_sig_terms_bgfilter(),
         "extstats_agg": sql_extstats_agg(),
         "extstats_agg_global": sql_extstats_agg(),
         "percentiles_agg": sql_percentiles_agg(),

@@ -4770,6 +4770,7 @@ class QueryEngine:
         query: str | list[str] | dict,
         field: str,
         size: int = 10,
+        background_filter=None,
     ) -> list[dict]:
         """ES ``significant_terms`` over a keyword field: values
         overrepresented in the docs matching ``query`` relative to the
@@ -4779,7 +4780,13 @@ class QueryEngine:
         Foreground counts are the terms-agg partials; background counts
         sweep each shard once and CACHE per field (the corpus-side
         denominator never changes between refreshes).  Buckets come back
-        score-descending (ties by key), capped at ``size``."""
+        score-descending (ties by key), capped at ``size``.
+
+        ``background_filter`` (the ES option) narrows the background to
+        the docs matching ANOTHER query (same grammar as ``query``) —
+        "unusual vs a context", not vs the whole index; those counts
+        are the same terms-agg partials over the filter's match set (no
+        cache — filter-dependent)."""
         clauses = self._query_clauses(query)
         if clauses is None:
             return []
@@ -4792,6 +4799,19 @@ class QueryEngine:
             merge_agg_partials(fg, part)
         if not fg:
             return []
+        from .datehist import significant_terms_rows
+
+        if background_filter is not None:
+            bclauses = self._query_clauses(background_filter)
+            if bclauses is None:
+                return []
+            bg = {}
+            for part in ray.get(
+                [a.agg_match_bool.remote(bclauses, field, None)
+                 for a in self.actors]
+            ):
+                merge_agg_partials(bg, part)
+            return significant_terms_rows(fg, bg, size)
         if not hasattr(self, "_bg_cache"):
             self._bg_cache: dict[str, dict] = {}
         bg = self._bg_cache.get(field)
@@ -4802,8 +4822,6 @@ class QueryEngine:
             ):
                 merge_agg_partials(bg, part)
             self._bg_cache[field] = bg
-        from .datehist import significant_terms_rows
-
         return significant_terms_rows(fg, bg, size)
 
     def significant_text(

@@ -2494,13 +2494,16 @@ class TermPartitionedEngine:
         return composite_render(parts, [s[0] for s in sources], size)
 
     def significant_terms(
-        self, query: str | list[str], field: str, size: int = 10
+        self, query: str | list[str], field: str, size: int = 10,
+        background_filter=None,
     ) -> list[dict]:
         """ES ``significant_terms`` from the term-partitioned layout —
         same JLH rows as :meth:`QueryEngine.significant_terms` (parity
         tested).  Foreground counts come from the matched ids' docmeta
         lineage; the corpus-wide background sweep runs once per field
-        and caches (cleared on refresh)."""
+        and caches (cleared on refresh).  ``background_filter`` narrows
+        the background to another query's match set (the ES option; no
+        cache — filter-dependent)."""
         from .datehist import (
             agg_partials_over_ids,
             significant_terms_rows,
@@ -2517,6 +2520,15 @@ class TermPartitionedEngine:
             merge_agg_partials(fg, part)
         if not fg:
             return []
+        if background_filter is not None:
+            bgot = self._matched_ids_and_source(background_filter)
+            if bgot is None:
+                return []
+            bg = {}
+            for part in agg_partials_over_ids(src, bgot[0], field,
+                                              ("terms", None)):
+                merge_agg_partials(bg, part)
+            return significant_terms_rows(fg, bg, size)
         if not hasattr(self, "_bg_cache"):
             self._bg_cache: dict[str, dict] = {}
         bg = self._bg_cache.get(field)
