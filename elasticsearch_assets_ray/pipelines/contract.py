@@ -2770,6 +2770,93 @@ def q_multi_index(sf_dir: str) -> pa.Table:
             e.shutdown()
 
 
+MI_BOOSTS = (1.0, 2.0)  # ES indices_boost: member a ×1, member b ×2
+
+
+def q_multi_index_boosted(sf_dir: str) -> pa.Table:
+    """Cross-index search WITH the ES ``indices_boost`` option: each
+    member's scores scale by its boost before the rounded merge (the
+    dfs stats stay combined — only the final scores shift)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+    from ..search.multi_index import MultiIndexEngine
+
+    ia, ib = _half_indexes(sf_dir)
+    engines = [
+        QueryEngine(d, num_actors=2, params=BM25Params(round_decimals=4))
+        for d in (ia, ib)
+    ]
+    dirs = (ia, ib)
+    try:
+        mie = MultiIndexEngine(engines)
+        o_q, o_r, o_d, o_s = [], [], [], []
+        for qid, text in BM25_QUERIES:
+            hits = mie.search(text, k=K_FETCH,
+                              indices_boost=list(MI_BOOSTS))
+            orig = np.empty(len(hits), dtype=np.int64)
+            for ei, d in enumerate(dirs):
+                rows = [i for i, h in enumerate(hits) if h[0] == ei]
+                if not rows:
+                    continue
+                ids = np.array([hits[i][1] for i in rows], dtype=np.int64)
+                store = DocStore(d, columns=["doc_id", "orig_id"])
+                got = store.mget(ids).column("orig_id").to_numpy()
+                orig[rows] = got.astype(np.int64)
+            score_r = np.round(np.array([s for _, _, s in hits]), 4)
+            top = np.lexsort((orig, -score_r))[:TOPK]
+            o_q.extend([qid] * len(top))
+            o_r.extend(range(1, len(top) + 1))
+            o_d.extend(orig[top].tolist())
+            o_s.extend(score_r[top].tolist())
+        return pa.table({
+            "query_id": pa.array(o_q, pa.int64()),
+            "rank": pa.array(o_r, pa.int64()),
+            "doc_id": pa.array(o_d, pa.int64()),
+            "score_r": pa.array(o_s, pa.float64()),
+        })
+    finally:
+        for e in engines:
+            e.shutdown()
+
+
+def sql_multi_index_boosted() -> str:
+    """The single-index BM25 oracle with each doc's score scaled by its
+    member's boost (member = doc_id vs the median cut `_half_indexes`
+    splits on; floor() pins DuckDB's median(.5) to numpy's int())."""
+    values = ", ".join(f"({i}, '{q}')" for i, q in BM25_QUERIES)
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    qtoks = _TOKS.format(id="query_id", text="qtext", src="q")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+cut AS (SELECT CAST(floor(median(doc_id)) AS BIGINT) AS c FROM documents),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+q(query_id, qtext) AS (VALUES {values}),
+qt AS (SELECT DISTINCT doc_id AS query_id, t AS tq FROM ({qtoks})),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) )
+         * (CASE WHEN tf.doc_id <= (SELECT c FROM cut)
+                 THEN {MI_BOOSTS[0]} ELSE {MI_BOOSTS[1]} END) AS score
+  FROM qt
+  JOIN tf ON tf.t = qt.tq
+  JOIN df ON df.t = qt.tq
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
 # ES percolate (reverse search): standing queries in the query_string
 # grammar, matched per incoming doc — one of each leaf family
 PERCOLATE_QUERIES: dict[str, str] = {
@@ -13894,6 +13981,7 @@ def queries():
         "sig_text_global": q_sig_text_global,
         "percolate": q_percolate,
         "multi_index_search": q_multi_index,
+        "multi_index_boosted": q_multi_index_boosted,
         "json_field_stats": q_json_field_stats,
         "span_search": q_span_search,
         "span_search_global": q_span_search_global,
@@ -14195,6 +14283,7 @@ def oracle_sql():
         "sig_text_global": sql_sig_text(),
         "percolate": sql_percolate(),
         "multi_index_search": sql_bm25_topk(),
+        "multi_index_boosted": sql_multi_index_boosted(),
         "json_field_stats": sql_json_field_stats(),
         "span_search": sql_span_search(),
         "span_search_global": sql_span_search(),

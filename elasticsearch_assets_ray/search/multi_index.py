@@ -59,15 +59,24 @@ class MultiIndexEngine:
         }
 
     def search(
-        self, query: str, k: int = 10
+        self, query: str, k: int = 10,
+        indices_boost: list[float] | None = None,
     ) -> list[tuple[int, int, float]]:
         """BM25 top-k across every member → [(index_ordinal, doc_id,
         score)] under the standard serving tie contract (rounded score
         desc, then member ordinal asc, then doc asc — a deterministic
-        total order; single-member it coincides with QueryEngine)."""
+        total order; single-member it coincides with QueryEngine).
+
+        ``indices_boost`` (the ES option, one multiplier per member in
+        ordinal order) scales each member's scores BEFORE the rounded
+        merge — the ES semantics of boosting hits from more-important
+        indexes."""
         terms = self.engines[0]._analyze(query)
         if not terms:
             return []
+        if indices_boost is not None and len(indices_boost) != len(
+                self.engines):
+            raise ValueError("indices_boost needs one value per member")
         idf = self.idfs(terms)
         futs = [
             (ei, a.topk.remote([(0, terms, k)], idf))
@@ -77,6 +86,8 @@ class MultiIndexEngine:
         for ei, f in futs:
             res = ray.get(f)
             ids, sc = res[0][1], res[0][2]
+            if indices_boost is not None:
+                sc = sc * float(indices_boost[ei])
             # pack the member ordinal above the doc id so the standard
             # merge's doc-ascending tie break becomes (member, doc)
             parts.append(((np.int64(ei) << np.int64(48)) | ids, sc))
