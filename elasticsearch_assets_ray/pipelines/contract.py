@@ -1058,6 +1058,104 @@ def q_pinned_search(sf_dir: str) -> pa.Table:
     return _bm25_rerank({0: hits}, idx)
 
 
+# ES query rules (8.10+ `rule` query / _query_rules): a firing pinned
+# rule, a NON-firing rule (criteria miss), and a firing exclude rule
+RULE_ORGANIC = "hash join"
+RULESET = [
+    {"rule_id": "promote", "type": "pinned",
+     "criteria": [{"type": "exact", "metadata": "user_query",
+                   "values": ["hash join", "merge join"]}],
+     "actions": {"ids": [42, 7, 3]}},
+    {"rule_id": "never-fires", "type": "pinned",
+     "criteria": [{"type": "prefix", "metadata": "user_query",
+                   "values": ["zzz"]}],
+     "actions": {"ids": [1, 2]}},
+    {"rule_id": "suppress", "type": "exclude",
+     "criteria": [{"type": "contains", "metadata": "user_country",
+                   "values": ["DE"]}],
+     "actions": {"ids": [3, 11, 19]}},
+]
+RULE_CRITERIA = {"user_query": "hash join", "user_country": "DE-BY"}
+# fired: promote pins [42, 7, 3]; suppress excludes {3, 11, 19};
+# 3 is both → EXCLUDED (documented precedence) → pins [42, 7]
+RULE_PINS = [42, 7]
+RULE_EXCLUDED = [3, 11, 19]
+
+
+def _q_rule_query(engine) -> list[tuple[int, float]]:
+    from ..search.rules import rule_search
+
+    return rule_search(engine, RULE_ORGANIC, RULESET, RULE_CRITERIA,
+                       k=TOPK)
+
+
+def q_rule_query(sf_dir: str) -> pa.Table:
+    """ES ``rule`` query: the ruleset's criteria fire against the
+    request metadata; fired pin actions promote (descending
+    PINNED_BASE scores), fired excludes drop from organic AND pinned
+    (search/rules.py — engine-agnostic)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        hits = _q_rule_query(engine)
+    finally:
+        engine.shutdown()
+    return _bm25_rerank({0: hits}, idx)
+
+
+def q_rule_query_global(sf_dir: str) -> pa.Table:
+    """The SAME rule query served from the TERM-partitioned layout."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        hits = _q_rule_query(eng)
+    finally:
+        eng.shutdown()
+    return _bm25_rerank({0: hits}, idx)
+
+
+def sql_rule_query() -> str:
+    pin_rows = ", ".join(f"({d}, {i})" for i, d in enumerate(RULE_PINS))
+    drop_list = ", ".join(
+        str(d) for d in sorted(set(RULE_PINS) | set(RULE_EXCLUDED))
+    )
+    terms = ", ".join(f"(0, '{t}')" for t in _simple_tokens(RULE_ORGANIC))
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+q(query_id, t) AS (VALUES {terms}),
+organic AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM q
+  JOIN tf ON tf.t = q.t
+  JOIN df ON df.t = q.t
+  JOIN dl ON dl.doc_id = tf.doc_id, s
+  WHERE tf.doc_id NOT IN ({drop_list})
+  GROUP BY tf.doc_id),
+pins(doc_id, pos) AS (VALUES {pin_rows}),
+allhits AS (
+  SELECT doc_id, power(2.0, 100) - pos AS score FROM pins
+  UNION ALL
+  SELECT doc_id, score FROM organic)
+SELECT 0 AS query_id, doc_id,
+       row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM allhits
+QUALIFY rank <= {TOPK}
+"""
+
+
 def sql_pinned_search() -> str:
     pin_rows = ", ".join(
         f"({d}, {i})" for i, d in enumerate(PINNED_IDS)
@@ -14174,6 +14272,8 @@ def queries():
         "match_bool_prefix": q_match_bool_prefix,
         "match_bool_prefix_global": q_match_bool_prefix_global,
         "pinned_search": q_pinned_search,
+        "rule_query": q_rule_query,
+        "rule_query_global": q_rule_query_global,
         "multi_terms_agg": q_multi_terms,
         "multi_terms_agg_global": q_multi_terms_global,
         "adjacency_matrix": q_adjacency_matrix,
@@ -14472,6 +14572,8 @@ def oracle_sql():
         "match_bool_prefix": sql_match_bool_prefix(),
         "match_bool_prefix_global": sql_match_bool_prefix(),
         "pinned_search": sql_pinned_search(),
+        "rule_query": sql_rule_query(),
+        "rule_query_global": sql_rule_query(),
         "multi_terms_agg": sql_multi_terms(),
         "multi_terms_agg_global": sql_multi_terms(),
         "adjacency_matrix": sql_adjacency_matrix(),

@@ -630,3 +630,54 @@ def test_combined_fields_bruteforce(small_corpus, small_index,
                 eng2.shutdown()
     finally:
         eng.shutdown()
+
+
+def test_query_rules_criteria_and_fold():
+    from elasticsearch_assets_ray.search.rules import (
+        apply_ruleset,
+        criterion_matches,
+    )
+
+    meta = {"user_query": "hash join", "user_country": "DE-BY", "n": 7}
+    assert criterion_matches({"type": "always"}, meta)
+    assert criterion_matches(
+        {"type": "exact", "metadata": "user_query",
+         "values": ["x", "hash join"]}, meta)
+    assert not criterion_matches(
+        {"type": "exact", "metadata": "user_query", "values": ["hash"]},
+        meta)
+    assert criterion_matches(
+        {"type": "prefix", "metadata": "user_country", "values": ["DE"]},
+        meta)
+    assert criterion_matches(
+        {"type": "suffix", "metadata": "user_country", "values": ["BY"]},
+        meta)
+    assert criterion_matches(
+        {"type": "contains", "metadata": "user_query", "values": ["sh j"]},
+        meta)
+    assert criterion_matches(
+        {"type": "gte", "metadata": "n", "values": [7]}, meta)
+    assert not criterion_matches(
+        {"type": "gt", "metadata": "n", "values": [7]}, meta)
+    assert not criterion_matches(
+        {"type": "exact", "metadata": "missing", "values": ["x"]}, meta)
+
+    ruleset = [
+        {"type": "pinned",
+         "criteria": [{"type": "always"}],
+         "actions": {"ids": [5, 9]}},
+        {"type": "pinned",   # ALL criteria must match — this one misses
+         "criteria": [{"type": "always"},
+                      {"type": "exact", "metadata": "user_query",
+                       "values": ["nope"]}],
+         "actions": {"ids": [1]}},
+        {"type": "pinned",   # dedup keeps 9's first position
+         "criteria": [{"type": "always"}],
+         "actions": {"ids": [9, 12]}},
+        {"type": "exclude",
+         "criteria": [{"type": "always"}],
+         "actions": {"ids": [12, 77]}},
+    ]
+    pinned, excluded = apply_ruleset(ruleset, meta)
+    assert pinned == [5, 9]          # 12 pinned-then-excluded drops
+    assert excluded == {12, 77}
