@@ -127,6 +127,38 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+# generation files are written KEY-SORTED in small row groups so state
+# reads prune on parquet row-group min/max statistics — a wave touches
+# only the row groups its keys can live in, keeping per-wave state IO
+# ∝ wave size (not corpus size) as generations accumulate
+_STATE_ROW_GROUP = 8192
+
+
+def _read_state_pruned(path: str, columns: list[str], key_col: str,
+                       keys_sorted: np.ndarray):
+    """Read only the row groups of a KEY-SORTED generation file whose
+    [min, max] key range intersects the sorted probe keys (parquet
+    row-group statistics; strings and uint64 both compare correctly —
+    tested).  Returns None when no group survives."""
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(path)
+    md = pf.metadata
+    ci = pf.schema_arrow.get_field_index(key_col)
+    groups = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            groups.append(rg)
+            continue
+        i = int(np.searchsorted(keys_sorted, st.min))
+        if i < len(keys_sorted) and keys_sorted[i] <= st.max:
+            groups.append(rg)
+    if not groups:
+        return None
+    return pf.read_row_groups(groups, columns=columns)
+
+
 def incremental_exact_dedup(
     ds,
     state_dir: str,
@@ -169,21 +201,6 @@ def incremental_exact_dedup(
         bucket = int(g.column("bucket")[0].as_py())
         bdir = os.path.join(sdir, f"bucket={bucket:03d}")
         own = f"gen-{run_tag}.parquet"
-        state: dict[str, int] = {}
-        if os.path.isdir(bdir):
-            import pyarrow.parquet as _pq
-
-            for f in sorted(os.listdir(bdir)):
-                # replay safety: this run's own (possibly partial)
-                # generation is NOT prior state
-                if not f.endswith(".parquet") or f == own:
-                    continue
-                t = _pq.read_table(os.path.join(bdir, f),
-                                   columns=["content_sha256", "doc_id"])
-                for h, d in zip(t.column("content_sha256").to_pylist(),
-                                t.column("doc_id").to_pylist()):
-                    if h not in state or d < state[h]:
-                        state[h] = int(d)
         order = pc.sort_indices(
             g, sort_keys=[("content_sha256", "ascending"),
                           ("doc_id", "ascending")]
@@ -194,9 +211,39 @@ def incremental_exact_dedup(
         shas = sha_arr.tolist()
         ids = g.column("doc_id").to_numpy()
         n = len(shas)
-        # vectorized state lookup: sorted state keys + one searchsorted
-        sk = np.asarray(sorted(state), dtype=object)
-        sv = np.array([state[h] for h in sk.tolist()], dtype=np.int64)
+        # prior-state winners, ROW-GROUP-PRUNED by the wave's sha range
+        # (gen files are sha-sorted in _STATE_ROW_GROUP-row groups, so
+        # reads stay ∝ wave size as generations accumulate)
+        probe = np.unique(sha_arr) if n else sha_arr
+        parts_h: list[np.ndarray] = []
+        parts_d: list[np.ndarray] = []
+        if os.path.isdir(bdir) and n:
+            for f in sorted(os.listdir(bdir)):
+                # replay safety: this run's own (possibly partial)
+                # generation is NOT prior state
+                if not f.endswith(".parquet") or f == own:
+                    continue
+                t = _read_state_pruned(
+                    os.path.join(bdir, f),
+                    ["content_sha256", "doc_id"], "content_sha256",
+                    probe,
+                )
+                if t is not None and t.num_rows:
+                    parts_h.append(np.asarray(
+                        t.column("content_sha256").to_pylist(),
+                        dtype=object))
+                    parts_d.append(t.column("doc_id").to_numpy())
+        if parts_h:
+            hh = np.concatenate(parts_h)
+            dd = np.concatenate(parts_d).astype(np.int64)
+            o2 = np.lexsort((dd, hh))
+            hh, dd = hh[o2], dd[o2]
+            first = np.ones(len(hh), dtype=bool)
+            first[1:] = hh[1:] != hh[:-1]
+            sk, sv = hh[first], dd[first]  # min id per sha
+        else:
+            sk = np.empty(0, dtype=object)
+            sv = np.empty(0, dtype=np.int64)
         if len(sk):
             pos = np.searchsorted(sk, sha_arr)
             posc = np.minimum(pos, len(sk) - 1)
@@ -225,7 +272,7 @@ def incremental_exact_dedup(
             "doc_id": pa.array(ids[keep], pa.int64()),
         })
         tmp = os.path.join(bdir, f".{own}.tmp")
-        _pq.write_table(kt, tmp)
+        _pq.write_table(kt, tmp, row_group_size=_STATE_ROW_GROUP)
         os.replace(tmp, os.path.join(bdir, own))
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
@@ -1258,14 +1305,21 @@ def incremental_minhash_pairs(
         new_doc = g.column("doc_id").to_numpy()
         old_key = np.empty(0, np.uint64)
         old_doc = np.empty(0, np.int64)
-        if os.path.isdir(bdir):
+        probe = np.unique(new_key)
+        if os.path.isdir(bdir) and len(probe):
             parts_k, parts_d = [], []
             for f in sorted(os.listdir(bdir)):
                 if not f.endswith(".parquet") or f == own:
                     continue
-                t = _pq.read_table(os.path.join(bdir, f))
-                parts_k.append(t.column("band_key").to_numpy())
-                parts_d.append(t.column("doc_id").to_numpy())
+                # gen files are band_key-sorted → row-group pruning by
+                # the wave's key range keeps state IO ∝ wave size
+                t = _read_state_pruned(
+                    os.path.join(bdir, f), ["band_key", "doc_id"],
+                    "band_key", probe,
+                )
+                if t is not None and t.num_rows:
+                    parts_k.append(t.column("band_key").to_numpy())
+                    parts_d.append(t.column("doc_id").to_numpy())
             if parts_k:
                 old_key = np.concatenate(parts_k)
                 old_doc = np.concatenate(parts_d)
@@ -1277,7 +1331,7 @@ def incremental_minhash_pairs(
             "doc_id": pa.array(new_doc[order], pa.int64()),
         })
         tmp = os.path.join(bdir, f".{own}.tmp")
-        _pq.write_table(kt, tmp)
+        _pq.write_table(kt, tmp, row_group_size=_STATE_ROW_GROUP)
         os.replace(tmp, os.path.join(bdir, own))
         # restrict old rows to band keys with ≥1 new member, then emit
         # all union-group pairs and drop the old-old ones
