@@ -4532,6 +4532,161 @@ QUALIFY rank <= {TOPK}
 """
 
 
+# ES JSON query DSL via the ``wrapper`` query (base64-embedded DSL
+# bodies — the escape hatch the reference's users hit when a tool only
+# accepts opaque query strings).  Every query below ships WRAPPED
+# (search/dsl.py decodes + recurses), so the pipeline exercises decode,
+# translation and the engines' shared tree walker in one pass; qid 4
+# nests a wrapper INSIDE a bool inside the outer wrapper.
+def _wrapper_dsl_queries() -> list[tuple[int, dict]]:
+    from ..search.dsl import wrap_query
+
+    return [
+        (0, {"bool": {
+            "must": [{"match": {"text": {"query": "hash join",
+                                         "operator": "and"}}}],
+            "filter": [{"range": {"n_chars": {"gte": 150, "lte": 300}}}],
+        }}),
+        (1, {"dis_max": {
+            "queries": [{"match": {"text": "customer"}},
+                        {"match": {"text": "order"}}],
+            "tie_breaker": 0.3,
+        }}),
+        (2, {"constant_score": {"filter": {"term": {"lang": "fr"}},
+                                "boost": 2.5}}),
+        (3, {"bool": {
+            "should": [{"match_phrase": {"text": "hash join"}},
+                       {"term": {"lang": "de"}}],
+            "must_not": [{"match": {"text": "table"}}],
+        }}),
+        (4, {"bool": {
+            "must": [wrap_query({"match": {"text": "scan"}})],
+            "filter": [{"exists": {"field": "opt_score"}}],
+        }}),
+    ]
+
+
+def _q_wrapper_query(engine, idx: str) -> pa.Table:
+    from ..search.dsl import search_dsl, wrap_query
+
+    per_q = {
+        qid: search_dsl(engine, wrap_query(q), k=K_FETCH)
+        for qid, q in _wrapper_dsl_queries()
+    }
+    return _bm25_rerank(per_q, idx)
+
+
+def q_wrapper_query(sf_dir: str) -> pa.Table:
+    """ES JSON query DSL + ``wrapper`` query (search/dsl.py): base64
+    bodies decode and translate to the SAME clause trees the string
+    parsers build (bool must/filter/should/must_not with ES
+    filter-context semantics — gates don't score; dis_max; match with
+    operator; match_phrase; term/range/exists docmeta leaves;
+    constant_score; nested wrappers), evaluated per shard over the
+    sparse algebra.  Scoring: Lucene BooleanQuery sums; filter clauses
+    contribute 0 (the contract the oracle mirrors)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_wrapper_query(engine, idx)
+    finally:
+        engine.shutdown()
+
+
+def q_wrapper_query_global(sf_dir: str) -> pa.Table:
+    """The SAME wrapped JSON DSL queries served from the
+    TERM-partitioned layout (tree walker on the coordinator over
+    bucket-actor gathers; docmeta leaves scan the source docmeta
+    lineage) — same SQL oracle."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_wrapper_query(eng, idx)
+    finally:
+        eng.shutdown()
+
+
+def sql_wrapper_query() -> str:
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+ts AS (SELECT tf.doc_id, tf.t,
+              ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+       FROM tf JOIN df ON df.t = tf.t
+       JOIN dl ON dl.doc_id = tf.doc_id, s
+       WHERE tf.t IN ('hash', 'join', 'customer', 'order', 'scan')),
+phidf AS (SELECT sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+          FROM df, s WHERE df.t IN ('hash', 'join')),
+phpf AS (SELECT p0.doc_id, count(*)::DOUBLE AS pf
+         FROM toksp p0
+         JOIN toksp p1 ON p1.doc_id = p0.doc_id
+          AND p1.pos = p0.pos + 1 AND p1.t = 'join'
+         WHERE p0.t = 'hash' GROUP BY 1),
+ph AS (SELECT phpf.doc_id,
+              phidf.idf_sum * pf * ({K1} + 1)
+                / (pf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+       FROM phpf JOIN dl ON dl.doc_id = phpf.doc_id, s, phidf),
+-- q0: bool must [match(hash join, AND)] filter [n_chars 150..300]
+hj AS (SELECT h.doc_id, h.score + j.score AS score
+       FROM (SELECT doc_id, score FROM ts WHERE t = 'hash') h
+       JOIN (SELECT doc_id, score FROM ts WHERE t = 'join') j
+         ON j.doc_id = h.doc_id),
+s0 AS (SELECT 0 AS query_id, hj.doc_id, hj.score
+       FROM hj JOIN documents d ON d.doc_id = hj.doc_id
+       WHERE d.n_chars BETWEEN 150 AND 300),
+-- q1: dis_max [customer, order] tie 0.3 (max + tie·(sum − max))
+d1 AS (SELECT doc_id FROM ts WHERE t = 'customer' UNION
+       SELECT doc_id FROM ts WHERE t = 'order'),
+s1 AS (SELECT 1 AS query_id, d1.doc_id,
+              greatest(coalesce(c.score, 0), coalesce(o.score, 0))
+              + 0.3 * (coalesce(c.score, 0) + coalesce(o.score, 0)
+                       - greatest(coalesce(c.score, 0),
+                                  coalesce(o.score, 0))) AS score
+       FROM d1
+       LEFT JOIN (SELECT doc_id, score FROM ts WHERE t = 'customer') c
+         ON c.doc_id = d1.doc_id
+       LEFT JOIN (SELECT doc_id, score FROM ts WHERE t = 'order') o
+         ON o.doc_id = d1.doc_id),
+-- q2: constant_score(term lang=fr) boost 2.5
+s2 AS (SELECT 2 AS query_id, doc_id, 2.5 AS score
+       FROM documents WHERE lang = 'fr'),
+-- q3: bool should [phrase "hash join", term lang=de] must_not [table]
+d3 AS (SELECT doc_id FROM ph UNION
+       SELECT doc_id FROM documents WHERE lang = 'de'),
+s3 AS (SELECT 3 AS query_id, d3.doc_id,
+              coalesce(p.score, 0)
+              + (CASE WHEN dd.lang = 'de' THEN 1.0 ELSE 0 END) AS score
+       FROM d3
+       JOIN documents dd ON dd.doc_id = d3.doc_id
+       LEFT JOIN ph p ON p.doc_id = d3.doc_id
+       WHERE d3.doc_id NOT IN (SELECT doc_id FROM toks WHERE t = 'table')),
+-- q4: bool must [wrapper(match scan)] filter [exists opt_score]
+s4 AS (SELECT 4 AS query_id, sc.doc_id, sc.score
+       FROM (SELECT doc_id, score FROM ts WHERE t = 'scan') sc
+       JOIN documents d ON d.doc_id = sc.doc_id
+       WHERE {OPT_SQL.replace('doc_id', 'd.doc_id')} IS NOT NULL),
+allq AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+         UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+         UNION ALL SELECT * FROM s4)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM allq
+QUALIFY rank <= {TOPK}
+"""
+
+
 # ES ``rescore`` with a phrase rescorer: (qid, match text, phrase,
 # window_size, score_mode) — re-rank the query phase's top window by
 # the combined score, cut to TOPK
@@ -14099,6 +14254,8 @@ def queries():
         "decay_score_global": q_decay_score_global,
         "compound_queries": q_compound,
         "compound_queries_global": q_compound_global,
+        "wrapper_query": q_wrapper_query,
+        "wrapper_query_global": q_wrapper_query_global,
         "metric_aggs": q_metric_aggs,
         "metric_aggs_global": q_metric_aggs_global,
         "function_score": q_function_score,
@@ -14402,6 +14559,8 @@ def oracle_sql():
         "decay_score": sql_decay_score(),
         "decay_score_global": sql_decay_score(),
         "compound_queries": sql_compound(),
+        "wrapper_query": sql_wrapper_query(),
+        "wrapper_query_global": sql_wrapper_query(),
         "compound_queries_global": sql_compound(),
         "metric_aggs": sql_metric_aggs(),
         "metric_aggs_global": sql_metric_aggs(),

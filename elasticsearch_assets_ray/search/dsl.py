@@ -1,0 +1,373 @@
+"""ES JSON query DSL → clause trees, including the ``wrapper`` query.
+
+The reference forwards request bodies to Elasticsearch verbatim — a
+user's saved queries are JSON DSL objects (``{"bool": {...}}``,
+``{"match": {...}}``), not Lucene strings
+(``/root/reference/asset/elasticsearch_reader/index.js:106-127`` builds
+exactly such bodies; ``asset/simple_api_reader/index.js:67-84``
+translates them for the API transport).  This module closes the gap
+between that JSON surface and the engines' clause-tree machinery: it
+compiles a *documented subset* of the JSON DSL into the same eval_tree
+nodes :mod:`.sqs` / :mod:`.qs` produce, so BOTH serving engines run
+JSON queries through their existing ``_eval_sqs_tree`` paths with
+Lucene BooleanQuery scoring — nothing engine-specific lives here.
+
+The ``wrapper`` query (``{"wrapper": {"query": "<base64 JSON>"}}``) is
+ES's escape hatch for embedding a raw DSL body inside another request;
+it decodes and recurses, so wrappers nest arbitrarily.
+
+Supported query kinds (one top-level key per query object, as in ES):
+
+- ``match`` — analyzed text, ``operator`` ``"or"``/``"and"`` (OR/AND
+  fold of term leaves); on a non-default field: docmeta equality
+  (constant score 1.0 — the same disclosed keyword divergence as
+  :mod:`.qs`).
+- ``match_phrase`` — analyzed phrase with ``slop`` (slop > 0 runs the
+  in-repo Lucene SloppyPhraseMatcher, the eval_tree contract).
+- ``term`` / ``terms`` — NOT analyzed (the ES contract): on the
+  default text field a raw lowercase token leaf, elsewhere docmeta
+  equality; ``terms`` is the OR fold.
+- ``range`` — ``gt``/``gte``/``lt``/``lte`` bounds (numbers or ISO
+  dates — the engines coerce, timestamps compare in epoch micros).
+- ``exists`` — docmeta non-null, constant score 1.0.
+- ``prefix`` / ``wildcard`` / ``fuzzy`` — dictionary multi-term
+  queries on the default text field, same leaves and rewrites as
+  ``query_string`` (prefix/wildcard constant_score 1.0; fuzzy is the
+  scoring_boolean dictionary expansion).
+- ``bool`` — ``must`` (scored AND), ``filter`` (non-scoring gate:
+  ``("filter", scored, required)`` keeps only the scored side's
+  scores, the ES filter-context contract), ``should`` (scored OR;
+  with ``must``/``filter`` present and ``minimum_should_match`` 0 —
+  the ES default — shoulds are optional score boosts), ``must_not``
+  (AND-NOT).  ``minimum_should_match`` supports 0 and 1 (disclosed;
+  ES's full m-of-n grammar does not map to the sparse algebra's
+  binary nodes).
+- ``dis_max`` / ``boosting`` / ``constant_score`` — the compound
+  nodes the engines already evaluate.
+- ``query_string`` / ``simple_query_string`` — delegate to the
+  existing parsers (full respective grammars).
+- ``wrapper`` — base64-decode and recurse.
+- every leaf accepts ES's ``boost`` parameter (``("boost", node, f)``).
+
+Disclosed unsupported kinds (raise ``DslError``): ``match_all`` /
+``match_none`` (no all-docs node in the sparse algebra), per-field
+``minimum_should_match`` strings, ``regexp`` (served by the engines'
+dedicated ``regexp_search``), joins/geo/kNN (dedicated APIs).  A
+``bool`` with only ``must_not`` matches nothing (same lenient contract
+as the string parsers).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+
+class DslError(ValueError):
+    pass
+
+
+_LEAF_PARAM = {
+    # leaf kind -> the parameter key holding the value in the
+    # long-form object, e.g. {"term": {"f": {"value": v, "boost": b}}}
+    "term": "value",
+    "prefix": "value",
+    "wildcard": "value",
+    "fuzzy": "value",
+    "match": "query",
+    "match_phrase": "query",
+}
+
+
+def _field_body(kind: str, body) -> tuple[str, object, float]:
+    """Unpack ``{field: short_or_long_form}`` → (field, value, boost)."""
+    if not isinstance(body, dict) or len(body) != 1:
+        raise DslError(f"{kind} takes exactly one field, got {body!r}")
+    ((field, spec),) = body.items()
+    if isinstance(spec, dict):
+        key = _LEAF_PARAM[kind]
+        if key not in spec:
+            raise DslError(f"{kind} on {field!r} missing {key!r}")
+        return field, spec, float(spec.get("boost", 1.0))
+    return field, {_LEAF_PARAM[kind]: spec}, 1.0
+
+
+def _fold(nodes, op: str):
+    out = None
+    for n in nodes:
+        if n is None:
+            continue
+        out = n if out is None else (op, out, n)
+    return out
+
+
+def _boosted(node, boost: float):
+    if node is None or boost == 1.0:
+        return node
+    return ("boost", node, float(boost))
+
+
+def dsl_to_tree(
+    query: dict,
+    analyze,
+    default_field: str,
+    meta_fields=None,
+) -> tuple | None:
+    """One ES JSON query object → eval_tree clause tree (None ⇔ the
+    query analyzes away and matches nothing, the lenient contract the
+    string parsers share).  ``analyze`` is the index analyzer;
+    ``default_field`` names the indexed text column; ``meta_fields``
+    (optional collection) rejects clauses on unmapped fields like an ES
+    strict mapping."""
+    if not isinstance(query, dict) or len(query) != 1:
+        raise DslError(f"a query object has exactly one key: {query!r}")
+    ((kind, body),) = query.items()
+
+    def is_meta(field: str) -> bool:
+        if field == default_field:
+            return False
+        if meta_fields is not None and field not in meta_fields:
+            raise DslError(f"unknown field {field!r}")
+        return True
+
+    def sub(q):
+        return dsl_to_tree(q, analyze, default_field, meta_fields)
+
+    if kind == "wrapper":
+        if not isinstance(body, dict) or "query" not in body:
+            raise DslError("wrapper needs {'query': <base64>}")
+        try:
+            raw = base64.b64decode(body["query"], validate=True)
+            inner = json.loads(raw)
+        except Exception as e:  # noqa: BLE001 — one normalized error
+            raise DslError(f"wrapper payload undecodable: {e}") from e
+        return sub(inner)
+
+    if kind == "bool":
+        if not isinstance(body, dict):
+            raise DslError("bool body must be an object")
+        def many(key):
+            v = body.get(key) or []
+            return [v] if isinstance(v, dict) else list(v)
+        must = _fold([sub(q) for q in many("must")], "and")
+        req = _fold([sub(q) for q in many("filter")], "and")
+        should = _fold([sub(q) for q in many("should")], "or")
+        msm = body.get("minimum_should_match")
+        if msm not in (None, 0, 1):
+            raise DslError("minimum_should_match supports 0/1 only")
+        if msm is None:  # the ES default: shoulds become optional the
+            # moment a must/filter clause exists
+            msm = 0 if (must is not None or req is not None) else 1
+        node = must
+        if should is not None:
+            if msm == 1:  # should is REQUIRED (≥1 clause must match)
+                if node is None:
+                    node = should
+                else:  # base ∩ should docs, base+should summed scores
+                    node = ("filter",
+                            ("filter", ("or", node, should), node),
+                            should)
+            else:  # OPTIONAL: score boost over the required doc set
+                if node is not None:
+                    node = ("filter", ("or", node, should), node)
+                elif req is not None:
+                    # filter-only bool + optional should: every filter
+                    # doc matches (score 0), shoulds add their scores
+                    node = ("or", ("constscore", req, 0.0), should)
+                else:  # unreachable (msm defaults to 1 here) — lenient
+                    node = should
+        if req is not None:
+            # non-scoring gate (ES filter context).  A filter-only bool
+            # matches req's docs at score 0.0 — constscore 0.0 spells
+            # that exactly.
+            node = ("constscore", req, 0.0) if node is None else (
+                "filter", node, req)
+        for q in many("must_not"):
+            n = sub(q)
+            if node is not None and n is not None:
+                node = ("andnot", node, n)
+        return _boosted(node, float(body.get("boost", 1.0)))
+
+    if kind in ("dis_max", "dismax"):
+        children = tuple(
+            t for t in (sub(q) for q in body.get("queries", []))
+            if t is not None
+        )
+        if not children:
+            return None
+        return _boosted(
+            ("dismax", float(body.get("tie_breaker", 0.0)), children),
+            float(body.get("boost", 1.0)))
+
+    if kind == "boosting":
+        pos = sub(body["positive"])
+        neg = sub(body["negative"]) if body.get("negative") else None
+        if pos is None:
+            return None
+        if neg is None:
+            return pos
+        return ("boosting", pos, neg,
+                float(body.get("negative_boost", 0.5)))
+
+    if kind == "constant_score":
+        child = sub(body["filter"])
+        if child is None:
+            return None
+        return ("constscore", child, float(body.get("boost", 1.0)))
+
+    if kind == "query_string":
+        from .qs import parse_query_string
+
+        return parse_query_string(
+            body["query"] if isinstance(body, dict) else str(body),
+            analyze,
+            (body.get("default_operator", "or").lower()
+             if isinstance(body, dict) else "or"),
+            default_field=default_field,
+            meta_fields=meta_fields,
+        )
+
+    if kind == "simple_query_string":
+        from .sqs import parse_simple_query_string
+
+        return parse_simple_query_string(
+            body["query"] if isinstance(body, dict) else str(body),
+            analyze,
+            (body.get("default_operator", "or").lower()
+             if isinstance(body, dict) else "or"),
+        )
+
+    if kind == "match":
+        field, spec, boost = _field_body(kind, body)
+        if is_meta(field):
+            return _boosted(("metaterm", field, str(spec["query"])), boost)
+        op = str(spec.get("operator", "or")).lower()
+        if op not in ("or", "and"):
+            raise DslError(f"match operator {op!r}")
+        toks = analyze(str(spec["query"]))
+        return _boosted(_fold([("term", t) for t in toks], op), boost)
+
+    if kind == "match_phrase":
+        field, spec, boost = _field_body(kind, body)
+        if is_meta(field):
+            return _boosted(("metaterm", field, str(spec["query"])), boost)
+        toks = analyze(str(spec["query"]))
+        if not toks:
+            return None
+        slop = int(spec.get("slop", 0))
+        node = ("term", toks[0]) if len(toks) == 1 and slop == 0 \
+            else ("phrase", toks, slop)
+        return _boosted(node, boost)
+
+    if kind == "term":
+        field, spec, boost = _field_body(kind, body)
+        v = spec["value"]
+        if is_meta(field):
+            return _boosted(("metaterm", field, v), boost)
+        return _boosted(("term", str(v).lower()), boost)
+
+    if kind == "terms":
+        if not isinstance(body, dict) or len(body) < 1:
+            raise DslError("terms needs {field: [values...]}")
+        opts = {k: v for k, v in body.items() if k == "boost"}
+        rest = {k: v for k, v in body.items() if k != "boost"}
+        if len(rest) != 1:
+            raise DslError("terms takes exactly one field")
+        ((field, values),) = rest.items()
+        leaves = [
+            ("metaterm", field, v) if is_meta(field)
+            else ("term", str(v).lower())
+            for v in values
+        ]
+        return _boosted(_fold(leaves, "or"),
+                        float(opts.get("boost", 1.0)))
+
+    if kind == "range":
+        if not isinstance(body, dict) or len(body) != 1:
+            raise DslError("range takes exactly one field")
+        ((field, spec),) = body.items()
+        if not is_meta(field):
+            raise DslError("range needs a docmeta field")
+        lo = spec.get("gte", spec.get("gt"))
+        hi = spec.get("lte", spec.get("lt"))
+        node = ("metarange", field,
+                None if lo is None else str(lo),
+                None if hi is None else str(hi),
+                "gte" in spec, "lte" in spec)
+        return _boosted(node, float(spec.get("boost", 1.0)))
+
+    if kind == "exists":
+        if not isinstance(body, dict) or "field" not in body:
+            raise DslError("exists needs {'field': name}")
+        is_meta(body["field"])  # mapping check only
+        return _boosted(("metaexists", body["field"]),
+                        float(body.get("boost", 1.0)))
+
+    if kind == "prefix":
+        field, spec, boost = _field_body(kind, body)
+        if is_meta(field):
+            raise DslError("prefix supports the text field only")
+        return _boosted(("prefix", str(spec["value"]).lower()), boost)
+
+    if kind == "wildcard":
+        field, spec, boost = _field_body(kind, body)
+        if is_meta(field):
+            raise DslError("wildcard supports the text field only")
+        pat = str(spec["value"]).lower()
+        if (pat.endswith("*") and "?" not in pat and "*" not in pat[:-1]
+                and len(pat) > 1):
+            return _boosted(("prefix", pat[:-1]), boost)
+        return _boosted(("wildcard", pat), boost)
+
+    if kind == "fuzzy":
+        field, spec, boost = _field_body(kind, body)
+        if is_meta(field):
+            raise DslError("fuzzy supports the text field only")
+        fz = spec.get("fuzziness", 2)
+        fz = 2 if str(fz).upper() == "AUTO" else int(fz)
+        base = analyze(str(spec["value"]))
+        if not base:
+            return None
+        return _boosted(("fuzzy", base[-1], fz), boost)
+
+    raise DslError(f"unsupported query kind {kind!r}")
+
+
+def wrap_query(query: dict) -> dict:
+    """Encode a DSL object as ES's ``wrapper`` query (the inverse of
+    the decode path — handy for tests and for callers persisting
+    queries as opaque strings)."""
+    payload = base64.b64encode(
+        json.dumps(query, sort_keys=True).encode()).decode()
+    return {"wrapper": {"query": payload}}
+
+
+def search_dsl(engine, query: dict, k: int = 10):
+    """Run one JSON DSL query on either serving engine: translate to a
+    clause tree with the ENGINE's analyzer/mapping and evaluate through
+    its existing ``_eval_sqs_tree`` path (shard-parallel sparse algebra
+    on the doc layout, coordinator gather on the term layout) — hits
+    are ``[(doc_id, score), ...]`` under the standard tie contract."""
+    tree = dsl_to_tree(
+        query,
+        engine._sqs_analyze(),
+        _default_field(engine),
+        meta_fields=None,
+    )
+    if tree is None:
+        return []
+    return engine._eval_sqs_tree(tree, k)
+
+
+def _default_field(engine) -> str:
+    info = getattr(engine, "info", None)
+    if info is not None:
+        return info.manifest.text_col
+    # term-partitioned layout: resolve through the source index's
+    # manifest (the same path its own search_query_string takes)
+    src = engine.meta.get("source_index")
+    if src:
+        from ..index.build import IndexInfo
+
+        return IndexInfo(src).manifest.text_col
+    return "content"

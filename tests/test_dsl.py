@@ -1,0 +1,250 @@
+"""ES JSON query DSL translation (search/dsl.py) + the wrapper query.
+
+Tree-shape tests are pure (no Ray); the engine tests compare
+``search_dsl`` hits between BOTH serving engines and — for the
+qs-expressible cases — against ``search_query_string``, whose tree
+evaluation is already brute-force-verified in test_qs.py."""
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from elasticsearch_assets_ray.search.dsl import (
+    DslError,
+    dsl_to_tree,
+    search_dsl,
+    wrap_query,
+)
+
+
+def _an(s):
+    return [t for t in s.lower().replace(",", " ").split() if t]
+
+
+def T(q, **kw):
+    kw.setdefault("default_field", "content")
+    return dsl_to_tree(q, _an, **kw)
+
+
+def test_leaf_shapes():
+    assert T({"match": {"content": "Merge"}}) == ("term", "merge")
+    assert T({"match": {"content": "merge data"}}) == (
+        "or", ("term", "merge"), ("term", "data"))
+    assert T({"match": {"content": {"query": "merge data",
+                                    "operator": "and"}}}) == (
+        "and", ("term", "merge"), ("term", "data"))
+    # match on a non-default field = docmeta equality (keyword)
+    assert T({"match": {"lang": "python"}}) == ("metaterm", "lang", "python")
+    # term is NOT analyzed beyond lowercasing on the text field
+    assert T({"term": {"content": "MERGE"}}) == ("term", "merge")
+    assert T({"term": {"lang": {"value": "go", "boost": 2.0}}}) == (
+        "boost", ("metaterm", "lang", "go"), 2.0)
+    assert T({"terms": {"lang": ["go", "python"]}}) == (
+        "or", ("metaterm", "lang", "go"), ("metaterm", "lang", "python"))
+    assert T({"match_phrase": {"content": "merge data"}}) == (
+        "phrase", ["merge", "data"], 0)
+    assert T({"match_phrase": {"content": {"query": "merge data",
+                                           "slop": 2}}}) == (
+        "phrase", ["merge", "data"], 2)
+    # single-token zero-slop phrase lowers to a term (the qs convention)
+    assert T({"match_phrase": {"content": "merge"}}) == ("term", "merge")
+    assert T({"range": {"n_chars": {"gte": 100, "lt": 300}}}) == (
+        "metarange", "n_chars", "100", "300", True, False)
+    assert T({"exists": {"field": "lang"}}) == ("metaexists", "lang")
+    assert T({"prefix": {"content": "mer"}}) == ("prefix", "mer")
+    assert T({"wildcard": {"content": "me*"}}) == ("prefix", "me")
+    assert T({"wildcard": {"content": "m?rge"}}) == ("wildcard", "m?rge")
+    assert T({"fuzzy": {"content": {"value": "mrge", "fuzziness": 1}}}) == (
+        "fuzzy", "mrge", 1)
+    assert T({"fuzzy": {"content": "mrge"}}) == ("fuzzy", "mrge", 2)
+
+
+def test_bool_shapes():
+    m = ("term", "merge")
+    d = ("term", "data")
+    lang = ("metaterm", "lang", "go")
+    # pure should = required OR
+    assert T({"bool": {"should": [{"match": {"content": "merge"}},
+                                  {"match": {"content": "data"}}]}}) == (
+        "or", m, d)
+    # must + should: should becomes an OPTIONAL score boost
+    got = T({"bool": {"must": [{"match": {"content": "merge"}}],
+                      "should": [{"match": {"content": "data"}}]}})
+    assert got == ("filter", ("or", m, d), m)
+    # must + should with minimum_should_match=1: both required
+    got = T({"bool": {"must": [{"match": {"content": "merge"}}],
+                      "should": [{"match": {"content": "data"}}],
+                      "minimum_should_match": 1}})
+    assert got == ("filter", ("filter", ("or", m, d), m), d)
+    # filter context gates without scoring
+    got = T({"bool": {"must": [{"match": {"content": "merge"}}],
+                      "filter": [{"term": {"lang": "go"}}]}})
+    assert got == ("filter", m, lang)
+    # filter-only: all filter docs at score 0
+    assert T({"bool": {"filter": [{"term": {"lang": "go"}}]}}) == (
+        "constscore", lang, 0.0)
+    # filter + optional should
+    got = T({"bool": {"filter": [{"term": {"lang": "go"}}],
+                      "should": [{"match": {"content": "data"}}]}})
+    assert got == ("filter", ("or", ("constscore", lang, 0.0), d), lang)
+    # must_not
+    got = T({"bool": {"must": [{"match": {"content": "merge"}}],
+                      "must_not": [{"match": {"content": "data"}}]}})
+    assert got == ("andnot", m, d)
+    # must_not with no positive clause matches nothing
+    assert T({"bool": {"must_not": [{"match": {"content": "x"}}]}}) is None
+
+
+def test_compound_shapes():
+    m = ("term", "merge")
+    d = ("term", "data")
+    assert T({"dis_max": {"queries": [{"match": {"content": "merge"}},
+                                      {"match": {"content": "data"}}],
+                          "tie_breaker": 0.3}}) == ("dismax", 0.3, (m, d))
+    assert T({"boosting": {"positive": {"match": {"content": "merge"}},
+                           "negative": {"match": {"content": "data"}},
+                           "negative_boost": 0.2}}) == (
+        "boosting", m, d, 0.2)
+    assert T({"constant_score": {"filter": {"match": {"content": "merge"}},
+                                 "boost": 2.5}}) == ("constscore", m, 2.5)
+    qs = T({"query_string": {"query": "merge AND data"}})
+    assert qs == ("and", m, d)
+    sqs = T({"simple_query_string": {"query": "merge + data"}})
+    assert sqs == ("and", m, d)
+
+
+def test_wrapper_roundtrip_and_nesting():
+    inner = {"bool": {"must": [{"match": {"content": "merge data"}}],
+                      "filter": [{"range": {"n_chars": {"gte": 10}}}]}}
+    assert T(wrap_query(inner)) == T(inner)
+    # wrapper inside a bool inside a wrapper
+    nested = wrap_query({"bool": {"must": [wrap_query(inner)],
+                                  "must_not": [
+                                      {"term": {"lang": "zz"}}]}})
+    got = T(nested)
+    assert got == ("andnot", T(inner), ("metaterm", "lang", "zz"))
+
+
+def test_errors_and_lenient_cases():
+    with pytest.raises(DslError):
+        T({"match_all": {}})
+    with pytest.raises(DslError):
+        T({"match": {"a": "x", "b": "y"}})
+    with pytest.raises(DslError):
+        T({"bool": {"minimum_should_match": 2,
+                    "should": [{"match": {"content": "x"}}]}})
+    with pytest.raises(DslError):
+        T({"wrapper": {"query": "!!! not base64 !!!"}})
+    with pytest.raises(DslError):
+        T({"range": {"content": {"gte": 1}}})
+    with pytest.raises(DslError):
+        T({"term": {"nofield": "x"}}, meta_fields={"lang"})
+    # analyzed-away queries match nothing, not an error
+    assert T({"match": {"content": "   "}}) is None
+    assert T({"dis_max": {"queries": []}}) is None
+
+
+@pytest.fixture(scope="module")
+def dsl_index(small_corpus, tmp_path_factory):
+    from elasticsearch_assets_ray.config import IndexConfig
+    from elasticsearch_assets_ray.index.build import build_index
+
+    idx = tmp_path_factory.mktemp("dslidx") / "idx"
+    return build_index(
+        small_corpus, idx,
+        IndexConfig(partition_target_docs=50, shard_target_docs=100,
+                    store_positions=True,
+                    meta_cols=("repo", "path", "lang", "n_chars"),
+                    derived_meta=("n_chars=len_of:content",)),
+    )
+
+
+# (DSL query, equivalent query_string or None) — the qs equivalents
+# pin semantics to the brute-force-verified string grammar
+DSL_CASES = [
+    ({"match": {"content": "merge data"}}, "merge data"),
+    ({"match": {"content": {"query": "merge data", "operator": "and"}}},
+     "merge AND data"),
+    ({"match_phrase": {"content": "def merge"}}, '"def merge"'),
+    ({"term": {"lang": "python"}}, "lang:python"),
+    ({"range": {"n_chars": {"gte": 400, "lte": 900}}},
+     "n_chars:[400 TO 900]"),
+    ({"bool": {"must": [{"match": {"content": "merge"}}],
+               "must_not": [{"match": {"content": "import"}}]}},
+     "merge NOT import"),
+    ({"constant_score": {"filter": {"match": {"content": "merge"}},
+                         "boost": 2.0}}, None),
+    ({"bool": {"must": [{"match": {"content": "merge"}}],
+               "filter": [{"term": {"lang": "python"}}]}}, None),
+    ({"bool": {"filter": [{"range": {"n_chars": {"gte": 400}}}],
+               "should": [{"match": {"content": "merge"}}]}}, None),
+    ({"dis_max": {"queries": [{"match": {"content": "merge"}},
+                              {"match": {"content": "data"}}],
+                  "tie_breaker": 0.5}}, None),
+    ({"fuzzy": {"content": {"value": "mergi", "fuzziness": 1}}},
+     "mergi~1"),
+    ({"prefix": {"content": "mer"}}, "mer*"),
+]
+
+
+def test_search_dsl_engines_agree(dsl_index, ray_session, tmp_path):
+    from elasticsearch_assets_ray.index.global_merge import (
+        merge_global_postings,
+    )
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+    from elasticsearch_assets_ray.search.term_engine import (
+        TermPartitionedEngine,
+    )
+
+    out = tmp_path / "global_dsl"
+    merge_global_postings(dsl_index.index_dir, out, n_salts=2,
+                          n_buckets=4, store_norms=True)
+    eng = QueryEngine(dsl_index.index_dir, num_actors=2)
+    teng = TermPartitionedEngine(out, num_actors=2)
+    try:
+        any_hits = 0
+        for q, qs in DSL_CASES:
+            wrapped = wrap_query(q)  # every case also runs wrapped
+            got = search_dsl(eng, q, k=1000)
+            got_w = search_dsl(eng, wrapped, k=1000)
+            got_t = search_dsl(teng, q, k=1000)
+            assert got == got_w, q
+            assert [d for d, _ in got] == [d for d, _ in got_t], q
+            for (_, s1), (_, s2) in zip(got, got_t):
+                assert abs(s1 - s2) < 1e-9, q
+            if qs is not None:
+                want = eng.search_query_string(qs, k=1000)
+                assert [d for d, _ in got] == [d for d, _ in want], (q, qs)
+                for (_, s1), (_, s2) in zip(got, want):
+                    assert abs(s1 - s2) < 1e-9, (q, qs)
+            any_hits += len(got)
+        assert any_hits > 0
+    finally:
+        eng.shutdown()
+        teng.shutdown()
+
+
+def test_filter_context_scores_zero_contribution(dsl_index, ray_session):
+    """A bool filter clause gates the doc set but must NOT add the
+    constant 1.0 a scored meta clause would."""
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+
+    eng = QueryEngine(dsl_index.index_dir, num_actors=2)
+    try:
+        scored = search_dsl(eng, {"bool": {
+            "must": [{"match": {"content": "merge"}},
+                     {"term": {"lang": "python"}}]}}, k=1000)
+        filtered = search_dsl(eng, {"bool": {
+            "must": [{"match": {"content": "merge"}}],
+            "filter": [{"term": {"lang": "python"}}]}}, k=1000)
+        assert [d for d, _ in scored] == [d for d, _ in filtered]
+        assert len(filtered) > 0
+        for (_, s_scored), (_, s_filt) in zip(scored, filtered):
+            assert abs((s_scored - 1.0) - s_filt) < 1e-9
+        only_filter = search_dsl(eng, {"bool": {
+            "filter": [{"term": {"lang": "python"}}]}}, k=10_000)
+        assert len(only_filter) > 0
+        assert all(s == 0.0 for _, s in only_filter)
+    finally:
+        eng.shutdown()
