@@ -10654,6 +10654,30 @@ QUALIFY rank <= {_DSIR_K}
 """
 
 
+def q_quality_classifier(sf_dir: str) -> pa.Table:
+    """Fasttext-style trained quality classifier (ops/classifier.py):
+    label the corpus with a seed predicate (here ``lang = 'en'`` — the
+    classic "target-domain vs rest" seed), fit a hashed-ngram logistic
+    model DRIVER-SIDE on a deterministic Knuth-hash sample (labeled
+    seeds are never corpus-scale), then stream scores over every doc
+    via one broadcast + map_batches.  Rows-only: FNV feature hashing
+    has no SQL mirror; the fit itself is bit-deterministic (pinned
+    reduction order — tested), and separable-task learnability is
+    asserted in tests/test_classifier.py."""
+    from ..ops.classifier import fit_quality_classifier, quality_scores
+
+    def add_label(batch: pa.Table) -> pa.Table:
+        lab = pc.cast(pc.equal(batch.column("lang"), "en"), pa.int8())
+        return batch.append_column("label", lab)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    labeled = ds.map_batches(add_label, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    clf = fit_quality_classifier(labeled, max_train=20_000, iters=100)
+    return to_arrow(quality_scores(ds, clf)).sort_by("doc_id")
+
+
 def q_cluster_split(sf_dir: str) -> pa.Table:
     """Cluster-aware train/test split: whole near-dup clusters assign
     atomically by the Knuth hash of the canonical member, so no
@@ -14416,6 +14440,7 @@ def queries():
         "count_api_global": q_count_api_global,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "quality_classifier": q_quality_classifier,
         "cluster_split": q_cluster_split,
         "split_leakage": q_split_leakage,
         "exact_dedup": q_exact_dedup,
