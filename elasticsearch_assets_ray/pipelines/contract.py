@@ -6115,6 +6115,86 @@ WHERE {case}
 """
 
 
+# ES geo_polygon filter: (query_id, match text, convex ring as
+# INTEGER (lat, lon) vertices — integer grid keeps every half-plane
+# cross-product exact in float64, so the compare is hash-safe)
+GEO_POLY_QUERIES: list[tuple[int, str, list[tuple[int, int]]]] = [
+    (0, "hash join",
+     [(80, -160), (80, 40), (0, 170), (-80, 40), (-80, -160)]),
+    (1, "customer order value",
+     [(60, -30), (20, 120), (-70, 60), (-40, -140)]),
+]
+
+
+def _q_geo_polygon(engine) -> pa.Table:
+    rows = []
+    for qid, text, ring in GEO_POLY_QUERIES:
+        for doc, _score in engine.search_geo_polygon(
+            text, "lat", "lon", ring, k=1 << 30
+        ):
+            rows.append({"query_id": qid, "doc_id": doc})
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["query_id", "doc_id"]),
+        preserve_index=False,
+    )
+
+
+def q_geo_polygon_search(sf_dir: str) -> pa.Table:
+    """ES bool query + ``geo_polygon`` filter: a convex ring decomposed
+    into per-edge half-plane runtime-field gates (one pure-arithmetic
+    script each, ANDed by the ordinary filter_range machinery — the
+    same composition as the haversine geo_distance gate).  Integer
+    vertices over the integer lat/lon grid keep every cross-product
+    exact, so the full surviving doc-id set is hash-compared."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        return _q_geo_polygon(engine)
+    finally:
+        engine.shutdown()
+
+
+def q_geo_polygon_search_global(sf_dir: str) -> pa.Table:
+    """The SAME geo_polygon-filtered search on the TERM-partitioned
+    layout (half-plane metarange gates scan the source docmeta lineage
+    column-pruned) — same SQL oracle."""
+    _, eng = _global_engine(sf_dir)
+    try:
+        return _q_geo_polygon(eng)
+    finally:
+        eng.shutdown()
+
+
+def sql_geo_polygon_search() -> str:
+    from ..search.geo import polygon_sql
+
+    term_rows, gates = [], []
+    for qid, text, ring in GEO_POLY_QUERIES:
+        for t in _simple_tokens(text):
+            term_rows.append(f"({qid}, '{t}')")
+        gates.append(
+            f"WHEN {qid} THEN "
+            + polygon_sql(GEO_LAT_SQL, GEO_LON_SQL,
+                          [(float(a), float(b)) for a, b in ring])
+        )
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    case = "CASE hit.query_id " + " ".join(gates) + " END"
+    return f"""
+WITH toks AS ({toks}),
+q(query_id, t) AS (VALUES {', '.join(term_rows)}),
+hit AS (SELECT DISTINCT q.query_id, toks.doc_id
+        FROM q JOIN toks ON toks.t = q.t)
+SELECT hit.query_id, hit.doc_id
+FROM hit JOIN documents ON documents.doc_id = hit.doc_id
+WHERE {case}
+"""
+
+
 # generic (non-geo) runtime-field showcase: a scripted group key and a
 # scripted stats value through the plain terms-agg machinery
 RUNTIME_GROUP_FLD = "script:floor(doc['n_chars'] / 64.0)"
@@ -14375,6 +14455,8 @@ def queries():
         "geo_bounds_centroid": q_geo_bounds_centroid,
         "geo_bounds_centroid_global": q_geo_bounds_centroid_global,
         "geo_search": q_geo_search,
+        "geo_polygon_search": q_geo_polygon_search,
+        "geo_polygon_search_global": q_geo_polygon_search_global,
         "geo_search_global": q_geo_search_global,
         "runtime_fields": q_runtime_fields,
         "runtime_fields_global": q_runtime_fields_global,
@@ -14682,6 +14764,8 @@ def oracle_sql():
         "geo_bounds_centroid": sql_geo_bounds_centroid(),
         "geo_bounds_centroid_global": sql_geo_bounds_centroid(),
         "geo_search": sql_geo_search(),
+        "geo_polygon_search": sql_geo_polygon_search(),
+        "geo_polygon_search_global": sql_geo_polygon_search(),
         "geo_search_global": sql_geo_search(),
         "runtime_fields": sql_runtime_fields(),
         "runtime_fields_global": sql_runtime_fields(),

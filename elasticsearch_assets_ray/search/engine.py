@@ -5537,6 +5537,28 @@ class QueryEngine:
             ),
         )
 
+    def search_geo_polygon(
+        self,
+        query: str | list[str],
+        lat_field: str,
+        lon_field: str,
+        vertices: list[tuple[float, float]],
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES bool query with a ``geo_polygon`` filter: a CONVEX ring
+        decomposes into one half-plane runtime-field gate per edge
+        (``search.geo.polygon_halfplane_scripts``), all ANDed through
+        the ordinary ``filter_range`` machinery — no new evaluation
+        kind.  Concave rings raise (split into convex rings and union
+        the searches, disclosed)."""
+        from .geo import polygon_halfplane_scripts
+
+        return self.search_bool(
+            should=query, k=k, minimum_should_match=1,
+            filter_range=polygon_halfplane_scripts(
+                lat_field, lon_field, vertices),
+        )
+
     def search_has_child(
         self,
         child_query: str | list[str] | dict,

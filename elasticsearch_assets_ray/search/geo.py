@@ -211,6 +211,87 @@ def bbox_range_filters(lat_field: str, lon_field: str,
     return {lat_field: (bottom, top), lon_field: (left, right)}
 
 
+def _orient_convex_ccw(
+    vertices: list[tuple[float, float]]
+) -> list[tuple[float, float]]:
+    """Validate a convex ring and return it counter-clockwise.
+
+    ``vertices`` are ``(lat, lon)`` pairs (the ES ``geo_polygon``
+    points list; a closing copy of the first vertex is tolerated and
+    dropped).  Convexity is required — the half-plane decomposition
+    below is only exact for convex rings; concave polygons must be
+    split by the caller (disclosed in :func:`polygon_halfplane_scripts`)."""
+    v = [(float(a), float(b)) for a, b in vertices]
+    if len(v) >= 2 and v[0] == v[-1]:
+        v = v[:-1]
+    if len(v) < 3:
+        raise ValueError("polygon needs at least 3 distinct vertices")
+    # shoelace orientation on (x=lon, y=lat)
+    area2 = sum(
+        (v[i][1] * v[(i + 1) % len(v)][0])
+        - (v[(i + 1) % len(v)][1] * v[i][0])
+        for i in range(len(v))
+    )
+    if area2 == 0:
+        raise ValueError("degenerate polygon (zero area)")
+    if area2 < 0:
+        v = v[::-1]
+    # convex ⟺ every consecutive edge cross-product is ≥ 0 once CCW
+    n = len(v)
+    for i in range(n):
+        (y0, x0), (y1, x1), (y2, x2) = v[i], v[(i + 1) % n], v[(i + 2) % n]
+        cross = (x1 - x0) * (y2 - y1) - (y1 - y0) * (x2 - x1)
+        if cross < 0:
+            raise ValueError(
+                "concave polygon — split it into convex rings"
+            )
+    return v
+
+
+def polygon_halfplane_scripts(
+    lat_field: str, lon_field: str, vertices: list[tuple[float, float]]
+) -> dict:
+    """ES ``geo_polygon`` filter as the engines' range-filter dict: a
+    CONVEX ring decomposes into one half-plane test per edge — each a
+    pure-arithmetic runtime-field script ``(x2−x1)·(lat−y1) −
+    (y2−y1)·(lon−x1)`` gated ``≥ 0`` — so the filter composes with the
+    existing ``filter_range`` machinery on BOTH engines with no new
+    evaluation kind (the same pattern as the haversine geo_distance
+    gate).  Boundary points count as inside (inclusive ≥, disclosed);
+    concave polygons raise — split them into convex rings and OR the
+    searches.  With integer-grid points and integer vertices every
+    product is exact in float64, so results are hash-oracle-safe."""
+    v = _orient_convex_ccw(vertices)
+    out: dict = {}
+    n = len(v)
+    for i in range(n):
+        (y1, x1), (y2, x2) = v[i], v[(i + 1) % n]
+        dx, dy = x2 - x1, y2 - y1
+        script = (
+            f"script:({dx!r}) * (doc['{lat_field}'] - ({y1!r})) - "
+            f"({dy!r}) * (doc['{lon_field}'] - ({x1!r}))"
+        )
+        out[script] = (0.0, None)
+    return out
+
+
+def polygon_sql(lat_sql: str, lon_sql: str,
+                vertices: list[tuple[float, float]]) -> str:
+    """The SQL mirror of :func:`polygon_halfplane_scripts` — the same
+    half-plane expressions ANDed, term for term."""
+    v = _orient_convex_ccw(vertices)
+    parts = []
+    n = len(v)
+    for i in range(n):
+        (y1, x1), (y2, x2) = v[i], v[(i + 1) % n]
+        dx, dy = x2 - x1, y2 - y1
+        parts.append(
+            f"(({dx!r}) * (({lat_sql}) - ({y1!r})) - "
+            f"({dy!r}) * (({lon_sql}) - ({x1!r})) >= 0)"
+        )
+    return "(" + " AND ".join(parts) + ")"
+
+
 def geo_bounds_render(lat_stats: dict, lon_stats: dict) -> dict:
     """ES ``geo_bounds`` envelope from per-axis stats aggregations
     (``wrap_longitude`` not modeled — boxes never cross the dateline)."""

@@ -3101,6 +3101,37 @@ class TermPartitionedEngine:
             tree = ("filter", tree, ("metarange", col, lo, hi, True, True))
         return self._eval_sqs_tree(tree, k)
 
+    def search_geo_polygon(
+        self,
+        query: str | list[str],
+        lat_field: str,
+        lon_field: str,
+        vertices: list[tuple[float, float]],
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES bool query + ``geo_polygon`` filter on the
+        term-partitioned layout: the convex ring's per-edge half-plane
+        runtime-field gates (``search.geo.polygon_halfplane_scripts``)
+        chain as metarange filters over the source docmeta lineage —
+        identical results to :meth:`QueryEngine.search_geo_polygon`."""
+        from functools import reduce
+
+        from .geo import polygon_halfplane_scripts
+
+        toks = (
+            self._analyze(query) if isinstance(query, str)
+            else sorted(set(query))
+        )
+        if not toks:
+            return []
+        tree = reduce(
+            lambda a, b: ("or", a, b), [("term", t) for t in toks]
+        )
+        filters = polygon_halfplane_scripts(lat_field, lon_field, vertices)
+        for col, (lo, hi) in sorted(filters.items()):
+            tree = ("filter", tree, ("metarange", col, lo, hi, True, True))
+        return self._eval_sqs_tree(tree, k)
+
     def search_has_child(
         self,
         child_query: str | list[str],

@@ -333,3 +333,66 @@ def test_geohash_grid_parity_and_reference(geo_engines):
         want[k] = want.get(k, 0) + 1
     for r in a:
         assert want[r["key"]] == r["doc_count"], r
+
+
+def test_polygon_orientation_and_validation():
+    from elasticsearch_assets_ray.search.geo import (
+        _orient_convex_ccw,
+        polygon_halfplane_scripts,
+        polygon_sql,
+    )
+
+    ccw = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]
+    # CW input flips to the same CCW ring
+    assert _orient_convex_ccw(ccw[::-1]) == _orient_convex_ccw(ccw)
+    # closing vertex tolerated
+    assert _orient_convex_ccw(ccw + [ccw[0]]) == _orient_convex_ccw(ccw)
+    with pytest.raises(ValueError):
+        _orient_convex_ccw([(0, 0), (1, 1)])
+    with pytest.raises(ValueError):
+        _orient_convex_ccw([(0, 0), (5, 5), (10, 10)])  # zero area
+    with pytest.raises(ValueError):  # concave (notched square)
+        _orient_convex_ccw([(0, 0), (0, 10), (5, 5), (10, 10), (10, 0)])
+    scripts = polygon_halfplane_scripts("lat", "lon", ccw)
+    assert len(scripts) == 4
+    assert all(k.startswith("script:") for k in scripts)
+    assert all(v == (0.0, None) for v in scripts.values())
+    sql = polygon_sql("LA", "LO", ccw)
+    assert sql.count(">= 0") == 4 and " AND " in sql
+
+
+def test_geo_polygon_engines_match_reference(geo_engines):
+    """Both engines' geo_polygon doc sets ≡ a numpy half-plane
+    reference, including boundary inclusivity; concave rings raise."""
+    from elasticsearch_assets_ray.search.geo import _orient_convex_ccw
+
+    eng, teng, match, n = geo_engines
+    ring = _orient_convex_ccw(
+        [(80.0, -160.0), (80.0, 40.0), (0.0, 170.0), (-80.0, 40.0),
+         (-80.0, -160.0)])
+
+    def inside(la, lo, v):
+        ok = np.ones(len(la), dtype=bool)
+        m = len(v)
+        for i in range(m):
+            (y1, x1), (y2, x2) = v[i], v[(i + 1) % m]
+            ok &= ((x2 - x1) * (la - y1) - (y2 - y1) * (lo - x1)) >= 0
+        return ok
+
+    ids = np.arange(n, dtype=np.int64)
+    la, lo = _lat(ids), _lon(ids)
+    want = set(
+        int(i) for i in match
+        if inside(la[i:i + 1], lo[i:i + 1], ring)[0]
+    )
+    got = {d for d, _ in
+           eng.search_geo_polygon("alpha beta", "lat", "lon", ring,
+                                  k=1 << 30)}
+    got_t = {d for d, _ in
+             teng.search_geo_polygon("alpha beta", "lat", "lon", ring,
+                                     k=1 << 30)}
+    assert got == want and got_t == want and len(want) > 0
+    with pytest.raises(ValueError):
+        eng.search_geo_polygon(
+            "alpha", "lat", "lon",
+            [(0, 0), (0, 10), (5, 5), (10, 10), (10, 0)])
