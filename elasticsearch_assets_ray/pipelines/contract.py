@@ -6521,7 +6521,8 @@ WITH {_join_scored_cte([(qid, text) for qid, text, _, _, _ in HAS_CHILD_QUERIES]
 fam AS (
   SELECT query_id, (doc_id - doc_id % 5) AS parent_id,
          count(*)::BIGINT AS n,
-         sum(CAST(round(score_r * 10000, 0) AS BIGINT)) AS se4,
+         CAST(sum(CAST(round(score_r * 10000, 0) AS BIGINT))
+              AS BIGINT) AS se4,
          max(score_r) AS mxs, min(score_r) AS mns
   FROM scored
   WHERE doc_id % 5 <> 0
@@ -12406,8 +12407,9 @@ r AS (SELECT query_id, dots.vec_id AS vec_id,
       JOIN n nq ON nq.vec_id = dots.query_id
       JOIN n nv ON nv.vec_id = dots.vec_id),
 c AS (SELECT vec_id,
-             sum((CASE query_id {b_case} END)
-                 * round(sim * 10000)::BIGINT) AS score_e5
+             CAST(sum((CASE query_id {b_case} END)
+                      * round(sim * 10000)::BIGINT)
+                  AS BIGINT) AS score_e5
       FROM r WHERE {keep} GROUP BY vec_id)
 SELECT row_number() OVER (ORDER BY score_e5 DESC, vec_id) AS rank,
        vec_id, score_e5
