@@ -149,9 +149,19 @@ class Percolator:
         def analyze(s: str) -> list[str]:
             return clip_tokens(fn(s), *self.clip)
 
+        # a standing query is a Lucene query_string OR a JSON DSL
+        # object (incl. the wrapper query) — both compile to the same
+        # clause trees, so the mini-index evaluation and the pruning
+        # extraction below are shared
+        from ..search.dsl import dsl_to_tree
+
         self.trees = {
-            name: parse_query_string(
-                q, analyze, default_operator, default_field=text_col
+            name: (
+                dsl_to_tree(q, analyze, text_col)
+                if isinstance(q, dict)
+                else parse_query_string(
+                    q, analyze, default_operator, default_field=text_col
+                )
             )
             for name, q in queries.items()
         }
