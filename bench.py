@@ -241,6 +241,9 @@ HEADLINE = [
     "span_masked_search", "span_multi_kinds_global", "terms_agg_filtered",
     "filters_agg_other_global", "exact_substring_dedup_hash",
     "incremental_dedup",
+    # session-14 families: JSON query DSL / wrapper query, the trained
+    # quality classifier, exact convex geo_polygon
+    "wrapper_query", "quality_classifier", "geo_polygon_search",
 ]
 
 
