@@ -95,9 +95,14 @@ def required_atoms(node) -> frozenset | None:
         if a is None or b is None:
             return None
         return a | b
-    if kind == "dismax":  # matches iff ANY child matches
+    if kind in ("dismax", "msm"):
+        # dismax matches iff ANY child matches; msm needs ≥ m ≥ 1
+        # children, so any match still satisfies ≥1 child — the union
+        # of the children's requirements stays a valid necessary set
         out: frozenset = frozenset()
         for c in node[2]:
+            if c is None:
+                continue
             r = required_atoms(c)
             if r is None:
                 return None

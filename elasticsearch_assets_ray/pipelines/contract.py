@@ -4563,6 +4563,12 @@ def _wrapper_dsl_queries() -> list[tuple[int, dict]]:
             "must": [wrap_query({"match": {"text": "scan"}})],
             "filter": [{"exists": {"field": "opt_score"}}],
         }}),
+        (5, {"bool": {
+            "should": [{"match": {"text": "customer"}},
+                       {"match": {"text": "order"}},
+                       {"match": {"text": "scan"}}],
+            "minimum_should_match": 2,
+        }}),
     ]
 
 
@@ -4675,9 +4681,26 @@ s4 AS (SELECT 4 AS query_id, sc.doc_id, sc.score
        FROM (SELECT doc_id, score FROM ts WHERE t = 'scan') sc
        JOIN documents d ON d.doc_id = sc.doc_id
        WHERE {OPT_SQL.replace('doc_id', 'd.doc_id')} IS NOT NULL),
+-- q5: bool should [customer, order, scan] minimum_should_match 2 —
+-- sum pinned to the engine's child accumulation order (c, o, scan)
+d5 AS (SELECT DISTINCT doc_id FROM ts
+       WHERE t IN ('customer', 'order', 'scan')),
+s5 AS (SELECT 5 AS query_id, d5.doc_id,
+              coalesce(c.score, 0) + coalesce(o.score, 0)
+              + coalesce(sn.score, 0) AS score
+       FROM d5
+       LEFT JOIN (SELECT doc_id, score FROM ts WHERE t = 'customer') c
+         ON c.doc_id = d5.doc_id
+       LEFT JOIN (SELECT doc_id, score FROM ts WHERE t = 'order') o
+         ON o.doc_id = d5.doc_id
+       LEFT JOIN (SELECT doc_id, score FROM ts WHERE t = 'scan') sn
+         ON sn.doc_id = d5.doc_id
+       WHERE (CASE WHEN c.score IS NULL THEN 0 ELSE 1 END)
+             + (CASE WHEN o.score IS NULL THEN 0 ELSE 1 END)
+             + (CASE WHEN sn.score IS NULL THEN 0 ELSE 1 END) >= 2),
 allq AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
          UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
-         UNION ALL SELECT * FROM s4)
+         UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
 SELECT query_id, doc_id,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY round(score, 4) DESC, doc_id) AS rank,

@@ -39,9 +39,11 @@ Supported query kinds (one top-level key per query object, as in ES):
   scores, the ES filter-context contract), ``should`` (scored OR;
   with ``must``/``filter`` present and ``minimum_should_match`` 0 —
   the ES default — shoulds are optional score boosts), ``must_not``
-  (AND-NOT).  ``minimum_should_match`` supports 0 and 1 (disclosed;
-  ES's full m-of-n grammar does not map to the sparse algebra's
-  binary nodes).
+  (AND-NOT).  ``minimum_should_match`` takes any non-negative
+  integer: m ≥ 2 compiles to the ``("msm", m, children)`` count node
+  (≥ m should clauses must match; score = sum of ALL matching
+  shoulds, the Lucene contract); ES's percentage/negative spellings
+  are not modeled (disclosed).
 - ``dis_max`` / ``boosting`` / ``constant_score`` — the compound
   nodes the engines already evaluate.
 - ``query_string`` / ``simple_query_string`` — delegate to the
@@ -151,16 +153,26 @@ def dsl_to_tree(
             return [v] if isinstance(v, dict) else list(v)
         must = _fold([sub(q) for q in many("must")], "and")
         req = _fold([sub(q) for q in many("filter")], "and")
-        should = _fold([sub(q) for q in many("should")], "or")
+        should_children = [t for t in (sub(q) for q in many("should"))
+                           if t is not None]
+        should = _fold(should_children, "or")
         msm = body.get("minimum_should_match")
-        if msm not in (None, 0, 1):
-            raise DslError("minimum_should_match supports 0/1 only")
+        if msm is not None and (not isinstance(msm, int) or msm < 0):
+            raise DslError(
+                "minimum_should_match takes a non-negative integer"
+            )
         if msm is None:  # the ES default: shoulds become optional the
             # moment a must/filter clause exists
             msm = 0 if (must is not None or req is not None) else 1
         node = must
+        if should is not None and msm >= 1:
+            # ≥ m should clauses REQUIRED: m=1 is the plain OR; m>1 is
+            # the ("msm", m, children) count node (score = Σ matching
+            # shoulds either way, the Lucene contract)
+            should = (should if msm == 1
+                      else ("msm", msm, tuple(should_children)))
         if should is not None:
-            if msm == 1:  # should is REQUIRED (≥1 clause must match)
+            if msm >= 1:
                 if node is None:
                     node = should
                 else:  # base ∩ should docs, base+should summed scores

@@ -61,6 +61,8 @@ import numpy as np
 # by the same tree walker so both engines serve them through their
 # existing sqs machinery):
 #      | ("dismax", tie_breaker, (child, ...))   — max + tie·Σ(rest)
+#      | ("msm", m, (child, ...))                — ≥ m children match;
+#                                                  score = Σ matching
 #      | ("boosting", positive, negative, negative_boost)
 #      | ("constscore", child, boost)            — matching docs score boost
 #
@@ -217,7 +219,7 @@ def rewrite_fuzzy(tree, expand_fn):
                 rewrite_fuzzy(tree[2], expand_fn))
     if kind == "boost":
         return (kind, rewrite_fuzzy(tree[1], expand_fn), tree[2])
-    if kind == "dismax":
+    if kind in ("dismax", "msm"):
         return (kind, tree[1],
                 tuple(rewrite_fuzzy(c, expand_fn) for c in tree[2]))
     if kind == "boosting":
@@ -241,7 +243,7 @@ def tree_leaves(tree) -> list[tuple]:
                 walk(c)
         elif n[0] == "boost":
             walk(n[1])
-        elif n[0] == "dismax":
+        elif n[0] in ("dismax", "msm"):
             for c in n[2]:
                 walk(c)
         elif n[0] == "boosting":
@@ -313,6 +315,28 @@ def eval_tree(tree, leaf_fn):
             np.maximum(best, aligned, out=best)
             tot += aligned
         return ids, best + tie * (tot - best)
+    if kind == "msm":
+        # Lucene BooleanQuery minimum_should_match m-of-n: a doc
+        # matches iff ≥ m children match; score = SUM of ALL matching
+        # children (not just m of them — the Lucene contract).  Matched
+        # counts and sums accumulate order-insensitively, so floats are
+        # stable across child order.
+        m = int(tree[1])
+        parts = [eval_tree(c, leaf_fn) for c in tree[2]
+                 if c is not None]
+        if not parts or m > len(parts):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids = parts[0][0]
+        for p in parts[1:]:
+            ids = np.union1d(ids, p[0])
+        cnt = np.zeros(len(ids), np.int64)
+        tot = np.zeros(len(ids), np.float64)
+        for p_ids, p_sc in parts:
+            pos = np.searchsorted(ids, p_ids)
+            cnt[pos] += 1
+            tot[pos] += p_sc
+        keep = cnt >= m
+        return ids[keep], tot[keep]
     if kind == "boosting":
         # ES boosting: positive-clause score, demoted by
         # ``negative_boost`` where the doc ALSO matches the negative

@@ -132,7 +132,7 @@ def test_errors_and_lenient_cases():
     with pytest.raises(DslError):
         T({"match": {"a": "x", "b": "y"}})
     with pytest.raises(DslError):
-        T({"bool": {"minimum_should_match": 2,
+        T({"bool": {"minimum_should_match": "75%",
                     "should": [{"match": {"content": "x"}}]}})
     with pytest.raises(DslError):
         T({"wrapper": {"query": "!!! not base64 !!!"}})
@@ -246,5 +246,64 @@ def test_filter_context_scores_zero_contribution(dsl_index, ray_session):
             "filter": [{"term": {"lang": "python"}}]}}, k=10_000)
         assert len(only_filter) > 0
         assert all(s == 0.0 for _, s in only_filter)
+    finally:
+        eng.shutdown()
+
+
+def test_bool_msm_m_of_n_shape():
+    a, b, c = ("term", "a1"), ("term", "b1"), ("term", "c1")
+    got = T({"bool": {"should": [{"match": {"content": "a1"}},
+                                 {"match": {"content": "b1"}},
+                                 {"match": {"content": "c1"}}],
+             "minimum_should_match": 2}})
+    assert got == ("msm", 2, (a, b, c))
+    # msm=1 stays the plain OR fold
+    got = T({"bool": {"should": [{"match": {"content": "a1"}},
+                                 {"match": {"content": "b1"}}],
+             "minimum_should_match": 1}})
+    assert got == ("or", a, b)
+    # must + msm=2 shoulds: gated like the msm=1 case, msm node inside
+    m = ("term", "m1")
+    got = T({"bool": {"must": [{"match": {"content": "m1"}}],
+                      "should": [{"match": {"content": "a1"}},
+                                 {"match": {"content": "b1"}},
+                                 {"match": {"content": "c1"}}],
+                      "minimum_should_match": 2}})
+    msm = ("msm", 2, (a, b, c))
+    assert got == ("filter", ("filter", ("or", m, msm), m), msm)
+    with pytest.raises(DslError):
+        T({"bool": {"should": [{"match": {"content": "x"}}],
+                    "minimum_should_match": -1}})
+    with pytest.raises(DslError):
+        T({"bool": {"should": [{"match": {"content": "x"}}],
+                    "minimum_should_match": "75%"}})
+
+
+def test_msm_engine_semantics(dsl_index, ray_session):
+    """msm 2-of-3: doc set = docs matching ≥2 terms; score = sum of
+    ALL matching terms' BM25 — composed from single-term searches."""
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+
+    eng = QueryEngine(dsl_index.index_dir, num_actors=2)
+    try:
+        terms = ["merge", "data", "import"]
+        single = {
+            t: dict(eng.search_query_string(t, k=10_000)) for t in terms
+        }
+        want = {}
+        for d in set().union(*[s.keys() for s in single.values()]):
+            hits = [single[t][d] for t in terms if d in single[t]]
+            if len(hits) >= 2:
+                want[d] = sum(hits)
+        got = dict(search_dsl(eng, {"bool": {
+            "should": [{"match": {"content": t}} for t in terms],
+            "minimum_should_match": 2}}, k=10_000))
+        assert set(got) == set(want) and len(want) > 0
+        for d, s in got.items():
+            assert abs(s - want[d]) < 1e-9
+        # m greater than the clause count matches nothing
+        assert search_dsl(eng, {"bool": {
+            "should": [{"match": {"content": t}} for t in terms],
+            "minimum_should_match": 4}}, k=10) == []
     finally:
         eng.shutdown()
