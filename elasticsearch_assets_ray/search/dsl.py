@@ -51,8 +51,11 @@ Supported query kinds (one top-level key per query object, as in ES):
 - ``wrapper`` — base64-decode and recurse.
 - every leaf accepts ES's ``boost`` parameter (``("boost", node, f)``).
 
-Disclosed unsupported kinds (raise ``DslError``): ``match_all`` /
-``match_none`` (no all-docs node in the sparse algebra), per-field
+- ``match_all`` — an exists gate over the always-present ``doc_id``
+  doc value at constant score 1.0 (``boost`` honored); ``match_none``
+  → None (matches nothing).
+
+Disclosed unsupported kinds (raise ``DslError``): per-field
 ``minimum_should_match`` strings, ``regexp`` (served by the engines'
 dedicated ``regexp_search``), joins/geo/kNN (dedicated APIs).  A
 ``bool`` with only ``must_not`` matches nothing (same lenient contract
@@ -134,6 +137,17 @@ def dsl_to_tree(
 
     def sub(q):
         return dsl_to_tree(q, analyze, default_field, meta_fields)
+
+    if kind == "match_all":
+        # every doc carries a non-null doc_id doc value in this repo's
+        # docmeta layout (the mget key), so match_all is an exists gate
+        # over it at the ES constant score 1.0 (boost overridable)
+        boost = float(body.get("boost", 1.0)) if isinstance(body, dict) \
+            else 1.0
+        return ("constscore", ("metaexists", "doc_id"), boost)
+
+    if kind == "match_none":
+        return None
 
     if kind == "wrapper":
         if not isinstance(body, dict) or "query" not in body:

@@ -4068,6 +4068,7 @@ class QueryEngine:
 
     def search_simple_query_string(
         self, query: str, k: int = 10, default_operator: str = "or",
+        minimum_should_match: int | None = None,
     ) -> list[tuple[int, float]]:
         """ES ``simple_query_string``: the forgiving mini query language
         (terms, ``+``/``|`` infix operators, ``-`` negation, parens,
@@ -4078,17 +4079,19 @@ class QueryEngine:
         BooleanQuery scoring: a doc's score is the SUM of its matching
         scoring clauses — then merges with the standard serving tie
         contract."""
-        from .sqs import parse_simple_query_string
+        from .sqs import apply_minimum_should_match, parse_simple_query_string
 
         tree = parse_simple_query_string(
             query, self._sqs_analyze(), default_operator
         )
+        tree = apply_minimum_should_match(tree, minimum_should_match)
         if tree is None:
             return []
         return self._eval_sqs_tree(tree, k)
 
     def search_query_string(
         self, query: str, k: int = 10, default_operator: str = "or",
+        minimum_should_match: int | None = None,
     ) -> list[tuple[int, float]]:
         """ES ``query_string``: the classic Lucene query syntax — the
         ``q=`` string the reference forwards verbatim to ES
@@ -4098,13 +4101,17 @@ class QueryEngine:
         ``clause^boost``, phrases (``"…"~N``), wildcards (``te*t``),
         fuzzy (``word~N``) — grammar, scoring and disclosed divergences
         in :mod:`.qs`.  Evaluates on the shard actors over the same
-        sparse clause algebra as ``simple_query_string``."""
+        sparse clause algebra as ``simple_query_string``.  The
+        request-level ``minimum_should_match`` (≥ m of the root's
+        optional clauses) applies via the shared msm count node."""
         from .qs import parse_query_string
+        from .sqs import apply_minimum_should_match
 
         tree = parse_query_string(
             query, self._sqs_analyze(), default_operator,
             default_field=self.info.manifest.text_col,
         )
+        tree = apply_minimum_should_match(tree, minimum_should_match)
         if tree is None:
             return []
         return self._eval_sqs_tree(tree, k)

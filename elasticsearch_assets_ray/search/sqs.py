@@ -232,6 +232,35 @@ def rewrite_fuzzy(tree, expand_fn):
     return tree
 
 
+def apply_minimum_should_match(tree, m: int | None):
+    """ES's request-level ``minimum_should_match`` over a parsed tree:
+    the root BooleanQuery's OPTIONAL clauses are the top-level OR spine
+    — flatten it into an ``("msm", m, children)`` count node.  Lucene
+    semantics: required (``filter``) and prohibited (``andnot``)
+    wrappers pass through untouched; ``m ≤ 1`` is the plain OR already
+    in place (no-op); a root with a single optional clause under
+    ``m > 1`` matches nothing (single-child msm), exactly as Lucene
+    BooleanQuery does when m exceeds the should count."""
+    if tree is None or not m or m <= 1:
+        return tree
+    kind = tree[0]
+    if kind in ("filter", "andnot", "boost"):
+        return (kind, apply_minimum_should_match(tree[1], m)) + tree[2:]
+    if kind == "or":
+        children: list = []
+
+        def flat(n):
+            if n[0] == "or":
+                flat(n[1])
+                flat(n[2])
+            else:
+                children.append(n)
+
+        flat(tree)
+        return ("msm", int(m), tuple(children))
+    return ("msm", int(m), (tree,))
+
+
 def tree_leaves(tree) -> list[tuple]:
     out = []
 

@@ -1610,6 +1610,7 @@ class TermPartitionedEngine:
 
     def search_simple_query_string(
         self, query: str, k: int = 10, default_operator: str = "or",
+        minimum_should_match: int | None = None,
     ) -> list[tuple[int, float]]:
         """ES ``simple_query_string`` served from the term-partitioned
         layout — same grammar, scoring and results as
@@ -1618,11 +1619,12 @@ class TermPartitionedEngine:
         machinery, prefix doc sets); the sparse clause algebra runs on
         the coordinator — the layout's standing trade for bool-shaped
         queries."""
-        from .sqs import parse_simple_query_string
+        from .sqs import apply_minimum_should_match, parse_simple_query_string
 
         tree = parse_simple_query_string(
             query, self._sqs_analyze(), default_operator
         )
+        tree = apply_minimum_should_match(tree, minimum_should_match)
         if tree is None:
             return []
         return self._eval_sqs_tree(tree, k)
@@ -1635,6 +1637,7 @@ class TermPartitionedEngine:
 
     def search_query_string(
         self, query: str, k: int = 10, default_operator: str = "or",
+        minimum_should_match: int | None = None,
     ) -> list[tuple[int, float]]:
         """ES ``query_string`` (the classic Lucene ``q=`` syntax) served
         from the term-partitioned layout — same grammar, scoring and
@@ -1643,6 +1646,7 @@ class TermPartitionedEngine:
         leaves (``field:value``, ranges) scan the source docmeta
         lineage column-pruned (``datehist.meta_match_ids``)."""
         from .qs import parse_query_string
+        from .sqs import apply_minimum_should_match
 
         src = self.meta.get("source_index")
         text_col = "content"
@@ -1654,6 +1658,7 @@ class TermPartitionedEngine:
             query, self._sqs_analyze(), default_operator,
             default_field=text_col,
         )
+        tree = apply_minimum_should_match(tree, minimum_should_match)
         if tree is None:
             return []
         return self._eval_sqs_tree(tree, k)

@@ -127,8 +127,13 @@ def test_wrapper_roundtrip_and_nesting():
 
 
 def test_errors_and_lenient_cases():
+    assert T({"match_all": {}}) == (
+        "constscore", ("metaexists", "doc_id"), 1.0)
+    assert T({"match_all": {"boost": 0.5}}) == (
+        "constscore", ("metaexists", "doc_id"), 0.5)
+    assert T({"match_none": {}}) is None
     with pytest.raises(DslError):
-        T({"match_all": {}})
+        T({"regexp": {"content": "a.*b"}})
     with pytest.raises(DslError):
         T({"match": {"a": "x", "b": "y"}})
     with pytest.raises(DslError):
@@ -307,3 +312,53 @@ def test_msm_engine_semantics(dsl_index, ray_session):
             "minimum_should_match": 4}}, k=10) == []
     finally:
         eng.shutdown()
+
+
+def test_match_all_and_msm_param_on_engines(dsl_index, ray_session,
+                                            tmp_path):
+    from elasticsearch_assets_ray.index.global_merge import (
+        merge_global_postings,
+    )
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+    from elasticsearch_assets_ray.search.term_engine import (
+        TermPartitionedEngine,
+    )
+
+    out = tmp_path / "global_ma"
+    merge_global_postings(dsl_index.index_dir, out, n_salts=2,
+                          n_buckets=4, store_norms=True)
+    eng = QueryEngine(dsl_index.index_dir, num_actors=2)
+    teng = TermPartitionedEngine(out, num_actors=2)
+    try:
+        n = dsl_index.manifest.total_docs
+        got = search_dsl(eng, {"match_all": {}}, k=10 * n)
+        got_t = search_dsl(teng, {"match_all": {}}, k=10 * n)
+        assert len(got) == n and len(got_t) == n
+        assert all(s == 1.0 for _, s in got)
+        # match_all inside a filter-context bool
+        f = search_dsl(eng, {"bool": {
+            "must": [{"match_all": {}}],
+            "filter": [{"term": {"lang": "python"}}]}}, k=10 * n)
+        assert 0 < len(f) < n and all(s == 1.0 for _, s in f)
+        # request-level minimum_should_match ≡ the explicit DSL msm
+        want = search_dsl(eng, {"bool": {
+            "should": [{"match": {"content": t}}
+                       for t in ("merge", "data", "import")],
+            "minimum_should_match": 2}}, k=1000)
+        got_q = eng.search_query_string("merge data import", k=1000,
+                                        minimum_should_match=2)
+        got_s = eng.search_simple_query_string("merge data import",
+                                               k=1000,
+                                               minimum_should_match=2)
+        got_qt = teng.search_query_string("merge data import", k=1000,
+                                          minimum_should_match=2)
+        assert got_q == want and got_s == want
+        assert [d for d, _ in got_qt] == [d for d, _ in want]
+        for (_, s1), (_, s2) in zip(got_qt, want):
+            assert abs(s1 - s2) < 1e-9
+        # m above the clause count matches nothing
+        assert eng.search_query_string("merge data", k=10,
+                                       minimum_should_match=3) == []
+    finally:
+        eng.shutdown()
+        teng.shutdown()
