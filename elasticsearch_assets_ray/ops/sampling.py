@@ -43,6 +43,34 @@ def hash_sample(ds, rate: float, id_col: str = "doc_id"):
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def shuffle_order(ds, id_col: str = "doc_id", seed: int = 0):
+    """Deterministic GLOBAL training-order shuffle (the GPT-style epoch
+    ordering): every row gets the seeded Knuth-hash key of its id in a
+    ``shuffle_key`` column and the dataset sorts on ``(shuffle_key,
+    id)`` — a pseudo-random permutation that is a PURE FUNCTION of the
+    id set, so reruns, resumes and audits see the identical order, and
+    different ``seed`` values give independent epoch orders.
+
+    The sort is the one unavoidable all-to-all a global shuffle is; at
+    100 TB consume the result with a key-range-partitioned
+    ``write_parquet`` so a crashed epoch prep resumes per range (the
+    key column makes every range self-describing).  Ray's own
+    ``random_shuffle`` moves the same bytes but is NOT reproducible
+    across runs/partitionings — the property this op exists for."""
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy()
+        h = (
+            (ids.astype(np.uint64) + np.uint64(seed)) * _KNUTH
+        ) % _MOD
+        return b.append_column("shuffle_key",
+                               pa.array(h.astype(np.int64), pa.int64()))
+
+    return ds.map_batches(
+        key, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["shuffle_key", id_col])
+
+
 def stratified_sample(ds, group_col: str, n_per_group: int,
                       id_col: str = "doc_id"):
     """Deterministic per-stratum head: for each ``group_col`` value,

@@ -1723,6 +1723,35 @@ WHERE (doc_id::HUGEINT * 2654435761) % 4294967296 < {thresh}
 """
 
 
+SHUFFLE_SEED = 7
+
+
+def q_shuffle_order(sf_dir: str) -> pa.Table:
+    """Deterministic GLOBAL training-order shuffle (ops/sampling.py
+    ``shuffle_order``): seeded Knuth-hash key per doc + one sort —
+    the reproducible epoch ordering ``ds.random_shuffle`` can't give.
+    The rank column materializes the verified ORDER (the driver's
+    compare is order-insensitive, so the position must be data)."""
+    from ..ops.sampling import shuffle_order
+
+    t = to_arrow(
+        shuffle_order(_docs(sf_dir).select_columns(["doc_id"]),
+                      seed=SHUFFLE_SEED)
+    )
+    return t.append_column(
+        "rank", pa.array(np.arange(1, t.num_rows + 1), pa.int64()))
+
+
+def sql_shuffle_order() -> str:
+    key = (f"CAST(((doc_id::HUGEINT + {SHUFFLE_SEED}) * 2654435761) "
+           f"% 4294967296 AS BIGINT)")
+    return f"""
+SELECT doc_id, {key} AS shuffle_key,
+       row_number() OVER (ORDER BY {key}, doc_id) AS rank
+FROM documents
+"""
+
+
 def q_sample_stratified(sf_dir: str) -> pa.Table:
     """Deterministic stratified sampling: per language, the
     ``STRATA_N`` docs with the smallest (id-hash, id) key — a stable
@@ -14555,6 +14584,7 @@ def queries():
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "sample_hash": q_sample_hash,
+        "shuffle_order": q_shuffle_order,
         "sample_stratified": q_sample_stratified,
         "terms_set": q_terms_set,
         "terms_set_global": q_terms_set_global,
@@ -14859,6 +14889,7 @@ def oracle_sql():
         "jaccard_pairs": sql_jaccard_pairs(),
         "dedup_clusters": sql_dedup_clusters(),
         "sample_hash": sql_sample_hash(),
+        "shuffle_order": sql_shuffle_order(),
         "sample_stratified": sql_sample_stratified(),
         "terms_set": sql_terms_set(),
         "terms_set_global": sql_terms_set(),

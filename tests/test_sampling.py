@@ -135,3 +135,29 @@ def test_token_budget_plan_math(ray_session):
     assert by["small"]["target_tokens"] == 30
     assert by["small"]["epochs_e6"] == 15_000_000
     assert by["small"]["sample_rate_e6"] == 1_000_000
+
+
+def test_shuffle_order_is_deterministic_permutation(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from elasticsearch_assets_ray.ops.sampling import shuffle_order
+
+    ids = np.arange(300, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+
+    def order(seed):
+        out = shuffle_order(
+            rd.from_arrow(pa.table({"doc_id": pa.array(ids)})), seed=seed)
+        t = pa.concat_tables([ray.get(r) for r in out.to_arrow_refs()])
+        return t.column("doc_id").to_numpy()
+
+    a, b = order(0), order(0)
+    assert np.array_equal(a, b)                    # reproducible
+    assert np.array_equal(np.sort(a), ids)         # a permutation
+    assert not np.array_equal(a, ids)              # actually shuffled
+    c = order(1)
+    assert np.array_equal(np.sort(c), ids)
+    assert not np.array_equal(c, a)                # seeds independent
