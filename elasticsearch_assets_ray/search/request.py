@@ -1,0 +1,281 @@
+"""ES search REQUEST bodies end to end: ``{"query": …, "from"/"size",
+"aggs": …}`` against either serving engine.
+
+This is the shape the reference ships over the wire — a full request
+object, not a bare query (``/root/reference/asset/elasticsearch_reader/
+index.js:106-127`` builds exactly such bodies) — so it is the last
+JSON-facing seam between a reference user and this repo: hand
+``execute_request`` the body and either engine serves it.
+
+Two dispatch paths, both onto machinery that already exists:
+
+- **Hits** run the FULL JSON query DSL (:mod:`.dsl` → the shared
+  eval_tree sparse algebra): any query ``dsl_to_tree`` accepts works,
+  ``from``/``size`` page the ranked list (cursor-free ES paging —
+  ``search_after`` stays the deep-paging path), and the response is
+  ES-shaped (``hits.total.value``, ``_id``/``_score`` rows,
+  ``max_score``).
+- **Aggregations** dispatch onto the engines' exact aggregation
+  methods (``aggregate`` / ``date_histogram`` / ``metric_aggs``).
+  Those methods take the bool-CLAUSE grammar, not a clause tree, so
+  the request's query down-converts via :func:`dsl_to_clause_query` —
+  a CONSERVATIVE translator covering the query shapes aggregations are
+  actually run with (match, term/terms/range/exists on doc-values
+  fields, and bools composed of those); anything beyond it raises
+  ``DslError`` rather than silently approximating.  Scores never
+  matter under an aggregation (only the match SET does), which is what
+  makes the down-conversion exact where it applies.
+
+Supported agg kinds (each may carry a ``stats`` sub-agg where the
+underlying method does): ``terms`` (field/size/order/include/exclude/
+min_doc_count), ``date_histogram`` (calendar_interval/fixed_interval/
+min_doc_count/extended_bounds/time_zone/offset),
+``value_count``/``missing``/``weighted_avg`` (``metric_aggs``).
+Unknown agg kinds raise ``DslError`` (the engines' other aggregations
+— significant_terms, composite, percentiles, stats, … — have
+dedicated methods; wire them here as needed).
+"""
+
+from __future__ import annotations
+
+from .dsl import DslError, search_dsl
+
+
+def dsl_to_clause_query(query: dict | None, default_field: str) -> dict:
+    """A JSON DSL query → the engines' bool-CLAUSE dict ({must, should,
+    must_not, filter, minimum_should_match, filter_meta, filter_range})
+    — the grammar ``aggregate``/``date_histogram``/``metric_aggs``
+    evaluate.  CONSERVATIVE: only query shapes whose match set the
+    clause grammar expresses exactly are accepted; anything else raises
+    ``DslError``.  ``None`` (ES's implicit match_all) raises — pick an
+    explicit query for aggregations in this engine."""
+    if query is None:
+        raise DslError(
+            "aggregations need an explicit query (match_all is not "
+            "expressible in the clause grammar)"
+        )
+    if not isinstance(query, dict) or len(query) != 1:
+        raise DslError(f"a query object has exactly one key: {query!r}")
+    ((kind, body),) = query.items()
+
+    out: dict = {"must": [], "should": [], "must_not": [],
+                 "filter_meta": {}, "filter_range": {}}
+
+    def text_tokens(kind2, body2, *, context):
+        if not isinstance(body2, dict) or len(body2) != 1:
+            raise DslError(f"{kind2} takes exactly one field")
+        ((field, spec),) = body2.items()
+        if isinstance(spec, dict):
+            q = spec.get("query", spec.get("value"))
+            op = str(spec.get("operator", "or")).lower()
+        else:
+            q, op = spec, "or"
+        if field != default_field:
+            return None  # not text — caller falls back to meta handling
+        if context in ("must", "filter") and op != "and" and \
+                len(str(q).split()) > 1:
+            raise DslError(
+                f"multi-token OR match in {context} context has no "
+                "clause-grammar equivalent — use operator 'and'"
+            )
+        return str(q)
+
+    def add_meta(kind2, body2, negate=False):
+        ((field, spec),) = body2.items()
+        if negate:
+            raise DslError("negated doc-values clauses are not "
+                           "expressible in the clause grammar")
+        if kind2 == "term":
+            v = spec["value"] if isinstance(spec, dict) else spec
+            _merge_meta(out["filter_meta"], field, [v])
+        elif kind2 == "terms":
+            _merge_meta(out["filter_meta"], field, list(spec))
+        elif kind2 == "range":
+            if "gt" in spec or "lt" in spec:
+                raise DslError("clause-grammar ranges are inclusive "
+                               "(gte/lte only)")
+            if field in out["filter_range"]:
+                raise DslError(f"duplicate range on {field!r}")
+            out["filter_range"][field] = (spec.get("gte"),
+                                          spec.get("lte"))
+        else:
+            raise DslError(f"unsupported agg-context clause {kind2!r}")
+
+    def add_clause(q2: dict, context: str):
+        ((k2, b2),) = q2.items()
+        if k2 in ("match", "match_phrase", "term"):
+            if k2 == "match_phrase":
+                raise DslError("phrases are not expressible in the "
+                               "clause grammar")
+            toks = text_tokens(k2, b2, context=context)
+            if toks is not None:
+                out[context].append(toks)
+                return
+            if k2 == "match":  # keyword-field match = term equality
+                ((field, spec),) = b2.items()
+                v = spec["query"] if isinstance(spec, dict) else spec
+                add_meta("term", {field: v},
+                         negate=(context == "must_not"))
+                return
+        if k2 in ("term", "terms", "range"):
+            if context == "should":
+                raise DslError("doc-values clauses under should are "
+                               "not expressible in the clause grammar")
+            add_meta(k2, b2, negate=(context == "must_not"))
+            return
+        raise DslError(
+            f"query kind {k2!r} is not supported under aggregations"
+        )
+
+    if kind == "match":
+        ((_f, spec),) = body.items()
+        op = (str(spec.get("operator", "or")).lower()
+              if isinstance(spec, dict) else "or")
+        add_clause({kind: body}, "must" if op == "and" else "should")
+    elif kind in ("term", "terms", "range"):
+        add_meta(kind, body)
+    elif kind == "bool":
+        msm = body.get("minimum_should_match")
+        if msm not in (None, 0, 1):
+            raise DslError("clause-grammar minimum_should_match is "
+                           "clause-count-free — only 0/1 map exactly")
+        for key in ("must", "filter", "should", "must_not"):
+            v = body.get(key) or []
+            for q2 in ([v] if isinstance(v, dict) else v):
+                add_clause(q2, "filter" if key == "filter" else key)
+        if msm is not None:
+            out["minimum_should_match"] = msm
+    else:
+        raise DslError(
+            f"query kind {kind!r} is not supported under aggregations"
+        )
+
+    clause = {}
+    for key in ("must", "should", "must_not"):
+        if out[key]:
+            clause[key] = " ".join(out[key])
+    if out["filter_meta"]:
+        clause["filter_meta"] = out["filter_meta"]
+    if out["filter_range"]:
+        clause["filter_range"] = out["filter_range"]
+    if "minimum_should_match" in out:
+        clause["minimum_should_match"] = out["minimum_should_match"]
+    if not clause:
+        raise DslError("query translated to an empty clause set")
+    return clause
+
+
+def _merge_meta(meta: dict, field: str, values: list):
+    cur = meta.get(field)
+    if cur is None:
+        meta[field] = values if len(values) > 1 else values[0]
+        return
+    raise DslError(f"duplicate doc-values filter on {field!r} — the "
+                   "clause grammar holds one predicate per field")
+
+
+def execute_request(engine, body: dict, default_field: str | None = None
+                    ) -> dict:
+    """Run one ES search request body → ES-shaped response dict."""
+    from .dsl import _default_field
+
+    if default_field is None:
+        default_field = _default_field(engine)
+    size = int(body.get("size", 10))
+    frm = int(body.get("from", 0))
+    if size < 0 or frm < 0:
+        raise DslError("from/size must be non-negative")
+    query = body.get("query")
+
+    resp: dict = {}
+    if query is not None:
+        # one full-rank pass: the exact total (track_total_hits=true
+        # semantics) and the page both come from it.  Deep paging stays
+        # search_after's job, as in ES.
+        ranked = search_dsl(engine, query, k=1 << 30)
+        page = ranked[frm:frm + size]
+        resp["hits"] = {
+            "total": {"value": len(ranked), "relation": "eq"},
+            "max_score": (ranked[0][1] if ranked else None),
+            "hits": [{"_id": int(d), "_score": float(s)}
+                     for d, s in page],
+        }
+    else:
+        resp["hits"] = {"total": {"value": 0, "relation": "eq"},
+                        "max_score": None, "hits": []}
+
+    aggs = body.get("aggs") or body.get("aggregations")
+    if aggs:
+        clause = dsl_to_clause_query(query, default_field)
+        resp["aggregations"] = {
+            name: _run_agg(engine, clause, spec)
+            for name, spec in aggs.items()
+        }
+    return resp
+
+
+def _sub_stats_field(spec: dict) -> str | None:
+    sub = spec.get("aggs") or spec.get("aggregations") or {}
+    for s in sub.values():
+        if isinstance(s, dict) and "stats" in s:
+            return s["stats"]["field"]
+    if sub:
+        raise DslError("only a stats sub-aggregation is wired here")
+    return None
+
+
+def _run_agg(engine, clause: dict, agg: dict) -> dict:
+    kinds = [k for k in agg if k not in ("aggs", "aggregations")]
+    if len(kinds) != 1:
+        raise DslError(f"one agg kind per entry, got {kinds!r}")
+    kind = kinds[0]
+    spec = dict(agg[kind])
+    spec["aggs"] = agg.get("aggs") or agg.get("aggregations")
+
+    if kind == "terms":
+        order = spec.get("order")
+        if isinstance(order, dict):
+            ((om, od),) = order.items()
+            order = (om, od)
+        buckets = engine.aggregate(
+            clause, spec["field"],
+            stats_on=_sub_stats_field(spec),
+            order=order,
+            size=spec.get("size"),
+            include=spec.get("include"),
+            exclude=spec.get("exclude"),
+            min_doc_count=int(spec.get("min_doc_count", 1)),
+        )
+        return {"buckets": buckets}
+
+    if kind == "date_histogram":
+        interval = spec.get("calendar_interval") or \
+            spec.get("fixed_interval") or spec.get("interval", "month")
+        eb = spec.get("extended_bounds")
+        if isinstance(eb, dict):
+            eb = (eb.get("min"), eb.get("max"))
+        buckets = engine.date_histogram(
+            clause, spec["field"], interval=interval,
+            stats_on=_sub_stats_field(spec),
+            min_doc_count=int(spec.get("min_doc_count", 1)),
+            extended_bounds=eb,
+            time_zone=spec.get("time_zone"),
+            offset=spec.get("offset"),
+        )
+        return {"buckets": buckets}
+
+    if kind in ("value_count", "missing", "weighted_avg"):
+        field = (spec["field"] if "field" in spec
+                 else spec["value"]["field"])
+        weight = (spec.get("weight", {}) or {}).get("field")
+        m = engine.metric_aggs(clause, field, weight_field=weight)
+        if kind == "value_count":
+            return {"value": m["value_count"]}
+        if kind == "missing":
+            return {"doc_count": m["missing"]}
+        return {"value": m.get("weighted_avg")}
+
+    raise DslError(
+        f"aggregation kind {kind!r} is not wired through "
+        "execute_request — call the engine's dedicated method"
+    )

@@ -1,0 +1,150 @@
+"""ES search-request execution (search/request.py): hits paging +
+aggs dispatch vs direct engine calls, on both serving engines."""
+from __future__ import annotations
+
+import pytest
+
+from elasticsearch_assets_ray.search.dsl import DslError
+from elasticsearch_assets_ray.search.request import (
+    dsl_to_clause_query,
+    execute_request,
+)
+
+
+def test_clause_query_translation():
+    f = "content"
+    assert dsl_to_clause_query({"match": {f: "a b"}}, f) == {
+        "should": "a b"}
+    assert dsl_to_clause_query(
+        {"match": {f: {"query": "a b", "operator": "and"}}}, f) == {
+        "must": "a b"}
+    assert dsl_to_clause_query({"term": {"lang": "go"}}, f) == {
+        "filter_meta": {"lang": "go"}}
+    assert dsl_to_clause_query({"terms": {"lang": ["go", "py"]}}, f) == {
+        "filter_meta": {"lang": ["go", "py"]}}
+    assert dsl_to_clause_query(
+        {"range": {"n_chars": {"gte": 10, "lte": 20}}}, f) == {
+        "filter_range": {"n_chars": (10, 20)}}
+    got = dsl_to_clause_query({"bool": {
+        "must": [{"match": {f: {"query": "x", "operator": "and"}}}],
+        "filter": [{"term": {"lang": "go"}},
+                   {"range": {"n_chars": {"gte": 1}}}],
+        "should": [{"match": {f: "y z"}}],
+        "must_not": [{"match": {f: "w"}}],
+    }}, f)
+    assert got == {"must": "x", "should": "y z", "must_not": "w",
+                   "filter_meta": {"lang": "go"},
+                   "filter_range": {"n_chars": (1, None)}}
+    # keyword-field match lowers to term equality
+    assert dsl_to_clause_query({"match": {"lang": "go"}}, f) == {
+        "filter_meta": {"lang": "go"}}
+    for bad in [
+        None,                                        # implicit match_all
+        {"match_phrase": {f: "a b"}},                # phrases
+        {"bool": {"must": [{"match": {f: "a b"}}]}},  # OR inside must
+        {"bool": {"should": [{"term": {"lang": "go"}}]}},  # meta should
+        {"bool": {"must_not": [{"term": {"lang": "go"}}]}},
+        {"range": {"n_chars": {"gt": 5}}},           # exclusive bound
+        {"bool": {"should": [{"match": {f: "a"}},
+                             {"match": {f: "b"}}],
+                  "minimum_should_match": 2}},       # m over clauses
+        {"wildcard": {f: "a*"}},
+    ]:
+        with pytest.raises(DslError):
+            dsl_to_clause_query(bad, f)
+
+
+@pytest.fixture(scope="module")
+def req_engines(small_corpus, tmp_path_factory, ray_session):
+    from elasticsearch_assets_ray.config import IndexConfig
+    from elasticsearch_assets_ray.index.build import build_index
+    from elasticsearch_assets_ray.index.global_merge import (
+        merge_global_postings,
+    )
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+    from elasticsearch_assets_ray.search.term_engine import (
+        TermPartitionedEngine,
+    )
+
+    tmp = tmp_path_factory.mktemp("reqidx")
+    idx = tmp / "idx"
+    build_index(
+        small_corpus, idx,
+        IndexConfig(partition_target_docs=50, shard_target_docs=100,
+                    store_positions=True,
+                    meta_cols=("repo", "path", "lang", "n_chars"),
+                    derived_meta=("n_chars=len_of:content",)),
+    )
+    gdir = tmp / "global"
+    merge_global_postings(idx, gdir, n_salts=2, n_buckets=4,
+                          store_norms=True)
+    eng = QueryEngine(idx, num_actors=2)
+    teng = TermPartitionedEngine(gdir, num_actors=2)
+    yield eng, teng
+    eng.shutdown()
+    teng.shutdown()
+
+
+BODY = {
+    "query": {"bool": {
+        "must": [{"match": {"content": {"query": "merge",
+                                        "operator": "and"}}}],
+        "filter": [{"range": {"n_chars": {"gte": 100}}}],
+    }},
+    "from": 2,
+    "size": 3,
+    "aggs": {
+        "langs": {"terms": {"field": "lang", "size": 3},
+                  "aggs": {"len": {"stats": {"field": "n_chars"}}}},
+        "present": {"value_count": {"field": "n_chars"}},
+    },
+}
+
+
+def test_execute_request_both_engines(req_engines):
+    eng, teng = req_engines
+    a = execute_request(eng, BODY)
+    b = execute_request(teng, BODY)
+    # paging: from=2 size=3 slices the ranked list
+    full = execute_request(eng, {**BODY, "from": 0, "size": 100})
+    assert a["hits"]["total"]["value"] == full["hits"]["total"]["value"]
+    assert a["hits"]["hits"] == full["hits"]["hits"][2:5]
+    assert a["hits"]["max_score"] == full["hits"]["max_score"]
+    assert len(a["hits"]["hits"]) <= 3
+    # engines agree on ids and (rounded-path) scores
+    assert [h["_id"] for h in a["hits"]["hits"]] == \
+        [h["_id"] for h in b["hits"]["hits"]]
+    # aggs dispatch equals the direct engine call
+    clause = dsl_to_clause_query(BODY["query"], "content")
+    want = eng.aggregate(clause, "lang", stats_on="n_chars", size=3)
+    assert a["aggregations"]["langs"]["buckets"] == want
+    m = eng.metric_aggs(clause, "n_chars")
+    assert a["aggregations"]["present"]["value"] == m["value_count"]
+    assert a["aggregations"]["langs"]["buckets"] == \
+        b["aggregations"]["langs"]["buckets"]
+    assert a["hits"]["total"]["value"] > 0
+    assert len(a["aggregations"]["langs"]["buckets"]) > 0
+
+
+def test_execute_request_shapes(req_engines):
+    eng, _ = req_engines
+    # no query: empty hits, aggs refuse (need an explicit query)
+    empty = execute_request(eng, {"size": 5})
+    assert empty["hits"]["hits"] == [] and \
+        empty["hits"]["total"]["value"] == 0
+    with pytest.raises(DslError):
+        execute_request(eng, {"aggs": {"x": {"terms": {"field": "lang"}}}})
+    # date_histogram dispatch runs (created_at absent here → n_chars
+    # range query with a terms agg only)
+    out = execute_request(eng, {
+        "query": {"match": {"content": "merge"}},
+        "size": 0,
+        "aggs": {"l": {"terms": {"field": "lang"}}},
+    })
+    assert out["hits"]["hits"] == [] and \
+        out["aggregations"]["l"]["buckets"]
+    with pytest.raises(DslError):
+        execute_request(eng, {
+            "query": {"match": {"content": "merge"}},
+            "aggs": {"x": {"percentiles": {"field": "n_chars"}}},
+        })
