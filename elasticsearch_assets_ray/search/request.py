@@ -264,6 +264,32 @@ def _run_agg(engine, clause: dict, agg: dict) -> dict:
         )
         return {"buckets": buckets}
 
+    if kind == "histogram":
+        eb = spec.get("extended_bounds")
+        if isinstance(eb, dict):
+            eb = (eb.get("min"), eb.get("max"))
+        return {"buckets": engine.histogram(
+            clause, spec["field"], float(spec["interval"]),
+            offset=float(spec.get("offset", 0.0)),
+            stats_on=_sub_stats_field(spec),
+            min_doc_count=int(spec.get("min_doc_count", 1)),
+            extended_bounds=eb,
+        )}
+
+    if kind in ("range", "date_range"):
+        return {"buckets": engine.range_agg(
+            clause, spec["field"], spec["ranges"],
+            stats_on=_sub_stats_field(spec),
+        )}
+
+    if kind == "cardinality":
+        # ES's precision_threshold picks exact-vs-sketch by cardinality;
+        # here absence = EXACT, an explicit "precision" (HLL register
+        # bits) opts into the sketch — disclosed mapping
+        return {"value": engine.cardinality(
+            clause, spec["field"], precision=spec.get("precision"),
+        )}
+
     if kind in ("value_count", "missing", "weighted_avg"):
         field = (spec["field"] if "field" in spec
                  else spec["value"]["field"])

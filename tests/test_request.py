@@ -148,3 +148,32 @@ def test_execute_request_shapes(req_engines):
             "query": {"match": {"content": "merge"}},
             "aggs": {"x": {"percentiles": {"field": "n_chars"}}},
         })
+
+
+def test_more_agg_kinds_dispatch(req_engines):
+    eng, teng = req_engines
+    body = {
+        "query": {"match": {"content": "merge"}},
+        "size": 0,
+        "aggs": {
+            "lens": {"histogram": {"field": "n_chars", "interval": 200}},
+            "bands": {"range": {"field": "n_chars",
+                                "ranges": [{"to": 400},
+                                           {"from": 400, "to": 800},
+                                           {"from": 800}]}},
+            "nlang": {"cardinality": {"field": "lang"}},
+        },
+    }
+    a = execute_request(eng, body)
+    b = execute_request(teng, body)
+    clause = dsl_to_clause_query(body["query"], "content")
+    assert a["aggregations"]["lens"]["buckets"] == \
+        eng.histogram(clause, "n_chars", 200.0)
+    assert a["aggregations"]["bands"]["buckets"] == \
+        eng.range_agg(clause, "n_chars",
+                      [{"to": 400}, {"from": 400, "to": 800},
+                       {"from": 800}])
+    assert a["aggregations"]["nlang"]["value"] == \
+        eng.cardinality(clause, "lang")
+    assert a["aggregations"] == b["aggregations"]
+    assert a["aggregations"]["nlang"]["value"] > 0
