@@ -71,6 +71,81 @@ def shuffle_order(ds, id_col: str = "doc_id", seed: int = 0):
     ).sort(["shuffle_key", id_col])
 
 
+def shuffle_order_write(ds, out_dir: str, n_ranges: int = 64,
+                        id_col: str = "doc_id", seed: int = 0) -> str:
+    """:func:`shuffle_order` materialized the 100-TB way: equal-width
+    key RANGES of the u32 shuffle key (``n_ranges`` a power of two)
+    instead of one global sort — each range sorts independently inside
+    ``groupby(range).map_groups`` and writes its own
+    ``range=<r>/part.parquet`` atomically (tmp + rename, a ``_done``
+    marker commits it), so reading ``range`` dirs in ascending order IS
+    the epoch order and a crashed run redoes only uncommitted ranges
+    (the exchange replays, the writes are idempotent — committed ranges
+    are never rewritten).  Never one giant file; never a global sort."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if n_ranges < 1 or (n_ranges & (n_ranges - 1)):
+        raise ValueError("n_ranges must be a power of two")
+    shift = np.uint64(32 - (n_ranges.bit_length() - 1))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy()
+        h = ((ids.astype(np.uint64) + np.uint64(seed)) * _KNUTH) % _MOD
+        b = b.append_column("shuffle_key",
+                            pa.array(h.astype(np.int64), pa.int64()))
+        return b.append_column(
+            "shuffle_range",
+            pa.array((h >> shift).astype(np.int32), pa.int32()))
+
+    def write_range(g: pa.Table) -> pa.Table:
+        r = int(g.column("shuffle_range")[0].as_py())
+        dest = os.path.join(out_dir, f"range={r:05d}")
+        done = os.path.join(dest, "_done")
+        if not os.path.exists(done):
+            order = np.lexsort((
+                g.column(id_col).to_numpy(),
+                g.column("shuffle_key").to_numpy(),
+            ))
+            g2 = g.drop_columns(["shuffle_range"]).take(
+                pa.array(order, pa.int64()))
+            os.makedirs(dest, exist_ok=True)
+            tmp = os.path.join(dest, "_tmp.part.parquet")
+            pq.write_table(g2, tmp)
+            os.replace(tmp, os.path.join(dest, "part.parquet"))
+            with open(done, "w") as f:
+                f.write(str(g2.num_rows))
+        return pa.table({
+            "range": pa.array([r], pa.int32()),
+            "rows": pa.array([g.num_rows], pa.int64()),
+        })
+
+    summary = (
+        ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shuffle_range")
+        .map_groups(write_range, batch_format="pyarrow",
+                    zero_copy_batch=True)
+    )
+    summary.materialize()
+    return out_dir
+
+
+def shuffled_files(out_dir: str) -> list[str]:
+    """The epoch-order file list of a :func:`shuffle_order_write`
+    output (ascending range, the explicit-file-list form
+    ``read_parquet`` wants)."""
+    import glob
+    import os
+
+    return [
+        os.path.join(d, "part.parquet")
+        for d in sorted(glob.glob(os.path.join(out_dir, "range=*")))
+        if os.path.exists(os.path.join(d, "_done"))
+    ]
+
+
 def stratified_sample(ds, group_col: str, n_per_group: int,
                       id_col: str = "doc_id"):
     """Deterministic per-stratum head: for each ``group_col`` value,

@@ -161,3 +161,54 @@ def test_shuffle_order_is_deterministic_permutation(ray_session):
     c = order(1)
     assert np.array_equal(np.sort(c), ids)
     assert not np.array_equal(c, a)                # seeds independent
+
+
+def test_shuffle_order_write_resumable(ray_session, tmp_path):
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from elasticsearch_assets_ray.ops.sampling import (
+        shuffle_order,
+        shuffle_order_write,
+        shuffled_files,
+    )
+
+    ids = np.arange(1000, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "v": pa.array(ids * 3)})
+    out = str(tmp_path / "shuf")
+    shuffle_order_write(rd.from_arrow(t), out, n_ranges=8, seed=3)
+    files = shuffled_files(out)
+    assert len(files) >= 4  # some ranges may be empty at n=1000
+    got = pa.concat_tables([pq.read_table(f) for f in files])
+    # reading ranges in order IS the epoch order: ≡ the global sort
+    import ray as _ray
+
+    want = pa.concat_tables([
+        _ray.get(r) for r in shuffle_order(
+            rd.from_arrow(t), seed=3).to_arrow_refs()
+    ])
+    assert got.column("doc_id").to_pylist() == \
+        want.column("doc_id").to_pylist()
+    assert got.column("v").to_pylist() == want.column("v").to_pylist()
+    # resume: nuke one range's commit, rerun — only it is rewritten
+    victim = os.path.dirname(files[2])
+    keeper = os.path.dirname(files[1])
+    os.remove(os.path.join(victim, "_done"))
+    os.remove(os.path.join(victim, "part.parquet"))
+    mtime_before = os.path.getmtime(os.path.join(keeper, "part.parquet"))
+    shuffle_order_write(rd.from_arrow(t), out, n_ranges=8, seed=3)
+    assert os.path.exists(os.path.join(victim, "part.parquet"))
+    assert os.path.getmtime(
+        os.path.join(keeper, "part.parquet")) == mtime_before
+    got2 = pa.concat_tables([pq.read_table(f) for f in shuffled_files(out)])
+    assert got2.column("doc_id").to_pylist() == \
+        got.column("doc_id").to_pylist()
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        shuffle_order_write(rd.from_arrow(t), out, n_ranges=6)
