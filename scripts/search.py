@@ -18,8 +18,12 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", required=True, action="append",
-                    help="repeatable; each runs as one query")
+    ap.add_argument("--query", action="append", default=[],
+                    help="repeatable; each runs as one free-text query")
+    ap.add_argument("--body", action="append", default=[],
+                    help="repeatable; a full ES search request body as "
+                         "JSON ({'query': …, 'from'/'size', 'aggs': …}) "
+                         "— executed via search.request.execute_request")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--actors", type=int, default=4)
     ap.add_argument("--method", default="auto", choices=["auto", "dense", "wand"])
@@ -53,6 +57,8 @@ def main() -> int:
 
         cols = ["doc_id"] + [c for c in args.hydrate.split(",") if c]
         store = DocStore(args.index, columns=cols)
+    if not args.query and not args.body:
+        ap.error("need at least one --query or --body")
     for q in args.query:
         hits = eng.search(q, k=args.k)
         rows = [{"doc_id": d, "score": round(s, 6)} for d, s in hits]
@@ -61,6 +67,10 @@ def main() -> int:
             rows = [{**r, **{k: v for k, v in m.items() if k != "doc_id"}}
                     for r, m in zip(rows, meta)]
         print(json.dumps({"query": q, "hits": rows}))
+    for raw in args.body:
+        from elasticsearch_assets_ray.search.request import execute_request
+
+        print(json.dumps(execute_request(eng, json.loads(raw))))
     eng.shutdown()
     ray.shutdown()
     return 0
