@@ -174,9 +174,16 @@ def _merge_meta(meta: dict, field: str, values: list):
                    "clause grammar holds one predicate per field")
 
 
-def execute_request(engine, body: dict, default_field: str | None = None
-                    ) -> dict:
-    """Run one ES search request body → ES-shaped response dict."""
+def execute_request(engine, body: dict, default_field: str | None = None,
+                    retriever_ctx=None) -> dict:
+    """Run one ES search request body → ES-shaped response dict.
+
+    A body with a ``retriever`` section (the 8.14 syntax — standard /
+    knn / rrf trees) executes through
+    :func:`~.retriever.execute_retriever` and needs ``retriever_ctx``
+    (a :class:`~.retriever.RetrieverContext`); its hit ``_id``\\ s are
+    ORIGINAL doc ids (the retriever contract), and ``query``/``aggs``
+    cannot combine with it in one request (as in ES)."""
     from .dsl import _default_field
 
     if default_field is None:
@@ -185,6 +192,25 @@ def execute_request(engine, body: dict, default_field: str | None = None
     frm = int(body.get("from", 0))
     if size < 0 or frm < 0:
         raise DslError("from/size must be non-negative")
+
+    if "retriever" in body:
+        if body.get("query") is not None or body.get("aggs") or \
+                body.get("aggregations"):
+            raise DslError("retriever does not combine with query/aggs")
+        if retriever_ctx is None:
+            raise DslError("a retriever body needs retriever_ctx")
+        from .retriever import execute_retriever
+
+        ranked = execute_retriever(body["retriever"], retriever_ctx,
+                                   k=frm + size)
+        page = ranked[frm:frm + size]
+        return {"hits": {
+            "total": {"value": len(ranked), "relation": "gte"},
+            "max_score": (ranked[0][1] if ranked else None),
+            "hits": [{"_id": int(d), "_score": float(s)}
+                     for d, s in page],
+        }}
+
     query = body.get("query")
 
     resp: dict = {}

@@ -53,12 +53,22 @@ class RetrieverContext:
         if not hits:
             return []
         if self._store is None:
-            self._store = DocStore(self.index_dir,
-                                   columns=["doc_id", "orig_id"])
+            # corpora indexed without an explicit id column carry no
+            # orig_id docmeta (internal ids ARE the original ids) —
+            # fall back to the identity mapping
+            try:
+                self._store = DocStore(self.index_dir,
+                                       columns=["doc_id", "orig_id"])
+                self._store.mget(
+                    np.array([hits[0][0]], dtype=np.int64))
+            except Exception:
+                self._store = DocStore(self.index_dir,
+                                       columns=["doc_id"])
         ids = np.array([d for d, _ in hits], dtype=np.int64)
         sc = np.array([s for _, s in hits], dtype=np.float64)
-        orig = self._store.mget(ids).column("orig_id").to_numpy() \
-            .astype(np.int64)
+        got = self._store.mget(ids)
+        orig = (got.column("orig_id") if "orig_id" in got.schema.names
+                else got.column("doc_id")).to_numpy().astype(np.int64)
         top = np.lexsort((orig, -np.round(sc, 4)))[:depth]
         return [(int(orig[i]), float(sc[i])) for i in top]
 

@@ -177,3 +177,29 @@ def test_more_agg_kinds_dispatch(req_engines):
         eng.cardinality(clause, "lang")
     assert a["aggregations"] == b["aggregations"]
     assert a["aggregations"]["nlang"]["value"] > 0
+
+
+def test_retriever_body(req_engines, small_corpus):
+    from elasticsearch_assets_ray.search.retriever import RetrieverContext
+
+    eng, _ = req_engines
+    ctx = RetrieverContext(eng, str(eng.info.index_dir))
+    body = {"retriever": {"rrf": {
+        "retrievers": [
+            {"standard": {"query": "merge data"}},
+            {"standard": {"query_string": "import AND merge"}},
+        ],
+        "rank_constant": 60, "rank_window_size": 20,
+    }}, "size": 5}
+    out = execute_request(eng, body, retriever_ctx=ctx)
+    assert len(out["hits"]["hits"]) == 5
+    from elasticsearch_assets_ray.search.retriever import execute_retriever
+
+    want = execute_retriever(body["retriever"], ctx, k=5)
+    assert [h["_id"] for h in out["hits"]["hits"]] == \
+        [d for d, _ in want]
+    with pytest.raises(DslError):
+        execute_request(eng, {**body, "query": {"match_all": {}}},
+                        retriever_ctx=ctx)
+    with pytest.raises(DslError):
+        execute_request(eng, body)  # no ctx
