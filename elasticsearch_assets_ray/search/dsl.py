@@ -54,6 +54,14 @@ Supported query kinds (one top-level key per query object, as in ES):
 - ``match_all`` — an exists gate over the always-present ``doc_id``
   doc value at constant score 1.0 (``boost`` honored); ``match_none``
   → None (matches nothing).
+- ``span_*`` kinds (span_term / span_or / span_near / span_first /
+  span_not incl. the ``dist`` sugar / span_containing / span_within /
+  span_multi over prefix-wildcard-regexp-fuzzy) — normalized from the
+  ES JSON form to the engines' native span trees
+  (:func:`normalize_span`) and routed to ``search_spans`` by
+  :func:`search_dsl` (wrapper-wrapped spans included);
+  ``field_masking_span`` needs per-field mask engines — use
+  ``MultiFieldEngine.search_spans`` directly (disclosed).
 
 Disclosed unsupported kinds (raise ``DslError``): per-field
 ``minimum_should_match`` strings, ``regexp`` (served by the engines'
@@ -368,14 +376,107 @@ def wrap_query(query: dict) -> dict:
     return {"wrapper": {"query": payload}}
 
 
+_SPAN_KINDS = frozenset((
+    "span_term", "span_or", "span_near", "span_first", "span_not",
+    "span_containing", "span_within", "span_multi",
+))
+
+
+def normalize_span(query: dict, default_field: str) -> dict:
+    """ES JSON span-query form → the engines' native span-tree dicts
+    (:mod:`.spans` — same node names, unwrapped values): field
+    qualifiers must equal the default text field (``field_masking_span``
+    needs per-field mask engines — use ``MultiFieldEngine.search_spans``
+    directly, disclosed)."""
+    ((kind, body),) = query.items()
+
+    def unfield(b, value_key="value"):
+        if not isinstance(b, dict) or len(b) != 1:
+            raise DslError(f"span leaf takes one field: {b!r}")
+        ((field, spec),) = b.items()
+        if field != default_field:
+            raise DslError(
+                "span fields must be the indexed text field here "
+                "(field_masking_span needs mask engines)"
+            )
+        if isinstance(spec, dict):
+            return spec
+        return {value_key: spec}
+
+    if kind == "span_term":
+        return {"span_term": str(unfield(body)["value"]).lower()}
+    if kind == "span_or":
+        cls = body["clauses"] if isinstance(body, dict) else body
+        return {"span_or": [normalize_span(c, default_field)
+                            for c in cls]}
+    if kind == "span_near":
+        return {"span_near": {
+            "clauses": [normalize_span(c, default_field)
+                        for c in body["clauses"]],
+            "slop": int(body.get("slop", 0)),
+            "in_order": bool(body.get("in_order", True)),
+        }}
+    if kind == "span_first":
+        return {"span_first": {
+            "match": normalize_span(body["match"], default_field),
+            "end": int(body["end"]),
+        }}
+    if kind == "span_not":
+        out = {"include": normalize_span(body["include"], default_field),
+               "exclude": normalize_span(body["exclude"], default_field)}
+        if body.get("dist") is not None:  # ES sugar: pre = post = dist
+            out["pre"] = out["post"] = int(body["dist"])
+        else:
+            out["pre"] = int(body.get("pre", 0))
+            out["post"] = int(body.get("post", 0))
+        return {"span_not": out}
+    if kind in ("span_containing", "span_within"):
+        return {kind: {
+            "big": normalize_span(body["big"], default_field),
+            "little": normalize_span(body["little"], default_field),
+        }}
+    if kind == "span_multi":
+        inner = body["match"] if "match" in body else body
+        ((mk, mb),) = inner.items()
+        if mk not in ("prefix", "wildcard", "regexp", "fuzzy"):
+            raise DslError(f"span_multi cannot wrap {mk!r}")
+        spec = unfield(mb)
+        out = {mk: str(spec["value"]).lower()}
+        if "max_expansions" in body:
+            out["max_expansions"] = int(body["max_expansions"])
+        if mk == "fuzzy":
+            fz = spec.get("fuzziness", 2)
+            out["fuzziness"] = 2 if str(fz).upper() == "AUTO" else int(fz)
+            if "prefix_length" in spec:
+                out["prefix_length"] = int(spec["prefix_length"])
+        return {"span_multi": out}
+    raise DslError(f"unknown span kind {kind!r}")
+
+
 def search_dsl(engine, query: dict, k: int = 10):
     """Run one JSON DSL query on either serving engine: translate to a
     clause tree with the ENGINE's analyzer/mapping and evaluate through
     its existing ``_eval_sqs_tree`` path (shard-parallel sparse algebra
     on the doc layout, coordinator gather on the term layout) — hits
-    are ``[(doc_id, score), ...]`` under the standard tie contract."""
+    are ``[(doc_id, score), ...]`` under the standard tie contract.
+    Span queries (``span_*`` kinds, incl. wrapped in ``wrapper``) route
+    to the engines' positional span kernel (``search_spans``)."""
+    import base64 as _b64
+    import json as _json
+
+    q = query
+    while isinstance(q, dict) and len(q) == 1 and "wrapper" in q:
+        try:
+            q = _json.loads(_b64.b64decode(q["wrapper"]["query"],
+                                           validate=True))
+        except Exception as e:  # noqa: BLE001
+            raise DslError(f"wrapper payload undecodable: {e}") from e
+    if isinstance(q, dict) and len(q) == 1 and \
+            next(iter(q)) in _SPAN_KINDS:
+        return engine.search_spans(
+            normalize_span(q, _default_field(engine)), k=k)
     tree = dsl_to_tree(
-        query,
+        q,
         engine._sqs_analyze(),
         _default_field(engine),
         meta_fields=None,

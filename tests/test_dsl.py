@@ -362,3 +362,58 @@ def test_match_all_and_msm_param_on_engines(dsl_index, ray_session,
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+def test_span_json_normalization_and_engines(dsl_index, ray_session,
+                                             tmp_path):
+    from elasticsearch_assets_ray.index.global_merge import (
+        merge_global_postings,
+    )
+    from elasticsearch_assets_ray.search.dsl import normalize_span
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+    from elasticsearch_assets_ray.search.term_engine import (
+        TermPartitionedEngine,
+    )
+
+    f = "content"
+    es_q = {"span_near": {
+        "clauses": [
+            {"span_term": {f: "def"}},
+            {"span_or": {"clauses": [{"span_term": {f: {"value": "merge"}}},
+                                     {"span_term": {f: "data"}}]}},
+            {"span_multi": {"match": {"prefix": {f: {"value": "par"}}}}},
+        ],
+        "slop": 4, "in_order": True,
+    }}
+    native = normalize_span(es_q, f)
+    assert native == {"span_near": {
+        "clauses": [
+            {"span_term": "def"},
+            {"span_or": [{"span_term": "merge"}, {"span_term": "data"}]},
+            {"span_multi": {"prefix": "par"}},
+        ], "slop": 4, "in_order": True}}
+    nn = normalize_span({"span_not": {
+        "include": {"span_term": {f: "merge"}},
+        "exclude": {"span_term": {f: "data"}}, "dist": 2}}, f)
+    assert nn["span_not"]["pre"] == 2 and nn["span_not"]["post"] == 2
+    with pytest.raises(DslError):
+        normalize_span({"span_term": {"otherfield": "x"}}, f)
+    with pytest.raises(DslError):
+        normalize_span({"span_multi": {"match": {"term": {f: "x"}}}}, f)
+
+    out = tmp_path / "global_span"
+    merge_global_postings(dsl_index.index_dir, out, n_salts=2,
+                          n_buckets=4, store_norms=True)
+    eng = QueryEngine(dsl_index.index_dir, num_actors=2)
+    teng = TermPartitionedEngine(out, num_actors=2)
+    try:
+        got = search_dsl(eng, es_q, k=1000)
+        want = eng.search_spans(native, k=1000)
+        assert got == want and len(got) > 0
+        got_w = search_dsl(eng, wrap_query(es_q), k=1000)
+        assert got_w == got
+        got_t = search_dsl(teng, es_q, k=1000)
+        assert [d for d, _ in got_t] == [d for d, _ in got]
+    finally:
+        eng.shutdown()
+        teng.shutdown()
