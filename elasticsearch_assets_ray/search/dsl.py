@@ -63,11 +63,22 @@ Supported query kinds (one top-level key per query object, as in ES):
   ``field_masking_span`` needs per-field mask engines — use
   ``MultiFieldEngine.search_spans`` directly (disclosed).
 
+- ``more_like_this`` / ``pinned`` / ``terms_set`` / ``function_score``
+  — routed by :func:`search_dsl` to the engines' dedicated entry
+  points (``_search_dedicated``): MLT takes ``like = {"_id": …}`` with
+  ES percentage ``minimum_should_match``; pinned/function_score take a
+  ``match`` (or plain-string) text query; function specs use the
+  repo's normalized ``{"type": …}`` form (the ES per-function JSON
+  sugar is not translated, disclosed).
+
 Disclosed unsupported kinds (raise ``DslError``): per-field
 ``minimum_should_match`` strings, ``regexp`` (served by the engines'
-dedicated ``regexp_search``), joins/geo/kNN (dedicated APIs).  A
-``bool`` with only ``must_not`` matches nothing (same lenient contract
-as the string parsers).
+dedicated ``regexp_search``), standalone ``rank_feature`` /
+``distance_feature`` (compose them as ``function_score`` functions),
+``nested`` (the events-table operator, ``ops/nested.py``), joins/geo/
+kNN (dedicated APIs; kNN serves through the ``retriever`` request
+section).  A ``bool`` with only ``must_not`` matches nothing (same
+lenient contract as the string parsers).
 """
 
 from __future__ import annotations
@@ -475,6 +486,9 @@ def search_dsl(engine, query: dict, k: int = 10):
             next(iter(q)) in _SPAN_KINDS:
         return engine.search_spans(
             normalize_span(q, _default_field(engine)), k=k)
+    if isinstance(q, dict) and len(q) == 1 and \
+            next(iter(q)) in _DEDICATED_KINDS:
+        return _search_dedicated(engine, q, k)
     tree = dsl_to_tree(
         q,
         engine._sqs_analyze(),
@@ -484,6 +498,84 @@ def search_dsl(engine, query: dict, k: int = 10):
     if tree is None:
         return []
     return engine._eval_sqs_tree(tree, k)
+
+
+_DEDICATED_KINDS = frozenset((
+    "more_like_this", "pinned", "terms_set", "function_score",
+))
+
+
+def _match_text(q: dict, default_field: str) -> str:
+    """Extract the free text of a ``match`` (or bare-string) organic
+    query — the form the dedicated engine entry points take."""
+    if isinstance(q, str):
+        return q
+    if isinstance(q, dict) and len(q) == 1 and "match" in q:
+        ((field, spec),) = q["match"].items()
+        if field != default_field:
+            raise DslError("organic query must match the text field")
+        return str(spec["query"] if isinstance(spec, dict) else spec)
+    raise DslError(
+        "this query kind takes a match (or plain-string) text query"
+    )
+
+
+def _search_dedicated(engine, q: dict, k: int):
+    """JSON kinds served by dedicated engine entry points rather than
+    the clause-tree walker: ``more_like_this`` (like = one indexed doc
+    by ``_id``; ES percentage ``minimum_should_match`` honored),
+    ``pinned`` (ids-first + organic match), ``terms_set`` (per-doc
+    ``minimum_should_match_field``), ``function_score`` with a
+    FUNCTIONS LIST (function specs in the repo's normalized form —
+    ``funcscore.py``'s ``{"type": …}`` dicts; the ES per-function JSON
+    sugar is not translated, disclosed)."""
+    ((kind, body),) = q.items()
+    field = _default_field(engine)
+    if kind == "more_like_this":
+        like = body.get("like")
+        if isinstance(like, list):
+            if len(like) != 1:
+                raise DslError("more_like_this takes exactly one like")
+            like = like[0]
+        if not isinstance(like, dict) or "_id" not in like:
+            raise DslError("more_like_this like must be {'_id': doc_id}")
+        msm = body.get("minimum_should_match", 0.3)
+        if isinstance(msm, str) and msm.endswith("%"):
+            msm = float(msm[:-1]) / 100.0
+        kw = {}
+        for name in ("max_query_terms", "min_term_freq", "min_doc_freq"):
+            if name in body:
+                kw[name] = int(body[name])
+        return engine.more_like_this(int(like["_id"]), k=k,
+                                     minimum_should_match=float(msm),
+                                     **kw)
+    if kind == "pinned":
+        from .engine import pinned_search
+
+        organic = _match_text(body.get("organic"), field)
+        return pinned_search(engine, [int(d) for d in body["ids"]],
+                             organic, k=k)
+    if kind == "terms_set":
+        if not isinstance(body, dict) or len(body) != 1:
+            raise DslError("terms_set takes exactly one field")
+        ((f2, spec),) = body.items()
+        if f2 != field:
+            raise DslError("terms_set runs over the indexed text field")
+        mf = spec.get("minimum_should_match_field")
+        if not mf:
+            raise DslError("terms_set needs minimum_should_match_field")
+        return engine.search_terms_set(
+            [str(t).lower() for t in spec["terms"]], mf, k=k)
+    if kind == "function_score":
+        organic = _match_text(body.get("query"), field)
+        return engine.search_function_score_multi(
+            organic, list(body.get("functions", [])),
+            score_mode=body.get("score_mode", "multiply"),
+            boost_mode=body.get("boost_mode", "multiply"),
+            max_boost=body.get("max_boost"),
+            k=k,
+        )
+    raise DslError(kind)
 
 
 def _default_field(engine) -> str:

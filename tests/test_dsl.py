@@ -417,3 +417,66 @@ def test_span_json_normalization_and_engines(dsl_index, ray_session,
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+def test_dedicated_kind_dispatch(dsl_index, ray_session):
+    from elasticsearch_assets_ray.search.engine import (
+        QueryEngine,
+        pinned_search,
+    )
+
+    eng = QueryEngine(dsl_index.index_dir, num_actors=2)
+    try:
+        # more_like_this with ES percentage msm
+        seed = eng.search("merge data", k=1)[0][0]
+        got = search_dsl(eng, {"more_like_this": {
+            "like": [{"_id": int(seed)}],
+            "min_term_freq": 1, "min_doc_freq": 2,
+            "minimum_should_match": "30%"}}, k=20)
+        want = eng.more_like_this(int(seed), k=20, min_term_freq=1,
+                                  min_doc_freq=2,
+                                  minimum_should_match=0.3)
+        assert got == want and len(got) > 0
+        # pinned
+        organic = {"match": {"content": "merge data"}}
+        pins = [int(d) for d, _ in eng.search("import", k=3)]
+        got = search_dsl(eng, {"pinned": {"ids": pins,
+                                          "organic": organic}}, k=10)
+        want = pinned_search(eng, pins, "merge data", k=10)
+        assert got == want
+        assert [d for d, _ in got[:len(pins)]] == pins
+        # function_score (repo-form function spec)
+        spec = {"type": "field_value_factor", "field": "n_chars",
+                "factor": 0.001, "modifier": "none", "missing": 1.0}
+        got = search_dsl(eng, {"function_score": {
+            "query": {"match": {"content": "merge"}},
+            "functions": [spec], "score_mode": "sum",
+            "boost_mode": "sum"}}, k=15)
+        want = eng.search_function_score_multi(
+            "merge", [spec], score_mode="sum", boost_mode="sum", k=15)
+        assert got == want and len(got) > 0
+        with pytest.raises(DslError):
+            search_dsl(eng, {"pinned": {"ids": [1], "organic": {
+                "wildcard": {"content": "a*"}}}}, k=5)
+    finally:
+        eng.shutdown()
+
+
+def test_terms_set_dispatch_parity(dsl_index, ray_session):
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+
+    eng = QueryEngine(dsl_index.index_dir, num_actors=2)
+    try:
+        body = {"terms_set": {"content": {
+            "terms": ["merge", "data", "import"],
+            "minimum_should_match_field": "n_chars"}}}
+        got = search_dsl(eng, body, k=10)
+        want = eng.search_terms_set(["merge", "data", "import"],
+                                    "n_chars", k=10)
+        assert got == want  # n_chars >> 3, so typically empty — parity
+        with pytest.raises(DslError):
+            search_dsl(eng, {"terms_set": {"content": {
+                "terms": ["x"]}}}, k=5)
+    finally:
+        eng.shutdown()
+
