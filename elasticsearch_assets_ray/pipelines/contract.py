@@ -13131,6 +13131,68 @@ def q_span_search_global(sf_dir: str) -> pa.Table:
     return _bm25_rerank(per_q, idx)
 
 
+# the SAME six span queries in the ES JSON wire form (field-qualified
+# leaves, clauses objects, span_multi match wrappers), each base64-
+# wrapped — proving the JSON normalizer end-to-end against the SAME
+# SQL oracle the native trees hash against
+def _span_json_queries() -> list[tuple[int, dict]]:
+    f = "text"
+
+    def t(v):
+        return {"span_term": {f: v}}
+
+    return [
+        (0, {"span_near": {"clauses": [
+            t("hash"),
+            {"span_or": {"clauses": [t("join"), t("merge")]}},
+            t("table"),
+        ], "slop": 4, "in_order": True}}),
+        (1, {"span_not": {
+            "include": {"span_near": {"clauses": [t("sort"), t("table")],
+                                      "slop": 3, "in_order": True}},
+            "exclude": t("slow"), "pre": 1, "post": 2}}),
+        (2, {"span_first": {
+            "match": {"span_near": {"clauses": [t("spark"), t("query")],
+                                    "slop": 2, "in_order": True}},
+            "end": 8}}),
+        (3, {"span_near": {"clauses": [
+            {"span_multi": {"match": {"prefix": {f: {"value": "sc"}}},
+                            "max_expansions": 20}},
+            t("join"),
+        ], "slop": 3, "in_order": False}}),
+        (4, {"span_containing": {
+            "big": {"span_near": {"clauses": [t("data"), t("table")],
+                                  "slop": 6, "in_order": True}},
+            "little": {"span_or": {"clauses": [t("group"), t("agg")]}}}}),
+        (5, {"span_within": {
+            "big": {"span_near": {"clauses": [t("hash"), t("join")],
+                                  "slop": 8, "in_order": True}},
+            "little": t("key")}}),
+    ]
+
+
+def q_span_search_json(sf_dir: str) -> pa.Table:
+    """The span_search queries expressed as ES JSON span bodies
+    (search/dsl.py ``normalize_span``), each base64-WRAPPED and run
+    through ``search_dsl`` — identical results to the native span trees
+    by construction, hash-checked against the SAME SQL oracle."""
+    from ..config import BM25Params
+    from ..search.dsl import search_dsl, wrap_query
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: search_dsl(engine, wrap_query(body), k=K_FETCH)
+            for qid, body in _span_json_queries()
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
 def sql_span_search() -> str:
     """EXISTS-chain restatement of the four span contract queries: pf =
     count(DISTINCT start) with a valid completion, idf = Σ leaf idfs
@@ -14395,6 +14457,7 @@ def queries():
         "multi_index_boosted": q_multi_index_boosted,
         "json_field_stats": q_json_field_stats,
         "span_search": q_span_search,
+        "span_search_json": q_span_search_json,
         "span_search_global": q_span_search_global,
         "span_masked_search": q_span_masked_search,
         "span_masked_search_global": q_span_masked_search_global,
@@ -14705,6 +14768,7 @@ def oracle_sql():
         "multi_index_boosted": sql_multi_index_boosted(),
         "json_field_stats": sql_json_field_stats(),
         "span_search": sql_span_search(),
+        "span_search_json": sql_span_search(),
         "span_search_global": sql_span_search(),
         "span_masked_search": sql_span_masked_search(),
         "span_masked_search_global": sql_span_masked_search(),
