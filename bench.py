@@ -247,81 +247,247 @@ HEADLINE = [
 ]
 
 
-def cmd_bench(sf_dir: str, num_cpus: int, headline: bool = False) -> None:
-    gate = wait_quiet()
-    load_start = os.getloadavg()[0]
+# Bench protocol 4 (round 5): the r04 driver bench ran all 307 pipelines
+# in ONE long-lived Ray session and wedged after ~226 of them (44 min on
+# a pipeline that takes 10 s in a fresh session; cf. the Ray 2.49
+# task_manager.cc:930 race in DEVNOTES).  The suite now runs in CHUNKS of
+# fresh subprocesses — each with its own Ray session — under a
+# parent-side watchdog: a child whose progress file stalls for
+# GRAFT_PIPELINE_STALL_S is killed, its unfinished names resume in a
+# fresh session, and a pipeline that wedges twice is skipped-and-reported
+# instead of hanging the artifact.  A global deadline guarantees ONE JSON
+# line on stdout no matter what.
+CHUNK_SIZE = int(os.environ.get("GRAFT_BENCH_CHUNK", "40"))
+PIPELINE_STALL_S = float(os.environ.get("GRAFT_PIPELINE_STALL_S", "300"))
+BENCH_DEADLINE_S = float(os.environ.get("GRAFT_BENCH_DEADLINE_S", "2700"))
+MAX_ATTEMPTS = 2
+
+
+def cmd_pipeline_worker(sf_dir: str, num_cpus: int, names_file: str,
+                        progress_file: str) -> None:
+    """Child of cmd_bench: run the named contract pipelines in one fresh
+    Ray session, appending a JSON line per pipeline to progress_file as
+    it goes — the parent's watchdog signal and resume log."""
+    with open(names_file) as f:
+        names = json.load(f)
+    ray = _init_ray(num_cpus)
+    from elasticsearch_assets_ray.pipelines import contract
+
+    all_q = contract.queries()
+    # test seam for the parent's watchdog/resume machinery: wedge
+    # forever on the named pipeline, as the r04 driver bench did
+    wedge = os.environ.get("GRAFT_TEST_WEDGE")
+    with open(progress_file, "a") as prog:
+        for name in names:
+            prog.write(json.dumps({"start": name}) + "\n")
+            prog.flush()
+            if name == wedge:
+                time.sleep(1_000_000)
+            t0 = time.perf_counter()
+            fn = all_q[name]
+            if name == "approx_recall":
+                # meta-pipeline: re-runs 7 other pipelines to measure
+                # their recall — its VALUES are the payload; record the
+                # truth-sample size beside every recall (at small sf some
+                # strata have single-digit truth pairs and a 0.0 from a
+                # sample of 1 is noise, not a measurement)
+                rows = {
+                    r["op"]: {"recall": round(r["recall"], 4),
+                              "n_exact": r["n_exact"]}
+                    for r in fn(sf_dir).to_pylist()
+                }
+                rec = {"name": name, "recall": rows,
+                       "sec": round(time.perf_counter() - t0, 3)}
+            else:
+                res = fn(sf_dir)
+                if hasattr(res, "count"):  # Dataset → consume
+                    res.count()
+                rec = {"name": name,
+                       "sec": round(time.perf_counter() - t0, 3)}
+            prog.write(json.dumps(rec) + "\n")
+            prog.flush()
+            log(f"{name}: {rec['sec']}s")
+    ray.shutdown()
+
+
+def cmd_serve_worker(sf_dir: str, num_cpus: int) -> None:
+    """Child of cmd_bench: serving-latency p50s on a fresh Ray session
+    over the cached contract index (the suite leaves the object store
+    pressured enough to double measured p50s — protocol v2 finding)."""
     ray = _init_ray(num_cpus)
     from elasticsearch_assets_ray.pipelines import contract
     from elasticsearch_assets_ray.search.engine import QueryEngine
 
-    # flagship build throughput FIRST: measured after the 61-pipeline
-    # suite it read ~5x low (object-store pressure + co-tenant load the
-    # suite itself induces — r04 observed 43k vs 138-160k in a fresh
-    # session); protocol v2 times it on the fresh session, post-warmup
-    _build_synth_index(num_cpus)  # warmup (page cache + worker pool)
-    build_dps = _build_synth_index(num_cpus)
-    log(f"index build: {build_dps:.0f} docs/s")
-
-    # cold start: drop the cached contract index so bm25_topk times a full
-    # build + scoring run
-    shutil.rmtree(contract.doc_index_dir(sf_dir), ignore_errors=True)
-
-    times: dict[str, float] = {}
-    recall_rows = None
-    recall_sec = None
-    all_q = contract.queries()
-    if headline:
-        missing = [n for n in HEADLINE if n not in all_q]
-        if missing:
-            raise SystemExit(f"HEADLINE names missing from contract: {missing}")
-        items = [(n, all_q[n]) for n in HEADLINE]
-    else:
-        items = list(all_q.items())
-    for name, fn in items:
-        if name == "approx_recall":
-            # meta-pipeline: re-runs 7 other pipelines to measure their
-            # recall — timed separately so the headline total stays a sum
-            # of distinct workloads; its VALUES are the payload
-            t0 = time.perf_counter()
-            # record the truth-sample size beside every recall: at small
-            # sf some strata have single-digit truth pairs and a 0.0 from
-            # a sample of 1 is noise, not a measurement
-            recall_rows = {
-                r["op"]: {"recall": round(r["recall"], 4), "n_exact": r["n_exact"]}
-                for r in fn(sf_dir).to_pylist()
-            }
-            recall_sec = round(time.perf_counter() - t0, 3)
-            log(f"approx_recall: {recall_sec}s {recall_rows}")
-            continue
-        t0 = time.perf_counter()
-        res = fn(sf_dir)
-        if hasattr(res, "count"):  # Dataset → consume
-            res.count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        log(f"{name}: {times[name]}s")
-
-    # serving latency p50 on a RESET Ray session: the suite leaves the
-    # object store pressured enough to double measured p50s (protocol v2)
-    ray.shutdown()
-    ray = _init_ray(num_cpus)
     eng = QueryEngine(contract.doc_index_dir(sf_dir), num_actors=4)
     eng.search("warmup", k=5)  # actor construction + shard load
     lat = []
-    qs = [q for _, q in contract.BM25_QUERIES] * 20
-    for q in qs:  # serving path, one query per call
+    for q in [q for _, q in contract.BM25_QUERIES] * 20:
         t0 = time.perf_counter()
         eng.search(q, k=10)
         lat.append(time.perf_counter() - t0)
     lat.sort()
-    p50_ms = 1000 * lat[len(lat) // 2]
     plat = []
     for q in [p for _, p in contract.PHRASE_QUERIES] * 20:
         t0 = time.perf_counter()
         eng.search_phrase(q, k=10)
         plat.append(time.perf_counter() - t0)
     plat.sort()
-    phrase_p50_ms = 1000 * plat[len(plat) // 2]
     eng.shutdown()
+    print(json.dumps({
+        "bm25_top10_p50_ms": round(1000 * lat[len(lat) // 2], 2),
+        "phrase_top10_p50_ms": round(1000 * plat[len(plat) // 2], 2),
+    }))
+    ray.shutdown()
+
+
+def _run_child(argv: list, progress_file: str, stall_s: float,
+               deadline: float):
+    """Run a bench child under a progress watchdog.  Kills the child's
+    whole process group (raylet + workers included) if progress_file
+    stops growing for stall_s, or at the global deadline, then sweeps any
+    surviving Ray daemons so the next fresh session starts clean.
+    Returns (rc, kill_reason)."""
+    import signal
+
+    proc = subprocess.Popen(argv, stdout=subprocess.DEVNULL,
+                            stderr=sys.stderr, start_new_session=True)
+    last_size = -1
+    last_change = time.time()
+    while True:
+        rc = proc.poll()
+        if rc is not None:
+            return rc, None
+        try:
+            size = os.path.getsize(progress_file)
+        except OSError:
+            size = 0
+        now = time.time()
+        if size != last_size:
+            last_size, last_change = size, now
+        reason = ("stall" if now - last_change > stall_s
+                  else "deadline" if now > deadline else None)
+        if reason:
+            log(f"watchdog: killing child pid={proc.pid} ({reason})")
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except OSError:
+                proc.kill()
+            proc.wait()
+            subprocess.run(["ray", "stop", "--force"],
+                           capture_output=True)
+            return -9, reason
+        time.sleep(2.0)
+
+
+def cmd_bench(sf_dir: str, num_cpus: int, headline: bool = False) -> None:
+    import tempfile
+
+    gate = wait_quiet()
+    load_start = os.getloadavg()[0]
+    deadline = time.time() + BENCH_DEADLINE_S
+    me = os.path.abspath(__file__)
+    from elasticsearch_assets_ray.pipelines import contract  # no ray.init
+
+    # flagship build throughput in its OWN fresh process: measured after
+    # the suite it read ~5x low (object-store pressure the suite itself
+    # induces — r04 observed 43k vs 138-160k docs/s in a fresh session)
+    build_dps = None
+    try:
+        out = subprocess.run([sys.executable, me, "--build-worker",
+                              str(num_cpus)], capture_output=True,
+                             text=True, timeout=900)
+        build_dps = json.loads(
+            out.stdout.strip().splitlines()[-1])["docs_per_sec"]
+    except Exception as e:  # noqa: BLE001 — bench must still emit JSON
+        log(f"build-worker failed: {e!r}")
+    log(f"index build: {build_dps} docs/s")
+
+    # cold start: drop the cached contract index so the first chunk's
+    # bm25 pipelines time a full build + scoring run
+    shutil.rmtree(contract.doc_index_dir(sf_dir), ignore_errors=True)
+
+    all_names = list(contract.queries())
+    if headline:
+        missing = [n for n in HEADLINE if n not in all_names]
+        if missing:
+            raise SystemExit(f"HEADLINE names missing from contract: {missing}")
+        names = list(HEADLINE)
+    else:
+        names = all_names
+
+    times: dict[str, float] = {}
+    recall_rows = None
+    recall_sec = None
+    errors: dict[str, str] = {}
+    attempts: dict[str, int] = {}
+    n_sessions = 0
+    pending = list(names)
+    workdir = tempfile.mkdtemp(prefix="esray_bench_")
+    while pending:
+        if time.time() > deadline:
+            for n in pending:
+                errors[n] = "skipped_deadline"
+            break
+        chunk = pending[:CHUNK_SIZE]
+        pending = pending[len(chunk):]
+        n_sessions += 1
+        names_file = os.path.join(workdir, f"chunk{n_sessions}.json")
+        progress_file = os.path.join(workdir, f"chunk{n_sessions}.progress")
+        with open(names_file, "w") as f:
+            json.dump(chunk, f)
+        open(progress_file, "w").close()
+        log(f"chunk {n_sessions}: {len(chunk)} pipelines "
+            f"({chunk[0]}..{chunk[-1]})")
+        rc, kill_reason = _run_child(
+            [sys.executable, me, "--pipeline-worker", "--sf-dir", sf_dir,
+             "--names-file", names_file, "--progress-file", progress_file],
+            progress_file, PIPELINE_STALL_S, deadline)
+        done = set()
+        inflight = None
+        with open(progress_file) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue  # torn final line from a SIGKILL
+                if "start" in rec:
+                    inflight = rec["start"]
+                    attempts[inflight] = attempts.get(inflight, 0) + 1
+                    continue
+                done.add(rec["name"])
+                if "recall" in rec:
+                    recall_rows = rec["recall"]
+                    recall_sec = rec["sec"]
+                else:
+                    times[rec["name"]] = rec["sec"]
+        rest = [n for n in chunk if n not in done]
+        if rc == 0 and not rest:
+            continue
+        # child died (watchdog kill, Ray 2.49 task-manager race, OOM):
+        # resume its unfinished names in a fresh session; the in-flight
+        # pipeline retries once, then is skipped-and-reported
+        log(f"chunk {n_sessions} died rc={rc} reason={kill_reason} "
+            f"inflight={inflight}; {len(rest)} names resume")
+        retry = []
+        for n in rest:
+            if n == inflight and attempts.get(n, 0) >= MAX_ATTEMPTS:
+                errors[n] = kill_reason or f"rc={rc}"
+                continue
+            retry.append(n)
+        pending = retry + pending
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    # serving latency p50 on a fresh session over the cached index
+    p50_ms = phrase_p50_ms = None
+    try:
+        out = subprocess.run([sys.executable, me, "--serve-worker",
+                              "--sf-dir", sf_dir],
+                             capture_output=True, text=True, timeout=900)
+        serve = json.loads(out.stdout.strip().splitlines()[-1])
+        p50_ms = serve["bm25_top10_p50_ms"]
+        phrase_p50_ms = serve["phrase_top10_p50_ms"]
+    except Exception as e:  # noqa: BLE001 — bench must still emit JSON
+        log(f"serve-worker failed: {e!r}")
 
     total = round(sum(times.values()), 3)
     try:
@@ -335,14 +501,16 @@ def cmd_bench(sf_dir: str, num_cpus: int, headline: bool = False) -> None:
                 "(cold index build + BM25 + dedup + kNN + stats + routing)",
                 "value": total,
                 "unit": "sec",
-                "bench_protocol": 2,
+                "bench_protocol": 4,
                 "headline_subset": headline,
                 "queries": times,
+                "errors": errors,
+                "ray_sessions": n_sessions,
                 "sf": sf,
                 "num_cpus": num_cpus,
-                "index_build_docs_per_sec": round(build_dps, 1),
-                "bm25_top10_p50_ms": round(p50_ms, 2),
-                "phrase_top10_p50_ms": round(phrase_p50_ms, 2),
+                "index_build_docs_per_sec": build_dps,
+                "bm25_top10_p50_ms": p50_ms,
+                "phrase_top10_p50_ms": phrase_p50_ms,
                 "approx_recall": recall_rows,
                 "approx_recall_sec": recall_sec,
                 # external-load context: this box shows ±30-40% wall-time
@@ -354,7 +522,6 @@ def cmd_bench(sf_dir: str, num_cpus: int, headline: bool = False) -> None:
             }
         )
     )
-    ray.shutdown()
 
 
 def cmd_soak(seconds: float, num_cpus: int) -> None:
@@ -491,6 +658,13 @@ def main() -> None:
                     help="time only the curated one-per-family subset "
                          "(~30 pipelines) instead of the full sweep")
     ap.add_argument("--build-worker", type=int, default=None)
+    ap.add_argument("--pipeline-worker", action="store_true",
+                    help="internal child of the default bench mode: run "
+                         "--names-file pipelines in one fresh Ray session")
+    ap.add_argument("--serve-worker", action="store_true",
+                    help="internal child: serving p50s on a fresh session")
+    ap.add_argument("--names-file", default=None)
+    ap.add_argument("--progress-file", default=None)
     ap.add_argument("--soak", type=float, default=None, metavar="SECONDS",
                     help="real-time streaming soak: ingest + persistent "
                          "ticks + live serving refresh")
@@ -499,6 +673,11 @@ def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if args.build_worker is not None:
         cmd_build_worker(args.build_worker)
+    elif args.pipeline_worker:
+        cmd_pipeline_worker(args.sf_dir, num_cpus, args.names_file,
+                            args.progress_file)
+    elif args.serve_worker:
+        cmd_serve_worker(args.sf_dir, num_cpus)
     elif args.scaling:
         cmd_scaling()
     elif args.soak is not None:

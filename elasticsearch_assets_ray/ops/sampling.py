@@ -81,7 +81,14 @@ def shuffle_order_write(ds, out_dir: str, n_ranges: int = 64,
     marker commits it), so reading ``range`` dirs in ascending order IS
     the epoch order and a crashed run redoes only uncommitted ranges
     (the exchange replays, the writes are idempotent — committed ranges
-    are never rewritten).  Never one giant file; never a global sort."""
+    are never rewritten).  Never one giant file; never a global sort.
+
+    A ``_manifest.json`` (seed, id_col, n_ranges, input-file
+    fingerprint) commits at out_dir root before any range: reusing an
+    out_dir with a different seed, key column, range count or corpus
+    raises instead of silently serving stale epoch order mixed with
+    fresh ranges — resume is only valid for the identical run."""
+    import json
     import os
 
     import pyarrow.parquet as pq
@@ -90,6 +97,29 @@ def shuffle_order_write(ds, out_dir: str, n_ranges: int = 64,
         raise ValueError("n_ranges must be a power of two")
     shift = np.uint64(32 - (n_ranges.bit_length() - 1))
     os.makedirs(out_dir, exist_ok=True)
+
+    try:
+        fingerprint = sorted(ds.input_files())
+    except Exception:  # non-file-backed dataset: no lineage to pin
+        fingerprint = None
+    manifest = {"seed": int(seed), "id_col": id_col,
+                "n_ranges": int(n_ranges), "input_files": fingerprint}
+    mpath = os.path.join(out_dir, "_manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            prior = json.load(f)
+        if prior != manifest:
+            raise ValueError(
+                f"shuffle_order_write resume mismatch in {out_dir!r}: "
+                f"prior run {prior} vs this run {manifest} — committed "
+                "ranges would mix two different epoch orders; use a "
+                "fresh out_dir"
+            )
+    else:
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
 
     def key(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_numpy()

@@ -72,12 +72,24 @@ def dsl_to_clause_query(query: dict | None, default_field: str) -> dict:
             q, op = spec, "or"
         if field != default_field:
             return None  # not text — caller falls back to meta handling
-        if context in ("must", "filter") and op != "and" and \
-                len(str(q).split()) > 1:
-            raise DslError(
-                f"multi-token OR match in {context} context has no "
-                "clause-grammar equivalent — use operator 'and'"
-            )
+        if len(str(q).split()) > 1:
+            # multi-token exactness: the clause grammar treats each
+            # token independently, so the ONLY exact translations are
+            # operator-'and' under must/filter (all tokens required ≡
+            # token conjunction) and operator-'or' under should/must_not
+            # (any token ≡ token disjunction).  The other two pairings
+            # would silently widen (and-under-should) or over-exclude
+            # (and-under-must_not) the agg doc set — raise instead.
+            if context in ("must", "filter") and op != "and":
+                raise DslError(
+                    f"multi-token OR match in {context} context has no "
+                    "clause-grammar equivalent — use operator 'and'"
+                )
+            if context in ("should", "must_not") and op == "and":
+                raise DslError(
+                    f"multi-token AND match in {context} context has no "
+                    "clause-grammar equivalent — use operator 'or'"
+                )
         return str(q)
 
     def add_meta(kind2, body2, negate=False):
@@ -112,6 +124,14 @@ def dsl_to_clause_query(query: dict | None, default_field: str) -> dict:
                 out[context].append(toks)
                 return
             if k2 == "match":  # keyword-field match = term equality
+                if context == "should":
+                    # filter_meta entries are REQUIRED — routing an OR
+                    # branch there would turn it into an AND gate
+                    # (mirrors the term/terms/range-under-should guard)
+                    raise DslError(
+                        "doc-values clauses under should are not "
+                        "expressible in the clause grammar"
+                    )
                 ((field, spec),) = b2.items()
                 v = spec["query"] if isinstance(spec, dict) else spec
                 add_meta("term", {field: v},
@@ -129,9 +149,18 @@ def dsl_to_clause_query(query: dict | None, default_field: str) -> dict:
 
     if kind == "match":
         ((_f, spec),) = body.items()
-        op = (str(spec.get("operator", "or")).lower()
-              if isinstance(spec, dict) else "or")
-        add_clause({kind: body}, "must" if op == "and" else "should")
+        if _f != default_field:
+            # a keyword-field match at the ROOT is the whole query —
+            # term equality is exact here (unlike under `should`,
+            # where a required filter_meta entry would AND-gate an OR
+            # branch; add_clause raises for that case)
+            v = spec.get("query", spec.get("value")) \
+                if isinstance(spec, dict) else spec
+            add_meta("term", {_f: v})
+        else:
+            op = (str(spec.get("operator", "or")).lower()
+                  if isinstance(spec, dict) else "or")
+            add_clause({kind: body}, "must" if op == "and" else "should")
     elif kind in ("term", "terms", "range"):
         add_meta(kind, body)
     elif kind == "bool":
@@ -215,13 +244,22 @@ def execute_request(engine, body: dict, default_field: str | None = None,
 
     resp: dict = {}
     if query is not None:
-        # one full-rank pass: the exact total (track_total_hits=true
-        # semantics) and the page both come from it.  Deep paging stays
-        # search_after's job, as in ES.
-        ranked = search_dsl(engine, query, k=1 << 30)
+        # track_total_hits (default true = exact totals, one full-rank
+        # pass serving both the total and the page).  An integer (or
+        # ES's false = 10_000) caps the rank at max(from+size, N) so a
+        # size-10 page stops costing O(matching docs); a capped total
+        # reports relation "gte", as in ES.
+        tth = body.get("track_total_hits", True)
+        if tth is True:
+            k = 1 << 30
+        else:
+            k = max(frm + size, 10_000 if tth is False else int(tth))
+        ranked = search_dsl(engine, query, k=k)
         page = ranked[frm:frm + size]
+        exact_total = tth is True or len(ranked) < k
         resp["hits"] = {
-            "total": {"value": len(ranked), "relation": "eq"},
+            "total": {"value": len(ranked),
+                      "relation": "eq" if exact_total else "gte"},
             "max_score": (ranked[0][1] if ranked else None),
             "hits": [{"_id": int(d), "_score": float(s)}
                      for d, s in page],

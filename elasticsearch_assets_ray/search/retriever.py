@@ -55,15 +55,22 @@ class RetrieverContext:
         if self._store is None:
             # corpora indexed without an explicit id column carry no
             # orig_id docmeta (internal ids ARE the original ids) —
-            # fall back to the identity mapping
-            try:
-                self._store = DocStore(self.index_dir,
-                                       columns=["doc_id", "orig_id"])
-                self._store.mget(
-                    np.array([hits[0][0]], dtype=np.int64))
-            except Exception:
-                self._store = DocStore(self.index_dir,
-                                       columns=["doc_id"])
+            # fall back to the identity mapping.  Detection is
+            # STRUCTURAL (a footer-only schema read of the first
+            # docmeta partition): a probe-read-and-catch here would
+            # silently degrade any transient IO failure on an index
+            # that DOES carry orig_id into wrong `_id`s.
+            import pyarrow.parquet as _pq
+
+            from ..index.build import docmeta_path
+
+            store = DocStore(self.index_dir, columns=["doc_id"])
+            schema = _pq.read_schema(
+                docmeta_path(self.index_dir, int(store._pids[0])))
+            if "orig_id" in schema.names:
+                store = DocStore(self.index_dir,
+                                 columns=["doc_id", "orig_id"])
+            self._store = store
         ids = np.array([d for d, _ in hits], dtype=np.int64)
         sc = np.array([s for _, s in hits], dtype=np.float64)
         got = self._store.mget(ids)

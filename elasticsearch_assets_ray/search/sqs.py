@@ -236,16 +236,26 @@ def apply_minimum_should_match(tree, m: int | None):
     """ES's request-level ``minimum_should_match`` over a parsed tree:
     the root BooleanQuery's OPTIONAL clauses are the top-level OR spine
     — flatten it into an ``("msm", m, children)`` count node.  Lucene
-    semantics: required (``filter``) and prohibited (``andnot``)
-    wrappers pass through untouched; ``m ≤ 1`` is the plain OR already
-    in place (no-op); a root with a single optional clause under
-    ``m > 1`` matches nothing (single-child msm), exactly as Lucene
-    BooleanQuery does when m exceeds the should count."""
-    if tree is None or not m or m <= 1:
+    semantics (the root is read as a BooleanQuery): required
+    (``filter``) and prohibited (``andnot``) wrappers pass through to
+    their optional side; a root with FEWER optional clauses than ``m``
+    matches nothing, exactly as Lucene rewrites a BooleanQuery with
+    minShouldMatch > should-count to MatchNoDocsQuery — so ``m ≥ 1``
+    over a pure conjunction (``a AND b`` = ``+a +b``, zero optional
+    clauses) matches nothing, while ``m = 1`` over an OR spine or a
+    single optional clause is the plain query (no-op)."""
+    if tree is None or not m or m < 1:
         return tree
     kind = tree[0]
     if kind in ("filter", "andnot", "boost"):
-        return (kind, apply_minimum_should_match(tree[1], m)) + tree[2:]
+        inner = apply_minimum_should_match(tree[1], m)
+        return (kind, inner) + tree[2:]
+    if kind == "and":
+        # pure required conjunction: zero optional clauses at the root,
+        # any m ≥ 1 is unsatisfiable (empty-children msm evals to ∅)
+        return ("msm", int(m), ())
+    if m == 1:
+        return tree
     if kind == "or":
         children: list = []
 

@@ -44,14 +44,14 @@ def test_rows_only_queries_nonempty(ray_session):
 def test_approx_recall_thresholds(ray_session):
     """Recall of every approximate path vs its exact in-repo twin — the
     exact pipelines ARE the oracle.  Thresholds sit under the measured
-    values (sf0.001: lsh .86 / ivf .72 / minhash 1.0 / simhash .89 /
-    dup-lsh .59 at the bands=32 default, see BASELINE.md) with margin for
-    parameter drift; a drop below means an approximate operator
-    regressed."""
+    values (sf0.001: lsh .86 / ivf .82 at the round-5 nprobe=12 default /
+    minhash 1.0 / simhash .89 / dup-lsh .59 at the bands=32 default, see
+    BASELINE.md) with margin for parameter drift; a drop below means an
+    approximate operator regressed."""
     rows = {r["op"]: r for r in contract.q_approx_recall(SF_DIR).to_pylist()}
     rec = {k: v["recall"] for k, v in rows.items()}
     assert rec["knn_lsh"] >= 0.7
-    assert rec["knn_ivf"] >= 0.6
+    assert rec["knn_ivf"] >= 0.75  # 0.82 measured at sf0.001/0.01/0.1
     assert rec["knn_pq"] >= 0.9  # 1.0 sf0.001 / 0.96 sf0.1 measured
     assert rec["minhash_pairs"] >= 0.9
     assert rec["simhash_pairs"] >= 0.7

@@ -49,6 +49,16 @@ def test_clause_query_translation():
                              {"match": {f: "b"}}],
                   "minimum_should_match": 2}},       # m over clauses
         {"wildcard": {f: "a*"}},
+        # keyword-field match under should: a required filter_meta
+        # entry would AND-gate the OR branch (round-5 guard)
+        {"bool": {"should": [{"match": {f: "a"}},
+                             {"match": {"lang": "fr"}}]}},
+        # multi-token operator-and match in should/must_not contexts:
+        # token-independent clause strings would widen / over-exclude
+        {"bool": {"should": [{"match": {
+            f: {"query": "a b", "operator": "and"}}}]}},
+        {"bool": {"must_not": [{"match": {
+            f: {"query": "a b", "operator": "and"}}}]}},
     ]:
         with pytest.raises(DslError):
             dsl_to_clause_query(bad, f)

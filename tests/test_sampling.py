@@ -212,3 +212,10 @@ def test_shuffle_order_write_resumable(ray_session, tmp_path):
 
     with _pt.raises(ValueError):
         shuffle_order_write(rd.from_arrow(t), out, n_ranges=6)
+    # run-manifest guard (round 5): reusing the out_dir with a
+    # different seed / range count / key column refuses instead of
+    # mixing stale committed ranges into a fresh epoch order
+    with _pt.raises(ValueError, match="resume mismatch"):
+        shuffle_order_write(rd.from_arrow(t), out, n_ranges=8, seed=4)
+    with _pt.raises(ValueError, match="resume mismatch"):
+        shuffle_order_write(rd.from_arrow(t), out, n_ranges=16, seed=3)

@@ -72,6 +72,41 @@ def test_eval_tree_algebra():
     assert ids.tolist() == [1] and sc.tolist() == [1.0]
 
 
+def test_apply_minimum_should_match_lucene_shapes():
+    """Request-level msm reads the root as a Lucene BooleanQuery: a
+    pure conjunction has ZERO optional clauses, so any m ≥ 1 matches
+    nothing (Lucene rewrites minShouldMatch > should-count to
+    MatchNoDocsQuery); an OR spine or single optional clause under
+    m = 1 is the plain query."""
+    from elasticsearch_assets_ray.search.sqs import (
+        apply_minimum_should_match,
+    )
+
+    leaves = {
+        "a": (np.array([1, 2, 3]), np.array([1.0, 1.0, 1.0])),
+        "b": (np.array([2, 3, 4]), np.array([0.5, 0.5, 0.5])),
+    }
+    fn = lambda n: leaves[n[1]]  # noqa: E731
+    or_tree = ("or", ("term", "a"), ("term", "b"))
+    and_tree = ("and", ("term", "a"), ("term", "b"))
+    # m=1 over an OR spine / a single leaf: no-op
+    assert apply_minimum_should_match(or_tree, 1) is or_tree
+    assert apply_minimum_should_match(("term", "a"), 1) == ("term", "a")
+    # m=1 over 'a AND b' (+a +b, zero should clauses): matches nothing
+    ids, _ = eval_tree(apply_minimum_should_match(and_tree, 1), fn)
+    assert ids.tolist() == []
+    ids, _ = eval_tree(apply_minimum_should_match(and_tree, 2), fn)
+    assert ids.tolist() == []
+    # m=2 over the OR spine: both must match, scores still sum
+    ids, sc = eval_tree(apply_minimum_should_match(or_tree, 2), fn)
+    assert ids.tolist() == [2, 3] and sc.tolist() == [1.5, 1.5]
+    # required wrapper passes through to its optional (scored) side
+    ids, _ = eval_tree(
+        apply_minimum_should_match(
+            ("filter", and_tree, ("term", "a")), 1), fn)
+    assert ids.tolist() == []
+
+
 @pytest.fixture(scope="module")
 def pos_index(small_corpus, tmp_path_factory):
     from elasticsearch_assets_ray.config import IndexConfig
