@@ -14409,6 +14409,231 @@ FROM bs, bo, ss
 """
 
 
+# ES per-function function_score JSON sugar (search/dsl.py
+# ``normalize_function``): the FSM_QUERIES functions re-expressed as ES
+# JSON entries ({"filter": …, "weight": …, "<fn>": …}).  Translation
+# must reproduce the normalized specs EXACTLY, so the pipeline shares
+# sql_function_score_multi's oracle.
+def _fsm_json_bodies() -> list[tuple[int, dict]]:
+    fns = {
+        0: [{"field_value_factor": {"field": "n_chars", "factor": 0.01,
+                                    "modifier": "log1p"}},
+            {"gauss": {"n_chars": {"origin": 300.0, "scale": 100.0}}}],
+        1: [{"weight": 2.0, "filter": {"term": {"lang": "de"}}},
+            {"weight": 1.5, "filter": {"term": {"lang": "es"}}}],
+        2: [{"script_score": {"script": {
+            "source": "log(1 + n_chars) * 0.1 + _score * 0.5"}}}],
+        3: [{"random_score": {"seed": 42, "field": "orig_id"},
+             "weight": 0.5}],
+        4: [{"field_value_factor": {"field": "n_chars",
+                                    "modifier": "sqrt"}, "weight": 2.0},
+            {"weight": 3.0,
+             "filter": {"range": {"n_chars": {"gte": 350}}}}],
+        5: [{"field_value_factor": {"field": "n_chars",
+                                    "modifier": "sqrt"}},
+            {"weight": 4.0}],
+    }
+    out = []
+    for qid, text, _specs, sm, bm, mb in FSM_QUERIES:
+        body = {"query": {"match": {"text": text}}, "functions": fns[qid],
+                "score_mode": sm, "boost_mode": bm}
+        if mb is not None:
+            body["max_boost"] = mb
+        out.append((qid, {"function_score": body}))
+    return out
+
+
+def q_function_score_json(sf_dir: str) -> pa.Table:
+    """The multi-function ``function_score`` queries expressed in ES's
+    per-function JSON sugar — decay ``{"gauss": {field: {...}}}``,
+    ``{"filter", "weight"}`` pure-weight entries, ``script_score``
+    source objects, ``random_score`` — translated by
+    ``normalize_function`` (search/dsl.py) to the repo-normalized specs
+    and hash-checked against the SAME oracle as ``function_score_multi``
+    (the reference ships function_score bodies to ES verbatim,
+    ``/root/reference/asset/elasticsearch_reader/reader.js:7-14``)."""
+    from ..config import BM25Params
+    from ..search.dsl import search_dsl
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: search_dsl(engine, body, k=K_FETCH)
+            for qid, body in _fsm_json_bodies()
+        }
+    finally:
+        engine.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+# ES JSON span_field_masking (the session-13 native masked spans, now
+# through the JSON face): leaves inside the mask carry the SOURCE
+# field ("stem"), the wrapper carries the masked-as field — ES's
+# schema.  normalize_span resolves the source field from the leaves,
+# so the native trees come out identical to MSPAN_QUERIES.
+def _mspan_json_bodies() -> list[tuple[int, dict]]:
+    def mask(inner):
+        return {"span_field_masking": {"query": inner, "field": "text"}}
+
+    return [
+        (0, {"span_near": {"clauses": [
+            {"span_term": {"text": "hash"}},
+            mask({"span_term": {"stem": "tabl"}}),
+        ], "slop": 3, "in_order": True}}),
+        (1, {"span_near": {"clauses": [
+            mask({"span_or": {"clauses": [
+                {"span_term": {"stem": "merg"}},
+                {"span_term": {"stem": "sort"}}]}}),
+            {"span_term": {"text": "key"}},
+        ], "slop": 4, "in_order": False}}),
+        (2, {"span_not": {
+            "include": {"span_near": {"clauses": [
+                {"span_term": {"text": "scan"}},
+                mask({"span_term": {"stem": "valu"}}),
+            ], "slop": 2, "in_order": True}},
+            "exclude": {"span_term": {"text": "slow"}},
+            "pre": 1, "post": 1}}),
+        (3, {"span_near": {"clauses": [
+            mask({"span_multi": {"match": {"prefix": {"stem": "quer"}},
+                                 "max_expansions": 10}}),
+            {"span_term": {"text": "row"}},
+        ], "slop": 5, "in_order": True}}),
+    ]
+
+
+def q_span_masked_json(sf_dir: str) -> pa.Table:
+    """``span_field_masking`` through the ES JSON face: JSON span
+    bodies (leaves on their REAL field, ``field`` = masked-as) →
+    ``normalize_span`` → the SAME native masked trees as
+    ``span_masked_search`` → ``MultiFieldEngine.search_spans`` — same
+    SQL oracle, closing the last disclosed JSON-face gap that the
+    sandbox allows."""
+    from ..config import BM25Params
+    from ..search.dsl import normalize_span
+    from ..search.multifield import MultiFieldEngine
+
+    idx = ensure_doc_index(sf_dir)
+    sidx = ensure_stem_index(sf_dir)
+    eng = MultiFieldEngine(
+        {"text": idx, "stem": sidx},
+        num_actors=4,
+        params=BM25Params(round_decimals=4),
+    )
+    try:
+        per_q = {
+            qid: eng.search_spans(normalize_span(body, "text"),
+                                  field="text", k=K_FETCH)
+            for qid, body in _mspan_json_bodies()
+        }
+    finally:
+        eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+# Lucene minimum_should_match SPEC GRAMMAR end to end (percentage /
+# negative / conditional forms — sqs.calculate_min_should_match): each
+# query pins the resolved count m in a comment; the SQL oracle mirrors
+# that m as a constant, so a drifting calculator breaks the hash.
+MSM_SPEC_QUERIES: list[tuple[int, list[str], str, int]] = [
+    # (qid, should terms, spec, resolved m)
+    (0, ["customer", "order", "scan", "merge"], "50%", 2),
+    (1, ["customer", "order", "scan"], "-25%", 3),
+    (2, ["customer", "order", "scan", "table", "value"], "2<75%", 3),
+    (3, ["hash", "join"], "3<90%", 2),
+]
+
+
+def _q_msm_spec(engine, idx: str) -> pa.Table:
+    from ..search.dsl import search_dsl
+
+    per_q = {
+        qid: search_dsl(engine, {"bool": {
+            "should": [{"match": {"text": t}} for t in terms],
+            "minimum_should_match": spec,
+        }}, k=K_FETCH)
+        for qid, terms, spec, _m in MSM_SPEC_QUERIES
+    }
+    return _bm25_rerank(per_q, idx)
+
+
+def q_msm_spec(sf_dir: str) -> pa.Table:
+    """Percentage / negative / conditional ``minimum_should_match``
+    specs (the Lucene ``Queries.calculateMinShouldMatch`` grammar,
+    float32 truncation included) resolved against the written should
+    count and served through the m-of-n count node: "50%" of 4 → 2,
+    "-25%" of 3 → 3 (all), "2<75%" of 5 → 3, "3<90%" of 2 → 2 (at or
+    under the bound → all required)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4,
+                         params=BM25Params(round_decimals=4))
+    try:
+        return _q_msm_spec(engine, idx)
+    finally:
+        engine.shutdown()
+
+
+def q_msm_spec_global(sf_dir: str) -> pa.Table:
+    """The SAME spec-form msm queries from the TERM-partitioned layout
+    (shared tree walker) — same SQL oracle."""
+    idx, eng = _global_engine(sf_dir)
+    try:
+        return _q_msm_spec(eng, idx)
+    finally:
+        eng.shutdown()
+
+
+def sql_msm_spec() -> str:
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    per_q = []
+    for qid, terms, _spec, m in MSM_SPEC_QUERIES:
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        score = " + ".join(
+            f"coalesce(t{i}.score, 0)" for i in range(len(terms)))
+        matched = " + ".join(
+            f"(CASE WHEN t{i}.score IS NULL THEN 0 ELSE 1 END)"
+            for i in range(len(terms)))
+        joins = "\n".join(
+            f"       LEFT JOIN (SELECT doc_id, score FROM ts "
+            f"WHERE t = '{t}') t{i} ON t{i}.doc_id = d.doc_id"
+            for i, t in enumerate(terms))
+        per_q.append(f"""
+SELECT {qid} AS query_id, d.doc_id, {score} AS score
+FROM (SELECT DISTINCT doc_id FROM ts WHERE t IN ({in_list})) d
+{joins}
+       WHERE {matched} >= {m}""")
+    allq = "\nUNION ALL\n".join(per_q)
+    return f"""
+WITH toksp AS ({toksp}),
+toks AS (SELECT doc_id, t FROM toksp),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+ts AS (SELECT tf.doc_id, tf.t,
+              ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+       FROM tf JOIN df ON df.t = tf.t
+       JOIN dl ON dl.doc_id = tf.doc_id, s
+       WHERE tf.t IN ('customer', 'order', 'scan', 'merge', 'table',
+                      'value', 'hash', 'join')),
+allq AS ({allq})
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM allq
+QUALIFY rank <= {TOPK}
+"""
+
+
 # ----------------------------------------------------------- the surface
 
 
@@ -14492,6 +14717,10 @@ def queries():
         "span_search_global": q_span_search_global,
         "span_masked_search": q_span_masked_search,
         "span_masked_search_global": q_span_masked_search_global,
+        "span_masked_json": q_span_masked_json,
+        "function_score_json": q_function_score_json,
+        "msm_spec": q_msm_spec,
+        "msm_spec_global": q_msm_spec_global,
         "span_multi_kinds": q_span_multi_kinds,
         "span_multi_kinds_global": q_span_multi_kinds_global,
         "interval_search": q_interval_search,
@@ -14806,6 +15035,10 @@ def oracle_sql():
         "span_search_global": sql_span_search(),
         "span_masked_search": sql_span_masked_search(),
         "span_masked_search_global": sql_span_masked_search(),
+        "span_masked_json": sql_span_masked_search(),
+        "function_score_json": sql_function_score_multi(),
+        "msm_spec": sql_msm_spec(),
+        "msm_spec_global": sql_msm_spec(),
         "span_multi_kinds": sql_span_multi_kinds(),
         "span_multi_kinds_global": sql_span_multi_kinds(),
         "interval_search": sql_interval_search(),

@@ -190,13 +190,26 @@ def dsl_to_tree(
                            if t is not None]
         should = _fold(should_children, "or")
         msm = body.get("minimum_should_match")
-        if msm is not None and (not isinstance(msm, int) or msm < 0):
-            raise DslError(
-                "minimum_should_match takes a non-negative integer"
-            )
         if msm is None:  # the ES default: shoulds become optional the
             # moment a must/filter clause exists
             msm = 0 if (must is not None or req is not None) else 1
+        else:
+            # any Lucene spec form — int, negative int, "75%", "-25%",
+            # conditional "3<90%" — resolved against the WRITTEN should
+            # count (Lucene counts clauses in the built BooleanQuery;
+            # an analyzed-away clause is still a clause there)
+            from .sqs import calculate_min_should_match
+
+            try:
+                msm = calculate_min_should_match(len(many("should")), msm)
+            except (ValueError, TypeError) as e:
+                raise DslError(
+                    f"bad minimum_should_match {body.get('minimum_should_match')!r}: {e}"
+                ) from e
+            if msm > len(should_children):
+                # Lucene: minShouldMatch above the optional-clause count
+                # rewrites the WHOLE BooleanQuery to MatchNoDocsQuery
+                return None
         node = must
         if should is not None and msm >= 1:
             # ≥ m should clauses REQUIRED: m=1 is the plain OR; m>1 is
@@ -393,12 +406,38 @@ _SPAN_KINDS = frozenset((
 ))
 
 
+def _span_leaf_field(query: dict) -> str | None:
+    """First leaf field named inside an ES JSON span body (span_term /
+    span_multi leaves carry ``{field: spec}``) — how the source field of
+    a ``span_field_masking`` inner query is discovered (ES infers it
+    from the inner query's mapping the same way)."""
+    ((kind, body),) = query.items()
+    if kind == "span_term":
+        return next(iter(body))
+    if kind == "span_multi":
+        inner = body["match"] if "match" in body else body
+        ((_mk, mb),) = inner.items()
+        return next(iter(mb))
+    for v in (body.values() if isinstance(body, dict) else body):
+        vals = v if isinstance(v, list) else [v]
+        for c in vals:
+            if isinstance(c, dict) and c:
+                f = _span_leaf_field(c)
+                if f is not None:
+                    return f
+    return None
+
+
 def normalize_span(query: dict, default_field: str) -> dict:
     """ES JSON span-query form → the engines' native span-tree dicts
-    (:mod:`.spans` — same node names, unwrapped values): field
-    qualifiers must equal the default text field (``field_masking_span``
-    needs per-field mask engines — use ``MultiFieldEngine.search_spans``
-    directly, disclosed)."""
+    (:mod:`.spans` — same node names, unwrapped values).  Leaf field
+    qualifiers must equal the search field, EXCEPT under a
+    ``span_field_masking`` wrapper: its inner query's leaves name the
+    SOURCE field (uniform — ES's one-field-per-span-query rule), and
+    the normalized node carries ``query_field`` for
+    :func:`..search.spans.resolve_masks`.  Masked trees execute via the
+    multi-field entry points (``MultiFieldEngine.search_spans`` /
+    ``TermPartitionedEngine.search_spans`` with ``mask_engines``)."""
     ((kind, body),) = query.items()
 
     def unfield(b, value_key="value"):
@@ -407,12 +446,25 @@ def normalize_span(query: dict, default_field: str) -> dict:
         ((field, spec),) = b.items()
         if field != default_field:
             raise DslError(
-                "span fields must be the indexed text field here "
-                "(field_masking_span needs mask engines)"
+                "span leaf field must match the span query's field "
+                f"({field!r} != {default_field!r}; wrap foreign-field "
+                "clauses in span_field_masking)"
             )
         if isinstance(spec, dict):
             return spec
         return {value_key: spec}
+
+    if kind in ("span_field_masking", "field_masking_span"):
+        inner_q = body["query"]
+        masked_as = body.get("field", default_field)
+        src = _span_leaf_field(inner_q)
+        if src is None:
+            raise DslError("span_field_masking inner query has no leaf")
+        return {"span_field_masking": {
+            "query": normalize_span(inner_q, src),
+            "query_field": src,
+            "field": masked_as,
+        }}
 
     if kind == "span_term":
         return {"span_term": str(unfield(body)["value"]).lower()}
@@ -520,15 +572,96 @@ def _match_text(q: dict, default_field: str) -> str:
     )
 
 
+def _normalized_function_filter(q: dict) -> dict:
+    """ES per-function ``filter`` JSON → the funcscore docmeta
+    predicate (``{"field", "term"}`` / ``{"field", "range": [lo, hi,
+    lo_incl, hi_incl]}``).  Only term/range docmeta filters exist in
+    the kernel (funcscore.py's disclosed surface) — anything else
+    raises rather than approximates."""
+    if not isinstance(q, dict) or len(q) != 1:
+        raise DslError(f"function filter takes one query: {q!r}")
+    ((kind, body),) = q.items()
+    if kind == "term":
+        ((f, v),) = body.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        return {"field": f, "term": v}
+    if kind == "range":
+        ((f, spec),) = body.items()
+        lo = spec.get("gte", spec.get("gt"))
+        hi = spec.get("lte", spec.get("lt"))
+        return {"field": f, "range": [
+            lo, hi, "gt" not in spec, "lt" not in spec]}
+    raise DslError(
+        f"function filters are docmeta term/range only (got {kind!r})")
+
+
+def normalize_function(fn: dict) -> dict:
+    """One ES ``functions``-list entry (the per-function JSON sugar:
+    ``{"filter": …, "weight": …, "<function>": …}``) → the repo's
+    normalized funcscore spec (funcscore.py ``{"type": …}`` dicts).
+    Entries already carrying ``"type"`` pass through untouched, so
+    callers can mix both forms.  Function keys: ``field_value_factor``,
+    decay ``gauss``/``exp``/``linear`` (one field object), ``script_score``
+    (``{"script": {"source": …}}``), ``random_score``; an entry with
+    only ``weight`` is the ES pure-weight function."""
+    if not isinstance(fn, dict):
+        raise DslError(f"function entry must be an object: {fn!r}")
+    if "type" in fn:
+        return dict(fn)
+    out = None
+    for key, spec in fn.items():
+        if key in ("filter", "weight"):
+            continue
+        if out is not None:
+            raise DslError("a function entry takes exactly one function")
+        if key == "field_value_factor":
+            out = {"type": "field_value_factor"}
+            for k2 in ("field", "factor", "modifier", "missing"):
+                if k2 in spec:
+                    out[k2] = spec[k2]
+        elif key in ("gauss", "exp", "linear"):
+            if not isinstance(spec, dict) or len(spec) != 1:
+                raise DslError(f"decay takes one field object: {spec!r}")
+            ((field, d),) = spec.items()
+            out = {"type": "decay", "function": key, "field": field}
+            for k2 in ("origin", "scale", "offset", "decay"):
+                if k2 in d:
+                    out[k2] = d[k2]
+        elif key == "script_score":
+            script = spec.get("script") if isinstance(spec, dict) else None
+            if isinstance(script, dict):
+                script = script.get("source")
+            if not isinstance(script, str):
+                raise DslError(
+                    "script_score needs {'script': {'source': <expr>}}")
+            out = {"type": "script_score", "script": script}
+        elif key == "random_score":
+            out = {"type": "random_score"}
+            for k2 in ("seed", "field"):
+                if k2 in spec:
+                    out[k2] = spec[k2]
+        else:
+            raise DslError(f"unknown score function {key!r}")
+    if out is None:
+        out = {"type": "weight"}
+    if "weight" in fn:
+        out["weight"] = float(fn["weight"])
+    if "filter" in fn:
+        out["filter"] = _normalized_function_filter(fn["filter"])
+    return out
+
+
 def _search_dedicated(engine, q: dict, k: int):
     """JSON kinds served by dedicated engine entry points rather than
     the clause-tree walker: ``more_like_this`` (like = one indexed doc
     by ``_id``; ES percentage ``minimum_should_match`` honored),
     ``pinned`` (ids-first + organic match), ``terms_set`` (per-doc
     ``minimum_should_match_field``), ``function_score`` with a
-    FUNCTIONS LIST (function specs in the repo's normalized form —
-    ``funcscore.py``'s ``{"type": …}`` dicts; the ES per-function JSON
-    sugar is not translated, disclosed)."""
+    FUNCTIONS LIST — either the repo's normalized ``{"type": …}``
+    specs or the ES per-function JSON sugar
+    (:func:`normalize_function` translates filter/weight/decay/fvf/
+    script_score/random_score entries)."""
     ((kind, body),) = q.items()
     field = _default_field(engine)
     if kind == "more_like_this":
@@ -569,7 +702,8 @@ def _search_dedicated(engine, q: dict, k: int):
     if kind == "function_score":
         organic = _match_text(body.get("query"), field)
         return engine.search_function_score_multi(
-            organic, list(body.get("functions", [])),
+            organic,
+            [normalize_function(f) for f in body.get("functions", [])],
             score_mode=body.get("score_mode", "multiply"),
             boost_mode=body.get("boost_mode", "multiply"),
             max_boost=body.get("max_boost"),

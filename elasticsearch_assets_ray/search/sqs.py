@@ -232,30 +232,72 @@ def rewrite_fuzzy(tree, expand_fn):
     return tree
 
 
-def apply_minimum_should_match(tree, m: int | None):
+def calculate_min_should_match(n: int, spec) -> int:
+    """Lucene's ``minimum_should_match`` spec grammar over ``n``
+    optional clauses (org.elasticsearch.common.lucene.search.Queries
+    ``calculateMinShouldMatch``): a positive integer is absolute, a
+    negative integer means ``n + spec`` (that many may be MISSING),
+    ``"P%"`` is the truncated percentage of ``n`` (negative per the
+    missing rule), and conditional specs ``"3<90%"`` (space-separated,
+    ascending) pick the right-most clause whose lower bound is below
+    ``n`` — ``n`` at or under the first bound requires ALL clauses.
+    The percentage multiply is float32 like the Java original, so
+    boundary cases (``100%`` of 5) truncate identically.  The result is
+    floored at 0 but NOT capped at ``n``: a result above ``n`` is
+    Lucene's MatchNoDocsQuery rewrite — callers match nothing."""
+    if isinstance(spec, (int, np.integer)) and not isinstance(spec, bool):
+        return max(n + int(spec) if spec < 0 else int(spec), 0)
+    s = str(spec).strip()
+    if "<" in s:
+        result = n
+        for part in re.sub(r"\s*<\s*", "<", s).split():
+            before, _, after = part.partition("<")
+            if not after:
+                raise ValueError(
+                    f"invalid minimum_should_match spec {part!r}")
+            if n <= int(before):
+                return result
+            result = calculate_min_should_match(n, after)
+        return result
+    if s.endswith("%"):
+        pct = int(s[:-1])
+        calc = float(np.float32(np.float32(n * pct)
+                                * (np.float32(1) / np.float32(100))))
+        res = n + int(calc) if calc < 0 else int(calc)
+    else:
+        v = int(s)
+        res = n + v if v < 0 else v
+    return max(res, 0)
+
+
+def apply_minimum_should_match(tree, m: int | str | None):
     """ES's request-level ``minimum_should_match`` over a parsed tree:
     the root BooleanQuery's OPTIONAL clauses are the top-level OR spine
-    — flatten it into an ``("msm", m, children)`` count node.  Lucene
-    semantics (the root is read as a BooleanQuery): required
-    (``filter``) and prohibited (``andnot``) wrappers pass through to
-    their optional side; a root with FEWER optional clauses than ``m``
-    matches nothing, exactly as Lucene rewrites a BooleanQuery with
+    — flatten it into an ``("msm", m, children)`` count node.  ``m``
+    takes any Lucene spec form (int, negative int, percentage,
+    conditional — :func:`calculate_min_should_match` computes the count
+    against the root's optional-clause total).  Lucene semantics (the
+    root is read as a BooleanQuery): required (``filter``) and
+    prohibited (``andnot``) wrappers pass through to their optional
+    side; a root with FEWER optional clauses than ``m`` matches
+    nothing, exactly as Lucene rewrites a BooleanQuery with
     minShouldMatch > should-count to MatchNoDocsQuery — so ``m ≥ 1``
     over a pure conjunction (``a AND b`` = ``+a +b``, zero optional
     clauses) matches nothing, while ``m = 1`` over an OR spine or a
     single optional clause is the plain query (no-op)."""
-    if tree is None or not m or m < 1:
+    if tree is None or m is None or m == 0:
         return tree
     kind = tree[0]
     if kind in ("filter", "andnot", "boost"):
         inner = apply_minimum_should_match(tree[1], m)
         return (kind, inner) + tree[2:]
     if kind == "and":
-        # pure required conjunction: zero optional clauses at the root,
-        # any m ≥ 1 is unsatisfiable (empty-children msm evals to ∅)
-        return ("msm", int(m), ())
-    if m == 1:
-        return tree
+        # pure required conjunction: zero optional clauses at the root;
+        # a percentage/negative spec resolves against n=0 (no-op at 0),
+        # while any absolute m ≥ 1 is unsatisfiable (empty-children msm
+        # evals to ∅)
+        m = calculate_min_should_match(0, m)
+        return tree if m < 1 else ("msm", int(m), ())
     if kind == "or":
         children: list = []
 
@@ -267,7 +309,13 @@ def apply_minimum_should_match(tree, m: int | None):
                 children.append(n)
 
         flat(tree)
+        m = calculate_min_should_match(len(children), m)
+        if m <= 1:
+            return tree
         return ("msm", int(m), tuple(children))
+    m = calculate_min_should_match(1, m)
+    if m <= 1:
+        return tree
     return ("msm", int(m), (tree,))
 
 

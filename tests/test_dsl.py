@@ -136,9 +136,15 @@ def test_errors_and_lenient_cases():
         T({"regexp": {"content": "a.*b"}})
     with pytest.raises(DslError):
         T({"match": {"a": "x", "b": "y"}})
-    with pytest.raises(DslError):
-        T({"bool": {"minimum_should_match": "75%",
-                    "should": [{"match": {"content": "x"}}]}})
+    # "75%" of one should truncates to 0 required (Lucene float32
+    # percentage) — the clause stays, optional
+    assert T({"bool": {"minimum_should_match": "75%",
+                       "should": [{"match": {"content": "x"}}]}}) == (
+        "term", "x")
+    # a string integer is a valid spec; above the clause count →
+    # MatchNoDocsQuery (None), not an error
+    assert T({"bool": {"minimum_should_match": "75",
+                       "should": [{"match": {"content": "x"}}]}}) is None
     with pytest.raises(DslError):
         T({"wrapper": {"query": "!!! not base64 !!!"}})
     with pytest.raises(DslError):
@@ -276,12 +282,76 @@ def test_bool_msm_m_of_n_shape():
                       "minimum_should_match": 2}})
     msm = ("msm", 2, (a, b, c))
     assert got == ("filter", ("filter", ("or", m, msm), m), msm)
+    # Lucene spec forms (Queries.calculateMinShouldMatch): percentage
+    # truncates, negative counts missing-allowed, conditionals pick the
+    # right-most applicable clause
+    got = T({"bool": {"should": [{"match": {"content": "a1"}},
+                                 {"match": {"content": "b1"}},
+                                 {"match": {"content": "c1"}}],
+             "minimum_should_match": "75%"}})
+    assert got == ("msm", 2, (a, b, c))  # int(3 * .75) = 2
+    got = T({"bool": {"should": [{"match": {"content": "a1"}},
+                                 {"match": {"content": "b1"}},
+                                 {"match": {"content": "c1"}}],
+             "minimum_should_match": -1}})
+    assert got == ("msm", 2, (a, b, c))  # 3 + (-1)
+    # -1 of a single should → 0 required → optional-should bool has no
+    # required side at all → plain OR of the shoulds
+    got = T({"bool": {"should": [{"match": {"content": "a1"}},
+                                 {"match": {"content": "b1"}}],
+             "minimum_should_match": -1}})
+    assert got == ("or", a, b)
+    # conditional: n=3 ≤ 4 → ALL required
+    got = T({"bool": {"should": [{"match": {"content": "a1"}},
+                                 {"match": {"content": "b1"}},
+                                 {"match": {"content": "c1"}}],
+             "minimum_should_match": "4<90%"}})
+    assert got == ("msm", 3, (a, b, c))
+    # msm above the clause count → the WHOLE bool matches nothing, even
+    # with a must present (Lucene MatchNoDocsQuery rewrite)
+    assert T({"bool": {"must": [{"match": {"content": "m1"}}],
+                       "should": [{"match": {"content": "a1"}}],
+                       "minimum_should_match": 2}}) is None
     with pytest.raises(DslError):
         T({"bool": {"should": [{"match": {"content": "x"}}],
-                    "minimum_should_match": -1}})
-    with pytest.raises(DslError):
-        T({"bool": {"should": [{"match": {"content": "x"}}],
-                    "minimum_should_match": "75%"}})
+                    "minimum_should_match": "nonsense"}})
+
+
+def test_calculate_min_should_match_lucene_table():
+    """The Lucene Queries.calculateMinShouldMatch contract, including
+    the float32 percentage boundary cases (100% of n must be n)."""
+    from elasticsearch_assets_ray.search.sqs import (
+        calculate_min_should_match as calc,
+    )
+
+    assert calc(5, 3) == 3
+    assert calc(5, -2) == 3
+    assert calc(3, -5) == 0          # floored at 0
+    assert calc(4, "3") == 3
+    assert calc(4, "-1") == 3
+    assert calc(4, "75%") == 3
+    assert calc(5, "100%") == 5      # float32 rounds exactly like Java
+    assert calc(3, "100%") == 3
+    assert calc(7, "100%") == 7
+    assert calc(4, "-25%") == 3      # 4 + int(-1.0)
+    assert calc(9, "-25%") == 7      # 9 + int(-2.25)
+    assert calc(10, "33%") == 3
+    assert calc(0, "50%") == 0
+    # conditionals: "num<spec" — n at or under num → ALL optional
+    # clauses required; above → spec applies; multiple conditions pick
+    # the right-most whose bound is exceeded
+    assert calc(2, "3<90%") == 2
+    assert calc(3, "3<90%") == 3
+    assert calc(10, "3<90%") == 9
+    assert calc(2, "2<-25% 9<-3") == 2
+    assert calc(8, "2<-25% 9<-3") == 6
+    assert calc(12, "2<-25% 9<-3") == 9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        calc(3, "1<")
+    with _pytest.raises(ValueError):
+        calc(3, "abc")
 
 
 def test_msm_engine_semantics(dsl_index, ray_session):
@@ -480,3 +550,77 @@ def test_terms_set_dispatch_parity(dsl_index, ray_session):
     finally:
         eng.shutdown()
 
+
+
+def test_normalize_span_field_masking():
+    """ES JSON span_field_masking (leaves on their REAL field, wrapper
+    carries the masked-as field) → the native masked tree with
+    query_field resolved from the inner leaves."""
+    from elasticsearch_assets_ray.search.dsl import normalize_span
+
+    got = normalize_span({"span_near": {"clauses": [
+        {"span_term": {"text": "hash"}},
+        {"span_field_masking": {"query": {"span_term": {"stem": "tabl"}},
+                                "field": "text"}},
+    ], "slop": 3, "in_order": True}}, "text")
+    assert got == {"span_near": {"clauses": [
+        {"span_term": "hash"},
+        {"span_field_masking": {"query": {"span_term": "tabl"},
+                                "query_field": "stem", "field": "text"}},
+    ], "slop": 3, "in_order": True}}
+    # legacy name + nested or-group + span_multi leaf field discovery
+    got = normalize_span({"field_masking_span": {
+        "query": {"span_or": {"clauses": [
+            {"span_term": {"stem": "merg"}},
+            {"span_multi": {"match": {"prefix": {"stem": "quer"}},
+                            "max_expansions": 10}}]}},
+        "field": "text"}}, "text")
+    assert got == {"span_field_masking": {
+        "query": {"span_or": [
+            {"span_term": "merg"},
+            {"span_multi": {"prefix": "quer", "max_expansions": 10}}]},
+        "query_field": "stem", "field": "text"}}
+    # a leaf on a foreign field OUTSIDE a mask still raises
+    with pytest.raises(DslError):
+        normalize_span({"span_term": {"stem": "tabl"}}, "text")
+
+
+def test_normalize_function_sugar():
+    """ES per-function JSON sugar → the repo-normalized funcscore
+    specs, byte-equal to the contract's FSM shapes."""
+    from elasticsearch_assets_ray.search.dsl import normalize_function
+
+    assert normalize_function(
+        {"field_value_factor": {"field": "n_chars", "factor": 0.01,
+                                "modifier": "log1p"}}) == {
+        "type": "field_value_factor", "field": "n_chars",
+        "factor": 0.01, "modifier": "log1p"}
+    assert normalize_function(
+        {"gauss": {"n_chars": {"origin": 300.0, "scale": 100.0}}}) == {
+        "type": "decay", "function": "gauss", "field": "n_chars",
+        "origin": 300.0, "scale": 100.0}
+    assert normalize_function(
+        {"weight": 2.0, "filter": {"term": {"lang": "de"}}}) == {
+        "type": "weight", "weight": 2.0,
+        "filter": {"field": "lang", "term": "de"}}
+    assert normalize_function(
+        {"weight": 3.0,
+         "filter": {"range": {"n_chars": {"gte": 350}}}}) == {
+        "type": "weight", "weight": 3.0,
+        "filter": {"field": "n_chars", "range": [350, None, True, True]}}
+    assert normalize_function(
+        {"script_score": {"script": {"source": "_score * 2"}}}) == {
+        "type": "script_score", "script": "_score * 2"}
+    assert normalize_function(
+        {"random_score": {"seed": 42, "field": "orig_id"},
+         "weight": 0.5}) == {
+        "type": "random_score", "seed": 42, "field": "orig_id",
+        "weight": 0.5}
+    # already-normalized specs pass through untouched
+    spec = {"type": "field_value_factor", "field": "n_chars"}
+    assert normalize_function(spec) == spec
+    with pytest.raises(DslError):
+        normalize_function({"nosuch_function": {}})
+    with pytest.raises(DslError):
+        normalize_function({"weight": 1.0,
+                            "filter": {"match": {"text": "x"}}})
