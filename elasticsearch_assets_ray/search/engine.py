@@ -2462,9 +2462,9 @@ class ShardData:
             return np.unique(np.concatenate(parts))
 
         if slop > 0 and slop_mode == "lucene":
-            from .sloppy import repeat_groups_of, sloppy_freqs_for_candidates
+            from .sloppy import repeat_plan, sloppy_freqs_for_candidates
 
-            rpt_groups = repeat_groups_of(slot_present)
+            rpt_groups, rpt_multi = repeat_plan(slot_present)
             mask32 = np.int64((1 << 32) - 1)
             slot_docs, slot_pos = [], []
             for alts in slot_present:
@@ -2472,7 +2472,8 @@ class ShardData:
                 slot_docs.append((keys >> np.int64(32)).astype(np.int64))
                 slot_pos.append((keys & mask32).astype(np.int64))
             hd, pf = sloppy_freqs_for_candidates(
-                slot_docs, slot_pos, slop, repeat_groups=rpt_groups
+                slot_docs, slot_pos, slop, repeat_groups=rpt_groups,
+                multi_term=rpt_multi,
             )
             if len(hd):
                 live = ~self.deleted_mask[hd]
@@ -3795,7 +3796,13 @@ class QueryEngine:
         minimal chain (span ≤ len-1+slop, SQL-reproducible);
         ``slop_mode="lucene"`` is Lucene's SloppyPhraseMatcher —
         reordering admitted, matches weighted 1/(1+matchLength) into a
-        float tf (see ``search.sloppy``)."""
+        float tf (see ``search.sloppy``).
+
+        A pre-analyzed ``phrase`` list may hold LISTS of alternative
+        terms per slot (the Lucene MultiPhraseQuery shape); idf = Σ over
+        every term occurrence across slots, and repeated terms among
+        alternatives engage the multi-term repeat machinery
+        (``sloppy.repeat_plan``) in the lucene slop mode."""
         if isinstance(phrase, str):
             fn = get_analyzer(
                 "code" if self.analyzer_name == "per_lang" else self.analyzer_name
@@ -3806,8 +3813,10 @@ class QueryEngine:
             terms = list(phrase)
         if not terms:
             return []
-        idf = self.idfs(sorted(set(terms)))
-        idf_sum = float(sum(idf[t] for t in terms))
+        flat = [t for s in terms
+                for t in ([s] if isinstance(s, str) else s)]
+        idf = self.idfs(sorted(set(flat)))
+        idf_sum = float(sum(idf[t] for t in flat))
         per_actor = ray.get(
             [a.phrase_topk.remote([(0, terms, idf_sum, k, slop, slop_mode)])
              for a in self.actors]

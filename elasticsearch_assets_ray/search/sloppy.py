@@ -28,7 +28,14 @@ Phrases with REPEATED terms route to
 :func:`lucene_sloppy_freq_repeats` — Lucene's collision machine (slots
 of a repeat group must occupy distinct token positions; the lesser
 phrase position advances on a collision).  Multi-term repeat SLOTS
-(a repeated term among a slot's alternatives) remain rejected.
+(a repeated term among a slot's alternatives — the
+match_phrase_prefix / MultiPhraseQuery shape) use Lucene's separate
+multi-term machinery: repeat groups come from TERM-CONNECTIVITY
+(slots whose repeating-term sets transitively intersect form one
+group, Lucene's ``unionTermGroups``) and initialization resolves
+collisions with the collide-loop of ``advanceRepeatGroups`` instead
+of the fixed per-rank advance.  :func:`repeat_plan` computes both the
+groups and which machinery applies.
 """
 
 from __future__ import annotations
@@ -54,34 +61,75 @@ def check_no_repeats(terms_per_slot: list) -> None:
             seen.add(t)
 
 
+def repeat_plan(terms_per_slot: list) -> tuple[list[list[int]], bool]:
+    """``(repeat_groups, multi_term)`` for Lucene sloppy matching.
+
+    ``multi_term`` mirrors Lucene's ``hasMultiTermRpts`` (ANY slot has
+    more than one alternative term) and selects BOTH the grouping rule
+    and the matcher's init:
+
+    * single-term (``multi_term=False``): slots sharing their term form
+      one group (their matched token positions must be DISTINCT) —
+      groups are disjoint by construction;
+    * multi-term: Lucene's ``gatherRptGroups`` complex branch — a term
+      repeats when it appears in ≥2 slots' alternative lists, and
+      slots whose repeating-term sets TRANSITIVELY intersect form one
+      group (``unionTermGroups``: keep or-ing overlapping sets until a
+      fixpoint).  A slot with no repeating term joins no group.
+
+    Groups list slot indices ascending (Lucene sorts each group by
+    query offset to assign ``rptInd``)."""
+    slots = [[a] if isinstance(a, str) else list(a) for a in terms_per_slot]
+    multi = any(len(s) > 1 for s in slots)
+    cnt: dict[str, int] = {}
+    for s in slots:
+        for t in set(s):
+            cnt[t] = cnt.get(t, 0) + 1
+    rpt_terms = {t for t, c in cnt.items() if c >= 2}
+    if not rpt_terms:
+        return [], multi
+    if not multi:
+        by_term: dict[str, list[int]] = {}
+        for i, s in enumerate(slots):
+            if s[0] in rpt_terms:
+                by_term.setdefault(s[0], []).append(i)
+        return [v for v in by_term.values() if len(v) > 1], False
+    # multi-term machinery: union-find by term connectivity.  Each
+    # entry is [repeating-term set, slot list]; or-merge entries whose
+    # term sets intersect until no pair does (Lucene re-scans from the
+    # merged entry exactly like this incr-loop).
+    bb: list[list] = []
+    for i, s in enumerate(slots):
+        ts = {t for t in s if t in rpt_terms}
+        if ts:
+            bb.append([ts, [i]])
+    i = 0
+    while i < len(bb) - 1:
+        incr = 1
+        j = i + 1
+        while j < len(bb):
+            if bb[i][0] & bb[j][0]:
+                bb[i][0] |= bb[j][0]
+                bb[i][1] += bb[j][1]
+                del bb[j]
+                incr = 0
+            else:
+                j += 1
+        i += incr
+    return [sorted(e[1]) for e in bb if len(e[1]) > 1], True
+
+
 def repeat_groups_of(terms_per_slot: list) -> list[list[int]]:
-    """Repeat groups for Lucene sloppy matching: slots sharing a term
-    form one group (their matched token positions must be DISTINCT).
-    Single-term slots only — a repeated term among a slot's
-    ALTERNATIVES (Lucene's multi-term repeat machinery) still raises."""
-    by_term: dict[str, list[int]] = {}
-    for i, alts in enumerate(terms_per_slot):
-        ts = [alts] if isinstance(alts, str) else list(alts)
-        for t in ts:
-            by_term.setdefault(t, []).append(i)
-    groups = [v for v in by_term.values() if len(v) > 1]
-    if groups and any(
-        not isinstance(a, str) and len(a) > 1 for a in terms_per_slot
-    ):
-        raise ValueError(
-            "lucene slop mode supports repeats only for single-term "
-            "slots (multi-term repeat slots are Lucene's separate "
-            "machinery); use slop_mode='ordered'"
-        )
-    # merge overlapping groups (a slot can repeat several terms only in
-    # the multi-term case, excluded above — groups are disjoint here)
-    return groups
+    """Back-compat accessor: the groups half of :func:`repeat_plan`
+    (callers that also need the init mode use :func:`repeat_plan`)."""
+    return repeat_plan(terms_per_slot)[0]
 
 
 def lucene_sloppy_freq_repeats(
     slot_positions: list[np.ndarray],
     slop: int,
     repeat_groups: list[list[int]],
+    multi_term: bool = False,
 ) -> float:
     """Sloppy phrase frequency of ONE document for phrases with REPEATED
     terms — Lucene's SloppyPhraseMatcher collision handling, transcribed
@@ -98,6 +146,15 @@ def lucene_sloppy_freq_repeats(
     whose collision pass pushed the runner-up forward still emits the
     pre-advance alignment against the OLD bound (e.g. "a a" over
     "a a a" yields two matches precisely because of it).
+
+    ``multi_term``: Lucene's ``hasMultiTermRpts`` init
+    (``advanceRepeatGroups``, complex branch) — per group, scan slots
+    in rptInd order resolving collisions by advancing the LESSER of
+    the colliding pair (restarting the scan position when an
+    earlier-rank slot advanced), instead of the single-term per-slot
+    resolution.  Slot positions are the slots' alternative-term
+    position UNIONS (the callers union before calling); the main loop
+    is shared by both modes, exactly as in Lucene.
     """
     nslots = len(slot_positions)
     if any(len(p) == 0 for p in slot_positions):
@@ -145,10 +202,31 @@ def lucene_sloppy_freq_repeats(
             i = a
         return True
 
-    # init: place fronts, then fix collisions slot-ascending
-    for i in range(nslots):
-        if not advance_rpts(i):
-            return 0.0
+    if multi_term:
+        # init: Lucene advanceRepeatGroups, hasMultiTermRpts branch —
+        # scan each group in rptInd order; on a collision advance the
+        # lesser pp (NOT following the advanced one: the probe stays
+        # g[i]); when the advanced pp ranks EARLIER in the group,
+        # re-scan from the same rank (Lucene's incr=0)
+        for g in repeat_groups:
+            ind = {s: x for x, s in enumerate(g)}
+            gi = 0
+            while gi < len(g):
+                incr = 1
+                pp = g[gi]
+                while (j := collide(pp)) is not None:
+                    a = pp if (cur[pp], pp) < (cur[j], j) else j
+                    if not advance(a):
+                        return 0.0
+                    if ind[a] < gi:
+                        incr = 0
+                        break
+                gi += incr
+    else:
+        # init: place fronts, then fix collisions slot-ascending
+        for i in range(nslots):
+            if not advance_rpts(i):
+                return 0.0
 
     def min_slot() -> int:
         m = 0
@@ -369,6 +447,7 @@ def sloppy_freqs_for_candidates(
     slot_pos: list[np.ndarray],
     slop: int,
     repeat_groups: list[list[int]] | None = None,
+    multi_term: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-candidate phrase frequencies.
 
@@ -402,7 +481,8 @@ def sloppy_freqs_for_candidates(
         out_d, out_f = [], []
         for r, d in enumerate(cands.tolist()):
             slots = [slot_pos[s][lo[r, s]:hi[r, s]] for s in range(nslots)]
-            f = lucene_sloppy_freq_repeats(slots, slop, repeat_groups)
+            f = lucene_sloppy_freq_repeats(slots, slop, repeat_groups,
+                                           multi_term=multi_term)
             if f > 0.0:
                 out_d.append(int(d))
                 out_f.append(f)

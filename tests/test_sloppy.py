@@ -87,8 +87,93 @@ def test_repeats_matcher_hand_computed():
     # groups helper
     assert repeat_groups_of(["data", "config", "data"]) == [[0, 2]]
     assert repeat_groups_of(["a", "b"]) == []
-    with pytest.raises(ValueError):
-        repeat_groups_of([["a", "x"], "b", "a"])  # multi-term repeat slot
+
+
+def test_repeat_plan_multi_term_grouping():
+    """Lucene gatherRptGroups, hasMultiTermRpts branch: groups come from
+    TERM-CONNECTIVITY over repeating terms (unionTermGroups)."""
+    from elasticsearch_assets_ray.search.sloppy import repeat_plan
+
+    # single-term phrases: per-term groups, multi=False
+    assert repeat_plan(["data", "config", "data"]) == ([[0, 2]], False)
+    assert repeat_plan(["a", "b"]) == ([], False)
+    # a multi-term slot WITHOUT repeats: no groups, multi=True
+    assert repeat_plan([["a", "b"], "c"]) == ([], True)
+    # repeated term among alternatives (the match_phrase_prefix shape)
+    assert repeat_plan([["a", "x"], "b", "a"]) == ([[0, 2]], True)
+    # transitive connectivity: slot0 {a,b}, slot1 {b,c}, slot2 {c} —
+    # a repeats nowhere alone but b links 0-1 and c links 1-2 → ONE group
+    assert repeat_plan([["a", "b"], ["b", "c"], ["c"]]) == (
+        [[0, 1, 2]], True)
+    # two independent repeat chains stay separate groups
+    assert repeat_plan([["a"], ["a"], ["b", "z"], ["b"]]) == (
+        [[0, 1], [2, 3]], True)
+
+
+def test_repeats_matcher_multi_term_hand_computed():
+    """Hand-walked Lucene multi-term repeat machinery (complex init +
+    shared main loop) on MultiPhraseQuery-shaped slots; slot position
+    arrays are the alternatives' unions."""
+    from elasticsearch_assets_ray.search.sloppy import (
+        lucene_sloppy_freq_repeats,
+        repeat_plan,
+    )
+
+    def f(slots, slop, phrase):
+        groups, multi = repeat_plan(phrase)
+        assert multi
+        return lucene_sloppy_freq_repeats(
+            [np.array(s, dtype=np.int64) for s in slots], slop, groups,
+            multi_term=multi,
+        )
+
+    # phrase (a|b) a over "a b a": a=[0,2] b=[1]; slot unions
+    # [0,1,2] / [0,2].  One exact window ("b a" at tokens 1-2) — the
+    # init collision (both streams at token 0) advances slot1 to a@2.
+    ph = [["a", "b"], ["a"]]
+    for slop in range(4):
+        assert f([[0, 1, 2], [0, 2]], slop, ph) == pytest.approx(1.0)
+    # phrase (a|b) (a|c) over "c a b a c": unions [1,2,3] / [0,1,3,4].
+    # Exact "b a" (tokens 2-3) and "a c" (tokens 3-4); the reversed
+    # "c a" window (tokens 0-1) needs slop ≥ 2 and weighs 1/3.
+    ph = [["a", "b"], ["a", "c"]]
+    assert f([[1, 2, 3], [0, 1, 3, 4]], 0, ph) == pytest.approx(2.0)
+    assert f([[1, 2, 3], [0, 1, 3, 4]], 1, ph) == pytest.approx(2.0)
+    assert f([[1, 2, 3], [0, 1, 3, 4]], 2, ph) == pytest.approx(2.0 + 1 / 3)
+    # phrase (a|b) a over "a b": both streams collide at token 0, the
+    # lesser (slot1) has nowhere to advance → no match at any slop
+    # (Lucene's conservative union-collision outcome)
+    ph = [["a", "b"], ["a"]]
+    for slop in range(5):
+        assert f([[0, 1], [0]], slop, ph) == 0.0
+
+
+def test_repeats_matcher_multi_init_equals_simple_on_pure_repeats():
+    """When every repeated term's position list is shared verbatim (the
+    single-term-repeat regime), the multi-term init must land on the
+    same state as the simple init — a dead alternative (absent from the
+    doc) must not change results."""
+    from elasticsearch_assets_ray.search.sloppy import (
+        lucene_sloppy_freq_repeats,
+        repeat_plan,
+    )
+
+    rng = np.random.default_rng(47)
+    g_simple, m0 = repeat_plan(["a", "b", "a"])
+    g_multi, m1 = repeat_plan([["a", "x"], "b", "a"])
+    assert (g_simple, m0) == ([[0, 2]], False)
+    assert (g_multi, m1) == ([[0, 2]], True)
+    for _ in range(200):
+        a_pos = sorted(set(rng.integers(0, 20, rng.integers(1, 6)).tolist()))
+        b_pos = sorted(set(rng.integers(0, 20, rng.integers(1, 6)).tolist()))
+        slots = [np.array(a_pos, dtype=np.int64),
+                 np.array(b_pos, dtype=np.int64),
+                 np.array(a_pos, dtype=np.int64)]
+        slop = int(rng.integers(0, 6))
+        simple = lucene_sloppy_freq_repeats(slots, slop, g_simple)
+        multi = lucene_sloppy_freq_repeats(slots, slop, g_multi,
+                                           multi_term=True)
+        assert simple == pytest.approx(multi), (a_pos, b_pos, slop)
 
 
 def test_lockstep_matches_scalar_on_random_batches():
@@ -279,3 +364,48 @@ def test_lucene_slop_engines_and_semantics(slop_corpus, ray_session):
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+def test_lucene_slop_multi_term_repeat_slots(slop_corpus, ray_session):
+    """Multi-term repeat SLOTS (MultiPhraseQuery alternatives sharing a
+    term) through the shard engine's lucene slop path: every hit/miss
+    must agree with the multi-term collision machine run per doc on its
+    own text."""
+    from elasticsearch_assets_ray.config import BM25Params
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+    from elasticsearch_assets_ray.search.sloppy import (
+        lucene_sloppy_freq_repeats,
+        repeat_plan,
+    )
+
+    idx, gdir, texts = slop_corpus
+    eng = QueryEngine(idx, num_actors=2, params=BM25Params(round_decimals=4))
+    try:
+        cases = [
+            ([["alpha", "theta"], "beta", "alpha"], 2),
+            ([["alpha", "kappa"], "alpha"], 3),
+            ([["beta", "mu"], ["beta", "nu"]], 2),
+            ([["alpha", "beta"], ["alpha"]], 1),
+        ]
+        for phrase, slop in cases:
+            got = eng.search_phrase(phrase, k=300, slop=slop,
+                                    slop_mode="lucene")
+            groups, multi = repeat_plan(phrase)
+            assert multi, phrase
+            hit_docs = {d for d, _ in got}
+            for d, text in enumerate(texts):
+                toks = text.split()
+                slots = []
+                for alts in phrase:
+                    alts = [alts] if isinstance(alts, str) else alts
+                    ps = sorted({i for i, t in enumerate(toks)
+                                 if t in alts})
+                    slots.append(np.array(ps, dtype=np.int64))
+                want = (
+                    0.0 if any(len(s) == 0 for s in slots)
+                    else lucene_sloppy_freq_repeats(
+                        slots, slop, groups, multi_term=multi)
+                )
+                assert (want > 0) == (d in hit_docs), (phrase, slop, d, text)
+    finally:
+        eng.shutdown()
