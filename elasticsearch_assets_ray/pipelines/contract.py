@@ -85,6 +85,16 @@ PHRASE_PREFIX_QUERIES: list[tuple[int, str]] = [
     (3, "customer or"),
 ]
 MAX_EXPANSIONS = 50  # ES default for match_phrase_prefix
+# match_phrase_prefix + slop (ES supports slop on the multi-term last
+# slot); qid 3's expansion set repeats the fixed term → the lucene-mode
+# MULTI-TERM repeat machinery (sloppy.repeat_plan) runs in the driver
+# artifact
+PHRASE_PREFIX_SLOP_QUERIES: list[tuple[int, str, int, str]] = [
+    (0, "hash jo", 1, "ordered"),
+    (1, "big ta", 2, "lucene"),
+    (2, "slow qu", 2, "ordered"),
+    (3, "table ta", 2, "lucene"),
+]
 
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 
@@ -1555,6 +1565,42 @@ def q_phrase_prefix_global(sf_dir: str) -> pa.Table:
         }
     finally:
         eng.shutdown()
+    return _bm25_rerank(per_q, idx)
+
+
+def q_phrase_prefix_slop(sf_dir: str) -> pa.Table:
+    """``match_phrase_prefix`` with ``slop`` over the expansion-union
+    last slot — ordered mode (greedy chain on per-slot key unions) and
+    lucene mode (SloppyPhraseMatcher with the multi-term repeat plan;
+    an expansion repeating a fixed term engages the collision
+    machinery).  Lucene-mode semantics are operational, not declarative
+    → rows-only; both engines run and the pipeline asserts they agree
+    (the bm25_phrase_slop_lucene contract pattern), with per-doc
+    matcher parity in tests/test_sloppy.py."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        per_q = {
+            qid: engine.search_phrase_prefix(
+                p, k=K_FETCH, max_expansions=MAX_EXPANSIONS, slop=sl,
+                slop_mode=m)
+            for qid, p, sl, m in PHRASE_PREFIX_SLOP_QUERIES
+        }
+    finally:
+        engine.shutdown()
+    _, teng = _global_engine(sf_dir)
+    try:
+        for qid, p, sl, m in PHRASE_PREFIX_SLOP_QUERIES:
+            got = teng.search_phrase_prefix(
+                p, k=K_FETCH, max_expansions=MAX_EXPANSIONS, slop=sl,
+                slop_mode=m)
+            assert got == per_q[qid], \
+                f"engine divergence on phrase_prefix slop query {qid}"
+    finally:
+        teng.shutdown()
     return _bm25_rerank(per_q, idx)
 
 
@@ -14684,6 +14730,7 @@ def queries():
         "prefix_search": q_prefix_search,
         "bm25_phrase_prefix": q_phrase_prefix,
         "bm25_phrase_prefix_global": q_phrase_prefix_global,
+        "bm25_phrase_prefix_slop": q_phrase_prefix_slop,
         "wildcard_search": q_wildcard_search,
         "regexp_search": q_regexp_search,
         "regexp_search_global": q_regexp_search_global,

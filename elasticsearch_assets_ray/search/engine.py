@@ -5901,12 +5901,17 @@ class QueryEngine:
         return out
 
     def search_phrase_prefix(
-        self, phrase: str | list[str], k: int = 10, max_expansions: int = 50
+        self, phrase: str | list[str], k: int = 10,
+        max_expansions: int = 50, slop: int = 0,
+        slop_mode: str = "ordered",
     ) -> list[tuple[int, float]]:
         """ES ``match_phrase_prefix``: an exact phrase whose LAST term is
         a prefix, expanded to ``max_expansions`` dictionary terms in term
         order (Lucene MultiPhraseQuery).  idf = Σ idfs of the fixed terms
-        plus Σ idfs of every expansion; tf = multi-phrase frequency."""
+        plus Σ idfs of every expansion; tf = multi-phrase frequency.
+        ``slop``/``slop_mode`` behave as in :meth:`search_phrase` over
+        the multi-term slots (an expansion repeating a fixed term
+        engages the lucene-mode multi-term repeat machinery)."""
         if isinstance(phrase, str):
             fn = get_analyzer(
                 "code" if self.analyzer_name == "per_lang" else self.analyzer_name
@@ -5925,7 +5930,8 @@ class QueryEngine:
         idf_sum = float(sum(idf[t] for t in fixed) + sum(idf[t] for t in expansions))
         slots: list = list(fixed) + [expansions]
         per_actor = ray.get(
-            [a.phrase_topk.remote([(0, slots, idf_sum, k)]) for a in self.actors]
+            [a.phrase_topk.remote([(0, slots, idf_sum, k, slop, slop_mode)])
+             for a in self.actors]
         )
         parts = [(res[0][1], res[0][2]) for res in per_actor]
         ids, sc = merge_topk(parts, k, self.params.round_decimals)

@@ -628,6 +628,7 @@ def _phrase_chunk_kernel(
     slop: int,
     slop_mode: str,
     rpt_groups: list | None,
+    rpt_multi: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """One doc-range chunk [lo, hi) of a phrase query, reading the
     terms' FULL posting arrays zero-copy from the object store
@@ -639,7 +640,7 @@ def _phrase_chunk_kernel(
     independence (forced-parallel parity tests)."""
     # each slot is a LIST of posting refs — singleton for a plain term,
     # several for a multi-phrase slot (match_phrase_prefix expansions);
-    # slop modes only ever see singletons (asserted by the caller)
+    # slop modes union the group's position streams per slot
     slices = []
     for slot in slot_refs:
         group = []
@@ -652,7 +653,8 @@ def _phrase_chunk_kernel(
             group.append((ids[a:b], tf64[a:b], pos[tfcum[a]:tfcum[b]]))
         slices.append(group)
     return _phrase_slices_compute(
-        slices, seqs, cand, shift_bits, slop, slop_mode, rpt_groups
+        slices, seqs, cand, shift_bits, slop, slop_mode, rpt_groups,
+        rpt_multi,
     )
 
 
@@ -664,39 +666,51 @@ def _phrase_slices_compute(
     slop: int,
     slop_mode: str,
     rpt_groups: list | None,
+    rpt_multi: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """The shared chunk compute: per-slot GROUPS of (ids, tf64, pos)
     posting slices → (matched doc ids, phrase freqs) for this chunk's
     candidates — the subset-gather → key-pack → intersect chain for
     exact/ordered, the lockstep sloppy matcher for lucene mode.  Both
     parallel kernels (full-ref slicing and actor-gated subsets) call
-    this; per-doc independence makes any doc-disjoint split exact."""
+    this; per-doc independence makes any doc-disjoint split exact.
+
+    Multi-term slots (several slices in a group) union their position
+    streams per slot in every mode; ``(rpt_groups, rpt_multi)`` carry
+    the lucene-mode repeat plan (``sloppy.repeat_plan``)."""
     from .sloppy import sloppy_freqs_for_candidates
 
     shift = np.int64(shift_bits)
-    if slop > 0 and slop_mode == "lucene":
-        slot_docs, slot_pos = [], []
-        for (ids, tf64, pos), in slices:
-            ids_s, tfs_s, pos_s = subset_positions(ids, tf64, pos, cand)
-            slot_docs.append(
-                np.repeat(ids_s, tfs_s).astype(np.int64, copy=False)
-            )
-            slot_pos.append(pos_s.astype(np.int64))
-        return sloppy_freqs_for_candidates(
-            slot_docs, slot_pos, slop, repeat_groups=rpt_groups
-        )
-    if slop > 0:
-        # ordered sloppy: the inline greedy successor chain on raw
-        # (doc<<bits|pos) keys, over this chunk's slices only
-        keys_per_slot = []
-        for (ids, tf64, pos), in slices:
+
+    def slot_keys_union(group):
+        # one token per position → keys are disjoint across the
+        # group's terms; sort-merge, no dedup needed
+        parts = []
+        for ids, tf64, pos in group:
             ids_s, tfs_s, pos_s = subset_positions(ids, tf64, pos, cand)
             docs_flat = np.repeat(ids_s, tfs_s).astype(
                 np.int64, copy=False
             )
-            keys_per_slot.append(
-                (docs_flat << shift) | pos_s.astype(np.int64)
-            )
+            parts.append((docs_flat << shift) | pos_s.astype(np.int64))
+        return parts[0] if len(parts) == 1 else np.sort(
+            np.concatenate(parts)
+        )
+
+    if slop > 0 and slop_mode == "lucene":
+        mask = np.int64((1 << shift_bits) - 1)
+        slot_docs, slot_pos = [], []
+        for group in slices:
+            keys = slot_keys_union(group)
+            slot_docs.append((keys >> shift).astype(np.int64, copy=False))
+            slot_pos.append((keys & mask).astype(np.int64, copy=False))
+        return sloppy_freqs_for_candidates(
+            slot_docs, slot_pos, slop, repeat_groups=rpt_groups,
+            multi_term=rpt_multi,
+        )
+    if slop > 0:
+        # ordered sloppy: the inline greedy successor chain on raw
+        # (doc<<bits|pos) keys, over this chunk's slices only
+        keys_per_slot = [slot_keys_union(group) for group in slices]
         starts = keys_per_slot[0]
         cur = starts
         okm = np.ones(len(starts), dtype=bool)
@@ -754,6 +768,7 @@ def _phrase_gated_chunk_kernel(
     slop: int,
     slop_mode: str,
     rpt_groups: list | None,
+    rpt_multi: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """One doc-range chunk of a GATED-parallel phrase: ``part_refs``
     are ObjectRefs of per-owning-actor ``fetch_positions_subset``
@@ -784,7 +799,7 @@ def _phrase_gated_chunk_kernel(
         slices.append(group)
     return _phrase_slices_compute(
         slices, list(range(len(toks))), cand, shift_bits, slop,
-        slop_mode, rpt_groups,
+        slop_mode, rpt_groups, rpt_multi,
     )
 
 
@@ -4413,7 +4428,8 @@ class TermPartitionedEngine:
 
     def search_phrase_prefix(
         self, phrase: str | list[str], k: int = 10,
-        max_expansions: int = 50,
+        max_expansions: int = 50, slop: int = 0,
+        slop_mode: str = "ordered",
     ) -> list[tuple[int, float]]:
         """ES ``match_phrase_prefix`` served from the term-partitioned
         layout: the last term expands to ``max_expansions`` dictionary
@@ -4425,11 +4441,19 @@ class TermPartitionedEngine:
         count — rank/score identical to
         :meth:`QueryEngine.search_phrase_prefix` (tested).
 
+        ``slop`` admits sloppy matching over the multi-term slots:
+        ``slop_mode="ordered"`` runs the greedy successor chain on the
+        per-slot key unions, ``"lucene"`` the SloppyPhraseMatcher with
+        the multi-term repeat plan (an expansion repeating a fixed term
+        engages the collision machinery — ``sloppy.repeat_plan``).
+
         The positional fetch is GATED like plain phrases, but under the
         multi-phrase candidate set (fixed-term conjunction ∩ expansion
         union) rather than the all-terms conjunction — only candidate
         docs' position segments cross the wire when the gate's cost
         model says the subset is materially cheaper."""
+        from .sloppy import repeat_plan
+
         if isinstance(phrase, str):
             toks = clip_tokens(self._analyzer(phrase), *self._clip)
         else:
@@ -4485,8 +4509,13 @@ class TermPartitionedEngine:
             for t in list(fixed) + list(expansions):  # fixed WITH repeats
                 df = base2[t][2]
                 idf_sum += math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+            slots_t = list(fixed) + [list(expansions)]
+            rpt_groups, rpt_multi = (
+                repeat_plan(slots_t)
+                if slop > 0 and slop_mode == "lucene" else ([], False)
+            )
             hd, pf = self._phrase_gated_parallel(
-                list(fixed) + [list(expansions)], cand
+                slots_t, cand, slop, slop_mode, rpt_groups, rpt_multi
             )
             if len(hd) == 0:
                 return []
@@ -4526,9 +4555,34 @@ class TermPartitionedEngine:
             and len(cand) > self.PHRASE_PARALLEL_TASKS
             and all(fetched[t][1] is not None for t in all_terms)
         )
+        slots_t = list(fixed) + [list(expansions)]
+        rpt_groups, rpt_multi = (
+            repeat_plan(slots_t)
+            if slop > 0 and slop_mode == "lucene" else ([], False)
+        )
         if parallel_ok:
             hd, pf = self._phrase_parallel(
-                list(fixed) + [list(expansions)], fetched, cand, shift
+                slots_t, fetched, cand, shift, slop, slop_mode,
+                rpt_groups, rpt_multi,
+            )
+            if len(hd) == 0:
+                return []
+            return self._phrase_score_tail(
+                hd, pf.astype(np.float64), idf_sum, k, dl_term=dl_term
+            )
+        if slop > 0:
+            # sloppy modes run the shared slices compute inline (the
+            # same kernel the chunk tasks run, over all candidates)
+            slices = [
+                [(fetched[t][0], fetched[t][5].astype(np.int64),
+                  fetched[t][6])
+                 for t in ([slot] if isinstance(slot, str) else slot)]
+                for slot in slots_t
+            ]
+            hd, pf = _phrase_slices_compute(
+                slices, list(range(len(slots_t))), cand,
+                int(self._POS_BITS), slop, slop_mode, rpt_groups,
+                rpt_multi,
             )
             if len(hd) == 0:
                 return []
@@ -4584,6 +4638,7 @@ class TermPartitionedEngine:
         slop: int = 0,
         slop_mode: str = "ordered",
         rpt_groups: list | None = None,
+        rpt_multi: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Hot-phrase coordinator work fanned out over doc-range chunk
         tasks — exact by per-doc independence (forced-parallel parity
@@ -4595,13 +4650,11 @@ class TermPartitionedEngine:
         gets structurally.
 
         ``toks`` entries may be a LIST of terms (a multi-phrase slot —
-        the match_phrase_prefix expansion union); slop modes require
-        plain single-term slots."""
+        the match_phrase_prefix expansion union); slop modes union the
+        group's position streams per slot inside the chunk kernel."""
         flat_terms = set()
         for slot in toks:
             flat_terms.update(slot if isinstance(slot, list) else [slot])
-        if slop > 0 and any(isinstance(s, list) for s in toks):
-            raise ValueError("multi-phrase slots support exact mode only")
         if not hasattr(self, "_chunk_put_cache"):
             self._chunk_put_cache: dict[str, tuple] = {}
             self._chunk_put_postings = 0
@@ -4655,7 +4708,7 @@ class TermPartitionedEngine:
             futs.append(
                 _phrase_chunk_kernel.remote(
                     slot_refs, seqs, lo, hi, cand_c, int(shift),
-                    slop, slop_mode, rpt_groups,
+                    slop, slop_mode, rpt_groups, rpt_multi,
                 )
             )
         if not futs:
@@ -4672,6 +4725,7 @@ class TermPartitionedEngine:
         slop: int = 0,
         slop_mode: str = "ordered",
         rpt_groups: list | None = None,
+        rpt_multi: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Huge-mass phrase execution: per doc-range chunk, each owning
         bucket actor ships that chunk's candidate-subset positions as
@@ -4683,15 +4737,13 @@ class TermPartitionedEngine:
         tests).
 
         ``toks`` entries may be a LIST of terms (a multi-phrase slot —
-        the match_phrase_prefix expansion union); slop modes require
-        plain single-term slots."""
+        the match_phrase_prefix expansion union); slop modes union the
+        group's position streams per slot inside the chunk kernel."""
         from ..index.global_merge import _term_bucket
 
         flat_terms: set[str] = set()
         for slot in toks:
             flat_terms.update(slot if isinstance(slot, list) else [slot])
-        if slop > 0 and any(isinstance(s, list) for s in toks):
-            raise ValueError("multi-phrase slots support exact mode only")
         by_actor: dict[int, list[str]] = {}
         for t in sorted(flat_terms):
             ai = self._actor_of_bucket[
@@ -4720,7 +4772,7 @@ class TermPartitionedEngine:
             futs.append(
                 _phrase_gated_chunk_kernel.remote(
                     part_refs, list(toks), cand_c, int(self._POS_BITS),
-                    slop, slop_mode, rpt_groups,
+                    slop, slop_mode, rpt_groups, rpt_multi,
                 )
             )
         if not futs:

@@ -4,7 +4,16 @@ values).  Usage:
 
     python scripts/selfcheck.py [--sf /root/testdata/sf0.01] name [name...]
     python scripts/selfcheck.py --all          # every oracled pipeline
-"""
+    python scripts/selfcheck.py --all --chunked 40   # fresh Ray session
+                                                     # per 40 pipelines
+
+``--chunked`` runs each chunk in a fresh subprocess/Ray session (the
+bench protocol-4 pattern): Ray 2.49's task-manager race
+(task_manager.cc:930) can kill any single long-lived session after a
+few hundred datasets, so the full 300-pipeline sweep needs session
+rotation to finish deterministically.  A chunk that dies without
+reporting per-name results is retried once before its names count as
+failures."""
 from __future__ import annotations
 
 import argparse
@@ -47,12 +56,63 @@ def canon(df: pd.DataFrame) -> tuple[int, str, str]:
     return len(df), schema, h.hexdigest()
 
 
+def run_chunked(sf: str, names: list[str], chunk: int) -> int:
+    import os
+    import subprocess
+
+    total_ok = 0
+    all_fails: list[str] = []
+    for i in range(0, len(names), chunk):
+        part = names[i:i + chunk]
+        for attempt in (1, 2):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--sf", sf] + part
+            try:
+                r = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=1800, cwd="/root/repo")
+                out, rc = r.stdout, r.returncode
+            except subprocess.TimeoutExpired as e:
+                out = (e.stdout or b"").decode() \
+                    if isinstance(e.stdout, bytes) else (e.stdout or "")
+                rc = 124
+            sys.stdout.write(out)
+            sys.stdout.flush()
+            per_name = [ln for ln in out.splitlines()
+                        if ln.split(":")[0] in part]
+            if len(per_name) == len(part) or attempt == 2:
+                oks = sum(1 for ln in per_name
+                          if ": OK" in ln or ": rows-only" in ln)
+                total_ok += oks
+                all_fails += [ln.split(":")[0] for ln in per_name
+                              if ": OK" not in ln
+                              and ": rows-only" not in ln]
+                all_fails += [n for n in part
+                              if not any(ln.startswith(n + ":")
+                                         for ln in per_name)]
+                break
+            print(f"[chunk {i//chunk}] died mid-chunk (rc={rc}"
+                  f", {len(per_name)}/{len(part)} reported) — retrying "
+                  "in a fresh session", flush=True)
+    print(f"\n{len(names) - len(all_fails)}/{len(names)} ok (chunked)")
+    if all_fails:
+        print("fails:", sorted(set(all_fails)))
+    return 1 if all_fails else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--chunked", type=int, default=0,
+                    help="run N pipelines per fresh subprocess session")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    if args.chunked:
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as ent
+        names = sorted(ent.oracle_sql()) if args.all else args.names
+        return run_chunked(args.sf, names, args.chunked)
 
     import ray
     if not ray.is_initialized():

@@ -409,3 +409,114 @@ def test_lucene_slop_multi_term_repeat_slots(slop_corpus, ray_session):
                 assert (want > 0) == (d in hit_docs), (phrase, slop, d, text)
     finally:
         eng.shutdown()
+
+
+@pytest.fixture(scope="module")
+def prefix_slop_corpus(tmp_path_factory, ray_session):
+    """Tiny corpus whose 'da' prefix expands to several terms (dart,
+    data, datum) with 'data' also a FIXED phrase term — the multi-term
+    repeat regime for match_phrase_prefix with slop."""
+    from elasticsearch_assets_ray.config import IndexConfig
+    from elasticsearch_assets_ray.index.build import build_index
+    from elasticsearch_assets_ray.index.global_merge import (
+        merge_global_postings,
+    )
+
+    tmp = tmp_path_factory.mktemp("prefixslop")
+    texts = [
+        "data dart config",
+        "dart data",
+        "data config dart",
+        "config data datum",
+        "datum dart data",
+        "data data dart",
+        "config config kappa",
+        "dart kappa data config",
+        "data datum",
+        "kappa config dart",
+        "datum data dart config",
+        "data kappa kappa dart",
+    ] * 3
+    src = tmp / "docs.parquet"
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }),
+        src,
+    )
+    idx = tmp / "idx"
+    build_index(
+        str(src), idx,
+        IndexConfig(
+            analyzer="simple", text_col="text", lang_col=None,
+            id_col="doc_id", meta_cols=(), partition_target_docs=8,
+            shard_target_docs=12, store_positions=True,
+        ),
+    )
+    gdir = tmp / "global"
+    merge_global_postings(idx, gdir, n_salts=2, n_buckets=4,
+                          hot_df_fraction=0.5, store_norms=True)
+    return idx, gdir, texts
+
+
+def test_phrase_prefix_slop_engines_and_reference(prefix_slop_corpus,
+                                                  ray_session):
+    """match_phrase_prefix with slop: both engines agree rank+score in
+    BOTH slop modes, and lucene-mode hits match the multi-term repeat
+    matcher run per doc on its own text (expansion 'data' repeats the
+    fixed term → collision machinery)."""
+    from elasticsearch_assets_ray.config import BM25Params
+    from elasticsearch_assets_ray.search.engine import QueryEngine
+    from elasticsearch_assets_ray.search.sloppy import (
+        lucene_sloppy_freq_repeats,
+        repeat_plan,
+    )
+    from elasticsearch_assets_ray.search.term_engine import (
+        TermPartitionedEngine,
+    )
+
+    idx, gdir, texts = prefix_slop_corpus
+    eng = QueryEngine(idx, num_actors=2, params=BM25Params(round_decimals=4))
+    teng = TermPartitionedEngine(gdir, num_actors=2, round_decimals=4)
+    try:
+        expans = {"da": ["dart", "data", "datum"], "conf": ["config"]}
+        for query, slop, mode in [
+            (["data", "da"], 1, "lucene"),
+            (["data", "da"], 2, "lucene"),
+            (["data", "da"], 2, "ordered"),
+            (["config", "da"], 2, "lucene"),
+            (["config", "da"], 3, "ordered"),
+            (["dart", "conf"], 2, "lucene"),
+        ]:
+            a = eng.search_phrase_prefix(query, k=100, slop=slop,
+                                         slop_mode=mode)
+            b = teng.search_phrase_prefix(query, k=100, slop=slop,
+                                          slop_mode=mode)
+            assert a == b, (query, slop, mode)
+            if mode != "lucene":
+                continue
+            phrase = [[t] for t in query[:-1]] + [expans[query[-1]]]
+            groups, multi = repeat_plan(phrase)
+            hit_docs = {d for d, _ in a}
+            for d, text in enumerate(texts):
+                toks = text.split()
+                slots = [
+                    np.array(sorted({i for i, t in enumerate(toks)
+                                     if t in alts}), dtype=np.int64)
+                    for alts in phrase
+                ]
+                want = (
+                    0.0 if any(len(s) == 0 for s in slots)
+                    else lucene_sloppy_freq_repeats(
+                        slots, slop, groups, multi_term=multi)
+                )
+                assert (want > 0) == (d in hit_docs), (query, slop, d, text)
+        # slop=0 exact path unchanged: same results as before the slop
+        # params existed (chain vs slices parity)
+        a0 = eng.search_phrase_prefix(["data", "da"], k=100)
+        b0 = teng.search_phrase_prefix(["data", "da"], k=100)
+        assert a0 == b0 and a0
+    finally:
+        eng.shutdown()
+        teng.shutdown()
