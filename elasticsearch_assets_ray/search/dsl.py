@@ -64,6 +64,8 @@ Supported query kinds (one top-level key per query object, as in ES):
   ``MultiFieldEngine.search_spans`` directly (disclosed).
 
 - ``more_like_this`` / ``pinned`` / ``terms_set`` / ``function_score``
+  / ``match_phrase_prefix`` (query + max_expansions + slop; slop > 0
+  runs Lucene sloppy semantics over the expansion-union last slot)
   — routed by :func:`search_dsl` to the engines' dedicated entry
   points (``_search_dedicated``): MLT takes ``like = {"_id": …}`` with
   ES percentage ``minimum_should_match``; pinned/function_score take a
@@ -100,6 +102,7 @@ _LEAF_PARAM = {
     "fuzzy": "value",
     "match": "query",
     "match_phrase": "query",
+    "match_phrase_prefix": "query",
 }
 
 
@@ -554,6 +557,7 @@ def search_dsl(engine, query: dict, k: int = 10):
 
 _DEDICATED_KINDS = frozenset((
     "more_like_this", "pinned", "terms_set", "function_score",
+    "match_phrase_prefix",
 ))
 
 
@@ -699,6 +703,24 @@ def _search_dedicated(engine, q: dict, k: int):
             raise DslError("terms_set needs minimum_should_match_field")
         return engine.search_terms_set(
             [str(t).lower() for t in spec["terms"]], mf, k=k)
+    if kind == "match_phrase_prefix":
+        f2, spec, boost = _field_body(kind, body)
+        if f2 != field:
+            raise DslError(
+                "match_phrase_prefix runs over the indexed text field")
+        if boost != 1.0:
+            raise DslError(
+                "match_phrase_prefix boost is not wired (the dedicated "
+                "entry point returns engine-contract scores)")
+        slop = int(spec.get("slop", 0))
+        return engine.search_phrase_prefix(
+            str(spec["query"]), k=k,
+            max_expansions=int(spec.get("max_expansions", 50)),
+            slop=slop,
+            # ES phrase slop is Lucene sloppy semantics — same mode the
+            # match_phrase tree node picks when slop > 0
+            slop_mode="lucene" if slop else "ordered",
+        )
     if kind == "function_score":
         organic = _match_text(body.get("query"), field)
         return engine.search_function_score_multi(

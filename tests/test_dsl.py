@@ -528,6 +528,25 @@ def test_dedicated_kind_dispatch(dsl_index, ray_session):
         with pytest.raises(DslError):
             search_dsl(eng, {"pinned": {"ids": [1], "organic": {
                 "wildcard": {"content": "a*"}}}}, k=5)
+        # match_phrase_prefix (exact, then slop → lucene mode)
+        got = search_dsl(eng, {"match_phrase_prefix": {
+            "content": {"query": "def mer", "max_expansions": 10}}},
+            k=20)
+        want = eng.search_phrase_prefix("def mer", k=20,
+                                        max_expansions=10)
+        assert got == want and len(got) > 0
+        got = search_dsl(eng, {"match_phrase_prefix": {
+            "content": {"query": "def mer", "slop": 2}}}, k=20)
+        want = eng.search_phrase_prefix("def mer", k=20, slop=2,
+                                        slop_mode="lucene")
+        assert got == want and len(got) > 0
+        # shorthand form
+        assert search_dsl(
+            eng, {"match_phrase_prefix": {"content": "def mer"}}, k=20,
+        ) == eng.search_phrase_prefix("def mer", k=20)
+        with pytest.raises(DslError):
+            search_dsl(eng, {"match_phrase_prefix": {
+                "lang": "pyth"}}, k=5)  # meta field → not wired
     finally:
         eng.shutdown()
 
