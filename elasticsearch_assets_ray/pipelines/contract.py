@@ -271,7 +271,7 @@ def q_term_stats(sf_dir: str) -> pa.Table:
         return t.take(order[:100])
 
     agg = to_arrow(
-        _docs(sf_dir)
+        _docs(sf_dir, ["doc_id", "text"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("tb")
         .map_groups(reduce_bucket, batch_format="pyarrow", zero_copy_batch=True)
@@ -10298,7 +10298,7 @@ GROUP BY 1, 2, 3, 4
 
 
 def q_exact_dedup(sf_dir: str) -> pa.Table:
-    return to_arrow(dd.exact_dedup_groups(_docs(sf_dir)))
+    return to_arrow(dd.exact_dedup_groups(_docs(sf_dir, ["doc_id", "text"])))
 
 
 def sql_exact_dedup() -> str:
@@ -10322,7 +10322,7 @@ def q_incremental_dedup(sf_dir: str) -> pa.Table:
 
     from ..ops.dedup import incremental_exact_dedup
 
-    ds = _docs(sf_dir)
+    ds = _docs(sf_dir, ["doc_id", "text"])
     half = ds.count() // 2
     sdir = tempfile.mkdtemp(prefix="esray_incdedup_")
     try:
@@ -11383,7 +11383,7 @@ def q_id_route_counts(sf_dir: str) -> pa.Table:
     from ..ops.routing import parse_connection_map
 
     charmap = parse_connection_map(CONNECTION_MAP)
-    ds = _docs(sf_dir)
+    ds = _docs(sf_dir, ["doc_id", "text"])
 
     def key_fn(batch: pa.Table):
         routed = sha_route_batch(batch, "text")
@@ -12831,7 +12831,7 @@ def q_incremental_minhash(sf_dir: str) -> pa.Table:
     import shutil
     import tempfile
 
-    ds = _docs(sf_dir)
+    ds = _docs(sf_dir, ["doc_id", "text"])
     half = ds.count() // 2
     sdir = tempfile.mkdtemp(prefix="esray_incmh_")
     try:
