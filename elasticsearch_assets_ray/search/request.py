@@ -240,6 +240,33 @@ def execute_request(engine, body: dict, default_field: str | None = None,
                      for d, s in page],
         }}
 
+    if "knn" in body:
+        # ES 8 top-level knn search section.  The sandbox corpus keys
+        # queries by embedding row (``query_vector_id``, the retriever
+        # contract's form); a raw ``query_vector`` would need the ANN
+        # APIs directly.  Score-combining knn WITH a query is ES's
+        # weighted-sum hybrid — not wired; use retriever rrf instead.
+        if body.get("query") is not None or body.get("aggs") or \
+                body.get("aggregations"):
+            raise DslError(
+                "knn does not combine with query/aggs here — use the "
+                "retriever rrf section for hybrid ranking")
+        if retriever_ctx is None:
+            raise DslError("a knn body needs retriever_ctx")
+        from .retriever import execute_retriever
+
+        spec = dict(body["knn"])
+        depth = max(frm + size, int(spec.get("k", size)))
+        ranked = execute_retriever({"knn": spec}, retriever_ctx,
+                                   k=depth)
+        page = ranked[frm:frm + size]
+        return {"hits": {
+            "total": {"value": len(ranked), "relation": "gte"},
+            "max_score": (ranked[0][1] if ranked else None),
+            "hits": [{"_id": int(d), "_score": float(s)}
+                     for d, s in page],
+        }}
+
     query = body.get("query")
 
     resp: dict = {}
@@ -345,6 +372,31 @@ def _run_agg(engine, clause: dict, agg: dict) -> dict:
             clause, spec["field"], spec["ranges"],
             stats_on=_sub_stats_field(spec),
         )}
+
+    if kind in ("avg", "sum", "min", "max", "stats", "extended_stats"):
+        if spec.get("aggs"):
+            raise DslError(f"{kind} takes no sub-aggregations")
+        st = engine.extended_stats(clause, spec["field"])
+        if kind == "extended_stats":
+            return st
+        if kind == "stats":
+            return {k2: st[k2]
+                    for k2 in ("count", "min", "max", "avg", "sum")}
+        return {"value": st[kind]}
+
+    if kind == "percentiles":
+        if spec.get("aggs"):
+            raise DslError("percentiles takes no sub-aggregations")
+        kw = {}
+        if "percents" in spec:
+            kw["percents"] = [float(p) for p in spec["percents"]]
+        # ES serves t-digest approximations; "mode": "sketch" opts into
+        # the analogous mergeable log-bucket sketch (disclosed mapping,
+        # default exact nearest-rank)
+        if "mode" in spec:
+            kw["mode"] = spec["mode"]
+        pr = engine.percentiles(clause, spec["field"], **kw)
+        return {"values": {str(float(p)): v for p, v in pr.items()}}
 
     if kind == "cardinality":
         # ES's precision_threshold picks exact-vs-sketch by cardinality;

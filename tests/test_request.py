@@ -156,8 +156,10 @@ def test_execute_request_shapes(req_engines):
     with pytest.raises(DslError):
         execute_request(eng, {
             "query": {"match": {"content": "merge"}},
-            "aggs": {"x": {"percentiles": {"field": "n_chars"}}},
-        })
+            "aggs": {"x": {"avg": {"field": "n_chars"},
+                           "aggs": {"y": {"stats": {
+                               "field": "n_chars"}}}}},
+        })  # metric kinds take no sub-aggregations
 
 
 def test_more_agg_kinds_dispatch(req_engines):
@@ -187,6 +189,37 @@ def test_more_agg_kinds_dispatch(req_engines):
         eng.cardinality(clause, "lang")
     assert a["aggregations"] == b["aggregations"]
     assert a["aggregations"]["nlang"]["value"] > 0
+    # metric kinds: avg/sum/min/max/stats/extended_stats/percentiles
+    body2 = {
+        "query": {"match": {"content": "merge"}},
+        "size": 0,
+        "aggs": {
+            "m_avg": {"avg": {"field": "n_chars"}},
+            "m_sum": {"sum": {"field": "n_chars"}},
+            "m_min": {"min": {"field": "n_chars"}},
+            "m_max": {"max": {"field": "n_chars"}},
+            "m_stats": {"stats": {"field": "n_chars"}},
+            "m_ext": {"extended_stats": {"field": "n_chars"}},
+            "m_pct": {"percentiles": {"field": "n_chars",
+                                      "percents": [25, 50, 75]}},
+        },
+    }
+    a2 = execute_request(eng, body2)
+    b2 = execute_request(teng, body2)
+    st = eng.extended_stats(clause, "n_chars")
+    assert a2["aggregations"]["m_avg"]["value"] == st["avg"]
+    assert a2["aggregations"]["m_sum"]["value"] == st["sum"]
+    assert a2["aggregations"]["m_min"]["value"] == st["min"]
+    assert a2["aggregations"]["m_max"]["value"] == st["max"]
+    assert a2["aggregations"]["m_stats"] == {
+        k: st[k] for k in ("count", "min", "max", "avg", "sum")}
+    assert a2["aggregations"]["m_ext"] == st
+    want_pct = eng.percentiles(clause, "n_chars",
+                               percents=[25.0, 50.0, 75.0])
+    assert a2["aggregations"]["m_pct"]["values"] == {
+        str(float(p)): v for p, v in want_pct.items()}
+    assert a2["aggregations"] == b2["aggregations"]
+    assert st["count"] > 0
 
 
 def test_retriever_body(req_engines, small_corpus):
@@ -208,6 +241,38 @@ def test_retriever_body(req_engines, small_corpus):
     want = execute_retriever(body["retriever"], ctx, k=5)
     assert [h["_id"] for h in out["hits"]["hits"]] == \
         [d for d, _ in want]
+    with pytest.raises(DslError):
+        execute_request(eng, {**body, "query": {"match_all": {}}},
+                        retriever_ctx=ctx)
+    with pytest.raises(DslError):
+        execute_request(eng, body)  # no ctx
+
+
+def test_knn_body(req_engines):
+    """ES 8 top-level knn section: dispatches to the retriever knn leaf
+    (query_vector_id form), pages like hits, refuses query/aggs
+    combination."""
+    from elasticsearch_assets_ray.search.retriever import (
+        RetrieverContext,
+        execute_retriever,
+    )
+
+    eng, _ = req_engines
+    ctx = RetrieverContext(
+        eng, str(eng.info.index_dir),
+        embeddings_path="/root/testdata/sf0.001/embeddings.parquet",
+    )
+    body = {"knn": {"query_vector_id": 3, "k": 7}, "size": 5}
+    out = execute_request(eng, body, retriever_ctx=ctx)
+    want = execute_retriever({"knn": {"query_vector_id": 3, "k": 7}},
+                             ctx, k=7)
+    assert [h["_id"] for h in out["hits"]["hits"]] == \
+        [d for d, _ in want][:5]
+    assert len(out["hits"]["hits"]) == 5
+    # paging slices the ranked list
+    page2 = execute_request(eng, {**body, "from": 2}, retriever_ctx=ctx)
+    assert [h["_id"] for h in page2["hits"]["hits"]] == \
+        [d for d, _ in want][2:7]
     with pytest.raises(DslError):
         execute_request(eng, {**body, "query": {"match_all": {}}},
                         retriever_ctx=ctx)
