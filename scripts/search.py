@@ -29,6 +29,9 @@ def main() -> int:
     ap.add_argument("--method", default="auto", choices=["auto", "dense", "wand"])
     ap.add_argument("--hydrate", default=None,
                     help="comma-separated docmeta columns to attach")
+    ap.add_argument("--embeddings", default=None,
+                    help="embeddings parquet path — enables retriever "
+                         "knn leaves and the top-level knn body section")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -67,10 +70,19 @@ def main() -> int:
             rows = [{**r, **{k: v for k, v in m.items() if k != "doc_id"}}
                     for r, m in zip(rows, meta)]
         print(json.dumps({"query": q, "hits": rows}))
+    ctx = None
     for raw in args.body:
         from elasticsearch_assets_ray.search.request import execute_request
 
-        print(json.dumps(execute_request(eng, json.loads(raw))))
+        body = json.loads(raw)
+        if ctx is None and ("retriever" in body or "knn" in body):
+            from elasticsearch_assets_ray.search.retriever import (
+                RetrieverContext,
+            )
+
+            ctx = RetrieverContext(eng, args.index,
+                                   embeddings_path=args.embeddings)
+        print(json.dumps(execute_request(eng, body, retriever_ctx=ctx)))
     eng.shutdown()
     ray.shutdown()
     return 0
