@@ -10,10 +10,13 @@ Supported nodes (the GA set):
   asc);
 - ``{"standard": {"query_string": <q>}}`` — the full ``q=`` Lucene
   grammar (``search/qs.py``) as the leaf;
-- ``{"knn": {"query_vector_id": vid, "k": n}}`` — exact cosine ranks
-  over an embeddings table (``ops/similarity.knn_cosine``; vec_id is
-  the document id space, like the ES dense_vector field on the same
-  index);
+- ``{"knn": {"query_vector_id": vid, "k": n}}`` or the ES form
+  ``{"knn": {"query_vector": [floats...], "k": n, "similarity": s}}``
+  — exact cosine ranks over an embeddings table
+  (``ops/similarity.knn_cosine``; vec_id is the document id space,
+  like the ES dense_vector field on the same index).  Search is
+  EXACT, so ES's ``num_candidates`` recall knob is accepted and
+  ignored; ``similarity`` drops hits below the cutoff (ES 8.8);
 - ``{"rrf": {"retrievers": [...], "rank_constant": 60,
   "rank_window_size": 50}}`` — reciprocal rank fusion of any child
   nodes, NESTED arbitrarily: an inner rrf's fused ranking feeds the
@@ -83,7 +86,10 @@ class RetrieverContext:
                  depth: int) -> list[int]:
         return [d for d, _ in self.ranked(hits, depth)]
 
-    def knn_ranks(self, vid: int, depth: int) -> list[int]:
+    def knn_ranks(self, query, depth: int,
+                  similarity: float | None = None) -> list[int]:
+        """``query``: an embeddings-table row id (query_vector_id) or a
+        raw vector (the ES query_vector form)."""
         import ray.data as rd
 
         from ..ops import similarity as sim
@@ -92,8 +98,14 @@ class RetrieverContext:
             raise ValueError("knn retriever needs an embeddings_path")
         if self._emb is None:
             self._emb = rd.read_parquet(self.embeddings_path)
-        q = sim.queries_from_dataset(self._emb, [vid])
-        out = sim.knn_cosine(self._emb, q, [vid], k=depth)
+        if isinstance(query, (list, tuple, np.ndarray)):
+            q = np.asarray([query], dtype=np.float64)
+            qid = [0]
+        else:
+            qid = [int(query)]
+            q = sim.queries_from_dataset(self._emb, qid)
+        out = sim.knn_cosine(self._emb, q, qid, k=depth,
+                             similarity=similarity)
         return out.column("vec_id").to_pylist()  # already rank order
 
 
@@ -125,10 +137,18 @@ def execute_retriever(
             hits = ctx.engine.search(body["query"], k=1 << 30)
         return ctx.ranked(hits, k)
     if kind == "knn":
-        ids = ctx.knn_ranks(int(body["query_vector_id"]),
-                            int(body.get("k", k)))[:k]
+        ids = ctx.knn_ranks(_knn_query(body), int(body.get("k", k)),
+                            similarity=body.get("similarity"))[:k]
         return [(d, 0.0) for d in ids]  # rank-only leaf at the top level
     raise ValueError(f"unknown retriever kind {kind!r}")
+
+
+def _knn_query(body: dict):
+    """The knn leaf's query: raw ``query_vector`` (ES form) wins over
+    the corpus-keyed ``query_vector_id``."""
+    if "query_vector" in body:
+        return list(body["query_vector"])
+    return int(body["query_vector_id"])
 
 
 def _rank_list(spec: dict, ctx: RetrieverContext, window: int
@@ -144,7 +164,8 @@ def _rank_list(spec: dict, ctx: RetrieverContext, window: int
             hits = ctx.engine.search(body["query"], k=1 << 30)
         return ctx.orig_ids(hits, window)
     if kind == "knn":
-        return ctx.knn_ranks(int(body["query_vector_id"]), window)
+        return ctx.knn_ranks(_knn_query(body), window,
+                             similarity=body.get("similarity"))
     if kind == "rrf":
         fused = execute_retriever(spec, ctx, k=window)
         return [d for d, _ in fused]

@@ -248,6 +248,38 @@ def test_retriever_body(req_engines, small_corpus):
         execute_request(eng, body)  # no ctx
 
 
+def test_knn_raw_query_vector(req_engines):
+    """The ES knn form (raw query_vector): querying with row 3's own
+    vector must rank row 3 first and agree with query_vector_id=3."""
+    import pyarrow.parquet as pq
+
+    from elasticsearch_assets_ray.search.retriever import (
+        RetrieverContext,
+        execute_retriever,
+    )
+
+    eng, _ = req_engines
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    ctx = RetrieverContext(eng, str(eng.info.index_dir),
+                           embeddings_path=path)
+    vec = pq.read_table(path, columns=["vec_id", "embedding"]) \
+        .to_pylist()
+    row3 = next(r for r in vec if r["vec_id"] == 3)
+    by_vec = execute_retriever(
+        {"knn": {"query_vector": row3["embedding"], "k": 8,
+                 "num_candidates": 100}}, ctx, k=8)
+    by_id = execute_retriever(
+        {"knn": {"query_vector_id": 3, "k": 8}}, ctx, k=8)
+    assert [d for d, _ in by_vec] == [d for d, _ in by_id]
+    assert by_vec[0][0] == 3
+    # similarity cutoff keeps a prefix
+    cut = execute_retriever(
+        {"knn": {"query_vector": row3["embedding"], "k": 8,
+                 "similarity": 0.999}}, ctx, k=8)
+    assert [d for d, _ in cut] == \
+        [d for d, _ in by_vec][:len(cut)] and len(cut) >= 1
+
+
 def test_knn_body(req_engines):
     """ES 8 top-level knn section: dispatches to the retriever knn leaf
     (query_vector_id form), pages like hits, refuses query/aggs
