@@ -442,6 +442,187 @@ def lockstep_sloppy_freqs(
     return freq
 
 
+def lockstep_sloppy_freqs_repeats(
+    slot_pos: list[np.ndarray],
+    lo: np.ndarray,
+    hi: np.ndarray,
+    slop: int,
+    repeat_groups: list[list[int]],
+    multi_term: bool = False,
+) -> np.ndarray:
+    """Vectorized lockstep run of the REPEATS collision machine over
+    many docs — semantically identical to
+    :func:`lucene_sloppy_freq_repeats` per doc (random-batch parity
+    tested), with every doc's state advancing in the same numpy step.
+    Hot repeated terms ("join join", a prefix expansion repeating its
+    fixed term) previously walked a per-doc Python matcher over every
+    candidate; this runs the same machine as vector ops whose total
+    work stays ∝ Σ positions (each collision advance consumes one
+    position, exactly like the scalar loop).
+
+    Semantics carried over from the scalar machine, in lockstep form:
+
+    * collisions resolve by advancing the LESSER of the pair by
+      ``(eff, slot)``; the first colliding group member in rptInd
+      order is the partner (Lucene's ``collide`` scan order);
+    * the main loop's resolution FOLLOWS the advanced pp
+      (``advanceRpts``); the multi-term INIT keeps the probe fixed per
+      group rank (``advanceRepeatGroups``) while the single-term init
+      follows, matching the scalar init;
+    * ``next_eff`` stays STALE across collision advances (the
+      published algorithm's load-bearing staleness) and the overtake
+      check re-reads the advancing slot's position AFTER resolution;
+    * exhaustion during INIT yields freq 0; exhaustion in the main
+      loop emits the tail alignment.
+    """
+    n, nslots = lo.shape
+    freq = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return freq
+    if nslots == 1:
+        return (hi[:, 0] - lo[:, 0]).astype(np.float64)
+    members: dict[int, list[int]] = {}
+    for g in repeat_groups:
+        for s in g:
+            members[s] = list(g)
+    ptr = lo.astype(np.int64).copy()
+    hi = hi.astype(np.int64)
+    cur = np.empty((n, nslots), dtype=np.int64)
+    for s in range(nslots):
+        cur[:, s] = slot_pos[s][ptr[:, s]] - s
+    end = cur.max(axis=1)
+
+    def _advance(rows: np.ndarray, sl: np.ndarray) -> np.ndarray:
+        """Advance per-row slot ``sl``; returns the exhausted mask."""
+        ptr[rows, sl] += 1
+        exh = ptr[rows, sl] >= hi[rows, sl]
+        ok_r, ok_s = rows[~exh], sl[~exh]
+        if len(ok_r):
+            ne = np.empty(len(ok_r), dtype=np.int64)
+            for s in range(nslots):
+                m = ok_s == s
+                if m.any():
+                    r = ok_r[m]
+                    ne[m] = slot_pos[s][ptr[r, s]] - s
+            cur[ok_r, ok_s] = ne
+            end[ok_r] = np.maximum(end[ok_r], ne)
+        return exh
+
+    def _collide(rows: np.ndarray, pr: np.ndarray) -> np.ndarray:
+        """First colliding group member (rptInd order) per row, -1 if
+        none — ``tp = eff + slot`` equality within the probe's group."""
+        out = np.full(len(rows), -1, dtype=np.int64)
+        for s, mem in members.items():
+            base = pr == s
+            if not base.any():
+                continue
+            for j in mem:
+                if j == s:
+                    continue
+                m = base & (out < 0)
+                if not m.any():
+                    break
+                r = rows[m]
+                hit = (cur[r, s] + s) == (cur[r, j] + j)
+                if hit.any():
+                    out[np.where(m)[0][hit]] = j
+        return out
+
+    def _resolve(rows: np.ndarray, probe: np.ndarray,
+                 follow: bool) -> np.ndarray:
+        """Run the collision loop for every row; mutates ``probe`` when
+        ``follow``; returns the exhausted mask."""
+        pending = np.ones(len(rows), dtype=bool)
+        exhausted = np.zeros(len(rows), dtype=bool)
+        while pending.any():
+            idx = np.where(pending)[0]
+            j = _collide(rows[idx], probe[idx])
+            none = j < 0
+            pending[idx[none]] = False
+            ii = idx[~none]
+            if len(ii) == 0:
+                break
+            jj = j[~none]
+            r, p = rows[ii], probe[ii]
+            cp, cj = cur[r, p], cur[r, jj]
+            take_p = (cp < cj) | ((cp == cj) & (p < jj))
+            a = np.where(take_p, p, jj)
+            exh = _advance(r, a)
+            if follow:
+                probe[ii] = a
+            die = ii[exh]
+            pending[die] = False
+            exhausted[die] = True
+        return exhausted
+
+    act = np.arange(n, dtype=np.int64)
+    # init collision resolution (scalar-parity per mode)
+    if multi_term:
+        for g in repeat_groups:
+            for s in g:
+                if len(act) == 0:
+                    break
+                exh = _resolve(act, np.full(len(act), s, np.int64),
+                               follow=False)
+                act = act[~exh]  # init exhaustion → freq stays 0
+    else:
+        for i in range(nslots):
+            if len(act) == 0:
+                break
+            exh = _resolve(act, np.full(len(act), i, np.int64),
+                           follow=True)
+            act = act[~exh]
+    if len(act) == 0:
+        return freq
+    ms = np.empty(n, dtype=np.int64)
+    next_eff = np.empty(n, dtype=np.int64)
+    ml = np.empty(n, dtype=np.int64)
+    c = cur[act]
+    ms[act] = c.argmin(axis=1)  # first-min = lowest slot on ties
+    part = np.partition(c, 1, axis=1)
+    next_eff[act] = part[:, 1]
+    ml[act] = end[act] - part[:, 0]
+    while len(act):
+        msa = ms[act]
+        exh = _advance(act, msa)
+        done = act[exh]
+        if len(done):
+            mld = ml[done]
+            ok = mld <= slop
+            freq[done[ok]] += 1.0 / (1.0 + mld[ok])
+        act = act[~exh]
+        if len(act) == 0:
+            break
+        msa = ms[act]
+        exh = _resolve(act, msa.copy(), follow=True)
+        done = act[exh]
+        if len(done):
+            mld = ml[done]
+            ok = mld <= slop
+            freq[done[ok]] += 1.0 / (1.0 + mld[ok])
+        act = act[~exh]
+        if len(act) == 0:
+            break
+        msa = ms[act]
+        # overtake check re-reads the advancing slot AFTER resolution
+        new_eff = cur[act, msa]
+        ov = new_eff > next_eff[act]
+        nv = act[~ov]
+        if len(nv):
+            ml[nv] = np.minimum(ml[nv], end[nv] - new_eff[~ov])
+        od = act[ov]
+        if len(od):
+            mlo = ml[od]
+            ok = mlo <= slop
+            freq[od[ok]] += 1.0 / (1.0 + mlo[ok])
+            c = cur[od]
+            ms[od] = c.argmin(axis=1)
+            p2 = np.partition(c, 1, axis=1)
+            next_eff[od] = p2[:, 1]
+            ml[od] = end[od] - p2[:, 0]
+    return freq
+
+
 def sloppy_freqs_for_candidates(
     slot_docs: list[np.ndarray],
     slot_pos: list[np.ndarray],
@@ -475,19 +656,14 @@ def sloppy_freqs_for_candidates(
         lo[:, s] = np.searchsorted(docs, cands, side="left")
         hi[:, s] = np.searchsorted(docs, cands, side="right")
     if repeat_groups:
-        # repeats slow path: the collision machine is stateful per doc
-        # (Lucene walks it doc-at-a-time too); candidates are still the
-        # all-slots conjunction
-        out_d, out_f = [], []
-        for r, d in enumerate(cands.tolist()):
-            slots = [slot_pos[s][lo[r, s]:hi[r, s]] for s in range(nslots)]
-            f = lucene_sloppy_freq_repeats(slots, slop, repeat_groups,
-                                           multi_term=multi_term)
-            if f > 0.0:
-                out_d.append(int(d))
-                out_f.append(f)
-        return (np.array(out_d, dtype=np.int64),
-                np.array(out_f, dtype=np.float64))
+        # repeats: the collision machine in its lockstep form — all
+        # candidate docs' state machines advance in the same numpy step
+        # (scalar per-doc twin kept for the parity tests)
+        freqs = lockstep_sloppy_freqs_repeats(
+            slot_pos, lo, hi, slop, repeat_groups, multi_term=multi_term
+        )
+        keep = freqs > 0.0
+        return cands[keep].astype(np.int64), freqs[keep]
     freqs = lockstep_sloppy_freqs(slot_pos, lo, hi, slop)
     keep = freqs > 0.0
     return cands[keep].astype(np.int64), freqs[keep]

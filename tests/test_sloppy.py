@@ -520,3 +520,64 @@ def test_phrase_prefix_slop_engines_and_reference(prefix_slop_corpus,
     finally:
         eng.shutdown()
         teng.shutdown()
+
+
+def test_lockstep_repeats_matches_scalar_on_random_batches():
+    """The vectorized repeats collision machine ≡ the per-doc scalar
+    matcher, across random docs, group shapes, inits and slops."""
+    from elasticsearch_assets_ray.search.sloppy import (
+        lockstep_sloppy_freqs_repeats,
+        lucene_sloppy_freq_repeats,
+        repeat_plan,
+    )
+
+    rng = np.random.default_rng(61)
+    phrases = [
+        ["a", "b", "a"],                    # single-term repeat
+        ["a", "a"],                         # adjacent repeat
+        ["a", "b", "a", "a"],               # triple group
+        [["a", "x"], "b", "a"],             # multi-term, dead-or-live alt
+        [["a", "b"], ["a", "c"]],           # multi-term both slots
+        [["a", "b"], ["b", "c"], ["c"]],    # transitive one-group
+        [["a"], ["a"], ["b", "z"], ["b"]],  # two groups
+    ]
+    vocab = "abcxz"
+    for phrase in phrases:
+        groups, multi = repeat_plan(phrase)
+        assert groups
+        for trial in range(60):
+            ndocs = int(rng.integers(1, 6))
+            docs_slots = []
+            for _ in range(ndocs):
+                # random token stream over the vocab; slot positions =
+                # union of the slot's alternatives' occurrences
+                toks = rng.choice(list(vocab), size=int(rng.integers(2, 18)))
+                slots = []
+                for alts in phrase:
+                    alts = [alts] if isinstance(alts, str) else alts
+                    ps = [i for i, t in enumerate(toks) if t in alts]
+                    slots.append(np.array(ps, dtype=np.int64))
+                if any(len(s) == 0 for s in slots):
+                    continue  # not a candidate (conjunction gate)
+                docs_slots.append(slots)
+            if not docs_slots:
+                continue
+            nslots = len(phrase)
+            flat = [np.concatenate([d[s] for d in docs_slots])
+                    for s in range(nslots)]
+            lo = np.zeros((len(docs_slots), nslots), dtype=np.int64)
+            hi = np.zeros_like(lo)
+            off = [0] * nslots
+            for di, d in enumerate(docs_slots):
+                for s in range(nslots):
+                    lo[di, s] = off[s]
+                    off[s] += len(d[s])
+                    hi[di, s] = off[s]
+            slop = int(rng.integers(0, 5))
+            got = lockstep_sloppy_freqs_repeats(
+                flat, lo, hi, slop, groups, multi_term=multi)
+            for di, d in enumerate(docs_slots):
+                want = lucene_sloppy_freq_repeats(
+                    d, slop, groups, multi_term=multi)
+                assert got[di] == pytest.approx(want), (
+                    phrase, slop, [list(map(int, s)) for s in d])
