@@ -295,6 +295,40 @@ def execute_request(engine, body: dict, default_field: str | None = None,
         resp["hits"] = {"total": {"value": 0, "relation": "eq"},
                         "max_score": None, "hits": []}
 
+    hl = body.get("highlight")
+    if hl is not None and query is not None and resp["hits"]["hits"]:
+        # ES highlight section over the indexed text field.  Wired for
+        # text-match queries (the positional-sidecar highlighter keys
+        # on the match terms); other query kinds raise rather than
+        # highlight the wrong terms.
+        from .dsl import _match_text
+
+        text = _match_text(query, default_field)
+        fields = hl.get("fields") or {default_field: {}}
+        if set(fields) != {default_field}:
+            raise DslError(
+                "highlight is wired for the indexed text field only")
+        fspec = fields[default_field] or {}
+        pre = (fspec.get("pre_tags") or hl.get("pre_tags")
+               or ["<em>"])[0]
+        post = (fspec.get("post_tags") or hl.get("post_tags")
+                or ["</em>"])[0]
+        frag = int(fspec.get("fragment_size",
+                             hl.get("fragment_size", 100)))
+        nfrag = int(fspec.get("number_of_fragments",
+                              hl.get("number_of_fragments", 5)))
+        rend = engine.search_highlight(
+            text, k=frm + size, pre_tag=pre, post_tag=post,
+            fragment_size=frag, number_of_fragments=max(nfrag, 0),
+        )
+        by_id = {r["doc_id"]: r for r in rend}
+        for h in resp["hits"]["hits"]:
+            r = by_id.get(h["_id"])
+            if r is not None and r.get("n_matches"):
+                # ES: number_of_fragments=0 returns the whole field
+                h["highlight"] = {default_field: (
+                    r["fragments"] if nfrag else [r["highlighted"]])}
+
     aggs = body.get("aggs") or body.get("aggregations")
     if aggs:
         clause = dsl_to_clause_query(query, default_field)

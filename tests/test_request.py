@@ -310,3 +310,46 @@ def test_knn_body(req_engines):
                         retriever_ctx=ctx)
     with pytest.raises(DslError):
         execute_request(eng, body)  # no ctx
+
+
+def test_highlight_section(req_engines):
+    """ES highlight body section: text-match queries get per-hit tagged
+    fragments from the positional-sidecar highlighter; non-match query
+    kinds raise."""
+    eng, teng = req_engines
+    body = {
+        "query": {"match": {"content": "merge data"}},
+        "size": 5,
+        "highlight": {"fields": {"content": {
+            "fragment_size": 80, "number_of_fragments": 2,
+            "pre_tags": ["<b>"], "post_tags": ["</b>"]}}},
+    }
+    out = execute_request(eng, body)
+    assert out["hits"]["hits"]
+    want = {r["doc_id"]: r for r in eng.search_highlight(
+        "merge data", k=5, pre_tag="<b>", post_tag="</b>",
+        fragment_size=80, number_of_fragments=2)}
+    n_hl = 0
+    for h in out["hits"]["hits"]:
+        r = want.get(h["_id"])
+        if r is not None and r["n_matches"]:
+            assert h["highlight"]["content"] == r["fragments"]
+            assert any("<b>" in f for f in h["highlight"]["content"])
+            n_hl += 1
+    assert n_hl > 0
+    # number_of_fragments=0 → the whole tagged field
+    body0 = {**body, "highlight": {"fields": {"content": {
+        "number_of_fragments": 0}}}}
+    out0 = execute_request(eng, body0)
+    h0 = next(h for h in out0["hits"]["hits"] if "highlight" in h)
+    assert len(h0["highlight"]["content"]) == 1
+    assert "<em>" in h0["highlight"]["content"][0]
+    # engines agree on the rendered fragments
+    out_t = execute_request(teng, body)
+    assert [h.get("highlight") for h in out["hits"]["hits"]] == \
+        [h.get("highlight") for h in out_t["hits"]["hits"]]
+    # non-match query kinds raise rather than highlight wrong terms
+    with pytest.raises(DslError):
+        execute_request(eng, {
+            "query": {"fuzzy": {"content": {"value": "mergi"}}},
+            "highlight": {"fields": {"content": {}}}})
