@@ -295,6 +295,25 @@ def execute_request(engine, body: dict, default_field: str | None = None,
         resp["hits"] = {"total": {"value": 0, "relation": "eq"},
                         "max_score": None, "hits": []}
 
+    src = body.get("_source")
+    if src and resp["hits"]["hits"]:
+        # ES _source filtering, served from docmeta point reads (the
+        # engine's hits are global doc ids — the DocStore key space).
+        # true → every docmeta column; a list/string → those columns.
+        # Original text is a corpus-parquet hydration (search_highlight
+        # / CorpusTextReader), not docmeta — not duplicated here.
+        from ..state.docstore import DocStore
+
+        cols = (None if src is True
+                else [src] if isinstance(src, str) else list(src))
+        store = DocStore(_engine_index_dir(engine),
+                         columns=(["doc_id"] + cols) if cols else None)
+        page_hits = resp["hits"]["hits"]
+        rows = store.mget([h["_id"] for h in page_hits]).to_pylist()
+        for h, row in zip(page_hits, rows):
+            h["_source"] = {k: v for k, v in row.items()
+                            if k != "doc_id"}
+
     hl = body.get("highlight")
     if hl is not None and query is not None and resp["hits"]["hits"]:
         # ES highlight section over the indexed text field.  Wired for
@@ -337,6 +356,19 @@ def execute_request(engine, body: dict, default_field: str | None = None,
             for name, spec in aggs.items()
         }
     return resp
+
+
+def _engine_index_dir(engine) -> str:
+    """The engine's source-index directory (docmeta home) — direct on
+    the doc-partitioned engine, via layout metadata on the
+    term-partitioned one (the ``_default_field`` resolution path)."""
+    info = getattr(engine, "info", None)
+    if info is not None:
+        return str(info.index_dir)
+    src = getattr(engine, "meta", {}).get("source_index")
+    if src:
+        return str(src)
+    raise DslError("_source needs an engine with a source index")
 
 
 def _sub_stats_field(spec: dict) -> str | None:

@@ -353,3 +353,32 @@ def test_highlight_section(req_engines):
         execute_request(eng, {
             "query": {"fuzzy": {"content": {"value": "mergi"}}},
             "highlight": {"fields": {"content": {}}}})
+
+
+def test_source_section(req_engines):
+    """ES _source filtering: page hits carry docmeta fields hydrated by
+    point reads — a list selects columns, true returns every docmeta
+    column; engines agree."""
+    eng, teng = req_engines
+    body = {
+        "query": {"match": {"content": "merge"}},
+        "size": 4,
+        "_source": ["lang", "n_chars"],
+    }
+    out = execute_request(eng, body)
+    assert out["hits"]["hits"]
+    for h in out["hits"]["hits"]:
+        assert set(h["_source"]) == {"lang", "n_chars"}
+        assert isinstance(h["_source"]["n_chars"], int)
+    out_t = execute_request(teng, body)
+    assert [(h["_id"], h["_source"]) for h in out["hits"]["hits"]] == \
+        [(h["_id"], h["_source"]) for h in out_t["hits"]["hits"]]
+    # _source: true → all docmeta columns; string form selects one
+    all_cols = execute_request(eng, {**body, "_source": True})
+    assert {"lang", "n_chars"} <= set(all_cols["hits"]["hits"][0]["_source"])
+    one = execute_request(eng, {**body, "_source": "lang"})
+    assert set(one["hits"]["hits"][0]["_source"]) == {"lang"}
+    # absent/false → no _source key
+    off = execute_request(eng, {k: v for k, v in body.items()
+                                if k != "_source"})
+    assert "_source" not in off["hits"]["hits"][0]
