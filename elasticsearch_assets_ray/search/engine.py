@@ -1452,6 +1452,40 @@ class ShardData:
             float(v.min()), float(v.max()),
         )
 
+    def sort_topk(
+        self, clauses: dict, field: str, desc: bool, k: int
+    ) -> tuple[int, np.ndarray, np.ndarray]:
+        """Per-shard partial for a BODY-level field sort (ES ``sort``):
+        (match count, top-k GLOBAL doc ids by the doc-values column,
+        their sort values) — wire O(k), never O(matches).  The cut
+        keeps the kth EXACT-value tie class (the merge resolves ties
+        doc-ascending); numeric/date NaNs sort LAST either direction
+        (numpy's NaN ordering = ES ``missing: _last``)."""
+        from .datehist import per_group_head
+
+        ok = self._bool_eligible(
+            sorted(set(clauses.get("must", []))),
+            sorted(set(clauses.get("should", []))),
+            sorted(set(clauses.get("must_not", []))),
+            sorted(set(clauses.get("filter", []))),
+            clauses.get("msm"),
+            clauses.get("meta_filters"),
+            clauses.get("range_filters"),
+            self._postings_idx_fn(),
+        )
+        cand = np.nonzero(ok)[0]
+        if len(cand) == 0:
+            return (0, np.empty(0, np.int64), np.empty(0, np.float64))
+        v = self.meta_col(field)[cand]
+        keyv = _sort_key(v, desc)
+        order = np.lexsort((cand, keyv))
+        ginv = np.zeros(len(cand), dtype=np.int64)  # one group: the page
+        for _gi, m in per_group_head(ginv, order, k, tie_vals=keyv):
+            return (int(len(cand)),
+                    (cand[m] + self.doc_base).astype(np.int64), v[m])
+        return (int(len(cand)), np.empty(0, np.int64),
+                np.empty(0, np.float64))
+
     def agg_field_counts(
         self, clauses: dict, field: str, weight_field: str | None = None
     ) -> dict:
@@ -3365,6 +3399,12 @@ class _ScorerCore:
             )
         return _merge_group_topk(parts, k, self.params.round_decimals)
 
+    def sort_topk(
+        self, clauses: dict, field: str, desc: bool, k: int
+    ) -> list[tuple]:
+        return [s.sort_topk(clauses, field, desc, k)
+                for s in self.shards]
+
     def agg_join_children(
         self, clauses: dict, idf: dict, parent_field: str
     ) -> dict:
@@ -4961,6 +5001,43 @@ class QueryEngine:
         if sort is None and source_fields is None:
             return out
         return _render_hit_dicts(out, sort, source_fields, self.index_dir)
+
+    def search_sort(
+        self, query: str | list[str] | dict, field: str, k: int = 10,
+        order: str = "desc",
+    ) -> tuple[int, list[tuple[int, object]]]:
+        """ES BODY-level ``sort``: the matching docs ordered by a
+        doc-values column instead of BM25 — ``(total matches,
+        [(doc_id, sort_value)])``, ties doc-ascending.  Per-shard
+        partials ship O(k) (exact-value tie class kept across the
+        shard boundary, like the top_hits sort merge); numeric/date
+        NaNs sort last either direction (ES ``missing: _last``)."""
+        clauses = self._query_clauses(query)
+        if clauses is None:
+            return 0, []
+        desc = str(order).lower() == "desc"
+        per_actor = ray.get(
+            [a.sort_topk.remote(clauses, field, desc, k)
+             for a in self.actors]
+        )
+        total, ids_l, vals_l = 0, [], []
+        for parts in per_actor:
+            for c, ids, vals in parts:
+                total += c
+                if len(ids):
+                    ids_l.append(ids)
+                    vals_l.append(vals)
+        if total == 0 or not ids_l:
+            return total, []
+        ids = np.concatenate(ids_l)
+        vals = np.concatenate(vals_l)
+        keyv = _sort_key(vals, desc)
+        o = np.lexsort((ids, keyv))[:k]
+        return total, [
+            (int(ids[i]),
+             vals[i].item() if hasattr(vals[i], "item") else vals[i])
+            for i in o
+        ]
 
     def extended_stats(
         self, query: str | list[str] | dict, field: str

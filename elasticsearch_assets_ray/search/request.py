@@ -270,7 +270,23 @@ def execute_request(engine, body: dict, default_field: str | None = None,
     query = body.get("query")
 
     resp: dict = {}
-    if query is not None:
+    sort_field, sort_dir = _parse_sort(body.get("sort"))
+    if query is not None and sort_field is not None:
+        # ES body-level sort: matching docs ordered by a doc-values
+        # column (score not computed, like ES without track_scores).
+        # The query takes the clause grammar (the aggs restriction);
+        # totals are exact — the sort pass sees the full match count.
+        clause = dsl_to_clause_query(query, default_field)
+        total, ranked = engine.search_sort(
+            clause, sort_field, k=frm + size, order=sort_dir)
+        page = ranked[frm:frm + size]
+        resp["hits"] = {
+            "total": {"value": int(total), "relation": "eq"},
+            "max_score": None,
+            "hits": [{"_id": int(d), "_score": None, "sort": [v]}
+                     for d, v in page],
+        }
+    elif query is not None:
         # track_total_hits (default true = exact totals, one full-rank
         # pass serving both the total and the page).  An integer (or
         # ES's false = 10_000) caps the rank at max(from+size, N) so a
@@ -356,6 +372,33 @@ def execute_request(engine, body: dict, default_field: str | None = None,
             for name, spec in aggs.items()
         }
     return resp
+
+
+def _parse_sort(spec) -> tuple[str | None, str]:
+    """ES ``sort`` section → (field, direction); (None, ...) = score
+    order (absent, ``"_score"``, or an explicit score entry).  One
+    non-score field is wired (``"f"`` / ``{"f": "desc"}`` /
+    ``{"f": {"order": "desc"}}``, optionally in a one-element list);
+    multi-key sorts raise rather than approximate."""
+    if spec is None:
+        return None, "desc"
+    if isinstance(spec, list):
+        if len(spec) != 1:
+            raise DslError("one sort entry is wired (got a multi-key "
+                           "sort)")
+        spec = spec[0]
+    if isinstance(spec, str):
+        return (None, "desc") if spec == "_score" else (spec, "asc")
+    if isinstance(spec, dict) and len(spec) == 1:
+        ((field, opt),) = spec.items()
+        direction = (opt.get("order", "asc") if isinstance(opt, dict)
+                     else str(opt))
+        if field == "_score":
+            return None, direction
+        if direction not in ("asc", "desc"):
+            raise DslError(f"sort order {direction!r}")
+        return field, direction
+    raise DslError(f"unsupported sort spec {spec!r}")
 
 
 def _engine_index_dir(engine) -> str:

@@ -2654,6 +2654,36 @@ class TermPartitionedEngine:
 
         return _render_hit_dicts(out, sort, source_fields, src)
 
+    def search_sort(
+        self, query: str | list[str] | dict, field: str, k: int = 10,
+        order: str = "desc",
+    ) -> tuple[int, list[tuple[int, object]]]:
+        """ES BODY-level ``sort`` served from the term-partitioned
+        layout: matched ids → sort values hydrated id-aligned from the
+        source docmeta lineage (the layout's standing doc-values trade,
+        wire O(matches) like its aggregations) → top-k by (value, doc
+        asc).  Identical results to :meth:`QueryEngine.search_sort`
+        (parity-tested); NaNs sort last either direction."""
+        from .datehist import values_partials_over_ids
+        from .engine import _sort_key
+
+        got = self._matched_ids_and_source(query)
+        if got is None:
+            return 0, []
+        ids, src = got
+        sids = np.unique(np.asarray(ids, dtype=np.int64))
+        vals = np.concatenate(
+            values_partials_over_ids(src, sids, field, "raw")
+        )
+        desc = str(order).lower() == "desc"
+        keyv = _sort_key(vals, desc)
+        o = np.lexsort((sids, keyv))[:k]
+        return int(len(sids)), [
+            (int(sids[i]),
+             vals[i].item() if hasattr(vals[i], "item") else vals[i])
+            for i in o
+        ]
+
     def extended_stats(self, query: str | list[str], field: str) -> dict:
         """ES ``extended_stats`` served from the term-partitioned layout
         (matched ids → source docmeta lineage, O(1)-wire partials)."""

@@ -382,3 +382,51 @@ def test_source_section(req_engines):
     off = execute_request(eng, {k: v for k, v in body.items()
                                 if k != "_source"})
     assert "_source" not in off["hits"]["hits"][0]
+
+
+def test_sort_section(req_engines):
+    """ES body-level sort: hits order by the doc-values column, ties
+    doc-ascending, exact totals, engines agree; composes with _source;
+    multi-key sorts raise."""
+    eng, teng = req_engines
+    body = {
+        "query": {"match": {"content": "merge"}},
+        "size": 6,
+        "sort": [{"n_chars": "desc"}],
+        "_source": ["n_chars"],
+    }
+    a = execute_request(eng, body)
+    b = execute_request(teng, body)
+    hits = a["hits"]["hits"]
+    assert hits and a["hits"]["total"]["relation"] == "eq"
+    vals = [h["sort"][0] for h in hits]
+    assert vals == sorted(vals, reverse=True)
+    for h in hits:
+        assert h["_score"] is None
+        assert h["_source"]["n_chars"] == h["sort"][0]
+    assert [(h["_id"], h["sort"]) for h in hits] == \
+        [(h["_id"], h["sort"]) for h in b["hits"]["hits"]]
+    # totals equal the score-path totals for the same query
+    plain = execute_request(eng, {"query": body["query"], "size": 1})
+    assert a["hits"]["total"]["value"] == plain["hits"]["total"]["value"]
+    # asc + paging: from=2 slices the same ranking
+    asc = execute_request(eng, {**body, "sort": "n_chars", "size": 50})
+    vals_asc = [h["sort"][0] for h in asc["hits"]["hits"]]
+    assert vals_asc == sorted(vals_asc)
+    page = execute_request(eng, {**body, "sort": "n_chars", "from": 2,
+                                 "size": 3})
+    assert [h["_id"] for h in page["hits"]["hits"]] == \
+        [h["_id"] for h in asc["hits"]["hits"][2:5]]
+    # ties break doc-ascending
+    ids_by_val: dict = {}
+    for h in asc["hits"]["hits"]:
+        ids_by_val.setdefault(h["sort"][0], []).append(h["_id"])
+    for ids in ids_by_val.values():
+        assert ids == sorted(ids)
+    # _score entry = plain relevance path
+    scored = execute_request(eng, {"query": body["query"], "size": 3,
+                                   "sort": "_score"})
+    assert scored["hits"]["hits"][0]["_score"] is not None
+    with pytest.raises(DslError):
+        execute_request(eng, {**body, "sort": [{"n_chars": "desc"},
+                                               {"lang": "asc"}]})
