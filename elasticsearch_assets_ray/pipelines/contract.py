@@ -1568,6 +1568,51 @@ def q_phrase_prefix_global(sf_dir: str) -> pa.Table:
     return _bm25_rerank(per_q, idx)
 
 
+def q_body_sort(sf_dir: str) -> pa.Table:
+    """ES search-request BODY with a field ``sort``: a match query's
+    hits ordered by the ``n_chars`` doc-values column (score not
+    computed), ``_source`` hydrating ``lang`` — the full
+    ``execute_request`` path (``search/request.py``): clause
+    translation, O(k) per-shard sort partials with tie classes, point-
+    read hydration.  Oracled vs SQL ORDER BY (ties doc-ascending)."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+    from ..search.request import execute_request
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        out = execute_request(engine, {
+            "query": {"match": {"text": "join"}},
+            "size": 20,
+            "sort": [{"n_chars": "desc"}],
+            "_source": ["lang"],
+        })
+    finally:
+        engine.shutdown()
+    hits = out["hits"]["hits"]
+    return pa.table({
+        "rank": pa.array(range(1, len(hits) + 1), pa.int64()),
+        "doc_id": pa.array([h["_id"] for h in hits], pa.int64()),
+        "n_chars": pa.array([h["sort"][0] for h in hits], pa.int64()),
+        "lang": pa.array([h["_source"]["lang"] for h in hits],
+                         pa.string()),
+    })
+
+
+def sql_body_sort() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+hit AS (SELECT DISTINCT doc_id FROM toks WHERE t = 'join')
+SELECT rank, doc_id, n_chars, lang FROM (
+  SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars, d.lang,
+         row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS rank
+  FROM documents d JOIN hit USING (doc_id)
+) WHERE rank <= 20
+"""
+
+
 def q_phrase_prefix_slop(sf_dir: str) -> pa.Table:
     """``match_phrase_prefix`` with ``slop`` over the expansion-union
     last slot — ordered mode (greedy chain on per-slot key unions) and
@@ -14766,6 +14811,7 @@ def queries():
         "span_masked_search_global": q_span_masked_search_global,
         "span_masked_json": q_span_masked_json,
         "function_score_json": q_function_score_json,
+        "body_sort": q_body_sort,
         "msm_spec": q_msm_spec,
         "msm_spec_global": q_msm_spec_global,
         "span_multi_kinds": q_span_multi_kinds,
@@ -15084,6 +15130,7 @@ def oracle_sql():
         "span_masked_search_global": sql_span_masked_search(),
         "span_masked_json": sql_span_masked_search(),
         "function_score_json": sql_function_score_multi(),
+        "body_sort": sql_body_sort(),
         "msm_spec": sql_msm_spec(),
         "msm_spec_global": sql_msm_spec(),
         "span_multi_kinds": sql_span_multi_kinds(),
