@@ -1453,14 +1453,20 @@ class ShardData:
         )
 
     def sort_topk(
-        self, clauses: dict, field: str, desc: bool, k: int
+        self, clauses: dict, field: str, desc: bool, k: int,
+        after: tuple | None = None,
     ) -> tuple[int, np.ndarray, np.ndarray]:
         """Per-shard partial for a BODY-level field sort (ES ``sort``):
         (match count, top-k GLOBAL doc ids by the doc-values column,
         their sort values) — wire O(k), never O(matches).  The cut
         keeps the kth EXACT-value tie class (the merge resolves ties
         doc-ascending); numeric/date NaNs sort LAST either direction
-        (numpy's NaN ordering = ES ``missing: _last``)."""
+        (numpy's NaN ordering = ES ``missing: _last``).
+
+        ``after = (sort_value, global_doc_id)`` is the ES
+        ``search_after`` cursor: only rows strictly past it in
+        (value-key, doc) order survive — pushed into the shard cut so
+        page depth never inflates the wire."""
         from .datehist import per_group_head
 
         ok = self._bool_eligible(
@@ -1478,13 +1484,23 @@ class ShardData:
             return (0, np.empty(0, np.int64), np.empty(0, np.float64))
         v = self.meta_col(field)[cand]
         keyv = _sort_key(v, desc)
+        total = int(len(cand))
+        if after is not None:
+            av, ad = after
+            ak = _sort_key(np.asarray([av], dtype=np.asarray(v).dtype),
+                           desc)[0]
+            gids = cand + self.doc_base
+            keep = (keyv > ak) | ((keyv == ak) & (gids > ad))
+            cand, v, keyv = cand[keep], v[keep], keyv[keep]
+            if len(cand) == 0:
+                return (total, np.empty(0, np.int64),
+                        np.empty(0, np.float64))
         order = np.lexsort((cand, keyv))
         ginv = np.zeros(len(cand), dtype=np.int64)  # one group: the page
         for _gi, m in per_group_head(ginv, order, k, tie_vals=keyv):
-            return (int(len(cand)),
+            return (total,
                     (cand[m] + self.doc_base).astype(np.int64), v[m])
-        return (int(len(cand)), np.empty(0, np.int64),
-                np.empty(0, np.float64))
+        return (total, np.empty(0, np.int64), np.empty(0, np.float64))
 
     def agg_field_counts(
         self, clauses: dict, field: str, weight_field: str | None = None
@@ -3400,9 +3416,10 @@ class _ScorerCore:
         return _merge_group_topk(parts, k, self.params.round_decimals)
 
     def sort_topk(
-        self, clauses: dict, field: str, desc: bool, k: int
+        self, clauses: dict, field: str, desc: bool, k: int,
+        after: tuple | None = None,
     ) -> list[tuple]:
-        return [s.sort_topk(clauses, field, desc, k)
+        return [s.sort_topk(clauses, field, desc, k, after)
                 for s in self.shards]
 
     def agg_join_children(
@@ -5004,20 +5021,22 @@ class QueryEngine:
 
     def search_sort(
         self, query: str | list[str] | dict, field: str, k: int = 10,
-        order: str = "desc",
+        order: str = "desc", after: tuple | None = None,
     ) -> tuple[int, list[tuple[int, object]]]:
         """ES BODY-level ``sort``: the matching docs ordered by a
         doc-values column instead of BM25 — ``(total matches,
         [(doc_id, sort_value)])``, ties doc-ascending.  Per-shard
         partials ship O(k) (exact-value tie class kept across the
         shard boundary, like the top_hits sort merge); numeric/date
-        NaNs sort last either direction (ES ``missing: _last``)."""
+        NaNs sort last either direction (ES ``missing: _last``).
+        ``after = (sort_value, doc_id)`` is the ES ``search_after``
+        cursor, pushed into the shard cut."""
         clauses = self._query_clauses(query)
         if clauses is None:
             return 0, []
         desc = str(order).lower() == "desc"
         per_actor = ray.get(
-            [a.sort_topk.remote(clauses, field, desc, k)
+            [a.sort_topk.remote(clauses, field, desc, k, after)
              for a in self.actors]
         )
         total, ids_l, vals_l = 0, [], []

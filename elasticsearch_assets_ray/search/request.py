@@ -276,9 +276,22 @@ def execute_request(engine, body: dict, default_field: str | None = None,
         # column (score not computed, like ES without track_scores).
         # The query takes the clause grammar (the aggs restriction);
         # totals are exact — the sort pass sees the full match count.
+        # search_after = [sort_value, doc_id] (the ES deep-pagination
+        # cursor with the doc tiebreak) replaces `from` and pushes the
+        # cut into the shards.
+        after = body.get("search_after")
+        if after is not None:
+            if frm:
+                raise DslError("search_after does not combine with from")
+            if not isinstance(after, (list, tuple)) or len(after) != 2:
+                raise DslError(
+                    "search_after takes [sort_value, doc_id] for a "
+                    "single-field sort")
+            after = (after[0], int(after[1]))
         clause = dsl_to_clause_query(query, default_field)
         total, ranked = engine.search_sort(
-            clause, sort_field, k=frm + size, order=sort_dir)
+            clause, sort_field, k=frm + size, order=sort_dir,
+            after=after)
         page = ranked[frm:frm + size]
         resp["hits"] = {
             "total": {"value": int(total), "relation": "eq"},
@@ -298,6 +311,11 @@ def execute_request(engine, body: dict, default_field: str | None = None,
         else:
             k = max(frm + size, 10_000 if tth is False else int(tth))
         ranked = search_dsl(engine, query, k=k)
+        ms = body.get("min_score")
+        if ms is not None:
+            # ES min_score: hits below the cutoff drop from hits AND
+            # totals (scores are rank-ordered, so this keeps a prefix)
+            ranked = [(d, s) for d, s in ranked if s >= float(ms)]
         page = ranked[frm:frm + size]
         exact_total = tth is True or len(ranked) < k
         resp["hits"] = {
@@ -329,6 +347,22 @@ def execute_request(engine, body: dict, default_field: str | None = None,
         for h, row in zip(page_hits, rows):
             h["_source"] = {k: v for k, v in row.items()
                             if k != "doc_id"}
+
+    flds = body.get("fields")
+    if flds and resp["hits"]["hits"]:
+        # ES `fields` retrieval: like _source but values come back as
+        # ARRAYS per field (the ES fields-response contract); docmeta
+        # point reads, page-sized.
+        from ..state.docstore import DocStore
+
+        cols = [f if isinstance(f, str) else str(f["field"])
+                for f in flds]
+        store = DocStore(_engine_index_dir(engine),
+                         columns=["doc_id"] + cols)
+        page_hits = resp["hits"]["hits"]
+        rows = store.mget([h["_id"] for h in page_hits]).to_pylist()
+        for h, row in zip(page_hits, rows):
+            h["fields"] = {c: [row[c]] for c in cols}
 
     hl = body.get("highlight")
     if hl is not None and query is not None and resp["hits"]["hits"]:

@@ -2656,7 +2656,7 @@ class TermPartitionedEngine:
 
     def search_sort(
         self, query: str | list[str] | dict, field: str, k: int = 10,
-        order: str = "desc",
+        order: str = "desc", after: tuple | None = None,
     ) -> tuple[int, list[tuple[int, object]]]:
         """ES BODY-level ``sort`` served from the term-partitioned
         layout: matched ids → sort values hydrated id-aligned from the
@@ -2677,8 +2677,14 @@ class TermPartitionedEngine:
         )
         desc = str(order).lower() == "desc"
         keyv = _sort_key(vals, desc)
+        total = int(len(sids))
+        if after is not None:
+            av, ad = after
+            ak = _sort_key(np.asarray([av], dtype=vals.dtype), desc)[0]
+            keep = (keyv > ak) | ((keyv == ak) & (sids > ad))
+            sids, vals, keyv = sids[keep], vals[keep], keyv[keep]
         o = np.lexsort((sids, keyv))[:k]
-        return int(len(sids)), [
+        return total, [
             (int(sids[i]),
              vals[i].item() if hasattr(vals[i], "item") else vals[i])
             for i in o

@@ -430,3 +430,46 @@ def test_sort_section(req_engines):
     with pytest.raises(DslError):
         execute_request(eng, {**body, "sort": [{"n_chars": "desc"},
                                                {"lang": "asc"}]})
+
+
+def test_search_after_min_score_fields(req_engines):
+    """search_after ([sort_value, doc_id] cursor, pushed into the shard
+    cut) pages identically to from/size; min_score trims hits AND
+    totals; `fields` returns array-valued docmeta."""
+    eng, teng = req_engines
+    base = {
+        "query": {"match": {"content": "merge"}},
+        "sort": "n_chars",
+        "size": 4,
+    }
+    first = execute_request(eng, base)
+    assert len(first["hits"]["hits"]) == 4
+    cursor = [first["hits"]["hits"][-1]["sort"][0],
+              first["hits"]["hits"][-1]["_id"]]
+    nxt = execute_request(eng, {**base, "search_after": cursor})
+    contiguous = execute_request(eng, {**base, "size": 8})
+    assert [h["_id"] for h in first["hits"]["hits"]] + \
+        [h["_id"] for h in nxt["hits"]["hits"]] == \
+        [h["_id"] for h in contiguous["hits"]["hits"]]
+    assert nxt["hits"]["total"]["value"] == \
+        first["hits"]["total"]["value"]  # totals unaffected by cursor
+    nxt_t = execute_request(teng, {**base, "search_after": cursor})
+    assert [(h["_id"], h["sort"]) for h in nxt["hits"]["hits"]] == \
+        [(h["_id"], h["sort"]) for h in nxt_t["hits"]["hits"]]
+    with pytest.raises(DslError):
+        execute_request(eng, {**base, "search_after": cursor, "from": 2})
+    # min_score trims hits and totals
+    full = execute_request(eng, {"query": base["query"], "size": 50})
+    scores = [h["_score"] for h in full["hits"]["hits"]]
+    cut = scores[len(scores) // 2]
+    trimmed = execute_request(eng, {"query": base["query"], "size": 50,
+                                    "min_score": cut})
+    want = [s for s in scores if s >= cut]
+    assert [h["_score"] for h in trimmed["hits"]["hits"]] == want
+    assert trimmed["hits"]["total"]["value"] == len(want)
+    # fields: array-valued docmeta
+    f = execute_request(eng, {"query": base["query"], "size": 3,
+                              "fields": ["lang", "n_chars"]})
+    for h in f["hits"]["hits"]:
+        assert isinstance(h["fields"]["lang"], list)
+        assert len(h["fields"]["n_chars"]) == 1
