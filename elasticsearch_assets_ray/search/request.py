@@ -270,6 +270,118 @@ def execute_request(engine, body: dict, default_field: str | None = None,
     query = body.get("query")
 
     resp: dict = {}
+    if "suggest" in body:
+        # ES suggest section: named suggesters over the dictionary.
+        # term → suggest_term; phrase → suggest_phrase; completion →
+        # suggest_completion (each already ES-shaped per entry).
+        resp["suggest"] = {}
+        for name, spec in body["suggest"].items():
+            text = spec.get("text") or spec.get("prefix", "")
+            if "term" in spec:
+                opts = spec["term"] or {}
+                rows = engine.suggest_term(
+                    text, size=int(opts.get("size", 5)),
+                    suggest_mode=opts.get("suggest_mode", "missing"),
+                    max_edits=int(opts.get("max_edits", 2)),
+                    prefix_length=int(opts.get("prefix_length", 1)),
+                )
+                by_tok: dict = {}
+                for r in rows:
+                    by_tok.setdefault(r["token"], []).append(
+                        {"text": r["suggestion"], "score": r["score"],
+                         "freq": r["freq"]})
+                resp["suggest"][name] = [
+                    {"text": t, "options": o} for t, o in by_tok.items()
+                ]
+            elif "phrase" in spec:
+                opts = spec["phrase"] or {}
+                resp["suggest"][name] = engine.suggest_phrase(
+                    text, size=int(opts.get("size", 5)))
+            elif "completion" in spec:
+                opts = spec["completion"] or {}
+                resp["suggest"][name] = engine.suggest_completion(
+                    text, size=int(opts.get("size", 10)))
+            else:
+                raise DslError(
+                    f"suggester {name!r} needs term/phrase/completion")
+        if query is None:
+            resp["hits"] = {"total": {"value": 0, "relation": "eq"},
+                            "max_score": None, "hits": []}
+            return resp
+
+    if query is not None and "collapse" in body:
+        # ES field collapsing: one hit per group (the group's best),
+        # inner_hits carrying the group's top docs.  The organic query
+        # is the match-text form (search_collapse's contract); the
+        # repo's collapse is exact over the FULL match set (disclosed
+        # divergence in our favor vs ES's window-bounded pass).
+        from .dsl import _match_text
+
+        col = body["collapse"]
+        field = col["field"]
+        inner = ((col.get("inner_hits") or {}).get("size", 3))
+        text = _match_text(query, default_field)
+        rows = engine.search_collapse(
+            text, field, k_groups=frm + size,
+            inner_size=max(int(inner), 1),
+        )
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(r["group"], []).append(r)
+        ordered = sorted(groups.values(),
+                         key=lambda g: g[0]["group_rank"])
+        page = ordered[frm:frm + size]
+        hits = []
+        for g in page:
+            best = g[0]
+            h = {"_id": int(best["doc_id"]),
+                 "_score": float(best["score"]),
+                 "fields": {field: [best["group"]]}}
+            if col.get("inner_hits"):
+                h["inner_hits"] = {"hits": {"hits": [
+                    {"_id": int(r["doc_id"]),
+                     "_score": float(r["score"])} for r in g
+                ]}}
+            hits.append(h)
+        resp["hits"] = {
+            "total": {"value": len(ordered), "relation": "gte"},
+            "max_score": (hits[0]["_score"] if hits else None),
+            "hits": hits,
+        }
+        return resp
+
+    if query is not None and "rescore" in body:
+        # ES rescore: re-rank the query window with a phrase rescorer.
+        # query = match text, rescore_query = match_phrase on the text
+        # field (rescore_with_phrase's contract).
+        from .dsl import _match_text
+        from .engine import rescore_with_phrase
+
+        rs = body["rescore"]
+        rq = (rs.get("query") or {})
+        inner = rq.get("rescore_query") or {}
+        if len(inner) != 1 or "match_phrase" not in inner:
+            raise DslError(
+                "rescore is wired for a match_phrase rescore_query")
+        phrase = _match_text(
+            {"match": inner["match_phrase"]}, default_field)
+        ranked = rescore_with_phrase(
+            engine, _match_text(query, default_field), phrase,
+            k=frm + size,
+            window_size=int(rs.get("window_size", 50)),
+            query_weight=float(rq.get("query_weight", 1.0)),
+            rescore_weight=float(rq.get("rescore_weight", 1.0)),
+            score_mode=rq.get("score_mode", "total"),
+        )
+        page = ranked[frm:frm + size]
+        resp["hits"] = {
+            "total": {"value": len(ranked), "relation": "gte"},
+            "max_score": (ranked[0][1] if ranked else None),
+            "hits": [{"_id": int(d), "_score": float(s)}
+                     for d, s in page],
+        }
+        return resp
+
     sort_field, sort_dir = _parse_sort(body.get("sort"))
     if query is not None and sort_field is not None:
         # ES body-level sort: matching docs ordered by a doc-values

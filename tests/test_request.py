@@ -473,3 +473,53 @@ def test_search_after_min_score_fields(req_engines):
     for h in f["hits"]["hits"]:
         assert isinstance(h["fields"]["lang"], list)
         assert len(h["fields"]["n_chars"]) == 1
+
+
+def test_rescore_collapse_suggest_sections(req_engines):
+    """The rescore / collapse / suggest body sections dispatch to the
+    dedicated engine entry points with ES-shaped responses; engines
+    agree."""
+    from elasticsearch_assets_ray.search.engine import (
+        rescore_with_phrase,
+    )
+
+    eng, teng = req_engines
+    # rescore
+    body = {
+        "query": {"match": {"content": "merge data"}},
+        "size": 5,
+        "rescore": {"window_size": 20, "query": {
+            "rescore_query": {"match_phrase": {"content": "merge data"}},
+            "rescore_weight": 2.0, "score_mode": "total"}},
+    }
+    out = execute_request(eng, body)
+    want = rescore_with_phrase(eng, "merge data", "merge data", k=5,
+                               window_size=20, rescore_weight=2.0)
+    assert [(h["_id"], h["_score"]) for h in out["hits"]["hits"]] == \
+        [(d, s) for d, s in want]
+    assert out["hits"]["hits"]
+    # collapse
+    cbody = {
+        "query": {"match": {"content": "merge"}},
+        "size": 3,
+        "collapse": {"field": "lang", "inner_hits": {"size": 2}},
+    }
+    cout = execute_request(eng, cbody)
+    rows = eng.search_collapse("merge", "lang", k_groups=3, inner_size=2)
+    assert cout["hits"]["hits"]
+    first = cout["hits"]["hits"][0]
+    assert first["fields"]["lang"] == [rows[0]["group"]]
+    assert first["_id"] == rows[0]["doc_id"]
+    assert len(first["inner_hits"]["hits"]["hits"]) <= 2
+    cout_t = execute_request(teng, cbody)
+    assert [(h["_id"], h["fields"]) for h in cout["hits"]["hits"]] == \
+        [(h["_id"], h["fields"]) for h in cout_t["hits"]["hits"]]
+    # suggest (term suggester over a misspelling)
+    sbody = {"suggest": {"fix": {"text": "merg", "term": {"size": 3}}}}
+    sout = execute_request(eng, sbody)
+    entries = sout["suggest"]["fix"]
+    assert entries and entries[0]["text"] == "merg"
+    assert any(o["text"] == "merge" for o in entries[0]["options"])
+    assert sout["hits"]["hits"] == []  # no query → empty hits
+    with pytest.raises(DslError):
+        execute_request(eng, {"suggest": {"x": {"text": "a"}}})
