@@ -1613,6 +1613,47 @@ SELECT rank, doc_id, n_chars, lang FROM (
 """
 
 
+def q_body_cursor(sf_dir: str) -> pa.Table:
+    """``search_after`` deep pagination on a field sort: page 2 fetched
+    with the [sort_value, doc_id] cursor of page 1's last hit — the
+    cursor is pushed into the per-shard cut (wire stays O(page), not
+    O(depth)).  Oracled vs the SQL window rank 21..40 of the same
+    ORDER BY."""
+    from ..config import BM25Params
+    from ..search.engine import QueryEngine
+    from ..search.request import execute_request
+
+    idx = ensure_doc_index(sf_dir)
+    engine = QueryEngine(idx, num_actors=4, params=BM25Params(round_decimals=4))
+    try:
+        base = {"query": {"match": {"text": "join"}}, "size": 20,
+                "sort": [{"n_chars": "desc"}]}
+        p1 = execute_request(engine, base)["hits"]["hits"]
+        cursor = [p1[-1]["sort"][0], p1[-1]["_id"]]
+        p2 = execute_request(engine, {**base, "search_after": cursor})
+    finally:
+        engine.shutdown()
+    hits = p2["hits"]["hits"]
+    return pa.table({
+        "rank": pa.array(range(21, 21 + len(hits)), pa.int64()),
+        "doc_id": pa.array([h["_id"] for h in hits], pa.int64()),
+        "n_chars": pa.array([h["sort"][0] for h in hits], pa.int64()),
+    })
+
+
+def sql_body_cursor() -> str:
+    toks = _TOKS.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toks AS ({toks}),
+hit AS (SELECT DISTINCT doc_id FROM toks WHERE t = 'join')
+SELECT rank, doc_id, n_chars FROM (
+  SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+         row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS rank
+  FROM documents d JOIN hit USING (doc_id)
+) WHERE rank BETWEEN 21 AND 40
+"""
+
+
 def q_phrase_prefix_slop(sf_dir: str) -> pa.Table:
     """``match_phrase_prefix`` with ``slop`` over the expansion-union
     last slot — ordered mode (greedy chain on per-slot key unions) and
@@ -14812,6 +14853,7 @@ def queries():
         "span_masked_json": q_span_masked_json,
         "function_score_json": q_function_score_json,
         "body_sort": q_body_sort,
+        "body_cursor": q_body_cursor,
         "msm_spec": q_msm_spec,
         "msm_spec_global": q_msm_spec_global,
         "span_multi_kinds": q_span_multi_kinds,
@@ -15131,6 +15173,7 @@ def oracle_sql():
         "span_masked_json": sql_span_masked_search(),
         "function_score_json": sql_function_score_multi(),
         "body_sort": sql_body_sort(),
+        "body_cursor": sql_body_cursor(),
         "msm_spec": sql_msm_spec(),
         "msm_spec_global": sql_msm_spec(),
         "span_multi_kinds": sql_span_multi_kinds(),
