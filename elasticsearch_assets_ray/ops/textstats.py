@@ -316,3 +316,119 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column(
         "token_count", pa.array(np.asarray(dls, dtype=np.int64))
     )
+
+
+def top_ngrams(
+    ds,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Corpus-wide top-``k`` token ``n``-grams by occurrence count — the
+    boilerplate/contamination survey every web-scale text pipeline runs
+    before training (C4/RefinedWeb drop documents dominated by the
+    corpus's hottest n-grams; decontamination seeds from them).
+
+    Shape: the ``term_stats`` fixed-bucket reduction (SURVEY §2.6's
+    pattern) over n-gram COMPOSITE CODES — one Arrow-kernel tokenize
+    per batch (the index build's kernel, so the gram vocabulary matches
+    the query analyzers and the DuckDB ``_TOKSP`` oracle), adjacent
+    codes fold into one int64 composite per gram (no per-token Python,
+    no gram strings on the wire until per-batch distinct), then ONE
+    exchange over ``n_buckets`` hash buckets with a per-bucket top-k
+    cut — exact, because buckets partition the gram space, and the
+    driver never sees more than ``n_buckets × k`` rows.
+
+    Returns (ngram, cf, df, rank): cf = total occurrences, df = docs
+    containing, ordered (cf desc, df desc, ngram asc), rank 1..k.
+    """
+    from ..index.build import tokenize_codes_arrow_chunked
+    from ..index.global_merge import _term_buckets_vec
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms, codes, doc_rel, _ = tokenize_codes_arrow_chunked(
+            batch.column(text_col), "simple", 1, 64, {}
+        )
+        nt = np.int64(len(terms))
+        if nt == 0 or len(codes) < n:
+            return pa.table({
+                "ngram": pa.array([], pa.string()),
+                "cf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "tb": pa.array([], pa.int32()),
+            })
+        # adjacency within a doc: all n consecutive tokens share a doc
+        same = doc_rel[n - 1:] == doc_rel[:len(doc_rel) - n + 1]
+        comp = codes[: len(codes) - n + 1].astype(np.int64).copy()
+        for i in range(1, n):
+            comp = comp * nt + codes[i: len(codes) - n + 1 + i]
+        comp = comp[same]
+        docs = doc_rel[: len(doc_rel) - n + 1][same]
+        if len(comp) == 0:
+            return pa.table({
+                "ngram": pa.array([], pa.string()),
+                "cf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "tb": pa.array([], pa.int32()),
+            })
+        ucomp, pinv = np.unique(comp, return_inverse=True)
+        cf = np.bincount(pinv, minlength=len(ucomp)).astype(np.int64)
+        ud = np.unique(docs.astype(np.int64) * len(ucomp) + pinv)
+        df = np.bincount(
+            (ud % len(ucomp)).astype(np.int64), minlength=len(ucomp)
+        ).astype(np.int64)
+        # composite → string only for the batch's DISTINCT grams, via
+        # Arrow takes + one join kernel (no per-occurrence Python)
+        ta = pa.array(terms) if not isinstance(terms, pa.Array) else terms
+        parts = []
+        rest = ucomp.copy()
+        for _ in range(n):
+            parts.append(rest % nt)
+            rest //= nt
+        cols = [ta.take(pa.array(p)) for p in reversed(parts)]
+        grams = pc.binary_join_element_wise(*cols, " ")
+        return pa.table({
+            "ngram": grams,
+            "cf": pa.array(cf),
+            "df": pa.array(df),
+            "tb": pa.array(
+                _term_buckets_vec(grams, n_buckets, "fnv1a64"), pa.int32()
+            ),
+        })
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        enc = g.column("ngram").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy()
+        nd = len(enc.dictionary)
+        cf = np.bincount(
+            codes, weights=g.column("cf").to_numpy(), minlength=nd
+        ).astype(np.int64)
+        df = np.bincount(
+            codes, weights=g.column("df").to_numpy(), minlength=nd
+        ).astype(np.int64)
+        t = pa.table({"ngram": enc.dictionary, "cf": pa.array(cf),
+                      "df": pa.array(df)})
+        order = pc.sort_indices(
+            t, sort_keys=[("cf", "descending"), ("df", "descending"),
+                          ("ngram", "ascending")],
+        )
+        return t.take(order[:k])
+
+    from .dedup import to_arrow  # local import: avoid a module cycle
+
+    agg = to_arrow(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("tb")
+        .map_groups(reduce_bucket, batch_format="pyarrow",
+                    zero_copy_batch=True)
+    )
+    order = pc.sort_indices(
+        agg, sort_keys=[("cf", "descending"), ("df", "descending"),
+                        ("ngram", "ascending")],
+    )
+    top = agg.take(order[:k])
+    return top.append_column(
+        "rank", pa.array(np.arange(1, top.num_rows + 1), pa.int64())
+    )

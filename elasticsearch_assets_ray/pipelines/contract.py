@@ -1613,6 +1613,46 @@ SELECT rank, doc_id, n_chars, lang FROM (
 """
 
 
+def q_top_bigrams(sf_dir: str) -> pa.Table:
+    """Corpus-wide top-100 token bigrams (`ops/textstats.top_ngrams` —
+    the boilerplate/contamination survey): fixed-bucket composite-code
+    reduction, one exchange, per-bucket exact top-k cut."""
+    from ..ops.textstats import top_ngrams
+
+    return top_ngrams(_docs(sf_dir, ["doc_id", "text"]), n=2, k=100)
+
+
+def q_top_trigrams(sf_dir: str) -> pa.Table:
+    """Same survey at n=3 (the order-3 composite-code path)."""
+    from ..ops.textstats import top_ngrams
+
+    return top_ngrams(_docs(sf_dir, ["doc_id", "text"]), n=3, k=100)
+
+
+def _sql_top_ngrams(n: int) -> str:
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    joins, gram = [], ["a.t"]
+    for i in range(1, n):
+        joins.append(
+            f"JOIN toksp t{i} ON t{i}.doc_id = a.doc_id "
+            f"AND t{i}.pos = a.pos + {i}"
+        )
+        gram.append(f"t{i}.t")
+    gram_expr = " || ' ' || ".join(gram)
+    return f"""
+WITH toksp AS ({toksp}),
+big AS (SELECT a.doc_id, {gram_expr} AS ngram
+        FROM toksp a {' '.join(joins)}),
+agg AS (SELECT ngram, count(*)::BIGINT AS cf,
+               count(DISTINCT doc_id)::BIGINT AS df
+        FROM big GROUP BY 1)
+SELECT ngram, cf, df,
+       row_number() OVER (ORDER BY cf DESC, df DESC, ngram) AS rank
+FROM agg
+QUALIFY rank <= 100
+"""
+
+
 def q_body_cursor(sf_dir: str) -> pa.Table:
     """``search_after`` deep pagination on a field sort: page 2 fetched
     with the [sort_value, doc_id] cursor of page 1's last hit — the
@@ -14854,6 +14894,8 @@ def queries():
         "function_score_json": q_function_score_json,
         "body_sort": q_body_sort,
         "body_cursor": q_body_cursor,
+        "top_bigrams": q_top_bigrams,
+        "top_trigrams": q_top_trigrams,
         "msm_spec": q_msm_spec,
         "msm_spec_global": q_msm_spec_global,
         "span_multi_kinds": q_span_multi_kinds,
@@ -15174,6 +15216,8 @@ def oracle_sql():
         "function_score_json": sql_function_score_multi(),
         "body_sort": sql_body_sort(),
         "body_cursor": sql_body_cursor(),
+        "top_bigrams": _sql_top_ngrams(2),
+        "top_trigrams": _sql_top_ngrams(3),
         "msm_spec": sql_msm_spec(),
         "msm_spec_global": sql_msm_spec(),
         "span_multi_kinds": sql_span_multi_kinds(),
