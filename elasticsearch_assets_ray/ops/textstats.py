@@ -432,3 +432,98 @@ def top_ngrams(
     return top.append_column(
         "rank", pa.array(np.arange(1, top.num_rows + 1), pa.int64())
     )
+
+
+def boilerplate_ngram_stats(
+    ds,
+    n: int = 2,
+    k: int = 100,
+    keep_millis: int = 300,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Per-doc boilerplate load against the corpus's hottest ``k``
+    n-grams (the C4-style filter composed on
+    :func:`top_ngrams`): (doc_id, total_ngrams, hot_ngrams, hot_frac,
+    keep) for every doc with ≥1 n-gram, ``keep`` ⇔ hot occurrences ≤
+    ``keep_millis``/1000 of the doc's n-grams — the threshold compares
+    INTEGERS (``hot·1000 ≤ total·keep_millis``) so the flag is exact;
+    ``hot_frac`` is the single int÷int division (bit-stable across
+    engines).
+
+    Two phases, both bounded: the survey's one bucketed exchange, then
+    the hot set (``k`` strings) broadcast once via ``ray.put`` into a
+    streaming membership pass — never a join shuffle.
+    """
+    import ray as _ray
+
+    top = top_ngrams(ds, n=n, k=k, text_col=text_col)
+    hot_ref = _ray.put(set(top.column("ngram").to_pylist()))
+
+    class _HotFrac:
+        def __init__(self):
+            self.hot = _ray.get(hot_ref)  # once per actor (ST1 pattern)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..index.build import tokenize_codes_arrow_chunked
+
+            terms, codes, doc_rel, _ = tokenize_codes_arrow_chunked(
+                batch.column(text_col), "simple", 1, 64, {}
+            )
+            ndocs = batch.num_rows
+            nt = np.int64(len(terms))
+            empty = pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "total_ngrams": pa.array([], pa.int64()),
+                "hot_ngrams": pa.array([], pa.int64()),
+                "hot_frac": pa.array([], pa.float64()),
+                "keep": pa.array([], pa.bool_()),
+            })
+            if nt == 0 or len(codes) < n:
+                return empty
+            same = doc_rel[n - 1:] == doc_rel[:len(doc_rel) - n + 1]
+            comp = codes[: len(codes) - n + 1].astype(np.int64).copy()
+            for i in range(1, n):
+                comp = comp * nt + codes[i: len(codes) - n + 1 + i]
+            comp = comp[same]
+            docs = doc_rel[: len(doc_rel) - n + 1][same]
+            if len(comp) == 0:
+                return empty
+            ucomp, pinv = np.unique(comp, return_inverse=True)
+            ta = pa.array(terms) if not isinstance(terms, pa.Array) \
+                else terms
+            parts = []
+            rest = ucomp.copy()
+            for _ in range(n):
+                parts.append(rest % nt)
+                rest //= nt
+            cols = [ta.take(pa.array(p)) for p in reversed(parts)]
+            grams = pc.binary_join_element_wise(*cols, " ")
+            is_hot = np.fromiter(
+                (g in self.hot for g in grams.to_pylist()),
+                dtype=bool, count=len(grams),
+            )
+            total = np.bincount(docs, minlength=ndocs).astype(np.int64)
+            hot = np.bincount(
+                docs[is_hot[pinv]], minlength=ndocs
+            ).astype(np.int64)
+            ids = batch.column(id_col).to_numpy()
+            m = total > 0
+            return pa.table({
+                "doc_id": pa.array(ids[m].astype(np.int64)),
+                "total_ngrams": pa.array(total[m]),
+                "hot_ngrams": pa.array(hot[m]),
+                "hot_frac": pa.array(hot[m] / total[m]),
+                "keep": pa.array(
+                    hot[m] * 1000 <= total[m] * int(keep_millis)
+                ),
+            })
+
+    from .dedup import to_arrow
+
+    # autoscaling (1, 4): a fixed pool of 4 would deadlock a
+    # 4-cpu session against its own upstream read tasks
+    return to_arrow(ds.map_batches(
+        _HotFrac, concurrency=(1, 4), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ))

@@ -1653,6 +1653,44 @@ QUALIFY rank <= 100
 """
 
 
+def q_boilerplate_filter(sf_dir: str) -> pa.Table:
+    """C4-style boilerplate filter composed on the n-gram survey
+    (`ops/textstats.boilerplate_ngram_stats`): per-doc fraction of
+    bigram occurrences that land in the corpus top-100 bigrams; keep ⇔
+    hot·1000 ≤ total·300 (integer comparison, exact).  The hot set
+    broadcasts once via ray.put — a membership pass, not a join
+    shuffle."""
+    from ..ops.textstats import boilerplate_ngram_stats
+
+    return boilerplate_ngram_stats(
+        _docs(sf_dir, ["doc_id", "text"]), n=2, k=100, keep_millis=300)
+
+
+def sql_boilerplate_filter() -> str:
+    toksp = _TOKSP.format(id="doc_id", text="text", src="documents")
+    return f"""
+WITH toksp AS ({toksp}),
+big AS (SELECT a.doc_id, a.t || ' ' || b.t AS ngram
+        FROM toksp a JOIN toksp b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+hot AS (SELECT ngram FROM (
+          SELECT ngram, count(*) AS cf, count(DISTINCT doc_id) AS df,
+                 row_number() OVER (ORDER BY count(*) DESC,
+                                    count(DISTINCT doc_id) DESC,
+                                    ngram) AS rank
+          FROM big GROUP BY ngram) WHERE rank <= 100),
+perdoc AS (SELECT doc_id,
+                  count(*)::BIGINT AS total_ngrams,
+                  CAST(sum(CASE WHEN ngram IN (SELECT ngram FROM hot)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS hot_ngrams
+           FROM big GROUP BY 1)
+SELECT doc_id, total_ngrams, hot_ngrams,
+       hot_ngrams::DOUBLE / total_ngrams AS hot_frac,
+       hot_ngrams * 1000 <= total_ngrams * 300 AS keep
+FROM perdoc
+"""
+
+
 def q_body_cursor(sf_dir: str) -> pa.Table:
     """``search_after`` deep pagination on a field sort: page 2 fetched
     with the [sort_value, doc_id] cursor of page 1's last hit — the
@@ -14895,6 +14933,7 @@ def queries():
         "body_sort": q_body_sort,
         "body_cursor": q_body_cursor,
         "top_bigrams": q_top_bigrams,
+        "boilerplate_filter": q_boilerplate_filter,
         "top_trigrams": q_top_trigrams,
         "msm_spec": q_msm_spec,
         "msm_spec_global": q_msm_spec_global,
@@ -15217,6 +15256,7 @@ def oracle_sql():
         "body_sort": sql_body_sort(),
         "body_cursor": sql_body_cursor(),
         "top_bigrams": _sql_top_ngrams(2),
+        "boilerplate_filter": sql_boilerplate_filter(),
         "top_trigrams": _sql_top_ngrams(3),
         "msm_spec": sql_msm_spec(),
         "msm_spec_global": sql_msm_spec(),
