@@ -520,6 +520,25 @@ def execute_request(engine, body: dict, default_field: str | None = None,
     return resp
 
 
+def execute_count(engine, body: dict | None = None,
+                  default_field: str | None = None) -> dict:
+    """ES ``_count`` API: ``{"count": N}`` for the body's query (or
+    match_all when absent).  Runs the ranked path with exact totals —
+    counts are exact by construction (the rank pass sees the full
+    match set)."""
+    from .dsl import _default_field
+
+    if default_field is None:
+        default_field = _default_field(engine)
+    query = (body or {}).get("query")
+    if query is None:
+        # match_all count = corpus size minus deletes; engines expose
+        # the live doc count via their match_all ranking
+        query = {"match_all": {}}
+    ranked = search_dsl(engine, query, k=1 << 30)
+    return {"count": len(ranked)}
+
+
 def _parse_sort(spec) -> tuple[str | None, str]:
     """ES ``sort`` section → (field, direction); (None, ...) = score
     order (absent, ``"_score"``, or an explicit score entry).  One

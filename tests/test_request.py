@@ -523,3 +523,19 @@ def test_rescore_collapse_suggest_sections(req_engines):
     assert sout["hits"]["hits"] == []  # no query → empty hits
     with pytest.raises(DslError):
         execute_request(eng, {"suggest": {"x": {"text": "a"}}})
+
+
+def test_execute_count(req_engines):
+    """ES _count: exact totals for a query body; match_all counts the
+    corpus; engines agree."""
+    from elasticsearch_assets_ray.search.request import execute_count
+
+    eng, teng = req_engines
+    body = {"query": {"match": {"content": "merge"}}}
+    got = execute_count(eng, body)
+    want = execute_request(eng, {**body, "size": 0})
+    assert got["count"] == want["hits"]["total"]["value"] > 0
+    assert got == execute_count(teng, body)
+    all_docs = execute_count(eng, {})
+    assert all_docs["count"] >= got["count"]
+    assert all_docs == execute_count(eng, None)
