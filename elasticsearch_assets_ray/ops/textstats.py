@@ -462,7 +462,9 @@ def boilerplate_ngram_stats(
 
     class _HotFrac:
         def __init__(self):
-            self.hot = _ray.get(hot_ref)  # once per actor (ST1 pattern)
+            # once per actor (ST1 pattern); Arrow value_set for the
+            # vectorized is_in kernel
+            self.hot = pa.array(sorted(_ray.get(hot_ref)), pa.string())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             from ..index.build import tokenize_codes_arrow_chunked
@@ -499,9 +501,8 @@ def boilerplate_ngram_stats(
                 rest //= nt
             cols = [ta.take(pa.array(p)) for p in reversed(parts)]
             grams = pc.binary_join_element_wise(*cols, " ")
-            is_hot = np.fromiter(
-                (g in self.hot for g in grams.to_pylist()),
-                dtype=bool, count=len(grams),
+            is_hot = pc.is_in(grams, value_set=self.hot).to_numpy(
+                zero_copy_only=False
             )
             total = np.bincount(docs, minlength=ndocs).astype(np.int64)
             hot = np.bincount(
