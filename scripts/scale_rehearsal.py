@@ -25,11 +25,14 @@ import argparse
 import glob
 import json
 import os
+import pathlib
 import shutil
 import sys
 import tempfile
 import threading
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 N_DOCS = 1_000_000
 CORPUS = "/tmp/esray_corpus_1m"
