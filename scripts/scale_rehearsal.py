@@ -167,13 +167,15 @@ def main() -> None:
     ensure_docs()
     stop = threading.Event()
     mem: dict = {}
+    load0 = round(os.getloadavg()[0], 1)
     th = threading.Thread(target=rss_sampler, args=(stop, mem), daemon=True)
     th.start()
     info = run_op(args.op)
     stop.set()
     th.join()
     info["peak_rss_gib"] = round(mem.get("peak_rss", 0) / 2**30, 2)
-    info["loadavg_start_note"] = round(os.getloadavg()[0], 1)
+    info["loadavg_end"] = round(os.getloadavg()[0], 1)
+    info["loadavg_start"] = load0
     print(json.dumps(info))
 
 
