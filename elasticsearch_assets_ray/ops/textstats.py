@@ -318,6 +318,41 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def _fold_ngrams(terms, codes, doc_rel, n: int):
+    """Shared n-gram composite-code assembly: adjacent token codes fold
+    into one int64 composite per gram (base = the batch vocabulary
+    size); returns ``(ucomp, pinv, docs, grams)`` — per-batch distinct
+    composites, the occurrence→distinct map, each occurrence's doc, and
+    the distinct gram STRINGS (Arrow takes + one join kernel; never a
+    per-occurrence Python string).  Guards the int64 capacity: ``nt^n``
+    past 2^62 would wrap silently and collide distinct grams."""
+    nt = np.int64(len(terms))
+    if len(codes) < n:
+        return None
+    if n > 1 and float(nt) ** n > float(1 << 62):
+        raise ValueError(
+            f"n-gram composite overflow: vocab {int(nt)} at n={n} "
+            "exceeds int64 — lower n or shrink the batch")
+    same = doc_rel[n - 1:] == doc_rel[:len(doc_rel) - n + 1]
+    comp = codes[: len(codes) - n + 1].astype(np.int64).copy()
+    for i in range(1, n):
+        comp = comp * nt + codes[i: len(codes) - n + 1 + i]
+    comp = comp[same]
+    docs = doc_rel[: len(doc_rel) - n + 1][same]
+    if len(comp) == 0:
+        return None
+    ucomp, pinv = np.unique(comp, return_inverse=True)
+    ta = pa.array(terms) if not isinstance(terms, pa.Array) else terms
+    parts = []
+    rest = ucomp.copy()
+    for _ in range(n):
+        parts.append(rest % nt)
+        rest //= nt
+    cols = [ta.take(pa.array(p)) for p in reversed(parts)]
+    grams = pc.binary_join_element_wise(*cols, " ")
+    return ucomp, pinv, docs, grams
+
+
 def top_ngrams(
     ds,
     n: int = 2,
@@ -350,44 +385,23 @@ def top_ngrams(
         terms, codes, doc_rel, _ = tokenize_codes_arrow_chunked(
             batch.column(text_col), "simple", 1, 64, {}
         )
-        nt = np.int64(len(terms))
-        if nt == 0 or len(codes) < n:
+        folded = (
+            _fold_ngrams(terms, codes, doc_rel, n)
+            if len(terms) else None
+        )
+        if folded is None:
             return pa.table({
                 "ngram": pa.array([], pa.string()),
                 "cf": pa.array([], pa.int64()),
                 "df": pa.array([], pa.int64()),
                 "tb": pa.array([], pa.int32()),
             })
-        # adjacency within a doc: all n consecutive tokens share a doc
-        same = doc_rel[n - 1:] == doc_rel[:len(doc_rel) - n + 1]
-        comp = codes[: len(codes) - n + 1].astype(np.int64).copy()
-        for i in range(1, n):
-            comp = comp * nt + codes[i: len(codes) - n + 1 + i]
-        comp = comp[same]
-        docs = doc_rel[: len(doc_rel) - n + 1][same]
-        if len(comp) == 0:
-            return pa.table({
-                "ngram": pa.array([], pa.string()),
-                "cf": pa.array([], pa.int64()),
-                "df": pa.array([], pa.int64()),
-                "tb": pa.array([], pa.int32()),
-            })
-        ucomp, pinv = np.unique(comp, return_inverse=True)
+        ucomp, pinv, docs, grams = folded
         cf = np.bincount(pinv, minlength=len(ucomp)).astype(np.int64)
         ud = np.unique(docs.astype(np.int64) * len(ucomp) + pinv)
         df = np.bincount(
             (ud % len(ucomp)).astype(np.int64), minlength=len(ucomp)
         ).astype(np.int64)
-        # composite → string only for the batch's DISTINCT grams, via
-        # Arrow takes + one join kernel (no per-occurrence Python)
-        ta = pa.array(terms) if not isinstance(terms, pa.Array) else terms
-        parts = []
-        rest = ucomp.copy()
-        for _ in range(n):
-            parts.append(rest % nt)
-            rest //= nt
-        cols = [ta.take(pa.array(p)) for p in reversed(parts)]
-        grams = pc.binary_join_element_wise(*cols, " ")
         return pa.table({
             "ngram": grams,
             "cf": pa.array(cf),
@@ -473,7 +487,6 @@ def boilerplate_ngram_stats(
                 batch.column(text_col), "simple", 1, 64, {}
             )
             ndocs = batch.num_rows
-            nt = np.int64(len(terms))
             empty = pa.table({
                 "doc_id": pa.array([], pa.int64()),
                 "total_ngrams": pa.array([], pa.int64()),
@@ -481,26 +494,13 @@ def boilerplate_ngram_stats(
                 "hot_frac": pa.array([], pa.float64()),
                 "keep": pa.array([], pa.bool_()),
             })
-            if nt == 0 or len(codes) < n:
+            folded = (
+                _fold_ngrams(terms, codes, doc_rel, n)
+                if len(terms) else None
+            )
+            if folded is None:
                 return empty
-            same = doc_rel[n - 1:] == doc_rel[:len(doc_rel) - n + 1]
-            comp = codes[: len(codes) - n + 1].astype(np.int64).copy()
-            for i in range(1, n):
-                comp = comp * nt + codes[i: len(codes) - n + 1 + i]
-            comp = comp[same]
-            docs = doc_rel[: len(doc_rel) - n + 1][same]
-            if len(comp) == 0:
-                return empty
-            ucomp, pinv = np.unique(comp, return_inverse=True)
-            ta = pa.array(terms) if not isinstance(terms, pa.Array) \
-                else terms
-            parts = []
-            rest = ucomp.copy()
-            for _ in range(n):
-                parts.append(rest % nt)
-                rest //= nt
-            cols = [ta.take(pa.array(p)) for p in reversed(parts)]
-            grams = pc.binary_join_element_wise(*cols, " ")
+            ucomp, pinv, docs, grams = folded
             is_hot = pc.is_in(grams, value_set=self.hot).to_numpy(
                 zero_copy_only=False
             )

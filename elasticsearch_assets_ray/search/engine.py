@@ -182,6 +182,30 @@ def _sort_key(vals: np.ndarray, desc: bool) -> np.ndarray:
     return -vinv if desc else vinv
 
 
+def _after_mask(v: np.ndarray, ids: np.ndarray, after: tuple,
+                desc: bool) -> np.ndarray:
+    """ES ``search_after`` survivor mask on RAW sort values — rows
+    strictly past ``(after_value, after_doc)`` in (value, doc asc)
+    order.  Comparing raw values (not ``_sort_key`` codes) keeps
+    string fields correct: dense codes are per-array and cannot be
+    compared against a scalar cursor.  NaN/missing values sort LAST
+    either direction (the ``missing: _last`` contract), so they
+    survive any non-NaN cursor and a NaN cursor advances through the
+    NaN tail by doc id."""
+    av, ad = after
+    numeric = np.issubdtype(np.asarray(v).dtype, np.number)
+    nanmask = (np.isnan(v) if numeric and
+               np.issubdtype(np.asarray(v).dtype, np.floating)
+               else np.zeros(len(v), dtype=bool))
+    av_is_nan = numeric and isinstance(av, float) and np.isnan(av)
+    if av_is_nan:
+        return nanmask & (ids > ad)
+    with np.errstate(invalid="ignore"):
+        past = (v < av) if desc else (v > av)
+        tied = v == av
+    return past | (tied & (ids > ad)) | nanmask
+
+
 def _merge_group_sorted(
     parts_list: list[dict], k: int, desc: bool, final: bool
 ) -> dict:
@@ -1483,18 +1507,15 @@ class ShardData:
         if len(cand) == 0:
             return (0, np.empty(0, np.int64), np.empty(0, np.float64))
         v = self.meta_col(field)[cand]
-        keyv = _sort_key(v, desc)
         total = int(len(cand))
         if after is not None:
-            av, ad = after
-            ak = _sort_key(np.asarray([av], dtype=np.asarray(v).dtype),
-                           desc)[0]
             gids = cand + self.doc_base
-            keep = (keyv > ak) | ((keyv == ak) & (gids > ad))
-            cand, v, keyv = cand[keep], v[keep], keyv[keep]
+            keep = _after_mask(v, gids, after, desc)
+            cand, v = cand[keep], v[keep]
             if len(cand) == 0:
                 return (total, np.empty(0, np.int64),
                         np.empty(0, np.float64))
+        keyv = _sort_key(v, desc)
         order = np.lexsort((cand, keyv))
         ginv = np.zeros(len(cand), dtype=np.int64)  # one group: the page
         for _gi, m in per_group_head(ginv, order, k, tie_vals=keyv):

@@ -222,6 +222,16 @@ def execute_request(engine, body: dict, default_field: str | None = None,
     if size < 0 or frm < 0:
         raise DslError("from/size must be non-negative")
 
+    if "retriever" in body or "knn" in body:
+        # retriever/knn hits are ORIGINAL doc ids (the retriever
+        # contract) — the docmeta point-read sections key on engine doc
+        # ids, so they are not wired on these paths
+        for sec in ("_source", "fields", "highlight"):
+            if body.get(sec):
+                raise DslError(
+                    f"{sec} is not wired on retriever/knn bodies "
+                    "(hits are original doc ids)")
+
     if "retriever" in body:
         if body.get("query") is not None or body.get("aggs") or \
                 body.get("aggregations"):
@@ -275,8 +285,14 @@ def execute_request(engine, body: dict, default_field: str | None = None,
         # term → suggest_term; phrase → suggest_phrase; completion →
         # suggest_completion (each already ES-shaped per entry).
         resp["suggest"] = {}
-        for name, spec in body["suggest"].items():
-            text = spec.get("text") or spec.get("prefix", "")
+        section = dict(body["suggest"])
+        # ES's shared-text form: a top-level "text" beside the named
+        # suggesters is each suggester's default input
+        shared = section.pop("text", None)
+        for name, spec in section.items():
+            if not isinstance(spec, dict):
+                raise DslError(f"suggester {name!r} must be an object")
+            text = spec.get("text") or spec.get("prefix") or shared or ""
             if "term" in spec:
                 opts = spec["term"] or {}
                 rows = engine.suggest_term(
@@ -348,7 +364,6 @@ def execute_request(engine, body: dict, default_field: str | None = None,
             "max_score": (hits[0]["_score"] if hits else None),
             "hits": hits,
         }
-        return resp
 
     if query is not None and "rescore" in body:
         # ES rescore: re-rank the query window with a phrase rescorer.
@@ -380,10 +395,13 @@ def execute_request(engine, body: dict, default_field: str | None = None,
             "hits": [{"_id": int(d), "_score": float(s)}
                      for d, s in page],
         }
-        return resp
 
     sort_field, sort_dir = _parse_sort(body.get("sort"))
-    if query is not None and sort_field is not None:
+    # a collapse/rescore section may already have produced the hits —
+    # the ranking branches below are skipped and control falls through
+    # to the point-read hydration sections (their _ids are engine doc
+    # ids)
+    if query is not None and "hits" not in resp and sort_field is not None:
         # ES body-level sort: matching docs ordered by a doc-values
         # column (score not computed, like ES without track_scores).
         # The query takes the clause grammar (the aggs restriction);
@@ -411,7 +429,7 @@ def execute_request(engine, body: dict, default_field: str | None = None,
             "hits": [{"_id": int(d), "_score": None, "sort": [v]}
                      for d, v in page],
         }
-    elif query is not None:
+    elif query is not None and "hits" not in resp:
         # track_total_hits (default true = exact totals, one full-rank
         # pass serving both the total and the page).  An integer (or
         # ES's false = 10_000) caps the rank at max(from+size, N) so a
@@ -437,7 +455,7 @@ def execute_request(engine, body: dict, default_field: str | None = None,
             "hits": [{"_id": int(d), "_score": float(s)}
                      for d, s in page],
         }
-    else:
+    elif "hits" not in resp:
         resp["hits"] = {"total": {"value": 0, "relation": "eq"},
                         "max_score": None, "hits": []}
 
@@ -477,6 +495,12 @@ def execute_request(engine, body: dict, default_field: str | None = None,
             h["fields"] = {c: [row[c]] for c in cols}
 
     hl = body.get("highlight")
+    if hl is not None and (sort_field is not None or "collapse" in body
+                           or "rescore" in body):
+        # the highlighter window is the SCORE ranking — keying sorted /
+        # collapsed / rescored pages off it would silently skip hits
+        raise DslError(
+            "highlight is wired for the relevance-ranked path only")
     if hl is not None and query is not None and resp["hits"]["hits"]:
         # ES highlight section over the indexed text field.  Wired for
         # text-match queries (the positional-sidecar highlighter keys

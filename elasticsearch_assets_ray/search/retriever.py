@@ -86,10 +86,13 @@ class RetrieverContext:
                  depth: int) -> list[int]:
         return [d for d, _ in self.ranked(hits, depth)]
 
-    def knn_ranks(self, query, depth: int,
-                  similarity: float | None = None) -> list[int]:
+    def knn_ranked(self, query, depth: int,
+                   similarity: float | None = None
+                   ) -> list[tuple[int, float]]:
         """``query``: an embeddings-table row id (query_vector_id) or a
-        raw vector (the ES query_vector form)."""
+        raw vector (the ES query_vector form) → ``[(vec_id, sim_r)]``
+        in rank order (serving-rounded cosine similarities — the ES
+        knn ``_score``)."""
         import ray.data as rd
 
         from ..ops import similarity as sim
@@ -106,7 +109,12 @@ class RetrieverContext:
             q = sim.queries_from_dataset(self._emb, qid)
         out = sim.knn_cosine(self._emb, q, qid, k=depth,
                              similarity=similarity)
-        return out.column("vec_id").to_pylist()  # already rank order
+        return list(zip(out.column("vec_id").to_pylist(),
+                        out.column("sim_r").to_pylist()))
+
+    def knn_ranks(self, query, depth: int,
+                  similarity: float | None = None) -> list[int]:
+        return [d for d, _ in self.knn_ranked(query, depth, similarity)]
 
 
 def execute_retriever(
@@ -137,9 +145,11 @@ def execute_retriever(
             hits = ctx.engine.search(body["query"], k=1 << 30)
         return ctx.ranked(hits, k)
     if kind == "knn":
-        ids = ctx.knn_ranks(_knn_query(body), int(body.get("k", k)),
-                            similarity=body.get("similarity"))[:k]
-        return [(d, 0.0) for d in ids]  # rank-only leaf at the top level
+        # top-level knn leaf scores = serving-rounded cosine sims (the
+        # ES knn _score); under an rrf parent only the RANKS feed the
+        # fusion, so compound results are unchanged
+        return ctx.knn_ranked(_knn_query(body), int(body.get("k", k)),
+                              similarity=body.get("similarity"))[:k]
     raise ValueError(f"unknown retriever kind {kind!r}")
 
 

@@ -2676,13 +2676,13 @@ class TermPartitionedEngine:
             values_partials_over_ids(src, sids, field, "raw")
         )
         desc = str(order).lower() == "desc"
-        keyv = _sort_key(vals, desc)
         total = int(len(sids))
         if after is not None:
-            av, ad = after
-            ak = _sort_key(np.asarray([av], dtype=vals.dtype), desc)[0]
-            keep = (keyv > ak) | ((keyv == ak) & (sids > ad))
-            sids, vals, keyv = sids[keep], vals[keep], keyv[keep]
+            from .engine import _after_mask
+
+            keep = _after_mask(vals, sids, after, desc)
+            sids, vals = sids[keep], vals[keep]
+        keyv = _sort_key(vals, desc)
         o = np.lexsort((sids, keyv))[:k]
         return total, [
             (int(sids[i]),

@@ -539,3 +539,116 @@ def test_execute_count(req_engines):
     all_docs = execute_count(eng, {})
     assert all_docs["count"] >= got["count"]
     assert all_docs == execute_count(eng, None)
+
+
+def test_after_mask_unit():
+    """search_after survivor mask on raw values: string fields compare
+    lexically (dense sort codes can't meet a scalar cursor), NaNs sort
+    last both directions and a NaN cursor advances the NaN tail."""
+    import numpy as np
+
+    from elasticsearch_assets_ray.search.engine import _after_mask
+
+    ids = np.array([1, 2, 3, 4, 5], dtype=np.int64)
+    v = np.array(["de", "en", "es", "go", "py"], dtype=object)
+    m = _after_mask(v, ids, ("es", 3), desc=False)
+    assert list(v[m]) == ["go", "py"]
+    m = _after_mask(v, ids, ("es", 3), desc=True)
+    assert list(v[m]) == ["de", "en"]
+    # tie advances by doc id
+    vt = np.array(["es", "es", "es"], dtype=object)
+    m = _after_mask(vt, np.array([1, 2, 3]), ("es", 2), desc=False)
+    assert list(np.array([1, 2, 3])[m]) == [3]
+    # NaNs survive any non-NaN cursor (missing:_last), both directions
+    vn = np.array([1.0, 2.0, np.nan, np.nan])
+    idn = np.array([1, 2, 3, 4], dtype=np.int64)
+    m = _after_mask(vn, idn, (2.0, 2), desc=False)
+    assert list(idn[m]) == [3, 4]
+    m = _after_mask(vn, idn, (1.0, 1), desc=True)
+    assert list(idn[m]) == [3, 4]
+    # a NaN cursor advances through the NaN tail by doc id
+    m = _after_mask(vn, idn, (float("nan"), 3), desc=False)
+    assert list(idn[m]) == [4]
+
+
+def test_sort_string_field_cursor(req_engines):
+    """Body sort on a KEYWORD field with search_after: pages are
+    contiguous and engines agree (the pre-fix code compared dense sort
+    codes against the raw cursor and returned wrong pages)."""
+    eng, teng = req_engines
+    base = {"query": {"match": {"content": "merge"}},
+            "sort": [{"lang": "asc"}], "size": 3}
+    first = execute_request(eng, base)
+    assert len(first["hits"]["hits"]) == 3
+    cur = [first["hits"]["hits"][-1]["sort"][0],
+           first["hits"]["hits"][-1]["_id"]]
+    nxt = execute_request(eng, {**base, "search_after": cur})
+    contiguous = execute_request(eng, {**base, "size": 6})
+    assert [h["_id"] for h in first["hits"]["hits"]] + \
+        [h["_id"] for h in nxt["hits"]["hits"]] == \
+        [h["_id"] for h in contiguous["hits"]["hits"]]
+    nxt_t = execute_request(teng, {**base, "search_after": cur})
+    assert [(h["_id"], h["sort"]) for h in nxt["hits"]["hits"]] == \
+        [(h["_id"], h["sort"]) for h in nxt_t["hits"]["hits"]]
+
+
+def test_collapse_source_composition_and_highlight_guard(req_engines):
+    """collapse/rescore hits hydrate _source/fields (engine-doc-id
+    space); highlight off the relevance path raises."""
+    eng, _ = req_engines
+    out = execute_request(eng, {
+        "query": {"match": {"content": "merge"}},
+        "size": 3,
+        "collapse": {"field": "lang"},
+        "_source": ["n_chars"],
+    })
+    assert out["hits"]["hits"]
+    for h in out["hits"]["hits"]:
+        assert set(h["_source"]) == {"n_chars"}
+    rs = execute_request(eng, {
+        "query": {"match": {"content": "merge data"}},
+        "size": 3,
+        "rescore": {"window_size": 10, "query": {
+            "rescore_query": {"match_phrase": {"content": "merge data"}}}},
+        "fields": ["lang"],
+    })
+    assert rs["hits"]["hits"] and all(
+        "lang" in h["fields"] for h in rs["hits"]["hits"])
+    for body in (
+        {"query": {"match": {"content": "merge"}}, "sort": "n_chars",
+         "highlight": {"fields": {"content": {}}}},
+        {"query": {"match": {"content": "merge"}},
+         "collapse": {"field": "lang"},
+         "highlight": {"fields": {"content": {}}}},
+    ):
+        with pytest.raises(DslError):
+            execute_request(eng, body)
+
+
+def test_suggest_shared_text_form(req_engines):
+    """ES's shared-text suggest body ({suggest: {text, name: {...}}})."""
+    eng, _ = req_engines
+    out = execute_request(eng, {"suggest": {
+        "text": "merg", "fix": {"term": {"size": 3}}}})
+    entries = out["suggest"]["fix"]
+    assert entries and entries[0]["text"] == "merg"
+    assert any(o["text"] == "merge" for o in entries[0]["options"])
+
+
+def test_knn_scores_are_similarities(req_engines):
+    """Top-level knn hits carry cosine similarities, not 0.0."""
+    from elasticsearch_assets_ray.search.retriever import RetrieverContext
+
+    eng, _ = req_engines
+    ctx = RetrieverContext(
+        eng, str(eng.info.index_dir),
+        embeddings_path="/root/testdata/sf0.001/embeddings.parquet")
+    out = execute_request(eng, {"knn": {"query_vector_id": 3, "k": 5}},
+                          retriever_ctx=ctx)
+    hits = out["hits"]["hits"]
+    assert hits[0]["_id"] == 3 and hits[0]["_score"] == pytest.approx(1.0)
+    scores = [h["_score"] for h in hits]
+    assert scores == sorted(scores, reverse=True) and scores[-1] < 1.0
+    with pytest.raises(DslError):
+        execute_request(eng, {"knn": {"query_vector_id": 3},
+                              "_source": ["lang"]}, retriever_ctx=ctx)
